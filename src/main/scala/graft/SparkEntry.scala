@@ -1,13 +1,33 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{CoreQueries, ScaleQueries}
+import graft.types.Dialect
+import graft.workflow.{MigrationConfig, MigrationWorkflow}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * `queries` holds one named entry per implemented SURVEY §2 operator (plus
+  * the LLM-pipeline operators); `oracleSql` the DuckDB-equivalent SQL the
+  * driver cross-checks each against at sf0.01. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship: the full migration pipeline (O2) on sf0.001 — profile →
+    * relational model + DDL artifact → decompose (main + child tables) →
+    * write → validate; returns the per-table row-count report (rows > 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.orderDocs(spark, "/root/testdata/sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("graft_entry").toString
+    val report = MigrationWorkflow.fullMigration(spark, docs,
+      MigrationConfig("odocs", out, Dialect.MySQL, fullProfile = true))
+    report.rowCounts.toSeq.sortBy(_._1).toDF("table_name", "row_count")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.queries ++ ScaleQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracles ++ ScaleQueries.oracles
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet corpus (TESTDATA.md) plus the
+  * document-shaped migration input derived from it (FIXTURES.md §2): `orders`
+  * rows nested with a `customer` object and a `lineitems` array, mirroring the
+  * MongoDB document collections the reference migrates
+  * (reference: private/Analyze_scheme.ps1:51-62 materializes such documents).
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as a
+    // nanosecond long (spark.sql.legacy.parquet.nanosAsLong=true, set by the
+    // session builders). Convert to a microsecond timestamp on load.
+    df.schema.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case None => df
+    }
+  }
+
+  /** Document collection: one document per order.
+    *
+    * {{{
+    * { _id: "<o_orderkey>",          // stringified key, reference forces _id VARCHAR(24)
+    *   o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+    *   customer:  { c_name, c_acctbal, c_mktsegment },            // nested object
+    *   lineitems: [ { l_linenumber, l_partkey, l_quantity,
+    *                  l_extendedprice, l_returnflag }, ... ],     // array of objects
+    *   tags:      [ o_orderstatus, o_orderpriority ] }            // array of primitives
+    * }}}
+    *
+    * `lineitems` is sorted by `l_linenumber` (struct comparison is
+    * field-order lexicographic and `l_linenumber` leads) so that array
+    * positions — and hence `array_index` after [[graft.decompose.Decomposer]]'s
+    * posexplode — are deterministic. The aggregation is a single hash
+    * aggregate keyed on the join key; at 100 TB the `lineitem` → `orders`
+    * join shuffles both sides on the order key once and reuses that
+    * partitioning for the array build.
+    */
+  def orderDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = load(spark, sfDir, "orders")
+    val customer = load(spark, sfDir, "customer")
+    val lineitem = load(spark, sfDir, "lineitem")
+    val items = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(struct(
+        col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag")))).as("lineitems"))
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"), "left")
+      .join(items, orders("o_orderkey") === items("l_orderkey"), "left")
+      .select(
+        orders("o_orderkey").cast("string").as("_id"),
+        orders("o_custkey"), orders("o_orderstatus"), orders("o_totalprice"),
+        orders("o_orderdate"), orders("o_orderpriority"),
+        struct(customer("c_name"), customer("c_acctbal"),
+          customer("c_mktsegment")).as("customer"),
+        col("lineitems"),
+        array(orders("o_orderstatus"), orders("o_orderpriority")).as("tags"))
+  }
+}

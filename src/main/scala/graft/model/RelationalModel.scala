@@ -1,0 +1,150 @@
+package graft.model
+
+import graft.profile.SchemaProfile
+import graft.types.{Dialect, InferredType, TypeMapper}
+
+/** One relational column compiled from a profiled document path. */
+case class ColumnSpec(
+    name: String,
+    inferred: InferredType,
+    nullable: Boolean,
+    maxLen: Option[Long] = None,
+    isId: Boolean = false) {
+  def sqlType(d: Dialect): String = TypeMapper.sqlType(inferred, d, maxLen, isId)
+}
+
+sealed trait TableKind
+object TableKind {
+  case object Main extends TableKind
+  case object Nested extends TableKind          // child per nested object (D3)
+  case object ArrayOfObjects extends TableKind  // child per object array (D4)
+  case object ArrayOfPrimitives extends TableKind // child per primitive array (D5)
+}
+
+/** Relational table compiled from the profile (reference "Tables" +
+  * "Relationships" output of New-SQLSchema, Sql_Schema_Generator.ps1:102-181).
+  * `sourcePath` is the document path this table materializes ("" for main).
+  * Child tables carry `fkColumn` → parent `_id` (:280, :291) and array tables
+  * an `array_index` column (:330). */
+case class TableSpec(
+    name: String,
+    kind: TableKind,
+    sourcePath: String,
+    columns: Seq[ColumnSpec],
+    primaryKey: Option[String],
+    fkColumn: Option[String],
+    parentTable: Option[String]) {
+
+  /** D2/D3/D7: CREATE TABLE DDL rendered directly per dialect (the reference
+    * rendered SQL Server then regex-rewrote to MySQL, Data_Migration.ps1:
+    * 324-361 — we render each dialect from the spec, fixing quirk Q9). */
+  def ddl(d: Dialect): String = {
+    val q = d.quote _
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    kind match {
+      case TableKind.Main => ()
+      case _ =>
+        // surrogate auto-increment PK on child tables (Sql_Schema_Generator.ps1:277)
+        val ident = d match {
+          case Dialect.MySQL => s"${q("id")} INT AUTO_INCREMENT PRIMARY KEY"
+          case Dialect.SQLServer => s"${q("id")} INT IDENTITY(1,1) PRIMARY KEY"
+        }
+        lines += ident
+    }
+    fkColumn.foreach(fk => lines += s"${q(fk)} VARCHAR(24) NOT NULL")
+    if (kind == TableKind.ArrayOfObjects || kind == TableKind.ArrayOfPrimitives)
+      lines += s"${q("array_index")} INT NOT NULL" // :330
+    columns.foreach { c =>
+      val n = if (c.nullable) "NULL" else "NOT NULL"
+      lines += s"${q(c.name)} ${c.sqlType(d)} $n"
+    }
+    primaryKey.foreach(pk => lines += s"PRIMARY KEY (${q(pk)})")
+    (fkColumn, parentTable) match {
+      case (Some(fk), Some(pt)) =>
+        lines += s"FOREIGN KEY (${q(fk)}) REFERENCES ${q(pt)}(${q("_id")})"
+      case _ => ()
+    }
+    s"CREATE TABLE ${q(name)} (\n  ${lines.mkString(",\n  ")}\n);"
+  }
+}
+
+/** D1: profile → relational model compiler (New-SQLSchema,
+  * Sql_Schema_Generator.ps1:1-197).
+  *
+  * Field classification (F2, :62-94) is driven by the elected type of each
+  * path. Quirk Q1 (dotted paths leaking into the main table because
+  * `-contains '.'` never matches on strings) is fixed: children of nested
+  * objects belong only to their child table. Quirk Q2 (NOT NULL tautology at
+  * :237) is fixed: a column is nullable unless it occurred in every profiled
+  * document with no nulls.
+  */
+object RelationalModel {
+  def childTableName(collection: String, path: String): String =
+    s"${collection}_${path.replace("[]", "").replace('.', '_')}"
+
+  def compile(profile: SchemaProfile, collection: String): Seq[TableSpec] = {
+    val paths = profile.fields.map(_.path)
+    def leaf(p: String): String = p.split('.').last
+
+    def colSpec(path: String, name: String): ColumnSpec = {
+      val f = profile(path)
+      val nullable = f.count < profile.totalDocs || f.types.contains("null")
+      ColumnSpec(name, InferredType.fromTag(f.electedType), nullable,
+        maxLen = f.samples.map(_.length.toLong).maxOption, isId = name == "_id")
+    }
+
+    val topLevel = paths.filterNot(_.contains("."))
+    val flat = topLevel.filter(p =>
+      !Set("object", "array")(profile(p).electedType))
+    val nestedRoots = topLevel.filter(p => profile(p).electedType == "object")
+    val arrayRoots = topLevel.filter(p => profile(p).electedType == "array")
+
+    val main = TableSpec(
+      name = collection, kind = TableKind.Main, sourcePath = "",
+      columns = flat.sorted.map(p => colSpec(p, p)), // sorted, D2 :225
+      primaryKey = if (flat.contains("_id")) Some("_id") else None,
+      fkColumn = None, parentTable = None)
+
+    val nestedTables = nestedRoots.sorted.map { root =>
+      val children = paths.filter(p => p.startsWith(root + ".") &&
+        !p.substring(root.length + 1).contains("."))
+      TableSpec(
+        name = childTableName(collection, root), kind = TableKind.Nested,
+        sourcePath = root,
+        columns = children.sorted.map(p => colSpec(p, leaf(p))),
+        primaryKey = None,
+        fkColumn = Some(s"${collection}__id"), parentTable = Some(collection))
+    }
+
+    val arrayTables = arrayRoots.sorted.map { root =>
+      val elemTypes = profile(root).arrayElementTypes
+      val objectElems = elemTypes.getOrElse("object", 0L) > 0
+      if (objectElems) {
+        val children = paths.filter(_.startsWith(root + "[]."))
+          .filter(p => !p.substring(root.length + 3).contains("."))
+        TableSpec(
+          name = childTableName(collection, root), kind = TableKind.ArrayOfObjects,
+          sourcePath = root,
+          columns = children.sorted.map(p => colSpec(p, leaf(p))),
+          primaryKey = None,
+          fkColumn = Some(s"${collection}__id"), parentTable = Some(collection))
+      } else {
+        // element type election priority integer > number > boolean > varchar
+        // (Sql_Schema_Generator.ps1:383-394, D5)
+        val elected =
+          if (elemTypes.contains("integer")) InferredType.TInteger
+          else if (elemTypes.contains("number")) InferredType.TNumber
+          else if (elemTypes.contains("boolean")) InferredType.TBoolean
+          else InferredType.TString
+        TableSpec(
+          name = childTableName(collection, root), kind = TableKind.ArrayOfPrimitives,
+          sourcePath = root,
+          columns = Seq(ColumnSpec("value", elected, nullable = true)),
+          primaryKey = None,
+          fkColumn = Some(s"${collection}__id"), parentTable = Some(collection))
+      }
+    }
+
+    main +: (nestedTables ++ arrayTables)
+  }
+}

@@ -1,0 +1,216 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.types.InferredType
+
+/** Per-path field profile (reference: hashtable keyed by dotted path,
+  * private/Analyze_scheme.ps1:163-171). */
+case class FieldProfile(
+    path: String,
+    types: Map[String, Long],     // type histogram, Analyze_scheme.ps1:178-184
+    count: Long,                  // occurrence count, :174-175
+    isNested: Boolean,
+    isArray: Boolean,
+    arrayElementTypes: Map[String, Long], // :194-201
+    samples: Seq[String]) {       // ≤3 values truncated to 50 chars, :216-226
+  /** Majority-type election (A3; Sql_Schema_Generator.ps1:416). Ties break to
+    * the lexicographically smallest tag for determinism. */
+  def electedType: String =
+    if (types.isEmpty) "null"
+    else types.toSeq.sortBy { case (t, c) => (-c, t) }.head._1
+}
+
+/** Collected schema profile of a document collection. Bounded by schema size
+  * (paths × types), never by data size — safe to hold on the driver. */
+case class SchemaProfile(totalDocs: Long, fields: Seq[FieldProfile]) {
+  def apply(path: String): FieldProfile = byPath(path)
+  lazy val byPath: Map[String, FieldProfile] = fields.map(f => f.path -> f).toMap
+  def has(path: String): Boolean = byPath.contains(path)
+
+  /** P4: human-readable profile report (Analyze_scheme.ps1:269-349). */
+  def describe: String = {
+    val sb = new StringBuilder
+    sb.append(s"Schema profile over $totalDocs documents\n")
+    fields.sortBy(_.path).foreach { f =>
+      val pct = if (totalDocs == 0) 0.0 else math.round(f.count * 10000.0 / totalDocs) / 100.0
+      val ts = f.types.toSeq.sortBy { case (t, c) => (-c, t) }
+        .map { case (t, c) => s"$t($c)" }.mkString(", ")
+      sb.append(f"  ${f.path}%-40s $pct%6.2f%% [$ts]")
+      if (f.isArray) {
+        val es = f.arrayElementTypes.toSeq.sortBy { case (t, c) => (-c, t) }
+          .map { case (t, c) => s"$t($c)" }.mkString(", ")
+        sb.append(s" elements=[$es]")
+      }
+      if (f.samples.nonEmpty) sb.append(s" samples=${f.samples.mkString("; ")}")
+      sb.append('\n')
+    }
+    val nNested = fields.count(_.isNested)
+    val nArray = fields.count(_.isArray)
+    sb.append(s"  ${fields.size} paths, $nNested nested, $nArray array\n") // A10
+    sb.toString
+  }
+}
+
+/** Statistical schema inference over document collections (P1-P4;
+  * reference Analyze_scheme.ps1:101-228).
+  *
+  * The reference folds documents one at a time on a single thread. Here each
+  * row is flattened to `(path, type-tag)` observation tuples with pure
+  * built-in expressions (`transform`/`flatten`/`concat`/`explode` — all
+  * whole-stage-codegen'd), then aggregated with one hash aggregation. At
+  * 100 TB this is a single scan with map-side partial aggregation; the
+  * reduced state is bounded by #paths × #types, not by rows, so the final
+  * shuffle is trivially small. No UDFs, no driver-side loops.
+  *
+  * Path grammar matches the reference: nested `parent.child`, array elements
+  * `parent[]` / `parent[].child` (Analyze_scheme.ps1:160, 206).
+  */
+object SchemaProfiler {
+  private val obsSchema: DataType =
+    ArrayType(StructType(Seq(
+      StructField("path", StringType), StructField("ftype", StringType))))
+  private def emptyObs: Column = array().cast(obsSchema)
+
+  private def tagLit(dt: DataType): Column = lit(InferredType.of(dt).tag)
+
+  /** Observation array for one element of an array column (path `base[]`).
+    * Struct elements contribute the element itself plus one observation per
+    * field, mirroring the reference's per-element recursion with the `[]`
+    * path suffix (Analyze_scheme.ps1:203-207). */
+  private def elemObs(arr: Column, et: DataType, base: String): Column = et match {
+    case st: StructType =>
+      flatten(transform(arr, x => concat(
+        when(isnull(x), emptyObs).otherwise(
+          array(struct(lit(base).as("path"), lit("object").as("ftype")))) +:
+        st.fields.toSeq.map { f =>
+          val v = x.getField(f.name)
+          when(isnull(x), emptyObs).otherwise(array(struct(
+            lit(s"$base.${f.name}").as("path"),
+            when(isnull(v), lit("null")).otherwise(tagLit(f.dataType)).as("ftype"))))
+        }: _*)))
+    case _ =>
+      transform(arr, x => struct(
+        lit(base).as("path"),
+        when(isnull(x), lit("null")).otherwise(tagLit(et)).as("ftype")))
+  }
+
+  /** Recursive observation builder. `present` guards children of null
+    * parents: a missing object contributes no child paths, exactly like a
+    * document that lacks the subtree (Analyze_scheme.ps1:210-213). */
+  private def obsFor(c: Column, dt: DataType, path: String, present: Column): Seq[Column] = {
+    val selfTag = when(c.isNull, lit("null")).otherwise(tagLit(dt))
+    val self = when(present,
+      array(struct(lit(path).as("path"), selfTag.as("ftype")))).otherwise(emptyObs)
+    val children = dt match {
+      case st: StructType =>
+        st.fields.toSeq.flatMap(f =>
+          obsFor(c.getField(f.name), f.dataType, s"$path.${f.name}", present && c.isNotNull))
+      case ArrayType(et, _) =>
+        Seq(when(present && c.isNotNull, elemObs(c, et, s"$path[]")).otherwise(emptyObs))
+      case _ => Nil
+    }
+    self +: children
+  }
+
+  /** One `(path, ftype)` row per field observation — the flattened form of
+    * the reference's per-document recursive fold (P2). */
+  def observations(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.toSeq.flatMap(f =>
+      obsFor(col(f.name), f.dataType, f.name, lit(true)))
+    df.select(explode(concat(cols: _*)).as("obs"))
+      .select(col("obs.path").as("path"), col("obs.ftype").as("ftype"))
+  }
+
+  /** A1/A2: per-(path, type) histogram as a DataFrame. */
+  def profileDF(df: DataFrame): DataFrame =
+    observations(df).groupBy("path", "ftype").agg(count(lit(1)).as("cnt"))
+
+  /** A3: per-path majority-type election as a DataFrame
+    * (Sql_Schema_Generator.ps1:416). */
+  def electedDF(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("path").orderBy(col("cnt").desc, col("ftype").asc)
+    profileDF(df)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("path"), col("ftype").as("elected_type"))
+  }
+
+  /** P1: sample-bounded profile driver (Analyze_scheme.ps1:41-99 takes
+    * `min(sampleSize, N)` most-recent documents). `sampleKey` orders the
+    * tail-sample; pass None to profile the whole input. */
+  def profile(df: DataFrame, sampleSize: Int = 100,
+      sampleKey: Option[String] = Some("_id")): SchemaProfile = {
+    val sample = sampleKey match {
+      case Some(k) if df.columns.contains(k) =>
+        df.orderBy(col(k).desc).limit(sampleSize)
+      case _ if sampleSize > 0 => df.limit(sampleSize)
+      case _ => df
+    }
+    collectProfile(sample)
+  }
+
+  /** Collects the (small) per-path summary. Sample values: ≤3, truncated to
+    * 47 chars + "..." (Analyze_scheme.ps1:216-226, X4). */
+  def collectProfile(sample: DataFrame): SchemaProfile = {
+    val total = sample.count()
+    val hist = profileDF(sample).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val samples = collectSampleValues(sample)
+    // bare `path[]` entries are the element-type histogram of `path`;
+    // `path[].child` entries are real fields (reference path grammar,
+    // Analyze_scheme.ps1:203-207) and stay in the field list.
+    val paths = hist.map(_._1).distinct.filterNot(_.endsWith("[]"))
+    val elemHist = hist.filter(_._1.endsWith("[]"))
+      .groupBy(t => t._1.stripSuffix("[]"))
+      .view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val fields = paths.toSeq.sorted.map { p =>
+      val types = hist.filter(_._1 == p).map(t => t._2 -> t._3).toMap
+      FieldProfile(
+        path = p,
+        types = types,
+        count = types.values.sum,
+        isNested = types.contains("object"),
+        isArray = types.contains("array"),
+        arrayElementTypes = elemHist.getOrElse(p, Map.empty),
+        samples = samples.getOrElse(p, Seq.empty))
+    }
+    SchemaProfile(total, fields)
+  }
+
+  /** ≤3 sample values per scalar top-level-reachable path, truncated like the
+    * reference (substring(0,47)+"...", Analyze_scheme.ps1:218-221). */
+  private def collectSampleValues(sample: DataFrame): Map[String, Seq[String]] = {
+    def scalarPaths(dt: DataType, prefix: String): Seq[(String, Column)] = dt match {
+      case st: StructType => st.fields.toSeq.flatMap { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case _: StructType => scalarPaths(f.dataType, p)
+          case _: ArrayType => Nil
+          case _ => Seq(p -> col(p))
+        }
+      }
+      case _ => Nil
+    }
+    val paths = scalarPaths(sample.schema, "")
+    if (paths.isEmpty) return Map.empty
+    val truncated = paths.map { case (p, c) =>
+      val s = c.cast("string")
+      (when(length(s) > 50, concat(substring(s, 1, 47), lit("...")))
+        .otherwise(s)).as(p)
+    }
+    val agg = sample.select(truncated: _*).agg(
+      paths.map { case (p, _) =>
+        slice(collect_list(col(s"`$p`")), 1, 3).as(p)
+      }.head, paths.tail.map { case (p, _) =>
+        slice(collect_list(col(s"`$p`")), 1, 3).as(p)
+      }: _*)
+    val row = agg.collect().head
+    paths.zipWithIndex.map { case ((p, _), i) =>
+      p -> row.getSeq[String](i).toSeq
+    }.toMap
+  }
+}

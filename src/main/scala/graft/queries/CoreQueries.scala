@@ -1,0 +1,832 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.decompose.Decomposer
+import graft.io.Sinks
+import graft.model.RelationalModel
+import graft.profile.SchemaProfiler
+import graft.streaming.EventStream
+import graft.sync.{DocHash, IncrementalSync}
+import graft.types.Dialect
+import graft.validate.{Normalize, Validator}
+import graft.workflow.{MigrationConfig, MigrationWorkflow}
+
+/** Core-engine correctness queries: one named entry per SURVEY.md §2
+  * operator, each paired with a DuckDB oracle over the same parquet tables.
+  * Column names/types are aligned between the Spark plan and the oracle SQL;
+  * every query carries a total-order ORDER BY so results are deterministic.
+  */
+object CoreQueries {
+  type QF = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flat fields used by the sync/hash queries (ints + strings only so the
+    * stringified canon is engine-portable). */
+  private val hashCols = Seq("_id", "o_custkey", "o_orderpriority", "o_orderstatus")
+
+  private def ordersFlat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_orderkey").cast("string").as("_id"),
+      col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** The DuckDB expression mirroring [[DocHash.docHash]] over [[hashCols]]. */
+  private val duckHash: String =
+    """upper(md5('{"_id":"' || CAST(o_orderkey AS VARCHAR) ||
+      |'","o_custkey":"' || CAST(o_custkey AS VARCHAR) ||
+      |'","o_orderpriority":"' || o_orderpriority ||
+      |'","o_orderstatus":"' || o_orderstatus || '"}'))""".stripMargin.replace("\n", " ")
+
+  private def docsAndModel(s: SparkSession, dir: String) = {
+    val docs = Tables.orderDocs(s, dir)
+    val prof = SchemaProfiler.collectProfile(docs)
+    (docs, RelationalModel.compile(prof, "odocs"))
+  }
+
+  // ---------------------------------------------------------------- scans
+  val queries: Map[String, QF] = Map(
+    // S1: full collection scan
+    "s1_full_scan" -> ((s, d) =>
+      t(s, d, "nation").orderBy("n_nationkey")),
+
+    // S3/W4: tail-N sample scan (Get-MdbcData -Last n)
+    "s3_tail_sample" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy(col("o_orderkey").desc).limit(100)),
+
+    // S4/S8: count scan
+    "s4_count_scan" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // S6: key-only scan (SELECT _id FROM t) — stays a DataFrame, never a
+    // driver-side id set (fixes the reference's Sync.ps1:521-541 anti-pattern)
+    "s6_key_scan" -> ((s, d) =>
+      t(s, d, "orders").select("o_orderkey").orderBy("o_orderkey")),
+
+    // S7/F5: point lookup (WHERE _id = ?)
+    "s7_point_lookup" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_custkey") === 42)),
+
+    // S5/F6: collection discovery + system.* filter
+    "s5_discover_collections" -> ((s, d) => {
+      import s.implicits._
+      val names = MigrationWorkflow.discoverCollections(s, d) ++
+        Seq("system.profile", "system.indexes")
+      names.toDF("collection")
+        .filter(!col("collection").startsWith("system."))
+        .orderBy("collection")
+    }),
+
+    // ------------------------------------------------------------- sinks
+    // S10: keyed upsert (REPLACE INTO semantics)
+    "s10_upsert" -> ((s, d) => {
+      val base = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val updates = base.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+      Sinks.upsert(base, updates, "c_custkey").orderBy("c_custkey")
+    }),
+
+    // S11: insert with schema alignment (missing cols → typed NULLs)
+    "s11_insert_align" -> ((s, d) => {
+      val target = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_nationkey",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_comment",
+          org.apache.spark.sql.types.StringType)))
+      Sinks.alignToSchema(t(s, d, "nation"), target).orderBy("n_nationkey")
+    }),
+
+    // S12: keyed update (MERGE WHEN MATCHED UPDATE)
+    "s12_update" -> ((s, d) => {
+      val base = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val updates = base.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), lit("UPDATED").as("c_mktsegment"))
+      Sinks.applyUpdates(base, updates, "c_custkey").orderBy("c_custkey")
+    }),
+
+    // S13: keyed delete (anti-join)
+    "s13_delete" -> ((s, d) => {
+      val base = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val deleted = base.filter(col("c_custkey") % 7 === 0).select("c_custkey")
+      Sinks.delete(base, deleted, "c_custkey").orderBy("c_custkey")
+    }),
+
+    // S16/U2: schema evolution — merged superset schema, old rows null-filled
+    "s16_schema_evolution" -> ((s, d) => {
+      val old = t(s, d, "region")
+      val evolved = old.withColumn("r_code", col("r_regionkey").cast("long") * 10)
+      Sinks.mergeSchemas(old, evolved)
+        .orderBy(col("r_regionkey"), col("r_code").asc_nulls_first)
+    }),
+
+    // F7/U2: missing-column set difference
+    "f7_missing_columns" -> ((s, d) => {
+      import s.implicits._
+      val source = t(s, d, "lineitem").schema
+      val target = org.apache.spark.sql.types.StructType(
+        source.fields.filterNot(f => Set("l_tax", "l_shipdate")(f.name)))
+      Sinks.missingColumns(source, target).sorted.toDF("missing_column")
+    }),
+
+    // ----------------------------------------------------------- profile
+    // P2/A1/A2: full-collection profile histogram over the nested docs
+    "p2_profile_docs" -> ((s, d) =>
+      SchemaProfiler.profileDF(Tables.orderDocs(s, d))
+        .orderBy("path", "ftype")),
+
+    // P1: sample-bounded profile (tail-100 by _id, Analyze_scheme.ps1:58-62)
+    "p1_profile_sample" -> ((s, d) =>
+      SchemaProfiler.profileDF(
+        Tables.orderDocs(s, d).orderBy(col("_id").desc).limit(100))
+        .orderBy("path", "ftype")),
+
+    // A3/W3: majority-type election over heterogeneously-typed observations
+    "a3_majority_election" -> ((s, d) => {
+      val part = t(s, d, "part")
+      val obsInt = SchemaProfiler.observations(
+        part.filter(col("p_partkey") % 3 =!= 0).select(col("p_partkey").as("value")))
+      val obsStr = SchemaProfiler.observations(
+        part.filter(col("p_partkey") % 3 === 0).select(col("p_name").as("value")))
+      val hist = obsInt.unionByName(obsStr)
+        .groupBy("path", "ftype").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("path").orderBy(col("cnt").desc, col("ftype").asc)
+      hist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("path"), col("ftype").as("elected_type"))
+    }),
+
+    // A4/X5: max sample length → VARCHAR sizing decision
+    "a4_varchar_sizing" -> ((s, d) =>
+      t(s, d, "part")
+        .agg(max(length(col("p_name"))).cast("long").as("max_len"))
+        .withColumn("sql_type",
+          when(col("max_len") > 255, "VARCHAR(MAX)").otherwise("VARCHAR(255)"))),
+
+    // --------------------------------------------------------- decompose
+    // F1: flat-field main-table projection
+    "f1_flat_project" -> ((s, d) => {
+      val (docs, model) = docsAndModel(s, d)
+      Decomposer.mainTable(docs, model.head).orderBy("_id")
+    }),
+
+    // F3: nested-object child table
+    "f3_nested_flatten" -> ((s, d) => {
+      val (docs, model) = docsAndModel(s, d)
+      val spec = model.find(_.name == "odocs_customer").get
+      Decomposer.nestedTable(docs, spec).orderBy("odocs__id")
+    }),
+
+    // D4: array-of-objects child table with array_index
+    "d4_array_object_table" -> ((s, d) => {
+      val (docs, model) = docsAndModel(s, d)
+      val spec = model.find(_.name == "odocs_lineitems").get
+      Decomposer.arrayObjectTable(docs, spec).orderBy("odocs__id", "array_index")
+    }),
+
+    // D5: array-of-primitives child table
+    "d5_array_primitive_table" -> ((s, d) => {
+      val (docs, model) = docsAndModel(s, d)
+      val spec = model.find(_.name == "odocs_tags").get
+      Decomposer.arrayPrimitiveTable(docs, spec).orderBy("odocs__id", "array_index")
+    }),
+
+    // D1/D2/D3/D6: compiled relational model — column specs + type mapping
+    "d2_schema_columns" -> ((s, d) => {
+      import s.implicits._
+      val (_, model) = docsAndModel(s, d)
+      model.flatMap(spec => spec.columns.map(c =>
+        (spec.name, c.name, c.sqlType(Dialect.MySQL), c.sqlType(Dialect.SQLServer),
+          c.nullable)))
+        .toDF("table_name", "column_name", "sql_type_mysql", "sql_type_sqlserver",
+          "nullable")
+        .orderBy("table_name", "column_name")
+    }),
+
+    // D7/X10/X11: per-dialect DDL rendering (whitespace-flattened)
+    "d7_ddl_dialects" -> ((s, d) => {
+      import s.implicits._
+      val (_, model) = docsAndModel(s, d)
+      Seq(Dialect.MySQL, Dialect.SQLServer).flatMap(dl =>
+        model.map(spec =>
+          (dl.name, spec.name, spec.ddl(dl).replaceAll("\\s+", " "))))
+        .toDF("dialect", "table_name", "ddl")
+        .orderBy("dialect", "table_name")
+    }),
+
+    // ---------------------------------------------------------------- sync
+    // X1/X2/W2: the H1 hash canon (sync-state ABI)
+    "x1_hash_canon" -> ((s, d) =>
+      ordersFlat(s, d)
+        .withColumn("doc_hash", DocHash.docHash(hashCols))
+        .select("_id", "doc_hash").orderBy("_id")),
+
+    // J1/A9: snapshot-diff change classification — summary counts
+    "j1_sync_classify" -> ((s, d) => {
+      val base = ordersFlat(s, d)
+      val cur = base.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("doc_hash", DocHash.docHash(hashCols))
+      val state = base.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("hash",
+          when(col("o_orderkey") % 5 === 0, lit("STALE"))
+            .otherwise(DocHash.docHash(hashCols)))
+        .select("_id", "hash")
+      IncrementalSync.classify(cur, state)
+        .groupBy("change_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("change_type")
+    }),
+
+    // J1 detail: per-id classification
+    "j1_sync_classify_detail" -> ((s, d) => {
+      val base = ordersFlat(s, d)
+      val cur = base.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("doc_hash", DocHash.docHash(hashCols))
+      val state = base.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("hash",
+          when(col("o_orderkey") % 5 === 0, lit("STALE"))
+            .otherwise(DocHash.docHash(hashCols)))
+        .select("_id", "hash")
+      IncrementalSync.classify(cur, state)
+        .select("_id", "change_type").orderBy("_id")
+    }),
+
+    // J3: hash carry-forward → next sync state
+    "j3_next_state" -> ((s, d) => {
+      val base = ordersFlat(s, d)
+      val cur = base.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("doc_hash", DocHash.docHash(hashCols))
+      val state = base.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("hash",
+          when(col("o_orderkey") % 5 === 0, lit("STALE"))
+            .otherwise(DocHash.docHash(hashCols)))
+        .select("_id", "hash")
+      IncrementalSync.nextState(IncrementalSync.classify(cur, state))
+        .orderBy("_id")
+    }),
+
+    // ------------------------------------------------------------ set ops
+    // U1: id-set difference (deleted detection)
+    "u1_id_except" -> ((s, d) => {
+      val all = t(s, d, "orders").select("o_orderkey")
+      val cur = t(s, d, "orders")
+        .filter(col("o_orderkey") % 11 =!= 0).select("o_orderkey")
+      all.except(cur).orderBy("o_orderkey")
+    }),
+
+    // U3: membership intersection
+    "u3_intersect" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey").as("custkey"))
+      val o = t(s, d, "orders").select(col("o_custkey").as("custkey"))
+      c.intersect(o).orderBy("custkey")
+    }),
+
+    // -------------------------------------------------------- validation
+    // V1/A5: count reconciliation
+    "v1_count_recon" -> ((s, d) =>
+      Validator.countReconciliation(
+        t(s, d, "orders"),
+        t(s, d, "orders").filter(col("o_orderkey") % 11 =!= 0))),
+
+    // V2/J2/F8: sampled row comparison under the normalization canon
+    "v2_row_compare" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val target = cust
+        .withColumn("c_name",
+          when(col("c_custkey") % 17 === 0, upper(col("c_name")))
+            .otherwise(col("c_name")))
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 13 === 0, col("c_acctbal") + 1)
+            .otherwise(col("c_acctbal")))
+      val sample = cust.filter(col("c_custkey") % 10 === 0)
+      Validator.rowCompare(sample, target, "c_custkey",
+        Seq("c_name", "c_acctbal", "c_mktsegment"))
+        .orderBy("_id", "field")
+    }),
+
+    // V3/F4/A6/A7/A8: integrity suite
+    "v3_integrity" -> ((s, d) =>
+      Validator.integrity(
+        t(s, d, "orders").select(
+          when(col("o_orderkey") % 97 === 0, lit(null))
+            .otherwise(col("o_orderkey") % 5000).as("k")), "k")
+        .orderBy("check_name")),
+
+    // V4: status roll-up state machine
+    "v4_status_rollup" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val target = cust
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 13 === 0, col("c_acctbal") + 1)
+            .otherwise(col("c_acctbal")))
+      Validator.statusReport(cust, target, "c_custkey",
+        Seq("c_name", "c_acctbal", "c_mktsegment"), sampleSize = 10)
+    }),
+
+    // F8/X7/X8: the normalization canon itself
+    "f8_normalize_canon" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val tsType = ev.schema("ts").dataType
+      ev.select(
+        col("event_id"),
+        Normalize.canon(col("ts"), tsType).as("ts_canon"),
+        Normalize.canon(col("value") > 5,
+          org.apache.spark.sql.types.BooleanType).as("flag_canon"),
+        Normalize.canon(nullif(col("event_type"), lit("error")),
+          org.apache.spark.sql.types.StringType).as("type_canon"),
+        Normalize.canon(col("value"),
+          org.apache.spark.sql.types.DoubleType).as("value_canon"))
+        .orderBy("event_id")
+    }),
+
+    // X4: sample-value truncation (substring(0,47)+"...")
+    "x4_truncate_sample" -> ((s, d) => {
+      val text = col("text")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        when(length(text) > 50, concat(substring(text, 1, 47), lit("...")))
+          .otherwise(text).as("sample_value"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------- workflow
+    // O1-O5/S14/S15/S17/Q3-fix: end-to-end full migration (profile →
+    // compile → decompose → write → count back from the written tables)
+    "o2_full_migration_report" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.orderDocs(s, d)
+      val out = java.nio.file.Files.createTempDirectory("graft_mig").toString
+      val cfg = MigrationConfig("odocs", out, Dialect.MySQL, fullProfile = true)
+      val report = MigrationWorkflow.fullMigration(s, docs, cfg)
+      report.rowCounts.toSeq.sortBy(_._1)
+        .toDF("table_name", "row_count")
+        .orderBy("table_name")
+    }),
+
+    // -------------------------------------------- headline aggregations
+    // A-class/bench: pricing summary (decimal-exact, order-independent sums)
+    "q1_pricing_summary" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") < lit("1998-09-02"))
+      val dec = "decimal(18,2)"
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // J-class/bench: filtered 3-way join + top-k revenue
+    "q3_top_orders" -> ((s, d) => {
+      val dec = "decimal(18,2)"
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // J-class/bench: 5-way join revenue per nation
+    "q5_nation_revenue" -> ((s, d) => {
+      val dec = "decimal(18,2)"
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier")
+      val nat = t(s, d, "nation")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ------------------------------------------------- events/streaming
+    // §2.10: tumbling-window aggregation (batch form of the streaming plan)
+    "st_window_agg" -> ((s, d) =>
+      EventStream.windowedAgg(t(s, d, "events"))
+        .orderBy("window_start", "event_type")),
+
+    // §2.10 extension: gap-based sessionization
+    "st_sessionize" -> ((s, d) =>
+      EventStream.sessionStats(t(s, d, "events"))
+        .orderBy("user_id", "session_id"))
+  )
+
+  // ------------------------------------------------------------- oracles
+  val oracles: Map[String, String] = Map(
+    "s1_full_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "s3_tail_sample" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey DESC LIMIT 100""".stripMargin,
+
+    "s4_count_scan" -> "SELECT count(*) AS cnt FROM lineitem",
+
+    "s6_key_scan" -> "SELECT o_orderkey FROM orders ORDER BY o_orderkey",
+
+    "s7_point_lookup" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey = 42""".stripMargin,
+
+    "s5_discover_collections" ->
+      """SELECT collection FROM (VALUES ('customer'),('documents'),('embeddings'),
+        |('events'),('lineitem'),('nation'),('orders'),('part'),('region'),
+        |('supplier')) AS t(collection) ORDER BY collection""".stripMargin,
+
+    "s10_upsert" ->
+      """SELECT c_custkey, c_name,
+        |CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+        |c_mktsegment FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "s11_insert_align" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS n_comment
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "s12_update" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        |CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "s13_delete" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_custkey % 7 != 0 ORDER BY c_custkey""".stripMargin,
+
+    "s16_schema_evolution" ->
+      """SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS r_code FROM region
+        |UNION ALL
+        |SELECT r_regionkey, r_name, CAST(r_regionkey AS BIGINT) * 10 FROM region
+        |ORDER BY r_regionkey, r_code NULLS FIRST""".stripMargin,
+
+    "f7_missing_columns" ->
+      """SELECT missing_column FROM (VALUES ('l_shipdate'),('l_tax'))
+        |AS t(missing_column) ORDER BY missing_column""".stripMargin,
+
+    "p2_profile_docs" -> profileOracle(
+      sel = "SELECT o_orderkey FROM orders"),
+
+    "p1_profile_sample" -> profileOracle(
+      sel = "SELECT o_orderkey FROM orders ORDER BY CAST(o_orderkey AS VARCHAR) DESC LIMIT 100"),
+
+    "a3_majority_election" ->
+      """SELECT 'value' AS path,
+        |CASE WHEN (SELECT count(*) FROM part WHERE p_partkey % 3 != 0)
+        |       >= (SELECT count(*) FROM part WHERE p_partkey % 3 = 0)
+        |  THEN 'integer' ELSE 'string' END AS elected_type""".stripMargin,
+
+    "a4_varchar_sizing" ->
+      """SELECT CAST(max(length(p_name)) AS BIGINT) AS max_len,
+        |CASE WHEN max(length(p_name)) > 255 THEN 'VARCHAR(MAX)'
+        |     ELSE 'VARCHAR(255)' END AS sql_type FROM part""".stripMargin,
+
+    "f1_flat_project" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS _id, o_custkey, o_orderdate,
+        |o_orderpriority, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY _id""".stripMargin,
+
+    "f3_nested_flatten" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS odocs__id, c_acctbal,
+        |c_mktsegment, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY odocs__id""".stripMargin,
+
+    "d4_array_object_table" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS odocs__id,
+        |CAST(row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice,
+        |  l_returnflag) - 1 AS INT) AS array_index,
+        |l_extendedprice, l_linenumber, l_partkey, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY odocs__id, array_index""".stripMargin,
+
+    "d5_array_primitive_table" ->
+      """SELECT odocs__id, array_index, value FROM (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS odocs__id,
+        |    CAST(0 AS INT) AS array_index, o_orderstatus AS value FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR), CAST(1 AS INT), o_orderpriority
+        |  FROM orders)
+        |ORDER BY odocs__id, array_index""".stripMargin,
+
+    "d2_schema_columns" -> schemaColumnsOracle,
+
+    "d7_ddl_dialects" -> ddlOracle,
+
+    "x1_hash_canon" ->
+      s"""SELECT CAST(o_orderkey AS VARCHAR) AS _id, $duckHash AS doc_hash
+         |FROM orders ORDER BY _id""".stripMargin,
+
+    "j1_sync_classify" -> syncOracle(
+      """SELECT change_type, count(*) AS cnt FROM cls
+        |GROUP BY change_type ORDER BY change_type""".stripMargin),
+
+    "j1_sync_classify_detail" -> syncOracle(
+      "SELECT _id, change_type FROM cls ORDER BY _id"),
+
+    "j3_next_state" ->
+      s"""SELECT CAST(o_orderkey AS VARCHAR) AS _id, $duckHash AS hash
+         |FROM orders WHERE o_orderkey % 11 != 0 ORDER BY _id""".stripMargin,
+
+    "u1_id_except" ->
+      """SELECT o_orderkey FROM orders EXCEPT
+        |SELECT o_orderkey FROM orders WHERE o_orderkey % 11 != 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "u3_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer INTERSECT
+        |SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+
+    "v1_count_recon" ->
+      """SELECT (SELECT count(*) FROM orders) AS source_cnt,
+        |(SELECT count(*) FROM orders WHERE o_orderkey % 11 != 0) AS target_cnt,
+        |abs((SELECT count(*) FROM orders) -
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 11 != 0)) AS diff,
+        |(SELECT count(*) FROM orders) =
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 11 != 0) AS counts_match""".stripMargin,
+
+    "v2_row_compare" ->
+      """WITH tgt AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 17 = 0 THEN upper(c_name) ELSE c_name END AS c_name,
+        |  CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment FROM customer),
+        |smp AS (SELECT * FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT _id, field, source_value, target_value FROM (
+        |  SELECT s.c_custkey AS _id, 'c_name' AS field,
+        |    coalesce(trim(s.c_name), '') AS source_value,
+        |    coalesce(trim(t.c_name), '') AS target_value
+        |  FROM smp s LEFT JOIN tgt t ON s.c_custkey = t.c_custkey
+        |  UNION ALL
+        |  SELECT s.c_custkey, 'c_acctbal',
+        |    coalesce(CAST(s.c_acctbal AS VARCHAR), ''),
+        |    coalesce(CAST(t.c_acctbal AS VARCHAR), '')
+        |  FROM smp s LEFT JOIN tgt t ON s.c_custkey = t.c_custkey
+        |  UNION ALL
+        |  SELECT s.c_custkey, 'c_mktsegment',
+        |    coalesce(trim(s.c_mktsegment), ''), coalesce(trim(t.c_mktsegment), '')
+        |  FROM smp s LEFT JOIN tgt t ON s.c_custkey = t.c_custkey)
+        |WHERE source_value != target_value ORDER BY _id, field""".stripMargin,
+
+    "v3_integrity" ->
+      """WITH t AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |  ELSE o_orderkey % 5000 END AS k FROM orders)
+        |SELECT check_name, issue_count FROM (
+        |  SELECT 'null_pk' AS check_name,
+        |    (SELECT count(*) FROM t WHERE k IS NULL) AS issue_count
+        |  UNION ALL
+        |  SELECT 'duplicate_keys', (SELECT count(*) FROM
+        |    (SELECT k FROM t WHERE k IS NOT NULL GROUP BY k HAVING count(*) > 1))
+        |  UNION ALL
+        |  SELECT 'empty_table',
+        |    CASE WHEN (SELECT count(*) FROM t) = 0 THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END)
+        |ORDER BY check_name""".stripMargin,
+
+    "v4_status_rollup" ->
+      """WITH tgt AS (SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment FROM customer),
+        |smp AS (SELECT * FROM customer ORDER BY c_custkey DESC LIMIT 10),
+        |mism AS (SELECT DISTINCT s.c_custkey FROM smp s
+        |  LEFT JOIN tgt t ON s.c_custkey = t.c_custkey
+        |  WHERE coalesce(trim(s.c_name),'') != coalesce(trim(t.c_name),'')
+        |     OR coalesce(CAST(s.c_acctbal AS VARCHAR),'') != coalesce(CAST(t.c_acctbal AS VARCHAR),'')
+        |     OR coalesce(trim(s.c_mktsegment),'') != coalesce(trim(t.c_mktsegment),'')),
+        |f AS (SELECT count(*) AS sf FROM mism),
+        |c1 AS (SELECT count(*) AS n1 FROM customer),
+        |c2 AS (SELECT count(*) AS n2 FROM tgt),
+        |i AS (SELECT (SELECT count(*) FROM tgt WHERE c_custkey IS NULL)
+        |  + (SELECT count(*) FROM (SELECT c_custkey FROM tgt GROUP BY c_custkey
+        |     HAVING count(*) > 1))
+        |  + (CASE WHEN (SELECT count(*) FROM tgt) = 0 THEN 1 ELSE 0 END) AS ii)
+        |SELECT n1 AS source_cnt, n2 AS target_cnt, abs(n1 - n2) AS diff,
+        |  n1 = n2 AS counts_match, sf AS samples_failed,
+        |  CAST(ii AS BIGINT) AS integrity_issues,
+        |  10 - sf AS samples_passed,
+        |  CASE WHEN n1 = n2 AND sf = 0 AND ii = 0 THEN 'PASSED'
+        |       WHEN 10 - sf > sf THEN 'PARTIAL' ELSE 'FAILED' END AS status
+        |FROM c1, c2, f, i""".stripMargin,
+
+    "f8_normalize_canon" ->
+      """SELECT event_id,
+        |strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_canon,
+        |CASE WHEN value > 5 THEN '1' ELSE '0' END AS flag_canon,
+        |coalesce(trim(nullif(event_type, 'error')), '') AS type_canon,
+        |coalesce(CAST(value AS VARCHAR), '') AS value_canon
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "x4_truncate_sample" ->
+      """SELECT doc_id, CASE WHEN length(text) > 50
+        |THEN substr(text, 1, 47) || '...' ELSE text END AS sample_value
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "o2_full_migration_report" ->
+      """SELECT table_name, row_count FROM (
+        |  SELECT 'odocs' AS table_name, (SELECT count(*) FROM orders) AS row_count
+        |  UNION ALL SELECT 'odocs_customer', (SELECT count(*) FROM orders)
+        |  UNION ALL SELECT 'odocs_lineitems', (SELECT count(*) FROM lineitem)
+        |  UNION ALL SELECT 'odocs_tags', 2 * (SELECT count(*) FROM orders))
+        |ORDER BY table_name""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS sum_disc_price,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS revenue
+        |FROM customer, orders, lineitem, supplier, nation
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "st_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |event_type, count(*) AS cnt,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "st_sessionize" ->
+      """WITH s AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (SELECT user_id, ts, value,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+
+  /** Shared CTE for the sync-classification oracles: mirrors the Spark-side
+    * construction (current = keys %11≠0, state = keys %7≠0 with STALE hashes
+    * at %5=0) and classifies via the same full-outer-join matrix. */
+  private def syncOracle(sel: String): String =
+    s"""WITH base AS (SELECT o_orderkey AS k, CAST(o_orderkey AS VARCHAR) AS _id,
+       |  $duckHash AS h FROM orders),
+       |cur AS (SELECT * FROM base WHERE k % 11 != 0),
+       |st AS (SELECT _id, CASE WHEN k % 5 = 0 THEN 'STALE' ELSE h END AS hash
+       |  FROM base WHERE k % 7 != 0),
+       |cls AS (SELECT coalesce(cur._id, st._id) AS _id,
+       |  CASE WHEN st._id IS NULL THEN 'new'
+       |       WHEN cur._id IS NULL THEN 'deleted'
+       |       WHEN cur.h != st.hash THEN 'updated'
+       |       ELSE 'unchanged' END AS change_type
+       |  FROM cur FULL OUTER JOIN st ON cur._id = st._id)
+       |$sel""".stripMargin
+
+  /** Profile-histogram oracle over the nested docs derived from `sel`
+    * (a SELECT of o_orderkey defining the profiled document subset). With the
+    * fixture's referential integrity (all orders match a customer, no nulls)
+    * the expected counts reduce to order/lineitem counts; orders without
+    * lineitems surface as `lineitems → null` observations. */
+  private def profileOracle(sel: String): String =
+    s"""WITH sel AS ($sel),
+       |n AS (SELECT count(*) AS c FROM sel),
+       |l AS (SELECT count(*) AS c FROM lineitem
+       |  WHERE l_orderkey IN (SELECT o_orderkey FROM sel)),
+       |wl AS (SELECT count(DISTINCT l_orderkey) AS c FROM lineitem
+       |  WHERE l_orderkey IN (SELECT o_orderkey FROM sel))
+       |SELECT path, ftype, cnt FROM (
+       |  SELECT '_id' AS path, 'string' AS ftype, (SELECT c FROM n) AS cnt
+       |  UNION ALL SELECT 'customer', 'object', (SELECT c FROM n)
+       |  UNION ALL SELECT 'customer.c_acctbal', 'number', (SELECT c FROM n)
+       |  UNION ALL SELECT 'customer.c_mktsegment', 'string', (SELECT c FROM n)
+       |  UNION ALL SELECT 'customer.c_name', 'string', (SELECT c FROM n)
+       |  UNION ALL SELECT 'lineitems', 'array', (SELECT c FROM wl)
+       |  UNION ALL SELECT 'lineitems', 'null', (SELECT c FROM n) - (SELECT c FROM wl)
+       |  UNION ALL SELECT 'lineitems[]', 'object', (SELECT c FROM l)
+       |  UNION ALL SELECT 'lineitems[].l_extendedprice', 'number', (SELECT c FROM l)
+       |  UNION ALL SELECT 'lineitems[].l_linenumber', 'integer', (SELECT c FROM l)
+       |  UNION ALL SELECT 'lineitems[].l_partkey', 'integer', (SELECT c FROM l)
+       |  UNION ALL SELECT 'lineitems[].l_quantity', 'number', (SELECT c FROM l)
+       |  UNION ALL SELECT 'lineitems[].l_returnflag', 'string', (SELECT c FROM l)
+       |  UNION ALL SELECT 'o_custkey', 'integer', (SELECT c FROM n)
+       |  UNION ALL SELECT 'o_orderdate', 'datetime', (SELECT c FROM n)
+       |  UNION ALL SELECT 'o_orderpriority', 'string', (SELECT c FROM n)
+       |  UNION ALL SELECT 'o_orderstatus', 'string', (SELECT c FROM n)
+       |  UNION ALL SELECT 'o_totalprice', 'number', (SELECT c FROM n)
+       |  UNION ALL SELECT 'tags', 'array', (SELECT c FROM n)
+       |  UNION ALL SELECT 'tags[]', 'string', 2 * (SELECT c FROM n))
+       |WHERE cnt > 0 ORDER BY path, ftype""".stripMargin
+
+  /** Expected compiled model for the odocs collection (D1/D2/D3/D6). */
+  private def schemaColumnsOracle: String = {
+    val rows = Seq(
+      ("odocs", "_id", "VARCHAR(24)", "VARCHAR(24)", false),
+      ("odocs", "o_custkey", "INT", "INT", false),
+      ("odocs", "o_orderdate", "DATETIME", "DATETIME2", false),
+      ("odocs", "o_orderpriority", "VARCHAR(255)", "VARCHAR(255)", false),
+      ("odocs", "o_orderstatus", "VARCHAR(255)", "VARCHAR(255)", false),
+      ("odocs", "o_totalprice", "DECIMAL(18,2)", "DECIMAL(18,2)", false),
+      ("odocs_customer", "c_acctbal", "DECIMAL(18,2)", "DECIMAL(18,2)", false),
+      ("odocs_customer", "c_mktsegment", "VARCHAR(255)", "VARCHAR(255)", false),
+      ("odocs_customer", "c_name", "VARCHAR(255)", "VARCHAR(255)", false),
+      ("odocs_lineitems", "l_extendedprice", "DECIMAL(18,2)", "DECIMAL(18,2)", false),
+      ("odocs_lineitems", "l_linenumber", "INT", "INT", false),
+      ("odocs_lineitems", "l_partkey", "INT", "INT", false),
+      ("odocs_lineitems", "l_quantity", "DECIMAL(18,2)", "DECIMAL(18,2)", false),
+      ("odocs_lineitems", "l_returnflag", "VARCHAR(255)", "VARCHAR(255)", false),
+      ("odocs_tags", "value", "VARCHAR(255)", "VARCHAR(255)", true))
+    val values = rows.map { case (t, c, m, ss, nl) =>
+      s"('$t','$c','$m','$ss',$nl)"
+    }.mkString(",")
+    s"""SELECT table_name, column_name, sql_type_mysql, sql_type_sqlserver, nullable
+       |FROM (VALUES $values)
+       |AS t(table_name, column_name, sql_type_mysql, sql_type_sqlserver, nullable)
+       |ORDER BY table_name, column_name""".stripMargin
+  }
+
+  /** Expected whitespace-flattened DDL per dialect (D7). */
+  private def ddlOracle: String = {
+    def main(q: (String => String), dt: String) =
+      s"CREATE TABLE ${q("odocs")} ( ${q("_id")} VARCHAR(24) NOT NULL, " +
+        s"${q("o_custkey")} INT NOT NULL, ${q("o_orderdate")} $dt NOT NULL, " +
+        s"${q("o_orderpriority")} VARCHAR(255) NOT NULL, " +
+        s"${q("o_orderstatus")} VARCHAR(255) NOT NULL, " +
+        s"${q("o_totalprice")} DECIMAL(18,2) NOT NULL, " +
+        s"PRIMARY KEY (${q("_id")}) );"
+    def child(q: (String => String), ident: String, name: String, cols: String) =
+      s"CREATE TABLE ${q(name)} ( $ident, " +
+        s"${q("odocs__id")} VARCHAR(24) NOT NULL, " + cols +
+        s"FOREIGN KEY (${q("odocs__id")}) REFERENCES ${q("odocs")}(${q("_id")}) );"
+    val bq = (i: String) => s"`$i`"
+    val br = (i: String) => s"[$i]"
+    val myIdent = s"${bq("id")} INT AUTO_INCREMENT PRIMARY KEY"
+    val ssIdent = s"${br("id")} INT IDENTITY(1,1) PRIMARY KEY"
+    def custCols(q: String => String) =
+      s"${q("c_acctbal")} DECIMAL(18,2) NOT NULL, " +
+        s"${q("c_mktsegment")} VARCHAR(255) NOT NULL, " +
+        s"${q("c_name")} VARCHAR(255) NOT NULL, "
+    def liCols(q: String => String) =
+      s"${q("array_index")} INT NOT NULL, " +
+        s"${q("l_extendedprice")} DECIMAL(18,2) NOT NULL, " +
+        s"${q("l_linenumber")} INT NOT NULL, " +
+        s"${q("l_partkey")} INT NOT NULL, " +
+        s"${q("l_quantity")} DECIMAL(18,2) NOT NULL, " +
+        s"${q("l_returnflag")} VARCHAR(255) NOT NULL, "
+    def tagCols(q: String => String) =
+      s"${q("array_index")} INT NOT NULL, ${q("value")} VARCHAR(255) NULL, "
+    val rows = Seq(
+      ("mysql", "odocs", main(bq, "DATETIME")),
+      ("mysql", "odocs_customer", child(bq, myIdent, "odocs_customer", custCols(bq))),
+      ("mysql", "odocs_lineitems", child(bq, myIdent, "odocs_lineitems", liCols(bq))),
+      ("mysql", "odocs_tags", child(bq, myIdent, "odocs_tags", tagCols(bq))),
+      ("sqlserver", "odocs", main(br, "DATETIME2")),
+      ("sqlserver", "odocs_customer", child(br, ssIdent, "odocs_customer", custCols(br))),
+      ("sqlserver", "odocs_lineitems", child(br, ssIdent, "odocs_lineitems", liCols(br))),
+      ("sqlserver", "odocs_tags", child(br, ssIdent, "odocs_tags", tagCols(br))))
+    val values = rows.map { case (dl, tn, ddl) =>
+      s"('$dl','$tn','${ddl.replace("'", "''")}')"
+    }.mkString(",")
+    s"""SELECT dialect, table_name, ddl FROM (VALUES $values)
+       |AS t(dialect, table_name, ddl) ORDER BY dialect, table_name""".stripMargin
+  }
+}

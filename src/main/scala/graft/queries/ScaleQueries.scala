@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.scale.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data-pipeline queries: dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard / embedding cosine), ANN similarity search, text analysis,
+  * multimodal plumbing. Each paired with a DuckDB oracle where the
+  * computation is SQL-expressible; the MinHash/SimHash oracles replicate the
+  * cross-engine-stable MD5-derived hash family. */
+object ScaleQueries {
+  type QF = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** documents ∪ (shifted-id copy) — a corpus with known exact duplicates. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
+  }
+
+  val queries: Map[String, QF] = Map(
+    // Exact dedup: hash-partitioned groupBy on content fingerprint
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(docsWithDups(s, d), "doc_id", "text").orderBy("keep_id")),
+
+    // MinHash signatures (k=16, MD5-derived affine permutations)
+    "dedup_minhash_sig" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        concat_ws("-", transform(Dedup.minhashSignature(col("text"), 16),
+          x => x.cast("string"))).as("sig"))
+        .orderBy("doc_id")),
+
+    // Banded-LSH candidate pairs + exact-Jaccard verification
+    "dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashCandidates(docsWithDups(s, d), "doc_id", "text",
+        k = 16, bands = 4, jaccardThreshold = 0.9)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash (16-bit, MD5-nibble majority votes)
+    "dedup_simhash" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        Dedup.simhash(col("text"), 16).as("sh")).orderBy("doc_id")),
+
+    // n-gram (3-word shingle) Jaccard over consecutive-id candidate pairs
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val a = docs(s, d).select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = docs(s, d).select(col("doc_id").as("id_b"), col("text").as("tb"))
+      a.join(b, col("id_a") + 1 === col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccard(TextAnalysis.shingles(col("ta"), 3),
+            TextAnalysis.shingles(col("tb"), 3)).as("jaccard3"))
+        .orderBy("id_a")
+    }),
+
+    // Embedding-cosine near-dup pairs, bucketed by cluster label
+    "nd_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDups(emb(s, d), "vec_id", "embedding", "label", 0.3)
+        .select("bucket", "id_a", "id_b")
+        .orderBy("bucket", "id_a", "id_b")),
+
+    // Brute-force cosine top-k (ids+rank output; the correctness baseline)
+    "ann_bruteforce_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e,
+        "vec_id", "embedding", 10)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk")
+    }),
+
+    // IVF-style ANN: search restricted to the query's coarse cell (label)
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e,
+        "vec_id", "embedding", "label", 10)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Quality scoring: token/stopword/punctuation/alpha features
+    "tx_quality_features" -> ((s, d) =>
+      TextAnalysis.qualityFeatures(docs(s, d), "text")
+        .select("doc_id", "n_tokens", "n_stopwords", "stopword_ratio",
+          "mean_token_len", "punct_ratio", "alpha_ratio")
+        .orderBy("doc_id")),
+
+    // Language ID via marker-token election
+    "tx_lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")),
+
+    // Document fingerprinting (normalized-content digest)
+    "tx_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+
+    // Multimodal: binary payload + metadata features (no codec needed)
+    "mm_payload_features" -> ((s, d) =>
+      Multimodal.payloadFeatures(
+        Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"))
+        .orderBy("id")),
+
+    // Multimodal: batched stub decode (mapPartitions plumbing)
+    "mm_decode_stub" -> ((s, d) =>
+      Multimodal.decodePayloads(
+        Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"))
+        .select("id", "width", "height")
+        .orderBy("id"))
+  )
+
+  // --- DuckDB mirrors of the MD5-derived hash family --------------------
+  private val duckToks =
+    "list_distinct(string_split_regex(trim(lower(text)), '\\s+'))"
+  private val duckToksAll =
+    "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** minhash_i as DuckDB SQL over a token-list expression. */
+  private def duckMinhash(i: Int, toks: String): String = {
+    val a = 2L * i + 1
+    val b = 7919L * i + 1
+    s"list_min(list_transform($toks, t -> " +
+      s"(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) * $a + $b) % 2147483647))"
+  }
+
+  private def duckSimhashTerm(j: Int): String =
+    s"(CASE WHEN 2 * len(list_filter(toks, t -> substr(md5(t), ${j + 1}, 1) IN " +
+      s"('8','9','a','b','c','d','e','f'))) - len(toks) > 0 " +
+      s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+
+  /** 3-word shingle list in DuckDB. */
+  private val duckShingles3 =
+    "list_distinct(list_transform(range(1, CASE WHEN len(tk) >= 3 " +
+      "THEN len(tk) - 2 ELSE 0 END + 1), i -> " +
+      "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
+
+  /** Elementwise double dot product mirroring Similarity.dot. */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def duckCosine(a: String, b: String): String = {
+    val na = s"sqrt(${duckDot(a, a)})"
+    val nb = s"sqrt(${duckDot(b, b)})"
+    s"(CASE WHEN $na * $nb > 0 THEN ${duckDot(a, b)} / ($na * $nb) ELSE 0.0 END)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM u GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "dedup_minhash_sig" -> {
+      val sigExprs = (0 until 16).map(i =>
+        s"CAST(${duckMinhash(i, "tk")} AS VARCHAR)").mkString(" || '-' || ")
+      s"""WITH tok AS (SELECT doc_id, $duckToks AS tk FROM documents)
+         |SELECT doc_id, $sigExprs AS sig FROM tok ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_minhash_pairs" -> {
+      def bandHash(b: Int): String = {
+        val parts = (b * 4 until b * 4 + 4).map(i => s"CAST(s$i AS VARCHAR)")
+          .mkString(" || '-' || ")
+        s"md5($parts)"
+      }
+      val sigCols = (0 until 16).map(i =>
+        s"${duckMinhash(i, "tk")} AS s$i").mkString(", ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT id, tk, $b AS band, ${bandHash(b)} AS bh FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH u AS (SELECT doc_id AS id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+         |tok AS (SELECT id, $duckToks AS tk FROM u),
+         |sig AS (SELECT id, tk, $sigCols FROM tok),
+         |band AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.id < b.id),
+         |scored AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(ta.tk, tb.tk))) AS jaccard
+         |  FROM cand JOIN tok ta ON cand.id_a = ta.id
+         |            JOIN tok tb ON cand.id_b = tb.id)
+         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      val terms = (0 until 16).map(duckSimhashTerm).mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, $duckToksAll AS toks FROM documents)
+         |SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM tok
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles3 AS sg FROM tok)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CASE WHEN len(list_distinct(list_concat(a.sg, b.sg))) > 0 THEN
+         |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.sg, b.sg))) ELSE 0.0 END AS jaccard3
+         |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+         |ORDER BY id_a""".stripMargin,
+
+    "nd_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings)
+         |SELECT a.label AS bucket, a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY bucket, id_a, id_b""".stripMargin,
+
+    "ann_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
+         |  FROM q, c WHERE query_id != neighbor_id)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label
+         |  FROM embeddings)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
+         |  FROM q JOIN c ON q.label = c.label
+         |  WHERE query_id != neighbor_id)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "tx_quality_features" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS tk,
+        |  CAST(length(text) AS BIGINT) AS nc FROM documents),
+        |g AS (SELECT doc_id, nc,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(tk, w -> w IN
+        |    ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stopwords,
+        |  CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g'))
+        |    AS BIGINT) AS n_punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+        |    AS BIGINT) AS n_alpha
+        |  FROM f)
+        |SELECT doc_id, n_tokens, n_stopwords,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    ELSE 0.0 END AS stopword_ratio,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(nc - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    ELSE 0.0 END AS mean_token_len,
+        |  CASE WHEN nc > 0 THEN CAST(n_punct AS DOUBLE) / CAST(nc AS DOUBLE)
+        |    ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN nc > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(nc AS DOUBLE)
+        |    ELSE 0.0 END AS alpha_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "tx_lang_id" -> {
+      val markers = graft.scale.TextAnalysis.langMarkers
+      val scoreDefs = markers.map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(",")
+        s"CAST(len(list_filter(tk, w -> w IN ($inList))) AS BIGINT) AS s_$lang"
+      }.mkString(", ")
+      val mx = "greatest(" + markers.map(m => s"s_${m._1}").mkString(", ") + ")"
+      val cases = markers.map { case (lang, _) =>
+        s"WHEN s_$lang = $mx AND $mx > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+         |sc AS (SELECT doc_id, lang, $scoreDefs FROM tok)
+         |SELECT doc_id, lang, CASE $cases ELSE 'und' END AS predicted_lang
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "tx_fingerprint" ->
+      """SELECT doc_id,
+        |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_payload_features" ->
+      """SELECT doc_id AS id, 'text' AS modality, source,
+        |CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_hash
+        |FROM documents ORDER BY id""".stripMargin,
+
+    "mm_decode_stub" ->
+      """WITH b AS (SELECT doc_id AS id, strlen(text) AS n,
+        |  list_sum(list_transform(range(1, strlen(text) + 1),
+        |    i -> ascii(substr(text, i, 1)))) AS bsum
+        |  FROM documents)
+        |SELECT id, CAST(n % 640 + 1 AS INT) AS width,
+        |  CAST(bsum % 480 + 1 AS INT) AS height
+        |FROM b ORDER BY id""".stripMargin
+  )
+}

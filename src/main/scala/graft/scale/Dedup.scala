@@ -1,0 +1,131 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every variant is shuffle-bounded by a *bucketing* key
+  * (fingerprint, LSH band hash, simhash prefix, cluster label) so candidate
+  * generation is a hash-partitioned group-join — never an all-pairs cross
+  * join, which is disqualifying at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content fingerprint, keep the smallest id
+    * (hash-partitioned groupBy with map-side partial aggregation). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Survivors after exact dedup (one row per distinct fingerprint, the
+    * minimal id wins — deterministic). */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy(col(idCol).asc)
+    df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("fp", "rn")
+  }
+
+  /** Cross-engine-stable 32-bit token hash: first 8 hex chars of MD5, parsed
+    * as an integer. Same value is computable in any engine with md5() —
+    * the property the DuckDB oracle relies on. */
+  def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  val MinhashPrime: Long = 2147483647L // 2^31-1, Mersenne
+
+  /** MinHash signature (k permutations) over the distinct-token set:
+    * sig_i = min over tokens of ((a_i·h(t) + b_i) mod p) with the classic
+    * affine permutation family (Broder '97). Pure built-ins:
+    * transform + array_min — per-row, codegen'd, no shuffle. */
+  def minhashSignature(text: Column, k: Int = 16): Column = {
+    val toks = array_distinct(TextAnalysis.tokens(lower(text)))
+    val sigs = (0 until k).map { i =>
+      val a = 2L * i + 1
+      val b = 7919L * i + 1
+      array_min(transform(toks, t =>
+        (tokenHash(t) * a + b) % MinhashPrime))
+    }
+    array(sigs: _*)
+  }
+
+  /** Banded-LSH candidate pairs: split the signature into `bands` bands of
+    * rows, bucket on (band index, band hash), self-join within buckets.
+    * Shuffles on the band key — bucket sizes, not n², bound the join.
+    * Candidates are verified with exact Jaccard before reporting. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, jaccardThreshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minhashSignature(col("text"), k))
+      .withColumn("shingle_set", array_distinct(TextAnalysis.tokens(lower(col("text")))))
+    val banded = sig.select(col("id"), col("shingle_set"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        md5(concat_ws("-", transform(
+          slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("shingle_set").as("set_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("shingle_set").as("set_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("set_a"), col("set_b")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** n-gram Jaccard similarity between candidate document pairs (the
+    * verification kernel of fuzzy dedup; candidates come from LSH or any
+    * bucketing join). */
+  def ngramJaccardPairs(pairs: DataFrame, textA: Column, textB: Column,
+      n: Int): Column =
+    jaccard(TextAnalysis.shingles(textA, n), TextAnalysis.shingles(textB, n))
+
+  /** SimHash (Charikar '02) with `bits` bit positions votes from MD5 nibbles
+    * of each token: bit_j = majority over tokens of (nibble_j >= 8).
+    * Cross-engine-stable (MD5 hex), built-ins only. */
+  def simhash(text: Column, bits: Int = 16): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    require(bits <= 32, "simhash uses one hex nibble per bit (md5 = 32 nibbles)")
+    val hexHi = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(_.asInstanceOf[Any])
+    val terms = (0 until bits).map { j =>
+      val votes = size(filter(toks, t =>
+        substring(md5(t), j + 1, 1).isin(hexHi: _*))).cast("long") * 2 - size(toks).cast("long")
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (bit-count of XOR). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate pairs, bucketed by a coarse key (e.g.
+    * a cluster/IVF label) so the pair join is per-bucket, not global. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(bucketCol).as("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"))
+    val b = df.select(col(bucketCol).as("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("bucket"), col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata structs, plus a batched decode/feature
+  * pipeline whose Spark-side shape (schema, partitioning, batch iteration)
+  * is real while the codec itself is a STUB — the image/audio libraries are
+  * not in this container, so the decoder is a clearly-marked deterministic
+  * fake keyed on the payload bytes.
+  */
+object Multimodal {
+
+  /** Wrap a text corpus as a multimodal table: payload = UTF-8 bytes (stand-in
+    * for image/audio bytes), metadata = typed struct. Establishes the schema
+    * contract: (id, payload binary, meta struct<modality,source,n_bytes>). */
+  def asMultimodal(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        lit("text").as("modality"),
+        col(sourceCol).as("source"),
+        octet_length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
+
+  /** Cheap payload features computable without a codec: byte length and
+    * content digest — all built-ins, no UDF. */
+  def payloadFeatures(mm: DataFrame): DataFrame =
+    mm.select(
+      col("id"),
+      col("meta.modality").as("modality"),
+      col("meta.source").as("source"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("content_hash"))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** STUB DECODER — deterministic fake standing in for a real image decode
+    * (e.g. JPEG → RGB → resize → embed). A real deployment replaces
+    * `fakeDecode` with the codec call; everything around it — the
+    * mapPartitions batching (one decoder init per partition, the Scala
+    * analogue of a Pandas-UDF batch), the output schema, the row shape — is
+    * the production plumbing and is tested. */
+  def decodePayloads(mm: DataFrame): DataFrame = {
+    val spark = mm.sparkSession
+    val rows: Dataset[Row] = mm.select(col("id").cast("long"), col("payload"))
+    val rdd = rows.rdd.mapPartitions { it =>
+      // per-partition "decoder" init happens here (once, not per row)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, feats) = fakeDecode(bytes)
+        Row(id, w, h, feats)
+      }
+    }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** The stub: derives a fake (width, height, 4-dim feature vector) purely
+    * from the byte content — deterministic, so tests can assert on it.
+    * ??? in spirit; a real codec goes here. */
+  private def fakeDecode(bytes: Array[Byte]): (Int, Int, Seq[Float]) = {
+    val n = bytes.length
+    val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+    val w = (n % 640) + 1
+    val h = (sum % 480).toInt + 1
+    val feats = Seq(n.toFloat, sum.toFloat, (sum % 255).toFloat,
+      (if (n > 0) sum.toFloat / n else 0f))
+    (w, h, feats)
+  }
+
+  /** Frame-sample stand-in: take every `stride`-th byte as a "frame key"
+    * array — demonstrates array-typed extraction from binary without a
+    * codec; built-ins only. */
+  def frameSample(mm: DataFrame, stride: Int): DataFrame =
+    mm.select(col("id"),
+      transform(
+        sequence(lit(1), greatest((octet_length(col("payload")) / stride), lit(1))),
+        i => getbit(col("payload"), (i - 1) * lit(stride.toLong * 8)).cast("int"))
+        .as("frame_bits"))
+}

@@ -1,0 +1,85 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
+  * corpus once — correct at any corpus size as long as the query set is
+  * small). Scale path: IVF-style coarse quantization — restrict candidate
+  * scoring to the query's cell(s), turning the scan into a bucketed join
+  * that prunes ~(1 - 1/cells) of the corpus per query.
+  */
+object Similarity {
+
+  /** Dot product via zip_with + aggregate — built-ins, codegen'd; elements
+    * cast to double for a stable, engine-portable accumulation order
+    * (sequential fold over the array). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /** Brute-force cosine top-k: every (query, corpus) pair scored, ranked per
+    * query. The query side MUST be small (it is broadcast); the corpus is
+    * scanned exactly once regardless of k. Ties break by candidate id for
+    * determinism. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF-style ANN: candidates restricted to the query's coarse cell
+    * (`cellCol` — a precomputed cluster/partition label, the inverted-file
+    * list). The join shuffles on the cell key; per-cell candidate lists are
+    * bounded, so cost is corpus/cells per query instead of the full scan. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      col(cellCol).as("cell"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      col(cellCol).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Sign-random-projection LSH bucket id over `planes` deterministic
+    * hyperplanes derived from the embedding dimension index (no RNG — the
+    * plane weights are (dim·j mod 7) - 3, stable across engines/runs).
+    * Used to bucket corpora when no precomputed cell label exists. */
+  def srpBucket(vec: Column, planes: Int = 8): Column = {
+    val bits = (0 until planes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i =>
+          ((i * (j + 1)) % 7 - 3).cast("double")),
+          (x, wgt) => x.cast("double") * wgt),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

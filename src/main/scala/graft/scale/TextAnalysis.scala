@@ -1,0 +1,94 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, document fingerprinting.
+  * All are per-row built-in expressions (split/filter/aggregate/regexp —
+  * whole-stage codegen'd): at 100 TB these run as one embarrassingly
+  * parallel scan with zero shuffles. */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword split: lowercase word pieces, digits, punctuation as
+    * separate tokens (regex analogue of a byte-pair pre-tokenizer). */
+  def subwordTokens(text: Column): Column =
+    // space-delimit every word / digit-run / punctuation token, then split
+    split(trim(regexp_replace(lower(text),
+      "([a-z]+|[0-9]+|[^a-z0-9\\s])", " $1 ")), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Quality scoring: token count, mean token length, stopword ratio,
+    * punctuation ratio, alpha ratio. Heuristics in the spirit of published
+    * web-corpus quality filters (C4/Gopher-style length+symbol rules). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks).cast("long")
+    val stop = size(filter(toks, w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+      .cast("long")
+    val nChars = length(t).cast("long")
+    val punct = (length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", ""))).cast("long")
+    val alpha = (length(t) - length(regexp_replace(t, "[a-zA-Z]", ""))).cast("long")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_stopwords", stop)
+      .withColumn("stopword_ratio",
+        when(nTok > 0, stop.cast("double") / nTok.cast("double")).otherwise(lit(0.0)))
+      .withColumn("mean_token_len",
+        when(nTok > 0, (nChars - (nTok - 1)).cast("double") / nTok.cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(nChars > 0, punct.cast("double") / nChars.cast("double")).otherwise(lit(0.0)))
+      .withColumn("alpha_ratio",
+        when(nChars > 0, alpha.cast("double") / nChars.cast("double")).otherwise(lit(0.0)))
+  }
+
+  /** Language ID via marker-token evidence (n-gram-frequency heuristic):
+    * counts hits of per-language marker sets and elects the max, defaulting
+    * to "und" when no marker fires. Deterministic, oracle-expressible. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "en"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "zh" -> Seq("de", "shi", "le", "bu"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(lower(text))
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, w =>
+        w.isin(markers.map(_.asInstanceOf[Any]): _*))).cast("long")
+    }
+  }
+
+  /** Elect the argmax marker score; ties break to the earliest language in
+    * [[langMarkers]] (the outermost `when` wins); all-zero → "und". */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === maxScore && maxScore > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: MD5 over the whitespace-collapsed, lowercased,
+    * trimmed text — the exact-dedup key (rolling-hash analogue with a single
+    * stable digest). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word n-gram shingles (distinct) for Jaccard/MinHash. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    if (n <= 1) array_distinct(toks)
+    else array_distinct(transform(
+      slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      (_, i) => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.sync
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** H1: the document change-detection hash — the sync-state ABI.
+  *
+  * Reference canon (private/Sync.ps1:362-387, quirks Q5/Q6):
+  * uppercase MD5 hex of the compact JSON of the document's *flat* fields,
+  * sorted by field name (W2, :366), values stringified, nulls → "" (:373).
+  *
+  * Built entirely from codegen'd built-ins: `upper(md5(to_json(struct(...))))`
+  * — no custom Expression, no UDF (SURVEY.md §2.13). Per-row, no shuffle.
+  *
+  * Q5 (the reference hashes flat fields only, so nested edits are invisible
+  * to sync) is preserved when callers pass only flat columns — the default
+  * for state compatibility; pass the full column set to fix it.
+  */
+object DocHash {
+  /** Canonical compact-JSON document string (X2; Sync.ps1:379). */
+  def canonicalJson(flatCols: Seq[String]): Column =
+    to_json(struct(flatCols.sorted.map(c =>
+      coalesce(col(c).cast("string"), lit("")).as(c)): _*))
+
+  /** The uppercase-hex MD5 hash (X1; Sync.ps1:382-386). A hash failure in the
+    * reference silently degrades to a fresh GUID (quirk Q7) — here an
+    * unhashable column type fails the plan at analysis time instead. */
+  def docHash(flatCols: Seq[String]): Column =
+    upper(md5(canonicalJson(flatCols)))
+
+  /** Convenience: append the hash column to `df` over its flat scalar
+    * columns (excluding any previous hash column). */
+  def withDocHash(df: DataFrame, hashCol: String = "doc_hash"): DataFrame = {
+    val flat = df.schema.fields.collect {
+      case f if f.name != hashCol &&
+        !f.dataType.typeName.startsWith("array") &&
+        !f.dataType.typeName.startsWith("struct") &&
+        !f.dataType.typeName.startsWith("map") => f.name
+    }.toSeq
+    df.withColumn(hashCol, docHash(flat))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{Sinks, StateStore}
+
+/** Per-run sync metrics (A9; reference tallies at Sync.ps1:44-55, 265-271). */
+case class SyncResult(
+    newDocs: Long, updated: Long, deleted: Long, unchanged: Long, errors: Long) {
+  def totalProcessed: Long = newDocs + updated + deleted
+}
+
+/** J1/J3: snapshot-diff incremental synchronization (Start-IncrementalSync,
+  * private/Sync.ps1:1-294).
+  *
+  * The reference materializes the full source collection *and* the full
+  * target id-set in driver memory, then probes hashtables row by row
+  * (Sync.ps1:82, 106-168, 521-541) — O(collection) driver RSS, the central
+  * scale anti-pattern this engine replaces. Here the diff is ONE distributed
+  * full-outer join on `_id` between the current snapshot (with fresh H1
+  * hashes) and the persisted state table; Catalyst/AQE picks broadcast vs
+  * sort-merge, and at 100 TB both sides shuffle once on `_id` and stream —
+  * nothing ever collects to the driver.
+  */
+object IncrementalSync {
+  val ChangeNew = "new"
+  val ChangeUpdated = "updated"
+  val ChangeDeleted = "deleted"
+  val ChangeUnchanged = "unchanged"
+
+  /** Classify `current` (must carry `_id` and `hashCol`) against `state`
+    * (`_id`, `hash`): full-outer join + hash compare (Sync.ps1:113-168).
+    * Returns current columns (null for deleted rows) + `change_type`.
+    * Matrix pinned by the reference's golden test Tests/Sync.Tests.ps1:76-130:
+    * miss → new; hit+differs → updated; hit+same → unchanged;
+    * state-only → deleted. */
+  def classify(current: DataFrame, state: DataFrame,
+      hashCol: String = "doc_hash"): DataFrame = {
+    val st = state.select(col("_id").as("state_id"), col("hash").as("state_hash"))
+    current.join(st, current("_id") === st("state_id"), "full_outer")
+      .withColumn("change_type",
+        when(col("state_id").isNull, ChangeNew)
+          .when(current("_id").isNull, ChangeDeleted)
+          .when(col(hashCol) =!= col("state_hash"), ChangeUpdated)
+          .otherwise(ChangeUnchanged))
+      .withColumn("_id", coalesce(current("_id"), col("state_id")))
+      .drop("state_id", "state_hash")
+  }
+
+  /** A9: change-type tallies from a classified diff. */
+  def metrics(classified: DataFrame): SyncResult = {
+    val counts = classified.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    SyncResult(
+      counts.getOrElse(ChangeNew, 0L), counts.getOrElse(ChangeUpdated, 0L),
+      counts.getOrElse(ChangeDeleted, 0L), counts.getOrElse(ChangeUnchanged, 0L), 0L)
+  }
+
+  /** J3: next sync state — fresh hashes for present docs (new/updated get the
+    * new hash, unchanged carry the identical previous value — Sync.ps1:
+    * 249-256), deleted ids dropped. */
+  def nextState(classified: DataFrame, hashCol: String = "doc_hash"): DataFrame =
+    classified.filter(col("change_type") =!= ChangeDeleted)
+      .select(col("_id"), col(hashCol).as("hash"))
+
+  /** Full sync run against a parquet-backed target table: classify, apply
+    * (upsert new+updated, anti-join deletes — S10/S12/S13), persist state
+    * (S18). MERGE-semantics application is idempotent, so retries are safe
+    * (strictly stronger than the reference's row-at-a-time autocommit,
+    * SURVEY §2.10). */
+  def run(spark: SparkSession, source: DataFrame, targetPath: String,
+      statePath: String, hashCol: String = "doc_hash"): SyncResult = {
+    val current = DocHash.withDocHash(source, hashCol)
+    val state = StateStore.load(spark, statePath)
+    val classified = classify(current, state, hashCol).cache()
+    try {
+      val result = metrics(classified)
+      val target = spark.read.parquet(targetPath)
+      val upserts = classified
+        .filter(col("change_type").isin(ChangeNew, ChangeUpdated))
+        .select(source.columns.map(col): _*)
+      val deletes = classified.filter(col("change_type") === ChangeDeleted)
+        .select("_id")
+      val merged = Sinks.delete(Sinks.upsert(target, upserts, "_id"), deletes, "_id")
+      Sinks.atomicOverwrite(spark, merged, targetPath)
+      StateStore.save(spark, nextState(classified, hashCol), statePath)
+      result
+    } finally classified.unpersist()
+  }
+}

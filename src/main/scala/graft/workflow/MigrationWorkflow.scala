@@ -1,0 +1,143 @@
+package graft.workflow
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.decompose.Decomposer
+import graft.io.Sinks
+import graft.model.{RelationalModel, TableSpec}
+import graft.profile.{SchemaProfile, SchemaProfiler}
+import graft.sync.IncrementalSync
+import graft.types.Dialect
+import graft.validate.Validator
+
+/** Engine configuration (S19; reference config.json → Get-AppConfig,
+  * private/Config.ps1:14-24 and README.md:47-68). */
+case class MigrationConfig(
+    collection: String,
+    outDir: String,
+    dialect: Dialect = Dialect.MySQL,
+    sampleSize: Int = 100,          // Analyze_scheme.ps1:41
+    validationSampleSize: Int = 10, // Migration_Validation.ps1:31
+    fullProfile: Boolean = false)   // profile all docs instead of the sample
+
+/** O2/O5 result: per-phase outcome of one collection migration. */
+case class MigrationReport(
+    collection: String,
+    profile: SchemaProfile,
+    tables: Seq[TableSpec],
+    rowCounts: Map[String, Long],
+    status: String)
+
+/** O1-O7: the public orchestration API (Invoke-MigrationWorkflow,
+  * public/MasterWorkflow.ps1:1-184).
+  *
+  * Phases mirror the reference's FullMigration (MasterWorkflow.ps1:226-282):
+  * [1/4] profile → [2/4] compile relational model + DDL artifact →
+  * [3/4] decompose + write → [4/4] validate. Each phase is a lazy DataFrame
+  * plan; actions happen only at writes and validation counts (SURVEY §3.1).
+  */
+object MigrationWorkflow {
+
+  /** S5: collection discovery — enumerate parquet collections in a source
+    * directory, filtering `system.*` (MasterWorkflow.ps1:186-221, filter
+    * :205 / F6). */
+  def discoverCollections(spark: SparkSession, sourceDir: String): Seq[String] = {
+    val fs = new Path(sourceDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(sourceDir))) return Seq.empty
+    fs.listStatus(new Path(sourceDir)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .filterNot(_.startsWith("system.")) // F6
+      .sorted
+  }
+
+  /** O2: full migration — profile, compile, decompose, write, validate
+    * (Invoke-FullMigration, MasterWorkflow.ps1:226-282). */
+  def fullMigration(spark: SparkSession, docs: DataFrame,
+      cfg: MigrationConfig): MigrationReport = {
+    // [1/4] schema analysis (MasterWorkflow.ps1:248)
+    val prof =
+      if (cfg.fullProfile) SchemaProfiler.collectProfile(docs)
+      else SchemaProfiler.profile(docs, cfg.sampleSize)
+    // [2/4] relational model + DDL artifact (:255-259)
+    val model = RelationalModel.compile(prof, cfg.collection)
+    writeDdlArtifact(spark, model, cfg)
+    // [3/4] decompose + bulk write (:264) — fixes quirk Q3: child tables are
+    // actually populated.
+    val tables = Decomposer.decompose(docs, model)
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"${cfg.outDir}/$name.parquet")
+    }
+    // [4/4] validation (:272)
+    val counts = tables.keys.toSeq.sorted.map { name =>
+      name -> spark.read.parquet(s"${cfg.outDir}/$name.parquet").count()
+    }.toMap
+    val main = spark.read.parquet(s"${cfg.outDir}/${cfg.collection}.parquet")
+    val recon = Validator.countReconciliation(docs, main).collect().head
+    val status = if (recon.getAs[Boolean]("counts_match")) "PASSED" else "FAILED"
+    MigrationReport(cfg.collection, prof, model, counts, status)
+  }
+
+  /** Export the generated DDL script (Export-SQLSchema,
+    * Sql_Schema_Generator.ps1:460-494 / S17). */
+  def writeDdlArtifact(spark: SparkSession, model: Seq[TableSpec],
+      cfg: MigrationConfig): Unit = {
+    val ddl = model.map(_.ddl(cfg.dialect)).mkString("\n\n") + "\n"
+    val p = new Path(s"${cfg.outDir}/${cfg.collection}_schema_${cfg.dialect.name}.sql")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(ddl.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** O3: incremental with full-migration fallback when the target table does
+    * not exist yet (Invoke-IncrementalMigration, MasterWorkflow.ps1:284-333,
+    * probe :302-312). */
+  def incrementalMigration(spark: SparkSession, docs: DataFrame,
+      cfg: MigrationConfig): Either[MigrationReport, graft.sync.SyncResult] = {
+    val targetPath = s"${cfg.outDir}/${cfg.collection}.parquet"
+    val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(targetPath)))
+      Left(fullMigration(spark, docs, cfg)) // fallback (:314-318)
+    else {
+      val prof = SchemaProfiler.profile(docs, cfg.sampleSize)
+      val model = RelationalModel.compile(prof, cfg.collection)
+      val flat = Decomposer.mainTable(docs, model.head)
+      Right(IncrementalSync.run(spark, flat, targetPath,
+        s"${cfg.outDir}/sync_state_${cfg.collection}.parquet"))
+    }
+  }
+
+  /** O4: validation-only pass (Invoke-ValidationOnly,
+    * MasterWorkflow.ps1:335-366). */
+  def validationOnly(spark: SparkSession, docs: DataFrame,
+      cfg: MigrationConfig, compareFields: Seq[String]): DataFrame = {
+    val target = spark.read.parquet(s"${cfg.outDir}/${cfg.collection}.parquet")
+    Validator.statusReport(docs.select(target.columns.map(col).toSeq: _*),
+      target, "_id", compareFields, cfg.validationSampleSize)
+  }
+
+  /** O4: schema-only pass (Invoke-SchemaOnly, MasterWorkflow.ps1:368-401). */
+  def schemaOnly(spark: SparkSession, docs: DataFrame,
+      cfg: MigrationConfig): Seq[TableSpec] = {
+    val prof = SchemaProfiler.profile(docs, cfg.sampleSize)
+    val model = RelationalModel.compile(prof, cfg.collection)
+    writeDdlArtifact(spark, model, cfg)
+    model
+  }
+
+  /** O1: multi-collection driver (Invoke-MigrationWorkflow,
+    * MasterWorkflow.ps1:1-184): discovers collections when none are given,
+    * dispatches per collection, aggregates a summary. `loadDocs` maps a
+    * collection name to its document DataFrame. */
+  def run(spark: SparkSession, sourceDir: String, collections: Seq[String],
+      cfgFor: String => MigrationConfig,
+      loadDocs: String => DataFrame): Seq[MigrationReport] = {
+    val names =
+      if (collections.nonEmpty) collections
+      else discoverCollections(spark, sourceDir)
+    names.map(n => fullMigration(spark, loadDocs(n), cfgFor(n)))
+  }
+}
