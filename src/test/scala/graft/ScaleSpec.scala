@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.scale.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Properties of the LLM-pipeline operators: dedup families, similarity
+  * search, text analysis, multimodal plumbing. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely unrelated text here"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized content, keeps min id") {
+    val groups = Dedup.exact(corpus, "doc_id", "text")
+    assert(groups.count() == 3)
+    val dupGroup = groups.filter($"dup_cnt" === 2).head()
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+    assert(Dedup.exactSurvivors(corpus, "doc_id", "text").count() == 3)
+  }
+
+  test("minhash: identical docs → identical signatures; near-dups agree on most") {
+    val sigs = corpus.select($"doc_id", Dedup.minhashSignature($"text", 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(4L))
+    val agree12 = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree12 > agree13)
+  }
+
+  test("minhash LSH candidates find the exact and near duplicates, verified by Jaccard") {
+    val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text",
+      k = 16, bands = 4, jaccardThreshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    // candidates are verified: nothing below the Jaccard threshold leaks
+    val all = Dedup.minhashCandidates(corpus, "doc_id", "text", 16, 4, 0.5)
+      .select("jaccard").as[Double].collect()
+    assert(all.forall(_ >= 0.5))
+  }
+
+  test("simhash: hamming distance orders near-dups below unrelated docs") {
+    val sh = corpus.select($"doc_id", Dedup.simhash($"text", 16).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) <= ham(sh(1L), sh(3L)))
+  }
+
+  test("jaccard: exact bounds") {
+    val df = Seq((Seq("a", "b"), Seq("b", "c")), (Seq("a"), Seq("a")))
+      .toDF("x", "y")
+    val j = df.select(Dedup.jaccard($"x", $"y").as("j")).as[Double].collect()
+    assert(math.abs(j(0) - 1.0 / 3.0) < 1e-12 && j(1) == 1.0)
+  }
+
+  test("brute-force top-k: identical vector ranks first, k respected") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(0.9f, 0.1f, 0f)), (4L, Seq(0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 2)
+    val rows = top.select("rnk", "neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(rows == Seq((1, 1L), (2, 3L)))
+  }
+
+  test("IVF top-k restricted to the query's cell equals brute force within the cell") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0.9f, 0.1f), 0), (2L, Seq(0.8f, 0.2f), 0),
+      (3L, Seq(1f, 0f), 1), (4L, Seq(0f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val ivf = Similarity.ivfTopK(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", "label", 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ivf == Set(1L, 2L)) // cell 0 only; id 3 (identical, other cell) pruned
+  }
+
+  test("embedding near-dups bucketed by label") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0),
+      (3L, Seq(1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val nd = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", "label", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd == Set((0L, 1L))) // (0,3) identical but cross-bucket
+  }
+
+  test("srp bucket is deterministic and groups identical vectors") {
+    val vecs = Seq((0L, Seq(1f, 2f, 3f)), (1L, Seq(1f, 2f, 3f)), (2L, Seq(-1f, -2f, -3f)))
+      .toDF("vec_id", "embedding")
+    val b = vecs.select($"vec_id", Similarity.srpBucket($"embedding", 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(1L) && b(0L) != b(2L))
+  }
+
+  test("text analysis: tokens, quality features, lang id, fingerprint") {
+    val df = Seq((1L, "the cat and the dog in a house")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityFeatures(df, "text").head()
+    assert(q.getAs[Long]("n_tokens") == 8)
+    assert(q.getAs[Long]("n_stopwords") == 5) // the, and, the, in, a
+    assert(math.abs(q.getAs[Double]("stopword_ratio") - 5.0 / 8) < 1e-12)
+    val lang = df.select(TextAnalysis.langId($"text")).head().getString(0)
+    assert(lang == "en")
+    val fp1 = Seq("A  B").toDF("t").select(TextAnalysis.fingerprint($"t")).head().getString(0)
+    val fp2 = Seq("a b").toDF("t").select(TextAnalysis.fingerprint($"t")).head().getString(0)
+    assert(fp1 == fp2) // case + whitespace normalized
+  }
+
+  test("shingles: 3-gram count and degenerate short input") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val s = df.select(TextAnalysis.shingles($"t", 3).as("s")).as[Seq[String]].collect()
+    assert(s(0).toSet == Set("a b c", "b c d"))
+    assert(s(1).isEmpty)
+  }
+
+  test("multimodal: payload features and stub decode are deterministic") {
+    val df = Seq((1L, "hello", "src")).toDF("doc_id", "text", "source")
+    val mm = Multimodal.asMultimodal(df, "doc_id", "text", "source")
+    val f = Multimodal.payloadFeatures(mm).head()
+    assert(f.getAs[Long]("n_bytes") == 5)
+    val d1 = Multimodal.decodePayloads(mm).select("width", "height")
+      .as[(Int, Int)].head()
+    val d2 = Multimodal.decodePayloads(mm).select("width", "height")
+      .as[(Int, Int)].head()
+    assert(d1 == d2 && d1._1 == 6) // len 5 % 640 + 1
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.StateStore
+import graft.sync.{DocHash, IncrementalSync}
+
+/** Mirrors Tests/Sync.Tests.ps1 — the golden classification matrix
+  * (FIXTURES.md §1.5) and the hash canon (§1.7). */
+class SyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("X1/Q6: doc hash is uppercase MD5 of sorted stringified flat JSON") {
+    // independent reference computation via MessageDigest
+    val json = """{"_id":"1","age":"30","name":"Jan"}"""
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(json.getBytes("UTF-8"))
+      .map("%02X".format(_)).mkString
+    val got = Seq(("1", "Jan", 30L)).toDF("_id", "name", "age")
+      .select(DocHash.docHash(Seq("_id", "name", "age")).as("h"))
+      .head().getString(0)
+    assert(got == expected)
+  }
+
+  test("X1: nulls stringify to empty string in the canon (Sync.ps1:373)") {
+    val df = Seq(("1", Option.empty[String])).toDF("_id", "name")
+    val json = df.select(DocHash.canonicalJson(Seq("_id", "name")).as("j"))
+      .head().getString(0)
+    assert(json == """{"_id":"1","name":""}""")
+  }
+
+  test("J1: golden classification matrix (Tests/Sync.Tests.ps1:76-130)") {
+    // snapshot: 1 (changed), 2 (same), 4 (new); state: 1 OLDHASH, 2 <real>, 3 TODELETE
+    val snapshot = Seq(("1", "Jan gewijzigd"), ("2", "Piet"), ("4", "Klaas"))
+      .toDF("_id", "name")
+      .withColumn("doc_hash", DocHash.docHash(Seq("_id", "name")))
+    val hash2 = snapshot.filter($"_id" === "2").select("doc_hash").head().getString(0)
+    val state = Seq(("1", "OLDHASH"), ("2", hash2), ("3", "TODELETE"))
+      .toDF("_id", "hash")
+    val cls = IncrementalSync.classify(snapshot, state)
+    val m = cls.select("_id", "change_type").as[(String, String)].collect().toMap
+    assert(m == Map("1" -> "updated", "2" -> "unchanged", "3" -> "deleted", "4" -> "new"))
+    val r = IncrementalSync.metrics(cls)
+    assert(r.newDocs == 1 && r.updated == 1 && r.deleted == 1 && r.unchanged == 1)
+    assert(r.totalProcessed == 3)
+  }
+
+  test("J3: next state carries hashes for present ids, drops deleted") {
+    val snapshot = Seq(("1", "a"), ("2", "b")).toDF("_id", "name")
+      .withColumn("doc_hash", DocHash.docHash(Seq("_id", "name")))
+    val state = Seq(("2", "STALE"), ("3", "GONE")).toDF("_id", "hash")
+    val next = IncrementalSync.nextState(IncrementalSync.classify(snapshot, state))
+    val ids = next.select("_id").as[String].collect().sorted
+    assert(ids.toSeq == Seq("1", "2"))
+    assert(next.filter($"hash" === "STALE").isEmpty) // stale hash refreshed
+  }
+
+  test("sync run end-to-end: diff∘apply = identity (idempotent MERGE)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sync").toString
+    val target = s"$dir/t.parquet"
+    val state = s"$dir/state.parquet"
+    val v1 = Seq(("1", "a", 1L), ("2", "b", 2L), ("3", "c", 3L))
+      .toDF("_id", "name", "v")
+    v1.write.parquet(target)
+    StateStore.save(spark, v1
+      .withColumn("hash", DocHash.docHash(Seq("_id", "name", "v")))
+      .select("_id", "hash"), state)
+    // v2: update 1, delete 2, insert 4
+    val v2 = Seq(("1", "A", 1L), ("3", "c", 3L), ("4", "d", 4L))
+      .toDF("_id", "name", "v")
+    val r = IncrementalSync.run(spark, v2, target, state)
+    assert(r.newDocs == 1 && r.updated == 1 && r.deleted == 1 && r.unchanged == 1)
+    val after = spark.read.parquet(target).orderBy("_id")
+      .as[(String, String, Long)].collect().toSeq
+    assert(after == Seq(("1", "A", 1L), ("3", "c", 3L), ("4", "d", 4L)))
+    // idempotence: second run is all-unchanged, target identical
+    val r2 = IncrementalSync.run(spark, v2, target, state)
+    assert(r2.newDocs == 0 && r2.updated == 0 && r2.deleted == 0 && r2.unchanged == 3)
+    val again = spark.read.parquet(target).orderBy("_id")
+      .as[(String, String, Long)].collect().toSeq
+    assert(again == after)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.validate.{Normalize, Validator}
+
+/** Mirrors Tests/Data_Migration.Tests.ps1 (which actually tests validation):
+  * normalization canon, row compare, count reconciliation, status machine
+  * (FIXTURES.md §1.6). */
+class ValidatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("F8: normalization canon — bool→1/0, datetime format, null→empty") {
+    val df = Seq((true, Timestamp.valueOf("2024-01-01 12:30:00"),
+      Option.empty[String], "  pad  ", 2.5))
+      .toDF("b", "ts", "n", "s", "d")
+    val row = df.select(
+      Normalize.canon($"b", BooleanType),
+      Normalize.canon($"ts", TimestampType),
+      Normalize.canon($"n", StringType),
+      Normalize.canon($"s", StringType),
+      Normalize.canon($"d", DoubleType)).head()
+    assert(row.getString(0) == "1")
+    assert(row.getString(1) == "2024-01-01 12:30:00")
+    assert(row.getString(2) == "")
+    assert(row.getString(3) == "pad")
+    assert(row.getString(4) == "2.5")
+  }
+
+  test("V2: matching rows produce zero differences") {
+    val a = Seq(("1", "Jan", 30L)).toDF("_id", "name", "age")
+    assert(Validator.rowCompare(a, a, "_id", Seq("name", "age")).isEmpty)
+  }
+
+  test("V2: field missing in target reported as difference") {
+    val s = Seq(("1", "Jan", 30L)).toDF("_id", "name", "age")
+    val t = Seq(("1", "Jan", Option.empty[java.lang.Long])).toDF("_id", "name", "age")
+    val diffs = Validator.rowCompare(s, t, "_id", Seq("name", "age"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(diffs.toSeq == Seq(("age", "30", "")))
+  }
+
+  test("V2: target row entirely missing → every field differs") {
+    val s = Seq(("1", "Jan")).toDF("_id", "name")
+    val t = Seq(("2", "Piet")).toDF("_id", "name")
+    val diffs = Validator.rowCompare(s, t, "_id", Seq("name"))
+    assert(diffs.count() == 1)
+  }
+
+  test("V1: count reconciliation match and mismatch") {
+    val five = (1 to 5).toDF("v")
+    val ten = (1 to 10).toDF("v")
+    val ok = Validator.countReconciliation(five, five).head()
+    assert(ok.getAs[Boolean]("counts_match"))
+    val bad = Validator.countReconciliation(ten, five).head()
+    assert(!bad.getAs[Boolean]("counts_match"))
+    assert(bad.getAs[Long]("diff") == 5)
+  }
+
+  test("V3: integrity suite detects null PKs, duplicates, empty table") {
+    val df = Seq(Some(1L), Some(1L), Some(2L), None).toDF("k")
+    val checks = Validator.integrity(df, "k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(checks == Map("null_pk" -> 1L, "duplicate_keys" -> 1L, "empty_table" -> 0L))
+    val empty = Validator.integrity(Seq.empty[Long].toDF("k"), "k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(empty("empty_table") == 1L)
+  }
+
+  test("V4: status machine PASSED / PARTIAL / FAILED") {
+    assert(Validator.status(true, 10, 0, 0) == "PASSED")
+    assert(Validator.status(false, 8, 2, 0) == "PARTIAL")
+    assert(Validator.status(false, 2, 8, 0) == "FAILED")
+    assert(Validator.status(true, 10, 0, 3) == "PARTIAL") // issues but samples pass
+  }
+
+  test("V4: statusReport end-to-end PASSED on identical tables") {
+    val df = (1 to 20).map(i => (i.toString, s"n$i")).toDF("_id", "name")
+    val rep = Validator.statusReport(df, df, "_id", Seq("name")).head()
+    assert(rep.getAs[String]("status") == "PASSED")
+  }
+}
