@@ -1,0 +1,29 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of named queries so the
+  * pushdown/broadcast/codegen story can be inspected (`runMain graft.Explain
+  * q1_pricing_summary ...`; no args = a representative headline set). */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+        "j1_sync_classify", "d4_array_object_table", "dedup_exact",
+        "ann_bruteforce_topk", "s7_point_lookup")
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

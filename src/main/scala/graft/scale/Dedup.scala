@@ -39,31 +39,43 @@ object Dedup {
 
   val MinhashPrime: Long = 2147483647L // 2^31-1, Mersenne
 
-  /** MinHash signature (k permutations) over the distinct-token set:
-    * sig_i = min over tokens of ((a_i·h(t) + b_i) mod p) with the classic
+  /** MinHash signature (k permutations) over an element-set column:
+    * sig_i = min over elements of ((a_i·h(t) + b_i) mod p) with the classic
     * affine permutation family (Broder '97). Pure built-ins:
     * transform + array_min — per-row, codegen'd, no shuffle. */
-  def minhashSignature(text: Column, k: Int = 16): Column = {
-    val toks = array_distinct(TextAnalysis.tokens(lower(text)))
+  def minhashSignatureOver(elems: Column, k: Int): Column = {
     val sigs = (0 until k).map { i =>
       val a = 2L * i + 1
       val b = 7919L * i + 1
-      array_min(transform(toks, t =>
+      array_min(transform(elems, t =>
         (tokenHash(t) * a + b) % MinhashPrime))
     }
     array(sigs: _*)
   }
 
+  /** MinHash over the distinct-unigram set of a text column. */
+  def minhashSignature(text: Column, k: Int = 16): Column =
+    minhashSignatureOver(array_distinct(TextAnalysis.tokens(lower(text))), k)
+
   /** Banded-LSH candidate pairs: split the signature into `bands` bands of
     * rows, bucket on (band index, band hash), self-join within buckets.
     * Shuffles on the band key — bucket sizes, not n², bound the join.
-    * Candidates are verified with exact Jaccard before reporting. */
+    * Candidates are verified with exact Jaccard before reporting.
+    *
+    * Sets are `shingleN`-word shingles, not unigrams: unigram sets over a
+    * small vocabulary make every pair similar and degenerate LSH buckets to
+    * O(n²); multi-word shingles keep random-pair Jaccard near zero, which is
+    * what makes banded LSH scale (shingling per Broder '97 §4). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4, jaccardThreshold: Double = 0.5): DataFrame = {
+      k: Int = 16, bands: Int = 4, jaccardThreshold: Double = 0.5,
+      shingleN: Int = 3): DataFrame = {
     val rows = k / bands
     val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), k))
-      .withColumn("shingle_set", array_distinct(TextAnalysis.tokens(lower(col("text")))))
+      .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
+      .withColumn("shingle_set",
+        if (shingleN <= 1) array_distinct(col("tk"))
+        else TextAnalysis.shinglesOf(col("tk"), shingleN))
+      .withColumn("sig", minhashSignatureOver(col("shingle_set"), k))
     val banded = sig.select(col("id"), col("shingle_set"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         md5(concat_ws("-", transform(
@@ -97,18 +109,29 @@ object Dedup {
 
   /** SimHash (Charikar '02) with `bits` bit positions votes from MD5 nibbles
     * of each token: bit_j = majority over tokens of (nibble_j >= 8).
-    * Cross-engine-stable (MD5 hex), built-ins only. */
-  def simhash(text: Column, bits: Int = 16): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
+    * Cross-engine-stable (MD5 hex), built-ins only. `tokenHashes` is a
+    * precomputed `array<md5-hex>` column — hashing once per token, not once
+    * per (token, bit). */
+  def simhashFromHashes(tokenHashes: Column, bits: Int = 16): Column = {
     require(bits <= 32, "simhash uses one hex nibble per bit (md5 = 32 nibbles)")
     val hexHi = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(_.asInstanceOf[Any])
+    val n = size(tokenHashes).cast("long")
     val terms = (0 until bits).map { j =>
-      val votes = size(filter(toks, t =>
-        substring(md5(t), j + 1, 1).isin(hexHi: _*))).cast("long") * 2 - size(toks).cast("long")
+      val votes = size(filter(tokenHashes, h =>
+        substring(h, j + 1, 1).isin(hexHi: _*))).cast("long") * 2 - n
       when(votes > 0, lit(1L << j)).otherwise(lit(0L))
     }
     terms.reduce(_ + _)
   }
+
+  /** Per-token MD5 array for [[simhashFromHashes]]. */
+  def tokenMd5s(text: Column): Column =
+    transform(TextAnalysis.tokens(lower(text)), t => md5(t))
+
+  /** SimHash from raw text (convenience; hot paths should materialize
+    * [[tokenMd5s]] into a column first). */
+  def simhash(text: Column, bits: Int = 16): Column =
+    simhashFromHashes(tokenMd5s(text), bits)
 
   /** Hamming distance between two simhash values (bit-count of XOR). */
   def hammingDistance(a: Column, b: Column): Column =
@@ -120,11 +143,14 @@ object Dedup {
       bucketCol: String, threshold: Double): DataFrame = {
     val a = df.select(col(bucketCol).as("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"))
+      .withColumn("na", Similarity.norm(col("vec_a")))
     val b = df.select(col(bucketCol).as("bucket"), col(idCol).as("id_b"),
       col(vecCol).as("vec_b"))
+      .withColumn("nb", Similarity.norm(col("vec_b")))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", Similarity.cosineWithNorms(
+        col("vec_a"), col("vec_b"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("bucket"), col("id_a"), col("id_b"), col("cosine"))
   }

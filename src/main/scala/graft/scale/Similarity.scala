@@ -29,6 +29,15 @@ object Similarity {
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
   }
 
+  /** Cosine with per-row precomputed norms: attach `norm(vec)` to each side
+    * BEFORE a pair join so each vector's norm is computed once per row, not
+    * once per pair — same expression tree (and bit-identical doubles) as
+    * [[cosine]], a third of the per-pair work. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val d = na * nb
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
   /** Brute-force cosine top-k: every (query, corpus) pair scored, ranked per
     * query. The query side MUST be small (it is broadcast); the corpus is
     * scanned exactly once regardless of k. Ties break by candidate id for
@@ -36,12 +45,15 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qn", norm(col("qvec")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cn", norm(col("cvec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine",
+        cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
@@ -54,14 +66,15 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, cellCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      col(cellCol).as("cell"))
+      col(cellCol).as("cell")).withColumn("qn", norm(col("qvec")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      col(cellCol).as("cell"))
+      col(cellCol).as("cell")).withColumn("cn", norm(col("cvec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine",
+        cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))

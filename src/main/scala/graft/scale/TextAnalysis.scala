@@ -29,14 +29,15 @@ object TextAnalysis {
 
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
+    val withToks = df.withColumn("__tk", tokens(t)) // tokenize once per row
+    val toks = col("__tk")
     val nTok = size(toks).cast("long")
     val stop = size(filter(toks, w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
       .cast("long")
     val nChars = length(t).cast("long")
     val punct = (length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", ""))).cast("long")
     val alpha = (length(t) - length(regexp_replace(t, "[a-zA-Z]", ""))).cast("long")
-    df.withColumn("n_tokens", nTok)
+    withToks.withColumn("n_tokens", nTok)
       .withColumn("n_stopwords", stop)
       .withColumn("stopword_ratio",
         when(nTok > 0, stop.cast("double") / nTok.cast("double")).otherwise(lit(0.0)))
@@ -47,6 +48,7 @@ object TextAnalysis {
         when(nChars > 0, punct.cast("double") / nChars.cast("double")).otherwise(lit(0.0)))
       .withColumn("alpha_ratio",
         when(nChars > 0, alpha.cast("double") / nChars.cast("double")).otherwise(lit(0.0)))
+      .drop("__tk")
   }
 
   /** Language ID via marker-token evidence (n-gram-frequency heuristic):
@@ -83,12 +85,18 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Word n-gram shingles (distinct) for Jaccard/MinHash. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
+  /** Word n-gram shingles (distinct) over a precomputed token-array column.
+    * Callers should materialize the token array into its own column first
+    * (one `split` per row); embedding the tokenizer inside this expression
+    * would re-evaluate it per element inside the lambda. */
+  def shinglesOf(toks: Column, n: Int): Column =
     if (n <= 1) array_distinct(toks)
     else array_distinct(transform(
       slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
       (_, i) => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+
+  /** Word n-gram shingles from raw text (convenience; for hot paths prefer
+    * tokenizing into a column and calling [[shinglesOf]]). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOf(tokens(lower(text)), n)
 }
