@@ -371,6 +371,19 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // §7.5: per-row error quarantine — typed-cast failures split out with a
+    // reason instead of per-row try/catch (Data_Migration.ps1:146-155)
+    "x6_cast_quarantine" -> ((s, d) => {
+      val src = t(s, d, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(lit("x"), col("source")))
+          .otherwise(col("doc_id").cast("string")).as("val"))
+      val (_, bad) = graft.io.Quarantine.split(src,
+        Seq(graft.io.Quarantine.CastRule("val",
+          org.apache.spark.sql.types.LongType)))
+      bad.select("doc_id", "_quarantine_reason").orderBy("doc_id")
+    }),
+
     // X4: sample-value truncation (substring(0,47)+"...")
     "x4_truncate_sample" -> ((s, d) => {
       val text = col("text")
@@ -666,6 +679,10 @@ object CoreQueries {
         |coalesce(trim(nullif(event_type, 'error')), '') AS type_canon,
         |coalesce(CAST(value AS VARCHAR), '') AS value_canon
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "x6_cast_quarantine" ->
+      """SELECT doc_id, 'val' AS _quarantine_reason FROM documents
+        |WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
 
     "x4_truncate_sample" ->
       """SELECT doc_id, CASE WHEN length(text) > 50

@@ -76,7 +76,16 @@ object IncrementalSync {
     val classified = classify(current, state, hashCol).cache()
     try {
       val result = metrics(classified)
-      val target = spark.read.parquet(targetPath)
+      // S16/U2/F7 schema drift: fields present in the source but absent in
+      // the target become nullable columns before changes apply
+      // (Update-SQLSchema, Sync.ps1:90-99, 395-477).
+      val target0 = spark.read.parquet(targetPath)
+      val srcData = source.select(
+        source.columns.filterNot(_ == hashCol).map(col).toSeq: _*)
+      val target =
+        if (Sinks.missingColumns(srcData.schema, target0.schema).nonEmpty)
+          Sinks.mergeSchemas(target0, srcData.limit(0))
+        else target0
       val upserts = classified
         .filter(col("change_type").isin(ChangeNew, ChangeUpdated))
         .select(source.columns.map(col): _*)
