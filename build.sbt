@@ -14,6 +14,8 @@ run / fork := true
 // Pass the forked process's stdout straight through (no [info] prefix) so
 // the driver can parse Bench's single JSON output line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Interactive mains (graft.workflow.Menu) read stdin from the forked JVM.
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

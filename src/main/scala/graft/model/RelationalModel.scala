@@ -68,6 +68,19 @@ case class TableSpec(
   }
 }
 
+/** Reference-quirk compatibility flags (SURVEY §4.3: quirks are FIXED by
+  * default; each flag reproduces the reference's literal behavior for
+  * byte-compatible artifact comparison). */
+case class QuirkFlags(
+    /** Q1: `-contains '.'` on a string never matches, so dotted child paths
+      * ALSO become (never-populated) main-table columns
+      * (Sql_Schema_Generator.ps1:76, :84-93). */
+    q1LegacyFlatten: Boolean = false,
+    /** Q2: the NOT NULL check compares a count with itself, so every flat
+      * column is NOT NULL regardless of occurrence
+      * (Sql_Schema_Generator.ps1:237). */
+    q2NotNullAll: Boolean = false)
+
 /** D1: profile → relational model compiler (New-SQLSchema,
   * Sql_Schema_Generator.ps1:1-197).
   *
@@ -76,19 +89,25 @@ case class TableSpec(
   * `-contains '.'` never matches on strings) is fixed: children of nested
   * objects belong only to their child table. Quirk Q2 (NOT NULL tautology at
   * :237) is fixed: a column is nullable unless it occurred in every profiled
-  * document with no nulls.
+  * document with no nulls. Pass [[QuirkFlags]] to reproduce the legacy
+  * behaviors.
   */
 object RelationalModel {
   def childTableName(collection: String, path: String): String =
     s"${collection}_${path.replace("[]", "").replace('.', '_')}"
 
-  def compile(profile: SchemaProfile, collection: String): Seq[TableSpec] = {
+  def compile(profile: SchemaProfile, collection: String): Seq[TableSpec] =
+    compile(profile, collection, QuirkFlags())
+
+  def compile(profile: SchemaProfile, collection: String,
+      quirks: QuirkFlags): Seq[TableSpec] = {
     val paths = profile.fields.map(_.path)
     def leaf(p: String): String = p.split('.').last
 
     def colSpec(path: String, name: String): ColumnSpec = {
       val f = profile(path)
-      val nullable = f.count < profile.totalDocs || f.types.contains("null")
+      val nullable = !quirks.q2NotNullAll &&
+        (f.count < profile.totalDocs || f.types.contains("null"))
       ColumnSpec(name, InferredType.fromTag(f.electedType), nullable,
         maxLen = f.samples.map(_.length.toLong).maxOption, isId = name == "_id")
     }
@@ -99,9 +118,19 @@ object RelationalModel {
     val nestedRoots = topLevel.filter(p => profile(p).electedType == "object")
     val arrayRoots = topLevel.filter(p => profile(p).electedType == "array")
 
+    // Q1 legacy mode: dotted children of nested objects ALSO appear as
+    // main-table columns (named by full path), mirroring the reference's
+    // broken containment check — they are never populated by the data path,
+    // exactly like the reference.
+    val q1Extra =
+      if (!quirks.q1LegacyFlatten) Seq.empty
+      else paths.filter(p => p.contains(".") && !p.contains("[]") &&
+        nestedRoots.contains(p.split('.').head))
+
+    val mainCols = (flat ++ q1Extra).sorted
     val main = TableSpec(
       name = collection, kind = TableKind.Main, sourcePath = "",
-      columns = flat.sorted.map(p => colSpec(p, p)), // sorted, D2 :225
+      columns = mainCols.map(p => colSpec(p, p)), // sorted, D2 :225
       primaryKey = if (flat.contains("_id")) Some("_id") else None,
       fkColumn = None, parentTable = None)
 

@@ -39,4 +39,23 @@ object DocHash {
     }.toSeq
     df.withColumn(hashCol, docHash(flat))
   }
+
+  /** Q5-FIXED variant: hash the FULL document — nested objects and arrays
+    * included via their compact-JSON serialization — so edits inside
+    * subtrees are visible to sync. Not state-compatible with the reference's
+    * flat-only canon; choose per deployment (`--hash-flat-only` semantics,
+    * SURVEY §4.3 Q5). */
+  def fullDocHash(df: DataFrame, hashCol: String = "doc_hash"): DataFrame = {
+    val cols = df.columns.filterNot(_ == hashCol).sorted.toSeq
+    val canon = struct(cols.map { c =>
+      val f = df.schema(c)
+      val v = f.dataType.typeName match {
+        case t if t.startsWith("struct") || t.startsWith("array") ||
+          t.startsWith("map") => to_json(col(c))
+        case _ => col(c).cast("string")
+      }
+      coalesce(v, lit("")).as(c)
+    }: _*)
+    df.withColumn(hashCol, upper(md5(to_json(canon))))
+  }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.profile.SchemaProfiler
+import graft.sync.DocHash
+
+/** ScalaCheck properties (SURVEY §5 strategy): profiler invariants under
+  * document permutation, hash canon determinism/sensitivity, minhash set
+  * semantics. Small generators — each property spins Spark jobs. */
+object ProfilerProps extends Properties("Profiler") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val docsGen: Gen[List[(String, Option[String], Option[Long])]] =
+    Gen.choose(1, 12).flatMap { n =>
+      Gen.listOfN(n, for {
+        id <- Gen.choose(0, 10000)
+        name <- Gen.option(Gen.alphaStr.map(_.take(8)))
+        age <- Gen.option(Gen.choose(0L, 99L))
+      } yield (id.toString, name, age))
+    }
+
+  property("profile invariant under document permutation") =
+    forAll(docsGen) { docs =>
+      val a = SchemaProfiler.collectProfile(docs.toDF("_id", "name", "age"))
+      val b = SchemaProfiler.collectProfile(docs.reverse.toDF("_id", "name", "age"))
+      a.totalDocs == b.totalDocs &&
+        a.fields.map(f => (f.path, f.types, f.count)) ==
+        b.fields.map(f => (f.path, f.types, f.count))
+    }
+
+  property("occurrence counts bounded by total docs; types sum to count") =
+    forAll(docsGen) { docs =>
+      val p = SchemaProfiler.collectProfile(docs.toDF("_id", "name", "age"))
+      p.fields.forall(f => f.count <= p.totalDocs &&
+        f.types.values.sum == f.count &&
+        f.types.keySet.contains(f.electedType))
+    }
+}
+
+object HashProps extends Properties("DocHash") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val rowGen = for {
+    id <- Gen.choose(0, 1000).map(_.toString)
+    name <- Gen.alphaNumStr.map(_.take(12))
+    v <- Gen.choose(0L, 1000L)
+  } yield (id, name, v)
+
+  property("hash is deterministic and 32 uppercase hex chars") =
+    forAll(rowGen) { case (id, name, v) =>
+      val df = Seq((id, name, v)).toDF("_id", "name", "v")
+      val h1 = df.select(DocHash.docHash(Seq("_id", "name", "v"))).head().getString(0)
+      val h2 = df.select(DocHash.docHash(Seq("_id", "name", "v"))).head().getString(0)
+      h1 == h2 && h1.length == 32 && h1 == h1.toUpperCase &&
+        h1.forall(c => c.isDigit || ('A' to 'F').contains(c))
+    }
+
+  property("hash changes when a hashed field changes") =
+    forAll(rowGen) { case (id, name, v) =>
+      val a = Seq((id, name, v)).toDF("_id", "name", "v")
+        .select(DocHash.docHash(Seq("_id", "name", "v"))).head().getString(0)
+      val b = Seq((id, name + "X", v)).toDF("_id", "name", "v")
+        .select(DocHash.docHash(Seq("_id", "name", "v"))).head().getString(0)
+      a != b
+    }
+
+  property("canonical json independent of column order (W2)") =
+    forAll(rowGen) { case (id, name, v) =>
+      val a = Seq((id, name, v)).toDF("_id", "name", "v")
+        .select(DocHash.canonicalJson(Seq("_id", "name", "v"))).head().getString(0)
+      val b = Seq((v, id, name)).toDF("v", "_id", "name")
+        .select(DocHash.canonicalJson(Seq("v", "_id", "name"))).head().getString(0)
+      a == b
+    }
+}
+
+object MinhashProps extends Properties("Minhash") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val wordsGen =
+    Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta"))
+
+  property("signature invariant under token order and duplication") =
+    forAll(wordsGen) { words =>
+      val t1 = words.mkString(" ")
+      val t2 = (words.reverse ++ words).mkString(" ") // same SET
+      val sigs = Seq(t1, t2).toDF("text")
+        .select(graft.scale.Dedup.minhashSignature(col("text"), 8).as("s"))
+        .as[Seq[Long]].collect()
+      sigs(0) == sigs(1)
+    }
+}

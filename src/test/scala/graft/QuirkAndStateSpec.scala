@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.{QuirkFlags, RelationalModel, TableKind}
+import graft.profile.SchemaProfiler
+import graft.streaming.{SessionEvent, StatefulSessions}
+import graft.sync.DocHash
+
+/** Quirk-compat flags (SURVEY §4.3) and the stateful streaming sessionizer. */
+class QuirkAndStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(("1", "Jan", ("Utrecht", "NL")), ("2", "Piet", ("A", "B")))
+    .toDF("_id", "name", "address")
+    .selectExpr("_id", "name",
+      "named_struct('city', address._1, 'cc', address._2) AS address")
+
+  test("Q1 legacy flatten: dotted children duplicated into the main table") {
+    val prof = SchemaProfiler.collectProfile(docs)
+    val fixed = RelationalModel.compile(prof, "users")
+    assert(fixed.head.columns.map(_.name) == Seq("_id", "name"))
+    val legacy = RelationalModel.compile(prof, "users", QuirkFlags(q1LegacyFlatten = true))
+    assert(legacy.head.columns.map(_.name) ==
+      Seq("_id", "address.cc", "address.city", "name"))
+    // child table exists in BOTH modes (the reference also creates it)
+    assert(legacy.exists(_.name == "users_address"))
+  }
+
+  test("Q2 legacy NOT NULL: every column NOT NULL regardless of occurrence") {
+    val sparse = Seq(("1", Some("x")), ("2", None)).toDF("_id", "name")
+    val prof = SchemaProfiler.collectProfile(sparse)
+    val fixed = RelationalModel.compile(prof, "t")
+    assert(fixed.head.columns.find(_.name == "name").get.nullable)
+    val legacy = RelationalModel.compile(prof, "t", QuirkFlags(q2NotNullAll = true))
+    assert(!legacy.head.columns.find(_.name == "name").get.nullable)
+  }
+
+  test("Q5 fixed: full-document hash sees nested edits; flat hash does not") {
+    val a = docs.filter($"_id" === "1")
+    val b = a.withColumn("address",
+      struct(lit("CHANGED").as("city"), col("address.cc").as("cc")))
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      DocHash.withDocHash(df).select("doc_hash").head().getString(0)
+    def full(df: org.apache.spark.sql.DataFrame) =
+      DocHash.fullDocHash(df).select("doc_hash").head().getString(0)
+    assert(flat(a) == flat(b)) // Q5: nested edit invisible to the flat canon
+    assert(full(a) != full(b)) // fixed canon sees it
+  }
+
+  test("stateful sessionizer closes sessions on gap, keeps last session open") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      SessionEvent(1L, ts("2024-01-01 00:00:00"), 1.0),
+      SessionEvent(1L, ts("2024-01-01 00:10:00"), 2.0),
+      SessionEvent(1L, ts("2024-01-01 01:00:00"), 3.0), // >30 min gap → closes s1
+      SessionEvent(2L, ts("2024-01-01 00:00:00"), 5.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    events.toDS().write.parquet(s"$dir/ev")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/ev").schema)
+      .parquet(s"$dir/ev").as[SessionEvent]
+    val q = StatefulSessions.sessionize(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val closed = spark.table("sessions_out")
+      .select("user_id", "session_id", "n_events", "session_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // only user 1's first session closed within the batch; open sessions
+    // (user 1 s2, user 2 s1) remain in state
+    assert(closed == Set((1L, 1L, 2L, 3.0)))
+  }
+}
