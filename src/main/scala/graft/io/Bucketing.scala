@@ -1,0 +1,44 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioning tools for the 100 TB paths (SURVEY §7.5): bucketed tables
+  * for shuffle-free co-located joins, and key salting for skew. */
+object Bucketing {
+
+  /** Persist `df` as a bucketed+sorted catalog table. Two tables bucketed on
+    * the same key with the same bucket count join WITHOUT a shuffle — the
+    * sync diff (J1) between a bucketed state table and a bucketed target
+    * becomes an exchange-free sort-merge join, which is the difference
+    * between re-shuffling 100 TB per sync and streaming co-located buckets. */
+  def bucketedSave(df: DataFrame, table: String, key: String, buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key).format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Skew-safe equi-join: salt the (skewed) left side's key into `salt`
+    * sub-keys and replicate each right row `salt` times, so one hot key
+    * spreads over `salt` reducers. Correct for inner/left joins on the key
+    * (each left row joins its exact replica partition). Use when a handful
+    * of keys dominate and AQE's skew split isn't available (e.g. bucketed
+    * inputs). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    val sl = left.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val sr = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    sl.join(sr, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** True when a physical plan string contains no shuffle exchange —
+    * the assertion helper for co-located-join tests. */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    !plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning")
+  }
+}

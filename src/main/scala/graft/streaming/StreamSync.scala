@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.io.{Sinks, StateStore}
+import graft.sync.{DocHash, IncrementalSync}
+
+/** §2.10: incremental sync as a Structured Streaming sink — a file-source
+  * stream of document snapshots applied to the target via `foreachBatch`
+  * MERGE. Each micro-batch runs the same classify → upsert/delete → state
+  * carry-forward as the batch engine ([[IncrementalSync]]), so semantics are
+  * identical and the application stays idempotent; the checkpoint gives
+  * at-least-once delivery which idempotent MERGE upgrades to effectively
+  * exactly-once. The reference's poll loop (Invoke-ScheduledSync,
+  * Sync.ps1:774-809) is the degenerate form of this with
+  * `Trigger.AvailableNow`. */
+object StreamSync {
+
+  /** Apply one micro-batch of source documents to the target (the
+    * foreachBatch body; also directly callable for tests). */
+  def applyBatch(spark: SparkSession, batch: DataFrame, targetPath: String,
+      statePath: String): graft.sync.SyncResult = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // a micro-batch may contain several snapshot versions of one id (e.g.
+    // backlogged files); keep one deterministically (max hash) per id
+    val w = Window.partitionBy("_id").orderBy(col("doc_hash").desc)
+    val current = DocHash.withDocHash(batch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val state = StateStore.load(spark, statePath)
+    val classified = IncrementalSync.classify(current, state)
+    val result = IncrementalSync.metrics(
+      classified.filter(org.apache.spark.sql.functions.col("change_type") =!=
+        IncrementalSync.ChangeDeleted)) // absent-from-batch ≠ deleted in a stream
+    val upserts = classified
+      .filter(org.apache.spark.sql.functions.col("change_type")
+        .isin(IncrementalSync.ChangeNew, IncrementalSync.ChangeUpdated))
+      .select(batch.columns.map(org.apache.spark.sql.functions.col): _*)
+    val fs = new org.apache.hadoop.fs.Path(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target =
+      if (fs.exists(new org.apache.hadoop.fs.Path(targetPath)))
+        spark.read.parquet(targetPath)
+      else batch.limit(0)
+    Sinks.atomicOverwrite(spark, Sinks.upsert(target, upserts, "_id"), targetPath)
+    // carry previous hashes forward for ids not present in this batch
+    val next = IncrementalSync.nextState(classified)
+      .unionByName(state.join(current.select("_id"), Seq("_id"), "left_anti"))
+    StateStore.save(spark, next, statePath)
+    result
+  }
+
+  /** Run the stream until drained (AvailableNow). `sourceDir` is a directory
+    * of parquet snapshot files; new files become micro-batches. */
+  def runAvailableNow(spark: SparkSession, sourceDir: String,
+      targetPath: String, statePath: String, checkpoint: String): Unit = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch.sparkSession, batch, targetPath, statePath): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
