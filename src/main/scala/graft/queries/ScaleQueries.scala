@@ -34,8 +34,9 @@ object ScaleQueries {
     "dedup_minhash_sig" -> ((s, d) =>
       docs(s, d)
         .withColumn("tk", array_distinct(TextAnalysis.tokens(lower(col("text")))))
+        .withColumn("hashed", Dedup.hashedElems(col("tk")))
         .select(col("doc_id"),
-          concat_ws("-", transform(Dedup.minhashSignatureOver(col("tk"), 16),
+          concat_ws("-", transform(Dedup.minhashFromHashes(col("hashed"), 16),
             x => x.cast("string"))).as("sig"))
         .orderBy("doc_id")),
 

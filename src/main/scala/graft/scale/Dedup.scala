@@ -39,19 +39,30 @@ object Dedup {
 
   val MinhashPrime: Long = 2147483647L // 2^31-1, Mersenne
 
-  /** MinHash signature (k permutations) over an element-set column:
-    * sig_i = min over elements of ((a_i·h(t) + b_i) mod p) with the classic
-    * affine permutation family (Broder '97). Pure built-ins:
-    * transform + array_min — per-row, codegen'd, no shuffle. */
-  def minhashSignatureOver(elems: Column, k: Int): Column = {
+  /** MinHash signature (k permutations) over a PRE-HASHED element array
+    * (`array<long>`, see [[hashedElems]]): sig_i = min over elements of
+    * ((a_i·h + b_i) mod p) with the classic affine permutation family
+    * (Broder '97). Hashing is done once per element by the caller; the k
+    * permutations are then pure integer arithmetic. Built-ins only —
+    * per-row, codegen'd, no shuffle. */
+  def minhashFromHashes(hashed: Column, k: Int): Column = {
     val sigs = (0 until k).map { i =>
       val a = 2L * i + 1
       val b = 7919L * i + 1
-      array_min(transform(elems, t =>
-        (tokenHash(t) * a + b) % MinhashPrime))
+      array_min(transform(hashed, h => (h * a + b) % MinhashPrime))
     }
     array(sigs: _*)
   }
+
+  /** Cross-engine-stable numeric hash of each element (md5+conv computed
+    * once per element — materialize this into a column before
+    * [[minhashFromHashes]]). */
+  def hashedElems(elems: Column): Column = transform(elems, t => tokenHash(t))
+
+  /** MinHash over an element-set column (convenience; hot paths should
+    * materialize [[hashedElems]] first). */
+  def minhashSignatureOver(elems: Column, k: Int): Column =
+    minhashFromHashes(hashedElems(elems), k)
 
   /** MinHash over the distinct-unigram set of a text column. */
   def minhashSignature(text: Column, k: Int = 16): Column =
@@ -75,7 +86,8 @@ object Dedup {
       .withColumn("shingle_set",
         if (shingleN <= 1) array_distinct(col("tk"))
         else TextAnalysis.shinglesOf(col("tk"), shingleN))
-      .withColumn("sig", minhashSignatureOver(col("shingle_set"), k))
+      .withColumn("hashed", hashedElems(col("shingle_set")))
+      .withColumn("sig", minhashFromHashes(col("hashed"), k))
     val banded = sig.select(col("id"), col("shingle_set"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         md5(concat_ws("-", transform(
