@@ -35,12 +35,15 @@ object CoreQueries {
       col("o_orderkey").cast("string").as("_id"),
       col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"))
 
-  /** The DuckDB expression mirroring [[DocHash.docHash]] over [[hashCols]]. */
-  private val duckHash: String =
-    """upper(md5('{"_id":"' || CAST(o_orderkey AS VARCHAR) ||
+  /** DuckDB mirror of [[DocHash.canonicalJson]] over [[hashCols]]. */
+  private val duckCanonJson: String =
+    """('{"_id":"' || CAST(o_orderkey AS VARCHAR) ||
       |'","o_custkey":"' || CAST(o_custkey AS VARCHAR) ||
       |'","o_orderpriority":"' || o_orderpriority ||
-      |'","o_orderstatus":"' || o_orderstatus || '"}'))""".stripMargin.replace("\n", " ")
+      |'","o_orderstatus":"' || o_orderstatus || '"}')""".stripMargin.replace("\n", " ")
+
+  /** The DuckDB expression mirroring [[DocHash.docHash]] over [[hashCols]]. */
+  private val duckHash: String = s"upper(md5($duckCanonJson))"
 
   /** Memoized per (session, sfDir): six decompose/DDL queries share one
     * docs build + one sampled profile instead of recomputing each. The
@@ -251,6 +254,12 @@ object CoreQueries {
       ordersFlat(s, d)
         .withColumn("doc_hash", DocHash.docHash(hashCols))
         .select("_id", "doc_hash").orderBy("_id")),
+
+    // X2: the canonical compact-JSON serialization itself
+    "x2_canonical_json" -> ((s, d) =>
+      ordersFlat(s, d)
+        .withColumn("canon", DocHash.canonicalJson(hashCols))
+        .select("_id", "canon").orderBy("_id")),
 
     // J1/A9: snapshot-diff change classification — summary counts
     "j1_sync_classify" -> ((s, d) => {
@@ -580,6 +589,10 @@ object CoreQueries {
 
     "x1_hash_canon" ->
       s"""SELECT CAST(o_orderkey AS VARCHAR) AS _id, $duckHash AS doc_hash
+         |FROM orders ORDER BY _id""".stripMargin,
+
+    "x2_canonical_json" ->
+      s"""SELECT CAST(o_orderkey AS VARCHAR) AS _id, $duckCanonJson AS canon
          |FROM orders ORDER BY _id""".stripMargin,
 
     "j1_sync_classify" -> syncOracle(

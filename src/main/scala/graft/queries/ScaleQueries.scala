@@ -30,6 +30,25 @@ object ScaleQueries {
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docsWithDups(s, d), "doc_id", "text").orderBy("keep_id")),
 
+    // Exact-dedup survivors (ranking-window formulation, min id wins)
+    "dedup_survivors" -> ((s, d) =>
+      Dedup.exactSurvivors(docsWithDups(s, d), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")),
+
+    // SRP-LSH bucket ids (deterministic hyperplanes from dim index)
+    "sim_srp_bucket" -> ((s, d) =>
+      emb(s, d).select(col("vec_id"),
+        Similarity.srpBucket(col("embedding"), 8).as("bucket"))
+        .orderBy("vec_id")),
+
+    // Token counting: whitespace + subword (BPE-ish regex) tokenizers
+    "tx_token_count" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        size(TextAnalysis.subwordTokens(col("text"))).cast("long")
+          .as("n_subword_tokens"))
+        .orderBy("doc_id")),
+
     // MinHash signatures (k=16, MD5-derived affine permutations)
     "dedup_minhash_sig" -> ((s, d) =>
       docs(s, d)
@@ -167,6 +186,33 @@ object ScaleQueries {
         |SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM u GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "dedup_survivors" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn FROM u)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "sim_srp_bucket" -> {
+      val terms = (0 until 8).map { j =>
+        s"(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i -> " +
+          s"CAST(embedding[i] AS DOUBLE) * ((i - 1) * ${j + 1} % 7 - 3))) > 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""SELECT vec_id, $terms AS bucket FROM embeddings
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    "tx_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |CAST(len(string_split_regex(trim(regexp_replace(lower(text),
+        |  '([a-z]+|[0-9]+|[^a-z0-9\s])', ' \1 ', 'g')), '\s+')) AS BIGINT)
+        |  AS n_subword_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_sig" -> {
       val sigExprs = (0 until 16).map(i =>
