@@ -45,6 +45,26 @@ object Tables {
     * join shuffles both sides on the order key once and reuses that
     * partitioning for the array build.
     */
+  /** Second document collection (different shape, exercises profiler/
+    * decomposer genericity): one document per customer with a nested
+    * `nation` object and an `orders` array sorted by `o_orderkey`. */
+  def customerDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = load(spark, sfDir, "customer")
+    val nation = load(spark, sfDir, "nation")
+    val orders = load(spark, sfDir, "orders")
+    val ords = orders.groupBy(col("o_custkey"))
+      .agg(array_sort(collect_list(struct(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))).as("orders"))
+    customer
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"), "left")
+      .join(ords, customer("c_custkey") === ords("o_custkey"), "left")
+      .select(
+        customer("c_custkey").cast("string").as("_id"),
+        customer("c_name"), customer("c_acctbal"), customer("c_mktsegment"),
+        struct(nation("n_name"), nation("n_regionkey")).as("nation"),
+        col("orders"))
+  }
+
   def orderDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = load(spark, sfDir, "orders")
     val customer = load(spark, sfDir, "customer")

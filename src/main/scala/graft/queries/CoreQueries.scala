@@ -417,6 +417,24 @@ object CoreQueries {
         .orderBy("table_name")
     }),
 
+    // O1: multi-collection workflow driver — two differently-shaped
+    // document collections migrated in one run (MasterWorkflow.ps1:99-139)
+    "o1_workflow_multi" -> ((s, d) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_multi").toString
+      val reports = MigrationWorkflow.run(s, d,
+        collections = Seq("odocs", "cdocs"),
+        cfgFor = n => MigrationConfig(n, out),
+        loadDocs = {
+          case "odocs" => docsAndModel(s, d)._1
+          case "cdocs" => Tables.customerDocs(s, d)
+        })
+      reports.flatMap(r => r.rowCounts.toSeq.map { case (t, n) =>
+        (r.collection, t, n)
+      }).toDF("collection", "table_name", "row_count")
+        .orderBy("collection", "table_name")
+    }),
+
     // -------------------------------------------- headline aggregations
     // A-class/bench: pricing summary (decimal-exact, order-independent sums)
     "q1_pricing_summary" -> ((s, d) => {
@@ -709,6 +727,18 @@ object CoreQueries {
         |  UNION ALL SELECT 'odocs_lineitems', (SELECT count(*) FROM lineitem)
         |  UNION ALL SELECT 'odocs_tags', 2 * (SELECT count(*) FROM orders))
         |ORDER BY table_name""".stripMargin,
+
+    "o1_workflow_multi" ->
+      """SELECT collection, table_name, row_count FROM (
+        |  SELECT 'odocs' AS collection, 'odocs' AS table_name,
+        |    (SELECT count(*) FROM orders) AS row_count
+        |  UNION ALL SELECT 'odocs', 'odocs_customer', (SELECT count(*) FROM orders)
+        |  UNION ALL SELECT 'odocs', 'odocs_lineitems', (SELECT count(*) FROM lineitem)
+        |  UNION ALL SELECT 'odocs', 'odocs_tags', 2 * (SELECT count(*) FROM orders)
+        |  UNION ALL SELECT 'cdocs', 'cdocs', (SELECT count(*) FROM customer)
+        |  UNION ALL SELECT 'cdocs', 'cdocs_nation', (SELECT count(*) FROM customer)
+        |  UNION ALL SELECT 'cdocs', 'cdocs_orders', (SELECT count(*) FROM orders))
+        |ORDER BY collection, table_name""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
