@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.decompose.Decomposer
+import graft.io.{DocumentSource, JdbcSink, Sinks}
+import graft.model.RelationalModel
+import graft.profile.SchemaProfiler
+import graft.sync.DocHash
+import graft.types.Dialect
+
+/** Edge cases and source/sink plumbing that the happy-path suites skip. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profiler: empty collection profiles to zero docs, no paths counted") {
+    val empty = Seq.empty[(String, String)].toDF("_id", "name")
+    val p = SchemaProfiler.collectProfile(empty)
+    assert(p.totalDocs == 0)
+    assert(p.fields.forall(_.count == 0))
+    assert(p.describe.contains("0 documents"))
+  }
+
+  test("decomposer: empty arrays produce no child rows but keep the table") {
+    val docs = Seq(("1", Seq.empty[String]), ("2", Seq("x")))
+      .toDF("_id", "tags")
+    val model = RelationalModel.compile(SchemaProfiler.collectProfile(docs), "d")
+    val t = Decomposer.decompose(docs, model)("d_tags")
+    assert(t.count() == 1) // only doc 2's element
+  }
+
+  test("upsert/delete with empty deltas are identity") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val empty = base.limit(0)
+    assert(Sinks.upsert(base, empty, "k").count() == 1)
+    assert(Sinks.delete(base, empty.select("k"), "k").count() == 1)
+  }
+
+  test("canonical JSON escapes embedded quotes/newlines (valid JSON out)") {
+    val df = Seq(("1", "he said \"hi\"\nbye")).toDF("_id", "name")
+    val canon = df.select(DocHash.canonicalJson(Seq("_id", "name")).as("j"))
+    val parsed = canon.select(from_json(col("j"),
+      StructType(Seq(StructField("_id", StringType), StructField("name", StringType)))).as("p"))
+      .select("p.name").head().getString(0)
+    assert(parsed == "he said \"hi\"\nbye") // round-trips ⇒ properly escaped
+  }
+
+  test("JSON-lines document source round-trips the profile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val docs = Tables.orderDocs(spark, "/root/testdata/sf0.001").limit(200)
+    docs.write.mode("overwrite").json(s"$dir/docs")
+    val back = DocumentSource.jsonLines(spark, s"$dir/docs")
+    val pa = SchemaProfiler.collectProfile(back)
+    // JSON widens types (ints may come back as longs) but the path set and
+    // occurrence counts survive the round trip
+    assert(pa.totalDocs == 200)
+    assert(pa.has("customer.c_name") && pa.has("lineitems[].l_quantity"))
+    assert(pa("tags").arrayElementTypes.getOrElse("string", 0L) == 400L)
+  }
+
+  test("mongo source fails fast without the connector") {
+    val e = intercept[IllegalArgumentException] {
+      DocumentSource.mongo(spark, "mongodb://x", "db", "c")
+    }
+    assert(e.getMessage.contains("mongo-spark-connector"))
+  }
+
+  test("JDBC option assembly per dialect") {
+    assert(JdbcSink.jdbcUrl(Dialect.MySQL, "h", 3306, "d")
+      .startsWith("jdbc:mysql://h:3306/d"))
+    assert(JdbcSink.jdbcUrl(Dialect.SQLServer, "h", 1433, "d")
+      .startsWith("jdbc:sqlserver://h:1433"))
+    val p = JdbcSink.connectionProperties(Dialect.MySQL, "u", "pw")
+    assert(p.getProperty("driver") == "com.mysql.cj.jdbc.Driver")
+    assert(p.getProperty("batchsize") == "1000")
+    val model = RelationalModel.compile(
+      SchemaProfiler.collectProfile(Seq(("1", 2L)).toDF("_id", "n")), "t")
+    assert(JdbcSink.columnTypeList(model.head, Dialect.MySQL) ==
+      "_id VARCHAR(24), n INT")
+    // probe against a dead endpoint is false, not an exception
+    assert(!JdbcSink.probe(spark, "jdbc:mysql://127.0.0.1:1/none",
+      JdbcSink.connectionProperties(Dialect.MySQL, "u", "pw")))
+  }
+}
