@@ -115,8 +115,14 @@ object RelationalModel {
     val topLevel = paths.filterNot(_.contains("."))
     val flat = topLevel.filter(p =>
       !Set("object", "array")(profile(p).electedType))
-    val nestedRoots = topLevel.filter(p => profile(p).electedType == "object")
-    val arrayRoots = topLevel.filter(p => profile(p).electedType == "array")
+    // Nested objects/arrays at ANY depth (outside array elements) each get a
+    // child table {T}_{path} — `a.b` nested in `a` becomes table `t_a_b`
+    // with FK to the main table, mirroring the reference's per-path child
+    // tables (Sql_Schema_Generator.ps1:102-181) with correct classification.
+    val nestedRoots = paths.filter(p => !p.contains("[]") &&
+      profile(p).electedType == "object")
+    val arrayRoots = paths.filter(p => !p.contains("[]") &&
+      profile(p).electedType == "array")
 
     // Q1 legacy mode: dotted children of nested objects ALSO appear as
     // main-table columns (named by full path), mirroring the reference's
@@ -135,8 +141,11 @@ object RelationalModel {
       fkColumn = None, parentTable = None)
 
     val nestedTables = nestedRoots.sorted.map { root =>
+      // direct scalar children only — deeper objects/arrays get their own
+      // child tables via nestedRoots/arrayRoots above
       val children = paths.filter(p => p.startsWith(root + ".") &&
-        !p.substring(root.length + 1).contains("."))
+        !p.substring(root.length + 1).contains(".") &&
+        !Set("object", "array")(profile(p).electedType))
       TableSpec(
         name = childTableName(collection, root), kind = TableKind.Nested,
         sourcePath = root,

@@ -88,6 +88,30 @@ class ModelDecomposeSpec extends SparkSpec {
     assert(addr == Seq(("5", "Utrecht", 3L)))
   }
 
+  test("deep nesting: a.b objects and nested arrays get their own child tables") {
+    val docs = Seq(("1", (("NL", 10L), Seq(1L, 2L))))
+      .toDF("_id", "geo")
+      .selectExpr("_id",
+        """named_struct(
+          |  'country', named_struct('code', geo._1._1, 'pop', geo._1._2),
+          |  'zips', geo._2) AS geo""".stripMargin)
+    val model = RelationalModel.compile(SchemaProfiler.collectProfile(docs), "t")
+    assert(model.map(_.name).toSet ==
+      Set("t", "t_geo", "t_geo_country", "t_geo_zips"))
+    // the intermediate nested table holds only scalar children
+    assert(model.find(_.name == "t_geo").get.columns.isEmpty)
+    assert(model.find(_.name == "t_geo_country").get.columns.map(_.name) ==
+      Seq("code", "pop"))
+    val tables = Decomposer.decompose(docs, model)
+    val country = tables("t_geo_country").select("t__id", "code", "pop")
+      .as[(String, String, Long)].collect().toSeq
+    assert(country == Seq(("1", "NL", 10L)))
+    val zips = tables("t_geo_zips").orderBy("array_index")
+      .select("t__id", "array_index", "value")
+      .as[(String, Int, Long)].collect().toSeq
+    assert(zips == Seq(("1", 0, 1L), ("1", 1, 2L)))
+  }
+
   test("docs without the array/object contribute no child rows") {
     val docs = Seq(
       ("1", Some(Seq("a"))), ("2", Option.empty[Seq[String]])
