@@ -452,6 +452,23 @@ object CoreQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // Distinct aggregation (beyond-reference shape; Catalyst expands to a
+    // two-phase aggregate)
+    "a_distinct_agg" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))),
+
+    // ROLLUP grouping sets (beyond-reference shape)
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // J-class/bench: filtered 3-way join + top-k revenue
     "q3_top_orders" -> ((s, d) => {
       val dec = "decimal(18,2)"
@@ -752,6 +769,17 @@ object CoreQueries {
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a_distinct_agg" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q3_top_orders" ->
       """SELECT o_orderkey,

@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.CoreQueries
+
+/** Physical-plan regression locks: the properties SCALE.md claims are
+  * asserted here so a refactor that silently loses pushdown, broadcast, or
+  * the top-k operator fails the suite, not just the benchmark. */
+class PlanSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    CoreQueries.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("point lookup pushes the key predicate to the parquet scan") {
+    val p = plan("s7_point_lookup")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(c_custkey,42)"), p)
+  }
+
+  test("q1 pushes the shipdate filter and prunes columns") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("LessThan(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "unreferenced column not pruned:\n" + p)
+  }
+
+  test("q3 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("sync diff is a single full-outer SortMergeJoin") {
+    val p = plan("j1_sync_classify")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("no plan collects data to the driver mid-query") {
+    // classification + decompose queries must not contain LocalTableScan of
+    // collected data (constant lookup tables excepted — none used here)
+    Seq("j1_sync_classify", "d4_array_object_table", "f1_flat_project")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("Scan ExistingRDD"), s"$q collected:\n$p")
+      }
+  }
+}
