@@ -40,7 +40,11 @@ object EventStream {
     * 100 TB this is one shuffle on user_id and per-user streams sort-merge
     * within partitions. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    // event_id tiebreak keeps session ids deterministic under ts ties
+    val order =
+      if (events.columns.contains("event_id")) Seq(col("ts"), col("event_id"))
+      else Seq(col("ts"))
+    val byUser = Window.partitionBy("user_id").orderBy(order: _*)
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
