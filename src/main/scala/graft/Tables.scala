@@ -21,7 +21,9 @@ object Tables {
     df.schema.find(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integral division — long/1000 via `/` goes through double, whose
+        // 2^53 mantissa cannot represent epoch nanos exactly (±256 ns)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
   }

@@ -109,7 +109,7 @@ object RelationalModel {
       val nullable = !quirks.q2NotNullAll &&
         (f.count < profile.totalDocs || f.types.contains("null"))
       ColumnSpec(name, InferredType.fromTag(f.electedType), nullable,
-        maxLen = f.samples.map(_.length.toLong).maxOption, isId = name == "_id")
+        maxLen = f.maxLen, isId = name == "_id") // true length, not the ≤50-char display sample (Q4)
     }
 
     val topLevel = paths.filterNot(_.contains("."))

@@ -16,7 +16,11 @@ case class FieldProfile(
     isNested: Boolean,
     isArray: Boolean,
     arrayElementTypes: Map[String, Long], // :194-201
-    samples: Seq[String]) {       // ≤3 values truncated to 50 chars, :216-226
+    samples: Seq[String],         // ≤3 values truncated to 50 chars, :216-226
+    /** TRUE maximum value length over the profiled sample — measured before
+      * display truncation, unlike the reference whose VARCHAR(MAX) split is
+      * unreachable because it sizes from pre-truncated samples (quirk Q4). */
+    maxLen: Option[Long] = None) {
   /** Majority-type election (A3; Sql_Schema_Generator.ps1:416). Ties break to
     * the lexicographically smallest tag for determinism. */
   def electedType: String =
@@ -160,6 +164,7 @@ object SchemaProfiler {
     val hist = profileDF(sample).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val samples = collectSampleValues(sample)
+    val maxLens = collectMaxLens(sample)
     // bare `path[]` entries are the element-type histogram of `path`;
     // `path[].child` entries are real fields (reference path grammar,
     // Analyze_scheme.ps1:203-207) and stay in the field list.
@@ -176,15 +181,14 @@ object SchemaProfiler {
         isNested = types.contains("object"),
         isArray = types.contains("array"),
         arrayElementTypes = elemHist.getOrElse(p, Map.empty),
-        samples = samples.getOrElse(p, Seq.empty))
+        samples = samples.getOrElse(p, Seq.empty),
+        maxLen = maxLens.get(p))
     }
     SchemaProfile(total, fields)
   }
 
-  /** ≤3 sample values per scalar top-level-reachable path, truncated like the
-    * reference (substring(0,47)+"...", Analyze_scheme.ps1:218-221). */
-  private def collectSampleValues(sample: DataFrame): Map[String, Seq[String]] = {
-    def scalarPaths(dt: DataType, prefix: String): Seq[(String, Column)] = dt match {
+  private def scalarPaths(dt: DataType, prefix: String): Seq[(String, Column)] =
+    dt match {
       case st: StructType => st.fields.toSeq.flatMap { f =>
         val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
         f.dataType match {
@@ -195,6 +199,24 @@ object SchemaProfiler {
       }
       case _ => Nil
     }
+
+  /** True per-path max stringified length over the sample — drives VARCHAR
+    * sizing (A4/X5) from UNtruncated values. One aggregation row. */
+  private def collectMaxLens(sample: DataFrame): Map[String, Long] = {
+    val paths = scalarPaths(sample.schema, "")
+    if (paths.isEmpty) return Map.empty
+    val aggs = paths.map { case (p, c) =>
+      max(length(c.cast("string"))).as(p)
+    }
+    val row = sample.agg(aggs.head, aggs.tail: _*).collect().head
+    paths.zipWithIndex.flatMap { case ((p, _), i) =>
+      if (row.isNullAt(i)) None else Some(p -> row.getAs[Number](i).longValue())
+    }.toMap
+  }
+
+  /** ≤3 sample values per scalar top-level-reachable path, truncated like the
+    * reference (substring(0,47)+"...", Analyze_scheme.ps1:218-221). */
+  private def collectSampleValues(sample: DataFrame): Map[String, Seq[String]] = {
     val paths = scalarPaths(sample.schema, "")
     if (paths.isEmpty) return Map.empty
     val truncated = paths.map { case (p, c) =>

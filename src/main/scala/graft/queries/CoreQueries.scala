@@ -53,7 +53,9 @@ object CoreQueries {
   private val modelCache = scala.collection.concurrent.TrieMap
     .empty[String, (DataFrame, Seq[graft.model.TableSpec])]
   private def docsAndModel(s: SparkSession, dir: String) =
-    modelCache.getOrElseUpdate(s"${System.identityHashCode(s)}@$dir", {
+    // keyed by applicationId (unique per SparkContext) — sessions sharing a
+    // context share the cached plan; a new context gets fresh entries
+    modelCache.getOrElseUpdate(s"${s.sparkContext.applicationId}@$dir", {
       val docs = Tables.orderDocs(s, dir).cache()
       val prof = SchemaProfiler.profile(docs, sampleSize = 100)
       (docs, RelationalModel.compile(prof, "odocs"))

@@ -199,7 +199,7 @@ object ScaleQueries {
     "sim_srp_bucket" -> {
       val terms = (0 until 8).map { j =>
         s"(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i -> " +
-          s"CAST(embedding[i] AS DOUBLE) * ((i - 1) * ${j + 1} % 7 - 3))) > 0 " +
+          s"CAST(embedding[i] AS DOUBLE) * ((i - 1) * ${j + 1} % 13 - 6))) > 0 " +
           s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
       }.mkString(" + ")
       s"""SELECT vec_id, $terms AS bucket FROM embeddings

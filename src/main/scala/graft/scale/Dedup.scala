@@ -88,20 +88,26 @@ object Dedup {
         else TextAnalysis.shinglesOf(col("tk"), shingleN))
       .withColumn("hashed", hashedElems(col("shingle_set")))
       .withColumn("sig", minhashFromHashes(col("hashed"), k))
-    val banded = sig.select(col("id"), col("shingle_set"),
+    val sets = sig.select(col("id"), col("shingle_set"))
+    // bands carry only (id, band, hash): the heavy shingle arrays do NOT
+    // ride through the candidate join
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         md5(concat_ws("-", transform(
           slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("shingle_set").as("set_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("shingle_set").as("set_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    // dedupe pairs BEFORE verification: a pair colliding in all bands is
+    // scored once, not once per band
+    val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shingle_set").as("set_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shingle_set").as("set_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("set_a"), col("set_b")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= jaccardThreshold)
   }
 

@@ -82,13 +82,17 @@ object Similarity {
 
   /** Sign-random-projection LSH bucket id over `planes` deterministic
     * hyperplanes derived from the embedding dimension index (no RNG — the
-    * plane weights are (dim·j mod 7) - 3, stable across engines/runs).
+    * plane weights are (dim·(j+1) mod 13) - 6, stable across engines/runs).
+    * The modulus must exceed `planes` and the per-plane multipliers must be
+    * distinct and nonzero mod it, or planes degenerate (a mod-7 family with
+    * 8 planes makes plane 6 a constant and plane 7 a copy of plane 0).
     * Used to bucket corpora when no precomputed cell label exists. */
   def srpBucket(vec: Column, planes: Int = 8): Column = {
+    require(planes < 13, "plane multipliers must stay distinct mod 13")
     val bits = (0 until planes).map { j =>
       val proj = aggregate(
         zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i =>
-          ((i * (j + 1)) % 7 - 3).cast("double")),
+          ((i * (j + 1)) % 13 - 6).cast("double")),
           (x, wgt) => x.cast("double") * wgt),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))

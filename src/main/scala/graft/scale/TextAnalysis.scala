@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   * parallel scan with zero shuffles. */
 object TextAnalysis {
 
-  /** Whitespace tokenization. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenization. Empty/whitespace-only text yields an EMPTY
+    * array — `split` alone would return `[""]`, silently giving empty
+    * documents one phantom token (and corrupting min-token quality
+    * filters). */
+  def tokens(text: Column): Column =
+    array_remove(split(trim(text), "\\s+"), "")
 
   /** BPE-ish subword split: lowercase word pieces, digits, punctuation as
     * separate tokens (regex analogue of a byte-pair pre-tokenizer). */

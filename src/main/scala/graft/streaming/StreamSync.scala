@@ -18,38 +18,55 @@ import graft.sync.{DocHash, IncrementalSync}
 object StreamSync {
 
   /** Apply one micro-batch of source documents to the target (the
-    * foreachBatch body; also directly callable for tests). */
+    * foreachBatch body; also directly callable for tests).
+    *
+    * `versionCol` orders same-id rows within a backlogged batch (newest
+    * wins). Snapshot sources SHOULD carry one (an export timestamp or
+    * sequence number); without it the tie-break falls back to the hash —
+    * deterministic but with NO temporal meaning, so a backlogged batch can
+    * apply an older version. Prefer feeding one snapshot per batch or
+    * providing `versionCol`. */
   def applyBatch(spark: SparkSession, batch: DataFrame, targetPath: String,
-      statePath: String): graft.sync.SyncResult = {
+      statePath: String, versionCol: Option[String] = None): graft.sync.SyncResult = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number}
-    // a micro-batch may contain several snapshot versions of one id (e.g.
-    // backlogged files); keep one deterministically (max hash) per id
-    val w = Window.partitionBy("_id").orderBy(col("doc_hash").desc)
+    val order = versionCol match {
+      case Some(v) => Seq(col(v).desc, col("doc_hash").desc)
+      case None => Seq(col("doc_hash").desc)
+    }
+    val w = Window.partitionBy("_id").orderBy(order: _*)
     val current = DocHash.withDocHash(batch)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val state = StateStore.load(spark, statePath)
-    val classified = IncrementalSync.classify(current, state)
-    val result = IncrementalSync.metrics(
-      classified.filter(org.apache.spark.sql.functions.col("change_type") =!=
-        IncrementalSync.ChangeDeleted)) // absent-from-batch ≠ deleted in a stream
-    val upserts = classified
-      .filter(org.apache.spark.sql.functions.col("change_type")
-        .isin(IncrementalSync.ChangeNew, IncrementalSync.ChangeUpdated))
-      .select(batch.columns.map(org.apache.spark.sql.functions.col): _*)
-    val fs = new org.apache.hadoop.fs.Path(targetPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target =
-      if (fs.exists(new org.apache.hadoop.fs.Path(targetPath)))
-        spark.read.parquet(targetPath)
-      else batch.limit(0)
-    Sinks.atomicOverwrite(spark, Sinks.upsert(target, upserts, "_id"), targetPath)
-    // carry previous hashes forward for ids not present in this batch
-    val next = IncrementalSync.nextState(classified)
-      .unionByName(state.join(current.select("_id"), Seq("_id"), "left_anti"))
-    StateStore.save(spark, next, statePath)
-    result
+    // cached: the dedup window + classify join feed metrics, the upsert
+    // write, AND the state write — without this the pipeline runs 3x/batch
+    val classified = IncrementalSync.classify(current, state).cache()
+    try {
+      val result = IncrementalSync.metrics(
+        classified.filter(col("change_type") =!=
+          IncrementalSync.ChangeDeleted)) // absent-from-batch ≠ deleted in a stream
+      val upserts = classified
+        .filter(col("change_type")
+          .isin(IncrementalSync.ChangeNew, IncrementalSync.ChangeUpdated))
+        .select(batch.columns.map(col): _*)
+      val fs = new org.apache.hadoop.fs.Path(targetPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val target =
+        if (fs.exists(new org.apache.hadoop.fs.Path(targetPath)))
+          spark.read.parquet(targetPath)
+        else batch.limit(0)
+      Sinks.atomicOverwrite(spark, Sinks.upsert(target, upserts, "_id"), targetPath)
+      // carry previous hashes forward for ids not present in this batch
+      // (anti-join against CURRENT ids — classified also holds state-only rows)
+      val currentIds = classified
+        .filter(col("change_type") =!= IncrementalSync.ChangeDeleted)
+        .select("_id")
+      val next = IncrementalSync.nextState(classified)
+        .unionByName(state.join(currentIds, Seq("_id"), "left_anti"))
+      StateStore.save(spark, next, statePath)
+      result
+    } finally classified.unpersist()
   }
 
   /** Run the stream until drained (AvailableNow). `sourceDir` is a directory

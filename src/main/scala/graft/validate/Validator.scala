@@ -81,10 +81,14 @@ object Validator {
     val mismatches = rowCompare(sample, target, key, fields)
       .select(col("_id")).distinct()
     val failed = mismatches.agg(count(lit(1)).as("samples_failed"))
+    // actual sampled rows, not the requested sampleSize — a source smaller
+    // than the sample must not report phantom passing samples
+    val total = sample.agg(count(lit(1)).as("samples_total"))
     val issues = integrity(target, key)
       .agg(sum(col("issue_count")).as("integrity_issues"))
-    counts.crossJoin(failed).crossJoin(issues)
-      .withColumn("samples_passed", lit(sampleSize.toLong) - col("samples_failed"))
+    counts.crossJoin(failed).crossJoin(total).crossJoin(issues)
+      .withColumn("samples_passed", col("samples_total") - col("samples_failed"))
+      .drop("samples_total")
       .withColumn("status",
         when(col("counts_match") && col("samples_failed") === 0 &&
           col("integrity_issues") === 0, "PASSED")

@@ -88,6 +88,16 @@ class ModelDecomposeSpec extends SparkSpec {
     assert(addr == Seq(("5", "Utrecht", 3L)))
   }
 
+  test("Q4 fixed: VARCHAR sizing measures TRUE lengths, not truncated samples") {
+    val long = "x" * 300
+    val docs = Seq(("1", long), ("2", "short")).toDF("_id", "bio")
+    val model = RelationalModel.compile(SchemaProfiler.collectProfile(docs), "t")
+    val bio = model.head.columns.find(_.name == "bio").get
+    assert(bio.maxLen.contains(300L))
+    assert(bio.sqlType(Dialect.MySQL) == "TEXT")
+    assert(bio.sqlType(Dialect.SQLServer) == "VARCHAR(MAX)")
+  }
+
   test("deep nesting: a.b objects and nested arrays get their own child tables") {
     val docs = Seq(("1", (("NL", 10L), Seq(1L, 2L))))
       .toDF("_id", "geo")

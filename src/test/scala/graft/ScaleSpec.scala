@@ -111,6 +111,12 @@ class ScaleSpec extends SparkSpec {
     assert(fp1 == fp2) // case + whitespace normalized
   }
 
+  test("tokens: empty and whitespace-only text yield EMPTY arrays") {
+    val df = Seq("", "   ", "a b").toDF("t")
+    val n = df.select(size(TextAnalysis.tokens($"t")).as("n")).as[Int].collect()
+    assert(n.toSeq == Seq(0, 0, 2))
+  }
+
   test("shingles: 3-gram count and degenerate short input") {
     val df = Seq("a b c d", "a b").toDF("t")
     val s = df.select(TextAnalysis.shingles($"t", 3).as("s")).as[Seq[String]].collect()

@@ -80,4 +80,14 @@ class ValidatorSpec extends SparkSpec {
     val rep = Validator.statusReport(df, df, "_id", Seq("name")).head()
     assert(rep.getAs[String]("status") == "PASSED")
   }
+
+  test("V4: source smaller than sampleSize reports no phantom passes") {
+    // 3 rows, all mismatching, sampleSize 10 — must be FAILED, not PARTIAL
+    val src = Seq(("1", "a"), ("2", "b"), ("3", "c")).toDF("_id", "name")
+    val tgt = Seq(("1", "X"), ("2", "Y"), ("3", "Z")).toDF("_id", "name")
+    val rep = Validator.statusReport(src, tgt, "_id", Seq("name"), 10).head()
+    assert(rep.getAs[Long]("samples_failed") == 3)
+    assert(rep.getAs[Long]("samples_passed") == 0)
+    assert(rep.getAs[String]("status") == "FAILED")
+  }
 }
