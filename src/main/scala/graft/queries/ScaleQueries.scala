@@ -65,6 +65,13 @@ object ScaleQueries {
         k = 16, bands = 4, jaccardThreshold = 0.9)
         .orderBy("id_a", "id_b")),
 
+    // Duplicate-group clustering: connected components over the LSH pairs
+    "dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashCandidates(docsWithDups(s, d), "doc_id", "text",
+          k = 16, bands = 4, jaccardThreshold = 0.9))
+        .orderBy("id")),
+
     // SimHash (16-bit, MD5-nibble majority votes; per-token MD5 computed once)
     "dedup_simhash" -> ((s, d) =>
       docs(s, d)
@@ -168,6 +175,37 @@ object ScaleQueries {
       "THEN len(tk) - 2 ELSE 0 END + 1), i -> " +
       "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
 
+  /** Shared CTE chain producing the LSH candidate `pairs` (id_a, id_b,
+    * jaccard ≥ 0.9) over documents ∪ shifted-dup copy — mirrors
+    * [[Dedup.minhashCandidates]] with k=16, bands=4, 3-word shingles. */
+  private lazy val minhashPairsCtes: String = {
+    def bandHash(b: Int): String = {
+      val parts = (b * 4 until b * 4 + 4).map(i => s"CAST(s$i AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"md5($parts)"
+    }
+    val sigCols = (0 until 16).map(i =>
+      s"${duckMinhash(i, "tk")} AS s$i").mkString(", ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT id, tk, $b AS band, ${bandHash(b)} AS bh FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH u AS (SELECT doc_id AS id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+       |t0 AS (SELECT id, $duckToksAll AS tk FROM u),
+       |tok AS (SELECT id, $duckShingles3 AS tk FROM t0),
+       |sig AS (SELECT id, tk, $sigCols FROM tok),
+       |band AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
+       |    AND a.id < b.id),
+       |scored AS (SELECT id_a, id_b,
+       |  CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(ta.tk, tb.tk))) AS jaccard
+       |  FROM cand JOIN tok ta ON cand.id_a = ta.id
+       |            JOIN tok tb ON cand.id_b = tb.id),
+       |pairs AS (SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.9)""".stripMargin
+  }
+
   /** Elementwise double dot product mirroring Similarity.dot. */
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> " +
@@ -221,34 +259,21 @@ object ScaleQueries {
          |SELECT doc_id, $sigExprs AS sig FROM tok ORDER BY doc_id""".stripMargin
     },
 
-    "dedup_minhash_pairs" -> {
-      def bandHash(b: Int): String = {
-        val parts = (b * 4 until b * 4 + 4).map(i => s"CAST(s$i AS VARCHAR)")
-          .mkString(" || '-' || ")
-        s"md5($parts)"
-      }
-      val sigCols = (0 until 16).map(i =>
-        s"${duckMinhash(i, "tk")} AS s$i").mkString(", ")
-      val bandSelects = (0 until 4).map(b =>
-        s"SELECT id, tk, $b AS band, ${bandHash(b)} AS bh FROM sig")
-        .mkString(" UNION ALL ")
-      s"""WITH u AS (SELECT doc_id AS id, text FROM documents
-         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
-         |t0 AS (SELECT id, $duckToksAll AS tk FROM u),
-         |tok AS (SELECT id, $duckShingles3 AS tk FROM t0),
-         |sig AS (SELECT id, tk, $sigCols FROM tok),
-         |band AS ($bandSelects),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
-         |    AND a.id < b.id),
-         |scored AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) /
-         |    len(list_distinct(list_concat(ta.tk, tb.tk))) AS jaccard
-         |  FROM cand JOIN tok ta ON cand.id_a = ta.id
-         |            JOIN tok tb ON cand.id_b = tb.id)
-         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.9
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "dedup_minhash_pairs" ->
+      (minhashPairsCtes +
+        "\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"),
+
+    "dedup_components" ->
+      (s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs),
+          |nodes AS (SELECT DISTINCT src AS id FROM edges),
+          |walk AS (
+          |  SELECT id, id AS comp FROM nodes
+          |  UNION
+          |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON w.id = e.src)
+          |SELECT id, min(comp) AS component FROM walk GROUP BY id
+          |ORDER BY id""".stripMargin),
 
     "dedup_simhash" -> {
       val terms = (0 until 16).map(duckSimhashTerm).mkString(" + ")

@@ -155,6 +155,43 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Duplicate-group clustering: connected components over a near-dup pair
+    * list via iterative min-label propagation (the alternating-join pattern
+    * of large-scale CC, cf. Hash-to-Min / GraphX); each iteration is one
+    * distributed join + aggregate, so the loop is driver-controlled but the
+    * data never leaves executors. Converges in O(log n) iterations for the
+    * path-shaped worst case; near-dup clusters are shallow in practice.
+    * Returns (id, component) with component = min id of the cluster;
+    * singletons map to themselves. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().cache()
+    try {
+      var labels = edges.select(col("src").as("id"))
+        .distinct().withColumn("component", col("id"))
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        // each node adopts the min component among itself and its neighbors
+        val viaEdges = edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("component"))
+        val next = labels.unionByName(viaEdges)
+          .groupBy("id").agg(min("component").as("component"))
+          .cache()
+        val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
+          .filter(col("component") =!= col("prev")).limit(1).isEmpty
+        labels.unpersist()
+        labels = next
+        converged = changed
+        iter += 1
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
   /** Embedding-cosine near-duplicate pairs, bucketed by a coarse key (e.g.
     * a cluster/IVF label) so the pair join is per-bucket, not global. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,

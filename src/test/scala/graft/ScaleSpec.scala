@@ -51,6 +51,13 @@ class ScaleSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) <= ham(sh(1L), sh(3L)))
   }
 
+  test("connected components: chains collapse to min-label clusters") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("jaccard: exact bounds") {
     val df = Seq((Seq("a", "b"), Seq("b", "c")), (Seq("a"), Seq("a")))
       .toDF("x", "y")
