@@ -25,6 +25,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("watermark: aggregate state finalizes and late rows are dropped in append mode") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
+    def ev(id: Long, ts: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), 1L, "view", v, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // batch 1: window [00:00) data + an 03:10 event pushing the watermark
+    // (10 min) past 01:00, finalizing the 00:00 window
+    Seq(ev(1, "2024-01-01 00:05:00", 1.0), ev(2, "2024-01-01 00:20:00", 2.0),
+      ev(3, "2024-01-01 03:10:00", 9.0))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$dir/ev")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$dir/ev").schema).parquet(s"$dir/ev")
+      val q = graft.streaming.EventStream.windowedAgg(
+        graft.streaming.EventStream.withWatermark(stream))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/cp")
+        .format("parquet").option("path", s"$dir/out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // batch 2: a LATE event for the already-finalized 00:00 window
+    Seq(ev(4, "2024-01-01 00:40:00", 100.0))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$dir/ev")
+    runOnce()
+    val out = spark.read.parquet(s"$dir/out")
+      .select("window_start", "cnt", "sum_value")
+      .as[(String, Long, Double)].collect()
+      .map { case (w, c, s) => w -> ((c, s)) }.toMap
+    // the 00:00 window was emitted once with the on-time rows only; the late
+    // row neither reopened it nor produced a duplicate
+    assert(out("2024-01-01 00:00:00") == (2L, 3.0))
+  }
+
   test("sessionize: gap splits sessions, ids are contiguous per user") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0),
