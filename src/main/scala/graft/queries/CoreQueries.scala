@@ -53,9 +53,11 @@ object CoreQueries {
   private val modelCache = scala.collection.concurrent.TrieMap
     .empty[String, (DataFrame, Seq[graft.model.TableSpec])]
   private def docsAndModel(s: SparkSession, dir: String) =
-    // keyed by applicationId (unique per SparkContext) — sessions sharing a
-    // context share the cached plan; a new context gets fresh entries
-    modelCache.getOrElseUpdate(s"${s.sparkContext.applicationId}@$dir", {
+    // keyed per (context, session): the appId scopes the cache to a live
+    // SparkContext, the session identity keeps per-session SQL conf from
+    // leaking a plan built under different semantics
+    modelCache.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}:${System.identityHashCode(s)}@$dir", {
       val docs = Tables.orderDocs(s, dir).cache()
       val prof = SchemaProfiler.profile(docs, sampleSize = 100)
       (docs, RelationalModel.compile(prof, "odocs"))

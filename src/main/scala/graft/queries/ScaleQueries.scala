@@ -151,10 +151,12 @@ object ScaleQueries {
   )
 
   // --- DuckDB mirrors of the MD5-derived hash family --------------------
+  // the list_filter mirrors Spark tokens()' phantom-empty-token guard —
+  // string_split_regex('', ...) yields [''] where split+array_remove yields []
   private val duckToks =
-    "list_distinct(string_split_regex(trim(lower(text)), '\\s+'))"
+    "list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != ''))"
   private val duckToksAll =
-    "string_split_regex(trim(lower(text)), '\\s+')"
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
 
   /** minhash_i as DuckDB SQL over a token-list expression. */
   private def duckMinhash(i: Int, toks: String): String = {
@@ -246,10 +248,11 @@ object ScaleQueries {
 
     "tx_token_count" ->
       """SELECT doc_id,
-        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |CAST(len(string_split_regex(trim(regexp_replace(lower(text),
-        |  '([a-z]+|[0-9]+|[^a-z0-9\s])', ' \1 ', 'g')), '\s+')) AS BIGINT)
-        |  AS n_subword_tokens
+        |CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |  t -> t != '')) AS BIGINT) AS n_tokens,
+        |CAST(len(list_filter(string_split_regex(trim(regexp_replace(lower(text),
+        |  '([a-z]+|[0-9]+|[^a-z0-9\s])', ' \1 ', 'g')), '\s+'),
+        |  t -> t != '')) AS BIGINT) AS n_subword_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_sig" -> {
@@ -325,7 +328,7 @@ object ScaleQueries {
 
     "tx_quality_features" ->
       """WITH f AS (SELECT doc_id, text,
-        |  string_split_regex(trim(text), '\s+') AS tk,
+        |  list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS tk,
         |  CAST(length(text) AS BIGINT) AS nc FROM documents),
         |g AS (SELECT doc_id, nc,
         |  CAST(len(tk) AS BIGINT) AS n_tokens,
@@ -360,7 +363,7 @@ object ScaleQueries {
         s"WHEN s_$lang = $mx AND $mx > 0 THEN '$lang'"
       }.mkString(" ")
       s"""WITH tok AS (SELECT doc_id, lang,
-         |  string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS tk FROM documents),
          |sc AS (SELECT doc_id, lang, $scoreDefs FROM tok)
          |SELECT doc_id, lang, CASE $cases ELSE 'und' END AS predicted_lang
          |FROM sc ORDER BY doc_id""".stripMargin

@@ -156,15 +156,17 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** Duplicate-group clustering: connected components over a near-dup pair
-    * list via iterative min-label propagation (the alternating-join pattern
-    * of large-scale CC, cf. Hash-to-Min / GraphX); each iteration is one
+    * list via iterative min-label propagation; each iteration is one
     * distributed join + aggregate, so the loop is driver-controlled but the
-    * data never leaves executors. Converges in O(log n) iterations for the
-    * path-shaped worst case; near-dup clusters are shallow in practice.
-    * Returns (id, component) with component = min id of the cluster;
-    * singletons map to themselves. */
+    * data never leaves executors. One-hop propagation needs O(component
+    * diameter) iterations — near-dup clusters are shallow in practice, and
+    * the loop THROWS rather than return unconverged (wrong) labels when
+    * `maxIter` is hit. Returns (id, component) with component = min id of
+    * the cluster; singletons map to themselves. The result is eagerly
+    * local-checkpointed (lineage severed), so callers get materialized
+    * labels whose storage the context cleaner reclaims on GC. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 10): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().cache()
@@ -181,14 +183,19 @@ object Dedup {
         val next = labels.unionByName(viaEdges)
           .groupBy("id").agg(min("component").as("component"))
           .cache()
-        val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        converged = next
+          .join(labels.withColumnRenamed("component", "prev"), "id")
           .filter(col("component") =!= col("prev")).limit(1).isEmpty
         labels.unpersist()
         labels = next
-        converged = changed
         iter += 1
       }
-      labels
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(component diameter exceeds maxIter)")
+      val result = labels.localCheckpoint(true)
+      labels.unpersist()
+      result
     } finally edges.unpersist()
   }
 

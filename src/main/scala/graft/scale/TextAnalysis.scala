@@ -20,9 +20,10 @@ object TextAnalysis {
   /** BPE-ish subword split: lowercase word pieces, digits, punctuation as
     * separate tokens (regex analogue of a byte-pair pre-tokenizer). */
   def subwordTokens(text: Column): Column =
-    // space-delimit every word / digit-run / punctuation token, then split
-    split(trim(regexp_replace(lower(text),
-      "([a-z]+|[0-9]+|[^a-z0-9\\s])", " $1 ")), "\\s+")
+    // space-delimit every word / digit-run / punctuation token, then split;
+    // empty text yields an empty array (same phantom-token guard as tokens)
+    array_remove(split(trim(regexp_replace(lower(text),
+      "([a-z]+|[0-9]+|[^a-z0-9\\s])", " $1 ")), "\\s+"), "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

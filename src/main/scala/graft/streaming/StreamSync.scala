@@ -35,7 +35,9 @@ object StreamSync {
       case None => Seq(col("doc_hash").desc)
     }
     val w = Window.partitionBy("_id").orderBy(order: _*)
-    val current = DocHash.withDocHash(batch)
+    // the version column orders rows but is NOT part of the content hash —
+    // a fresh export stamp must not mark unchanged docs as updated
+    val current = DocHash.withDocHash(batch, exclude = versionCol.toSet)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val state = StateStore.load(spark, statePath)

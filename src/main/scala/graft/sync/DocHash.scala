@@ -28,15 +28,22 @@ object DocHash {
   def docHash(flatCols: Seq[String]): Column =
     upper(md5(canonicalJson(flatCols)))
 
-  /** Convenience: append the hash column to `df` over its flat scalar
-    * columns (excluding any previous hash column). */
-  def withDocHash(df: DataFrame, hashCol: String = "doc_hash"): DataFrame = {
-    val flat = df.schema.fields.collect {
-      case f if f.name != hashCol &&
-        !f.dataType.typeName.startsWith("array") &&
+  /** The flat scalar columns of `df` — the reference's hash domain (Q5). */
+  def flatColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if !f.dataType.typeName.startsWith("array") &&
         !f.dataType.typeName.startsWith("struct") &&
         !f.dataType.typeName.startsWith("map") => f.name
     }.toSeq
+
+  /** Convenience: append the hash column to `df` over its flat scalar
+    * columns. `exclude` removes non-content columns (the previous hash,
+    * export timestamps/sequence numbers) from the canon — a version column
+    * hashed into the document would mark every doc updated on every
+    * snapshot. */
+  def withDocHash(df: DataFrame, hashCol: String = "doc_hash",
+      exclude: Set[String] = Set.empty): DataFrame = {
+    val flat = flatColumns(df).filterNot(c => c == hashCol || exclude(c))
     df.withColumn(hashCol, docHash(flat))
   }
 
