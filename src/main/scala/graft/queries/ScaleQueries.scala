@@ -147,7 +147,13 @@ object ScaleQueries {
       Multimodal.decodePayloads(
         Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"))
         .select("id", "width", "height")
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // The composed curation pipeline: quality gate → lang id → exact dedup →
+    // LSH fuzzy dedup w/ component representatives → per-language stats
+    "pipeline_curation" -> ((s, d) =>
+      graft.scale.CurationPipeline.stats(
+        graft.scale.CurationPipeline.curate(docsWithDups(s, d), "doc_id", "text")))
   )
 
   // --- DuckDB mirrors of the MD5-derived hash family --------------------
@@ -180,7 +186,13 @@ object ScaleQueries {
   /** Shared CTE chain producing the LSH candidate `pairs` (id_a, id_b,
     * jaccard ≥ 0.9) over documents ∪ shifted-dup copy — mirrors
     * [[Dedup.minhashCandidates]] with k=16, bands=4, 3-word shingles. */
-  private lazy val minhashPairsCtes: String = {
+  private lazy val minhashPairsCtes: String = minhashPairsCtesOver(
+    """u AS (SELECT doc_id AS id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000, text FROM documents)""".stripMargin)
+
+  /** Same CTE chain over an arbitrary corpus: `corpusCtes` is a CTE-list
+    * fragment whose last CTE is `u(id, text)`. */
+  private def minhashPairsCtesOver(corpusCtes: String): String = {
     def bandHash(b: Int): String = {
       val parts = (b * 4 until b * 4 + 4).map(i => s"CAST(s$i AS VARCHAR)")
         .mkString(" || '-' || ")
@@ -191,8 +203,7 @@ object ScaleQueries {
     val bandSelects = (0 until 4).map(b =>
       s"SELECT id, tk, $b AS band, ${bandHash(b)} AS bh FROM sig")
       .mkString(" UNION ALL ")
-    s"""WITH u AS (SELECT doc_id AS id, text FROM documents
-       |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+    s"""WITH $corpusCtes,
        |t0 AS (SELECT id, $duckToksAll AS tk FROM u),
        |tok AS (SELECT id, $duckShingles3 AS tk FROM t0),
        |sig AS (SELECT id, tk, $sigCols FROM tok),
@@ -386,6 +397,53 @@ object ScaleQueries {
         |  FROM documents)
         |SELECT id, CAST(n % 640 + 1 AS INT) AS width,
         |  CAST(bsum % 480 + 1 AS INT) AS height
-        |FROM b ORDER BY id""".stripMargin
+        |FROM b ORDER BY id""".stripMargin,
+
+    "pipeline_curation" -> {
+      val markers = graft.scale.TextAnalysis.langMarkers
+      val scoreDefs = markers.map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(",")
+        s"CAST(len(list_filter(lowtk, w -> w IN ($inList))) AS BIGINT) AS s_$lang"
+      }.mkString(", ")
+      val mx = "greatest(" + markers.map(m => s"s_${m._1}").mkString(", ") + ")"
+      val cases = markers.map { case (lang, _) =>
+        s"WHEN s_$lang = $mx AND $mx > 0 THEN '$lang'"
+      }.mkString(" ")
+      val corpus =
+        s"""u0 AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+           |feat AS (SELECT doc_id, text,
+           |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |    t -> t != '')) AS BIGINT) AS n_tokens,
+           |  CAST(length(text) AS BIGINT) AS nc,
+           |  CAST(length(text) -
+           |    length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS na,
+           |  list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+           |    t -> t != '') AS lowtk
+           |  FROM u0),
+           |sc AS (SELECT doc_id, text, n_tokens, nc, na, $scoreDefs FROM feat),
+           |qf AS (SELECT doc_id, text, CASE $cases ELSE 'und' END AS predicted_lang
+           |  FROM sc WHERE n_tokens >= 10
+           |    AND (CASE WHEN nc > 0 THEN CAST(na AS DOUBLE) / nc
+           |         ELSE 0.0 END) >= 0.5),
+           |ex AS (SELECT doc_id, text, predicted_lang FROM (
+           |  SELECT qf.*, row_number() OVER (
+           |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           |    ORDER BY doc_id) AS rn FROM qf) WHERE rn = 1),
+           |u AS (SELECT doc_id AS id, text FROM ex)""".stripMargin
+      s"""WITH RECURSIVE ${minhashPairsCtesOver(corpus).stripPrefix("WITH ")},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |walk AS (
+         |  SELECT id, id AS comp FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON w.id = e.src),
+         |compx AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+         |dup AS (SELECT id FROM compx WHERE id != component)
+         |SELECT predicted_lang, count(*) AS n_docs FROM ex
+         |WHERE doc_id NOT IN (SELECT id FROM dup)
+         |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin
+    }
   )
 }

@@ -51,6 +51,22 @@ class ScaleSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) <= ham(sh(1L), sh(3L)))
   }
 
+  test("curation pipeline: quality gate, exact dup, and near-dup all filter") {
+    import graft.scale.CurationPipeline
+    val long = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, long),
+      (2L, long),            // exact dup of 1 → dropped
+      (3L, "too short"),     // quality-gated (< 10 tokens)
+      (4L, long + " extra")  // near-dup of 1 (shingle jaccard ≥ 0.9) → clustered out
+    ).toDF("doc_id", "text")
+    val out = CurationPipeline.curate(corpus, "doc_id", "text",
+      CurationPipeline.Config(jaccardThreshold = 0.85))
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    val st = CurationPipeline.stats(out).as[(String, Long)].collect().toSeq
+    assert(st == Seq(("en", 1L)))
+  }
+
   test("connected components: chains collapse to min-label clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs)
