@@ -164,6 +164,21 @@ object ScaleQueries {
   private val duckToksAll =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
 
+  /** Per-language marker-score column defs and the election CASE, over a
+    * token-list SQL alias — shared by the lang-id and pipeline oracles. */
+  private def duckLangScore(tkAlias: String): (String, String) = {
+    val markers = graft.scale.TextAnalysis.langMarkers
+    val scoreDefs = markers.map { case (lang, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString(",")
+      s"CAST(len(list_filter($tkAlias, w -> w IN ($inList))) AS BIGINT) AS s_$lang"
+    }.mkString(", ")
+    val mx = "greatest(" + markers.map(m => s"s_${m._1}").mkString(", ") + ")"
+    val cases = markers.map { case (lang, _) =>
+      s"WHEN s_$lang = $mx AND $mx > 0 THEN '$lang'"
+    }.mkString(" ")
+    (scoreDefs, s"CASE $cases ELSE 'und' END")
+  }
+
   /** minhash_i as DuckDB SQL over a token-list expression. */
   private def duckMinhash(i: Int, toks: String): String = {
     val a = 2L * i + 1
@@ -364,19 +379,11 @@ object ScaleQueries {
         |FROM g ORDER BY doc_id""".stripMargin,
 
     "tx_lang_id" -> {
-      val markers = graft.scale.TextAnalysis.langMarkers
-      val scoreDefs = markers.map { case (lang, ms) =>
-        val inList = ms.map(m => s"'$m'").mkString(",")
-        s"CAST(len(list_filter(tk, w -> w IN ($inList))) AS BIGINT) AS s_$lang"
-      }.mkString(", ")
-      val mx = "greatest(" + markers.map(m => s"s_${m._1}").mkString(", ") + ")"
-      val cases = markers.map { case (lang, _) =>
-        s"WHEN s_$lang = $mx AND $mx > 0 THEN '$lang'"
-      }.mkString(" ")
+      val (scoreDefs, langCase) = duckLangScore("tk")
       s"""WITH tok AS (SELECT doc_id, lang,
          |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS tk FROM documents),
          |sc AS (SELECT doc_id, lang, $scoreDefs FROM tok)
-         |SELECT doc_id, lang, CASE $cases ELSE 'und' END AS predicted_lang
+         |SELECT doc_id, lang, $langCase AS predicted_lang
          |FROM sc ORDER BY doc_id""".stripMargin
     },
 
@@ -400,15 +407,7 @@ object ScaleQueries {
         |FROM b ORDER BY id""".stripMargin,
 
     "pipeline_curation" -> {
-      val markers = graft.scale.TextAnalysis.langMarkers
-      val scoreDefs = markers.map { case (lang, ms) =>
-        val inList = ms.map(m => s"'$m'").mkString(",")
-        s"CAST(len(list_filter(lowtk, w -> w IN ($inList))) AS BIGINT) AS s_$lang"
-      }.mkString(", ")
-      val mx = "greatest(" + markers.map(m => s"s_${m._1}").mkString(", ") + ")"
-      val cases = markers.map { case (lang, _) =>
-        s"WHEN s_$lang = $mx AND $mx > 0 THEN '$lang'"
-      }.mkString(" ")
+      val (scoreDefs, langCase) = duckLangScore("lowtk")
       val corpus =
         s"""u0 AS (SELECT doc_id, text FROM documents
            |  UNION ALL SELECT doc_id + 10000, text FROM documents),
@@ -422,7 +421,7 @@ object ScaleQueries {
            |    t -> t != '') AS lowtk
            |  FROM u0),
            |sc AS (SELECT doc_id, text, n_tokens, nc, na, $scoreDefs FROM feat),
-           |qf AS (SELECT doc_id, text, CASE $cases ELSE 'und' END AS predicted_lang
+           |qf AS (SELECT doc_id, text, $langCase AS predicted_lang
            |  FROM sc WHERE n_tokens >= 10
            |    AND (CASE WHEN nc > 0 THEN CAST(na AS DOUBLE) / nc
            |         ELSE 0.0 END) >= 0.5),
