@@ -241,6 +241,19 @@ object CoreQueries {
         .orderBy("table_name", "column_name")
     }),
 
+    // §4.3 Q1/Q2 legacy mode: the reference's literal classification —
+    // dotted children duplicated into the main table, every column NOT NULL
+    "d_legacy_model" -> ((s, d) => {
+      import s.implicits._
+      val docs = docsAndModel(s, d)._1
+      val prof = SchemaProfiler.profile(docs, sampleSize = 100)
+      val legacy = RelationalModel.compile(prof, "odocs",
+        graft.model.QuirkFlags(q1LegacyFlatten = true, q2NotNullAll = true))
+      legacy.head.columns.map(c => (c.name, c.nullable))
+        .toDF("column_name", "nullable")
+        .orderBy("column_name")
+    }),
+
     // D7/X10/X11: per-dialect DDL rendering (whitespace-flattened)
     "d7_ddl_dialects" -> ((s, d) => {
       import s.implicits._
@@ -623,6 +636,13 @@ object CoreQueries {
         |ORDER BY odocs__id, array_index""".stripMargin,
 
     "d2_schema_columns" -> schemaColumnsOracle,
+
+    "d_legacy_model" ->
+      """SELECT column_name, CAST(false AS BOOLEAN) AS nullable FROM (VALUES
+        |('_id'),('customer.c_acctbal'),('customer.c_mktsegment'),
+        |('customer.c_name'),('o_custkey'),('o_orderdate'),
+        |('o_orderpriority'),('o_orderstatus'),('o_totalprice'))
+        |AS t(column_name) ORDER BY column_name""".stripMargin,
 
     "d7_ddl_dialects" -> ddlOracle,
 
