@@ -8,6 +8,25 @@ import graft.streaming.StreamSync
 class StreamSyncSpec extends SparkSpec {
   import spark.implicits._
 
+  test("versionCol: newest version wins in-batch and is excluded from the hash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vc").toString
+    val target = s"$dir/t.parquet"
+    val state = s"$dir/state.parquet"
+    // one batch holding two snapshot versions of doc 1 → v=2 wins
+    val b1 = Seq(("1", "old", 1L), ("1", "new", 2L), ("2", "b", 1L))
+      .toDF("_id", "name", "version")
+    val r1 = StreamSync.applyBatch(spark, b1, target, state, Some("version"))
+    assert(r1.newDocs == 2)
+    val rows = spark.read.parquet(target).orderBy("_id")
+      .select("_id", "name").as[(String, String)].collect().toSeq
+    assert(rows == Seq(("1", "new"), ("2", "b")))
+    // same content, bumped export version → must be UNCHANGED, not updated
+    // (the version column is not part of the content hash)
+    val b2 = Seq(("1", "new", 3L), ("2", "b", 3L)).toDF("_id", "name", "version")
+    val r2 = StreamSync.applyBatch(spark, b2, target, state, Some("version"))
+    assert(r2.updated == 0 && r2.unchanged == 2 && r2.newDocs == 0)
+  }
+
   test("streamed snapshots merge into the target; state carries forward") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ss").toString
     val src = s"$dir/src"
