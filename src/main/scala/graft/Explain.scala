@@ -19,7 +19,8 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
         "j1_sync_classify", "d4_array_object_table", "dedup_exact",
-        "ann_bruteforce_topk", "s7_point_lookup")
+        "dedup_minhash_pairs", "ann_bruteforce_topk", "ann_ivf_topk",
+        "s7_point_lookup", "st_sessionize", "p2_profile_docs")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
