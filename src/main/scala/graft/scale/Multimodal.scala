@@ -76,13 +76,20 @@ object Multimodal {
     (w, h, feats)
   }
 
-  /** Frame-sample stand-in: take every `stride`-th byte as a "frame key"
-    * array — demonstrates array-typed extraction from binary without a
-    * codec; built-ins only. */
-  def frameSample(mm: DataFrame, stride: Int): DataFrame =
+  /** Frame-sample stand-in: take every `stride`-th byte of the payload as a
+    * "frame key" array (substring on binary + hex decode — byte-safe for
+    * arbitrary blobs) — demonstrates array-typed extraction from binary
+    * without a codec; built-ins only. */
+  def frameSample(mm: DataFrame, stride: Int): DataFrame = {
+    // integral frame count — `/` on columns is double division, which
+    // sequence() rejects
+    val nFrames = greatest(
+      (octet_length(col("payload")) / stride).cast("int"), lit(1))
     mm.select(col("id"),
       transform(
-        sequence(lit(1), greatest((octet_length(col("payload")) / stride), lit(1))),
-        i => getbit(col("payload"), (i - 1) * lit(stride.toLong * 8)).cast("int"))
-        .as("frame_bits"))
+        sequence(lit(1), nFrames),
+        i => conv(hex(substring(col("payload"), (i - 1) * stride + 1, lit(1))), 16, 10)
+          .cast("int"))
+        .as("frame_bytes"))
+  }
 }

@@ -147,6 +147,20 @@ class ScaleSpec extends SparkSpec {
     assert(s(1).isEmpty)
   }
 
+  test("hamming distance over simhash values") {
+    val df = Seq((0L, 0L), (0L, 7L), (255L, 0L)).toDF("a", "b")
+    val h = df.select(Dedup.hammingDistance($"a", $"b")).as[Int].collect().toSeq
+    assert(h == Seq(0, 3, 8))
+  }
+
+  test("multimodal: frame sampling takes every stride-th byte") {
+    val df = Seq((1L, "hello world!", "s")).toDF("doc_id", "text", "source")
+    val mm = Multimodal.asMultimodal(df, "doc_id", "text", "source")
+    val frames = Multimodal.frameSample(mm, 4)
+      .select($"frame_bytes").as[Seq[Int]].head()
+    assert(frames == Seq('h'.toInt, 'o'.toInt, 'r'.toInt)) // bytes 1, 5, 9
+  }
+
   test("multimodal: payload features and stub decode are deterministic") {
     val df = Seq((1L, "hello", "src")).toDF("doc_id", "text", "source")
     val mm = Multimodal.asMultimodal(df, "doc_id", "text", "source")
