@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.scale.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.scale.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data-pipeline queries: dedup (exact / MinHash-LSH / SimHash /
   * n-gram Jaccard / embedding cosine), ANN similarity search, text analysis,
@@ -153,7 +153,59 @@ object ScaleQueries {
     // LSH fuzzy dedup w/ component representatives → per-language stats
     "pipeline_curation" -> ((s, d) =>
       graft.scale.CurationPipeline.stats(
-        graft.scale.CurationPipeline.curate(docsWithDups(s, d), "doc_id", "text")))
+        graft.scale.CurationPipeline.curate(docsWithDups(s, d), "doc_id", "text"))),
+
+    // Repetition signals (Gopher-style): duplicate/top n-gram fractions +
+    // max consecutive-token run — all per-row expressions, zero shuffles
+    "tx_repetition" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
+        .select(col("doc_id"),
+          TextAnalysis.dupNgramFraction(col("tk"), 2).as("dup_2gram_frac"),
+          TextAnalysis.dupNgramFraction(col("tk"), 3).as("dup_3gram_frac"),
+          TextAnalysis.topNgramFraction(col("tk"), 2).as("top_2gram_frac"),
+          TextAnalysis.maxTokenRun(col("tk")).cast("long").as("max_token_run"))
+        .orderBy("doc_id")),
+
+    // PII redaction: emails + long digit runs → typed tokens
+    "tx_redact" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")),
+
+    // Deterministic id-hash sampling (~25%): reproducible across runs,
+    // engines, and partitionings — no RNG
+    "samp_hash" -> ((s, d) =>
+      Sampling.deterministicSample(docs(s, d), "doc_id", 0.25)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Stratified quota sample: ≤20 docs per language, id-hash order
+    "samp_stratified" -> ((s, d) =>
+      Sampling.stratifiedQuota(docs(s, d), "lang", "doc_id", 20)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Token-budget shard packing: cut the doc_id-ordered corpus into
+    // ~1000-token training shards (running-sum window)
+    "pack_token_budget" -> ((s, d) =>
+      Sampling.packByTokenBudget(
+        docs(s, d).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", 1000L)
+        .select("doc_id", "n_tokens", "shard_id").orderBy("doc_id")),
+
+    // Per-label embedding centroids (distributed k-means M-step)
+    "emb_centroids" -> ((s, d) =>
+      Similarity.centroids(emb(s, d), "label", "embedding")
+        .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))
+        .orderBy("label", "pos")),
+
+    // Nearest-centroid assignment (k-means E-step; centroids broadcast)
+    "emb_kmeans_assign" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.assignToNearest(e,
+        Similarity.centroids(e, "label", "embedding"), "vec_id", "embedding")
+        .select("vec_id", "assigned").orderBy("vec_id")
+    })
   )
 
   // --- DuckDB mirrors of the MD5-derived hash family --------------------
@@ -405,6 +457,93 @@ object ScaleQueries {
         |SELECT id, CAST(n % 640 + 1 AS INT) AS width,
         |  CAST(bsum % 480 + 1 AS INT) AS height
         |FROM b ORDER BY id""".stripMargin,
+
+    "tx_repetition" -> {
+      def grams(n: Int): String = {
+        val parts = (0 until n).map(k => s"tk[i+$k]").mkString(" || ' ' || ")
+        s"list_transform(range(1, CASE WHEN len(tk) >= $n " +
+          s"THEN len(tk) - ${n - 1} ELSE 0 END + 1), i -> $parts)"
+      }
+      val maxRun =
+        """CASE WHEN len(tk) = 0 THEN 0 ELSE CAST((list_reduce(
+          |  list_transform(tk, t -> struct_pack(best := 1, cur := 1, prev := t)),
+          |  (a, b) -> struct_pack(
+          |    best := greatest(a.best,
+          |      CASE WHEN b.prev = a.prev THEN a.cur + 1 ELSE 1 END),
+          |    cur := CASE WHEN b.prev = a.prev THEN a.cur + 1 ELSE 1 END,
+          |    prev := b.prev))).best AS BIGINT) END""".stripMargin
+      s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
+         |g AS (SELECT doc_id, tk, ${grams(2)} AS g2, ${grams(3)} AS g3 FROM tok)
+         |SELECT doc_id,
+         |  CASE WHEN len(g2) > 0 THEN 1.0 -
+         |    CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+         |    ELSE 0.0 END AS dup_2gram_frac,
+         |  CASE WHEN len(g3) > 0 THEN 1.0 -
+         |    CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+         |    ELSE 0.0 END AS dup_3gram_frac,
+         |  CASE WHEN len(g2) > 0 THEN
+         |    CAST(list_max(list_transform(list_distinct(g2),
+         |      d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE) / len(g2)
+         |    ELSE 0.0 END AS top_2gram_frac,
+         |  $maxRun AS max_token_run
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "tx_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+', '<EMAIL>', 'g'),
+        |    '[+]?[0-9][0-9 ()+.-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "samp_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |  AS BIGINT) % 10000 < 2500
+        |ORDER BY doc_id""".stripMargin,
+
+    "samp_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 10000, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "pack_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t != '')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 1000) AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "emb_centroids" ->
+      """SELECT label, i AS pos,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(1,
+        |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i) d
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
+    "emb_kmeans_assign" ->
+      """WITH dim AS (SELECT unnest(range(1,
+        |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+        |c AS (SELECT label, i AS pos,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+        |  FROM embeddings CROSS JOIN dim GROUP BY label, i),
+        |d2 AS (SELECT e.vec_id, c.label,
+        |  sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid) *
+        |      (CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid)) AS d2
+        |  FROM embeddings e CROSS JOIN c GROUP BY e.vec_id, c.label)
+        |SELECT vec_id, assigned FROM (
+        |  SELECT vec_id, label AS assigned,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+        |  FROM d2)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "pipeline_curation" -> {
       val (scoreDefs, langCase) = duckLangScore("lowtk")

@@ -173,28 +173,36 @@ object Dedup {
     try {
       var labels = edges.select(col("src").as("id"))
         .distinct().withColumn("component", col("id"))
+      // labels is a projection over the cached frame; track the cached frame
+      // itself so unpersist hits the actual storage, not a derived plan
+      var cachedPrev: DataFrame = null
       var iter = 0
       var converged = false
       while (iter < maxIter && !converged) {
-        // each node adopts the min component among itself and its neighbors
-        val viaEdges = edges
+        // each node adopts the min component among itself and its neighbors;
+        // the previous label rides along so convergence detection is a filter
+        // on the same materialized plan, not a second join
+        val nbrMin = edges
           .join(labels.withColumnRenamed("id", "src"), "src")
-          .select(col("dst").as("id"), col("component"))
-        val next = labels.unionByName(viaEdges)
-          .groupBy("id").agg(min("component").as("component"))
+          .groupBy(col("dst").as("id")).agg(min("component").as("nbr_min"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"),
+              coalesce(col("nbr_min"), col("component"))).as("component"),
+            col("component").as("prev"))
           .cache()
-        converged = next
-          .join(labels.withColumnRenamed("component", "prev"), "id")
-          .filter(col("component") =!= col("prev")).limit(1).isEmpty
-        labels.unpersist()
-        labels = next
+        converged = next.filter(col("component") =!= col("prev"))
+          .limit(1).isEmpty
+        if (cachedPrev != null) cachedPrev.unpersist()
+        cachedPrev = next
+        labels = next.select("id", "component")
         iter += 1
       }
       if (!converged) throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations " +
           "(component diameter exceeds maxIter)")
       val result = labels.localCheckpoint(true)
-      labels.unpersist()
+      if (cachedPrev != null) cachedPrev.unpersist()
       result
     } finally edges.unpersist()
   }

@@ -1,0 +1,66 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling and sharding for training-data pipelines.
+  *
+  * All selection here is HASH-deterministic, never RNG-based: a re-run (or a
+  * retried task, or a different partitioning of the same data) selects the
+  * same rows, which makes the sample reproducible end-to-end and lets an
+  * external engine verify it row-for-row. `rand()`-based sampling breaks all
+  * three properties — at 100 TB a retried stage would silently change the
+  * sample.
+  */
+object Sampling {
+
+  /** Uniform deterministic id-hash bucket in [0, 10000): the first 8 hex
+    * chars of md5 of the stringified id, mod 10000 — engine-portable (any
+    * system with md5 computes the identical bucket). */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 10000
+
+  /** Keep ~`fraction` of rows, selected by id-hash bucket. Per-row filter:
+    * no shuffle, fully pushdown-friendly, reproducible across runs/engines.
+    */
+  def deterministicSample(df: DataFrame, idCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    df.filter(hashBucket(col(idCol)) < (fraction * 10000).toLong)
+  }
+
+  /** Stratified quota sample: at most `quota` rows per `groupCol` value,
+    * chosen in id-hash order (a deterministic stand-in for random-within-
+    * group). One shuffle on the group key; per-group state is a top-k heap,
+    * so skewed groups don't blow memory. */
+  def stratifiedQuota(df: DataFrame, groupCol: String, idCol: String,
+      quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
+  /** Token-budget shard assignment: documents are laid out in `orderCol`
+    * order and cut into shards of ~`budgetTokens` tokens — shard_id =
+    * floor(tokens-before-this-doc / budget), the standard streaming packing
+    * rule (a doc straddling a boundary goes to the shard its first token
+    * falls in).
+    *
+    * The running sum is a single window over the global order — fine for
+    * building ordered training shards where a total order is the point. For
+    * unordered 100 TB packing, run it per partition key (pass a composite
+    * `orderCol` and partition the window) so no global sort is needed. */
+  def packByTokenBudget(df: DataFrame, orderCol: String, tokenCountCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCountCol)).over(w))
+      .withColumn("shard_id",
+        ((col("__cum") - col(tokenCountCol)) / budgetTokens).cast("long"))
+      .drop("__cum")
+  }
+}

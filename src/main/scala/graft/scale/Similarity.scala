@@ -99,4 +99,51 @@ object Similarity {
     }
     bits.reduce(_ + _)
   }
+
+  /** Per-label centroid, one row per (label, dim): posexplode the vectors
+    * and average per dimension — a plain two-phase hash aggregate with
+    * map-side partial sums, #labels × dim reduced rows regardless of corpus
+    * size (the distributed k-means M-step). The mean is rounded to
+    * `scale` decimals so it is stable under re-partitioning (float sums are
+    * order-sensitive in the last bits). `pos` is 1-based. */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String,
+      scale: Int = 4): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("pos"))
+      .agg(round(avg(col("v").cast("double")), scale).as("centroid"))
+
+  /** Assign each vector to its nearest centroid by squared L2 distance (the
+    * k-means E-step). `cents` must be small (#labels × dim rows — it is
+    * collected to a literal array per label and broadcast inside the plan);
+    * ties break to the smallest label for determinism. */
+  def assignToNearest(df: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    // #labels × dim rows by contract — driver-side literal build is bounded
+    val centroidVecs: Seq[(Long, Seq[Double])] = cents
+      .groupBy("label").agg(map_from_arrays(
+        collect_list(col("pos")), collect_list(col("centroid"))).as("m"))
+      .collect()
+      .map { r =>
+        val m = r.getMap[Int, Double](1)
+        (r.getAs[Number]("label").longValue(),
+          (1 to m.size).map(m(_)))
+      }.toSeq.sortBy(_._1)
+    val dist2 = (v: Column, c: Seq[Double]) =>
+      aggregate(
+        zip_with(v, array(c.map(lit): _*),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, d) => acc + d)
+    val best = centroidVecs.tail.foldLeft(
+      struct(lit(centroidVecs.head._1).as("label"),
+        dist2(col("__v"), centroidVecs.head._2).as("d"))) {
+      case (acc, (lbl, c)) =>
+        val d = dist2(col("__v"), c)
+        when(d < acc.getField("d"),
+          struct(lit(lbl).as("label"), d.as("d"))).otherwise(acc)
+    }
+    df.withColumn("__v", col(vecCol))
+      .withColumn("assigned", best.getField("label"))
+      .drop("__v")
+  }
 }

@@ -104,4 +104,76 @@ object TextAnalysis {
     * tokenizing into a column and calling [[shinglesOf]]). */
   def shingles(text: Column, n: Int): Column =
     shinglesOf(tokens(lower(text)), n)
+
+  /** ALL word n-grams of a token array (with repeats — the repetition
+    * denominators), unlike [[shinglesOf]] which dedupes. */
+  def ngramsAll(toks: Column, n: Int): Column =
+    if (n <= 1) toks
+    else transform(
+      slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      (_, i) => concat_ws(" ", slice(toks, i + 1, lit(n))))
+
+  /** Fraction of n-gram occurrences that are repeats of an earlier n-gram
+    * (Gopher-style "duplicate n-gram fraction", Rae et al. '21 §A1.1):
+    * 1 - distinct/total. Per-row expression over a precomputed token
+    * column — zero shuffles at any corpus size. */
+  def dupNgramFraction(toks: Column, n: Int): Column = {
+    val all = ngramsAll(toks, n)
+    val total = size(all)
+    when(total > 0,
+      lit(1.0) - size(array_distinct(all)).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of n-gram occurrences taken by the single most frequent
+    * n-gram (Gopher "top n-gram fraction"). O(distinct × total) per row —
+    * bounded by document length, embarrassingly parallel. */
+  def topNgramFraction(toks: Column, n: Int): Column = {
+    val all = ngramsAll(toks, n)
+    val total = size(all)
+    val counts = transform(array_distinct(all), g =>
+      size(filter(all, x => x === g)))
+    when(total > 0,
+      array_max(counts).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Symbol-to-token ratio (Gopher: '#' and ellipsis counted against word
+    * count) — a boilerplate/markup signal. */
+  def symbolRatio(text: Column, toks: Column): Column = {
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    // three-char "..." sequences; regexp count via length delta / 3
+    val ellipses = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    when(size(toks) > 0,
+      (hashes + ellipses).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Max run length of consecutive equal tokens — long runs of one token
+    * are a classic low-quality-document signal. A left fold carrying
+    * (best, current) over per-position "same as previous?" flags; the
+    * empty-array guard matters because zip_with pads the shorter side with
+    * nulls (an unguarded fold would see one (null, null) pair and report a
+    * run of 1). */
+  def maxTokenRun(toks: Column): Column =
+    when(size(toks) === 0, lit(0)).otherwise(aggregate(
+      zip_with(toks, concat(array(lit(null).cast("string")),
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0)))),
+        (cur, prev) => cur <=> prev),
+      struct(lit(0).as("best"), lit(0).as("cur")),
+      (acc, same) => {
+        val cur = when(same, acc.getField("cur") + 1).otherwise(lit(1))
+        struct(greatest(acc.getField("best"), cur).as("best"), cur.as("cur"))
+      },
+      acc => acc.getField("best")))
+
+  /** PII redaction: emails and long digit runs replaced with typed tokens.
+    * Patterns kept regex-dialect-portable (character classes only) so the
+    * same expressions run in any engine. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+", "<EMAIL>")
+    regexp_replace(email, "[+]?[0-9][0-9 ()+.-]{7,}[0-9]", "<PHONE>")
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.scale.{Sampling, Similarity, TextAnalysis}
+
+/** Properties of the sampling/sharding operators and the repetition /
+  * redaction text signals. */
+class SamplingAndRepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministic sample: stable across runs, roughly the asked fraction") {
+    val ids = (1L to 2000L).toDF("id")
+    val a = Sampling.deterministicSample(ids, "id", 0.25).as[Long].collect().toSet
+    val b = Sampling.deterministicSample(ids, "id", 0.25).as[Long].collect().toSet
+    assert(a == b) // reproducible
+    assert(math.abs(a.size - 500) < 100) // ~25% of 2000
+    // monotone: a smaller fraction selects a subset of a larger one
+    val half = Sampling.deterministicSample(ids, "id", 0.5).as[Long].collect().toSet
+    assert(a.subsetOf(half))
+  }
+
+  test("stratified quota: at most N per group, deterministic choice") {
+    val df = (1L to 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val out = Sampling.stratifiedQuota(df, "grp", "id", 10)
+    val byGrp = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp("a") == 10 && byGrp("b") == 10)
+    val again = Sampling.stratifiedQuota(df, "grp", "id", 10)
+    assert(out.select("id").as[Long].collect().sorted.toSeq ==
+      again.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("token-budget packing: shards respect the running-sum cut rule") {
+    val df = Seq((1L, 400L), (2L, 400L), (3L, 400L), (4L, 100L), (5L, 900L))
+      .toDF("doc_id", "n_tokens")
+    val out = Sampling.packByTokenBudget(df, "doc_id", "n_tokens", 1000L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    // cumulative before each doc: 0, 400, 800, 1200, 1300
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("repetition: dup/top n-gram fractions and max token run") {
+    val df = Seq(
+      (1L, "a a a a"),                  // 3 bigrams, all "a a" → dup 2/3
+      (2L, "w x y z"),                  // no repeats
+      (3L, "")                          // empty → all zeros
+    ).toDF("doc_id", "text")
+      .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
+    val r = df.select(col("doc_id"),
+      TextAnalysis.dupNgramFraction(col("tk"), 2).as("dup2"),
+      TextAnalysis.topNgramFraction(col("tk"), 2).as("top2"),
+      TextAnalysis.maxTokenRun(col("tk")).as("run"))
+      .as[(Long, Double, Double, Int)].collect().map(r => r._1 -> r).toMap
+    assert(math.abs(r(1L)._2 - 2.0 / 3) < 1e-12)
+    assert(r(1L)._3 == 1.0 && r(1L)._4 == 4)
+    assert(r(2L)._2 == 0.0 && math.abs(r(2L)._3 - 1.0 / 3) < 1e-12 &&
+      r(2L)._4 == 1)
+    assert(r(3L)._2 == 0.0 && r(3L)._3 == 0.0 && r(3L)._4 == 0)
+  }
+
+  test("pii redaction replaces emails and phone-like digit runs") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.co or +31 6 1234 5678 now"),
+      (2L, "no pii here")
+    ).toDF("id", "text")
+    val out = df.select(TextAnalysis.redactPii(col("text")).as("t"))
+      .as[String].collect()
+    assert(out(0) == "contact <EMAIL> or <PHONE> now")
+    assert(out(1) == "no pii here")
+  }
+
+  test("centroids + nearest assignment recover well-separated clusters") {
+    val vecs = Seq(
+      (1L, 0L, Seq(0.0f, 0.0f)), (2L, 0L, Seq(0.2f, 0.0f)),
+      (3L, 1L, Seq(10.0f, 10.0f)), (4L, 1L, Seq(10.2f, 10.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val c = Similarity.centroids(vecs, "label", "embedding")
+    val cm = c.as[(Long, Int, Double)].collect()
+      .map { case (l, p, v) => (l, p) -> v }.toMap
+    assert(cm((0L, 1)) == 0.1 && cm((0L, 2)) == 0.0)
+    assert(cm((1L, 1)) == 10.1 && cm((1L, 2)) == 10.0)
+    val assigned = Similarity.assignToNearest(vecs, c, "vec_id", "embedding")
+      .select("vec_id", "assigned").as[(Long, Long)].collect().toMap
+    assert(assigned == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+}
