@@ -160,10 +160,12 @@ object ScaleQueries {
     "tx_repetition" -> ((s, d) =>
       docs(s, d)
         .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
+        .withColumn("g2", TextAnalysis.ngramsAll(col("tk"), 2))
+        .withColumn("g3", TextAnalysis.ngramsAll(col("tk"), 3))
         .select(col("doc_id"),
-          TextAnalysis.dupNgramFraction(col("tk"), 2).as("dup_2gram_frac"),
-          TextAnalysis.dupNgramFraction(col("tk"), 3).as("dup_3gram_frac"),
-          TextAnalysis.topNgramFraction(col("tk"), 2).as("top_2gram_frac"),
+          TextAnalysis.dupFractionOfGrams(col("g2")).as("dup_2gram_frac"),
+          TextAnalysis.dupFractionOfGrams(col("g3")).as("dup_3gram_frac"),
+          TextAnalysis.topFractionOfGrams(col("g2")).as("top_2gram_frac"),
           TextAnalysis.maxTokenRun(col("tk")).cast("long").as("max_token_run"))
         .orderBy("doc_id")),
 
@@ -205,7 +207,26 @@ object ScaleQueries {
       Similarity.assignToNearest(e,
         Similarity.centroids(e, "label", "embedding"), "vec_id", "embedding")
         .select("vec_id", "assigned").orderBy("vec_id")
-    })
+    }),
+
+    // Symmetric int8 quantization (scale materialized, then per-element)
+    "emb_quantize" -> ((s, d) =>
+      emb(s, d)
+        .withColumn("scale", Similarity.int8Scale(col("embedding")))
+        .select(col("vec_id"), col("scale"),
+          posexplode(Similarity.int8Quantize(col("embedding"), col("scale"))))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("q"), col("scale"))
+        .orderBy("vec_id", "pos")),
+
+    // Deterministic random-projection dim reduction (64 → 8 dims)
+    "emb_project" -> ((s, d) =>
+      emb(s, d)
+        .select(col("vec_id"),
+          posexplode(Similarity.randomProject(col("embedding"), 8)))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+          round(col("col"), 6).as("v"))
+        .orderBy("vec_id", "pos"))
   )
 
   // --- DuckDB mirrors of the MD5-derived hash family --------------------
@@ -544,6 +565,31 @@ object ScaleQueries {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
         |  FROM d2)
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings)
+        |SELECT vec_id, i AS pos,
+        |  CASE WHEN scale > 0
+        |    THEN CAST(round(CAST(embedding[i] AS DOUBLE) / scale) AS INT)
+        |    ELSE 0 END AS q,
+        |  scale
+        |FROM s CROSS JOIN (SELECT unnest(range(1,
+        |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i) d
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    "emb_project" -> {
+      val dims = (1 to 8).map { j =>
+        s"round(list_sum(list_transform(range(1, len(embedding) + 1), i -> " +
+          s"CAST(embedding[i] AS DOUBLE) * ((i - 1) * $j % 13 - 6))), 6) AS p$j"
+      }.mkString(", ")
+      val unpivot = (1 to 8).map(j =>
+        s"SELECT vec_id, $j AS pos, p$j AS v FROM p").mkString(" UNION ALL ")
+      s"""WITH p AS (SELECT vec_id, $dims FROM embeddings)
+         |SELECT vec_id, CAST(pos AS BIGINT) AS pos, v FROM ($unpivot)
+         |ORDER BY vec_id, pos""".stripMargin
+    },
 
     "pipeline_curation" -> {
       val (scoreDefs, langCase) = duckLangScore("lowtk")

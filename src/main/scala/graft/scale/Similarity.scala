@@ -100,6 +100,39 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Symmetric int8 quantization scale: max|x|/127 — materialize this into
+    * a column before [[int8Quantize]] (an inline scale expression would
+    * re-evaluate the max per element inside the quantize lambda). */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double")))) / 127.0
+
+  /** Symmetric int8 quantization against a PRE-MATERIALIZED scale column:
+    * each element rounds to round(x/scale) ∈ [-127, 127] — the standard
+    * storage/compute shrink for ANN at scale (4× smaller vectors,
+    * SIMD-friendly dot products). Zero vectors (scale 0) quantize to
+    * all-zeros. */
+  def int8Quantize(vec: Column, scale: Column): Column =
+    when(scale > 0,
+      transform(vec, x => round(x.cast("double") / scale).cast("int")))
+      .otherwise(transform(vec, _ => lit(0)))
+
+  /** Deterministic random-projection dimensionality reduction: out_j =
+    * Σ_i vec_i · w(i,j), with the same integer weight family as
+    * [[srpBucket]] (w = (i·(j+1) mod 13) - 6) — no RNG, engine-portable,
+    * distance-preserving in the Johnson-Lindenstrauss sense for the
+    * hyperplane family. Per-row expression; reduces ANN candidate scoring
+    * cost by dims/outDims. */
+  def randomProject(vec: Column, outDims: Int): Column = {
+    require(outDims < 13, "weight multipliers must stay distinct mod 13")
+    array((0 until outDims).map { j =>
+      aggregate(
+        zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i =>
+          ((i * (j + 1)) % 13 - 6).cast("double")),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+  }
+
   /** Per-label centroid, one row per (label, dim): posexplode the vectors
     * and average per dimension — a plain two-phase hash aggregate with
     * map-side partial sums, #labels × dim reduced rows regardless of corpus
@@ -129,21 +162,21 @@ object Similarity {
         (r.getAs[Number]("label").longValue(),
           (1 to m.size).map(m(_)))
       }.toSeq.sortBy(_._1)
-    val dist2 = (v: Column, c: Seq[Double]) =>
+    // one (label, centroid-array) struct per label; scoring maps over this
+    // array so each distance is computed exactly once per row — an argmin
+    // fold that references its accumulator more than once would duplicate
+    // the whole accumulated expression tree per level (exponential codegen)
+    val centArr = array(centroidVecs.map { case (lbl, c) =>
+      struct(lit(lbl).as("label"), array(c.map(lit): _*).as("c"))
+    }: _*)
+    val scored = transform(centArr, cs => struct(
       aggregate(
-        zip_with(v, array(c.map(lit): _*),
+        zip_with(col(vecCol), cs.getField("c"),
           (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, d) => acc + d)
-    val best = centroidVecs.tail.foldLeft(
-      struct(lit(centroidVecs.head._1).as("label"),
-        dist2(col("__v"), centroidVecs.head._2).as("d"))) {
-      case (acc, (lbl, c)) =>
-        val d = dist2(col("__v"), c)
-        when(d < acc.getField("d"),
-          struct(lit(lbl).as("label"), d.as("d"))).otherwise(acc)
-    }
-    df.withColumn("__v", col(vecCol))
-      .withColumn("assigned", best.getField("label"))
-      .drop("__v")
+        lit(0.0), (acc, d) => acc + d).as("d"),
+      cs.getField("label").as("label")))
+    // struct ordering is field-order lexicographic: min = (smallest distance,
+    // then smallest label) — the deterministic tie-break for free
+    df.withColumn("assigned", array_min(scored).getField("label"))
   }
 }

@@ -115,28 +115,40 @@ object TextAnalysis {
 
   /** Fraction of n-gram occurrences that are repeats of an earlier n-gram
     * (Gopher-style "duplicate n-gram fraction", Rae et al. '21 §A1.1):
-    * 1 - distinct/total. Per-row expression over a precomputed token
-    * column — zero shuffles at any corpus size. */
-  def dupNgramFraction(toks: Column, n: Int): Column = {
-    val all = ngramsAll(toks, n)
-    val total = size(all)
+    * 1 - distinct/total, over a PRE-MATERIALIZED n-gram array column (build
+    * it once with [[ngramsAll]] + `withColumn`). Per-row expression — zero
+    * shuffles at any corpus size. */
+  def dupFractionOfGrams(grams: Column): Column = {
+    val total = size(grams)
     when(total > 0,
-      lit(1.0) - size(array_distinct(all)).cast("double") / total.cast("double"))
+      lit(1.0) - size(array_distinct(grams)).cast("double") / total.cast("double"))
       .otherwise(lit(0.0))
   }
 
   /** Fraction of n-gram occurrences taken by the single most frequent
-    * n-gram (Gopher "top n-gram fraction"). O(distinct × total) per row —
-    * bounded by document length, embarrassingly parallel. */
-  def topNgramFraction(toks: Column, n: Int): Column = {
-    val all = ngramsAll(toks, n)
-    val total = size(all)
-    val counts = transform(array_distinct(all), g =>
-      size(filter(all, x => x === g)))
+    * n-gram (Gopher "top n-gram fraction"), over a PRE-MATERIALIZED n-gram
+    * array column. O(distinct × total) equality checks per row — bounded by
+    * document length, embarrassingly parallel. The gram array MUST be a
+    * materialized column: an inline [[ngramsAll]] expression here would be
+    * re-evaluated once per distinct gram inside the counting lambda
+    * (lambda-argument expressions re-evaluate per element — the engine-wide
+    * rule this file's tokenizers follow). */
+  def topFractionOfGrams(grams: Column): Column = {
+    val total = size(grams)
+    val counts = transform(array_distinct(grams), g =>
+      size(filter(grams, x => x === g)))
     when(total > 0,
       array_max(counts).cast("double") / total.cast("double"))
       .otherwise(lit(0.0))
   }
+
+  /** Convenience forms over a token column — fine for ad-hoc use; hot paths
+    * should materialize [[ngramsAll]] into a column and call the
+    * `*OfGrams` variants (see those docs for why). */
+  def dupNgramFraction(toks: Column, n: Int): Column =
+    dupFractionOfGrams(ngramsAll(toks, n))
+  def topNgramFraction(toks: Column, n: Int): Column =
+    topFractionOfGrams(ngramsAll(toks, n))
 
   /** Symbol-to-token ratio (Gopher: '#' and ellipsis counted against word
     * count) — a boilerplate/markup signal. */

@@ -69,6 +69,35 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(out(1) == "no pii here")
   }
 
+  test("int8 quantization: dequantize error bounded by scale/2, zero vec safe") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.127f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("scale", Similarity.int8Scale(col("embedding")))
+      .withColumn("q", Similarity.int8Quantize(col("embedding"), col("scale")))
+    val rows = vecs.select("vec_id", "scale", "q", "embedding")
+      .as[(Long, Double, Seq[Int], Seq[Float])].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, s1, q1, e1) = rows(1L)
+    assert(s1 == 1.0 / 127)
+    assert(q1.head == 127) // max element maps to full range
+    q1.zip(e1).foreach { case (q, x) =>
+      assert(math.abs(q * s1 - x) <= s1 / 2 + 1e-12)
+    }
+    val (_, s2, q2, _) = rows(2L)
+    assert(s2 == 0.0 && q2.forall(_ == 0))
+  }
+
+  test("random projection: linear, deterministic, expected weights") {
+    // 2-dim input, weights w(i,j) = (i*(j+1)) % 13 - 6:
+    // j=0: w = (-6, -5); j=1: w = (-6, -4)
+    val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val p = df.select(Similarity.randomProject(col("embedding"), 2).as("p"))
+      .as[Seq[Double]].head()
+    assert(p == Seq(1 * -6.0 + 2 * -5.0, 1 * -6.0 + 2 * -4.0))
+  }
+
   test("centroids + nearest assignment recover well-separated clusters") {
     val vecs = Seq(
       (1L, 0L, Seq(0.0f, 0.0f)), (2L, 0L, Seq(0.2f, 0.0f)),
