@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.scale.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.scale.{Dedup, Multimodal, Sampling, Similarity, Temporal, TextAnalysis}
 
 /** LLM-training-data-pipeline queries: dedup (exact / MinHash-LSH / SimHash /
   * n-gram Jaccard / embedding cosine), ANN similarity search, text analysis,
@@ -226,7 +226,38 @@ object ScaleQueries {
           posexplode(Similarity.randomProject(col("embedding"), 8)))
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
           round(col("col"), 6).as("v"))
-        .orderBy("vec_id", "pos"))
+        .orderBy("vec_id", "pos")),
+
+    // As-of join: each click → most recent purchase at-or-before, per user
+    // (union + carry-forward window — one shuffle, no inequality join)
+    "join_asof" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
+          col("value").as("p_value"))
+      Temporal.asOfJoin(clicks, purchases, "user_id", "ts",
+        Seq("p_event_id", "p_value"))
+        .select("event_id", "p_event_id", "p_value")
+        .orderBy("event_id")
+    }),
+
+    // Range join: clicks inside each purchase's 12-hour follow-up window,
+    // per user (time-bin explode + equi-join — no interval nested loop)
+    "join_range" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val intervals = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("int_id"), col("user_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 12 HOURS")).as("end_ts"))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("probe_id"), col("user_id"), col("ts"))
+      Temporal.rangeJoin(intervals, probes, "user_id",
+        "start_ts", "end_ts", "ts", binMicros = 12L * 3600 * 1000000)
+        .select("int_id", "probe_id")
+        .orderBy("int_id", "probe_id")
+    })
   )
 
   // --- DuckDB mirrors of the MD5-derived hash family --------------------
@@ -628,6 +659,25 @@ object ScaleQueries {
          |SELECT predicted_lang, count(*) AS n_docs FROM ex
          |WHERE doc_id NOT IN (SELECT id FROM dup)
          |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin
-    }
+    },
+
+    "join_asof" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, r.p_event_id, r.p_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "join_range" ->
+      """WITH i AS (SELECT event_id AS int_id, user_id, ts AS start_ts,
+        |  ts + INTERVAL 12 HOUR AS end_ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |p AS (SELECT event_id AS probe_id, user_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT int_id, probe_id FROM i JOIN p ON i.user_id = p.user_id
+        |  AND p.ts >= i.start_ts AND p.ts <= i.end_ts
+        |ORDER BY int_id, probe_id""".stripMargin
   )
 }
