@@ -34,6 +34,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("temporal joins avoid nested-loop and cartesian plans") {
+    Seq("join_asof", "join_range").foreach { q =>
+      val p = graft.queries.ScaleQueries.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q nested loop:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+    }
+    // the as-of join is a window over one exchange, not a join at all
+    val asof = graft.queries.ScaleQueries.queries("join_asof")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(asof.contains("Window"), asof)
+  }
+
   test("no plan collects data to the driver mid-query") {
     // classification + decompose queries must not contain LocalTableScan of
     // collected data (constant lookup tables excepted — none used here)
