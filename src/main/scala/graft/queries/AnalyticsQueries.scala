@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.scale.TextAnalysis
+
+/** Analytics operators a 100 TB engine leans on: sketch aggregates (HLL
+  * distinct counts, quantile sketches — constant-size state instead of a
+  * distinct shuffle / global sort) and TF-IDF term scoring. Sketch outputs
+  * are verified against the EXACT value with a deterministic error-bound
+  * flag, so the DuckDB oracle (which computes the exact side and asserts
+  * the bound) hash-matches iff the sketch stays inside its guarantee. */
+object AnalyticsQueries {
+  type QF = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QF] = Map(
+    // HLL++ distinct count per group vs exact — flag asserts ≤10% rel. error
+    // (rsd 0.05 ⇒ typical error a few %; the sketch state is ~KB per group
+    // where countDistinct shuffles every distinct key)
+    "sk_approx_distinct" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_cnt"),
+          approx_count_distinct(col("l_orderkey"), 0.05).as("approx"))
+        .select(col("l_returnflag"), col("exact_cnt"),
+          (abs(col("approx") - col("exact_cnt")) <=
+            col("exact_cnt") * 0.1).as("within_10pct"))
+        .orderBy("l_returnflag")),
+
+    // Quantile sketch (Greenwald-Khanna, accuracy 10000) vs exact
+    // interpolated median — flag asserts ≤1% relative error
+    "sk_approx_quantile" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx"))
+        .select(col("l_returnflag"),
+          round(col("exact_med"), 4).as("median_price"),
+          (abs(col("approx") - col("exact_med")) <=
+            col("exact_med") * 0.01).as("within_1pct"))
+        .orderBy("l_returnflag")),
+
+    // TF-IDF: top-3 terms per document (rank on the rounded score so the
+    // ordering is identical across engines; ties break by term)
+    "tx_tfidf_top3" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      TextAnalysis.tfidf(Tables.load(s, d, "documents"), "doc_id", "text")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("score"))
+        .orderBy("doc_id", "term")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sk_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_cnt,
+        |  TRUE AS within_10pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sk_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  TRUE AS within_1pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tx_tfidf_top3" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    t -> t != '')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT doc_id, term,
+        |  round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, score FROM (
+        |  SELECT doc_id, term, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
+        |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin
+  )
+}

@@ -188,4 +188,26 @@ object TextAnalysis {
       "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+", "<EMAIL>")
     regexp_replace(email, "[+]?[0-9][0-9 ()+.-]{7,}[0-9]", "<PHONE>")
   }
+
+  /** Per-(doc, term) TF-IDF over the lowercased whitespace tokenizer:
+    * tf = raw term count in the doc, idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    * sklearn-style so unseen terms stay finite), score = tf·idf rounded to
+    * 6 decimals (rank-stable across engines/partitionings).
+    *
+    * Shuffle shape: one hash agg on (doc, term), one on term (vocabulary-
+    * sized doc frequencies — stays distributed, never collected), a
+    * shuffle join back on term, and a one-row broadcast for N. No step
+    * holds more than a partition's terms in memory. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0),
+          6).as("score"))
+  }
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.scale.TextAnalysis
+
+/** Sketch-aggregate error bounds and TF-IDF semantics. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidf: rare terms outscore common ones; tf counts repeats") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "apple durian")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "doc_id", "text")
+      .select($"doc_id", $"term", $"tf", $"score")
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // at equal tf, the rare term outscores the ubiquitous one:
+    // banana (df=1) vs apple-in-doc-2 (df=3), both tf=1
+    assert(out((1L, "banana"))._2 > out((2L, "apple"))._2)
+    // tf scales the score linearly: apple appears twice in doc 1
+    assert(out((1L, "apple"))._1 == 2L)
+    assert(math.abs(out((1L, "apple"))._2 - 2 * out((2L, "apple"))._2) < 1e-9)
+    // smoothed idf: df = N ⇒ idf = ln((N+1)/(N+1)) + 1 = 1 ⇒ score = tf
+    assert(out((2L, "apple"))._2 == 1.0)
+  }
+
+  test("sketch aggregates stay inside their error bounds on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val dist = graft.queries.AnalyticsQueries.queries("sk_approx_distinct")(spark, dir)
+    assert(dist.filter(!$"within_10pct").count() == 0)
+    val quant = graft.queries.AnalyticsQueries.queries("sk_approx_quantile")(spark, dir)
+    assert(quant.filter(!$"within_1pct").count() == 0)
+    assert(dist.count() == 3 && quant.count() == 3) // A/N/R return flags
+  }
+}
