@@ -166,7 +166,8 @@ object ScaleQueries {
           TextAnalysis.dupFractionOfGrams(col("g2")).as("dup_2gram_frac"),
           TextAnalysis.dupFractionOfGrams(col("g3")).as("dup_3gram_frac"),
           TextAnalysis.topFractionOfGrams(col("g2")).as("top_2gram_frac"),
-          TextAnalysis.maxTokenRun(col("tk")).cast("long").as("max_token_run"))
+          TextAnalysis.maxTokenRun(col("tk")).cast("long").as("max_token_run"),
+          TextAnalysis.symbolRatio(col("text"), col("tk")).as("symbol_ratio"))
         .orderBy("doc_id")),
 
     // PII redaction: emails + long digit runs → typed tokens
@@ -524,8 +525,9 @@ object ScaleQueries {
           |      CASE WHEN b.prev = a.prev THEN a.cur + 1 ELSE 1 END),
           |    cur := CASE WHEN b.prev = a.prev THEN a.cur + 1 ELSE 1 END,
           |    prev := b.prev))).best AS BIGINT) END""".stripMargin
-      s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
-         |g AS (SELECT doc_id, tk, ${grams(2)} AS g2, ${grams(3)} AS g3 FROM tok)
+      s"""WITH tok AS (SELECT doc_id, text, $duckToksAll AS tk FROM documents),
+         |g AS (SELECT doc_id, text, tk,
+         |  ${grams(2)} AS g2, ${grams(3)} AS g3 FROM tok)
          |SELECT doc_id,
          |  CASE WHEN len(g2) > 0 THEN 1.0 -
          |    CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
@@ -537,7 +539,12 @@ object ScaleQueries {
          |    CAST(list_max(list_transform(list_distinct(g2),
          |      d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE) / len(g2)
          |    ELSE 0.0 END AS top_2gram_frac,
-         |  $maxRun AS max_token_run
+         |  $maxRun AS max_token_run,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    CAST((length(text) - length(replace(text, '#', ''))) +
+         |      (length(text) - length(replace(text, '...', ''))) / 3
+         |      AS DOUBLE) / len(tk)
+         |    ELSE 0.0 END AS symbol_ratio
          |FROM g ORDER BY doc_id""".stripMargin
     },
 
@@ -576,7 +583,8 @@ object ScaleQueries {
 
     "emb_centroids" ->
       """SELECT label, i AS pos,
-        |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+        |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
         |FROM embeddings CROSS JOIN (SELECT unnest(range(1,
         |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i) d
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
@@ -585,7 +593,8 @@ object ScaleQueries {
       """WITH dim AS (SELECT unnest(range(1,
         |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
         |c AS (SELECT label, i AS pos,
-        |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+        |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
         |  FROM embeddings CROSS JOIN dim GROUP BY label, i),
         |d2 AS (SELECT e.vec_id, c.label,
         |  sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid) *
@@ -661,14 +670,20 @@ object ScaleQueries {
          |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin
     },
 
+    // Not DuckDB's ASOF JOIN: on equal-ts purchases ASOF picks an arbitrary
+    // row, while Temporal.asOfJoin deterministically picks the greatest
+    // payload struct — the window below mirrors that tie-break exactly.
     "join_asof" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),
         |r AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
         |  FROM events WHERE event_type = 'purchase')
-        |SELECT l.event_id, r.p_event_id, r.p_value
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY l.event_id""".stripMargin,
+        |SELECT event_id, p_event_id, p_value FROM (
+        |  SELECT l.event_id, r.p_event_id, r.p_value, row_number() OVER (
+        |    PARTITION BY l.event_id
+        |    ORDER BY r.ts DESC, r.p_event_id DESC, r.p_value DESC) AS rn
+        |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "join_range" ->
       """WITH i AS (SELECT event_id AS int_id, user_id, ts AS start_ts,

@@ -170,12 +170,14 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().cache()
+    // labels is a projection over the cached frame; track the cached frame
+    // itself so unpersist hits the actual storage, not a derived plan —
+    // declared outside the try so the non-convergence throw path also
+    // releases the final iteration's cache
+    var cachedPrev: DataFrame = null
     try {
       var labels = edges.select(col("src").as("id"))
         .distinct().withColumn("component", col("id"))
-      // labels is a projection over the cached frame; track the cached frame
-      // itself so unpersist hits the actual storage, not a derived plan
-      var cachedPrev: DataFrame = null
       var iter = 0
       var converged = false
       while (iter < maxIter && !converged) {
@@ -201,10 +203,11 @@ object Dedup {
       if (!converged) throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations " +
           "(component diameter exceeds maxIter)")
-      val result = labels.localCheckpoint(true)
+      labels.localCheckpoint(true)
+    } finally {
+      edges.unpersist()
       if (cachedPrev != null) cachedPrev.unpersist()
-      result
-    } finally edges.unpersist()
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs, bucketed by a coarse key (e.g.

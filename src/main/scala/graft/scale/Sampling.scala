@@ -15,11 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform deterministic id-hash bucket in [0, 10000): the first 8 hex
-    * chars of md5 of the stringified id, mod 10000 — engine-portable (any
-    * system with md5 computes the identical bucket). */
+  /** Uniform deterministic id-hash bucket in [0, 10000): the shared
+    * MD5-prefix hash family ([[Dedup.tokenHash]]) mod 10000 —
+    * engine-portable (any system with md5 computes the identical bucket). */
   def hashBucket(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 10000
+    Dedup.tokenHash(id.cast("string")) % 10000
 
   /** Keep ~`fraction` of rows, selected by id-hash bucket. Per-row filter:
     * no shuffle, fully pushdown-friendly, reproducible across runs/engines.
@@ -27,7 +27,8 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String,
       fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
-    df.filter(hashBucket(col(idCol)) < (fraction * 10000).toLong)
+    // round, not truncate: 0.29 * 10000 is 2899.999… in IEEE double
+    df.filter(hashBucket(col(idCol)) < math.round(fraction * 10000))
   }
 
   /** Stratified quota sample: at most `quota` rows per `groupCol` value,

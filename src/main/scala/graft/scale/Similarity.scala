@@ -136,15 +136,19 @@ object Similarity {
   /** Per-label centroid, one row per (label, dim): posexplode the vectors
     * and average per dimension — a plain two-phase hash aggregate with
     * map-side partial sums, #labels × dim reduced rows regardless of corpus
-    * size (the distributed k-means M-step). The mean is rounded to
-    * `scale` decimals so it is stable under re-partitioning (float sums are
-    * order-sensitive in the last bits). `pos` is 1-based. */
+    * size (the distributed k-means M-step). The sum runs in DECIMAL(27,9)
+    * (exact, order-independent) rather than double (partition-order
+    * sensitive in the last bits), so the mean is bit-stable under
+    * re-partitioning/AQE; it is then rounded to `scale` decimals.
+    * `pos` is 1-based. */
   def centroids(df: DataFrame, labelCol: String, vecCol: String,
       scale: Int = 4): DataFrame =
     df.select(col(labelCol).as("label"),
         posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("label"), (col("pos") + 1).as("pos"))
-      .agg(round(avg(col("v").cast("double")), scale).as("centroid"))
+      .agg(round(
+        sum(col("v").cast("double").cast("decimal(27,9)")).cast("double") /
+          count(lit(1)), scale).as("centroid"))
 
   /** Assign each vector to its nearest centroid by squared L2 distance (the
     * k-means E-step). `cents` must be small (#labels × dim rows — it is
@@ -159,8 +163,11 @@ object Similarity {
       .collect()
       .map { r =>
         val m = r.getMap[Int, Double](1)
-        (r.getAs[Number]("label").longValue(),
-          (1 to m.size).map(m(_)))
+        val label = r.getAs[Number]("label").longValue()
+        require((1 to m.size).forall(m.contains),
+          s"centroid dims for label $label are not contiguous 1..${m.size}: " +
+            s"got ${m.keys.toSeq.sorted.mkString(",")} (ragged input vectors?)")
+        (label, (1 to m.size).map(m(_)))
       }.toSeq.sortBy(_._1)
     // one (label, centroid-array) struct per label; scoring maps over this
     // array so each distance is computed exactly once per row — an argmin

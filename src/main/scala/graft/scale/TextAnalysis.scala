@@ -95,10 +95,7 @@ object TextAnalysis {
     * (one `split` per row); embedding the tokenizer inside this expression
     * would re-evaluate it per element inside the lambda. */
   def shinglesOf(toks: Column, n: Int): Column =
-    if (n <= 1) array_distinct(toks)
-    else array_distinct(transform(
-      slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      (_, i) => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    array_distinct(ngramsAll(toks, n))
 
   /** Word n-gram shingles from raw text (convenience; for hot paths prefer
     * tokenizing into a column and calling [[shinglesOf]]). */

@@ -58,6 +58,20 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(r(3L)._2 == 0.0 && r(3L)._3 == 0.0 && r(3L)._4 == 0)
   }
 
+  test("symbol ratio counts hashes and ellipses against token count") {
+    val df = Seq(
+      (1L, "## see more... done...."),  // 2 '#'; "..." + "...." → 2 matches
+      (2L, "plain words only"),         //   (4th dot is a non-match leftover)
+      (3L, "")                          // no tokens → 0.0
+    ).toDF("doc_id", "text")
+      .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
+    val r = df.select(col("doc_id"),
+      TextAnalysis.symbolRatio(col("text"), col("tk")).as("sr"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r(1L) - (2.0 + 2.0) / 4) < 1e-12) // 4 tokens
+    assert(r(2L) == 0.0 && r(3L) == 0.0)
+  }
+
   test("pii redaction replaces emails and phone-like digit runs") {
     val df = Seq(
       (1L, "contact bob.smith+x@example.co or +31 6 1234 5678 now"),

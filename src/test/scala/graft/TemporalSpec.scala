@@ -7,8 +7,6 @@ import graft.scale.Temporal
 class TemporalSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ts(s: String) = to_timestamp(lit(s))
-
   private val quotes = Seq(
     // (key, ts, quote_id, px)
     (1L, "2024-01-01 10:00:00", 100L, 1.0),
