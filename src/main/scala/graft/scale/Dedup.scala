@@ -81,6 +81,11 @@ object Dedup {
       k: Int = 16, bands: Int = 4, jaccardThreshold: Double = 0.5,
       shingleN: Int = 3): DataFrame = {
     val rows = k / bands
+    // the tokenize→shingle→md5→minhash chain is the CPU-heavy stage and is
+    // consumed by THREE plan branches (banding, and both sides of the
+    // verification join) — materialize it once (localCheckpoint: executor-
+    // local storage, lineage severed, reclaimed by the context cleaner on
+    // GC) instead of re-running the chain per branch
     val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
       .withColumn("shingle_set",
@@ -88,6 +93,8 @@ object Dedup {
         else TextAnalysis.shinglesOf(col("tk"), shingleN))
       .withColumn("hashed", hashedElems(col("shingle_set")))
       .withColumn("sig", minhashFromHashes(col("hashed"), k))
+      .select("id", "shingle_set", "sig")
+      .localCheckpoint(true)
     val sets = sig.select(col("id"), col("shingle_set"))
     // bands carry only (id, band, hash): the heavy shingle arrays do NOT
     // ride through the candidate join
