@@ -163,58 +163,93 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** Duplicate-group clustering: connected components over a near-dup pair
-    * list via iterative min-label propagation; each iteration is one
-    * distributed join + aggregate, so the loop is driver-controlled but the
-    * data never leaves executors. One-hop propagation needs O(component
-    * diameter) iterations — near-dup clusters are shallow in practice, and
-    * the loop THROWS rather than return unconverged (wrong) labels when
-    * `maxIter` is hit. Returns (id, component) with component = min id of
-    * the cluster; singletons map to themselves. The result is eagerly
-    * local-checkpointed (lineage severed), so callers get materialized
-    * labels whose storage the context cleaner reclaims on GC. */
+    * list via alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14). Each round
+    * rewires every edge toward the minimum of its endpoint's neighborhood —
+    * two join+aggregate passes per round, data never leaves executors — and
+    * the edge set converges to a star forest (component-min centers) in
+    * O(log² n) rounds REGARDLESS of component diameter, where one-hop label
+    * propagation needs O(diameter) rounds and dies on long near-dup chains.
+    * The loop THROWS rather than return unconverged (wrong) labels when
+    * `maxIter` rounds pass without a fixed point. Returns (id, component)
+    * with component = min id of the cluster; singletons map to themselves.
+    * The result is eagerly local-checkpointed (lineage severed), so callers
+    * get materialized labels whose storage the context cleaner reclaims on
+    * GC. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().cache()
-    // labels is a projection over the cached frame; track the cached frame
-    // itself so unpersist hits the actual storage, not a derived plan —
-    // declared outside the try so the non-convergence throw path also
-    // releases the final iteration's cache
-    var cachedPrev: DataFrame = null
-    try {
-      var labels = edges.select(col("src").as("id"))
-        .distinct().withColumn("component", col("id"))
-      var iter = 0
-      var converged = false
-      while (iter < maxIter && !converged) {
-        // each node adopts the min component among itself and its neighbors;
-        // the previous label rides along so convergence detection is a filter
-        // on the same materialized plan, not a second join
-        val nbrMin = edges
-          .join(labels.withColumnRenamed("id", "src"), "src")
-          .groupBy(col("dst").as("id")).agg(min("component").as("nbr_min"))
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("component"),
-              coalesce(col("nbr_min"), col("component"))).as("component"),
-            col("component").as("prev"))
-          .cache()
-        converged = next.filter(col("component") =!= col("prev"))
-          .limit(1).isEmpty
-        if (cachedPrev != null) cachedPrev.unpersist()
-        cachedPrev = next
-        labels = next.select("id", "component")
-        iter += 1
-      }
-      if (!converged) throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter iterations " +
-          "(component diameter exceeds maxIter)")
-      labels.localCheckpoint(true)
-    } finally {
-      edges.unpersist()
-      if (cachedPrev != null) cachedPrev.unpersist()
+    // canonical undirected edges u < v; nodes = every id that appeared
+    val raw = pairs.select(least(col(idA), col(idB)).as("u"),
+      greatest(col(idA), col(idB)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val nodes = pairs.select(col(idA).as("id"))
+      .unionByName(pairs.select(col(idB).as("id"))).distinct()
+      .localCheckpoint(true)
+
+    // one star pass: from a canonical edge set, compute per-node
+    // m = min(neighborhood ∪ self) and rewire. Large-star moves strictly
+    // LARGER neighbors to m; small-star moves smaller-or-equal neighbors
+    // and the node itself to m. Both emit canonical (m ≤ other) edges.
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val rewired =
+        if (large)
+          sym.join(m, "u").filter(col("v") > col("u"))
+            .select(col("m").as("u"), col("v"))
+        else
+          sym.join(m, "u").filter(col("v") < col("u"))
+            .select(col("m").as("u"), col("v"))
+            .unionByName(m.select(col("m").as("u"), col("u").as("v")))
+      rewired.filter(col("u") =!= col("v")).distinct()
     }
+
+    // every round frame is eagerly localCheckpoint'ed, NOT cached: a cache
+    // keeps the logical lineage, and since each star pass references its
+    // input four ways (both union directions, the min-aggregate, the rewire
+    // join) the analyzed plan would grow ~4× PER ROUND — exponential
+    // analysis cost by round ~8. The checkpoint makes each round a leaf;
+    // its storage is reclaimed by the context cleaner on GC.
+    // convergence probe: (edge count, Σ xxhash64(u,v) in exact DECIMAL —
+    // deterministic for any id type, no float reordering, no ANSI
+    // overflow). An unchanged probe is a cheap one-job NECESSARY signal;
+    // set equality is then CONFIRMED with an anti-join (sound) only on
+    // rounds where the probe matches.
+    def probe(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    var edges = raw.localCheckpoint(true)
+    var prevProbe = probe(edges)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // the mid frame is consumed four ways by the small-star pass within
+      // this round only — a plain cache computes it once without another
+      // checkpoint write
+      val mid = star(edges, large = true).cache()
+      try {
+        val next = star(mid, large = false).localCheckpoint(true)
+        val nextProbe = probe(next)
+        // sets are distinct: equal iff same count and next ⊆ edges
+        converged = nextProbe == prevProbe &&
+          next.join(edges, Seq("u", "v"), "left_anti").limit(1).isEmpty
+        edges = next
+        prevProbe = nextProbe
+      } finally mid.unpersist()
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds")
+    // converged edges are a star forest: (center=u, leaf=v) with u the
+    // component min; centers label themselves via the left join fallback
+    nodes.join(edges.select(col("v").as("id"), col("u").as("comp")),
+        Seq("id"), "left")
+      .groupBy("id").agg(min(coalesce(col("comp"), col("id"))).as("component"))
+      .localCheckpoint(true)
   }
 
   /** Embedding-cosine near-duplicate pairs, bucketed by a coarse key (e.g.

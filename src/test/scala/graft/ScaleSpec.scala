@@ -74,6 +74,15 @@ class ScaleSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connected components: a deep chain converges in O(log² n) rounds") {
+    // diameter 255 — one-hop label propagation would need 255 rounds and
+    // blow the round budget; star contraction must finish well inside it
+    val chain = (1L until 256L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 256 && cc.values.forall(_ == 1L))
+  }
+
   test("jaccard: exact bounds") {
     val df = Seq((Seq("a", "b"), Seq("b", "c")), (Seq("a"), Seq("a")))
       .toDF("x", "y")
