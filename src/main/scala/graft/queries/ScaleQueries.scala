@@ -210,6 +210,13 @@ object ScaleQueries {
         .select("vec_id", "assigned").orderBy("vec_id")
     }),
 
+    // Full k-means training loop: deterministic min-id seeding, 2 Lloyd's
+    // rounds (E-step broadcasts centroid literals, M-step decimal-mean)
+    "emb_kmeans_fit" -> ((s, d) =>
+      Similarity.kmeansFit(emb(s, d), "vec_id", "embedding", k = 4, iters = 2)
+        .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))
+        .orderBy("label", "pos")),
+
     // Symmetric int8 quantization (scale materialized, then per-element)
     "emb_quantize" -> ((s, d) =>
       emb(s, d)
@@ -605,6 +612,43 @@ object ScaleQueries {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
         |  FROM d2)
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "emb_kmeans_fit" ->
+      """WITH dim AS (SELECT unnest(range(1,
+        |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS label,
+        |  embedding FROM (SELECT vec_id, embedding FROM embeddings
+        |    ORDER BY vec_id LIMIT 4)),
+        |c0 AS (SELECT label, i AS pos,
+        |  round(CAST(embedding[i] AS DOUBLE), 4) AS centroid
+        |  FROM seeds CROSS JOIN dim),
+        |d1 AS (SELECT e.vec_id, c.label,
+        |  sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid) *
+        |      (CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid)) AS d2
+        |  FROM embeddings e CROSS JOIN c0 c GROUP BY e.vec_id, c.label),
+        |a1 AS (SELECT vec_id, label FROM (
+        |  SELECT vec_id, label, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, label) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |c1 AS (SELECT a.label, i AS pos,
+        |  round(CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)
+        |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
+        |  FROM embeddings e JOIN a1 a USING (vec_id) CROSS JOIN dim
+        |  GROUP BY a.label, i),
+        |d2s AS (SELECT e.vec_id, c.label,
+        |  sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid) *
+        |      (CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid)) AS d2
+        |  FROM embeddings e CROSS JOIN c1 c GROUP BY e.vec_id, c.label),
+        |a2 AS (SELECT vec_id, label FROM (
+        |  SELECT vec_id, label, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, label) AS rn FROM d2s)
+        |  WHERE rn = 1),
+        |c2 AS (SELECT a.label, i AS pos,
+        |  round(CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)
+        |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
+        |  FROM embeddings e JOIN a2 a USING (vec_id) CROSS JOIN dim
+        |  GROUP BY a.label, i)
+        |SELECT label, pos, centroid FROM c2 ORDER BY label, pos""".stripMargin,
 
     "emb_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,

@@ -186,4 +186,32 @@ object Similarity {
     // then smallest label) — the deterministic tie-break for free
     df.withColumn("assigned", array_min(scored).getField("label"))
   }
+
+  /** Full k-means training loop (Lloyd's algorithm) composed from the E/M
+    * steps above. Deterministic seeding: the k rows with the smallest ids
+    * seed centroids labeled 1..k (no RNG — reproducible across runs and
+    * engines). Each round the E-step collects the k × dim centroid frame
+    * into broadcast plan literals, so the loop's lineage stays FLAT — every
+    * iteration's plan is (corpus scan + literals), nothing accumulates and
+    * no checkpointing is needed; per round the corpus is scanned twice
+    * (assign + re-average). A label whose cluster empties simply drops out
+    * (standard Lloyd's behavior). Returns the final (label, pos, centroid)
+    * frame, `pos` 1-based. */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, scale: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(iters > 0, "iters must be positive")
+    val w = Window.orderBy(col(idCol).asc)
+    var cents = df.orderBy(col(idCol).asc).limit(k)
+      .withColumn("label", row_number().over(w).cast("long"))
+      .select(col("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).as("pos"),
+        round(col("v").cast("double"), scale).as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = assignToNearest(df, cents, idCol, vecCol)
+        .select(col("assigned").as("label"), col(vecCol).as("vec"))
+      cents = centroids(assigned, "label", "vec", scale)
+    }
+    cents
+  }
 }

@@ -126,4 +126,21 @@ class SamplingAndRepetitionSpec extends SparkSpec {
       .select("vec_id", "assigned").as[(Long, Long)].collect().toMap
     assert(assigned == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("kmeansFit converges to cluster means from min-id seeds") {
+    // ids 1 and 2 sit in different clusters, so the two min-id seeds start
+    // one per cluster; after 3 Lloyd's rounds the centroids are the means
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f)), (3L, Seq(0.2f, 0.0f)), (5L, Seq(0.0f, 0.2f)),
+      (2L, Seq(10.0f, 10.0f)), (4L, Seq(10.2f, 10.0f)), (6L, Seq(10.0f, 10.2f))
+    ).toDF("vec_id", "embedding")
+    val cm = Similarity.kmeansFit(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Int, Double)].collect()
+      .map { case (l, p, v) => (l, p) -> v }.toMap
+    assert(cm.size == 4)
+    assert(math.abs(cm((1L, 1)) - 0.0667) < 1e-12)   // mean of 0, .2, 0
+    assert(math.abs(cm((1L, 2)) - 0.0667) < 1e-12)
+    assert(math.abs(cm((2L, 1)) - 10.0667) < 1e-12)
+    assert(math.abs(cm((2L, 2)) - 10.0667) < 1e-12)
+  }
 }
