@@ -64,6 +64,19 @@ object EventStream {
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
 
+  /** Streaming exact dedup with BOUNDED state: duplicates arriving within
+    * the watermark horizon are dropped, and per-key state is evicted once
+    * the watermark passes — unlike a streaming `dropDuplicates`, whose
+    * state grows with every key ever seen (unusable on an unbounded
+    * 100 TB/day stream). Batch equivalent (what the oracle checks):
+    * `dropDuplicates(keys)` when all duplicates fall inside one horizon.
+    * `keys` must NOT include the event-time column — equal-key rows with
+    * different timestamps inside the horizon are duplicates by contract. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      horizon: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming entry: file-source stream over a parquet directory, windowed
     * aggregation, processed with `Trigger.AvailableNow` (the reference's
     * poll-until-drained model). Used by the streaming spec via the memory

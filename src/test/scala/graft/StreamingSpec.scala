@@ -61,6 +61,39 @@ class StreamingSpec extends SparkSpec {
     assert(out("2024-01-01 00:00:00") == (2L, 3.0))
   }
 
+  test("streaming dedup: duplicates inside the horizon drop, state evicts after it") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd").toString
+    def ev(id: Long, ts: String, user: Long) =
+      (id, java.sql.Timestamp.valueOf(ts), user, "click", 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // batch 1: two same-key events 5 min apart (inside the 10-min horizon —
+    // the second is a duplicate) + another key at 01:00 that pushes the
+    // watermark to 00:50, past the first event's expiration
+    Seq(ev(1, "2024-01-01 00:00:00", 1L), ev(2, "2024-01-01 00:05:00", 1L),
+      ev(3, "2024-01-01 01:00:00", 2L))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$dir/ev")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$dir/ev").schema).parquet(s"$dir/ev")
+      val q = EventStream.dedupWithinWatermark(
+          stream, Seq("user_id", "event_type"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/cp")
+        .format("parquet").option("path", s"$dir/out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // batch 2: the same key again, AFTER its state was evicted → re-emitted
+    Seq(ev(4, "2024-01-01 01:00:00", 1L))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(s"$dir/ev")
+    runOnce()
+    val ids = spark.read.parquet(s"$dir/out")
+      .select("event_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 4L))
+  }
+
   test("sessionize: gap splits sessions, ids are contiguous per user") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0),
