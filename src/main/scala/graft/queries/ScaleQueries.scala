@@ -170,6 +170,18 @@ object ScaleQueries {
           TextAnalysis.symbolRatio(col("text"), col("tk")).as("symbol_ratio"))
         .orderBy("doc_id")),
 
+    // Context-window chunking: 50-token chunks, 10-token overlap (chunk
+    // text fingerprinted so the result stays narrow)
+    "tx_chunks" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunkTokens(col("tk"), 50, 10)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_index"),
+          size(TextAnalysis.tokens(col("col"))).cast("long").as("n_tokens"),
+          md5(col("col")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_index")),
+
     // PII redaction: emails + long digit runs → typed tokens
     "tx_redact" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -517,6 +529,18 @@ object ScaleQueries {
         |SELECT id, CAST(n % 640 + 1 AS INT) AS width,
         |  CAST(bsum % 480 + 1 AS INT) AS height
         |FROM b ORDER BY id""".stripMargin,
+
+    "tx_chunks" ->
+      s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
+         |x AS (SELECT doc_id, tk, unnest(range(0,
+         |  CASE WHEN len(tk) = 0 THEN 0
+         |    ELSE greatest(CAST(ceil((len(tk) - 10) / 40.0) AS BIGINT), 1)
+         |  END)) AS chunk_index FROM tok)
+         |SELECT doc_id, chunk_index,
+         |  len(tk[(chunk_index*40+1):(chunk_index*40+50)]) AS n_tokens,
+         |  md5(array_to_string(tk[(chunk_index*40+1):(chunk_index*40+50)],
+         |    ' ')) AS chunk_md5
+         |FROM x ORDER BY doc_id, chunk_index""".stripMargin,
 
     "tx_repetition" -> {
       def grams(n: Int): String = {

@@ -110,6 +110,29 @@ object TextAnalysis {
       slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
       (_, i) => concat_ws(" ", slice(toks, i + 1, lit(n))))
 
+  /** Fixed-size token chunks with overlap (the training-data windowing
+    * step: context-length-bounded chunks whose `overlap` leading tokens
+    * repeat the previous chunk's tail). Chunk i covers tokens
+    * [i·stride+1, i·stride+chunkSize], stride = chunkSize − overlap; the
+    * last chunk may be short, and any non-empty document yields at least
+    * one chunk. Returns an array of space-joined chunk strings — per-row
+    * expression over a PRE-MATERIALIZED token column, zero shuffles. */
+  def chunkTokens(toks: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap vs $chunkSize")
+    val stride = chunkSize - overlap
+    val n = greatest(
+      ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"),
+      lit(1))
+    // empty docs: guard BEFORE sequence(0, n-1) — sequence infers step -1
+    // for a descending range, so sequence(0, -1) would not be empty
+    when(size(toks) > 0,
+      transform(sequence(lit(0), n - 1),
+        i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize)))))
+      .otherwise(array())
+  }
+
   /** Fraction of n-gram occurrences that are repeats of an earlier n-gram
     * (Gopher-style "duplicate n-gram fraction", Rae et al. '21 §A1.1):
     * 1 - distinct/total, over a PRE-MATERIALIZED n-gram array column (build

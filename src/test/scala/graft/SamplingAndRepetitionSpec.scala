@@ -58,6 +58,22 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(r(3L)._2 == 0.0 && r(3L)._3 == 0.0 && r(3L)._4 == 0)
   }
 
+  test("chunking: stride windows with overlap, short tail, empty doc") {
+    val df = Seq(
+      (1L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 toks → 2 chunks
+      (2L, "a b c"),                                  // ≤ chunk → 1 chunk
+      (3L, "")                                        // empty → none
+    ).toDF("doc_id", "text")
+      .withColumn("tk", TextAnalysis.tokens(col("text")))
+    val r = df.select(col("doc_id"),
+      TextAnalysis.chunkTokens(col("tk"), 10, 2).as("c"))
+      .as[(Long, Seq[String])].collect().toMap
+    // stride 8: chunk0 = t1..t10, chunk1 = t9..t11 (overlap 2, short tail)
+    assert(r(1L) == Seq((1 to 10).map("t" + _).mkString(" "),
+      (9 to 11).map("t" + _).mkString(" ")))
+    assert(r(2L) == Seq("a b c") && r(3L) == Seq.empty)
+  }
+
   test("symbol ratio counts hashes and ellipses against token count") {
     val df = Seq(
       (1L, "## see more... done...."),  // 2 '#'; "..." + "...." → 2 matches
