@@ -11,20 +11,22 @@ import graft.scale.TextAnalysis
   * distinct counts, quantile sketches — constant-size state instead of a
   * distinct shuffle / global sort) and TF-IDF term scoring. Sketch outputs
   * are verified against the EXACT value with a deterministic error-bound
-  * flag, so the DuckDB oracle (which computes the exact side and asserts
-  * the bound) hash-matches iff the sketch stays inside its guarantee. */
+  * flag; the DuckDB oracle computes the exact side and asserts the bound.
+  * The HLL bound is probabilistic (rsd is a standard deviation, not a hard
+  * cap), so the flag's threshold is set with overwhelming margin — ≥5σ —
+  * rather than at the typical error. */
 object AnalyticsQueries {
   type QF = (SparkSession, String) => DataFrame
 
   val queries: Map[String, QF] = Map(
-    // HLL++ distinct count per group vs exact — flag asserts ≤10% rel. error
-    // (rsd 0.05 ⇒ typical error a few %; the sketch state is ~KB per group
+    // HLL++ distinct count per group vs exact — flag asserts ≤10% rel.
+    // error at rsd 0.02, a ≥5σ margin (the sketch state is ~KB per group
     // where countDistinct shuffles every distinct key)
     "sk_approx_distinct" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_orderkey")).as("exact_cnt"),
-          approx_count_distinct(col("l_orderkey"), 0.05).as("approx"))
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
         .select(col("l_returnflag"), col("exact_cnt"),
           (abs(col("approx") - col("exact_cnt")) <=
             col("exact_cnt") * 0.1).as("within_10pct"))

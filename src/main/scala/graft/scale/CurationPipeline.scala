@@ -37,12 +37,12 @@ object CurationPipeline {
     val tagged = quality.withColumn("predicted_lang",
       TextAnalysis.langId(col(textCol)))
     // 3. exact dedup — one fingerprint shuffle. Materialized once
-    // (localCheckpoint, storage reclaimed on GC): the survivor set feeds
-    // both the LSH pair mining (consumed eagerly by the component loop)
-    // and the final anti-join — without this the corpus scan + fingerprint
-    // window would run twice.
-    val exact = Dedup.exactSurvivors(tagged, idCol, textCol)
-      .localCheckpoint(true)
+    // (Materialize: lineage severed, reliable checkpoint when configured):
+    // the survivor set feeds both the LSH pair mining (consumed by the
+    // component loop) and the final anti-join — without this the corpus
+    // scan + fingerprint window would run twice.
+    val exact = graft.io.Materialize(
+      Dedup.exactSurvivors(tagged, idCol, textCol))
     // 4. fuzzy dedup — banded LSH + verification + clustering; each cluster
     // keeps its minimal id (the component label)
     val pairs = Dedup.minhashCandidates(exact, idCol, textCol,

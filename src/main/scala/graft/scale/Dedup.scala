@@ -83,18 +83,18 @@ object Dedup {
     val rows = k / bands
     // the tokenize→shingle→md5→minhash chain is the CPU-heavy stage and is
     // consumed by THREE plan branches (banding, and both sides of the
-    // verification join) — materialize it once (localCheckpoint: executor-
-    // local storage, lineage severed, reclaimed by the context cleaner on
-    // GC) instead of re-running the chain per branch
-    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
-      .withColumn("shingle_set",
-        if (shingleN <= 1) array_distinct(col("tk"))
-        else TextAnalysis.shinglesOf(col("tk"), shingleN))
-      .withColumn("hashed", hashedElems(col("shingle_set")))
-      .withColumn("sig", minhashFromHashes(col("hashed"), k))
-      .select("id", "shingle_set", "sig")
-      .localCheckpoint(true)
+    // verification join) — materialize it once (Materialize: reliable
+    // checkpoint when a checkpoint dir is set, executor-local otherwise)
+    // instead of re-running the chain per branch
+    val sig = graft.io.Materialize(
+      df.select(col(idCol).as("id"), col(textCol).as("text"))
+        .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
+        .withColumn("shingle_set",
+          if (shingleN <= 1) array_distinct(col("tk"))
+          else TextAnalysis.shinglesOf(col("tk"), shingleN))
+        .withColumn("hashed", hashedElems(col("shingle_set")))
+        .withColumn("sig", minhashFromHashes(col("hashed"), k))
+        .select("id", "shingle_set", "sig"))
     val sets = sig.select(col("id"), col("shingle_set"))
     // bands carry only (id, band, hash): the heavy shingle arrays do NOT
     // ride through the candidate join
@@ -173,18 +173,17 @@ object Dedup {
     * The loop THROWS rather than return unconverged (wrong) labels when
     * `maxIter` rounds pass without a fixed point. Returns (id, component)
     * with component = min id of the cluster; singletons map to themselves.
-    * The result is eagerly local-checkpointed (lineage severed), so callers
-    * get materialized labels whose storage the context cleaner reclaims on
-    * GC. */
+    * The result is lineage-severed via [[graft.io.Materialize]] so callers
+    * reuse the converged labels without replaying the loop. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 50): DataFrame = {
     // canonical undirected edges u < v; nodes = every id that appeared
     val raw = pairs.select(least(col(idA), col(idB)).as("u"),
       greatest(col(idA), col(idB)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    val nodes = pairs.select(col(idA).as("id"))
-      .unionByName(pairs.select(col(idB).as("id"))).distinct()
-      .localCheckpoint(true)
+    val nodes = graft.io.Materialize(
+      pairs.select(col(idA).as("id"))
+        .unionByName(pairs.select(col(idB).as("id"))).distinct())
 
     // one star pass: from a canonical edge set, compute per-node
     // m = min(neighborhood ∪ self) and rewire. Large-star moves strictly
@@ -205,12 +204,13 @@ object Dedup {
       rewired.filter(col("u") =!= col("v")).distinct()
     }
 
-    // every round frame is eagerly localCheckpoint'ed, NOT cached: a cache
+    // every round frame is checkpointed (Materialize), NOT cached: a cache
     // keeps the logical lineage, and since each star pass references its
     // input four ways (both union directions, the min-aggregate, the rewire
     // join) the analyzed plan would grow ~4× PER ROUND — exponential
     // analysis cost by round ~8. The checkpoint makes each round a leaf;
-    // its storage is reclaimed by the context cleaner on GC.
+    // the probe action right after materializes it (lazy checkpoint costs
+    // nothing here), and reliable mode survives executor loss mid-loop.
     // convergence probe: (edge count, Σ xxhash64(u,v) in exact DECIMAL —
     // deterministic for any id type, no float reordering, no ANSI
     // overflow). An unchanged probe is a cheap one-job NECESSARY signal;
@@ -222,7 +222,7 @@ object Dedup {
       (r.getLong(0),
         if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
-    var edges = raw.localCheckpoint(true)
+    var edges = graft.io.Materialize(raw)
     var prevProbe = probe(edges)
     var iter = 0
     var converged = false
@@ -232,7 +232,7 @@ object Dedup {
       // checkpoint write
       val mid = star(edges, large = true).cache()
       try {
-        val next = star(mid, large = false).localCheckpoint(true)
+        val next = graft.io.Materialize(star(mid, large = false))
         val nextProbe = probe(next)
         // sets are distinct: equal iff same count and next ⊆ edges
         converged = nextProbe == prevProbe &&
@@ -246,10 +246,10 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds")
     // converged edges are a star forest: (center=u, leaf=v) with u the
     // component min; centers label themselves via the left join fallback
-    nodes.join(edges.select(col("v").as("id"), col("u").as("comp")),
-        Seq("id"), "left")
-      .groupBy("id").agg(min(coalesce(col("comp"), col("id"))).as("component"))
-      .localCheckpoint(true)
+    graft.io.Materialize(
+      nodes.join(edges.select(col("v").as("id"), col("u").as("comp")),
+          Seq("id"), "left")
+        .groupBy("id").agg(min(coalesce(col("comp"), col("id"))).as("component")))
   }
 
   /** Embedding-cosine near-duplicate pairs, bucketed by a coarse key (e.g.

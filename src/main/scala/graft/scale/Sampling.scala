@@ -37,11 +37,12 @@ object Sampling {
     * so skewed groups don't blow memory. */
   def stratifiedQuota(df: DataFrame, groupCol: String, idCol: String,
       quota: Int): DataFrame = {
+    val rnC = Cols.fresh("__rn", df.columns)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(hashBucket(col(idCol)).asc, col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= quota)
-      .drop("__rn")
+    df.withColumn(rnC, row_number().over(w))
+      .filter(col(rnC) <= quota)
+      .drop(rnC)
   }
 
   /** Token-budget shard assignment: documents are laid out in `orderCol`
@@ -57,11 +58,12 @@ object Sampling {
   def packByTokenBudget(df: DataFrame, orderCol: String, tokenCountCol: String,
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budget must be positive")
+    val cumC = Cols.fresh("__cum", df.columns)
     val w = Window.orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokenCountCol)).over(w))
+    df.withColumn(cumC, sum(col(tokenCountCol)).over(w))
       .withColumn("shard_id",
-        ((col("__cum") - col(tokenCountCol)) / budgetTokens).cast("long"))
-      .drop("__cum")
+        ((col(cumC) - col(tokenCountCol)) / budgetTokens).cast("long"))
+      .drop(cumC)
   }
 }

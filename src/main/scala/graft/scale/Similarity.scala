@@ -140,15 +140,34 @@ object Similarity {
     * (exact, order-independent) rather than double (partition-order
     * sensitive in the last bits), so the mean is bit-stable under
     * re-partitioning/AQE; it is then rounded to `scale` decimals.
-    * `pos` is 1-based. */
+    * `pos` is 1-based.
+    *
+    * Ragged input (vectors of differing length under one label) would make
+    * "mean per dimension" over silently varying denominators; instead of
+    * producing a divergent mean, the plan fails loudly: within each label
+    * every dimension must have been observed in every vector. The guard is
+    * a window over the already-reduced #labels × dim frame — negligible. */
   def centroids(df: DataFrame, labelCol: String, vecCol: String,
-      scale: Int = 4): DataFrame =
-    df.select(col(labelCol).as("label"),
+      scale: Int = 4): DataFrame = {
+    val perDim = df.select(col(labelCol).as("label"),
         posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("label"), (col("pos") + 1).as("pos"))
-      .agg(round(
-        sum(col("v").cast("double").cast("decimal(27,9)")).cast("double") /
-          count(lit(1)), scale).as("centroid"))
+      .agg(
+        round(
+          sum(col("v").cast("double").cast("decimal(27,9)")).cast("double") /
+            count(lit(1)), scale).as("centroid"),
+        count(lit(1)).as("_n"))
+    val w = Window.partitionBy("label")
+    perDim
+      .withColumn("_nmax", max(col("_n")).over(w))
+      .select(col("label"), col("pos"),
+        when(col("_n") =!= col("_nmax"), raise_error(concat(
+          lit("ragged embedding vectors under label "), col("label").cast("string"),
+          lit(": dim "), col("pos").cast("string"),
+          lit(" observed in "), col("_n").cast("string"),
+          lit(" of "), col("_nmax").cast("string"), lit(" rows"))))
+          .otherwise(col("centroid")).as("centroid"))
+  }
 
   /** Assign each vector to its nearest centroid by squared L2 distance (the
     * k-means E-step). `cents` must be small (#labels × dim rows — it is

@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,29 +28,44 @@ object Temporal {
     * Contract: `left` and `right` both contain `keyCol` and `tsCol`;
     * `payload` names columns of `right` (disjoint from `left`'s columns).
     * Output: all left columns + the payload columns (null where no right
-    * row precedes — left-join semantics).
+    * row precedes — left-join semantics). Scratch columns are named to
+    * avoid the inputs' columns, and nested access uses `getField`, so
+    * dotted or underscore-prefixed user columns are safe.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val lStructT = left.select(struct(leftCols.map(col): _*).as("_l"))
-      .schema("_l").dataType
-    val pStructT = right.select(struct(payload.map(col): _*).as("_p"))
-      .schema("_p").dataType
-    val lp = left.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
-      struct(leftCols.map(col): _*).as("_l"),
-      lit(null).cast(pStructT).as("_p"), lit(0).as("_side"))
-    val rp = right.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
-      lit(null).cast(lStructT).as("_l"),
-      struct(payload.map(col): _*).as("_p"), lit(1).as("_side"))
-    val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_ts").asc, col("_side").desc, col("_p").asc)
+    val taken = leftCols ++ right.columns
+    val (kC, tsC, lC, pC, sideC, carriedC) = (
+      Cols.fresh("_k", taken), Cols.fresh("_ts", taken),
+      Cols.fresh("_l", taken), Cols.fresh("_p", taken),
+      Cols.fresh("_side", taken), Cols.fresh("_carried", taken))
+    val lStructT = left.select(struct(leftCols.map(col): _*).as(lC))
+      .schema(lC).dataType
+    val pStructT = right.select(struct(payload.map(col): _*).as(pC))
+      .schema(pC).dataType
+    val lp = left.select(col(keyCol).as(kC), col(tsCol).as(tsC),
+      struct(leftCols.map(col): _*).as(lC),
+      lit(null).cast(pStructT).as(pC), lit(0).as(sideC))
+    val rp = right.select(col(keyCol).as(kC), col(tsCol).as(tsC),
+      lit(null).cast(lStructT).as(lC),
+      struct(payload.map(col): _*).as(pC), lit(1).as(sideC))
+    val w = Window.partitionBy(col(kC))
+      .orderBy(col(tsC).asc, col(sideC).desc, col(pC).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lp.unionByName(rp)
-      .withColumn("_carried", last(col("_p"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 0)
-      .select(leftCols.map(c => col(s"_l.$c").as(c)) ++
-        payload.map(p => col(s"_carried.$p").as(p)): _*)
+      .withColumn(carriedC, last(col(pC), ignoreNulls = true).over(w))
+      .filter(col(sideC) === 0)
+      .select(leftCols.map(c => col(lC).getField(c).as(c)) ++
+        payload.map(p => col(carriedC).getField(p).as(p)): _*)
+  }
+
+  /** Time-bin id: exact integer division of the epoch-microsecond value —
+    * Column API only (no SQL-text splicing, arbitrary column exprs work). */
+  private def binOf(ts: Column, binMicros: Long): Column = {
+    val us = unix_micros(ts)
+    // integer-exact floor division for non-negative timestamps (contract)
+    ((us - (us % binMicros)) / binMicros).cast("long")
   }
 
   /** Interval × point range join: pairs every interval `[startCol, endCol]`
@@ -70,14 +85,12 @@ object Temporal {
       startCol: String, endCol: String, tsCol: String,
       binMicros: Long): DataFrame = {
     require(binMicros > 0, "binMicros must be positive")
-    val ib = intervals
-      .withColumn("_bin", explode(sequence(
-        expr(s"unix_micros($startCol) div $binMicros"),
-        expr(s"unix_micros($endCol) div $binMicros"))))
-    val pb = points
-      .withColumn("_bin", expr(s"unix_micros($tsCol) div $binMicros"))
-    ib.join(pb, Seq(keyCol, "_bin"))
+    val binC = Cols.fresh("_bin", intervals.columns ++ points.columns)
+    val ib = intervals.withColumn(binC, explode(sequence(
+      binOf(col(startCol), binMicros), binOf(col(endCol), binMicros))))
+    val pb = points.withColumn(binC, binOf(col(tsCol), binMicros))
+    ib.join(pb, Seq(keyCol, binC))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
-      .drop("_bin")
+      .drop(binC)
   }
 }

@@ -28,7 +28,7 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("sketch aggregates stay inside their error bounds on real data") {
-    val dir = "/root/testdata/sf0.001"
+    val dir = sfDir
     val dist = graft.queries.AnalyticsQueries.queries("sk_approx_distinct")(spark, dir)
     assert(dist.filter(!$"within_10pct").count() == 0)
     val quant = graft.queries.AnalyticsQueries.queries("sk_approx_quantile")(spark, dir)

@@ -47,7 +47,7 @@ class EdgeCaseSpec extends SparkSpec {
 
   test("JSON-lines document source round-trips the profile") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
-    val docs = Tables.orderDocs(spark, "/root/testdata/sf0.001").limit(200)
+    val docs = Tables.orderDocs(spark, sfDir).limit(200)
     docs.write.mode("overwrite").json(s"$dir/docs")
     val back = DocumentSource.jsonLines(spark, s"$dir/docs")
     val pa = SchemaProfiler.collectProfile(back)

@@ -4,7 +4,7 @@ import graft.workflow.Menu
 
 /** O8: menu dispatch — each option drives the engine API; q exits. */
 class MenuSpec extends SparkSpec {
-  private val sfDir = "/root/testdata/sf0.001"
+  
 
   test("menu options dispatch and report; q exits; unknown tolerated") {
     val out = java.nio.file.Files.createTempDirectory("graft_menu").toString

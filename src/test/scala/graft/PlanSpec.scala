@@ -6,7 +6,7 @@ import graft.queries.CoreQueries
   * asserted here so a refactor that silently loses pushdown, broadcast, or
   * the top-k operator fails the suite, not just the benchmark. */
 class PlanSpec extends SparkSpec {
-  private val sfDir = "/root/testdata/sf0.001"
+  
 
   private def plan(name: String): String =
     CoreQueries.queries(name)(spark, sfDir)

@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * under sbt's default test execution within the forked JVM). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
-  def sf(name: String) = s"/root/testdata/sf0.001/$name.parquet"
+  /** Test-data root shared by every suite (override via GRAFT_TEST_SF_DIR). */
+  val sfDir: String =
+    sys.env.getOrElse("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+  def sf(name: String) = s"$sfDir/$name.parquet"
 }
 
 object SparkSpec {

@@ -9,7 +9,7 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   test("windowed agg: streaming AvailableNow == batch result") {
-    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val events = Tables.load(spark, sfDir, "events")
     // stream source needs a directory of parquet parts with a static schema
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     events.write.mode("overwrite").parquet(s"$dir/events")

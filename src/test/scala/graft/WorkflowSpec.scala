@@ -10,7 +10,7 @@ class WorkflowSpec extends SparkSpec {
   import spark.implicits._
 
   test("S5/F6: collection discovery filters system.* and sorts") {
-    val names = MigrationWorkflow.discoverCollections(spark, "/root/testdata/sf0.001")
+    val names = MigrationWorkflow.discoverCollections(spark, sfDir)
     assert(names == names.sorted)
     assert(names.contains("orders") && names.contains("lineitem"))
     assert(!names.exists(_.startsWith("system.")))
@@ -18,7 +18,7 @@ class WorkflowSpec extends SparkSpec {
 
   test("O2: full migration writes all tables + DDL artifact, validates PASSED") {
     val out = java.nio.file.Files.createTempDirectory("graft_wf").toString
-    val docs = Tables.orderDocs(spark, "/root/testdata/sf0.001")
+    val docs = Tables.orderDocs(spark, sfDir)
     val report = MigrationWorkflow.fullMigration(spark, docs,
       MigrationConfig("odocs", out, Dialect.MySQL, fullProfile = true))
     assert(report.status == "PASSED")
@@ -34,7 +34,7 @@ class WorkflowSpec extends SparkSpec {
 
   test("O3: incremental falls back to full when target missing, syncs when present") {
     val out = java.nio.file.Files.createTempDirectory("graft_wf2").toString
-    val docs = Tables.orderDocs(spark, "/root/testdata/sf0.001")
+    val docs = Tables.orderDocs(spark, sfDir)
     val cfg = MigrationConfig("odocs", out, Dialect.MySQL)
     val first = MigrationWorkflow.incrementalMigration(spark, docs, cfg)
     assert(first.isLeft) // fallback to full (MasterWorkflow.ps1:314-318)
@@ -53,7 +53,7 @@ class WorkflowSpec extends SparkSpec {
 
   test("O4: schemaOnly emits the model without moving data") {
     val out = java.nio.file.Files.createTempDirectory("graft_wf3").toString
-    val docs = Tables.orderDocs(spark, "/root/testdata/sf0.001")
+    val docs = Tables.orderDocs(spark, sfDir)
     val model = MigrationWorkflow.schemaOnly(spark, docs,
       MigrationConfig("odocs", out, Dialect.SQLServer))
     assert(model.map(_.name).toSet ==
