@@ -121,7 +121,10 @@ object SchemaProfiler {
   }
 
   /** One `(path, ftype)` row per field observation — the flattened form of
-    * the reference's per-document recursive fold (P2). */
+    * the reference's per-document recursive fold (P2). Row-explosion shape:
+    * useful when observation streams from differently-typed frames are
+    * unioned before aggregation (A3); [[profileDF]] has a cheaper
+    * fixed-schema path. */
   def observations(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.toSeq.flatMap(f =>
       obsFor(col(f.name), f.dataType, f.name, lit(true)))
@@ -129,9 +132,73 @@ object SchemaProfiler {
       .select(col("obs.path").as("path"), col("obs.ftype").as("ftype"))
   }
 
-  /** A1/A2: per-(path, type) histogram as a DataFrame. */
-  def profileDF(df: DataFrame): DataFrame =
-    observations(df).groupBy("path", "ftype").agg(count(lit(1)).as("cnt"))
+  /** Per-row count contributions for every (path, ftype) combination the
+    * schema can produce. Because a DataFrame column's type is STATIC, each
+    * path observes at most its schema tag or "null" per row — so the whole
+    * histogram is a fixed set of conditional counters, no row explosion.
+    * Mirrors [[obsFor]]/[[elemObs]] semantics exactly (null array elements
+    * of struct type contribute nothing; primitive nulls count as "null"). */
+  private def histExprs(c: Column, dt: DataType, path: String,
+      present: Column): Seq[(String, String, Column)] = {
+    def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+    val self = Seq(
+      (path, InferredType.of(dt).tag, cnt(present && c.isNotNull)),
+      (path, "null", cnt(present && c.isNull)))
+    val children = dt match {
+      case st: StructType =>
+        st.fields.toSeq.flatMap(f => histExprs(
+          c.getField(f.name), f.dataType, s"$path.${f.name}", present && c.isNotNull))
+      case ArrayType(st: StructType, _) =>
+        val base = s"$path[]"
+        val live = when(present && c.isNotNull, c).otherwise(array().cast(ArrayType(st)))
+        // non-null struct elements observe "object" at base; null elements
+        // contribute nothing (elemObs struct branch)
+        (base, "object", sum(size(filter(live, x => x.isNotNull)))) +:
+          st.fields.toSeq.flatMap { f => Seq(
+            (s"$base.${f.name}", InferredType.of(f.dataType).tag,
+              sum(size(filter(live, x =>
+                x.isNotNull && x.getField(f.name).isNotNull)))),
+            (s"$base.${f.name}", "null",
+              sum(size(filter(live, x =>
+                x.isNotNull && x.getField(f.name).isNull)))))
+          }
+      case ArrayType(et, _) =>
+        val base = s"$path[]"
+        val live = when(present && c.isNotNull, c).otherwise(array().cast(ArrayType(et)))
+        Seq(
+          (base, InferredType.of(et).tag, sum(size(filter(live, x => x.isNotNull)))),
+          (base, "null", sum(size(filter(live, x => x.isNull)))))
+      case _ => Nil
+    }
+    self ++ children
+  }
+
+  /** A1/A2: per-(path, type) histogram as a DataFrame.
+    *
+    * Computed as ONE single-pass aggregation with a conditional counter per
+    * possible (path, type) pair — a map-side partial aggregate whose state
+    * is bounded by schema size, with no per-observation row explosion. At
+    * 100 TB this is a plain scan; the old explode form materialized
+    * #rows × #paths intermediate tuples only to count them. Zero-count
+    * pairs are dropped, matching the observation semantics. */
+  def profileDF(df: DataFrame): DataFrame = {
+    val exprs = df.schema.fields.toSeq.flatMap(f =>
+      histExprs(col(f.name), f.dataType, f.name, lit(true)))
+    if (exprs.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .select(lit("").as("path"), lit("").as("ftype"), lit(0L).as("cnt"))
+        .limit(0)
+    val aliased = exprs.zipWithIndex.map { case ((_, _, e), i) => e.as(s"_c$i") }
+    val one = df.agg(aliased.head, aliased.tail: _*)
+    val rows = exprs.zipWithIndex.map { case ((p, t, _), i) =>
+      struct(lit(p).as("path"), lit(t).as("ftype"),
+        coalesce(col(s"_c$i"), lit(0L)).as("cnt"))
+    }
+    one.select(explode(array(rows: _*)).as("h"))
+      .select(col("h.path").as("path"), col("h.ftype").as("ftype"),
+        col("h.cnt").as("cnt"))
+      .filter(col("cnt") > 0)
+  }
 
   /** A3: per-path majority-type election as a DataFrame
     * (Sql_Schema_Generator.ps1:416). */
@@ -154,7 +221,12 @@ object SchemaProfiler {
       case _ if sampleSize > 0 => df.limit(sampleSize)
       case _ => df
     }
-    collectProfile(sample)
+    // collectProfile runs several actions (count, histogram, sample values,
+    // max lengths); the sample is ≤ sampleSize rows but its PLAN may be
+    // arbitrarily expensive — persist the bounded frame so the source is
+    // computed once, not once per action.
+    val cached = sample.persist()
+    try collectProfile(cached) finally cached.unpersist(false)
   }
 
   /** Collects the (small) per-path summary. Sample values: ≤3, truncated to

@@ -19,17 +19,18 @@ object AnalyticsQueries {
   type QF = (SparkSession, String) => DataFrame
 
   val queries: Map[String, QF] = Map(
-    // HLL++ distinct count per group vs exact — flag asserts ≤10% rel.
-    // error at rsd 0.02, a ≥5σ margin (the sketch state is ~KB per group
-    // where countDistinct shuffles every distinct key)
+    // HLL++ distinct count per group vs exact — flag asserts ≤20% rel.
+    // error at rsd 0.04, a 5σ margin (tighter rsd measured ~2× slower for
+    // no additional safety; the sketch state is ~KB per group where
+    // countDistinct shuffles every distinct key)
     "sk_approx_distinct" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_orderkey")).as("exact_cnt"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+          approx_count_distinct(col("l_orderkey"), 0.04).as("approx"))
         .select(col("l_returnflag"), col("exact_cnt"),
           (abs(col("approx") - col("exact_cnt")) <=
-            col("exact_cnt") * 0.1).as("within_10pct"))
+            col("exact_cnt") * 0.2).as("within_20pct"))
         .orderBy("l_returnflag")),
 
     // Quantile sketch (Greenwald-Khanna, accuracy 10000) vs exact
@@ -73,7 +74,7 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "sk_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_cnt,
-        |  TRUE AS within_10pct
+        |  TRUE AS within_20pct
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sk_approx_quantile" ->

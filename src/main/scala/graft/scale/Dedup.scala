@@ -189,19 +189,23 @@ object Dedup {
     // m = min(neighborhood ∪ self) and rewire. Large-star moves strictly
     // LARGER neighbors to m; small-star moves smaller-or-equal neighbors
     // and the node itself to m. Both emit canonical (m ≤ other) edges.
+    // Only the small-star (round-final) output is deduplicated: the
+    // min-aggregate is duplicate-insensitive and rewire dup growth within
+    // one round is bounded, so the mid-round distinct would buy nothing and
+    // cost a shuffle per round.
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val m = sym.groupBy("u")
         .agg(least(min(col("v")), col("u")).as("m"))
-      val rewired =
-        if (large)
-          sym.join(m, "u").filter(col("v") > col("u"))
-            .select(col("m").as("u"), col("v"))
-        else
-          sym.join(m, "u").filter(col("v") < col("u"))
-            .select(col("m").as("u"), col("v"))
-            .unionByName(m.select(col("m").as("u"), col("u").as("v")))
-      rewired.filter(col("u") =!= col("v")).distinct()
+      if (large)
+        sym.join(m, "u").filter(col("v") > col("u"))
+          .select(col("m").as("u"), col("v"))
+          .filter(col("u") =!= col("v"))
+      else
+        sym.join(m, "u").filter(col("v") < col("u"))
+          .select(col("m").as("u"), col("v"))
+          .unionByName(m.select(col("m").as("u"), col("u").as("v")))
+          .filter(col("u") =!= col("v")).distinct()
     }
 
     // every round frame is checkpointed (Materialize), NOT cached: a cache

@@ -147,18 +147,14 @@ object TextAnalysis {
 
   /** Fraction of n-gram occurrences taken by the single most frequent
     * n-gram (Gopher "top n-gram fraction"), over a PRE-MATERIALIZED n-gram
-    * array column. O(distinct × total) equality checks per row — bounded by
-    * document length, embarrassingly parallel. The gram array MUST be a
-    * materialized column: an inline [[ngramsAll]] expression here would be
-    * re-evaluated once per distinct gram inside the counting lambda
-    * (lambda-argument expressions re-evaluate per element — the engine-wide
-    * rule this file's tokenizers follow). */
+    * array column. The max frequency of any element equals the longest
+    * equal-element run of the SORTED array, so this is array_sort +
+    * [[maxTokenRun]]'s linear fold — O(n log n) per row instead of the
+    * O(distinct × total) pairwise-counting formulation. */
   def topFractionOfGrams(grams: Column): Column = {
     val total = size(grams)
-    val counts = transform(array_distinct(grams), g =>
-      size(filter(grams, x => x === g)))
     when(total > 0,
-      array_max(counts).cast("double") / total.cast("double"))
+      maxTokenRun(array_sort(grams)).cast("double") / total.cast("double"))
       .otherwise(lit(0.0))
   }
 

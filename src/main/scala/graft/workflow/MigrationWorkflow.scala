@@ -58,6 +58,12 @@ object MigrationWorkflow {
     * (Invoke-FullMigration, MasterWorkflow.ps1:226-282). */
   def fullMigration(spark: SparkSession, docs: DataFrame,
       cfg: MigrationConfig): MigrationReport = {
+    // NOTE deliberately NOT persisted: each phase's action prunes the
+    // document frame differently (the main-table write never builds the
+    // array columns, the profile sample reads 100 docs, reconciliation only
+    // counts), and Catalyst pushes that pruning into the source scans.
+    // Caching would materialize every column once up front — measured
+    // slower here and strictly worse at 100 TB.
     // [1/4] schema analysis (MasterWorkflow.ps1:248)
     val prof =
       if (cfg.fullProfile) SchemaProfiler.collectProfile(docs)
