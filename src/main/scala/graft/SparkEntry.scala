@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, ScaleQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CoverageQueries, ScaleQueries}
 import graft.types.Dialect
 import graft.workflow.{MigrationConfig, MigrationWorkflow}
 
@@ -24,10 +24,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ ScaleQueries.queries ++ AnalyticsQueries.queries
+    CoreQueries.queries ++ ScaleQueries.queries ++ AnalyticsQueries.queries ++
+      CoverageQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ ScaleQueries.oracles ++ AnalyticsQueries.oracles
+    CoreQueries.oracles ++ ScaleQueries.oracles ++ AnalyticsQueries.oracles ++
+      CoverageQueries.oracles
 }

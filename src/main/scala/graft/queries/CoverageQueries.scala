@@ -1,0 +1,282 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.Tables
+import graft.io.EngineConfig
+import graft.profile.SchemaProfiler
+import graft.types.{Dialect, InferredType, TypeMapper}
+import graft.validate.{ReportRenderer, Validator}
+import graft.workflow.{MigrationConfig, MigrationWorkflow}
+
+/** Oracle-checked queries for the SURVEY §2 operators whose implementations
+  * previously had only ScalaTest coverage: P3/P4 (type tagging, profile
+  * summary), S14/S15 (catalog DDL sinks), S17 (report renderers), S19
+  * (config source), X3 (JSON parse), O3/O4/O6 (incremental fallback,
+  * validation-only, scheduled sync). Each returns a DataFrame whose values
+  * are derivable by the DuckDB oracle from the same parquet tables (or are
+  * schema-determined constants). */
+object CoverageQueries {
+  type QF = (SparkSession, String) => DataFrame
+
+  /** Deterministic 10% document subset (keeps the workflow queries light at
+    * bench scale while staying oracle-computable: o_orderkey % 10 = 0). */
+  private def docsSubset(s: SparkSession, d: String): DataFrame =
+    Tables.orderDocs(s, d).filter(expr("CAST(_id AS BIGINT) % 10 = 0"))
+
+  private def readText(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  val queries: Map[String, QF] = Map(
+    // P3: runtime-type tagging + D6 type mapping over one row of each Spark
+    // type the reference's Get-FieldType distinguishes (plus the forced
+    // VARCHAR(24) _id). Schema metadata — no data scan.
+    "p3_type_tagging" -> ((s, d) => {
+      import s.implicits._
+      val or = Tables.load(s, d, "orders")
+      val typed = or.select(
+        col("o_orderkey").cast("string").as("_id"),
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"),
+        (col("o_orderkey") % 2 === 0).as("is_even"),
+        array(col("o_orderstatus")).as("arr"),
+        struct(col("o_custkey")).as("obj"))
+      typed.schema.fields.toSeq.map { f =>
+        val t = InferredType.of(f.dataType)
+        val (my, ss) = t match {
+          case InferredType.TArray | InferredType.TObject =>
+            ("child-table", "child-table") // F2/D1: decomposed, not a column
+          case _ =>
+            (TypeMapper.sqlType(t, Dialect.MySQL, None, isId = f.name == "_id"),
+             TypeMapper.sqlType(t, Dialect.SQLServer, None, isId = f.name == "_id"))
+        }
+        (f.name, t.tag, my, ss)
+      }.toDF("field", "tag", "mysql_type", "sqlserver_type").orderBy("field")
+    }),
+
+    // P4/A10: profile pretty-printer summary stats over the full document
+    // collection (paths / nested / array counts + doc total).
+    "p4_profile_summary" -> ((s, d) => {
+      import s.implicits._
+      val prof = SchemaProfiler.collectProfile(Tables.orderDocs(s, d))
+      Seq((prof.totalDocs, prof.fields.size.toLong,
+        prof.fields.count(_.isNested).toLong,
+        prof.fields.count(_.isArray).toLong))
+        .toDF("total_docs", "n_paths", "n_nested", "n_array")
+    }),
+
+    // S14: DDL sink — create a catalog table from a source scan, prove it
+    // exists and round-trips.
+    "s14_create_table" -> ((s, d) => {
+      import s.implicits._
+      val tbl = "graft_s14_region"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      Tables.load(s, d, "region").write.mode("overwrite").saveAsTable(tbl)
+      val row = (tbl, s.catalog.tableExists(tbl), s.table(tbl).count(),
+        s.table(tbl).columns.length.toLong)
+      s.sql(s"DROP TABLE IF EXISTS $tbl") // leave the catalog clean
+      Seq(row).toDF("table_name", "created", "row_count", "n_columns")
+    }),
+
+    // S15: DDL sink — drop table; existence observed after create and after
+    // drop (IF OBJECT_ID ... DROP TABLE, Sql_Schema_Generator.ps1:215-218).
+    "s15_drop_table" -> ((s, d) => {
+      import s.implicits._
+      val tbl = "graft_s15_nation"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      Tables.load(s, d, "nation").limit(5).write.saveAsTable(tbl)
+      val afterCreate = s.catalog.tableExists(tbl)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val afterDrop = s.catalog.tableExists(tbl)
+      Seq(("after_create", afterCreate), ("after_drop", afterDrop))
+        .toDF("phase", "table_exists").orderBy("phase")
+    }),
+
+    // S17: report sinks — render the HTML validation report, text sync
+    // report, and JSON workflow summary, then parse the data value back OUT
+    // of each artifact (proving content, not just file existence).
+    "s17_report_render" -> ((s, d) => {
+      import s.implicits._
+      val out = Files.createTempDirectory("graft_s17").toString
+      val region = Tables.load(s, d, "region")
+        .select(col("r_regionkey").cast("string").as("_id"), col("r_name"))
+      val cnt = region.count()
+      val statusRow = Validator.statusReport(region, region, "_id", Seq("r_name"))
+      ReportRenderer.htmlValidationReport(s, s"$out/validation.html", "region", statusRow)
+      ReportRenderer.syncReport(s, s"$out/sync.txt", "region",
+        graft.sync.SyncResult(cnt, 0, 0, 0, 0))
+      ReportRenderer.workflowReport(s, s"$out/workflow.json",
+        Seq(("region", "PASSED", Map("region" -> cnt))))
+      val htmlVal = "<th>Source count</th><td>(\\d+)</td>".r
+        .findFirstMatchIn(readText(s, s"$out/validation.html")).get.group(1).toLong
+      val syncVal = "new:\\s+(\\d+)".r
+        .findFirstMatchIn(readText(s, s"$out/sync.txt")).get.group(1).toLong
+      val jsonVal = "\"region\": (\\d+)".r
+        .findFirstMatchIn(readText(s, s"$out/workflow.json")).get.group(1).toLong
+      Seq(("html_validation", htmlVal), ("sync_text", syncVal),
+        ("workflow_json", jsonVal))
+        .toDF("report", "extracted_count").orderBy("report")
+    }),
+
+    // S19/O9: config source — parse + validate a reference-shaped
+    // config.json (defaults: MySQL port 3306, BatchSize 100; absent
+    // SQLServer section stays empty).
+    "s19_config" -> ((s, d) => {
+      import s.implicits._
+      val cfg = EngineConfig.parse(
+        """{"MongoDB": {"ConnectionString": "mongodb://localhost:27017",
+          |  "Database": "testdb", "Collection": "users"},
+          | "MySQL": {"Server": "localhost", "Database": "target",
+          |  "Username": "u", "Password": "p"}}""".stripMargin)
+      Seq((cfg.mongo.database, cfg.mongo.collection,
+        cfg.mysql.get.port.toLong, cfg.batchSize.toLong, cfg.sqlserver.isEmpty))
+        .toDF("mongo_db", "mongo_collection", "mysql_port", "batch_size",
+          "no_sqlserver")
+    }),
+
+    // X3: JSON parse — to_json round-trip through from_json at data scale
+    // (every orders row), fields extracted from the parsed struct.
+    "x3_json_parse" -> ((s, d) => {
+      val or = Tables.load(s, d, "orders")
+      val schema = StructType(Seq(
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType)))
+      or.select(col("o_orderkey"),
+          to_json(struct(col("o_custkey"), col("o_orderstatus"))).as("j"))
+        .select(col("o_orderkey"), from_json(col("j"), schema).as("p"))
+        .select(col("o_orderkey"), col("p.o_custkey").as("o_custkey"),
+          col("p.o_orderstatus").as("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
+    // O3: incremental migration with table-exists fallback
+    // (MasterWorkflow.ps1:302-318): first call falls back to a full
+    // migration (no sync state written), the second classifies everything
+    // as new against the empty state, the third converges to all-unchanged.
+    "o3_incremental_fallback" -> ((s, d) => {
+      import s.implicits._
+      val out = Files.createTempDirectory("graft_o3").toString
+      val docs = docsSubset(s, d)
+      val cfg = MigrationConfig("odocs", out)
+      val first = MigrationWorkflow.incrementalMigration(s, docs, cfg)
+      val second = MigrationWorkflow.incrementalMigration(s, docs, cfg)
+      val third = MigrationWorkflow.incrementalMigration(s, docs, cfg)
+      val nTables = first.swap.toOption.map(_.rowCounts.size.toLong).getOrElse(-1L)
+      val r2 = second.toOption.get
+      val r3 = third.toOption.get
+      Seq(
+        ("fallback_table_count", nTables),
+        ("second_new", r2.newDocs), ("second_deleted", r2.deleted),
+        ("third_new", r3.newDocs), ("third_updated", r3.updated),
+        ("third_unchanged", r3.unchanged))
+        .toDF("metric", "value").orderBy("metric")
+    }),
+
+    // O4: validation-only pass over a freshly migrated collection — the
+    // one-row V4 status report (counts match, samples pass, no integrity
+    // issues).
+    "o4_validation_only" -> ((s, d) => {
+      val out = Files.createTempDirectory("graft_o4").toString
+      val docs = docsSubset(s, d)
+      val cfg = MigrationConfig("odocs", out)
+      MigrationWorkflow.fullMigration(s, docs, cfg)
+      MigrationWorkflow.validationOnly(s, docs, cfg,
+        Seq("o_orderstatus", "o_totalprice"))
+    }),
+
+    // O6: scheduled sync — sync pass + text report artifact; the second
+    // sync's counters are parsed back from the rendered report.
+    "o6_scheduled_sync" -> ((s, d) => {
+      import s.implicits._
+      val out = Files.createTempDirectory("graft_o6").toString
+      val docs = docsSubset(s, d)
+      val cfg = MigrationConfig("odocs", out)
+      MigrationWorkflow.incrementalMigration(s, docs, cfg) // full (fallback)
+      MigrationWorkflow.incrementalMigration(s, docs, cfg) // all-new, state saved
+      val r = MigrationWorkflow.incrementalMigration(s, docs, cfg).toOption.get
+      ReportRenderer.syncReport(s, s"$out/sync_report_odocs.txt", "odocs", r)
+      val txt = readText(s, s"$out/sync_report_odocs.txt")
+      def grab(k: String): Long =
+        s"$k:\\s+(\\d+)".r.findFirstMatchIn(txt).get.group(1).toLong
+      Seq(("report_new", grab("new")), ("report_updated", grab("updated")),
+        ("report_deleted", grab("deleted")),
+        ("report_unchanged", grab("unchanged")))
+        .toDF("metric", "value").orderBy("metric")
+    })
+  )
+
+  private val subsetCount = "(SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0)"
+
+  val oracles: Map[String, String] = Map(
+    "p3_type_tagging" ->
+      """SELECT * FROM (VALUES
+        |  ('_id', 'string', 'VARCHAR(24)', 'VARCHAR(24)'),
+        |  ('arr', 'array', 'child-table', 'child-table'),
+        |  ('is_even', 'boolean', 'TINYINT(1)', 'BIT'),
+        |  ('o_orderdate', 'datetime', 'DATETIME', 'DATETIME2'),
+        |  ('o_orderkey', 'integer', 'INT', 'INT'),
+        |  ('o_orderstatus', 'string', 'VARCHAR(255)', 'VARCHAR(255)'),
+        |  ('o_totalprice', 'number', 'DECIMAL(18,2)', 'DECIMAL(18,2)'),
+        |  ('obj', 'object', 'child-table', 'child-table'))
+        |AS t(field, tag, mysql_type, sqlserver_type) ORDER BY field""".stripMargin,
+
+    "p4_profile_summary" ->
+      """SELECT (SELECT count(*) FROM orders) AS total_docs,
+        |  17 AS n_paths, 1 AS n_nested, 2 AS n_array""".stripMargin,
+
+    "s14_create_table" ->
+      """SELECT 'graft_s14_region' AS table_name, TRUE AS created,
+        |  (SELECT count(*) FROM region) AS row_count, 2 AS n_columns""".stripMargin,
+
+    "s15_drop_table" ->
+      """SELECT * FROM (VALUES ('after_create', TRUE), ('after_drop', FALSE))
+        |AS t(phase, table_exists) ORDER BY phase""".stripMargin,
+
+    "s17_report_render" ->
+      """SELECT report, (SELECT count(*) FROM region) AS extracted_count
+        |FROM (VALUES ('html_validation'), ('sync_text'), ('workflow_json'))
+        |AS t(report) ORDER BY report""".stripMargin,
+
+    "s19_config" ->
+      """SELECT 'testdb' AS mongo_db, 'users' AS mongo_collection,
+        |  3306 AS mysql_port, 100 AS batch_size, TRUE AS no_sqlserver""".stripMargin,
+
+    "x3_json_parse" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "o3_incremental_fallback" ->
+      s"""SELECT * FROM (VALUES
+         |  ('fallback_table_count', 4),
+         |  ('second_new', $subsetCount), ('second_deleted', 0),
+         |  ('third_new', 0), ('third_updated', 0),
+         |  ('third_unchanged', $subsetCount))
+         |AS t(metric, value) ORDER BY metric""".stripMargin,
+
+    "o4_validation_only" ->
+      s"""SELECT $subsetCount AS source_cnt, $subsetCount AS target_cnt,
+         |  0 AS diff, TRUE AS counts_match, 0 AS samples_failed,
+         |  0 AS integrity_issues, 10 AS samples_passed,
+         |  'PASSED' AS status""".stripMargin,
+
+    "o6_scheduled_sync" ->
+      s"""SELECT * FROM (VALUES
+         |  ('report_deleted', 0), ('report_new', 0), ('report_updated', 0),
+         |  ('report_unchanged', $subsetCount))
+         |AS t(metric, value) ORDER BY metric""".stripMargin
+  )
+}
