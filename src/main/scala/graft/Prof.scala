@@ -16,6 +16,8 @@ object Prof {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.graft.eagerMaterialize",
+        sys.env.getOrElse("SPARK_GRAFT_EAGER", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -177,13 +177,17 @@ object Dedup {
     * reuse the converged labels without replaying the loop. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+    // Materialize the incoming pair list FIRST: both the edge set and the
+    // node set derive from it, and `pairs` is typically the expensive end
+    // of an LSH candidate chain — without this the chain runs once per
+    // derivation.
+    val p = graft.io.Materialize(pairs.select(col(idA), col(idB)))
     // canonical undirected edges u < v; nodes = every id that appeared
-    val raw = pairs.select(least(col(idA), col(idB)).as("u"),
+    val raw = p.select(least(col(idA), col(idB)).as("u"),
       greatest(col(idA), col(idB)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    val nodes = graft.io.Materialize(
-      pairs.select(col(idA).as("id"))
-        .unionByName(pairs.select(col(idB).as("id"))).distinct())
+    val nodes = p.select(col(idA).as("id"))
+      .unionByName(p.select(col(idB).as("id"))).distinct()
 
     // one star pass: from a canonical edge set, compute per-node
     // m = min(neighborhood ∪ self) and rewire. Large-star moves strictly
@@ -248,6 +252,8 @@ object Dedup {
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds")
+    // diagnostic only — stderr, never stdout (Bench's JSON line owns stdout)
+    System.err.println(s"[graft.cc] star contraction converged in $iter rounds")
     // converged edges are a star forest: (center=u, leaf=v) with u the
     // component min; centers label themselves via the left join fallback
     graft.io.Materialize(
