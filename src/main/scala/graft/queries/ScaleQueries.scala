@@ -199,6 +199,21 @@ object ScaleQueries {
       Sampling.stratifiedQuota(docs(s, d), "lang", "doc_id", 20)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // Weighted deterministic sample: inclusion probability ∝ token count
+    // (20 bp per token ⇒ a 500-token doc is always kept) — integer-exact,
+    // engine-portable, zero shuffles
+    "samp_weighted" -> ((s, d) =>
+      Sampling.weightedSample(docs(s, d), "doc_id",
+        size(TextAnalysis.tokens(col("text"))), 20)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Corpus-level 2-gram heavy hitters (top-20 by count, lexicographic
+    // tie-break): the corpus-statistics counterpart of the per-doc
+    // repetition signals
+    "tx_top_ngrams" -> ((s, d) =>
+      TextAnalysis.topNgrams(docs(s, d), "text", 2, 20)
+        .orderBy(col("cnt").desc, col("ngram").asc)),
+
     // Token-budget shard packing: cut the doc_id-ordered corpus into
     // ~1000-token training shards (running-sum window)
     "pack_token_budget" -> ((s, d) =>
@@ -600,6 +615,22 @@ object ScaleQueries {
         |      AS BIGINT) % 10000, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "samp_weighted" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 10000
+        |  < least(10000, 20 * len(list_filter(
+        |      string_split_regex(trim(text), '\s+'), t -> t != '')))
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx_top_ngrams" ->
+      s"""WITH tok AS (SELECT $duckToksAll AS tk FROM documents),
+         |g AS (SELECT unnest(list_transform(
+         |    range(1, CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END + 1),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS ngram FROM tok)
+         |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
+         |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
 
     "pack_token_budget" ->
       """WITH t AS (SELECT doc_id,

@@ -31,6 +31,21 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < math.round(fraction * 10000))
   }
 
+  /** Weighted deterministic Bernoulli sample: a row is kept iff its id-hash
+    * bucket (uniform in [0, 10000)) falls below its own inclusion threshold
+    * `min(10000, weight · perWeightBp)` basis points — inclusion probability
+    * proportional to the row's weight, capped at 1 (the Horvitz-Thompson
+    * shape used to oversample long/valuable documents). Pure INTEGER
+    * arithmetic: no float rounding to diverge across engines, per-row
+    * filter, zero shuffles, reproducible under retries/re-partitioning like
+    * the uniform sampler. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      perWeightBp: Int): DataFrame = {
+    require(perWeightBp > 0, s"perWeightBp must be positive: $perWeightBp")
+    df.filter(hashBucket(col(idCol)) <
+      least(lit(10000L), weight.cast("long") * perWeightBp))
+  }
+
   /** Stratified quota sample: at most `quota` rows per `groupCol` value,
     * chosen in id-hash order (a deterministic stand-in for random-within-
     * group). One shuffle on the group key; per-group state is a top-k heap,

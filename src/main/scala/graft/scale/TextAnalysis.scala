@@ -158,6 +158,20 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Corpus-level n-gram heavy hitters: explode each document's n-grams and
+    * count globally. One hash-aggregation shuffle on the gram (map-side
+    * partial counts collapse before the exchange) and a top-k that plans as
+    * TakeOrderedAndProject (per-partition heaps + a k-row driver merge),
+    * never a global sort. Ties break lexicographically for determinism.
+    * The token array is materialized as a column before the gram lambda
+    * consumes it (the engine-wide lambda rule). */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(tokens(lower(col(textCol))).as("__tk"))
+      .select(explode(ngramsAll(col("__tk"), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+
   /** Convenience forms over a token column — fine for ad-hoc use; hot paths
     * should materialize [[ngramsAll]] into a column and call the
     * `*OfGrams` variants (see those docs for why). */

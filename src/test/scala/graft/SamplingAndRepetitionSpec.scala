@@ -159,4 +159,29 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(math.abs(cm((2L, 1)) - 10.0667) < 1e-12)
     assert(math.abs(cm((2L, 2)) - 10.0667) < 1e-12)
   }
+
+  test("weighted sample: probability scales with weight, integer-exact, capped") {
+    val df = (1L to 3000L).map(i => (i, (i % 3) * 250L)).toDF("id", "w")
+    // weights 0 / 250 / 500 at 20 bp => inclusion prob 0 / 0.5 / 1.0
+    val out = Sampling.weightedSample(df, "id", col("w"), 20)
+      .as[(Long, Long)].collect()
+    assert(!out.exists(_._2 == 0L))                 // zero weight: never kept
+    assert(out.count(_._2 == 500L) == 1000)        // prob 1: all 1000 kept
+    val half = out.count(_._2 == 250L)
+    assert(half > 350 && half < 650)               // prob 0.5 of 1000
+    // reproducible
+    val again = Sampling.weightedSample(df, "id", col("w"), 20)
+      .as[(Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq == again.map(_._1).sorted.toSeq)
+  }
+
+  test("topNgrams: global counts with deterministic tie-break") {
+    val docs = Seq(
+      "a b a b c",   // grams: "a b","b a","a b","b c"
+      "a b x"        // grams: "a b","b x"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(docs, "text", 2, 3)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
 }
