@@ -47,6 +47,35 @@ class PlanSpec extends SparkSpec {
     assert(asof.contains("Window"), asof)
   }
 
+  test("profiler histogram reduces before it explodes (single-pass form)") {
+    // profileDF must aggregate conditional counters FIRST and only then
+    // explode the one-row result into (path, ftype, cnt) rows. In the
+    // printed plan (root first) the Generate therefore appears ABOVE the
+    // aggregate; the regressed explode-then-count form would print the
+    // aggregate above the Generate.
+    val p = graft.profile.SchemaProfiler
+      .profileDF(Tables.orderDocs(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    val gen = p.indexOf("Generate")
+    val agg = p.indexOf("HashAggregate")
+    assert(gen >= 0 && agg > gen, p)
+  }
+
+  test("corpus n-gram top-k plans as TakeOrderedAndProject") {
+    val p = graft.scale.TextAnalysis
+      .topNgrams(Tables.load(spark, sfDir, "documents"), "text", 2, 20)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("weighted sample is a pure per-row filter — no exchange") {
+    val p = graft.scale.Sampling.weightedSample(
+        Tables.load(spark, sfDir, "documents"), "doc_id",
+        org.apache.spark.sql.functions.col("n_chars"), 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("no plan collects data to the driver mid-query") {
     // classification + decompose queries must not contain LocalTableScan of
     // collected data (constant lookup tables excepted — none used here)
