@@ -118,6 +118,17 @@ object ScaleQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Two-stage ANN: 8-dim random-projection prefilter (top-30 candidates)
+    // + exact cosine rerank (top-10) — the dims/projDims cost cut with
+    // tunable recall
+    "ann_rp_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.rpTopK(e.filter(col("vec_id") < 5), e,
+        "vec_id", "embedding", k = 10, projDims = 8, candidates = 30)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk")
+    }),
+
     // Quality scoring: token/stopword/punctuation/alpha features
     "tx_quality_features" -> ((s, d) =>
       TextAnalysis.qualityFeatures(docs(s, d), "text")
@@ -490,6 +501,29 @@ object ScaleQueries {
          |  FROM q JOIN c ON q.label = c.label
          |  WHERE query_id != neighbor_id)
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_rp_topk" -> {
+      def proj(e: String): String =
+        s"list_transform(range(1, 9), j -> list_sum(list_transform(" +
+          s"range(1, len($e) + 1), i -> CAST($e[i] AS DOUBLE) * ((i - 1) * j % 13 - 6))))"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+         |    ${proj("embedding")} AS qpv
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+         |    ${proj("embedding")} AS cpv
+         |  FROM embeddings),
+         |cand AS (SELECT query_id, neighbor_id, qe, ce, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY round(${duckCosine("qpv", "cpv")}, 6) DESC, neighbor_id
+         |  ) AS prnk
+         |  FROM q, c WHERE query_id != neighbor_id)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY round(${duckCosine("qe", "ce")}, 6) DESC, neighbor_id) AS rnk
+         |  FROM cand WHERE prnk <= 30)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    },
 
     "tx_quality_features" ->
       """WITH f AS (SELECT doc_id, text,

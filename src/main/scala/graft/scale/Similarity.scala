@@ -133,6 +133,43 @@ object Similarity {
     }: _*)
   }
 
+  /** Two-stage ANN: random-projection prefilter + exact rerank. Stage 1
+    * scores every (query, corpus) pair in `projDims`-dimensional projected
+    * space ([[randomProject]] — deterministic JL family) and keeps the top
+    * `candidates` per query; stage 2 re-scores ONLY those candidates with
+    * the exact full-dimension cosine. The heavy per-pair work drops by
+    * ~dims/projDims while recall is tunable via `candidates` — the classic
+    * two-stage retrieval shape. Both rankings use cosines rounded to 6
+    * decimals (ties → smallest id) so the candidate sets — and therefore
+    * the results — are reproducible bit-for-bit across engines. */
+  def rpTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, projDims: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qp", randomProject(col("qvec"), projDims))
+      .withColumn("qpn", norm(col("qp")))
+      .withColumn("qn", norm(col("qvec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cp", randomProject(col("cvec"), projDims))
+      .withColumn("cpn", norm(col("cp")))
+      .withColumn("cn", norm(col("cvec")))
+    val wProj = Window.partitionBy("query_id")
+      .orderBy(col("proj_cosine").desc, col("neighbor_id").asc)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("proj_cosine", round(
+        cosineWithNorms(col("qp"), col("cp"), col("qpn"), col("cpn")), 6))
+      .withColumn("prnk", row_number().over(wProj))
+      .filter(col("prnk") <= candidates)
+      .withColumn("cosine", round(
+        cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")), 6))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Per-label centroid, one row per (label, dim): posexplode the vectors
     * and average per dimension — a plain two-phase hash aggregate with
     * map-side partial sums, #labels × dim reduced rows regardless of corpus

@@ -181,4 +181,23 @@ class ScaleSpec extends SparkSpec {
       .as[(Int, Int)].head()
     assert(d1 == d2 && d1._1 == 6) // len 5 % 640 + 1
   }
+
+  test("rpTopK: with full candidate budget, equals brute-force top-k") {
+    val e = spark.read.parquet(sf("embeddings"))
+    val n = e.count().toInt
+    val q = e.filter($"vec_id" < 3)
+    val twoStage = Similarity.rpTopK(q, e, "vec_id", "embedding",
+        k = 5, projDims = 8, candidates = n)
+      .select("query_id", "rnk", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .select("query_id", "rnk", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(twoStage == brute)
+    // a tight candidate budget still returns k rows per query
+    val tight = Similarity.rpTopK(q, e, "vec_id", "embedding",
+        k = 5, projDims = 8, candidates = 5)
+    assert(tight.groupBy("query_id").count()
+      .select("count").as[Long].collect().forall(_ == 5))
+  }
 }
