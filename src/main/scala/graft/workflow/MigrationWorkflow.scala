@@ -72,10 +72,21 @@ object MigrationWorkflow {
     val model = RelationalModel.compile(prof, cfg.collection)
     writeDdlArtifact(spark, model, cfg)
     // [3/4] decompose + bulk write (:264) — fixes quirk Q3: child tables are
-    // actually populated.
+    // actually populated. The per-table writes are INDEPENDENT jobs over
+    // differently-pruned projections of the same source, so they run
+    // concurrently: Spark's scheduler interleaves their stages and fills
+    // the cores a single sequential job would leave idle.
     val tables = Decomposer.decompose(docs, model)
-    tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"${cfg.outDir}/$name.parquet")
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(tables.size, 4).max(1))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence(tables.toSeq.map { case (name, df) =>
+        Future(df.write.mode("overwrite").parquet(s"${cfg.outDir}/$name.parquet"))
+      }), Duration.Inf)
+      finally pool.shutdown()
     }
     // [4/4] validation (:272)
     val counts = tables.keys.toSeq.sorted.map { name =>
