@@ -530,7 +530,18 @@ object CoreQueries {
     // §2.10 extension: gap-based sessionization
     "st_sessionize" -> ((s, d) =>
       EventStream.sessionStats(t(s, d, "events"))
-        .orderBy("user_id", "session_id"))
+        .orderBy("user_id", "session_id")),
+
+    // §2.10 extension: stream-stream interval join (batch form of the
+    // watermark-bounded clicks × purchases join; StreamingSpec runs the
+    // same transform as two file-source streams)
+    "st_click_purchase" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      EventStream.clickPurchaseJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"), 30)
+        .orderBy("user_id", "click_id", "purchase_id")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -842,7 +853,18 @@ object CoreQueries {
         |SELECT user_id, CAST(sid AS BIGINT) AS session_id, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-        |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "st_click_purchase" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  p.event_id AS purchase_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  p.value AS purchase_value
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
   )
 
   /** Shared CTE for the sync-classification oracles: mirrors the Spark-side

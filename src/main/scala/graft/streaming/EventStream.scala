@@ -77,6 +77,35 @@ object EventStream {
     events.withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join: each click pairs with the same user's
+    * purchases inside `[click.ts, click.ts + withinMinutes]`. The join
+    * condition bounds the event-time distance between the sides, so when
+    * both inputs carry watermarks Spark evicts buffered rows as the
+    * watermark passes — state stays BOUNDED on an unbounded stream, where
+    * an unconstrained stream-stream join must buffer both sides forever.
+    * The same expression runs identically on batch frames (what the
+    * correctness oracle checks); batch planning is a sort-merge join on
+    * `user_id` with the time bound as a residual — the streaming
+    * counterpart of [[graft.scale.Temporal.rangeJoin]]. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      withinMinutes: Int = 30): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+      col("value").as("purchase_value"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") +
+            expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("purchase_id"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("purchase_value"))
+  }
+
   /** Streaming entry: file-source stream over a parquet directory, windowed
     * aggregation, processed with `Trigger.AvailableNow` (the reference's
     * poll-until-drained model). Used by the streaming spec via the memory

@@ -94,6 +94,33 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L, 4L))
   }
 
+  test("stream-stream interval join: streaming == batch, bounded state") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    val events = Tables.load(spark, sfDir, "events").limit(2000)
+    events.write.mode("overwrite").parquet(s"$dir/ev")
+    val stored = spark.read.parquet(s"$dir/ev")
+    val batch = EventStream.clickPurchaseJoin(
+        stored.filter($"event_type" === "click"),
+        stored.filter($"event_type" === "purchase"), 30)
+      .select("click_id", "purchase_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    def side(tpe: String) = spark.readStream.schema(stored.schema)
+      .parquet(s"$dir/ev").filter($"event_type" === tpe)
+      .withWatermark("ts", "10 minutes")
+    val q = EventStream.clickPurchaseJoin(side("click"), side("purchase"), 30)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ssj_out")
+      .select("click_id", "purchase_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("sessionize: gap splits sessions, ids are contiguous per user") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0),
