@@ -67,10 +67,20 @@ object Tables {
         col("orders"))
   }
 
-  def orderDocs(spark: SparkSession, sfDir: String): DataFrame = {
-    val orders = load(spark, sfDir, "orders")
+  def orderDocs(spark: SparkSession, sfDir: String): DataFrame =
+    orderDocsWhere(spark, sfDir, _ => lit(true))
+
+  /** [[orderDocs]] restricted to orders whose key satisfies `keyPred`. The
+    * predicate is applied to BOTH the orders scan and the lineitem scan
+    * (`l_orderkey` is the same key), so building a document SUBSET costs a
+    * subset's work — the `collect_list` aggregation never processes dropped
+    * orders' lineitems, which a post-construction filter could not avoid
+    * (no pushdown reaches through the aggregation side of the join). */
+  def orderDocsWhere(spark: SparkSession, sfDir: String,
+      keyPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val orders = load(spark, sfDir, "orders").filter(keyPred(col("o_orderkey")))
     val customer = load(spark, sfDir, "customer")
-    val lineitem = load(spark, sfDir, "lineitem")
+    val lineitem = load(spark, sfDir, "lineitem").filter(keyPred(col("l_orderkey")))
     val items = lineitem
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_list(struct(

@@ -24,9 +24,11 @@ object CoverageQueries {
   type QF = (SparkSession, String) => DataFrame
 
   /** Deterministic 10% document subset (keeps the workflow queries light at
-    * bench scale while staying oracle-computable: o_orderkey % 10 = 0). */
+    * bench scale while staying oracle-computable: o_orderkey % 10 = 0).
+    * The predicate is pushed into document CONSTRUCTION, so the subset
+    * costs a tenth of the work, not full construction plus a filter. */
   private def docsSubset(s: SparkSession, d: String): DataFrame =
-    Tables.orderDocs(s, d).filter(expr("CAST(_id AS BIGINT) % 10 = 0"))
+    Tables.orderDocsWhere(s, d, k => k % 10 === 0)
 
   private def readText(s: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
