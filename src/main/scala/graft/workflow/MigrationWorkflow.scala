@@ -119,9 +119,16 @@ object MigrationWorkflow {
     if (!fs.exists(new Path(targetPath)))
       Left(fullMigration(spark, docs, cfg)) // fallback (:314-318)
     else {
-      val prof = SchemaProfiler.profile(docs, cfg.sampleSize)
-      val model = RelationalModel.compile(prof, cfg.collection)
-      val flat = Decomposer.mainTable(docs, model.head)
+      // The reference's sync never re-analyzes the source — it reads the
+      // target's column list (SHOW COLUMNS, Sync.ps1:411) and flat-projects
+      // documents. For a schema'd DataFrame the flat column set is static
+      // schema metadata (identical to the profiled main-table spec: every
+      // scalar top-level field, sorted), so no per-sync profile pass runs.
+      import org.apache.spark.sql.types.{ArrayType, StructType}
+      val flatCols = docs.schema.fields.toSeq.filter(f =>
+        !f.dataType.isInstanceOf[StructType] &&
+          !f.dataType.isInstanceOf[ArrayType]).map(_.name).sorted
+      val flat = docs.select(flatCols.map(col): _*)
       Right(IncrementalSync.run(spark, flat, targetPath,
         s"${cfg.outDir}/sync_state_${cfg.collection}.parquet"))
     }
