@@ -96,4 +96,5 @@ object MinhashProps extends Properties("Minhash") {
         .as[Seq[Long]].collect()
       sigs(0) == sigs(1)
     }
+
 }

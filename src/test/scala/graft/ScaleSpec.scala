@@ -200,4 +200,20 @@ class ScaleSpec extends SparkSpec {
     assert(tight.groupBy("query_id").count()
       .select("count").as[Long].collect().forall(_ == 5))
   }
+
+  test("connected components: long chains and star unions resolve to the min label") {
+    // a 400-node path (worst case for label propagation: diameter 399) plus
+    // two disjoint stars; star contraction must find all three components
+    // within its O(log^2 n) round budget
+    val chain = (1L until 400L).map(i => (i, i + 1))
+    val starA = (501L to 520L).map(i => (500L, i))
+    val starB = (601L to 610L).map(i => (611L, i)) // center is NOT the min
+    val pairs = (chain ++ starA ++ starB).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 400L).forall(comp(_) == 1L))
+    assert((500L to 520L).forall(comp(_) == 500L))
+    assert((601L to 611L).forall(comp(_) == 601L))
+    assert(comp.size == 400 + 21 + 11)
+  }
 }
