@@ -20,7 +20,8 @@ object Explain {
       else Seq("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
         "j1_sync_classify", "d4_array_object_table", "dedup_exact",
         "dedup_minhash_pairs", "ann_bruteforce_topk", "ann_ivf_topk",
-        "s7_point_lookup", "st_sessionize", "p2_profile_docs")
+        "ann_rp_topk", "s7_point_lookup", "st_sessionize", "st_click_purchase",
+        "p2_profile_docs", "tx_top_ngrams", "samp_weighted")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
