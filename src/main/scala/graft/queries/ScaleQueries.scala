@@ -100,6 +100,16 @@ object ScaleQueries {
         .select("bucket", "id_a", "id_b")
         .orderBy("bucket", "id_a", "id_b")),
 
+    // Fully self-contained semantic near-dup: when no cluster label exists,
+    // SRP-LSH buckets the corpus and the cosine pair join stays per-bucket
+    "nd_srp_neardup" -> ((s, d) => {
+      val e = emb(s, d)
+        .withColumn("srp", Similarity.srpBucket(col("embedding"), 8))
+      Dedup.embeddingNearDups(e, "vec_id", "embedding", "srp", 0.3)
+        .select("bucket", "id_a", "id_b")
+        .orderBy("bucket", "id_a", "id_b")
+    }),
+
     // Brute-force cosine top-k (ids+rank output; the correctness baseline)
     "ann_bruteforce_topk" -> ((s, d) => {
       val e = emb(s, d)
@@ -384,6 +394,14 @@ object ScaleQueries {
        |pairs AS (SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.9)""".stripMargin
   }
 
+  /** SRP-LSH bucket id mirroring Similarity.srpBucket(embedding, 8). */
+  private def duckSrpTerms: String =
+    (0 until 8).map { j =>
+      s"(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i -> " +
+        s"CAST(embedding[i] AS DOUBLE) * ((i - 1) * ${j + 1} % 13 - 6))) > 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
   /** Elementwise double dot product mirroring Similarity.dot. */
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> " +
@@ -413,14 +431,17 @@ object ScaleQueries {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "sim_srp_bucket" -> {
-      val terms = (0 until 8).map { j =>
-        s"(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i -> " +
-          s"CAST(embedding[i] AS DOUBLE) * ((i - 1) * ${j + 1} % 13 - 6))) > 0 " +
-          s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-      }.mkString(" + ")
-      s"""SELECT vec_id, $terms AS bucket FROM embeddings
+      s"""SELECT vec_id, $duckSrpTerms AS bucket FROM embeddings
          |ORDER BY vec_id""".stripMargin
     },
+
+    "nd_srp_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $duckSrpTerms AS bucket
+         |  FROM embeddings)
+         |SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY a.bucket, id_a, id_b""".stripMargin,
 
     "tx_token_count" ->
       """SELECT doc_id,
