@@ -32,8 +32,12 @@ object Bench {
         .withColumn("h", md5(col("l_returnflag")))
         .write.mode("overwrite").format("noop").save()
       // the nested-document construction plan (join + collect_list struct
-      // arrays) has its own codegen paths — compile them once untimed
-      Tables.orderDocs(spark, sfDir).limit(1000)
+      // arrays) has its own codegen paths, and the doc-query family shares
+      // one cached document frame (CoreQueries.docsAndModel) — drive one
+      // member untimed so construction, codegen, and the shared cache are
+      // warm before any query is timed (instead of the alphabetically-first
+      // docs query absorbing the whole one-time cost)
+      SparkEntry.queries("f1_flat_project")(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
     }
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

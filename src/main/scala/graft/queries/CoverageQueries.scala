@@ -70,11 +70,12 @@ object CoverageQueries {
       }.toDF("field", "tag", "mysql_type", "sqlserver_type").orderBy("field")
     }),
 
-    // P4/A10: profile pretty-printer summary stats over the full document
-    // collection (paths / nested / array counts + doc total).
+    // P4/A10: profile pretty-printer summary stats over the tail sample —
+    // the reference's analyzer is sample-bounded (min(100, N) docs,
+    // Analyze_scheme.ps1:41-62), and so is its printed summary.
     "p4_profile_summary" -> ((s, d) => {
       import s.implicits._
-      val prof = SchemaProfiler.collectProfile(Tables.orderDocs(s, d))
+      val prof = SchemaProfiler.profile(Tables.orderDocs(s, d), 100)
       Seq((prof.totalDocs, prof.fields.size.toLong,
         prof.fields.count(_.isNested).toLong,
         prof.fields.count(_.isArray).toLong))
@@ -237,7 +238,7 @@ object CoverageQueries {
         |AS t(field, tag, mysql_type, sqlserver_type) ORDER BY field""".stripMargin,
 
     "p4_profile_summary" ->
-      """SELECT (SELECT count(*) FROM orders) AS total_docs,
+      """SELECT least(100, (SELECT count(*) FROM orders)) AS total_docs,
         |  17 AS n_paths, 1 AS n_nested, 2 AS n_array""".stripMargin,
 
     "s14_create_table" ->
