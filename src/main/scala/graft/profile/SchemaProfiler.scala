@@ -229,10 +229,40 @@ object SchemaProfiler {
     try collectProfile(cached) finally cached.unpersist(false)
   }
 
+  /** Schema-only profile: when a collection is EMPTY the data-driven
+    * histogram has nothing to count, but the frame still carries a schema —
+    * derive the profile from it (count 0 per path, elected type = the
+    * schema tag, same path grammar) so migrating an empty collection
+    * produces correctly-typed empty tables instead of failing. At 100 TB an
+    * empty daily partition must not crash the pipeline. */
+  def fromSchema(schema: StructType): SchemaProfile = {
+    def walk(dt: DataType, path: String): Seq[FieldProfile] = {
+      val tag = InferredType.of(dt).tag
+      val self = FieldProfile(path, Map(tag -> 0L), 0L,
+        isNested = dt.isInstanceOf[StructType],
+        isArray = dt.isInstanceOf[ArrayType],
+        arrayElementTypes = dt match {
+          case ArrayType(et, _) => Map(InferredType.of(et).tag -> 0L)
+          case _ => Map.empty
+        },
+        samples = Seq.empty, maxLen = None)
+      val children = dt match {
+        case st: StructType =>
+          st.fields.toSeq.flatMap(f => walk(f.dataType, s"$path.${f.name}"))
+        case ArrayType(st: StructType, _) =>
+          st.fields.toSeq.flatMap(f => walk(f.dataType, s"$path[].${f.name}"))
+        case _ => Nil
+      }
+      self +: children
+    }
+    SchemaProfile(0L, schema.fields.toSeq.flatMap(f => walk(f.dataType, f.name)))
+  }
+
   /** Collects the (small) per-path summary. Sample values: ≤3, truncated to
     * 47 chars + "..." (Analyze_scheme.ps1:216-226, X4). */
   def collectProfile(sample: DataFrame): SchemaProfile = {
     val total = sample.count()
+    if (total == 0) return fromSchema(sample.schema)
     val hist = profileDF(sample).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val samples = collectSampleValues(sample)
