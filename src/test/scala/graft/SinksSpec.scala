@@ -73,4 +73,17 @@ class SinksSpec extends SparkSpec {
     StateStore.save(spark, Seq(("1", "H")).toDF("_id", "hash"), p)
     assert(StateStore.load(spark, p).count() == 1)
   }
+
+  test("S10: dropped-column drift — upserted rows take REPLACE semantics (NULL)") {
+    // a source that LOST a column still upserts: the missing column becomes
+    // NULL on replaced rows (delete-then-insert a la REPLACE INTO,
+    // Data_Migration.ps1:247), while untouched base rows keep their values
+    val base = Seq(("1", "a", 10L), ("2", "b", 20L)).toDF("_id", "name", "age")
+    val updates = Seq(("1", "A")).toDF("_id", "name") // no age column
+    val out = Sinks.upsert(base, updates, "_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.get(2))))).toMap
+    assert(out("1") == (("A", None)))
+    assert(out("2") == (("b", Some(20L))))
+  }
 }
