@@ -235,6 +235,23 @@ object ScaleQueries {
       TextAnalysis.topNgrams(docs(s, d), "text", 2, 20)
         .orderBy(col("cnt").desc, col("ngram").asc)),
 
+    // BPE training statistic: adjacent-symbol pair frequencies over the
+    // char-split vocabulary (top-20; the round-0 merge candidates)
+    "bpe_pair_freqs" -> ((s, d) =>
+      TextAnalysis.pairCounts(
+        TextAnalysis.wordFreqs(docs(s, d), "text")
+          .select(TextAnalysis.charSymbols(col("w")).as("sym"), col("freq")),
+        "sym", "freq")
+        .orderBy(col("freq").desc, col("a").asc, col("b").asc)
+        .limit(20)),
+
+    // BPE tokenizer training, 8 merge rounds (vocabulary-bounded loop; the
+    // data-dependent merge sequence is not static-SQL-expressible, so this
+    // entry is rows-checked only — the golden merge sequence is pinned by
+    // ScaleSpec)
+    "bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeTrain(docs(s, d), "text", 8).orderBy("rank")),
+
     // Token-budget shard packing: cut the doc_id-ordered corpus into
     // ~1000-token training shards (running-sum window)
     "pack_token_budget" -> ((s, d) =>
@@ -686,6 +703,16 @@ object ScaleQueries {
          |    i -> tk[i] || ' ' || tk[i + 1])) AS ngram FROM tok)
          |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
          |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    "bpe_pair_freqs" ->
+      s"""WITH wf AS (SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest($duckToksAll) AS w FROM documents) GROUP BY w),
+         |sym AS (SELECT list_transform(range(1, length(w) + 1),
+         |    i -> substr(w, i, 1)) AS s, freq FROM wf),
+         |p AS (SELECT unnest(list_transform(range(1, len(s)),
+         |    i -> struct_pack(a := s[i], b := s[i + 1]))) AS pr, freq FROM sym)
+         |SELECT pr.a AS a, pr.b AS b, sum(freq) AS freq FROM p
+         |GROUP BY 1, 2 ORDER BY freq DESC, a, b LIMIT 20""".stripMargin,
 
     "pack_token_budget" ->
       """WITH t AS (SELECT doc_id,

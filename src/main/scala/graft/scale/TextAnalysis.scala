@@ -210,6 +210,70 @@ object TextAnalysis {
       },
       acc => acc.getField("best")))
 
+  /** Per-word frequency table — the bounded state BPE training runs on:
+    * corpus-sized input reduces to vocabulary-sized rows in one hash agg. */
+  def wordFreqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Character-split of a word (the initial BPE symbol sequence). */
+  def charSymbols(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1)))
+
+  /** Adjacent-symbol pair counts weighted by word frequency — the BPE
+    * statistic. `symCol` is an `array<string>` symbol column, `freqCol` the
+    * word count. One hash-agg shuffle over vocabulary-sized input. */
+  def pairCounts(vocab: DataFrame, symCol: String, freqCol: String): DataFrame =
+    vocab
+      .select(col(freqCol).as("freq"), explode(zip_with(
+        slice(col(symCol), lit(1), greatest(size(col(symCol)) - 1, lit(0))),
+        slice(col(symCol), lit(2), greatest(size(col(symCol)) - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("freq"))
+
+  /** Byte-pair-encoding tokenizer training (Sennrich et al. '16), shaped
+    * for scale: the corpus collapses to a word-frequency table once (hash
+    * agg, vocabulary-bounded), and each merge round is one vocabulary-sized
+    * pair-count aggregation + a single-row argmax — corpus size never
+    * appears in the loop. The chosen pair is applied with a greedy
+    * left-to-right fold (classic BPE merge order); each round's vocabulary
+    * is lineage-severed via [[graft.io.Materialize]] so plans stay flat.
+    * Returns the merge table (rank, left, right, pair_freq) — ties on
+    * frequency break lexicographically for determinism. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = graft.io.Materialize(
+      wordFreqs(df, textCol).select(charSymbols(col("w")).as("sym"), col("freq")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val best = pairCounts(vocab, "sym", "freq")
+        .orderBy(col("freq").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, a, b, f))
+        val merged = a + b
+        // greedy left fold: consume (a, b) pairs left-to-right, so "aaa"
+        // under merge (a,a) becomes (aa, a) — standard BPE application
+        vocab = graft.io.Materialize(vocab.select(
+          aggregate(col("sym"), array().cast("array<string>"), (acc, s) =>
+            when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+              .otherwise(concat(acc, array(s)))).as("sym"),
+          col("freq")))
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_freq")
+  }
+
   /** PII redaction: emails and long digit runs replaced with typed tokens.
     * Patterns kept regex-dialect-portable (character classes only) so the
     * same expressions run in any engine. */

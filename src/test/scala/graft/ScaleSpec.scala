@@ -216,4 +216,23 @@ class ScaleSpec extends SparkSpec {
     assert((601L to 611L).forall(comp(_) == 601L))
     assert(comp.size == 400 + 21 + 11)
   }
+
+  test("bpeTrain: classic merge sequence on the Sennrich-style corpus") {
+    // words: low x5, lower x2, newest x6, widest x3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", 3)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // (e,s) freq 9 beats (s,t) 9 lexicographically; then (es,t) 9; then
+    // (l,o) 7 beats (o,w) 7
+    assert(merges == Seq((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L)))
+    // greedy left-to-right application: "aaa" under (a,a) -> (aa, a)
+    val runs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeTrain(runs, "text", 2)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(m2.head == ((1, "a", "a", 4L)))    // two adjacent positions per word
+    assert(m2(1) == ((2, "aa", "a", 2L)))     // greedy left fold: aaa -> (aa, a)
+  }
 }
