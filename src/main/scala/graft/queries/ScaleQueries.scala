@@ -65,6 +65,12 @@ object ScaleQueries {
         k = 16, bands = 4, jaccardThreshold = 0.9)
         .orderBy("id_a", "id_b")),
 
+    // Segment-level dedup (C4-style boilerplate removal): duplicate docs'
+    // segments all dedup away; each doc reassembles from survivors
+    "dedup_segments" -> ((s, d) =>
+      Dedup.segmentDedup(docsWithDups(s, d), "doc_id", "text", 10)
+        .orderBy("doc_id")),
+
     // Duplicate-group clustering: connected components over the LSH pairs
     "dedup_components" -> ((s, d) =>
       Dedup.connectedComponents(
@@ -437,6 +443,22 @@ object ScaleQueries {
         |SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM u GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "dedup_segments" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+         |tok AS (SELECT doc_id, $duckToksAll AS tk FROM u),
+         |seg AS (SELECT doc_id, pos, array_to_string(
+         |    list_slice(tk, (pos - 1) * 10 + 1, (pos - 1) * 10 + 10), ' ') AS seg
+         |  FROM tok, LATERAL (SELECT unnest(range(1,
+         |    CAST(ceil(len(tk) / 10.0) AS INT) + 1)) AS pos) p
+         |  WHERE len(tk) > 0),
+         |keep AS (SELECT doc_id, pos, seg FROM (
+         |  SELECT doc_id, pos, seg, row_number() OVER (
+         |    PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM seg)
+         |  WHERE rn = 1)
+         |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_survivors" ->
       """WITH u AS (SELECT doc_id, text FROM documents

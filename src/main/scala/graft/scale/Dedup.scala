@@ -262,6 +262,33 @@ object Dedup {
         .groupBy("id").agg(min(coalesce(col("comp"), col("id"))).as("component")))
   }
 
+  /** Segment-level exact dedup across the corpus (the C4/RefinedWeb-style
+    * boilerplate-removal step): documents split into fixed `segTokens`-token
+    * segments, each distinct segment kept only at its FIRST corpus-wide
+    * occurrence in (doc, position) order, and documents reassembled from
+    * their surviving segments. Two shuffles — the first-occurrence window on
+    * the segment fingerprint and the reassembly aggregation on the doc id;
+    * no pairwise comparison at any scale. A document whose every segment
+    * was seen before drops out entirely (fully-boilerplate document). */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    val w = Window.partitionBy("fp").orderBy(col("_doc"), col("pos"))
+    df.select(col(idCol).as("_doc"),
+        TextAnalysis.tokens(lower(col(textCol))).as("_tk"))
+      .select(col("_doc"),
+        posexplode(TextAnalysis.chunkTokens(col("_tk"), segTokens, 0)))
+      .withColumnRenamed("col", "seg")
+      .withColumn("fp", TextAnalysis.fingerprint(col("seg")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("_doc"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("seg")))),
+        x => x.getField("seg")), " ").as(textCol))
+      .withColumnRenamed("_doc", idCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs, bucketed by a coarse key (e.g.
     * a cluster/IVF label) so the pair join is per-bucket, not global. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
