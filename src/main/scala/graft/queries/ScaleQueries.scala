@@ -241,6 +241,16 @@ object ScaleQueries {
       TextAnalysis.topNgrams(docs(s, d), "text", 2, 20)
         .orderBy(col("cnt").desc, col("ngram").asc)),
 
+    // Benchmark decontamination: the corpus' top-3 2-grams stand in for an
+    // eval-set n-gram list (bounded, collected once); docs overlapping it
+    // are dropped with a per-row zero-shuffle filter
+    "tx_decontaminate" -> ((s, d) => {
+      val evalGrams = TextAnalysis.topNgrams(docs(s, d), "text", 2, 3)
+        .select("ngram").collect().map(_.getString(0)).toSeq
+      TextAnalysis.decontaminate(docs(s, d), "text", evalGrams, 2)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // BPE training statistic: adjacent-symbol pair frequencies over the
     // char-split vocabulary (top-20; the round-0 merge candidates)
     "bpe_pair_freqs" -> ((s, d) =>
@@ -725,6 +735,19 @@ object ScaleQueries {
          |    i -> tk[i] || ' ' || tk[i + 1])) AS ngram FROM tok)
          |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
          |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    "tx_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $duckToksAll AS tk FROM documents),
+         |g AS (SELECT doc_id, lang, list_transform(
+         |    range(1, CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END + 1),
+         |    i -> tk[i] || ' ' || tk[i + 1]) AS grams FROM tok),
+         |freq AS (SELECT unnest(grams) AS ngram FROM g),
+         |top3 AS (SELECT ngram FROM (SELECT ngram, count(*) AS cnt FROM freq
+         |  GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 3)),
+         |evl AS (SELECT list(ngram) AS ev FROM top3)
+         |SELECT doc_id, lang FROM g CROSS JOIN evl
+         |WHERE NOT list_has_any(list_distinct(grams), ev)
+         |ORDER BY doc_id""".stripMargin,
 
     "bpe_pair_freqs" ->
       s"""WITH wf AS (SELECT w, count(*) AS freq FROM (

@@ -210,6 +210,20 @@ object TextAnalysis {
       },
       acc => acc.getField("best")))
 
+  /** Benchmark decontamination: drop documents whose word n-gram set
+    * overlaps a contamination list (eval-set n-grams — the standard
+    * training-data hygiene step). The list must be broadcast-sized (eval
+    * sets are); it folds into the plan as an array literal and the filter
+    * is per-row `arrays_overlap` over the doc's n-gram set — one scan,
+    * zero shuffles at any corpus size. */
+  def decontaminate(df: DataFrame, textCol: String,
+      contaminated: Seq[String], n: Int): DataFrame = {
+    require(contaminated.nonEmpty, "contamination list is empty")
+    df.filter(!arrays_overlap(
+      shingles(col(textCol), n),
+      array(contaminated.map(lit): _*)))
+  }
+
   /** Per-word frequency table — the bounded state BPE training runs on:
     * corpus-sized input reduces to vocabulary-sized rows in one hash agg. */
   def wordFreqs(df: DataFrame, textCol: String): DataFrame =
