@@ -247,7 +247,7 @@ object ScaleQueries {
     "tx_decontaminate" -> ((s, d) => {
       val evalGrams = TextAnalysis.topNgrams(docs(s, d), "text", 2, 3)
         .select("ngram").collect().map(_.getString(0)).toSeq
-      TextAnalysis.decontaminate(docs(s, d), "text", evalGrams, 2)
+      TextAnalysis.decontaminate(docs(s, d), "doc_id", "text", evalGrams, 2)
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 

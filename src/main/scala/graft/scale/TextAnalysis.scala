@@ -213,15 +213,23 @@ object TextAnalysis {
   /** Benchmark decontamination: drop documents whose word n-gram set
     * overlaps a contamination list (eval-set n-grams — the standard
     * training-data hygiene step). The list must be broadcast-sized (eval
-    * sets are); it folds into the plan as an array literal and the filter
-    * is per-row `arrays_overlap` over the doc's n-gram set — one scan,
-    * zero shuffles at any corpus size. */
-  def decontaminate(df: DataFrame, textCol: String,
+    * sets are). Shape: grams explode under a Generate (whose child
+    * projection materializes the token array ONCE per row — a plain
+    * `withColumn` + filter would be projection-collapsed, inlining the
+    * tokenizer into the gram lambda and re-running it per gram, O(tokens²)
+    * per row), matching grams reduce to a small id set, and the id set
+    * anti-joins the corpus (AQE broadcasts it). */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
       contaminated: Seq[String], n: Int): DataFrame = {
     require(contaminated.nonEmpty, "contamination list is empty")
-    df.filter(!arrays_overlap(
-      shingles(col(textCol), n),
-      array(contaminated.map(lit): _*)))
+    val tkC = Cols.fresh("__tk", df.columns)
+    val gC = Cols.fresh("__g", df.columns)
+    val matched = df
+      .select(col(idCol), tokens(lower(col(textCol))).as(tkC))
+      .select(col(idCol), explode(array_distinct(ngramsAll(col(tkC), n))).as(gC))
+      .filter(col(gC).isin(contaminated.map(_.asInstanceOf[Any]): _*))
+      .select(idCol)
+    df.join(matched, Seq(idCol), "left_anti")
   }
 
   /** Per-word frequency table — the bounded state BPE training runs on:
