@@ -18,11 +18,16 @@ object StateStore {
   val schema: StructType = StructType(Seq(
     StructField("_id", StringType), StructField("hash", StringType)))
 
+  /** Zero-row state frame with the canonical `(_id, hash)` schema (first
+    * sync — nothing persisted yet). */
+  def emptyState(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
   def load(spark: SparkSession, path: String): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(path))) spark.read.parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else emptyState(spark)
   }
 
   def save(spark: SparkSession, state: DataFrame, path: String): Unit =

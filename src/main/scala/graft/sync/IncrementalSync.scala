@@ -64,6 +64,48 @@ object IncrementalSync {
     classified.filter(col("change_type") =!= ChangeDeleted)
       .select(col("_id"), col(hashCol).as("hash"))
 
+  /** [[run]] against BUCKETED catalog tables — the 100 TB shape promised in
+    * SCALE.md: `targetTable` and `stateTable` are parquet tables
+    * bucketed+sorted on `_id` with the same bucket count, so the J1 diff
+    * join and the MERGE application read the STORED sides without a shuffle
+    * exchange; only the incoming snapshot is hashed into place. Per sync,
+    * state and target stream their co-located buckets instead of being
+    * re-shuffled. Both tables are replaced via stage-and-rename (atomic at
+    * the catalog level); a missing state table means first sync (all new).
+    */
+  def runBucketed(spark: SparkSession, source: DataFrame, targetTable: String,
+      stateTable: String, buckets: Int,
+      hashCol: String = "doc_hash"): SyncResult = {
+    import graft.io.Bucketing
+    val current = DocHash.withDocHash(source, hashCol)
+    val state =
+      if (spark.catalog.tableExists(stateTable)) spark.table(stateTable)
+      else StateStore.emptyState(spark)
+    val classified = classify(current, state, hashCol).cache()
+    try {
+      val result = metrics(classified)
+      val target = spark.table(targetTable)
+      val upserts = classified
+        .filter(col("change_type").isin(ChangeNew, ChangeUpdated))
+        .select(source.columns.map(col): _*)
+      val deletes = classified.filter(col("change_type") === ChangeDeleted)
+        .select("_id")
+      val merged = Sinks.delete(Sinks.upsert(target, upserts, "_id"), deletes, "_id")
+      // stage-and-rename: the merged plan reads targetTable, so it must be
+      // fully written before the old table is dropped
+      def replace(table: String, df: DataFrame): Unit = {
+        val stage = table + "__stage"
+        spark.sql(s"DROP TABLE IF EXISTS $stage")
+        Bucketing.bucketedSave(df, stage, "_id", buckets)
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+      }
+      replace(targetTable, merged)
+      replace(stateTable, nextState(classified, hashCol))
+      result
+    } finally classified.unpersist()
+  }
+
   /** Full sync run against a parquet-backed target table: classify, apply
     * (upsert new+updated, anti-join deletes — S10/S12/S13), persist state
     * (S18). MERGE-semantics application is idempotent, so retries are safe

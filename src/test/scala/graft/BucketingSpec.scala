@@ -44,4 +44,52 @@ class BucketingSpec extends SparkSpec {
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("bucketed sync: diff join reads the bucketed state without an exchange") {
+    import graft.sync.{DocHash, IncrementalSync}
+    val dir = java.nio.file.Files.createTempDirectory("graft_bsync").toString
+    def src(n: Int) = (1 to n)
+      .map(i => (i.toString, s"name$i", (i % 7).toLong))
+      .toDF("_id", "name", "grp")
+    try {
+      // bootstrap: bucketed target + state from the initial snapshot
+      Bucketing.bucketedSave(src(300), "graft_bs_target", "_id", 4,
+        Some(s"$dir/t"))
+      Bucketing.bucketedSave(
+        DocHash.withDocHash(src(300), "doc_hash")
+          .select(col("_id"), col("doc_hash").as("hash")),
+        "graft_bs_state", "_id", 4, Some(s"$dir/s"))
+      // second snapshot: 30 new, 60 modified, 20 deleted
+      val snap2 = src(330).filter(expr("CAST(_id AS INT) > 20"))
+        .withColumn("name", when(expr("CAST(_id AS INT) % 5 = 0"),
+          concat(col("name"), lit("_v2"))).otherwise(col("name")))
+      val r = IncrementalSync.runBucketed(spark, snap2,
+        "graft_bs_target", "graft_bs_state", 4)
+      assert(r.newDocs == 30 && r.deleted == 20)
+      assert(r.updated == 56 && r.unchanged == 224) // %5==0 among 21..300
+      // post-state: target matches the snapshot exactly
+      val tgt = spark.table("graft_bs_target")
+      assert(tgt.count() == 310)
+      assert(tgt.exceptAll(snap2).isEmpty && snap2.exceptAll(tgt).isEmpty)
+      // and the table stayed bucketed: a self-rejoin of target and state
+      // plans with NO exchange on either stored side
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("graft_bs_target")
+          .join(spark.table("graft_bs_state"), "_id")
+        assert(Bucketing.isShuffleFree(j),
+          s"expected no Exchange:\n${j.queryExecution.executedPlan}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // idempotent: replaying the same snapshot is all-unchanged
+      val r2 = IncrementalSync.runBucketed(spark, snap2,
+        "graft_bs_target", "graft_bs_state", 4)
+      assert(r2.newDocs == 0 && r2.updated == 0 && r2.deleted == 0)
+      assert(r2.unchanged == 310)
+    } finally {
+      Seq("graft_bs_target", "graft_bs_state", "graft_bs_target__stage",
+        "graft_bs_state__stage").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
