@@ -65,6 +65,16 @@ object ScaleQueries {
         k = 16, bands = 4, jaccardThreshold = 0.9)
         .orderBy("id_a", "id_b")),
 
+    // Multimodal frame sampling: every stride-th payload byte (the
+    // video-frame-subsample plumbing shape, codec-free)
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"), 4)
+        .select(col("id"), posexplode(col("frame_bytes")))
+        .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("byte"))
+        .orderBy("id", "pos")),
+
     // Segment-level dedup (C4-style boilerplate removal): duplicate docs'
     // segments all dedup away; each doc reassembles from survivors
     "dedup_segments" -> ((s, d) =>
@@ -453,6 +463,15 @@ object ScaleQueries {
         |SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM u GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id AS id, text,
+        |  greatest(CAST(floor(length(text) / 4) AS INT), 1) AS n
+        |  FROM documents)
+        |SELECT id, CAST(i AS BIGINT) AS pos,
+        |  ascii(substr(text, (i - 1) * 4 + 1, 1)) AS byte
+        |FROM f, LATERAL (SELECT unnest(range(1, n + 1)) AS i) t
+        |ORDER BY id, pos""".stripMargin,
 
     "dedup_segments" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents
