@@ -452,6 +452,22 @@ object CoreQueries {
         .orderBy("collection", "table_name")
     }),
 
+    // Salted skew join (Bucketing.saltedJoin): one hot key spread over N
+    // sub-keys; the oracle is the PLAIN join — salting must not change
+    // results, only the shuffle distribution
+    "join_salted" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select((col("l_orderkey") % 25).as("k"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      val dim = t(s, d, "nation")
+        .select(col("n_nationkey").as("k"), col("n_name"))
+      graft.io.Bucketing.saltedJoin(li, dim, "k", 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("price")).cast("double").as("revenue"))
+        .orderBy("n_name")
+    }),
+
     // -------------------------------------------- headline aggregations
     // A-class/bench: pricing summary (decimal-exact, order-independent sums)
     "q1_pricing_summary" -> ((s, d) => {
@@ -791,6 +807,12 @@ object CoreQueries {
         |  UNION ALL SELECT 'cdocs', 'cdocs_nation', (SELECT count(*) FROM customer)
         |  UNION ALL SELECT 'cdocs', 'cdocs_orders', (SELECT count(*) FROM orders))
         |ORDER BY collection, table_name""".stripMargin,
+
+    "join_salted" ->
+      """SELECT n_name, count(*) AS cnt,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN nation ON l_orderkey % 25 = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
