@@ -8,7 +8,7 @@ import graft.decompose.Decomposer
 import graft.io.Sinks
 import graft.model.RelationalModel
 import graft.profile.SchemaProfiler
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, SessionEvent, StatefulSessions}
 import graft.sync.{DocHash, IncrementalSync}
 import graft.types.Dialect
 import graft.validate.{Normalize, Validator}
@@ -548,6 +548,21 @@ object CoreQueries {
       EventStream.sessionStats(t(s, d, "events"))
         .orderBy("user_id", "session_id")),
 
+    // §2.10 extension: custom per-key state via flatMapGroupsWithState
+    // (batch run of the stateful sessionizer — only CLOSED sessions emit;
+    // each user's final open session stays in state, so the oracle is the
+    // windowed-session formulation minus each user's last session)
+    "st_stateful_sessions" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("value").cast("double").as("value"))
+        .as[SessionEvent]
+      StatefulSessions.sessionize(ev).toDF()
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start"), round(col("session_value"), 4).as("session_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // §2.10 extension: stream-stream interval join (batch form of the
     // watermark-bounded clicks × purchases join; StreamingSpec runs the
     // same transform as two file-source streams)
@@ -876,6 +891,25 @@ object CoreQueries {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "st_stateful_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |s AS (SELECT user_id, event_id, sec, value,
+        |  CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |s2 AS (SELECT user_id, sec, value,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |agg AS (SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(sec) AS session_start,
+        |  round(sum(value), 4) AS session_value
+        |  FROM s2 GROUP BY 1, 2)
+        |SELECT user_id, session_id, n_events, session_start, session_value
+        |FROM (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS mx
+        |  FROM agg)
+        |WHERE session_id < mx ORDER BY user_id, session_id""".stripMargin,
 
     "st_click_purchase" ->
       """SELECT c.user_id, c.event_id AS click_id,
