@@ -251,6 +251,13 @@ object ScaleQueries {
       TextAnalysis.topNgrams(docs(s, d), "text", 2, 20)
         .orderBy(col("cnt").desc, col("ngram").asc)),
 
+    // Character-entropy quality signal (perplexity proxy): bits of the
+    // per-doc char distribution
+    "tx_char_entropy" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")),
+
     // Benchmark decontamination: the corpus' top-3 2-grams stand in for an
     // eval-set n-gram list (bounded, collected once); docs overlapping it
     // are dropped with a per-row zero-shuffle filter
@@ -754,6 +761,15 @@ object ScaleQueries {
          |    i -> tk[i] || ' ' || tk[i + 1])) AS ngram FROM tok)
          |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
          |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    "tx_char_entropy" ->
+      """WITH c AS (SELECT doc_id, length(text) AS n,
+        |    unnest(list_transform(range(1, length(text) + 1),
+        |      i -> substr(text, i, 1))) AS ch FROM documents),
+        |h AS (SELECT doc_id, n, ch, count(*) AS cnt FROM c GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |  round(-sum((cnt * 1.0 / n) * log2(cnt * 1.0 / n)), 6) AS entropy
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "tx_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, lang, $duckToksAll AS tk FROM documents),

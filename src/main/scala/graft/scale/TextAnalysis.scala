@@ -210,6 +210,42 @@ object TextAnalysis {
       },
       acc => acc.getField("best")))
 
+  /** Shannon entropy (bits) of a text's character distribution — a cheap
+    * perplexity proxy for quality filtering: low-entropy documents are
+    * repetitive/boilerplate, abnormally high values flag binary junk.
+    * Computed per row from the SORTED char array's run lengths (one linear
+    * fold over a lambda variable — no per-distinct-char rescans), zero
+    * shuffles at any corpus size. Rounded to 6 decimals so the value is
+    * stable across engines' float-summation orders. */
+  def charEntropy(text: Column): Column = {
+    val cs = array_sort(charSymbols(text))
+    val n = length(text).cast("double")
+    val acc0 = struct(lit("").as("prev"), lit(0L).as("cnt"),
+      array().cast("array<long>").as("done"))
+    val counts = aggregate(cs, acc0,
+      (acc, c) => {
+        val prev = acc.getField("prev")
+        val cnt = acc.getField("cnt")
+        val done = acc.getField("done")
+        when(cnt === 0L,
+          struct(c.as("prev"), lit(1L).as("cnt"), done.as("done")))
+          .when(c === prev,
+            struct(prev.as("prev"), (cnt + 1L).as("cnt"), done.as("done")))
+          .otherwise(struct(c.as("prev"), lit(1L).as("cnt"),
+            concat(done, array(cnt)).as("done")))
+      },
+      acc => when(acc.getField("cnt") > 0L,
+        concat(acc.getField("done"), array(acc.getField("cnt"))))
+        .otherwise(acc.getField("done")))
+    val ent = aggregate(
+      transform(counts, k => {
+        val p = k.cast("double") / n
+        -p * log2(p)
+      }),
+      lit(0.0), (a, v) => a + v)
+    when(length(text) === 0, lit(0.0)).otherwise(round(ent, 6))
+  }
+
   /** Benchmark decontamination: drop documents whose word n-gram set
     * overlaps a contamination list (eval-set n-grams — the standard
     * training-data hygiene step). The list must be broadcast-sized (eval

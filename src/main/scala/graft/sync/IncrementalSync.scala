@@ -70,8 +70,11 @@ object IncrementalSync {
     * join and the MERGE application read the STORED sides without a shuffle
     * exchange; only the incoming snapshot is hashed into place. Per sync,
     * state and target stream their co-located buckets instead of being
-    * re-shuffled. Both tables are replaced via stage-and-rename (atomic at
-    * the catalog level); a missing state table means first sync (all new).
+    * re-shuffled. Both tables are replaced via stage-and-rename — note this
+    * is TWO catalog operations (DROP + RENAME), so a concurrent reader in
+    * that window sees a missing table; a deployment needing uninterrupted
+    * readers should flip a view or use a table format with atomic swap. A
+    * missing state table means first sync (all new).
     */
   def runBucketed(spark: SparkSession, source: DataFrame, targetTable: String,
       stateTable: String, buckets: Int,

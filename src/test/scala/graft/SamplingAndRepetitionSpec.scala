@@ -184,4 +184,16 @@ class SamplingAndRepetitionSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(top == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
+
+  test("charEntropy: 0 for constant text, log2(k) for uniform k chars") {
+    val df = Seq(
+      (1L, "aaaa"),         // one symbol -> 0 bits
+      (2L, "abab"),         // two uniform symbols -> 1 bit
+      (3L, "abcdabcdabcd"), // four uniform -> 2 bits
+      (4L, "")              // empty -> 0 by guard
+    ).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.charEntropy($"text").as("e"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0 && out(2L) == 1.0 && out(3L) == 2.0 && out(4L) == 0.0)
+  }
 }
