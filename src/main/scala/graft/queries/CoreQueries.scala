@@ -452,6 +452,23 @@ object CoreQueries {
         .orderBy("collection", "table_name")
     }),
 
+    // Running-total window frame (rowsBetween unbounded-preceding..current)
+    // per customer — the analytic-frame shape the reference lacks entirely
+    "w_running_total" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, d, "orders")
+        .filter(col("o_custkey") % 100 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("running_total"),
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("o_custkey").orderBy("o_orderkey")).as("rn"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Salted skew join (Bucketing.saltedJoin): one hot key spread over N
     // sub-keys; the oracle is the PLAIN join — salting must not change
     // results, only the shuffle distribution
@@ -822,6 +839,16 @@ object CoreQueries {
         |  UNION ALL SELECT 'cdocs', 'cdocs_nation', (SELECT count(*) FROM customer)
         |  UNION ALL SELECT 'cdocs', 'cdocs_orders', (SELECT count(*) FROM orders))
         |ORDER BY collection, table_name""".stripMargin,
+
+    "w_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+        |CAST(row_number() OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderkey) AS INT) AS rn
+        |FROM orders WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "join_salted" ->
       """SELECT n_name, count(*) AS cnt,
