@@ -87,7 +87,14 @@ object IncrementalSync {
     val classified = classify(current, state, hashCol).cache()
     try {
       val result = metrics(classified)
-      val target = spark.table(targetTable)
+      // S16 drift, same as [[run]]: new source columns become nullable
+      // target columns BEFORE the merge (upsert aligns to the target
+      // schema, which would otherwise silently drop them)
+      val target0 = spark.table(targetTable)
+      val target =
+        if (Sinks.missingColumns(source.schema, target0.schema).nonEmpty)
+          Sinks.mergeSchemas(target0, source.limit(0))
+        else target0
       val upserts = classified
         .filter(col("change_type").isin(ChangeNew, ChangeUpdated))
         .select(source.columns.map(col): _*)

@@ -86,6 +86,13 @@ class BucketingSpec extends SparkSpec {
         "graft_bs_target", "graft_bs_state", 4)
       assert(r2.newDocs == 0 && r2.updated == 0 && r2.deleted == 0)
       assert(r2.unchanged == 310)
+      // S16 drift: a snapshot gaining a column updates every row (the hash
+      // covers it) and the new column lands in the bucketed target
+      val snap3 = snap2.withColumn("score", expr("CAST(_id AS INT) % 3"))
+      val r3 = IncrementalSync.runBucketed(spark, snap3,
+        "graft_bs_target", "graft_bs_state", 4)
+      assert(r3.updated == 310 && r3.newDocs == 0 && r3.deleted == 0)
+      assert(spark.table("graft_bs_target").columns.contains("score"))
     } finally {
       Seq("graft_bs_target", "graft_bs_state", "graft_bs_target__stage",
         "graft_bs_state__stage").foreach(t =>
