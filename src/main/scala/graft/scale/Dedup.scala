@@ -22,13 +22,16 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** Survivors after exact dedup (one row per distinct fingerprint, the
-    * minimal id wins — deterministic). */
+    * minimal id wins — deterministic). Scratch columns avoid the input's
+    * names, so a user column named `fp`/`rn` survives untouched. */
   def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy("fp").orderBy(col(idCol).asc)
-    df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("fp", "rn")
+    val fpC = Cols.fresh("fp", df.columns)
+    val rnC = Cols.fresh("rn", df.columns)
+    val w = Window.partitionBy(fpC).orderBy(col(idCol).asc)
+    df.withColumn(fpC, TextAnalysis.fingerprint(col(textCol)))
+      .withColumn(rnC, row_number().over(w))
+      .filter(col(rnC) === 1)
+      .drop(fpC, rnC)
   }
 
   /** Cross-engine-stable 32-bit token hash: first 8 hex chars of MD5, parsed

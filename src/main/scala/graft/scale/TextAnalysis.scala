@@ -34,8 +34,9 @@ object TextAnalysis {
 
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val withToks = df.withColumn("__tk", tokens(t)) // tokenize once per row
-    val toks = col("__tk")
+    val tkC = Cols.fresh("__tk", df.columns)
+    val withToks = df.withColumn(tkC, tokens(t)) // tokenize once per row
+    val toks = col(tkC)
     val nTok = size(toks).cast("long")
     val stop = size(filter(toks, w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
       .cast("long")
@@ -53,7 +54,7 @@ object TextAnalysis {
         when(nChars > 0, punct.cast("double") / nChars.cast("double")).otherwise(lit(0.0)))
       .withColumn("alpha_ratio",
         when(nChars > 0, alpha.cast("double") / nChars.cast("double")).otherwise(lit(0.0)))
-      .drop("__tk")
+      .drop(tkC)
   }
 
   /** Language ID via marker-token evidence (n-gram-frequency heuristic):
