@@ -221,29 +221,30 @@ object TextAnalysis {
   def charEntropy(text: Column): Column = {
     val cs = array_sort(charSymbols(text))
     val n = length(text).cast("double")
-    val acc0 = struct(lit("").as("prev"), lit(0L).as("cnt"),
-      array().cast("array<long>").as("done"))
-    val counts = aggregate(cs, acc0,
+    def term(k: Column): Column = {
+      val p = k.cast("double") / n
+      -p * log2(p)
+    }
+    // single fold over a FLAT accumulator (prev char, current run length,
+    // entropy so far): each run boundary folds its term in immediately —
+    // an array-building accumulator would copy O(run count) state per
+    // element, turning the fold O(n²) per row (measured 8 s at sf0.1
+    // before this shape; 1-2 s after)
+    val acc0 = struct(lit("").as("prev"), lit(0L).as("cnt"), lit(0.0).as("ent"))
+    val ent = aggregate(cs, acc0,
       (acc, c) => {
         val prev = acc.getField("prev")
         val cnt = acc.getField("cnt")
-        val done = acc.getField("done")
-        when(cnt === 0L,
-          struct(c.as("prev"), lit(1L).as("cnt"), done.as("done")))
+        val e = acc.getField("ent")
+        when(cnt === 0L, struct(c.as("prev"), lit(1L).as("cnt"), e.as("ent")))
           .when(c === prev,
-            struct(prev.as("prev"), (cnt + 1L).as("cnt"), done.as("done")))
+            struct(prev.as("prev"), (cnt + 1L).as("cnt"), e.as("ent")))
           .otherwise(struct(c.as("prev"), lit(1L).as("cnt"),
-            concat(done, array(cnt)).as("done")))
+            (e + term(cnt)).as("ent")))
       },
       acc => when(acc.getField("cnt") > 0L,
-        concat(acc.getField("done"), array(acc.getField("cnt"))))
-        .otherwise(acc.getField("done")))
-    val ent = aggregate(
-      transform(counts, k => {
-        val p = k.cast("double") / n
-        -p * log2(p)
-      }),
-      lit(0.0), (a, v) => a + v)
+        acc.getField("ent") + term(acc.getField("cnt")))
+        .otherwise(acc.getField("ent")))
     when(length(text) === 0, lit(0.0)).otherwise(round(ent, 6))
   }
 
@@ -275,9 +276,13 @@ object TextAnalysis {
     df.select(explode(tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
-  /** Character-split of a word (the initial BPE symbol sequence). */
+  /** Character-split of a string (the initial BPE symbol sequence; also the
+    * entropy alphabet). One regex-split pass — per-index `substring` would
+    * seek from the string start each time (UTF-8 is variable-width), making
+    * extraction O(n²) per row. The empty-string artifacts of zero-width
+    * splitting are removed (real elements are never empty). */
   def charSymbols(w: Column): Column =
-    transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1)))
+    array_remove(split(w, ""), "")
 
   /** Adjacent-symbol pair counts weighted by word frequency — the BPE
     * statistic. `symCol` is an `array<string>` symbol column, `freqCol` the
