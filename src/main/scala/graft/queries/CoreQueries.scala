@@ -439,17 +439,23 @@ object CoreQueries {
     "o1_workflow_multi" -> ((s, d) => {
       import s.implicits._
       val out = java.nio.file.Files.createTempDirectory("graft_multi").toString
-      val reports = MigrationWorkflow.run(s, d,
-        collections = Seq("odocs", "cdocs"),
-        cfgFor = n => MigrationConfig(n, out),
-        loadDocs = {
-          case "odocs" => docsAndModel(s, d)._1
-          case "cdocs" => Tables.customerDocs(s, d)
-        })
-      reports.flatMap(r => r.rowCounts.toSeq.map { case (t, n) =>
-        (r.collection, t, n)
-      }).toDF("collection", "table_name", "row_count")
-        .orderBy("collection", "table_name")
+      // cdocs is built fresh (odocs comes from the shared cache); persist it
+      // for the span of the migration's ~6 actions, like the profiler does
+      // for its sample
+      val cdocs = Tables.customerDocs(s, d).persist()
+      try {
+        val reports = MigrationWorkflow.run(s, d,
+          collections = Seq("odocs", "cdocs"),
+          cfgFor = n => MigrationConfig(n, out),
+          loadDocs = {
+            case "odocs" => docsAndModel(s, d)._1
+            case "cdocs" => cdocs
+          })
+        reports.flatMap(r => r.rowCounts.toSeq.map { case (t, n) =>
+          (r.collection, t, n)
+        }).toDF("collection", "table_name", "row_count")
+          .orderBy("collection", "table_name")
+      } finally cdocs.unpersist(false)
     }),
 
     // Running-total window frame (rowsBetween unbounded-preceding..current)
