@@ -88,12 +88,11 @@ object ScaleQueries {
           k = 16, bands = 4, jaccardThreshold = 0.9))
         .orderBy("id")),
 
-    // SimHash (16-bit, MD5-nibble majority votes; per-token MD5 computed once)
+    // SimHash (16-bit, MD5-nibble majority votes) — the codegen kernel:
+    // one digest + one vote loop per token inside whole-stage codegen
     "dedup_simhash" -> ((s, d) =>
       docs(s, d)
-        .withColumn("md5s", Dedup.tokenMd5s(col("text")))
-        .select(col("doc_id"),
-          Dedup.simhashFromHashes(col("md5s"), 16).as("sh"))
+        .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
         .orderBy("doc_id")),
 
     // n-gram (3-word shingle) Jaccard over consecutive-id candidate pairs;

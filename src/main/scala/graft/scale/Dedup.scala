@@ -44,23 +44,20 @@ object Dedup {
 
   /** MinHash signature (k permutations) over a PRE-HASHED element array
     * (`array<long>`, see [[hashedElems]]): sig_i = min over elements of
-    * ((a_i·h + b_i) mod p) with the classic affine permutation family
-    * (Broder '97). Hashing is done once per element by the caller; the k
-    * permutations are then pure integer arithmetic. Built-ins only —
-    * per-row, codegen'd, no shuffle. */
-  def minhashFromHashes(hashed: Column, k: Int): Column = {
-    val sigs = (0 until k).map { i =>
-      val a = 2L * i + 1
-      val b = 7919L * i + 1
-      array_min(transform(hashed, h => (h * a + b) % MinhashPrime))
-    }
-    array(sigs: _*)
-  }
+    * ((a_i·h + b_i) mod p) with a_i = 2i+1, b_i = 7919i+1 — the classic
+    * affine permutation family (Broder '97). A native codegen expression
+    * ([[graft.functions.VectorHashExpressions.MinhashSig]]): one primitive
+    * pass with k running minimums, instead of k interpreted
+    * `array_min∘transform` HOF passes. Per-row, no shuffle. */
+  def minhashFromHashes(hashed: Column, k: Int): Column =
+    graft.functions.VectorHashExpressions.minhashSig(hashed, k)
 
-  /** Cross-engine-stable numeric hash of each element (md5+conv computed
-    * once per element — materialize this into a column before
-    * [[minhashFromHashes]]). */
-  def hashedElems(elems: Column): Column = transform(elems, t => tokenHash(t))
+  /** Cross-engine-stable numeric hash of each element (= [[tokenHash]] per
+    * element — materialize this into a column before [[minhashFromHashes]]).
+    * Native codegen expression: one MD5 digest per element, no hex-string
+    * materialization/re-parse and no interpreted HOF lambda. */
+  def hashedElems(elems: Column): Column =
+    graft.functions.VectorHashExpressions.hashTokens(elems)
 
   /** MinHash over an element-set column (convenience; hot paths should
     * materialize [[hashedElems]] first). */
@@ -137,9 +134,10 @@ object Dedup {
 
   /** SimHash (Charikar '02) with `bits` bit positions votes from MD5 nibbles
     * of each token: bit_j = majority over tokens of (nibble_j >= 8).
-    * Cross-engine-stable (MD5 hex), built-ins only. `tokenHashes` is a
-    * precomputed `array<md5-hex>` column — hashing once per token, not once
-    * per (token, bit). */
+    * Cross-engine-stable (MD5 hex). HOF formulation over a precomputed
+    * `array<md5-hex>` column; [[simhash]] compiles the identical arithmetic
+    * to a single codegen kernel — this form is kept as the executable
+    * specification the kernel is property-tested against. */
   def simhashFromHashes(tokenHashes: Column, bits: Int = 16): Column = {
     require(bits <= 32, "simhash uses one hex nibble per bit (md5 = 32 nibbles)")
     val hexHi = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(_.asInstanceOf[Any])
@@ -156,10 +154,15 @@ object Dedup {
   def tokenMd5s(text: Column): Column =
     transform(TextAnalysis.tokens(lower(text)), t => md5(t))
 
-  /** SimHash from raw text (convenience; hot paths should materialize
-    * [[tokenMd5s]] into a column first). */
+  /** SimHash from raw text — a single codegen expression
+    * ([[graft.functions.VectorHashExpressions.Simhash]]): one MD5 digest and
+    * one nibble-vote loop per token, replacing the md5-hex array plus `bits`
+    * interpreted filter passes of the HOF form (bit-identical by property
+    * test). `coalesce` keeps the HOF form's null contract (null text → 0,
+    * since its vote terms each default to 0). */
   def simhash(text: Column, bits: Int = 16): Column =
-    simhashFromHashes(tokenMd5s(text), bits)
+    coalesce(graft.functions.VectorHashExpressions.simhash(
+      TextAnalysis.tokens(lower(text)), bits), lit(0L))
 
   /** Hamming distance between two simhash values (bit-count of XOR). */
   def hammingDistance(a: Column, b: Column): Column =
