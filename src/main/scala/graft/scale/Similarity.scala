@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product via zip_with + aggregate — built-ins, codegen'd; elements
-    * cast to double for a stable, engine-portable accumulation order
-    * (sequential fold over the array). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product — elements cast to double for a stable, engine-portable
+    * accumulation order (sequential fold over the array). A native codegen
+    * expression ([[graft.functions.VectorDot]]): one fused primitive loop
+    * per pair instead of the `aggregate∘zip_with` HOF chain, which runs its
+    * lambdas interpreted and materializes the zipped product array.
+    * Bit-identical to the HOF fold by property test. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

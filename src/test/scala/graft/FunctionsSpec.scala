@@ -51,6 +51,26 @@ object VectorHashProps extends Properties("VectorHash") {
       r.getSeq[java.lang.Long](0) == r.getSeq[java.lang.Long](1)
     }
 
+  private val vecGen: Gen[List[Float]] =
+    Gen.listOf(Gen.chooseNum(-10.0f, 10.0f))
+
+  /** HOF reference formulation of [[graft.functions.VectorDot]]. */
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  property("vector_dot == HOF aggregate/zip_with fold (bit-identical)") =
+    forAll(vecGen, vecGen) { (va, vb) =>
+      val df = Seq((va, vb)).toDF("a", "b")
+      val r = df.select(
+        graft.functions.VectorDot(col("a"), col("b")).as("kernel"),
+        hofDot(col("a"), col("b")).as("hof")).head()
+      // ragged pairs → both null; else compare exact bits, not ==
+      (r.isNullAt(0) && r.isNullAt(1)) ||
+        (java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+
   property("simhash == HOF md5-hex nibble votes") =
     forAll(arrGen, Gen.choose(1, 32)) { (toks, bits) =>
       val text = toks.mkString(" ")
@@ -83,6 +103,18 @@ class FunctionsSpec extends SparkSpec {
     // no non-null element → every signature position is null (array_min form)
     assert(r(1).getSeq[Any](3) == Seq(null, null, null, null))
     assert(r(2).getSeq[Any](3) == Seq(null, null, null, null))
+  }
+
+  test("vector_dot: null elements poison, double arrays and mixed types work") {
+    val df = Seq((Seq[java.lang.Float](1f, null, 3f), Seq(1.0, 2.0, 3.0)))
+      .toDF("f", "d")
+    val r = df.select(
+      graft.functions.VectorDot(col("f"), col("d")).as("poisoned"),
+      graft.functions.VectorDot(col("d"), col("d")).as("dd"),
+      graft.functions.VectorDot(col("f"), col("f")).as("ff")).head()
+    assert(r.isNullAt(0))           // null element → null, like the HOF fold
+    assert(r.getDouble(1) == 14.0)  // double/double
+    assert(r.isNullAt(2))           // float side still carries the null
   }
 
   test("null input: hash/sig propagate null, simhash keeps HOF's 0") {
