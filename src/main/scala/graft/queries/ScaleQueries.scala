@@ -196,12 +196,13 @@ object ScaleQueries {
     "tx_repetition" -> ((s, d) =>
       docs(s, d)
         .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
-        .withColumn("g2", TextAnalysis.ngramsAll(col("tk"), 2))
-        .withColumn("g3", TextAnalysis.ngramsAll(col("tk"), 3))
+        .withColumn("r2",
+          graft.functions.TextExpressions.ngramRepetition(col("tk"), 2))
         .select(col("doc_id"),
-          TextAnalysis.dupFractionOfGrams(col("g2")).as("dup_2gram_frac"),
-          TextAnalysis.dupFractionOfGrams(col("g3")).as("dup_3gram_frac"),
-          TextAnalysis.topFractionOfGrams(col("g2")).as("top_2gram_frac"),
+          col("r2").getField("dup_frac").as("dup_2gram_frac"),
+          graft.functions.TextExpressions.ngramRepetition(col("tk"), 3)
+            .getField("dup_frac").as("dup_3gram_frac"),
+          col("r2").getField("top_frac").as("top_2gram_frac"),
           TextAnalysis.maxTokenRun(col("tk")).cast("long").as("max_token_run"),
           TextAnalysis.symbolRatio(col("text"), col("tk")).as("symbol_ratio"))
         .orderBy("doc_id")),

@@ -104,8 +104,17 @@ object TextAnalysis {
     shinglesOf(tokens(lower(text)), n)
 
   /** ALL word n-grams of a token array (with repeats — the repetition
-    * denominators), unlike [[shinglesOf]] which dedupes. */
+    * denominators), unlike [[shinglesOf]] which dedupes. Codegen kernel
+    * ([[graft.functions.TextExpressions.NgramArray]]) — one fused loop
+    * instead of a per-gram interpreted slice+concat lambda; bit-identical
+    * to [[ngramsAllHof]] by property test. */
   def ngramsAll(toks: Column, n: Int): Column =
+    if (n <= 1) toks
+    else graft.functions.TextExpressions.ngramArray(toks, n)
+
+  /** HOF formulation of [[ngramsAll]] — kept as the executable spec the
+    * kernel is property-tested against. */
+  def ngramsAllHof(toks: Column, n: Int): Column =
     if (n <= 1) toks
     else transform(
       slice(toks, lit(1), greatest(size(toks) - (n - 1), lit(0))),
@@ -200,6 +209,11 @@ object TextAnalysis {
     * nulls (an unguarded fold would see one (null, null) pair and report a
     * run of 1). */
   def maxTokenRun(toks: Column): Column =
+    graft.functions.TextExpressions.maxTokenRun(toks)
+
+  /** HOF formulation of [[maxTokenRun]] — the executable spec the codegen
+    * kernel is property-tested against. */
+  def maxTokenRunFold(toks: Column): Column =
     when(size(toks) === 0, lit(0)).otherwise(aggregate(
       zip_with(toks, concat(array(lit(null).cast("string")),
         slice(toks, lit(1), greatest(size(toks) - 1, lit(0)))),
@@ -217,8 +231,16 @@ object TextAnalysis {
     * Computed per row from the SORTED char array's run lengths (one linear
     * fold over a lambda variable — no per-distinct-char rescans), zero
     * shuffles at any corpus size. Rounded to 6 decimals so the value is
-    * stable across engines' float-summation orders. */
-  def charEntropy(text: Column): Column = {
+    * stable across engines' float-summation orders. Codegen kernel
+    * ([[graft.functions.TextExpressions.CharEntropy]]); [[charEntropyFold]]
+    * is the HOF spec it is property-tested against. */
+  def charEntropy(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(round(graft.functions.TextExpressions.charEntropy(text), 6))
+
+  /** HOF formulation of [[charEntropy]] (the executable spec): a single
+    * fold over the sorted char array's runs. */
+  def charEntropyFold(text: Column): Column = {
     val cs = array_sort(charSymbols(text))
     val n = length(text).cast("double")
     def term(k: Column): Column = {

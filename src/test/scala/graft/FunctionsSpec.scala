@@ -83,6 +83,64 @@ object VectorHashProps extends Properties("VectorHash") {
     }
 }
 
+/** Text kernels vs their HOF executable specs ([[TextAnalysis]]). */
+object TextKernelProps extends Properties("TextKernels") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val textGen: Gen[String] = Gen.oneOf(
+    Gen.listOf(Gen.oneOf("aa", "bb", "cc", "d", "é", "詞", "x!",
+      "aa")).map(_.mkString(" ")),
+    Gen.asciiPrintableStr.map(_.take(40)),
+    Gen.const(""), Gen.const("   "), Gen.const("a a a a a"))
+
+  property("char_entropy kernel == sorted-run fold (raw bits)") =
+    forAll(textGen) { text =>
+      val r = Seq(Tuple1(text)).toDF("text").select(
+        TextAnalysis.charEntropy(col("text")).as("kernel"),
+        TextAnalysis.charEntropyFold(col("text")).as("hof")).head()
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))
+    }
+
+  property("ngram kernel == slice/concat_ws HOF") =
+    forAll(textGen, Gen.choose(2, 4)) { (text, n) =>
+      val df = Seq(Tuple1(text)).toDF("text")
+        .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
+      val r = df.select(
+        TextAnalysis.ngramsAll(col("tk"), n).as("kernel"),
+        TextAnalysis.ngramsAllHof(col("tk"), n).as("hof")).head()
+      r.getSeq[String](0) == r.getSeq[String](1)
+    }
+
+  property("ngram repetition struct == dup/top HOF fractions (raw bits)") =
+    forAll(textGen, Gen.choose(1, 3)) { (text, n) =>
+      val df = Seq(Tuple1(text)).toDF("text")
+        .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
+      val r = df.select(
+        graft.functions.TextExpressions.ngramRepetition(col("tk"), n).as("k"),
+        TextAnalysis.dupFractionOfGrams(
+          TextAnalysis.ngramsAllHof(col("tk"), n)).as("dup"),
+        TextAnalysis.topFractionOfGrams(
+          TextAnalysis.ngramsAllHof(col("tk"), n)).as("top")).head()
+      val k = r.getStruct(0)
+      java.lang.Double.doubleToRawLongBits(k.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)) &&
+        java.lang.Double.doubleToRawLongBits(k.getDouble(1)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2))
+    }
+
+  property("max token run kernel == fold") =
+    forAll(textGen) { text =>
+      val df = Seq(Tuple1(text)).toDF("text")
+        .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
+      val r = df.select(
+        TextAnalysis.maxTokenRun(col("tk")).as("kernel"),
+        TextAnalysis.maxTokenRunFold(col("tk")).as("hof")).head()
+      r.getInt(0) == r.getInt(1)
+    }
+}
+
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
