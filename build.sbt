@@ -14,6 +14,10 @@ run / fork := true
 // Pass the forked process's stdout straight through (no [info] prefix) so
 // the driver can parse Bench's single JSON output line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: ..." line so Bench's JSON
+// line is the LAST line on stdout (a last-line parser otherwise sees the
+// success banner: BENCH_r01/r02 both recorded parsed=null).
+Global / showSuccess := false
 // Interactive mains (graft.workflow.Menu) read stdin from the forked JVM.
 run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -56,7 +56,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Stop Spark BEFORE printing so no shutdown chatter can land after the
+    // JSON line — the driver parses the last stdout line (build.sbt also
+    // suppresses sbt's "[success]" banner for the same reason).
+    try spark.stop() catch { case _: Throwable => () }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
   }
 }
