@@ -31,6 +31,36 @@ object Bench {
         .groupBy("l_returnflag").agg(sum("l_quantity"), count(lit(1)))
         .withColumn("h", md5(col("l_returnflag")))
         .write.mode("overwrite").format("noop").save()
+      // touch every table once (all columns, bounded rows): parquet footer
+      // reads, codec/dictionary init and per-schema scan codegen are
+      // one-time costs that otherwise land on whichever query reads the
+      // table first (profiled ~7 s of q5's 9 s first run was exactly this)
+      Seq("region", "nation", "customer", "supplier", "part", "events",
+          "documents", "embeddings").foreach { name =>
+        Tables.load(spark, sfDir, name).limit(5000)
+          .write.mode("overwrite").format("noop").save()
+      }
+      // the parquet WRITE path (committer init, write-side codegen) is its
+      // own one-time cost, paid by the workflow/sink queries — warm it with
+      // a tiny throwaway write
+      val wtmp = java.nio.file.Files.createTempDirectory("graft_warm").toString
+      Tables.load(spark, sfDir, "nation").write.mode("overwrite").parquet(wtmp)
+      // the minhash/LSH chain and the star-contraction loop have their own
+      // codegen shapes (hash kernels, band join, per-round star passes) —
+      // alphabetical order hands their whole first-run cost to
+      // dedup_components; compile them on a 200-doc subset instead
+      val d0 = Tables.load(spark, sfDir, "documents").limit(200)
+        .select(col("doc_id"), col("text"))
+      graft.scale.Dedup.connectedComponents(
+        graft.scale.Dedup.minhashCandidates(d0, "doc_id", "text",
+          k = 16, bands = 4, jaccardThreshold = 0.9))
+        .write.mode("overwrite").format("noop").save()
+      // vector kernels (dot product, norms, ranking windows) for the
+      // ann/emb family, on a bounded slice
+      val e0 = Tables.load(spark, sfDir, "embeddings").limit(500)
+      graft.scale.Similarity.bruteForceTopK(
+        e0.filter(col("vec_id") < 2), e0, "vec_id", "embedding", 5)
+        .write.mode("overwrite").format("noop").save()
       // the nested-document construction plan (join + collect_list struct
       // arrays) has its own codegen paths, and the doc-query family shares
       // one cached document frame (CoreQueries.docsAndModel) — drive one

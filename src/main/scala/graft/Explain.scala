@@ -21,7 +21,8 @@ object Explain {
         "j1_sync_classify", "d4_array_object_table", "dedup_exact",
         "dedup_minhash_pairs", "ann_bruteforce_topk", "ann_ivf_topk",
         "ann_rp_topk", "s7_point_lookup", "st_sessionize", "st_click_purchase",
-        "p2_profile_docs", "tx_top_ngrams", "samp_weighted")
+        "p2_profile_docs", "tx_top_ngrams", "samp_weighted", "bf_semi_prune",
+        "sk_hll_rollup")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

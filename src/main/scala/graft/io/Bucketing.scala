@@ -34,6 +34,30 @@ object Bucketing {
     sl.join(sr, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Bloom-pruned semi-join: keep the `big` rows whose `bigKey` appears in
+    * `keys.keysKey`, pruning with a bloom filter BEFORE the join's shuffle.
+    *
+    * The filter side aggregates to a fixed-size sketch (a distributed agg;
+    * only ~`-2·n·ln(fpp)/ln(2)²` bits return to the driver), which then
+    * rides into the scan as a codegen'd `might_contain` literal — so at
+    * 100 TB the fact table drops to ~the dim predicate's selectivity before
+    * any exchange, instead of shuffling in full and discarding rows at the
+    * join. The exact left-semi join then removes the bloom's false
+    * positives: the result is exactly the semi-join, the bloom only cuts
+    * shuffle I/O. This is Spark's own runtime-filter pattern made explicit
+    * (usable when AQE/DPP can't see the opportunity, e.g. keys from a
+    * computed frame). Keys must be integral (the sketch stores longs). */
+  def bloomPrunedSemiJoin(big: DataFrame, keys: DataFrame, bigKey: String,
+      keysKey: String, expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = keys.stat.bloomFilter(keysKey, expectedKeys, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    big.filter(org.apache.spark.sql.graftbridge.Bridge.mightContain(
+        bos.toByteArray, col(bigKey).cast("long")))
+      .join(keys.select(col(keysKey).as(bigKey)).distinct(),
+        Seq(bigKey), "left_semi")
+  }
+
   /** True when a physical plan string contains no shuffle exchange —
     * the assertion helper for co-located-join tests. */
   def isShuffleFree(df: DataFrame): Boolean = {

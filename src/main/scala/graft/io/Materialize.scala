@@ -31,4 +31,14 @@ object Materialize {
     if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
     else df.localCheckpoint(eager)
   }
+
+  /** Drop a materialized frame's executor-local blocks once every consumer
+    * has run its action. Iterative loops produce one dead frame per round;
+    * without an explicit release their blocks survive until the GC-driven
+    * ContextCleaner notices, and the accumulated storage competes with the
+    * live working set. Releasing a frame something unmaterialized still
+    * depends on is NOT safe (local checkpoints sever lineage — the blocks
+    * are the only copy). */
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.unpersistRdds(df)
 }

@@ -58,6 +58,40 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Mergeable-sketch rollup: per-group HLL sketches union to the global
+    // estimate WITHOUT re-scanning — the two-level aggregation pattern that
+    // lets 100 TB distinct counts reuse per-partition/per-day sketches.
+    // lgConfigK=12 → ~1.6% rsd; the 10% flag is a >6σ margin.
+    "sk_hll_rollup" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val perGroup = li.groupBy("l_returnflag")
+        .agg(hll_sketch_agg(col("l_orderkey"), 12).as("sk"))
+      val global = perGroup
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+      li.agg(countDistinct(col("l_orderkey")).as("exact_cnt"))
+        .crossJoin(global)
+        .select(col("exact_cnt"),
+          (abs(col("approx") - col("exact_cnt")) <=
+            col("exact_cnt") * 0.1).as("within_10pct"))
+    }),
+
+    // Bloom-pruned semi-join: lineitem rows of high-value orders, pruned by
+    // a bloom of the qualifying keys BEFORE the shuffle, exact semi-join as
+    // the residual — the result is exactly the semi-join (oracle-checked),
+    // the bloom only cuts shuffle input
+    "bf_semi_prune" -> ((s, d) => {
+      val dec = "decimal(18,2)"
+      val hot = Tables.load(s, d, "orders")
+        .filter(col("o_totalprice") > 450000).select("o_orderkey")
+      graft.io.Bucketing.bloomPrunedSemiJoin(
+          Tables.load(s, d, "lineitem"), hot,
+          "l_orderkey", "o_orderkey", expectedKeys = 200000)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // TF-IDF: top-3 terms per document (rank on the rounded score so the
     // ordering is identical across engines; ties break by term)
     "tx_tfidf_top3" -> ((s, d) => {
@@ -82,6 +116,18 @@ object AnalyticsQueries {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
         |  TRUE AS rank_within_1pct
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sk_hll_rollup" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_cnt, TRUE AS within_10pct
+        |FROM lineitem""".stripMargin,
+
+    "bf_semi_prune" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "tx_tfidf_top3" ->
       """WITH toks AS (SELECT doc_id,

@@ -251,6 +251,10 @@ object Dedup {
         // sets are distinct: equal iff same count and next ⊆ edges
         converged = nextProbe == prevProbe &&
           next.join(edges, Seq("u", "v"), "left_anti").limit(1).isEmpty
+        // the old round's blocks are dead as of here (next is materialized,
+        // the convergence anti-join has run) — release them instead of
+        // letting one round-frame per iteration pile up in executor storage
+        graft.io.Materialize.release(edges)
         edges = next
         prevProbe = nextProbe
       } finally mid.unpersist()
@@ -262,10 +266,18 @@ object Dedup {
     System.err.println(s"[graft.cc] star contraction converged in $iter rounds")
     // converged edges are a star forest: (center=u, leaf=v) with u the
     // component min; centers label themselves via the left join fallback
-    graft.io.Materialize(
+    val labels = graft.io.Materialize(
       nodes.join(edges.select(col("v").as("id"), col("u").as("comp")),
           Seq("id"), "left")
         .groupBy("id").agg(min(coalesce(col("comp"), col("id"))).as("component")))
+    // materialize the labels now (the loop has been running jobs all along)
+    // so the frames they derive from can be released before returning —
+    // otherwise the final round's edges and the input pair list sit in
+    // executor storage for the caller's whole downstream plan
+    labels.count()
+    graft.io.Materialize.release(edges)
+    graft.io.Materialize.release(p)
+    labels
   }
 
   /** Segment-level exact dedup across the corpus (the C4/RefinedWeb-style
