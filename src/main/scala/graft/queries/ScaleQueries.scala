@@ -258,6 +258,16 @@ object ScaleQueries {
         TextAnalysis.charEntropy(col("text")).as("entropy"))
         .orderBy("doc_id")),
 
+    // Corpus-LM perplexity quality filter (CCNet-style): bigram LM trained
+    // on the corpus, each doc scored by mean -log2 P(w2|w1); decimal-exact
+    // per-doc sums so the score is partition-order-stable
+    "tx_lm_perplexity" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextAnalysis.lmCrossEntropy(dd, "doc_id", "text",
+        TextAnalysis.bigramLm(dd, "text"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: the corpus' top-3 2-grams stand in for an
     // eval-set n-gram list (bounded, collected once); docs overlapping it
     // are dropped with a per-row zero-shuffle filter
@@ -686,6 +696,26 @@ object ScaleQueries {
          |  md5(array_to_string(tk[(chunk_index*40+1):(chunk_index*40+50)],
          |    ' ')) AS chunk_md5
          |FROM x ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "tx_lm_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, $duckToksAll AS l FROM documents),
+         |v AS (SELECT count(DISTINCT tk) AS v FROM
+         |  (SELECT unnest(l) AS tk FROM t)),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+         |  i -> l[i] || ' ' || l[i+1])) AS bigram FROM t),
+         |c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY 1),
+         |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1
+         |  FROM c12 GROUP BY 1),
+         |lm AS (SELECT bigram,
+         |  CAST(ln((c12 + 1.0) / (c1 + v)) / ln(2.0) AS DECIMAL(18,9)) AS logp
+         |  FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
+         |  CROSS JOIN v)
+         |SELECT doc_id,
+         |  round(CAST(-sum(logp) AS DOUBLE) / count(*), 4)
+         |    AS cross_entropy_bits,
+         |  count(*) AS n_bigrams
+         |FROM bg JOIN lm USING (bigram)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "tx_repetition" -> {
       def grams(n: Int): String = {

@@ -390,4 +390,56 @@ object TextAnalysis {
         round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0),
           6).as("score"))
   }
+
+  /** Corpus bigram language model: one row per observed bigram with its
+    * add-one-smoothed conditional log2-probability
+    * `log2((c(w1 w2) + 1) / (c(w1 ·) + V))`, V = corpus vocabulary size.
+    *
+    * Shuffle shape: one hash agg on the bigram (map-side combine collapses
+    * repeats before the exchange), one vocabulary-sized agg on `w1` for the
+    * continuation denominators re-joined on `w1`, and two one-row
+    * broadcasts (V). The LM is `#distinct bigrams` rows — bounded by the
+    * vocabulary squared, not the corpus — and stays a DataFrame: at 100 TB
+    * it feeds the scorer through an ordinary shuffle join (or a broadcast
+    * when the vocabulary is small), never driver memory.
+    *
+    * `logp` is quantized to DECIMAL(18,9) so downstream per-document sums
+    * are exact-decimal (order-independent under repartitioning/AQE). */
+  def bigramLm(df: DataFrame, textCol: String): DataFrame = {
+    val toks = df.select(tokens(lower(col(textCol))).as("__tk"))
+    val vocab = toks.select(explode(col("__tk")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val c12 = toks.select(explode(ngramsAll(col("__tk"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(split(col("bigram"), " ")(0).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    c12.withColumn("w1", split(col("bigram"), " ")(0))
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("bigram"),
+        (log((col("c12") + lit(1.0)) / (col("c1") + col("v"))) / log(lit(2.0)))
+          .cast("decimal(18,9)").as("logp"))
+  }
+
+  /** Per-document cross-entropy under a corpus bigram LM (the CCNet/KenLM-
+    * style perplexity quality filter: docs that surprise the corpus LM are
+    * boilerplate, gibberish, or off-distribution): mean −log2 P(w2|w1) over
+    * the document's bigrams, with repeats. Documents with fewer than two
+    * tokens have no bigrams and drop out (score them by length instead).
+    *
+    * The per-doc aggregation sums the LM's DECIMAL-quantized logp exactly,
+    * so the result is bit-stable under any partitioning; the mean is
+    * rounded to 4 decimals. One shuffle join on the bigram + one hash agg
+    * on the doc id. When the LM was trained on the same corpus every
+    * bigram hits (inner join is lossless); against a foreign LM, feed
+    * `lm` through a left join + OOV floor first. */
+  def lmCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("__tk"))
+      .select(col("doc_id"), explode(ngramsAll(col("__tk"), 2)).as("bigram"))
+      .join(lm, "bigram")
+      .groupBy("doc_id")
+      .agg(round((-sum(col("logp"))).cast("double") / count(lit(1)), 4)
+        .as("cross_entropy_bits"),
+        count(lit(1)).as("n_bigrams"))
 }

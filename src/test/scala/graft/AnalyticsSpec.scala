@@ -57,6 +57,20 @@ class AnalyticsSpec extends SparkSpec {
       .contains("might_contain"))
   }
 
+  test("bigram LM cross-entropy matches hand computation") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val lm = TextAnalysis.bigramLm(docs, "text")
+    // V = 2; c12: "a b"→3, "b a"→1; c1: a→3, b→1
+    // logp("a b") = log2(4/5), logp("b a") = log2(2/3)
+    val out = TextAnalysis.lmCrossEntropy(docs, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val lp = (p: Double) => math.log(p) / math.log(2)
+    assert(out(2L)._2 == 1L)
+    assert(math.abs(out(2L)._1 - -lp(4.0 / 5)) < 1e-3)
+    assert(out(1L)._2 == 3L)
+    assert(math.abs(out(1L)._1 - -(2 * lp(4.0 / 5) + lp(2.0 / 3)) / 3) < 1e-3)
+  }
+
   test("bloom prune rejects most non-members at the configured fpp") {
     import spark.implicits._
     val keys = (0L until 1000L).toDF("k")
