@@ -244,6 +244,19 @@ object ScaleQueries {
         size(TextAnalysis.tokens(col("text"))), 20)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // Deterministic 80/10/10 train/val/test split (leakage-stable: a row's
+    // split never changes as the corpus grows)
+    "samp_split" -> ((s, d) =>
+      Sampling.holdoutSplit(docs(s, d), "doc_id", valBp = 1000, testBp = 1000)
+        .select("doc_id", "split").orderBy("doc_id")),
+
+    // Dataset mixing: per-source keep rates (src0 in full, src1 at 50%,
+    // everything else at 20%) in one zero-shuffle pass
+    "samp_mixture" -> ((s, d) =>
+      Sampling.mixtureSample(docs(s, d), "source", "doc_id",
+        Map("src0" -> 10000, "src1" -> 5000), defaultBp = 2000)
+        .select("doc_id", "source").orderBy("doc_id")),
+
     // Corpus-level 2-gram heavy hitters (top-20 by count, lexicographic
     // tie-break): the corpus-statistics counterpart of the per-doc
     // repetition signals
@@ -782,6 +795,23 @@ object ScaleQueries {
         |    AS BIGINT) % 10000
         |  < least(10000, 20 * len(list_filter(
         |      string_split_regex(trim(text), '\s+'), t -> t != '')))
+        |ORDER BY doc_id""".stripMargin,
+
+    "samp_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test'
+        |    ELSE 'train' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 10000 AS b FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "samp_mixture" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 10000
+        |  < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+        |      ELSE 2000 END
         |ORDER BY doc_id""".stripMargin,
 
     "tx_top_ngrams" ->

@@ -60,6 +60,44 @@ object Sampling {
       .drop(rnC)
   }
 
+  /** Deterministic train/validation/test split: the id-hash bucket is cut at
+    * `valBp` and `valBp + testBp` basis points (of 10000), so every row gets
+    * exactly one label, assignment is reproducible across runs/engines/
+    * repartitionings, and — because the hash ignores every other column —
+    * re-ingesting a grown corpus keeps previously-assigned rows in their
+    * original split (no leakage of yesterday's training rows into today's
+    * test set). Per-row expression, zero shuffles. */
+  def holdoutSplit(df: DataFrame, idCol: String, valBp: Int, testBp: Int,
+      splitCol: String = "split"): DataFrame = {
+    require(valBp >= 0 && testBp >= 0 && valBp + testBp <= 10000,
+      s"holdout basis points out of range: val=$valBp test=$testBp")
+    val b = hashBucket(col(idCol))
+    df.withColumn(splitCol,
+      when(b < valBp, "val")
+        .when(b < valBp + testBp, "test")
+        .otherwise("train"))
+  }
+
+  /** Per-group mixture sampling (dataset mixing): each `groupCol` value is
+    * kept at its own rate from `ratesBp` (basis points of 10000; groups
+    * absent from the map use `defaultBp`) — the standard way to hit a target
+    * source mixture (upweight curated sources, downsample crawl) in one
+    * pass. Selection is the same id-hash bucket as [[deterministicSample]],
+    * so mixtures compose with splits/dedup reproducibly. The rate map rides
+    * inside the plan as a literal map lookup: per-row filter, no join, no
+    * shuffle, no driver-side row movement. */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int): DataFrame = {
+    require((defaultBp +: ratesBp.values.toSeq).forall(r => r >= 0 && r <= 10000),
+      s"rates must be in [0, 10000]: $ratesBp default=$defaultBp")
+    val rateMap =
+      if (ratesBp.isEmpty) typedLit(Map.empty[String, Int])
+      else map(ratesBp.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    df.filter(hashBucket(col(idCol)) <
+      coalesce(rateMap(col(groupCol)), lit(defaultBp)))
+  }
+
   /** Token-budget shard assignment: documents are laid out in `orderCol`
     * order and cut into shards of ~`budgetTokens` tokens — shard_id =
     * floor(tokens-before-this-doc / budget), the standard streaming packing

@@ -19,6 +19,38 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(a.subsetOf(half))
   }
 
+  test("holdout split: exhaustive, disjoint, stable as the corpus grows") {
+    val small = (1L to 500L).toDF("id")
+    val big = (1L to 2000L).toDF("id")
+    val sSmall = Sampling.holdoutSplit(small, "id", 1000, 1000)
+      .as[(Long, String)].collect().toMap
+    val sBig = Sampling.holdoutSplit(big, "id", 1000, 1000)
+      .as[(Long, String)].collect().toMap
+    // every row labeled, ~80/10/10
+    assert(sBig.size == 2000 && sBig.values.toSet == Set("train", "val", "test"))
+    val counts = sBig.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 150)
+    assert(math.abs(counts("val") - 200) < 80)
+    // growing the corpus never reassigns an existing row (no leakage)
+    assert(sSmall.forall { case (id, sp) => sBig(id) == sp })
+  }
+
+  test("mixture sample: per-group rates, full-rate group kept verbatim") {
+    val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val out = Sampling.mixtureSample(df, "src", "id",
+      Map("src0" -> 10000, "src1" -> 5000), defaultBp = 0)
+      .as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc("src0") == 1000) // rate 1.0 keeps everything
+    assert(math.abs(bySrc("src1") - 500) < 120) // ~50%
+    assert(!bySrc.contains("src2")) // default 0 drops the rest
+    // selection agrees with the uniform sampler's bucket rule per group
+    val uni = Sampling.deterministicSample(
+      df.filter($"src" === "src1"), "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(out.collect { case (id, "src1") => id }.toSet == uni)
+  }
+
   test("stratified quota: at most N per group, deterministic choice") {
     val df = (1L to 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "grp")
