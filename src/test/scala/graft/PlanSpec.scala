@@ -76,6 +76,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("holdout split and mixture sampling are zero-exchange per-row ops") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val split = graft.scale.Sampling.holdoutSplit(d, "doc_id", 1000, 1000)
+      .queryExecution.executedPlan.toString
+    assert(!split.contains("Exchange"), split)
+    val mix = graft.scale.Sampling.mixtureSample(d, "source", "doc_id",
+        Map("src0" -> 10000), 2000)
+      .queryExecution.executedPlan.toString
+    assert(!mix.contains("Exchange"), mix)
+  }
+
   test("no plan collects data to the driver mid-query") {
     // classification + decompose queries must not contain LocalTableScan of
     // collected data (constant lookup tables excepted — none used here)
