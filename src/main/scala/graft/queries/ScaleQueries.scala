@@ -81,6 +81,29 @@ object ScaleQueries {
       Dedup.segmentDedup(docsWithDups(s, d), "doc_id", "text", 10)
         .orderBy("doc_id")),
 
+    // Incremental exact dedup: a new batch dedups against persisted
+    // fingerprint state — history is never re-scanned (state: docs < 250;
+    // batch: the rest plus a full duplicate copy of the corpus)
+    "dedup_incr_exact" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text")
+      val state = Dedup.exactState(
+        dd.filter(col("doc_id") < 250), "doc_id", "text")
+      val batch = docsWithDups(s, d).filter(col("doc_id") >= 250)
+      Dedup.exactIncremental(state, batch, "doc_id", "text")._1
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Incremental fuzzy dedup: the batch's signatures band-join the stored
+    // corpus state; only pairs with a batch endpoint emit
+    "dedup_incr_minhash" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text")
+      val state = Dedup.minhashState(dd, "doc_id", "text", 16, 3)
+      val batch = dd.withColumn("doc_id", col("doc_id") + 10000)
+      Dedup.minhashIncremental(state, batch, "doc_id", "text",
+        k = 16, bands = 4, jaccardThreshold = 0.9, shingleN = 3)._1
+        .orderBy("id_a", "id_b")
+    }),
+
     // Duplicate-group clustering: connected components over the LSH pairs
     "dedup_components" -> ((s, d) =>
       Dedup.connectedComponents(
@@ -560,6 +583,30 @@ object ScaleQueries {
     "dedup_minhash_pairs" ->
       (minhashPairsCtes +
         "\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"),
+
+    "dedup_incr_exact" ->
+      """WITH state AS (SELECT DISTINCT
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id < 250),
+        |u AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+        |f AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM u),
+        |fresh AS (SELECT doc_id, fp FROM f
+        |  WHERE fp NOT IN (SELECT fp FROM state))
+        |SELECT doc_id FROM (SELECT doc_id, row_number() OVER (
+        |  PARTITION BY fp ORDER BY doc_id) AS rn FROM fresh)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // same banded-LSH chain as dedup_minhash_pairs over the full corpus,
+    // restricted to pairs with a batch-side (shifted-id) endpoint
+    "dedup_incr_minhash" ->
+      (minhashPairsCtes +
+        """
+          |SELECT id_a, id_b, jaccard FROM pairs
+          |WHERE id_a >= 10000 OR id_b >= 10000
+          |ORDER BY id_a, id_b""".stripMargin),
 
     "dedup_components" ->
       (s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},

@@ -34,6 +34,36 @@ object Dedup {
       .drop(fpC, rnC)
   }
 
+  /** Incremental exact dedup: survivors of a NEW batch against a persisted
+    * fingerprint state `(fp, keep_id)` — the production shape where a
+    * growing corpus dedups each arriving batch without re-scanning history.
+    * A batch row survives iff its fingerprint is absent from the state
+    * (left-anti join, shuffle bounded by the batch + a state partition
+    * stream) AND it is the first occurrence within the batch (min-id
+    * window). Returns (survivors, nextState); callers persist `nextState`
+    * (state ∪ surviving fingerprints) for the next batch. Idempotent:
+    * replaying a batch yields zero survivors and an unchanged state. */
+  def exactIncremental(state: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val fpC = Cols.fresh("fp", batch.columns)
+    val rnC = Cols.fresh("rn", batch.columns)
+    val w = Window.partitionBy(fpC).orderBy(col(idCol).asc)
+    val fresh = batch
+      .withColumn(fpC, TextAnalysis.fingerprint(col(textCol)))
+      .join(state.select(col("fp").as(fpC)), Seq(fpC), "left_anti")
+      .withColumn(rnC, row_number().over(w))
+      .filter(col(rnC) === 1)
+    val survivors = fresh.drop(fpC, rnC)
+    val nextState = state.unionByName(
+      fresh.select(col(fpC).as("fp"), col(idCol).cast("long").as("keep_id")))
+    (survivors, nextState)
+  }
+
+  /** Fingerprint state of a corpus for [[exactIncremental]]'s first batch. */
+  def exactState(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).cast("long").as("keep_id"))
+
   /** Cross-engine-stable 32-bit token hash: first 8 hex chars of MD5, parsed
     * as an integer. Same value is computable in any engine with md5() —
     * the property the DuckDB oracle relies on. */
@@ -79,14 +109,19 @@ object Dedup {
     * what makes banded LSH scale (shingling per Broder '97 §4). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, jaccardThreshold: Double = 0.5,
-      shingleN: Int = 3): DataFrame = {
-    val rows = k / bands
-    // the tokenize→shingle→md5→minhash chain is the CPU-heavy stage and is
-    // consumed by THREE plan branches (banding, and both sides of the
-    // verification join) — materialize it once (Materialize: reliable
-    // checkpoint when a checkpoint dir is set, executor-local otherwise)
-    // instead of re-running the chain per branch
-    val sig = graft.io.Materialize(
+      shingleN: Int = 3): DataFrame =
+    candidatesFrom(
+      minhashState(df, idCol, textCol, k, shingleN).withColumn("is_new", lit(true)),
+      k, bands, jaccardThreshold)
+
+  /** The persistable per-document MinHash state `(id, shingle_set, sig)` —
+    * the CPU-heavy tokenize→shingle→md5→minhash chain, run once and
+    * materialized (it is consumed by multiple plan branches: banding and
+    * both sides of the verification join). Incremental dedup writes this
+    * frame out per batch and never recomputes it for old documents. */
+  def minhashState(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleN: Int = 3): DataFrame =
+    graft.io.Materialize(
       df.select(col(idCol).as("id"), col(textCol).as("text"))
         .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
         .withColumn("shingle_set",
@@ -95,20 +130,51 @@ object Dedup {
         .withColumn("hashed", hashedElems(col("shingle_set")))
         .withColumn("sig", minhashFromHashes(col("hashed"), k))
         .select("id", "shingle_set", "sig"))
+
+  /** Incremental fuzzy dedup: near-dup pairs introduced by a NEW batch
+    * against an existing corpus, given the corpus' persisted
+    * [[minhashState]] — only the batch's signatures are computed; old
+    * documents contribute their stored state. Emitted pairs have at least
+    * one batch-side endpoint (corpus-internal pairs were reported when
+    * their own batches arrived). Returns (pairs, nextState) — callers
+    * persist `nextState` for the next batch. This is the 100 TB shape:
+    * per-batch cost scales with the batch's signatures plus the band-bucket
+    * join against stored state, never with re-hashing the corpus. */
+  def minhashIncremental(state: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, k: Int = 16, bands: Int = 4,
+      jaccardThreshold: Double = 0.5, shingleN: Int = 3)
+      : (DataFrame, DataFrame) = {
+    val bs = minhashState(batch, idCol, textCol, k, shingleN)
+    val all = state.withColumn("is_new", lit(false))
+      .unionByName(bs.withColumn("is_new", lit(true)))
+    (candidatesFrom(all, k, bands, jaccardThreshold),
+      state.unionByName(bs))
+  }
+
+  /** Banded-LSH candidate pairs from a signature frame
+    * `(id, shingle_set, sig, is_new)`: bucket each signature band, self-join
+    * within buckets, drop pairs with no new endpoint, verify with exact
+    * Jaccard. Bucket sizes, not n², bound the join. */
+  private def candidatesFrom(sig: DataFrame, k: Int, bands: Int,
+      jaccardThreshold: Double): DataFrame = {
+    val rows = k / bands
     val sets = sig.select(col("id"), col("shingle_set"))
-    // bands carry only (id, band, hash): the heavy shingle arrays do NOT
-    // ride through the candidate join
-    val banded = sig.select(col("id"),
+    // bands carry only (id, band, hash, is_new): the heavy shingle arrays
+    // do NOT ride through the candidate join
+    val banded = sig.select(col("id"), col("is_new"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         md5(concat_ws("-", transform(
           slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"),
+      col("is_new").as("new_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"),
+      col("is_new").as("new_b"))
     // dedupe pairs BEFORE verification: a pair colliding in all bands is
     // scored once, not once per band
     val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("new_a") || col("new_b"))
       .select("id_a", "id_b").distinct()
     cand
       .join(sets.select(col("id").as("id_a"), col("shingle_set").as("set_a")), "id_a")

@@ -43,6 +43,32 @@ class ScaleSpec extends SparkSpec {
     assert(all.forall(_ >= 0.5))
   }
 
+  test("incremental exact dedup: state blocks history, replay is idempotent") {
+    val state = Dedup.exactState(corpus.filter($"doc_id" <= 2), "doc_id", "text")
+    val batch = corpus.filter($"doc_id" >= 3)
+    val (surv, next) = Dedup.exactIncremental(state, batch, "doc_id", "text")
+    // doc 4 duplicates doc 1 (in state) → blocked; doc 3 is new
+    assert(surv.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    assert(next.count() == 3) // 2 state fps + doc 3
+    // replaying the same batch against the advanced state yields nothing new
+    val (replay, next2) = Dedup.exactIncremental(next, batch, "doc_id", "text")
+    assert(replay.isEmpty && next2.count() == 3)
+  }
+
+  test("incremental minhash equals the full run's batch-endpoint pairs") {
+    val shifted = corpus.withColumn("doc_id", $"doc_id" + 100)
+    val full = Dedup.minhashCandidates(
+      corpus.unionByName(shifted), "doc_id", "text", 16, 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val state = Dedup.minhashState(corpus, "doc_id", "text", 16, 3)
+    val (pairs, next) = Dedup.minhashIncremental(state, shifted,
+      "doc_id", "text", 16, 4, 0.5)
+    val inc = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exactly the full-run pairs that touch the batch — no more, no less
+    assert(inc == full.filter { case (a, b) => a > 100 || b > 100 })
+    assert(next.count() == 8) // 4 state + 4 batch signatures
+  }
+
   test("simhash: hamming distance orders near-dups below unrelated docs") {
     val sh = corpus.select($"doc_id", Dedup.simhash($"text", 16).as("sh"))
       .as[(Long, Long)].collect().toMap
