@@ -104,6 +104,20 @@ object ScaleQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Incremental clustering: yesterday's labeling (as its star forest)
+    // merges with the batch's new pairs — must equal batch-at-once CC
+    "dedup_incr_components" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text")
+      val state = Dedup.minhashState(dd, "doc_id", "text", 16, 3)
+      val oldLabels = Dedup.connectedComponents(
+        Dedup.minhashCandidatesFromState(state, 16, 4, 0.9))
+      val batch = dd.withColumn("doc_id", col("doc_id") + 10000)
+      val (newPairs, _) = Dedup.minhashIncremental(state, batch,
+        "doc_id", "text", k = 16, bands = 4, jaccardThreshold = 0.9,
+        shingleN = 3)
+      Dedup.connectedComponentsIncremental(oldLabels, newPairs).orderBy("id")
+    }),
+
     // Duplicate-group clustering: connected components over the LSH pairs
     "dedup_components" -> ((s, d) =>
       Dedup.connectedComponents(
@@ -490,6 +504,20 @@ object ScaleQueries {
        |pairs AS (SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.9)""".stripMargin
   }
 
+  /** Min-label reachability over the LSH pair graph (recursive CTE) —
+    * the oracle for both the batch and the incremental component queries. */
+  private lazy val componentsWalkSql: String =
+    s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |walk AS (
+       |  SELECT id, id AS comp FROM nodes
+       |  UNION
+       |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON w.id = e.src)
+       |SELECT id, min(comp) AS component FROM walk GROUP BY id
+       |ORDER BY id""".stripMargin
+
   /** SRP-LSH bucket id mirroring Similarity.srpBucket(embedding, 8). */
   private def duckSrpTerms: String =
     (0 until 8).map { j =>
@@ -608,17 +636,11 @@ object ScaleQueries {
           |WHERE id_a >= 10000 OR id_b >= 10000
           |ORDER BY id_a, id_b""".stripMargin),
 
-    "dedup_components" ->
-      (s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
-          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          |  UNION SELECT id_b, id_a FROM pairs),
-          |nodes AS (SELECT DISTINCT src AS id FROM edges),
-          |walk AS (
-          |  SELECT id, id AS comp FROM nodes
-          |  UNION
-          |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON w.id = e.src)
-          |SELECT id, min(comp) AS component FROM walk GROUP BY id
-          |ORDER BY id""".stripMargin),
+    "dedup_components" -> componentsWalkSql,
+
+    // the incremental merge must land on the batch-at-once labeling, so
+    // the oracle IS the full-run components query
+    "dedup_incr_components" -> componentsWalkSql,
 
     "dedup_simhash" -> {
       val terms = (0 until 16).map(duckSimhashTerm).mkString(" + ")

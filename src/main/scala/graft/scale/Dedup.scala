@@ -110,8 +110,14 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, jaccardThreshold: Double = 0.5,
       shingleN: Int = 3): DataFrame =
-    candidatesFrom(
-      minhashState(df, idCol, textCol, k, shingleN).withColumn("is_new", lit(true)),
+    minhashCandidatesFromState(
+      minhashState(df, idCol, textCol, k, shingleN), k, bands, jaccardThreshold)
+
+  /** All verified near-dup pairs within a persisted [[minhashState]] frame —
+    * the signature chain is NOT recomputed. */
+  def minhashCandidatesFromState(state: DataFrame, k: Int = 16,
+      bands: Int = 4, jaccardThreshold: Double = 0.5): DataFrame =
+    candidatesFrom(state.withColumn("is_new", lit(true)),
       k, bands, jaccardThreshold)
 
   /** The persistable per-document MinHash state `(id, shingle_set, sig)` —
@@ -345,6 +351,25 @@ object Dedup {
     graft.io.Materialize.release(p)
     labels
   }
+
+  /** Incremental connected components: fold a batch's new near-dup pairs
+    * into an existing `(id, component)` labeling without replaying the
+    * pair history. A labeling is equivalent to its star forest — one
+    * `(id → component)` edge per node, self-edge for singletons — so the
+    * contraction re-runs over (star edges ∪ new pairs): the old forest is
+    * already depth-1, and round count is bounded by the NEW structure's
+    * depth, not the corpus'. Old labels are component-minimum ids, so the
+    * merged labeling equals the batch-at-once answer exactly (min over a
+    * merged component = min over its constituent old labels and new ids).
+    * Self-edges keep singleton nodes present through the node derivation
+    * while the edge canonicalization drops them as edges. */
+  def connectedComponentsIncremental(labels: DataFrame, newPairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 50): DataFrame =
+    connectedComponents(
+      labels.select(col("id").as(idA), col("component").as(idB))
+        .unionByName(newPairs.select(col(idA), col(idB))),
+      idA, idB, maxIter)
 
   /** Segment-level exact dedup across the corpus (the C4/RefinedWeb-style
     * boilerplate-removal step): documents split into fixed `segTokens`-token

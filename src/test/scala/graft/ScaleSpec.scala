@@ -69,6 +69,21 @@ class ScaleSpec extends SparkSpec {
     assert(next.count() == 8) // 4 state + 4 batch signatures
   }
 
+  test("incremental components equal batch components; singletons survive") {
+    val oldPairs = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(oldPairs)
+      // a pre-existing singleton cluster (id 9 labeled itself)
+      .unionByName(Seq((9L, 9L)).toDF("id", "component"))
+    // the batch bridges the two old clusters and adds a fresh one
+    val newPairs = Seq((2L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val merged = Dedup.connectedComponentsIncremental(labels, newPairs)
+      .as[(Long, Long)].collect().toMap
+    val batch = Dedup.connectedComponents(
+      oldPairs.unionByName(newPairs)).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 5L, 6L, 7L, 8L).forall(i => merged(i) == batch(i)))
+    assert(merged(9L) == 9L) // singleton carried through untouched
+  }
+
   test("simhash: hamming distance orders near-dups below unrelated docs") {
     val sh = corpus.select($"doc_id", Dedup.simhash($"text", 16).as("sh"))
       .as[(Long, Long)].collect().toMap
