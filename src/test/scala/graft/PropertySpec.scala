@@ -98,3 +98,36 @@ object MinhashProps extends Properties("Minhash") {
     }
 
 }
+
+object IncrementalDedupProps extends Properties("IncrementalDedup") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  // small corpora with forced duplicate texts (tiny word pool)
+  private val corpusGen: Gen[List[(Long, String)]] =
+    Gen.choose(2, 12).flatMap { n =>
+      Gen.listOfN(n, Gen.choose(1, 4).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    }
+
+  property("batch-folded exact dedup == batch-at-once survivors") =
+    forAll(corpusGen, Gen.choose(0, 12)) { (docs, cutRaw) =>
+      val cut = cutRaw % docs.size
+      val df = docs.toDF("doc_id", "text")
+      val whole = graft.scale.Dedup
+        .exactSurvivors(df, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      // fold: state from the first `cut` docs, then the rest as a batch
+      val first = df.filter($"doc_id" < cut)
+      val rest = df.filter($"doc_id" >= cut)
+      val state0 = graft.scale.Dedup.exactState(first, "doc_id", "text")
+      val (surv, _) = graft.scale.Dedup
+        .exactIncremental(state0, rest, "doc_id", "text")
+      val folded = graft.scale.Dedup
+        .exactSurvivors(first, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet ++
+        surv.select("doc_id").as[Long].collect().toSet
+      folded == whole
+    }
+}
