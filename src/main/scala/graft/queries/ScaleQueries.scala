@@ -308,6 +308,17 @@ object ScaleQueries {
         TextAnalysis.charEntropy(col("text")).as("entropy"))
         .orderBy("doc_id")),
 
+    // Corpus drift monitoring: JS divergence terms between the first and
+    // second half of the corpus (crawl-over-crawl shape); top-20 drifting
+    // tokens plus the exact-decimal total ride in one result
+    "tx_drift" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextAnalysis.tokenDriftTerms(
+        dd.filter(col("doc_id") < 250), dd.filter(col("doc_id") >= 250), "text")
+        .orderBy(col("js_term").desc, col("token").asc)
+        .limit(20)
+    }),
+
     // Corpus-LM perplexity quality filter (CCNet-style): bigram LM trained
     // on the corpus, each doc scored by mean -log2 P(w2|w1); decimal-exact
     // per-doc sums so the score is partition-order-stable
@@ -778,6 +789,29 @@ object ScaleQueries {
          |  md5(array_to_string(tk[(chunk_index*40+1):(chunk_index*40+50)],
          |    ' ')) AS chunk_md5
          |FROM x ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "tx_drift" ->
+      s"""WITH ta AS (SELECT unnest($duckToksAll) AS token
+         |  FROM documents WHERE doc_id < 250),
+         |tb AS (SELECT unnest($duckToksAll) AS token
+         |  FROM documents WHERE doc_id >= 250),
+         |ca AS (SELECT token, count(*) AS c_a FROM ta GROUP BY 1),
+         |cb AS (SELECT token, count(*) AS c_b FROM tb GROUP BY 1),
+         |na AS (SELECT sum(c_a) AS n_a FROM ca),
+         |nb AS (SELECT sum(c_b) AS n_b FROM cb),
+         |j AS (SELECT coalesce(ca.token, cb.token) AS token,
+         |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+         |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+         |t AS (SELECT token,
+         |    CAST(c_a AS DOUBLE) / n_a AS p, CAST(c_b AS DOUBLE) / n_b AS q
+         |  FROM j CROSS JOIN na CROSS JOIN nb)
+         |SELECT token, CAST(
+         |    (CASE WHEN p > 0
+         |      THEN (p * (ln(p / ((p + q) / 2)) / ln(2.0))) * 0.5 ELSE 0 END) +
+         |    (CASE WHEN q > 0
+         |      THEN (q * (ln(q / ((p + q) / 2)) / ln(2.0))) * 0.5 ELSE 0 END)
+         |  AS DECIMAL(18,9)) AS js_term
+         |FROM t ORDER BY js_term DESC, token ASC LIMIT 20""".stripMargin,
 
     "tx_lm_perplexity" ->
       s"""WITH t AS (SELECT doc_id, $duckToksAll AS l FROM documents),

@@ -421,6 +421,42 @@ object TextAnalysis {
           .cast("decimal(18,9)").as("logp"))
   }
 
+  /** Corpus drift detection: per-token Jensen-Shannon divergence terms
+    * between two corpus snapshots' token distributions (the crawl-over-
+    * crawl monitoring statistic; JS is symmetric, bounded by 1 bit, and
+    * defined even for tokens present on only one side).
+    *
+    * Returns one row per token in either vocabulary with its contribution
+    * `0.5·p·log2(p/m) + 0.5·q·log2(q/m)` (m = (p+q)/2; a side's term is 0
+    * where its probability is 0), quantized to DECIMAL(18,9) — so the
+    * total divergence is an exact-decimal `sum(js_term)`, stable under
+    * partitioning, and the heaviest drifting tokens rank directly.
+    *
+    * Shuffle shape: one token hash agg per side (map-side combine), a
+    * full-outer join on the token, two one-row broadcasts for the totals.
+    * Vocabulary-bounded output; nothing driver-resident. */
+  def tokenDriftTerms(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame): DataFrame =
+      df.select(explode(tokens(lower(col(textCol)))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+    val ca = counts(a)
+    val cb = counts(b)
+    val na = ca.agg(sum(col("c")).as("n_a"))
+    val nb = cb.agg(sum(col("c")).as("n_b"))
+    val lg2 = log(lit(2.0))
+    def term(p: Column, m: Column): Column =
+      when(p > 0, p * (log(p / m) / lg2) * 0.5).otherwise(lit(0.0))
+    ca.withColumnRenamed("c", "c_a")
+      .join(cb.withColumnRenamed("c", "c_b"), Seq("token"), "full_outer")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("token"), {
+        val p = coalesce(col("c_a"), lit(0L)).cast("double") / col("n_a")
+        val q = coalesce(col("c_b"), lit(0L)).cast("double") / col("n_b")
+        val m = (p + q) / 2
+        (term(p, m) + term(q, m)).cast("decimal(18,9)").as("js_term")
+      })
+  }
+
   /** Per-document cross-entropy under a corpus bigram LM (the CCNet/KenLM-
     * style perplexity quality filter: docs that surprise the corpus LM are
     * boilerplate, gibberish, or off-distribution): mean −log2 P(w2|w1) over

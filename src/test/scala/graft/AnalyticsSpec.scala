@@ -71,6 +71,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out(1L)._1 - -(2 * lp(4.0 / 5) + lp(2.0 / 3)) / 3) < 1e-3)
   }
 
+  test("token drift: zero for identical snapshots, one bit for disjoint") {
+    val a = Seq((1L, "x y"), (2L, "y x")).toDF("doc_id", "text")
+    val zero = TextAnalysis.tokenDriftTerms(a, a, "text")
+      .agg(sum($"js_term")).head().getDecimal(0)
+    assert(zero.doubleValue == 0.0)
+    val b = Seq((1L, "p q"), (2L, "q p")).toDF("doc_id", "text")
+    val one = TextAnalysis.tokenDriftTerms(a, b, "text")
+      .agg(sum($"js_term")).head().getDecimal(0)
+    assert(math.abs(one.doubleValue - 1.0) < 1e-6)
+  }
+
   test("bloom prune rejects most non-members at the configured fpp") {
     import spark.implicits._
     val keys = (0L until 1000L).toDF("k")
