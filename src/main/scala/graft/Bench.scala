@@ -72,6 +72,10 @@ object Bench {
     }
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate measurements: collect the previous query's garbage (incl.
+      // ContextCleaner-driven block cleanup) OUTSIDE the timed window, so
+      // one query's allocation debt doesn't land in the next query's time
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
