@@ -75,6 +75,15 @@ object ScaleQueries {
           col("col").as("byte"))
         .orderBy("id", "pos")),
 
+    // Multimodal resize: byte-axis nearest-neighbor to 16 bytes; digest +
+    // tracked size prove the payload→payload reconstruction
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resizePayload(
+        Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"), 16)
+        .select(col("id"), col("meta.n_bytes").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("id")),
+
     // Segment-level dedup (C4-style boilerplate removal): duplicate docs'
     // segments all dedup away; each doc reassembles from survivors
     "dedup_segments" -> ((s, d) =>
@@ -564,6 +573,17 @@ object ScaleQueries {
         |  ascii(substr(text, (i - 1) * 4 + 1, 1)) AS byte
         |FROM f, LATERAL (SELECT unnest(range(1, n + 1)) AS i) t
         |ORDER BY id, pos""".stripMargin,
+
+    // ascii corpus ⇒ substr-by-char == substr-by-byte (same contract as
+    // mm_frame_sample's oracle)
+    "mm_resize" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN length(text) > 0 THEN 16 ELSE 0 END AS n_bytes,
+        |  md5(CASE WHEN length(text) > 0 THEN array_to_string(
+        |    list_transform(range(1, 17), i -> substr(text,
+        |      CAST(floor((i - 1) * length(text) / 16.0) AS INT) + 1, 1)),
+        |    '') ELSE '' END) AS payload_md5
+        |FROM documents ORDER BY id""".stripMargin,
 
     "dedup_segments" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents

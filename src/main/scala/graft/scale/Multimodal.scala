@@ -76,6 +76,31 @@ object Multimodal {
     (w, h, feats)
   }
 
+  /** Resize stand-in (nearest-neighbor over the byte axis): produce a new
+    * `targetBytes`-byte payload whose i-th byte is the source byte at
+    * `floor((i-1)·n/target)` — the codec-free analogue of image resize,
+    * demonstrating payload→payload transforms (including the binary
+    * reconstruction via hex/unhex, byte-safe for arbitrary blobs) with
+    * built-ins only; the metadata struct's `n_bytes` tracks the new
+    * payload. Empty payloads pass through unchanged. A real deployment
+    * swaps this for the codec's resampler inside [[decodePayloads]]'
+    * batched loop. */
+  def resizePayload(mm: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val n = octet_length(col("payload"))
+    val resized = unhex(concat_ws("",
+      transform(sequence(lit(1), lit(targetBytes)), i =>
+        hex(substring(col("payload"),
+          floor((i - 1) * n / lit(targetBytes)).cast("int") + 1, lit(1))))))
+    mm.select(col("id"),
+      when(n > 0, resized).otherwise(col("payload")).as("payload"),
+      struct(
+        col("meta.modality").as("modality"),
+        col("meta.source").as("source"),
+        when(n > 0, lit(targetBytes.toLong)).otherwise(lit(0L)).as("n_bytes"))
+        .as("meta"))
+  }
+
   /** Frame-sample stand-in: take every `stride`-th byte of the payload as a
     * "frame key" array (substring on binary + hex decode — byte-safe for
     * arbitrary blobs) — demonstrates array-typed extraction from binary

@@ -211,6 +211,18 @@ class ScaleSpec extends SparkSpec {
     assert(frames == Seq('h'.toInt, 'o'.toInt, 'r'.toInt)) // bytes 1, 5, 9
   }
 
+  test("multimodal: resize picks nearest-neighbor bytes, tracks n_bytes") {
+    val mm = Multimodal.asMultimodal(
+      Seq((1L, "abcd", "s"), (2L, "ab", "s"), (3L, "", "s"))
+        .toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+    val out = Multimodal.resizePayload(mm, 2)
+      .select($"id", $"payload".cast("string"), $"meta.n_bytes")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ("ac", 2L)) // downsample: bytes 1 and 3
+    assert(out(2L) == ("ab", 2L)) // same-size target is the identity
+    assert(out(3L) == ("", 0L))   // empty payload passes through
+  }
+
   test("multimodal: payload features and stub decode are deterministic") {
     val df = Seq((1L, "hello", "src")).toDF("doc_id", "text", "source")
     val mm = Multimodal.asMultimodal(df, "doc_id", "text", "source")
