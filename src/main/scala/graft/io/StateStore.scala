@@ -33,4 +33,71 @@ object StateStore {
   def save(spark: SparkSession, state: DataFrame, path: String): Unit =
     Sinks.atomicOverwrite(spark,
       state.select(col("_id").cast("string"), col("hash").cast("string")), path)
+
+  // ---- Versioned state: immutable `v=N` snapshots under one root ---------
+  // Every sync PUBLISHES a new version instead of overwriting: concurrent
+  // readers never observe a half-written state (the rename is the commit),
+  // operators keep an audit trail, and a bad sync rolls back by deleting
+  // versions — no backup restore. Single-writer contract (one scheduled
+  // sync owns a root); retention bounds disk. The reference has no
+  // equivalent — its JSON state is clobbered in place (Sync.ps1:331-349).
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val VersionDir = "v=(\\d+)".r
+
+  /** All committed version numbers under `root`, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Int] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.collect {
+      case s if s.isDirectory => s.getPath.getName match {
+        case VersionDir(n) => Some(n.toInt)
+        case _ => None
+      }
+    }.flatten.sorted
+  }
+
+  /** Publish `state` as the next version; returns its number. The write
+    * lands in a hidden temp dir and a RENAME commits it — readers see
+    * either the previous latest or the complete new version, never a
+    * partial write. Prunes to the `keep` newest versions afterwards. */
+  def saveVersion(spark: SparkSession, state: DataFrame, root: String,
+      keep: Int = 3): Int = {
+    require(keep >= 1, "must keep at least the newest version")
+    val fs = fsOf(spark, root)
+    val next = versions(spark, root).lastOption.getOrElse(0) + 1
+    val tmp = new Path(root, s".tmp_v$next")
+    state.select(col("_id").cast("string"), col("hash").cast("string"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val committed = new Path(root, s"v=$next")
+    if (!fs.rename(tmp, committed))
+      throw new java.io.IOException(s"state commit failed: $tmp -> $committed")
+    versions(spark, root).dropRight(keep)
+      .foreach(v => fs.delete(new Path(root, s"v=$v"), true))
+    next
+  }
+
+  /** A specific committed version. */
+  def loadVersion(spark: SparkSession, root: String, v: Int): DataFrame =
+    spark.read.parquet(new Path(root, s"v=$v").toString)
+
+  /** Newest committed version, or the empty state when none exists. */
+  def loadLatest(spark: SparkSession, root: String): DataFrame =
+    versions(spark, root).lastOption
+      .map(loadVersion(spark, root, _)).getOrElse(emptyState(spark))
+
+  /** Roll back by deleting every version NEWER than `toVersion` — the next
+    * sync diffs against the restored state as if the bad runs never
+    * happened (apply is idempotent MERGE, so re-syncing repairs the
+    * target). */
+  def rollback(spark: SparkSession, root: String, toVersion: Int): Unit = {
+    val vs = versions(spark, root)
+    require(vs.contains(toVersion), s"no such state version: $toVersion ($vs)")
+    val fs = fsOf(spark, root)
+    vs.filter(_ > toVersion)
+      .foreach(v => fs.delete(new Path(root, s"v=$v"), true))
+  }
 }

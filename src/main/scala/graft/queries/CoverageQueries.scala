@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.Tables
-import graft.io.EngineConfig
+import graft.io.{EngineConfig, StateStore}
 import graft.profile.SchemaProfiler
 import graft.types.{Dialect, InferredType, TypeMapper}
 import graft.validate.{ReportRenderer, Validator}
@@ -166,6 +166,28 @@ object CoverageQueries {
         .orderBy("o_orderkey")
     }),
 
+    // S18 extension: versioned sync state — three published versions, a
+    // rollback, and a latest-read that must surface version 2's content
+    // (count + exact id sum, both DuckDB-derivable from orders)
+    "s18_versioned_state" -> ((s, d) => {
+      import s.implicits._
+      val root = Files.createTempDirectory("graft_s18v").toString
+      val ord = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").cast("string").as("_id"),
+          md5(col("o_orderkey").cast("string")).as("hash"))
+      def subset(m: Int) = ord.filter(col("_id").cast("long") % 3 < m)
+      val v1 = StateStore.saveVersion(s, subset(1), root, keep = 10)
+      val v2 = StateStore.saveVersion(s, subset(2), root, keep = 10)
+      val v3 = StateStore.saveVersion(s, subset(3), root, keep = 10)
+      StateStore.rollback(s, root, v2)
+      val latest = StateStore.loadLatest(s, root)
+      val row = latest.agg(count(lit(1)).as("n"),
+        sum(col("_id").cast("long")).as("id_sum")).head()
+      Seq((s"v$v1-v$v3", StateStore.versions(s, root).size.toLong,
+        row.getLong(0), row.getLong(1)))
+        .toDF("published", "versions_after_rollback", "n", "id_sum")
+    }),
+
     // O3: incremental migration with table-exists fallback
     // (MasterWorkflow.ps1:302-318): first call falls back to a full
     // migration (no sync state written), the second classifies everything
@@ -274,6 +296,11 @@ object CoverageQueries {
     "x3_json_parse" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "s18_versioned_state" ->
+      """SELECT 'v1-v3' AS published, 2 AS versions_after_rollback,
+        |  count(*) AS n, sum(o_orderkey) AS id_sum
+        |FROM orders WHERE o_orderkey % 3 < 2""".stripMargin,
 
     "o3_incremental_fallback" ->
       s"""SELECT * FROM (VALUES

@@ -47,6 +47,26 @@ class QuirkAndStateSpec extends SparkSpec {
     assert(full(a) != full(b)) // fixed canon sees it
   }
 
+  test("versioned state: publish/prune/rollback/latest semantics") {
+    import graft.io.StateStore
+    val root = java.nio.file.Files.createTempDirectory("graft_vstate").toString
+    assert(StateStore.loadLatest(spark, root).isEmpty) // no versions yet
+    def st(ids: Long*) = ids.map(i => (i.toString, s"h$i")).toDF("_id", "hash")
+    assert(StateStore.saveVersion(spark, st(1), root, keep = 2) == 1)
+    assert(StateStore.saveVersion(spark, st(1, 2), root, keep = 2) == 2)
+    assert(StateStore.saveVersion(spark, st(1, 2, 3), root, keep = 2) == 3)
+    // retention pruned v1; latest is v3
+    assert(StateStore.versions(spark, root) == Seq(2, 3))
+    assert(StateStore.loadLatest(spark, root).count() == 3)
+    // rollback deletes newer versions; latest becomes v2
+    StateStore.rollback(spark, root, 2)
+    assert(StateStore.versions(spark, root) == Seq(2))
+    assert(StateStore.loadLatest(spark, root).count() == 2)
+    // numbering continues monotonically after rollback
+    assert(StateStore.saveVersion(spark, st(9), root, keep = 2) == 3)
+    intercept[IllegalArgumentException](StateStore.rollback(spark, root, 7))
+  }
+
   test("stateful sessionizer closes sessions on gap, keeps last session open") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
