@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Plan auditor: prints the formatted physical plan of named queries so the
   * pushdown/broadcast/codegen story can be inspected (`runMain graft.Explain
@@ -7,15 +6,7 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.io.EngineSession.local(8, "ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
         "j1_sync_classify", "d4_array_object_table", "dedup_exact",

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Query profiler: times each named query `SPARK_GRAFT_PROF_RUNS` times
   * (default 3) on SPARK_GRAFT_SF_DIR with the same session shape as Bench,
@@ -10,17 +9,9 @@ object Prof {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROF_RUNS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.graft.eagerMaterialize",
-        sys.env.getOrElse("SPARK_GRAFT_EAGER", "false"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.io.EngineSession.local(cpus.toInt, "ERROR")
+    spark.conf.set("spark.graft.eagerMaterialize",
+      sys.env.getOrElse("SPARK_GRAFT_EAGER", "false"))
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).map { _ =>

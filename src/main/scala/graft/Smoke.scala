@@ -1,20 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Local smoke: runs the flagship `SparkEntry.entry` (full migration on
   * sf0.001) exactly as the driver's t1 check does and prints the report. */
 object Smoke {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.io.EngineSession.local(cpus.toInt)
     val df = SparkEntry.entry(spark)
     df.show(50, truncate = false)
     println(s"[smoke] entry rows = ${df.count()}")

@@ -1,0 +1,54 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's canonical SparkSession recipe — one place for the conf the
+  * operators are designed around, instead of a drifting copy per entry
+  * point.
+  *
+  * What it sets and why it matters at 100 TB:
+  *  - AQE on, with partition coalescing and skew-join splitting: runtime
+  *    re-planning sizes reducers from actual map output and splits hot
+  *    keys, which no static `shuffle.partitions` guess survives at scale.
+  *  - `spark.sql.optimizer.runtime.bloomFilter.enabled`: the optimizer's
+  *    own runtime row-filter injection (the automatic counterpart of
+  *    [[Bucketing.bloomPrunedSemiJoin]]).
+  *  - `files.maxPartitionBytes` 128 MiB: scan tasks sized so a partition's
+  *    working set fits executor memory with room for shuffle buffers.
+  *  - UTC session timezone: timestamp canon (X7/F8) must not depend on
+  *    cluster locale.
+  *  - `legacy.parquet.nanosAsLong`: the events fixture carries
+  *    TIMESTAMP(NANOS), which vanilla Spark rejects; `Tables.load`
+  *    converts the long to a microsecond timestamp.
+  *
+  * Cluster sizing guidance (not set here — they are cluster-shape
+  * decisions): `shuffle.partitions` ≈ 2-3× total executor cores (AQE
+  * coalesces the excess), executor memory ≥ 4 GiB/core, and
+  * `sql.adaptive.advisoryPartitionSizeInBytes` at its 64 MiB default.
+  */
+object EngineSession {
+
+  /** Apply the engine conf to any builder (cluster deployments call this
+    * on their own builder; masters/resources stay theirs). */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** A `local[cores]` session for the harness mains and tests (UI off —
+    * these are headless runs). */
+  def local(cores: Int, logLevel: String = "WARN"): SparkSession = {
+    val spark = tune(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .config("spark.ui.enabled", "false"),
+      shufflePartitions = cores).getOrCreate()
+    spark.sparkContext.setLogLevel(logLevel)
+    spark
+  }
+}
