@@ -57,11 +57,14 @@ object JdbcSink {
     spec.columns.map(c => s"${c.name} ${c.sqlType(dialect)}").mkString(", ")
 
   /** Health probe (Connection_DB.ps1 liveness checks, S20): a LIMIT-1 read;
-    * false on any connectivity/auth failure. */
+    * false on any connectivity/auth failure. The probe table expression is
+    * dialect-dependent (`SELECT 1` works on MySQL/SQL Server; Derby wants
+    * `VALUES 1`, Oracle `DUAL`) — override for other engines. */
   def probe(spark: org.apache.spark.sql.SparkSession, url: String,
-      props: Properties): Boolean =
+      props: Properties,
+      probeTable: String = "(SELECT 1 AS ok) AS probe"): Boolean =
     try {
-      spark.read.jdbc(url, "(SELECT 1 AS ok) AS probe", props).head()
+      spark.read.jdbc(url, probeTable, props).head()
       true
     } catch { case _: Throwable => false }
 }
