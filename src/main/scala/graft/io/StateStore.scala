@@ -63,15 +63,18 @@ object StateStore {
   /** Publish `state` as the next version; returns its number. The write
     * lands in a hidden temp dir and a RENAME commits it — readers see
     * either the previous latest or the complete new version, never a
-    * partial write. Prunes to the `keep` newest versions afterwards. */
+    * partial write. Prunes to the `keep` newest versions afterwards.
+    * Schema-agnostic: any state frame versions (sync hash maps, dedup
+    * fingerprints, MinHash signatures); [[loadLatest]]'s empty fallback is
+    * the sync schema, so other state kinds bootstrap on
+    * `versions(...).isEmpty` instead. */
   def saveVersion(spark: SparkSession, state: DataFrame, root: String,
       keep: Int = 3): Int = {
     require(keep >= 1, "must keep at least the newest version")
     val fs = fsOf(spark, root)
     val next = versions(spark, root).lastOption.getOrElse(0) + 1
     val tmp = new Path(root, s".tmp_v$next")
-    state.select(col("_id").cast("string"), col("hash").cast("string"))
-      .write.mode("overwrite").parquet(tmp.toString)
+    state.write.mode("overwrite").parquet(tmp.toString)
     val committed = new Path(root, s"v=$next")
     if (!fs.rename(tmp, committed))
       throw new java.io.IOException(s"state commit failed: $tmp -> $committed")

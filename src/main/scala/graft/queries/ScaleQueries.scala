@@ -113,6 +113,24 @@ object ScaleQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Streaming corpus dedup driven as two batches (history priority = id
+    // order here, so the folded result equals global exact survivors —
+    // the composition property PropertySpec proves; threshold > 1 disables
+    // the fuzzy drop so the oracle stays exact-only, while the near path
+    // is oracle-covered by dedup_incr_minhash and spec-covered end-to-end)
+    "st_stream_dedup" -> ((s, d) => {
+      val corpus = java.nio.file.Files.createTempDirectory("graft_sdq_c").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_sdq_s").toString
+      val dd = docs(s, d).select("doc_id", "text")
+      graft.streaming.StreamDedup.applyBatch(s,
+        dd.filter(col("doc_id") < 250), 0L, "doc_id", "text",
+        corpus, state, jaccardThreshold = 1.1)
+      graft.streaming.StreamDedup.applyBatch(s,
+        docsWithDups(s, d).filter(col("doc_id") >= 250), 1L, "doc_id", "text",
+        corpus, state, jaccardThreshold = 1.1)
+      s.read.parquet(corpus).select("doc_id").orderBy("doc_id")
+    }),
+
     // Incremental clustering: yesterday's labeling (as its star forest)
     // merges with the batch's new pairs — must equal batch-at-once CC
     "dedup_incr_components" -> ((s, d) => {
@@ -642,6 +660,17 @@ object ScaleQueries {
     "dedup_minhash_pairs" ->
       (minhashPairsCtes +
         "\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"),
+
+    // two exact-only stream batches in id order fold to the global
+    // survivor set (same SQL shape as dedup_survivors)
+    "st_stream_dedup" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn FROM u)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_incr_exact" ->
       """WITH state AS (SELECT DISTINCT

@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.StreamDedup
+
+/** Streaming corpus dedup: per-batch exact + near-dup drops against
+  * persisted state, idempotent replay, and the AvailableNow driver. */
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private val d1 = "the quick brown fox jumps over the lazy dog"
+  private val d2 = "completely different words entirely unrelated text here"
+  private val d1near = d1 + " tonight" // one extra token: 3-shingle J = 7/8
+  private val d3 = "brand new material never seen in any earlier batch at all"
+
+  test("batches dedup against history; replay is a no-op") {
+    val corpus = tmp("graft_sd_corpus")
+    val state = tmp("graft_sd_state")
+    val b1 = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val r1 = StreamDedup.applyBatch(spark, b1, 0L, "doc_id", "text",
+      corpus, state, jaccardThreshold = 0.5)
+    assert(r1.received == 2 && r1.appended == 2 && !r1.replaySkipped)
+
+    // 3 = exact dup of history, 4 = near dup of history, 5 = new,
+    // 6 = exact dup of 5 within the batch
+    val b2 = Seq((3L, d1), (4L, d1near), (5L, d3), (6L, d3))
+      .toDF("doc_id", "text")
+    val r2 = StreamDedup.applyBatch(spark, b2, 1L, "doc_id", "text",
+      corpus, state, jaccardThreshold = 0.5)
+    assert(r2.received == 4)
+    assert(r2.exactDropped == 2) // 3 (vs history) and 6 (within batch)
+    assert(r2.nearDropped == 1)  // 4 (vs history)
+    assert(r2.appended == 1)     // 5
+
+    val clean = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(1L, 2L, 5L))
+
+    // at-least-once replay: the commit marker makes it a no-op
+    val r3 = StreamDedup.applyBatch(spark, b2, 1L, "doc_id", "text",
+      corpus, state, jaccardThreshold = 0.5)
+    assert(r3.replaySkipped)
+    assert(spark.read.parquet(corpus).count() == 3)
+  }
+
+  test("AvailableNow stream drains file batches through the dedup") {
+    val src = tmp("graft_sd_src")
+    val corpus = tmp("graft_sd_corpus2")
+    val state = tmp("graft_sd_state2")
+    val ckpt = tmp("graft_sd_ckpt")
+    Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(src)
+    Seq((3L, d1), (5L, d3)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    StreamDedup.runAvailableNow(spark, src, "doc_id", "text",
+      corpus, state, ckpt, jaccardThreshold = 0.5)
+    val clean = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    // 3 is an exact dup of 1 — dropped whether they share a micro-batch or
+    // arrive in sequence (both groupings are valid stream executions)
+    assert(clean == Set(1L, 2L, 5L))
+  }
+}
