@@ -46,7 +46,13 @@ object Bucketing {
     * positives: the result is exactly the semi-join, the bloom only cuts
     * shuffle I/O. This is Spark's own runtime-filter pattern made explicit
     * (usable when AQE/DPP can't see the opportunity, e.g. keys from a
-    * computed frame). Keys must be integral (the sketch stores longs). */
+    * computed frame). Keys must be integral (the sketch stores longs).
+    *
+    * EAGER by nature: the sketch must exist before the plan can embed it,
+    * so CONSTRUCTING this frame runs the key-side aggregation (like
+    * `df.stat.*`) — an exception to the lazy-construction rule. `keys` is
+    * evaluated again by the residual join; callers with an expensive key
+    * frame should cache or [[Materialize]] it first. */
   def bloomPrunedSemiJoin(big: DataFrame, keys: DataFrame, bigKey: String,
       keysKey: String, expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     val bf = keys.stat.bloomFilter(keysKey, expectedKeys, fpp)

@@ -35,12 +35,16 @@ object StateStore {
       state.select(col("_id").cast("string"), col("hash").cast("string")), path)
 
   // ---- Versioned state: immutable `v=N` snapshots under one root ---------
-  // Every sync PUBLISHES a new version instead of overwriting: concurrent
-  // readers never observe a half-written state (the rename is the commit),
+  // Every sync PUBLISHES a new version instead of overwriting: a reader
+  // never observes a half-written version (the rename is the commit),
   // operators keep an audit trail, and a bad sync rolls back by deleting
   // versions — no backup restore. Single-writer contract (one scheduled
-  // sync owns a root); retention bounds disk. The reference has no
-  // equivalent — its JSON state is clobbered in place (Sync.ps1:331-349).
+  // sync owns a root); retention bounds disk. Reader contract: a loaded
+  // frame is lazy — run its action before the writer publishes `keep` more
+  // versions, or the prune can delete the directory under the scan (size
+  // `keep` to cover the longest reader, as StreamDedup's replay pinning
+  // does). The reference has no equivalent — its JSON state is clobbered
+  // in place (Sync.ps1:331-349).
 
   private def fsOf(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -149,12 +149,22 @@ object Dedup {
   def minhashIncremental(state: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, k: Int = 16, bands: Int = 4,
       jaccardThreshold: Double = 0.5, shingleN: Int = 3)
+      : (DataFrame, DataFrame) =
+    minhashIncrementalFromState(state,
+      minhashState(batch, idCol, textCol, k, shingleN), k, bands,
+      jaccardThreshold)
+
+  /** [[minhashIncremental]] with the batch's [[minhashState]] precomputed —
+    * callers that need a handle on the batch signature frame (to release
+    * its blocks once the batch commits, or to persist it themselves) build
+    * it explicitly and pass it here. */
+  def minhashIncrementalFromState(state: DataFrame, batchSig: DataFrame,
+      k: Int = 16, bands: Int = 4, jaccardThreshold: Double = 0.5)
       : (DataFrame, DataFrame) = {
-    val bs = minhashState(batch, idCol, textCol, k, shingleN)
     val all = state.withColumn("is_new", lit(false))
-      .unionByName(bs.withColumn("is_new", lit(true)))
+      .unionByName(batchSig.withColumn("is_new", lit(true)))
     (candidatesFrom(all, k, bands, jaccardThreshold),
-      state.unionByName(bs))
+      state.unionByName(batchSig))
   }
 
   /** Banded-LSH candidate pairs from a signature frame

@@ -88,10 +88,13 @@ object Multimodal {
   def resizePayload(mm: DataFrame, targetBytes: Int): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
     val n = octet_length(col("payload"))
+    // (i-1)·n in LONG: 32-bit arithmetic overflows (ANSI error / negative
+    // index) once n exceeds ~Int.MaxValue/targetBytes — ~134 MB at 16
     val resized = unhex(concat_ws("",
       transform(sequence(lit(1), lit(targetBytes)), i =>
         hex(substring(col("payload"),
-          floor((i - 1) * n / lit(targetBytes)).cast("int") + 1, lit(1))))))
+          floor((i - 1).cast("long") * n / lit(targetBytes)).cast("int") + 1,
+          lit(1))))))
     mm.select(col("id"),
       when(n > 0, resized).otherwise(col("payload")).as("payload"),
       struct(

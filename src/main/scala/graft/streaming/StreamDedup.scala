@@ -1,12 +1,14 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.io.StateStore
-import graft.scale.Dedup
+import graft.io.{Materialize, StateStore}
+import graft.scale.{Dedup, TextAnalysis}
 
 /** Streaming corpus deduplication: each arriving micro-batch of documents
   * dedups against the persisted corpus state — exact fingerprints AND
@@ -16,18 +18,25 @@ import graft.scale.Dedup
   * per-batch cost is the batch's own chains plus bounded joins against
   * stored state ([[Dedup.exactIncremental]] / [[Dedup.minhashIncremental]]).
   *
-  * Effectively-exactly-once under foreachBatch's at-least-once contract:
-  *  - the corpus append is a per-batch directory overwrite (replay rewrites
-  *    the same files, never double-appends),
-  *  - a commit marker written AFTER corpus + state makes a replayed batch a
-  *    no-op (the guard, not the state, provides idempotence — a replay
-  *    against already-advanced state would otherwise see zero survivors
-  *    and overwrite the batch directory with nothing).
+  * Effectively-exactly-once under foreachBatch's at-least-once contract,
+  * via two guards written around the work:
+  *  - an INTENT file (written before any mutation) pins the state versions
+  *    the batch reads, so a replay after ANY mid-batch crash — including
+  *    after the state has already advanced — recomputes the identical
+  *    survivor set from the pinned inputs and overwrites the same per-batch
+  *    corpus directory with the same bytes (never double-appends, never
+  *    empties it);
+  *  - a COMMIT marker (written last) short-circuits replays of fully
+  *    committed batches. Requires `keepVersions` ≥ 2 so pinned versions
+  *    survive one re-publish; a pruned pinned version fails loudly.
   *
-  * Drop rule (greedy, C4-style): a batch document drops if it is an exact
-  * duplicate of history or of a smaller-id batch row, or a verified
-  * near-duplicate (Jaccard ≥ threshold) of history or of a smaller-id batch
-  * survivor. History always outranks the batch.
+  * Drop rule: a document drops iff it is an exact duplicate, or a verified
+  * near-duplicate (Jaccard ≥ threshold), of ANY document that arrived
+  * before it — kept or itself dropped. Keeping dropped documents'
+  * signatures in state is what makes the rule insensitive to batch
+  * grouping: a chain a~b~c drops b and c whether they share a micro-batch
+  * or arrive one per batch. (Exact duplicates contribute no new signature —
+  * their survivor's is identical.)
   */
 object StreamDedup {
 
@@ -36,6 +45,8 @@ object StreamDedup {
 
   private def marker(root: String, batchId: Long) =
     new Path(root, s"batch_$batchId.done")
+  private def intent(root: String, batchId: Long) =
+    new Path(root, s"batch_$batchId.intent")
 
   /** Dedup one micro-batch (the foreachBatch body; directly callable for
     * batch pipelines and tests). */
@@ -43,35 +54,58 @@ object StreamDedup {
       idCol: String, textCol: String, corpusPath: String, stateRoot: String,
       jaccardThreshold: Double = 0.9, k: Int = 16, bands: Int = 4,
       shingleN: Int = 3, keepVersions: Int = 3): BatchResult = {
+    require(keepVersions >= 2, "keepVersions >= 2 (replay needs the pinned version)")
     val fs = new Path(stateRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker(stateRoot, batchId)))
       return BatchResult(batchId, 0, 0, 0, 0, replaySkipped = true)
     val fpRoot = s"$stateRoot/fp"
     val sigRoot = s"$stateRoot/sig"
-    val received = batch.count()
 
-    // exact pass vs fingerprint state (bootstrap: empty state of the right
-    // schema on the first batch)
-    val fpState =
-      if (StateStore.versions(spark, fpRoot).nonEmpty)
-        StateStore.loadVersion(spark, fpRoot,
-          StateStore.versions(spark, fpRoot).last)
-      else Dedup.exactState(batch.limit(0), idCol, textCol)
-    val (exactSurvRaw, nextFp) =
-      Dedup.exactIncremental(fpState, batch, idCol, textCol)
-    // consumed by the sig chain, the drop join, and the corpus write
-    val exactSurv = graft.io.Materialize(exactSurvRaw)
+    // pin the input state versions BEFORE mutating anything; a replay finds
+    // the intent and recomputes from the same inputs regardless of how far
+    // the crashed attempt got
+    val (vF, vS) =
+      if (fs.exists(intent(stateRoot, batchId))) {
+        val in = fs.open(intent(stateRoot, batchId))
+        val txt = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+          new String(bos.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+        val Array(a, b) = txt.trim.split(",")
+        (a.toInt, b.toInt)
+      } else {
+        val v = (StateStore.versions(spark, fpRoot).lastOption.getOrElse(0),
+          StateStore.versions(spark, sigRoot).lastOption.getOrElse(0))
+        val out = fs.create(intent(stateRoot, batchId), true)
+        try out.write(s"${v._1},${v._2}".getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        v
+      }
+    def pinned(root: String, v: Int, bootstrap: => DataFrame): DataFrame =
+      if (v == 0) bootstrap
+      else {
+        require(StateStore.versions(spark, root).contains(v),
+          s"pinned state version v=$v pruned from $root — raise keepVersions")
+        StateStore.loadVersion(spark, root, v)
+      }
+
+    val received = batch.count()
+    // exact pass vs the pinned fingerprint state
+    val fpState = pinned(fpRoot, vF, Dedup.exactState(batch.limit(0), idCol, textCol))
+    val (exactSurvRaw, _) = Dedup.exactIncremental(fpState, batch, idCol, textCol)
+    // consumed by the sig chain, the drop join, the corpus write, and the
+    // fp-state rebuild
+    val exactSurv = Materialize(exactSurvRaw)
     val exactKept = exactSurv.count()
 
-    // near-dup pass vs signature state
-    val sigState =
-      if (StateStore.versions(spark, sigRoot).nonEmpty)
-        StateStore.loadVersion(spark, sigRoot,
-          StateStore.versions(spark, sigRoot).last)
-      else Dedup.minhashState(batch.limit(0), idCol, textCol, k, shingleN)
-    val (pairs, nextSigAll) = Dedup.minhashIncremental(sigState, exactSurv,
-      idCol, textCol, k, bands, jaccardThreshold, shingleN)
+    // near-dup pass vs the pinned signature state
+    val sigState = pinned(sigRoot, vS,
+      Dedup.minhashState(batch.limit(0), idCol, textCol, k, shingleN))
+    val batchSig = Dedup.minhashState(exactSurv, idCol, textCol, k, shingleN)
+    val (pairs, nextSig) = Dedup.minhashIncrementalFromState(sigState,
+      batchSig, k, bands, jaccardThreshold)
     val batchIds = exactSurv.select(col(idCol))
     val flagged = pairs
       .join(batchIds.select(col(idCol).as("id_a"), lit(true).as("a_in")),
@@ -91,13 +125,23 @@ object StreamDedup {
     kept.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
     val appended = spark.read.parquet(s"$corpusPath/batch=$batchId").count()
 
-    // publish advanced state (dropped docs' signatures do not enter state —
-    // their survivors already represent them)
-    StateStore.saveVersion(spark, nextFp, fpRoot, keepVersions)
+    // publish advanced state. nextFp is rebuilt from the MATERIALIZED
+    // survivors (fingerprints are one digest per row) instead of the
+    // unmaterialized exactIncremental plan, which would re-run the
+    // anti-join + first-occurrence window per publish. nextSig keeps every
+    // batch signature — including near-dup-dropped docs' — so later
+    // members of the same neighborhood drop regardless of batch grouping.
     StateStore.saveVersion(spark,
-      nextSigAll.join(drops.select(col(idCol).as("id")), Seq("id"), "left_anti"),
-      sigRoot, keepVersions)
+      fpState.unionByName(exactSurv.select(
+        TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        col(idCol).cast("long").as("keep_id"))),
+      fpRoot, keepVersions)
+    StateStore.saveVersion(spark, nextSig, sigRoot, keepVersions)
     fs.create(marker(stateRoot, batchId), true).close()
+    // this batch's checkpointed frames are dead once the marker commits —
+    // a long-running stream must not accumulate one per batch
+    Materialize.release(batchSig)
+    Materialize.release(exactSurv)
     BatchResult(batchId, received, received - exactKept,
       exactKept - appended, appended, replaySkipped = false)
   }

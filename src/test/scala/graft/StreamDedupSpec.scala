@@ -43,6 +43,39 @@ class StreamDedupSpec extends SparkSpec {
       corpus, state, jaccardThreshold = 0.5)
     assert(r3.replaySkipped)
     assert(spark.read.parquet(corpus).count() == 3)
+
+    // crash-window replay: marker lost AFTER the state already advanced —
+    // the intent pins the pre-batch state versions, so the re-run
+    // recomputes the identical survivors instead of emptying the batch dir
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(state, "batch_1.done"), false)
+    val r4 = StreamDedup.applyBatch(spark, b2, 1L, "doc_id", "text",
+      corpus, state, jaccardThreshold = 0.5)
+    assert(!r4.replaySkipped && r4.appended == 1)
+    assert(spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+  }
+
+  test("near-dup drops are insensitive to batch grouping (chain a~b~c)") {
+    // a, b, c: 3-shingle J(a,b)=7/8, J(b,c)=8/10, J(a,c)=7/10 — at 0.75
+    // only adjacent pairs match, so the dropped b's signature must block c
+    val a = d1
+    val b = d1 + " tonight"            // ~ a
+    val c = d1 + " tonight and always" // ~ b, farther from a
+    def run(batches: Seq[Seq[(Long, String)]]): Set[Long] = {
+      val corpus = tmp("graft_sd_chain_c")
+      val state = tmp("graft_sd_chain_s")
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        StreamDedup.applyBatch(spark, rows.toDF("doc_id", "text"), i.toLong,
+          "doc_id", "text", corpus, state, jaccardThreshold = 0.75)
+      }
+      spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    }
+    val together = run(Seq(Seq((1L, a), (2L, b), (3L, c))))
+    val split = run(Seq(Seq((1L, a)), Seq((2L, b)), Seq((3L, c))))
+    assert(together == split)
+    assert(together == Set(1L))
   }
 
   test("AvailableNow stream drains file batches through the dedup") {
