@@ -406,6 +406,18 @@ object ScaleQueries {
         .select("vec_id", "assigned").orderBy("vec_id")
     }),
 
+    // Incremental vector indexing (the IVF-index-update shape): centroids
+    // trained on history, a new batch of vectors assigned to them without
+    // touching historical assignments
+    "emb_incr_assign" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.assignToNearest(e.filter(col("vec_id") >= 250),
+        Similarity.centroids(e.filter(col("vec_id") < 250),
+          "label", "embedding"),
+        "vec_id", "embedding")
+        .select("vec_id", "assigned").orderBy("vec_id")
+    }),
+
     // Full k-means training loop: deterministic min-id seeding, 2 Lloyd's
     // rounds (E-step broadcasts centroid literals, M-step decimal-mean)
     "emb_kmeans_fit" -> ((s, d) =>
@@ -1036,6 +1048,25 @@ object ScaleQueries {
         |  sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid) *
         |      (CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid)) AS d2
         |  FROM embeddings e CROSS JOIN c GROUP BY e.vec_id, c.label)
+        |SELECT vec_id, assigned FROM (
+        |  SELECT vec_id, label AS assigned,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+        |  FROM d2)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "emb_incr_assign" ->
+      """WITH dim AS (SELECT unnest(range(1,
+        |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+        |c AS (SELECT label, i AS pos,
+        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+        |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
+        |  FROM embeddings CROSS JOIN dim WHERE vec_id < 250
+        |  GROUP BY label, i),
+        |d2 AS (SELECT e.vec_id, c.label,
+        |  sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid) *
+        |      (CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid)) AS d2
+        |  FROM embeddings e CROSS JOIN c WHERE e.vec_id >= 250
+        |  GROUP BY e.vec_id, c.label)
         |SELECT vec_id, assigned FROM (
         |  SELECT vec_id, label AS assigned,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
