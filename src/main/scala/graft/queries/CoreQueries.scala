@@ -516,6 +516,31 @@ object CoreQueries {
         count_distinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows"))),
 
+    // ANALYZE-style per-column table statistics in ONE pass: a single wide
+    // aggregate (nulls / distincts / min / max per column) unpivoted to a
+    // row per column — the stats-collection shape that feeds a CBO, never
+    // one scan per column
+    "a_table_stats" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val dec = "decimal(18,2)"
+      def statsOf(c: String, v: org.apache.spark.sql.Column) = Seq(
+        count(when(v.isNull, 1)).as(s"${c}_nulls"),
+        count_distinct(v).as(s"${c}_dist"),
+        min(v).cast("string").as(s"${c}_min"),
+        max(v).cast("string").as(s"${c}_max"))
+      val exprs = statsOf("rf", col("l_returnflag")) ++
+        statsOf("qty", col("l_quantity").cast(dec)) ++
+        statsOf("ok", col("l_orderkey"))
+      li.agg(exprs.head, exprs.tail: _*)
+        .select(expr(
+          """stack(3,
+            |'l_orderkey', ok_nulls, ok_dist, ok_min, ok_max,
+            |'l_quantity', qty_nulls, qty_dist, qty_min, qty_max,
+            |'l_returnflag', rf_nulls, rf_dist, rf_min, rf_max)
+            |AS (column_name, n_nulls, n_distinct, min_v, max_v)""".stripMargin))
+        .orderBy("column_name")
+    }),
+
     // ROLLUP grouping sets (beyond-reference shape)
     "q_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -879,6 +904,26 @@ object CoreQueries {
       """SELECT count(DISTINCT l_partkey) AS n_parts,
         |count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem""".stripMargin,
+
+    "a_table_stats" ->
+      """SELECT 'l_orderkey' AS column_name,
+        |  count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_nulls,
+        |  count(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_v,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_v FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity',
+        |  count(CASE WHEN l_quantity IS NULL THEN 1 END),
+        |  count(DISTINCT CAST(l_quantity AS DECIMAL(18,2))),
+        |  CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR),
+        |  CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag',
+        |  count(CASE WHEN l_returnflag IS NULL THEN 1 END),
+        |  count(DISTINCT l_returnflag),
+        |  min(l_returnflag), max(l_returnflag) FROM lineitem
+        |ORDER BY column_name""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
