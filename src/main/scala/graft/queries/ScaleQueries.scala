@@ -231,6 +231,12 @@ object ScaleQueries {
         TextAnalysis.langId(col("text")).as("predicted_lang"))
         .orderBy("doc_id")),
 
+    // Data-driven n-gram language ID: char-trigram profiles trained from
+    // the labeled corpus, docs classified by count-vector cosine
+    "tx_lang_id_ngram" -> ((s, d) =>
+      TextAnalysis.charNgramLangId(docs(s, d), "doc_id", "text", "lang")
+        .orderBy("doc_id")),
+
     // Document fingerprinting (normalized-content digest)
     "tx_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -652,6 +658,24 @@ object ScaleQueries {
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY a.bucket, id_a, id_b""".stripMargin,
+
+    "tx_lang_id_ngram" ->
+      """WITH g AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1,
+        |      greatest(length(lower(text)) - 2, 0) + 1),
+        |      i -> substr(lower(text), i, 3))) AS g FROM documents),
+        |dv AS (SELECT doc_id, g, count(*) AS dc FROM g GROUP BY 1, 2),
+        |lv AS (SELECT lang, g, count(*) AS lc FROM g GROUP BY 1, 2),
+        |dn AS (SELECT doc_id, sqrt(sum(dc * dc)) AS dn FROM dv GROUP BY 1),
+        |lnorm AS (SELECT lang, sqrt(sum(lc * lc)) AS ln FROM lv GROUP BY 1),
+        |dt AS (SELECT dv.doc_id, lv.lang, sum(dc * lc) AS dot
+        |  FROM dv JOIN lv USING (g) GROUP BY 1, 2),
+        |s AS (SELECT doc_id, lang, round(dot / (dn * ln), 6) AS cos
+        |  FROM dt JOIN dn USING (doc_id) JOIN lnorm USING (lang))
+        |SELECT doc_id, lang AS predicted_lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY cos DESC, lang) AS rn FROM s)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "tx_token_count" ->
       """SELECT doc_id,

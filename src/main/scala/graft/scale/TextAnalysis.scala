@@ -1,6 +1,7 @@
 package graft.scale
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -419,6 +420,46 @@ object TextAnalysis {
       .select(col("bigram"),
         (log((col("c12") + lit(1.0)) / (col("c1") + col("v"))) / log(lit(2.0)))
           .cast("decimal(18,9)").as("logp"))
+  }
+
+  /** All character n-grams of the lowercased text (positions 1..len-n+1). */
+  def charNgramsOf(text: Column, n: Int): Column = {
+    val t = lower(text)
+    transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(0))),
+      i => t.substr(i, lit(n)))
+  }
+
+  /** Character-n-gram language identification (the Cavnar-Trenkle '94
+    * shape): per-language char-trigram count profiles are TRAINED from the
+    * labeled corpus and each document is classified by cosine similarity
+    * of integer n-gram count vectors — train and classify in one plan.
+    *
+    * Shuffle shape: two hash aggs over (doc, gram) / (lang, gram), a join
+    * on the gram, a per-doc ranking window; the language profiles are
+    * vocabulary-bounded and their norms broadcast. Dot products are exact
+    * integer sums; the cosine is rounded to 6 decimals so the argmax is
+    * stable across engines (ties break to the lexicographically first
+    * language). Complements [[langId]]'s fixed marker-token election with
+    * a data-driven model. */
+  def charNgramLangId(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, n: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+      explode(charNgramsOf(col(textCol), n)).as("g"))
+    val docVec = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("dc"))
+    val langVec = grams.groupBy("lang", "g").agg(count(lit(1)).as("lc"))
+    val docNorm = docVec.groupBy("doc_id")
+      .agg(sqrt(sum(col("dc") * col("dc"))).as("dn"))
+    val langNorm = langVec.groupBy("lang")
+      .agg(sqrt(sum(col("lc") * col("lc"))).as("ln"))
+    val dots = docVec.join(langVec, "g")
+      .groupBy("doc_id", "lang").agg(sum(col("dc") * col("lc")).as("dot"))
+    val scored = dots.join(docNorm, "doc_id").join(broadcast(langNorm), "lang")
+      .select(col("doc_id"), col("lang"),
+        round(col("dot") / (col("dn") * col("ln")), 6).as("cos"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("cos").desc, col("lang").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("predicted_lang"))
   }
 
   /** Corpus drift detection: per-token Jensen-Shannon divergence terms

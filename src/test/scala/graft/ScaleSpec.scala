@@ -171,6 +171,22 @@ class ScaleSpec extends SparkSpec {
     assert(b(0L) == b(1L) && b(0L) != b(2L))
   }
 
+  test("char-ngram lang id: trained profiles classify held-out-style docs") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat with the hat", "en"),
+      (2L, "the dog ran to the log in the fog", "en"),
+      (3L, "le chat est sur le tapis avec le chapeau", "fr"),
+      (4L, "le chien va au parc avec le bateau", "fr"),
+      // docs 5/6 carry their language's character statistics
+      (5L, "the rat and the bat sat on the hat", "en"),
+      (6L, "le rat et le chat vont au tapis", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.charNgramLangId(corpus, "doc_id", "text", "lang")
+      .as[(Long, String)].collect().toMap
+    assert(out(5L) == "en" && out(6L) == "fr")
+    assert(out(1L) == "en" && out(3L) == "fr")
+  }
+
   test("text analysis: tokens, quality features, lang id, fingerprint") {
     val df = Seq((1L, "the cat and the dog in a house")).toDF("doc_id", "text")
     val q = TextAnalysis.qualityFeatures(df, "text").head()
