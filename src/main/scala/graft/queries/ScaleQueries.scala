@@ -412,6 +412,21 @@ object ScaleQueries {
         .select("vec_id", "assigned").orderBy("vec_id")
     }),
 
+    // Embedding-space drift between snapshots: per-dimension |Δ| of the
+    // decimal-exact global centroids of two corpus halves (the vector-side
+    // counterpart of tx_drift — catches encoder or population shift)
+    "emb_drift" -> ((s, d) => {
+      val e = emb(s, d).withColumn("all", lit(1))
+      def cent(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        Similarity.centroids(e.filter(f(col("vec_id"))), "all", "embedding")
+      cent(_ < 250).withColumnRenamed("centroid", "c_a")
+        .join(cent(_ >= 250).withColumnRenamed("centroid", "c_b"),
+          Seq("label", "pos"))
+        .select(col("pos").cast("long").as("pos"),
+          round(abs(col("c_a") - col("c_b")), 4).as("abs_shift"))
+        .orderBy("pos")
+    }),
+
     // Incremental vector indexing (the IVF-index-update shape): centroids
     // trained on history, a new batch of vectors assigned to them without
     // touching historical assignments
@@ -1077,6 +1092,20 @@ object ScaleQueries {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
         |  FROM d2)
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "emb_drift" ->
+      """WITH dim AS (SELECT unnest(range(1,
+        |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+        |ca AS (SELECT i AS pos,
+        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+        |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS c_a
+        |  FROM embeddings CROSS JOIN dim WHERE vec_id < 250 GROUP BY i),
+        |cb AS (SELECT i AS pos,
+        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+        |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS c_b
+        |  FROM embeddings CROSS JOIN dim WHERE vec_id >= 250 GROUP BY i)
+        |SELECT pos, round(abs(c_a - c_b), 4) AS abs_shift
+        |FROM ca JOIN cb USING (pos) ORDER BY pos""".stripMargin,
 
     "emb_incr_assign" ->
       """WITH dim AS (SELECT unnest(range(1,
