@@ -422,11 +422,16 @@ object TextAnalysis {
           .cast("decimal(18,9)").as("logp"))
   }
 
-  /** All character n-grams of the lowercased text (positions 1..len-n+1). */
+  /** All character n-grams of the lowercased text (positions 1..len-n+1).
+    * Texts shorter than n yield an EMPTY array — the guard must come
+    * before `sequence`, which infers step -1 for a descending range, so
+    * sequence(1, 0) would be [1, 0], not [] (same pitfall as
+    * [[chunkTokens]]). */
   def charNgramsOf(text: Column, n: Int): Column = {
     val t = lower(text)
-    transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(0))),
-      i => t.substr(i, lit(n)))
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+      .otherwise(array())
   }
 
   /** Character-n-gram language identification (the Cavnar-Trenkle '94

@@ -185,6 +185,14 @@ class ScaleSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(out(5L) == "en" && out(6L) == "fr")
     assert(out(1L) == "en" && out(3L) == "fr")
+    // texts shorter than n yield NO grams (sequence(1,0) is [1,0], not
+    // empty — the guard must catch it): such docs are unclassifiable and
+    // emit no row instead of training phantom grams
+    val short = Seq((1L, "hi", "en"), (2L, "", "fr"),
+      (3L, "the cat sat on the mat", "en")).toDF("doc_id", "text", "lang")
+    val shortOut = TextAnalysis.charNgramLangId(short, "doc_id", "text", "lang")
+      .as[(Long, String)].collect().toMap
+    assert(shortOut == Map(3L -> "en"))
   }
 
   test("text analysis: tokens, quality features, lang id, fingerprint") {
