@@ -210,6 +210,26 @@ object SchemaProfiler {
       .select(col("path"), col("ftype").as("elected_type"))
   }
 
+  /** Schema drift between two snapshots of a collection (the
+    * analysis-phase counterpart of sync-time evolution S16/U2): per-path
+    * status from a full-outer join of the two elected profiles —
+    * `added` / `removed` / `type_changed` / `unchanged`, with the elected
+    * types on both sides. Profile-sized frames; one join. */
+  def profileDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    val ea = electedDF(before).select(col("path"),
+      col("elected_type").as("type_before"))
+    val eb = electedDF(after).select(col("path"),
+      col("elected_type").as("type_after"))
+    ea.join(eb, Seq("path"), "full_outer")
+      .select(col("path"),
+        when(col("type_before").isNull, "added")
+          .when(col("type_after").isNull, "removed")
+          .when(col("type_before") =!= col("type_after"), "type_changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("type_before"), lit("")).as("type_before"),
+        coalesce(col("type_after"), lit("")).as("type_after"))
+  }
+
   /** P1: sample-bounded profile driver (Analyze_scheme.ps1:41-99 takes
     * `min(sampleSize, N)` most-recent documents). `sampleKey` orders the
     * tail-sample; pass None to profile the whole input. */

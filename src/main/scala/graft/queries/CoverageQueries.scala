@@ -166,6 +166,18 @@ object CoverageQueries {
         .orderBy("o_orderkey")
     }),
 
+    // P2/S16 extension: schema drift between collection snapshots — a
+    // dropped column, an added column, and a type migration, each
+    // reported per path from the elected profiles
+    "p_profile_drift" -> ((s, d) => {
+      val a = docsSubset(s, d)
+        .select("_id", "o_custkey", "o_orderstatus", "customer")
+      val b = a.drop("o_orderstatus")
+        .withColumn("quality_score", lit(0.5))
+        .withColumn("o_custkey", col("o_custkey").cast("string"))
+      SchemaProfiler.profileDrift(a, b).orderBy("path")
+    }),
+
     // S18 extension: versioned sync state — three published versions, a
     // rollback, and a latest-read that must surface version 2's content
     // (count + exact id sum, both DuckDB-derivable from orders)
@@ -296,6 +308,18 @@ object CoverageQueries {
     "x3_json_parse" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "p_profile_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('_id', 'unchanged', 'string', 'string'),
+        |  ('customer', 'unchanged', 'object', 'object'),
+        |  ('customer.c_acctbal', 'unchanged', 'number', 'number'),
+        |  ('customer.c_mktsegment', 'unchanged', 'string', 'string'),
+        |  ('customer.c_name', 'unchanged', 'string', 'string'),
+        |  ('o_custkey', 'type_changed', 'integer', 'string'),
+        |  ('o_orderstatus', 'removed', 'string', ''),
+        |  ('quality_score', 'added', '', 'number'))
+        |AS t(path, status, type_before, type_after) ORDER BY path""".stripMargin,
 
     "s18_versioned_state" ->
       """SELECT 'v1-v3' AS published, 2 AS versions_after_rollback,
