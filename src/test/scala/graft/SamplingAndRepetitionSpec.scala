@@ -35,6 +35,24 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(sSmall.forall { case (id, sp) => sBig(id) == sp })
   }
 
+  test("sampling edges: empty rate map, boundary split points, bad args") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 2}")).toDF("id", "g")
+    // empty rate map → everything at the default rate
+    assert(Sampling.mixtureSample(df, "g", "id", Map.empty, 10000).count() == 100)
+    assert(Sampling.mixtureSample(df, "g", "id", Map.empty, 0).count() == 0)
+    // all-val / all-train boundary splits label every row
+    val allVal = Sampling.holdoutSplit(df, "id", 10000, 0)
+      .select("split").distinct().as[String].collect().toSeq
+    assert(allVal == Seq("val"))
+    val allTrain = Sampling.holdoutSplit(df, "id", 0, 0)
+      .select("split").distinct().as[String].collect().toSeq
+    assert(allTrain == Seq("train"))
+    intercept[IllegalArgumentException](
+      Sampling.holdoutSplit(df, "id", 9000, 2000)) // > 100%
+    intercept[IllegalArgumentException](
+      Sampling.mixtureSample(df, "g", "id", Map("a" -> 10001), 0))
+  }
+
   test("mixture sample: per-group rates, full-rate group kept verbatim") {
     val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
     val out = Sampling.mixtureSample(df, "src", "id",
