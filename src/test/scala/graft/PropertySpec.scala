@@ -103,6 +103,33 @@ object IncrementalDedupProps extends Properties("IncrementalDedup") {
   private lazy val spark = SparkSpec.session
   import spark.implicits._
 
+  // each case spins several Spark jobs (LSH chains); bound the case count
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  // multi-word docs over a tiny pool: near-dups arise often
+  private val docGen: Gen[String] =
+    Gen.choose(3, 8).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("red", "blue", "green", "fish", "cat"))
+        .map(_.mkString(" ")))
+
+  property("minhash incremental pairs = full run's batch-endpoint pairs") =
+    forAll(Gen.listOfN(6, docGen), Gen.choose(1, 5)) { (texts, cut) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val hist = docs.filter($"doc_id" < cut)
+      val batch = docs.filter($"doc_id" >= cut)
+      val full = graft.scale.Dedup.minhashCandidates(
+        docs, "doc_id", "text", 16, 4, 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val state = graft.scale.Dedup.minhashState(hist, "doc_id", "text", 16, 3)
+      val inc = graft.scale.Dedup.minhashIncremental(state, batch,
+        "doc_id", "text", 16, 4, 0.5)._1
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      inc == full.filter { case (a, b) => a >= cut || b >= cut }
+    }
+
   // small corpora with forced duplicate texts (tiny word pool)
   private val corpusGen: Gen[List[(Long, String)]] =
     Gen.choose(2, 12).flatMap { n =>
