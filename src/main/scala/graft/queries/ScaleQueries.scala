@@ -327,6 +327,21 @@ object ScaleQueries {
         Map("src0" -> 10000, "src1" -> 5000), defaultBp = 2000)
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // PMI collocations: top-20 bigrams beating the independence
+    // expectation (min count 5) — the phrase-detection statistic
+    "tx_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(docs(s, d), "text", minCount = 5, k = 20)),
+
+    // Balanced eval-set construction by composition: the deterministic
+    // val split, stratified to ≤10 docs per language — splits, quotas and
+    // dedup share one id-hash family so the set is reproducible end-to-end
+    "samp_eval_set" -> ((s, d) =>
+      Sampling.stratifiedQuota(
+        Sampling.holdoutSplit(docs(s, d), "doc_id", valBp = 3000, testBp = 0)
+          .filter(col("split") === "val"),
+        "lang", "doc_id", quota = 10)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // Corpus-level 2-gram heavy hitters (top-20 by count, lexicographic
     // tie-break): the corpus-statistics counterpart of the per-doc
     // repetition signals
@@ -1016,6 +1031,37 @@ object ScaleQueries {
         |  < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |      ELSE 2000 END
         |ORDER BY doc_id""".stripMargin,
+
+    "tx_collocations" ->
+      s"""WITH tok AS (SELECT $duckToksAll AS tk FROM documents),
+         |uni AS (SELECT w, count(*) AS c_w FROM
+         |  (SELECT unnest(tk) AS w FROM tok) GROUP BY w),
+         |ntok AS (SELECT sum(c_w) AS n_tok FROM uni),
+         |bi AS (SELECT bigram, count(*) AS c_ab FROM
+         |  (SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram FROM tok)
+         |  GROUP BY bigram HAVING count(*) >= 5),
+         |nbi AS (SELECT sum(CASE WHEN len(tk) > 1 THEN len(tk) - 1
+         |  ELSE 0 END) AS n_bi FROM tok)
+         |SELECT bigram, c_ab,
+         |  round(ln((CAST(c_ab AS DOUBLE) / n_bi) /
+         |    ((CAST(u1.c_w AS DOUBLE) / n_tok) *
+         |     (CAST(u2.c_w AS DOUBLE) / n_tok))) / ln(2.0), 6) AS pmi
+         |FROM bi
+         |JOIN uni u1 ON split_part(bigram, ' ', 1) = u1.w
+         |JOIN uni u2 ON split_part(bigram, ' ', 2) = u2.w
+         |CROSS JOIN ntok CROSS JOIN nbi
+         |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "samp_eval_set" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 10000, doc_id) AS rn
+        |  FROM documents
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 10000 < 3000)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     "tx_top_ngrams" ->
       s"""WITH tok AS (SELECT $duckToksAll AS tk FROM documents),

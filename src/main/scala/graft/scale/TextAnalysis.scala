@@ -467,6 +467,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang").as("predicted_lang"))
   }
 
+  /** Corpus collocations by pointwise mutual information: bigrams whose
+    * observed frequency beats the independence expectation —
+    * `pmi = log2( (c_ab/N_bi) / ((c_a/N_tok)·(c_b/N_tok)) )` — the phrase
+    * detection step of tokenizer/vocabulary construction (Mikolov et al.
+    * '13 use the same ratio test). `minCount` suppresses the low-frequency
+    * noise PMI is notorious for.
+    *
+    * Shuffle shape: one bigram hash agg, one unigram hash agg joined to
+    * both bigram endpoints, two one-row broadcasts for the totals; PMI is
+    * rounded to 6 decimals so top-k ranking is engine-stable (ties break
+    * lexicographically). */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    val toks = df.select(tokens(lower(col(textCol))).as("__tk"))
+    val uni = toks.select(explode(col("__tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val nTok = uni.agg(sum(col("c_w")).as("n_tok"))
+    val bi = toks.select(explode(ngramsAll(col("__tk"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val nBi = toks.select((size(col("__tk")) - 1).cast("long").as("nb"))
+      .agg(sum(when(col("nb") > 0, col("nb")).otherwise(0L)).as("n_bi"))
+    bi.withColumn("w1", split(col("bigram"), " ")(0))
+      .withColumn("w2", split(col("bigram"), " ")(1))
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_2")), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .select(col("bigram"), col("c_ab"),
+        round(log((col("c_ab").cast("double") / col("n_bi")) /
+          ((col("c_1").cast("double") / col("n_tok")) *
+            (col("c_2").cast("double") / col("n_tok")))) / log(lit(2.0)),
+          6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Corpus drift detection: per-token Jensen-Shannon divergence terms
     * between two corpus snapshots' token distributions (the crawl-over-
     * crawl monitoring statistic; JS is symmetric, bounded by 1 bit, and
