@@ -261,6 +261,13 @@ object ScaleQueries {
       graft.scale.CurationPipeline.stats(
         graft.scale.CurationPipeline.curate(docsWithDups(s, d), "doc_id", "text"))),
 
+    // Per-document curation provenance: why each input doc was dropped
+    // (quality_fail / exact_dup / near_dup) or kept
+    "pipeline_provenance" -> ((s, d) =>
+      graft.scale.CurationPipeline
+        .curateTrace(docsWithDups(s, d), "doc_id", "text")._2
+        .orderBy("doc_id")),
+
     // Repetition signals (Gopher-style): duplicate/top n-gram fractions +
     // max consecutive-token run — all per-row expressions, zero shuffles
     "tx_repetition" -> ((s, d) =>
@@ -588,6 +595,45 @@ object ScaleQueries {
        |  FROM cand JOIN tok ta ON cand.id_a = ta.id
        |            JOIN tok tb ON cand.id_b = tb.id),
        |pairs AS (SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.9)""".stripMargin
+  }
+
+  /** The full curation chain as CTEs — quality gate (`qf`), exact-dedup
+    * survivors (`ex`), LSH pairs, component walk, near-dup drops (`dup`) —
+    * shared by the pipeline stats and provenance oracles. */
+  private lazy val curationChainCtes: String = {
+    val (scoreDefs, langCase) = duckLangScore("lowtk")
+    val corpus =
+      s"""u0 AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+         |feat AS (SELECT doc_id, text,
+         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |    t -> t != '')) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS nc,
+         |  CAST(length(text) -
+         |    length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS na,
+         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |    t -> t != '') AS lowtk
+         |  FROM u0),
+         |sc AS (SELECT doc_id, text, n_tokens, nc, na, $scoreDefs FROM feat),
+         |qf AS (SELECT doc_id, text, $langCase AS predicted_lang
+         |  FROM sc WHERE n_tokens >= 10
+         |    AND (CASE WHEN nc > 0 THEN CAST(na AS DOUBLE) / nc
+         |         ELSE 0.0 END) >= 0.5),
+         |ex AS (SELECT doc_id, text, predicted_lang FROM (
+         |  SELECT qf.*, row_number() OVER (
+         |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |    ORDER BY doc_id) AS rn FROM qf) WHERE rn = 1),
+         |u AS (SELECT doc_id AS id, text FROM ex)""".stripMargin
+    s"""WITH RECURSIVE ${minhashPairsCtesOver(corpus).stripPrefix("WITH ")},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |walk AS (
+       |  SELECT id, id AS comp FROM nodes
+       |  UNION
+       |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON w.id = e.src),
+       |compx AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+       |dup AS (SELECT id FROM compx WHERE id != component)""".stripMargin
   }
 
   /** Min-label reachability over the LSH pair graph (recursive CTE) —
@@ -1234,44 +1280,25 @@ object ScaleQueries {
          |ORDER BY vec_id, pos""".stripMargin
     },
 
-    "pipeline_curation" -> {
-      val (scoreDefs, langCase) = duckLangScore("lowtk")
-      val corpus =
-        s"""u0 AS (SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 10000, text FROM documents),
-           |feat AS (SELECT doc_id, text,
-           |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-           |    t -> t != '')) AS BIGINT) AS n_tokens,
-           |  CAST(length(text) AS BIGINT) AS nc,
-           |  CAST(length(text) -
-           |    length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS na,
-           |  list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-           |    t -> t != '') AS lowtk
-           |  FROM u0),
-           |sc AS (SELECT doc_id, text, n_tokens, nc, na, $scoreDefs FROM feat),
-           |qf AS (SELECT doc_id, text, $langCase AS predicted_lang
-           |  FROM sc WHERE n_tokens >= 10
-           |    AND (CASE WHEN nc > 0 THEN CAST(na AS DOUBLE) / nc
-           |         ELSE 0.0 END) >= 0.5),
-           |ex AS (SELECT doc_id, text, predicted_lang FROM (
-           |  SELECT qf.*, row_number() OVER (
-           |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-           |    ORDER BY doc_id) AS rn FROM qf) WHERE rn = 1),
-           |u AS (SELECT doc_id AS id, text FROM ex)""".stripMargin
-      s"""WITH RECURSIVE ${minhashPairsCtesOver(corpus).stripPrefix("WITH ")},
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |walk AS (
-         |  SELECT id, id AS comp FROM nodes
-         |  UNION
-         |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON w.id = e.src),
-         |compx AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
-         |dup AS (SELECT id FROM compx WHERE id != component)
+    "pipeline_curation" ->
+      s"""$curationChainCtes
          |SELECT predicted_lang, count(*) AS n_docs FROM ex
          |WHERE doc_id NOT IN (SELECT id FROM dup)
-         |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin
-    },
+         |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin,
+
+    // every input doc labeled with the stage that dropped it
+    "pipeline_provenance" ->
+      s"""$curationChainCtes
+         |SELECT u0.doc_id, CASE
+         |  WHEN qf.doc_id IS NULL THEN 'quality_fail'
+         |  WHEN ex.doc_id IS NULL THEN 'exact_dup'
+         |  WHEN dup.id IS NOT NULL THEN 'near_dup'
+         |  ELSE 'kept' END AS stage
+         |FROM u0
+         |LEFT JOIN qf ON u0.doc_id = qf.doc_id
+         |LEFT JOIN ex ON u0.doc_id = ex.doc_id
+         |LEFT JOIN dup ON u0.doc_id = dup.id
+         |ORDER BY u0.doc_id""".stripMargin,
 
     // Not DuckDB's ASOF JOIN: on equal-ts purchases ASOF picks an arbitrary
     // row, while Temporal.asOfJoin deterministically picks the greatest

@@ -27,7 +27,16 @@ object CurationPipeline {
   /** Rows of `docs` (idCol, textCol) surviving the full pipeline, with
     * `predicted_lang` attached. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config()): DataFrame =
+    curateTrace(docs, idCol, textCol, cfg)._1
+
+  /** [[curate]] plus per-document provenance: every input row labeled with
+    * the stage that dropped it (`quality_fail` / `exact_dup` / `near_dup`)
+    * or `kept` — the explainability record a production pipeline publishes
+    * alongside its output (why did my document disappear?). Three marker
+    * left-joins over the stage frames the pipeline already computes. */
+  def curateTrace(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): (DataFrame, DataFrame) = {
     // 1. quality gate — per-row expressions, no shuffle
     val quality = TextAnalysis.qualityFeatures(docs, textCol)
       .filter(col("n_tokens") >= cfg.minTokens &&
@@ -51,7 +60,19 @@ object CurationPipeline {
     val dupIds = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("component")) // non-representatives drop
       .select(col("id").as(idCol))
-    exact.join(dupIds, Seq(idCol), "left_anti")
+    val kept = exact.join(dupIds, Seq(idCol), "left_anti")
+    val provenance = docs.select(col(idCol))
+      .join(quality.select(col(idCol)).withColumn("__q", lit(true)),
+        Seq(idCol), "left")
+      .join(exact.select(col(idCol)).withColumn("__e", lit(true)),
+        Seq(idCol), "left")
+      .join(dupIds.withColumn("__n", lit(true)), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__q").isNull, "quality_fail")
+          .when(col("__e").isNull, "exact_dup")
+          .when(col("__n").isNotNull, "near_dup")
+          .otherwise("kept").as("stage"))
+    (kept, provenance)
   }
 
   /** Per-language corpus stats after curation. */
