@@ -61,16 +61,20 @@ object CurationPipeline {
       .filter(col("id") =!= col("component")) // non-representatives drop
       .select(col("id").as(idCol))
     val kept = exact.join(dupIds, Seq(idCol), "left_anti")
+    // marker columns avoid the caller's names (the module-wide Cols.fresh
+    // convention — a user idCol named "__q" must not become a join key)
+    val Seq(qC, eC, nC) = Seq("q", "e", "n")
+      .map(s => Cols.fresh(s"__$s", Seq(idCol)))
     val provenance = docs.select(col(idCol))
-      .join(quality.select(col(idCol)).withColumn("__q", lit(true)),
+      .join(quality.select(col(idCol)).withColumn(qC, lit(true)),
         Seq(idCol), "left")
-      .join(exact.select(col(idCol)).withColumn("__e", lit(true)),
+      .join(exact.select(col(idCol)).withColumn(eC, lit(true)),
         Seq(idCol), "left")
-      .join(dupIds.withColumn("__n", lit(true)), Seq(idCol), "left")
+      .join(dupIds.withColumn(nC, lit(true)), Seq(idCol), "left")
       .select(col(idCol),
-        when(col("__q").isNull, "quality_fail")
-          .when(col("__e").isNull, "exact_dup")
-          .when(col("__n").isNotNull, "near_dup")
+        when(col(qC).isNull, "quality_fail")
+          .when(col(eC).isNull, "exact_dup")
+          .when(col(nC).isNotNull, "near_dup")
           .otherwise("kept").as("stage"))
     (kept, provenance)
   }

@@ -474,21 +474,21 @@ object TextAnalysis {
     * '13 use the same ratio test). `minCount` suppresses the low-frequency
     * noise PMI is notorious for.
     *
-    * Shuffle shape: one bigram hash agg, one unigram hash agg joined to
-    * both bigram endpoints, two one-row broadcasts for the totals; PMI is
-    * rounded to 6 decimals so top-k ranking is engine-stable (ties break
-    * lexicographically). */
+    * Shuffle shape: one bigram hash agg (the bigram total derives from it
+    * before the min-count filter — no third corpus scan), one unigram hash
+    * agg joined to both bigram endpoints, two one-row broadcasts for the
+    * totals; PMI is rounded to 6 decimals so top-k ranking is
+    * engine-stable (ties break lexicographically). */
   def collocations(df: DataFrame, textCol: String, minCount: Long,
       k: Int): DataFrame = {
     val toks = df.select(tokens(lower(col(textCol))).as("__tk"))
     val uni = toks.select(explode(col("__tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_w"))
     val nTok = uni.agg(sum(col("c_w")).as("n_tok"))
-    val bi = toks.select(explode(ngramsAll(col("__tk"), 2)).as("bigram"))
+    val biAll = toks.select(explode(ngramsAll(col("__tk"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCount)
-    val nBi = toks.select((size(col("__tk")) - 1).cast("long").as("nb"))
-      .agg(sum(when(col("nb") > 0, col("nb")).otherwise(0L)).as("n_bi"))
+    val nBi = biAll.agg(sum(col("c_ab")).as("n_bi"))
+    val bi = biAll.filter(col("c_ab") >= minCount)
     bi.withColumn("w1", split(col("bigram"), " ")(0))
       .withColumn("w2", split(col("bigram"), " ")(1))
       .join(uni.select(col("w").as("w1"), col("c_w").as("c_1")), "w1")
