@@ -434,6 +434,23 @@ object ScaleQueries {
         .select("vec_id", "assigned").orderBy("vec_id")
     }),
 
+    // Embedding QA: robust norm-fence outlier flags (Tukey fences at 3×IQR
+    // on exact percentiles) — catches zero/corrupt/unnormalized vectors
+    // before they poison similarity search
+    "emb_outliers" -> ((s, d) => {
+      val e = emb(s, d)
+        .select(col("vec_id"),
+          round(Similarity.norm(col("embedding")), 6).as("norm"))
+      val q = e.agg(expr("percentile(norm, 0.25)").as("q1"),
+        expr("percentile(norm, 0.75)").as("q3"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("norm"),
+          (col("norm") < col("q1") - (col("q3") - col("q1")) * 3 ||
+            col("norm") > col("q3") + (col("q3") - col("q1")) * 3)
+            .as("is_outlier"))
+        .orderBy("vec_id")
+    }),
+
     // Embedding-space drift between snapshots: per-dimension |Δ| of the
     // decimal-exact global centroids of two corpus halves (the vector-side
     // counterpart of tx_drift — catches encoder or population shift)
@@ -1184,6 +1201,17 @@ object ScaleQueries {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
         |  FROM d2)
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "emb_outliers" ->
+      s"""WITH n AS (SELECT vec_id,
+         |  round(sqrt(${duckDot("embedding", "embedding")}), 6) AS norm
+         |  FROM embeddings),
+         |q AS (SELECT quantile_cont(norm, 0.25) AS q1,
+         |  quantile_cont(norm, 0.75) AS q3 FROM n)
+         |SELECT vec_id, norm,
+         |  (norm < q1 - (q3 - q1) * 3 OR norm > q3 + (q3 - q1) * 3)
+         |    AS is_outlier
+         |FROM n CROSS JOIN q ORDER BY vec_id""".stripMargin,
 
     "emb_drift" ->
       """WITH dim AS (SELECT unnest(range(1,
