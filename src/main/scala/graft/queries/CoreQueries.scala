@@ -293,6 +293,33 @@ object CoreQueries {
         .orderBy("change_type")
     }),
 
+    // V2 extension: per-FIELD change frequency across a snapshot diff
+    // (Migration_Validation.ps1:318-320 reports per-field diffs per row;
+    // at scale the useful artifact is the aggregate: which columns churn).
+    // One keyed join + one wide agg, stack-unpivoted.
+    "v2_field_change_stats" -> ((s, d) => {
+      val a = ordersFlat(s, d)
+      val b = a
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 3 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 4 === 0, lit("0-CHANGED"))
+            .otherwise(col("o_orderpriority")))
+      val fields = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+      val j = a.alias("a").join(b.alias("b"), "_id")
+      val sums = fields.map(c =>
+        sum(when(!(col(s"a.$c") <=> col(s"b.$c")), 1L).otherwise(0L)).as(c))
+      j.agg(sums.head, sums.tail: _*)
+        .select(expr(
+          """stack(3,
+            |'o_custkey', o_custkey,
+            |'o_orderpriority', o_orderpriority,
+            |'o_orderstatus', o_orderstatus)
+            |AS (field, n_changed)""".stripMargin))
+        .orderBy("field")
+    }),
+
     // J1 detail: per-id classification
     "j1_sync_classify_detail" -> ((s, d) => {
       val base = ordersFlat(s, d)
@@ -743,6 +770,18 @@ object CoreQueries {
     "x2_canonical_json" ->
       s"""SELECT CAST(o_orderkey AS VARCHAR) AS _id, $duckCanonJson AS canon
          |FROM orders ORDER BY _id""".stripMargin,
+
+    "v2_field_change_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'o_custkey' AS field, 0 AS n_changed
+        |  UNION ALL
+        |  SELECT 'o_orderpriority',
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 0)
+        |  UNION ALL
+        |  SELECT 'o_orderstatus',
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_orderkey % 3 = 0 AND o_orderstatus != 'X'))
+        |ORDER BY field""".stripMargin,
 
     "j1_sync_classify" -> syncOracle(
       """SELECT change_type, count(*) AS cnt FROM cls
