@@ -321,6 +321,30 @@ object ScaleQueries {
         size(TextAnalysis.tokens(col("text"))), 20)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // Corpus length histogram in log2 buckets (the dataset-report shape:
+    // constant output rows at any corpus size, one agg). The bucket is
+    // length(bin(n+1))-1 — integer-exact floor(log2), immune to the
+    // float-log boundary drift a double log2 would risk at powers of two
+    "tx_len_hist" -> ((s, d) =>
+      docs(s, d)
+        .select((length(bin(size(TextAnalysis.tokens(col("text")))
+          .cast("long") + 1)) - 1).cast("long").as("log2_tokens"))
+        .groupBy("log2_tokens").agg(count(lit(1)).as("n_docs"))
+        .orderBy("log2_tokens")),
+
+    // Sharded dataset export: the holdout split written as a
+    // split-partitioned parquet layout and read back — per-split counts
+    // prove the partitioned write path end-to-end
+    "samp_split_export" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_split").toString
+      Sampling.holdoutSplit(docs(s, d), "doc_id", valBp = 1000, testBp = 1000)
+        .write.mode("overwrite").partitionBy("split").parquet(out)
+      s.read.parquet(out)
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .select(col("split").cast("string").as("split"), col("n_docs"))
+        .orderBy("split")
+    }),
+
     // Deterministic 80/10/10 train/val/test split (leakage-stable: a row's
     // split never changes as the corpus grows)
     "samp_split" -> ((s, d) =>
@@ -1077,6 +1101,20 @@ object ScaleQueries {
         |  < least(10000, 20 * len(list_filter(
         |      string_split_regex(trim(text), '\s+'), t -> t != '')))
         |ORDER BY doc_id""".stripMargin,
+
+    "tx_len_hist" ->
+      """SELECT CAST(length(bin(len(list_filter(
+        |    string_split_regex(trim(text), '\s+'), t -> t != '')) + 1)) - 1
+        |    AS BIGINT) AS log2_tokens,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "samp_split_export" ->
+      """SELECT CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test'
+        |    ELSE 'train' END AS split, count(*) AS n_docs
+        |FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |  AS BIGINT) % 10000 AS b FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "samp_split" ->
       """SELECT doc_id,
