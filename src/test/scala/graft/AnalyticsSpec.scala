@@ -71,6 +71,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out(1L)._1 - -(2 * lp(4.0 / 5) + lp(2.0 / 3)) / 3) < 1e-3)
   }
 
+  test("collocations: bound pairs outrank independent ones; floor applies") {
+    // "strong glue" always co-occur; "red"/"fish" occur apart as often
+    val docs = (1L to 6L).map(i =>
+      (i, "strong glue red fish " + (if (i % 2 == 0) "red cat" else "fish dog")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 2, k = 10)
+      .select($"bigram", $"pmi").as[(String, Double)].collect().toMap
+    assert(out("strong glue") > out("red fish"))
+    val floored = TextAnalysis.collocations(docs, "text", minCount = 4, k = 10)
+      .select("bigram").as[String].collect().toSet
+    assert(!floored.contains("red cat")) // count 3 < 4
+    assert(floored.contains("strong glue")) // count 6
+  }
+
+  test("profileDrift: added, removed, type-changed, unchanged statuses") {
+    val a = Seq(("1", 1L, "x")).toDF("_id", "n", "s")
+    val b = Seq(("1", "one", 0.5)).toDF("_id", "n", "q")
+    val out = graft.profile.SchemaProfiler.profileDrift(a, b)
+      .select($"path", $"status").as[(String, String)].collect().toMap
+    assert(out == Map("_id" -> "unchanged", "n" -> "type_changed",
+      "s" -> "removed", "q" -> "added"))
+  }
+
   test("token drift: zero for identical snapshots, one bit for disjoint") {
     val a = Seq((1L, "x y"), (2L, "y x")).toDF("doc_id", "text")
     val zero = TextAnalysis.tokenDriftTerms(a, a, "text")
