@@ -502,6 +502,19 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Bounded sliding frame (rowsBetween 2-preceding..current): 3-order
+    // moving sum per customer — decimal-exact so the frame sum is stable
+    "w_moving_sum" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(-2, 0)
+      t(s, d, "orders")
+        .filter(col("o_custkey") % 100 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("moving_sum_3"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Salted skew join (Bucketing.saltedJoin): one hot key spread over N
     // sub-keys; the oracle is the PLAIN join — salting must not change
     // results, only the shuffle distribution
@@ -917,6 +930,15 @@ object CoreQueries {
         |  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
         |CAST(row_number() OVER (
         |  PARTITION BY o_custkey ORDER BY o_orderkey) AS INT) AS rn
+        |FROM orders WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w_moving_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS moving_sum_3
         |FROM orders WHERE o_custkey % 100 = 0
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
