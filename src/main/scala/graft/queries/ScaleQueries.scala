@@ -351,6 +351,18 @@ object ScaleQueries {
       Sampling.holdoutSplit(docs(s, d), "doc_id", valBp = 1000, testBp = 1000)
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // Curriculum bucketing: length deciles via ntile over a TOTAL order
+    // (ties broken by id so the decile assignment is engine-stable)
+    "samp_length_decile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_tokens"), col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // Dataset mixing: per-source keep rates (src0 in full, src1 at 50%,
     // everything else at 20%) in one zero-shuffle pass
     "samp_mixture" -> ((s, d) =>
@@ -1124,6 +1136,14 @@ object ScaleQueries {
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |    AS BIGINT) % 10000 AS b FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "samp_length_decile" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x != '')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS decile
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "samp_mixture" ->
       """SELECT doc_id, source FROM documents
