@@ -789,7 +789,8 @@ object CoreQueries {
         |  SELECT 'o_custkey' AS field, 0 AS n_changed
         |  UNION ALL
         |  SELECT 'o_orderpriority',
-        |    (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 0)
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_orderkey % 4 = 0 AND o_orderpriority != '0-CHANGED')
         |  UNION ALL
         |  SELECT 'o_orderstatus',
         |    (SELECT count(*) FROM orders

@@ -334,9 +334,12 @@ object ScaleQueries {
 
     // Sharded dataset export: the holdout split written as a
     // split-partitioned parquet layout and read back — per-split counts
-    // prove the partitioned write path end-to-end
+    // prove the partitioned write path end-to-end. The export lands in a
+    // per-session FIXED dir (overwritten), so repeated invocations
+    // (Prof/Bench/Verify) cap at one copy instead of leaking temp dirs
     "samp_split_export" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_split").toString
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_split_" +
+        s.sparkContext.applicationId
       Sampling.holdoutSplit(docs(s, d), "doc_id", valBp = 1000, testBp = 1000)
         .write.mode("overwrite").partitionBy("split").parquet(out)
       s.read.parquet(out)
@@ -472,7 +475,10 @@ object ScaleQueries {
 
     // Embedding QA: robust norm-fence outlier flags (Tukey fences at 3×IQR
     // on exact percentiles) — catches zero/corrupt/unnormalized vectors
-    // before they poison similarity search
+    // before they poison similarity search. Exact percentile state grows
+    // with distinct (rounded) norms — fine at oracle scale; at 100 TB swap
+    // in percentile_approx (constant-size GK sketch, the sk_approx_quantile
+    // pattern) since fences don't need exactness
     "emb_outliers" -> ((s, d) => {
       val e = emb(s, d)
         .select(col("vec_id"),
