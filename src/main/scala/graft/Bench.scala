@@ -77,15 +77,39 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The driver keeps only the LAST 2000 chars of stdout; a 132-query map
+    // is ~3 KB and gets head-truncated into an unparseable fragment
+    // (BENCH_r03.json, parsed: null). So: the full per-query map goes to a
+    // file (committed per round as BENCH_FULL.json), and stdout carries a
+    // compact line — headline total plus the slowest queries, sized to fit
+    // the tail window with margin.
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${toJson(results)},"failed":$fails,"sf":"$sfDir"}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+      fullJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-json write failed: ${e.getMessage}") }
+    val slowest = results.sortBy { case (_, v) => -math.abs(v) }
+    // fit as many of the slowest queries as the tail window allows
+    val budget = 1600
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 0
+    slowest.foreach { case (k, v) =>
+      val w = k.length + 12
+      if (used + w <= budget) { kept += ((k, v)); used += w }
+    }
+    val compact = kept.sortBy(_._1).toSeq
     // Stop Spark BEFORE printing so no shutdown chatter can land after the
     // JSON line — the driver parses the last stdout line (build.sbt also
     // suppresses sbt's "[success]" banner for the same reason).
     try spark.stop() catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_reported":${compact.size},"queries":${toJson(compact)},"queries_full":"$fullPath","failed":$fails,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

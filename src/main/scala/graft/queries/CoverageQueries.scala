@@ -322,8 +322,9 @@ object CoverageQueries {
         |AS t(path, status, type_before, type_after) ORDER BY path""".stripMargin,
 
     "s18_versioned_state" ->
-      """SELECT 'v1-v3' AS published, 2 AS versions_after_rollback,
-        |  count(*) AS n, sum(o_orderkey) AS id_sum
+      """SELECT 'v1-v3' AS published,
+        |  CAST(2 AS BIGINT) AS versions_after_rollback,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS id_sum
         |FROM orders WHERE o_orderkey % 3 < 2""".stripMargin,
 
     "o3_incremental_fallback" ->

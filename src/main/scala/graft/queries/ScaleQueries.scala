@@ -443,10 +443,9 @@ object ScaleQueries {
         .orderBy(col("freq").desc, col("a").asc, col("b").asc)
         .limit(20)),
 
-    // BPE tokenizer training, 8 merge rounds (vocabulary-bounded loop; the
-    // data-dependent merge sequence is not static-SQL-expressible, so this
-    // entry is rows-checked only — the golden merge sequence is pinned by
-    // ScaleSpec)
+    // BPE tokenizer training, 8 merge rounds (vocabulary-bounded loop).
+    // Oracled by a statically-unrolled 8-round DuckDB mirror (bpeMergesSql);
+    // the golden merge sequence is additionally pinned by ScaleSpec
     "bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeTrain(docs(s, d), "text", 8).orderBy("rank")),
 
@@ -708,6 +707,47 @@ object ScaleQueries {
        |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON w.id = e.src)
        |SELECT id, min(comp) AS component FROM walk GROUP BY id
        |ORDER BY id""".stripMargin
+
+  /** DuckDB mirror of [[TextAnalysis.bpeTrain]] (8 merge rounds, statically
+    * unrolled -- the round count is fixed, so no recursion is needed). Each
+    * word's symbol sequence is kept as a string of chr(1)+sym+chr(2) cells;
+    * a round picks the (freq DESC, a, b) argmax pair from the adjacent-pair
+    * counts and applies it with `replace(s, cell(a)+cell(b), cell(ab))` --
+    * SQL replace is left-to-right non-overlapping, which is exactly
+    * bpeTrain's greedy fold (the "aaa" -> (aa, a) case included; a merged
+    * cell can never re-match because its delimiter boundary differs). The
+    * control-char delimiters cannot collide with token content (tokens are
+    * whitespace-split corpus text) and prevent cross-symbol false matches
+    * (cells of "xa","b" never match the pattern for "a","b"). */
+  private lazy val bpeMergesSql: String = {
+    val d1 = "chr(1)"
+    val d2 = "chr(2)"
+    // delimited string -> adjacent-pair counts (argmax candidate table)
+    def pairCte(k: Int): String =
+      s"""p$k AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(list_transform(range(1, len(sy)),
+         |      i -> struct_pack(a := sy[i], b := sy[i + 1]))) AS pr, freq
+         |    FROM (SELECT string_split(substr(s, 2, length(s) - 2),
+         |      $d2 || $d1) AS sy, freq FROM v${k - 1}) WHERE len(sy) > 1)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, freq FROM p$k
+         |  ORDER BY freq DESC, a, b LIMIT 1),
+         |v$k AS (SELECT replace(s, $d1 || a || $d2 || $d1 || b || $d2,
+         |  $d1 || a || b || $d2) AS s, v${k - 1}.freq AS freq
+         |  FROM v${k - 1} CROSS JOIN b$k)""".stripMargin
+    val rounds = (1 to 8).map(pairCte).mkString(",\n")
+    val finalRows = (1 to 8).map(k =>
+      s"""SELECT CAST($k AS INT) AS rank, a AS "left", b AS "right",
+         |  freq AS pair_freq FROM b$k""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH wf AS (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest($duckToksAll) AS w FROM documents) GROUP BY w),
+       |v0 AS (SELECT array_to_string(list_transform(range(1, length(w) + 1),
+       |    i -> $d1 || substr(w, i, 1) || $d2), '') AS s, freq FROM wf),
+       |$rounds
+       |SELECT * FROM (
+       |$finalRows
+       |) ORDER BY rank""".stripMargin
+  }
 
   /** SRP-LSH bucket id mirroring Similarity.srpBucket(embedding, 8). */
   private def duckSrpTerms: String =
@@ -1030,7 +1070,7 @@ object ScaleQueries {
          |      THEN (p * (ln(p / ((p + q) / 2)) / ln(2.0))) * 0.5 ELSE 0 END) +
          |    (CASE WHEN q > 0
          |      THEN (q * (ln(q / ((p + q) / 2)) / ln(2.0))) * 0.5 ELSE 0 END)
-         |  AS DECIMAL(18,9)) AS js_term
+         |  AS DECIMAL(18,6)) AS js_term
          |FROM t ORDER BY js_term DESC, token ASC LIMIT 20""".stripMargin,
 
     "tx_lm_perplexity" ->
@@ -1043,7 +1083,7 @@ object ScaleQueries {
          |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1
          |  FROM c12 GROUP BY 1),
          |lm AS (SELECT bigram,
-         |  CAST(ln((c12 + 1.0) / (c1 + v)) / ln(2.0) AS DECIMAL(18,9)) AS logp
+         |  CAST(ln((c12 + 1.0) / (c1 + v)) / ln(2.0) AS DECIMAL(18,6)) AS logp
          |  FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
          |  CROSS JOIN v)
          |SELECT doc_id,
@@ -1227,8 +1267,10 @@ object ScaleQueries {
          |    i -> substr(w, i, 1)) AS s, freq FROM wf),
          |p AS (SELECT unnest(list_transform(range(1, len(s)),
          |    i -> struct_pack(a := s[i], b := s[i + 1]))) AS pr, freq FROM sym)
-         |SELECT pr.a AS a, pr.b AS b, sum(freq) AS freq FROM p
+         |SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS freq FROM p
          |GROUP BY 1, 2 ORDER BY freq DESC, a, b LIMIT 20""".stripMargin,
+
+    "bpe_merges" -> bpeMergesSql,
 
     "pack_token_budget" ->
       """WITH t AS (SELECT doc_id,

@@ -303,7 +303,14 @@ object TextAnalysis {
     * entropy alphabet). One regex-split pass — per-index `substring` would
     * seek from the string start each time (UTF-8 is variable-width), making
     * extraction O(n²) per row. The empty-string artifacts of zero-width
-    * splitting are removed (real elements are never empty). */
+    * splitting are removed (real elements are never empty).
+    *
+    * Splits on CODE POINTS, not UTF-16 code units: Spark's `split` runs on
+    * UTF8String and a zero-width match never lands inside a multi-byte
+    * sequence, so a supplementary-plane char (emoji) stays one symbol —
+    * the same semantics as DuckDB's code-point `substr`/`length`, which
+    * the `bpe_pair_freqs` oracle relies on. Pinned by the non-BMP test in
+    * ScaleSpec ("charSymbols: code points, not UTF-16 units"). */
   def charSymbols(w: Column): Column =
     array_remove(split(w, ""), "")
 
@@ -404,8 +411,10 @@ object TextAnalysis {
     * it feeds the scorer through an ordinary shuffle join (or a broadcast
     * when the vocabulary is small), never driver memory.
     *
-    * `logp` is quantized to DECIMAL(18,9) so downstream per-document sums
-    * are exact-decimal (order-independent under repartitioning/AQE). */
+    * `logp` is quantized to DECIMAL(18,6) so downstream per-document sums
+    * are exact-decimal (order-independent under repartitioning/AQE) and
+    * the last digit is out of reach of JVM-vs-libm `ln` ULP differences
+    * (the same cross-engine granularity as [[tokenDriftTerms]]). */
   def bigramLm(df: DataFrame, textCol: String): DataFrame = {
     val toks = df.select(tokens(lower(col(textCol))).as("__tk"))
     val vocab = toks.select(explode(col("__tk")).as("t"))
@@ -419,7 +428,7 @@ object TextAnalysis {
       .crossJoin(broadcast(vocab))
       .select(col("bigram"),
         (log((col("c12") + lit(1.0)) / (col("c1") + col("v"))) / log(lit(2.0)))
-          .cast("decimal(18,9)").as("logp"))
+          .cast("decimal(18,6)").as("logp"))
   }
 
   /** All character n-grams of the lowercased text (positions 1..len-n+1).
@@ -510,7 +519,10 @@ object TextAnalysis {
     *
     * Returns one row per token in either vocabulary with its contribution
     * `0.5·p·log2(p/m) + 0.5·q·log2(q/m)` (m = (p+q)/2; a side's term is 0
-    * where its probability is 0), quantized to DECIMAL(18,9) — so the
+    * where its probability is 0), quantized to DECIMAL(18,6) — coarse
+    * enough that JVM-vs-libm `ln` ULP differences cannot flip the last
+    * digit across engines, fine enough that drift ranking is unaffected —
+    * so the
     * total divergence is an exact-decimal `sum(js_term)`, stable under
     * partitioning, and the heaviest drifting tokens rank directly.
     *
@@ -535,7 +547,7 @@ object TextAnalysis {
         val p = coalesce(col("c_a"), lit(0L)).cast("double") / col("n_a")
         val q = coalesce(col("c_b"), lit(0L)).cast("double") / col("n_b")
         val m = (p + q) / 2
-        (term(p, m) + term(q, m)).cast("decimal(18,9)").as("js_term")
+        (term(p, m) + term(q, m)).cast("decimal(18,6)").as("js_term")
       })
   }
 

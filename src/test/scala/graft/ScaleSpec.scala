@@ -312,4 +312,21 @@ class ScaleSpec extends SparkSpec {
     assert(m2.head == ((1, "a", "a", 4L)))    // two adjacent positions per word
     assert(m2(1) == ((2, "aa", "a", 2L)))     // greedy left fold: aaa -> (aa, a)
   }
+
+  test("charSymbols: code points, not UTF-16 units (non-BMP safe)") {
+    // U+1F600 is a surrogate pair in UTF-16; a code-unit split would break
+    // it into two unpaired halves and diverge from DuckDB's code-point
+    // substr() in the bpe_pair_freqs oracle. Pin the code-point contract.
+    val syms = Seq("a😀b").toDF("w")
+      .select(TextAnalysis.charSymbols(col("w")).as("s"))
+      .head.getSeq[String](0)
+    assert(syms == Seq("a", "😀", "b"))
+    assert(syms(1).codePointAt(0) == 0x1F600)
+    // and the pair statistic over an emoji word keeps the pair intact
+    val pairs = TextAnalysis.pairCounts(
+      Seq((Seq("a", "😀", "b"), 2L)).toDF("sym", "freq"),
+      "sym", "freq")
+      .orderBy("a").as[(String, String, Long)].collect().toSeq
+    assert(pairs == Seq(("a", "😀", 2L), ("😀", "b", 2L)))
+  }
 }
