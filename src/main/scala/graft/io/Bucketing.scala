@@ -55,6 +55,16 @@ object Bucketing {
     * frame should cache or [[Materialize]] it first. */
   def bloomPrunedSemiJoin(big: DataFrame, keys: DataFrame, bigKey: String,
       keysKey: String, expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    // enforce the integral-keys contract loudly: cast("long") maps a
+    // fractional/unparseable key to null, might_contain(null) is null, and
+    // matching rows would silently vanish before the exact residual join
+    def requireIntegral(df: DataFrame, c: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"bloomPrunedSemiJoin keys must be integral; '$c' is ${dt.typeName}")
+    }
+    requireIntegral(big, bigKey)
+    requireIntegral(keys, keysKey)
     val bf = keys.stat.bloomFilter(keysKey, expectedKeys, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)

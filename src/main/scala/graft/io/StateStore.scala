@@ -40,11 +40,13 @@ object StateStore {
   // operators keep an audit trail, and a bad sync rolls back by deleting
   // versions — no backup restore. Single-writer contract (one scheduled
   // sync owns a root); retention bounds disk. Reader contract: a loaded
-  // frame is lazy — run its action before the writer publishes `keep` more
-  // versions, or the prune can delete the directory under the scan (size
-  // `keep` to cover the longest reader, as StreamDedup's replay pinning
-  // does). The reference has no equivalent — its JSON state is clobbered
-  // in place (Sync.ps1:331-349).
+  // frame is lazy — either run its action before the writer publishes
+  // `keep` more versions, or PIN the version first ([[pinVersion]] /
+  // [[unpinVersion]]): retention never prunes a version at or above the
+  // lowest live pin, so a slow reader survives any number of publishes.
+  // Pins are the reader's liability — take them try/finally, because a
+  // leaked pin holds versions until it is removed. The reference has no
+  // equivalent — its JSON state is clobbered in place (Sync.ps1:331-349).
 
   private def fsOf(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -82,9 +84,60 @@ object StateStore {
     val committed = new Path(root, s"v=$next")
     if (!fs.rename(tmp, committed))
       throw new java.io.IOException(s"state commit failed: $tmp -> $committed")
+    // prune to the keep-window, but never past a reader's pin: a version
+    // at or above the lowest live pin stays until the pin is released
+    val floor = pinnedFloor(spark, root)
     versions(spark, root).dropRight(keep)
+      .filter(v => floor.forall(v < _))
       .foreach(v => fs.delete(new Path(root, s"v=$v"), true))
     next
+  }
+
+  private val PinFile = "\\.pin_(.+)".r
+
+  /** Register a reader pin on version `v`: retention ([[saveVersion]]'s
+    * prune) will not delete `v` — or anything newer — until the pin is
+    * released with [[unpinVersion]]. Returns the pin token. Take pins
+    * try/finally; a leaked pin holds versions until removed. */
+  def pinVersion(spark: SparkSession, root: String, v: Int): String = {
+    require(versions(spark, root).contains(v), s"no such state version: $v")
+    val fs = fsOf(spark, root)
+    val token = java.util.UUID.randomUUID().toString
+    val out = fs.create(new Path(root, s".pin_$token"), true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    token
+  }
+
+  /** Release a reader pin (idempotent). */
+  def unpinVersion(spark: SparkSession, root: String, token: String): Unit = {
+    fsOf(spark, root).delete(new Path(root, s".pin_$token"), false): Unit
+  }
+
+  /** Lowest version any live pin holds, if any. An unreadable/garbled pin
+    * file is ignored (it cannot have been committed by pinVersion's
+    * write+close) rather than wedging retention forever. */
+  private def pinnedFloor(spark: SparkSession, root: String): Option[Int] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(root)
+    if (!fs.exists(p)) None
+    else {
+      val pins = fs.listStatus(p).toSeq.flatMap { s =>
+        s.getPath.getName match {
+          case PinFile(_) =>
+            val in = fs.open(s.getPath)
+            val txt = try {
+              val bos = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+              new String(bos.toByteArray,
+                java.nio.charset.StandardCharsets.UTF_8)
+            } finally in.close()
+            txt.trim.toIntOption
+          case _ => None
+        }
+      }
+      pins.minOption
+    }
   }
 
   /** A specific committed version. */

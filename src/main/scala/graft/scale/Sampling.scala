@@ -119,4 +119,28 @@ object Sampling {
         ((col(cumC) - col(tokenCountCol)) / budgetTokens).cast("long"))
       .drop(cumC)
   }
+
+  /** Scale-path quantile bucketing: assign each row a bucket 1..n by
+    * comparing `valueCol` against percentile_approx cut-points — a single
+    * fixed-size-sketch aggregation plus a zero-shuffle per-row comparison
+    * against n-1 broadcast literals, where exact `ntile` would move the
+    * entire dataset through ONE task (a global-order window does not
+    * partition). The trade: buckets are approximate at the boundaries
+    * (sketch accuracy 1/`accuracy`) and ties land in one bucket rather than
+    * splitting to equalize counts — acceptable for curriculum bucketing,
+    * not for an exact-equal-count contract (that is `samp_length_decile`'s
+    * ntile semantics, kept for oracle parity at test SF). */
+  def quantileBuckets(df: DataFrame, valueCol: String, n: Int,
+      accuracy: Int = 10000): DataFrame = {
+    require(n >= 2, "need at least 2 buckets")
+    val cuts = df.stat.approxQuantile(
+      valueCol, (1 until n).map(_.toDouble / n).toArray, 1.0 / accuracy)
+    // build innermost-out so the SMALLEST cut is tested first: the final
+    // expression is when(v<=c1,1).otherwise(when(v<=c2,2)...otherwise(n))
+    val bucket = cuts.zipWithIndex.reverse.foldLeft(lit(n)) {
+      case (acc, (cut, i)) =>
+        when(col(valueCol) <= cut, lit(i + 1)).otherwise(acc)
+    }
+    df.withColumn("bucket", bucket.cast("long"))
+  }
 }

@@ -37,6 +37,15 @@ import graft.scale.{Dedup, TextAnalysis}
   * grouping: a chain a~b~c drops b and c whether they share a micro-batch
   * or arrive one per batch. (Exact duplicates contribute no new signature —
   * their survivor's is identical.)
+  *
+  * ASSUMES MONOTONE IDS: "arrived before" is decided by the id within a
+  * batch (the greater id drops) and by history across batches (the batch
+  * endpoint drops). The two agree — and survivor sets are independent of
+  * batch grouping — only when ids are monotone with arrival order (e.g.
+  * ingest sequence numbers, as in the `st_stream_dedup` corpus). If a
+  * smaller id can arrive in a LATER batch, its earlier-batch neighbor has
+  * already won, where a shared batch would have kept the smaller id:
+  * precedence then needs an explicit arrival-order column, not the id.
   */
 object StreamDedup {
 
@@ -64,25 +73,42 @@ object StreamDedup {
 
     // pin the input state versions BEFORE mutating anything; a replay finds
     // the intent and recomputes from the same inputs regardless of how far
-    // the crashed attempt got
-    val (vF, vS) =
-      if (fs.exists(intent(stateRoot, batchId))) {
-        val in = fs.open(intent(stateRoot, batchId))
+    // the crashed attempt got. The intent itself commits by temp-write +
+    // rename (atomic on HDFS/local), and an unparseable intent is treated
+    // as absent and rewritten — safe, because the intent is written before
+    // any mutation, so a truncated intent implies nothing was mutated; a
+    // MatchError here would otherwise wedge the stream on every replay.
+    val intentPath = intent(stateRoot, batchId)
+    val pinnedVersions: Option[(Int, Int)] =
+      if (!fs.exists(intentPath)) None
+      else {
+        val in = fs.open(intentPath)
         val txt = try {
           val bos = new java.io.ByteArrayOutputStream()
           org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
           new String(bos.toByteArray, StandardCharsets.UTF_8)
         } finally in.close()
-        val Array(a, b) = txt.trim.split(",")
-        (a.toInt, b.toInt)
-      } else {
-        val v = (StateStore.versions(spark, fpRoot).lastOption.getOrElse(0),
-          StateStore.versions(spark, sigRoot).lastOption.getOrElse(0))
-        val out = fs.create(intent(stateRoot, batchId), true)
-        try out.write(s"${v._1},${v._2}".getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        v
+        txt.trim.split(",") match {
+          case Array(a, b) =>
+            (a.toIntOption, b.toIntOption) match {
+              case (Some(x), Some(y)) => Some((x, y))
+              case _ => None
+            }
+          case _ => None
+        }
       }
+    val (vF, vS) = pinnedVersions.getOrElse {
+      val v = (StateStore.versions(spark, fpRoot).lastOption.getOrElse(0),
+        StateStore.versions(spark, sigRoot).lastOption.getOrElse(0))
+      val tmp = new Path(stateRoot, s"batch_$batchId.intent.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"${v._1},${v._2}".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(intentPath)) fs.delete(intentPath, false) // corrupt leftover
+      if (!fs.rename(tmp, intentPath))
+        throw new java.io.IOException(s"intent commit failed: $tmp -> $intentPath")
+      v
+    }
     def pinned(root: String, v: Int, bootstrap: => DataFrame): DataFrame =
       if (v == 0) bootstrap
       else {

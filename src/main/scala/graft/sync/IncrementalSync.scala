@@ -70,11 +70,21 @@ object IncrementalSync {
     * join and the MERGE application read the STORED sides without a shuffle
     * exchange; only the incoming snapshot is hashed into place. Per sync,
     * state and target stream their co-located buckets instead of being
-    * re-shuffled. Both tables are replaced via stage-and-rename — note this
-    * is TWO catalog operations (DROP + RENAME), so a concurrent reader in
-    * that window sees a missing table; a deployment needing uninterrupted
-    * readers should flip a view or use a table format with atomic swap. A
-    * missing state table means first sync (all new).
+    * re-shuffled.
+    *
+    * Publication is a VIEW FLIP: the new snapshot is written to a fresh
+    * versioned physical table `name__vN`, then `name` is re-pointed with
+    * one atomic `CREATE OR REPLACE VIEW` — a reader resolving `name` at
+    * ANY point sees a valid relation (the old version until the flip, the
+    * new one after), unlike DROP+RENAME whose two catalog ops expose a
+    * missing-table window. The immediately-previous version is retained
+    * until the NEXT sync (a reader mid-stream on it can finish); older
+    * versions are dropped. Views inline at analysis, so the bucketed scan
+    * — and its exchange-free join — survives the indirection. One-time
+    * exception: on FIRST publish over a bootstrap TABLE of the same name,
+    * the table must be dropped before the view can be created (a
+    * reader-visible gap only on that initial conversion). A missing state
+    * table means first sync (all new).
     */
   def runBucketed(spark: SparkSession, source: DataFrame, targetTable: String,
       stateTable: String, buckets: Int,
@@ -101,19 +111,35 @@ object IncrementalSync {
       val deletes = classified.filter(col("change_type") === ChangeDeleted)
         .select("_id")
       val merged = Sinks.delete(Sinks.upsert(target, upserts, "_id"), deletes, "_id")
-      // stage-and-rename: the merged plan reads targetTable, so it must be
-      // fully written before the old table is dropped
-      def replace(table: String, df: DataFrame): Unit = {
-        val stage = table + "__stage"
-        spark.sql(s"DROP TABLE IF EXISTS $stage")
-        Bucketing.bucketedSave(df, stage, "_id", buckets)
-        spark.sql(s"DROP TABLE IF EXISTS $table")
-        spark.sql(s"ALTER TABLE $stage RENAME TO $table")
-      }
-      replace(targetTable, merged)
-      replace(stateTable, nextState(classified, hashCol))
+      replaceViaViewFlip(spark, targetTable, merged, buckets)
+      replaceViaViewFlip(spark, stateTable, nextState(classified, hashCol), buckets)
       result
     } finally classified.unpersist()
+  }
+
+  /** Write `df` as the next versioned bucketed table `table__vN` and
+    * atomically re-point the `table` view at it (see [[runBucketed]] doc).
+    * The merged plan may read `table` — the new version is fully written
+    * before any catalog change. */
+  private def replaceViaViewFlip(spark: SparkSession, table: String,
+      df: DataFrame, buckets: Int): Unit = {
+    import graft.io.Bucketing
+    val vPat = (java.util.regex.Pattern.quote(table) + "__v(\\d+)").r
+    val versions = spark.sql(s"SHOW TABLES LIKE '${table}__v*'")
+      .collect().map(_.getString(1))
+      .collect { case vPat(n) => n.toInt }.sorted
+    val next = versions.lastOption.getOrElse(0) + 1
+    val phys = s"${table}__v$next"
+    Bucketing.bucketedSave(df, phys, "_id", buckets)
+    // one-time bootstrap conversion: a plain TABLE of this name cannot be
+    // view-replaced; drop it first (the only reader-visible gap)
+    val isPlainTable = spark.catalog.tableExists(table) &&
+      spark.catalog.getTable(table).tableType != "VIEW"
+    if (isPlainTable) spark.sql(s"DROP TABLE $table")
+    spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM $phys")
+    // retain v(next-1) for in-flight readers; reap everything older
+    versions.filter(_ < next - 1)
+      .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
   }
 
   /** Full sync run against a parquet-backed target table: classify, apply

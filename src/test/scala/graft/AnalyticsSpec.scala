@@ -55,6 +55,14 @@ class AnalyticsSpec extends SparkSpec {
     // the membership filter sits in the plan before the join
     assert(pruned.queryExecution.executedPlan.toString
       .contains("might_contain"))
+    // non-integral keys fail loudly: cast("long") would null out
+    // fractional/unparseable keys and silently drop matching rows
+    val strKeys = hot.select($"o_orderkey".cast("string").as("k"))
+    val e = intercept[IllegalArgumentException] {
+      graft.io.Bucketing.bloomPrunedSemiJoin(li, strKeys,
+        "l_orderkey", "k", expectedKeys = 100)
+    }
+    assert(e.getMessage.contains("integral"))
   }
 
   test("bigram LM cross-entropy matches hand computation") {

@@ -93,10 +93,41 @@ class BucketingSpec extends SparkSpec {
         "graft_bs_target", "graft_bs_state", 4)
       assert(r3.updated == 310 && r3.newDocs == 0 && r3.deleted == 0)
       assert(spark.table("graft_bs_target").columns.contains("score"))
+
+      // view-flip visibility: a reader hammering the table name THROUGHOUT
+      // a full replace cycle never sees a missing relation (the DROP+RENAME
+      // predecessor exposed a two-catalog-op window here)
+      assert(spark.catalog.getTable("graft_bs_target").tableType == "VIEW")
+      val failures = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reader = new Thread(() => {
+        while (!stop.get()) {
+          try { spark.table("graft_bs_target").count(): Unit }
+          catch { case t: Throwable => failures.set(t); stop.set(true) }
+        }
+      })
+      reader.start()
+      try {
+        val r4 = IncrementalSync.runBucketed(spark, snap3,
+          "graft_bs_target", "graft_bs_state", 4)
+        assert(r4.unchanged == 310)
+      } finally { stop.set(true); reader.join(30000) }
+      assert(failures.get() == null,
+        s"concurrent reader failed during replace: ${failures.get()}")
+      // previous version retained for in-flight readers, older ones reaped
+      val phys = spark.sql("SHOW TABLES LIKE 'graft_bs_target__v*'")
+        .collect().map(_.getString(1)).sorted
+      assert(phys.length == 2, s"expected current+previous, got ${phys.toSeq}")
     } finally {
-      Seq("graft_bs_target", "graft_bs_state", "graft_bs_target__stage",
-        "graft_bs_state__stage").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq("graft_bs_target", "graft_bs_state").foreach { t =>
+        if (spark.catalog.tableExists(t)) {
+          if (spark.catalog.getTable(t).tableType == "VIEW")
+            spark.sql(s"DROP VIEW $t")
+          else spark.sql(s"DROP TABLE $t")
+        }
+      }
+      spark.sql("SHOW TABLES LIKE 'graft_bs_*'").collect().map(_.getString(1))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 }

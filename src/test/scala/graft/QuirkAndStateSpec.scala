@@ -67,6 +67,32 @@ class QuirkAndStateSpec extends SparkSpec {
     intercept[IllegalArgumentException](StateStore.rollback(spark, root, 7))
   }
 
+  test("pinned state version survives retention until the reader releases") {
+    import graft.io.StateStore
+    val root = java.nio.file.Files.createTempDirectory("graft_pstate").toString
+    def st(ids: Long*) = ids.map(i => (i.toString, s"h$i")).toDF("_id", "hash")
+    val v1 = StateStore.saveVersion(spark, st(1), root, keep = 1)
+    // a slow reader pins v1, then the writer publishes well past the
+    // keep-window — v1 must survive (the unpinned predecessor would have
+    // been pruned on the first publish)
+    val token = StateStore.pinVersion(spark, root, v1)
+    try {
+      (2 to 5).foreach(i => StateStore.saveVersion(spark, st(1L, i.toLong),
+        root, keep = 1))
+      assert(StateStore.versions(spark, root).contains(v1))
+      // the pinned frame is still fully readable — no FileNotFound
+      assert(StateStore.loadVersion(spark, root, v1).count() == 1)
+      // versions ABOVE the pin floor also survive pruning
+      assert(StateStore.versions(spark, root) == Seq(1, 2, 3, 4, 5))
+    } finally StateStore.unpinVersion(spark, root, token)
+    // release: the next publish reaps everything outside the keep-window
+    StateStore.saveVersion(spark, st(9), root, keep = 1)
+    assert(StateStore.versions(spark, root) == Seq(6))
+    // unpin is idempotent; pinning a missing version fails loudly
+    StateStore.unpinVersion(spark, root, token)
+    intercept[IllegalArgumentException](StateStore.pinVersion(spark, root, 1))
+  }
+
   test("stateful sessionizer closes sessions on gap, keeps last session open") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(

@@ -89,6 +89,21 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("quantile buckets: monotone in value, matches exact cuts when exact") {
+    // 100 distinct values, accuracy well past n → cut-points are exact
+    // percentiles, so buckets are the exact deciles
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    val out = Sampling.quantileBuckets(df, "v", 10)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert((1L to 100L).forall(i => out(i) == (i - 1) / 10 + 1))
+    // no global-order window in the plan: the assignment is a per-row
+    // comparison against broadcast literals (the point of the scale path)
+    val plan = Sampling.quantileBuckets(df, "v", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    intercept[IllegalArgumentException] { Sampling.quantileBuckets(df, "v", 1) }
+  }
+
   test("repetition: dup/top n-gram fractions and max token run") {
     val df = Seq(
       (1L, "a a a a"),                  // 3 bigrams, all "a a" → dup 2/3

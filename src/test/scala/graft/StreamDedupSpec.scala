@@ -78,6 +78,37 @@ class StreamDedupSpec extends SparkSpec {
     assert(together == Set(1L))
   }
 
+  test("truncated intent file does not wedge the replay") {
+    // a crash mid-intent-write leaves a truncated/empty intent; the replay
+    // must treat it as absent (the intent precedes any mutation, so nothing
+    // was mutated) instead of dying on parse forever
+    val corpus = tmp("graft_sd_ci_corpus")
+    val state = tmp("graft_sd_ci_state")
+    val b1 = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    StreamDedup.applyBatch(spark, b1, 0L, "doc_id", "text",
+      corpus, state, jaccardThreshold = 0.5)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash: each new batch's intent pre-exists but is empty /
+    // garbage (each iteration uses a fresh batch id and fresh content so
+    // the previous iteration's published state cannot mask the result)
+    val fresh = Seq(
+      "alpha beta gamma delta epsilon zeta", "one two three four five six",
+      "red orange yellow green blue indigo", "north south east west up down")
+    for (((garbage, text), i) <- Seq("", "3", "x,y", "1,2,3").zip(fresh).zipWithIndex) {
+      val bid = i + 1L
+      val ip = new org.apache.hadoop.fs.Path(state, s"batch_$bid.intent")
+      val out = fs.create(ip, true)
+      out.write(garbage.getBytes("UTF-8")); out.close()
+      val b = Seq((10L + i, text)).toDF("doc_id", "text")
+      val r = StreamDedup.applyBatch(spark, b, bid, "doc_id", "text",
+        corpus, state, jaccardThreshold = 0.5)
+      assert(!r.replaySkipped && r.appended == 1, s"garbage='$garbage'")
+      // the rewritten intent was committed and the batch ran to the marker
+      assert(fs.exists(new org.apache.hadoop.fs.Path(state, s"batch_$bid.done")))
+    }
+  }
+
   test("AvailableNow stream drains file batches through the dedup") {
     val src = tmp("graft_sd_src")
     val corpus = tmp("graft_sd_corpus2")
