@@ -264,7 +264,13 @@ object Dedup {
     * The result is lineage-severed via [[graft.io.Materialize]] so callers
     * reuse the converged labels without replaying the loop. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 50): DataFrame =
+    connectedComponentsWithStats(pairs, idA, idB, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of contraction rounds run —
+    * the convergence-behavior handle the specs assert on. */
+  def connectedComponentsWithStats(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 50): (DataFrame, Int) = {
     // Materialize the incoming pair list FIRST: both the edge set and the
     // node set derive from it, and `pairs` is typically the expensive end
     // of an LSH candidate chain — without this the chain runs once per
@@ -305,23 +311,30 @@ object Dedup {
     // input four ways (both union directions, the min-aggregate, the rewire
     // join) the analyzed plan would grow ~4× PER ROUND — exponential
     // analysis cost by round ~8. The checkpoint makes each round a leaf;
-    // the probe action right after materializes it (lazy checkpoint costs
-    // nothing here), and reliable mode survives executor loss mid-loop.
-    // convergence probe: (edge count, Σ xxhash64(u,v) in exact DECIMAL —
-    // deterministic for any id type, no float reordering, no ANSI
-    // overflow). An unchanged probe is a cheap one-job NECESSARY signal;
-    // set equality is then CONFIRMED with an anti-join (sound) only on
-    // rounds where the probe matches.
-    def probe(e: DataFrame): (Long, BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
-      (r.getLong(0),
-        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    // the convergence check right after materializes it (lazy checkpoint
+    // costs nothing here), and reliable mode survives executor loss
+    // mid-loop.
+    //
+    // Convergence: the edge set is a STAR FOREST iff every leaf appears in
+    // exactly one edge (count == countDistinct(v); canonical edges already
+    // point center→leaf with center < leaf) and no center is also a leaf.
+    // That is checked DIRECTLY on each round's output — both star passes
+    // fix a star forest (each leaf's neighborhood is its center, already
+    // the min), so forest ⇒ fixed point, and star ops preserve components
+    // with canonical centers = component minima, so the labels read off a
+    // forest are final. Checking forest-ness instead of next==edges
+    // equality saves one ENTIRE confirmation round (typical dup graphs
+    // contract in 1-2 rounds, so that round was ~half the loop's cost).
+    def isStarForest(e: DataFrame): Boolean = {
+      val r = e.agg(count(lit(1)), countDistinct(col("v"))).head()
+      r.getLong(0) == r.getLong(1) &&
+        e.select("u")
+          .join(e.select(col("v").as("u")), Seq("u"), "left_semi")
+          .limit(1).isEmpty
     }
     var edges = graft.io.Materialize(raw)
-    var prevProbe = probe(edges)
     var iter = 0
-    var converged = false
+    var converged = isStarForest(edges)
     while (iter < maxIter && !converged) {
       // the mid frame is consumed four ways by the small-star pass within
       // this round only — a plain cache computes it once without another
@@ -329,23 +342,19 @@ object Dedup {
       val mid = star(edges, large = true).cache()
       try {
         val next = graft.io.Materialize(star(mid, large = false))
-        val nextProbe = probe(next)
-        // sets are distinct: equal iff same count and next ⊆ edges
-        converged = nextProbe == prevProbe &&
-          next.join(edges, Seq("u", "v"), "left_anti").limit(1).isEmpty
+        converged = isStarForest(next)
         // the old round's blocks are dead as of here (next is materialized,
-        // the convergence anti-join has run) — release them instead of
-        // letting one round-frame per iteration pile up in executor storage
+        // the convergence check has run) — release them instead of letting
+        // one round-frame per iteration pile up in executor storage
         graft.io.Materialize.release(edges)
         edges = next
-        prevProbe = nextProbe
       } finally mid.unpersist()
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds")
     // diagnostic only — stderr, never stdout (Bench's JSON line owns stdout)
-    System.err.println(s"[graft.cc] star contraction converged in $iter rounds")
+    System.err.println(s"[graft.cc] star contraction: forest after $iter rounds")
     // converged edges are a star forest: (center=u, leaf=v) with u the
     // component min; centers label themselves via the left join fallback
     val labels = graft.io.Materialize(
@@ -359,7 +368,7 @@ object Dedup {
     labels.count()
     graft.io.Materialize.release(edges)
     graft.io.Materialize.release(p)
-    labels
+    (labels, iter)
   }
 
   /** Incremental connected components: fold a batch's new near-dup pairs
