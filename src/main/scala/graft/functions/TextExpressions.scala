@@ -46,6 +46,22 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** `string → array<string>`: all character n-grams (code-point substr
+    * semantics) in one O(len) byte pass. */
+  case class CharNgramArray(child: Expression, n: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(n >= 1, "char n-gram kernel needs n >= 1")
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_char_ngrams"
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.charNgramArray(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charNgramArray($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): CharNgramArray =
+      copy(child = newChild)
+  }
+
   /** `array<string> → struct<dup_frac: double, top_frac: double>`: one
     * counting pass over the token array's n-grams. */
   case class NgramRepetition(child: Expression, n: Int)
@@ -84,6 +100,8 @@ object TextExpressions {
     Bridge.column(CharEntropy(Bridge.expression(text)))
   def ngramArray(toks: Column, n: Int): Column =
     Bridge.column(NgramArray(Bridge.expression(toks), n))
+  def charNgramArray(text: Column, n: Int): Column =
+    Bridge.column(CharNgramArray(Bridge.expression(text), n))
   def ngramRepetition(toks: Column, n: Int): Column =
     Bridge.column(NgramRepetition(Bridge.expression(toks), n))
   def maxTokenRun(toks: Column): Column =

@@ -74,6 +74,38 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** All character n-grams of a string — replicates `charNgramsOfHof`:
+    * gram i = code points [i, i+n) (SQL substr semantics), max(numChars −
+    * (n−1), 0) grams. ONE pass over the UTF-8 bytes: code-point start
+    * offsets are collected once, each gram is a byte-range copy — O(len),
+    * where the HOF's per-index `substr(i, n)` seeks from the string start
+    * every time (UTF-8 is variable-width) and is O(len²) per row. That
+    * quadratic seek was the single hottest kernel in the corpus lang-id
+    * path at sf0.1. */
+  def charNgramArray(text: UTF8String, n: Int): ArrayData = {
+    val numChars = text.numChars()
+    val count = math.max(numChars - (n - 1), 0)
+    if (count == 0) return new GenericArrayData(Array.empty[Any])
+    val bytes = text.getBytes // one defensive copy; grams then share it
+    // byte offset of each code point start, plus the terminal offset
+    val offs = new Array[Int](numChars + 1)
+    var cp = 0
+    var b = 0
+    while (b < bytes.length) {
+      offs(cp) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      cp += 1
+    }
+    offs(numChars) = bytes.length
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Duplicate-gram and top-gram fractions over the n-grams of a token
     * array, one counting pass — replicates `dupFractionOfGrams` /
     * `topFractionOfGrams` over `ngramsAll(toks, n)`: dup = 1.0 −

@@ -431,12 +431,22 @@ object TextAnalysis {
           .cast("decimal(18,6)").as("logp"))
   }
 
-  /** All character n-grams of the lowercased text (positions 1..len-n+1).
-    * Texts shorter than n yield an EMPTY array — the guard must come
-    * before `sequence`, which infers step -1 for a descending range, so
-    * sequence(1, 0) would be [1, 0], not [] (same pitfall as
-    * [[chunkTokens]]). */
-  def charNgramsOf(text: Column, n: Int): Column = {
+  /** All character n-grams of the lowercased text (positions 1..len-n+1),
+    * via the O(len) codegen kernel
+    * ([[graft.functions.TextExpressions.CharNgramArray]]) — the HOF form
+    * [[charNgramsOfHof]] stays as the executable spec (property-tested
+    * equal) but its per-index `substr` re-seeks the UTF-8 string from the
+    * start each time, O(len²) per row. */
+  def charNgramsOf(text: Column, n: Int): Column =
+    coalesce(
+      graft.functions.TextExpressions.charNgramArray(lower(text), n),
+      array())
+
+  /** HOF executable spec for [[charNgramsOf]]. Texts shorter than n yield
+    * an EMPTY array — the guard must come before `sequence`, which infers
+    * step -1 for a descending range, so sequence(1, 0) would be [1, 0],
+    * not [] (same pitfall as [[chunkTokens]]). */
+  def charNgramsOfHof(text: Column, n: Int): Column = {
     val t = lower(text)
     when(length(t) >= n,
       transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
@@ -448,24 +458,31 @@ object TextAnalysis {
     * labeled corpus and each document is classified by cosine similarity
     * of integer n-gram count vectors — train and classify in one plan.
     *
-    * Shuffle shape: two hash aggs over (doc, gram) / (lang, gram), a join
-    * on the gram, a per-doc ranking window; the language profiles are
-    * vocabulary-bounded and their norms broadcast. Dot products are exact
-    * integer sums; the cosine is rounded to 6 decimals so the argmax is
-    * stable across engines (ties break to the lexicographically first
-    * language). Complements [[langId]]'s fixed marker-token election with
-    * a data-driven model. */
+    * Shuffle shape: ONE corpus explode feeding the (doc, lang, gram) hash
+    * agg; the language profiles REUSE that aggregate (lang rides the doc
+    * grouping key — it is functionally dependent on the doc — so the
+    * per-language counts are a second, vocabulary-sized aggregation over
+    * the doc vectors, and Spark's exchange reuse runs the expensive gram
+    * explode exactly once for all three consumers). Then a join on the
+    * gram and a per-doc ranking window; the language norms broadcast. Dot
+    * products are exact integer sums; the cosine is rounded to 6 decimals
+    * so the argmax is stable across engines (ties break to the
+    * lexicographically first language). Complements [[langId]]'s fixed
+    * marker-token election with a data-driven model. */
   def charNgramLangId(df: DataFrame, idCol: String, textCol: String,
       langCol: String, n: Int = 3): DataFrame = {
     val grams = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
       explode(charNgramsOf(col(textCol), n)).as("g"))
-    val docVec = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("dc"))
-    val langVec = grams.groupBy("lang", "g").agg(count(lit(1)).as("lc"))
-    val docNorm = docVec.groupBy("doc_id")
+    val docVec = grams.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("dc"))
+    val langVec = docVec.groupBy("lang", "g").agg(sum(col("dc")).as("lc"))
+    // the doc's OWN lang is training metadata — it must not collide with
+    // the candidate lang every doc is scored against below
+    val docGrams = docVec.drop("lang")
+    val docNorm = docGrams.groupBy("doc_id")
       .agg(sqrt(sum(col("dc") * col("dc"))).as("dn"))
     val langNorm = langVec.groupBy("lang")
       .agg(sqrt(sum(col("lc") * col("lc"))).as("ln"))
-    val dots = docVec.join(langVec, "g")
+    val dots = docGrams.join(langVec, "g")
       .groupBy("doc_id", "lang").agg(sum(col("dc") * col("lc")).as("dot"))
     val scored = dots.join(docNorm, "doc_id").join(broadcast(langNorm), "lang")
       .select(col("doc_id"), col("lang"),

@@ -113,6 +113,15 @@ object TextKernelProps extends Properties("TextKernels") {
       r.getSeq[String](0) == r.getSeq[String](1)
     }
 
+  property("char ngram kernel == per-index substr HOF (incl. non-BMP)") =
+    forAll(Gen.oneOf(textGen, Gen.const("a😀bé詞"), Gen.const("😀😀")),
+        Gen.choose(2, 4)) { (text, n) =>
+      val r = Seq(Tuple1(text)).toDF("text").select(
+        TextAnalysis.charNgramsOf(col("text"), n).as("kernel"),
+        TextAnalysis.charNgramsOfHof(col("text"), n).as("hof")).head()
+      r.getSeq[String](0) == r.getSeq[String](1)
+    }
+
   property("ngram repetition struct == dup/top HOF fractions (raw bits)") =
     forAll(textGen, Gen.choose(1, 3)) { (text, n) =>
       val df = Seq(Tuple1(text)).toDF("text")
