@@ -119,12 +119,15 @@ object CoverageQueries {
         .select(col("r_regionkey").cast("string").as("_id"), col("r_name"))
       val cnt = region.count()
       val statusRow = Validator.statusReport(region, region, "_id", Seq("r_name"))
-      ReportRenderer.htmlValidationReport(s, s"$out/validation.html", "region", statusRow)
+      ReportRenderer.htmlValidationReport(s, s"$out/validation.html", "region",
+        statusRow, integrity = Some(Validator.integrity(region, "_id")),
+        details = Some(Validator.rowCompare(
+          region.orderBy(col("_id").desc).limit(10), region, "_id", Seq("r_name"))))
       ReportRenderer.syncReport(s, s"$out/sync.txt", "region",
         graft.sync.SyncResult(cnt, 0, 0, 0, 0))
       ReportRenderer.workflowReport(s, s"$out/workflow.json",
         Seq(("region", "PASSED", Map("region" -> cnt))))
-      val htmlVal = "<th>Source count</th><td>(\\d+)</td>".r
+      val htmlVal = "(?s)Source Documents</div>\\s*<div class=\"metric-value[^\"]*\">(\\d+)<".r
         .findFirstMatchIn(readText(s, s"$out/validation.html")).get.group(1).toLong
       val syncVal = "new:\\s+(\\d+)".r
         .findFirstMatchIn(readText(s, s"$out/sync.txt")).get.group(1).toLong

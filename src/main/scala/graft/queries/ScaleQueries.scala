@@ -449,6 +449,19 @@ object ScaleQueries {
     "bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeTrain(docs(s, d), "text", 8).orderBy("rank")),
 
+    // BPE tokenizer APPLICATION: train 8 merges, then encode the corpus
+    // with them — merge application runs on the distinct-word vocabulary
+    // (never corpus-sized data); per-doc output carries an order-exact
+    // MD5 of the full symbol stream so the oracle checks the actual
+    // encoding, not just counts
+    "bpe_encode" -> ((s, d) => {
+      val m = TextAnalysis.bpeTrain(docs(s, d), "text", 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs(s, d), "doc_id", "text", m)
+        .orderBy("doc_id")
+    }),
+
     // Token-budget shard packing: cut the doc_id-ordered corpus into
     // ~1000-token training shards (running-sum window)
     "pack_token_budget" -> ((s, d) =>
@@ -719,7 +732,11 @@ object ScaleQueries {
     * control-char delimiters cannot collide with token content (tokens are
     * whitespace-split corpus text) and prevent cross-symbol false matches
     * (cells of "xa","b" never match the pattern for "a","b"). */
-  private lazy val bpeMergesSql: String = {
+  /** Shared 8-round BPE training CTE chain: word freqs (wf), delimited
+    * initial symbols (v0), and per-round pair counts / argmax / merged
+    * vocabulary (p_k / b_k / v_k). Used by both the merge-table oracle
+    * (bpeMergesSql) and the encoding oracle (bpeEncodeSql). */
+  private lazy val bpeCommonCtes: String = {
     val d1 = "chr(1)"
     val d2 = "chr(2)"
     // delimited string -> adjacent-pair counts (argmax candidate table)
@@ -736,17 +753,56 @@ object ScaleQueries {
          |  $d1 || a || b || $d2) AS s, v${k - 1}.freq AS freq
          |  FROM v${k - 1} CROSS JOIN b$k)""".stripMargin
     val rounds = (1 to 8).map(pairCte).mkString(",\n")
-    val finalRows = (1 to 8).map(k =>
-      s"""SELECT CAST($k AS INT) AS rank, a AS "left", b AS "right",
-         |  freq AS pair_freq FROM b$k""".stripMargin).mkString("\nUNION ALL\n")
-    s"""WITH wf AS (SELECT w, count(*) AS freq FROM (
+    s"""wf AS (SELECT w, count(*) AS freq FROM (
        |    SELECT unnest($duckToksAll) AS w FROM documents) GROUP BY w),
        |v0 AS (SELECT array_to_string(list_transform(range(1, length(w) + 1),
        |    i -> $d1 || substr(w, i, 1) || $d2), '') AS s, freq FROM wf),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val bpeMergesSql: String = {
+    val finalRows = (1 to 8).map(k =>
+      s"""SELECT CAST($k AS INT) AS rank, a AS "left", b AS "right",
+         |  freq AS pair_freq FROM b$k""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH $bpeCommonCtes
        |SELECT * FROM (
        |$finalRows
        |) ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB mirror of [[TextAnalysis.bpeEncode]] over the 8 trained merges:
+    * each distinct word's delimited symbol string (e0) is folded through
+    * the 8 merge replaces in rank order (e1..e8, each a 1-row CROSS JOIN
+    * on that round's argmax b_k — identical left-to-right non-overlapping
+    * `replace` semantics as the Spark side), then per-doc token positions
+    * join the encoded vocabulary and aggregate to counts plus the
+    * position-ordered MD5 of the symbol stream. Empty documents come back
+    * via the LEFT JOIN with zero counts and md5(''). */
+  private lazy val bpeEncodeSql: String = {
+    val d1 = "chr(1)"
+    val d2 = "chr(2)"
+    val encRounds = (1 to 8).map { k =>
+      s"""e$k AS (SELECT w, replace(s, $d1 || a || $d2 || $d1 || b || $d2,
+         |  $d1 || a || b || $d2) AS s FROM e${k - 1} CROSS JOIN b$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeCommonCtes,
+       |e0 AS (SELECT w, array_to_string(list_transform(range(1, length(w) + 1),
+       |    i -> $d1 || substr(w, i, 1) || $d2), '') AS s FROM wf),
+       |$encRounds,
+       |wenc AS (SELECT w, string_split(substr(s, 2, length(s) - 2),
+       |  $d2 || $d1) AS sy FROM e8),
+       |dt AS (SELECT doc_id, i AS pos, tk[i] AS w
+       |  FROM (SELECT doc_id, $duckToksAll AS tk FROM documents),
+       |  LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) t),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(sy)) AS BIGINT) AS n_bpe_tokens,
+       |  md5(string_agg(array_to_string(sy, ' '), ' ' ORDER BY pos)) AS enc_md5
+       |  FROM dt JOIN wenc USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+       |  coalesce(a.enc_md5, md5('')) AS enc_md5
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** SRP-LSH bucket id mirroring Similarity.srpBucket(embedding, 8). */
@@ -1271,6 +1327,8 @@ object ScaleQueries {
          |GROUP BY 1, 2 ORDER BY freq DESC, a, b LIMIT 20""".stripMargin,
 
     "bpe_merges" -> bpeMergesSql,
+
+    "bpe_encode" -> bpeEncodeSql,
 
     "pack_token_budget" ->
       """WITH t AS (SELECT doc_id,

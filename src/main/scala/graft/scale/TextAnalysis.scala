@@ -368,6 +368,49 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right", "pair_freq")
   }
 
+  /** Apply a trained BPE merge table ([[bpeTrain]] output, rank order) to
+    * tokenize documents. Scale shape: merges are applied to the DISTINCT
+    * word vocabulary, never the corpus — each word's symbol sequence is a
+    * control-char-delimited string (the same cell encoding the bpe_merges
+    * oracle uses) and each merge is one literal `replace`, whose
+    * left-to-right non-overlapping scan IS the greedy BPE fold. The
+    * encoded vocabulary then equi-joins one corpus token explode (AQE
+    * broadcasts it when small) and a single per-doc aggregation emits
+    * counts plus an order-exact MD5 of the joined symbol stream. Corpus
+    * cost: one explode + one join + one agg, independent of merge count. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val d1 = "\u0001"
+    val d2 = "\u0002"
+    val words = df
+      .select(explode(tokens(lower(col(textCol)))).as("w")).distinct()
+    val init = array_join(
+      transform(charSymbols(col("w")), c => concat(lit(d1), c, lit(d2))), "")
+    val folded = merges.foldLeft(init) { case (s, (a, b)) =>
+      replace(s, lit(d1 + a + d2 + d1 + b + d2), lit(d1 + a + b + d2))
+    }
+    // strip the outer delimiters, then cell boundary d2+d1 -> space
+    val body = folded.substr(lit(2), length(folded) - 2)
+    val wordEnc = words.select(col("w"),
+      replace(body, lit(d2 + d1), lit(" ")).as("enc"),
+      size(split(body, d2 + d1)).as("n_syms"))
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "w")))
+    val perDoc = toks.join(wordEnc, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).cast("long").as("n_bpe_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("enc")))),
+          x => x.getField("enc")), " ")).as("enc_md5"))
+    // empty documents have no tokens to explode — restore them with zeros
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("enc_md5"), md5(lit(""))).as("enc_md5"))
+  }
+
   /** PII redaction: emails and long digit runs replaced with typed tokens.
     * Patterns kept regex-dialect-portable (character classes only) so the
     * same expressions run in any engine. */

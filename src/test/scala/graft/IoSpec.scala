@@ -44,6 +44,38 @@ class IoSpec extends SparkSpec {
     val html = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/v.html")), "UTF-8")
     assert(html.contains("PASSED") && html.contains("users"))
+    // the reference report's section structure (Migration_Validation.ps1)
+    assert(html.contains("""<div class="status passed">"""))
+    assert(html.contains("<h2>Record Count Comparison</h2>"))
+    assert(html.contains("<h2>Sample Validation</h2>"))
+    assert(html.contains("Source Documents") && html.contains("Target Records"))
+    // a clean run renders NO issues section and no detail table
+    assert(!html.contains("Issues Found"))
+    assert(!html.contains("Detailed Comparison Results"))
+  }
+
+  test("S17: failing validation renders issues and the detail table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep3").toString
+    val src = (1 to 20).map(i => (i.toString, s"n$i")).toDF("_id", "name")
+    // target: two rows drifted, one duplicate key, one missing row
+    val tgt = ((1 to 19).map(i =>
+        (i.toString, if (i >= 18) s"CHANGED$i" else s"n$i")) :+ ("5", "n5"))
+      .toDF("_id", "name")
+    val status = Validator.statusReport(src, tgt, "_id", Seq("name"))
+    val sample = src.orderBy(org.apache.spark.sql.functions.col("_id").desc)
+      .limit(10)
+    ReportRenderer.htmlValidationReport(spark, s"$dir/v.html", "users", status,
+      integrity = Some(Validator.integrity(tgt, "_id")),
+      details = Some(Validator.rowCompare(sample, tgt, "_id", Seq("name"))))
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/v.html")), "UTF-8")
+    assert(html.contains("Issues Found"))
+    assert(html.contains("duplicate _id values"))
+    assert(html.contains("<h2>Detailed Comparison Results</h2>"))
+    // drifted doc 19 (in the string-desc top-10 sample) appears as a
+    // detail row with its field diff; 18 sorts below the sample window
+    assert(html.contains("<td>19</td>") && html.contains("CHANGED19"))
+    assert(html.contains("""<div class="status """)) // banner present
   }
 
   test("S17: sync + workflow reports render") {

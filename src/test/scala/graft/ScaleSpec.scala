@@ -331,6 +331,40 @@ class ScaleSpec extends SparkSpec {
     assert(m2(1) == ((2, "aa", "a", 2L)))     // greedy left fold: aaa -> (aa, a)
   }
 
+  test("bpeEncode: applies merges greedily, word-level, empty docs kept") {
+    // corpus as in the Sennrich test; after 3 merges (e+s, es+t, l+o):
+    //   low    -> [lo, w]           (l+o applied)
+    //   newest -> [n, e, w, est]    (e+s then es+t)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, "low newest"), (2L, text), (3L, "   ")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(Seq((1L, text)).toDF("doc_id", "text"),
+      "text", 3).orderBy("rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+      .map { case (_, a, b, _) => (a, b) }
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1: "low newest" -> "lo w" + "n e w est" = 2 words, 6 symbols
+    assert(enc(0)._1 == 1L && enc(0)._2 == 2L && enc(0)._3 == 6L)
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("lo w n e w est".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(enc(0)._4 == expectMd5)
+    // doc 2: full corpus, 16 words
+    assert(enc(1)._2 == 16L)
+    // doc 3: whitespace-only -> zero tokens, md5 of empty string
+    assert(enc(2)._2 == 0L && enc(2)._3 == 0L &&
+      enc(2)._4 == "d41d8cd98f00b204e9800998ecf8427e")
+    // greedy fold parity with training ("aaa" under (a,a) -> aa a)
+    val runs = TextAnalysis.bpeEncode(
+      Seq((1L, "aaa")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq(("a", "a")))
+      .as[(Long, Long, Long, String)].head()
+    val aaMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("aa a".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(runs._3 == 2L && runs._4 == aaMd5)
+  }
+
   test("charSymbols: code points, not UTF-16 units (non-BMP safe)") {
     // U+1F600 is a surrogate pair in UTF-16; a code-unit split would break
     // it into two unpaired halves and diverge from DuckDB's code-point
