@@ -539,6 +539,18 @@ object ScaleQueries {
         .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))
         .orderBy("label", "pos")),
 
+    // SemDeDup: k-means cluster the embedding space (1 Lloyd's round,
+    // so the assignment matches the fit oracle's a2), then drop
+    // within-cluster cosine near-dups — min-id survivor, per-cluster
+    // pair join (never global all-pairs)
+    "emb_semdedup" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = Similarity.kmeansFit(e, "vec_id", "embedding",
+        k = 4, iters = 1)
+      Dedup.semDedup(e, cents, "vec_id", "embedding", 0.3)
+        .orderBy("vec_id")
+    }),
+
     // Symmetric int8 quantization (scale materialized, then per-element)
     "emb_quantize" -> ((s, d) =>
       emb(s, d)
@@ -812,6 +824,47 @@ object ScaleQueries {
         s"CAST(embedding[i] AS DOUBLE) * ((i - 1) * ${j + 1} % 13 - 6))) > 0 " +
         s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
+
+  /** Shared 2-round k-means CTE chain mirroring Similarity.kmeansFit
+    * (k = 4, min-id seeds rounded to 4 decimals; E-step argmin ties break
+    * to the smallest label; M-step decimal-exact mean): c0→a1→c1→a2→c2.
+    * emb_kmeans_fit selects the 2-round centroids (c2); emb_semdedup uses
+    * the a2 assignment (the E-step over the 1-round centroids c1). */
+  private lazy val kmeansCtes: String =
+    """dim AS (SELECT unnest(range(1,
+      |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+      |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS label,
+      |  embedding FROM (SELECT vec_id, embedding FROM embeddings
+      |    ORDER BY vec_id LIMIT 4)),
+      |c0 AS (SELECT label, i AS pos,
+      |  round(CAST(embedding[i] AS DOUBLE), 4) AS centroid
+      |  FROM seeds CROSS JOIN dim),
+      |d1 AS (SELECT e.vec_id, c.label,
+      |  sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid) *
+      |      (CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid)) AS d2
+      |  FROM embeddings e CROSS JOIN c0 c GROUP BY e.vec_id, c.label),
+      |a1 AS (SELECT vec_id, label FROM (
+      |  SELECT vec_id, label, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY d2, label) AS rn FROM d1)
+      |  WHERE rn = 1),
+      |c1 AS (SELECT a.label, i AS pos,
+      |  round(CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)
+      |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
+      |  FROM embeddings e JOIN a1 a USING (vec_id) CROSS JOIN dim
+      |  GROUP BY a.label, i),
+      |d2s AS (SELECT e.vec_id, c.label,
+      |  sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid) *
+      |      (CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid)) AS d2
+      |  FROM embeddings e CROSS JOIN c1 c GROUP BY e.vec_id, c.label),
+      |a2 AS (SELECT vec_id, label FROM (
+      |  SELECT vec_id, label, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY d2, label) AS rn FROM d2s)
+      |  WHERE rn = 1),
+      |c2 AS (SELECT a.label, i AS pos,
+      |  round(CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)
+      |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
+      |  FROM embeddings e JOIN a2 a USING (vec_id) CROSS JOIN dim
+      |  GROUP BY a.label, i)""".stripMargin
 
   /** Elementwise double dot product mirroring Similarity.dot. */
   private def duckDot(a: String, b: String): String =
@@ -1411,41 +1464,21 @@ object ScaleQueries {
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "emb_kmeans_fit" ->
-      """WITH dim AS (SELECT unnest(range(1,
-        |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
-        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS label,
-        |  embedding FROM (SELECT vec_id, embedding FROM embeddings
-        |    ORDER BY vec_id LIMIT 4)),
-        |c0 AS (SELECT label, i AS pos,
-        |  round(CAST(embedding[i] AS DOUBLE), 4) AS centroid
-        |  FROM seeds CROSS JOIN dim),
-        |d1 AS (SELECT e.vec_id, c.label,
-        |  sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid) *
-        |      (CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid)) AS d2
-        |  FROM embeddings e CROSS JOIN c0 c GROUP BY e.vec_id, c.label),
-        |a1 AS (SELECT vec_id, label FROM (
-        |  SELECT vec_id, label, row_number() OVER (
-        |    PARTITION BY vec_id ORDER BY d2, label) AS rn FROM d1)
-        |  WHERE rn = 1),
-        |c1 AS (SELECT a.label, i AS pos,
-        |  round(CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)
-        |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
-        |  FROM embeddings e JOIN a1 a USING (vec_id) CROSS JOIN dim
-        |  GROUP BY a.label, i),
-        |d2s AS (SELECT e.vec_id, c.label,
-        |  sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid) *
-        |      (CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid)) AS d2
-        |  FROM embeddings e CROSS JOIN c1 c GROUP BY e.vec_id, c.label),
-        |a2 AS (SELECT vec_id, label FROM (
-        |  SELECT vec_id, label, row_number() OVER (
-        |    PARTITION BY vec_id ORDER BY d2, label) AS rn FROM d2s)
-        |  WHERE rn = 1),
-        |c2 AS (SELECT a.label, i AS pos,
-        |  round(CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)
-        |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
-        |  FROM embeddings e JOIN a2 a USING (vec_id) CROSS JOIN dim
-        |  GROUP BY a.label, i)
-        |SELECT label, pos, centroid FROM c2 ORDER BY label, pos""".stripMargin,
+      s"""WITH $kmeansCtes
+         |SELECT label, pos, centroid FROM c2 ORDER BY label, pos""".stripMargin,
+
+    // a2 is the assignment by the 1-round centroids (c1) — exactly what
+    // the Spark side's kmeansFit(iters = 1) + assignToNearest produces
+    "emb_semdedup" ->
+      s"""WITH $kmeansCtes,
+         |av AS (SELECT e.vec_id, a.label AS cluster, e.embedding
+         |  FROM embeddings e JOIN a2 a USING (vec_id)),
+         |drp AS (SELECT DISTINCT b.vec_id FROM av a JOIN av b
+         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3)
+         |SELECT av.vec_id, av.cluster, (d.vec_id IS NULL) AS kept
+         |FROM av LEFT JOIN drp d USING (vec_id)
+         |ORDER BY av.vec_id""".stripMargin,
 
     "emb_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,

@@ -434,4 +434,28 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("bucket"), col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic deduplication
+    * — k-means cluster the embedding space, then drop within-cluster
+    * near-duplicates by cosine. A point is dropped iff some SAME-CLUSTER
+    * point with a smaller id has cosine ≥ eps: a one-pass min-id-wins rule
+    * (deterministic where the paper keeps a random representative; like
+    * [[exactDedup]]'s min-id survivor convention). Returns every input id
+    * with its cluster and a `kept` flag.
+    *
+    * Scale shape: `cents` is the k×dim frame [[Similarity.kmeansFit]]
+    * returns — assignment broadcasts it as plan literals; the pairwise
+    * cosine join is per-cluster via [[embeddingNearDups]], never global
+    * all-pairs, so cost is Σ clusterSize² — the clustering IS the paper's
+    * device for making semantic dedup tractable at corpus scale. */
+  def semDedup(df: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, eps: Double): DataFrame = {
+    val assigned = Similarity.assignToNearest(df, cents, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("assigned").as("cluster"))
+    val dropped = embeddingNearDups(assigned, idCol, vecCol, "cluster", eps)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.join(dropped, Seq(idCol), "left_outer")
+      .select(col(idCol), col("cluster"), col("__dropped").isNull.as("kept"))
+  }
 }

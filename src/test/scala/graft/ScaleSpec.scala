@@ -181,6 +181,23 @@ class ScaleSpec extends SparkSpec {
     assert(nd == Set((0L, 1L))) // (0,3) identical but cross-bucket
   }
 
+  test("semDedup: min-id survivor within cluster, cross-cluster dups kept") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)),      // cluster 1 survivor
+      (2L, Seq(1f, 0.1f)),    // cos(1,2) ≈ 0.995 -> dropped (same cluster)
+      (3L, Seq(0.6f, 0.8f)),  // nearer (0,1) -> cluster 2; cos to 4 = 0.8, kept
+      (4L, Seq(0f, 1f)),      // cluster 2 survivor
+      (5L, Seq(1f, 0f))       // identical to 1, same cluster -> dropped
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (1L, 1, 1.0), (1L, 2, 0.0),
+      (2L, 1, 0.0), (2L, 2, 1.0)).toDF("label", "pos", "centroid")
+    val out = Dedup.semDedup(vecs, cents, "vec_id", "embedding", 0.99)
+      .orderBy("vec_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 2L, true),
+      (4L, 2L, true), (5L, 1L, false)))
+  }
+
   test("srp bucket is deterministic and groups identical vectors") {
     val vecs = Seq((0L, Seq(1f, 2f, 3f)), (1L, Seq(1f, 2f, 3f)), (2L, Seq(-1f, -2f, -3f)))
       .toDF("vec_id", "embedding")
