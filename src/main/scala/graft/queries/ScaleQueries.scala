@@ -131,6 +131,19 @@ object ScaleQueries {
       s.read.parquet(corpus).select("doc_id").orderBy("doc_id")
     }),
 
+    // Cross-document repeated-substring detection (Lee et al. '21
+    // analogue): fingerprinted sliding 8-token windows, repeated = seen
+    // in >= 2 distinct docs. Corpus duplicates only the id<250 head, so
+    // duplicated docs report full window coverage and the rest report
+    // only natural overlap
+    "dedup_cross_repeats" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text")
+      val corpus = dd.unionByName(dd.filter(col("doc_id") < 250)
+        .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.crossDocRepeats(corpus, "doc_id", "text", 8, 2)
+        .orderBy("doc_id")
+    }),
+
     // Incremental clustering: yesterday's labeling (as its star forest)
     // merges with the batch's new pairs — must equal batch-at-once CC
     "dedup_incr_components" -> ((s, d) => {
@@ -1382,6 +1395,29 @@ object ScaleQueries {
     "bpe_merges" -> bpeMergesSql,
 
     "bpe_encode" -> bpeEncodeSql,
+
+    // sliding windows: tk[i:i+7] is the 1-based inclusive 8-token slice;
+    // range(1, len-6) is empty when the doc has < 8 tokens (DuckDB range
+    // with stop <= start yields no rows), so short docs fall to the LEFT
+    // JOIN's zero counts exactly like the Spark kernel's empty n-gram array
+    "dedup_cross_repeats" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents
+         |  WHERE doc_id < 250),
+         |tk AS (SELECT doc_id, $duckToksAll AS tk FROM u),
+         |wins AS (SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS fp
+         |  FROM tk, LATERAL (SELECT unnest(range(1, len(tk) - 6)) AS i) t),
+         |rep AS (SELECT fp FROM wins GROUP BY fp
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+         |  FROM wins GROUP BY doc_id),
+         |flg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_repeated
+         |  FROM wins WHERE fp IN (SELECT fp FROM rep) GROUP BY doc_id)
+         |SELECT u.doc_id,
+         |  CAST(coalesce(tot.n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(flg.n_repeated, 0) AS BIGINT) AS n_repeated
+         |FROM u LEFT JOIN tot USING (doc_id) LEFT JOIN flg USING (doc_id)
+         |ORDER BY u.doc_id""".stripMargin,
 
     "pack_token_budget" ->
       """WITH t AS (SELECT doc_id,

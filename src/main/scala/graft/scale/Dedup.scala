@@ -435,6 +435,43 @@ object Dedup {
       .select(col("bucket"), col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Cross-document repeated-substring detection (the scalable analogue of
+    * Lee et al. '21's exact-substring dedup, arXiv:2107.06499 — suffix
+    * arrays don't distribute; fingerprinted sliding token windows do).
+    * Every length-`windowTokens` token window (stride 1 — [[TextAnalysis
+    * .ngramsAll]] with repeats) is MD5-fingerprinted; a window occurring
+    * in ≥ `minDocs` DISTINCT documents is "repeated", and each document
+    * reports its total and repeated window-position counts — the inputs
+    * to a drop-or-trim policy.
+    *
+    * Scale shape: one token explode (factor = tokens/doc, same as every
+    * n-gram operator here), a hash agg on the fixed-width fingerprint, and
+    * a fingerprint semi-join back — all shuffle-bounded by the window key;
+    * no pairwise document comparison anywhere. */
+  def crossDocRepeats(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, minDocs: Int): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2 (1 would flag everything)")
+    val wins = df
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.ngramsAll(col("__tk"), windowTokens)).as("win"))
+      .select(col("doc_id"), md5(col("win")).as("fp"))
+    val repeated = wins.groupBy("fp")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("fp")
+    val totals = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val flagged = wins.join(repeated, Seq("fp"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_repeated"))
+    df.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left_outer")
+      .join(flagged, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
+  }
+
   /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic deduplication
     * — k-means cluster the embedding space, then drop within-cluster
     * near-duplicates by cosine. A point is dropped iff some SAME-CLUSTER

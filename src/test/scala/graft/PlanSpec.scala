@@ -87,6 +87,24 @@ class PlanSpec extends SparkSpec {
     assert(!mix.contains("Exchange"), mix)
   }
 
+  test("semdedup pair join is keyed on the cluster — no cartesian product") {
+    val p = graft.queries.ScaleQueries.queries("emb_semdedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bpe encode joins the corpus against the vocabulary — no cartesian") {
+    // merge application must stay on the word vocabulary: the corpus side
+    // is one explode + an equi-join + one aggregation
+    val p = graft.scale.TextAnalysis.bpeEncode(
+        Tables.load(spark, sfDir, "documents"), "doc_id", "text",
+        Seq(("e", "s"), ("es", "t")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no plan collects data to the driver mid-query") {
     // classification + decompose queries must not contain LocalTableScan of
     // collected data (constant lookup tables excepted — none used here)

@@ -181,6 +181,22 @@ class ScaleSpec extends SparkSpec {
     assert(nd == Set((0L, 1L))) // (0,3) identical but cross-bucket
   }
 
+  test("crossDocRepeats: shared windows flagged, short docs report zero") {
+    val docs = Seq(
+      (1L, "a b c d"),   // windows(2): "a b" "b c" "c d"
+      (2L, "x y a b"),   // shares "a b" with doc 1
+      (3L, "q")          // shorter than the window -> zero windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocRepeats(docs, "doc_id", "text", 2, 2)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 0L, 0L)))
+    // a window repeated WITHIN one doc only is not a cross-doc repeat
+    val solo = Seq((1L, "a b a b"), (2L, "z z z")).toDF("doc_id", "text")
+    val out2 = Dedup.crossDocRepeats(solo, "doc_id", "text", 2, 2)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out2 == Seq((1L, 3L, 0L), (2L, 2L, 0L)))
+  }
+
   test("semDedup: min-id survivor within cluster, cross-cluster dups kept") {
     val vecs = Seq(
       (1L, Seq(1f, 0f)),      // cluster 1 survivor
