@@ -103,9 +103,26 @@ object StateStore {
     require(versions(spark, root).contains(v), s"no such state version: $v")
     val fs = fsOf(spark, root)
     val token = java.util.UUID.randomUUID().toString
-    val out = fs.create(new Path(root, s".pin_$token"), true)
+    // commit-by-rename (same protocol as saveVersion): the pin file only
+    // becomes visible fully written, so a concurrent prune can never read
+    // a half-written (empty) pin, dismiss it as garbled, and prune past it
+    val tmp = new Path(root, s".tmp_pin_$token")
+    val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val pin = new Path(root, s".pin_$token")
+    if (!fs.rename(tmp, pin))
+      throw new java.io.IOException(s"pin commit failed: $tmp -> $pin")
+    // close the check-then-pin race: a prune that sampled the pin set
+    // before this commit may have deleted v in the window. Fail loudly
+    // (releasing the useless pin) instead of handing back a pin on a
+    // vanished version; pinning the NEWEST version never races (retention
+    // keeps the newest `keep` versions regardless of pins).
+    if (!versions(spark, root).contains(v)) {
+      fs.delete(pin, false)
+      throw new IllegalStateException(
+        s"state version $v was pruned while pinning; re-read latest and retry")
+    }
     token
   }
 

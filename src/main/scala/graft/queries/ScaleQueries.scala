@@ -774,9 +774,10 @@ object ScaleQueries {
          |  GROUP BY 1, 2),
          |b$k AS (SELECT a, b, freq FROM p$k
          |  ORDER BY freq DESC, a, b LIMIT 1),
-         |v$k AS (SELECT replace(s, $d1 || a || $d2 || $d1 || b || $d2,
-         |  $d1 || a || b || $d2) AS s, v${k - 1}.freq AS freq
-         |  FROM v${k - 1} CROSS JOIN b$k)""".stripMargin
+         |v$k AS (SELECT CASE WHEN bb.a IS NULL THEN s
+         |  ELSE replace(s, $d1 || bb.a || $d2 || $d1 || bb.b || $d2,
+         |    $d1 || bb.a || bb.b || $d2) END AS s, v${k - 1}.freq AS freq
+         |  FROM v${k - 1} LEFT JOIN b$k bb ON TRUE)""".stripMargin
     val rounds = (1 to 8).map(pairCte).mkString(",\n")
     s"""wf AS (SELECT w, count(*) AS freq FROM (
        |    SELECT unnest($duckToksAll) AS w FROM documents) GROUP BY w),
@@ -806,9 +807,14 @@ object ScaleQueries {
   private lazy val bpeEncodeSql: String = {
     val d1 = "chr(1)"
     val d2 = "chr(2)"
+    // LEFT JOIN ON TRUE, not CROSS JOIN: an exhausted vocabulary makes a
+    // late-round b_k EMPTY, and an empty cross join would annihilate the
+    // whole word table instead of skipping the merge
     val encRounds = (1 to 8).map { k =>
-      s"""e$k AS (SELECT w, replace(s, $d1 || a || $d2 || $d1 || b || $d2,
-         |  $d1 || a || b || $d2) AS s FROM e${k - 1} CROSS JOIN b$k)""".stripMargin
+      s"""e$k AS (SELECT w, CASE WHEN bb.a IS NULL THEN s
+         |  ELSE replace(s, $d1 || bb.a || $d2 || $d1 || bb.b || $d2,
+         |    $d1 || bb.a || bb.b || $d2) END AS s
+         |  FROM e${k - 1} LEFT JOIN b$k bb ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH $bpeCommonCtes,
        |e0 AS (SELECT w, array_to_string(list_transform(range(1, length(w) + 1),

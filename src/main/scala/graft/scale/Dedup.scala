@@ -452,12 +452,15 @@ object Dedup {
       windowTokens: Int, minDocs: Int): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be >= 1")
     require(minDocs >= 2, "minDocs must be >= 2 (1 would flag everything)")
-    val wins = df
+    // materialized: three consumers below (repeat counting, per-doc totals,
+    // the flagged semi-join's probe side) would otherwise each re-run the
+    // corpus-wide tokenize + window explode + MD5
+    val wins = graft.io.Materialize(df
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
       .select(col("doc_id"),
         explode(TextAnalysis.ngramsAll(col("__tk"), windowTokens)).as("win"))
-      .select(col("doc_id"), md5(col("win")).as("fp"))
+      .select(col("doc_id"), md5(col("win")).as("fp")))
     val repeated = wins.groupBy("fp")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs).select("fp")
@@ -487,8 +490,12 @@ object Dedup {
     * device for making semantic dedup tractable at corpus scale. */
   def semDedup(df: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String, eps: Double): DataFrame = {
-    val assigned = Similarity.assignToNearest(df, cents, idCol, vecCol)
-      .select(col(idCol), col(vecCol), col("assigned").as("cluster"))
+    // materialized: the assignment scan (per-row distance fold over all k
+    // centroid literals) feeds both sides of the pair join AND the final
+    // output join — without this it would run three times
+    val assigned = graft.io.Materialize(
+      Similarity.assignToNearest(df, cents, idCol, vecCol)
+        .select(col(idCol), col(vecCol), col("assigned").as("cluster")))
     val dropped = embeddingNearDups(assigned, idCol, vecCol, "cluster", eps)
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("__dropped", lit(true))

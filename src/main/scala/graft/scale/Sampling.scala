@@ -137,10 +137,15 @@ object Sampling {
       valueCol, (1 until n).map(_.toDouble / n).toArray, 1.0 / accuracy)
     // build innermost-out so the SMALLEST cut is tested first: the final
     // expression is when(v<=c1,1).otherwise(when(v<=c2,2)...otherwise(n))
-    val bucket = cuts.zipWithIndex.reverse.foldLeft(lit(n)) {
+    val chain = cuts.zipWithIndex.reverse.foldLeft(lit(n)) {
       case (acc, (cut, i)) =>
         when(col(valueCol) <= cut, lit(i + 1)).otherwise(acc)
     }
+    // a NULL value fails every `<=` test and would fall through to the
+    // final otherwise — silently landing in the TOP bucket even though
+    // approxQuantile ignored the row when placing the cuts. Null value →
+    // null bucket, explicitly.
+    val bucket = when(col(valueCol).isNull, lit(null)).otherwise(chain)
     df.withColumn("bucket", bucket.cast("long"))
   }
 }

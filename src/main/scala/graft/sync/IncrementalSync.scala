@@ -130,15 +130,26 @@ object IncrementalSync {
       .collect { case vPat(n) => n.toInt }.sorted
     val next = versions.lastOption.getOrElse(0) + 1
     val phys = s"${table}__v$next"
+    val isView = spark.catalog.tableExists(table) &&
+      spark.catalog.getTable(table).tableType == "VIEW"
+    // the version IN-FLIGHT READERS are on: what the view resolves to NOW —
+    // not next-1, which after a crashed run (version written, flip never
+    // reached) is an unpublished orphan while readers are still on an
+    // older version
+    val live: Option[Int] =
+      if (isView)
+        vPat.findFirstMatchIn(spark.sql(s"SHOW CREATE TABLE $table")
+          .collect().head.getString(0)).map(_.group(1).toInt)
+      else None
     Bucketing.bucketedSave(df, phys, "_id", buckets)
     // one-time bootstrap conversion: a plain TABLE of this name cannot be
     // view-replaced; drop it first (the only reader-visible gap)
-    val isPlainTable = spark.catalog.tableExists(table) &&
-      spark.catalog.getTable(table).tableType != "VIEW"
-    if (isPlainTable) spark.sql(s"DROP TABLE $table")
+    if (spark.catalog.tableExists(table) && !isView)
+      spark.sql(s"DROP TABLE $table")
     spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM $phys")
-    // retain v(next-1) for in-flight readers; reap everything older
-    versions.filter(_ < next - 1)
+    // retain the just-live version for in-flight readers; reap everything
+    // else, including crashed runs' never-published orphans
+    versions.filterNot(v => live.contains(v))
       .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
   }
 

@@ -45,6 +45,44 @@ class BucketingSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("view-flip retention keeps the LIVE version, reaps crashed orphans") {
+    import graft.sync.{DocHash, IncrementalSync}
+    val dir = java.nio.file.Files.createTempDirectory("graft_orph").toString
+    def src(n: Int) = (1 to n).map(i => (i.toString, s"n$i")).toDF("_id", "name")
+    try {
+      Bucketing.bucketedSave(src(50), "graft_orph_t", "_id", 2, Some(s"$dir/t"))
+      Bucketing.bucketedSave(
+        DocHash.withDocHash(src(50), "doc_hash")
+          .select(col("_id"), col("doc_hash").as("hash")),
+        "graft_orph_s", "_id", 2, Some(s"$dir/s"))
+      // first sync converts to view-over-__v1
+      IncrementalSync.runBucketed(spark, src(50), "graft_orph_t",
+        "graft_orph_s", 2)
+      // simulate a CRASHED second run: __v2 written, view flip never reached
+      Bucketing.bucketedSave(src(60), "graft_orph_t__v2", "_id", 2)
+      // next successful sync must retain v1 (what in-flight readers are on,
+      // via the view) and reap the never-published orphan v2 — keying
+      // retention off next-1 would do the opposite
+      IncrementalSync.runBucketed(spark, src(70), "graft_orph_t",
+        "graft_orph_s", 2)
+      val phys = spark.sql("SHOW TABLES LIKE 'graft_orph_t__v*'")
+        .collect().map(_.getString(1)).sorted
+      assert(phys.toSeq == Seq("graft_orph_t__v1", "graft_orph_t__v3"),
+        s"got ${phys.toSeq}")
+      assert(spark.table("graft_orph_t").count() == 70)
+    } finally {
+      Seq("graft_orph_t", "graft_orph_s").foreach { t =>
+        if (spark.catalog.tableExists(t)) {
+          if (spark.catalog.getTable(t).tableType == "VIEW")
+            spark.sql(s"DROP VIEW $t")
+          else spark.sql(s"DROP TABLE $t")
+        }
+      }
+      spark.sql("SHOW TABLES LIKE 'graft_orph_*'").collect()
+        .map(_.getString(1)).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("bucketed sync: diff join reads the bucketed state without an exchange") {
     import graft.sync.{DocHash, IncrementalSync}
     val dir = java.nio.file.Files.createTempDirectory("graft_bsync").toString
