@@ -144,6 +144,22 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer fertility by language: BPE tokens per word, the standard
+    // multilingual tokenizer-quality statistic. Exact integer sums only —
+    // callers divide; the gate stays ratio-free and bit-stable
+    "bpe_fertility" -> ((s, d) => {
+      val m = TextAnalysis.bpeTrain(docs(s, d), "text", 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs(s, d), "doc_id", "text", m)
+        .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_bpe_tokens")).as("total_bpe_tokens"))
+        .orderBy("lang")
+    }),
+
     // Incremental clustering: yesterday's labeling (as its star forest)
     // merges with the batch's new pairs — must equal batch-at-once CC
     "dedup_incr_components" -> ((s, d) => {
@@ -804,7 +820,11 @@ object ScaleQueries {
     * join the encoded vocabulary and aggregate to counts plus the
     * position-ordered MD5 of the symbol stream. Empty documents come back
     * via the LEFT JOIN with zero counts and md5(''). */
-  private lazy val bpeEncodeSql: String = {
+  /** Encode-chain CTEs shared by the bpe_encode and bpe_fertility oracles:
+    * the trained-merge folds over the word vocabulary (e0..e8), the
+    * encoded-word table (wenc), positioned corpus tokens (dt) and the
+    * per-doc aggregate (agg). */
+  private lazy val bpeEncodeCtes: String = {
     val d1 = "chr(1)"
     val d2 = "chr(2)"
     // LEFT JOIN ON TRUE, not CROSS JOIN: an exhausted vocabulary makes a
@@ -816,7 +836,7 @@ object ScaleQueries {
          |    $d1 || bb.a || bb.b || $d2) END AS s
          |  FROM e${k - 1} LEFT JOIN b$k bb ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $bpeCommonCtes,
+    s"""$bpeCommonCtes,
        |e0 AS (SELECT w, array_to_string(list_transform(range(1, length(w) + 1),
        |    i -> $d1 || substr(w, i, 1) || $d2), '') AS s FROM wf),
        |$encRounds,
@@ -828,13 +848,24 @@ object ScaleQueries {
        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(len(sy)) AS BIGINT) AS n_bpe_tokens,
        |  md5(string_agg(array_to_string(sy, ' '), ' ' ORDER BY pos)) AS enc_md5
-       |  FROM dt JOIN wenc USING (w) GROUP BY doc_id)
+       |  FROM dt JOIN wenc USING (w) GROUP BY doc_id)""".stripMargin
+  }
+
+  private lazy val bpeEncodeSql: String =
+    s"""WITH $bpeEncodeCtes
        |SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
        |  CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
        |  coalesce(a.enc_md5, md5('')) AS enc_md5
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY doc_id""".stripMargin
-  }
+
+  private lazy val bpeFertilitySql: String =
+    s"""WITH $bpeEncodeCtes
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(coalesce(a.n_words, 0)) AS BIGINT) AS total_words,
+       |  CAST(sum(coalesce(a.n_bpe_tokens, 0)) AS BIGINT) AS total_bpe_tokens
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
   /** SRP-LSH bucket id mirroring Similarity.srpBucket(embedding, 8). */
   private def duckSrpTerms: String =
@@ -1401,6 +1432,8 @@ object ScaleQueries {
     "bpe_merges" -> bpeMergesSql,
 
     "bpe_encode" -> bpeEncodeSql,
+
+    "bpe_fertility" -> bpeFertilitySql,
 
     // sliding windows: tk[i:i+7] is the 1-based inclusive 8-token slice;
     // range(1, len-6) is empty when the doc has < 8 tokens (DuckDB range
