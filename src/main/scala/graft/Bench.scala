@@ -82,7 +82,7 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // The driver keeps only the LAST 2000 chars of stdout; a 132-query map
+    // The driver keeps only the LAST 2000 chars of stdout; the full per-query map
     // is ~3 KB and gets head-truncated into an unparseable fragment
     // (BENCH_r03.json, parsed: null). So: the full per-query map goes to a
     // file (committed per round as BENCH_FULL.json), and stdout carries a

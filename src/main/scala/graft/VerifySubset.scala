@@ -1,7 +1,7 @@
 package graft
 import java.nio.file.{Files, Paths}
 /** Scratch: Verify for a named subset of queries (fast local iteration on
-  * oracle fixes without dumping all 132). Same output contract as Verify. */
+  * oracle fixes without dumping the full registry). Same output contract as Verify. */
 object VerifySubset {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

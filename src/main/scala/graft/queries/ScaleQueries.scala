@@ -383,6 +383,18 @@ object ScaleQueries {
       Sampling.holdoutSplit(docs(s, d), "doc_id", valBp = 1000, testBp = 1000)
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // Dedup-aware split: duplicate clusters (LSH pairs -> components)
+    // land in one split atomically — no train/test near-dup leakage
+    "samp_leakage_split" -> ((s, d) => {
+      val dd = docsWithDups(s, d)
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashCandidates(dd, "doc_id", "text",
+          k = 16, bands = 4, jaccardThreshold = 0.9))
+      Sampling.leakageSafeSplit(dd, "doc_id", labels,
+        valBp = 1000, testBp = 1000)
+        .select("doc_id", "component", "split").orderBy("doc_id")
+    }),
+
     // Curriculum bucketing: length deciles via ntile over a TOTAL order
     // (ties broken by id so the decile assignment is engine-stable)
     "samp_length_decile" -> ((s, d) => {
@@ -748,19 +760,41 @@ object ScaleQueries {
        |dup AS (SELECT id FROM compx WHERE id != component)""".stripMargin
   }
 
-  /** Min-label reachability over the LSH pair graph (recursive CTE) —
-    * the oracle for both the batch and the incremental component queries. */
-  private lazy val componentsWalkSql: String =
-    s"""WITH RECURSIVE ${minhashPairsCtes.stripPrefix("WITH ")},
+  /** Min-label reachability CTEs over the LSH pair graph — shared by the
+    * component oracles and the leakage-safe split oracle. */
+  private lazy val componentsWalkCtes: String =
+    s"""${minhashPairsCtes.stripPrefix("WITH ")},
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs),
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
        |walk AS (
        |  SELECT id, id AS comp FROM nodes
        |  UNION
-       |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON w.id = e.src)
+       |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON w.id = e.src)""".stripMargin
+
+  /** Min-label reachability over the LSH pair graph (recursive CTE) —
+    * the oracle for both the batch and the incremental component queries. */
+  private lazy val componentsWalkSql: String =
+    s"""WITH RECURSIVE $componentsWalkCtes
        |SELECT id, min(comp) AS component FROM walk GROUP BY id
        |ORDER BY id""".stripMargin
+
+  /** Leakage-safe split oracle: components from the walk, singletons fall
+    * back to their own id, split bucket = the samp_split hash of the
+    * COMPONENT (so one cluster shares one split). */
+  private lazy val leakageSplitSql: String =
+    s"""WITH RECURSIVE $componentsWalkCtes,
+       |compx2 AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+       |j AS (SELECT u.id AS doc_id,
+       |    coalesce(c.component, u.id) AS component
+       |  FROM u LEFT JOIN compx2 c ON u.id = c.id)
+       |SELECT doc_id, component,
+       |  CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test'
+       |    ELSE 'train' END AS split
+       |FROM (SELECT doc_id, component,
+       |  CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))
+       |    AS BIGINT) % 10000 AS b FROM j)
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of [[TextAnalysis.bpeTrain]] (8 merge rounds, statically
     * unrolled -- the round count is fixed, so no recursion is needed). Each
@@ -1067,6 +1101,8 @@ object ScaleQueries {
           |ORDER BY id_a, id_b""".stripMargin),
 
     "dedup_components" -> componentsWalkSql,
+
+    "samp_leakage_split" -> leakageSplitSql,
 
     // the incremental merge must land on the batch-at-once labeling, so
     // the oracle IS the full-run components query

@@ -78,6 +78,29 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** Dedup-aware holdout split: near-duplicate CLUSTERS are assigned to a
+    * split atomically, so a test document can never have a near-duplicate
+    * in train (the leakage that per-document splits silently allow).
+    * `labels` is a duplicate-cluster labeling `(id, component)` — e.g.
+    * [[Dedup.connectedComponents]] over verified LSH pairs; documents
+    * absent from it are singletons and use their own id as the component.
+    * The split is the same id-hash-bucket family as [[holdoutSplit]], keyed
+    * on the component — one broadcast-or-shuffle join with the (much
+    * smaller) label frame plus a per-row hash, no other data movement. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, labels: DataFrame,
+      valBp: Int, testBp: Int, splitCol: String = "split"): DataFrame = {
+    require(valBp >= 0 && testBp >= 0 && valBp + testBp <= 10000,
+      s"holdout basis points out of range: val=$valBp test=$testBp")
+    val joined = df
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val b = hashBucket(col("component"))
+    joined.withColumn(splitCol,
+      when(b < valBp, "val")
+        .when(b < valBp + testBp, "test")
+        .otherwise("train"))
+  }
+
   /** Per-group mixture sampling (dataset mixing): each `groupCol` value is
     * kept at its own rate from `ratesBp` (basis points of 10000; groups
     * absent from the map use `defaultBp`) — the standard way to hit a target

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.scale.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.scale.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Properties of the LLM-pipeline operators: dedup families, similarity
   * search, text analysis, multimodal plumbing. */
@@ -179,6 +179,28 @@ class ScaleSpec extends SparkSpec {
     val nd = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", "label", 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(nd == Set((0L, 1L))) // (0,3) identical but cross-bucket
+  }
+
+  test("leakageSafeSplit: duplicate clusters share a split, singletons self-key") {
+    val docs = Seq(
+      (1L, "x"), (2L, "x"), (3L, "x"),  // one duplicate cluster
+      (10L, "solo a"), (11L, "solo b")  // singletons
+    ).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "component")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", labels, 3000, 3000)
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    val byId = out.map { case (id, c, s) => id -> ((c, s)) }.toMap
+    // the whole cluster carries component 1 and ONE split
+    assert(Seq(1L, 2L, 3L).map(byId(_)._1).forall(_ == 1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct.size == 1)
+    // singletons key on their own id
+    assert(byId(10L)._1 == 10L && byId(11L)._1 == 11L)
+    // and the cluster's split equals the plain holdout split of id 1
+    val solo = Sampling.holdoutSplit(
+      Seq(Tuple1(1L)).toDF("doc_id"), "doc_id", 3000, 3000)
+      .select("split").as[String].head()
+    assert(byId(1L)._2 == solo)
   }
 
   test("crossDocRepeats: shared windows flagged, short docs report zero") {
