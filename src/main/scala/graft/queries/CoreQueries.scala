@@ -636,6 +636,18 @@ object CoreQueries {
       EventStream.sessionStats(t(s, d, "events"))
         .orderBy("user_id", "session_id")),
 
+    // Semi-structured event properties: schema-on-read JSON extraction
+    // (the document-store quirk the reference's profiler exists for,
+    // applied to the event stream's props payload) + per-type rollup.
+    // get_json_object stays codegen'd per row; no UDF, no pre-parse pass
+    "ev_props_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")),
+
     // §2.10 extension: custom per-key state via flatMapGroupsWithState
     // (batch run of the stateful sessionizer — only CLOSED sessions emit;
     // each user's final open session stays in state, so the oracle is the
@@ -1012,6 +1024,11 @@ object CoreQueries {
         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
         |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "ev_props_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "st_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
