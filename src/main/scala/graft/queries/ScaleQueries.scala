@@ -414,6 +414,17 @@ object ScaleQueries {
         Map("src0" -> 10000, "src1" -> 5000), defaultBp = 2000)
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // Per-domain quality cap: keep each source's 10 LONGEST docs (the
+    // "best N per domain" crawl cap) via the skew-safe two-phase window —
+    // no single task ever sorts a whole hot domain
+    "samp_source_cap" -> ((s, d) =>
+      Sampling.topPerGroup(
+          docs(s, d).select("doc_id", "source", "n_chars"),
+          "source", col("doc_id"), cap = 10,
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("source"), col("rank").cast("long").as("rank"))
+        .orderBy("doc_id")),
+
     // PMI collocations: top-20 bigrams beating the independence
     // expectation (min count 5) — the phrase-detection statistic
     "tx_collocations" -> ((s, d) =>
@@ -1393,6 +1404,13 @@ object ScaleQueries {
         |  < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |      ELSE 2000 END
         |ORDER BY doc_id""".stripMargin,
+
+    "samp_source_cap" ->
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     "tx_collocations" ->
       s"""WITH tok AS (SELECT $duckToksAll AS tk FROM documents),

@@ -48,16 +48,45 @@ object Sampling {
 
   /** Stratified quota sample: at most `quota` rows per `groupCol` value,
     * chosen in id-hash order (a deterministic stand-in for random-within-
-    * group). One shuffle on the group key; per-group state is a top-k heap,
-    * so skewed groups don't blow memory. */
+    * group). Delegates to the skew-safe [[topPerGroup]]. */
   def stratifiedQuota(df: DataFrame, groupCol: String, idCol: String,
-      quota: Int): DataFrame = {
+      quota: Int): DataFrame =
+    topPerGroup(df, groupCol, col(idCol), quota,
+      Seq(hashBucket(col(idCol)).asc, col(idCol).asc))
+      .drop("rank")
+
+  /** Skew-safe "best `cap` per group" (the per-domain quota cap every crawl
+    * pipeline applies before training): keep each group's top `cap` rows
+    * under the deterministic total order `rank` — which MUST be total (break
+    * ties with a unique id as the last sort key) or survivors are
+    * partition-order-dependent. Appends the in-group position as `rank`
+    * (1-based int).
+    *
+    * Two-phase window so one hot group cannot pin a single task: rows first
+    * rank within (group, salt) — salt = murmur3(`saltBy`) mod `salts`,
+    * engine-private but result-neutral — and are pre-truncated to `cap`, so
+    * no task sorts more than ~|group|/salts rows of the hottest group; the
+    * ≤ `cap`·`salts` survivors per group then take the exact global rank.
+    * Lossless: a row in a group's true top-`cap` has < `cap` rows ranked
+    * above it overall, hence < `cap` above it within its own salt bucket, so
+    * it always survives phase 1. */
+  def topPerGroup(df: DataFrame, groupCol: String, saltBy: Column, cap: Int,
+      rank: Seq[Column], salts: Int = 64): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    require(salts > 0, s"salts must be positive: $salts")
+    require(!df.columns.contains("rank"),
+      "topPerGroup appends a 'rank' column; input already has one")
+    val saltC = Cols.fresh("__salt", df.columns)
     val rnC = Cols.fresh("__rn", df.columns)
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(hashBucket(col(idCol)).asc, col(idCol).asc)
-    df.withColumn(rnC, row_number().over(w))
-      .filter(col(rnC) <= quota)
-      .drop(rnC)
+    val w1 = Window.partitionBy(col(groupCol), col(saltC)).orderBy(rank: _*)
+    val pre = df
+      .withColumn(saltC, pmod(hash(saltBy), lit(salts)))
+      .withColumn(rnC, row_number().over(w1))
+      .filter(col(rnC) <= cap)
+      .drop(saltC, rnC)
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(rank: _*)
+    pre.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= cap)
   }
 
   /** Deterministic train/validation/test split: the id-hash bucket is cut at

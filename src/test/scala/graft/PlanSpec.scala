@@ -87,6 +87,18 @@ class PlanSpec extends SparkSpec {
     assert(!mix.contains("Exchange"), mix)
   }
 
+  test("source-cap quota is the salted two-phase window, never one task") {
+    // both Window nodes must carry a partition spec (the regressed form —
+    // a global-order window — would move every row through a single task)
+    val p = graft.queries.ScaleQueries.queries("samp_source_cap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.size >= 2, p) // phase-1 salted + phase-2 exact
+    specs.foreach(s => assert(s.contains("source#"), s"unpartitioned window: $s\n$p"))
+    assert(specs.exists(_.contains("__salt")), p) // skew pre-truncation intact
+  }
+
   test("semdedup pair join is keyed on the cluster — no cartesian product") {
     val p = graft.queries.ScaleQueries.queries("emb_semdedup")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -80,6 +80,38 @@ class SamplingAndRepetitionSpec extends SparkSpec {
       again.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("topPerGroup: salted two-phase matches the exact per-group top-k") {
+    // one hot group (900 rows) + small groups; rank by value desc, id asc
+    val df = (1L to 1000L)
+      .map(i => (i, if (i <= 900) "hot" else s"g${i % 7}", i % 37))
+      .toDF("id", "grp", "v")
+    val out = Sampling.topPerGroup(df, "grp", col("id"), 5,
+      Seq(col("v").desc, col("id").asc), salts = 8)
+      .select("grp", "id", "rank").as[(String, Long, Int)].collect()
+    // reference: plain single-window top-k
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("v").desc, col("id").asc)
+    val ref = df.withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+      .select("grp", "id", "r").as[(String, Long, Int)].collect()
+    assert(out.sortBy(r => (r._1, r._3)).toSeq == ref.sortBy(r => (r._1, r._3)).toSeq)
+    // rank is 1..cap within every group
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.size).toSeq)
+    }
+    // salts=1 degenerates to the same answer
+    val one = Sampling.topPerGroup(df, "grp", col("id"), 5,
+      Seq(col("v").desc, col("id").asc), salts = 1)
+      .select("grp", "id", "rank").as[(String, Long, Int)].collect()
+    assert(one.sortBy(r => (r._1, r._3)).toSeq == out.sortBy(r => (r._1, r._3)).toSeq)
+    // the 100 non-hot rows spread over 7 groups of ~14, each capped at 5
+    assert(out.count(_._1 != "hot") == 35)
+    intercept[IllegalArgumentException](
+      Sampling.topPerGroup(df.withColumn("rank", lit(1)), "grp", col("id"), 5,
+        Seq(col("v"))))
+    intercept[IllegalArgumentException](
+      Sampling.topPerGroup(df, "grp", col("id"), 0, Seq(col("v"))))
+  }
+
   test("token-budget packing: shards respect the running-sum cut rule") {
     val df = Seq((1L, 400L), (2L, 400L), (3L, 400L), (4L, 100L), (5L, 900L))
       .toDF("doc_id", "n_tokens")
