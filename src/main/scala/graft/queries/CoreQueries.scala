@@ -648,6 +648,25 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy("event_type")),
 
+    // Cohort retention: users cohorted by first-seen day; n_users active at
+    // each day-offset since their cohort day. Everything after the first
+    // distinct operates on user-day rows (≪ events) — the raw event volume
+    // is touched exactly once; cohort assignment reuses the user-keyed
+    // shuffle, and the final (cohort, age) aggregate is tiny.
+    "ev_cohort_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("age_days"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("age_days").cast("long").as("age_days"), col("n_users"))
+        .orderBy("cohort_day", "age_days")
+    }),
+
     // §2.10 extension: custom per-key state via flatMapGroupsWithState
     // (batch run of the stateful sessionizer — only CLOSED sessions emit;
     // each user's final open session stays in state, so the oracle is the
@@ -1029,6 +1048,16 @@ object CoreQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ev_cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, ev.day) AS BIGINT) AS age_days,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "st_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -19,6 +19,10 @@ object ScaleQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Shared by the tx_blocklist query and its oracle (single source of
+    * truth for the screened terms). */
+  private val blocklistTerms = Seq("slow", "legacy", "broken")
+
   /** documents ∪ (shifted-id copy) — a corpus with known exact duplicates. */
   private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
@@ -284,6 +288,20 @@ object ScaleQueries {
         .select("id", "width", "height")
         .orderBy("id")),
 
+    // Multimodal chunk-hash near-dup: payload pairs sharing ≥80% of the
+    // smaller side's 64-byte chunk fingerprints (boilerplate chunks with
+    // doc-freq > 50 dropped before pairing) — the dup'd corpus pairs every
+    // original with its byte-identical copy
+    "mm_chunk_dedup" -> ((s, d) =>
+      Multimodal.chunkDedupPairs(
+          Multimodal.asMultimodal(
+            docsWithDups(s, d).withColumn("src", lit("mixed")),
+            "doc_id", "text", "src"),
+          chunkBytes = 64, minFracBp = 8000, maxDocFreq = 50)
+        .select(col("a"), col("b"), col("shared").cast("long").as("shared"),
+          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+        .orderBy("a", "b")),
+
     // The composed curation pipeline: quality gate → lang id → exact dedup →
     // LSH fuzzy dedup w/ component representatives → per-language stats
     "pipeline_curation" -> ((s, d) =>
@@ -484,6 +502,16 @@ object ScaleQueries {
       TextAnalysis.decontaminate(docs(s, d), "doc_id", "text", evalGrams, 2)
         .select("doc_id", "lang").orderBy("doc_id")
     }),
+
+    // Blocklist screening: occurrence count of listed terms per doc and the
+    // keep verdict at a 5% hit-ratio budget (integer-exact: 20·hits ≤ toks)
+    "tx_blocklist" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextAnalysis.blocklistHits(col("text"), blocklistTerms)
+          .cast("long").as("n_hits"))
+        .withColumn("keep", col("n_hits") * 20 <= col("n_tokens"))
+        .orderBy("doc_id")),
 
     // BPE training statistic: adjacent-symbol pair frequencies over the
     // char-split vocabulary (top-20; the round-0 merge candidates)
@@ -1235,6 +1263,29 @@ object ScaleQueries {
         |CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_hash
         |FROM documents ORDER BY id""".stripMargin,
 
+    // chunk boundaries are BYTE offsets on the Spark side; the oracle
+    // chunks the VARCHAR by char position — identical for this corpus
+    // (ASCII-only, asserted by the n_chars/strlen parity other mm oracles
+    // rely on); md5(varchar) hashes the substring's UTF-8 bytes in both
+    "mm_chunk_dedup" ->
+      """WITH m AS (SELECT doc_id AS id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+        |ch AS (SELECT id, list_distinct(list_transform(
+        |    range(1, CAST(ceil(strlen(text) / 64.0) AS INT) + 1),
+        |    i -> md5(substring(text, CAST((i - 1) * 64 + 1 AS INT), 64)))) AS hs
+        |  FROM m WHERE strlen(text) > 0),
+        |f AS (SELECT id, unnest(hs) AS h FROM ch),
+        |nc AS (SELECT id, len(hs) AS n FROM ch),
+        |rare AS (SELECT h FROM f GROUP BY h HAVING count(*) <= 50),
+        |fk AS (SELECT f.id, f.h FROM f JOIN rare USING (h)),
+        |p AS (SELECT x.id AS a, y.id AS b, count(*) AS shared
+        |  FROM fk x JOIN fk y USING (h) WHERE x.id < y.id GROUP BY 1, 2)
+        |SELECT p.a, p.b, CAST(p.shared AS BIGINT) AS shared,
+        |  CAST(x.n AS BIGINT) AS na, CAST(y.n AS BIGINT) AS nb
+        |FROM p JOIN nc x ON p.a = x.id JOIN nc y ON p.b = y.id
+        |WHERE p.shared * 10000 >= least(x.n, y.n) * 8000
+        |ORDER BY a, b""".stripMargin,
+
     "mm_decode_stub" ->
       """WITH b AS (SELECT doc_id AS id, strlen(text) AS n,
         |  list_sum(list_transform(range(1, strlen(text) + 1),
@@ -1459,6 +1510,18 @@ object ScaleQueries {
         |SELECT doc_id,
         |  round(-sum((cnt * 1.0 / n) * log2(cnt * 1.0 / n)), 6) AS entropy
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tx_blocklist" -> {
+      val terms = blocklistTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      x -> x != '')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x != '' AND list_contains($terms, x))) AS BIGINT) AS n_hits
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_hits, n_hits * 20 <= n_tokens AS keep
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
 
     "tx_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, lang, $duckToksAll AS tk FROM documents),

@@ -104,6 +104,55 @@ object Multimodal {
         .as("meta"))
   }
 
+  /** Chunk-level content fingerprints: split the payload into fixed
+    * `chunkBytes` windows (byte-based `substring` on binary) and MD5 each —
+    * the storage-dedup signature that catches re-containered or partially
+    * edited media a single whole-file hash misses. One row per
+    * (id, chunk_idx, chunk_hash); empty payloads yield no rows. Per-row
+    * explode, no shuffle. */
+  def chunkFingerprints(mm: DataFrame, chunkBytes: Int): DataFrame = {
+    require(chunkBytes > 0, s"chunkBytes must be positive: $chunkBytes")
+    val n = octet_length(col("payload")).cast("long")
+    val nChunks = floor((n + chunkBytes - 1) / chunkBytes).cast("int")
+    mm.select(col("id"), col("payload"),
+      explode(when(n > 0, sequence(lit(1), nChunks))
+        .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("id"), (col("i") - 1).cast("long").as("chunk_idx"),
+        md5(substring(col("payload"),
+          (col("i") - 1) * chunkBytes + 1, lit(chunkBytes))).as("chunk_hash"))
+  }
+
+  /** Chunk-overlap near-duplicate candidates: pairs of payloads sharing at
+    * least `minFracBp`/10000 of the smaller side's distinct chunks. The
+    * pair join is keyed on `chunk_hash` — bucketed, never all-pairs — and
+    * chunks appearing in more than `maxDocFreq` payloads are dropped first:
+    * a chunk shared by k docs would emit k² pairs, and a that-common chunk
+    * is boilerplate (container headers, padding), not identity. Overlap is
+    * measured against the FULL distinct-chunk counts (`na`/`nb`), so docs
+    * related only through dropped boilerplate do not pair. Integer-exact
+    * threshold arithmetic — engine-portable. */
+  def chunkDedupPairs(mm: DataFrame, chunkBytes: Int, minFracBp: Int,
+      maxDocFreq: Int): DataFrame = {
+    require(minFracBp > 0 && minFracBp <= 10000,
+      s"minFracBp out of (0, 10000]: $minFracBp")
+    require(maxDocFreq > 0, s"maxDocFreq must be positive: $maxDocFreq")
+    val fp = chunkFingerprints(mm, chunkBytes)
+      .select(col("id"), col("chunk_hash")).distinct()
+    val counts = fp.groupBy("id").agg(count(lit(1)).as("n_chunks"))
+    val hot = fp.groupBy("chunk_hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("chunk_hash")
+    val kept = fp.join(hot, Seq("chunk_hash"), "left_anti")
+    val pairs = kept.select(col("chunk_hash"), col("id").as("a"))
+      .join(kept.select(col("chunk_hash"), col("id").as("b")), Seq("chunk_hash"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(counts.select(col("id").as("a"), col("n_chunks").as("na")), Seq("a"))
+      .join(counts.select(col("id").as("b"), col("n_chunks").as("nb")), Seq("b"))
+      .filter(col("shared") * 10000 >= least(col("na"), col("nb")) * minFracBp)
+      .select("a", "b", "shared", "na", "nb")
+  }
+
   /** Frame-sample stand-in: take every `stride`-th byte of the payload as a
     * "frame key" array (substring on binary + hex decode — byte-safe for
     * arbitrary blobs) — demonstrates array-typed extraction from binary

@@ -293,6 +293,18 @@ object TextAnalysis {
     df.join(matched, Seq(idCol), "left_anti")
   }
 
+  /** Blocklist screening (the bad-words pass every web-corpus filter chain
+    * runs before training): count of lowercased tokens matching `terms`.
+    * The list rides inside the plan as an array literal — effectively a
+    * broadcast — and the count is a per-row higher-order filter over the
+    * token array: zero shuffles, codegen-friendly, scales per-row. Counts
+    * token OCCURRENCES (a doc repeating one bad word n times scores n). */
+  def blocklistHits(text: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "blocklist is empty")
+    val lits = typedLit(terms)
+    size(filter(tokens(lower(text)), t => array_contains(lits, t)))
+  }
+
   /** Per-word frequency table — the bounded state BPE training runs on:
     * corpus-sized input reduces to vocabulary-sized rows in one hash agg. */
   def wordFreqs(df: DataFrame, textCol: String): DataFrame =

@@ -113,6 +113,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(one.doubleValue - 1.0) < 1e-6)
   }
 
+  test("cohort retention: day-0 equals cohort size, later days never exceed it") {
+    val r = graft.queries.CoreQueries.queries("ev_cohort_retention")(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(r.nonEmpty)
+    val byCohort = r.groupBy(_._1)
+    byCohort.foreach { case (c, rows) =>
+      val m = rows.map(x => x._2 -> x._3).toMap
+      assert(m.contains(0L), s"cohort $c missing day-0 row")
+      // a user active at age k was by definition active at age 0
+      assert(rows.forall(_._3 <= m(0L)), s"cohort $c retention exceeds size")
+      assert(rows.forall(_._2 >= 0L), s"cohort $c negative age")
+    }
+    // every user lands in exactly one cohort: day-0 totals = distinct users
+    val users = Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == users)
+  }
+
   test("bloom prune rejects most non-members at the configured fpp") {
     import spark.implicits._
     val keys = (0L until 1000L).toDF("k")

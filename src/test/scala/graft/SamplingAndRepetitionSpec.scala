@@ -185,6 +185,21 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(r(2L) == 0.0 && r(3L) == 0.0)
   }
 
+  test("blocklist hits count occurrences, case-insensitive, empty-safe") {
+    val df = Seq(
+      (1L, "Slow SLOW slow ride"),   // 3 occurrences of one term
+      (2L, "legacy broken mix"),     // 2 distinct terms
+      (3L, "clean text here"),
+      (4L, "")
+    ).toDF("id", "text")
+    val out = df.select($"id",
+      TextAnalysis.blocklistHits($"text", Seq("slow", "legacy", "broken")).as("h"))
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 0))
+    intercept[IllegalArgumentException](
+      df.select(TextAnalysis.blocklistHits($"text", Seq.empty)))
+  }
+
   test("pii redaction replaces emails and phone-like digit runs") {
     val df = Seq(
       (1L, "contact bob.smith+x@example.co or +31 6 1234 5678 now"),

@@ -332,6 +332,53 @@ class ScaleSpec extends SparkSpec {
     assert(d1 == d2 && d1._1 == 6) // len 5 % 640 + 1
   }
 
+  test("multimodal: chunk fingerprints cover the payload, tail included") {
+    val mm = Multimodal.asMultimodal(
+      Seq((1L, "abcdefgh", "s"), (2L, "abcdefgX", "s"), (3L, "", "s"))
+        .toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+    val fp = Multimodal.chunkFingerprints(mm, 4)
+      .as[(Long, Long, String)].collect()
+    // 8 bytes at chunk 4 → 2 chunks each for docs 1 and 2; none for empty
+    assert(fp.count(_._1 == 1L) == 2 && fp.count(_._1 == 2L) == 2)
+    assert(!fp.exists(_._1 == 3L))
+    val h = fp.map(r => (r._1, r._2) -> r._3).toMap
+    assert(h((1L, 0L)) == h((2L, 0L)))  // shared first chunk "abcd"
+    assert(h((1L, 1L)) != h((2L, 1L)))  // differing tail chunk
+    // a 6-byte payload gets a short tail chunk, hashed as-is
+    val tail = Multimodal.chunkFingerprints(
+      Multimodal.asMultimodal(Seq((9L, "abcdef", "s"))
+        .toDF("doc_id", "text", "source"), "doc_id", "text", "source"), 4)
+      .as[(Long, Long, String)].collect()
+    assert(tail.length == 2)
+  }
+
+  test("multimodal: chunk-overlap pairs find near-dups, drop boilerplate") {
+    // docs 1/2 share 3 of 4 chunks (75%), 1/3 share all 4 (100%);
+    // threshold 80% keeps only (1,3)
+    val base = "AAAABBBBCCCCDDDD"
+    val mm = Multimodal.asMultimodal(Seq(
+        (1L, base, "s"), (2L, "AAAABBBBCCCCXXXX", "s"), (3L, base, "s"))
+      .toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+    val pairs = Multimodal.chunkDedupPairs(mm, 4, 8000, 50)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)))
+    // at 70% the 75%-overlap pairs appear too (doc 2 vs both copies)
+    val loose = Multimodal.chunkDedupPairs(mm, 4, 7000, 50)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // boilerplate cap: AAAA/BBBB/CCCC appear in all 3 docs (df=3); with
+    // maxDocFreq=2 they are dropped before pairing, so at a 20% threshold
+    // only (1,3) — sharing the rare DDDD chunk — remains, while without
+    // the cap the common chunks also pair (1,2) and (2,3)
+    val uncapped = Multimodal.chunkDedupPairs(mm, 4, 2000, 50)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val capped = Multimodal.chunkDedupPairs(mm, 4, 2000, 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 3L)))
+    intercept[IllegalArgumentException](Multimodal.chunkDedupPairs(mm, 4, 0, 2))
+  }
+
   test("rpTopK: with full candidate budget, equals brute-force top-k") {
     val e = spark.read.parquet(sf("embeddings"))
     val n = e.count().toInt
