@@ -648,6 +648,17 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy("event_type")),
 
+    // Rolling engagement: exact DAU + trailing-7-day WAU per observed day,
+    // computed on the reduced user-day table (see EventStream scaladoc)
+    "ev_rolling_dau" -> ((s, d) =>
+      EventStream.rollingActiveUsers(t(s, d, "events"), windowDays = 7)
+        .orderBy("day")),
+
+    // Session path mining: top-20 first-5-event-type sequences per
+    // gap-sessionized session (the funnel-discovery statistic)
+    "ev_top_paths" -> ((s, d) =>
+      EventStream.topSessionPaths(t(s, d, "events"), k = 20, maxLen = 5)),
+
     // Cohort retention: users cohorted by first-seen day; n_users active at
     // each day-offset since their cohort day. Everything after the first
     // distinct operates on user-day rows (≪ events) — the raw event volume
@@ -1048,6 +1059,37 @@ object CoreQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ev_rolling_dau" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud
+        |  GROUP BY 1),
+        |wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+        |  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, dau.dau, wau.wau
+        |FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
+        |ORDER BY 1""".stripMargin,
+
+    "ev_top_paths" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0
+        |    END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (SELECT user_id, ts, event_id, event_type,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |s3 AS (SELECT user_id, sid, ts, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id, sid
+        |    ORDER BY ts, event_id) AS rn FROM s2),
+        |p AS (SELECT user_id, sid,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s3 WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     "ev_cohort_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

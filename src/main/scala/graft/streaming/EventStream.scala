@@ -64,6 +64,54 @@ object EventStream {
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
 
+  /** Rolling active users: per observed day, the exact distinct-user count
+    * for that day (DAU) and over the trailing `windowDays` (WAU/MAU shape).
+    * The raw event volume reduces to distinct user-days FIRST; each
+    * user-day then contributes to the `windowDays` calendar days it is
+    * visible to via a bounded `sequence` explode — a windowDays-fold blowup
+    * of the (≪ events) user-day table, never a range self-join and never a
+    * sliding count-distinct window (which Spark cannot partition). Only
+    * days actually present in the data are reported. */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive: $windowDays")
+    val ud = events.select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = ud.select("day").distinct()
+    val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = ud
+      .select(explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
+        .as("day"), col("user_id"))
+      .join(days, Seq("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"))
+  }
+
+  /** Top session paths: the first `maxLen` event types of each
+    * gap-sessionized session, joined with '>', ranked by frequency (ties
+    * broken by path — a total order, so the top-k is engine-stable).
+    * Events are cut to the first `maxLen` per session BEFORE collecting,
+    * so a pathological bot session never materializes as one giant array;
+    * per-group state is bounded by `maxLen`. */
+  def topSessionPaths(events: DataFrame, k: Int = 20, maxLen: Int = 5,
+      gapMinutes: Int = 30): DataFrame = {
+    require(k > 0 && maxLen > 0, s"k/maxLen must be positive: $k/$maxLen")
+    val inSession = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    sessionize(events, gapMinutes)
+      .withColumn("rn", row_number().over(inSession))
+      .filter(col("rn") <= maxLen)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(
+        transform(col("evs"), e => e.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Streaming exact dedup with BOUNDED state: duplicates arriving within
     * the watermark horizon are dropped, and per-key state is evicted once
     * the watermark passes — unlike a streaming `dropDuplicates`, whose

@@ -134,4 +134,45 @@ class StreamingSpec extends SparkSpec {
     val stats = EventStream.sessionStats(df)
     assert(stats.count() == 3)
   }
+
+  test("rolling active users: DAU exact, WAU spans the trailing window") {
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    // u1 active days 1+2, u2 day 1 (twice: dedup), u3 day 9 (outside the
+    // 7-day window of days 1-2)
+    val df = Seq(
+      (1L, ts("2024-01-01"), 1L), (2L, ts("2024-01-02"), 1L),
+      (3L, ts("2024-01-01"), 2L), (4L, ts("2024-01-01"), 2L),
+      (5L, ts("2024-01-09"), 3L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = EventStream.rollingActiveUsers(df, windowDays = 7)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // only observed days are reported
+    assert(out.keySet == Set("2024-01-01", "2024-01-02", "2024-01-09"))
+    assert(out("2024-01-01") == ((2L, 2L)))      // u1, u2
+    assert(out("2024-01-02") == ((1L, 2L)))      // DAU u1; WAU u1+u2
+    // Jan 9: only u3 — Jan 1/2 activity fell out of the 7-day window
+    // (Jan 2 is visible through Jan 8, not Jan 9)
+    assert(out("2024-01-09") == ((1L, 1L)))
+    intercept[IllegalArgumentException](
+      EventStream.rollingActiveUsers(df, 0))
+  }
+
+  test("top session paths: ordered truncated paths, deterministic ranking") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1 session: a>b>c (plus a 4th event cut by maxLen=3);
+    // u2 session: a>b>c; u3 session: z alone
+    val df = Seq(
+      (1L, ts(0), 1L, "a"), (2L, ts(1), 1L, "b"), (3L, ts(2), 1L, "c"),
+      (4L, ts(3), 1L, "d"),
+      (5L, ts(0), 2L, "a"), (6L, ts(1), 2L, "b"), (7L, ts(2), 2L, "c"),
+      (8L, ts(0), 3L, "z")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventStream.topSessionPaths(df, k = 10, maxLen = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a>b>c", 2L), ("z", 1L)))
+    // k caps the list after the (count desc, path asc) total order
+    val top1 = EventStream.topSessionPaths(df, k = 1, maxLen = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(top1 == Seq(("a>b>c", 2L)))
+  }
 }
