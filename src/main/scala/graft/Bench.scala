@@ -96,8 +96,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-json write failed: ${e.getMessage}") }
     val slowest = results.sortBy { case (_, v) => -math.abs(v) }
-    // fit as many of the slowest queries as the tail window allows
-    val budget = 1600
+    // fit as many of the slowest queries as the tail window allows: the
+    // driver keeps the LAST 2000 stdout chars, so size the query map to
+    // 2000 minus the line's fixed scaffolding (which grows with the failure
+    // list) minus a safety margin
+    val scaffolding = 170 + fails.length + fullPath.length + sfDir.length
+    val budget = math.max(0, 2000 - scaffolding - 120)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
     slowest.foreach { case (k, v) =>
