@@ -368,6 +368,21 @@ object ScaleQueries {
         size(TextAnalysis.tokens(col("text"))), 20)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // DSIR importance weights: how target-like (here: English-distributed)
+    // each doc's hashed-token profile is — bucket-ratio model built in one
+    // bounded agg, scoring zero-shuffle (Sampling.importanceWeights)
+    "dsir_weights" -> ((s, d) =>
+      Sampling.importanceWeights(docs(s, d), "doc_id", "text",
+        col("lang") === "en")
+        .select("doc_id", "weight").orderBy("doc_id")),
+
+    // DSIR selection: the 50 most target-like docs under the deterministic
+    // (weight desc, id) total order — TakeOrderedAndProject, no global sort
+    "dsir_select" -> ((s, d) =>
+      Sampling.importanceResample(docs(s, d), "doc_id", "text",
+        col("lang") === "en", k = 50)
+        .select("doc_id", "weight")),
+
     // Corpus length histogram in log2 buckets (the dataset-report shape:
     // constant output rows at any corpus size, one agg). The bucket is
     // length(bin(n+1))-1 — integer-exact floor(log2), immune to the
@@ -689,6 +704,29 @@ object ScaleQueries {
     "list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != ''))"
   private val duckToksAll =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
+
+  /** DSIR bucket-model CTE (mirror of `Sampling.importanceWeights` with
+    * target = English docs, 256 buckets): per-token MD5 bucket, smoothed
+    * target/raw distribution ratio quantized at DECIMAL(18,6) — the same
+    * driver-side HALF_UP rounding Spark applies — then per-doc EXACT
+    * decimal sums. The arithmetic shape `(ct+1.0)/(nt+256)` is kept
+    * identical to the Scala side so the doubles agree bit-for-bit before
+    * the one quantized `ln`. */
+  private val dsirWeightsCte =
+    s"""WITH lab AS (SELECT doc_id, (lang = 'en') AS is_t,
+       |    $duckToksAll AS tk FROM documents),
+       |tok AS (SELECT doc_id, is_t, unnest(tk) AS t FROM lab),
+       |bk AS (SELECT doc_id, is_t,
+       |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS b
+       |  FROM tok),
+       |c AS (SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+       |    sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr FROM bk GROUP BY 1),
+       |n AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM c),
+       |r AS (SELECT b,
+       |    CAST(ln(((ct + 1.0) / (nt + 256)) / ((cr + 1.0) / (nr + 256)))
+       |      AS DECIMAL(18,6)) AS lr FROM c, n),
+       |s AS (SELECT bk.doc_id, sum(lr) AS w FROM bk JOIN r USING (b)
+       |  GROUP BY 1)""".stripMargin
 
   /** Per-language marker-score column defs and the election CASE, over a
     * token-list SQL alias — shared by the lang-id and pipeline oracles. */
@@ -1400,6 +1438,18 @@ object ScaleQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |  AS BIGINT) % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+
+    "dsir_weights" ->
+      s"""$dsirWeightsCte
+         |SELECT d.doc_id, CAST(coalesce(s.w, 0) AS DECIMAL(18,6)) AS weight
+         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "dsir_select" ->
+      s"""$dsirWeightsCte
+         |SELECT d.doc_id, CAST(coalesce(s.w, 0) AS DECIMAL(18,6)) AS weight
+         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |ORDER BY weight DESC, d.doc_id LIMIT 50""".stripMargin,
 
     "samp_stratified" ->
       """SELECT doc_id, lang FROM (

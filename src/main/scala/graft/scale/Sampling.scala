@@ -172,6 +172,75 @@ object Sampling {
       .drop(cumC)
   }
 
+  /** DSIR-style importance weights over hashed token buckets (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling", 2023):
+    * each token lands in one of `buckets` MD5-derived buckets (the shared
+    * engine-portable [[Dedup.tokenHash]] family); the target (`isTarget`)
+    * and raw (rest) corpora define smoothed bucket distributions; a
+    * document's weight is the sum over its tokens of
+    * `ln(p_target(bucket) / p_raw(bucket))` — high weight = looks like the
+    * target distribution.
+    *
+    * 100 TB shape: one explode+groupBy over `buckets` keys (map-side
+    * partials make it scan-bound; the collect is ≤ `buckets` rows, the same
+    * bounded-model pattern as the k-means centroid collect), then scoring
+    * is a ZERO-SHUFFLE per-row fold over the token array against a literal
+    * ratio table — no vocab join, no per-doc re-aggregation.
+    *
+    * Determinism: each bucket's log ratio is quantized HALF_UP at 6
+    * decimals driver-side (exactly Spark's and DuckDB's double→DECIMAL
+    * rounding), so the per-doc weight is an EXACT decimal sum —
+    * order-independent and bit-stable across engines. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
+    val tokC = Cols.fresh("__tok", docs.columns)
+    val isTC = Cols.fresh("__is_t", docs.columns)
+    val bC = Cols.fresh("__b", docs.columns)
+    val counted = docs
+      .select(isTarget.as(isTC),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as(tokC))
+      .select(col(isTC),
+        pmod(Dedup.tokenHash(col(tokC)), lit(buckets.toLong)).as(bC))
+      .groupBy(bC)
+      .agg(sum(when(col(isTC), 1L).otherwise(0L)).as("ct"),
+        sum(when(col(isTC), 0L).otherwise(1L)).as("cr"))
+      .collect()
+    val ct = Array.fill(buckets)(0L)
+    val cr = Array.fill(buckets)(0L)
+    counted.foreach { r =>
+      val i = r.getLong(0).toInt; ct(i) = r.getLong(1); cr(i) = r.getLong(2) }
+    val nt = ct.sum.toDouble
+    val nr = cr.sum.toDouble
+    val ratio: Seq[BigDecimal] = (0 until buckets).map { i =>
+      val v = math.log(((ct(i) + 1.0) / (nt + buckets)) /
+        ((cr(i) + 1.0) / (nr + buckets)))
+      BigDecimal(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    }
+    val ratioArr = typedLit(ratio)
+    // the merge must return EXACTLY the accumulator type (decimal addition
+    // widens scale 18→17); the cast back is exact — values carry 6 decimals
+    val w = aggregate(TextAnalysis.tokens(lower(col(textCol))),
+      typedLit(BigDecimal(0)),
+      (acc, t) => (acc + element_at(ratioArr,
+        (pmod(Dedup.tokenHash(t), lit(buckets.toLong)) + 1).cast("int")))
+        .cast("decimal(38,18)"))
+    docs.withColumn("weight", w.cast("decimal(18,6)"))
+  }
+
+  /** Deterministic importance resample: the `k` documents most like the
+    * target distribution under [[importanceWeights]], selected by the total
+    * order (weight desc, id asc) — a reproducible stand-in for DSIR's
+    * Gumbel top-k (which needs RNG). Plans as TakeOrderedAndProject: no
+    * global sort at any scale. */
+  def importanceResample(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, k: Int, buckets: Int = 256): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    importanceWeights(docs, idCol, textCol, isTarget, buckets)
+      .orderBy(col("weight").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Scale-path quantile bucketing: assign each row a bucket 1..n by
     * comparing `valueCol` against percentile_approx cut-points — a single
     * fixed-size-sketch aggregation plus a zero-shuffle per-row comparison

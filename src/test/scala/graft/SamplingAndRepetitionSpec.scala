@@ -297,6 +297,39 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(top == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("importance weights: target-like docs outrank raw-like, empty text = 0") {
+    // target docs share vocabulary {alpha beta}; raw docs {gamma delta}. A
+    // fresh doc written in target vocabulary must outweigh one written in
+    // raw vocabulary; an empty doc scores exactly 0.
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta beta alpha", true),
+      (3L, "gamma delta gamma delta", false),
+      (4L, "gamma delta delta gamma", false),
+      (5L, "alpha beta", false),   // target-vocab probe
+      (6L, "gamma delta", true),   // raw-vocab probe
+      (7L, "", false)
+    ).toDF("id", "text", "is_t")
+    val w = Sampling.importanceWeights(docs, "id", "text", $"is_t")
+      .select($"id", $"weight".cast("double")).as[(Long, Double)]
+      .collect().toMap
+    assert(w(5L) > 0 && w(6L) < 0, s"probe weights: $w")
+    assert(w(5L) > w(6L))
+    assert(w(7L) == 0.0)
+    // deterministic: identical on a re-run
+    val w2 = Sampling.importanceWeights(docs, "id", "text", $"is_t")
+      .select($"id", $"weight".cast("double")).as[(Long, Double)]
+      .collect().toMap
+    assert(w == w2)
+    // resample keeps the k highest-weight docs
+    val top = Sampling.importanceResample(docs, "id", "text", $"is_t", k = 2)
+      .select("id").as[Long].collect().toSet
+    val byW = w.toSeq.sortBy { case (id, wt) => (-wt, id) }.take(2).map(_._1).toSet
+    assert(top == byW)
+    intercept[IllegalArgumentException](
+      Sampling.importanceWeights(docs, "id", "text", $"is_t", buckets = 1))
+  }
+
   test("charEntropy: 0 for constant text, log2(k) for uniform k chars") {
     val df = Seq(
       (1L, "aaaa"),         // one symbol -> 0 bits
