@@ -368,6 +368,21 @@ object ScaleQueries {
         size(TextAnalysis.tokens(col("text"))), 20)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // NB quality model (fastText/CCNet-style "looks curated?" filter):
+    // per-class token likelihoods over the top-512 vocabulary, trained
+    // in one explode+groupBy pass (TextAnalysis.nbTrain)
+    "nb_quality_model" -> ((s, d) =>
+      TextAnalysis.nbTrain(docs(s, d), "text",
+        col("source").isin("src0", "src1", "src2"), vocab = 512)
+        .orderBy("token")),
+
+    // NB quality scores: prior log-odds + exact decimal sum of per-token
+    // log-likelihood ratios; predicted=1 for curated-looking docs
+    "nb_quality_score" -> ((s, d) =>
+      TextAnalysis.nbScore(docs(s, d), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2"), vocab = 512)
+        .orderBy("doc_id")),
+
     // DSIR importance weights: how target-like (here: English-distributed)
     // each doc's hashed-token profile is — bucket-ratio model built in one
     // bounded agg, scoring zero-shuffle (Sampling.importanceWeights)
@@ -727,6 +742,28 @@ object ScaleQueries {
        |      AS DECIMAL(18,6)) AS lr FROM c, n),
        |s AS (SELECT bk.doc_id, sum(lr) AS w FROM bk JOIN r USING (b)
        |  GROUP BY 1)""".stripMargin
+
+  /** NB quality-model CTE (mirror of `TextAnalysis.nbTrain`/`nbScore` with
+    * positive = src0-2, vocab 512): per-class token counts, top-512 vocab
+    * under the (count desc, token) total order, add-1 log likelihoods
+    * quantized at DECIMAL(18,6) — arithmetic shape `(c+1.0)/(n+512)` kept
+    * identical to the Scala side. */
+  private val nbModelCte =
+    s"""WITH lab AS (SELECT doc_id,
+       |    (source IN ('src0', 'src1', 'src2')) AS pos,
+       |    $duckToksAll AS tk FROM documents),
+       |tok AS (SELECT doc_id, pos, unnest(tk) AS token FROM lab),
+       |c AS (SELECT token, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+       |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+       |  FROM tok GROUP BY 1),
+       |top AS (SELECT * FROM c
+       |  ORDER BY (c_pos + c_neg) DESC, token LIMIT 512),
+       |n AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg FROM top),
+       |m AS (SELECT token,
+       |    CAST(ln((c_pos + 1.0) / (n_pos + 512)) AS DECIMAL(18,6))
+       |      AS logp_pos,
+       |    CAST(ln((c_neg + 1.0) / (n_neg + 512)) AS DECIMAL(18,6))
+       |      AS logp_neg FROM top, n)""".stripMargin
 
   /** Per-language marker-score column defs and the election CASE, over a
     * token-list SQL alias — shared by the lang-id and pipeline oracles. */
@@ -1438,6 +1475,26 @@ object ScaleQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |  AS BIGINT) % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+
+    "nb_quality_model" ->
+      s"""$nbModelCte
+         |SELECT token, logp_pos, logp_neg FROM m ORDER BY token""".stripMargin,
+
+    "nb_quality_score" ->
+      s"""$nbModelCte,
+         |pr AS (SELECT CAST(ln(
+         |    (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0) /
+         |    (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0))
+         |  AS DECIMAL(18,6)) AS prior FROM lab),
+         |dl AS (SELECT tok.doc_id, sum(m.logp_pos - m.logp_neg) AS delta
+         |  FROM tok JOIN m USING (token) GROUP BY 1),
+         |sc AS (SELECT d.doc_id,
+         |    CAST(coalesce(dl.delta, 0) + pr.prior AS DECIMAL(18,6)) AS score
+         |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+         |  CROSS JOIN pr)
+         |SELECT doc_id, score,
+         |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "dsir_weights" ->
       s"""$dsirWeightsCte

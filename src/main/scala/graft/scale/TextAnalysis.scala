@@ -644,4 +644,70 @@ object TextAnalysis {
       .agg(round((-sum(col("logp"))).cast("double") / count(lit(1)), 4)
         .as("cross_entropy_bits"),
         count(lit(1)).as("n_bigrams"))
+
+  /** Multinomial Naive-Bayes quality model trained in-engine (the
+    * fastText/CCNet-shaped "does this look like the curated pool?" filter
+    * used by GPT-3/LLaMA-style data pipelines): token counts per class →
+    * top-`vocab` tokens under the TOTAL order (count desc, token asc) →
+    * add-1-smoothed log likelihoods per class, quantized to DECIMAL(18,6)
+    * in-engine so downstream score sums are exact.
+    *
+    * 100 TB shape: one explode+groupBy(token) with map-side partials, a
+    * top-`vocab` TakeOrderedAndProject (no global sort), and a 1-row
+    * broadcast for the in-vocab totals. The model is `vocab` rows —
+    * broadcastable by construction. */
+  def nbTrain(docs: DataFrame, textCol: String, isPositive: Column,
+      vocab: Int = 512): DataFrame = {
+    require(vocab > 0, s"vocab must be positive: $vocab")
+    val counts = docs
+      .select(isPositive.as("__pos"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("c_neg"))
+    val top = counts
+      .orderBy((col("c_pos") + col("c_neg")).desc, col("token").asc)
+      .limit(vocab)
+    val totals = top.agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"))
+    // keep the arithmetic shape (c + 1.0) / (n + V) bit-identical to the
+    // DuckDB oracle; the one quantized ln absorbs libm ULP differences
+    top.crossJoin(broadcast(totals))
+      .select(col("token"),
+        log((col("c_pos") + 1.0) / (col("n_pos") + vocab))
+          .cast("decimal(18,6)").as("logp_pos"),
+        log((col("c_neg") + 1.0) / (col("n_neg") + vocab))
+          .cast("decimal(18,6)").as("logp_neg"))
+  }
+
+  /** Score every document under a [[nbTrain]] model: prior log-odds plus
+    * the per-occurrence sum of `logp_pos − logp_neg` over the document's
+    * in-vocabulary tokens (out-of-vocabulary tokens are ignored — the
+    * standard vocabulary-restricted NB). `predicted` = 1 iff score > 0.
+    *
+    * One broadcast join token→model (no shuffle), one groupBy(id) with
+    * map-side partials, one id-keyed join back for vocab-less documents
+    * (they score the bare prior). All sums are exact decimal arithmetic —
+    * partition-order-stable, bit-equal across engines. */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+      isPositive: Column, vocab: Int = 512): DataFrame = {
+    val model = nbTrain(docs, textCol, isPositive, vocab)
+    val prior = docs
+      .agg(sum(when(isPositive, 1L).otherwise(0L)).as("np"),
+        sum(when(isPositive, 0L).otherwise(1L)).as("nn"))
+      .select(log((col("np") + 1.0) / (col("nn") + 1.0))
+        .cast("decimal(18,6)").as("__prior"))
+    val delta = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .join(broadcast(model), Seq("token"))
+      .groupBy(idCol)
+      .agg(sum(col("logp_pos") - col("logp_neg")).as("__delta"))
+    docs.select(col(idCol))
+      .join(delta, Seq(idCol), "left_outer")
+      .crossJoin(broadcast(prior))
+      .select(col(idCol),
+        (coalesce(col("__delta"), lit(0)) + col("__prior"))
+          .cast("decimal(18,6)").as("score"))
+      .withColumn("predicted",
+        when(col("score") > 0, 1L).otherwise(0L))
+  }
 }

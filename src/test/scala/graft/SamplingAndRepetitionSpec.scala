@@ -330,6 +330,35 @@ class SamplingAndRepetitionSpec extends SparkSpec {
       Sampling.importanceWeights(docs, "id", "text", $"is_t", buckets = 1))
   }
 
+  test("NB quality classifier: separates vocabularies, prior covers OOV docs") {
+    val docs = Seq(
+      (1L, "good clean prose text", true),
+      (2L, "clean good text prose", true),
+      (3L, "spam junk noise junk", false),
+      (4L, "noise spam junk spam", false),
+      (5L, "good clean", false),    // curated-vocab probe, labeled negative
+      (6L, "spam noise", true),     // junk-vocab probe, labeled positive
+      (7L, "zzz qqq", false)        // fully out-of-vocab at vocab=8
+    ).toDF("id", "text", "pos")
+    val model = TextAnalysis.nbTrain(docs, "text", $"pos", vocab = 8)
+    assert(model.count() == 8)
+    // every in-vocab token has both likelihoods, and they are negative
+    val m = model.as[(String, BigDecimal, BigDecimal)].collect()
+    assert(m.forall { case (_, p, n) => p < 0 && n < 0 })
+    val s = TextAnalysis.nbScore(docs, "id", "text", $"pos", vocab = 8)
+      .select($"id", $"score".cast("double"), $"predicted")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(s.size == 7)
+    // probes score by CONTENT, not by their training label
+    assert(s(5L)._1 > 0 && s(5L)._2 == 1L, s"curated-vocab probe: ${s(5L)}")
+    assert(s(6L)._1 < 0 && s(6L)._2 == 0L, s"junk-vocab probe: ${s(6L)}")
+    // an OOV doc scores exactly the prior: ln((3+1)/(4+1))
+    val prior = math.log(4.0 / 5.0)
+    assert(math.abs(s(7L)._1 - prior) < 1e-6)
+    intercept[IllegalArgumentException](
+      TextAnalysis.nbTrain(docs, "text", $"pos", vocab = 0))
+  }
+
   test("charEntropy: 0 for constant text, log2(k) for uniform k chars") {
     val df = Seq(
       (1L, "aaaa"),         // one symbol -> 0 bits
