@@ -117,6 +117,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("DSIR scoring is a zero-exchange per-row fold over a literal table") {
+    // after the bounded model collect, the scoring pass must be a pure
+    // per-row expression: no Exchange, no join, no re-aggregation
+    val p = graft.scale.Sampling.importanceWeights(
+        Tables.load(spark, sfDir, "documents"), "doc_id", "text",
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("NB scoring broadcasts the model — vocab join is never shuffled") {
+    val p = graft.scale.TextAnalysis.nbScore(
+        Tables.load(spark, sfDir, "documents"), "doc_id", "text",
+        org.apache.spark.sql.functions.col("source") === "src0", vocab = 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // model selection stays top-k shaped
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("no plan collects data to the driver mid-query") {
     // classification + decompose queries must not contain LocalTableScan of
     // collected data (constant lookup tables excepted — none used here)
