@@ -368,6 +368,14 @@ object ScaleQueries {
         size(TextAnalysis.tokens(col("text"))), 20)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // Cross-source bigram overlap matrix (mirror/syndication detection):
+    // Jaccard of distinct bigram sets per source pair — bounded by
+    // |sources|² after the distinct reduction
+    "corpus_overlap" -> ((s, d) =>
+      TextAnalysis.sourceOverlap(docs(s, d), "source", "text", n = 2)
+        .withColumnsRenamed(Map("grp_a" -> "source_a", "grp_b" -> "source_b"))
+        .orderBy("source_a", "source_b")),
+
     // NB quality model (fastText/CCNet-style "looks curated?" filter):
     // per-class token likelihoods over the top-512 vocabulary, trained
     // in one explode+groupBy pass (TextAnalysis.nbTrain)
@@ -1475,6 +1483,24 @@ object ScaleQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |  AS BIGINT) % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_overlap" ->
+      s"""WITH tok AS (SELECT source AS grp, $duckToksAll AS tk
+         |  FROM documents),
+         |g0 AS (SELECT grp, unnest(list_transform(
+         |    range(1, CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END + 1),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS gram FROM tok),
+         |g AS (SELECT DISTINCT grp, gram FROM g0),
+         |sz AS (SELECT grp, count(*) AS sz FROM g GROUP BY 1),
+         |iv AS (SELECT a.grp AS sa, b.grp AS sb, count(*) AS n_common
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.grp < b.grp
+         |  GROUP BY 1, 2)
+         |SELECT iv.sa AS source_a, iv.sb AS source_b,
+         |  CAST(iv.n_common AS BIGINT) AS n_common,
+         |  CAST(CAST(iv.n_common AS DOUBLE) / (za.sz + zb.sz - iv.n_common)
+         |    AS DECIMAL(18,6)) AS jaccard
+         |FROM iv JOIN sz za ON za.grp = iv.sa JOIN sz zb ON zb.grp = iv.sb
+         |ORDER BY source_a, source_b""".stripMargin,
 
     "nb_quality_model" ->
       s"""$nbModelCte

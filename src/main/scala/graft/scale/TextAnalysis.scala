@@ -645,6 +645,41 @@ object TextAnalysis {
         .as("cross_entropy_bits"),
         count(lit(1)).as("n_bigrams"))
 
+  /** Cross-source n-gram overlap matrix (corpus QA: which sources share
+    * content — mirror sites, syndication, cross-source contamination):
+    * Jaccard similarity of the DISTINCT n-gram sets of every source pair.
+    * Pairs with zero overlap are omitted (inner-join semantics).
+    *
+    * 100 TB shape: the (group, gram) table is reduced by `distinct` FIRST,
+    * so the gram-keyed self-join expands each gram to at most
+    * |groups|²/2 pairs (groups = sources, a small set) — never a
+    * document-level cross join; everything downstream of the distinct is
+    * bounded by |groups|² rows. Jaccard divides exact integers in IEEE
+    * double (both < 2^53 — deterministic), quantized DECIMAL(18,6). */
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val grams = docs
+      .select(col(groupCol).as("grp"),
+        explode(ngramsAll(tokens(lower(col(textCol))), n)).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("grp").agg(count(lit(1)).as("sz"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("grp", "grp_a")
+        .withColumnRenamed("sz", "sz_a"), Seq("grp_a"))
+      .join(sizes.withColumnRenamed("grp", "grp_b")
+        .withColumnRenamed("sz", "sz_b"), Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
+          .cast("decimal(18,6)").as("jaccard"))
+  }
+
   /** Multinomial Naive-Bayes quality model trained in-engine (the
     * fastText/CCNet-shaped "does this look like the curated pool?" filter
     * used by GPT-3/LLaMA-style data pipelines): token counts per class →

@@ -330,6 +330,25 @@ class SamplingAndRepetitionSpec extends SparkSpec {
       Sampling.importanceWeights(docs, "id", "text", $"is_t", buckets = 1))
   }
 
+  test("source overlap: pairwise bigram Jaccard, zero-overlap pairs omitted") {
+    val docs = Seq(
+      (1L, "x y z", "A"),   // bigrams {x y, y z}
+      (2L, "x y q", "B"),   // bigrams {x y, y q}
+      (3L, "x y z", "A"),   // duplicate content — distinct collapses it
+      (4L, "zz ww", "C")    // disjoint from A and B
+    ).toDF("id", "text", "src")
+    val out = TextAnalysis.sourceOverlap(docs, "src", "text", n = 2)
+      .select($"grp_a", $"grp_b", $"n_common", $"jaccard".cast("double"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // only the overlapping pair appears, with |∩|=1, |∪|=3
+    assert(out.keySet == Set(("A", "B")))
+    assert(out(("A", "B"))._1 == 1L)
+    assert(math.abs(out(("A", "B"))._2 - 1.0 / 3.0) < 1e-6)
+    intercept[IllegalArgumentException](
+      TextAnalysis.sourceOverlap(docs, "src", "text", n = 0))
+  }
+
   test("NB quality classifier: separates vocabularies, prior covers OOV docs") {
     val docs = Seq(
       (1L, "good clean prose text", true),
