@@ -670,6 +670,12 @@ object ScaleQueries {
     }),
 
     // Symmetric int8 quantization (scale materialized, then per-element)
+    // Top principal direction by 3-round power iteration (embedding-QA
+    // spectral probe) — deterministic seed, per-round decimal quantization
+    "emb_pca_top" -> ((s, d) =>
+      Similarity.powerIterationTop(emb(s, d), "embedding", iters = 3)
+        .orderBy("pos")),
+
     "emb_quantize" -> ((s, d) =>
       emb(s, d)
         .withColumn("scale", Similarity.int8Scale(col("embedding")))
@@ -1071,6 +1077,38 @@ object ScaleQueries {
       |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
       |  FROM embeddings e JOIN a2 a USING (vec_id) CROSS JOIN dim
       |  GROUP BY a.label, i)""".stripMargin
+
+  /** Power-iteration CTEs mirroring `Similarity.powerIterationTop` (3
+    * rounds, seed e₁): per-row dot as an in-order list fold (matching the
+    * Spark-side `aggregate` fold), per-dim sums of DECIMAL(27,9)-quantized
+    * contributions, per-round round(…, 6) of the normalized vector — the
+    * same quantize-then-exact-sum discipline as the k-means CTEs. */
+  private lazy val pcaCtes: String = {
+    def round(k: Int): String =
+      s"""s$k AS (SELECT i AS pos, sum(CAST(d$k.dot *
+         |    CAST(d$k.embedding[i] AS DOUBLE) AS DECIMAL(27,9))) AS s
+         |  FROM d$k CROSS JOIN dim GROUP BY i),
+         |n$k AS (SELECT sqrt(sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+         |  AS nrm FROM s$k),
+         |v$k AS (SELECT pos, round(CAST(s AS DOUBLE) / nrm, 6) AS v
+         |  FROM s$k, n$k),
+         |vl$k AS (SELECT list(v ORDER BY pos) AS vl FROM v$k)""".stripMargin
+    def dotOf(k: Int): String =
+      s"""d$k AS (SELECT vec_id, embedding,
+         |  list_sum(list_transform(range(1, len(embedding) + 1),
+         |    i -> CAST(embedding[i] AS DOUBLE) * vl[i])) AS dot
+         |  FROM e, vl${k - 1})""".stripMargin
+    s"""dim AS (SELECT unnest(range(1,
+       |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |d1 AS (SELECT vec_id, embedding,
+       |  CAST(embedding[1] AS DOUBLE) AS dot FROM e),
+       |${round(1)},
+       |${dotOf(2)},
+       |${round(2)},
+       |${dotOf(3)},
+       |${round(3)}""".stripMargin
+  }
 
   /** Elementwise double dot product mirroring Similarity.dot. */
   private def duckDot(a: String, b: String): String =
@@ -1804,6 +1842,12 @@ object ScaleQueries {
          |SELECT av.vec_id, av.cluster, (d.vec_id IS NULL) AS kept
          |FROM av LEFT JOIN drp d USING (vec_id)
          |ORDER BY av.vec_id""".stripMargin,
+
+    "emb_pca_top" ->
+      s"""WITH $pcaCtes
+         |SELECT CAST(pos AS BIGINT) AS pos,
+         |  CAST(v AS DECIMAL(18,6)) AS loading
+         |FROM v3 ORDER BY pos""".stripMargin,
 
     "emb_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,

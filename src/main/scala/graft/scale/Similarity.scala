@@ -271,4 +271,57 @@ object Similarity {
     }
     cents
   }
+
+  /** Top principal direction of the (uncentered) embedding matrix by power
+    * iteration: v ← normalize(Σ_rows (x·v)·x), `iters` rounds from the
+    * deterministic seed v₀ = e₁ — the spectral probe an embedding-QA
+    * pipeline uses to find a dominant axis (anisotropy, a stuck encoder
+    * dimension) without an eigensolver. Returns (pos, loading), pos
+    * 1-based, loading DECIMAL(18,6).
+    *
+    * The k-means determinism playbook applies: per-row contributions
+    * (dot·x_j) are quantized at DECIMAL(27,9) so the per-dimension sums
+    * are exact decimal arithmetic, and each round's normalized v is
+    * rounded at 6 decimals (absorbing double-ULP noise) before it feeds
+    * the next round as plan literals. Per round: one scan (the per-row
+    * dot is a fold over the row's own array — no join), one groupBy over
+    * `dim` keys with map-side partials, a `dim`-row collect — the
+    * bounded-model pattern. Lineage stays flat: every round's plan is
+    * (corpus scan + literals). */
+  def powerIterationTop(df: DataFrame, vecCol: String, iters: Int = 3,
+      roundScale: Int = 6): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    val dim = df.agg(max(size(col(vecCol)))).head().getInt(0)
+    require(dim > 0, "embeddings are empty")
+    var v: Seq[BigDecimal] =
+      BigDecimal(1).setScale(roundScale) +:
+        Seq.fill(dim - 1)(BigDecimal(0).setScale(roundScale))
+    for (_ <- 1 to iters) {
+      // literals carry the double nearest the rounded decimal — the same
+      // value DuckDB's round(x, 6) produces, so both engines iterate on
+      // bit-identical vectors
+      val vlit = array(v.map(x => lit(x.toDouble)): _*)
+      val dot = aggregate(
+        zip_with(col(vecCol), vlit, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, t) => acc + t)
+      val sums = df.withColumn("__dot", dot)
+        .select(col("__dot"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy((col("pos") + 1).cast("long").as("pos"))
+        .agg(sum((col("__dot") * col("x").cast("double"))
+          .cast("decimal(27,9)")).as("s"))
+        .orderBy("pos").collect()  // `dim` rows — bounded
+      val s = Array.fill(dim)(0.0)
+      sums.foreach(r => s(r.getLong(0).toInt - 1) = r.getDecimal(1).doubleValue())
+      val norm = math.sqrt(s.map(x => x * x).sum)
+      require(norm > 0, "power iteration collapsed to the zero vector")
+      v = s.map(x => BigDecimal(x / norm)
+        .setScale(roundScale, scala.math.BigDecimal.RoundingMode.HALF_UP)).toSeq
+    }
+    val sp = df.sparkSession
+    import sp.implicits._
+    v.zipWithIndex
+      .map { case (x, i) => ((i + 1).toLong, x) }
+      .toDF("pos", "loading")
+      .select(col("pos"), col("loading").cast("decimal(18,6)").as("loading"))
+  }
 }

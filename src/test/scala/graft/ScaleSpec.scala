@@ -483,4 +483,30 @@ class ScaleSpec extends SparkSpec {
       .orderBy("a").as[(String, String, Long)].collect().toSeq
     assert(pairs == Seq(("a", "😀", 2L), ("😀", "b", 2L)))
   }
+
+  test("power iteration finds the dominant axis, deterministic across runs") {
+    // rows dominantly along (0.6, 0.8), plus one small off-axis row
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(6.0f, 8.0f)),
+      (3L, Seq(3.0f, 4.0f)),
+      (4L, Seq(0.4f, -0.3f))
+    ).toDF("vec_id", "embedding")
+    val v = Similarity.powerIterationTop(df, "embedding", iters = 3)
+      .orderBy("pos").select($"loading".cast("double")).as[Double]
+      .collect().toSeq
+    assert(v.size == 2)
+    assert(math.abs(v(0) - 0.6) < 0.01 && math.abs(v(1) - 0.8) < 0.01, v)
+    // unit norm (up to the 6-decimal per-component rounding)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4)
+    // deterministic re-run
+    val v2 = Similarity.powerIterationTop(df, "embedding", iters = 3)
+      .orderBy("pos").select($"loading".cast("double")).as[Double]
+      .collect().toSeq
+    assert(v == v2)
+    // all-zero input collapses and must fail loudly
+    val zeros = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      Similarity.powerIterationTop(zeros, "embedding"))
+  }
 }
