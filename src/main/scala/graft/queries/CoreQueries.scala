@@ -659,6 +659,11 @@ object CoreQueries {
     "ev_top_paths" -> ((s, d) =>
       EventStream.topSessionPaths(t(s, d, "events"), k = 20, maxLen = 5)),
 
+    // Ordered conversion funnel view→click→purchase: per-step user counts
+    // with strict (ts, event_id) ordering between steps
+    "ev_funnel" -> ((s, d) =>
+      EventStream.funnel(t(s, d, "events"), Seq("view", "click", "purchase"))),
+
     // Cohort retention: users cohorted by first-seen day; n_users active at
     // each day-offset since their cohort day. Everything after the first
     // distinct operates on user-day rows (≪ events) — the raw event volume
@@ -1090,6 +1095,29 @@ object CoreQueries {
         |  FROM s3 WHERE rn <= 5 GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH s1 AS (SELECT user_id, ts, event_id FROM (
+        |  SELECT user_id, ts, event_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'view') WHERE rn = 1),
+        |s2 AS (SELECT user_id, ts, event_id FROM (
+        |  SELECT e.user_id, e.ts, e.event_id, row_number() OVER (
+        |    PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND (e.ts, e.event_id) > (s1.ts, s1.event_id)) WHERE rn = 1),
+        |s3 AS (SELECT user_id, ts, event_id FROM (
+        |  SELECT e.user_id, e.ts, e.event_id, row_number() OVER (
+        |    PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND (e.ts, e.event_id) > (s2.ts, s2.event_id)) WHERE rn = 1)
+        |SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step_index""".stripMargin,
 
     "ev_cohort_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -112,6 +112,36 @@ object EventStream {
       .limit(k)
   }
 
+  /** Ordered k-step funnel: how many users complete each prefix of `steps`
+    * IN ORDER (each step strictly after the previous one). Per step the
+    * events are filtered to that type FIRST, then the user's earliest
+    * occurrence after their previous-step time is kept — k user-keyed
+    * aggregations over per-type slices (≪ the event log each), never a
+    * per-user event sort or collect. Event order is the total
+    * (ts, event_id) order, so simultaneous timestamps cannot make the
+    * funnel ambiguous. Returns (step_index, step, n_users). */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    def stepCount(i: Int, st: String, reached: DataFrame): DataFrame =
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).cast("long").as("step_index"),
+          lit(st).as("step"), col("n_users"))
+    var cur = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("t"))
+    var out = Seq(stepCount(1, steps.head, cur))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      cur = events.filter(col("event_type") === st)
+        .select(col("user_id"), struct(col("ts"), col("event_id")).as("e"))
+        .join(cur, Seq("user_id"))
+        .filter(col("e") > col("t"))
+        .groupBy("user_id").agg(min(col("e")).as("t"))
+      out = out :+ stepCount(i + 2, st, cur)
+    }
+    out.reduce(_.unionAll(_)).orderBy("step_index")
+  }
+
   /** Streaming exact dedup with BOUNDED state: duplicates arriving within
     * the watermark horizon are dropped, and per-key state is evicted once
     * the watermark passes — unlike a streaming `dropDuplicates`, whose

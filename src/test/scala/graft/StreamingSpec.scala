@@ -157,6 +157,35 @@ class StreamingSpec extends SparkSpec {
       EventStream.rollingActiveUsers(df, 0))
   }
 
+  test("funnel: strict in-order matching, per-step monotone counts") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val df = Seq(
+      // u1 completes view→click→purchase in order
+      (1L, ts(0), 1L, "view"), (2L, ts(1), 1L, "click"), (3L, ts(2), 1L, "purchase"),
+      // u2 clicks BEFORE viewing — click must not count
+      (4L, ts(1), 2L, "view"), (5L, ts(0), 2L, "click"),
+      // u3 views only
+      (6L, ts(0), 3L, "view"),
+      // u4 same-timestamp view/click: event_id breaks the tie in order
+      (7L, ts(0), 4L, "view"), (8L, ts(0), 4L, "click"),
+      // u5 purchases without ever viewing
+      (9L, ts(0), 5L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventStream.funnel(df, Seq("view", "click", "purchase"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "view", 4L), (2L, "click", 2L), (3L, "purchase", 1L)))
+    // same-ts events in REVERSE id order do not match
+    val rev = Seq(
+      (8L, ts(0), 4L, "view"), (7L, ts(0), 4L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out2 = EventStream.funnel(rev, Seq("view", "click"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out2 == Seq((1L, "view", 1L), (2L, "click", 0L)))
+    intercept[IllegalArgumentException](EventStream.funnel(df, Seq.empty))
+    intercept[IllegalArgumentException](
+      EventStream.funnel(df, Seq("view", "view")))
+  }
+
   test("top session paths: ordered truncated paths, deterministic ranking") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     // u1 session: a>b>c (plus a 4th event cut by maxLen=3);
