@@ -291,7 +291,9 @@ object Similarity {
   def powerIterationTop(df: DataFrame, vecCol: String, iters: Int = 3,
       roundScale: Int = 6): DataFrame = {
     require(iters > 0, "iters must be positive")
-    val dim = df.agg(max(size(col(vecCol)))).head().getInt(0)
+    val dimRow = df.agg(max(size(col(vecCol)))).head()
+    require(!dimRow.isNullAt(0), "power iteration needs a non-empty corpus")
+    val dim = dimRow.getInt(0)
     require(dim > 0, "embeddings are empty")
     var v: Seq[BigDecimal] =
       BigDecimal(1).setScale(roundScale) +:

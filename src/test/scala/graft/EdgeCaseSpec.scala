@@ -81,4 +81,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!JdbcSink.probe(spark, "jdbc:mysql://127.0.0.1:1/none",
       JdbcSink.connectionProperties(Dialect.MySQL, "u", "pw")))
   }
+
+  test("selection/QA operators on empty inputs: defined, empty or zero") {
+    import org.apache.spark.sql.functions._
+    val noDocs = Seq.empty[(Long, String, Boolean)].toDF("id", "text", "pos")
+    // DSIR: an empty corpus trains a flat model; no rows scored
+    assert(graft.scale.Sampling
+      .importanceWeights(noDocs, "id", "text", $"pos").count() == 0)
+    // NB: empty corpus → empty model, no scored rows
+    assert(graft.scale.TextAnalysis
+      .nbTrain(noDocs, "text", $"pos").count() == 0)
+    assert(graft.scale.TextAnalysis
+      .nbScore(noDocs, "id", "text", $"pos").count() == 0)
+    // overlap matrix: no sources → no pairs
+    val noSrc = Seq.empty[(Long, String, String)].toDF("id", "text", "src")
+    assert(graft.scale.TextAnalysis
+      .sourceOverlap(noSrc, "src", "text").count() == 0)
+    // funnel on no events: every step present with count 0
+    val noEv = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val f = graft.streaming.EventStream.funnel(noEv, Seq("view", "click"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(f == Seq((1L, "view", 0L), (2L, "click", 0L)))
+    // power iteration refuses an empty corpus loudly
+    val noVec = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      graft.scale.Similarity.powerIterationTop(noVec, "embedding"))
+  }
 }
