@@ -676,6 +676,10 @@ object ScaleQueries {
       Similarity.powerIterationTop(emb(s, d), "embedding", iters = 3)
         .orderBy("pos")),
 
+    // Whitening stats: per-dimension mean/std (stuck/biased-dim QA)
+    "emb_component_stats" -> ((s, d) =>
+      Similarity.componentStats(emb(s, d), "embedding").orderBy("pos")),
+
     "emb_quantize" -> ((s, d) =>
       emb(s, d)
         .withColumn("scale", Similarity.int8Scale(col("embedding")))
@@ -1842,6 +1846,23 @@ object ScaleQueries {
          |SELECT av.vec_id, av.cluster, (d.vec_id IS NULL) AS kept
          |FROM av LEFT JOIN drp d USING (vec_id)
          |ORDER BY av.vec_id""".stripMargin,
+
+    "emb_component_stats" ->
+      """WITH dim AS (SELECT unnest(range(1,
+        |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+        |pe AS (SELECT i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN dim),
+        |ag AS (SELECT pos, count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(27,9))) AS s,
+        |    sum(CAST(x * x AS DECIMAL(27,12))) AS sq
+        |  FROM pe GROUP BY 1)
+        |SELECT CAST(pos AS BIGINT) AS pos,
+        |  CAST(CAST(s AS DOUBLE) / n AS DECIMAL(18,6)) AS mean,
+        |  CAST(sqrt(greatest(0.0, CAST(sq AS DOUBLE) / n -
+        |    (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))
+        |    AS DECIMAL(18,6)) AS std,
+        |  n
+        |FROM ag ORDER BY pos""".stripMargin,
 
     "emb_pca_top" ->
       s"""WITH $pcaCtes

@@ -272,6 +272,31 @@ object Similarity {
     cents
   }
 
+  /** Per-dimension mean/std over the corpus — the whitening statistics an
+    * embedding pipeline computes before standardizing, and the QA signal
+    * for stuck dimensions (std ≈ 0) or biased dimensions (|mean| ≫ 0).
+    * One posexplode + groupBy over `dim` keys (map-side partials —
+    * scan-bound at any corpus size); sums are exact decimal arithmetic
+    * over per-element DECIMAL-quantized values (partition-order-stable,
+    * engine-portable), with mean/std finished in IEEE double and quantized
+    * DECIMAL(18,6). Returns (pos, mean, std, n), pos 1-based. */
+  def componentStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("pos"),
+        col("x").cast("double").as("x"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(27,9)")).as("s"),
+        sum((col("x") * col("x")).cast("decimal(27,12)")).as("sq"))
+      .select(col("pos"),
+        (col("s").cast("double") / col("n")).cast("decimal(18,6)").as("mean"),
+        sqrt(greatest(lit(0.0),
+          col("sq").cast("double") / col("n") -
+            (col("s").cast("double") / col("n")) *
+            (col("s").cast("double") / col("n"))))
+          .cast("decimal(18,6)").as("std"),
+        col("n"))
+
   /** Top principal direction of the (uncentered) embedding matrix by power
     * iteration: v ← normalize(Σ_rows (x·v)·x), `iters` rounds from the
     * deterministic seed v₀ = e₁ — the spectral probe an embedding-QA

@@ -484,6 +484,22 @@ class ScaleSpec extends SparkSpec {
     assert(pairs == Seq(("a", "😀", 2L), ("😀", "b", 2L)))
   }
 
+  test("component stats: exact mean/std per dimension, stuck dim reads 0") {
+    val df = Seq(
+      (1L, Seq(1.0f, 5.0f)),
+      (2L, Seq(3.0f, 5.0f)),
+      (3L, Seq(5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.componentStats(df, "embedding").orderBy("pos")
+      .select($"pos", $"mean".cast("double"), $"std".cast("double"), $"n")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    // dim 1: mean 3, std sqrt(8/3); dim 2 is stuck at 5 → std 0
+    assert(out.map(_._1) == Seq(1L, 2L))
+    assert(out(0)._2 == 3.0 && math.abs(out(0)._3 - math.sqrt(8.0 / 3)) < 1e-6)
+    assert(out(1)._2 == 5.0 && out(1)._3 == 0.0)
+    assert(out.forall(_._4 == 3L))
+  }
+
   test("power iteration finds the dominant axis, deterministic across runs") {
     // rows dominantly along (0.6, 0.8), plus one small off-axis row
     val df = Seq(
