@@ -185,6 +185,27 @@ object ScaleQueries {
           k = 16, bands = 4, jaccardThreshold = 0.9))
         .orderBy("id")),
 
+    // Quality-aware dedup survivor: per duplicate cluster keep the BEST
+    // document ((n_chars desc, id) total order — longest content wins, not
+    // min-id), via the skew-safe two-phase topPerGroup window; singletons
+    // survive as their own cluster
+    "dedup_best_survivor" -> ((s, d) => {
+      val dd = docsWithDups(s, d)
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashCandidates(dd, "doc_id", "text",
+          k = 16, bands = 4, jaccardThreshold = 0.9))
+      val withComp = dd
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+          "left_outer")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .select(col("doc_id"), col("component"),
+          length(col("text")).cast("long").as("n_chars"))
+      Sampling.topPerGroup(withComp, "component", col("doc_id"), 1,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+        .select("component", "doc_id", "n_chars")
+        .orderBy("component")
+    }),
+
     // SimHash (16-bit, MD5-nibble majority votes) — the codegen kernel:
     // one digest + one vote loop per token inside whole-stage codegen
     "dedup_simhash" -> ((s, d) =>
@@ -1265,6 +1286,18 @@ object ScaleQueries {
           |ORDER BY id_a, id_b""".stripMargin),
 
     "dedup_components" -> componentsWalkSql,
+
+    "dedup_best_survivor" ->
+      s"""WITH RECURSIVE $componentsWalkCtes,
+         |compx2 AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+         |j AS (SELECT u.id AS doc_id, coalesce(c.component, u.id) AS component,
+         |    CAST(length(u.text) AS BIGINT) AS n_chars
+         |  FROM u LEFT JOIN compx2 c ON u.id = c.id)
+         |SELECT component, doc_id, n_chars FROM (
+         |  SELECT component, doc_id, n_chars, row_number() OVER (
+         |    PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM j)
+         |WHERE rn = 1 ORDER BY component""".stripMargin,
 
     "samp_leakage_split" -> leakageSplitSql,
 

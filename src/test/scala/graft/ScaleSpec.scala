@@ -484,6 +484,28 @@ class ScaleSpec extends SparkSpec {
     assert(pairs == Seq(("a", "😀", 2L), ("😀", "b", 2L)))
   }
 
+  test("quality-aware survivor: the longest cluster member wins, not min-id") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),             // near-dup cluster {1, 2}
+      (2L, base + " extra"),  // longer — must win despite the larger id
+      (3L, "totally different unrelated content here")
+    ).toDF("doc_id", "text")
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashCandidates(docs, "doc_id", "text",
+        k = 16, bands = 4, jaccardThreshold = 0.9))
+    val withComp = docs
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+        "left_outer")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .select(col("doc_id"), col("component"),
+        length(col("text")).cast("long").as("n_chars"))
+    val surv = Sampling.topPerGroup(withComp, "component", col("doc_id"), 1,
+      Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("component", "doc_id").as[(Long, Long)].collect().toMap
+    assert(surv == Map(1L -> 2L, 3L -> 3L), surv) // doc 2 survives cluster 1
+  }
+
   test("component stats: exact mean/std per dimension, stuck dim reads 0") {
     val df = Seq(
       (1L, Seq(1.0f, 5.0f)),
