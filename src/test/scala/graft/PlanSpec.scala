@@ -140,6 +140,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("overlap matrix and funnel stay equi-join shaped — no cartesian") {
+    val ov = graft.scale.TextAnalysis.sourceOverlap(
+        Tables.load(spark, sfDir, "documents"), "source", "text")
+      .queryExecution.executedPlan.toString
+    assert(!ov.contains("CartesianProduct"), ov)
+    assert(!ov.contains("BroadcastNestedLoopJoin"), ov)
+    val fn = graft.streaming.EventStream.funnel(
+        Tables.load(spark, sfDir, "events"), Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert(!fn.contains("CartesianProduct"), fn)
+    assert(!fn.contains("BroadcastNestedLoopJoin"), fn)
+    // per-step slices reach the scan as pushed event_type filters
+    assert(fn.contains("EqualTo(event_type,view)"), fn)
+  }
+
+  test("component stats aggregate carries map-side partials (two-phase agg)") {
+    val p = graft.scale.Similarity.componentStats(
+        Tables.load(spark, sfDir, "embeddings"), "embedding")
+      .queryExecution.executedPlan.toString
+    // partial_ aggregate functions before the exchange = map-side combine
+    assert(p.contains("partial_"), p)
+  }
+
   test("no plan collects data to the driver mid-query") {
     // classification + decompose queries must not contain LocalTableScan of
     // collected data (constant lookup tables excepted — none used here)
