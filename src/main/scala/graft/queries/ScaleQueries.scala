@@ -206,6 +206,28 @@ object ScaleQueries {
         .orderBy("component")
     }),
 
+    // Dedup report: duplicate-cluster size histogram (how much of the
+    // corpus is duplicated, at what multiplicity) — constant output rows
+    // at any corpus size; singletons counted via the anti-joined remainder
+    "dedup_cluster_stats" -> ((s, d) => {
+      val dd = docsWithDups(s, d)
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashCandidates(dd, "doc_id", "text",
+          k = 16, bands = 4, jaccardThreshold = 0.9))
+      val clustered = labels.groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"))
+      val nSingle = dd.join(labels.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(lit(1L).as("cluster_size"), col("n_clusters"))
+      clustered.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .unionByName(nSingle)
+        .groupBy("cluster_size")
+        .agg(sum(col("n_clusters")).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // SimHash (16-bit, MD5-nibble majority votes) — the codegen kernel:
     // one digest + one vote loop per token inside whole-stage codegen
     "dedup_simhash" -> ((s, d) =>
@@ -1286,6 +1308,19 @@ object ScaleQueries {
           |ORDER BY id_a, id_b""".stripMargin),
 
     "dedup_components" -> componentsWalkSql,
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $componentsWalkCtes,
+         |compx2 AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+         |cl AS (SELECT component, count(*) AS cluster_size FROM compx2
+         |  GROUP BY 1),
+         |hist AS (SELECT cluster_size, count(*) AS n_clusters FROM cl
+         |  GROUP BY 1
+         |  UNION ALL
+         |  SELECT 1 AS cluster_size, count(*) AS n_clusters FROM u
+         |  WHERE u.id NOT IN (SELECT id FROM compx2))
+         |SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+         |FROM hist GROUP BY 1 ORDER BY cluster_size""".stripMargin,
 
     "dedup_best_survivor" ->
       s"""WITH RECURSIVE $componentsWalkCtes,

@@ -506,6 +506,30 @@ class ScaleSpec extends SparkSpec {
     assert(surv == Map(1L -> 2L, 3L -> 3L), surv) // doc 2 survives cluster 1
   }
 
+  test("cluster-size histogram counts singletons via the anti-join path") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"),                    // cluster of 2
+      (3L, "totally different unrelated content here")      // singleton
+    ).toDF("doc_id", "text")
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashCandidates(docs, "doc_id", "text",
+        k = 16, bands = 4, jaccardThreshold = 0.9))
+    val clustered = labels.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    val nSingle = docs.join(labels.withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    val hist = clustered.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .unionByName(nSingle)
+      .groupBy("cluster_size")
+      .agg(sum(col("n_clusters")).as("n_clusters"))
+      .as[(Long, Long)].collect().toMap
+    assert(hist == Map(1L -> 1L, 2L -> 1L), hist)
+  }
+
   test("component stats: exact mean/std per dimension, stuck dim reads 0") {
     val df = Seq(
       (1L, Seq(1.0f, 5.0f)),
