@@ -434,6 +434,20 @@ object ScaleQueries {
         col("source").isin("src0", "src1", "src2"), vocab = 512)
         .orderBy("doc_id")),
 
+    // Incremental NB training: per-batch counts merged into state, then
+    // finalized — must equal retraining on the full corpus (the oracle IS
+    // the full-corpus model, proving finalize∘merge = retrain)
+    "nb_incr_model" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pos = col("source").isin("src0", "src1", "src2")
+      val state = TextAnalysis.nbCounts(dd.filter(col("doc_id") < 250),
+        "text", pos)
+      val batch = TextAnalysis.nbCounts(dd.filter(col("doc_id") >= 250),
+        "text", pos)
+      TextAnalysis.nbFromCounts(TextAnalysis.nbMergeCounts(state, batch),
+        vocab = 512).orderBy("token")
+    }),
+
     // DSIR importance weights: how target-like (here: English-distributed)
     // each doc's hashed-token profile is — bucket-ratio model built in one
     // bounded agg, scoring zero-shuffle (Sampling.importanceWeights)
@@ -1613,6 +1627,12 @@ object ScaleQueries {
          |ORDER BY source_a, source_b""".stripMargin,
 
     "nb_quality_model" ->
+      s"""$nbModelCte
+         |SELECT token, logp_pos, logp_neg FROM m ORDER BY token""".stripMargin,
+
+    // incremental train == full retrain: the oracle is the SAME full-corpus
+    // model the batch query trains against
+    "nb_incr_model" ->
       s"""$nbModelCte
          |SELECT token, logp_pos, logp_neg FROM m ORDER BY token""".stripMargin,
 

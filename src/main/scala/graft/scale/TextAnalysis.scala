@@ -692,14 +692,37 @@ object TextAnalysis {
     * broadcast for the in-vocab totals. The model is `vocab` rows —
     * broadcastable by construction. */
   def nbTrain(docs: DataFrame, textCol: String, isPositive: Column,
-      vocab: Int = 512): DataFrame = {
-    require(vocab > 0, s"vocab must be positive: $vocab")
-    val counts = docs
+      vocab: Int = 512): DataFrame =
+    nbFromCounts(nbCounts(docs, textCol, isPositive), vocab)
+
+  /** Per-class token counts — the MERGEABLE sufficient statistic behind
+    * [[nbTrain]]: counts are additive, so a growing corpus trains
+    * incrementally by [[nbMergeCounts]]-ing each batch's counts into the
+    * persisted state and re-finalizing with [[nbFromCounts]] — no re-scan
+    * of history, the same state-plus-batch shape as the incremental dedup
+    * family. One explode+groupBy(token) with map-side partials. */
+  def nbCounts(docs: DataFrame, textCol: String, isPositive: Column): DataFrame =
+    docs
       .select(isPositive.as("__pos"),
         explode(tokens(lower(col(textCol)))).as("token"))
       .groupBy("token")
       .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
         sum(when(col("__pos"), 0L).otherwise(1L)).as("c_neg"))
+
+  /** Merge two [[nbCounts]] states (token-keyed sum — one shuffle on the
+    * vocabulary-sized frames, never on documents). */
+  def nbMergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("token")
+      .agg(sum("c_pos").as("c_pos"), sum("c_neg").as("c_neg"))
+
+  /** Finalize a counts state into the likelihood model: top-`vocab` tokens
+    * under the (count desc, token) TOTAL order, add-1 log likelihoods
+    * quantized DECIMAL(18,6). Because counts are additive and the vocab
+    * order is a function of the counts alone, finalize(merge(batches)) is
+    * IDENTICAL to retraining on the concatenated corpus. */
+  def nbFromCounts(counts: DataFrame, vocab: Int): DataFrame = {
+    require(vocab > 0, s"vocab must be positive: $vocab")
     val top = counts
       .orderBy((col("c_pos") + col("c_neg")).desc, col("token").asc)
       .limit(vocab)

@@ -380,6 +380,36 @@ class SamplingAndRepetitionSpec extends SparkSpec {
       TextAnalysis.nbTrain(docs, "text", $"pos", vocab = 0))
   }
 
+  test("incremental NB: finalize(merge(batches)) equals full retrain") {
+    val docs = Seq(
+      (1L, "good clean prose text", true),
+      (2L, "clean good text prose", true),
+      (3L, "spam junk noise junk", false),
+      (4L, "noise spam junk spam", false),
+      (5L, "good clean", false),
+      (6L, "spam noise", true)
+    ).toDF("id", "text", "pos")
+    def model(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("token").as[(String, BigDecimal, BigDecimal)].collect().toSeq
+    val full = model(TextAnalysis.nbTrain(docs, "text", $"pos", vocab = 7))
+    // any batch split must converge to the identical model
+    val merged = TextAnalysis.nbFromCounts(
+      TextAnalysis.nbMergeCounts(
+        TextAnalysis.nbCounts(docs.filter($"id" <= 2), "text", $"pos"),
+        TextAnalysis.nbCounts(docs.filter($"id" > 2), "text", $"pos")),
+      vocab = 7)
+    assert(model(merged) == full)
+    // a three-way fold converges too
+    val three = TextAnalysis.nbFromCounts(
+      TextAnalysis.nbMergeCounts(
+        TextAnalysis.nbMergeCounts(
+          TextAnalysis.nbCounts(docs.filter($"id" <= 1), "text", $"pos"),
+          TextAnalysis.nbCounts(docs.filter($"id" === 2), "text", $"pos")),
+        TextAnalysis.nbCounts(docs.filter($"id" > 2), "text", $"pos")),
+      vocab = 7)
+    assert(model(three) == full)
+  }
+
   test("charEntropy: 0 for constant text, log2(k) for uniform k chars") {
     val df = Seq(
       (1L, "aaaa"),         // one symbol -> 0 bits
