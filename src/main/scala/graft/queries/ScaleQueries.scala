@@ -168,7 +168,10 @@ object ScaleQueries {
     // merges with the batch's new pairs — must equal batch-at-once CC
     "dedup_incr_components" -> ((s, d) => {
       val dd = docs(s, d).select("doc_id", "text")
-      val state = Dedup.minhashState(dd, "doc_id", "text", 16, 3)
+      // the state frame feeds BOTH the history clustering and the batch
+      // join — cache it so the shingle+signature lineage runs once (the
+      // ContextCleaner reclaims the blocks once the plan is dereferenced)
+      val state = Dedup.minhashState(dd, "doc_id", "text", 16, 3).cache()
       val oldLabels = Dedup.connectedComponents(
         Dedup.minhashCandidatesFromState(state, 16, 4, 0.9))
       val batch = dd.withColumn("doc_id", col("doc_id") + 10000)
