@@ -286,6 +286,27 @@ object ScaleQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // ANN index QA: recall of the IVF index against brute-force ground
+    // truth per query — the metric that decides whether a cell layout is
+    // usable before committing a 100 TB index build
+    "ann_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", "label", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      bf.join(ivf.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          (col("n_hit").cast("double") / col("k"))
+            .cast("decimal(18,6)").as("recall"))
+        .orderBy("query_id")
+    }),
+
     // Two-stage ANN: 8-dim random-projection prefilter (top-30 candidates)
     // + exact cosine rerank (top-10) — the dims/projDims cost cut with
     // tunable recall
@@ -1391,6 +1412,31 @@ object ScaleQueries {
          |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
          |  FROM q, c WHERE query_id != neighbor_id)
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label
+         |  FROM embeddings),
+         |bf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
+         |  FROM q, c WHERE query_id != neighbor_id)
+         |  WHERE rnk <= 10),
+         |iv AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
+         |  FROM q JOIN c ON q.label = c.label
+         |  WHERE query_id != neighbor_id)
+         |  WHERE rnk <= 10)
+         |SELECT bf.query_id,
+         |  CAST(count(iv.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(CAST(count(iv.neighbor_id) AS DOUBLE) / count(*)
+         |    AS DECIMAL(18,6)) AS recall
+         |FROM bf LEFT JOIN iv USING (query_id, neighbor_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label
