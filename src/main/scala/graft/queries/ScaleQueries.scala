@@ -661,6 +661,18 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer QA: the trained BPE must be LOSSLESS — concatenating each
+    // word's subwords reconstructs the word, for every vocabulary word
+    "bpe_roundtrip" -> ((s, d) => {
+      val m = TextAnalysis.bpeTrain(docs(s, d), "text", 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncodeWords(docs(s, d), "text", m)
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(replace(col("enc"), lit(" "), lit("")) === col("w"), 0L)
+            .otherwise(1L)).as("n_mismatched"))
+    }),
+
     // Token-budget shard packing: cut the doc_id-ordered corpus into
     // ~1000-token training shards (running-sum window)
     "pack_token_budget" -> ((s, d) =>
@@ -1861,6 +1873,13 @@ object ScaleQueries {
     "bpe_merges" -> bpeMergesSql,
 
     "bpe_encode" -> bpeEncodeSql,
+
+    "bpe_roundtrip" ->
+      s"""WITH $bpeEncodeCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(CASE WHEN array_to_string(sy, '') = w THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_mismatched
+         |FROM wenc""".stripMargin,
 
     "bpe_fertility" -> bpeFertilitySql,
 

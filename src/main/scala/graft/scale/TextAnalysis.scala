@@ -390,7 +390,11 @@ object TextAnalysis {
     * broadcasts it when small) and a single per-doc aggregation emits
     * counts plus an order-exact MD5 of the joined symbol stream. Corpus
     * cost: one explode + one join + one agg, independent of merge count. */
-  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+  /** Per-WORD BPE encoding over the corpus' distinct-word vocabulary:
+    * (w, enc, n_syms) with `enc` the space-joined subword sequence. The
+    * merge fold runs on the vocabulary only — the corpus is never
+    * re-scanned per merge. */
+  def bpeEncodeWords(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val d1 = "\u0001"
     val d2 = "\u0002"
@@ -403,9 +407,14 @@ object TextAnalysis {
     }
     // strip the outer delimiters, then cell boundary d2+d1 -> space
     val body = folded.substr(lit(2), length(folded) - 2)
-    val wordEnc = words.select(col("w"),
+    words.select(col("w"),
       replace(body, lit(d2 + d1), lit(" ")).as("enc"),
       size(split(body, d2 + d1)).as("n_syms"))
+  }
+
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wordEnc = bpeEncodeWords(df, textCol, merges)
     val toks = df.select(col(idCol).as("doc_id"),
       posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "w")))
     val perDoc = toks.join(wordEnc, "w")
