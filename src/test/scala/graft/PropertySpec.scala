@@ -158,3 +158,34 @@ object IncrementalDedupProps extends Properties("IncrementalDedup") {
       folded == whole
     }
 }
+
+object FunnelProps extends Properties("Funnel") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  // random event streams over a small user/type pool
+  private val eventsGen: Gen[List[(Long, Int, Long, String)]] =
+    Gen.choose(1, 25).flatMap { n =>
+      Gen.listOfN(n, for {
+        user <- Gen.choose(1L, 4L)
+        tpe <- Gen.oneOf("view", "click", "purchase")
+        t <- Gen.choose(0, 59)
+      } yield (user, t, tpe)).map(_.zipWithIndex.map {
+        case ((u, t, tp), i) => (i.toLong, t, u, tp)
+      })
+    }
+
+  property("step counts are monotone non-increasing and order-insensitive") =
+    forAll(eventsGen) { evs =>
+      val df = evs.map { case (id, t, u, tp) =>
+        (id, java.sql.Timestamp.valueOf(f"2024-01-01 00:$t%02d:00"), u, tp)
+      }.toDF("event_id", "ts", "user_id", "event_type")
+      val out = graft.streaming.EventStream
+        .funnel(df, Seq("view", "click", "purchase"))
+        .as[(Long, String, Long)].collect().toSeq.sortBy(_._1).map(_._3)
+      val shuffled = graft.streaming.EventStream
+        .funnel(df.orderBy($"event_type"), Seq("view", "click", "purchase"))
+        .as[(Long, String, Long)].collect().toSeq.sortBy(_._1).map(_._3)
+      out.zip(out.tail).forall { case (a, b) => a >= b } && out == shuffled
+    }
+}
