@@ -683,6 +683,13 @@ object CoreQueries {
         .orderBy("cohort_day", "age_days")
     }),
 
+    // Ingestion-health monitor: daily per-type counts flagged against the
+    // trailing-7-day baseline with an integer-exact 3σ test (no float
+    // mean/stddev at the decision boundary — bit-stable across engines)
+    "ev_anomaly" -> ((s, d) =>
+      EventStream.anomalousDays(t(s, d, "events"), window = 7, minPrior = 3)
+        .orderBy("event_type", "day")),
+
     // §2.10 extension: custom per-key state via flatMapGroupsWithState
     // (batch run of the stateful sessionizer — only CLOSED sessions emit;
     // each user's final open session stays in state, so the oracle is the
@@ -1128,6 +1135,23 @@ object CoreQueries {
         |  count(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n_events FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n_events,
+        |    count(*) OVER win AS base_days,
+        |    sum(n_events) OVER win AS s,
+        |    sum(n_events * n_events) OVER win AS q
+        |  FROM daily WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+        |  base_days,
+        |  CAST(CASE WHEN base_days >= 3
+        |      AND (base_days * n_events - s) * (base_days * n_events - s)
+        |        > 9 * (base_days * q - s * s)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM w ORDER BY event_type, day""".stripMargin,
 
     "st_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -472,6 +472,29 @@ object ScaleQueries {
         vocab = 512).orderBy("token")
     }),
 
+    // NB calibration: reliability diagram over fixed probability bins —
+    // mean predicted (sum_pred/n_docs) vs actual (n_pos/n_docs) per bin is
+    // the calibration gap of the quality filter; division-free output
+    "nb_calibration" -> ((s, d) =>
+      TextAnalysis.nbCalibration(docs(s, d), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2"), vocab = 512, bins = 10)
+        .orderBy("bin")),
+
+    // Language-temperature resample (α = 0.3): common languages
+    // downsampled toward p^α, rarest kept in full — deterministic id-hash
+    // selection against driver-computed per-language basis points
+    "samp_temperature" -> ((s, d) =>
+      Sampling.temperatureSample(docs(s, d), "lang", "doc_id",
+        alphaBp = 3000)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Inverted-index posting lists: top-50 terms by document frequency
+    // with capped (first-20) containing-doc lists — skew-safe per-term cap
+    "tx_postings" -> ((s, d) =>
+      TextAnalysis.postings(docs(s, d), "doc_id", "text",
+        topTerms = 50, cap = 20)
+        .orderBy(col("df").desc, col("token"))),
+
     // DSIR importance weights: how target-like (here: English-distributed)
     // each doc's hashed-token profile is — bucket-ratio model built in one
     // bounded agg, scoring zero-shuffle (Sampling.importanceWeights)
@@ -1712,6 +1735,57 @@ object ScaleQueries {
          |SELECT doc_id, score,
          |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "nb_calibration" ->
+      s"""$nbModelCte,
+         |pr AS (SELECT CAST(ln(
+         |    (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0) /
+         |    (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0))
+         |  AS DECIMAL(18,6)) AS prior FROM lab),
+         |dl AS (SELECT tok.doc_id, sum(m.logp_pos - m.logp_neg) AS delta
+         |  FROM tok JOIN m USING (token) GROUP BY 1),
+         |sc AS (SELECT d.doc_id,
+         |    CAST(coalesce(dl.delta, 0) + pr.prior AS DECIMAL(18,6)) AS score,
+         |    (d.source IN ('src0', 'src1', 'src2')) AS pos
+         |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+         |  CROSS JOIN pr),
+         |p AS (SELECT pos, CAST(1.0 / (1.0 + exp(-CAST(score AS DOUBLE)))
+         |    AS DECIMAL(18,6)) AS p6 FROM sc)
+         |SELECT least(CAST(floor(p6 * 10) AS BIGINT), 9) AS bin,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(sum(p6) AS DECIMAL(18,6)) AS sum_pred
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "samp_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        |t AS (SELECT sum(c) AS n FROM c),
+        |r AS (SELECT lang, CAST(pow(c * 1.0 / n,
+        |    (3000 - 10000) / 10000.0) AS DECIMAL(18,6)) AS r6 FROM c, t),
+        |m AS (SELECT max(r6) AS mx FROM r),
+        |k AS (SELECT lang, CAST(round(10000.0 * CAST(r6 AS DOUBLE)
+        |    / CAST(mx AS DOUBLE)) AS BIGINT) AS keep_bp FROM r, m)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN k USING (lang)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 10000 < k.keep_bp
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "tx_postings" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToksAll) AS token
+         |  FROM documents),
+         |td AS (SELECT token, doc_id, count(*) AS n_occ FROM tok
+         |  GROUP BY 1, 2),
+         |st AS (SELECT token, count(*) AS df,
+         |    CAST(sum(n_occ) AS BIGINT) AS cf FROM td GROUP BY 1),
+         |top AS (SELECT * FROM st ORDER BY df DESC, token LIMIT 50),
+         |td2 AS (SELECT token, doc_id, row_number() OVER (
+         |    PARTITION BY token ORDER BY doc_id) AS rn FROM td),
+         |p AS (SELECT token, string_agg(CAST(doc_id AS VARCHAR), ','
+         |    ORDER BY doc_id) AS postings FROM td2 WHERE rn <= 20
+         |  GROUP BY 1)
+         |SELECT t.token, t.df, t.cf, p.postings
+         |FROM top t JOIN p USING (token)
+         |ORDER BY t.df DESC, t.token""".stripMargin,
 
     "dsir_weights" ->
       s"""$dsirWeightsCte

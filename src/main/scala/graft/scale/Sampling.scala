@@ -241,6 +241,50 @@ object Sampling {
       .limit(k)
   }
 
+  /** Language-temperature resampling (the multilingual-corpus rebalance of
+    * XLM-R / mBERT: Conneau et al., "Unsupervised Cross-lingual
+    * Representation Learning at Scale", 2020 §3): groups are sampled with
+    * probability ∝ p^α (α = `alphaBp`/10000 < 1 flattens the distribution),
+    * which per ROW means a keep rate ∝ p^(α−1), scaled so the rarest group
+    * is kept in full — common languages are downsampled, rare ones
+    * preserved. Selection reuses the engine-portable id-hash bucket, so
+    * temperature mixes compose with splits and dedup reproducibly.
+    *
+    * 100 TB shape: one count-by-group aggregate whose result is bounded by
+    * the number of GROUPS (languages/sources — this is for low-cardinality
+    * group columns, same bounded-model contract as the k-means centroid
+    * collect), then a zero-shuffle per-row hash filter against a literal
+    * rate map. Determinism: the only transcendental (pow) is quantized
+    * HALF_UP at 6 decimals driver-side — exactly Spark's and DuckDB's
+    * double→DECIMAL rounding — before the rates are normalized, so an
+    * external engine recomputes the identical basis-point thresholds. */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      alphaBp: Int): DataFrame = {
+    require(alphaBp > 0 && alphaBp <= 10000,
+      s"alphaBp must be in (0, 10000]: $alphaBp")
+    // α−1 computed as ONE integer-sourced division so an external engine
+    // reproduces the identical double (alphaBp/1e4 − 1.0 rounds twice)
+    val expo = (alphaBp - 10000).toDouble / 10000.0
+    val counts = df.groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df.filter(lit(false))
+    val n = counts.values.sum.toDouble
+    val r6 = counts.map { case (g, c) =>
+      g -> BigDecimal(math.pow(c.toDouble / n, expo))
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    }
+    val mx = r6.values.max
+    // exact-decimal → double division is one IEEE op on both engines; the
+    // rarest group lands exactly at 10000 (r6 == mx)
+    val keepBp = r6.map { case (g, r) =>
+      g -> math.round(10000.0 * r.toDouble / mx.toDouble)
+    }
+    val rateMap = map(keepBp.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    df.filter(hashBucket(col(idCol)) < rateMap(col(groupCol).cast("string")))
+  }
+
   /** Scale-path quantile bucketing: assign each row a bucket 1..n by
     * comparing `valueCol` against percentile_approx cut-points — a single
     * fixed-size-sketch aggregation plus a zero-shuffle per-row comparison

@@ -777,4 +777,72 @@ object TextAnalysis {
       .withColumn("predicted",
         when(col("score") > 0, 1L).otherwise(0L))
   }
+
+  /** Reliability diagram for a [[nbScore]] classifier — the standard
+    * calibration QA before a learned quality filter gates a corpus
+    * (a filter that says "0.9" should be right ~90% of the time; NB is
+    * famously over-confident and this table is how you SEE it). Scores map
+    * to probabilities via the logistic sigmoid, land in `bins` fixed-width
+    * probability bins, and each bin reports volume, actual positives, and
+    * the exact-decimal sum of predicted probabilities (mean predicted vs
+    * `n_pos`/`n_docs` is the calibration gap; Σp keeps the output
+    * division-free so it stays bit-stable across engines).
+    *
+    * 100 TB shape: scoring is [[nbScore]]'s broadcast-join scan; the
+    * diagram itself is one `bins`-row aggregate with map-side partials.
+    * Determinism: sigmoid (the one transcendental) is quantized HALF_UP at
+    * 6 decimals — the scores it sees are already exact decimals, so both
+    * engines feed identical doubles to exp — and binning/summation happen
+    * on the quantized value only. */
+  def nbCalibration(docs: DataFrame, idCol: String, textCol: String,
+      isPositive: Column, vocab: Int = 512, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins out of range: $bins")
+    val scored = nbScore(docs, idCol, textCol, isPositive, vocab)
+      .join(docs.select(col(idCol), isPositive.as("__pos")), Seq(idCol))
+    val p6 = (lit(1.0) / (lit(1.0) + exp(-col("score").cast("double"))))
+      .cast("decimal(18,6)")
+    scored
+      .withColumn("__p", p6)
+      // exact decimal × int, exact floor; p = 1.0 folds into the top bin
+      .withColumn("bin", least(floor(col("__p") * bins), lit(bins - 1))
+        .cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__p")).cast("decimal(18,6)").as("sum_pred"))
+  }
+
+  /** Capped inverted-index posting lists — the retrieval-side artifact of a
+    * training-data pipeline (BM25 retrieval, contamination lookup, corpus
+    * search all start here): for the `topTerms` highest-document-frequency
+    * terms, the document frequency, total occurrence count, and the first
+    * `cap` containing doc ids (ascending, comma-joined so the artifact is
+    * an engine-portable scalar column).
+    *
+    * 100 TB shape: one explode + (token, doc) pre-aggregation — map-side
+    * partials absorb within-doc repeats — then the per-token doc cap runs
+    * through the skew-safe salted [[Sampling.topPerGroup]] (a stopword's
+    * posting list is corpus-sized; no single task ever sorts one), and
+    * only ≤ `cap` doc ids per term are ever collected. Term selection is
+    * `TakeOrderedAndProject` under the (df desc, token) total order — no
+    * global sort. */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+      topTerms: Int = 50, cap: Int = 20): DataFrame = {
+    require(topTerms > 0 && cap > 0, s"topTerms/cap must be positive")
+    val td = docs
+      .select(col(idCol).as("doc"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token", "doc").agg(count(lit(1)).as("n_occ"))
+    val stats = td.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("n_occ").as("cf"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(topTerms)
+    val capped = Sampling.topPerGroup(td.select("token", "doc"),
+        "token", col("doc"), cap, Seq(col("doc").asc))
+      .groupBy("token")
+      .agg(array_join(transform(array_sort(collect_list(col("doc"))),
+        _.cast("string")), ",").as("postings"))
+    stats.join(capped, Seq("token"))
+      .select(col("token"), col("df"), col("cf"), col("postings"))
+  }
 }

@@ -88,6 +88,47 @@ object EventStream {
         col("dau"), col("wau"))
   }
 
+  /** Daily-volume anomaly flags per event type — the pipeline-health monitor
+    * every ingestion stream needs (a tracking bug or bot flood shows up as a
+    * day whose count sits far outside its trailing baseline). Each
+    * (event_type, day) count is compared against the trailing `window`
+    * OBSERVED days' (a ROWS frame — calendar gaps don't thin the baseline)
+    * mean and variance; a day is anomalous when |count − mean| > 3σ and at
+    * least `minPrior` baseline days exist.
+    *
+    * The 3σ test is evaluated in EXACT integer arithmetic — with baseline
+    * n, Σ, Q = Σc², the test (c − Σ/n)² > 9·(nQ − Σ²)/n² clears
+    * denominators to (nc − Σ)² > 9(nQ − Σ²) — so the flag is bit-stable
+    * across engines (no float mean/stddev at the decision boundary). Longs
+    * hold it through ~10⁸ events/day/type; beyond that, widen to decimal.
+    *
+    * 100 TB shape: the raw event volume is touched exactly once by the
+    * (type, day) count — everything after runs on ~|types|·|days| rows, and
+    * the trailing window partitions by event_type (many small independent
+    * windows, never a global sort). */
+  def anomalousDays(events: DataFrame, window: Int = 7,
+      minPrior: Int = 3): DataFrame = {
+    require(window > 0 && minPrior > 0 && minPrior <= window,
+      s"need 0 < minPrior <= window: $minPrior/$window")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-window, -1)
+    val n = count(lit(1)).over(w)
+    val s = sum(col("n_events")).over(w)
+    val q = sum(col("n_events") * col("n_events")).over(w)
+    val dev = n * col("n_events") - s
+    daily
+      .withColumn("base_days", n)
+      .withColumn("is_anomaly",
+        when(n >= minPrior && dev * dev > lit(9L) * (n * q - s * s), 1L)
+          .otherwise(0L))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("base_days"), col("is_anomaly"))
+  }
+
   /** Top session paths: the first `maxLen` event types of each
     * gap-sessionized session, joined with '>', ranked by frequency (ties
     * broken by path — a total order, so the top-k is engine-stable).

@@ -163,6 +163,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("temperature sample is a zero-exchange per-row filter") {
+    // the language model rides as a literal map; the data path must stay
+    // an embarrassingly parallel scan (model-building agg runs beforehand)
+    val p = graft.scale.Sampling.temperatureSample(
+        Tables.load(spark, sfDir, "documents"), "lang", "doc_id", 3000)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("postings cap is the salted two-phase window; term top-k is bounded") {
+    val p = graft.scale.TextAnalysis.postings(
+        Tables.load(spark, sfDir, "documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the per-term doc cap must keep its salt (a stopword's corpus-sized
+    // posting list would otherwise sort in one task)
+    assert(p.contains("__salt"), p)
+    // term selection plans as top-k, not a global sort of the vocabulary
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("event anomaly window partitions by type and pre-reduces the volume") {
+    val p = graft.streaming.EventStream.anomalousDays(
+        Tables.load(spark, sfDir, "events"))
+      .queryExecution.executedPlan.toString
+    // every window spec carries the event_type partition key
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach(s =>
+      assert(s.contains("event_type#"), s"unpartitioned window: $s\n$p"))
+    // the raw event volume reduces through a partial count first
+    assert(p.contains("partial_"), p)
+  }
+
   test("no plan collects data to the driver mid-query") {
     // classification + decompose queries must not contain LocalTableScan of
     // collected data (constant lookup tables excepted — none used here)

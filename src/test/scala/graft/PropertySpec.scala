@@ -159,6 +159,32 @@ object IncrementalDedupProps extends Properties("IncrementalDedup") {
     }
 }
 
+object TemperatureProps extends Properties("TemperatureSample") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val corpusGen: Gen[List[(Long, String)]] =
+    Gen.choose(2, 4).flatMap { g =>
+      Gen.listOfN(g, Gen.choose(1, 40)).map { sizes =>
+        sizes.zipWithIndex.flatMap { case (n, gi) =>
+          (1 to n).map(i => ((gi * 1000 + i).toLong, s"g$gi"))
+        }
+      }
+    }
+
+  property("kept set grows monotonically with alpha; alpha=1 keeps all") =
+    forAll(corpusGen, Gen.choose(1, 9), Gen.choose(1, 9)) { (rows, a, b) =>
+      val df = rows.toDF("id", "g")
+      def keep(alphaBp: Int): Set[Long] =
+        graft.scale.Sampling.temperatureSample(df, "g", "id", alphaBp)
+          .select("id").as[Long].collect().toSet
+      val (lo, hi) = (math.min(a, b) * 1000, math.max(a, b) * 1000)
+      // flattening harder (smaller alpha) can only DROP docs of common
+      // groups, never add: keep rates are monotone in alpha per group
+      keep(lo).subsetOf(keep(hi)) && keep(10000).size == rows.size
+    }
+}
+
 object FunnelProps extends Properties("Funnel") {
   private lazy val spark = SparkSpec.session
   import spark.implicits._

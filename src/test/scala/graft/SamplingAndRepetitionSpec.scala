@@ -410,6 +410,64 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(model(three) == full)
   }
 
+  test("temperatureSample: rarest group kept in full, common downsampled") {
+    // 1000 'big' vs 50 'rare' — at alpha=0.3 the rare group's keep rate is
+    // the 10000-bp ceiling while big is cut toward (50/1000)^0.7 of it
+    val df = ((1L to 1000L).map(i => (i, "big")) ++
+      (2001L to 2050L).map(i => (i, "rare"))).toDF("id", "g")
+    val kept = Sampling.temperatureSample(df, "g", "id", alphaBp = 3000)
+      .as[(Long, String)].collect()
+    val byG = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byG("rare") == 50) // keep_bp == 10000 exactly for the rarest
+    // expected big rate = (1000/1050)^-0.7 / (50/1050)^-0.7 = (50/1000)^0.7
+    val expBig = 1000 * math.pow(0.05, 0.7)
+    assert(math.abs(byG("big") - expBig) < 60)
+    // alpha = 1 is a no-op: p^0 = 1 for every group
+    assert(Sampling.temperatureSample(df, "g", "id", 10000).count() == 1050)
+    // reproducible
+    val again = Sampling.temperatureSample(df, "g", "id", alphaBp = 3000)
+      .as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)
+    intercept[IllegalArgumentException](
+      Sampling.temperatureSample(df, "g", "id", 0))
+  }
+
+  test("postings: df/cf/cap semantics on a known tiny corpus") {
+    val df = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha gamma"),
+      (3L, "beta alpha beta")
+    ).toDF("id", "text")
+    val out = TextAnalysis.postings(df, "id", "text", topTerms = 2, cap = 2)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // alpha: in all 3 docs, 4 occurrences; beta: 2 docs, 3 occurrences
+    assert(out("alpha") == ((3L, 4L, "1,2"))) // capped at first 2 doc ids
+    assert(out("beta") == ((2L, 3L, "1,3")))
+    assert(out.size == 2) // gamma (df=1) falls outside topTerms=2
+  }
+
+  test("nbCalibration: bins partition the corpus, counts and sums consistent") {
+    val docs = (1L to 40L).map { i =>
+      val pos = i % 2 == 0
+      (i, if (pos) "good clean curated prose" else "spam junk noise blob", pos)
+    }.toDF("id", "text", "pos")
+    val cal = TextAnalysis.nbCalibration(docs, "id", "text", $"pos",
+      vocab = 16, bins = 10)
+      .as[(Long, Long, Long, BigDecimal)].collect()
+    assert(cal.map(_._2).sum == 40) // every doc in exactly one bin
+    assert(cal.map(_._3).sum == 20) // all positives accounted for
+    cal.foreach { case (bin, n, np, sp) =>
+      assert(bin >= 0 && bin <= 9 && np <= n)
+      // sum of per-doc probabilities stays inside the bin's range bounds
+      assert(sp >= BigDecimal(bin) * n / 10 - 1 &&
+        sp <= BigDecimal(bin + 1) * n / 10 + 1)
+    }
+    // a perfectly separable corpus is confidently right at both ends
+    val lo = cal.filter(_._1 <= 4); val hi = cal.filter(_._1 >= 5)
+    assert(lo.map(_._3).sum == 0 && hi.map(_._3).sum == hi.map(_._2).sum)
+  }
+
   test("charEntropy: 0 for constant text, log2(k) for uniform k chars") {
     val df = Seq(
       (1L, "aaaa"),         // one symbol -> 0 bits

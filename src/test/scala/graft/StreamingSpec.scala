@@ -204,4 +204,29 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(top1 == Seq(("a>b>c", 2L)))
   }
+
+  test("anomalousDays: 3-sigma spike flagged, stable days and cold start not") {
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // type 'a': days 1-7 have 10 events each, day 8 spikes to 100;
+    // type 'b': constant 5/day — never anomalous (variance 0, count equal)
+    val rows =
+      (1 to 7).flatMap(d => (1 to 10).map(i =>
+        (d * 100L + i, day(d), i.toLong, "a"))) ++
+      (1 to 100).map(i => (800L + i, day(8), i.toLong, "a")) ++
+      (1 to 8).flatMap(d => (1 to 5).map(i =>
+        (9000L + d * 10 + i, day(d), i.toLong, "b")))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventStream.anomalousDays(df, window = 7, minPrior = 3)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out(("a", "2024-01-08")) == ((100L, 7L, 1L))) // the spike
+    // stable days: zero variance, zero deviation -> strict > fails -> clean
+    assert((1 to 8).forall(d => out(("b", f"2024-01-$d%02d"))._3 == 0L))
+    // cold start: days 1-3 of 'a' have < minPrior baseline days
+    assert((1 to 3).forall(d => out(("a", f"2024-01-0$d"))._3 == 0L))
+    // an in-baseline day with the same count as its history is clean
+    assert(out(("a", "2024-01-07")) == ((10L, 6L, 0L)))
+    intercept[IllegalArgumentException](
+      EventStream.anomalousDays(df, window = 2, minPrior = 3))
+  }
 }
