@@ -495,6 +495,27 @@ object ScaleQueries {
         topTerms = 50, cap = 20)
         .orderBy(col("df").desc, col("token"))),
 
+    // Incremental index maintenance: per-batch postings states merged,
+    // then finalized — the oracle is the full-corpus index, proving
+    // finalize(merge(batches)) == retrain exactly
+    "tx_postings_incr" -> ((s, d) => {
+      val dd = docs(s, d)
+      val a = TextAnalysis.postingsState(
+        dd.filter(col("doc_id") < 250), "doc_id", "text")
+      val b = TextAnalysis.postingsState(
+        dd.filter(col("doc_id") >= 250), "doc_id", "text")
+      TextAnalysis.postingsTop(TextAnalysis.postingsMerge(a, b),
+          topTerms = 50)
+        .orderBy(col("df").desc, col("token"))
+    }),
+
+    // BM25 retrieval: top-20 docs for a literal query (one term absent
+    // from the corpus — it must contribute nothing); broadcast term
+    // stats, zero-shuffle scoring scan, exact-decimal contribution sums
+    "tx_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(docs(s, d), "doc_id", "text",
+        "spark window join quantum", k = 20)),
+
     // DSIR importance weights: how target-like (here: English-distributed)
     // each doc's hashed-token profile is — bucket-ratio model built in one
     // bounded agg, scoring zero-shuffle (Sampling.importanceWeights)
@@ -861,6 +882,25 @@ object ScaleQueries {
     * decimal sums. The arithmetic shape `(ct+1.0)/(nt+256)` is kept
     * identical to the Scala side so the doubles agree bit-for-bit before
     * the one quantized `ln`. */
+  /** Full-corpus inverted-index SQL (tx_postings), shared verbatim by
+    * tx_postings_incr whose merge-of-batches must equal it exactly. */
+  private val duckPostingsSql =
+    s"""WITH tok AS (SELECT doc_id, unnest($duckToksAll) AS token
+       |  FROM documents),
+       |td AS (SELECT token, doc_id, count(*) AS n_occ FROM tok
+       |  GROUP BY 1, 2),
+       |st AS (SELECT token, count(*) AS df,
+       |    CAST(sum(n_occ) AS BIGINT) AS cf FROM td GROUP BY 1),
+       |top AS (SELECT * FROM st ORDER BY df DESC, token LIMIT 50),
+       |td2 AS (SELECT token, doc_id, row_number() OVER (
+       |    PARTITION BY token ORDER BY doc_id) AS rn FROM td),
+       |p AS (SELECT token, string_agg(CAST(doc_id AS VARCHAR), ','
+       |    ORDER BY doc_id) AS postings FROM td2 WHERE rn <= 20
+       |  GROUP BY 1)
+       |SELECT t.token, t.df, t.cf, p.postings
+       |FROM top t JOIN p USING (token)
+       |ORDER BY t.df DESC, t.token""".stripMargin
+
   private val dsirWeightsCte =
     s"""WITH lab AS (SELECT doc_id, (lang = 'en') AS is_t,
        |    $duckToksAll AS tk FROM documents),
@@ -1770,22 +1810,32 @@ object ScaleQueries {
         |    AS BIGINT) % 10000 < k.keep_bp
         |ORDER BY d.doc_id""".stripMargin,
 
-    "tx_postings" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($duckToksAll) AS token
-         |  FROM documents),
-         |td AS (SELECT token, doc_id, count(*) AS n_occ FROM tok
-         |  GROUP BY 1, 2),
-         |st AS (SELECT token, count(*) AS df,
-         |    CAST(sum(n_occ) AS BIGINT) AS cf FROM td GROUP BY 1),
-         |top AS (SELECT * FROM st ORDER BY df DESC, token LIMIT 50),
-         |td2 AS (SELECT token, doc_id, row_number() OVER (
-         |    PARTITION BY token ORDER BY doc_id) AS rn FROM td),
-         |p AS (SELECT token, string_agg(CAST(doc_id AS VARCHAR), ','
-         |    ORDER BY doc_id) AS postings FROM td2 WHERE rn <= 20
-         |  GROUP BY 1)
-         |SELECT t.token, t.df, t.cf, p.postings
-         |FROM top t JOIN p USING (token)
-         |ORDER BY t.df DESC, t.token""".stripMargin,
+    "tx_postings" -> duckPostingsSql,
+
+    // merge == retrain: the incremental index must equal the full-corpus
+    // index, so the oracle IS the full-corpus formulation
+    "tx_postings_incr" -> duckPostingsSql,
+
+    "tx_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
+         |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tok),
+         |qd AS (SELECT qt, count(*) AS df FROM
+         |    (SELECT unnest(['spark', 'window', 'join', 'quantum']) AS qt) q
+         |  JOIN tok ON list_contains(tk, qt) GROUP BY 1),
+         |sc AS (SELECT t.doc_id, d.qt, d.df,
+         |    len(list_filter(t.tk, x -> x = d.qt)) AS tf, len(t.tk) AS dl
+         |  FROM tok t JOIN qd d ON list_contains(t.tk, d.qt)),
+         |c AS (SELECT doc_id,
+         |    CAST(ln(CAST(1.0 AS DOUBLE)
+         |        + (st.n - df + CAST(0.5 AS DOUBLE))
+         |          / (df + CAST(0.5 AS DOUBLE)))
+         |      * (tf * CAST(2.5 AS DOUBLE))
+         |      / (tf + CAST(1.5 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |        + CAST(0.75 AS DOUBLE) * ((dl * st.n) / st.sumdl)))
+         |      AS DECIMAL(18,6)) AS contrib
+         |  FROM sc, st)
+         |SELECT doc_id, CAST(sum(contrib) AS DECIMAL(18,6)) AS score
+         |FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "dsir_weights" ->
       s"""$dsirWeightsCte

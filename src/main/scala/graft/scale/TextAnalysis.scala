@@ -827,22 +827,115 @@ object TextAnalysis {
     * `TakeOrderedAndProject` under the (df desc, token) total order — no
     * global sort. */
   def postings(docs: DataFrame, idCol: String, textCol: String,
-      topTerms: Int = 50, cap: Int = 20): DataFrame = {
-    require(topTerms > 0 && cap > 0, s"topTerms/cap must be positive")
+      topTerms: Int = 50, cap: Int = 20): DataFrame =
+    postingsTop(postingsState(docs, idCol, textCol, cap), topTerms)
+
+  /** Full mergeable index state for [[postings]]: one row per vocabulary
+    * term with `(df, cf, postings)` where `postings` holds the `cap`
+    * SMALLEST containing doc ids ascending. This is the persistable form —
+    * [[postingsMerge]] folds a new batch's state in without re-scanning
+    * old batches, and [[postingsTop]] finalizes, so
+    * `finalize(merge(states)) == retrain-on-everything` exactly (df/cf are
+    * additive over doc-disjoint batches; the cap-smallest ids of a union
+    * always survive inside the union of each side's cap-smallest). */
+  def postingsState(docs: DataFrame, idCol: String, textCol: String,
+      cap: Int = 20): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
     val td = docs
       .select(col(idCol).as("doc"),
         explode(tokens(lower(col(textCol)))).as("token"))
       .groupBy("token", "doc").agg(count(lit(1)).as("n_occ"))
-    val stats = td.groupBy("token")
-      .agg(count(lit(1)).as("df"), sum("n_occ").as("cf"))
-      .orderBy(col("df").desc, col("token").asc)
-      .limit(topTerms)
     val capped = Sampling.topPerGroup(td.select("token", "doc"),
         "token", col("doc"), cap, Seq(col("doc").asc))
       .groupBy("token")
-      .agg(array_join(transform(array_sort(collect_list(col("doc"))),
-        _.cast("string")), ",").as("postings"))
-    stats.join(capped, Seq("token"))
-      .select(col("token"), col("df"), col("cf"), col("postings"))
+      .agg(array_sort(collect_list(col("doc"))).as("postings"))
+    td.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("n_occ").as("cf"))
+      .join(capped, Seq("token"))
+  }
+
+  /** Merge two [[postingsState]] frames. CONTRACT: the states must come
+    * from doc-DISJOINT batches (each document indexed exactly once across
+    * all merged states) — df/cf additivity has no way to detect a doc
+    * counted on both sides. One token-keyed aggregation; posting arrays
+    * concatenate to ≤ 2·cap elements before re-capping, so per-group state
+    * stays bounded at any vocabulary size. */
+  def postingsMerge(a: DataFrame, b: DataFrame, cap: Int = 20): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    a.unionByName(b)
+      .groupBy("token")
+      .agg(sum("df").as("df"), sum("cf").as("cf"),
+        slice(array_sort(flatten(collect_list(col("postings")))), 1, cap)
+          .as("postings"))
+  }
+
+  /** Finalize a [[postingsState]]: the `topTerms` highest-df terms (ties
+    * by token — a total order) with the posting list rendered as the
+    * engine-portable comma-joined string. TakeOrderedAndProject — no
+    * global sort of the vocabulary. */
+  def postingsTop(state: DataFrame, topTerms: Int): DataFrame = {
+    require(topTerms > 0, s"topTerms must be positive: $topTerms")
+    state.orderBy(col("df").desc, col("token").asc)
+      .limit(topTerms)
+      .select(col("token"), col("df"), col("cf"),
+        array_join(transform(col("postings"), _.cast("string")), ",")
+          .as("postings"))
+  }
+
+  /** BM25 retrieval over the corpus (Robertson-Spärck Jones; the standard
+    * k1/b formulation) for a literal query string — the op that makes the
+    * inverted index USEFUL: contamination lookup, eval-set retrieval, and
+    * corpus search are all "score docs against a query, take top k".
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)), summed over distinct query
+    * terms present in the doc.
+    *
+    * 100 TB shape: the query's term stats are a ≤|query| row frame
+    * broadcast into a per-row scan — no corpus join, no shuffle on the
+    * data path; top-k plans TakeOrderedAndProject. Determinism: each
+    * per-term contribution quantizes HALF_UP at 6 decimals (the repo's
+    * cross-engine granularity) and the per-doc score is an EXACT decimal
+    * sum of those — order-independent, bit-stable. The default k1/b are
+    * binary-exact doubles (1.5, 0.75 — inside the standard BM25 range) so
+    * an external engine's decimal-literal parsing cannot drift from
+    * Scala's double literals. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, query: String,
+      k: Int = 20, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val qTerms = tokens(lower(lit(query)))
+    val withToks = docs.select(col(idCol), tokens(lower(col(textCol))).as("__tk"))
+    // corpus stats: N and avgdl (one tiny agg, broadcast as a scalar row);
+    // integer dl sum keeps avgdl an exact rational before ONE division
+    val stats = withToks.agg(count(lit(1)).as("__n"),
+      sum(size(col("__tk"))).as("__sumdl"))
+    // per-query-term df over distinct containment (≤ |query| rows)
+    val df = withToks
+      .select(explode(array_distinct(array_intersect(col("__tk"), qTerms)))
+        .as("__qt"))
+      .groupBy("__qt").agg(count(lit(1)).as("__df"))
+    val scored = withToks
+      .crossJoin(broadcast(stats))
+      .withColumn("__dl", size(col("__tk")))
+      .select(col(idCol), col("__tk"), col("__n"), col("__sumdl"), col("__dl"),
+        explode(array_distinct(array_intersect(col("__tk"), qTerms)))
+          .as("__qt"))
+      .withColumn("__tf",
+        size(filter(col("__tk"), t => t === col("__qt"))))
+      .join(broadcast(df), Seq("__qt"))
+      // idf and the length-normalized tf fraction are double math; the
+      // per-term contribution quantizes before the exact per-doc sum
+      .withColumn("__contrib",
+        // op grouping mirrored EXACTLY by the DuckDB oracle: dl·N is an
+        // exact integer product, so dl/avgdl is ONE double division
+        (log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+            (col("__df") + lit(0.5))) *
+          (col("__tf") * lit(k1 + 1.0)) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("__dl") * col("__n") / col("__sumdl")))))
+          .cast("decimal(18,6)"))
+      .groupBy(idCol)
+      .agg(sum(col("__contrib")).cast("decimal(18,6)").as("score"))
+    scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
   }
 }

@@ -183,6 +183,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("bm25 scoring path is broadcast-joined with a top-k finish") {
+    val p = graft.scale.TextAnalysis.bm25(
+        Tables.load(spark, sfDir, "documents"), "doc_id", "text",
+        "spark window join", k = 20)
+      .queryExecution.executedPlan.toString
+    // the corpus never shuffles into a join: term stats broadcast in
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // k-bounded result — no global sort of the scored corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("event anomaly window partitions by type and pre-reduces the volume") {
     val p = graft.streaming.EventStream.anomalousDays(
         Tables.load(spark, sfDir, "events"))

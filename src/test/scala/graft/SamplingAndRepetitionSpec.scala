@@ -447,6 +447,48 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(out.size == 2) // gamma (df=1) falls outside topTerms=2
   }
 
+  test("postings state: merge of disjoint batches == retrain on the union") {
+    val docs = (1L to 30L).map(i =>
+      (i, s"w${i % 7} w${i % 3} w${i % 7} shared")).toDF("id", "text")
+    def fmt(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, String)].collect().toSet
+    val full = fmt(TextAnalysis.postings(docs, "id", "text",
+      topTerms = 10, cap = 5))
+    // three-way split, two merges, cap survives the re-cap
+    val st = Seq(docs.filter($"id" <= 10), docs.filter($"id" > 20),
+        docs.filter($"id" > 10 && $"id" <= 20))
+      .map(TextAnalysis.postingsState(_, "id", "text", cap = 5))
+    val merged = TextAnalysis.postingsTop(
+      TextAnalysis.postingsMerge(TextAnalysis.postingsMerge(st(0), st(1),
+        cap = 5), st(2), cap = 5), topTerms = 10)
+    assert(fmt(merged) == full)
+    // the capped list is the SMALLEST ids: 'shared' is in every doc
+    val shared = full.find(_._1 == "shared").get
+    assert(shared._2 == 30 && shared._4 == "1,2,3,4,5")
+  }
+
+  test("bm25: term frequency and rarity rank as expected; absent term inert") {
+    val docs = Seq(
+      (1L, "apple apple apple pie"),   // tf=3 for apple
+      (2L, "apple pie crust"),         // tf=1
+      (3L, "cherry split"),            // no query terms
+      (4L, "apple banana")             // both
+    ).toDF("id", "text")
+    val out = TextAnalysis.bm25(docs, "id", "text", "apple banana", k = 10)
+      .as[(Long, BigDecimal)].collect()
+    val rank = out.map(_._1).toSeq
+    assert(!rank.contains(3L)) // doc without query terms never scores
+    // rare banana (df=2) + apple beats apple-only docs; repeated apple
+    // beats single apple
+    assert(rank.head == 4L && rank.indexOf(1L) < rank.indexOf(2L))
+    // a query term absent from the corpus changes nothing
+    val out2 = TextAnalysis.bm25(docs, "id", "text",
+      "apple banana zzz", k = 10).as[(Long, BigDecimal)].collect()
+    assert(out.toSeq == out2.toSeq)
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25(docs, "id", "text", "apple", k = 0))
+  }
+
   test("nbCalibration: bins partition the corpus, counts and sums consistent") {
     val docs = (1L to 40L).map { i =>
       val pos = i % 2 == 0
