@@ -108,4 +108,28 @@ class EdgeCaseSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.scale.Similarity.powerIterationTop(noVec, "embedding"))
   }
+
+  test("round-4 operators on empty inputs: defined, empty or zero") {
+    val noDocs = Seq.empty[(Long, String, String)].toDF("id", "text", "g")
+    // temperature sampling: no groups → no rows, not a divide-by-zero
+    assert(graft.scale.Sampling
+      .temperatureSample(noDocs, "g", "id", 3000).count() == 0)
+    // index build / merge / retrieval on nothing
+    assert(graft.scale.TextAnalysis
+      .postings(noDocs, "id", "text").count() == 0)
+    val st = graft.scale.TextAnalysis.postingsState(noDocs, "id", "text")
+    assert(graft.scale.TextAnalysis
+      .postingsTop(graft.scale.TextAnalysis.postingsMerge(st, st), 10)
+      .count() == 0)
+    assert(graft.scale.TextAnalysis
+      .bm25(noDocs, "id", "text", "anything").count() == 0)
+    // calibration of an empty corpus: no bins rather than a crash
+    val lab = Seq.empty[(Long, String, Boolean)].toDF("id", "text", "pos")
+    assert(graft.scale.TextAnalysis
+      .nbCalibration(lab, "id", "text", $"pos").count() == 0)
+    // anomaly monitor: no events → no days
+    val noEv = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(graft.streaming.EventStream.anomalousDays(noEv).count() == 0)
+  }
 }
