@@ -64,6 +64,25 @@ object CoreQueries {
     })
 
   // ---------------------------------------------------------------- scans
+  /** Batch-at-once anomaly-monitor SQL (ev_anomaly), shared verbatim by
+    * ev_anomaly_incr whose merged state must equal it exactly. */
+  private val duckAnomalySql =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    count(*) AS n_events FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, day, n_events,
+      |    count(*) OVER win AS base_days,
+      |    sum(n_events) OVER win AS s,
+      |    sum(n_events * n_events) OVER win AS q
+      |  FROM daily WINDOW win AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+      |  base_days,
+      |  CAST(CASE WHEN base_days >= 3
+      |      AND (base_days * n_events - s) * (base_days * n_events - s)
+      |        > 9 * (base_days * q - s * s)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM w ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, QF] = Map(
     // S1: full collection scan
     "s1_full_scan" -> ((s, d) =>
@@ -690,6 +709,18 @@ object CoreQueries {
       EventStream.anomalousDays(t(s, d, "events"), window = 7, minPrior = 3)
         .orderBy("event_type", "day")),
 
+    // Incremental monitoring state: per-batch daily counts merged (an
+    // arbitrary batch split — days straddle batches), then flagged. The
+    // oracle is the batch-at-once monitor: merge == replay, exactly
+    "ev_anomaly_incr" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val a = EventStream.dailyCounts(ev.filter(col("event_id") % 2 === 0))
+      val b = EventStream.dailyCounts(ev.filter(col("event_id") % 2 =!= 0))
+      EventStream.anomaliesFromDaily(EventStream.mergeDailyCounts(a, b),
+          window = 7, minPrior = 3)
+        .orderBy("event_type", "day")
+    }),
+
     // §2.10 extension: custom per-key state via flatMapGroupsWithState
     // (batch run of the stateful sessionizer — only CLOSED sessions emit;
     // each user's final open session stays in state, so the oracle is the
@@ -1136,22 +1167,11 @@ object CoreQueries {
         |FROM ev JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "ev_anomaly" ->
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-        |    count(*) AS n_events FROM events GROUP BY 1, 2),
-        |w AS (SELECT event_type, day, n_events,
-        |    count(*) OVER win AS base_days,
-        |    sum(n_events) OVER win AS s,
-        |    sum(n_events * n_events) OVER win AS q
-        |  FROM daily WINDOW win AS (PARTITION BY event_type ORDER BY day
-        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
-        |  base_days,
-        |  CAST(CASE WHEN base_days >= 3
-        |      AND (base_days * n_events - s) * (base_days * n_events - s)
-        |        > 9 * (base_days * q - s * s)
-        |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-        |FROM w ORDER BY event_type, day""".stripMargin,
+    "ev_anomaly" -> duckAnomalySql,
+
+    // merge == replay: the incremental monitor must equal the batch-at-
+    // once monitor, so the oracle IS the batch formulation
+    "ev_anomaly_incr" -> duckAnomalySql,
 
     "st_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

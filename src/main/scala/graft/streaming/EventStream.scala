@@ -107,12 +107,31 @@ object EventStream {
     * the trailing window partitions by event_type (many small independent
     * windows, never a global sort). */
   def anomalousDays(events: DataFrame, window: Int = 7,
+      minPrior: Int = 3): DataFrame =
+    anomaliesFromDaily(dailyCounts(events), window, minPrior)
+
+  /** The (event_type, day, n_events) reduction [[anomalousDays]] monitors —
+    * the MERGEABLE sufficient statistic: counts are additive, so per-batch
+    * frames fold via [[mergeDailyCounts]] (a batch split mid-day sums back
+    * to the whole day) and the monitor never replays old events. */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Fold a batch's [[dailyCounts]] into accumulated state: one keyed sum.
+    * `anomaliesFromDaily(merge(states)) == anomalousDays(all events)`
+    * exactly, for ANY batch split. */
+  def mergeDailyCounts(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(batch)
+      .groupBy("event_type", "day")
+      .agg(sum(col("n_events")).as("n_events"))
+
+  /** The flagging half of [[anomalousDays]], run on a (type, day, count)
+    * frame — state-sized, not event-sized. */
+  def anomaliesFromDaily(daily: DataFrame, window: Int = 7,
       minPrior: Int = 3): DataFrame = {
     require(window > 0 && minPrior > 0 && minPrior <= window,
       s"need 0 < minPrior <= window: $minPrior/$window")
-    val daily = events
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_events"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(-window, -1)
     val n = count(lit(1)).over(w)

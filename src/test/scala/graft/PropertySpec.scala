@@ -185,6 +185,41 @@ object TemperatureProps extends Properties("TemperatureSample") {
     }
 }
 
+object AnomalyProps extends Properties("AnomalyMonitor") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val evGen: Gen[List[(Long, Int, String)]] =
+    Gen.choose(5, 40).flatMap { n =>
+      Gen.listOfN(n, for {
+        d <- Gen.choose(1, 12)
+        tpe <- Gen.oneOf("a", "b")
+      } yield (d, tpe)).map(_.zipWithIndex.map {
+        case ((d, tp), i) => (i.toLong, d, tp)
+      })
+    }
+
+  property("merged per-batch daily counts flag exactly like a full replay") =
+    forAll(evGen, Gen.choose(2, 5)) { (evs, parts) =>
+      val df = evs.map { case (id, d, tp) =>
+        (id, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"), 1L, tp)
+      }.toDF("event_id", "ts", "user_id", "event_type")
+      val whole = graft.streaming.EventStream.anomalousDays(df, 4, 2)
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      // an arbitrary id-hash batch split, merged pairwise left to right
+      val merged = (0 until parts)
+        .map(p => graft.streaming.EventStream.dailyCounts(
+          df.filter(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("event_id"),
+            org.apache.spark.sql.functions.lit(parts)) === p)))
+        .reduce(graft.streaming.EventStream.mergeDailyCounts(_, _))
+      val folded = graft.streaming.EventStream
+        .anomaliesFromDaily(merged, 4, 2)
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      folded == whole
+    }
+}
+
 object FunnelProps extends Properties("Funnel") {
   private lazy val spark = SparkSpec.session
   import spark.implicits._
