@@ -15,16 +15,21 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as a
-    // nanosecond long (spark.sql.legacy.parquet.nanosAsLong=true, set by the
-    // session builders). Convert to a microsecond timestamp on load.
-    df.schema.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
+    // `events.ts` arrives in whatever physical form the fixture writer chose:
+    // TIMESTAMP(NANOS) surfaces as a nanosecond long (under
+    // spark.sql.legacy.parquet.nanosAsLong=true, set by the session builders)
+    // and naive TIMESTAMP(MICROS) surfaces as TIMESTAMP_NTZ under default
+    // inference. Normalize both to the session-zone TIMESTAMP the engine's
+    // watermarks/interval math expect (UTC session tz makes the NTZ cast
+    // value-preserving).
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
         // integral division — long/1000 via `/` goes through double, whose
         // 2^53 mantissa cannot represent epoch nanos exactly (±256 ns)
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
     }
   }
 

@@ -20,6 +20,12 @@ import org.apache.spark.sql.SparkSession
   *  - `legacy.parquet.nanosAsLong`: the events fixture carries
   *    TIMESTAMP(NANOS), which vanilla Spark rejects; `Tables.load`
   *    converts the long to a microsecond timestamp.
+  *  - `parquet.inferTimestampNTZ.enabled=false`: fixtures written by
+  *    writers that omit `isAdjustedToUTC` (pyarrow naive timestamps)
+  *    otherwise surface as TIMESTAMP_NTZ, which watermarks,
+  *    `unix_micros`, and interval joins reject. Reading them as the
+  *    session-zone TIMESTAMP is value-identical under the UTC timezone
+  *    pinned above, and keeps one timestamp type across the engine.
   *
   * Cluster sizing guidance (not set here — they are cluster-shape
   * decisions): `shuffle.partitions` ≈ 2-3× total executor cores (AQE
@@ -39,6 +45,7 @@ object EngineSession {
       .config("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   /** A `local[cores]` session for the harness mains and tests (UI off —
     * these are headless runs). */
