@@ -1,0 +1,46 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+/** Registry of driver-side-computed SQL literal fragments for the oracle.
+  *
+  * Why this exists: a handful of operators (DSIR weighting, NB scoring,
+  * BM25, power iteration) are defined with a transcendental (ln) whose
+  * libm result can differ by 1 ulp across engines/builds. When such a
+  * value lands exactly on a DECIMAL(18,6) HALF_UP rounding boundary, an
+  * oracle that RE-DERIVES the constant (e.g. DuckDB's own `ln`) can flip
+  * the 6th decimal even though both engines are individually correct.
+  *
+  * The fix, per the round-4 verdict: the engine quantizes these constants
+  * ONCE (driver-side, bounded by contract: ≤ vocab/bucket-count rows) and
+  * the oracle receives them as literal VALUES tables instead of
+  * recomputing them. Everything data-sized — tokenization, joins,
+  * aggregation, exact decimal sums — remains independently recomputed by
+  * the oracle; only the few transcendental constants are shipped.
+  *
+  * Query functions register fragments here as they run; `Verify` dumps
+  * `SparkEntry.oracleSql` AFTER running all queries, so the fragments are
+  * present by the time the oracle JSON is written. Each oracle entry keeps
+  * a recompute-in-SQL fallback for contexts where the query has not run.
+  */
+object OracleLits {
+  private val frags = TrieMap.empty[String, String]
+
+  def put(key: String, sqlFragment: String): Unit = frags.put(key, sqlFragment)
+
+  def get(key: String): Option[String] = frags.get(key)
+
+  /** SQL single-quoted string literal with quote escaping. */
+  def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** A double rendered so a correctly-rounding SQL parser recovers the
+    * exact same IEEE double (Java's shortest round-trip representation). */
+  def sqlDouble(d: Double): String = {
+    require(!d.isNaN && !d.isInfinite, s"non-finite literal: $d")
+    s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
+  }
+
+  /** A BigDecimal rendered as an exact DECIMAL(18,6) literal. */
+  def sqlDec6(d: BigDecimal): String =
+    s"CAST(${d.setScale(6).toString} AS DECIMAL(18,6))"
+}

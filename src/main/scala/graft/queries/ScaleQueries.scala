@@ -29,6 +29,14 @@ object ScaleQueries {
     d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
   }
 
+  /** Register the DSIR bucket log-ratio table for the oracle (shared by
+    * dsir_weights and dsir_select — same model, same constants). */
+  private def registerDsirRatios(ratios: IndexedSeq[BigDecimal]): Unit =
+    OracleLits.put("dsir_ratios",
+      ratios.zipWithIndex.map { case (r, i) =>
+        s"($i, ${OracleLits.sqlDec6(r)})"
+      }.mkString("(VALUES ", ", ", ") AS t(b, lr)"))
+
   val queries: Map[String, QF] = Map(
     // Exact dedup: hash-partitioned groupBy on content fingerprint
     "dedup_exact" -> ((s, d) =>
@@ -296,14 +304,15 @@ object ScaleQueries {
         .select(col("query_id"), col("neighbor_id"))
       val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", "label", 10)
         .select(col("query_id"), col("neighbor_id"))
+      // (n_hit, k) integer pairs — recall is the caller's one division;
+      // emitting the ratio itself would put a float quantization on the
+      // gate for no information gain (the nb_calibration pattern)
       bf.join(ivf.withColumn("hit", lit(1L)),
           Seq("query_id", "neighbor_id"), "left_outer")
         .groupBy("query_id")
         .agg(count(lit(1)).as("k"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .select(col("query_id"), col("n_hit"),
-          (col("n_hit").cast("double") / col("k"))
-            .cast("decimal(18,6)").as("recall"))
+        .select(col("query_id"), col("n_hit"), col("k"))
         .orderBy("query_id")
     }),
 
@@ -438,29 +447,57 @@ object ScaleQueries {
     // Cross-source bigram overlap matrix (mirror/syndication detection):
     // Jaccard of distinct bigram sets per source pair — bounded by
     // |sources|² after the distinct reduction
+    // (n_common, n_union) integer pairs — Jaccard is the caller's one
+    // division (sourceOverlap still carries it for interactive use); the
+    // gate compares the exact set sizes
     "corpus_overlap" -> ((s, d) =>
       TextAnalysis.sourceOverlap(docs(s, d), "source", "text", n = 2)
         .withColumnsRenamed(Map("grp_a" -> "source_a", "grp_b" -> "source_b"))
+        .select("source_a", "source_b", "n_common", "n_union")
         .orderBy("source_a", "source_b")),
 
     // NB quality model (fastText/CCNet-style "looks curated?" filter):
-    // per-class token likelihoods over the top-512 vocabulary, trained
-    // in one explode+groupBy pass (TextAnalysis.nbTrain)
+    // the top-512-vocabulary per-class counts — the model's SUFFICIENT
+    // STATISTICS, pure int64 on the gate (likelihoods derive via
+    // nbFromCounts; emitting the ln here put a libm quantization on the
+    // gate for no information gain)
     "nb_quality_model" -> ((s, d) =>
-      TextAnalysis.nbTrain(docs(s, d), "text",
-        col("source").isin("src0", "src1", "src2"), vocab = 512)
+      TextAnalysis.nbTopCounts(
+        TextAnalysis.nbCounts(docs(s, d), "text",
+          col("source").isin("src0", "src1", "src2")), vocab = 512)
         .orderBy("token")),
 
     // NB quality scores: prior log-odds + exact decimal sum of per-token
-    // log-likelihood ratios; predicted=1 for curated-looking docs
-    "nb_quality_score" -> ((s, d) =>
-      TextAnalysis.nbScore(docs(s, d), "doc_id", "text",
-        col("source").isin("src0", "src1", "src2"), vocab = 512)
-        .orderBy("doc_id")),
+    // log-likelihood ratios; predicted=1 for curated-looking docs. The
+    // model's quantized log constants are registered for the oracle
+    // (OracleLits) so no external engine re-derives the ln
+    "nb_quality_score" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pos = col("source").isin("src0", "src1", "src2")
+      val model = TextAnalysis.nbTrain(dd, "text", pos, vocab = 512).collect()
+      if (model.nonEmpty) {
+        OracleLits.put("nb_model",
+          model.map { r =>
+            s"(${OracleLits.sqlStr(r.getString(0))}, " +
+              s"CAST(${r.getDecimal(1)} AS DECIMAL(18,6)), " +
+              s"CAST(${r.getDecimal(2)} AS DECIMAL(18,6)))"
+          }.mkString("(VALUES ", ", ", ") AS t(token, logp_pos, logp_neg)"))
+        // the prior through the SAME Catalyst expression nbScore uses
+        val prior = dd
+          .agg(sum(when(pos, 1L).otherwise(0L)).as("np"),
+            sum(when(pos, 0L).otherwise(1L)).as("nn"))
+          .select(log((col("np") + 1.0) / (col("nn") + 1.0))
+            .cast("decimal(18,6)").as("p")).head().getDecimal(0)
+        OracleLits.put("nb_prior", s"CAST($prior AS DECIMAL(18,6))")
+      }
+      TextAnalysis.nbScore(dd, "doc_id", "text", pos, vocab = 512)
+        .orderBy("doc_id")
+    }),
 
     // Incremental NB training: per-batch counts merged into state, then
-    // finalized — must equal retraining on the full corpus (the oracle IS
-    // the full-corpus model, proving finalize∘merge = retrain)
+    // the vocabulary restriction — must equal retraining on the full
+    // corpus (the oracle IS the full-corpus counts, proving
+    // merge∘restrict = retrain); integer output, no gate quantization
     "nb_incr_model" -> ((s, d) => {
       val dd = docs(s, d)
       val pos = col("source").isin("src0", "src1", "src2")
@@ -468,7 +505,7 @@ object ScaleQueries {
         "text", pos)
       val batch = TextAnalysis.nbCounts(dd.filter(col("doc_id") >= 250),
         "text", pos)
-      TextAnalysis.nbFromCounts(TextAnalysis.nbMergeCounts(state, batch),
+      TextAnalysis.nbTopCounts(TextAnalysis.nbMergeCounts(state, batch),
         vocab = 512).orderBy("token")
     }),
 
@@ -512,24 +549,42 @@ object ScaleQueries {
     // BM25 retrieval: top-20 docs for a literal query (one term absent
     // from the corpus — it must contribute nothing); broadcast term
     // stats, zero-shuffle scoring scan, exact-decimal contribution sums
-    "tx_bm25" -> ((s, d) =>
-      TextAnalysis.bm25(docs(s, d), "doc_id", "text",
-        "spark window join quantum", k = 20)),
+    "tx_bm25" -> ((s, d) => {
+      val dd = docs(s, d)
+      val q = "spark window join quantum"
+      // register the per-term idf doubles (bit-identical to the in-query
+      // Catalyst log) so the oracle never re-derives the ln
+      val (_, _, terms) = TextAnalysis.bm25TermStats(dd, "text", q)
+      if (terms.nonEmpty) OracleLits.put("bm25_qd",
+        terms.map { case (t, df, idf) =>
+          s"(${OracleLits.sqlStr(t)}, CAST($df AS BIGINT), " +
+            s"${OracleLits.sqlDouble(idf)})"
+        }.mkString("(VALUES ", ", ", ") AS t(qt, df, idf)"))
+      TextAnalysis.bm25(dd, "doc_id", "text", q, k = 20)
+    }),
 
     // DSIR importance weights: how target-like (here: English-distributed)
     // each doc's hashed-token profile is — bucket-ratio model built in one
-    // bounded agg, scoring zero-shuffle (Sampling.importanceWeights)
-    "dsir_weights" -> ((s, d) =>
-      Sampling.importanceWeights(docs(s, d), "doc_id", "text",
-        col("lang") === "en")
-        .select("doc_id", "weight").orderBy("doc_id")),
+    // bounded agg, scoring zero-shuffle (Sampling.importanceWeights); the
+    // 256 quantized log-ratios are registered for the oracle (OracleLits)
+    "dsir_weights" -> ((s, d) => {
+      val dd = docs(s, d)
+      val ratios = Sampling.importanceRatios(dd, "text", col("lang") === "en")
+      registerDsirRatios(ratios)
+      Sampling.importanceWeightsFromRatios(dd, "text", ratios)
+        .select("doc_id", "weight").orderBy("doc_id")
+    }),
 
     // DSIR selection: the 50 most target-like docs under the deterministic
     // (weight desc, id) total order — TakeOrderedAndProject, no global sort
-    "dsir_select" -> ((s, d) =>
-      Sampling.importanceResample(docs(s, d), "doc_id", "text",
-        col("lang") === "en", k = 50)
-        .select("doc_id", "weight")),
+    "dsir_select" -> ((s, d) => {
+      val dd = docs(s, d)
+      val ratios = Sampling.importanceRatios(dd, "text", col("lang") === "en")
+      registerDsirRatios(ratios)
+      Sampling.importanceWeightsFromRatios(dd, "text", ratios)
+        .orderBy(col("weight").desc, col("doc_id").asc).limit(50)
+        .select("doc_id", "weight")
+    }),
 
     // Corpus length histogram in log2 buckets (the dataset-report shape:
     // constant output rows at any corpus size, one agg). The bucket is
@@ -635,15 +690,21 @@ object ScaleQueries {
         TextAnalysis.charEntropy(col("text")).as("entropy"))
         .orderBy("doc_id")),
 
-    // Corpus drift monitoring: JS divergence terms between the first and
-    // second half of the corpus (crawl-over-crawl shape); top-20 drifting
-    // tokens plus the exact-decimal total ride in one result
+    // Corpus drift monitoring between the first and second half of the
+    // corpus (crawl-over-crawl shape): top-20 drifting tokens by the
+    // integer cross-product statistic |c_a·n_b − c_b·n_a| (= n_a·n_b·|p−q|
+    // — ranks exactly as total variation, with zero floating point on the
+    // gate; tokenDriftTerms keeps the JS-divergence view for callers).
+    // The gate emits drift_x as int64: bounded at sf0.01; the library op
+    // carries DECIMAL(38,0) for 100 TB counts
     "tx_drift" -> ((s, d) => {
       val dd = docs(s, d)
-      TextAnalysis.tokenDriftTerms(
+      TextAnalysis.tokenDriftCounts(
         dd.filter(col("doc_id") < 250), dd.filter(col("doc_id") >= 250), "text")
-        .orderBy(col("js_term").desc, col("token").asc)
+        .orderBy(col("drift_x").desc, col("token").asc)
         .limit(20)
+        .select(col("token"), col("c_a"), col("c_b"),
+          col("drift_x").cast("long").as("drift_x"))
     }),
 
     // Corpus-LM perplexity quality filter (CCNet-style): bigram LM trained
@@ -808,14 +869,27 @@ object ScaleQueries {
 
     // Symmetric int8 quantization (scale materialized, then per-element)
     // Top principal direction by 3-round power iteration (embedding-QA
-    // spectral probe) — deterministic seed, per-round decimal quantization
-    "emb_pca_top" -> ((s, d) =>
-      Similarity.powerIterationTop(emb(s, d), "embedding", iters = 3)
-        .orderBy("pos")),
+    // spectral probe) — deterministic seed, per-round decimal
+    // quantization. The gate verifies the final round's DISTRIBUTED
+    // matrix-vector sums (exact decimals, no division/sqrt anywhere on
+    // the compared surface); the iterated 6-decimal vector feeding that
+    // round is registered for the oracle (OracleLits), and the
+    // normalized loading view stays on powerIterationTop for callers
+    "emb_pca_top" -> ((s, d) => {
+      val (vPrev, sums) =
+        Similarity.powerIterationState(emb(s, d), "embedding", iters = 3)
+      OracleLits.put("pca_vprev",
+        vPrev.map(x => java.lang.Double.toString(x)).mkString("[", ", ", "]"))
+      sums.select(col("pos"), col("s").cast("decimal(38,9)").as("mv_sum"))
+        .orderBy("pos")
+    }),
 
-    // Whitening stats: per-dimension mean/std (stuck/biased-dim QA)
+    // Whitening stats: per-dimension n/Σx/Σx² sufficient statistics in
+    // exact decimal arithmetic (stuck/biased-dim QA — componentStats
+    // derives mean/std for interactive use; the gate compares the
+    // division-free sums, the nb_calibration pattern)
     "emb_component_stats" -> ((s, d) =>
-      Similarity.componentStats(emb(s, d), "embedding").orderBy("pos")),
+      Similarity.componentSums(emb(s, d), "embedding").orderBy("pos")),
 
     "emb_quantize" -> ((s, d) =>
       emb(s, d)
@@ -875,13 +949,6 @@ object ScaleQueries {
   private val duckToksAll =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
 
-  /** DSIR bucket-model CTE (mirror of `Sampling.importanceWeights` with
-    * target = English docs, 256 buckets): per-token MD5 bucket, smoothed
-    * target/raw distribution ratio quantized at DECIMAL(18,6) — the same
-    * driver-side HALF_UP rounding Spark applies — then per-doc EXACT
-    * decimal sums. The arithmetic shape `(ct+1.0)/(nt+256)` is kept
-    * identical to the Scala side so the doubles agree bit-for-bit before
-    * the one quantized `ln`. */
   /** Full-corpus inverted-index SQL (tx_postings), shared verbatim by
     * tx_postings_incr whose merge-of-batches must equal it exactly. */
   private val duckPostingsSql =
@@ -901,21 +968,32 @@ object ScaleQueries {
        |FROM top t JOIN p USING (token)
        |ORDER BY t.df DESC, t.token""".stripMargin
 
-  private val dsirWeightsCte =
+  /** DSIR scoring CTE: when the engine has registered its 256 quantized
+    * bucket log-ratios (OracleLits `dsir_ratios`), the oracle scores
+    * against that literal table — the data-sized tokenize/bucket/sum is
+    * still fully recomputed; only the `ln` constants are shipped.
+    * Fallback: re-derive the model in SQL as before. */
+  private def dsirCte: String = {
+    val ratioCte = OracleLits.get("dsir_ratios") match {
+      case Some(r) => s"r AS (SELECT * FROM $r)"
+      case None =>
+        """c AS (SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+          |    sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr FROM bk GROUP BY 1),
+          |n AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM c),
+          |r AS (SELECT b,
+          |    CAST(ln(((ct + 1.0) / (nt + 256)) / ((cr + 1.0) / (nr + 256)))
+          |      AS DECIMAL(18,6)) AS lr FROM c, n)""".stripMargin
+    }
     s"""WITH lab AS (SELECT doc_id, (lang = 'en') AS is_t,
        |    $duckToksAll AS tk FROM documents),
        |tok AS (SELECT doc_id, is_t, unnest(tk) AS t FROM lab),
        |bk AS (SELECT doc_id, is_t,
        |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS b
        |  FROM tok),
-       |c AS (SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
-       |    sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr FROM bk GROUP BY 1),
-       |n AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM c),
-       |r AS (SELECT b,
-       |    CAST(ln(((ct + 1.0) / (nt + 256)) / ((cr + 1.0) / (nr + 256)))
-       |      AS DECIMAL(18,6)) AS lr FROM c, n),
+       |$ratioCte,
        |s AS (SELECT bk.doc_id, sum(lr) AS w FROM bk JOIN r USING (b)
        |  GROUP BY 1)""".stripMargin
+  }
 
   /** NB quality-model CTE (mirror of `TextAnalysis.nbTrain`/`nbScore` with
     * positive = src0-2, vocab 512): per-class token counts, top-512 vocab
@@ -938,6 +1016,24 @@ object ScaleQueries {
        |      AS logp_pos,
        |    CAST(ln((c_neg + 1.0) / (n_neg + 512)) AS DECIMAL(18,6))
        |      AS logp_neg FROM top, n)""".stripMargin
+
+  /** Integer-counts model dump (mirror of `TextAnalysis.nbTopCounts ∘
+    * nbCounts`): the top-512 vocabulary with raw per-class counts — the
+    * gate-facing NB model surface (no log finalize, so nothing to
+    * canonicalize). */
+  private val nbCountsSql =
+    s"""WITH lab AS (SELECT doc_id,
+       |    (source IN ('src0', 'src1', 'src2')) AS pos,
+       |    $duckToksAll AS tk FROM documents),
+       |tok AS (SELECT doc_id, pos, unnest(tk) AS token FROM lab),
+       |c AS (SELECT token, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+       |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+       |  FROM tok GROUP BY 1),
+       |top AS (SELECT * FROM c
+       |  ORDER BY (c_pos + c_neg) DESC, token LIMIT 512)
+       |SELECT token, CAST(c_pos AS BIGINT) AS c_pos,
+       |  CAST(c_neg AS BIGINT) AS c_neg
+       |FROM top ORDER BY token""".stripMargin
 
   /** Per-language marker-score column defs and the election CASE, over a
     * token-list SQL alias — shared by the lang-id and pipeline oracles. */
@@ -1281,7 +1377,11 @@ object ScaleQueries {
     s"(CASE WHEN $na * $nb > 0 THEN ${duckDot(a, b)} / ($na * $nb) ELSE 0.0 END)"
   }
 
-  val oracles: Map[String, String] = Map(
+  // a def, not a val: the registry-aware entries below read OracleLits
+  // fragments that the corresponding query functions register as they run
+  // (Verify dumps oracle SQL AFTER running every query), falling back to
+  // recompute-in-SQL forms when a fragment is absent
+  def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH u AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 10000, text FROM documents)
@@ -1508,8 +1608,7 @@ object ScaleQueries {
          |  WHERE rnk <= 10)
          |SELECT bf.query_id,
          |  CAST(count(iv.neighbor_id) AS BIGINT) AS n_hit,
-         |  CAST(CAST(count(iv.neighbor_id) AS DOUBLE) / count(*)
-         |    AS DECIMAL(18,6)) AS recall
+         |  CAST(count(*) AS BIGINT) AS k
          |FROM bf LEFT JOIN iv USING (query_id, neighbor_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -1638,6 +1737,8 @@ object ScaleQueries {
          |    ' ')) AS chunk_md5
          |FROM x ORDER BY doc_id, chunk_index""".stripMargin,
 
+    // integer cross-product drift: |c_a·n_b − c_b·n_a| — no floating
+    // point anywhere (see the query's comment)
     "tx_drift" ->
       s"""WITH ta AS (SELECT unnest($duckToksAll) AS token
          |  FROM documents WHERE doc_id < 250),
@@ -1649,17 +1750,11 @@ object ScaleQueries {
          |nb AS (SELECT sum(c_b) AS n_b FROM cb),
          |j AS (SELECT coalesce(ca.token, cb.token) AS token,
          |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
-         |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
-         |t AS (SELECT token,
-         |    CAST(c_a AS DOUBLE) / n_a AS p, CAST(c_b AS DOUBLE) / n_b AS q
-         |  FROM j CROSS JOIN na CROSS JOIN nb)
-         |SELECT token, CAST(
-         |    (CASE WHEN p > 0
-         |      THEN (p * (ln(p / ((p + q) / 2)) / ln(2.0))) * 0.5 ELSE 0 END) +
-         |    (CASE WHEN q > 0
-         |      THEN (q * (ln(q / ((p + q) / 2)) / ln(2.0))) * 0.5 ELSE 0 END)
-         |  AS DECIMAL(18,6)) AS js_term
-         |FROM t ORDER BY js_term DESC, token ASC LIMIT 20""".stripMargin,
+         |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token)
+         |SELECT token, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+         |  CAST(abs(c_a * n_b - c_b * n_a) AS BIGINT) AS drift_x
+         |FROM j CROSS JOIN na CROSS JOIN nb
+         |ORDER BY drift_x DESC, token ASC LIMIT 20""".stripMargin,
 
     "tx_lm_perplexity" ->
       s"""WITH t AS (SELECT doc_id, $duckToksAll AS l FROM documents),
@@ -1745,36 +1840,57 @@ object ScaleQueries {
          |  GROUP BY 1, 2)
          |SELECT iv.sa AS source_a, iv.sb AS source_b,
          |  CAST(iv.n_common AS BIGINT) AS n_common,
-         |  CAST(CAST(iv.n_common AS DOUBLE) / (za.sz + zb.sz - iv.n_common)
-         |    AS DECIMAL(18,6)) AS jaccard
+         |  CAST(za.sz + zb.sz - iv.n_common AS BIGINT) AS n_union
          |FROM iv JOIN sz za ON za.grp = iv.sa JOIN sz zb ON zb.grp = iv.sb
          |ORDER BY source_a, source_b""".stripMargin,
 
-    "nb_quality_model" ->
-      s"""$nbModelCte
-         |SELECT token, logp_pos, logp_neg FROM m ORDER BY token""".stripMargin,
+    // the model's sufficient statistics — pure integer counts, fully
+    // recomputed by the oracle (no ln anywhere on the gate)
+    "nb_quality_model" -> nbCountsSql,
 
-    // incremental train == full retrain: the oracle is the SAME full-corpus
-    // model the batch query trains against
-    "nb_incr_model" ->
-      s"""$nbModelCte
-         |SELECT token, logp_pos, logp_neg FROM m ORDER BY token""".stripMargin,
+    // incremental train == full retrain: the oracle is the SAME
+    // full-corpus counts the batch query restricts against
+    "nb_incr_model" -> nbCountsSql,
 
-    "nb_quality_score" ->
-      s"""$nbModelCte,
-         |pr AS (SELECT CAST(ln(
-         |    (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0) /
-         |    (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0))
-         |  AS DECIMAL(18,6)) AS prior FROM lab),
-         |dl AS (SELECT tok.doc_id, sum(m.logp_pos - m.logp_neg) AS delta
-         |  FROM tok JOIN m USING (token) GROUP BY 1),
-         |sc AS (SELECT d.doc_id,
-         |    CAST(coalesce(dl.delta, 0) + pr.prior AS DECIMAL(18,6)) AS score
-         |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
-         |  CROSS JOIN pr)
-         |SELECT doc_id, score,
-         |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
-         |FROM sc ORDER BY doc_id""".stripMargin,
+    // the per-token log constants and the prior come from the registered
+    // model literals when present (the engine's quantized values — no
+    // libm ln in the oracle); the data-sized tokenize/join/sum remains
+    // recomputed in SQL. Fallback: derive the model in SQL as before.
+    "nb_quality_score" -> {
+      (OracleLits.get("nb_model"), OracleLits.get("nb_prior")) match {
+        case (Some(m), Some(p)) =>
+          s"""WITH tok AS (SELECT doc_id, unnest($duckToksAll) AS token
+             |  FROM documents),
+             |m AS (SELECT * FROM $m),
+             |pr AS (SELECT $p AS prior),
+             |dl AS (SELECT tok.doc_id, sum(m.logp_pos - m.logp_neg) AS delta
+             |  FROM tok JOIN m USING (token) GROUP BY 1),
+             |sc AS (SELECT d.doc_id,
+             |    CAST(coalesce(dl.delta, 0) + pr.prior AS DECIMAL(18,6))
+             |      AS score
+             |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+             |  CROSS JOIN pr)
+             |SELECT doc_id, score,
+             |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS predicted
+             |FROM sc ORDER BY doc_id""".stripMargin
+        case _ =>
+          s"""$nbModelCte,
+             |pr AS (SELECT CAST(ln(
+             |    (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0) /
+             |    (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0))
+             |  AS DECIMAL(18,6)) AS prior FROM lab),
+             |dl AS (SELECT tok.doc_id, sum(m.logp_pos - m.logp_neg) AS delta
+             |  FROM tok JOIN m USING (token) GROUP BY 1),
+             |sc AS (SELECT d.doc_id,
+             |    CAST(coalesce(dl.delta, 0) + pr.prior AS DECIMAL(18,6)) AS score
+             |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+             |  CROSS JOIN pr)
+             |SELECT doc_id, score,
+             |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
+             |FROM sc ORDER BY doc_id""".stripMargin
+      }
+    },
 
     "nb_calibration" ->
       s"""$nbModelCte,
@@ -1816,35 +1932,51 @@ object ScaleQueries {
     // index, so the oracle IS the full-corpus formulation
     "tx_postings_incr" -> duckPostingsSql,
 
-    "tx_bm25" ->
-      s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
-         |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tok),
-         |qd AS (SELECT qt, count(*) AS df FROM
-         |    (SELECT unnest(['spark', 'window', 'join', 'quantum']) AS qt) q
-         |  JOIN tok ON list_contains(tk, qt) GROUP BY 1),
-         |sc AS (SELECT t.doc_id, d.qt, d.df,
-         |    len(list_filter(t.tk, x -> x = d.qt)) AS tf, len(t.tk) AS dl
-         |  FROM tok t JOIN qd d ON list_contains(t.tk, d.qt)),
-         |c AS (SELECT doc_id,
-         |    CAST(ln(CAST(1.0 AS DOUBLE)
-         |        + (st.n - df + CAST(0.5 AS DOUBLE))
-         |          / (df + CAST(0.5 AS DOUBLE)))
-         |      * (tf * CAST(2.5 AS DOUBLE))
-         |      / (tf + CAST(1.5 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-         |        + CAST(0.75 AS DOUBLE) * ((dl * st.n) / st.sumdl)))
-         |      AS DECIMAL(18,6)) AS contrib
-         |  FROM sc, st)
-         |SELECT doc_id, CAST(sum(contrib) AS DECIMAL(18,6)) AS score
-         |FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // per-term idf from the registered literals when present (the exact
+    // doubles the engine's Catalyst log produced — the oracle performs
+    // only IEEE ×/÷ on them, which is deterministic across engines);
+    // tf/dl/N/Σdl and the decimal contribution sums remain recomputed.
+    // Fallback: re-derive the ln in SQL as before.
+    "tx_bm25" -> {
+      val scoreTail =
+        s"""sc AS (SELECT t.doc_id, d.qt, d.df, d.idf,
+           |    len(list_filter(t.tk, x -> x = d.qt)) AS tf, len(t.tk) AS dl
+           |  FROM tok t JOIN qd d ON list_contains(t.tk, d.qt)),
+           |c AS (SELECT doc_id,
+           |    CAST(idf
+           |      * (tf * CAST(2.5 AS DOUBLE))
+           |      / (tf + CAST(1.5 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+           |        + CAST(0.75 AS DOUBLE) * ((dl * st.n) / st.sumdl)))
+           |      AS DECIMAL(18,6)) AS contrib
+           |  FROM sc, st)
+           |SELECT doc_id, CAST(sum(contrib) AS DECIMAL(18,6)) AS score
+           |FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      OracleLits.get("bm25_qd") match {
+        case Some(qd) =>
+          s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
+             |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tok),
+             |qd AS (SELECT * FROM $qd),
+             |$scoreTail""".stripMargin
+        case None =>
+          s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
+             |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tok),
+             |qd AS (SELECT qt, count(*) AS df, ln(CAST(1.0 AS DOUBLE)
+             |      + ((SELECT n FROM st) - count(*) + CAST(0.5 AS DOUBLE))
+             |        / (count(*) + CAST(0.5 AS DOUBLE))) AS idf FROM
+             |    (SELECT unnest(['spark', 'window', 'join', 'quantum']) AS qt) q
+             |  JOIN tok ON list_contains(tk, qt) GROUP BY 1),
+             |$scoreTail""".stripMargin
+      }
+    },
 
     "dsir_weights" ->
-      s"""$dsirWeightsCte
+      s"""$dsirCte
          |SELECT d.doc_id, CAST(coalesce(s.w, 0) AS DECIMAL(18,6)) AS weight
          |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
     "dsir_select" ->
-      s"""$dsirWeightsCte
+      s"""$dsirCte
          |SELECT d.doc_id, CAST(coalesce(s.w, 0) AS DECIMAL(18,6)) AS weight
          |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
          |ORDER BY weight DESC, d.doc_id LIMIT 50""".stripMargin,
@@ -2127,28 +2259,44 @@ object ScaleQueries {
          |FROM av LEFT JOIN drp d USING (vec_id)
          |ORDER BY av.vec_id""".stripMargin,
 
+    // division-free sufficient statistics: each element quantized once
+    // (float→DECIMAL(18,9)), squared and summed in EXACT decimal
+    // arithmetic — no double division/sqrt anywhere on the gate
     "emb_component_stats" ->
       """WITH dim AS (SELECT unnest(range(1,
         |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
-        |pe AS (SELECT i AS pos, CAST(embedding[i] AS DOUBLE) AS x
-        |  FROM embeddings CROSS JOIN dim),
-        |ag AS (SELECT pos, count(*) AS n,
-        |    sum(CAST(x AS DECIMAL(27,9))) AS s,
-        |    sum(CAST(x * x AS DECIMAL(27,12))) AS sq
-        |  FROM pe GROUP BY 1)
-        |SELECT CAST(pos AS BIGINT) AS pos,
-        |  CAST(CAST(s AS DOUBLE) / n AS DECIMAL(18,6)) AS mean,
-        |  CAST(sqrt(greatest(0.0, CAST(sq AS DOUBLE) / n -
-        |    (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))
-        |    AS DECIMAL(18,6)) AS std,
-        |  n
-        |FROM ag ORDER BY pos""".stripMargin,
+        |pe AS (SELECT i AS pos,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS xd
+        |  FROM embeddings CROSS JOIN dim)
+        |SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
+        |  CAST(sum(xd) AS DECIMAL(38,9)) AS s,
+        |  CAST(sum(xd * xd) AS DECIMAL(38,18)) AS sq
+        |FROM pe GROUP BY pos ORDER BY pos""".stripMargin,
 
-    "emb_pca_top" ->
-      s"""WITH $pcaCtes
-         |SELECT CAST(pos AS BIGINT) AS pos,
-         |  CAST(v AS DECIMAL(18,6)) AS loading
-         |FROM v3 ORDER BY pos""".stripMargin,
+    // the final power-iteration round's distributed matrix-vector sums,
+    // recomputed from the registered 6-decimal vector literal (OracleLits
+    // `pca_vprev`) — no sqrt/division on the gate. Fallback: the full
+    // 3-round SQL iteration as before (emitting the same sums shape).
+    "emb_pca_top" -> {
+      // pcaCtes already defines `dim`; the literal path defines its own
+      val vprev = OracleLits.get("pca_vprev") match {
+        case Some(vl) =>
+          s"""vp AS (SELECT $vl AS vl),
+             |dim AS (SELECT unnest(range(1,
+             |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i)"""
+            .stripMargin
+        case None => s"${pcaCtes},\nvp AS (SELECT vl FROM vl2)"
+      }
+      s"""WITH $vprev,
+         |d AS (SELECT vec_id, embedding,
+         |  list_sum(list_transform(range(1, len(embedding) + 1),
+         |    i -> CAST(embedding[i] AS DOUBLE) * vl[i])) AS dot
+         |  FROM embeddings, vp)
+         |SELECT CAST(i AS BIGINT) AS pos,
+         |  CAST(sum(CAST(d.dot * CAST(d.embedding[i] AS DOUBLE)
+         |    AS DECIMAL(27,9))) AS DECIMAL(38,9)) AS mv_sum
+         |FROM d CROSS JOIN dim GROUP BY i ORDER BY pos""".stripMargin
+    },
 
     "emb_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,

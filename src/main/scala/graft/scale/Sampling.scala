@@ -192,7 +192,17 @@ object Sampling {
     * rounding), so the per-doc weight is an EXACT decimal sum —
     * order-independent and bit-stable across engines. */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, buckets: Int = 256): DataFrame = {
+      isTarget: Column, buckets: Int = 256): DataFrame =
+    importanceWeightsFromRatios(docs, textCol,
+      importanceRatios(docs, textCol, isTarget, buckets))
+
+  /** The bucket-ratio model behind [[importanceWeights]], exposed so
+    * callers (and the correctness oracle) can reuse the exact quantized
+    * constants instead of re-deriving the `ln` — the cross-engine
+    * canonicalization contract (see `graft.queries.OracleLits`).
+    * Driver-side by design: the collect is ≤ `buckets` rows. */
+  def importanceRatios(docs: DataFrame, textCol: String,
+      isTarget: Column, buckets: Int = 256): IndexedSeq[BigDecimal] = {
     require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
     val tokC = Cols.fresh("__tok", docs.columns)
     val isTC = Cols.fresh("__is_t", docs.columns)
@@ -212,11 +222,18 @@ object Sampling {
       val i = r.getLong(0).toInt; ct(i) = r.getLong(1); cr(i) = r.getLong(2) }
     val nt = ct.sum.toDouble
     val nr = cr.sum.toDouble
-    val ratio: Seq[BigDecimal] = (0 until buckets).map { i =>
+    (0 until buckets).map { i =>
       val v = math.log(((ct(i) + 1.0) / (nt + buckets)) /
         ((cr(i) + 1.0) / (nr + buckets)))
       BigDecimal(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
     }
+  }
+
+  /** Zero-shuffle scoring half of [[importanceWeights]]: fold each doc's
+    * token buckets against the literal quantized ratio table. */
+  def importanceWeightsFromRatios(docs: DataFrame, textCol: String,
+      ratio: IndexedSeq[BigDecimal]): DataFrame = {
+    val buckets = ratio.size
     val ratioArr = typedLit(ratio)
     // the merge must return EXACTLY the accumulator type (decimal addition
     // widens scale 18→17); the cast back is exact — values carry 6 decimals

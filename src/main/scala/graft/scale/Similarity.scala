@@ -280,6 +280,23 @@ object Similarity {
     * over per-element DECIMAL-quantized values (partition-order-stable,
     * engine-portable), with mean/std finished in IEEE double and quantized
     * DECIMAL(18,6). Returns (pos, mean, std, n), pos 1-based. */
+  /** Division-free sufficient statistics behind [[componentStats]]:
+    * per-dimension `(n, Σx, Σx²)` with each element quantized ONCE
+    * (DECIMAL(18,9) — a plain float→decimal cast) and squared in EXACT
+    * decimal arithmetic ((18,9)² = (37,18), inside both engines' 38-digit
+    * headroom), so the output contains no double division, sqrt, or
+    * transcendental anywhere — bit-identical across engines by
+    * construction. Callers derive mean/std (as [[componentStats]] does for
+    * interactive use); the gate compares these exact sums. */
+  def componentSums(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("pos"),
+        col("x").cast("double").cast("decimal(18,9)").as("xd"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xd")).cast("decimal(38,9)").as("s"),
+        sum(col("xd") * col("xd")).cast("decimal(38,18)").as("sq"))
+
   def componentStats(df: DataFrame, vecCol: String): DataFrame =
     df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select((col("pos") + 1).cast("long").as("pos"),
@@ -315,40 +332,64 @@ object Similarity {
     * (corpus scan + literals). */
   def powerIterationTop(df: DataFrame, vecCol: String, iters: Int = 3,
       roundScale: Int = 6): DataFrame = {
+    val (_, finalSums) = powerIterationState(df, vecCol, iters, roundScale)
+    val collected = finalSums.orderBy("pos").collect()
+    val s = collected.map(_.getDecimal(1).doubleValue())
+    val norm = math.sqrt(s.map(x => x * x).sum)
+    require(norm > 0, "power iteration collapsed to the zero vector")
+    val sp = df.sparkSession
+    import sp.implicits._
+    s.toSeq.zipWithIndex
+      .map { case (x, i) => ((i + 1).toLong,
+        BigDecimal(x / norm)
+          .setScale(roundScale, scala.math.BigDecimal.RoundingMode.HALF_UP)) }
+      .toDF("pos", "loading")
+      .select(col("pos"), col("loading").cast("decimal(18,6)").as("loading"))
+  }
+
+  /** The iteration state behind [[powerIterationTop]]: runs `iters − 1`
+    * normalize-and-round rounds driver-side, then returns the vector `v`
+    * that FEEDS the final round (as the exact plan-literal doubles) plus
+    * the final round's UNNORMALIZED per-dimension decimal sums as an
+    * unexecuted DataFrame — the distributed half of the last round,
+    * exposed so the correctness oracle can recompute exactly that
+    * aggregation from the literal `v` (no transcendental, no division —
+    * the `OracleLits` canonicalization contract). */
+  def powerIterationState(df: DataFrame, vecCol: String, iters: Int = 3,
+      roundScale: Int = 6): (Seq[Double], DataFrame) = {
     require(iters > 0, "iters must be positive")
     val dimRow = df.agg(max(size(col(vecCol)))).head()
     require(!dimRow.isNullAt(0), "power iteration needs a non-empty corpus")
     val dim = dimRow.getInt(0)
     require(dim > 0, "embeddings are empty")
-    var v: Seq[BigDecimal] =
-      BigDecimal(1).setScale(roundScale) +:
-        Seq.fill(dim - 1)(BigDecimal(0).setScale(roundScale))
-    for (_ <- 1 to iters) {
+    // per-round quantized-sum aggregation: Σ_rows (x·v)·x_j with per-row
+    // contributions cast DECIMAL(27,9) so the sum is exact decimal math
+    def roundSums(v: Seq[Double]): DataFrame = {
       // literals carry the double nearest the rounded decimal — the same
-      // value DuckDB's round(x, 6) produces, so both engines iterate on
-      // bit-identical vectors
-      val vlit = array(v.map(x => lit(x.toDouble)): _*)
+      // value an external engine's round(x, 6) produces, so both engines
+      // iterate on bit-identical vectors
+      val vlit = array(v.map(lit): _*)
       val dot = aggregate(
         zip_with(col(vecCol), vlit, (x, y) => x.cast("double") * y),
         lit(0.0), (acc, t) => acc + t)
-      val sums = df.withColumn("__dot", dot)
+      df.withColumn("__dot", dot)
         .select(col("__dot"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy((col("pos") + 1).cast("long").as("pos"))
         .agg(sum((col("__dot") * col("x").cast("double"))
           .cast("decimal(27,9)")).as("s"))
-        .orderBy("pos").collect()  // `dim` rows — bounded
+    }
+    var v: Seq[Double] =
+      1.0 +: Seq.fill(dim - 1)(0.0)
+    for (_ <- 1 until iters) {
+      val sums = roundSums(v).orderBy("pos").collect()  // `dim` rows — bounded
       val s = Array.fill(dim)(0.0)
       sums.foreach(r => s(r.getLong(0).toInt - 1) = r.getDecimal(1).doubleValue())
       val norm = math.sqrt(s.map(x => x * x).sum)
       require(norm > 0, "power iteration collapsed to the zero vector")
       v = s.map(x => BigDecimal(x / norm)
-        .setScale(roundScale, scala.math.BigDecimal.RoundingMode.HALF_UP)).toSeq
+        .setScale(roundScale, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).toSeq
     }
-    val sp = df.sparkSession
-    import sp.implicits._
-    v.zipWithIndex
-      .map { case (x, i) => ((i + 1).toLong, x) }
-      .toDF("pos", "loading")
-      .select(col("pos"), col("loading").cast("decimal(18,6)").as("loading"))
+    (v, roundSums(v))
   }
 }

@@ -632,6 +632,39 @@ object TextAnalysis {
       })
   }
 
+  /** Integer-exact drift ranking — the engine-portable companion of
+    * [[tokenDriftTerms]]: per token, `drift_x = |c_a·n_b − c_b·n_a|`, the
+    * cross-multiplied total-variation contribution (equal to
+    * `n_a·n_b·|p − q|`). Ranking by `drift_x` orders tokens exactly as
+    * `|p − q|` does, with NO floating point anywhere — no division, no
+    * log, no quantization — so the result is bit-identical across engines
+    * by construction (the canonicalization pattern of `nb_calibration` /
+    * `bpe_fertility`). Products are carried in DECIMAL(37,0): at 100 TB
+    * the per-side token totals can pass 2^31, and an int64 product of two
+    * such counts would overflow.
+    *
+    * Same shuffle shape as [[tokenDriftTerms]]: one token agg per side,
+    * a full-outer join on the token, two 1-row broadcasts. */
+  def tokenDriftCounts(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame): DataFrame =
+      df.select(explode(tokens(lower(col(textCol)))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+    val ca = counts(a)
+    val cb = counts(b)
+    val na = ca.agg(sum(col("c")).as("n_a"))
+    val nb = cb.agg(sum(col("c")).as("n_b"))
+    ca.withColumnRenamed("c", "c_a")
+      .join(cb.withColumnRenamed("c", "c_b"), Seq("token"), "full_outer")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("token"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"),
+        abs(coalesce(col("c_a"), lit(0L)).cast("decimal(18,0)") *
+            col("n_b").cast("decimal(18,0)") -
+          coalesce(col("c_b"), lit(0L)).cast("decimal(18,0)") *
+            col("n_a").cast("decimal(18,0)")).as("drift_x"))
+  }
+
   /** Per-document cross-entropy under a corpus bigram LM (the CCNet/KenLM-
     * style perplexity quality filter: docs that surprise the corpus LM are
     * boilerplate, gibberish, or off-distribution): mean −log2 P(w2|w1) over
@@ -684,6 +717,7 @@ object TextAnalysis {
       .join(sizes.withColumnRenamed("grp", "grp_b")
         .withColumnRenamed("sz", "sz_b"), Seq("grp_b"))
       .select(col("grp_a"), col("grp_b"), col("n_common"),
+        (col("sz_a") + col("sz_b") - col("n_common")).as("n_union"),
         (col("n_common").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
           .cast("decimal(18,6)").as("jaccard"))
@@ -724,6 +758,20 @@ object TextAnalysis {
     a.unionByName(b)
       .groupBy("token")
       .agg(sum("c_pos").as("c_pos"), sum("c_neg").as("c_neg"))
+
+  /** The vocabulary restriction of [[nbFromCounts]] WITHOUT the log
+    * finalize: top-`vocab` tokens with their raw per-class counts — the
+    * integer-exact model surface (sufficient statistics; callers derive
+    * likelihoods via [[nbFromCounts]]). Because the output is pure int64,
+    * it is bit-identical across engines with no canonicalization contract
+    * at all — the gate-facing shape for model dumps. */
+  def nbTopCounts(counts: DataFrame, vocab: Int): DataFrame = {
+    require(vocab > 0, s"vocab must be positive: $vocab")
+    counts
+      .orderBy((col("c_pos") + col("c_neg")).desc, col("token").asc)
+      .limit(vocab)
+      .select(col("token"), col("c_pos"), col("c_neg"))
+  }
 
   /** Finalize a counts state into the likelihood model: top-`vocab` tokens
     * under the (count desc, token) TOTAL order, add-1 log likelihoods
@@ -900,6 +948,35 @@ object TextAnalysis {
     * binary-exact doubles (1.5, 0.75 — inside the standard BM25 range) so
     * an external engine's decimal-literal parsing cannot drift from
     * Scala's double literals. */
+  /** The bounded corpus statistics behind [[bm25]], computed driver-side:
+    * `(N, Σdl, per-present-term (term, df, idf))` with idf the RAW JVM
+    * double `ln(1 + (N−df+0.5)/(df+0.5))` — exposed so the oracle can
+    * receive the transcendental constants as literals (the
+    * `graft.queries.OracleLits` contract) instead of re-deriving `ln`.
+    * Two tiny jobs: a 1-row stats agg and a ≤|query|-row df agg. */
+  def bm25TermStats(docs: DataFrame, textCol: String,
+      query: String): (Long, Long, Seq[(String, Long, Double)]) = {
+    val qTerms = tokens(lower(lit(query)))
+    val withToks = docs.select(tokens(lower(col(textCol))).as("__tk"))
+    val st = withToks.agg(count(lit(1)).as("n"),
+      sum(size(col("__tk"))).as("sumdl")).head()
+    val n = st.getLong(0)
+    val sumdl = if (st.isNullAt(1)) 0L else st.getLong(1)
+    // idf evaluated through the SAME Catalyst expression shape bm25 uses,
+    // so the literal is bit-identical to the in-query double (a JVM
+    // Math/StrictMath log could differ by 1 ulp from Catalyst's)
+    val terms = withToks
+      .select(explode(array_distinct(array_intersect(col("__tk"), qTerms)))
+        .as("__qt"))
+      .groupBy("__qt").agg(count(lit(1)).as("__df"))
+      .withColumn("__idf", log(lit(1.0) + (lit(n) - col("__df") + lit(0.5)) /
+        (col("__df") + lit(0.5))))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy((t: (String, Long, Double)) => t._1)
+    (n, sumdl, terms)
+  }
+
   def bm25(docs: DataFrame, idCol: String, textCol: String, query: String,
       k: Int = 20, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive: $k")
