@@ -28,7 +28,14 @@ object Tables {
         // 2^53 mantissa cannot represent epoch nanos exactly (±256 ns)
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case Some(org.apache.spark.sql.types.TimestampNTZType) =>
-        df.withColumn("ts", col("ts").cast("timestamp"))
+        // interpret the naive fixture value as UTC under ANY session
+        // timezone: the implicit NTZ→TIMESTAMP cast reads the naive value
+        // in the session zone and to_utc_timestamp(…, sessionTz) inverts
+        // exactly that rendering — the two session-zone uses cancel, so a
+        // foreign non-UTC session no longer shifts the instant (a bare
+        // cast is value-preserving only when the session zone is UTC)
+        df.withColumn("ts", to_utc_timestamp(col("ts"),
+          spark.conf.get("spark.sql.session.timeZone")))
       case _ => df
     }
   }

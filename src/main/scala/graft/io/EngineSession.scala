@@ -56,6 +56,17 @@ object EngineSession {
         .config("spark.ui.enabled", "false"),
       shufflePartitions = cores).getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
+    // Iterative operators release dead round-RDDs eagerly
+    // (Bridge.unpersistRdds); a task-end update racing that release makes
+    // DAGScheduler log a benign "Failed to update accumulator" ERROR with
+    // a full stack trace — noise that pattern-matches to failure in
+    // harness logs. Real stage failures still reach callers as exceptions
+    // (and Bench's failed list), so FATAL-only on this one logger hides
+    // nothing actionable.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
+    catch { case _: Throwable => () }
     spark
   }
 }

@@ -353,8 +353,11 @@ object Dedup {
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds")
-    // diagnostic only — stderr, never stdout (Bench's JSON line owns stdout)
-    System.err.println(s"[graft.cc] star contraction: forest after $iter rounds")
+    // diagnostic only — through the logger (never stdout: Bench's JSON
+    // line owns it; and not raw stderr, which harness logs capture —
+    // visible at INFO, silent under the harness' WARN/ERROR levels)
+    org.apache.logging.log4j.LogManager.getLogger("graft.cc")
+      .info(s"star contraction: forest after $iter rounds")
     // converged edges are a star forest: (center=u, leaf=v) with u the
     // component min; centers label themselves via the left join fallback
     val labels = graft.io.Materialize(

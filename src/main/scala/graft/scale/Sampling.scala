@@ -313,10 +313,26 @@ object Sampling {
     * not for an exact-equal-count contract (that is `samp_length_decile`'s
     * ntile semantics, kept for oracle parity at test SF). */
   def quantileBuckets(df: DataFrame, valueCol: String, n: Int,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000): DataFrame =
+    bucketsFromCuts(df, valueCol,
+      quantileCuts(df, valueCol, n, accuracy))
+
+  /** The cut-points behind [[quantileBuckets]], exposed so callers (and
+    * the correctness oracle, via `graft.queries.OracleLits`) can reuse the
+    * exact sketch output instead of re-deriving it — a KLL/GK sketch is
+    * engine-specific, so cross-engine comparison must treat the cuts as
+    * given constants. One fixed-size-sketch aggregation. */
+  def quantileCuts(df: DataFrame, valueCol: String, n: Int,
+      accuracy: Int = 10000): Array[Double] = {
     require(n >= 2, "need at least 2 buckets")
-    val cuts = df.stat.approxQuantile(
+    df.stat.approxQuantile(
       valueCol, (1 until n).map(_.toDouble / n).toArray, 1.0 / accuracy)
+  }
+
+  /** Zero-shuffle bucket assignment against literal cut-points. */
+  def bucketsFromCuts(df: DataFrame, valueCol: String,
+      cuts: Array[Double]): DataFrame = {
+    val n = cuts.length + 1
     // build innermost-out so the SMALLEST cut is tested first: the final
     // expression is when(v<=c1,1).otherwise(when(v<=c2,2)...otherwise(n))
     val chain = cuts.zipWithIndex.reverse.foldLeft(lit(n)) {

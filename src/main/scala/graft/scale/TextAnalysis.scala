@@ -532,13 +532,25 @@ object TextAnalysis {
     * products are exact integer sums; the cosine is rounded to 6 decimals
     * so the argmax is stable across engines (ties break to the
     * lexicographically first language). Complements [[langId]]'s fixed
-    * marker-token election with a data-driven model. */
+    * marker-token election with a data-driven model.
+    *
+    * `profileTopN` > 0 restricts each language profile to its top-N
+    * grams ((count desc, gram) total order) — Cavnar-Trenkle's actual
+    * formulation (they use ~300) and the scale lever: the docGrams⋈profile
+    * join's fan-out is bounded by the grams the PROFILES share instead of
+    * the corpus vocabulary, cutting the join roughly 10× while the argmax
+    * is unchanged for any N past the decision margin. The pruning is the
+    * skew-safe two-phase topPerGroup (no single-task vocabulary sort). */
   def charNgramLangId(df: DataFrame, idCol: String, textCol: String,
-      langCol: String, n: Int = 3): DataFrame = {
+      langCol: String, n: Int = 3, profileTopN: Int = 0): DataFrame = {
     val grams = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
       explode(charNgramsOf(col(textCol), n)).as("g"))
     val docVec = grams.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("dc"))
-    val langVec = docVec.groupBy("lang", "g").agg(sum(col("dc")).as("lc"))
+    val langVecAll = docVec.groupBy("lang", "g").agg(sum(col("dc")).as("lc"))
+    val langVec =
+      if (profileTopN <= 0) langVecAll
+      else Sampling.topPerGroup(langVecAll, "lang", col("g"), profileTopN,
+        Seq(col("lc").desc, col("g").asc)).drop("rank")
     // the doc's OWN lang is training metadata — it must not collide with
     // the candidate lang every doc is scored against below
     val docGrams = docVec.drop("lang")

@@ -21,17 +21,8 @@ object ScheduledSync {
     val outDir = if (args.length > 1) args(1)
       else java.nio.file.Files.createTempDirectory("graft_sched").toString
     val collection = if (args.length > 2) args(2) else "odocs"
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.io.EngineSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "WARN")
     val docs = Tables.orderDocs(spark, sfDir)
     val result = MigrationWorkflow.incrementalMigration(spark, docs,
       MigrationConfig(collection, outDir)) match {

@@ -209,6 +209,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("samp_length_decile's default path has no single-task window") {
+    // the registered decile query assigns buckets by comparing against
+    // broadcast sketch cut-points — a projection, not a global-order
+    // window funneling the corpus through one task (the legacy ntile
+    // formulation stays behind spark.graft.lengthDecile.ntile)
+    val p = graft.queries.ScaleQueries.queries("samp_length_decile")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("window"), p)
+  }
+
   test("no plan collects data to the driver mid-query") {
     // classification + decompose queries must not contain LocalTableScan of
     // collected data (constant lookup tables excepted — none used here)
