@@ -250,3 +250,115 @@ object FunnelProps extends Properties("Funnel") {
       out.zip(out.tail).forall { case (a, b) => a >= b } && out == shuffled
     }
 }
+
+/** Round-5 canonicalization guards: the reworked gate queries promise
+  * engine-portable outputs (pure integers, exact decimal sums, or
+  * literal-constant scoring). These properties pin the promise on random
+  * corpora: exact agreement with a driver-side BigDecimal/Long reference,
+  * and invariance under re-partitioning (the cross-engine proxy — an
+  * order-dependent float sum fails it). */
+object CanonProps extends Properties("Canonicalization") {
+  import org.scalacheck.Test
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val vocab = Seq("aa", "bb", "cc", "dd", "ee", "ff")
+  private val docGen: Gen[List[(Long, String)]] =
+    Gen.choose(2, 10).flatMap { n =>
+      Gen.listOfN(n, Gen.choose(1, 8).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    }
+
+  private def toks(t: String): Seq[String] =
+    t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  property("tokenDriftCounts equals the integer reference") =
+    forAll(docGen, docGen) { (da, db) =>
+      val out = graft.scale.TextAnalysis.tokenDriftCounts(
+          da.toDF("doc_id", "text"), db.toDF("doc_id", "text"), "text")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), BigInt(r.getDecimal(3).toBigInteger)))
+        .toMap
+      val ca = da.flatMap(d => toks(d._2)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val cb = db.flatMap(d => toks(d._2)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val na = ca.values.sum
+      val nb = cb.values.sum
+      val ref = (ca.keySet ++ cb.keySet).map { t =>
+        val a = ca.getOrElse(t, 0L); val b = cb.getOrElse(t, 0L)
+        t -> ((a, b, (BigInt(a) * nb - BigInt(b) * na).abs))
+      }.toMap
+      out == ref
+    }
+
+  property("componentSums equals the exact-decimal reference") = {
+    val vecGen = Gen.choose(2, 8).flatMap { n =>
+      Gen.listOfN(n, Gen.listOfN(3,
+        Gen.choose(-1000000, 1000000).map(_ / 1000.0f)))
+    }
+    forAll(vecGen) { vecs =>
+      val out = graft.scale.Similarity.componentSums(
+          vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+            .toDF("id", "embedding"), "embedding")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3))))
+        .toMap
+      val ref = (1 to 3).map { pos =>
+        val xs = vecs.map(v => BigDecimal(v(pos - 1).toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+        pos.toLong -> ((vecs.size.toLong, xs.sum, xs.map(x => x * x).sum))
+      }.toMap
+      out.view.mapValues(v => (v._1, BigDecimal(v._2.underlying.stripTrailingZeros),
+          BigDecimal(v._3.underlying.stripTrailingZeros))).toMap ==
+        ref.view.mapValues(v => (v._1, BigDecimal(v._2.underlying.stripTrailingZeros),
+          BigDecimal(v._3.underlying.stripTrailingZeros))).toMap
+    }
+  }
+
+  property("importanceWeightsFromRatios is partition-invariant") =
+    forAll(docGen) { ds =>
+      val df = ds.toDF("doc_id", "text")
+      val ratios = graft.scale.Sampling.importanceRatios(
+        df, "text", $"doc_id" % 2 === 0, buckets = 16)
+      def weights(parts: Int): Map[Long, BigDecimal] =
+        graft.scale.Sampling.importanceWeightsFromRatios(
+            df.repartition(parts), "text", ratios)
+          .select($"doc_id", $"weight").collect()
+          .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+      weights(1) == weights(7)
+    }
+
+  property("nbTopCounts: merge of split batches equals full retrain") =
+    forAll(docGen, Gen.choose(0, 9)) { (ds, cut) =>
+      val df = ds.toDF("doc_id", "text")
+      val pos = $"doc_id" % 3 === 0
+      def counts(d: org.apache.spark.sql.DataFrame) =
+        graft.scale.TextAnalysis.nbCounts(d, "text", pos)
+      def dump(c: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+        graft.scale.TextAnalysis.nbTopCounts(c, vocab = 64)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      dump(graft.scale.TextAnalysis.nbMergeCounts(
+        counts(df.filter($"doc_id" < cut)),
+        counts(df.filter($"doc_id" >= cut)))) == dump(counts(df))
+    }
+
+  property("powerIterationState sums are partition-invariant") = {
+    val vecGen = Gen.choose(3, 8).flatMap { n =>
+      Gen.listOfN(n, Gen.listOfN(3,
+        Gen.choose(1, 1000000).map(_ / 1000.0f)))
+    }
+    forAll(vecGen) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "embedding")
+      def state(parts: Int): (Seq[Double], Map[Long, java.math.BigDecimal]) = {
+        val (v, sums) = graft.scale.Similarity.powerIterationState(
+          df.repartition(parts), "embedding", iters = 2)
+        (v, sums.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap)
+      }
+      state(1) == state(5)
+    }
+  }
+}
