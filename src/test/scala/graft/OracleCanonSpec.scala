@@ -70,4 +70,20 @@ class OracleCanonSpec extends SparkSpec {
     // buckets are monotone in the value
     assert((1L until 100L).forall(i => a(i) <= a(i + 1)))
   }
+
+  test("ensureIncrCcState builds once and is reused on the second call") {
+    val dir1 = graft.queries.ScaleQueries.ensureIncrCcState(spark, sfDir)
+    val done = new java.io.File(s"$dir1/_DONE")
+    assert(done.exists())
+    assert(new java.io.File(s"$dir1/minhash").isDirectory)
+    assert(new java.io.File(s"$dir1/labels").isDirectory)
+    val stamp = done.lastModified()
+    val dir2 = graft.queries.ScaleQueries.ensureIncrCcState(spark, sfDir)
+    assert(dir2 == dir1 && done.lastModified() == stamp,
+      "second call must not rebuild the persisted state")
+    // the persisted labels are a usable CC labeling: every id labeled once
+    val labels = spark.read.parquet(s"$dir1/labels")
+    assert(labels.columns.toSet == Set("id", "component"))
+    assert(labels.groupBy("id").count().filter($"count" > 1).count() == 0)
+  }
 }

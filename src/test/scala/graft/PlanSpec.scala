@@ -209,6 +209,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("tx_lang_id_ngram prunes language profiles before the gram join") {
+    // the top-300 profile restriction must survive refactors: it is the
+    // lever that bounds the docGrams⋈profile fan-out by the profiles
+    // instead of the corpus vocabulary. topPerGroup's two-phase rank
+    // filter plans as WindowGroupLimit nodes (salted + exact phase).
+    val p = graft.queries.ScaleQueries.queries("tx_lang_id_ngram")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("samp_length_decile's default path has no single-task window") {
     // the registered decile query assigns buckets by comparing against
     // broadcast sketch cut-points — a projection, not a global-order
