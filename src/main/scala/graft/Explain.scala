@@ -13,7 +13,9 @@ object Explain {
         "dedup_minhash_pairs", "ann_bruteforce_topk", "ann_ivf_topk",
         "ann_rp_topk", "s7_point_lookup", "st_sessionize", "st_click_purchase",
         "p2_profile_docs", "tx_top_ngrams", "samp_weighted", "bf_semi_prune",
-        "sk_hll_rollup", "tx_drift", "tx_lm_perplexity", "dedup_incr_minhash")
+        "sk_hll_rollup", "tx_drift", "tx_lm_perplexity", "dedup_incr_minhash",
+        "tx_lang_id_ngram", "samp_length_decile", "emb_pca_top",
+        "dedup_incr_components")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

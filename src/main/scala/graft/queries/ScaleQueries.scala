@@ -459,6 +459,27 @@ object ScaleQueries {
         TextAnalysis.redactPii(col("text")).as("redacted"))
         .orderBy("doc_id")),
 
+    // Z-order layout clustering: per-row Morton code over quantile-bucket
+    // ranks of (l_orderkey, l_partkey) — the multi-column file-skipping
+    // layout (OPTIMIZE ZORDER). The sketch cuts are registered for the
+    // oracle (engine-specific, same contract as samp_length_decile); the
+    // rank CASE and the bit interleave are recomputed in SQL as pure
+    // integer arithmetic
+    "layout_zorder" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val (cutsA, cutsB, out) =
+        graft.scale.Layout.zOrderValue(li, "l_orderkey", "l_partkey", bits = 4)
+      def caseOf(c: String, cuts: Array[Double]): String =
+        "CASE " + cuts.zipWithIndex.map { case (cut, i) =>
+          s"WHEN $c <= ${OracleLits.sqlDouble(cut)} THEN $i"
+        }.mkString(" ") + s" ELSE ${cuts.length} END"
+      OracleLits.put("zorder_ra", caseOf("l_orderkey", cutsA))
+      OracleLits.put("zorder_rb", caseOf("l_partkey", cutsB))
+      out.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("zv")).orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Deterministic id-hash sampling (~25%): reproducible across runs,
     // engines, and partitionings — no RNG
     "samp_hash" -> ((s, d) =>
@@ -2022,6 +2043,26 @@ object ScaleQueries {
              |  JOIN tok ON list_contains(tk, qt) GROUP BY 1),
              |$scoreTail""".stripMargin
       }
+    },
+
+    // bucket ranks from the registered sketch cuts; the Morton interleave
+    // is integer arithmetic (bit i of rank → weight 4^i, b-side doubled)
+    // — exact on any engine. Fallback (query never ran): ntile ranks,
+    // which approximate the sketch buckets (rows/schema-grade only).
+    "layout_zorder" -> {
+      def spread(x: String): String =
+        s"(($x) % 2) + ((($x) // 2) % 2) * 4 + ((($x) // 4) % 2) * 16 + " +
+          s"((($x) // 8) % 2) * 64"
+      val (ra, rb) = (OracleLits.get("zorder_ra"), OracleLits.get("zorder_rb")) match {
+        case (Some(a), Some(b)) => (a, b)
+        case _ => ("ntile(16) OVER (ORDER BY l_orderkey) - 1",
+          "ntile(16) OVER (ORDER BY l_partkey) - 1")
+      }
+      s"""WITH r AS (SELECT l_orderkey, l_linenumber, l_partkey,
+         |  $ra AS ra, $rb AS rb FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, l_partkey,
+         |  CAST(${spread("ra")} + 2 * (${spread("rb")}) AS BIGINT) AS zv
+         |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
 
     "dsir_weights" ->
