@@ -14,8 +14,12 @@ object Explain {
         "ann_rp_topk", "s7_point_lookup", "st_sessionize", "st_click_purchase",
         "p2_profile_docs", "tx_top_ngrams", "samp_weighted", "bf_semi_prune",
         "sk_hll_rollup", "tx_drift", "tx_lm_perplexity", "dedup_incr_minhash",
-        "tx_lang_id_ngram", "samp_length_decile", "emb_pca_top",
-        "dedup_incr_components")
+        // NOTE: only fully-lazy queries belong in this default set — ones
+        // whose fn collects driver-side model state (samp_length_decile,
+        // emb_pca_top, dedup_incr_components, layout_zorder) would execute
+        // real jobs from a plan-printing tool; name them explicitly if
+        // that cost is intended
+        "tx_lang_id_ngram")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

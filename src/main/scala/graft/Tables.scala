@@ -33,7 +33,12 @@ object Tables {
         // in the session zone and to_utc_timestamp(…, sessionTz) inverts
         // exactly that rendering — the two session-zone uses cancel, so a
         // foreign non-UTC session no longer shifts the instant (a bare
-        // cast is value-preserving only when the session zone is UTC)
+        // cast is value-preserving only when the session zone is UTC).
+        // Known residual edge: a wall-clock that is NONEXISTENT in the
+        // session zone (a DST spring-forward gap) is resolved by the cast
+        // before the inverse applies, shifting that row by the gap width;
+        // sessions built by EngineSession pin UTC (no DST), so this only
+        // concerns foreign DST-zone sessions feeding gap timestamps.
         df.withColumn("ts", to_utc_timestamp(col("ts"),
           spark.conf.get("spark.sql.session.timeZone")))
       case _ => df

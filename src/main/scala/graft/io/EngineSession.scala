@@ -60,13 +60,26 @@ object EngineSession {
     // (Bridge.unpersistRdds); a task-end update racing that release makes
     // DAGScheduler log a benign "Failed to update accumulator" ERROR with
     // a full stack trace — noise that pattern-matches to failure in
-    // harness logs. Real stage failures still reach callers as exceptions
-    // (and Bench's failed list), so FATAL-only on this one logger hides
-    // nothing actionable.
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler",
-      org.apache.logging.log4j.Level.FATAL)
-    catch { case _: Throwable => () }
+    // harness logs. Filter THAT MESSAGE only (real stage-failure ERRORs
+    // keep flowing; they also reach callers as exceptions). Fallback if
+    // the filter API is unavailable: FATAL-gate the one logger.
+    try {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.{Filter, LoggerContext}
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val lc = ctx.getConfiguration
+        .getLoggerConfig("org.apache.spark.scheduler.DAGScheduler")
+      lc.addFilter(RegexFilter.createFilter(
+        ".*Failed to update accumulator.*", null, false,
+        Filter.Result.DENY, Filter.Result.NEUTRAL))
+      ctx.updateLoggers()
+    } catch { case _: Throwable =>
+      try org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.DAGScheduler",
+        org.apache.logging.log4j.Level.FATAL)
+      catch { case _: Throwable => () }
+    }
     spark
   }
 }

@@ -52,9 +52,23 @@ object ScaleQueries {
         .write.mode("overwrite").parquet(s"$base/labels")
       state.unpersist()
       done.createNewFile()
+      // the dir is session-keyed, so no other JVM reuses it — reap it on
+      // exit rather than accumulating one state copy per harness run
+      // (only a crashed JVM leaves one behind)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(base)))
     }
     base
   }
+
+  private def deleteTree(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) f.listFiles().foreach(c => deleteTree(c.getPath))
+    f.delete(): Unit
+  }
+
+  /** Bits per dimension for the layout_zorder gate query — ONE constant
+    * shared by the Spark query and the oracle's generated interleave. */
+  private val zorderBits = 4
 
   /** Register the DSIR bucket log-ratio table for the oracle (shared by
     * dsir_weights and dsir_select — same model, same constants). */
@@ -468,8 +482,8 @@ object ScaleQueries {
     "layout_zorder" -> ((s, d) => {
       val li = Tables.load(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey")
-      val (cutsA, cutsB, out) =
-        graft.scale.Layout.zOrderValue(li, "l_orderkey", "l_partkey", bits = 4)
+      val (cutsA, cutsB, out) = graft.scale.Layout.zOrderValue(
+        li, "l_orderkey", "l_partkey", bits = zorderBits)
       def caseOf(c: String, cuts: Array[Double]): String =
         "CASE " + cuts.zipWithIndex.map { case (cut, i) =>
           s"WHEN $c <= ${OracleLits.sqlDouble(cut)} THEN $i"
@@ -529,7 +543,18 @@ object ScaleQueries {
     "nb_quality_score" -> ((s, d) => {
       val dd = docs(s, d)
       val pos = col("source").isin("src0", "src1", "src2")
-      val model = TextAnalysis.nbTrain(dd, "text", pos, vocab = 512).collect()
+      // train ONCE: the collected model registers the oracle literals AND
+      // feeds scoring back as a local relation (nbScoreWith) — scoring
+      // never re-runs the training aggregation
+      val modelPlan = TextAnalysis.nbTrain(dd, "text", pos, vocab = 512)
+      val model = modelPlan.collect()
+      val priorPlan = dd
+        .agg(sum(when(pos, 1L).otherwise(0L)).as("np"),
+          sum(when(pos, 0L).otherwise(1L)).as("nn"))
+        .select(log((col("np") + 1.0) / (col("nn") + 1.0))
+          .cast("decimal(18,6)").as("__prior"))
+      val priorRows = priorPlan.collect()
+      val prior = priorRows(0).getDecimal(0)
       if (model.nonEmpty) {
         OracleLits.put("nb_model",
           model.map { r =>
@@ -537,15 +562,13 @@ object ScaleQueries {
               s"CAST(${r.getDecimal(1)} AS DECIMAL(18,6)), " +
               s"CAST(${r.getDecimal(2)} AS DECIMAL(18,6)))"
           }.mkString("(VALUES ", ", ", ") AS t(token, logp_pos, logp_neg)"))
-        // the prior through the SAME Catalyst expression nbScore uses
-        val prior = dd
-          .agg(sum(when(pos, 1L).otherwise(0L)).as("np"),
-            sum(when(pos, 0L).otherwise(1L)).as("nn"))
-          .select(log((col("np") + 1.0) / (col("nn") + 1.0))
-            .cast("decimal(18,6)").as("p")).head().getDecimal(0)
         OracleLits.put("nb_prior", s"CAST($prior AS DECIMAL(18,6))")
       }
-      TextAnalysis.nbScore(dd, "doc_id", "text", pos, vocab = 512)
+      val localModel = s.createDataFrame(
+        java.util.Arrays.asList(model: _*), modelPlan.schema)
+      val localPrior = s.createDataFrame(
+        java.util.Arrays.asList(priorRows: _*), priorPlan.schema)
+      TextAnalysis.nbScoreWith(dd, "doc_id", "text", localModel, localPrior)
         .orderBy("doc_id")
     }),
 
@@ -1933,38 +1956,31 @@ object ScaleQueries {
     // libm ln in the oracle); the data-sized tokenize/join/sum remains
     // recomputed in SQL. Fallback: derive the model in SQL as before.
     "nb_quality_score" -> {
+      // one scoring tail; the branches differ only in where m/pr come from
+      val scoreTail =
+        """dl AS (SELECT tok.doc_id, sum(m.logp_pos - m.logp_neg) AS delta
+          |  FROM tok JOIN m USING (token) GROUP BY 1),
+          |sc AS (SELECT d.doc_id,
+          |    CAST(coalesce(dl.delta, 0) + pr.prior AS DECIMAL(18,6)) AS score
+          |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+          |  CROSS JOIN pr)
+          |SELECT doc_id, score,
+          |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
+          |FROM sc ORDER BY doc_id""".stripMargin
       (OracleLits.get("nb_model"), OracleLits.get("nb_prior")) match {
         case (Some(m), Some(p)) =>
           s"""WITH tok AS (SELECT doc_id, unnest($duckToksAll) AS token
              |  FROM documents),
              |m AS (SELECT * FROM $m),
              |pr AS (SELECT $p AS prior),
-             |dl AS (SELECT tok.doc_id, sum(m.logp_pos - m.logp_neg) AS delta
-             |  FROM tok JOIN m USING (token) GROUP BY 1),
-             |sc AS (SELECT d.doc_id,
-             |    CAST(coalesce(dl.delta, 0) + pr.prior AS DECIMAL(18,6))
-             |      AS score
-             |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
-             |  CROSS JOIN pr)
-             |SELECT doc_id, score,
-             |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT)
-             |    AS predicted
-             |FROM sc ORDER BY doc_id""".stripMargin
+             |$scoreTail""".stripMargin
         case _ =>
           s"""$nbModelCte,
              |pr AS (SELECT CAST(ln(
              |    (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0) /
              |    (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0))
              |  AS DECIMAL(18,6)) AS prior FROM lab),
-             |dl AS (SELECT tok.doc_id, sum(m.logp_pos - m.logp_neg) AS delta
-             |  FROM tok JOIN m USING (token) GROUP BY 1),
-             |sc AS (SELECT d.doc_id,
-             |    CAST(coalesce(dl.delta, 0) + pr.prior AS DECIMAL(18,6)) AS score
-             |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
-             |  CROSS JOIN pr)
-             |SELECT doc_id, score,
-             |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
-             |FROM sc ORDER BY doc_id""".stripMargin
+             |$scoreTail""".stripMargin
       }
     },
 
@@ -2050,13 +2066,19 @@ object ScaleQueries {
     // — exact on any engine. Fallback (query never ran): ntile ranks,
     // which approximate the sketch buckets (rows/schema-grade only).
     "layout_zorder" -> {
+      // spread derives from the SAME zorderBits the query uses: bit i of
+      // the rank lands at weight 4^i (b-side doubled) — a bits bump can
+      // not silently truncate the oracle's interleave
       def spread(x: String): String =
-        s"(($x) % 2) + ((($x) // 2) % 2) * 4 + ((($x) // 4) % 2) * 16 + " +
-          s"((($x) // 8) % 2) * 64"
+        (0 until zorderBits).map { i =>
+          val div = 1 << i
+          s"((($x) // $div) % 2) * ${1L << (2 * i)}"
+        }.mkString(" + ")
+      val nb = 1 << zorderBits
       val (ra, rb) = (OracleLits.get("zorder_ra"), OracleLits.get("zorder_rb")) match {
         case (Some(a), Some(b)) => (a, b)
-        case _ => ("ntile(16) OVER (ORDER BY l_orderkey) - 1",
-          "ntile(16) OVER (ORDER BY l_partkey) - 1")
+        case _ => (s"ntile($nb) OVER (ORDER BY l_orderkey) - 1",
+          s"ntile($nb) OVER (ORDER BY l_partkey) - 1")
       }
       s"""WITH r AS (SELECT l_orderkey, l_linenumber, l_partkey,
          |  $ra AS ra, $rb AS rb FROM lineitem)

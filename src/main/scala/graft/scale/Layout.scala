@@ -56,8 +56,10 @@ object Layout {
       zCol: String = "zv"): (Array[Double], Array[Double], DataFrame) = {
     require(bits >= 1 && bits <= 16, s"bits out of range for bucketing: $bits")
     val n = 1 << bits
-    val cutsA = Sampling.quantileCuts(df, colA, n)
-    val cutsB = Sampling.quantileCuts(df, colB, n)
+    // both columns sketched in ONE corpus pass (the multi-column
+    // approxQuantile overload) — scan count is the scale budget
+    val Array(cutsA, cutsB) = df.stat.approxQuantile(
+      Array(colA, colB), (1 until n).map(_.toDouble / n).toArray, 1.0 / 10000)
     def rank(c: String, cuts: Array[Double]): Column =
       cuts.zipWithIndex.reverse.foldLeft(lit(cuts.length.toLong)) {
         case (acc, (cut, i)) => when(col(c) <= cut, lit(i.toLong)).otherwise(acc)

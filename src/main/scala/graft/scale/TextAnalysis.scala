@@ -823,6 +823,16 @@ object TextAnalysis {
         sum(when(isPositive, 0L).otherwise(1L)).as("nn"))
       .select(log((col("np") + 1.0) / (col("nn") + 1.0))
         .cast("decimal(18,6)").as("__prior"))
+    nbScoreWith(docs, idCol, textCol, model, prior)
+  }
+
+  /** Score against an EXISTING model frame `(token, logp_pos, logp_neg)`
+    * and 1-row prior frame `(__prior)` — the deployment shape (a trained
+    * model is state, not something every scoring job re-derives), and the
+    * seam that lets a caller who has already materialized the model feed
+    * it back without paying the training aggregation twice. */
+  def nbScoreWith(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, prior: DataFrame): DataFrame = {
     val delta = docs
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
       .join(broadcast(model), Seq("token"))

@@ -18,6 +18,7 @@ Rules:
 Writes a markdown delta table (biggest movers both directions) to --md
 (default BENCH_DELTA.md next to the NEW file).
 """
+import argparse
 import json
 import os
 import sys
@@ -30,15 +31,14 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    md_out = None
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--md":
-            md_out = sys.argv[1:][i + 1]
-    if len(args) < 2:
-        print(__doc__)
-        return 2
-    new_path, old_path = args[0], args[1]
+    ap = argparse.ArgumentParser(description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("new_path", help="this round's BENCH_FULL.json")
+    ap.add_argument("old_path", help="the prior round's BENCH_FULL.json")
+    ap.add_argument("--md", dest="md_out", default=None,
+        help="markdown output path (default: BENCH_DELTA.md beside new)")
+    ns = ap.parse_args()
+    new_path, old_path, md_out = ns.new_path, ns.old_path, ns.md_out
     if md_out is None:
         md_out = os.path.join(os.path.dirname(os.path.abspath(new_path)),
                               "BENCH_DELTA.md")
