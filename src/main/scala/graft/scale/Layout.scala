@@ -53,19 +53,37 @@ object Layout {
     * same layout to later batches (a stable layout across increments
     * needs frozen cuts, same as any partitioning scheme). */
   def zOrderValue(df: DataFrame, colA: String, colB: String, bits: Int,
-      zCol: String = "zv"): (Array[Double], Array[Double], DataFrame) = {
+      zCol: String = "zv", accuracy: Int = 2000):
+      (Array[Double], Array[Double], DataFrame) = {
     require(bits >= 1 && bits <= 16, s"bits out of range for bucketing: $bits")
+    require(accuracy > 0, s"accuracy must be positive: $accuracy")
     val n = 1 << bits
     // both columns sketched in ONE corpus pass (the multi-column
-    // approxQuantile overload) — scan count is the scale budget
+    // approxQuantile overload) — scan count is the scale budget. The
+    // default sketch error (1/2000) is sized for layout buckets, where
+    // boundary slack only nudges file shapes — a tighter sketch inflates
+    // per-partition sketch state (and its merge) for no pruning benefit
     val Array(cutsA, cutsB) = df.stat.approxQuantile(
-      Array(colA, colB), (1 until n).map(_.toDouble / n).toArray, 1.0 / 10000)
+      Array(colA, colB), (1 until n).map(_.toDouble / n).toArray,
+      1.0 / accuracy)
     def rank(c: String, cuts: Array[Double]): Column =
       cuts.zipWithIndex.reverse.foldLeft(lit(cuts.length.toLong)) {
         case (acc, (cut, i)) => when(col(c) <= cut, lit(i.toLong)).otherwise(acc)
       }
-    val out = df.withColumn(zCol,
-      zValue2(rank(colA, cutsA), rank(colB, cutsB), bits))
+    // ranks land in INTERMEDIATE columns first: zValue2 references each
+    // input once per interleave bit, and inlining the n-way CASE chain
+    // into every bit term multiplies the codegen'd expression 2·bits
+    // times (measured ~6× slower at 4 bits over sf0.1 lineitem from the
+    // blown-up method alone). CollapseProject keeps multi-referenced
+    // non-cheap aliases un-inlined, so the chain evaluates once per row
+    // per column.
+    val raC = Cols.fresh("__z_ra", df.columns)
+    val rbC = Cols.fresh("__z_rb", df.columns)
+    val out = df
+      .withColumn(raC, rank(colA, cutsA))
+      .withColumn(rbC, rank(colB, cutsB))
+      .withColumn(zCol, zValue2(col(raC), col(rbC), bits))
+      .drop(raC, rbC)
     (cutsA, cutsB, out)
   }
 
