@@ -394,6 +394,13 @@ object ScaleQueries {
         profileTopN = 300)
         .orderBy("doc_id")),
 
+    // Mixed-language detection: per-50-token-chunk language election,
+    // summarized per doc as integer counts + majority lang — n_langs > 1
+    // flags concatenation artifacts / boilerplate sandwiches
+    "tx_lang_mix" -> ((s, d) =>
+      TextAnalysis.langMixture(docs(s, d), "doc_id", "text", chunkSize = 50)
+        .orderBy("doc_id")),
+
     // Document fingerprinting (normalized-content digest)
     "tx_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -1786,6 +1793,28 @@ object ScaleQueries {
       """SELECT doc_id,
         |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-chunk marker election over non-overlapping 50-token slices,
+    // rolled up to integer mix statistics (mirror of langMixture)
+    "tx_lang_mix" -> {
+      val (scoreDefs, electCase) = duckLangScore("ctk")
+      s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
+         |x AS (SELECT doc_id, tk, unnest(range(0,
+         |  CASE WHEN len(tk) = 0 THEN 0
+         |    ELSE greatest(CAST(ceil(len(tk) / 50.0) AS BIGINT), 1)
+         |  END)) AS ci FROM tok),
+         |ch AS (SELECT doc_id, tk[(ci*50+1):(ci*50+50)] AS ctk FROM x),
+         |sc AS (SELECT doc_id, $scoreDefs FROM ch),
+         |el AS (SELECT doc_id, $electCase AS lang FROM sc),
+         |pl AS (SELECT doc_id, lang, count(*) AS c FROM el GROUP BY 1, 2),
+         |rn AS (SELECT doc_id, lang, c, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY c DESC, lang) AS rn FROM pl)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+         |  CAST(count(*) AS BIGINT) AS n_langs,
+         |  max(CASE WHEN rn = 1 THEN lang END) AS majority_lang,
+         |  CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS n_majority
+         |FROM rn GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
 
     "mm_payload_features" ->
       """SELECT doc_id AS id, 'text' AS modality, source,

@@ -86,6 +86,42 @@ object TextAnalysis {
     }
   }
 
+  /** Mixed-language detection (corpus curation: documents whose language
+    * flips mid-text are concatenation artifacts, boilerplate sandwiches,
+    * or scraping errors — a standard drop/flag signal): the document is
+    * cut into non-overlapping `chunkSize`-token chunks, each chunk's
+    * language elected by [[langId]], and the per-document election
+    * distribution summarized as `(n_chunks, n_langs, majority_lang,
+    * n_majority)` — `n_langs > 1` (or a low `n_majority / n_chunks`)
+    * flags the mix. Pure integer + string output: nothing to canonicalize
+    * across engines. Documents with no tokens yield no chunks and drop
+    * out (score them by length instead).
+    *
+    * Shuffle shape: one chunk explode (per-row), one (doc, lang) hash agg
+    * with map-side partials, one doc-partitioned ranking window over the
+    * ≤ |langs|-row per-doc distribution, one final doc agg — bounded by
+    * chunks, never by pairwise anything. */
+  def langMixture(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 50): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    val tkC = Cols.fresh("__tk", df.columns)
+    val perLang = df
+      .withColumn(tkC, tokens(lower(col(textCol))))
+      .select(col(idCol).as("doc_id"),
+        explode(chunkTokens(col(tkC), chunkSize, 0)).as("__chunk"))
+      .select(col("doc_id"), langId(col("__chunk")).as("lang"))
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("__c").desc, col("lang").asc)
+    perLang
+      .withColumn("__rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(sum(col("__c")).as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("__rn") === 1, col("lang"))).as("majority_lang"),
+        max(when(col("__rn") === 1, col("__c"))).as("n_majority"))
+  }
+
   /** Document fingerprint: MD5 over the whitespace-collapsed, lowercased,
     * trimmed text — the exact-dedup key (rolling-hash analogue with a single
     * stable digest). */

@@ -86,4 +86,24 @@ class OracleCanonSpec extends SparkSpec {
     assert(labels.columns.toSet == Set("id", "component"))
     assert(labels.groupBy("id").count().filter($"count" > 1).count() == 0)
   }
+
+  test("langMixture flags mid-document language flips; pure docs stay pure") {
+    val en50 = Seq.fill(13)("the cat and a dog of").mkString(" ")  // 78 en toks
+    val fr50 = Seq.fill(13)("le chat et la rue les").mkString(" ") // 78 fr toks
+    val docs = Seq(
+      (1L, en50),                 // 2 chunks, both en
+      (2L, en50 + " " + fr50),    // en chunks then fr chunks
+      (3L, ""),                   // no tokens -> no row
+      (4L, "xyzzy plugh")).toDF("doc_id", "text") // no markers -> und
+    val out = graft.scale.TextAnalysis
+      .langMixture(docs, "doc_id", "text", chunkSize = 50)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    assert(!out.contains(3L))
+    assert(out(1L)._2 == 1L && out(1L)._3 == "en")
+    val (nc, nl, maj, nmaj) = out(2L)
+    assert(nl >= 2L && nc > nmaj, s"expected a mix: $out")
+    assert(Set("en", "fr").contains(maj))
+    assert(out(4L) == ((1L, 1L, "und", 1L)))
+  }
 }
