@@ -982,7 +982,7 @@ object ScaleQueries {
         Similarity.powerIterationState(emb(s, d), "embedding", iters = 3)
       OracleLits.put("pca_vprev",
         vPrev.map(x => java.lang.Double.toString(x)).mkString("[", ", ", "]"))
-      sums.select(col("pos"), col("s").cast("decimal(38,9)").as("mv_sum"))
+      sums.select(col("pos"), col("s").as("mv_sum_nano"))
         .orderBy("pos")
     }),
 
@@ -1443,8 +1443,9 @@ object ScaleQueries {
     * same quantize-then-exact-sum discipline as the k-means CTEs. */
   private lazy val pcaCtes: String = {
     def round(k: Int): String =
-      s"""s$k AS (SELECT i AS pos, sum(CAST(d$k.dot *
-         |    CAST(d$k.embedding[i] AS DOUBLE) AS DECIMAL(27,9))) AS s
+      s"""s$k AS (SELECT i AS pos, sum(CAST(floor((d$k.dot *
+         |    CAST(d$k.embedding[i] AS DOUBLE)) * 1000000000.0)
+         |    AS DECIMAL(20,0))) AS s
          |  FROM d$k CROSS JOIN dim GROUP BY i),
          |n$k AS (SELECT sqrt(sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
          |  AS nrm FROM s$k),
@@ -2414,18 +2415,21 @@ object ScaleQueries {
          |FROM av LEFT JOIN drp d USING (vec_id)
          |ORDER BY av.vec_id""".stripMargin,
 
-    // division-free sufficient statistics: each element quantized once
-    // (float→DECIMAL(18,9)), squared and summed in EXACT decimal
-    // arithmetic — no double division/sqrt anywhere on the gate
+    // division-free sufficient statistics in integer nano-units: each
+    // element quantized by floor(x·10⁹) (IEEE multiply + floor — no
+    // round-half tie for engines to disagree on; a fractional
+    // double→decimal cast DID flip one element at sf0.1), squared and
+    // summed in exact decimal arithmetic
     "emb_component_stats" ->
       """WITH dim AS (SELECT unnest(range(1,
         |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
         |pe AS (SELECT i AS pos,
-        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS xd
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000.0)
+        |      AS DECIMAL(18,0)) AS xq
         |  FROM embeddings CROSS JOIN dim)
         |SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
-        |  CAST(sum(xd) AS DECIMAL(38,9)) AS s,
-        |  CAST(sum(xd * xd) AS DECIMAL(38,18)) AS sq
+        |  CAST(sum(xq) AS DECIMAL(38,0)) AS s_nano,
+        |  CAST(sum(xq * xq) AS DECIMAL(38,0)) AS sq_nano
         |FROM pe GROUP BY pos ORDER BY pos""".stripMargin,
 
     // the final power-iteration round's distributed matrix-vector sums,
@@ -2448,8 +2452,9 @@ object ScaleQueries {
          |    i -> CAST(embedding[i] AS DOUBLE) * vl[i])) AS dot
          |  FROM embeddings, vp)
          |SELECT CAST(i AS BIGINT) AS pos,
-         |  CAST(sum(CAST(d.dot * CAST(d.embedding[i] AS DOUBLE)
-         |    AS DECIMAL(27,9))) AS DECIMAL(38,9)) AS mv_sum
+         |  CAST(sum(CAST(floor((d.dot * CAST(d.embedding[i] AS DOUBLE))
+         |      * 1000000000.0) AS DECIMAL(20,0))) AS DECIMAL(38,0))
+         |    AS mv_sum_nano
          |FROM d CROSS JOIN dim GROUP BY i ORDER BY pos""".stripMargin
     },
 

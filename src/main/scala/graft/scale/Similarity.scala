@@ -281,21 +281,26 @@ object Similarity {
     * engine-portable), with mean/std finished in IEEE double and quantized
     * DECIMAL(18,6). Returns (pos, mean, std, n), pos 1-based. */
   /** Division-free sufficient statistics behind [[componentStats]]:
-    * per-dimension `(n, Σx, Σx²)` with each element quantized ONCE
-    * (DECIMAL(18,9) — a plain float→decimal cast) and squared in EXACT
-    * decimal arithmetic ((18,9)² = (37,18), inside both engines' 38-digit
-    * headroom), so the output contains no double division, sqrt, or
-    * transcendental anywhere — bit-identical across engines by
-    * construction. Callers derive mean/std (as [[componentStats]] does for
-    * interactive use); the gate compares these exact sums. */
+    * per-dimension `(n, Σx, Σx²)` in integer NANO-UNITS — each element
+    * quantized ONCE by `floor(x·10⁹)` (one IEEE multiply + floor: both
+    * bit-deterministic on any engine, and the result is an INTEGER-valued
+    * double, which every engine casts to DECIMAL exactly — unlike a
+    * fractional double→decimal cast, whose round-half direction differs
+    * across engines and DID flip one element at sf0.1), then squared and
+    * summed in exact decimal arithmetic. No division, sqrt, rounding tie,
+    * or transcendental anywhere. Callers derive mean/std by dividing by
+    * 10⁹/10¹⁸ (as [[componentStats]] does for interactive use); the gate
+    * compares the exact integer sums. Element magnitude must stay under
+    * ~9·10³ so x·10⁹ is exact in a double (embeddings are O(10)). */
   def componentSums(df: DataFrame, vecCol: String): DataFrame =
     df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select((col("pos") + 1).cast("long").as("pos"),
-        col("x").cast("double").cast("decimal(18,9)").as("xd"))
+        floor(col("x").cast("double") * lit(1e9)).cast("decimal(18,0)")
+          .as("xq"))
       .groupBy("pos")
       .agg(count(lit(1)).as("n"),
-        sum(col("xd")).cast("decimal(38,9)").as("s"),
-        sum(col("xd") * col("xd")).cast("decimal(38,18)").as("sq"))
+        sum(col("xq")).cast("decimal(38,0)").as("s_nano"),
+        sum(col("xq") * col("xq")).cast("decimal(38,0)").as("sq_nano"))
 
   def componentStats(df: DataFrame, vecCol: String): DataFrame =
     df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
@@ -363,7 +368,11 @@ object Similarity {
     val dim = dimRow.getInt(0)
     require(dim > 0, "embeddings are empty")
     // per-round quantized-sum aggregation: Σ_rows (x·v)·x_j with per-row
-    // contributions cast DECIMAL(27,9) so the sum is exact decimal math
+    // contributions truncated to integer NANO-UNITS (floor((dot·x)·10⁹):
+    // IEEE multiply + floor are bit-deterministic everywhere, and the
+    // integer-valued double casts to DECIMAL exactly — no round-half tie
+    // an engine pair could disagree on; see componentSums) and summed in
+    // exact decimal math. The nano scale cancels in the normalize step.
     def roundSums(v: Seq[Double]): DataFrame = {
       // literals carry the double nearest the rounded decimal — the same
       // value an external engine's round(x, 6) produces, so both engines
@@ -375,8 +384,8 @@ object Similarity {
       df.withColumn("__dot", dot)
         .select(col("__dot"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy((col("pos") + 1).cast("long").as("pos"))
-        .agg(sum((col("__dot") * col("x").cast("double"))
-          .cast("decimal(27,9)")).as("s"))
+        .agg(sum(floor((col("__dot") * col("x").cast("double")) * lit(1e9))
+          .cast("decimal(20,0)")).cast("decimal(38,0)").as("s"))
     }
     var v: Seq[Double] =
       1.0 +: Seq.fill(dim - 1)(0.0)
