@@ -14,12 +14,13 @@ object SparkEntry {
     * relational model + DDL artifact → decompose (main + child tables) →
     * write → validate; returns the per-table row-count report (rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
-    import spark.implicits._
     val docs = Tables.orderDocs(spark, "/root/testdata/sf0.001")
     val out = java.nio.file.Files.createTempDirectory("graft_entry").toString
     val report = MigrationWorkflow.fullMigration(spark, docs,
       MigrationConfig("odocs", out, Dialect.MySQL, fullProfile = true))
-    report.rowCounts.toSeq.sortBy(_._1).toDF("table_name", "row_count")
+    // the report is ONE DataFrame plan (union of count-pruned scans), not
+    // a driver-side Map rendered to rows — exchange-auditable (PlanSpec)
+    MigrationWorkflow.countReport(spark, out, report.rowCounts.keys.toSeq)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

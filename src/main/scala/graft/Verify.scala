@@ -11,6 +11,9 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.io.EngineSession.local(cpus.toInt)
+    // scope oracle-literal registration to THIS dataset: stale fragments
+    // from an earlier run in the same JVM must never leak into the SQL
+    graft.queries.OracleLits.beginRun(sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

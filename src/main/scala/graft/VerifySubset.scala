@@ -8,6 +8,7 @@ object VerifySubset {
     val outDir = args(1)
     val names = args.drop(2).toSet
     val spark = graft.io.EngineSession.local(8)
+    graft.queries.OracleLits.beginRun(sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => names(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

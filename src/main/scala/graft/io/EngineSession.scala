@@ -62,7 +62,9 @@ object EngineSession {
     // a full stack trace — noise that pattern-matches to failure in
     // harness logs. Filter THAT MESSAGE only (real stage-failure ERRORs
     // keep flowing; they also reach callers as exceptions). Fallback if
-    // the filter API is unavailable: FATAL-gate the one logger.
+    // the filter API is unavailable: leave the logger at ERROR and accept
+    // the accumulator noise — FATAL-gating would also suppress genuine
+    // stage-failure diagnostics, which is worse than the noise.
     try {
       import org.apache.logging.log4j.LogManager
       import org.apache.logging.log4j.core.{Filter, LoggerContext}
@@ -77,7 +79,7 @@ object EngineSession {
     } catch { case _: Throwable =>
       try org.apache.logging.log4j.core.config.Configurator.setLevel(
         "org.apache.spark.scheduler.DAGScheduler",
-        org.apache.logging.log4j.Level.FATAL)
+        org.apache.logging.log4j.Level.ERROR)
       catch { case _: Throwable => () }
     }
     spark

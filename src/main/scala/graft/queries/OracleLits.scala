@@ -24,11 +24,27 @@ import scala.collection.concurrent.TrieMap
   * a recompute-in-SQL fallback for contexts where the query has not run.
   */
 object OracleLits {
-  private val frags = TrieMap.empty[String, String]
+  // fragments are keyed by (run tag, name): a JVM that verifies more than
+  // one dataset (multi-sf sweeps, shared test sessions, iterative
+  // drivers) must never bake constants computed on an earlier dataset
+  // into oracle SQL generated for a later one — a stale fragment corrupts
+  // the gate silently in either direction (false pass or false fail).
+  private val frags = TrieMap.empty[(String, String), String]
+  @volatile private var runTag: String = ""
 
-  def put(key: String, sqlFragment: String): Unit = frags.put(key, sqlFragment)
+  /** Scope the registry to a dataset/run: clears every fragment and tags
+    * subsequent puts/gets. `Verify`/`VerifySubset` call this with the sf
+    * dir before running queries, so every fragment the dumped oracle SQL
+    * reads is — by construction — from the current run. */
+  def beginRun(tag: String): Unit = synchronized {
+    frags.clear()
+    runTag = tag
+  }
 
-  def get(key: String): Option[String] = frags.get(key)
+  def put(key: String, sqlFragment: String): Unit =
+    frags.put((runTag, key), sqlFragment)
+
+  def get(key: String): Option[String] = frags.get((runTag, key))
 
   /** SQL single-quoted string literal with quote escaping. */
   def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"

@@ -37,7 +37,12 @@ object ScaleQueries {
     * the state dir. Bench calls this in its untimed warmup so the timed
     * entry measures only the incremental path. */
   def ensureIncrCcState(s: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    // full-path digest, not String.hashCode: two sf dirs colliding on a
+    // 32-bit hash in one application would silently reuse the WRONG
+    // minhash/labels state
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_ccstate_" +
       s"${s.sparkContext.applicationId}_$key"
     val done = new java.io.File(s"$base/_DONE")
@@ -62,7 +67,11 @@ object ScaleQueries {
 
   private def deleteTree(path: String): Unit = {
     val f = new java.io.File(path)
-    if (f.isDirectory) f.listFiles().foreach(c => deleteTree(c.getPath))
+    // listFiles() is null for an unreadable/raced dir — never NPE inside
+    // a shutdown hook
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .foreach(c => deleteTree(c.getPath))
     f.delete(): Unit
   }
 
@@ -71,12 +80,15 @@ object ScaleQueries {
   private val zorderBits = 4
 
   /** Register the DSIR bucket log-ratio table for the oracle (shared by
-    * dsir_weights and dsir_select — same model, same constants). */
+    * dsir_weights and dsir_select — same model, same constants). The
+    * ratios ship as exact MICRO-UNIT integers (6-decimal value × 10⁶) so
+    * the oracle's whole scoring path is int64 arithmetic — no decimal
+    * literal for any SQL engine build to parse differently. */
   private def registerDsirRatios(ratios: IndexedSeq[BigDecimal]): Unit =
     OracleLits.put("dsir_ratios",
       ratios.zipWithIndex.map { case (r, i) =>
-        s"($i, ${OracleLits.sqlDec6(r)})"
-      }.mkString("(VALUES ", ", ", ") AS t(b, lr)"))
+        s"($i, ${r.setScale(6).bigDecimal.movePointRight(6).longValueExact})"
+      }.mkString("(VALUES ", ", ", ") AS t(b, lrm)"))
 
   val queries: Map[String, QF] = Map(
     // Exact dedup: hash-partitioned groupBy on content fingerprint
@@ -543,16 +555,18 @@ object ScaleQueries {
           col("source").isin("src0", "src1", "src2")), vocab = 512)
         .orderBy("token")),
 
-    // NB quality scores: prior log-odds + exact decimal sum of per-token
-    // log-likelihood ratios; predicted=1 for curated-looking docs. The
-    // model's quantized log constants are registered for the oracle
-    // (OracleLits) so no external engine re-derives the ln
+    // NB quality scores: prior log-odds + per-token log-likelihood-ratio
+    // sum, carried end-to-end in exact MICRO-UNIT int64 (the 6-decimal
+    // model × 10⁶); predicted=1 for curated-looking docs (an integer
+    // comparison). The micro model constants are registered for the
+    // oracle (OracleLits) as plain integers — no ln, no decimal literal,
+    // no non-integer type anywhere on the compared surface
     "nb_quality_score" -> ((s, d) => {
       val dd = docs(s, d)
       val pos = col("source").isin("src0", "src1", "src2")
       // train ONCE: the collected model registers the oracle literals AND
-      // feeds scoring back as a local relation (nbScoreWith) — scoring
-      // never re-runs the training aggregation
+      // feeds scoring back as a local relation (nbScoreMicroWith) —
+      // scoring never re-runs the training aggregation
       val modelPlan = TextAnalysis.nbTrain(dd, "text", pos, vocab = 512)
       val model = modelPlan.collect()
       val priorPlan = dd
@@ -561,21 +575,25 @@ object ScaleQueries {
         .select(log((col("np") + 1.0) / (col("nn") + 1.0))
           .cast("decimal(18,6)").as("__prior"))
       val priorRows = priorPlan.collect()
-      val prior = priorRows(0).getDecimal(0)
+      def micro(bd: java.math.BigDecimal): Long =
+        bd.setScale(6).movePointRight(6).longValueExact
+      val priorMicroV = micro(priorRows(0).getDecimal(0))
+      val modelMicro = model.map(r =>
+        (r.getString(0), micro(r.getDecimal(1)), micro(r.getDecimal(2))))
       if (model.nonEmpty) {
         OracleLits.put("nb_model",
-          model.map { r =>
-            s"(${OracleLits.sqlStr(r.getString(0))}, " +
-              s"CAST(${r.getDecimal(1)} AS DECIMAL(18,6)), " +
-              s"CAST(${r.getDecimal(2)} AS DECIMAL(18,6)))"
-          }.mkString("(VALUES ", ", ", ") AS t(token, logp_pos, logp_neg)"))
-        OracleLits.put("nb_prior", s"CAST($prior AS DECIMAL(18,6))")
+          modelMicro.map { case (t, lp, ln) =>
+            s"(${OracleLits.sqlStr(t)}, $lp, $ln)"
+          }.mkString("(VALUES ", ", ",
+            ") AS t(token, lpos_micro, lneg_micro)"))
+        OracleLits.put("nb_prior", priorMicroV.toString)
       }
-      val localModel = s.createDataFrame(
-        java.util.Arrays.asList(model: _*), modelPlan.schema)
-      val localPrior = s.createDataFrame(
-        java.util.Arrays.asList(priorRows: _*), priorPlan.schema)
-      TextAnalysis.nbScoreWith(dd, "doc_id", "text", localModel, localPrior)
+      import s.implicits._
+      val localModel = modelMicro.toSeq
+        .toDF("token", "lpos_micro", "lneg_micro")
+      val localPrior = Seq(priorMicroV).toDF("__prior_micro")
+      TextAnalysis.nbScoreMicroWith(dd, "doc_id", "text",
+        localModel, localPrior)
         .orderBy("doc_id")
     }),
 
@@ -633,7 +651,9 @@ object ScaleQueries {
 
     // BM25 retrieval: top-20 docs for a literal query (one term absent
     // from the corpus — it must contribute nothing); broadcast term
-    // stats, zero-shuffle scoring scan, exact-decimal contribution sums
+    // stats, zero-shuffle scoring scan. Gate surface is bm25Nano's int64
+    // nano score (floor-truncated per-term contributions — no decimal
+    // cast, no round-half tie) ordered by the integer total order
     "tx_bm25" -> ((s, d) => {
       val dd = docs(s, d)
       val q = "spark window join quantum"
@@ -645,7 +665,7 @@ object ScaleQueries {
           s"(${OracleLits.sqlStr(t)}, CAST($df AS BIGINT), " +
             s"${OracleLits.sqlDouble(idf)})"
         }.mkString("(VALUES ", ", ", ") AS t(qt, df, idf)"))
-      TextAnalysis.bm25(dd, "doc_id", "text", q, k = 20)
+      TextAnalysis.bm25Nano(dd, "doc_id", "text", q, k = 20)
     }),
 
     // DSIR importance weights: how target-like (here: English-distributed)
@@ -656,19 +676,23 @@ object ScaleQueries {
       val dd = docs(s, d)
       val ratios = Sampling.importanceRatios(dd, "text", col("lang") === "en")
       registerDsirRatios(ratios)
-      Sampling.importanceWeightsFromRatios(dd, "text", ratios)
-        .select("doc_id", "weight").orderBy("doc_id")
+      // gate surface is the int64 micro weight (weight × 10⁶ exactly) —
+      // pattern-1 cross-engine contract; `importanceWeights` keeps the
+      // decimal view for library callers
+      Sampling.importanceWeightsMicroFromRatios(dd, "text", ratios)
+        .select("doc_id", "weight_micro").orderBy("doc_id")
     }),
 
     // DSIR selection: the 50 most target-like docs under the deterministic
-    // (weight desc, id) total order — TakeOrderedAndProject, no global sort
+    // (weight desc, id) total order — TakeOrderedAndProject, no global
+    // sort; the ORDER itself is integer-exact (micro weights)
     "dsir_select" -> ((s, d) => {
       val dd = docs(s, d)
       val ratios = Sampling.importanceRatios(dd, "text", col("lang") === "en")
       registerDsirRatios(ratios)
-      Sampling.importanceWeightsFromRatios(dd, "text", ratios)
-        .orderBy(col("weight").desc, col("doc_id").asc).limit(50)
-        .select("doc_id", "weight")
+      Sampling.importanceWeightsMicroFromRatios(dd, "text", ratios)
+        .orderBy(col("weight_micro").desc, col("doc_id").asc).limit(50)
+        .select("doc_id", "weight_micro")
     }),
 
     // Corpus length histogram in log2 buckets (the dataset-report shape:
@@ -982,7 +1006,11 @@ object ScaleQueries {
         Similarity.powerIterationState(emb(s, d), "embedding", iters = 3)
       OracleLits.put("pca_vprev",
         vPrev.map(x => java.lang.Double.toString(x)).mkString("[", ", ", "]"))
-      sums.select(col("pos"), col("s").as("mv_sum_nano"))
+      // gate column is pure int64 (guarded narrowing of the exact decimal
+      // sum — raises instead of wrapping if a corpus ever outgrows it)
+      sums.select(col("pos"),
+          Similarity.toInt64OrError(col("s"), "emb_pca_top mv_sum_nano")
+            .as("mv_sum_nano"))
         .orderBy("pos")
     }),
 
@@ -1076,15 +1104,20 @@ object ScaleQueries {
     * still fully recomputed; only the `ln` constants are shipped.
     * Fallback: re-derive the model in SQL as before. */
   private def dsirCte: String = {
+    // the registered ratio table carries int64 MICRO log-ratios (lrm) —
+    // the whole oracle scoring path below is integer arithmetic. The
+    // fallback (query never ran) re-derives them via ln + round(·10⁶),
+    // which matches the engine's HALF_UP quantization modulo 1 libm ulp —
+    // rows/schema-grade only, exactly like the other fallbacks.
     val ratioCte = OracleLits.get("dsir_ratios") match {
       case Some(r) => s"r AS (SELECT * FROM $r)"
       case None =>
         """c AS (SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
           |    sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr FROM bk GROUP BY 1),
           |n AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM c),
-          |r AS (SELECT b,
-          |    CAST(ln(((ct + 1.0) / (nt + 256)) / ((cr + 1.0) / (nr + 256)))
-          |      AS DECIMAL(18,6)) AS lr FROM c, n)""".stripMargin
+          |r AS (SELECT b, CAST(round(
+          |    ln(((ct + 1.0) / (nt + 256)) / ((cr + 1.0) / (nr + 256)))
+          |      * 1000000.0) AS BIGINT) AS lrm FROM c, n)""".stripMargin
     }
     s"""WITH lab AS (SELECT doc_id, (lang = 'en') AS is_t,
        |    $duckToksAll AS tk FROM documents),
@@ -1093,7 +1126,7 @@ object ScaleQueries {
        |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS b
        |  FROM tok),
        |$ratioCte,
-       |s AS (SELECT bk.doc_id, sum(lr) AS w FROM bk JOIN r USING (b)
+       |s AS (SELECT bk.doc_id, sum(lrm) AS w FROM bk JOIN r USING (b)
        |  GROUP BY 1)""".stripMargin
   }
 
@@ -1981,35 +2014,44 @@ object ScaleQueries {
     // full-corpus counts the batch query restricts against
     "nb_incr_model" -> nbCountsSql,
 
-    // the per-token log constants and the prior come from the registered
-    // model literals when present (the engine's quantized values — no
-    // libm ln in the oracle); the data-sized tokenize/join/sum remains
-    // recomputed in SQL. Fallback: derive the model in SQL as before.
+    // the per-token micro log constants (int64) and the micro prior come
+    // from the registered model literals when present (the engine's
+    // quantized values × 10⁶ — no libm ln, no decimal literal in the
+    // oracle); the data-sized tokenize/join/sum remains recomputed in SQL
+    // as PURE INTEGER arithmetic. Fallback: derive the model in SQL with
+    // ln + round(·10⁶) — rows/schema-grade only, like all fallbacks.
     "nb_quality_score" -> {
-      // one scoring tail; the branches differ only in where m/pr come from
+      // one scoring tail; the branches differ only in where mq/pr come from
       val scoreTail =
-        """dl AS (SELECT tok.doc_id, sum(m.logp_pos - m.logp_neg) AS delta
-          |  FROM tok JOIN m USING (token) GROUP BY 1),
+        """dl AS (SELECT tok.doc_id,
+          |    sum(mq.lpos_micro - mq.lneg_micro) AS delta
+          |  FROM tok JOIN mq USING (token) GROUP BY 1),
           |sc AS (SELECT d.doc_id,
-          |    CAST(coalesce(dl.delta, 0) + pr.prior AS DECIMAL(18,6)) AS score
+          |    CAST(coalesce(dl.delta, 0) + pr.prior_micro AS BIGINT)
+          |      AS score_micro
           |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
           |  CROSS JOIN pr)
-          |SELECT doc_id, score,
-          |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
+          |SELECT doc_id, score_micro,
+          |  CAST(CASE WHEN score_micro > 0 THEN 1 ELSE 0 END AS BIGINT)
+          |    AS predicted
           |FROM sc ORDER BY doc_id""".stripMargin
       (OracleLits.get("nb_model"), OracleLits.get("nb_prior")) match {
         case (Some(m), Some(p)) =>
           s"""WITH tok AS (SELECT doc_id, unnest($duckToksAll) AS token
              |  FROM documents),
-             |m AS (SELECT * FROM $m),
-             |pr AS (SELECT $p AS prior),
+             |mq AS (SELECT * FROM $m),
+             |pr AS (SELECT CAST($p AS BIGINT) AS prior_micro),
              |$scoreTail""".stripMargin
         case _ =>
+          // decimal(18,6) × 10⁶ is integer-valued; the cast is exact
           s"""$nbModelCte,
-             |pr AS (SELECT CAST(ln(
+             |mq AS (SELECT token,
+             |    CAST(logp_pos * 1000000 AS BIGINT) AS lpos_micro,
+             |    CAST(logp_neg * 1000000 AS BIGINT) AS lneg_micro FROM m),
+             |pr AS (SELECT CAST(round(ln(
              |    (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0) /
-             |    (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0))
-             |  AS DECIMAL(18,6)) AS prior FROM lab),
+             |    (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0)) * 1000000.0)
+             |  AS BIGINT) AS prior_micro FROM lab),
              |$scoreTail""".stripMargin
       }
     },
@@ -2057,22 +2099,24 @@ object ScaleQueries {
     // per-term idf from the registered literals when present (the exact
     // doubles the engine's Catalyst log produced — the oracle performs
     // only IEEE ×/÷ on them, which is deterministic across engines);
-    // tf/dl/N/Σdl and the decimal contribution sums remain recomputed.
-    // Fallback: re-derive the ln in SQL as before.
+    // tf/dl/N/Σdl remain recomputed. The gate surface is the int64 NANO
+    // score: floor(contrib·10⁹) per (doc, term) — floor of a shared
+    // double has no round-half tie for engine builds to disagree on —
+    // summed and ordered as pure integers. Fallback: re-derive the ln.
     "tx_bm25" -> {
       val scoreTail =
         s"""sc AS (SELECT t.doc_id, d.qt, d.df, d.idf,
            |    len(list_filter(t.tk, x -> x = d.qt)) AS tf, len(t.tk) AS dl
            |  FROM tok t JOIN qd d ON list_contains(t.tk, d.qt)),
            |c AS (SELECT doc_id,
-           |    CAST(idf
+           |    CAST(floor((idf
            |      * (tf * CAST(2.5 AS DOUBLE))
            |      / (tf + CAST(1.5 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-           |        + CAST(0.75 AS DOUBLE) * ((dl * st.n) / st.sumdl)))
-           |      AS DECIMAL(18,6)) AS contrib
+           |        + CAST(0.75 AS DOUBLE) * ((dl * st.n) / st.sumdl))))
+           |      * 1000000000.0) AS BIGINT) AS contrib
            |  FROM sc, st)
-           |SELECT doc_id, CAST(sum(contrib) AS DECIMAL(18,6)) AS score
-           |FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+           |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_nano
+           |FROM c GROUP BY 1 ORDER BY score_nano DESC, doc_id LIMIT 20""".stripMargin
       OracleLits.get("bm25_qd") match {
         case Some(qd) =>
           s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
@@ -2119,15 +2163,15 @@ object ScaleQueries {
 
     "dsir_weights" ->
       s"""$dsirCte
-         |SELECT d.doc_id, CAST(coalesce(s.w, 0) AS DECIMAL(18,6)) AS weight
+         |SELECT d.doc_id, CAST(coalesce(s.w, 0) AS BIGINT) AS weight_micro
          |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
     "dsir_select" ->
       s"""$dsirCte
-         |SELECT d.doc_id, CAST(coalesce(s.w, 0) AS DECIMAL(18,6)) AS weight
+         |SELECT d.doc_id, CAST(coalesce(s.w, 0) AS BIGINT) AS weight_micro
          |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
-         |ORDER BY weight DESC, d.doc_id LIMIT 50""".stripMargin,
+         |ORDER BY weight_micro DESC, d.doc_id LIMIT 50""".stripMargin,
 
     "samp_stratified" ->
       """SELECT doc_id, lang FROM (
@@ -2415,21 +2459,21 @@ object ScaleQueries {
          |FROM av LEFT JOIN drp d USING (vec_id)
          |ORDER BY av.vec_id""".stripMargin,
 
-    // division-free sufficient statistics in integer nano-units: each
-    // element quantized by floor(x·10⁹) (IEEE multiply + floor — no
+    // division-free sufficient statistics in integer micro-units: each
+    // element quantized by floor(x·10⁶) (IEEE multiply + floor — no
     // round-half tie for engines to disagree on; a fractional
     // double→decimal cast DID flip one element at sf0.1), squared and
-    // summed in exact decimal arithmetic
+    // summed — every compared column is pure int64
     "emb_component_stats" ->
       """WITH dim AS (SELECT unnest(range(1,
         |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
         |pe AS (SELECT i AS pos,
-        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000.0)
-        |      AS DECIMAL(18,0)) AS xq
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS xq
         |  FROM embeddings CROSS JOIN dim)
         |SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
-        |  CAST(sum(xq) AS DECIMAL(38,0)) AS s_nano,
-        |  CAST(sum(xq * xq) AS DECIMAL(38,0)) AS sq_nano
+        |  CAST(sum(xq) AS BIGINT) AS s_micro,
+        |  CAST(sum(xq * xq) AS BIGINT) AS sq_micro
         |FROM pe GROUP BY pos ORDER BY pos""".stripMargin,
 
     // the final power-iteration round's distributed matrix-vector sums,
@@ -2453,7 +2497,7 @@ object ScaleQueries {
          |  FROM embeddings, vp)
          |SELECT CAST(i AS BIGINT) AS pos,
          |  CAST(sum(CAST(floor((d.dot * CAST(d.embedding[i] AS DOUBLE))
-         |      * 1000000000.0) AS DECIMAL(20,0))) AS DECIMAL(38,0))
+         |      * 1000000000.0) AS BIGINT)) AS BIGINT)
          |    AS mv_sum_nano
          |FROM d CROSS JOIN dim GROUP BY i ORDER BY pos""".stripMargin
     },

@@ -245,6 +245,29 @@ object Sampling {
     docs.withColumn("weight", w.cast("decimal(18,6)"))
   }
 
+  /** Integer-micro gate surface of [[importanceWeightsFromRatios]]: the
+    * same fold, but each bucket's 6-decimal log ratio is shipped as its
+    * exact MICRO-UNIT long (ratio × 10⁶ — integral by construction, the
+    * ratios are quantized at scale 6) and the per-doc weight is a pure
+    * int64 sum. No DECIMAL or DOUBLE appears anywhere on the compared
+    * surface, so no engine pair can disagree on literal parsing, decimal
+    * widening, or value formatting — the cross-engine "pattern 1"
+    * contract (SCALE.md). `weight_micro = weight × 10⁶` exactly.
+    * Overflow-safe by construction: |ratio_micro| ≤ ln(bucket-count+1)·10⁶
+    * ≲ 2·10⁷, so a doc needs ~10¹¹ tokens to overflow int64. */
+  def importanceWeightsMicroFromRatios(docs: DataFrame, textCol: String,
+      ratio: IndexedSeq[BigDecimal]): DataFrame = {
+    val buckets = ratio.size
+    val micro = ratio.map(r =>
+      r.setScale(6).bigDecimal.movePointRight(6).longValueExact)
+    val microArr = typedLit(micro)
+    val w = aggregate(TextAnalysis.tokens(lower(col(textCol))),
+      lit(0L),
+      (acc, t) => acc + element_at(microArr,
+        (pmod(Dedup.tokenHash(t), lit(buckets.toLong)) + 1).cast("int")))
+    docs.withColumn("weight_micro", w)
+  }
+
   /** Deterministic importance resample: the `k` documents most like the
     * target distribution under [[importanceWeights]], selected by the total
     * order (weight desc, id asc) — a reproducible stand-in for DSIR's
@@ -276,15 +299,23 @@ object Sampling {
     * double→DECIMAL rounding — before the rates are normalized, so an
     * external engine recomputes the identical basis-point thresholds. */
   def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
-      alphaBp: Int): DataFrame = {
+      alphaBp: Int, maxGroups: Int = 65536): DataFrame = {
     require(alphaBp > 0 && alphaBp <= 10000,
       s"alphaBp must be in (0, 10000]: $alphaBp")
+    require(maxGroups > 0, s"maxGroups must be positive: $maxGroups")
     // α−1 computed as ONE integer-sourced division so an external engine
     // reproduces the identical double (alphaBp/1e4 − 1.0 rounds twice)
     val expo = (alphaBp - 10000).toDouble / 10000.0
     val counts = df.groupBy(col(groupCol).cast("string").as("__g"))
       .agg(count(lit(1)).as("__c")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the collect's bound is CONTRACTUAL (low-cardinality group columns),
+    // not structural like the DSIR bucket count — enforce it loudly
+    // instead of letting a high-cardinality misuse OOM the driver
+    require(counts.size <= maxGroups,
+      s"temperatureSample saw ${counts.size} groups (> $maxGroups); " +
+        "it is for low-cardinality group columns (languages/sources) — " +
+        "raise maxGroups only if the driver can hold that rate map")
     if (counts.isEmpty) return df.filter(lit(false))
     val n = counts.values.sum.toDouble
     val r6 = counts.map { case (g, c) =>

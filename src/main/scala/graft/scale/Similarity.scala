@@ -281,26 +281,54 @@ object Similarity {
     * engine-portable), with mean/std finished in IEEE double and quantized
     * DECIMAL(18,6). Returns (pos, mean, std, n), pos 1-based. */
   /** Division-free sufficient statistics behind [[componentStats]]:
-    * per-dimension `(n, Σx, Σx²)` in integer NANO-UNITS — each element
-    * quantized ONCE by `floor(x·10⁹)` (one IEEE multiply + floor: both
+    * per-dimension `(n, Σx, Σx²)` in integer MICRO-UNITS — each element
+    * quantized ONCE by `floor(x·10⁶)` (one IEEE multiply + floor: both
     * bit-deterministic on any engine, and the result is an INTEGER-valued
-    * double, which every engine casts to DECIMAL exactly — unlike a
-    * fractional double→decimal cast, whose round-half direction differs
-    * across engines and DID flip one element at sf0.1), then squared and
-    * summed in exact decimal arithmetic. No division, sqrt, rounding tie,
-    * or transcendental anywhere. Callers derive mean/std by dividing by
-    * 10⁹/10¹⁸ (as [[componentStats]] does for interactive use); the gate
-    * compares the exact integer sums. Element magnitude must stay under
-    * ~9·10³ so x·10⁹ is exact in a double (embeddings are O(10)). */
+    * double — unlike a fractional double→decimal cast, whose round-half
+    * direction differs across engines and DID flip one element at sf0.1),
+    * then squared and summed in exact decimal arithmetic and returned as
+    * PURE INT64 (`s_micro`, `sq_micro`). No division, sqrt, rounding tie,
+    * transcendental, DOUBLE, or DECIMAL anywhere on the compared surface —
+    * int64 is the one type every engine/driver formats and hashes
+    * identically (the round-5 lesson: even integer-VALUED decimals drew a
+    * cross-build gate mismatch). Callers derive mean/std by dividing by
+    * 10⁶/10¹² (as [[componentStats]] does for interactive use).
+    *
+    * Guards (loud, not silent): elements must satisfy |x| < 9·10³ (keeps
+    * x·10⁶ exact in a double with huge margin and bounds xq² ≤ 8.1·10¹⁹ —
+    * summed in DECIMAL(38,0) so no intermediate wrap is possible), and the
+    * final sums must fit int64 or the query raises instead of wrapping. */
   def componentSums(df: DataFrame, vecCol: String): DataFrame =
     df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select((col("pos") + 1).cast("long").as("pos"),
-        floor(col("x").cast("double") * lit(1e9)).cast("decimal(18,0)")
-          .as("xq"))
+        floor(guardMagnitude(col("x").cast("double"), "componentSums")
+          * lit(1e6)).cast("decimal(20,0)").as("xq"))
       .groupBy("pos")
       .agg(count(lit(1)).as("n"),
-        sum(col("xq")).cast("decimal(38,0)").as("s_nano"),
-        sum(col("xq") * col("xq")).cast("decimal(38,0)").as("sq_nano"))
+        sum(col("xq")).cast("decimal(38,0)").as("__s"),
+        sum(col("xq") * col("xq")).cast("decimal(38,0)").as("__sq"))
+      .select(col("pos"), col("n"),
+        toInt64OrError(col("__s"), "componentSums s_micro").as("s_micro"),
+        toInt64OrError(col("__sq"), "componentSums sq_micro").as("sq_micro"))
+
+  /** Loud element-magnitude guard for the quantized-sum family: |x| must
+    * stay under the documented ~9·10³ bound so x·10⁹ (nano) is exact in a
+    * double — previously a doc-comment contract, now a runtime error
+    * (silent long-wrap under non-ANSI casts produced wrong-but-plausible
+    * sums otherwise). */
+  private[graft] def guardMagnitude(x: Column, who: String): Column =
+    when(x.isNull.or(abs(x) >= lit(9e3)),
+      raise_error(concat(lit(s"$who: |element| must be < 9e3 (got "),
+        coalesce(x.cast("string"), lit("null")), lit(")"))))
+      .otherwise(x)
+
+  /** Guarded exact-decimal → int64 narrowing: raises if the value is
+    * outside int64 instead of wrapping/nulling, so a gate column can never
+    * silently carry a truncated sum. */
+  private[graft] def toInt64OrError(c: Column, who: String): Column =
+    when(abs(c) > lit(Long.MaxValue).cast("decimal(38,0)"),
+      raise_error(concat(lit(s"$who overflows int64: "), c.cast("string"))))
+      .otherwise(c.cast("long"))
 
   def componentStats(df: DataFrame, vecCol: String): DataFrame =
     df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
@@ -379,7 +407,8 @@ object Similarity {
       // iterate on bit-identical vectors
       val vlit = array(v.map(lit): _*)
       val dot = aggregate(
-        zip_with(col(vecCol), vlit, (x, y) => x.cast("double") * y),
+        zip_with(col(vecCol), vlit,
+          (x, y) => guardMagnitude(x.cast("double"), "powerIteration") * y),
         lit(0.0), (acc, t) => acc + t)
       df.withColumn("__dot", dot)
         .select(col("__dot"), posexplode(col(vecCol)).as(Seq("pos", "x")))

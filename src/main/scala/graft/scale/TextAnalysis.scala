@@ -884,6 +884,32 @@ object TextAnalysis {
         when(col("score") > 0, 1L).otherwise(0L))
   }
 
+  /** Integer-micro gate surface of [[nbScoreWith]]: score against a model
+    * whose 6-decimal log likelihoods are shipped as exact MICRO-UNIT longs
+    * (`(token, lpos_micro, lneg_micro)`, value × 10⁶ — integral by
+    * construction) plus a 1-row micro prior (`__prior_micro`). The per-doc
+    * score is a pure int64 sum — `score_micro = score × 10⁶` exactly, and
+    * `predicted` is the same integer comparison. No DECIMAL/DOUBLE on the
+    * compared surface (the cross-engine "pattern 1" contract, SCALE.md).
+    * Same plan shape as [[nbScoreWith]]: broadcast token→model join,
+    * one groupBy(id), left join back for vocab-less docs. */
+  def nbScoreMicroWith(docs: DataFrame, idCol: String, textCol: String,
+      modelMicro: DataFrame, priorMicro: DataFrame): DataFrame = {
+    val delta = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .join(broadcast(modelMicro), Seq("token"))
+      .groupBy(idCol)
+      .agg(sum(col("lpos_micro") - col("lneg_micro")).as("__delta"))
+    docs.select(col(idCol))
+      .join(delta, Seq(idCol), "left_outer")
+      .crossJoin(broadcast(priorMicro))
+      .select(col(idCol),
+        (coalesce(col("__delta"), lit(0L)) + col("__prior_micro"))
+          .as("score_micro"))
+      .withColumn("predicted",
+        when(col("score_micro") > 0, 1L).otherwise(0L))
+  }
+
   /** Reliability diagram for a [[nbScore]] classifier — the standard
     * calibration QA before a learned quality filter gates a corpus
     * (a filter that says "0.9" should be right ~90% of the time; NB is
@@ -1038,6 +1064,40 @@ object TextAnalysis {
   def bm25(docs: DataFrame, idCol: String, textCol: String, query: String,
       k: Int = 20, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    bm25Contrib(docs, idCol, textCol, query, k1, b)
+      // the per-term contribution quantizes before the exact per-doc sum
+      .withColumn("__c6", col("__contrib").cast("decimal(18,6)"))
+      .groupBy(idCol)
+      .agg(sum(col("__c6")).cast("decimal(18,6)").as("score"))
+      .orderBy(col("score").desc, col(idCol).asc).limit(k)
+  }
+
+  /** Integer-nano gate surface of [[bm25]]: per-term contributions are
+    * truncated to NANO-UNITS (`floor(c·10⁹)` — IEEE multiply + floor, both
+    * bit-deterministic given identical input doubles, no round-half tie)
+    * and the per-doc score is a pure int64 sum ordered by the integer
+    * total order (score_nano desc, id). No DECIMAL/DOUBLE on the compared
+    * surface — the cross-engine "pattern 1" contract (SCALE.md); the one
+    * transcendental (idf's ln) is shipped to the oracle as a literal via
+    * [[bm25TermStats]]/`OracleLits`. Overflow-safe: a contribution is
+    * ≤ idf·(k1+1) ≲ 10² → ≤ 10¹¹ nano per (doc, term); a doc needs ~10⁸
+    * matching query terms to overflow int64. */
+  def bm25Nano(docs: DataFrame, idCol: String, textCol: String, query: String,
+      k: Int = 20, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    bm25Contrib(docs, idCol, textCol, query, k1, b)
+      .withColumn("__cn", floor(col("__contrib") * lit(1e9)))
+      .groupBy(idCol)
+      .agg(sum(col("__cn")).as("score_nano"))
+      .orderBy(col("score_nano").desc, col(idCol).asc).limit(k)
+  }
+
+  /** The shared scoring scan behind [[bm25]]/[[bm25Nano]]: one row per
+    * (doc, present-query-term) with the RAW double contribution
+    * (`__contrib`) — broadcast stats + broadcast per-term df, no shuffle
+    * on the data path. */
+  private def bm25Contrib(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k1: Double, b: Double): DataFrame = {
     val qTerms = tokens(lower(lit(query)))
     val withToks = docs.select(col(idCol), tokens(lower(col(textCol))).as("__tk"))
     // corpus stats: N and avgdl (one tiny agg, broadcast as a scalar row);
@@ -1049,7 +1109,7 @@ object TextAnalysis {
       .select(explode(array_distinct(array_intersect(col("__tk"), qTerms)))
         .as("__qt"))
       .groupBy("__qt").agg(count(lit(1)).as("__df"))
-    val scored = withToks
+    withToks
       .crossJoin(broadcast(stats))
       .withColumn("__dl", size(col("__tk")))
       .select(col(idCol), col("__tk"), col("__n"), col("__sumdl"), col("__dl"),
@@ -1058,19 +1118,14 @@ object TextAnalysis {
       .withColumn("__tf",
         size(filter(col("__tk"), t => t === col("__qt"))))
       .join(broadcast(df), Seq("__qt"))
-      // idf and the length-normalized tf fraction are double math; the
-      // per-term contribution quantizes before the exact per-doc sum
+      // idf and the length-normalized tf fraction are double math; op
+      // grouping mirrored EXACTLY by the DuckDB oracle: dl·N is an exact
+      // integer product, so dl/avgdl is ONE double division
       .withColumn("__contrib",
-        // op grouping mirrored EXACTLY by the DuckDB oracle: dl·N is an
-        // exact integer product, so dl/avgdl is ONE double division
-        (log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
             (col("__df") + lit(0.5))) *
           (col("__tf") * lit(k1 + 1.0)) /
           (col("__tf") + lit(k1) * (lit(1.0 - b) +
             lit(b) * (col("__dl") * col("__n") / col("__sumdl")))))
-          .cast("decimal(18,6)"))
-      .groupBy(idCol)
-      .agg(sum(col("__contrib")).cast("decimal(18,6)").as("score"))
-    scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
   }
 }

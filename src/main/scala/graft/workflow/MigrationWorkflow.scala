@@ -98,6 +98,23 @@ object MigrationWorkflow {
     MigrationReport(cfg.collection, prof, model, counts, status)
   }
 
+  /** The per-table row-count report as ONE DataFrame plan — a union of
+    * count-pruned parquet scans (each leg reads zero columns; counts come
+    * from footer metadata) instead of a driver-side Map rendered to local
+    * rows. This keeps the flagship entry's output exchange-auditable
+    * (PlanSpec pins the shape) and distributed end-to-end. */
+  def countReport(spark: SparkSession, outDir: String,
+      tables: Seq[String]): DataFrame = {
+    require(tables.nonEmpty, "countReport needs at least one table")
+    tables.sorted.map { name =>
+      spark.read.parquet(s"$outDir/$name.parquet")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("row_count"))
+        .select(org.apache.spark.sql.functions.lit(name).as("table_name"),
+          org.apache.spark.sql.functions.col("row_count"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+  }
+
   /** Export the generated DDL script (Export-SQLSchema,
     * Sql_Schema_Generator.ps1:460-494 / S17). */
   def writeDdlArtifact(spark: SparkSession, model: Seq[TableSpec],

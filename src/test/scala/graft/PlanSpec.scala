@@ -140,6 +140,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("integer gate variants keep the library plan shapes (micro/nano)") {
+    // the pattern-1 reshapes must not have traded plan quality for gate
+    // portability: micro DSIR scoring stays a zero-exchange per-row fold…
+    val dd = Tables.load(spark, sfDir, "documents")
+    val ratios = graft.scale.Sampling.importanceRatios(
+      dd, "text", org.apache.spark.sql.functions.col("lang") === "en")
+    val pw = graft.scale.Sampling
+      .importanceWeightsMicroFromRatios(dd, "text", ratios)
+      .queryExecution.executedPlan.toString
+    assert(!pw.contains("Exchange"), pw)
+    assert(!pw.contains("Join"), pw)
+    // …and nano BM25 keeps the broadcast-join + top-k finish
+    val pb = graft.scale.TextAnalysis.bm25Nano(
+        dd, "doc_id", "text", "spark window join", k = 20)
+      .queryExecution.executedPlan.toString
+    assert(!pb.contains("SortMergeJoin"), pb)
+    assert(pb.contains("BroadcastHashJoin"), pb)
+    assert(pb.contains("TakeOrderedAndProject"), pb)
+  }
+
+  test("flagship count report is one union of count-pruned parquet scans") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cr").toString
+    Tables.load(spark, sfDir, "nation")
+      .write.mode("overwrite").parquet(s"$tmp/a.parquet")
+    Tables.load(spark, sfDir, "region")
+      .write.mode("overwrite").parquet(s"$tmp/b.parquet")
+    val df = graft.workflow.MigrationWorkflow.countReport(
+      spark, tmp, Seq("b", "a"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Union"), p)
+    // each count leg reads ZERO columns (footer-metadata counts)
+    assert(p.contains("ReadSchema: struct<>"), p)
+    assert(!p.contains("Join"), p)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"), rows.toSeq)
+    assert(rows.forall(_.getLong(1) > 0), rows.toSeq)
+  }
+
   test("overlap matrix and funnel stay equi-join shaped — no cartesian") {
     val ov = graft.scale.TextAnalysis.sourceOverlap(
         Tables.load(spark, sfDir, "documents"), "source", "text")

@@ -294,7 +294,7 @@ object CanonProps extends Properties("Canonicalization") {
       out == ref
     }
 
-  property("componentSums equals the integer nano-unit reference") = {
+  property("componentSums equals the integer micro-unit reference") = {
     val vecGen = Gen.choose(2, 8).flatMap { n =>
       Gen.listOfN(n, Gen.listOfN(3,
         Gen.choose(-1000000, 1000000).map(_ / 1000.0f)))
@@ -304,12 +304,11 @@ object CanonProps extends Properties("Canonicalization") {
           vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
             .toDF("id", "embedding"), "embedding")
         .collect().map(r => r.getLong(0) ->
-          (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger),
-            BigInt(r.getDecimal(3).toBigInteger)))
+          (r.getLong(1), r.getLong(2), r.getLong(3)))
         .toMap
       val ref = (1 to 3).map { pos =>
         val xs = vecs.map(v =>
-          BigInt(math.floor(v(pos - 1).toDouble * 1e9).toLong))
+          math.floor(v(pos - 1).toDouble * 1e6).toLong)
         pos.toLong -> ((vecs.size.toLong, xs.sum, xs.map(x => x * x).sum))
       }.toMap
       out == ref

@@ -467,6 +467,62 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(shared._2 == 30 && shared._4 == "1,2,3,4,5")
   }
 
+  test("integer gate surfaces agree exactly with their decimal library views") {
+    // importanceWeightsMicroFromRatios: weight_micro == weight × 10⁶
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (3L, ""), (4L, "gamma gamma gamma epsilon")).toDF("doc_id", "text")
+    val ratios = Sampling.importanceRatios(docs, "text", $"doc_id" % 2 === 0,
+      buckets = 16)
+    val dec = Sampling.importanceWeightsFromRatios(docs, "text", ratios)
+      .select($"doc_id", $"weight").collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val mic = Sampling.importanceWeightsMicroFromRatios(docs, "text", ratios)
+      .select($"doc_id", $"weight_micro").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dec.keySet == mic.keySet)
+    dec.foreach { case (id, w) =>
+      assert((w * 1000000).toLongExact == mic(id), s"doc $id: $w vs ${mic(id)}")
+    }
+
+    // bm25Nano: same doc set and ordering as decimal bm25 (away from
+    // quantization ties, which the fixed corpus here is)
+    val bdocs = Seq((1L, "apple apple apple pie"), (2L, "apple pie crust"),
+      (3L, "cherry split"), (4L, "apple banana")).toDF("id", "text")
+    val decRank = TextAnalysis.bm25(bdocs, "id", "text", "apple banana", k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val nano = TextAnalysis.bm25Nano(bdocs, "id", "text", "apple banana", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nano.map(_._1).toSeq == decRank, s"$nano vs $decRank")
+    assert(nano.forall(_._2 > 0))
+
+    // nbScoreMicroWith: score_micro == nbScoreWith score × 10⁶, same labels
+    val ndocs = Seq((1L, "good clean prose"), (2L, "spam junk noise"),
+      (3L, "good junk"), (4L, "")).toDF("doc_id", "text")
+    val model = TextAnalysis.nbTrain(ndocs, "text", $"doc_id" <= 2, vocab = 32)
+    val prior = ndocs
+      .agg(sum(when($"doc_id" <= 2, 1L).otherwise(0L)).as("np"),
+        sum(when($"doc_id" <= 2, 0L).otherwise(1L)).as("nn"))
+      .select(log(($"np" + 1.0) / ($"nn" + 1.0))
+        .cast("decimal(18,6)").as("__prior"))
+    val decScore = TextAnalysis.nbScoreWith(ndocs, "doc_id", "text",
+        model, prior).collect()
+      .map(r => r.getLong(0) -> (BigDecimal(r.getDecimal(1)), r.getLong(2)))
+      .toMap
+    val modelMicro = model.select($"token",
+      ($"logp_pos" * 1000000).cast("long").as("lpos_micro"),
+      ($"logp_neg" * 1000000).cast("long").as("lneg_micro"))
+    val priorMicro = prior.select(($"__prior" * 1000000).cast("long")
+      .as("__prior_micro"))
+    val micScore = TextAnalysis.nbScoreMicroWith(ndocs, "doc_id", "text",
+        modelMicro, priorMicro).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(decScore.keySet == micScore.keySet)
+    decScore.foreach { case (id, (s, pred)) =>
+      assert((s * 1000000).toLongExact == micScore(id)._1, s"doc $id score")
+      assert(pred == micScore(id)._2, s"doc $id predicted")
+    }
+  }
+
   test("bm25: term frequency and rarity rank as expected; absent term inert") {
     val docs = Seq(
       (1L, "apple apple apple pie"),   // tf=3 for apple

@@ -23,6 +23,18 @@ import json
 import os
 import sys
 
+# Queries whose measurement BOUNDARY changed in some round (what the timed
+# window covers — e.g. state construction moved into the untimed warmup).
+# Their cross-round delta for that transition is a re-scoping, not a code
+# speedup/regression; they are annotated in every BENCH_DELTA.md so a
+# reader never misreads the movement.
+RESCOPED = {
+    "dedup_incr_components": (
+        "r4->r5: incremental-CC state construction moved to the untimed "
+        "warmup (the timed entry now measures only the incremental path) "
+        "- the 24.3->4.5 s drop was a measurement-boundary change"),
+}
+
 
 def load(path):
     with open(path) as f:
@@ -69,12 +81,18 @@ def main():
             return [f"## {title}\n", "(none)\n"]
         out = [f"## {title}\n", "| query | old s | new s | ratio |",
                "|---|---|---|---|"]
-        out += [f"| {k} | {o:.2f} | {n:.2f} | {x:.2f}x |"
+        out += [f"| {k}{' ⚠ re-scoped' if k in RESCOPED else ''} "
+                f"| {o:.2f} | {n:.2f} | {x:.2f}x |"
                 for k, o, n, x in rs[:20]]
         out.append("")
         return out
     lines += table("Regressions (>2x and >1 s)", regressions)
     lines += table("Improvements (>1 s faster)", improvements)
+    noted = sorted(set(shared) & set(RESCOPED))
+    if noted:
+        lines.append("## Measurement-boundary notes\n")
+        lines += [f"- **{k}**: {RESCOPED[k]}" for k in noted]
+        lines.append("")
     added = sorted(set(qnew) - set(qold))
     removed = sorted(set(qold) - set(qnew))
     if added:

@@ -64,3 +64,12 @@ for name, v in sorted(results.items()):
     mark = "PASS" if v == "OK" else "FAIL"
     print(f"{mark} {name}" + ("" if v == "OK" else f"  -> {v[:400]}"))
 print(f"\n{ok}/{len(results)} queries match")
+
+# gate-purity lint: no float / transcendental-fed fractional-decimal gate
+# columns may (re)appear — see tools/gate_lint.py
+import subprocess
+lint = subprocess.run(
+    [sys.executable, os.path.join(os.path.dirname(__file__), "gate_lint.py"),
+     SF, OUT])
+if lint.returncode != 0:
+    sys.exit(1)
