@@ -613,8 +613,8 @@ object ScaleQueries {
     }),
 
     // NB calibration: reliability diagram over fixed probability bins —
-    // mean predicted (sum_pred/n_docs) vs actual (n_pos/n_docs) per bin is
-    // the calibration gap of the quality filter; division-free output
+    // mean predicted (sum_pred_micro/10⁶/n_docs) vs actual (n_pos/n_docs)
+    // per bin is the calibration gap; division-free pure-int64 output
     "nb_calibration" -> ((s, d) =>
       TextAnalysis.nbCalibration(docs(s, d), "doc_id", "text",
         col("source").isin("src0", "src1", "src2"), vocab = 512, bins = 10)
@@ -657,14 +657,16 @@ object ScaleQueries {
     "tx_bm25" -> ((s, d) => {
       val dd = docs(s, d)
       val q = "spark window join quantum"
-      // register the per-term idf doubles (bit-identical to the in-query
-      // Catalyst log) so the oracle never re-derives the ln
+      // register the per-term idf as INTEGER nano values (floor(idf·10⁹)
+      // of the same Catalyst log the query evaluates) — the oracle
+      // reconstructs idf by one deterministic IEEE division, so no float
+      // literal needs parsing anywhere in the gate chain
       val (_, _, terms) = TextAnalysis.bm25TermStats(dd, "text", q)
       if (terms.nonEmpty) OracleLits.put("bm25_qd",
         terms.map { case (t, df, idf) =>
           s"(${OracleLits.sqlStr(t)}, CAST($df AS BIGINT), " +
-            s"${OracleLits.sqlDouble(idf)})"
-        }.mkString("(VALUES ", ", ", ") AS t(qt, df, idf)"))
+            s"CAST(${math.floor(idf * 1e9).toLong} AS BIGINT))"
+        }.mkString("(VALUES ", ", ", ") AS t(qt, df, idf9)"))
       TextAnalysis.bm25Nano(dd, "doc_id", "text", q, k = 20)
     }),
 
@@ -2074,7 +2076,7 @@ object ScaleQueries {
          |SELECT least(CAST(floor(p6 * 10) AS BIGINT), 9) AS bin,
          |  count(*) AS n_docs,
          |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         |  CAST(sum(p6) AS DECIMAL(18,6)) AS sum_pred
+         |  CAST(sum(CAST(p6 * 1000000 AS BIGINT)) AS BIGINT) AS sum_pred_micro
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "samp_temperature" ->
@@ -2104,8 +2106,11 @@ object ScaleQueries {
     // double has no round-half tie for engine builds to disagree on —
     // summed and ordered as pure integers. Fallback: re-derive the ln.
     "tx_bm25" -> {
+      // idf is reconstructed from the INTEGER nano literal by one IEEE
+      // division — identical bits on any engine, no float literal parse
       val scoreTail =
-        s"""sc AS (SELECT t.doc_id, d.qt, d.df, d.idf,
+        s"""sc AS (SELECT t.doc_id, d.qt, d.df,
+           |    (CAST(d.idf9 AS DOUBLE) / CAST(1000000000 AS DOUBLE)) AS idf,
            |    len(list_filter(t.tk, x -> x = d.qt)) AS tf, len(t.tk) AS dl
            |  FROM tok t JOIN qd d ON list_contains(t.tk, d.qt)),
            |c AS (SELECT doc_id,
@@ -2126,9 +2131,11 @@ object ScaleQueries {
         case None =>
           s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
              |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tok),
-             |qd AS (SELECT qt, count(*) AS df, ln(CAST(1.0 AS DOUBLE)
+             |qd AS (SELECT qt, count(*) AS df,
+             |    CAST(floor(ln(CAST(1.0 AS DOUBLE)
              |      + ((SELECT n FROM st) - count(*) + CAST(0.5 AS DOUBLE))
-             |        / (count(*) + CAST(0.5 AS DOUBLE))) AS idf FROM
+             |        / (count(*) + CAST(0.5 AS DOUBLE)))
+             |      * 1000000000.0) AS BIGINT) AS idf9 FROM
              |    (SELECT unnest(['spark', 'window', 'join', 'quantum']) AS qt) q
              |  JOIN tok ON list_contains(tk, qt) GROUP BY 1),
              |$scoreTail""".stripMargin

@@ -916,9 +916,10 @@ object TextAnalysis {
     * famously over-confident and this table is how you SEE it). Scores map
     * to probabilities via the logistic sigmoid, land in `bins` fixed-width
     * probability bins, and each bin reports volume, actual positives, and
-    * the exact-decimal sum of predicted probabilities (mean predicted vs
-    * `n_pos`/`n_docs` is the calibration gap; Σp keeps the output
-    * division-free so it stays bit-stable across engines).
+    * the exact MICRO-UNIT integer sum of predicted probabilities
+    * (`sum_pred_micro` = Σp × 10⁶ exactly; mean predicted vs
+    * `n_pos`/`n_docs` is the calibration gap). Division-free and pure
+    * int64 on the compared surface — the pattern-1 gate contract.
     *
     * 100 TB shape: scoring is [[nbScore]]'s broadcast-join scan; the
     * diagram itself is one `bins`-row aggregate with map-side partials.
@@ -941,7 +942,9 @@ object TextAnalysis {
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
-        sum(col("__p")).cast("decimal(18,6)").as("sum_pred"))
+        // p6 is an exact 6-decimal quantity, so ×10⁶ is integer-valued
+        // and the per-bin sum is a pure int64
+        sum((col("__p") * 1000000).cast("long")).as("sum_pred_micro"))
   }
 
   /** Capped inverted-index posting lists — the retrieval-side artifact of a
@@ -1064,7 +1067,7 @@ object TextAnalysis {
   def bm25(docs: DataFrame, idCol: String, textCol: String, query: String,
       k: Int = 20, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    bm25Contrib(docs, idCol, textCol, query, k1, b)
+    bm25Contrib(docs, idCol, textCol, query, k1, b, nanoIdf = false)
       // the per-term contribution quantizes before the exact per-doc sum
       .withColumn("__c6", col("__contrib").cast("decimal(18,6)"))
       .groupBy(idCol)
@@ -1077,15 +1080,17 @@ object TextAnalysis {
     * bit-deterministic given identical input doubles, no round-half tie)
     * and the per-doc score is a pure int64 sum ordered by the integer
     * total order (score_nano desc, id). No DECIMAL/DOUBLE on the compared
-    * surface — the cross-engine "pattern 1" contract (SCALE.md); the one
-    * transcendental (idf's ln) is shipped to the oracle as a literal via
-    * [[bm25TermStats]]/`OracleLits`. Overflow-safe: a contribution is
+    * surface, and the one transcendental (idf's ln) is itself truncated to
+    * an INTEGER nano value before use (`idf9 = floor(ln(…)·10⁹)`, then
+    * `idf9/10⁹` — one deterministic IEEE division), so the oracle receives
+    * idf as an integer literal via `OracleLits` and no float literal needs
+    * parsing anywhere in the gate chain. Overflow-safe: a contribution is
     * ≤ idf·(k1+1) ≲ 10² → ≤ 10¹¹ nano per (doc, term); a doc needs ~10⁸
     * matching query terms to overflow int64. */
   def bm25Nano(docs: DataFrame, idCol: String, textCol: String, query: String,
       k: Int = 20, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    bm25Contrib(docs, idCol, textCol, query, k1, b)
+    bm25Contrib(docs, idCol, textCol, query, k1, b, nanoIdf = true)
       .withColumn("__cn", floor(col("__contrib") * lit(1e9)))
       .groupBy(idCol)
       .agg(sum(col("__cn")).as("score_nano"))
@@ -1095,9 +1100,10 @@ object TextAnalysis {
   /** The shared scoring scan behind [[bm25]]/[[bm25Nano]]: one row per
     * (doc, present-query-term) with the RAW double contribution
     * (`__contrib`) — broadcast stats + broadcast per-term df, no shuffle
-    * on the data path. */
+    * on the data path. `nanoIdf` routes idf through the integer-nano
+    * truncation (the gate path); the library view keeps the raw log. */
   private def bm25Contrib(docs: DataFrame, idCol: String, textCol: String,
-      query: String, k1: Double, b: Double): DataFrame = {
+      query: String, k1: Double, b: Double, nanoIdf: Boolean): DataFrame = {
     val qTerms = tokens(lower(lit(query)))
     val withToks = docs.select(col(idCol), tokens(lower(col(textCol))).as("__tk"))
     // corpus stats: N and avgdl (one tiny agg, broadcast as a scalar row);
@@ -1121,9 +1127,13 @@ object TextAnalysis {
       // idf and the length-normalized tf fraction are double math; op
       // grouping mirrored EXACTLY by the DuckDB oracle: dl·N is an exact
       // integer product, so dl/avgdl is ONE double division
+      .withColumn("__idf", {
+        val raw = log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5)))
+        if (nanoIdf) floor(raw * lit(1e9)).cast("double") / lit(1e9) else raw
+      })
       .withColumn("__contrib",
-        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
-            (col("__df") + lit(0.5))) *
+        col("__idf") *
           (col("__tf") * lit(k1 + 1.0)) /
           (col("__tf") + lit(k1) * (lit(1.0 - b) +
             lit(b) * (col("__dl") * col("__n") / col("__sumdl")))))

@@ -552,12 +552,14 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     }.toDF("id", "text", "pos")
     val cal = TextAnalysis.nbCalibration(docs, "id", "text", $"pos",
       vocab = 16, bins = 10)
-      .as[(Long, Long, Long, BigDecimal)].collect()
+      .as[(Long, Long, Long, Long)].collect()
     assert(cal.map(_._2).sum == 40) // every doc in exactly one bin
     assert(cal.map(_._3).sum == 20) // all positives accounted for
-    cal.foreach { case (bin, n, np, sp) =>
+    cal.foreach { case (bin, n, np, spMicro) =>
       assert(bin >= 0 && bin <= 9 && np <= n)
-      // sum of per-doc probabilities stays inside the bin's range bounds
+      // micro-unit sum of per-doc probabilities stays inside the bin's
+      // range bounds
+      val sp = BigDecimal(spMicro) / 1000000
       assert(sp >= BigDecimal(bin) * n / 10 - 1 &&
         sp <= BigDecimal(bin + 1) * n / 10 + 1)
     }

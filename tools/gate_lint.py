@@ -28,11 +28,6 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 # name -> (set of tolerated risky columns, justification)
 ALLOW = {
-    # sigmoid lands in COARSE fixed bins (bin index is the load-bearing
-    # integer); sum_pred is a diagnostic exact-decimal sum of 6-decimal
-    # quantities. Green at the driver since round 4.
-    "nb_calibration": ({"sum_pred"},
-                       "coarse-binned sigmoid; exact decimal sum output"),
     # keep_bp thresholds are integer basis points; pow is quantized
     # HALF_UP at 6 decimals before any comparison. Integer-output query;
     # listed only because the SQL text contains pow().
