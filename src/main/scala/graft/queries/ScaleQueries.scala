@@ -577,7 +577,10 @@ object ScaleQueries {
       val priorRows = priorPlan.collect()
       def micro(bd: java.math.BigDecimal): Long =
         bd.setScale(6).movePointRight(6).longValueExact
-      val priorMicroV = micro(priorRows(0).getDecimal(0))
+      // empty corpus → null prior aggregate; score 0 keeps the query
+      // total (empty output) instead of an NPE in the micro conversion
+      val priorMicroV =
+        if (priorRows(0).isNullAt(0)) 0L else micro(priorRows(0).getDecimal(0))
       val modelMicro = model.map(r =>
         (r.getString(0), micro(r.getDecimal(1)), micro(r.getDecimal(2))))
       if (model.nonEmpty) {
@@ -2476,7 +2479,7 @@ object ScaleQueries {
         |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
         |pe AS (SELECT i AS pos,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
-        |      AS BIGINT) AS xq
+        |      AS DECIMAL(19,0)) AS xq
         |  FROM embeddings CROSS JOIN dim)
         |SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
         |  CAST(sum(xq) AS BIGINT) AS s_micro,

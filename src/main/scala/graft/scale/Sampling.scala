@@ -306,15 +306,17 @@ object Sampling {
     // α−1 computed as ONE integer-sourced division so an external engine
     // reproduces the identical double (alphaBp/1e4 − 1.0 rounds twice)
     val expo = (alphaBp - 10000).toDouble / 10000.0
-    val counts = df.groupBy(col(groupCol).cast("string").as("__g"))
-      .agg(count(lit(1)).as("__c")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     // the collect's bound is CONTRACTUAL (low-cardinality group columns),
-    // not structural like the DSIR bucket count — enforce it loudly
-    // instead of letting a high-cardinality misuse OOM the driver
+    // not structural like the DSIR bucket count — enforce it loudly, and
+    // BEFORE materializing: the limit caps what ever reaches the driver,
+    // so a high-cardinality misuse errors instead of OOMing the collect
+    val counts = df.groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .limit(maxGroups + 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.size <= maxGroups,
-      s"temperatureSample saw ${counts.size} groups (> $maxGroups); " +
-        "it is for low-cardinality group columns (languages/sources) — " +
+      s"temperatureSample saw > $maxGroups groups; it is for " +
+        "low-cardinality group columns (languages/sources) — " +
         "raise maxGroups only if the driver can hold that rate map")
     if (counts.isEmpty) return df.filter(lit(false))
     val n = counts.values.sum.toDouble

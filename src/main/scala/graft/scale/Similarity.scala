@@ -315,11 +315,14 @@ object Similarity {
     * stay under the documented ~9·10³ bound so x·10⁹ (nano) is exact in a
     * double — previously a doc-comment contract, now a runtime error
     * (silent long-wrap under non-ANSI casts produced wrong-but-plausible
-    * sums otherwise). */
+    * sums otherwise). NULL passes through unchanged: ragged/short vectors
+    * produce null elements (zip_with padding), which the quantized sums
+    * already skip — raising here would turn a tolerated shape into a
+    * crash with a misleading magnitude message. */
   private[graft] def guardMagnitude(x: Column, who: String): Column =
-    when(x.isNull.or(abs(x) >= lit(9e3)),
+    when(x.isNotNull.and(abs(x) >= lit(9e3)),
       raise_error(concat(lit(s"$who: |element| must be < 9e3 (got "),
-        coalesce(x.cast("string"), lit("null")), lit(")"))))
+        x.cast("string"), lit(")"))))
       .otherwise(x)
 
   /** Guarded exact-decimal → int64 narrowing: raises if the value is
@@ -410,10 +413,20 @@ object Similarity {
         zip_with(col(vecCol), vlit,
           (x, y) => guardMagnitude(x.cast("double"), "powerIteration") * y),
         lit(0.0), (acc, t) => acc + t)
+      // per-row overflow guard: floor() narrows double → long, and a
+      // (dot·x)·10⁹ beyond int64 would CLAMP there (Java saturating
+      // conversion) before the decimal cast could preserve it — raise
+      // instead of silently clamping (|dot·x| < 9·10⁹ keeps the nano
+      // product inside int64 with margin)
+      val prod = col("__dot") * col("x").cast("double")
+      val guarded = when(prod.isNotNull.and(abs(prod) >= lit(9.0e9)),
+        raise_error(concat(lit("powerIteration: |dot*x| must be < 9e9 (got "),
+          prod.cast("string"), lit(")"))))
+        .otherwise(prod)
       df.withColumn("__dot", dot)
         .select(col("__dot"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy((col("pos") + 1).cast("long").as("pos"))
-        .agg(sum(floor((col("__dot") * col("x").cast("double")) * lit(1e9))
+        .agg(sum(floor(guarded * lit(1e9))
           .cast("decimal(20,0)")).cast("decimal(38,0)").as("s"))
     }
     var v: Seq[Double] =

@@ -106,12 +106,10 @@ object MigrationWorkflow {
   def countReport(spark: SparkSession, outDir: String,
       tables: Seq[String]): DataFrame = {
     require(tables.nonEmpty, "countReport needs at least one table")
-    tables.sorted.map { name =>
+    tables.map { name =>
       spark.read.parquet(s"$outDir/$name.parquet")
-        .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("row_count"))
-        .select(org.apache.spark.sql.functions.lit(name).as("table_name"),
-          org.apache.spark.sql.functions.col("row_count"))
+        .agg(count(lit(1)).as("row_count"))
+        .select(lit(name).as("table_name"), col("row_count"))
     }.reduce(_ unionByName _).orderBy("table_name")
   }
 

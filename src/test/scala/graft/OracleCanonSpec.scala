@@ -33,16 +33,19 @@ class OracleCanonSpec extends SparkSpec {
   test("registry: beginRun scopes fragments to one dataset/run") {
     // a JVM verifying two datasets must never serve dataset-A constants
     // to dataset-B oracle SQL (stale fragments corrupt the gate silently)
-    OracleLits.beginRun("/data/sfA")
-    OracleLits.put("__scope_key", "(VALUES (1)) AS t(a)")
-    assert(OracleLits.get("__scope_key").isDefined)
-    OracleLits.beginRun("/data/sfB")
-    assert(OracleLits.get("__scope_key").isEmpty,
-      "fragment from the previous run leaked into the new run")
-    OracleLits.put("__scope_key", "(VALUES (2)) AS t(b)")
-    assert(OracleLits.get("__scope_key").contains("(VALUES (2)) AS t(b)"))
-    // reset to the default scope so other suites see a clean registry
-    OracleLits.beginRun("")
+    try {
+      OracleLits.beginRun("/data/sfA")
+      OracleLits.put("__scope_key", "(VALUES (1)) AS t(a)")
+      assert(OracleLits.get("__scope_key").isDefined)
+      OracleLits.beginRun("/data/sfB")
+      assert(OracleLits.get("__scope_key").isEmpty,
+        "fragment from the previous run leaked into the new run")
+      OracleLits.put("__scope_key", "(VALUES (2)) AS t(b)")
+      assert(OracleLits.get("__scope_key").contains("(VALUES (2)) AS t(b)"))
+    } finally {
+      // other suites must see the default-scope registry even on failure
+      OracleLits.beginRun("")
+    }
   }
 
   test("bm25TermStats: corpus stats, presence-only terms, idf formula") {

@@ -71,5 +71,7 @@ import subprocess
 lint = subprocess.run(
     [sys.executable, os.path.join(os.path.dirname(__file__), "gate_lint.py"),
      SF, OUT])
-if lint.returncode != 0:
+# exit nonzero on ANY failure — value mismatches foremost, lint second —
+# so wrappers can gate on the return code
+if ok != len(results) or lint.returncode != 0:
     sys.exit(1)
