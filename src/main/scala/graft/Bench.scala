@@ -60,6 +60,16 @@ object Bench {
             .select(col("doc_id"), col("text"), col("lang")),
           "doc_id", "text", "lang", profileTopN = 300)
         .write.mode("overwrite").format("noop").save()
+      // the salted two-phase topPerGroup window (survivor election, postings
+      // caps) compiles its own two-window shape — ~9 s of first-run codegen
+      // that otherwise lands on dedup_best_survivor (alphabetically the
+      // first consumer); compile it on the same bounded subset
+      graft.scale.Sampling.topPerGroup(
+          d0.withColumn("component", col("doc_id") % 10)
+            .withColumn("n_chars", length(col("text")).cast("long")),
+          "component", col("doc_id"), 1,
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .write.mode("overwrite").format("noop").save()
       // the incremental-CC query reads PERSISTED yesterday-state (its
       // deployed shape); build that state untimed so the timed entry
       // measures the incremental path, not history re-clustering

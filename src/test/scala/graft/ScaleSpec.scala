@@ -571,4 +571,24 @@ class ScaleSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.powerIterationTop(zeros, "embedding"))
   }
+
+  test("quantized-sum guards: magnitude raises, ragged nulls tolerated") {
+    // an element beyond the 9e3 bound must raise LOUDLY, not wrap
+    val big = Seq((1L, Seq(1.0f, 10000.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](
+      Similarity.componentSums(big, "embedding").collect())
+    assert(e.getMessage != null && e.getMessage.contains("9e3"),
+      s"unexpected error: ${e.getMessage}")
+    // ragged vectors: the short row's missing tail pads with nulls, which
+    // the sums skip (no crash, no misleading magnitude error)
+    val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f)))
+      .toDF("vec_id", "embedding")
+    val cs = Similarity.componentSums(ragged, "embedding")
+      .orderBy("pos").select($"pos", $"n", $"s_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(cs == Seq((1L, 2L, 4000000L), (2L, 1L, 2000000L)), cs)
+    val v = Similarity.powerIterationTop(ragged, "embedding", iters = 2)
+      .orderBy("pos").collect()
+    assert(v.length == 2) // ragged row contributes nothing, no crash
+  }
 }
