@@ -1009,8 +1009,12 @@ object ScaleQueries {
     "emb_pca_top" -> ((s, d) => {
       val (vPrev, sums) =
         Similarity.powerIterationState(emb(s, d), "embedding", iters = 3)
+      // the 6-decimal iterated vector ships as INTEGER micro values; the
+      // oracle reconstructs each element by one IEEE division (micro/10⁶),
+      // which is bit-identical to the engine's plan literal (both are the
+      // double nearest the same rational) — no decimal literal to parse
       OracleLits.put("pca_vprev",
-        vPrev.map(x => java.lang.Double.toString(x)).mkString("[", ", ", "]"))
+        vPrev.map(x => math.round(x * 1e6).toString).mkString("[", ", ", "]"))
       // gate column is pure int64 (guarded narrowing of the exact decimal
       // sum — raises instead of wrapping if a corpus ever outgrows it)
       sums.select(col("pos"),
@@ -2494,7 +2498,8 @@ object ScaleQueries {
       // pcaCtes already defines `dim`; the literal path defines its own
       val vprev = OracleLits.get("pca_vprev") match {
         case Some(vl) =>
-          s"""vp AS (SELECT $vl AS vl),
+          s"""vp AS (SELECT list_transform($vl,
+             |  m -> CAST(m AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS vl),
              |dim AS (SELECT unnest(range(1,
              |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i)"""
             .stripMargin
