@@ -328,6 +328,23 @@ object CanonProps extends Properties("Canonicalization") {
       weights(1) == weights(7)
     }
 
+  property("micro gate weights equal the decimal view × 10⁶ exactly") =
+    forAll(docGen) { ds =>
+      val df = ds.toDF("doc_id", "text")
+      val ratios = graft.scale.Sampling.importanceRatios(
+        df, "text", $"doc_id" % 2 === 0, buckets = 16)
+      val dec = graft.scale.Sampling.importanceWeightsFromRatios(
+          df, "text", ratios)
+        .select($"doc_id", $"weight").collect()
+        .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+      val mic = graft.scale.Sampling.importanceWeightsMicroFromRatios(
+          df, "text", ratios)
+        .select($"doc_id", $"weight_micro").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      dec.keySet == mic.keySet &&
+        dec.forall { case (id, w) => (w * 1000000).toLongExact == mic(id) }
+    }
+
   property("nbTopCounts: merge of split batches equals full retrain") =
     forAll(docGen, Gen.choose(0, 9)) { (ds, cut) =>
       val df = ds.toDF("doc_id", "text")
