@@ -92,15 +92,18 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
-    // TF-IDF: top-3 terms per document (rank on the rounded score so the
-    // ordering is identical across engines; ties break by term)
+    // TF-IDF: top-3 terms per document. Gate surface is the int64 micro
+    // score (floor(raw·10⁶) — no round-half mode) and the ranking runs on
+    // the same integer total order (score_micro desc, term) in both
+    // engines; TextAnalysis.tfidf keeps the rounded-double view
     "tx_tfidf_top3" -> ((s, d) => {
       val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("term").asc)
-      TextAnalysis.tfidf(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("score_micro").desc, col("term").asc)
+      TextAnalysis.tfidfRaw(Tables.load(s, d, "documents"), "doc_id", "text")
+        .withColumn("score_micro", floor(col("score_raw") * lit(1e6)))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("doc_id"), col("term"), col("score"))
+        .select(col("doc_id"), col("term"), col("score_micro"))
         .orderBy("doc_id", "term")
     })
   )
@@ -137,11 +140,12 @@ object AnalyticsQueries {
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |s AS (SELECT doc_id, term,
-        |  round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+        |  CAST(floor((tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0))
+        |    * 1000000.0) AS BIGINT) AS score_micro
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
-        |SELECT doc_id, term, score FROM (
-        |  SELECT doc_id, term, score, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
+        |SELECT doc_id, term, score_micro FROM (
+        |  SELECT doc_id, term, score_micro, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_micro DESC, term) AS rn FROM s)
         |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin
   )
 }

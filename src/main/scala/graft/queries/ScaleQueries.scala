@@ -793,9 +793,10 @@ object ScaleQueries {
         .orderBy("doc_id")),
 
     // PMI collocations: top-20 bigrams beating the independence
-    // expectation (min count 5) — the phrase-detection statistic
+    // expectation (min count 5) — the phrase-detection statistic; gate
+    // surface is the int64 micro PMI ranked by the integer total order
     "tx_collocations" -> ((s, d) =>
-      TextAnalysis.collocations(docs(s, d), "text", minCount = 5, k = 20)),
+      TextAnalysis.collocationsMicro(docs(s, d), "text", minCount = 5, k = 20)),
 
     // Balanced eval-set construction by composition: the deterministic
     // val split, stratified to ≤10 docs per language — splits, quotas and
@@ -815,10 +816,10 @@ object ScaleQueries {
         .orderBy(col("cnt").desc, col("ngram").asc)),
 
     // Character-entropy quality signal (perplexity proxy): bits of the
-    // per-doc char distribution
+    // per-doc char distribution, in int64 micro units on the gate
     "tx_char_entropy" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
-        TextAnalysis.charEntropy(col("text")).as("entropy"))
+        TextAnalysis.charEntropyMicro(col("text")).as("entropy_micro"))
         .orderBy("doc_id")),
 
     // Corpus drift monitoring between the first and second half of the
@@ -839,11 +840,12 @@ object ScaleQueries {
     }),
 
     // Corpus-LM perplexity quality filter (CCNet-style): bigram LM trained
-    // on the corpus, each doc scored by mean -log2 P(w2|w1); decimal-exact
-    // per-doc sums so the score is partition-order-stable
+    // on the corpus; the gate carries the division-free per-doc (Σ −logp,
+    // n) sufficient statistics in int64 micro units — mean bits derivable
+    // (lmCrossEntropy keeps the interactive view)
     "tx_lm_perplexity" -> ((s, d) => {
       val dd = docs(s, d)
-      TextAnalysis.lmCrossEntropy(dd, "doc_id", "text",
+      TextAnalysis.lmCrossEntropyStats(dd, "doc_id", "text",
         TextAnalysis.bigramLm(dd, "text"))
         .orderBy("doc_id")
     }),
@@ -1941,8 +1943,7 @@ object ScaleQueries {
          |  FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
          |  CROSS JOIN v)
          |SELECT doc_id,
-         |  round(CAST(-sum(logp) AS DOUBLE) / count(*), 4)
-         |    AS cross_entropy_bits,
+         |  CAST(-sum(logp) * 1000000 AS BIGINT) AS neg_logp_sum_micro,
          |  count(*) AS n_bigrams
          |FROM bg JOIN lm USING (bigram)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2269,14 +2270,15 @@ object ScaleQueries {
          |nbi AS (SELECT sum(CASE WHEN len(tk) > 1 THEN len(tk) - 1
          |  ELSE 0 END) AS n_bi FROM tok)
          |SELECT bigram, c_ab,
-         |  round(ln((CAST(c_ab AS DOUBLE) / n_bi) /
+         |  CAST(floor((ln((CAST(c_ab AS DOUBLE) / n_bi) /
          |    ((CAST(u1.c_w AS DOUBLE) / n_tok) *
-         |     (CAST(u2.c_w AS DOUBLE) / n_tok))) / ln(2.0), 6) AS pmi
+         |     (CAST(u2.c_w AS DOUBLE) / n_tok))) / ln(2.0)) * 1000000.0)
+         |    AS BIGINT) AS pmi_micro
          |FROM bi
          |JOIN uni u1 ON split_part(bigram, ' ', 1) = u1.w
          |JOIN uni u2 ON split_part(bigram, ' ', 2) = u2.w
          |CROSS JOIN ntok CROSS JOIN nbi
-         |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
+         |ORDER BY pmi_micro DESC, bigram ASC LIMIT 20""".stripMargin,
 
     "samp_eval_set" ->
       """SELECT doc_id, lang FROM (
@@ -2302,7 +2304,8 @@ object ScaleQueries {
         |      i -> substr(text, i, 1))) AS ch FROM documents),
         |h AS (SELECT doc_id, n, ch, count(*) AS cnt FROM c GROUP BY 1, 2, 3)
         |SELECT doc_id,
-        |  round(-sum((cnt * 1.0 / n) * log2(cnt * 1.0 / n)), 6) AS entropy
+        |  CAST(floor(-sum((cnt * 1.0 / n) * log2(cnt * 1.0 / n)) * 1000000.0)
+        |    AS BIGINT) AS entropy_micro
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "tx_blocklist" -> {

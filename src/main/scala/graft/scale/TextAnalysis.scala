@@ -275,6 +275,15 @@ object TextAnalysis {
     when(length(text) === 0, lit(0.0))
       .otherwise(round(graft.functions.TextExpressions.charEntropy(text), 6))
 
+  /** Integer-micro gate surface of [[charEntropy]]: `floor(raw·10⁶)` of
+    * the unrounded kernel value — same 10⁻⁶ granularity as the rounded
+    * view, but no round-half mode for engine builds to disagree on and an
+    * int64 compared surface (the pattern-1 gate contract, SCALE.md). */
+  def charEntropyMicro(text: Column): Column =
+    when(length(text) === 0, lit(0L))
+      .otherwise(floor(
+        graft.functions.TextExpressions.charEntropy(text) * lit(1e6)))
+
   /** HOF formulation of [[charEntropy]] (the executable spec): a single
     * fold over the sorted char array's runs. */
   def charEntropyFold(text: Column): Column = {
@@ -486,7 +495,17 @@ object TextAnalysis {
     * sized doc frequencies — stays distributed, never collected), a
     * shuffle join back on term, and a one-row broadcast for N. No step
     * holds more than a partition's terms in memory. */
-  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tfidfRaw(df, idCol, textCol)
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("score_raw"), 6).as("score"))
+
+  /** The raw-score frame behind [[tfidf]]: `score_raw` is the unrounded
+    * double `tf · (ln((N+1)/(df+1)) + 1)`. Gate consumers truncate it to
+    * integer micro units (`floor(raw·10⁶)` — same 10⁻⁶ granularity as the
+    * rounded view, but no round-half mode and an int64 compared surface);
+    * [[tfidf]] keeps the rounded-double view for interactive use. */
+  def tfidfRaw(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -495,8 +514,8 @@ object TextAnalysis {
     tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"),
-        round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0),
-          6).as("score"))
+        (col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+          .as("score_raw"))
   }
 
   /** Corpus bigram language model: one row per observed bigram with its
@@ -618,7 +637,28 @@ object TextAnalysis {
     * totals; PMI is rounded to 6 decimals so top-k ranking is
     * engine-stable (ties break lexicographically). */
   def collocations(df: DataFrame, textCol: String, minCount: Long,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    collocationsScored(df, textCol, minCount)
+      .select(col("bigram"), col("c_ab"), round(col("__pmi"), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+
+  /** Integer-micro gate surface of [[collocations]]: `pmi_micro =
+    * floor(raw·10⁶)` (same 10⁻⁶ granularity as the rounded view, no
+    * round-half mode, int64 compared surface) ranked by the integer total
+    * order (pmi_micro desc, bigram). */
+  def collocationsMicro(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame =
+    collocationsScored(df, textCol, minCount)
+      .select(col("bigram"), col("c_ab"),
+        floor(col("__pmi") * lit(1e6)).as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bigram").asc)
+      .limit(k)
+
+  /** The shared raw-PMI frame behind [[collocations]]/[[collocationsMicro]]:
+    * one row per surviving bigram with the unrounded double `__pmi`. */
+  private def collocationsScored(df: DataFrame, textCol: String,
+      minCount: Long): DataFrame = {
     val toks = df.select(tokens(lower(col(textCol))).as("__tk"))
     val uni = toks.select(explode(col("__tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_w"))
@@ -633,12 +673,10 @@ object TextAnalysis {
       .join(uni.select(col("w").as("w2"), col("c_w").as("c_2")), "w2")
       .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
       .select(col("bigram"), col("c_ab"),
-        round(log((col("c_ab").cast("double") / col("n_bi")) /
+        (log((col("c_ab").cast("double") / col("n_bi")) /
           ((col("c_1").cast("double") / col("n_tok")) *
-            (col("c_2").cast("double") / col("n_tok")))) / log(lit(2.0)),
-          6).as("pmi"))
-      .orderBy(col("pmi").desc, col("bigram").asc)
-      .limit(k)
+            (col("c_2").cast("double") / col("n_tok")))) / log(lit(2.0)))
+          .as("__pmi"))
   }
 
   /** Corpus drift detection: per-token Jensen-Shannon divergence terms
@@ -733,6 +771,22 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(round((-sum(col("logp"))).cast("double") / count(lit(1)), 4)
         .as("cross_entropy_bits"),
+        count(lit(1)).as("n_bigrams"))
+
+  /** Division-free gate surface of [[lmCrossEntropy]]: the per-doc
+    * `(Σ −logp, n)` sufficient statistics with the exact 6-decimal logp
+    * sum carried as int64 micro units (`neg_logp_sum_micro = Σ −logp ×
+    * 10⁶` exactly — the logp quantities are exact decimals, so this is
+    * pure integer arithmetic end to end). Mean bits = sum/10⁶/n, derived
+    * by callers; nothing on the compared surface divides or floats. */
+  def lmCrossEntropyStats(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("__tk"))
+      .select(col("doc_id"), explode(ngramsAll(col("__tk"), 2)).as("bigram"))
+      .join(lm, "bigram")
+      .groupBy("doc_id")
+      .agg(((-sum(col("logp"))) * 1000000).cast("long")
+        .as("neg_logp_sum_micro"),
         count(lit(1)).as("n_bigrams"))
 
   /** Cross-source n-gram overlap matrix (corpus QA: which sources share

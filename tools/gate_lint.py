@@ -34,23 +34,17 @@ ALLOW = {
     "samp_temperature": (set(), "pow quantized to integer basis points"),
 }
 
-# Grandfathered DOUBLE+transcendental gate columns: driver-green every
-# round since they were added. Raw float64 outputs hash identically on
-# both sides when spark/duckdb share the host libm (this harness does) —
-# the empirically-failing class was DECIMAL-output gates, all now
-# reshaped to int64. These stay WARN (not FAIL) so the round-over-round
-# signal is preserved without churning green queries; any NEW
-# float+transcendental gate FAILS.
-WARN_GRANDFATHERED = {
-    "emb_outliers": {"norm"},
-    "tx_char_entropy": {"entropy"},
-    "tx_collocations": {"pmi"},
-    "tx_lm_perplexity": {"cross_entropy_bits"},
-    "tx_tfidf_top3": {"score"},
-}
+# Grandfathered risky columns surviving for historical reasons; empty as
+# of round 6 (every former entry was reshaped to an int64 micro/nano
+# surface). The WARN mechanism stays so a future temporary exception is
+# visible every run instead of silently allowed.
+WARN_GRANDFATHERED = {}
 
-# transcendental / precision-hazard functions (word-boundary match)
-RISKY_FN = re.compile(r"\b(ln|log|log2|log10|exp|pow|power|sqrt)\s*\(",
+# transcendental / precision-hazard functions (word-boundary match).
+# sqrt is deliberately absent: IEEE-754 REQUIRES sqrt to be correctly
+# rounded, so it cannot differ across conforming engines — only the libm
+# transcendentals (ln/log/exp/pow) carry cross-build ulp variance.
+RISKY_FN = re.compile(r"\b(ln|log|log2|log10|exp|pow|power)\s*\(",
                       re.IGNORECASE)
 
 con = duckdb.connect()
