@@ -920,6 +920,17 @@ object ScaleQueries {
         "doc_id", "n_tokens", 1000L)
         .select("doc_id", "n_tokens", "shard_id").orderBy("doc_id")),
 
+    // GPT-style sequence packing: the concatenated token stream cut into
+    // fixed 512-token context windows, one row per (doc, window-overlap)
+    // with the doc's span inside the window — two-level prefix sum, no
+    // global-order window (PlanSpec pins the bucket-partitioned spec)
+    "pack_sequences" -> ((s, d) =>
+      Sampling.packSequences(
+        docs(s, d).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", 512L)
+        .orderBy("doc_id", "seq_id")),
+
     // Per-label embedding centroids (distributed k-means M-step)
     "emb_centroids" -> ((s, d) =>
       Similarity.centroids(emb(s, d), "label", "embedding")
@@ -2389,6 +2400,27 @@ object ScaleQueries {
         |SELECT doc_id, n_tokens,
         |  CAST(floor((cum - n_tokens) / 1000) AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the oracle's global-order running sum is the SPEC of the engine's
+    // two-level prefix sum: identical offsets, pure integer spans
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t != '')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |s AS (SELECT doc_id, CAST(cum - n_tokens AS BIGINT) AS st,
+        |    CAST(cum AS BIGINT) AS en
+        |  FROM c WHERE n_tokens > 0),
+        |e AS (SELECT doc_id, st, en,
+        |  unnest(range(st // 512, ((en - 1) // 512) + 1)) AS seq_id FROM s)
+        |SELECT doc_id, seq_id,
+        |  CAST(greatest(st, seq_id * 512) - seq_id * 512 AS BIGINT)
+        |    AS start_in_seq,
+        |  CAST(least(en, (seq_id + 1) * 512) - greatest(st, seq_id * 512)
+        |    AS BIGINT) AS n_in_seq
+        |FROM e ORDER BY doc_id, seq_id""".stripMargin,
 
     "emb_centroids" ->
       """SELECT label, i AS pos,

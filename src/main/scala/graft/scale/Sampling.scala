@@ -362,6 +362,78 @@ object Sampling {
       valueCol, (1 until n).map(_.toDouble / n).toArray, 1.0 / accuracy)
   }
 
+  /** GPT-style sequence packing (document-concatenation batch
+    * construction): the corpus token stream, concatenated in `orderCol`
+    * order, is cut into fixed `seqLen` context windows; each document
+    * emits one row per window it overlaps — `(orderCol, seq_id,
+    * start_in_seq, n_in_seq)` — the attention-span map a packed
+    * pretraining loader needs (no padding waste; a doc may straddle
+    * window boundaries). [[packByTokenBudget]] is the coarser cousin:
+    * whole docs into open-ended shards; this cuts EXACT fixed-length
+    * windows and says which slice of each window each doc occupies.
+    *
+    * 100 TB shape: the global running offset is a TWO-LEVEL prefix sum —
+    * order-preserving bucket assignment against broadcast sketch cuts
+    * (zero-shuffle, the [[quantileCuts]] family), per-bucket subtotals
+    * (one tiny agg; collect ≤ `buckets` rows, the bounded-model pattern),
+    * then a bucket-PARTITIONED cumulative window plus a literal per-bucket
+    * base offset. No global-order single-task window ever forms (PlanSpec
+    * pins every window spec to carry the bucket key). The output is
+    * invariant to where the cuts land: ANY order-consistent bucketing
+    * yields the same global offsets, so the sketch needs no cross-engine
+    * canonicalization and the gate stays pure int64.
+    *
+    * `orderCol` must be non-null and unique (it defines the stream order);
+    * zero-token documents occupy no stream positions and emit no rows. */
+  def packSequences(df: DataFrame, orderCol: String, tokenCountCol: String,
+      seqLen: Long, buckets: Int = 64): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    require(!df.columns.contains("bucket"),
+      "packSequences adds a scratch 'bucket' column; rename the input's")
+    val taken = df.columns :+ "bucket"
+    val cumC = Cols.fresh("__cum", taken)
+    val offC = Cols.fresh("__off", taken)
+    val stC = Cols.fresh("__st", taken)
+    val enC = Cols.fresh("__en", taken)
+    val seqC = Cols.fresh("__seq", taken)
+    val withB = bucketsFromCuts(df, orderCol,
+      quantileCuts(df, orderCol, buckets))
+    // per-bucket token subtotals → prefix offsets. The collect is bounded
+    // by `buckets` rows; a null bucket would mean a null orderCol, which
+    // violates the contract — fail loudly rather than mis-place the doc
+    val subs = withB.groupBy(col("bucket"))
+      .agg(sum(col(tokenCountCol)).as("__s")).collect()
+      .map { r =>
+        require(!r.isNullAt(0), s"packSequences: null $orderCol")
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }.sortBy(_._1)
+    // bucket i's base offset = sum of the subtotals before it (scanLeft
+    // yields n+1 prefix sums; zip pairs bucket i with prefix i)
+    val offs = subs.map(_._1).zip(subs.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    // literal per-bucket base offset (≤ buckets branches); landed in its
+    // own column so codegen never duplicates the CASE chain
+    val offExpr = offs.foldLeft(lit(0L)) { case (e, (b, o)) =>
+      when(col("bucket") === b, lit(o)).otherwise(e)
+    }
+    val w = Window.partitionBy(col("bucket")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .withColumn(cumC, sum(col(tokenCountCol)).over(w))
+      .withColumn(offC, offExpr)
+      .withColumn(stC, col(offC) + col(cumC) - col(tokenCountCol))
+      .withColumn(enC, col(offC) + col(cumC))
+      .where(col(tokenCountCol) > 0)
+      // seq range via exact integer division (long `div`, never a double)
+      .withColumn(seqC, explode(sequence(
+        expr(s"$stC div ${seqLen}L"), expr(s"($enC - 1) div ${seqLen}L"))))
+      .select(col(orderCol), col(seqC).as("seq_id"),
+        (greatest(col(stC), col(seqC) * seqLen) - col(seqC) * seqLen)
+          .as("start_in_seq"),
+        (least(col(enC), (col(seqC) + 1) * seqLen)
+          - greatest(col(stC), col(seqC) * seqLen)).as("n_in_seq"))
+  }
+
   /** Zero-shuffle bucket assignment against literal cut-points. */
   def bucketsFromCuts(df: DataFrame, valueCol: String,
       cuts: Array[Double]): DataFrame = {

@@ -99,6 +99,19 @@ class PlanSpec extends SparkSpec {
     assert(specs.exists(_.contains("__salt")), p) // skew pre-truncation intact
   }
 
+  test("sequence packing windows are bucket-partitioned — never one task") {
+    // the two-level prefix sum must keep every window spec partitioned on
+    // the bucket key; a global-order window would funnel 100 TB of rows
+    // through a single task
+    val p = graft.queries.ScaleQueries.queries("pack_sequences")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach(s =>
+      assert(s.contains("bucket#"), s"unpartitioned window: $s\n$p"))
+  }
+
   test("semdedup pair join is keyed on the cluster — no cartesian product") {
     val p = graft.queries.ScaleQueries.queries("emb_semdedup")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -121,6 +121,44 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("sequence packing: exact window spans, boundary straddles, empties") {
+    // token stream in doc order: a(3) b(4) c(2) d(0) e(5), seqLen 4 →
+    // concat positions a:[0,3) b:[3,7) c:[7,9) e:[9,14)
+    val df = Seq((1L, 3L), (2L, 4L), (3L, 2L), (4L, 0L), (5L, 5L))
+      .toDF("doc_id", "n_tokens")
+    val out = Sampling.packSequences(df, "doc_id", "n_tokens", 4L, buckets = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 0L, 3L),               // a fills seq0[0..3)
+      (2L, 0L, 3L, 1L), (2L, 1L, 0L, 3L), // b straddles seq0/seq1
+      (3L, 1L, 3L, 1L), (3L, 2L, 0L, 1L), // c straddles seq1/seq2
+      // d (0 tokens) emits nothing
+      (5L, 2L, 1L, 3L), (5L, 3L, 0L, 2L))) // e straddles seq2/seq3
+  }
+
+  test("sequence packing invariants at corpus scale, any bucket count") {
+    val docsDf = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val toks = docsDf.as[(Long, Long)].collect().toMap
+    val total = toks.values.sum
+    Seq(2, 7, 64).foreach { b =>
+      val rows = Sampling.packSequences(docsDf, "doc_id", "n_tokens", 512L,
+        buckets = b).as[(Long, Long, Long, Long)].collect()
+      // per-doc spans reassemble the doc exactly
+      val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+      assert(toks.filter(_._2 > 0).forall { case (id, n) => perDoc(id) == n })
+      // every window except the last is filled to exactly seqLen
+      val perSeq = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+      val lastSeq = (total - 1) / 512
+      perSeq.foreach { case (s, n) =>
+        assert(if (s < lastSeq) n == 512L else n == total - lastSeq * 512, s)
+      }
+      // spans stay inside their window
+      assert(rows.forall(r => r._3 >= 0 && r._3 + r._4 <= 512))
+    }
+  }
+
   test("quantile buckets: monotone in value, matches exact cuts when exact") {
     // 100 distinct values, accuracy well past n → cut-points are exact
     // percentiles, so buckets are the exact deciles
