@@ -157,6 +157,15 @@ class SamplingAndRepetitionSpec extends SparkSpec {
       // spans stay inside their window
       assert(rows.forall(r => r._3 >= 0 && r._3 + r._4 <= 512))
     }
+    // invariant to the input's physical layout: a different partitioning
+    // (different sketch sampling, different bucket cuts) must produce the
+    // identical span map — the determinism contract a retried 100 TB
+    // stage depends on
+    val base = Sampling.packSequences(docsDf, "doc_id", "n_tokens", 512L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val reparted = Sampling.packSequences(docsDf.repartition(7), "doc_id",
+      "n_tokens", 512L).as[(Long, Long, Long, Long)].collect().toSet
+    assert(base == reparted)
   }
 
   test("quantile buckets: monotone in value, matches exact cuts when exact") {
