@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.scale.{Dedup, Multimodal, Sampling, Similarity, Temporal, TextAnalysis}
+import graft.scale.{Dedup, Multimodal, Pq, Sampling, Similarity, Temporal, TextAnalysis}
 
 /** LLM-training-data-pipeline queries: dedup (exact / MinHash-LSH / SimHash /
   * n-gram Jaccard / embedding cosine), ANN similarity search, text analysis,
@@ -1061,6 +1061,62 @@ object ScaleQueries {
           round(col("col"), 6).as("v"))
         .orderBy("vec_id", "pos")),
 
+    // Product-quantization codebook (Jégou '11): 4 subspaces × 4 centroids,
+    // 2 Lloyd's rounds each — all subspaces trained together in one scan
+    // per round (subspace is a grouping key, not a loop)
+    "emb_pq_codebook" -> ((s, d) =>
+      Pq.codebook(emb(s, d), "vec_id", "embedding", m = 4, k = 4, iters = 2)
+        .select(col("subspace").cast("long").as("subspace"), col("label"),
+          col("pos").cast("long").as("pos"), col("centroid"))
+        .orderBy("subspace", "label", "pos")),
+
+    // PQ encode: each vector compressed to 4 integer codes (m·8 bits vs
+    // D·32 — the representation an exhaustive ADC scan reads at 100 TB)
+    "emb_pq_encode" -> ((s, d) => {
+      val e = emb(s, d)
+      Pq.encode(e,
+          Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2),
+          "vec_id", "embedding")
+        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+          col("code"))
+        .orderBy("vec_id", "subspace")
+    }),
+
+    // PQ ADC top-k: compressed-domain search — per-query int64 nano LUT
+    // (broadcast) + one integer-sum aggregation over the code table; the
+    // raw vectors never rejoin the candidate scan
+    "ann_pq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val cb = Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+      Pq.adcTopK(e.filter(col("vec_id") < 5),
+          Pq.encode(e, cb, "vec_id", "embedding"), cb,
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("dist_nano"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // PQ index QA: ADC recall against exact brute-force ground truth —
+    // integer (n_hit, k) pairs, the ann_recall pattern (quantization-loss
+    // QA before committing a compressed 100 TB index)
+    "ann_pq_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      val cb = Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+      val bf = Pq.bruteForceL2TopK(q, e, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val pq = Pq.adcTopK(q, Pq.encode(e, cb, "vec_id", "embedding"), cb,
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      bf.join(pq.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_hit"), col("k"))
+        .orderBy("query_id")
+    }),
+
     // As-of join: each click → most recent purchase at-or-before, per user
     // (union + carry-forward window — one shuffle, no inequality join)
     "join_asof" -> ((s, d) => {
@@ -1490,6 +1546,84 @@ object ScaleQueries {
       |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
       |  FROM embeddings e JOIN a2 a USING (vec_id) CROSS JOIN dim
       |  GROUP BY a.label, i)""".stripMargin
+
+  /** Product-quantization CTEs mirroring `Pq.codebook` (m = 4 subspaces,
+    * k = 4, 2 Lloyd's rounds): per-subspace slices cast to DOUBLE, min-id
+    * seeds rounded at 4 decimals, per-round decimal-exact means, argmin
+    * tie-break to the smallest label. Distances are in-order list folds
+    * (`list_sum ∘ list_transform` — matching Spark's `aggregate` fold
+    * element order bit-for-bit). Ends with `c2` (final codebook rows) and
+    * `cl2` (per-(subspace,label) centroid lists for encode/ADC). */
+  private lazy val pqCtes: String = {
+    def dist(v: String, c: String): String =
+      s"list_sum(list_transform(range(1, len($v) + 1), " +
+        s"i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    def assignAndMean(r: Int): String =
+      s"""cl${r - 1} AS (SELECT subspace, label,
+         |  list(centroid ORDER BY pos) AS cl
+         |  FROM c${r - 1} GROUP BY 1, 2),
+         |d$r AS (SELECT v.vec_id, v.subspace, c.label,
+         |  ${dist("v.subvec", "c.cl")} AS d2
+         |  FROM sv v JOIN cl${r - 1} c ON c.subspace = v.subspace),
+         |a$r AS (SELECT vec_id, subspace, label FROM (
+         |  SELECT vec_id, subspace, label, row_number() OVER (
+         |    PARTITION BY vec_id, subspace ORDER BY d2, label) AS rn
+         |  FROM d$r) WHERE rn = 1),
+         |c$r AS (SELECT v.subspace, a.label, sd.i AS pos,
+         |  round(CAST(sum(CAST(v.subvec[sd.i] AS DECIMAL(27,9)))
+         |    AS DOUBLE) / count(*), 4) AS centroid
+         |  FROM sv v JOIN a$r a
+         |    ON a.vec_id = v.vec_id AND a.subspace = v.subspace
+         |  CROSS JOIN sdim sd GROUP BY 1, 2, 3)""".stripMargin
+    s"""pp AS (SELECT CAST((SELECT max(len(embedding)) FROM embeddings)
+       |  AS INTEGER) // 4 AS sub),
+       |sdim AS (SELECT unnest(range(1,
+       |  (SELECT sub FROM pp) + 1)) AS i),
+       |subs AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS s),
+       |sv AS (SELECT e.vec_id, s.s AS subspace,
+       |  list_transform(list_slice(e.embedding,
+       |    s.s * pp.sub + 1, (s.s + 1) * pp.sub),
+       |    x -> CAST(x AS DOUBLE)) AS subvec
+       |  FROM embeddings e CROSS JOIN subs s CROSS JOIN pp),
+       |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS label, vec_id
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+       |c0 AS (SELECT v.subspace, sd0.label, sdim.i AS pos,
+       |  round(v.subvec[sdim.i], 4) AS centroid
+       |  FROM sv v JOIN seeds sd0 USING (vec_id) CROSS JOIN sdim),
+       |${assignAndMean(1)},
+       |${assignAndMean(2)},
+       |cl2 AS (SELECT subspace, label, list(centroid ORDER BY pos) AS cl
+       |  FROM c2 GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Encode CTE: one more E-step against the final codebook (`cl2`). */
+  private lazy val pqEncodeCte: String =
+    """enc AS (SELECT vec_id, subspace, label AS code FROM (
+      |  SELECT v.vec_id, v.subspace, c.label, row_number() OVER (
+      |    PARTITION BY v.vec_id, v.subspace ORDER BY
+      |      list_sum(list_transform(range(1, len(v.subvec) + 1),
+      |        i -> (v.subvec[i] - c.cl[i]) * (v.subvec[i] - c.cl[i]))),
+      |      c.label) AS rn
+      |  FROM sv v JOIN cl2 c ON c.subspace = v.subspace) WHERE rn = 1)""".stripMargin
+
+  /** ADC CTEs: per-query int64 nano LUT + integer-sum candidate scores. */
+  private lazy val pqAdcCtes: String =
+    s"""$pqEncodeCte,
+       |lut AS (SELECT v.vec_id AS query_id, v.subspace, c.label AS code,
+       |  CAST(floor(list_sum(list_transform(range(1, len(v.subvec) + 1),
+       |    i -> (v.subvec[i] - c.cl[i]) * (v.subvec[i] - c.cl[i])))
+       |    * 1000000000.0) AS BIGINT) AS d_nano
+       |  FROM sv v JOIN cl2 c ON c.subspace = v.subspace
+       |  WHERE v.vec_id < 5),
+       |adc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+       |  CAST(sum(l.d_nano) AS BIGINT) AS dist_nano
+       |  FROM enc e JOIN lut l
+       |    ON l.subspace = e.subspace AND l.code = e.code
+       |  GROUP BY 1, 2),
+       |adck AS (SELECT query_id, rnk, neighbor_id, dist_nano FROM (
+       |  SELECT query_id, neighbor_id, dist_nano, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dist_nano, neighbor_id) AS rnk
+       |  FROM adc) WHERE rnk <= 10)""".stripMargin
 
   /** Power-iteration CTEs mirroring `Similarity.powerIterationTop` (3
     * rounds, seed e₁): per-row dot as an in-order list fold (matching the
@@ -2494,6 +2628,46 @@ object ScaleQueries {
     "emb_kmeans_fit" ->
       s"""WITH $kmeansCtes
          |SELECT label, pos, centroid FROM c2 ORDER BY label, pos""".stripMargin,
+
+    "emb_pq_codebook" ->
+      s"""WITH $pqCtes
+         |SELECT CAST(subspace AS BIGINT) AS subspace, label,
+         |  CAST(pos AS BIGINT) AS pos, centroid
+         |FROM c2 ORDER BY subspace, label, pos""".stripMargin,
+
+    "emb_pq_encode" ->
+      s"""WITH $pqCtes,
+         |$pqEncodeCte
+         |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code
+         |FROM enc ORDER BY vec_id, subspace""".stripMargin,
+
+    "ann_pq_topk" ->
+      s"""WITH $pqCtes,
+         |$pqAdcCtes
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, dist_nano
+         |FROM adck ORDER BY query_id, rnk""".stripMargin,
+
+    // ground truth is exact squared-L2 over the full vectors (same metric
+    // and same self-inclusive candidate convention as the ADC scan)
+    "ann_pq_recall" ->
+      s"""WITH $pqCtes,
+         |$pqAdcCtes,
+         |fv AS (SELECT vec_id, list_transform(range(1, len(embedding) + 1),
+         |  i -> CAST(embedding[i] AS DOUBLE)) AS v FROM embeddings),
+         |qf AS (SELECT vec_id AS query_id, v AS qv FROM fv
+         |  WHERE vec_id < 5),
+         |bf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, f.vec_id AS neighbor_id, row_number() OVER (
+         |    PARTITION BY q.query_id ORDER BY
+         |      list_sum(list_transform(range(1, len(f.v) + 1),
+         |        i -> (q.qv[i] - f.v[i]) * (q.qv[i] - f.v[i]))),
+         |      f.vec_id) AS rnk
+         |  FROM fv f CROSS JOIN qf q) WHERE rnk <= 10)
+         |SELECT bf.query_id,
+         |  CAST(count(adck.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(count(*) AS BIGINT) AS k
+         |FROM bf LEFT JOIN adck USING (query_id, neighbor_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // a2 is the assignment by the 1-round centroids (c1) — exactly what
     // the Spark side's kmeansFit(iters = 1) + assignToNearest produces

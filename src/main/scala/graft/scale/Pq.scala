@@ -1,0 +1,214 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory-compression path for
+  * billion-vector ANN: a D-dim float vector becomes `m` small integer codes
+  * (here m·8 bits instead of D·32), and query scoring becomes `m` table
+  * lookups per candidate instead of a D-dim float kernel.
+  *
+  * 100 TB shape: the codebook is tiny (m·k·(D/m) floats) and trained with
+  * the same flat-lineage Lloyd's loop as [[Similarity.kmeansFit]] — every
+  * iteration's plan is (one scan of the subvector frame + broadcast
+  * centroid literals), nothing accumulates. Encoding is one zero-shuffle
+  * scan. ADC search joins the (id, subspace, code) table against a
+  * BROADCAST per-query lookup table (q·m·k rows) and reduces with one
+  * hash aggregation — the corpus-sized side never shuffles on a float.
+  * Determinism mirrors the k-means family: min-id seeding (no RNG),
+  * per-round `round(·, scale)` centroid quantization, argmin ties broken
+  * to the smallest label, and the compared distance surface is pure int64
+  * (`floor(d·10⁹)` per subspace, summed as integers — order-free).
+  */
+object Pq {
+
+  /** One-scan subvector explode: (id, subspace, subvec) with `subspace` in
+    * 0..m-1 and `subvec` the contiguous D/m-dim slice. `dims` must be the
+    * uniform vector length (`codebook` derives it; ragged rows are caught
+    * by the M-step's per-cluster dimension check, as in
+    * [[Similarity.centroids]]). */
+  def subvectors(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      dims: Int): DataFrame = {
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
+    val subArr = array((0 until m).map { j =>
+      struct(lit(j).as("subspace"),
+        slice(col(vecCol), j * sub + 1, sub).as("subvec"))
+    }: _*)
+    df.select(col(idCol).as("__id"), explode(subArr).as("sv"))
+      .select(col("__id").as(idCol), col("sv.subspace").as("subspace"),
+        col("sv.subvec").as("subvec"))
+  }
+
+  /** Per-(subspace, label) centroids of assigned subvectors — the PQ
+    * M-step. Same decimal-exact mean + ragged-dimension guard as
+    * [[Similarity.centroids]], keyed by (subspace, label). */
+  private def subCentroids(assigned: DataFrame, scale: Int): DataFrame = {
+    val perDim = assigned
+      .select(col("subspace"), col("label"),
+        posexplode(col("subvec")).as(Seq("pos", "v")))
+      .groupBy(col("subspace"), col("label"), (col("pos") + 1).as("pos"))
+      .agg(
+        round(
+          sum(col("v").cast("double").cast("decimal(27,9)")).cast("double") /
+            count(lit(1)), scale).as("centroid"),
+        count(lit(1)).as("_n"))
+    val w = Window.partitionBy("subspace", "label")
+    perDim
+      .withColumn("_nmax", max(col("_n")).over(w))
+      .select(col("subspace"), col("label"), col("pos"),
+        when(col("_n") =!= col("_nmax"), raise_error(concat(
+          lit("ragged subvectors in subspace "), col("subspace").cast("string"),
+          lit(" label "), col("label").cast("string"))))
+          .otherwise(col("centroid")).as("centroid"))
+  }
+
+  /** Collected codebook as a broadcast-able plan literal:
+    * map(subspace -> array of (label, centroid-array) structs). Bounded by
+    * contract at m·k·(D/m) = k·D rows. */
+  private def codebookLiteral(cb: DataFrame): Column = {
+    val rows = cb
+      .groupBy("subspace", "label").agg(map_from_arrays(
+        collect_list(col("pos")), collect_list(col("centroid"))).as("c"))
+      .collect()
+      .map { r =>
+        val m = r.getMap[Int, Double](2)
+        val sub = r.getAs[Number]("subspace").intValue()
+        val label = r.getAs[Number]("label").longValue()
+        require((1 to m.size).forall(m.contains),
+          s"codebook dims for subspace $sub label $label are not " +
+            s"contiguous 1..${m.size}")
+        (sub, label, (1 to m.size).map(m(_)))
+      }
+    map(rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (s, cl) =>
+      Seq(lit(s), array(cl.sortBy(_._2).map { case (_, lbl, c) =>
+        struct(lit(lbl).as("label"), array(c.map(lit): _*).as("c"))
+      }: _*))
+    }: _*)
+  }
+
+  /** Squared-L2 scores of `subvec` against every centroid of its subspace:
+    * array of (d, label) structs; the in-order fold matches the oracle's
+    * `list_sum(list_transform(...))` element order bit-for-bit. */
+  private def scoredAgainst(cbLit: Column): Column =
+    transform(element_at(cbLit, col("subspace")), cs => struct(
+      aggregate(
+        zip_with(col("subvec"), cs.getField("c"),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, d) => acc + d).as("d"),
+      cs.getField("label").as("label")))
+
+  /** E-step: nearest codebook entry per (id, subspace); ties break to the
+    * smallest label (struct min is (d, label)-lexicographic). */
+  private def assignSub(subv: DataFrame, cb: DataFrame): DataFrame =
+    subv.withColumn("label",
+      array_min(scoredAgainst(codebookLiteral(cb))).getField("label"))
+
+  /** Train the PQ codebook: split D dims into `m` contiguous subspaces and
+    * run `iters` Lloyd's rounds with k centroids in EACH subspace — all
+    * subspaces advance together in ONE scan per round (subspace is just a
+    * grouping key), not m separate loops. Deterministic min-id seeding:
+    * the k smallest-id vectors seed every subspace, labels 1..k.
+    * Returns (subspace, label, pos, centroid), `pos` 1-based within the
+    * subspace. */
+  def codebook(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+      iters: Int, scale: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(iters > 0, "iters must be positive")
+    val dims = df.select(max(size(col(vecCol)))).head.getInt(0)
+    val subv = subvectors(df, idCol, vecCol, m, dims)
+    // seeds: the k smallest-id vectors (TakeOrderedAndProject on the base
+    // frame — never a full-partition window), exploded to per-subspace
+    // slices; every subspace gets the same seed ids, labels 1..k
+    val w = Window.partitionBy("subspace").orderBy(col(idCol).asc)
+    var cents = subvectors(df.orderBy(col(idCol).asc).limit(k),
+        idCol, vecCol, m, dims)
+      .withColumn("label", row_number().over(w).cast("long"))
+      .select(col("subspace"), col("label"),
+        posexplode(col("subvec")).as(Seq("pos", "v")))
+      .select(col("subspace"), col("label"), (col("pos") + 1).as("pos"),
+        round(col("v").cast("double"), scale).as("centroid"))
+    for (_ <- 1 to iters)
+      cents = subCentroids(
+        assignSub(subv, cents).select("subspace", "label", "subvec"), scale)
+    cents
+  }
+
+  /** Encode every vector as m integer codes: (id, subspace, code) — the
+    * compressed index representation (m·8 bits/vector at k ≤ 256). One
+    * zero-shuffle scan against the broadcast codebook literal. */
+  def encode(df: DataFrame, cb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val (m, dims) = cbDims(cb)
+    assignSub(subvectors(df, idCol, vecCol, m, dims), cb)
+      .select(col(idCol), col("subspace"), col("label").as("code"))
+  }
+
+  /** (m, D) from a codebook frame — bounded aggregate over k·D rows. */
+  private def cbDims(cb: DataFrame): (Int, Int) = {
+    val r = cb.agg(max("subspace"), max("pos")).head
+    val m = r.getAs[Number](0).intValue() + 1
+    (m, m * r.getAs[Number](1).intValue())
+  }
+
+  /** ADC (asymmetric distance computation) top-k: for each query, build
+    * the per-subspace lookup table of int64 NANO squared-L2 distances to
+    * every centroid (`floor(d·10⁹)` — q·m·k rows, broadcast), then score
+    * candidates by summing m integer lookups joined on (subspace, code)
+    * and keep the k nearest under the deterministic (dist, id) order.
+    * The corpus side touches only the compressed code table — the whole
+    * point of PQ at 100 TB (raw vectors never rejoin the scan; combine
+    * with an IVF cell restriction for sublinear candidate sets).
+    * Returns (query_id, rnk, neighbor_id, dist_nano). */
+  def adcTopK(queries: DataFrame, codes: DataFrame, cb: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val (m, dims) = cbDims(cb)
+    val lut = subvectors(queries, idCol, vecCol, m, dims)
+      .withColumn("sc", explode(scoredAgainst(codebookLiteral(cb))))
+      .select(col(idCol).as("query_id"), col("subspace"),
+        col("sc.label").as("code"),
+        floor(col("sc.d") * 1e9).cast("long").as("d_nano"))
+    codes
+      .join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
+      .agg(sum(col("d_nano")).as("dist_nano"),
+        count(lit(1)).as("_m"))
+      // a candidate missing a subspace row (corrupt code table) must fail
+      // loudly, not win with a partial sum
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("_m") =!= m, raise_error(concat(
+          lit(s"adcTopK: expected $m subspace codes, got "),
+          col("_m").cast("string"), lit(" for neighbor "),
+          col("neighbor_id").cast("string"))))
+          .otherwise(col("dist_nano")).as("dist_nano"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("dist_nano").asc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "dist_nano")
+  }
+
+  /** Exact squared-L2 top-k (broadcast queries, one corpus scan) — the
+    * ground truth for ADC recall QA. Same metric and same candidate
+    * convention as [[adcTopK]] (self-matches included: the code table is
+    * an index over arbitrary ids, queries are external vectors). */
+  def bruteForceL2TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .withColumn("d2", aggregate(
+        zip_with(col("qvec"), col("cvec"),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, d) => acc + d))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.scale.Pq
+
+/** Product quantization: codebook shape, encode determinism/layout
+  * invariance, ADC ordering + corrupt-index guard, exact-L2 ground truth. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+  private lazy val cb =
+    Pq.codebook(emb, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+  private lazy val codes = Pq.encode(emb, cb, "vec_id", "embedding")
+
+  test("codebook: m×k×(D/m) rows, contiguous 1-based pos per entry") {
+    val rows = cb.select("subspace", "label", "pos")
+      .as[(Int, Long, Int)].collect()
+    val dims = emb.select(max(size(col("embedding")))).head.getInt(0)
+    assert(rows.length == 4 * 4 * (dims / 4))
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((s, l), g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to dims / 4),
+        s"non-contiguous pos in subspace $s label $l")
+    }
+    assert(rows.map(_._1).distinct.sorted.toSeq == (0 until 4))
+    assert(rows.map(_._2).distinct.sorted.toSeq == (1L to 4L))
+  }
+
+  test("encode: one code per (id, subspace), codes in 1..k, and the " +
+      "assignment is invariant to the input's physical layout") {
+    val n = emb.count()
+    val c = codes.as[(Long, Int, Long)].collect()
+    assert(c.length == n * 4)
+    assert(c.map(r => (r._1, r._2)).distinct.length == c.length)
+    assert(c.forall(r => r._3 >= 1 && r._3 <= 4))
+    val reparted = Pq.encode(emb.repartition(7), cb, "vec_id", "embedding")
+      .as[(Long, Int, Long)].collect()
+    assert(c.toSet == reparted.toSet)
+  }
+
+  test("adcTopK: k rows per query in (dist asc, id asc) order, " +
+      "non-negative integer distances") {
+    val top = Pq.adcTopK(emb.filter(col("vec_id") < 3), codes, cb,
+      "vec_id", "embedding", k = 5)
+      .as[(Long, Int, Long, Long)].collect()
+    val byQ = top.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5))
+      assert(sorted.forall(_._4 >= 0))
+      // ordering: dist strictly governs, id breaks ties
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 < b._4 || (a._4 == b._4 && a._3 < b._3))
+      }
+    }
+  }
+
+  test("adcTopK: a candidate missing a subspace row fails loudly") {
+    val corrupt = codes.filter(!(col("vec_id") === 7 && col("subspace") === 2))
+    val ex = intercept[Exception] {
+      Pq.adcTopK(emb.filter(col("vec_id") < 2), corrupt, cb,
+        "vec_id", "embedding", k = 5).collect()
+    }
+    assert(ex.getMessage.contains("adcTopK") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("adcTopK"))
+  }
+
+  test("ADC recall vs exact L2: every query finds at least one true " +
+      "neighbor; ground truth ranks self first") {
+    val q = emb.filter(col("vec_id") < 5)
+    val bf = Pq.bruteForceL2TopK(q, emb, "vec_id", "embedding", 10)
+    // self-distance is 0 and ids are unique in the fixture → rnk 1 = self
+    assert(bf.filter(col("rnk") === 1)
+      .filter(col("query_id") =!= col("neighbor_id")).count() == 0)
+    val hits = bf.select("query_id", "neighbor_id").join(
+        Pq.adcTopK(q, codes, cb, "vec_id", "embedding", 10)
+          .select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(hits.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(hits.values.forall(_ >= 1))
+  }
+
+  test("subvectors: m must divide the dimension") {
+    val ex = intercept[IllegalArgumentException] {
+      Pq.subvectors(emb, "vec_id", "embedding", m = 7, dims = 64)
+    }
+    assert(ex.getMessage.contains("divide"))
+  }
+}
