@@ -631,6 +631,19 @@ object ScaleQueries {
         alphaBp = 3000)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // Data-constrained repeat planning (Muennighoff '23): per-source token
+    // targets from a mixture, sources smaller than their target repeated —
+    // full epochs by integer division + a hash-ordered partial prefix for
+    // the remainder; pure-int64 plan (div/%, no float division)
+    "samp_repeat_epochs" -> ((s, d) =>
+      Sampling.repeatEpochs(
+        docs(s, d).withColumn("n_tokens",
+          size(TextAnalysis.tokens(col("text"))).cast("long")),
+        "source", "doc_id", "n_tokens", budgetTokens = 50000L,
+        weightsBp = Map("src0" -> 2000, "src1" -> 1000), defaultBp = 350)
+        .select("doc_id", "source", "n_tokens", "epochs")
+        .orderBy("doc_id")),
+
     // Inverted-index posting lists: top-50 terms by document frequency
     // with capped (first-20) containing-doc lists — skew-safe per-term cap
     "tx_postings" -> ((s, d) =>
@@ -2332,6 +2345,30 @@ object ScaleQueries {
          |SELECT d.doc_id, CAST(coalesce(s.w, 0) AS BIGINT) AS weight_micro
          |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
          |ORDER BY weight_micro DESC, d.doc_id LIMIT 50""".stripMargin,
+
+    // int64 throughout: sum() over BIGINT is HUGEINT in DuckDB — `//` and
+    // `%` stay exact on it; the final cast narrows the compared surface
+    "samp_repeat_epochs" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+         |  CAST(len($duckToksAll) AS BIGINT) AS n_tokens FROM documents),
+         |tot AS (SELECT source, sum(n_tokens) AS t FROM tok GROUP BY 1),
+         |pl AS (SELECT source, t,
+         |  CASE WHEN t > 0 THEN ((50000 * (CASE source WHEN 'src0' THEN 2000
+         |    WHEN 'src1' THEN 1000 ELSE 350 END)) // 10000) // t
+         |    ELSE 0 END AS fe,
+         |  CASE WHEN t > 0 THEN ((50000 * (CASE source WHEN 'src0' THEN 2000
+         |    WHEN 'src1' THEN 1000 ELSE 350 END)) // 10000) % t
+         |    ELSE 0 END AS rem FROM tot),
+         |cum AS (SELECT doc_id, source, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 10000, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM tok)
+         |SELECT cum.doc_id, cum.source, cum.n_tokens,
+         |  CAST(pl.fe + (CASE WHEN cum.c - cum.n_tokens < pl.rem
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS epochs
+         |FROM cum JOIN pl USING (source) ORDER BY doc_id""".stripMargin,
 
     "samp_stratified" ->
       """SELECT doc_id, lang FROM (

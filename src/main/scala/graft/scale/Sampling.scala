@@ -172,6 +172,57 @@ object Sampling {
       .drop(cumC)
   }
 
+  /** Data-constrained repeat/epoch planning (Muennighoff et al., "Scaling
+    * Data-Constrained Language Models", NeurIPS 2023): when the target
+    * mixture asks a source for more tokens than it has, the source is
+    * REPEATED. Each group's token target is `budgetTokens·w/10000` (basis
+    * points from `weightsBp`, `defaultBp` for absent groups); every doc in
+    * the group gets `target div Σtokens` full epochs, plus one more for
+    * docs in the deterministic partial prefix that fills the remainder —
+    * docs ordered by (id-hash, id) and included while their FIRST token
+    * falls inside the remainder (the [[packByTokenBudget]] straddle rule,
+    * so the partial epoch is itself an unbiased hash-ordered sample).
+    * `epochs = 0` prunes a doc, 1 keeps it once, n > 1 repeats it.
+    *
+    * 100 TB shape: one bounded per-group aggregate (broadcast back — group
+    * cardinality is sources/languages), a literal weight-map lookup, and
+    * ONE per-group cumulative window on ~uniform hash order. All
+    * arithmetic is int64 (`div`/`%` — no float division anywhere), so the
+    * plan is engine-exact at any scale. A group so large its window skews
+    * gets the pack_sequences two-level prefix-sum treatment (SCALE.md).
+    * Output: input columns + `epochs` (int64). */
+  def repeatEpochs(df: DataFrame, groupCol: String, idCol: String,
+      tokenCountCol: String, budgetTokens: Long,
+      weightsBp: Map[String, Int], defaultBp: Int): DataFrame = {
+    require(budgetTokens > 0 && budgetTokens <= Long.MaxValue / 10000,
+      s"budgetTokens out of range: $budgetTokens")
+    require((defaultBp +: weightsBp.values.toSeq).forall(w => w >= 0 && w <= 10000),
+      s"weights must be in [0, 10000] basis points: $weightsBp default=$defaultBp")
+    val wMap =
+      if (weightsBp.isEmpty) typedLit(Map.empty[String, Int])
+      else map(weightsBp.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCountCol)).as("__t"))
+    val wOrd = Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(totals), Seq(groupCol))
+      .withColumn("__w",
+        coalesce(wMap(col(groupCol)), lit(defaultBp)).cast("long"))
+      .withColumn("__target", expr(s"(${budgetTokens}L * __w) div 10000"))
+      .withColumn("__full",
+        when(col("__t") > 0, expr("__target div __t")).otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("__t") > 0, expr("__target % __t")).otherwise(lit(0L)))
+      .withColumn("__cum", sum(col(tokenCountCol)).over(wOrd))
+      .withColumn("epochs",
+        (col("__full") + when(
+          col("__cum") - col(tokenCountCol) < col("__rem"), lit(1L))
+          .otherwise(lit(0L))).cast("long"))
+      .drop("__t", "__w", "__target", "__full", "__rem", "__cum")
+  }
+
   /** DSIR-style importance weights over hashed token buckets (Xie et al.,
     * "Data Selection for Language Models via Importance Resampling", 2023):
     * each token lands in one of `buckets` MD5-derived buckets (the shared

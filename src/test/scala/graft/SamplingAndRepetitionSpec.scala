@@ -168,6 +168,40 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(base == reparted)
   }
 
+  test("repeat epochs: per-group token budget honored, layout-invariant") {
+    val docs = (1L to 120L).map(i => (i, s"src${i % 3}", 10L + i % 7))
+      .toDF("id", "src", "n_tokens")
+    val out = Sampling.repeatEpochs(docs, "src", "id", "n_tokens",
+      budgetTokens = 10000L, weightsBp = Map("src0" -> 5000), defaultBp = 1000)
+      .select("id", "src", "n_tokens", "epochs")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 120 && out.forall(_._4 >= 0))
+    // served tokens land within one max-doc of each group's target
+    val byG = out.groupBy(_._2)
+    for ((g, rows) <- byG) {
+      val target = 10000L * (if (g == "src0") 5000 else 1000) / 10000
+      val served = rows.map(r => r._3 * r._4).sum
+      val maxDoc = rows.map(_._3).max
+      assert(served <= target + maxDoc && served >= target - maxDoc,
+        s"group $g served $served vs target $target")
+    }
+    // src0 gets 5× the default weight → strictly more epochs somewhere
+    assert(byG("src0").map(_._4).max > byG("src1").map(_._4).max)
+    // physical layout must not change the plan (retry determinism)
+    val reparted = Sampling.repeatEpochs(docs.repartition(7), "src", "id",
+      "n_tokens", 10000L, Map("src0" -> 5000), 1000)
+      .select("id", "src", "n_tokens", "epochs")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.toSet == reparted.toSet)
+    // zero-token group → epochs 0, no division error
+    val zeros = Seq((1L, "z", 0L), (2L, "z", 0L)).toDF("id", "src", "n_tokens")
+    assert(Sampling.repeatEpochs(zeros, "src", "id", "n_tokens", 1000L,
+      Map.empty, 1000).select("epochs").as[Long].collect().forall(_ == 0L))
+    intercept[IllegalArgumentException] {
+      Sampling.repeatEpochs(docs, "src", "id", "n_tokens", 0L, Map.empty, 1)
+    }
+  }
+
   test("quantile buckets: monotone in value, matches exact cuts when exact") {
     // 100 distinct values, accuracy well past n → cut-points are exact
     // percentiles, so buckets are the exact deciles
