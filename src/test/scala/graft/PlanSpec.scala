@@ -119,6 +119,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("PQ ADC search: broadcast LUT equi-join over the code table, " +
+      "rank-limited before the exchange") {
+    val p = graft.queries.ScaleQueries.queries("ann_pq_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized code table must join the tiny per-query LUT as a
+    // broadcast hash join — never a shuffle or nested loop on the codes
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // top-k prunes per-partition before the per-query exchange
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("repeat-epochs: broadcast totals join + one per-group window") {
+    val p = graft.queries.ScaleQueries.queries("samp_repeat_epochs")(
+        spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the cumulative window partitions by the group key (no global sort)
+    assert(p.contains("windowspecdefinition(source#"), p)
+  }
+
   test("bpe encode joins the corpus against the vocabulary — no cartesian") {
     // merge application must stay on the word vocabulary: the corpus side
     // is one explode + an equi-join + one aggregation
