@@ -1087,8 +1087,10 @@ object ScaleQueries {
     // D·32 — the representation an exhaustive ADC scan reads at 100 TB)
     "emb_pq_encode" -> ((s, d) => {
       val e = emb(s, d)
+      // k·D rows; cached because encode reads it twice (dims + literal)
       Pq.encode(e,
-          Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2),
+          Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+            .cache(),
           "vec_id", "embedding")
         .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
           col("code"))
@@ -1100,10 +1102,29 @@ object ScaleQueries {
     // raw vectors never rejoin the candidate scan
     "ann_pq_topk" -> ((s, d) => {
       val e = emb(s, d)
+      // the tiny codebook is read 4× (encode + ADC, dims + literals each)
       val cb = Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+        .cache()
       Pq.adcTopK(e.filter(col("vec_id") < 5),
           Pq.encode(e, cb, "vec_id", "embedding"), cb,
           "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("dist_nano"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // IVFADC (Jégou '11 §V — the FAISS-style 100 TB layout): coarse IVF
+    // cell restriction composed with compressed-domain ADC scoring — the
+    // join key grows to (cell, subspace, code), so candidates outside the
+    // query's cell are pruned before any distance arithmetic
+    "ann_ivfpq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val cb = Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+        .cache()
+      val codes = Pq.encode(e, cb, "vec_id", "embedding")
+        .join(e.select(col("vec_id"), col("label").as("cell")), Seq("vec_id"))
+      Pq.adcTopK(e.filter(col("vec_id") < 5).withColumn("cell", col("label")),
+          codes, cb, "vec_id", "embedding", k = 10, cellCol = Some("cell"))
         .select(col("query_id"), col("rnk"), col("neighbor_id"),
           col("dist_nano"))
         .orderBy("query_id", "rnk")
@@ -1116,6 +1137,7 @@ object ScaleQueries {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 5)
       val cb = Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+        .cache()
       val bf = Pq.bruteForceL2TopK(q, e, "vec_id", "embedding", 10)
         .select(col("query_id"), col("neighbor_id"))
       val pq = Pq.adcTopK(q, Pq.encode(e, cb, "vec_id", "embedding"), cb,
@@ -2683,6 +2705,29 @@ object ScaleQueries {
          |$pqAdcCtes
          |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, dist_nano
          |FROM adck ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_ivfpq_topk" ->
+      s"""WITH $pqCtes,
+         |$pqEncodeCte,
+         |lutc AS (SELECT v.vec_id AS query_id, el.label AS cell,
+         |  v.subspace, c.label AS code,
+         |  CAST(floor(list_sum(list_transform(range(1, len(v.subvec) + 1),
+         |    i -> (v.subvec[i] - c.cl[i]) * (v.subvec[i] - c.cl[i])))
+         |    * 1000000000.0) AS BIGINT) AS d_nano
+         |  FROM sv v JOIN cl2 c ON c.subspace = v.subspace
+         |  JOIN embeddings el ON el.vec_id = v.vec_id
+         |  WHERE v.vec_id < 5),
+         |encc AS (SELECT e.vec_id, e.subspace, e.code, el.label AS cell
+         |  FROM enc e JOIN embeddings el ON el.vec_id = e.vec_id),
+         |adc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+         |  CAST(sum(l.d_nano) AS BIGINT) AS dist_nano
+         |  FROM encc e JOIN lutc l ON l.subspace = e.subspace
+         |    AND l.code = e.code AND l.cell = e.cell
+         |  GROUP BY 1, 2)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, dist_nano
+         |FROM (SELECT query_id, neighbor_id, dist_nano, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist_nano, neighbor_id) AS rnk
+         |  FROM adc) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     // ground truth is exact squared-L2 over the full vectors (same metric
     // and same self-inclusive candidate convention as the ADC scan)

@@ -159,20 +159,32 @@ object Pq {
     * candidates by summing m integer lookups joined on (subspace, code)
     * and keep the k nearest under the deterministic (dist, id) order.
     * The corpus side touches only the compressed code table — the whole
-    * point of PQ at 100 TB (raw vectors never rejoin the scan; combine
-    * with an IVF cell restriction for sublinear candidate sets).
+    * point of PQ at 100 TB (raw vectors never rejoin the scan).
+    *
+    * `cellCol` (IVFADC, Jégou '11 §V): when set, `queries` and `codes`
+    * must both carry that column (a coarse IVF cell label) and a
+    * candidate is scored ONLY for queries in its cell — the join key
+    * grows to (cell, subspace, code), pruning ~(1 − 1/cells) of the code
+    * table per query before any arithmetic happens.
     * Returns (query_id, rnk, neighbor_id, dist_nano). */
   def adcTopK(queries: DataFrame, codes: DataFrame, cb: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      cellCol: Option[String] = None): DataFrame = {
     require(k > 0, "k must be positive")
     val (m, dims) = cbDims(cb)
-    val lut = subvectors(queries, idCol, vecCol, m, dims)
+    val lut0 = subvectors(queries, idCol, vecCol, m, dims)
       .withColumn("sc", explode(scoredAgainst(codebookLiteral(cb))))
       .select(col(idCol).as("query_id"), col("subspace"),
         col("sc.label").as("code"),
         floor(col("sc.d") * 1e9).cast("long").as("d_nano"))
+    // cell restriction: tag each query's LUT rows with its cell (a tiny
+    // join on the query side) and add the cell to the broadcast join key
+    val lut = cellCol.fold(lut0) { cc =>
+      lut0.join(queries.select(col(idCol).as("query_id"), col(cc)),
+        Seq("query_id"))
+    }
     codes
-      .join(broadcast(lut), Seq("subspace", "code"))
+      .join(broadcast(lut), Seq("subspace", "code") ++ cellCol)
       .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
       .agg(sum(col("d_nano")).as("dist_nano"),
         count(lit(1)).as("_m"))

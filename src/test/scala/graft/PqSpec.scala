@@ -82,6 +82,36 @@ class PqSpec extends SparkSpec {
     assert(hits.values.forall(_ >= 1))
   }
 
+  test("IVFADC: neighbors come only from the query's cell, and within " +
+      "the cell the ranking equals unrestricted ADC") {
+    val withCell = emb.withColumn("cell", col("label"))
+    val codesC = codes.join(
+      emb.select(col("vec_id"), col("label").as("cell")), Seq("vec_id"))
+    val q = withCell.filter(col("vec_id") < 3)
+    val ivfpq = Pq.adcTopK(q, codesC, cb, "vec_id", "embedding", k = 5,
+      cellCol = Some("cell"))
+    val qCells = q.select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val nCells = codesC.select(col("vec_id"), col("cell"))
+      .distinct().as[(Long, Long)].collect().toMap
+    val got = ivfpq.select("query_id", "neighbor_id", "rnk", "dist_nano")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (qid, nid, _, _) =>
+      assert(nCells(nid) == qCells(qid),
+        s"neighbor $nid outside query $qid's cell")
+    }
+    // equivalence: unrestricted ADC over only the cell's codes
+    qCells.foreach { case (qid, cell) =>
+      val restricted = Pq.adcTopK(
+        withCell.filter(col("vec_id") === qid),
+        codesC.filter(col("cell") === cell).drop("cell"), cb,
+        "vec_id", "embedding", k = 5)
+        .select("neighbor_id", "rnk").as[(Long, Int)].collect().toSet
+      val mine = got.filter(_._1 == qid).map(r => (r._2, r._3)).toSet
+      assert(mine == restricted, s"query $qid: $mine != $restricted")
+    }
+  }
+
   test("subvectors: m must divide the dimension") {
     val ex = intercept[IllegalArgumentException] {
       Pq.subvectors(emb, "vec_id", "embedding", m = 7, dims = 64)
