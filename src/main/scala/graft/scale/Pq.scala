@@ -90,14 +90,14 @@ object Pq {
   }
 
   /** Squared-L2 scores of `subvec` against every centroid of its subspace:
-    * array of (d, label) structs; the in-order fold matches the oracle's
-    * `list_sum(list_transform(...))` element order bit-for-bit. */
+    * array of (d, label) structs. The native [[graft.functions.VectorSqL2]]
+    * kernel is one primitive loop per pair (bit-identical to the
+    * `aggregate∘zip_with` fold by property test), and its in-order
+    * accumulation matches the oracle's `list_sum(list_transform(...))`
+    * element order bit-for-bit. */
   private def scoredAgainst(cbLit: Column): Column =
     transform(element_at(cbLit, col("subspace")), cs => struct(
-      aggregate(
-        zip_with(col("subvec"), cs.getField("c"),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, d) => acc + d).as("d"),
+      graft.functions.VectorSqL2(col("subvec"), cs.getField("c")).as("d"),
       cs.getField("label").as("label")))
 
   /** E-step: nearest codebook entry per (id, subspace); ties break to the
@@ -214,11 +214,8 @@ object Pq {
     val w = Window.partitionBy("query_id")
       .orderBy(col("d2").asc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
-      .withColumn("d2", aggregate(
-        zip_with(col("qvec"), col("cvec"),
-          (x, y) => (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, d) => acc + d))
+      .withColumn("d2",
+        graft.functions.VectorSqL2(col("qvec"), col("cvec")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"))

@@ -233,11 +233,10 @@ object Similarity {
     val centArr = array(centroidVecs.map { case (lbl, c) =>
       struct(lit(lbl).as("label"), array(c.map(lit): _*).as("c"))
     }: _*)
+    // native squared-L2 kernel: one primitive loop per (row, centroid),
+    // bit-identical to the aggregate∘zip_with fold (FunctionsSpec property)
     val scored = transform(centArr, cs => struct(
-      aggregate(
-        zip_with(col(vecCol), cs.getField("c"),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, d) => acc + d).as("d"),
+      graft.functions.VectorSqL2(col(vecCol), cs.getField("c")).as("d"),
       cs.getField("label").as("label")))
     // struct ordering is field-order lexicographic: min = (smallest distance,
     // then smallest label) — the deterministic tie-break for free

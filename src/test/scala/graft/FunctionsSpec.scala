@@ -71,6 +71,24 @@ object VectorHashProps extends Properties("VectorHash") {
           java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
     }
 
+  /** HOF reference formulation of [[graft.functions.VectorSqL2]]. */
+  private def hofSqL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  property("vector_sql2 == HOF aggregate/zip_with fold (bit-identical)") =
+    forAll(vecGen, vecGen) { (va, vb) =>
+      val df = Seq((va, vb)).toDF("a", "b")
+      val r = df.select(
+        graft.functions.VectorSqL2(col("a"), col("b")).as("kernel"),
+        hofSqL2(col("a"), col("b")).as("hof")).head()
+      (r.isNullAt(0) && r.isNullAt(1)) ||
+        (java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+
   property("simhash == HOF md5-hex nibble votes") =
     forAll(arrGen, Gen.choose(1, 32)) { (toks, bits) =>
       val text = toks.mkString(" ")
@@ -182,6 +200,21 @@ class FunctionsSpec extends SparkSpec {
     assert(r.isNullAt(0))           // null element → null, like the HOF fold
     assert(r.getDouble(1) == 14.0)  // double/double
     assert(r.isNullAt(2))           // float side still carries the null
+  }
+
+  test("vector_sql2: null poisoning, ragged null, mixed types, exactness") {
+    val df = Seq((Seq[java.lang.Float](1f, null, 3f), Seq(1.0, 2.0, 4.0),
+        Seq(1.0, 2.0)))
+      .toDF("f", "d", "short")
+    val r = df.select(
+      graft.functions.VectorSqL2(col("f"), col("d")).as("poisoned"),
+      graft.functions.VectorSqL2(col("d"), col("d")).as("zero"),
+      graft.functions.VectorSqL2(col("d"), col("short")).as("ragged"),
+      graft.functions.VectorSqL2(col("short"), col("short")).as("ss")).head()
+    assert(r.isNullAt(0))           // null element → null, like the HOF fold
+    assert(r.getDouble(1) == 0.0)   // self-distance exactly zero
+    assert(r.isNullAt(2))           // ragged pair → null (zip_with padding)
+    assert(r.getDouble(3) == 0.0)
   }
 
   test("null input: hash/sig propagate null, simhash keeps HOF's 0") {
