@@ -524,6 +524,22 @@ object ScaleQueries {
       Sampling.stratifiedQuota(docs(s, d), "lang", "doc_id", 20)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // Cluster-balanced sampling (topic balancing over the embedding space
+    // — the DataComp-style curation knob): k-means cells, then an equal
+    // per-cluster quota under the deterministic id-hash order — dominant
+    // topics downsampled, rare topics kept in full. Composes the semdedup
+    // assignment (1 Lloyd's round) with the skew-safe salted quota window
+    "samp_cluster_balance" -> ((s, d) => {
+      val e = emb(s, d)
+      val assigned = Similarity.assignToNearest(e,
+        Similarity.kmeansFit(e, "vec_id", "embedding", k = 4, iters = 1),
+        "vec_id", "embedding")
+      Sampling.stratifiedQuota(
+          assigned.select(col("vec_id"), col("assigned").as("cluster")),
+          "cluster", "vec_id", 60)
+        .select("vec_id", "cluster").orderBy("vec_id")
+    }),
+
     // Weighted deterministic sample: inclusion probability ∝ token count
     // (20 bp per token ⇒ a 500-token doc is always kept) — integer-exact,
     // engine-portable, zero shuffles
@@ -2750,6 +2766,19 @@ object ScaleQueries {
          |  CAST(count(*) AS BIGINT) AS k
          |FROM bf LEFT JOIN adck USING (query_id, neighbor_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // a2 = assignment by the 1-round centroids (c1), matching kmeansFit(1)
+    // + assignToNearest; the quota window replicates stratifiedQuota's
+    // deterministic (id-hash, id) order
+    "samp_cluster_balance" ->
+      s"""WITH $kmeansCtes,
+         |asg AS (SELECT vec_id, label AS cluster FROM a2),
+         |sel AS (SELECT vec_id, cluster, row_number() OVER (
+         |  PARTITION BY cluster ORDER BY
+         |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 10000, vec_id) AS rn FROM asg)
+         |SELECT vec_id, cluster FROM sel WHERE rn <= 60
+         |ORDER BY vec_id""".stripMargin,
 
     // a2 is the assignment by the 1-round centroids (c1) — exactly what
     // the Spark side's kmeansFit(iters = 1) + assignToNearest produces
