@@ -1146,6 +1146,19 @@ object ScaleQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // PQ index QA: per-subspace quantization error (expected ADC
+    // distortion) — the retrain-trigger metric; int64 nano sums only
+    "emb_pq_error" -> ((s, d) => {
+      val e = emb(s, d)
+      Pq.quantizationError(e,
+          Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+            .cache(),
+          "vec_id", "embedding")
+        .select(col("subspace").cast("long").as("subspace"), col("n"),
+          col("err_nano_sum"))
+        .orderBy("subspace")
+    }),
+
     // PQ index QA: ADC recall against exact brute-force ground truth —
     // integer (n_hit, k) pairs, the ann_recall pattern (quantization-loss
     // QA before committing a compressed 100 TB index)
@@ -2721,6 +2734,19 @@ object ScaleQueries {
          |$pqAdcCtes
          |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, dist_nano
          |FROM adck ORDER BY query_id, rnk""".stripMargin,
+
+    "emb_pq_error" ->
+      s"""WITH $pqCtes,
+         |qe AS (SELECT v.vec_id, v.subspace,
+         |  min(list_sum(list_transform(range(1, len(v.subvec) + 1),
+         |    i -> (v.subvec[i] - c.cl[i]) * (v.subvec[i] - c.cl[i])))) AS d
+         |  FROM sv v JOIN cl2 c ON c.subspace = v.subspace
+         |  GROUP BY 1, 2)
+         |SELECT CAST(subspace AS BIGINT) AS subspace,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(floor(d * 1000000000.0) AS BIGINT)) AS BIGINT)
+         |    AS err_nano_sum
+         |FROM qe GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann_ivfpq_topk" ->
       s"""WITH $pqCtes,

@@ -203,6 +203,25 @@ object Pq {
       .select("query_id", "rnk", "neighbor_id", "dist_nano")
   }
 
+  /** Per-subspace quantization-error sufficient statistics: the int64
+    * nano sum of each vector's squared-L2 distance to its NEAREST centroid
+    * (`floor(d·10⁹)` per row — order-free integer aggregation), plus the
+    * row count. The index-quality QA metric: err/n per subspace is the
+    * expected ADC distortion, and a drifting corpus shows up as a rising
+    * error long before recall collapses — check it before trusting a
+    * compressed 100 TB index, and monitor it on new batches to decide
+    * when the codebook needs retraining. One zero-shuffle scan + one
+    * m-row aggregate. Returns (subspace, n, err_nano_sum). */
+  def quantizationError(df: DataFrame, cb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val (m, dims) = cbDims(cb)
+    subvectors(df, idCol, vecCol, m, dims)
+      .withColumn("md", array_min(scoredAgainst(codebookLiteral(cb))))
+      .groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("md.d") * 1e9).cast("long")).as("err_nano_sum"))
+  }
+
   /** Exact squared-L2 top-k (broadcast queries, one corpus scan) — the
     * ground truth for ADC recall QA. Same metric and same candidate
     * convention as [[adcTopK]] (self-matches included: the code table is

@@ -112,6 +112,23 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("quantization error: non-negative, covers every subspace, and " +
+      "does not grow with more Lloyd's rounds") {
+    def totalErr(iters: Int): (Long, Map[Int, Long]) = {
+      val c = Pq.codebook(emb, "vec_id", "embedding", m = 4, k = 4, iters)
+      val rows = Pq.quantizationError(emb, c, "vec_id", "embedding")
+        .as[(Int, Long, Long)].collect()
+      assert(rows.map(_._1).sorted.toSeq == (0 until 4))
+      assert(rows.forall(r => r._2 == emb.count() && r._3 >= 0))
+      (rows.map(_._3).sum, rows.map(r => r._1 -> r._3).toMap)
+    }
+    val (e1, _) = totalErr(1)
+    val (e2, _) = totalErr(2)
+    // Lloyd's SSE is non-increasing per round; centroid 4-decimal
+    // quantization can perturb it only marginally — allow 1% slack
+    assert(e2 <= e1 + e1 / 100, s"SSE grew: iters=1 $e1 -> iters=2 $e2")
+  }
+
   test("subvectors: m must divide the dimension") {
     val ex = intercept[IllegalArgumentException] {
       Pq.subvectors(emb, "vec_id", "embedding", m = 7, dims = 64)
