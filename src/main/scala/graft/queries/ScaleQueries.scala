@@ -1129,6 +1129,23 @@ object ScaleQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Incremental index append: a NEW batch of vectors encoded against the
+    // frozen codebook trained on history ALONE — codes for existing
+    // vectors are never recomputed; the oracle independently retrains on
+    // the same history and encodes the same batch, proving the frozen-
+    // codebook deployment shape end-to-end
+    "emb_pq_incr_encode" -> ((s, d) => {
+      val e = emb(s, d)
+      // codebook trained on history only, batch encoded against it
+      Pq.encode(e.filter(col("vec_id") >= 250),
+          Pq.codebook(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+            m = 4, k = 4, iters = 2).cache(),
+          "vec_id", "embedding")
+        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+          col("code"))
+        .orderBy("vec_id", "subspace")
+    }),
+
     // IVFADC (Jégou '11 §V — the FAISS-style 100 TB layout): coarse IVF
     // cell restriction composed with compressed-domain ADC scoring — the
     // join key grows to (cell, subspace, code), so candidates outside the
@@ -1618,7 +1635,12 @@ object ScaleQueries {
     * (`list_sum ∘ list_transform` — matching Spark's `aggregate` fold
     * element order bit-for-bit). Ends with `c2` (final codebook rows) and
     * `cl2` (per-(subspace,label) centroid lists for encode/ADC). */
-  private lazy val pqCtes: String = {
+  private lazy val pqCtes: String = pqCtesTrainedOn("embeddings")
+
+  /** PQ CTEs with the codebook trained on `trainSrc` (a table or
+    * sub-select) while `sv` still spans the full corpus — the frozen-
+    * codebook incremental-encode shape. */
+  private def pqCtesTrainedOn(trainSrc: String): String = {
     def dist(v: String, c: String): String =
       s"list_sum(list_transform(range(1, len($v) + 1), " +
         s"i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
@@ -1628,7 +1650,7 @@ object ScaleQueries {
          |  FROM c${r - 1} GROUP BY 1, 2),
          |d$r AS (SELECT v.vec_id, v.subspace, c.label,
          |  ${dist("v.subvec", "c.cl")} AS d2
-         |  FROM sv v JOIN cl${r - 1} c ON c.subspace = v.subspace),
+         |  FROM svt v JOIN cl${r - 1} c ON c.subspace = v.subspace),
          |a$r AS (SELECT vec_id, subspace, label FROM (
          |  SELECT vec_id, subspace, label, row_number() OVER (
          |    PARTITION BY vec_id, subspace ORDER BY d2, label) AS rn
@@ -1636,7 +1658,7 @@ object ScaleQueries {
          |c$r AS (SELECT v.subspace, a.label, sd.i AS pos,
          |  round(CAST(sum(CAST(v.subvec[sd.i] AS DECIMAL(27,9)))
          |    AS DOUBLE) / count(*), 4) AS centroid
-         |  FROM sv v JOIN a$r a
+         |  FROM svt v JOIN a$r a
          |    ON a.vec_id = v.vec_id AND a.subspace = v.subspace
          |  CROSS JOIN sdim sd GROUP BY 1, 2, 3)""".stripMargin
     s"""pp AS (SELECT CAST((SELECT max(len(embedding)) FROM embeddings)
@@ -1649,11 +1671,14 @@ object ScaleQueries {
        |    s.s * pp.sub + 1, (s.s + 1) * pp.sub),
        |    x -> CAST(x AS DOUBLE)) AS subvec
        |  FROM embeddings e CROSS JOIN subs s CROSS JOIN pp),
+       |svt AS (SELECT sv.* FROM sv
+       |  JOIN $trainSrc t ON t.vec_id = sv.vec_id),
        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS label, vec_id
-       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+       |  FROM (SELECT tt.vec_id FROM $trainSrc tt
+       |    ORDER BY tt.vec_id LIMIT 4)),
        |c0 AS (SELECT v.subspace, sd0.label, sdim.i AS pos,
        |  round(v.subvec[sdim.i], 4) AS centroid
-       |  FROM sv v JOIN seeds sd0 USING (vec_id) CROSS JOIN sdim),
+       |  FROM svt v JOIN seeds sd0 USING (vec_id) CROSS JOIN sdim),
        |${assignAndMean(1)},
        |${assignAndMean(2)},
        |cl2 AS (SELECT subspace, label, list(centroid ORDER BY pos) AS cl
@@ -2734,6 +2759,16 @@ object ScaleQueries {
          |$pqAdcCtes
          |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, dist_nano
          |FROM adck ORDER BY query_id, rnk""".stripMargin,
+
+    // codebook CTEs trained on the id<250 history; enc spans the corpus
+    // and the gate restricts to the appended batch
+    "emb_pq_incr_encode" -> {
+      val hist = "(SELECT vec_id FROM embeddings WHERE vec_id < 250)"
+      s"""WITH ${pqCtesTrainedOn(hist)},
+         |$pqEncodeCte
+         |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code
+         |FROM enc WHERE vec_id >= 250 ORDER BY vec_id, subspace""".stripMargin
+    },
 
     "emb_pq_error" ->
       s"""WITH $pqCtes,
