@@ -350,6 +350,17 @@ object ScaleQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Multi-probe IVF: each query scored against its 2 nearest cells (by
+    // squared-L2 to the per-cell centroid) — the standard inverted-file
+    // recall knob; probe ranking is a zero-shuffle broadcast-literal pass
+    "ann_ivf_multiprobe" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfMultiProbeTopK(e.filter(col("vec_id") < 5), e,
+        "vec_id", "embedding", "label", k = 10, nProbe = 2)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk")
+    }),
+
     // ANN index QA: recall of the IVF index against brute-force ground
     // truth per query — the metric that decides whether a cell layout is
     // usable before committing a 100 TB index build
@@ -2008,6 +2019,40 @@ object ScaleQueries {
          |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
          |  FROM q JOIN c ON q.label = c.label
          |  WHERE query_id != neighbor_id)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // per-cell decimal-mean centroids (the Similarity.centroids recipe),
+    // probe = 2 nearest cells by in-order sqL2 fold, then the ivf cosine
+    // ranking over the probed cells' union
+    "ann_ivf_multiprobe" ->
+      s"""WITH dim AS (SELECT unnest(range(1,
+         |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+         |cents AS (SELECT label, i AS pos,
+         |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+         |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
+         |  FROM embeddings CROSS JOIN dim GROUP BY 1, 2),
+         |cl AS (SELECT label, list(centroid ORDER BY pos) AS cl
+         |  FROM cents GROUP BY 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 5),
+         |qd AS (SELECT query_id, cc.label AS cell,
+         |  list_sum(list_transform(range(1, len(qe) + 1),
+         |    i -> (CAST(qe[i] AS DOUBLE) - cc.cl[i])
+         |       * (CAST(qe[i] AS DOUBLE) - cc.cl[i]))) AS d
+         |  FROM q, cl cc),
+         |probe AS (SELECT query_id, cell FROM (
+         |  SELECT query_id, cell, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d, cell) AS rn FROM qd)
+         |  WHERE rn <= 2),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS cell
+         |  FROM embeddings)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
+         |  SELECT p.query_id, c.neighbor_id, row_number() OVER (
+         |    PARTITION BY p.query_id
+         |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
+         |  FROM probe p JOIN c ON c.cell = p.cell
+         |  JOIN q ON q.query_id = p.query_id
+         |  WHERE p.query_id != c.neighbor_id)
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "ann_rp_topk" -> {

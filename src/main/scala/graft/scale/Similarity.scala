@@ -81,6 +81,42 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Multi-probe IVF top-k: each query is scored against the candidates
+    * of its `nProbe` NEAREST cells (by squared-L2 to the per-cell decimal
+    * centroid) instead of the single cell it lives in — the standard
+    * recall knob of inverted-file search: per-query cost grows linearly
+    * in `nProbe` while recall approaches brute force. Cell ranking is a
+    * zero-shuffle per-row pass over the broadcast centroid literals; the
+    * candidate join then shuffles on the cell key exactly like
+    * [[ivfTopK]], with the probe list exploded to (query, cell) rows
+    * (queries-side blowup only — the corpus side never duplicates). */
+  def ivfMultiProbeTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe > 0, "nProbe must be positive")
+    val centArr = centroidStructArray(centroids(corpus, cellCol, vecCol))
+    val scored = transform(centArr, cs => struct(
+      graft.functions.VectorSqL2(col(vecCol), cs.getField("c")).as("d"),
+      cs.getField("label").as("label")))
+    // struct sort = (distance, label) lexicographic — deterministic probes
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(slice(array_sort(scored), 1, nProbe)).as("pr"))
+      .select(col("query_id"), col("qvec"),
+        col("pr").getField("label").as("cell"))
+      .withColumn("qn", norm(col("qvec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      col(cellCol).as("cell")).withColumn("cn", norm(col("cvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probed.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Sign-random-projection LSH bucket id over `planes` deterministic
     * hyperplanes derived from the embedding dimension index (no RNG — the
     * plane weights are (dim·(j+1) mod 13) - 6, stable across engines/runs).
@@ -213,7 +249,25 @@ object Similarity {
     * ties break to the smallest label for determinism. */
   def assignToNearest(df: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    // #labels × dim rows by contract — driver-side literal build is bounded
+    val centArr = centroidStructArray(cents)
+    // native squared-L2 kernel: one primitive loop per (row, centroid),
+    // bit-identical to the aggregate∘zip_with fold (FunctionsSpec property)
+    val scored = transform(centArr, cs => struct(
+      graft.functions.VectorSqL2(col(vecCol), cs.getField("c")).as("d"),
+      cs.getField("label").as("label")))
+    // struct ordering is field-order lexicographic: min = (smallest distance,
+    // then smallest label) — the deterministic tie-break for free
+    df.withColumn("assigned", array_min(scored).getField("label"))
+  }
+
+  /** A (label, pos, centroid) frame collected into one literal array of
+    * (label, centroid-array) structs — the broadcast-in-plan form every
+    * E-step/probe ranking maps over, so each distance is computed exactly
+    * once per row (an argmin fold referencing its accumulator more than
+    * once would duplicate the whole accumulated expression tree per level
+    * — exponential codegen). #labels × dim rows by contract — the
+    * driver-side build is bounded. */
+  private[scale] def centroidStructArray(cents: DataFrame): Column = {
     val centroidVecs: Seq[(Long, Seq[Double])] = cents
       .groupBy("label").agg(map_from_arrays(
         collect_list(col("pos")), collect_list(col("centroid"))).as("m"))
@@ -226,21 +280,9 @@ object Similarity {
             s"got ${m.keys.toSeq.sorted.mkString(",")} (ragged input vectors?)")
         (label, (1 to m.size).map(m(_)))
       }.toSeq.sortBy(_._1)
-    // one (label, centroid-array) struct per label; scoring maps over this
-    // array so each distance is computed exactly once per row — an argmin
-    // fold that references its accumulator more than once would duplicate
-    // the whole accumulated expression tree per level (exponential codegen)
-    val centArr = array(centroidVecs.map { case (lbl, c) =>
+    array(centroidVecs.map { case (lbl, c) =>
       struct(lit(lbl).as("label"), array(c.map(lit): _*).as("c"))
     }: _*)
-    // native squared-L2 kernel: one primitive loop per (row, centroid),
-    // bit-identical to the aggregate∘zip_with fold (FunctionsSpec property)
-    val scored = transform(centArr, cs => struct(
-      graft.functions.VectorSqL2(col(vecCol), cs.getField("c")).as("d"),
-      cs.getField("label").as("label")))
-    // struct ordering is field-order lexicographic: min = (smallest distance,
-    // then smallest label) — the deterministic tie-break for free
-    df.withColumn("assigned", array_min(scored).getField("label"))
   }
 
   /** Full k-means training loop (Lloyd's algorithm) composed from the E/M

@@ -171,6 +171,30 @@ class ScaleSpec extends SparkSpec {
     assert(ivf == Set(1L, 2L)) // cell 0 only; id 3 (identical, other cell) pruned
   }
 
+  test("multi-probe IVF: probing every cell equals brute force; recall " +
+      "vs brute force is monotone in nProbe") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val nCells = e.select("label").distinct().count().toInt
+    val full = Similarity.ivfMultiProbeTopK(q, e, "vec_id", "embedding",
+        "label", k = 5, nProbe = nCells)
+      .select("query_id", "rnk", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .select("query_id", "rnk", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(full == brute) // all cells probed = exhaustive scan
+    val trueTop = brute.map(r => (r._1, r._3)).toSet
+    def hits(nProbe: Int): Int =
+      Similarity.ivfMultiProbeTopK(q, e, "vec_id", "embedding",
+          "label", k = 5, nProbe = nProbe)
+        .select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().count(trueTop.contains)
+    val h = (1 to nCells).map(hits)
+    assert(h.sliding(2).forall { case Seq(a, b) => a <= b })
+    assert(h.last == brute.size)
+  }
+
   test("embedding near-dups bucketed by label") {
     val vecs = Seq(
       (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0),
