@@ -196,6 +196,27 @@ object ScaleQueries {
       s.read.parquet(corpus).select("doc_id").orderBy("doc_id")
     }),
 
+    // Streaming index maintenance: bootstrap batch trains + publishes the
+    // codebook (versioned state), the second batch encodes against it
+    // frozen and appends idempotently — the oracle independently retrains
+    // on the bootstrap ids and encodes the whole corpus, proving the
+    // stream's code table equals a from-scratch build
+    "st_index_update" -> ((s, d) => {
+      val codes = java.nio.file.Files.createTempDirectory("graft_si_c").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_si_s").toString
+      val e = emb(s, d).select("vec_id", "embedding")
+      graft.streaming.StreamIndex.applyBatch(s,
+        e.filter(col("vec_id") < 250), 0L, "vec_id", "embedding",
+        codes, state)
+      graft.streaming.StreamIndex.applyBatch(s,
+        e.filter(col("vec_id") >= 250), 1L, "vec_id", "embedding",
+        codes, state)
+      s.read.parquet(codes)
+        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+          col("code"))
+        .orderBy("vec_id", "subspace")
+    }),
+
     // Cross-document repeated-substring detection (Lee et al. '21
     // analogue): fingerprinted sliding 8-token windows, repeated = seen
     // in >= 2 distinct docs. Corpus duplicates only the id<250 head, so
@@ -2804,6 +2825,16 @@ object ScaleQueries {
          |$pqAdcCtes
          |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, dist_nano
          |FROM adck ORDER BY query_id, rnk""".stripMargin,
+
+    // the stream's batches (bootstrap <250 trains; ≥250 encodes frozen)
+    // must together equal a from-scratch encode under the same codebook
+    "st_index_update" -> {
+      val hist = "(SELECT vec_id FROM embeddings WHERE vec_id < 250)"
+      s"""WITH ${pqCtesTrainedOn(hist)},
+         |$pqEncodeCte
+         |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code
+         |FROM enc ORDER BY vec_id, subspace""".stripMargin
+    },
 
     // codebook CTEs trained on the id<250 history; enc spans the corpus
     // and the gate restricts to the appended batch
