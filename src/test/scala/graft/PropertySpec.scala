@@ -185,6 +185,40 @@ object TemperatureProps extends Properties("TemperatureSample") {
     }
 }
 
+object RepeatEpochsProps extends Properties("RepeatEpochs") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val corpusGen: Gen[List[(Long, String, Long)]] =
+    Gen.choose(2, 4).flatMap { g =>
+      Gen.listOfN(g, Gen.choose(1, 25)).map { sizes =>
+        sizes.zipWithIndex.flatMap { case (n, gi) =>
+          (1 to n).map(i =>
+            ((gi * 1000 + i).toLong, s"g$gi", (1 + (i * 7) % 50).toLong))
+        }
+      }
+    }
+
+  property("per-group served tokens land within one max-doc of the " +
+      "target, for any budget and weights") =
+    forAll(corpusGen, Gen.choose(100L, 100000L), Gen.choose(0, 10000)) {
+      (rows, budget, w0) =>
+        val df = rows.toDF("id", "g", "n_tokens")
+        val out = graft.scale.Sampling.repeatEpochs(df, "g", "id",
+            "n_tokens", budget, Map("g0" -> w0), 1500)
+          .select("id", "g", "n_tokens", "epochs")
+          .as[(Long, String, Long, Long)].collect()
+        out.length == rows.length && out.groupBy(_._2).forall {
+          case (g, grp) =>
+            val target = budget * (if (g == "g0") w0 else 1500) / 10000
+            val served = grp.map(r => r._3 * r._4).sum
+            val maxDoc = grp.map(_._3).max
+            served >= target - maxDoc && served <= target + maxDoc &&
+              grp.forall(_._4 >= 0)
+        }
+    }
+}
+
 object AnomalyProps extends Properties("AnomalyMonitor") {
   private lazy val spark = SparkSpec.session
   import spark.implicits._
