@@ -70,6 +70,16 @@ object Bench {
           "component", col("doc_id"), 1,
           Seq(col("n_chars").desc, col("doc_id").asc))
         .write.mode("overwrite").format("noop").save()
+      // the to_json/from_json round-trip compiles Jackson codecs + its own
+      // codegen shape — warm it so x3's timed run isn't first-run cost
+      locally {
+        import org.apache.spark.sql.types._
+        val sch = StructType(Seq(StructField("a", LongType)))
+        Tables.load(spark, sfDir, "nation").limit(100)
+          .select(to_json(struct(col("n_nationkey").as("a"))).as("j"))
+          .select(from_json(col("j"), sch).as("p"))
+          .write.mode("overwrite").format("noop").save()
+      }
       // the incremental-CC query reads PERSISTED yesterday-state (its
       // deployed shape); build that state untimed so the timed entry
       // measures the incremental path, not history re-clustering
