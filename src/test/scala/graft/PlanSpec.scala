@@ -133,6 +133,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("multi-probe IVF: probe ranking stays a literal pass, candidates " +
+      "join on the cell key — no cartesian, no nested loop") {
+    val p = graft.queries.ScaleQueries.queries("ann_ivf_multiprobe")(
+        spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate join is keyed (broadcast at test SF, SMJ at scale)
+    assert(p.contains("cell"), p)
+  }
+
+  test("cluster-balance: quota window partitions by (cluster, salt) — " +
+      "one hot topic cannot pin a task") {
+    val p = graft.queries.ScaleQueries.queries("samp_cluster_balance")(
+        spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(cluster#"), p)
+    assert(p.contains("__salt"), p)
+  }
+
   test("repeat-epochs: broadcast totals join + one per-group window") {
     val p = graft.queries.ScaleQueries.queries("samp_repeat_epochs")(
         spark, sfDir)
