@@ -71,4 +71,29 @@ class StreamIndexSpec extends SparkSpec {
     assert(err.filter(_._1 == 0L).forall(_._3 == r0.received))
     assert(err.filter(_._1 == 1L).forall(_._3 == r1.received))
   }
+
+  test("AvailableNow stream drains vector files into the index; a second " +
+      "drain encodes only the new arrivals against the same codebook") {
+    val src = tmp("graft_si_src")
+    val codes = tmp("graft_si_codes2")
+    val state = tmp("graft_si_state2")
+    val ckpt = tmp("graft_si_ckpt")
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    e.filter(col("vec_id") < 40).write.mode("overwrite").parquet(src)
+    StreamIndex.runAvailableNow(spark, src, "vec_id", "embedding",
+      codes, state, ckpt)
+    val n1 = spark.read.parquet(codes).count()
+    assert(n1 == 40 * 4)
+    assert(StateStore.versions(spark, s"$state/codebook") == Seq(1))
+    // new files arrive; the resumed stream encodes ONLY them, against the
+    // already-published codebook (no retrain, no history re-encode)
+    e.filter(col("vec_id") >= 40 && col("vec_id") < 70)
+      .write.mode("append").parquet(src)
+    StreamIndex.runAvailableNow(spark, src, "vec_id", "embedding",
+      codes, state, ckpt)
+    assert(spark.read.parquet(codes).count() == 70 * 4)
+    assert(StateStore.versions(spark, s"$state/codebook") == Seq(1))
+    assert(spark.read.parquet(codes).select("vec_id").distinct().count() == 70)
+  }
 }
