@@ -483,6 +483,30 @@ object ScaleQueries {
       graft.scale.CurationPipeline.stats(
         graft.scale.CurationPipeline.curate(docsWithDups(s, d), "doc_id", "text"))),
 
+    // The full pre-training data PLAN in one chain: curate (quality gate →
+    // lang id → exact dedup → LSH fuzzy dedup) → token counts → per-
+    // language repeat/epoch planning under a token budget → integer mix
+    // summary. Every stage is oracle-verified on its own; this entry
+    // verifies the composition end-to-end (the report a data team reads
+    // before launching a run: how much of each language, repeated how
+    // often, serving how many tokens)
+    "pipeline_pretrain_mix" -> ((s, d) => {
+      val kept = graft.scale.CurationPipeline.curate(
+        docsWithDups(s, d), "doc_id", "text")
+      val withTok = kept.withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+      Sampling.repeatEpochs(withTok, "predicted_lang", "doc_id", "n_tokens",
+          budgetTokens = 60000L, weightsBp = Map("en" -> 4000),
+          defaultBp = 1000)
+        .groupBy("predicted_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("corpus_tokens"),
+          sum(col("n_tokens") * col("epochs")).as("served_tokens"),
+          max("epochs").as("max_epochs"),
+          sum(when(col("epochs") === 0L, 1L).otherwise(0L)).as("n_pruned"))
+        .orderBy("predicted_lang")
+    }),
+
     // Per-document curation provenance: why each input doc was dropped
     // (quality_fail / exact_dup / near_dup) or kept
     "pipeline_provenance" -> ((s, d) =>
@@ -3004,6 +3028,40 @@ object ScaleQueries {
          |SELECT predicted_lang, count(*) AS n_docs FROM ex
          |WHERE doc_id NOT IN (SELECT id FROM dup)
          |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin,
+
+    // survivors (ex minus dup) joined back to feat's token counts, then
+    // the repeat-epochs arithmetic (int64 div/%) grouped by language
+    "pipeline_pretrain_mix" ->
+      s"""$curationChainCtes,
+         |kept AS (SELECT ex.doc_id, ex.predicted_lang, f.n_tokens
+         |  FROM ex JOIN feat f ON f.doc_id = ex.doc_id
+         |  WHERE ex.doc_id NOT IN (SELECT id FROM dup)),
+         |tot AS (SELECT predicted_lang, sum(n_tokens) AS t
+         |  FROM kept GROUP BY 1),
+         |pl AS (SELECT predicted_lang, t,
+         |  CASE WHEN t > 0 THEN ((60000 * (CASE predicted_lang
+         |    WHEN 'en' THEN 4000 ELSE 1000 END)) // 10000) // t
+         |    ELSE 0 END AS fe,
+         |  CASE WHEN t > 0 THEN ((60000 * (CASE predicted_lang
+         |    WHEN 'en' THEN 4000 ELSE 1000 END)) // 10000) % t
+         |    ELSE 0 END AS rem FROM tot),
+         |cum AS (SELECT k.doc_id, k.predicted_lang, k.n_tokens,
+         |  sum(k.n_tokens) OVER (PARTITION BY k.predicted_lang ORDER BY
+         |    CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 10000, k.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM kept k),
+         |ep AS (SELECT cum.predicted_lang, cum.n_tokens,
+         |  pl.fe + (CASE WHEN cum.c - cum.n_tokens < pl.rem
+         |    THEN 1 ELSE 0 END) AS epochs
+         |  FROM cum JOIN pl USING (predicted_lang))
+         |SELECT predicted_lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+         |  CAST(sum(n_tokens * epochs) AS BIGINT) AS served_tokens,
+         |  CAST(max(epochs) AS BIGINT) AS max_epochs,
+         |  CAST(sum(CASE WHEN epochs = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pruned
+         |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // every input doc labeled with the stage that dropped it
     "pipeline_provenance" ->
