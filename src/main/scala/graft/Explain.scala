@@ -19,7 +19,7 @@ object Explain {
         // emb_pca_top, dedup_incr_components, layout_zorder) would execute
         // real jobs from a plan-printing tool; name them explicitly if
         // that cost is intended
-        "tx_lang_id_ngram")
+        "tx_lang_id_ngram", "samp_repeat_epochs")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
