@@ -716,6 +716,24 @@ object ScaleQueries {
         .select("doc_id", "source", "n_tokens", "epochs")
         .orderBy("doc_id")),
 
+    // Repeat plan → epoch instances → fixed-context packing: the two
+    // int64 machines composed (instance id = doc_id·1000 + epoch, a
+    // deterministic dense order key); spans stay integer-exact end-to-end
+    "samp_pack_epochs" -> ((s, d) => {
+      val dd = docs(s, d).withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+      val planned = Sampling.repeatEpochs(dd, "source", "doc_id",
+        "n_tokens", budgetTokens = 50000L,
+        weightsBp = Map("src0" -> 2000, "src1" -> 1000), defaultBp = 350)
+      val inst = planned.filter(col("epochs") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+        .select((col("doc_id") * 1000 + col("epoch")).as("inst_id"),
+          col("n_tokens"))
+      Sampling.packSequences(inst, "inst_id", "n_tokens", 512L)
+        .orderBy("inst_id", "seq_id")
+    }),
+
     // Inverted-index posting lists: top-50 terms by document frequency
     // with capped (first-20) containing-doc lists — skew-safe per-term cap
     "tx_postings" -> ((s, d) =>
@@ -1293,6 +1311,33 @@ object ScaleQueries {
     "list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != ''))"
   private val duckToksAll =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
+
+  /** Repeat/epoch-plan CTEs mirroring `Sampling.repeatEpochs` on the
+    * documents table (budget 50000, src0=2000bp, src1=1000bp, default
+    * 350bp): int64 div/% targets + the per-source hash-ordered partial
+    * prefix. Ends with `epr` (doc_id, source, n_tokens, epochs). Shared
+    * by samp_repeat_epochs and the samp_pack_epochs composition. */
+  private lazy val repeatEpochsCtes: String =
+    s"""tok AS (SELECT doc_id, source,
+       |  CAST(len($duckToksAll) AS BIGINT) AS n_tokens FROM documents),
+       |tot AS (SELECT source, sum(n_tokens) AS t FROM tok GROUP BY 1),
+       |rpl AS (SELECT source, t,
+       |  CASE WHEN t > 0 THEN ((50000 * (CASE source WHEN 'src0' THEN 2000
+       |    WHEN 'src1' THEN 1000 ELSE 350 END)) // 10000) // t
+       |    ELSE 0 END AS fe,
+       |  CASE WHEN t > 0 THEN ((50000 * (CASE source WHEN 'src0' THEN 2000
+       |    WHEN 'src1' THEN 1000 ELSE 350 END)) // 10000) % t
+       |    ELSE 0 END AS rem FROM tot),
+       |rcum AS (SELECT doc_id, source, n_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY source ORDER BY
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 10000, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+       |  FROM tok),
+       |epr AS (SELECT rcum.doc_id, rcum.source, rcum.n_tokens,
+       |  CAST(rpl.fe + (CASE WHEN rcum.c - rcum.n_tokens < rpl.rem
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS epochs
+       |  FROM rcum JOIN rpl USING (source))""".stripMargin
 
   /** Full-corpus inverted-index SQL (tx_postings), shared verbatim by
     * tx_postings_incr whose merge-of-batches must equal it exactly. */
@@ -2515,26 +2560,32 @@ object ScaleQueries {
     // int64 throughout: sum() over BIGINT is HUGEINT in DuckDB — `//` and
     // `%` stay exact on it; the final cast narrows the compared surface
     "samp_repeat_epochs" ->
-      s"""WITH tok AS (SELECT doc_id, source,
-         |  CAST(len($duckToksAll) AS BIGINT) AS n_tokens FROM documents),
-         |tot AS (SELECT source, sum(n_tokens) AS t FROM tok GROUP BY 1),
-         |pl AS (SELECT source, t,
-         |  CASE WHEN t > 0 THEN ((50000 * (CASE source WHEN 'src0' THEN 2000
-         |    WHEN 'src1' THEN 1000 ELSE 350 END)) // 10000) // t
-         |    ELSE 0 END AS fe,
-         |  CASE WHEN t > 0 THEN ((50000 * (CASE source WHEN 'src0' THEN 2000
-         |    WHEN 'src1' THEN 1000 ELSE 350 END)) // 10000) % t
-         |    ELSE 0 END AS rem FROM tot),
-         |cum AS (SELECT doc_id, source, n_tokens,
-         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY
-         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-         |      AS BIGINT) % 10000, doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
-         |  FROM tok)
-         |SELECT cum.doc_id, cum.source, cum.n_tokens,
-         |  CAST(pl.fe + (CASE WHEN cum.c - cum.n_tokens < pl.rem
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS epochs
-         |FROM cum JOIN pl USING (source) ORDER BY doc_id""".stripMargin,
+      s"""WITH $repeatEpochsCtes
+         |SELECT doc_id, source, n_tokens, epochs FROM epr
+         |ORDER BY doc_id""".stripMargin,
+
+    // repeat plan → one row per epoch instance → the pack cumsum over the
+    // instance order (the pack_sequences oracle shape on instance ids)
+    "samp_pack_epochs" ->
+      s"""WITH $repeatEpochsCtes,
+         |inst AS (SELECT doc_id * 1000 + e AS inst_id, n_tokens
+         |  FROM (SELECT doc_id, n_tokens,
+         |    unnest(range(1, epochs + 1)) AS e
+         |    FROM epr WHERE epochs > 0)),
+         |pc AS (SELECT inst_id, n_tokens, sum(n_tokens) OVER (
+         |  ORDER BY inst_id ROWS UNBOUNDED PRECEDING) AS cum FROM inst),
+         |ps AS (SELECT inst_id, CAST(cum - n_tokens AS BIGINT) AS st,
+         |    CAST(cum AS BIGINT) AS en
+         |  FROM pc WHERE n_tokens > 0),
+         |pe AS (SELECT inst_id, st, en,
+         |  unnest(range(st // 512, ((en - 1) // 512) + 1)) AS seq_id
+         |  FROM ps)
+         |SELECT inst_id, seq_id,
+         |  CAST(greatest(st, seq_id * 512) - seq_id * 512 AS BIGINT)
+         |    AS start_in_seq,
+         |  CAST(least(en, (seq_id + 1) * 512) - greatest(st, seq_id * 512)
+         |    AS BIGINT) AS n_in_seq
+         |FROM pe ORDER BY inst_id, seq_id""".stripMargin,
 
     "samp_stratified" ->
       """SELECT doc_id, lang FROM (
