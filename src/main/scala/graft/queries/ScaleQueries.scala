@@ -616,6 +616,19 @@ object ScaleQueries {
         .select("source_a", "source_b", "n_common", "n_union")
         .orderBy("source_a", "source_b")),
 
+    // KMV-sketched source overlap (Beyer '07): the SKETCH counterpart of
+    // corpus_overlap — pairwise Jaccard/union sufficient statistics from
+    // bounded bottom-k sketches, never re-touching the corpus; integer
+    // gate (hash values, ranks, match counts), estimates stay library-side
+    "sk_kmv_overlap" -> ((s, d) => {
+      val sk = graft.scale.Sketches.kmv(docs(s, d), "source",
+        col("text"), 64)
+      graft.scale.Sketches.kmvOverlap(sk, 64)
+        .withColumnsRenamed(Map("grp_a" -> "source_a", "grp_b" -> "source_b"))
+        .select("source_a", "source_b", "kth_min", "n_kmin", "n_common")
+        .orderBy("source_a", "source_b")
+    }),
+
     // NB quality model (fastText/CCNet-style "looks curated?" filter):
     // the top-512-vocabulary per-class counts — the model's SUFFICIENT
     // STATISTICS, pure int64 on the gate (likelihoods derive via
@@ -2367,6 +2380,30 @@ object ScaleQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |  AS BIGINT) % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+
+    // bottom-64 of the MD5-prefix hash per source; union k-min per pair
+    // with side_ct = 2 marking values present in BOTH sketches
+    "sk_kmv_overlap" ->
+      """WITH hv AS (SELECT DISTINCT source AS grp,
+        |  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h
+        |  FROM documents),
+        |sk AS (SELECT grp, h FROM (SELECT grp, h, row_number() OVER (
+        |    PARTITION BY grp ORDER BY h) AS rk FROM hv) WHERE rk <= 64),
+        |gs AS (SELECT DISTINCT grp FROM sk),
+        |pr AS (SELECT a.grp AS grp_a, b.grp AS grp_b
+        |  FROM gs a JOIN gs b ON a.grp < b.grp),
+        |m AS (SELECT pr.grp_a, pr.grp_b, s.h, count(*) AS side_ct
+        |  FROM pr JOIN sk s ON s.grp = pr.grp_a OR s.grp = pr.grp_b
+        |  GROUP BY 1, 2, 3),
+        |u AS (SELECT grp_a, grp_b, h, side_ct, row_number() OVER (
+        |  PARTITION BY grp_a, grp_b ORDER BY h) AS rk FROM m)
+        |SELECT grp_a AS source_a, grp_b AS source_b,
+        |  CAST(max(h) AS BIGINT) AS kth_min,
+        |  count(*) AS n_kmin,
+        |  CAST(sum(CASE WHEN side_ct = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_common
+        |FROM u WHERE rk <= 64 GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "corpus_overlap" ->
       s"""WITH tok AS (SELECT source AS grp, $duckToksAll AS tk

@@ -1,0 +1,81 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-value sketches (Beyer et al., "On
+  * Synopses for Distinct Value Estimation Under Multiset Operations",
+  * SIGMOD 2007): per group, the k SMALLEST values of a uniform hash of
+  * the distinct elements. Constant-size mergeable state — like HLL — but
+  * supporting the set operation HLL cannot: INTERSECTION, and with it
+  * sketched Jaccard similarity between groups. The 100 TB use: pairwise
+  * content overlap between sources/snapshots from bounded per-group
+  * sketches, never re-touching the corpus (`corpus_overlap` is the exact
+  * counterpart this approximates at scale).
+  *
+  * Determinism: the hash is the engine-portable MD5-prefix family
+  * ([[Dedup.tokenHash]]) and every statistic on the compared surface is
+  * an integer (hash values, ranks, match counts) — the estimates (ratios)
+  * stay library-side in [[kmvEstimates]]. */
+object Sketches {
+
+  /** Bottom-k sketch per group: (grp, h, rank) with `h` the MD5-prefix
+    * hash of each DISTINCT value and rank 1..k ascending in h. One
+    * distinct-shuffle + the skew-safe two-phase top-k window
+    * ([[Sampling.topPerGroup]]) — no group ever sorts more than
+    * ~|group|/salts rows in one task. */
+  def kmv(df: DataFrame, groupCol: String, value: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val hashed = df
+      .select(col(groupCol).as("grp"),
+        Dedup.tokenHash(value.cast("string")).as("h"))
+      .distinct()
+    Sampling.topPerGroup(hashed, "grp", col("h"), k, Seq(col("h").asc))
+  }
+
+  /** All-pairs overlap sufficient statistics from a bottom-k sketch
+    * frame: for each group pair (grp_a < grp_b), merge the two sketches,
+    * keep the k smallest DISTINCT union values, and report
+    * `(kth_min, n_kmin, n_common)` — the largest kept value, how many
+    * were kept (< k only when the union itself is smaller), and how many
+    * kept values occur in BOTH sketches. `n_common / n_kmin` estimates
+    * the Jaccard similarity; `kth_min` supports the union-cardinality
+    * estimate. All work is on the bounded sketch frame (groups² × k rows
+    * at most) — the corpus is never touched. */
+  def kmvOverlap(sk: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val groups = sk.select("grp").distinct()
+    val pairs = groups.select(col("grp").as("grp_a"))
+      .join(groups.select(col("grp").as("grp_b")),
+        col("grp_a") < col("grp_b"))
+    val mA = pairs.join(sk.select(col("grp").as("grp_a"), col("h")),
+      Seq("grp_a"))
+    val mB = pairs.join(sk.select(col("grp").as("grp_b"), col("h")),
+      Seq("grp_b"))
+    // side_ct = 2 ⇔ the value is in both groups' sketches
+    val uni = mA.select("grp_a", "grp_b", "h")
+      .unionByName(mB.select("grp_a", "grp_b", "h"))
+      .groupBy("grp_a", "grp_b", "h").agg(count(lit(1)).as("side_ct"))
+    val w = Window.partitionBy("grp_a", "grp_b").orderBy(col("h").asc)
+    uni.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy("grp_a", "grp_b")
+      .agg(max(col("h")).as("kth_min"),
+        count(lit(1)).as("n_kmin"),
+        sum(when(col("side_ct") === 2, 1L).otherwise(0L)).as("n_common"))
+  }
+
+  /** Library-side estimates from [[kmvOverlap]] rows: sketched Jaccard
+    * and the union-cardinality estimate ((n_kmin − 1) · H / kth_min with
+    * H the hash range — exact when the union fit inside k). */
+  def kmvEstimates(overlap: DataFrame): DataFrame = {
+    val hashRange = 4294967296.0 // 2^32: tokenHash is an 8-hex-digit prefix
+    overlap
+      .withColumn("jaccard_est",
+        col("n_common").cast("double") / col("n_kmin"))
+      .withColumn("union_est",
+        when(col("n_kmin") < lit(1), lit(0.0))
+          .otherwise((col("n_kmin") - 1).cast("double") * hashRange /
+            col("kth_min")))
+  }
+}

@@ -195,6 +195,30 @@ class ScaleSpec extends SparkSpec {
     assert(h.last == brute.size)
   }
 
+  test("KMV overlap: exact Jaccard when k covers the union; statistics " +
+      "bounded by k; estimates match the exact counts") {
+    import graft.scale.Sketches
+    // groups with a known overlap: A = v0..v19, B = v10..v29 → ∩=10, ∪=30
+    val rows = ((0 until 20).map(i => ("A", s"v$i")) ++
+      (10 until 30).map(i => ("B", s"v$i"))).toDF("g", "v")
+    val skBig = Sketches.kmv(rows, "g", col("v"), k = 64)
+    val ov = Sketches.kmvOverlap(skBig, 64)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(ov.length == 1)
+    val (_, _, _, nKmin, nCommon) = ov.head
+    assert(nKmin == 30 && nCommon == 10) // k ≥ |∪| ⇒ exact
+    val est = Sketches.kmvEstimates(Sketches.kmvOverlap(skBig, 64))
+      .select("jaccard_est").as[Double].head()
+    assert(math.abs(est - 10.0 / 30.0) < 1e-9)
+    // small k: kept size capped at k, common ≤ kept, sketch per group ≤ k
+    val skSmall = Sketches.kmv(rows, "g", col("v"), k = 8)
+    assert(skSmall.groupBy("grp").count()
+      .select("count").as[Long].collect().forall(_ <= 8))
+    val ovS = Sketches.kmvOverlap(skSmall, 8)
+      .as[(String, String, Long, Long, Long)].collect().head
+    assert(ovS._4 <= 8 && ovS._5 <= ovS._4)
+  }
+
   test("embedding near-dups bucketed by label") {
     val vecs = Seq(
       (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0),
