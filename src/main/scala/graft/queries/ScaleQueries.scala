@@ -629,6 +629,22 @@ object ScaleQueries {
         .orderBy("source_a", "source_b")
     }),
 
+    // KMV mergeability gate: per-batch sketches merged must equal the
+    // full-corpus sketch exactly (the k smallest of a union are among
+    // each side's k smallest) — the two-level rollup contract that lets
+    // per-day sketches union to global without re-scanning
+    "sk_kmv_incr" -> ((s, d) => {
+      val dd = docs(s, d)
+      val skA = graft.scale.Sketches.kmv(
+        dd.filter(col("doc_id") < 250), "source", col("text"), 64)
+      val skB = graft.scale.Sketches.kmv(
+        dd.filter(col("doc_id") >= 250), "source", col("text"), 64)
+      graft.scale.Sketches.kmvMerge(skA, skB, 64)
+        .select(col("grp").as("source"), col("h"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("source", "rank")
+    }),
+
     // NB quality model (fastText/CCNet-style "looks curated?" filter):
     // the top-512-vocabulary per-class counts — the model's SUFFICIENT
     // STATISTICS, pure int64 on the gate (likelihoods derive via
@@ -2380,6 +2396,16 @@ object ScaleQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |  AS BIGINT) % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+
+    // merge == retrain: the oracle IS the full-corpus bottom-64 per source
+    "sk_kmv_incr" ->
+      """WITH hv AS (SELECT DISTINCT source AS grp,
+        |  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT grp AS source, h, CAST(rk AS BIGINT) AS rank
+        |FROM (SELECT grp, h, row_number() OVER (
+        |  PARTITION BY grp ORDER BY h) AS rk FROM hv)
+        |WHERE rk <= 64 ORDER BY source, rank""".stripMargin,
 
     // bottom-64 of the MD5-prefix hash per source; union k-min per pair
     // with side_ct = 2 marking values present in BOTH sketches

@@ -34,6 +34,18 @@ object Sketches {
     Sampling.topPerGroup(hashed, "grp", col("h"), k, Seq(col("h").asc))
   }
 
+  /** Merge two bottom-k sketch frames: per group, the k smallest distinct
+    * hashes of the union — the mergeability that makes KMV a two-level
+    * rollup sketch (per-partition/per-day sketches union to the global
+    * one without re-scanning, the `sk_hll_rollup` pattern). Exactness
+    * contract: `merge(kmv(A), kmv(B)) == kmv(A ∪ B)` because the k
+    * smallest of a union are always among each side's k smallest. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = a.select("grp", "h").unionByName(b.select("grp", "h")).distinct()
+    Sampling.topPerGroup(u, "grp", col("h"), k, Seq(col("h").asc))
+  }
+
   /** All-pairs overlap sufficient statistics from a bottom-k sketch
     * frame: for each group pair (grp_a < grp_b), merge the two sketches,
     * keep the k smallest DISTINCT union values, and report
