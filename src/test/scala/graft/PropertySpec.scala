@@ -185,6 +185,42 @@ object TemperatureProps extends Properties("TemperatureSample") {
     }
 }
 
+object KmvProps extends Properties("KmvSketch") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+
+  private val corpusGen: Gen[List[(String, String)]] =
+    Gen.choose(1, 3).flatMap { g =>
+      Gen.listOfN(g, Gen.choose(1, 60)).map { sizes =>
+        sizes.zipWithIndex.flatMap { case (n, gi) =>
+          (1 to n).map(i => (s"g$gi", s"v${(i * 13) % 40}"))
+        }
+      }
+    }
+
+  property("merge of any split == retrain on the whole, for any k") =
+    forAll(corpusGen, Gen.choose(1, 16), Gen.choose(0, 100)) {
+      (rows, k, cutPct) =>
+        val df = rows.toDF("g", "v")
+        val whole = graft.scale.Sketches.kmv(df, "g", col("v"), k)
+          .select("grp", "h", "rank")
+          .as[(String, Long, Int)].collect().toSet
+        // deterministic split (a limit-based one could pick different rows
+        // per evaluation); duplicates of a value land on one side — fine,
+        // kmv distincts its input
+        val side = pmod(hash(col("g"), col("v")), lit(100)) < cutPct
+        val left = df.filter(side)
+        val right = df.filter(!side)
+        val merged = graft.scale.Sketches.kmvMerge(
+            graft.scale.Sketches.kmv(left, "g", col("v"), k),
+            graft.scale.Sketches.kmv(right, "g", col("v"), k), k)
+          .select("grp", "h", "rank")
+          .as[(String, Long, Int)].collect().toSet
+        merged == whole
+    }
+}
+
 object RepeatEpochsProps extends Properties("RepeatEpochs") {
   private lazy val spark = SparkSpec.session
   import spark.implicits._
