@@ -2400,7 +2400,7 @@ object ScaleQueries {
     // merge == retrain: the oracle IS the full-corpus bottom-64 per source
     "sk_kmv_incr" ->
       """WITH hv AS (SELECT DISTINCT source AS grp,
-        |  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h
+        |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
         |  FROM documents)
         |SELECT grp AS source, h, CAST(rk AS BIGINT) AS rank
         |FROM (SELECT grp, h, row_number() OVER (
@@ -2411,7 +2411,7 @@ object ScaleQueries {
     // with side_ct = 2 marking values present in BOTH sketches
     "sk_kmv_overlap" ->
       """WITH hv AS (SELECT DISTINCT source AS grp,
-        |  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h
+        |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
         |  FROM documents),
         |sk AS (SELECT grp, h FROM (SELECT grp, h, row_number() OVER (
         |    PARTITION BY grp ORDER BY h) AS rk FROM hv) WHERE rk <= 64),

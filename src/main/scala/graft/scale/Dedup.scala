@@ -70,6 +70,15 @@ object Dedup {
   def tokenHash(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
 
+  /** Cross-engine-stable 60-bit hash: first 15 hex chars of MD5 (the widest
+    * prefix that fits a SIGNED 64-bit integer in every engine — 16 digits
+    * would overflow BIGINT for values ≥ 2^63). The sketch-family hash: at
+    * billions of distinct values per source the 2^32 [[tokenHash]] space
+    * saturates (collisions bias Jaccard and cap union estimates near 2^32);
+    * 2^60 keeps the collision probability negligible at 100 TB scale. */
+  def tokenHash60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
   val MinhashPrime: Long = 2147483647L // 2^31-1, Mersenne
 
   /** MinHash signature (k permutations) over a PRE-HASHED element array

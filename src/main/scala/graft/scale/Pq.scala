@@ -26,18 +26,28 @@ object Pq {
 
   /** One-scan subvector explode: (id, subspace, subvec) with `subspace` in
     * 0..m-1 and `subvec` the contiguous D/m-dim slice. `dims` must be the
-    * uniform vector length (`codebook` derives it; ragged rows are caught
-    * by the M-step's per-cluster dimension check, as in
-    * [[Similarity.centroids]]). */
+    * uniform vector length (`codebook` derives it). A ragged row — a
+    * vector whose size differs from `dims` — fails LOUDLY here, at the
+    * entry of every PQ path: a short vector would otherwise yield null
+    * subspace distances, and the null-first struct ordering in `array_min`
+    * would silently assign it code 1 in [[encode]] (and null-skipping
+    * sums would drop its error in [[quantizationError]]). */
   def subvectors(df: DataFrame, idCol: String, vecCol: String, m: Int,
       dims: Int): DataFrame = {
     require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
     val sub = dims / m
+    // checked vector lands in its own column so the size-guard CASE is
+    // evaluated once, not duplicated into each of the m slice() references
+    val vec = when(size(col(vecCol)) =!= dims, raise_error(concat(
+      lit(s"subvectors: expected $dims dims, got "),
+      size(col(vecCol)).cast("string"), lit(" for "),
+      col(idCol).cast("string")))).otherwise(col(vecCol))
     val subArr = array((0 until m).map { j =>
       struct(lit(j).as("subspace"),
-        slice(col(vecCol), j * sub + 1, sub).as("subvec"))
+        slice(col("__vec"), j * sub + 1, sub).as("subvec"))
     }: _*)
-    df.select(col(idCol).as("__id"), explode(subArr).as("sv"))
+    df.select(col(idCol).as("__id"), vec.as("__vec"))
+      .select(col("__id"), explode(subArr).as("sv"))
       .select(col("__id").as(idCol), col("sv.subspace").as("subspace"),
         col("sv.subvec").as("subvec"))
   }

@@ -448,7 +448,17 @@ object Sampling {
     val stC = Cols.fresh("__st", taken)
     val enC = Cols.fresh("__en", taken)
     val seqC = Cols.fresh("__seq", taken)
-    val withB = bucketsFromCuts(df, orderCol,
+    // fail-loud contract: a negative token count would silently corrupt
+    // every downstream stream offset (and en < st makes sequence() emit a
+    // descending bogus window range) — guard it at the frame entry, so
+    // BOTH consumers (the subtotal collect and the cumulative window) see
+    // the checked column
+    val dfChecked = df.withColumn(tokenCountCol,
+      when(col(tokenCountCol) < 0, raise_error(concat(
+        lit("packSequences: negative token count "),
+        col(tokenCountCol).cast("string"), lit(" at "),
+        col(orderCol).cast("string")))).otherwise(col(tokenCountCol)))
+    val withB = bucketsFromCuts(dfChecked, orderCol,
       quantileCuts(df, orderCol, buckets))
     // per-bucket token subtotals → prefix offsets. The collect is bounded
     // by `buckets` rows; a null bucket would mean a null orderCol, which

@@ -14,22 +14,24 @@ import org.apache.spark.sql.functions._
   * sketches, never re-touching the corpus (`corpus_overlap` is the exact
   * counterpart this approximates at scale).
   *
-  * Determinism: the hash is the engine-portable MD5-prefix family
-  * ([[Dedup.tokenHash]]) and every statistic on the compared surface is
-  * an integer (hash values, ranks, match counts) — the estimates (ratios)
-  * stay library-side in [[kmvEstimates]]. */
+  * Determinism: the hash is the engine-portable 60-bit MD5-prefix family
+  * ([[Dedup.tokenHash60]] — the 32-bit prefix saturates at billions of
+  * distincts, biasing Jaccard and capping union estimates near 2^32) and
+  * every statistic on the compared surface is an integer (hash values,
+  * ranks, match counts) — the estimates (ratios) stay library-side in
+  * [[kmvEstimates]]. */
 object Sketches {
 
-  /** Bottom-k sketch per group: (grp, h, rank) with `h` the MD5-prefix
-    * hash of each DISTINCT value and rank 1..k ascending in h. One
-    * distinct-shuffle + the skew-safe two-phase top-k window
+  /** Bottom-k sketch per group: (grp, h, rank) with `h` the 60-bit
+    * MD5-prefix hash of each DISTINCT value and rank 1..k ascending in h.
+    * One distinct-shuffle + the skew-safe two-phase top-k window
     * ([[Sampling.topPerGroup]]) — no group ever sorts more than
     * ~|group|/salts rows in one task. */
   def kmv(df: DataFrame, groupCol: String, value: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val hashed = df
       .select(col(groupCol).as("grp"),
-        Dedup.tokenHash(value.cast("string")).as("h"))
+        Dedup.tokenHash60(value.cast("string")).as("h"))
       .distinct()
     Sampling.topPerGroup(hashed, "grp", col("h"), k, Seq(col("h").asc))
   }
@@ -78,15 +80,22 @@ object Sketches {
   }
 
   /** Library-side estimates from [[kmvOverlap]] rows: sketched Jaccard
-    * and the union-cardinality estimate ((n_kmin − 1) · H / kth_min with
-    * H the hash range — exact when the union fit inside k). */
-  def kmvEstimates(overlap: DataFrame): DataFrame = {
-    val hashRange = 4294967296.0 // 2^32: tokenHash is an 8-hex-digit prefix
+    * and the union-cardinality estimate. When the union fit inside the
+    * sketch (n_kmin < k) the answer is EXACT — n_kmin itself, not the
+    * estimator (the estimator formula applied to a saturated-below-k
+    * sketch over-counts by H/kth_min ≫ 1). A kth_min of 0 (hash value 0
+    * among the k minima) also falls back to the exact count instead of
+    * dividing by zero — with a 60-bit hash that needs n_kmin ≤ 1, where
+    * the count IS the answer. */
+  def kmvEstimates(overlap: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val hashRange = math.pow(2.0, 60) // tokenHash60: 15-hex-digit prefix
     overlap
       .withColumn("jaccard_est",
         col("n_common").cast("double") / col("n_kmin"))
       .withColumn("union_est",
-        when(col("n_kmin") < lit(1), lit(0.0))
+        when(col("n_kmin") < lit(k) || col("kth_min") <= lit(0),
+          col("n_kmin").cast("double"))
           .otherwise((col("n_kmin") - 1).cast("double") * hashRange /
             col("kth_min")))
   }

@@ -135,4 +135,21 @@ class PqSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("divide"))
   }
+
+  test("subvectors/encode: a ragged vector fails loudly, never code 1") {
+    val ragged = Seq(
+      (1L, Seq.fill(8)(1.0f)), (2L, Seq.fill(6)(1.0f))) // row 2 is short
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Pq.subvectors(ragged, "vec_id", "embedding", m = 2, dims = 8).count()
+    }
+    assert(ex.getMessage.contains("expected 8 dims"))
+    val uniform = ragged.filter(col("vec_id") === 1)
+    val rcb = Pq.codebook(uniform, "vec_id", "embedding", m = 2, k = 1,
+      iters = 1)
+    val ex2 = intercept[Exception] {
+      Pq.encode(ragged, rcb, "vec_id", "embedding").count()
+    }
+    assert(ex2.getMessage.contains("expected 8 dims"))
+  }
 }

@@ -136,6 +136,15 @@ class SamplingAndRepetitionSpec extends SparkSpec {
       (5L, 2L, 1L, 3L), (5L, 3L, 0L, 2L))) // e straddles seq2/seq3
   }
 
+  test("sequence packing: negative token counts fail loudly") {
+    val df = Seq((1L, 3L), (2L, -1L), (3L, 2L)).toDF("doc_id", "n_tokens")
+    val ex = intercept[Exception] {
+      Sampling.packSequences(df, "doc_id", "n_tokens", 4L, buckets = 2)
+        .collect()
+    }
+    assert(ex.getMessage.contains("negative token count"))
+  }
+
   test("sequence packing invariants at corpus scale, any bucket count") {
     val docsDf = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),

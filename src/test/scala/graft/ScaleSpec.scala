@@ -207,9 +207,10 @@ class ScaleSpec extends SparkSpec {
     assert(ov.length == 1)
     val (_, _, _, nKmin, nCommon) = ov.head
     assert(nKmin == 30 && nCommon == 10) // k ≥ |∪| ⇒ exact
-    val est = Sketches.kmvEstimates(Sketches.kmvOverlap(skBig, 64))
-      .select("jaccard_est").as[Double].head()
-    assert(math.abs(est - 10.0 / 30.0) < 1e-9)
+    val est = Sketches.kmvEstimates(Sketches.kmvOverlap(skBig, 64), 64)
+      .select("jaccard_est", "union_est").as[(Double, Double)].head()
+    assert(math.abs(est._1 - 10.0 / 30.0) < 1e-9)
+    assert(est._2 == 30.0) // union fit inside k ⇒ exact count, not estimator
     // small k: kept size capped at k, common ≤ kept, sketch per group ≤ k
     val skSmall = Sketches.kmv(rows, "g", col("v"), k = 8)
     assert(skSmall.groupBy("grp").count()
