@@ -39,6 +39,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // raw engine-computed literal fragments, for tools/lit_check.py's
+    // independent re-derivation (the OracleLits trust-closing loop)
+    val lits = graft.queries.OracleLits.dumpAll
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_lits.json"), lits)
     spark.stop()
   }
 }

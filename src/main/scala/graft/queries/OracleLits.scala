@@ -46,6 +46,15 @@ object OracleLits {
 
   def get(key: String): Option[String] = frags.get((runTag, key))
 
+  /** Every fragment registered for the CURRENT run — dumped by `Verify`
+    * as `oracle_lits.json` so `tools/lit_check.py` can independently
+    * re-derive each constant from the parquet fixtures (the trust-closing
+    * counterpart of shipping them as literals: the gate uses the engine's
+    * values, and a second implementation checks the engine's math). */
+  def dumpAll: Map[String, String] = synchronized {
+    frags.collect { case ((t, k), v) if t == runTag => k -> v }.toMap
+  }
+
   /** SQL single-quoted string literal with quote escaping. */
   def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 

@@ -71,7 +71,13 @@ import subprocess
 lint = subprocess.run(
     [sys.executable, os.path.join(os.path.dirname(__file__), "gate_lint.py"),
      SF, OUT])
-# exit nonzero on ANY failure — value mismatches foremost, lint second —
-# so wrappers can gate on the return code
-if ok != len(results) or lint.returncode != 0:
+# OracleLits trust loop: every engine-computed literal fragment the oracle
+# consumed is independently re-derived from the fixtures (1-ulp-tolerant
+# for ln families, exact for PCA, rank-validity for sketch cuts)
+lit = subprocess.run(
+    [sys.executable, os.path.join(os.path.dirname(__file__), "lit_check.py"),
+     SF, OUT])
+# exit nonzero on ANY failure — value mismatches foremost, lint/lits after
+# — so wrappers can gate on the return code
+if ok != len(results) or lint.returncode != 0 or lit.returncode != 0:
     sys.exit(1)

@@ -1,0 +1,282 @@
+#!/usr/bin/env python3
+"""Independent re-derivation of the engine-computed `OracleLits` constants.
+
+The correctness gate ships a handful of transcendental-derived constants
+(DSIR log-ratios, NB log-likelihoods, BM25 idf, the PCA power-iteration
+vector) and engine-specific sketch cuts (length deciles, z-order buckets)
+from the engine to the oracle as SQL literals — the round-4/5 answer to
+cross-build 1-ulp libm drift. That closed the flakiness but left the
+constants themselves guarded only by the engine's own tests.
+
+This tool closes the loop: after a `graft.Verify` run (which dumps the raw
+fragments as `oracle_lits.json`), each constant family is RECOMPUTED from
+the parquet fixtures here — Python math + DuckDB for the data-sized parts,
+implementing the published formulas independently of the Scala code — and
+compared:
+
+- ln-derived integers (dsir lrm, nb lpos/lneg/prior micro, bm25 idf9):
+  must equal the quantization of the recomputed value or of a 1-ulp
+  neighbor (libm may legally differ by 1 ulp; the quantization is exact).
+- the PCA vector (no transcendental: IEEE +,*,/,sqrt,floor only): must
+  match EXACTLY, element by element.
+- sketch cuts (len deciles, z-order ranks): a sketch is engine-specific,
+  so equality is not checkable — instead each cut must be a real element
+  of the column and its rank window must intersect the approxQuantile
+  guarantee [(q-eps)n, (q+eps)n], and cuts must be non-decreasing.
+
+An UNKNOWN key in oracle_lits.json is a FAILURE: a new literal family must
+register a checker here before it can ride the gate.
+
+Usage: lit_check.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, math, re
+from decimal import Decimal, ROUND_HALF_UP
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+LITS_PATH = os.path.join(OUT, "oracle_lits.json")
+if not os.path.exists(LITS_PATH):
+    print("lit check: no oracle_lits.json (old Verify output?) — skipped")
+    sys.exit(0)
+lits = json.load(open(LITS_PATH))
+if not lits:
+    print("lit check: 0 fragments registered — nothing to check")
+    sys.exit(0)
+
+con = duckdb.connect()
+for f in os.listdir(SF):
+    if f.endswith(".parquet"):
+        con.sql(f"CREATE VIEW {f[:-8]} AS SELECT * FROM '{SF}/{f}'")
+
+# whitespace tokenizer — same shape the oracle SQL uses (duckToksAll)
+TOKS = ("list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "t -> t != '')")
+
+
+def half_up6_micro(v):
+    """Scala's BigDecimal(double).setScale(6, HALF_UP) * 1e6 as int.
+    Scala BigDecimal(double) goes through Double.toString (shortest
+    round-trip) — mirrored by Decimal(repr(v))."""
+    return int(Decimal(repr(v)).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP)
+               .scaleb(6))
+
+
+def ulp_neighbors(v):
+    return (v, math.nextafter(v, -math.inf), math.nextafter(v, math.inf))
+
+
+def check_ln_micro(engine, v, what, errs):
+    """engine int must equal half_up6_micro of v or a 1-ulp neighbor."""
+    ok = any(half_up6_micro(x) == engine for x in ulp_neighbors(v))
+    if not ok:
+        errs.append(f"{what}: engine={engine} recomputed="
+                    f"{half_up6_micro(v)} (v={v!r})")
+
+
+def check_dsir(frag, errs):
+    pairs = re.findall(r"\((\d+), (-?\d+)\)", frag)
+    if len(pairs) != 256:
+        errs.append(f"expected 256 buckets, parsed {len(pairs)}")
+        return
+    rows = con.sql(f"""
+        WITH lab AS (SELECT (lang = 'en') AS is_t, {TOKS} AS tk
+                     FROM documents),
+        tok AS (SELECT is_t, unnest(tk) AS t FROM lab)
+        SELECT CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS b,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+               sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+        FROM tok GROUP BY 1""").fetchall()
+    ct = [0] * 256
+    cr = [0] * 256
+    for b, c_t, c_r in rows:
+        ct[int(b)] = int(c_t)
+        cr[int(b)] = int(c_r)
+    nt, nr = float(sum(ct)), float(sum(cr))
+    for bs, lrm in pairs:
+        b = int(bs)
+        v = math.log(((ct[b] + 1.0) / (nt + 256)) /
+                     ((cr[b] + 1.0) / (nr + 256)))
+        check_ln_micro(int(lrm), v, f"bucket {b}", errs)
+
+
+def check_nb_model(frag, errs):
+    trips = re.findall(r"\('((?:[^']|'')*)', (-?\d+), (-?\d+)\)", frag)
+    if not trips:
+        errs.append("no (token, lpos, lneg) triples parsed")
+        return
+    rows = con.sql(f"""
+        WITH lab AS (SELECT (source IN ('src0','src1','src2')) AS pos,
+                            {TOKS} AS tk FROM documents),
+        tok AS (SELECT pos, unnest(tk) AS token FROM lab),
+        c AS (SELECT token, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+                     sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+              FROM tok GROUP BY 1)
+        SELECT token, cp, cn FROM c
+        ORDER BY (cp + cn) DESC, token LIMIT 512""").fetchall()
+    counts = {t: (int(cp), int(cn)) for t, cp, cn in rows}
+    np_, nn = sum(c[0] for c in counts.values()), \
+        sum(c[1] for c in counts.values())
+    if len(trips) != len(counts):
+        errs.append(f"vocab size: engine={len(trips)} recomputed="
+                    f"{len(counts)}")
+        return
+    for tok_esc, lp, ln_ in trips:
+        tok = tok_esc.replace("''", "'")
+        if tok not in counts:
+            errs.append(f"token {tok!r} not in recomputed top-512")
+            continue
+        cp, cn = counts[tok]
+        check_ln_micro(int(lp), math.log((cp + 1.0) / (np_ + 512)),
+                       f"lpos[{tok!r}]", errs)
+        check_ln_micro(int(ln_), math.log((cn + 1.0) / (nn + 512)),
+                       f"lneg[{tok!r}]", errs)
+
+
+def check_nb_prior(frag, errs):
+    engine = int(frag.strip())
+    np_, nn = con.sql(
+        "SELECT sum(CASE WHEN source IN ('src0','src1','src2') THEN 1 "
+        "ELSE 0 END), sum(CASE WHEN source IN ('src0','src1','src2') "
+        "THEN 0 ELSE 1 END) FROM documents").fetchone()
+    check_ln_micro(engine, math.log((np_ + 1.0) / (nn + 1.0)), "prior",
+                   errs)
+
+
+def check_bm25(frag, errs):
+    trips = re.findall(
+        r"\('((?:[^']|'')*)', CAST\((\d+) AS BIGINT\), "
+        r"CAST\((-?\d+) AS BIGINT\)\)", frag)
+    if not trips:
+        errs.append("no (qt, df, idf9) triples parsed")
+        return
+    n = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    for tok_esc, df_s, idf9_s in trips:
+        tok = tok_esc.replace("''", "'")
+        df = con.sql(
+            f"SELECT count(*) FROM (SELECT {TOKS} AS tk FROM documents) "
+            "WHERE list_contains(tk, ?)", params=[tok]).fetchone()[0]
+        if df != int(df_s):
+            errs.append(f"df[{tok!r}]: engine={df_s} recomputed={df}")
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        if all(math.floor(x * 1e9) != int(idf9_s)
+               for x in ulp_neighbors(idf)):
+            errs.append(f"idf9[{tok!r}]: engine={idf9_s} recomputed="
+                        f"{math.floor(idf * 1e9)}")
+
+
+def check_pca(frag, errs):
+    micro = [int(x) for x in re.findall(r"-?\d+", frag)]
+    vecs = [list(v) for (v,) in con.sql(
+        "SELECT embedding FROM embeddings ORDER BY vec_id").fetchall()]
+    dims = max(len(v) for v in vecs)
+    if len(micro) != dims:
+        errs.append(f"dims: engine={len(micro)} recomputed={dims}")
+        return
+    v = [1.0] + [0.0] * (dims - 1)
+    for _ in range(2):  # Scala: `for _ <- 1 until iters`, iters = 3
+        s_int = [0] * dims
+        for x in vecs:
+            dot = 0.0
+            for xi, vi in zip(x, v):  # in-order left fold (zip_with)
+                dot = dot + float(xi) * vi
+            for j, xj in enumerate(x):
+                s_int[j] += math.floor((dot * float(xj)) * 1e9)
+        s = [float(si) for si in s_int]
+        norm_acc = 0.0
+        for x in s:  # in-order, matching Array.map(sq).sum
+            norm_acc += x * x
+        norm = math.sqrt(norm_acc)
+        if norm <= 0:
+            errs.append("recomputed iteration collapsed to zero")
+            return
+        v = [float(Decimal(repr(x / norm)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP)) for x in s]
+    recomputed = [math.floor(x * 1e6 + 0.5) for x in v]
+    for j, (e, r) in enumerate(zip(micro, recomputed)):
+        if e != r:
+            errs.append(f"v[{j}]: engine={e} recomputed={r}")
+
+
+def check_cuts(cuts, q_targets, eps, values_sql, what, errs):
+    """Sketch-cut validity: non-decreasing; each cut is an element of the
+    column; its rank window [#(<c)+1, #(<=c)] intersects the
+    approxQuantile guarantee [(q-eps)n, (q+eps)n]."""
+    if any(b < a for a, b in zip(cuts, cuts[1:])):
+        errs.append(f"{what}: cuts not non-decreasing: {cuts}")
+    n = con.sql(f"SELECT count(*) FROM ({values_sql})").fetchone()[0]
+    for c, q in zip(cuts, q_targets):
+        lt, le = con.sql(
+            f"SELECT sum(CASE WHEN v < {c!r} THEN 1 ELSE 0 END), "
+            f"sum(CASE WHEN v <= {c!r} THEN 1 ELSE 0 END) "
+            f"FROM ({values_sql})").fetchone()
+        if le == lt:
+            errs.append(f"{what}: cut {c} is not an element of the column")
+            continue
+        lo, hi = (q - eps) * n, (q + eps) * n
+        if le < lo or lt + 1 > hi:
+            errs.append(f"{what}: cut {c} rank window [{lt + 1}, {le}] "
+                        f"outside guarantee [{lo:.1f}, {hi:.1f}] for "
+                        f"q={q}")
+
+
+def check_len_deciles(frag, errs):
+    cuts = [float(x) for x in re.findall(
+        r"WHEN n_tokens <= CAST\('([^']+)' AS DOUBLE\)", frag)]
+    if len(cuts) != 9:
+        errs.append(f"expected 9 decile cuts, parsed {len(cuts)}")
+        return
+    check_cuts(cuts, [i / 10 for i in range(1, 10)], 1e-4,
+               f"SELECT CAST(len({TOKS}) AS DOUBLE) AS v FROM documents",
+               "len_decile", errs)
+
+
+def check_zorder(colname):
+    def chk(frag, errs):
+        cuts = [float(x) for x in re.findall(
+            r"WHEN \w+ <= CAST\('([^']+)' AS DOUBLE\)", frag)]
+        if len(cuts) != 15:  # 2^4 buckets
+            errs.append(f"expected 15 cuts, parsed {len(cuts)}")
+            return
+        check_cuts(cuts, [i / 16 for i in range(1, 16)], 1.0 / 2000,
+                   f"SELECT CAST({colname} AS DOUBLE) AS v FROM lineitem",
+                   f"zorder[{colname}]", errs)
+    return chk
+
+
+CHECKERS = {
+    "dsir_ratios": check_dsir,
+    "nb_model": check_nb_model,
+    "nb_prior": check_nb_prior,
+    "bm25_qd": check_bm25,
+    "pca_vprev": check_pca,
+    "len_decile_cuts": check_len_deciles,
+    "zorder_ra": check_zorder("l_orderkey"),
+    "zorder_rb": check_zorder("l_partkey"),
+}
+
+failed = 0
+for key in sorted(lits):
+    if key not in CHECKERS:
+        print(f"FAIL {key}  -> no checker registered for this literal "
+              "family (add one to tools/lit_check.py)")
+        failed += 1
+        continue
+    errs = []
+    try:
+        CHECKERS[key](lits[key], errs)
+    except Exception as e:  # a checker crash is a failure, not a skip
+        errs.append(f"checker crashed: {type(e).__name__}: {e}")
+    if errs:
+        failed += 1
+        print(f"FAIL {key}  -> " + "; ".join(errs[:5]) +
+              (f" (+{len(errs) - 5} more)" if len(errs) > 5 else ""))
+    else:
+        print(f"PASS {key}")
+
+print(f"\nlit check: {len(lits) - failed}/{len(lits)} constant families "
+      "independently re-derived")
+sys.exit(1 if failed else 0)
