@@ -13,7 +13,15 @@ Rules:
     entries only;
   - a query REGRESSES when new > 2x old AND new - old > 1.0 s (the
     absolute floor keeps sub-second jitter from tripping the 2x ratio);
-  - exit 1 when any query regresses (print them, worst first), else 0.
+  - before flagging, each candidate is RE-PROBED in isolation
+    (`graft.Prof`, 2 runs, min taken): single-run bench numbers can
+    inflate >2.5x on host-level neighbor load (the r6
+    `dedup_cluster_stats` 9.4 s driver vs 3.4 s probe), so only
+    regressions that REPRODUCE in the probe fail the gate; the rest are
+    recorded as noise-cleared in BENCH_DELTA.md. `--no-reprobe` skips
+    this (e.g. when sbt or the sf dir is unavailable);
+  - exit 1 when any query regresses after re-probe (print them, worst
+    first), else 0.
 
 Writes a markdown delta table (biggest movers both directions) to --md
 (default BENCH_DELTA.md next to the NEW file).
@@ -21,6 +29,8 @@ Writes a markdown delta table (biggest movers both directions) to --md
 import argparse
 import json
 import os
+import re
+import subprocess
 import sys
 
 # Queries whose measurement BOUNDARY changed in some round (what the timed
@@ -42,6 +52,34 @@ def load(path):
     return d, {k: v for k, v in d.get("queries", {}).items() if v >= 0}
 
 
+def reprobe(names, sf_dir):
+    """Re-run the flagged queries in isolation via graft.Prof (2 runs
+    each) and return {name: min_time}. Returns {} on any failure — the
+    caller then treats every candidate as a real regression (fail-closed:
+    a broken probe must not silently clear the gate)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_PROF_RUNS="2")
+    try:
+        r = subprocess.run(
+            ["sbt", "-batch", "runMain graft.Prof " + " ".join(names)],
+            cwd=repo, env=env, capture_output=True, text=True,
+            timeout=1800)
+    except Exception as e:
+        print(f"re-probe failed to run: {e}", file=sys.stderr)
+        return {}
+    out = {}
+    for line in r.stdout.splitlines():
+        m = re.match(r"^(\S+)\s+((?:\s*\d+\.\d+)+)\s*$", line)
+        if m and m.group(1) in names:
+            out[m.group(1)] = min(float(t) for t in m.group(2).split())
+    missing = set(names) - set(out)
+    if missing:
+        print(f"re-probe missing results for {sorted(missing)} "
+              f"(rc={r.returncode})", file=sys.stderr)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -49,6 +87,8 @@ def main():
     ap.add_argument("old_path", help="the prior round's BENCH_FULL.json")
     ap.add_argument("--md", dest="md_out", default=None,
         help="markdown output path (default: BENCH_DELTA.md beside new)")
+    ap.add_argument("--no-reprobe", action="store_true",
+        help="skip the isolation re-probe of flagged regressions")
     ns = ap.parse_args()
     new_path, old_path, md_out = ns.new_path, ns.old_path, ns.md_out
     if md_out is None:
@@ -59,8 +99,24 @@ def main():
     shared = sorted(set(qnew) & set(qold))
     rows = [(k, qold[k], qnew[k], qnew[k] / qold[k] if qold[k] > 0 else float("inf"))
             for k in shared]
-    regressions = [r for r in rows
-                   if r[2] > 2.0 * r[1] and r[2] - r[1] > 1.0]
+    candidates = [r for r in rows
+                  if r[2] > 2.0 * r[1] and r[2] - r[1] > 1.0]
+    cleared = []  # (name, old, benched, probed)
+    if candidates and not ns.no_reprobe:
+        probes = reprobe([r[0] for r in candidates], dnew.get("sf", ""))
+        kept = []
+        for k, o, n, x in candidates:
+            p = probes.get(k)
+            # apply the same gate to the PROBED steady-state time: a
+            # candidate that no longer exceeds it was host noise
+            if p is not None and not (p > 2.0 * o and p - o > 1.0):
+                cleared.append((k, o, n, p))
+            else:
+                kept.append((k, o, p if p is not None else n,
+                             (p if p is not None else n) / o
+                             if o > 0 else float("inf")))
+        candidates = kept
+    regressions = candidates
     regressions.sort(key=lambda r: -(r[2] - r[1]))
     improvements = sorted((r for r in rows if r[1] - r[2] > 1.0),
                           key=lambda r: -(r[1] - r[2]))
@@ -86,7 +142,16 @@ def main():
                 for k, o, n, x in rs[:20]]
         out.append("")
         return out
-    lines += table("Regressions (>2x and >1 s)", regressions)
+    lines += table("Regressions (>2x and >1 s, reproduced under re-probe)",
+                   regressions)
+    if cleared:
+        lines.append("## Noise-cleared (flagged by the single-run bench, "
+                     "NOT reproduced in isolation)\n")
+        lines.append("| query | old s | benched s | probed s |")
+        lines.append("|---|---|---|---|")
+        lines += [f"| {k} | {o:.2f} | {n:.2f} | {p:.2f} |"
+                  for k, o, n, p in cleared]
+        lines.append("")
     lines += table("Improvements (>1 s faster)", improvements)
     noted = sorted(set(shared) & set(RESCOPED))
     if noted:
