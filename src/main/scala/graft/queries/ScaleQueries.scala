@@ -1283,6 +1283,27 @@ object ScaleQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // IVFADC+R (Jégou '11 §VI): cell-restricted ADC retrieves k'=30
+    // candidates in the compressed domain, then ONLY those q·k' rows are
+    // re-scored exactly against their raw vectors (broadcast candidate
+    // fetch — never a full corpus rejoin) and the top 10 under the exact
+    // (d2, id) order are kept — the standard recall-recovery tail of the
+    // compressed search stack
+    "ann_ivfpq_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      val cb = Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+        .cache()
+      val codes = Pq.encode(e, cb, "vec_id", "embedding")
+        .join(e.select(col("vec_id"), col("label").as("cell")), Seq("vec_id"))
+      Pq.adcRerankTopK(
+          e.filter(col("vec_id") < 5).withColumn("cell", col("label")),
+          e, codes, cb, "vec_id", "embedding", k = 10, kPrime = 30,
+          cellCol = Some("cell"))
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("d2_nano"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // PQ index QA: per-subspace quantization error (expected ADC
     // distortion) — the retrain-trigger metric; int64 nano sums only
     "emb_pq_error" -> ((s, d) => {
@@ -3036,6 +3057,45 @@ object ScaleQueries {
          |FROM (SELECT query_id, neighbor_id, dist_nano, row_number() OVER (
          |    PARTITION BY query_id ORDER BY dist_nano, neighbor_id) AS rnk
          |  FROM adc) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // IVFADC top-30 candidates (the ann_ivfpq_topk CTEs with rnk <= 30),
+    // then exact in-order-fold squared-L2 over ONLY those candidates'
+    // full vectors, re-ranked to the top 10 — composing the two existing
+    // oracle formulations exactly as the engine composes the operators
+    "ann_ivfpq_rerank" ->
+      s"""WITH $pqCtes,
+         |$pqEncodeCte,
+         |lutc AS (SELECT v.vec_id AS query_id, el.label AS cell,
+         |  v.subspace, c.label AS code,
+         |  CAST(floor(list_sum(list_transform(range(1, len(v.subvec) + 1),
+         |    i -> (v.subvec[i] - c.cl[i]) * (v.subvec[i] - c.cl[i])))
+         |    * 1000000000.0) AS BIGINT) AS d_nano
+         |  FROM sv v JOIN cl2 c ON c.subspace = v.subspace
+         |  JOIN embeddings el ON el.vec_id = v.vec_id
+         |  WHERE v.vec_id < 5),
+         |encc AS (SELECT e.vec_id, e.subspace, e.code, el.label AS cell
+         |  FROM enc e JOIN embeddings el ON el.vec_id = e.vec_id),
+         |adc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+         |  CAST(sum(l.d_nano) AS BIGINT) AS dist_nano
+         |  FROM encc e JOIN lutc l ON l.subspace = e.subspace
+         |    AND l.code = e.code AND l.cell = e.cell
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist_nano, neighbor_id) AS rnk
+         |  FROM adc) WHERE rnk <= 30),
+         |fv AS (SELECT vec_id, list_transform(range(1, len(embedding) + 1),
+         |  i -> CAST(embedding[i] AS DOUBLE)) AS v FROM embeddings),
+         |rr AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST(floor(list_sum(list_transform(range(1, len(f.v) + 1),
+         |    i -> (q.v[i] - f.v[i]) * (q.v[i] - f.v[i])))
+         |    * 1000000000.0) AS BIGINT) AS d2_nano
+         |  FROM cand JOIN fv f ON f.vec_id = cand.neighbor_id
+         |  JOIN fv q ON q.vec_id = cand.query_id)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, d2_nano
+         |FROM (SELECT query_id, neighbor_id, d2_nano, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d2_nano, neighbor_id) AS rnk
+         |  FROM rr) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     // ground truth is exact squared-L2 over the full vectors (same metric
     // and same self-inclusive candidate convention as the ADC scan)

@@ -232,6 +232,44 @@ object Pq {
         sum(floor(col("md.d") * 1e9).cast("long")).as("err_nano_sum"))
   }
 
+  /** IVFADC+R (Jégou '11 §VI — re-ranking with exact distances): ADC
+    * retrieves `kPrime > k` candidates in the compressed domain, then the
+    * k' survivors — and ONLY they — are re-scored with the exact
+    * squared-L2 against their raw vectors, and the k nearest under the
+    * deterministic (dist, id) order are kept. Standard because ADC's
+    * quantization distortion mis-orders near-ties: a small exact pass
+    * over q·k' rows recovers most of the lost recall without giving up
+    * the compressed scan.
+    *
+    * 100 TB shape: the candidate list (q·k' rows) is BROADCAST onto the
+    * corpus scan — one pass over the raw-vector table with a broadcast
+    * hash semi-join-shaped fetch, never a shuffle of the corpus and never
+    * a full rejoin (the corpus side of the ADC stage still touches only
+    * the code table). Returns (query_id, rnk, neighbor_id, d2_nano) with
+    * `d2_nano = floor(d2·10⁹)` — the pure-int64 gate surface. */
+  def adcRerankTopK(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
+      cb: DataFrame, idCol: String, vecCol: String, k: Int, kPrime: Int,
+      cellCol: Option[String] = None): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(kPrime >= k, s"kPrime=$kPrime must be >= k=$k")
+    val cand = adcTopK(queries, codes, cb, idCol, vecCol, kPrime, cellCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val cvec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cvec"))
+    val qvec = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2_nano").asc, col("neighbor_id").asc)
+    cvec.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .withColumn("d2_nano",
+        floor(graft.functions.VectorSqL2(col("__qvec"), col("__cvec"))
+          * 1e9).cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "d2_nano")
+  }
+
   /** Exact squared-L2 top-k (broadcast queries, one corpus scan) — the
     * ground truth for ADC recall QA. Same metric and same candidate
     * convention as [[adcTopK]] (self-matches included: the code table is

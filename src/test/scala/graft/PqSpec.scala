@@ -112,6 +112,48 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVFADC+R: recall(rerank) >= recall(plain ADC), exact distances " +
+      "order the output, and the candidate fetch is a bounded broadcast") {
+    val q = emb.filter(col("vec_id") < 5)
+    val bf = Pq.bruteForceL2TopK(q, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      bf.join(df.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+    val plain = Pq.adcTopK(q, codes, cb, "vec_id", "embedding", 10)
+    val rr = Pq.adcRerankTopK(q, emb, codes, cb, "vec_id", "embedding",
+      k = 10, kPrime = 30)
+    assert(recall(rr) >= recall(plain),
+      s"rerank recall ${recall(rr)} < plain ADC recall ${recall(plain)}")
+    // exact-distance ordering: d2_nano non-decreasing in rnk per query,
+    // and the self-match (d2 = 0) ranks first for every query
+    val rows = rr.as[(Long, Int, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (qid, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 10))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 < b._4 || (a._4 == b._4 && a._3 < b._3))
+      }
+      assert(sorted.head._3 == qid && sorted.head._4 == 0L,
+        s"query $qid: self-match not rank 1")
+    }
+    // plan shape: the raw-vector fetch joins the corpus against a
+    // BROADCAST candidate list (q·k' rows) — never a shuffled/sort-merge
+    // corpus join and never a cartesian product
+    val plan = rr.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("adcRerankTopK: kPrime must cover k") {
+    val ex = intercept[IllegalArgumentException] {
+      Pq.adcRerankTopK(emb.limit(1), emb, codes, cb, "vec_id", "embedding",
+        k = 10, kPrime = 5)
+    }
+    assert(ex.getMessage.contains("kPrime"))
+  }
+
   test("quantization error: non-negative, covers every subspace, and " +
       "does not grow with more Lloyd's rounds") {
     def totalErr(iters: Int): (Long, Map[Int, Long]) = {
