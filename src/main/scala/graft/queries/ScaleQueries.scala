@@ -244,6 +244,36 @@ object ScaleQueries {
         .orderBy("vec_id", "subspace")
     }),
 
+    // Drift-triggered PQ retraining end-to-end: bootstrap trains on the
+    // label-0 region; the second batch is every other cluster SCALED by
+    // exactly 2 (a deterministic distribution-shift proxy — x*2 is exact
+    // in IEEE float AND double, so both engines see bit-identical drifted
+    // vectors), whose err/n is far beyond 1.5x the stored training
+    // baseline — the state machine MUST publish codebook v2 and encode
+    // that batch, and only it, under v2 (history keeps its v1 codes
+    // untouched). The requires make a silent non-trigger fail the gate
+    // loudly instead of shipping v1-encoded rows the oracle would reject
+    "st_index_retrain" -> ((s, d) => {
+      val codes = java.nio.file.Files.createTempDirectory("graft_sr_c").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_sr_s").toString
+      val e = emb(s, d).select("vec_id", "embedding", "label")
+      val r0 = graft.streaming.StreamIndex.applyBatch(s,
+        e.filter(col("label") === 0).select("vec_id", "embedding"),
+        0L, "vec_id", "embedding", codes, state, retrainFactorPct = 150)
+      val r1 = graft.streaming.StreamIndex.applyBatch(s,
+        e.filter(col("label") =!= 0).select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")),
+        1L, "vec_id", "embedding", codes, state, retrainFactorPct = 150)
+      require(r0.bootstrapped && !r0.retrained && r0.cbVersion == 1,
+        s"bootstrap state machine broke: $r0")
+      require(r1.retrained && r1.cbVersion == 2,
+        s"drift batch did not trigger retraining: $r1")
+      s.read.parquet(codes)
+        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+          col("code"), col("cb_version").cast("long").as("cb_version"))
+        .orderBy("vec_id", "subspace")
+    }),
+
     // Cross-document repeated-substring detection (Lee et al. '21
     // analogue): fingerprinted sliding 8-token windows, repeated = seen
     // in >= 2 distinct docs. Corpus duplicates only the id<250 head, so
@@ -1808,50 +1838,65 @@ object ScaleQueries {
   /** PQ CTEs with the codebook trained on `trainSrc` (a table or
     * sub-select) while `sv` still spans the full corpus — the frozen-
     * codebook incremental-encode shape. */
-  private def pqCtesTrainedOn(trainSrc: String): String = {
+  /** Train-source-independent PQ CTEs: subspace split of every vector. */
+  private lazy val pqSharedCtes: String =
+    """pp AS (SELECT CAST((SELECT max(len(embedding)) FROM embeddings)
+      |  AS INTEGER) // 4 AS sub),
+      |sdim AS (SELECT unnest(range(1,
+      |  (SELECT sub FROM pp) + 1)) AS i),
+      |subs AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS s),
+      |sv AS (SELECT e.vec_id, s.s AS subspace,
+      |  list_transform(list_slice(e.embedding,
+      |    s.s * pp.sub + 1, (s.s + 1) * pp.sub),
+      |    x -> CAST(x AS DOUBLE)) AS subvec
+      |  FROM embeddings e CROSS JOIN subs s CROSS JOIN pp)""".stripMargin
+
+  /** Codebook-training CTEs (2 Lloyd's rounds, min-id seeds) over the
+    * vectors of `trainSrc`, every CTE name suffixed with `sfx` so TWO
+    * codebooks can coexist in one oracle (the retrain state machine);
+    * the final codebook is `cl2$sfx`. `base` is the subvector CTE to
+    * read (default the raw `sv`; the retrain oracle trains its second
+    * codebook on a drift-shifted variant). */
+  private def pqTrainCtes(trainSrc: String, sfx: String,
+      base: String = "sv"): String = {
     def dist(v: String, c: String): String =
       s"list_sum(list_transform(range(1, len($v) + 1), " +
         s"i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
     def assignAndMean(r: Int): String =
-      s"""cl${r - 1} AS (SELECT subspace, label,
+      s"""cl${r - 1}$sfx AS (SELECT subspace, label,
          |  list(centroid ORDER BY pos) AS cl
-         |  FROM c${r - 1} GROUP BY 1, 2),
-         |d$r AS (SELECT v.vec_id, v.subspace, c.label,
+         |  FROM c${r - 1}$sfx GROUP BY 1, 2),
+         |d$r$sfx AS (SELECT v.vec_id, v.subspace, c.label,
          |  ${dist("v.subvec", "c.cl")} AS d2
-         |  FROM svt v JOIN cl${r - 1} c ON c.subspace = v.subspace),
-         |a$r AS (SELECT vec_id, subspace, label FROM (
+         |  FROM svt$sfx v JOIN cl${r - 1}$sfx c ON c.subspace = v.subspace),
+         |a$r$sfx AS (SELECT vec_id, subspace, label FROM (
          |  SELECT vec_id, subspace, label, row_number() OVER (
          |    PARTITION BY vec_id, subspace ORDER BY d2, label) AS rn
-         |  FROM d$r) WHERE rn = 1),
-         |c$r AS (SELECT v.subspace, a.label, sd.i AS pos,
+         |  FROM d$r$sfx) WHERE rn = 1),
+         |c$r$sfx AS (SELECT v.subspace, a.label, sd.i AS pos,
          |  round(CAST(sum(CAST(v.subvec[sd.i] AS DECIMAL(27,9)))
          |    AS DOUBLE) / count(*), 4) AS centroid
-         |  FROM svt v JOIN a$r a
+         |  FROM svt$sfx v JOIN a$r$sfx a
          |    ON a.vec_id = v.vec_id AND a.subspace = v.subspace
          |  CROSS JOIN sdim sd GROUP BY 1, 2, 3)""".stripMargin
-    s"""pp AS (SELECT CAST((SELECT max(len(embedding)) FROM embeddings)
-       |  AS INTEGER) // 4 AS sub),
-       |sdim AS (SELECT unnest(range(1,
-       |  (SELECT sub FROM pp) + 1)) AS i),
-       |subs AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS s),
-       |sv AS (SELECT e.vec_id, s.s AS subspace,
-       |  list_transform(list_slice(e.embedding,
-       |    s.s * pp.sub + 1, (s.s + 1) * pp.sub),
-       |    x -> CAST(x AS DOUBLE)) AS subvec
-       |  FROM embeddings e CROSS JOIN subs s CROSS JOIN pp),
-       |svt AS (SELECT sv.* FROM sv
+    s"""svt$sfx AS (SELECT sv.* FROM $base sv
        |  JOIN $trainSrc t ON t.vec_id = sv.vec_id),
-       |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS label, vec_id
+       |seeds$sfx AS (SELECT row_number() OVER (ORDER BY vec_id) AS label,
+       |  vec_id
        |  FROM (SELECT tt.vec_id FROM $trainSrc tt
        |    ORDER BY tt.vec_id LIMIT 4)),
-       |c0 AS (SELECT v.subspace, sd0.label, sdim.i AS pos,
+       |c0$sfx AS (SELECT v.subspace, sd0.label, sdim.i AS pos,
        |  round(v.subvec[sdim.i], 4) AS centroid
-       |  FROM svt v JOIN seeds sd0 USING (vec_id) CROSS JOIN sdim),
+       |  FROM svt$sfx v JOIN seeds$sfx sd0 USING (vec_id) CROSS JOIN sdim),
        |${assignAndMean(1)},
        |${assignAndMean(2)},
-       |cl2 AS (SELECT subspace, label, list(centroid ORDER BY pos) AS cl
-       |  FROM c2 GROUP BY 1, 2)""".stripMargin
+       |cl2$sfx AS (SELECT subspace, label, list(centroid ORDER BY pos)
+       |  AS cl FROM c2$sfx GROUP BY 1, 2)""".stripMargin
   }
+
+  private def pqCtesTrainedOn(trainSrc: String): String =
+    s"""$pqSharedCtes,
+       |${pqTrainCtes(trainSrc, "")}""".stripMargin
 
   /** Encode CTE: one more E-step against the final codebook (`cl2`). */
   private lazy val pqEncodeCte: String =
@@ -3010,6 +3055,39 @@ object ScaleQueries {
          |$pqEncodeCte
          |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code
          |FROM enc ORDER BY vec_id, subspace""".stripMargin
+    },
+
+    // the retrain state machine's code table: batch 0 (label-0 region)
+    // encoded under codebook A trained on itself (cb_version 1); the
+    // drift batch (all other labels) under codebook B trained on ITSELF
+    // (cb_version 2) — the oracle re-derives BOTH codebooks and their
+    // per-batch assignments; the engine-side requires guarantee the
+    // trigger actually fired, so an un-triggered run can never
+    // accidentally match
+    "st_index_retrain" -> {
+      val a = "(SELECT vec_id FROM embeddings WHERE label = 0)"
+      val b = "(SELECT vec_id FROM embeddings WHERE label <> 0)"
+      def encUnder(src: String, base: String, sfx: String,
+          ver: Int): String =
+        s"""SELECT vec_id, subspace, label AS code, $ver AS v FROM (
+           |  SELECT v.vec_id, v.subspace, c.label, row_number() OVER (
+           |    PARTITION BY v.vec_id, v.subspace ORDER BY
+           |      list_sum(list_transform(range(1, len(v.subvec) + 1),
+           |        i -> (v.subvec[i] - c.cl[i]) * (v.subvec[i] - c.cl[i]))),
+           |      c.label) AS rn
+           |  FROM $base v JOIN $src t ON t.vec_id = v.vec_id
+           |  JOIN cl2$sfx c ON c.subspace = v.subspace) WHERE rn = 1"""
+          .stripMargin
+      s"""WITH $pqSharedCtes,
+         |sv2 AS (SELECT vec_id, subspace,
+         |  list_transform(subvec, x -> x * 2.0) AS subvec FROM sv),
+         |${pqTrainCtes(a, "_a")},
+         |${pqTrainCtes(b, "_b", base = "sv2")}
+         |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code,
+         |  CAST(v AS BIGINT) AS cb_version
+         |FROM (${encUnder(a, "sv", "_a", 1)}
+         |  UNION ALL ${encUnder(b, "sv2", "_b", 2)})
+         |ORDER BY vec_id, subspace""".stripMargin
     },
 
     // codebook CTEs trained on the id<250 history; enc spans the corpus

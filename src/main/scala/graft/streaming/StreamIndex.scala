@@ -31,17 +31,64 @@ import graft.scale.Pq
 object StreamIndex {
 
   case class BatchResult(batchId: Long, received: Long, encoded: Long,
-      bootstrapped: Boolean, replaySkipped: Boolean)
+      bootstrapped: Boolean, replaySkipped: Boolean,
+      retrained: Boolean = false, cbVersion: Int = 0)
 
   private def marker(root: String, batchId: Long) =
     new Path(root, s"batch_$batchId.done")
 
+  /** Attach the codebook's TRAINING-TIME per-subspace quantization error
+    * (count + int64 nano SSE on the batch it was trained on) to the
+    * codebook frame itself, denormalized per row — so the retrain
+    * baseline travels ATOMICALLY with the codebook version it describes
+    * (two lock-stepped state roots could desynchronize on a crash between
+    * saves). The extra columns are ignored by every Pq consumer. */
+  private def withBaseline(trained: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    trained.join(
+      Pq.quantizationError(batch, trained, idCol, vecCol)
+        .select(col("subspace"), col("n").as("base_n"),
+          col("err_nano_sum").as("base_err_nano")),
+      Seq("subspace"))
+
+  /** True iff some subspace's observed err/n exceeds
+    * `retrainFactorPct`/100 × the codebook's training-time err/n —
+    * compared by exact integer cross-multiplication (no float division
+    * for an engine pair to disagree on). */
+  private def driftTriggered(cb: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, retrainFactorPct: Long): Boolean = {
+    val obs = Pq.quantizationError(batch, cb, idCol, vecCol)
+      .select("subspace", "n", "err_nano_sum").collect()
+      .map(r => r.getAs[Number](0).intValue ->
+        (r.getLong(1), r.getLong(2))).toMap
+    cb.select("subspace", "base_n", "base_err_nano").distinct().collect()
+      .exists { r =>
+        obs.get(r.getAs[Number](0).intValue).exists { case (n, err) =>
+          BigInt(err) * BigInt(r.getLong(1)) * 100 >
+            BigInt(r.getLong(2)) * BigInt(n) * retrainFactorPct
+        }
+      }
+  }
+
   /** Encode one micro-batch (the foreachBatch body; directly callable for
-    * batch pipelines and tests). */
+    * batch pipelines and tests).
+    *
+    * `retrainFactorPct` > 0 arms the DRIFT-TRIGGERED RETRAIN loop
+    * ([[Pq.quantizationError]] is the monitor): before encoding, the
+    * batch's per-subspace err/n under the current codebook is compared
+    * against the codebook's training-time baseline (stored inside the
+    * versioned codebook frame); if any subspace exceeds
+    * `retrainFactorPct`/100 × baseline, a NEW codebook is trained on this
+    * batch and published as version n+1, and encoding proceeds under it —
+    * only from the trigger batch FORWARD. History is never re-encoded
+    * (each code row carries its `cb_version`, so readers score each
+    * segment against its own codebook — the standard versioned-index
+    * deployment shape). 0 (the default) freezes the bootstrap codebook
+    * forever, preserving the prior contract. */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, codesPath: String, stateRoot: String,
       m: Int = 4, k: Int = 4, iters: Int = 2,
-      keepVersions: Int = 3): BatchResult = {
+      keepVersions: Int = 3, retrainFactorPct: Long = 0L): BatchResult = {
     val fs = new Path(stateRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker(stateRoot, batchId)))
@@ -50,31 +97,50 @@ object StreamIndex {
     val cbRoot = s"$stateRoot/codebook"
     val received = batch.count()
 
+    def trainAndPublish(): (DataFrame, Int) = {
+      val trained = withBaseline(
+        Pq.codebook(batch, idCol, vecCol, m, k, iters), batch, idCol, vecCol)
+      val v = StateStore.saveVersion(spark, trained, cbRoot, keepVersions)
+      (StateStore.loadVersion(spark, cbRoot, v), v)
+    }
+
     // frozen codebook: latest published version, or train-and-publish on
     // the bootstrap batch (deterministic, so a replay republishes the
     // identical frame and the overwrite is byte-stable)
-    val (cb, bootstrapped) = StateStore.versions(spark, cbRoot).lastOption match {
-      case Some(v) => (StateStore.loadVersion(spark, cbRoot, v), false)
-      case None =>
-        val trained = Pq.codebook(batch, idCol, vecCol, m, k, iters)
-        StateStore.saveVersion(spark, trained, cbRoot, keepVersions)
-        (StateStore.loadVersion(spark, cbRoot,
-          StateStore.versions(spark, cbRoot).last), true)
-    }
+    val (cb0, v0, bootstrapped) =
+      StateStore.versions(spark, cbRoot).lastOption match {
+        case Some(v) =>
+          (StateStore.loadVersion(spark, cbRoot, v), v, false)
+        case None =>
+          val (t, v) = trainAndPublish()
+          (t, v, true)
+      }
+    // drift check (replay-safe: the decision is a deterministic function
+    // of the batch and the loaded version, and a replayed trigger batch
+    // re-publishes the identical retrained codebook). Old codebook
+    // versions without a stored baseline stay frozen — no false trigger.
+    val retrain = !bootstrapped && retrainFactorPct > 0 &&
+      cb0.columns.contains("base_n") &&
+      driftTriggered(cb0, batch, idCol, vecCol, retrainFactorPct)
+    val (cb, version) = if (retrain) trainAndPublish() else (cb0, v0)
     val cbCached = cb.cache()
 
-    // idempotent appends: one directory per batch, overwritten whole
+    // idempotent appends: one directory per batch, overwritten whole;
+    // each segment records the codebook version that encoded it
     Pq.encode(batch, cbCached, idCol, vecCol)
+      .withColumn("cb_version", lit(version))
       .write.mode("overwrite").parquet(s"$codesPath/batch=$batchId")
     Pq.quantizationError(batch, cbCached, idCol, vecCol)
       .withColumn("batch_id", lit(batchId))
+      .withColumn("cb_version", lit(version))
+      .withColumn("retrained", lit(retrain))
       .write.mode("overwrite").parquet(s"$stateRoot/err/batch=$batchId")
     val encoded = spark.read.parquet(s"$codesPath/batch=$batchId").count()
 
     fs.create(marker(stateRoot, batchId), true).close()
     cbCached.unpersist()
     BatchResult(batchId, received, encoded, bootstrapped,
-      replaySkipped = false)
+      replaySkipped = false, retrained = retrain, cbVersion = version)
   }
 
   /** Drain a parquet-directory stream of vectors through the index

@@ -72,6 +72,68 @@ class StreamIndexSpec extends SparkSpec {
     assert(err.filter(_._1 == 1L).forall(_._3 == r1.received))
   }
 
+  test("drift trigger: an in-distribution batch keeps the codebook " +
+      "frozen; a shifted batch publishes v2 and re-encodes only itself") {
+    val codes = tmp("graft_si_codes_rt")
+    val state = tmp("graft_si_state_rt")
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val r0 = StreamIndex.applyBatch(spark, e.filter(col("vec_id") < 30),
+      0L, "vec_id", "embedding", codes, state, retrainFactorPct = 150)
+    assert(r0.bootstrapped && !r0.retrained && r0.cbVersion == 1)
+    // in-distribution batch: same corpus region → err/n within 1.5x of
+    // the training baseline → codebook stays frozen
+    val r1 = StreamIndex.applyBatch(spark,
+      e.filter(col("vec_id") >= 30 && col("vec_id") < 60),
+      1L, "vec_id", "embedding", codes, state, retrainFactorPct = 150)
+    assert(!r1.retrained && r1.cbVersion == 1)
+    assert(StateStore.versions(spark, s"$state/codebook") == Seq(1))
+    val oldCodes = spark.read.parquet(codes)
+      .select("vec_id", "subspace", "code", "cb_version")
+      .as[(Long, Int, Long, Int)].collect().toSet
+    assert(oldCodes.forall(_._4 == 1))
+    // drifted batch (exact x2 scale): err/n blows past the baseline →
+    // version bump, batch encoded under v2, history untouched
+    val shifted = e.filter(col("vec_id") >= 60 && col("vec_id") < 90)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val r2 = StreamIndex.applyBatch(spark, shifted, 2L, "vec_id",
+      "embedding", codes, state, retrainFactorPct = 150)
+    assert(r2.retrained && r2.cbVersion == 2, s"no retrain: $r2")
+    assert(StateStore.versions(spark, s"$state/codebook") == Seq(1, 2))
+    // old segments byte-stable — only the trigger batch carries v2
+    val after = spark.read.parquet(codes)
+      .select("vec_id", "subspace", "code", "cb_version")
+      .as[(Long, Int, Long, Int)].collect().toSet
+    assert(after.filter(_._1 < 60) == oldCodes)
+    assert(after.filter(_._1 >= 60).forall(_._4 == 2))
+    // the trigger batch's codes equal a direct encode under the NEW
+    // codebook (which was trained on the shifted batch itself)
+    val cb2 = StateStore.loadVersion(spark, s"$state/codebook", 2)
+    val direct = Pq.encode(shifted, cb2, "vec_id", "embedding")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(after.filter(_._1 >= 60).map(r => (r._1, r._2, r._3)) == direct)
+    // error log records the trigger
+    val err = spark.read.parquet(s"$state/err")
+      .select("batch_id", "retrained").distinct()
+      .as[(Long, Boolean)].collect().toSet
+    assert(err == Set((0L, false), (1L, false), (2L, true)))
+    // marker-lost replay of the trigger batch is IDEMPOTENT: the latest
+    // codebook (v2) was trained on this very batch, so its err/n equals
+    // the stored baseline exactly — no re-trigger, no version churn, and
+    // the re-landed directory carries the identical v2 codes
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(state, "batch_2.done"), false)
+    val r3 = StreamIndex.applyBatch(spark, shifted, 2L, "vec_id",
+      "embedding", codes, state, retrainFactorPct = 150)
+    assert(!r3.replaySkipped && !r3.retrained && r3.cbVersion == 2)
+    assert(StateStore.versions(spark, s"$state/codebook") == Seq(1, 2))
+    assert(spark.read.parquet(codes)
+      .select("vec_id", "subspace", "code", "cb_version")
+      .as[(Long, Int, Long, Int)].collect().toSet == after)
+  }
+
   test("AvailableNow stream drains vector files into the index; a second " +
       "drain encodes only the new arrivals against the same codebook") {
     val src = tmp("graft_si_src")
