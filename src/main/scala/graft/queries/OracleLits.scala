@@ -68,4 +68,14 @@ object OracleLits {
   /** A BigDecimal rendered as an exact DECIMAL(18,6) literal. */
   def sqlDec6(d: BigDecimal): String =
     s"CAST(${d.setScale(6).toString} AS DECIMAL(18,6))"
+
+  /** Sketch cut-points rendered as the bucket-assignment CASE — the ONE
+    * renderer for every cuts→rank gate surface (z-order ranks, length
+    * deciles), so the two fragment families cannot drift apart. Buckets
+    * are `base + i` for the i-th cut, `base + cuts.length` above all
+    * cuts. `tools/lit_check.py` parses exactly this shape. */
+  def sqlCase(col: String, cuts: Seq[Double], base: Int): String =
+    "CASE " + cuts.zipWithIndex.map { case (c, i) =>
+      s"WHEN $col <= ${sqlDouble(c)} THEN ${base + i}"
+    }.mkString(" ") + s" ELSE ${base + cuts.length} END"
 }

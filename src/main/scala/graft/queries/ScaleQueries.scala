@@ -609,12 +609,10 @@ object ScaleQueries {
         .select("l_orderkey", "l_linenumber", "l_partkey")
       val (cutsA, cutsB, out) = graft.scale.Layout.zOrderValue(
         li, "l_orderkey", "l_partkey", bits = zorderBits)
-      def caseOf(c: String, cuts: Array[Double]): String =
-        "CASE " + cuts.zipWithIndex.map { case (cut, i) =>
-          s"WHEN $c <= ${OracleLits.sqlDouble(cut)} THEN $i"
-        }.mkString(" ") + s" ELSE ${cuts.length} END"
-      OracleLits.put("zorder_ra", caseOf("l_orderkey", cutsA))
-      OracleLits.put("zorder_rb", caseOf("l_partkey", cutsB))
+      OracleLits.put("zorder_ra",
+        OracleLits.sqlCase("l_orderkey", cutsA.toSeq, base = 0))
+      OracleLits.put("zorder_rb",
+        OracleLits.sqlCase("l_partkey", cutsB.toSeq, base = 0))
       out.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("zv")).orderBy("l_orderkey", "l_linenumber")
     }),
@@ -944,9 +942,7 @@ object ScaleQueries {
       } else {
         val cuts = Sampling.quantileCuts(base, "n_tokens", 10)
         OracleLits.put("len_decile_cuts",
-          cuts.zipWithIndex.map { case (c, i) =>
-            s"WHEN n_tokens <= ${OracleLits.sqlDouble(c)} THEN ${i + 1}"
-          }.mkString(" "))
+          OracleLits.sqlCase("n_tokens", cuts.toSeq, base = 1))
         Sampling.bucketsFromCuts(base, "n_tokens", cuts)
           .withColumnRenamed("bucket", "decile")
           .orderBy("doc_id")
@@ -2777,7 +2773,7 @@ object ScaleQueries {
     "samp_length_decile" -> {
       val body = OracleLits.get("len_decile_cuts") match {
         case Some(cases) =>
-          s"CAST(CASE $cases ELSE 10 END AS BIGINT) AS decile"
+          s"CAST($cases AS BIGINT) AS decile"
         case None =>
           "CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS decile"
       }
