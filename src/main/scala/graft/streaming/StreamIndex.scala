@@ -95,12 +95,21 @@ object StreamIndex {
       return BatchResult(batchId, 0, 0, bootstrapped = false,
         replaySkipped = true)
     val cbRoot = s"$stateRoot/codebook"
-    val received = batch.count()
+    // one micro-batch feeds up to six scans (count, training dims + two
+    // Lloyd's rounds, drift check, encode, error log) — cache it for the
+    // batch's lifetime
+    val cached = batch.cache()
+    val received = cached.count()
 
     def trainAndPublish(): (DataFrame, Int) = {
-      val trained = withBaseline(
-        Pq.codebook(batch, idCol, vecCol, m, k, iters), batch, idCol, vecCol)
+      // cache the k·D-row codebook: its 2-round Lloyd's lineage would
+      // otherwise re-execute for each of the three consumers below (the
+      // baseline's literal collect, the baseline join side, the state
+      // write)
+      val trainedCb = Pq.codebook(cached, idCol, vecCol, m, k, iters).cache()
+      val trained = withBaseline(trainedCb, cached, idCol, vecCol)
       val v = StateStore.saveVersion(spark, trained, cbRoot, keepVersions)
+      trainedCb.unpersist()
       (StateStore.loadVersion(spark, cbRoot, v), v)
     }
 
@@ -121,16 +130,16 @@ object StreamIndex {
     // versions without a stored baseline stay frozen — no false trigger.
     val retrain = !bootstrapped && retrainFactorPct > 0 &&
       cb0.columns.contains("base_n") &&
-      driftTriggered(cb0, batch, idCol, vecCol, retrainFactorPct)
+      driftTriggered(cb0, cached, idCol, vecCol, retrainFactorPct)
     val (cb, version) = if (retrain) trainAndPublish() else (cb0, v0)
     val cbCached = cb.cache()
 
     // idempotent appends: one directory per batch, overwritten whole;
     // each segment records the codebook version that encoded it
-    Pq.encode(batch, cbCached, idCol, vecCol)
+    Pq.encode(cached, cbCached, idCol, vecCol)
       .withColumn("cb_version", lit(version))
       .write.mode("overwrite").parquet(s"$codesPath/batch=$batchId")
-    Pq.quantizationError(batch, cbCached, idCol, vecCol)
+    Pq.quantizationError(cached, cbCached, idCol, vecCol)
       .withColumn("batch_id", lit(batchId))
       .withColumn("cb_version", lit(version))
       .withColumn("retrained", lit(retrain))
@@ -139,6 +148,7 @@ object StreamIndex {
 
     fs.create(marker(stateRoot, batchId), true).close()
     cbCached.unpersist()
+    cached.unpersist()
     BatchResult(batchId, received, encoded, bootstrapped,
       replaySkipped = false, retrained = retrain, cbVersion = version)
   }
