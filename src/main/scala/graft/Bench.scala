@@ -23,7 +23,15 @@ object Bench {
       val warmDir = {
         val sib = new java.io.File(
           new java.io.File(sfDir).getParentFile, "sf0.001")
-        if (sib.isDirectory) sib.getPath else sfDir
+        if (sib.isDirectory) sib.getPath
+        else {
+          // falling back to the timed dir pre-builds its memoized state
+          // (ccLabels, doc cache) untimed — a measurement-boundary shift
+          // worth flagging loudly when it happens
+          System.err.println(
+            s"[bench] no sf0.001 sibling; warming on the TIMED dir $sfDir")
+          sfDir
+        }
       }
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
