@@ -108,6 +108,12 @@ object VectorHashExpressions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_simhash(tokens, bits)")
         Simhash(args.head, litInt(args(1), "bits"))
+      }),
+    ("graft_srp_signature",
+      new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_srp_signature(vec, bits)")
+        SrpSignature(args.head, litInt(args(1), "bits"))
       }))
 
   /** Builder-time route: `SparkSession.builder.withExtensions(new

@@ -1309,6 +1309,16 @@ object ScaleQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Binary-quantized ANN: 48-bit sign signatures (one fused codegen
+    // loop), candidates scored by pure integer Hamming distance — the
+    // 1-bit extreme of the quantized-index spectrum (8 bytes/vector, one
+    // xor+popcount per candidate, no float kernel in the scan)
+    "ann_hamming_topk" -> ((s, d) =>
+      Similarity.hammingTopK(
+          emb(s, d).filter(col("vec_id") < 5), emb(s, d),
+          "vec_id", "embedding", bits = 48, k = 10)
+        .orderBy("query_id", "rnk")),
+
     // IVFADC+R (Jégou '11 §VI): cell-restricted ADC retrieves k'=30
     // candidates in the compressed domain, then ONLY those q·k' rows are
     // re-scored exactly against their raw vectors (broadcast candidate
@@ -3131,6 +3141,27 @@ object ScaleQueries {
          |FROM (SELECT query_id, neighbor_id, dist_nano, row_number() OVER (
          |    PARTITION BY query_id ORDER BY dist_nano, neighbor_id) AS rnk
          |  FROM adc) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // 48-plane sign signature per vector (projection = in-order fold of
+    // elem × integer weight w(i,j) = ((i·(2j+1)+3j) mod 127) − 63, i
+    // 0-based), then integer Hamming ranking — everything after the fold
+    // is int64
+    "ann_hamming_topk" ->
+      """WITH sig AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 48), j ->
+        |    CASE WHEN list_sum(list_transform(
+        |        range(1, len(embedding) + 1),
+        |        i -> CAST(embedding[i] AS DOUBLE) *
+        |          (((i - 1) * (2*j + 1) + 3*j) % 127 - 63))) > 0
+        |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sg
+        |  FROM embeddings),
+        |hd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(bit_count(xor(q.sg, c.sg)) AS BIGINT) AS hamming
+        |  FROM sig c CROSS JOIN sig q WHERE q.vec_id < 5)
+        |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, hamming
+        |FROM (SELECT query_id, neighbor_id, hamming, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rnk
+        |  FROM hd) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     // IVFADC top-30 candidates (the ann_ivfpq_topk CTEs with rnk <= 30),
     // then exact in-order-fold squared-L2 over ONLY those candidates'

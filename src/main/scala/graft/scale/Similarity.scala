@@ -207,6 +207,46 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Sign-quantized (binary) embedding signature: bit j = sign of the
+    * projection onto deterministic hyperplane j (the [[srpBucket]] integer
+    * weight family widened to ≤ 60 planes,
+    * `w(i,j) = ((i·(2j+1) + 3j) mod 127) − 63`). The 1-bit-per-plane
+    * extreme of the quantized-index spectrum (int8 → PQ → signs): ~60
+    * bits per vector instead of D·32. One fused codegen loop
+    * ([[graft.functions.SrpSignature]] — bit-identical to the per-plane
+    * `aggregate∘zip_with` fold by VectorHashProps). */
+  def srpSignature(vec: Column, bits: Int): Column =
+    graft.functions.SrpSignature(vec, bits)
+
+  /** Binary-quantized ANN: top-k by HAMMING distance between sign
+    * signatures — `bit_count(xor(sig_q, sig_c))`, a pure integer metric
+    * over one long per vector. The cheapest index in the family: the
+    * candidate scan reads 8 bytes per vector and does one xor+popcount,
+    * no float kernel anywhere; the classic first stage in front of an
+    * exact rerank (compose with [[bruteForceTopK]] on the survivors, the
+    * [[rpTopK]]/IVFADC+R shape). Signatures are computed once per side;
+    * queries broadcast; ranking is the deterministic integer
+    * (hamming asc, id asc) total order. Self-matches are included (index
+    * convention, as in the PQ family: hamming(self) = 0 ranks first).
+    * Fully cross-engine: projection signs come from the in-order fold
+    * (bit-identical everywhere) and everything after is int64. */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, bits: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val q = queries.select(col(idCol).as("query_id"),
+      srpSignature(col(vecCol), bits).as("qsig"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      srpSignature(col(vecCol), bits).as("csig"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .withColumn("hamming", bit_count(col("qsig").bitwiseXOR(col("csig"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("hamming").cast("long").as("hamming"))
+  }
+
   /** Per-label centroid, one row per (label, dim): posexplode the vectors
     * and average per dimension — a plain two-phase hash aggregate with
     * map-side partial sums, #labels × dim reduced rows regardless of corpus

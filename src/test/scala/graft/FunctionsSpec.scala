@@ -89,6 +89,29 @@ object VectorHashProps extends Properties("VectorHash") {
           java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
     }
 
+  /** HOF reference formulation of [[graft.functions.SrpSignature]]: one
+    * `aggregate∘zip_with` projection fold per plane, sign bit per plane —
+    * each plane's accumulation runs in element order, exactly the kernel's
+    * per-plane running sum. */
+  private def hofSrpSignature(vec: org.apache.spark.sql.Column, bits: Int) =
+    (0 until bits).map { j =>
+      val proj = aggregate(
+        zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i =>
+          ((i * (2 * j + 1) + 3 * j) % 127 - 63).cast("double")),
+          (x, wgt) => x.cast("double") * wgt),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  property("srp_signature == HOF per-plane aggregate/zip_with folds") =
+    forAll(vecGen, Gen.choose(1, 60)) { (v, bits) =>
+      val df = Seq(Tuple1(v)).toDF("vec")
+      val r = df.select(
+        graft.functions.SrpSignature(col("vec"), bits).as("kernel"),
+        hofSrpSignature(col("vec"), bits).as("hof")).head()
+      r.getLong(0) == r.getLong(1)
+    }
+
   property("simhash == HOF md5-hex nibble votes") =
     forAll(arrGen, Gen.choose(1, 32)) { (toks, bits) =>
       val text = toks.mkString(" ")

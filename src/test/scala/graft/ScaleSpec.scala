@@ -220,6 +220,31 @@ class ScaleSpec extends SparkSpec {
     assert(ovS._4 <= 8 && ovS._5 <= ovS._4)
   }
 
+  test("hamming top-k: self ranks first at distance 0, k rows per query " +
+      "in the (hamming, id) integer order, layout-invariant") {
+    import graft.scale.Similarity
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val top = Similarity.hammingTopK(q, e, "vec_id", "embedding",
+      bits = 48, k = 5).as[(Long, Int, Long, Long)].collect()
+    val byQ = top.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (qid, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5))
+      assert(sorted.head._3 == qid && sorted.head._4 == 0L,
+        s"query $qid: self not rank 1 at hamming 0")
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 < b._4 || (a._4 == b._4 && a._3 < b._3))
+      }
+    }
+    // signatures (and so rankings) are per-row — physical layout can't move them
+    val reparted = Similarity.hammingTopK(q, e.repartition(7), "vec_id",
+      "embedding", bits = 48, k = 5)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(top.toSet == reparted.toSet)
+  }
+
   test("embedding near-dups bucketed by label") {
     val vecs = Seq(
       (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0),
