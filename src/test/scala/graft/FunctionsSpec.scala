@@ -282,5 +282,14 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("Project [codegen id :")), plan)
     df.limit(5).collect() // and the generated code must actually compile/run
+
+    val sig = spark.read.parquet(sf("embeddings"))
+      .select(graft.functions.SrpSignature(col("embedding"), 48).as("sg"))
+    val sigPlan = sig.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(sigPlan.contains("graft_srp_signature"), sigPlan)
+    assert(sigPlan.linesIterator.exists(l =>
+      l.contains("Project [codegen id :")), sigPlan)
+    sig.limit(5).collect()
   }
 }
