@@ -260,11 +260,32 @@ object Pq {
       col(vecCol).as("__qvec"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("d2_nano").asc, col("neighbor_id").asc)
-    cvec.join(broadcast(cand), Seq("neighbor_id"))
+    // corrupt-index guards (the adcTopK contract): a candidate whose raw
+    // vector is missing from the corpus (code table / corpus desync)
+    // would be silently dropped by the inner fetch join and ship a top-k
+    // missing true survivors — detected by comparing the per-query
+    // candidate count against the post-fetch count (two windows over the
+    // bounded q·k' frame, NOT an outer join, which could not keep the
+    // small side as the broadcast build). A null exact distance (ragged
+    // pair) would sort NULLS FIRST and win — raised explicitly.
+    val wq = Window.partitionBy("query_id")
+    val fetched = cvec.join(
+        broadcast(cand.withColumn("__n_cand", count(lit(1)).over(wq))),
+        Seq("neighbor_id"))
       .join(broadcast(qvec), Seq("query_id"))
+      .withColumn("__n_fetched", count(lit(1)).over(wq))
+    fetched
       .withColumn("d2_nano",
-        floor(graft.functions.VectorSqL2(col("__qvec"), col("__cvec"))
-          * 1e9).cast("long"))
+        when(col("__n_fetched") =!= col("__n_cand"), raise_error(concat(
+          lit("adcRerankTopK: candidates without a corpus vector for "
+            + "query "), col("query_id").cast("string"))))
+          .otherwise(floor(graft.functions.VectorSqL2(
+            col("__qvec"), col("__cvec")) * 1e9)).cast("long"))
+      .withColumn("d2_nano",
+        when(col("d2_nano").isNull, raise_error(concat(
+          lit("adcRerankTopK: null exact distance (ragged pair) for "),
+          col("neighbor_id").cast("string"))))
+          .otherwise(col("d2_nano")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "neighbor_id", "d2_nano")

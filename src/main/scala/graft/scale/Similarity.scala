@@ -233,10 +233,20 @@ object Similarity {
   def hammingTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, bits: Int, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    // a null signature (null vector / null element — the kernel's
+    // poisoning contract) would sort NULLS FIRST under the ascending
+    // Hamming window and silently win rank 1 for every query — raise at
+    // signature creation instead, once per row, before the pair join
+    def sigOrError(id: Column, vec: Column): Column = {
+      val s = srpSignature(vec, bits)
+      when(s.isNull, raise_error(concat(
+        lit("hammingTopK: null signature (null vector or element) for "),
+        id.cast("string")))).otherwise(s)
+    }
     val q = queries.select(col(idCol).as("query_id"),
-      srpSignature(col(vecCol), bits).as("qsig"))
+      sigOrError(col(idCol), col(vecCol)).as("qsig"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      srpSignature(col(vecCol), bits).as("csig"))
+      sigOrError(col(idCol), col(vecCol)).as("csig"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("hamming").asc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))

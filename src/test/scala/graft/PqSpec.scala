@@ -146,6 +146,18 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("adcRerankTopK: a candidate missing its corpus vector fails " +
+      "loudly instead of silently shrinking the top-k") {
+    val holed = emb.filter(col("vec_id") =!= 1) // drop a vector, keep codes
+    val ex = intercept[Exception] {
+      Pq.adcRerankTopK(emb.filter(col("vec_id") < 3), holed, codes, cb,
+        "vec_id", "embedding", k = 5, kPrime = 500).collect()
+    }
+    assert(ex.getMessage.contains("without a corpus vector") ||
+      ex.getCause != null &&
+        ex.getCause.getMessage.contains("without a corpus vector"))
+  }
+
   test("adcRerankTopK: kPrime must cover k") {
     val ex = intercept[IllegalArgumentException] {
       Pq.adcRerankTopK(emb.limit(1), emb, codes, cb, "vec_id", "embedding",

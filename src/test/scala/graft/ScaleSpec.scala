@@ -243,6 +243,16 @@ class ScaleSpec extends SparkSpec {
       "embedding", bits = 48, k = 5)
       .as[(Long, Int, Long, Long)].collect()
     assert(top.toSet == reparted.toSet)
+    // a null vector must fail loudly, never rank first on a null signature
+    val withNull = e.select(col("vec_id"),
+      when(col("vec_id") === 7, lit(null)).otherwise(col("embedding"))
+        .as("embedding"))
+    val ex = intercept[Exception] {
+      Similarity.hammingTopK(q, withNull, "vec_id", "embedding",
+        bits = 48, k = 5).collect()
+    }
+    assert(ex.getMessage.contains("null signature") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("null signature"))
   }
 
   test("embedding near-dups bucketed by label") {
