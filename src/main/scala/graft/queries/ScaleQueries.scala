@@ -1319,6 +1319,16 @@ object ScaleQueries {
           "vec_id", "embedding", bits = 48, k = 10)
         .orderBy("query_id", "rnk")),
 
+    // Two-stage binary search: Hamming top-30 prefilter, exact-cosine
+    // re-rank of only those survivors (the IVFADC+R shape at the 1-bit
+    // extreme — Hamming's tie mass resolved by exact distances, not ids)
+    "ann_hamming_rerank" -> ((s, d) =>
+      Similarity.hammingRerankTopK(
+          emb(s, d).filter(col("vec_id") < 5), emb(s, d),
+          "vec_id", "embedding", bits = 48, k = 10, candidates = 30)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk")),
+
     // IVFADC+R (Jégou '11 §VI): cell-restricted ADC retrieves k'=30
     // candidates in the compressed domain, then ONLY those q·k' rows are
     // re-scored exactly against their raw vectors (broadcast candidate
@@ -3141,6 +3151,33 @@ object ScaleQueries {
          |FROM (SELECT query_id, neighbor_id, dist_nano, row_number() OVER (
          |    PARTITION BY query_id ORDER BY dist_nano, neighbor_id) AS rnk
          |  FROM adc) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // Hamming top-30 via the 48-plane signatures, then exact-cosine
+    // re-rank of only the survivors (round(cos, 6) desc, id — the
+    // ann_rp_topk contract; the double never reaches the gate)
+    "ann_hamming_rerank" ->
+      s"""WITH sig AS (SELECT vec_id, embedding,
+         |  CAST(list_sum(list_transform(range(0, 48), j ->
+         |    CASE WHEN list_sum(list_transform(
+         |        range(1, len(embedding) + 1),
+         |        i -> CAST(embedding[i] AS DOUBLE) *
+         |          (((i - 1) * (2*j + 1) + 3*j) % 127 - 63))) > 0
+         |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sg
+         |  FROM embeddings),
+         |cand AS (SELECT query_id, neighbor_id, qe, ce FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    q.embedding AS qe, c.embedding AS ce, row_number() OVER (
+         |      PARTITION BY q.vec_id
+         |      ORDER BY bit_count(xor(q.sg, c.sg)), c.vec_id) AS prnk
+         |  FROM sig c CROSS JOIN sig q WHERE q.vec_id < 5)
+         |  WHERE prnk <= 30)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY round(${duckCosine("qe", "ce")}, 6) DESC,
+         |      neighbor_id) AS rnk
+         |  FROM cand)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     // 48-plane sign signature per vector (projection = in-order fold of
     // elem × integer weight w(i,j) = ((i·(2j+1)+3j) mod 127) − 63, i

@@ -257,6 +257,37 @@ object Similarity {
         col("hamming").cast("long").as("hamming"))
   }
 
+  /** Two-stage binary search (the IVFADC+R shape at the 1-bit extreme):
+    * [[hammingTopK]] retrieves `candidates ≥ k` survivors from the
+    * sign-signature scan, then ONLY those q·candidates rows are re-scored
+    * with the exact full-dimension cosine and the top k under the
+    * (cosine desc, id) order are kept — Hamming's heavy tie mass (a
+    * `bits`-valued integer metric) is resolved by exact distances instead
+    * of by id. The raw-vector fetch broadcasts the candidate list onto
+    * one corpus scan, never a corpus shuffle. Cosines are rounded to 6
+    * decimals (ties → smallest id), the [[rpTopK]] reproducibility
+    * contract. Self-matches are included, as in [[hammingTopK]]. */
+  def hammingRerankTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, bits: Int, k: Int,
+      candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val cand = hammingTopK(queries, corpus, idCol, vecCol, bits, candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val cvec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec")).withColumn("cn", norm(col("cvec")))
+    val qvec = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec")).withColumn("qn", norm(col("qvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cvec.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .withColumn("cosine", round(
+        cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Per-label centroid, one row per (label, dim): posexplode the vectors
     * and average per dimension — a plain two-phase hash aggregate with
     * map-side partial sums, #labels × dim reduced rows regardless of corpus

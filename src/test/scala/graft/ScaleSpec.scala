@@ -255,6 +255,33 @@ class ScaleSpec extends SparkSpec {
       ex.getCause != null && ex.getCause.getMessage.contains("null signature"))
   }
 
+  test("hamming rerank: exact-cosine reorder of the hamming candidate " +
+      "set — containment, self-first, k rows per query") {
+    import graft.scale.Similarity
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val candSet = Similarity.hammingTopK(q, e, "vec_id", "embedding",
+        bits = 48, k = 30)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rr = Similarity.hammingRerankTopK(q, e, "vec_id", "embedding",
+        bits = 48, k = 10, candidates = 30)
+      .as[(Long, Int, Long, Double)].collect()
+    val byQ = rr.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (qid, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 10))
+      // every reranked row came from the hamming candidate stage
+      assert(sorted.forall(r => candSet((r._1, r._3))))
+      // self survives the prefilter (hamming 0) and wins rerank (cos 1)
+      assert(sorted.head._3 == qid && sorted.head._4 == 1.0,
+        s"query $qid: self not rank 1 under exact cosine")
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+      }
+    }
+  }
+
   test("embedding near-dups bucketed by label") {
     val vecs = Seq(
       (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0),
