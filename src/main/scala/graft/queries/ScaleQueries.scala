@@ -1319,6 +1319,16 @@ object ScaleQueries {
           "vec_id", "embedding", bits = 48, k = 10)
         .orderBy("query_id", "rnk")),
 
+    // Multi-index Hamming search (Norouzi '12): 4 bands of 12 signature
+    // bits, candidates = rows sharing >= 1 exact band (pigeonhole: exact
+    // for neighbors < 4 bits apart), one band-key shuffle — never the
+    // all-pairs loop. The scale path of ann_hamming_topk
+    "ann_hamming_band" -> ((s, d) =>
+      Similarity.hammingBandTopK(
+          emb(s, d).filter(col("vec_id") < 5), emb(s, d),
+          "vec_id", "embedding", bits = 48, bands = 4, k = 10)
+        .orderBy("query_id", "rnk")),
+
     // Two-stage binary search: Hamming top-30 prefilter, exact-cosine
     // re-rank of only those survivors (the IVFADC+R shape at the 1-bit
     // extreme — Hamming's tie mass resolved by exact distances, not ids)
@@ -3151,6 +3161,31 @@ object ScaleQueries {
          |FROM (SELECT query_id, neighbor_id, dist_nano, row_number() OVER (
          |    PARTITION BY query_id ORDER BY dist_nano, neighbor_id) AS rnk
          |  FROM adc) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // banded candidates (>= 1 shared 12-bit substring of the 48-bit
+    // signature), then exact integer Hamming ranking over candidates only
+    "ann_hamming_band" ->
+      """WITH sig AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 48), j ->
+        |    CASE WHEN list_sum(list_transform(
+        |        range(1, len(embedding) + 1),
+        |        i -> CAST(embedding[i] AS DOUBLE) *
+        |          (((i - 1) * (2*j + 1) + 3*j) % 127 - 63))) > 0
+        |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sg
+        |  FROM embeddings),
+        |bb AS (SELECT vec_id, sg, b,
+        |    ((sg >> (b * 12)) & 4095) AS bv
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.sg AS qsg,
+        |    c.vec_id AS neighbor_id, c.sg AS csg
+        |  FROM bb c JOIN bb q ON q.b = c.b AND q.bv = c.bv
+        |  WHERE q.vec_id < 5)
+        |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, hamming
+        |FROM (SELECT query_id, neighbor_id,
+        |    CAST(bit_count(xor(qsg, csg)) AS BIGINT) AS hamming,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bit_count(xor(qsg, csg)), neighbor_id) AS rnk
+        |  FROM cand) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     // Hamming top-30 via the 48-plane signatures, then exact-cosine
     // re-rank of only the survivors (round(cos, 6) desc, id — the

@@ -257,6 +257,60 @@ object Similarity {
         col("hamming").cast("long").as("hamming"))
   }
 
+  /** Multi-index (banded) Hamming search (Norouzi, Punjani, Fleet,
+    * "Fast Search in Hamming Space with Multi-Index Hashing", CVPR 2012 —
+    * the banded-LSH idea applied to sign signatures): the `bits`-bit
+    * signature splits into `bands` disjoint substrings; a corpus row is a
+    * CANDIDATE for a query iff they share at least one exact band, and
+    * only candidates get the full Hamming distance. By pigeonhole, any
+    * pair with Hamming distance < `bands` MUST share a band, so the
+    * result is EXACT for neighbors closer than `bands` bits and
+    * approximate beyond — tune `bands` to the radius that matters.
+    *
+    * The 100 TB shape — this is the scale path where [[hammingTopK]]'s
+    * broadcast scan is the small-query-set path: one shuffle on the
+    * (band, value) key, bucket-bounded candidate pairs, NEVER an all-pairs
+    * loop (exactly [[graft.scale.Dedup.minhashCandidates]]'s banded-join
+    * geometry, with signature substrings instead of MinHash bands).
+    * A query with no shared band emits no rows (nothing within the
+    * guaranteed radius — the caller's signal to fall back or widen). */
+  def hammingBandTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, bits: Int, bands: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(bands >= 1 && bits % bands == 0,
+      s"bands=$bands must divide bits=$bits")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    def sigOrError(id: Column, vec: Column): Column = {
+      val s = srpSignature(vec, bits)
+      when(s.isNull, raise_error(concat(
+        lit("hammingBandTopK: null signature for "), id.cast("string"))))
+        .otherwise(s)
+    }
+    def banded(df: DataFrame, idAs: String, sigAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+          sigOrError(col(idCol), col(vecCol)).as(sigAs))
+        .select(col(idAs), col(sigAs), explode(array((0 until bands).map {
+          b => struct(lit(b).as("band"),
+            shiftright(col(sigAs), b * width).bitwiseAND(lit(mask)).as("bv"))
+        }: _*)).as("bb"))
+        .select(col(idAs), col(sigAs),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val q = banded(queries, "query_id", "qsig")
+    val c = banded(corpus, "neighbor_id", "csig")
+    // candidates: distinct id pairs sharing >= 1 band — bucket-sized work
+    val cand = c.join(q, Seq("band", "bv"))
+      .select("query_id", "qsig", "neighbor_id", "csig").distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    cand
+      .withColumn("hamming", bit_count(col("qsig").bitwiseXOR(col("csig"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("hamming").cast("long").as("hamming"))
+  }
+
   /** Two-stage binary search (the IVFADC+R shape at the 1-bit extreme):
     * [[hammingTopK]] retrieves `candidates ≥ k` survivors from the
     * sign-signature scan, then ONLY those q·candidates rows are re-scored

@@ -255,6 +255,36 @@ class ScaleSpec extends SparkSpec {
       ex.getCause != null && ex.getCause.getMessage.contains("null signature"))
   }
 
+  test("banded hamming: pigeonhole guarantee (every pair closer than " +
+      "`bands` bits is found), agreement with the full scan inside the " +
+      "radius, and no all-pairs join in the plan") {
+    import graft.scale.Similarity
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    val full = Similarity.hammingTopK(q, e, "vec_id", "embedding",
+        bits = 48, k = n).as[(Long, Int, Long, Long)].collect()
+    val band = Similarity.hammingBandTopK(q, e, "vec_id", "embedding",
+      bits = 48, bands = 4, k = n)
+    val bandRows = band.as[(Long, Int, Long, Long)].collect()
+    val bandPairs = bandRows.map(r => (r._1, r._3)).toSet
+    // pigeonhole: hamming < bands ⇒ some 12-bit band equal ⇒ candidate
+    val near = full.filter(_._4 < 4)
+    assert(near.nonEmpty) // self-pairs at distance 0 at minimum
+    near.foreach { r =>
+      assert(bandPairs((r._1, r._3)),
+        s"pair (${r._1}, ${r._3}) at hamming ${r._4} missed by banding")
+    }
+    // inside the guaranteed radius the two rankings see the same pairs
+    assert(bandRows.filter(_._4 < 4).map(r => (r._1, r._3, r._4)).toSet ==
+      near.map(r => (r._1, r._3, r._4)).toSet)
+    // the band join is an equi-join on the (band, value) key — never an
+    // all-pairs nested-loop/cartesian over the corpus
+    val plan = band.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("hamming rerank: exact-cosine reorder of the hamming candidate " +
       "set — containment, self-first, k rows per query") {
     import graft.scale.Similarity
