@@ -185,6 +185,37 @@ object TemperatureProps extends Properties("TemperatureSample") {
     }
 }
 
+object HammingBandProps extends Properties("HammingBand") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  // small random float corpora; ids 0..n-1, queries = first 2
+  private val corpusGen: Gen[List[List[Float]]] =
+    Gen.choose(2, 12).flatMap { n =>
+      Gen.listOfN(n, Gen.listOfN(6, Gen.chooseNum(-5.0f, 5.0f)))
+    }
+
+  property("pigeonhole: every pair closer than `bands` bits is found, " +
+      "and in-radius results equal the full scan, any valid banding") =
+    forAll(corpusGen, Gen.oneOf(1, 2, 3, 4, 6)) { (vecs, bands) =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val q = df.filter(col("vec_id") < 2)
+      val n = vecs.size
+      val full = graft.scale.Similarity.hammingTopK(q, df,
+          "vec_id", "embedding", bits = 48, k = n)
+        .as[(Long, Int, Long, Long)].collect()
+      val band = graft.scale.Similarity.hammingBandTopK(q, df,
+          "vec_id", "embedding", bits = 48, bands = bands, k = n)
+        .as[(Long, Int, Long, Long)].collect()
+      val near = full.filter(_._4 < bands).map(r => (r._1, r._3, r._4)).toSet
+      val bandNear = band.filter(_._4 < bands)
+        .map(r => (r._1, r._3, r._4)).toSet
+      near == bandNear
+    }
+}
+
 object KmvProps extends Properties("KmvSketch") {
   private lazy val spark = SparkSpec.session
   import spark.implicits._
