@@ -19,7 +19,8 @@ object Explain {
         // emb_pca_top, dedup_incr_components, layout_zorder) would execute
         // real jobs from a plan-printing tool; name them explicitly if
         // that cost is intended
-        "tx_lang_id_ngram", "samp_repeat_epochs")
+        "tx_lang_id_ngram", "samp_repeat_epochs",
+        "ann_hamming_topk", "ann_hamming_band", "ann_pq_topk")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
