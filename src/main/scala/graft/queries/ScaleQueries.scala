@@ -223,6 +223,34 @@ object ScaleQueries {
       s.read.parquet(corpus).select("doc_id").orderBy("doc_id")
     }),
 
+    // Streaming CMS maintenance: two micro-batches fold into per-batch
+    // grids (linear counters — no read-modify-write state), a replayed
+    // batch short-circuits on its commit marker, and the live sketch is
+    // the cell-wise sum over committed grids — which must equal the
+    // full-corpus grid the oracle recomputes
+    "st_cms_update" -> ((s, d) => {
+      val grid = java.nio.file.Files.createTempDirectory("graft_scm_g").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_scm_s").toString
+      val dd = docs(s, d)
+      def tokOf(df: DataFrame) = df.select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      graft.streaming.StreamSketch.applyBatch(s,
+        tokOf(dd.filter(col("doc_id") < 250)), 0L, "source", "tok",
+        grid, state, depth = 4, width = 256)
+      graft.streaming.StreamSketch.applyBatch(s,
+        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
+        grid, state, depth = 4, width = 256)
+      // at-least-once replay of a committed batch must be a no-op
+      val replay = graft.streaming.StreamSketch.applyBatch(s,
+        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
+        grid, state, depth = 4, width = 256)
+      require(replay.replaySkipped, "committed batch replay was not skipped")
+      graft.streaming.StreamSketch.currentSketch(s, grid, state)
+        .select(col("grp").as("source"),
+          col("row_j").cast("long").as("row_j"), col("bucket"), col("cnt"))
+        .orderBy("source", "row_j", "bucket")
+    }),
+
     // Streaming index maintenance: bootstrap batch trains + publishes the
     // codebook (versioned state), the second batch encodes against it
     // frozen and appends idempotently — the oracle independently retrains
@@ -691,6 +719,44 @@ object ScaleQueries {
         .select(col("grp").as("source"), col("h"),
           col("rank").cast("long").as("rank"))
         .orderBy("source", "rank")
+    }),
+
+    // Count-Min sketch (Cormode-Muthukrishnan '05) point-frequency
+    // estimates: the corpus is scanned ONCE into a bounded 4×256-cell
+    // grid per source; the probe tokens then join the BROADCAST sketch —
+    // the 100 TB frequency-probe shape (no re-scan per query). The
+    // MD5-derived bucket hash is engine-portable, so the oracle
+    // recomputes the identical grid and the estimates gate as exact int64
+    "sk_cms_counts" -> ((s, d) => {
+      val dd = docs(s, d)
+      val tok = dd.select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val sk = graft.scale.Sketches.cms(tok, "source", "tok",
+        depth = 4, width = 256)
+      val probes = dd.filter(col("doc_id") < 50).select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      graft.scale.Sketches.cmsEstimate(sk, probes, "source", "tok",
+        depth = 4, width = 256)
+        .select(col("grp").as("source"), col("tok"), col("est"))
+        .orderBy("source", "tok")
+    }),
+
+    // CMS mergeability gate: counters are linear, so per-batch sketches
+    // cell-wise-summed must equal the full-corpus sketch EXACTLY — the
+    // rollup contract that lets per-day grids sum to global without
+    // re-scanning (oracle is the full-corpus grid)
+    "sk_cms_incr" -> ((s, d) => {
+      val dd = docs(s, d)
+      def tokOf(df: DataFrame) = df.select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val skA = graft.scale.Sketches.cms(
+        tokOf(dd.filter(col("doc_id") < 250)), "source", "tok", 4, 256)
+      val skB = graft.scale.Sketches.cms(
+        tokOf(dd.filter(col("doc_id") >= 250)), "source", "tok", 4, 256)
+      graft.scale.Sketches.cmsMerge(skA, skB)
+        .select(col("grp").as("source"),
+          col("row_j").cast("long").as("row_j"), col("bucket"), col("cnt"))
+        .orderBy("source", "row_j", "bucket")
     }),
 
     // NB quality model (fastText/CCNet-style "looks curated?" filter):
@@ -1387,6 +1453,37 @@ object ScaleQueries {
           "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"))
       bf.join(pq.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_hit"), col("k"))
+        .orderBy("query_id")
+    }),
+
+    // Scalar-quantized (SQ8) asymmetric-distance ANN: corpus stored as
+    // int8 codes + per-vector scale (4× smaller), query stays float —
+    // the middle of the quantized-index spectrum (int8 → PQ → signs);
+    // int-only gate, the bit-portable scale/round/fold makes the DuckDB
+    // ranking identical
+    "ann_sq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.sqTopK(e.filter(col("vec_id") < 5), e, "vec_id",
+          "embedding", k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // SQ index QA: recall of the int8 asymmetric ranking against the
+    // exact inner-product ground truth — integer (n_hit, k) pairs, the
+    // ann_recall pattern
+    "ann_sq_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      val exact = Similarity.dotTopK(q, e, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val sq = Similarity.sqTopK(q, e, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(sq.withColumn("hit", lit(1L)),
           Seq("query_id", "neighbor_id"), "left_outer")
         .groupBy("query_id")
         .agg(count(lit(1)).as("k"),
@@ -2236,6 +2333,53 @@ object ScaleQueries {
          |FROM bf LEFT JOIN iv USING (query_id, neighbor_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the oracle re-quantizes the corpus (emb_quantize recipe) and ranks
+    // by the same scale·dot(query, codes) asymmetric score
+    "ann_sq_topk" ->
+      s"""WITH c0 AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+         |  list_max(list_transform(embedding,
+         |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings),
+         |c AS (SELECT neighbor_id, scale,
+         |  CASE WHEN scale > 0
+         |    THEN list_transform(ce, x -> round(CAST(x AS DOUBLE) / scale))
+         |    ELSE list_transform(ce, x -> 0.0) END AS codes FROM c0),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe
+         |  FROM embeddings WHERE vec_id < 5)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY scale * ${duckDot("qe", "codes")} DESC,
+         |      neighbor_id) AS rnk
+         |  FROM q, c WHERE query_id != neighbor_id)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_sq_recall" ->
+      s"""WITH c0 AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+         |  list_max(list_transform(embedding,
+         |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings),
+         |c AS (SELECT neighbor_id, ce, scale,
+         |  CASE WHEN scale > 0
+         |    THEN list_transform(ce, x -> round(CAST(x AS DOUBLE) / scale))
+         |    ELSE list_transform(ce, x -> 0.0) END AS codes FROM c0),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe
+         |  FROM embeddings WHERE vec_id < 5),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY ${duckDot("qe", "ce")} DESC, neighbor_id) AS rnk
+         |  FROM q, c WHERE query_id != neighbor_id) WHERE rnk <= 10),
+         |sq AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY scale * ${duckDot("qe", "codes")} DESC,
+         |      neighbor_id) AS rnk
+         |  FROM q, c WHERE query_id != neighbor_id) WHERE rnk <= 10)
+         |SELECT exact.query_id,
+         |  CAST(count(sq.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(count(*) AS BIGINT) AS k
+         |FROM exact LEFT JOIN sq USING (query_id, neighbor_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "ann_ivf_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label
          |  FROM embeddings WHERE vec_id < 5),
@@ -2539,6 +2683,58 @@ object ScaleQueries {
         |    AS n_common
         |FROM u WHERE rk <= 64 GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // the oracle recomputes the identical 4x256 CMS grid (60-bit MD5
+    // prefix of "j:token" mod width) and probes it the same way
+    "sk_cms_counts" ->
+      s"""WITH tok AS (SELECT source, doc_id, unnest($duckToksAll) AS tok
+         |  FROM documents),
+         |rj AS (SELECT CAST(range AS BIGINT) AS row_j FROM range(0, 4)),
+         |cells AS (SELECT source, rj.row_j,
+         |    CAST(('0x' || substr(md5(CAST(rj.row_j AS VARCHAR) || ':' ||
+         |      tok), 1, 15)) AS BIGINT) % 256 AS bucket
+         |  FROM tok CROSS JOIN rj),
+         |sk AS (SELECT source, row_j, bucket, count(*) AS cnt
+         |  FROM cells GROUP BY 1, 2, 3),
+         |probe AS (SELECT DISTINCT source, tok FROM tok WHERE doc_id < 50),
+         |pc AS (SELECT p.source, p.tok, rj.row_j,
+         |    CAST(('0x' || substr(md5(CAST(rj.row_j AS VARCHAR) || ':' ||
+         |      p.tok), 1, 15)) AS BIGINT) % 256 AS bucket
+         |  FROM probe p CROSS JOIN rj)
+         |SELECT pc.source, pc.tok,
+         |  CAST(min(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
+         |FROM pc LEFT JOIN sk ON sk.source = pc.source
+         |  AND sk.row_j = pc.row_j AND sk.bucket = pc.bucket
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // streamed grids cell-wise-summed == the full-corpus grid
+    "st_cms_update" ->
+      s"""WITH tok AS (SELECT source, unnest($duckToksAll) AS tok
+         |  FROM documents),
+         |rj AS (SELECT CAST(range AS BIGINT) AS row_j FROM range(0, 4)),
+         |cells AS (SELECT source, rj.row_j,
+         |    CAST(('0x' || substr(md5(CAST(rj.row_j AS VARCHAR) || ':' ||
+         |      tok), 1, 15)) AS BIGINT) % 256 AS bucket
+         |  FROM tok CROSS JOIN rj)
+         |SELECT source, row_j, CAST(bucket AS BIGINT) AS bucket,
+         |  count(*) AS cnt
+         |FROM cells GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // merge == retrain for linear counters: the oracle IS the
+    // full-corpus grid
+    "sk_cms_incr" ->
+      s"""WITH tok AS (SELECT source, unnest($duckToksAll) AS tok
+         |  FROM documents),
+         |rj AS (SELECT CAST(range AS BIGINT) AS row_j FROM range(0, 4)),
+         |cells AS (SELECT source, rj.row_j,
+         |    CAST(('0x' || substr(md5(CAST(rj.row_j AS VARCHAR) || ':' ||
+         |      tok), 1, 15)) AS BIGINT) % 256 AS bucket
+         |  FROM tok CROSS JOIN rj)
+         |SELECT source, row_j, CAST(bucket AS BIGINT) AS bucket,
+         |  count(*) AS cnt
+         |FROM cells GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
 
     "corpus_overlap" ->
       s"""WITH tok AS (SELECT source AS grp, $duckToksAll AS tk

@@ -153,6 +153,58 @@ object Similarity {
       transform(vec, x => round(x.cast("double") / scale).cast("int")))
       .otherwise(transform(vec, _ => lit(0)))
 
+  /** Exact maximum-inner-product (MIPS) top-k: every (query, corpus) pair
+    * scored by the raw dot product, ranked per query (score desc, id asc),
+    * self-matches excluded. The ground truth for the quantized
+    * inner-product indexes ([[sqTopK]]); same broadcast-query geometry as
+    * [[bruteForceTopK]]. */
+  def dotTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("qvec"), col("cvec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+  }
+
+  /** Scalar-quantized (SQ8) asymmetric-distance top-k — the FAISS
+    * `IndexScalarQuantizer` idea: the CORPUS is stored as int8 codes plus
+    * one scale per vector ([[int8Scale]]/[[int8Quantize]] — 4× smaller
+    * than float32), the QUERY stays float, and each pair scores as
+    * `scale · Σ_j q_j·code_j` (asymmetric: only the corpus side pays the
+    * quantization error). The middle of the quantized-index spectrum
+    * (int8 → PQ → signs). Codes are widened to double ONCE PER CORPUS ROW
+    * before the pair join, so the per-pair kernel is the same fused
+    * [[graft.functions.VectorDot]] loop as the float path; ranking is the
+    * deterministic (score desc, id asc) order and the compared surface is
+    * int-only — the scale/round/fold arithmetic is bit-portable, so the
+    * DuckDB oracle reproduces the ranking exactly. */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("scale", int8Scale(col("cvec")))
+      .withColumn("codes", int8Quantize(col("cvec"), col("scale")))
+      .select(col("neighbor_id"), col("scale"),
+        transform(col("codes"), _.cast("double")).as("codesd"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", col("scale") * dot(col("qvec"), col("codesd")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+  }
+
   /** Deterministic random-projection dimensionality reduction: out_j =
     * Σ_i vec_i · w(i,j), with the same integer weight family as
     * [[srpBucket]] (w = (i·(j+1) mod 13) - 6) — no RNG, engine-portable,

@@ -79,6 +79,69 @@ object Sketches {
         sum(when(col("side_ct") === 2, 1L).otherwise(0L)).as("n_common"))
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan, "An Improved Data Stream
+    * Summary: The Count-Min Sketch and its Applications", J. Algorithms
+    * 2005): a depth×width grid of counters; every token occurrence
+    * increments one bucket per row (bucket = hash_j(token) mod width).
+    * Point estimate = MIN over rows — always an OVERestimate of the true
+    * frequency, within εN with probability 1-δ for width=⌈e/ε⌉,
+    * depth=⌈ln 1/δ⌉. Exactly mergeable by cell-wise sum (per-day/
+    * per-partition sketches roll up without re-scanning), which is the
+    * 100 TB shape: the corpus is touched once to build bounded
+    * (groups × depth × width)-row sketch frames; all frequency probes
+    * afterwards are joins against the BROADCAST sketch.
+    *
+    * Determinism: row-j's hash is the engine-portable 60-bit MD5 prefix
+    * of "j:token" ([[Dedup.tokenHash60]]) mod width — the DuckDB oracle
+    * recomputes the identical grid, so estimates gate as exact int64. */
+  def cms(tokenRows: DataFrame, groupCol: String, tokCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"depth/width must be positive: $depth x $width")
+    val cells = (0 until depth).map { j =>
+      struct(lit(j).as("row_j"), cmsBucket(col(tokCol), j, width).as("bucket"))
+    }
+    tokenRows
+      .select(col(groupCol).as("grp"), explode(array(cells: _*)).as("cell"))
+      .groupBy(col("grp"), col("cell.row_j").as("row_j"),
+        col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Row-j bucket of a token: 60-bit MD5 prefix of "j:token" mod width
+    * (non-negative, so `%` and `pmod` agree across engines). */
+  def cmsBucket(tok: Column, rowJ: Int, width: Int): Column =
+    pmod(Dedup.tokenHash60(concat(lit(s"$rowJ:"), tok)), lit(width.toLong))
+
+  /** Cell-wise sum of two CMS frames — CMS merge is EXACT (counters are
+    * linear), so `merge(cms(A), cms(B)) == cms(A ⊎ B)` always. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select("grp", "row_j", "bucket", "cnt")
+      .unionByName(b.select("grp", "row_j", "bucket", "cnt"))
+      .groupBy("grp", "row_j", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Point-frequency estimates for a probe set of (grp, token) pairs:
+    * min over the depth rows of the addressed cells (absent cell = 0).
+    * The SKETCH side is broadcast — it is bounded by groups×depth×width
+    * regardless of corpus size — so probing never shuffles the probes. */
+  def cmsEstimate(sk: DataFrame, probes: DataFrame, groupCol: String,
+      tokCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"depth/width must be positive: $depth x $width")
+    val cells = (0 until depth).map { j =>
+      struct(lit(j).as("row_j"), cmsBucket(col("tok"), j, width).as("bucket"))
+    }
+    val addressed = probes
+      .select(col(groupCol).as("grp"), col(tokCol).as("tok"))
+      .distinct()
+      .select(col("grp"), col("tok"), explode(array(cells: _*)).as("cell"))
+      .select(col("grp"), col("tok"),
+        col("cell.row_j").as("row_j"), col("cell.bucket").as("bucket"))
+    addressed
+      .join(broadcast(sk.select("grp", "row_j", "bucket", "cnt")),
+        Seq("grp", "row_j", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("grp", "tok").agg(min(col("cnt")).as("est"))
+  }
+
   /** Library-side estimates from [[kmvOverlap]] rows: sketched Jaccard
     * and the union-cardinality estimate. When the union fit inside the
     * sketch (n_kmin < k) the answer is EXACT — n_kmin itself, not the

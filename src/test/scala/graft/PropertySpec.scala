@@ -252,6 +252,47 @@ object KmvProps extends Properties("KmvSketch") {
     }
 }
 
+object CmsProps extends Properties("CountMinSketch") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+  import graft.scale.Sketches
+
+  // occurrence lists (duplicates meaningful — CMS counts occurrences)
+  private val corpusGen: Gen[List[(String, String)]] =
+    Gen.choose(1, 3).flatMap { g =>
+      Gen.listOfN(g, Gen.choose(1, 50)).map { sizes =>
+        sizes.zipWithIndex.flatMap { case (n, gi) =>
+          (1 to n).map(i => (s"g$gi", s"t${(i * 7) % 12}"))
+        }
+      }
+    }
+
+  property("merge of any split == retrain (counters are linear)") =
+    forAll(corpusGen, Gen.choose(1, 4), Gen.choose(4, 32),
+        Gen.choose(0, 100)) { (rows, d, w, cutPct) =>
+      val df = rows.toDF("g", "tok")
+      val whole = Sketches.cms(df, "g", "tok", d, w)
+        .as[(String, Int, Long, Long)].collect().toSet
+      val side = pmod(hash(col("g"), col("tok")), lit(100)) < cutPct
+      val merged = Sketches.cmsMerge(
+          Sketches.cms(df.filter(side), "g", "tok", d, w),
+          Sketches.cms(df.filter(!side), "g", "tok", d, w))
+        .as[(String, Int, Long, Long)].collect().toSet
+      merged == whole
+    }
+
+  property("point estimates never under-count the true frequency") =
+    forAll(corpusGen, Gen.choose(1, 4), Gen.choose(4, 32)) { (rows, d, w) =>
+      val df = rows.toDF("g", "tok")
+      val sk = Sketches.cms(df, "g", "tok", d, w)
+      val est = Sketches.cmsEstimate(sk, df, "g", "tok", d, w)
+        .as[(String, String, Long)].collect()
+      val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      est.nonEmpty && est.forall { case (g, t, e) => e >= truth((g, t)) }
+    }
+}
+
 object RepeatEpochsProps extends Properties("RepeatEpochs") {
   private lazy val spark = SparkSpec.session
   import spark.implicits._

@@ -220,6 +220,55 @@ class ScaleSpec extends SparkSpec {
     assert(ovS._4 <= 8 && ovS._5 <= ovS._4)
   }
 
+  test("CMS: single-token group estimates exactly; multi-token estimates " +
+      "are exact-or-over; grid bounded by depth x width") {
+    import graft.scale.Sketches
+    val occ = Seq.tabulate(200)(i => ("A", s"t${i % 7}")) ++
+      Seq.tabulate(5)(_ => ("C", "only"))
+    val df = occ.toDF("g", "tok")
+    val sk = Sketches.cms(df, "g", "tok", depth = 4, width = 64)
+    // grid size: per group at most depth×width cells, row_j ∈ [0, 4)
+    val cells = sk.as[(String, Int, Long, Long)].collect()
+    assert(cells.forall { case (_, j, b, c) =>
+      j >= 0 && j < 4 && b >= 0 && b < 64 && c > 0 })
+    assert(cells.count(_._1 == "C") == 4) // one token → one bucket per row
+    val truth = occ.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val est = Sketches.cmsEstimate(sk, df, "g", "tok", 4, 64)
+      .as[(String, String, Long)].collect()
+    est.foreach { case (g, t, e) =>
+      assert(e >= truth((g, t)), s"CMS under-counted ($g,$t)")
+    }
+    // a group with a single distinct token cannot collide → exact
+    assert(est.collect { case ("C", "only", e) => e } sameElements Array(5L))
+    // absent probe: estimate for a token never inserted in that group is
+    // whatever collisions yield, but ≥ 0 and present in the output
+    val ghost = Sketches.cmsEstimate(sk, Seq(("C", "ghost")).toDF("g", "tok"),
+      "g", "tok", 4, 64).as[(String, String, Long)].collect()
+    assert(ghost.length == 1 && ghost.head._3 >= 0L)
+  }
+
+  test("SQ8 asymmetric top-k: k rows per query in rank order, self " +
+      "excluded; int8 ranking recalls most of the exact-dot ground truth") {
+    import graft.scale.Similarity
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val top = Similarity.sqTopK(q, e, "vec_id", "embedding", k = 5)
+      .as[(Long, Int, Long)].collect()
+    val byQ = top.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (qid, g) =>
+      assert(g.sortBy(_._2).map(_._2).toSeq == (1 to 5))
+      assert(!g.exists(_._3 == qid), s"self-match leaked for query $qid")
+    }
+    // 8-bit codes lose little: the int8 ranking should agree with the
+    // exact inner-product ranking on most of the top-5 (deterministic on
+    // the fixture; bound loose enough to survive regeneration)
+    val exact = Similarity.dotTopK(q, e, "vec_id", "embedding", 5)
+      .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
+    val hits = top.map(t => (t._1, t._3)).count(exact.contains)
+    assert(hits >= 9, s"SQ8 recall collapsed: $hits/15 vs exact dot")
+  }
+
   test("hamming top-k: self ranks first at distance 0, k rows per query " +
       "in the (hamming, id) integer order, layout-invariant") {
     import graft.scale.Similarity

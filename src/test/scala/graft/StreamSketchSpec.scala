@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.scale.Sketches
+import graft.streaming.StreamSketch
+
+/** Streaming CMS maintenance: per-batch grids, commit-marker idempotency,
+  * crash-window exclusion, read-time rollup == batch-at-once grid. */
+class StreamSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private val occ = (Seq.tabulate(120)(i => ("A", s"t${i % 9}")) ++
+    Seq.tabulate(60)(i => ("B", s"t${i % 4}"))).zipWithIndex
+    .map { case ((g, t), i) => (i.toLong, g, t) }
+
+  test("two batches roll up to the batch-at-once grid; replay of a " +
+      "committed batch is a no-op") {
+    val grid = tmp("graft_scm_grid")
+    val state = tmp("graft_scm_state")
+    val df = occ.toDF("i", "g", "tok")
+    val b0 = df.filter(col("i") < 100)
+    val b1 = df.filter(col("i") >= 100)
+
+    val r0 = StreamSketch.applyBatch(spark, b0, 0L, "g", "tok",
+      grid, state, depth = 3, width = 32)
+    assert(!r0.replaySkipped && r0.received == 100)
+    val r1 = StreamSketch.applyBatch(spark, b1, 1L, "g", "tok",
+      grid, state, depth = 3, width = 32)
+    assert(!r1.replaySkipped && r1.received == 80)
+
+    val live = StreamSketch.currentSketch(spark, grid, state)
+      .as[(String, Int, Long, Long)].collect().toSet
+    val whole = Sketches.cms(df, "g", "tok", 3, 32)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(live == whole)
+
+    // at-least-once replay: marker short-circuits, grid unchanged
+    val r2 = StreamSketch.applyBatch(spark, b1, 1L, "g", "tok",
+      grid, state, depth = 3, width = 32)
+    assert(r2.replaySkipped)
+    val after = StreamSketch.currentSketch(spark, grid, state)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(after == whole)
+  }
+
+  test("a crashed batch (grid written, no marker) is invisible to " +
+      "currentSketch and heals on replay") {
+    val grid = tmp("graft_scm_grid2")
+    val state = tmp("graft_scm_state2")
+    val df = occ.toDF("i", "g", "tok")
+    val b0 = df.filter(col("i") < 100)
+    val b1 = df.filter(col("i") >= 100)
+    StreamSketch.applyBatch(spark, b0, 0L, "g", "tok", grid, state, 3, 32)
+
+    // simulate the crash window: batch 1's grid lands but no marker
+    Sketches.cms(b1, "g", "tok", 3, 32)
+      .write.mode("overwrite").parquet(s"$grid/batch=1")
+    val partial = StreamSketch.currentSketch(spark, grid, state)
+      .as[(String, Int, Long, Long)].collect().toSet
+    val only0 = Sketches.cms(b0, "g", "tok", 3, 32)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(partial == only0, "uncommitted grid leaked into the live sketch")
+
+    // replay completes the batch; the rollup now equals the whole corpus
+    val r = StreamSketch.applyBatch(spark, b1, 1L, "g", "tok",
+      grid, state, 3, 32)
+    assert(!r.replaySkipped)
+    val healed = StreamSketch.currentSketch(spark, grid, state)
+      .as[(String, Int, Long, Long)].collect().toSet
+    val whole = Sketches.cms(df, "g", "tok", 3, 32).as[(String, Int, Long, Long)]
+      .collect().toSet
+    assert(healed == whole)
+  }
+
+  test("currentSketch with no committed batches fails loudly") {
+    val grid = tmp("graft_scm_grid3")
+    val state = tmp("graft_scm_state3")
+    val ex = intercept[IllegalArgumentException] {
+      StreamSketch.currentSketch(spark, grid, state)
+    }
+    assert(ex.getMessage.contains("no committed batch grids"))
+  }
+}
