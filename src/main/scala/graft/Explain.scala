@@ -20,7 +20,8 @@ object Explain {
         // real jobs from a plan-printing tool; name them explicitly if
         // that cost is intended
         "tx_lang_id_ngram", "samp_repeat_epochs",
-        "ann_hamming_topk", "ann_hamming_band", "ann_pq_topk")
+        "ann_hamming_topk", "ann_hamming_band", "ann_pq_topk",
+        "ann_sq_topk", "sk_cms_counts")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

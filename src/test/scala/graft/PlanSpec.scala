@@ -133,6 +133,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("CMS estimate: probes join the BROADCAST grid — the corpus-built " +
+      "sketch never shuffles the probe side") {
+    val p = graft.queries.ScaleQueries.queries("sk_cms_counts")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("SQ8 ANN: one broadcast scan of the code table, top-k pruned " +
+      "before the per-query exchange") {
+    val p = graft.queries.ScaleQueries.queries("ann_sq_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the tiny query side broadcasts into the corpus scan (the brute-
+    // force geometry — corpus touched once, never shuffled into pairs)
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // rank-limit prunes per-partition before the per-query exchange
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("multi-probe IVF: probe ranking stays a literal pass, candidates " +
       "join on the cell key — no cartesian, no nested loop") {
     val p = graft.queries.ScaleQueries.queries("ann_ivf_multiprobe")(
