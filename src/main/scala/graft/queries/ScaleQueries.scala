@@ -759,6 +759,23 @@ object ScaleQueries {
         .orderBy("source", "row_j", "bucket")
     }),
 
+    // CMS heavy hitters: every distinct token estimated against the
+    // broadcast grid, top-10 per source by (est desc, tok asc) via the
+    // skew-safe two-phase top-k — the candidate-set pattern that turns a
+    // CMS into a frequency leaderboard without exact per-token counts
+    "sk_cms_topk" -> ((s, d) => {
+      val dd = docs(s, d)
+      val tok = dd.select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val sk = graft.scale.Sketches.cms(tok, "source", "tok",
+        depth = 4, width = 256)
+      graft.scale.Sketches.cmsHeavyHitters(sk, tok, "source", "tok",
+        depth = 4, width = 256, n = 10)
+        .select(col("grp").as("source"),
+          col("rank").cast("long").as("rank"), col("tok"), col("est"))
+        .orderBy("source", "rank")
+    }),
+
     // NB quality model (fastText/CCNet-style "looks curated?" filter):
     // the top-512-vocabulary per-class counts — the model's SUFFICIENT
     // STATISTICS, pure int64 on the gate (likelihoods derive via
@@ -1470,6 +1487,16 @@ object ScaleQueries {
       val e = emb(s, d)
       Similarity.sqTopK(e.filter(col("vec_id") < 5), e, "vec_id",
           "embedding", k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // IVF-SQ8: cell-restricted scalar-quantized search — the scale path
+    // for ann_sq_topk, exactly as IVFADC is for plain ADC (keyed
+    // candidate join, compressed representation computed pre-join)
+    "ann_ivfsq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfSqTopK(e.filter(col("vec_id") < 5), e, "vec_id",
+          "embedding", "label", k = 10)
         .orderBy("query_id", "rnk")
     }),
 
@@ -2353,6 +2380,27 @@ object ScaleQueries {
          |  FROM q, c WHERE query_id != neighbor_id)
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
+    // cell-restricted variant: same asymmetric ranking, candidates
+    // limited to the query's label cell
+    "ann_ivfsq_topk" ->
+      s"""WITH c0 AS (SELECT vec_id AS neighbor_id, label, embedding AS ce,
+         |  list_max(list_transform(embedding,
+         |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings),
+         |c AS (SELECT neighbor_id, label, scale,
+         |  CASE WHEN scale > 0
+         |    THEN list_transform(ce, x -> round(CAST(x AS DOUBLE) / scale))
+         |    ELSE list_transform(ce, x -> 0.0) END AS codes FROM c0),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, label
+         |  FROM embeddings WHERE vec_id < 5)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY scale * ${duckDot("qe", "codes")} DESC,
+         |      neighbor_id) AS rnk
+         |  FROM q JOIN c ON q.label = c.label
+         |  WHERE query_id != neighbor_id)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
     "ann_sq_recall" ->
       s"""WITH c0 AS (SELECT vec_id AS neighbor_id, embedding AS ce,
          |  list_max(list_transform(embedding,
@@ -2706,6 +2754,33 @@ object ScaleQueries {
          |FROM pc LEFT JOIN sk ON sk.source = pc.source
          |  AND sk.row_j = pc.row_j AND sk.bucket = pc.bucket
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // top-10 per source by (CMS estimate desc, token asc) over every
+    // distinct candidate token
+    "sk_cms_topk" ->
+      s"""WITH tok AS (SELECT source, unnest($duckToksAll) AS tok
+         |  FROM documents),
+         |rj AS (SELECT CAST(range AS BIGINT) AS row_j FROM range(0, 4)),
+         |cells AS (SELECT source, rj.row_j,
+         |    CAST(('0x' || substr(md5(CAST(rj.row_j AS VARCHAR) || ':' ||
+         |      tok), 1, 15)) AS BIGINT) % 256 AS bucket
+         |  FROM tok CROSS JOIN rj),
+         |sk AS (SELECT source, row_j, bucket, count(*) AS cnt
+         |  FROM cells GROUP BY 1, 2, 3),
+         |probe AS (SELECT DISTINCT source, tok FROM tok),
+         |pc AS (SELECT p.source, p.tok, rj.row_j,
+         |    CAST(('0x' || substr(md5(CAST(rj.row_j AS VARCHAR) || ':' ||
+         |      p.tok), 1, 15)) AS BIGINT) % 256 AS bucket
+         |  FROM probe p CROSS JOIN rj),
+         |est AS (SELECT pc.source, pc.tok,
+         |    CAST(min(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
+         |  FROM pc LEFT JOIN sk ON sk.source = pc.source
+         |    AND sk.row_j = pc.row_j AND sk.bucket = pc.bucket
+         |  GROUP BY 1, 2)
+         |SELECT source, CAST(rk AS BIGINT) AS rank, tok, est FROM (
+         |  SELECT source, tok, est, row_number() OVER (
+         |    PARTITION BY source ORDER BY est DESC, tok) AS rk FROM est)
+         |WHERE rk <= 10 ORDER BY source, rank""".stripMargin,
 
     // streamed grids cell-wise-summed == the full-corpus grid
     "st_cms_update" ->

@@ -205,6 +205,35 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"))
   }
 
+  /** IVF-SQ8: cell-restricted scalar-quantized search — the scale path
+    * for [[sqTopK]], exactly as IVFADC is for ADC. Candidates are
+    * restricted to the query's cell (a KEYED join — broadcast at test SF,
+    * shuffle-hash at scale; never an all-pairs scan) and scored by the
+    * same asymmetric `scale · dot(query, codes)` kernel. The compressed
+    * corpus representation (int8 codes + scale) is computed once per
+    * corpus row, before the candidate join. */
+  def ivfSqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        col(cellCol).as("cell"))
+      .withColumn("scale", int8Scale(col("cvec")))
+      .withColumn("codes", int8Quantize(col("cvec"), col("scale")))
+      .select(col("neighbor_id"), col("cell"), col("scale"),
+        transform(col("codes"), _.cast("double")).as("codesd"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      col(cellCol).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", col("scale") * dot(col("qvec"), col("codesd")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+  }
+
   /** Deterministic random-projection dimensionality reduction: out_j =
     * Σ_i vec_i · w(i,j), with the same integer weight family as
     * [[srpBucket]] (w = (i·(j+1) mod 13) - 6) — no RNG, engine-portable,

@@ -142,6 +142,21 @@ object Sketches {
       .groupBy("grp", "tok").agg(min(col("cnt")).as("est"))
   }
 
+  /** CMS heavy hitters — the classic CMS + candidate-set pattern: estimate
+    * every candidate token's frequency against the grid and keep the top
+    * `n` per group, ranked (est desc, token asc) for a deterministic
+    * total order. The candidate frame is typically the corpus's distinct
+    * tokens (one distinct shuffle); the ranking uses the skew-safe
+    * two-phase top-k ([[Sampling.topPerGroup]]) so one hot group never
+    * pins a task. CMS never under-counts, so a true heavy hitter can
+    * never be pushed OUT of the top-n by others' collisions — only
+    * falsely joined by a lighter token that collided upward. */
+  def cmsHeavyHitters(sk: DataFrame, candidates: DataFrame, groupCol: String,
+      tokCol: String, depth: Int, width: Int, n: Int): DataFrame =
+    Sampling.topPerGroup(
+      cmsEstimate(sk, candidates, groupCol, tokCol, depth, width),
+      "grp", col("tok"), n, Seq(col("est").desc, col("tok").asc))
+
   /** Library-side estimates from [[kmvOverlap]] rows: sketched Jaccard
     * and the union-cardinality estimate. When the union fit inside the
     * sketch (n_kmin < k) the answer is EXACT — n_kmin itself, not the

@@ -247,6 +247,48 @@ class ScaleSpec extends SparkSpec {
     assert(ghost.length == 1 && ghost.head._3 >= 0L)
   }
 
+  test("CMS heavy hitters: ranked 1..n per group, estimates at-or-above " +
+      "true counts, ties broken by token") {
+    import graft.scale.Sketches
+    val occ = Seq.tabulate(200)(i => ("A", s"t${i % 7}")) ++
+      Seq.tabulate(60)(i => ("B", s"u${i % 3}"))
+    val df = occ.toDF("g", "tok")
+    val sk = Sketches.cms(df, "g", "tok", depth = 4, width = 64)
+    val hh = Sketches.cmsHeavyHitters(sk, df, "g", "tok", 4, 64, n = 3)
+      .select("grp", "rank", "tok", "est")
+      .as[(String, Int, String, Long)].collect()
+    val truth = occ.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(hh.count(_._1 == "A") == 3 && hh.count(_._1 == "B") == 3)
+    hh.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 3))
+      // ranked (est desc, tok asc)
+      assert(sorted.sliding(2).forall { case Array(a, b) =>
+        a._4 > b._4 || (a._4 == b._4 && a._3 < b._3) })
+    }
+    hh.foreach { case (g, _, t, e) =>
+      assert(e >= truth((g, t)), s"HH under-counted ($g,$t)")
+    }
+  }
+
+  test("IVF-SQ8: every neighbor shares the query's cell; k rows per " +
+      "query in rank order") {
+    import graft.scale.Similarity
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val top = Similarity.ivfSqTopK(q, e, "vec_id", "embedding", "label",
+      k = 5).as[(Long, Int, Long)].collect()
+    val lab = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(top.groupBy(_._1).keySet == Set(0L, 1L, 2L))
+    top.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.sortBy(_._2).map(_._2).toSeq == (1 to 5))
+    }
+    top.foreach { case (qid, _, nid) =>
+      assert(lab(qid) == lab(nid), s"neighbor $nid left query $qid's cell")
+    }
+  }
+
   test("SQ8 asymmetric top-k: k rows per query in rank order, self " +
       "excluded; int8 ranking recalls most of the exact-dot ground truth") {
     import graft.scale.Similarity
