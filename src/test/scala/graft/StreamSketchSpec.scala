@@ -75,6 +75,31 @@ class StreamSketchSpec extends SparkSpec {
     assert(healed == whole)
   }
 
+  test("AvailableNow stream drains doc files into the grid; a second " +
+      "drain folds only the new arrivals and the rollup tracks the union") {
+    val src = tmp("graft_scm_src")
+    val grid = tmp("graft_scm_grid4")
+    val state = tmp("graft_scm_state4")
+    val ckpt = tmp("graft_scm_ckpt")
+    val df = occ.toDF("i", "g", "tok")
+    def toks(b: org.apache.spark.sql.DataFrame) = b.select("g", "tok")
+    df.filter(col("i") < 100).write.mode("overwrite").parquet(src)
+    StreamSketch.runAvailableNow(spark, src, toks, "g", "tok",
+      grid, state, ckpt, depth = 3, width = 32)
+    val after1 = StreamSketch.currentSketch(spark, grid, state)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(after1 == Sketches.cms(df.filter(col("i") < 100), "g", "tok", 3, 32)
+      .as[(String, Int, Long, Long)].collect().toSet)
+    // new files arrive; the resumed stream folds ONLY them
+    df.filter(col("i") >= 100).write.mode("append").parquet(src)
+    StreamSketch.runAvailableNow(spark, src, toks, "g", "tok",
+      grid, state, ckpt, depth = 3, width = 32)
+    val after2 = StreamSketch.currentSketch(spark, grid, state)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(after2 == Sketches.cms(df, "g", "tok", 3, 32)
+      .as[(String, Int, Long, Long)].collect().toSet)
+  }
+
   test("currentSketch with no committed batches fails loudly") {
     val grid = tmp("graft_scm_grid3")
     val state = tmp("graft_scm_state3")
