@@ -759,6 +759,36 @@ object ScaleQueries {
         .orderBy("source", "row_j", "bucket")
     }),
 
+    // AMS F2 sketch (Alon-Matias-Szegedy '96): r=8 signed counters per
+    // source whose squared mean estimates the SELF-JOIN SIZE (repetition
+    // mass) — the frequency moment CMS point counts and KMV/HLL distinct
+    // counts don't give; the whole per-group state is 8 int64 counters
+    // and the gate is the exact counter vector
+    "sk_ams_f2" -> ((s, d) => {
+      val tok = docs(s, d).select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      graft.scale.Sketches.amsSketch(tok, "source", "tok", r = 8)
+        .select(col("grp").as("source"),
+          col("est_i").cast("long").as("est_i"), col("z"))
+        .orderBy("source", "est_i")
+    }),
+
+    // AMS mergeability gate: signed counters are linear — per-batch Z
+    // vectors summed must equal the full-corpus vector exactly
+    "sk_ams_incr" -> ((s, d) => {
+      val dd = docs(s, d)
+      def tokOf(df: DataFrame) = df.select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      graft.scale.Sketches.amsMerge(
+          graft.scale.Sketches.amsSketch(
+            tokOf(dd.filter(col("doc_id") < 250)), "source", "tok", 8),
+          graft.scale.Sketches.amsSketch(
+            tokOf(dd.filter(col("doc_id") >= 250)), "source", "tok", 8))
+        .select(col("grp").as("source"),
+          col("est_i").cast("long").as("est_i"), col("z"))
+        .orderBy("source", "est_i")
+    }),
+
     // CMS heavy hitters: every distinct token estimated against the
     // broadcast grid, top-10 per source by (est desc, tok asc) via the
     // skew-safe two-phase top-k — the candidate-set pattern that turns a
@@ -2754,6 +2784,32 @@ object ScaleQueries {
          |FROM pc LEFT JOIN sk ON sk.source = pc.source
          |  AND sk.row_j = pc.row_j AND sk.bucket = pc.bucket
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the oracle recomputes the identical signed-counter vector (sign =
+    // parity of the 60-bit MD5 prefix of "i:token", mapped to ±1)
+    "sk_ams_f2" ->
+      s"""WITH tok AS (SELECT source, unnest($duckToksAll) AS tok
+         |  FROM documents),
+         |ri AS (SELECT CAST(range AS BIGINT) AS est_i FROM range(0, 8)),
+         |sg AS (SELECT source, est_i,
+         |    CAST(('0x' || substr(md5(CAST(est_i AS VARCHAR) || ':' ||
+         |      tok), 1, 15)) AS BIGINT) % 2 * 2 - 1 AS s
+         |  FROM tok CROSS JOIN ri)
+         |SELECT source, est_i, CAST(sum(s) AS BIGINT) AS z
+         |FROM sg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // merge == retrain for linear signed counters: the oracle IS the
+    // full-corpus counter vector
+    "sk_ams_incr" ->
+      s"""WITH tok AS (SELECT source, unnest($duckToksAll) AS tok
+         |  FROM documents),
+         |ri AS (SELECT CAST(range AS BIGINT) AS est_i FROM range(0, 8)),
+         |sg AS (SELECT source, est_i,
+         |    CAST(('0x' || substr(md5(CAST(est_i AS VARCHAR) || ':' ||
+         |      tok), 1, 15)) AS BIGINT) % 2 * 2 - 1 AS s
+         |  FROM tok CROSS JOIN ri)
+         |SELECT source, est_i, CAST(sum(s) AS BIGINT) AS z
+         |FROM sg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // top-10 per source by (CMS estimate desc, token asc) over every
     // distinct candidate token

@@ -157,6 +157,47 @@ object Sketches {
       cmsEstimate(sk, candidates, groupCol, tokCol, depth, width),
       "grp", col("tok"), n, Seq(col("est").desc, col("tok").asc))
 
+  /** AMS F2 sketch (Alon, Matias & Szegedy, "The Space Complexity of
+    * Approximating the Frequency Moments", STOC 1996): `r` independent
+    * ±1 estimators; estimator i keeps the single counter
+    * Z_i = Σ_occurrences s_i(token) with s_i(token) ∈ {−1, +1} a
+    * hash-derived sign. E[Z_i²] = F2 = Σ_tok count(tok)² — the SELF-JOIN
+    * SIZE / repetition mass of the corpus, the moment CMS (point counts)
+    * and KMV/HLL (distinct counts) do not give. Like CMS the counters
+    * are LINEAR: per-batch Z vectors SUM to the whole-corpus vector
+    * exactly ([[amsMerge]]), so per-day sketches roll up without
+    * re-scanning, and the entire per-group state is `r` int64 counters.
+    * The sign is the parity of the 60-bit MD5 prefix of "i:token" —
+    * engine-portable, so the Z vector itself (pure int64) is the gate
+    * surface and the oracle recomputes it exactly. */
+  def amsSketch(tokenRows: DataFrame, groupCol: String, tokCol: String,
+      r: Int): DataFrame = {
+    require(r > 0, s"r must be positive: $r")
+    val ests = (0 until r).map { i =>
+      struct(lit(i).as("est_i"),
+        (pmod(Dedup.tokenHash60(concat(lit(s"$i:"), col(tokCol))), lit(2L))
+          * 2L - 1L).as("s"))
+    }
+    tokenRows
+      .select(col(groupCol).as("grp"), explode(array(ests: _*)).as("e"))
+      .groupBy(col("grp"), col("e.est_i").as("est_i"))
+      .agg(sum(col("e.s")).as("z"))
+  }
+
+  /** Counter-wise sum of two AMS frames — exact, counters are linear. */
+  def amsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select("grp", "est_i", "z").unionByName(b.select("grp", "est_i", "z"))
+      .groupBy("grp", "est_i").agg(sum("z").as("z"))
+
+  /** Library-side F2 estimate from an AMS frame: mean of Z_i² per group
+    * (each Z_i² is an unbiased F2 estimator; averaging r of them cuts the
+    * variance by r — use a median-of-means split of the estimators when
+    * r is large and tails matter). */
+  def amsF2Estimate(sk: DataFrame): DataFrame =
+    sk.groupBy("grp")
+      .agg((sum(col("z") * col("z")).cast("double") / count(lit(1)))
+        .as("f2_est"))
+
   /** Library-side estimates from [[kmvOverlap]] rows: sketched Jaccard
     * and the union-cardinality estimate. When the union fit inside the
     * sketch (n_kmin < k) the answer is EXACT — n_kmin itself, not the

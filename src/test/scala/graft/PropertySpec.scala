@@ -293,6 +293,45 @@ object CmsProps extends Properties("CountMinSketch") {
     }
 }
 
+object AmsProps extends Properties("AmsSketch") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+  import graft.scale.Sketches
+
+  private val corpusGen: Gen[List[(String, String)]] =
+    Gen.choose(1, 3).flatMap { g =>
+      Gen.listOfN(g, Gen.choose(1, 50)).map { sizes =>
+        sizes.zipWithIndex.flatMap { case (n, gi) =>
+          (1 to n).map(i => (s"g$gi", s"t${(i * 5) % 11}"))
+        }
+      }
+    }
+
+  property("merge of any split == retrain (signed counters are linear)") =
+    forAll(corpusGen, Gen.choose(1, 8), Gen.choose(0, 100)) {
+      (rows, r, cutPct) =>
+        val df = rows.toDF("g", "tok")
+        val whole = Sketches.amsSketch(df, "g", "tok", r)
+          .as[(String, Int, Long)].collect().toSet
+        val side = pmod(hash(col("g"), col("tok")), lit(100)) < cutPct
+        val merged = Sketches.amsMerge(
+            Sketches.amsSketch(df.filter(side), "g", "tok", r),
+            Sketches.amsSketch(df.filter(!side), "g", "tok", r))
+          .as[(String, Int, Long)].collect().toSet
+        merged == whole
+    }
+
+  property("every counter is bounded by the group's occurrence count") =
+    forAll(corpusGen, Gen.choose(1, 8)) { (rows, r) =>
+      val df = rows.toDF("g", "tok")
+      val sk = Sketches.amsSketch(df, "g", "tok", r)
+        .as[(String, Int, Long)].collect()
+      val occ = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      sk.nonEmpty && sk.forall { case (g, _, z) => math.abs(z) <= occ(g) }
+    }
+}
+
 object RepeatEpochsProps extends Properties("RepeatEpochs") {
   private lazy val spark = SparkSpec.session
   import spark.implicits._
