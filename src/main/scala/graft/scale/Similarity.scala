@@ -168,6 +168,12 @@ object Similarity {
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", dot(col("qvec"), col("cvec")))
+      // a null score (null vector/element, ragged pair) would sort NULLS
+      // LAST and silently vanish from the top-k — raise instead, the
+      // hammingTopK contract
+      .withColumn("score", when(col("score").isNull, raise_error(concat(
+        lit("dotTopK: null score (null/ragged vector) for neighbor "),
+        col("neighbor_id").cast("string")))).otherwise(col("score")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"))
@@ -200,6 +206,9 @@ object Similarity {
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", col("scale") * dot(col("qvec"), col("codesd")))
+      .withColumn("adc", when(col("adc").isNull, raise_error(concat(
+        lit("sqTopK: null score (null/ragged vector) for neighbor "),
+        col("neighbor_id").cast("string")))).otherwise(col("adc")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"))
@@ -229,6 +238,9 @@ object Similarity {
     q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", col("scale") * dot(col("qvec"), col("codesd")))
+      .withColumn("adc", when(col("adc").isNull, raise_error(concat(
+        lit("ivfSqTopK: null score (null/ragged vector) for neighbor "),
+        col("neighbor_id").cast("string")))).otherwise(col("adc")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"))

@@ -108,9 +108,15 @@ object Sketches {
   }
 
   /** Row-j bucket of a token: 60-bit MD5 prefix of "j:token" mod width
-    * (non-negative, so `%` and `pmod` agree across engines). */
+    * (non-negative, so `%` and `pmod` agree across engines). A NULL token
+    * raises: its hash would be null, the cell would land in a null bucket
+    * that no equi-join can ever probe (null never matches null), and the
+    * estimate would silently read 0 — the fail-loud contract instead. */
   def cmsBucket(tok: Column, rowJ: Int, width: Int): Column =
-    pmod(Dedup.tokenHash60(concat(lit(s"$rowJ:"), tok)), lit(width.toLong))
+    pmod(Dedup.tokenHash60(concat(lit(s"$rowJ:"),
+      when(tok.isNull,
+        raise_error(lit("cms: null token (tokenize before sketching)")))
+        .otherwise(tok))), lit(width.toLong))
 
   /** Cell-wise sum of two CMS frames — CMS merge is EXACT (counters are
     * linear), so `merge(cms(A), cms(B)) == cms(A ⊎ B)` always. */
@@ -173,9 +179,14 @@ object Sketches {
   def amsSketch(tokenRows: DataFrame, groupCol: String, tokCol: String,
       r: Int): DataFrame = {
     require(r > 0, s"r must be positive: $r")
+    // null tokens raise (a null sign would silently drop the occurrence
+    // from every counter — same fail-loud contract as cmsBucket)
+    val tokOrErr = when(col(tokCol).isNull,
+      raise_error(lit("amsSketch: null token (tokenize before sketching)")))
+      .otherwise(col(tokCol))
     val ests = (0 until r).map { i =>
       struct(lit(i).as("est_i"),
-        (pmod(Dedup.tokenHash60(concat(lit(s"$i:"), col(tokCol))), lit(2L))
+        (pmod(Dedup.tokenHash60(concat(lit(s"$i:"), tokOrErr)), lit(2L))
           * 2L - 1L).as("s"))
     }
     tokenRows

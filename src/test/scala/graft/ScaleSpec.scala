@@ -247,6 +247,34 @@ class ScaleSpec extends SparkSpec {
     assert(ghost.length == 1 && ghost.head._3 >= 0L)
   }
 
+  test("sketch/SQ fail-loud guards: a null token raises in CMS and AMS, " +
+      "a null vector element raises in the SQ family") {
+    import graft.scale.{Sketches, Similarity}
+    val badTok = spark.sql(
+      "SELECT 'A' AS g, 'x' AS tok UNION ALL SELECT 'A', CAST(NULL AS STRING)")
+    val e1 = intercept[Exception] {
+      Sketches.cms(badTok, "g", "tok", 2, 8).collect()
+    }
+    assert(e1.getMessage.contains("null token"))
+    val e2 = intercept[Exception] {
+      Sketches.amsSketch(badTok, "g", "tok", 2).collect()
+    }
+    assert(e2.getMessage.contains("null token"))
+    val badVec = spark.sql(
+      "SELECT 1 AS id, array(1.0D, 2.0D) AS v UNION ALL " +
+        "SELECT 2, array(1.0D, CAST(NULL AS DOUBLE))")
+    val e3 = intercept[Exception] {
+      Similarity.sqTopK(badVec.filter(col("id") === 1), badVec,
+        "id", "v", k = 1).collect()
+    }
+    assert(e3.getMessage.contains("null score"))
+    val e4 = intercept[Exception] {
+      Similarity.dotTopK(badVec.filter(col("id") === 1), badVec,
+        "id", "v", k = 1).collect()
+    }
+    assert(e4.getMessage.contains("null score"))
+  }
+
   test("AMS F2: r counters per group; a single-token group estimates " +
       "its repetition mass c^2 exactly") {
     import graft.scale.Sketches
