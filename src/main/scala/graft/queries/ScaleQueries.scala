@@ -251,6 +251,36 @@ object ScaleQueries {
         .orderBy("source", "row_j", "bucket")
     }),
 
+    // Streaming HLL distinct-count maintenance: per-batch mergeable
+    // sketch states union to the live estimate (the sk_hll_rollup
+    // two-level pattern kept fresh by a stream); gate = exact per-group
+    // distinct + the within-10% accuracy verdict, both DuckDB-derivable
+    "st_hll_update" -> ((s, d) => {
+      val grid = java.nio.file.Files.createTempDirectory("graft_shl_g").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_shl_s").toString
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"))
+      graft.streaming.StreamSketch.applyHllBatch(s,
+        li.filter(col("l_orderkey") % 2 === 0), 0L, "l_returnflag",
+        "l_orderkey", grid, state)
+      graft.streaming.StreamSketch.applyHllBatch(s,
+        li.filter(col("l_orderkey") % 2 =!= 0), 1L, "l_returnflag",
+        "l_orderkey", grid, state)
+      val replay = graft.streaming.StreamSketch.applyHllBatch(s,
+        li.filter(col("l_orderkey") % 2 =!= 0), 1L, "l_returnflag",
+        "l_orderkey", grid, state)
+      require(replay.replaySkipped, "committed batch replay was not skipped")
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_cnt"))
+      graft.streaming.StreamSketch.currentDistinct(s, grid, state)
+        .withColumnRenamed("grp", "l_returnflag")
+        .join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_cnt"),
+          (abs(col("approx") - col("exact_cnt")) <=
+            col("exact_cnt") * 0.1).as("within_10pct"))
+        .orderBy("l_returnflag")
+    }),
+
     // Streaming index maintenance: bootstrap batch trains + publishes the
     // codebook (versioned state), the second batch encodes against it
     // frozen and appends idempotently — the oracle independently retrains
@@ -2837,6 +2867,13 @@ object ScaleQueries {
          |  SELECT source, tok, est, row_number() OVER (
          |    PARTITION BY source ORDER BY est DESC, tok) AS rk FROM est)
          |WHERE rk <= 10 ORDER BY source, rank""".stripMargin,
+
+    // streamed HLL states unioned must estimate within 10% of exact
+    "st_hll_update" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_cnt,
+        |  TRUE AS within_10pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // streamed grids cell-wise-summed == the full-corpus grid
     "st_cms_update" ->

@@ -71,6 +71,46 @@ object StreamSketch {
       .groupBy("grp", "row_j", "bucket").agg(sum("cnt").as("cnt"))
   }
 
+  /** Streaming distinct-count maintenance — the same per-batch-grid +
+    * commit-marker shape with Spark's mergeable HLL states as the grid:
+    * each batch reduces to one `hll_sketch_agg` binary per group (KB-sized
+    * regardless of batch rows), and the live estimate unions the committed
+    * batch states ([[currentDistinct]]) — the `sk_hll_rollup` two-level
+    * pattern kept fresh by a stream, history never re-scanned. */
+  def applyHllBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      groupCol: String, valueCol: String, gridRoot: String,
+      stateRoot: String, lgK: Int = 12): BatchResult = {
+    val fs = new Path(stateRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker(stateRoot, batchId)))
+      return BatchResult(batchId, 0, 0, replaySkipped = true)
+    val received = batch.count()
+    val grid = batch.groupBy(col(groupCol).as("grp"))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sk"))
+    grid.write.mode("overwrite").parquet(s"$gridRoot/batch=$batchId")
+    val cells = spark.read.parquet(s"$gridRoot/batch=$batchId").count()
+    fs.create(marker(stateRoot, batchId), true).close()
+    BatchResult(batchId, received, cells, replaySkipped = false)
+  }
+
+  /** Live distinct estimate per group: union the committed batch HLL
+    * states and estimate — constant-size state per (group, batch), exact
+    * mergeability by the sketch algebra. Fails loudly with no committed
+    * batches, like [[currentSketch]]. */
+  def currentDistinct(spark: SparkSession, gridRoot: String,
+      stateRoot: String): DataFrame = {
+    val fs = new Path(stateRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = fs.globStatus(new Path(stateRoot, "batch_*.done"))
+      .map(_.getPath.getName.stripPrefix("batch_").stripSuffix(".done").toLong)
+    require(committed.nonEmpty,
+      s"no committed batch grids under $gridRoot (markers in $stateRoot)")
+    spark.read.parquet(gridRoot)
+      .filter(col("batch").isin(committed.toSeq: _*))
+      .groupBy("grp")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+  }
+
   /** Drain a parquet-directory stream through the sketch (AvailableNow —
     * the scheduled-poll form; `tokens` maps a raw batch to (group, token)
     * occurrence rows, e.g. an explode over a tokenizer). */

@@ -100,6 +100,37 @@ class StreamSketchSpec extends SparkSpec {
       .as[(String, Int, Long, Long)].collect().toSet)
   }
 
+  test("streaming HLL: batch states union to a within-10% estimate; an " +
+      "uncommitted batch is invisible; replay is a no-op") {
+    val grid = tmp("graft_shl_grid")
+    val state = tmp("graft_shl_state")
+    val df = (0L until 3000L).map(i => (s"g${i % 2}", i / 2)).toDF("g", "v")
+    val b0 = df.filter(col("v") < 800)
+    val b1 = df.filter(col("v") >= 800)
+    StreamSketch.applyHllBatch(spark, b0, 0L, "g", "v", grid, state)
+
+    // crash window: batch 1's grid lands, no marker → invisible
+    b1.groupBy(col("g").as("grp"))
+      .agg(hll_sketch_agg(col("v"), 12).as("sk"))
+      .write.mode("overwrite").parquet(s"$grid/batch=1")
+    val partial = StreamSketch.currentDistinct(spark, grid, state)
+      .as[(String, Long)].collect().toMap
+    partial.foreach { case (_, est) =>
+      assert(math.abs(est - 800L) <= 80L, s"partial estimate $est vs 800")
+    }
+
+    val r1 = StreamSketch.applyHllBatch(spark, b1, 1L, "g", "v", grid, state)
+    assert(!r1.replaySkipped)
+    val full = StreamSketch.currentDistinct(spark, grid, state)
+      .as[(String, Long)].collect().toMap
+    assert(full.keySet == Set("g0", "g1"))
+    full.foreach { case (_, est) =>
+      assert(math.abs(est - 1500L) <= 150L, s"estimate $est vs 1500")
+    }
+    val r2 = StreamSketch.applyHllBatch(spark, b1, 1L, "g", "v", grid, state)
+    assert(r2.replaySkipped)
+  }
+
   test("currentSketch with no committed batches fails loudly") {
     val grid = tmp("graft_scm_grid3")
     val state = tmp("graft_scm_state3")
