@@ -1560,6 +1560,15 @@ object ScaleQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // SQ8 + exact rerank (the IVFADC+R shape for the scalar quantizer):
+    // int8 prefilter to k'=30, exact float dot on only those candidates
+    "ann_sq_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.sqRerankTopK(e.filter(col("vec_id") < 5), e, "vec_id",
+          "embedding", k = 10, kPrime = 30)
+        .orderBy("query_id", "rnk")
+    }),
+
     // SQ index QA: recall of the int8 asymmetric ranking against the
     // exact inner-product ground truth — integer (n_hit, k) pairs, the
     // ann_recall pattern
@@ -2459,6 +2468,31 @@ object ScaleQueries {
          |      neighbor_id) AS rnk
          |  FROM q JOIN c ON q.label = c.label
          |  WHERE query_id != neighbor_id)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // sq prefilter CTE to rnk<=30, then exact-dot rerank of the survivors
+    "ann_sq_rerank" ->
+      s"""WITH c0 AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+         |  list_max(list_transform(embedding,
+         |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings),
+         |c AS (SELECT neighbor_id, ce, scale,
+         |  CASE WHEN scale > 0
+         |    THEN list_transform(ce, x -> round(CAST(x AS DOUBLE) / scale))
+         |    ELSE list_transform(ce, x -> 0.0) END AS codes FROM c0),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe
+         |  FROM embeddings WHERE vec_id < 5),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY scale * ${duckDot("qe", "codes")} DESC,
+         |      neighbor_id) AS rnk
+         |  FROM q, c WHERE query_id != neighbor_id) WHERE rnk <= 30)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
+         |  SELECT cand.query_id, cand.neighbor_id, row_number() OVER (
+         |    PARTITION BY cand.query_id
+         |    ORDER BY ${duckDot("qe", "ce")} DESC, cand.neighbor_id) AS rnk
+         |  FROM cand JOIN c ON c.neighbor_id = cand.neighbor_id
+         |  JOIN q ON q.query_id = cand.query_id)
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "ann_sq_recall" ->

@@ -214,6 +214,34 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"))
   }
 
+  /** SQ8 + exact re-ranking — the IVFADC+R / hamming-rerank shape for the
+    * scalar quantizer: the int8 index retrieves `kPrime > k` candidates,
+    * then ONLY those q·k′ rows are re-scored with the exact float dot
+    * product (the candidate set broadcasts into ONE corpus scan — raw
+    * vectors never join the quantized scan) and the k best under the
+    * deterministic (score desc, id asc) order are kept. Recovers the
+    * quantization-distorted near-ties at a bounded exact-scoring cost. */
+  def sqRerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, kPrime: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(kPrime >= k, s"kPrime ($kPrime) must be >= k ($k)")
+    val cand = sqTopK(queries, corpus, idCol, vecCol, kPrime)
+      .select("query_id", "neighbor_id")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("score", dot(col("qvec"), col("cvec")))
+      .withColumn("score", when(col("score").isNull, raise_error(concat(
+        lit("sqRerankTopK: null score (null/ragged vector) for neighbor "),
+        col("neighbor_id").cast("string")))).otherwise(col("score")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+  }
+
   /** IVF-SQ8: cell-restricted scalar-quantized search — the scale path
     * for [[sqTopK]], exactly as IVFADC is for ADC. Candidates are
     * restricted to the query's cell (a KEYED join — broadcast at test SF,

@@ -361,6 +361,27 @@ class ScaleSpec extends SparkSpec {
     assert(hits >= 9, s"SQ8 recall collapsed: $hits/15 vs exact dot")
   }
 
+  test("SQ8 rerank: k rows per query; recall vs exact dot never below " +
+      "the plain int8 ranking's") {
+    import graft.scale.Similarity
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    def hits(df: org.apache.spark.sql.DataFrame, exact: Set[(Long, Long)]) =
+      df.as[(Long, Int, Long)].collect().map(t => (t._1, t._3))
+        .count(exact.contains)
+    val exact = Similarity.dotTopK(q, e, "vec_id", "embedding", 5)
+      .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
+    val rr = Similarity.sqRerankTopK(q, e, "vec_id", "embedding",
+      k = 5, kPrime = 15)
+    val rrRows = rr.as[(Long, Int, Long)].collect()
+    rrRows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.sortBy(_._2).map(_._2).toSeq == (1 to 5))
+    }
+    val plain = Similarity.sqTopK(q, e, "vec_id", "embedding", 5)
+    assert(hits(rr, exact) >= hits(plain, exact),
+      "exact rerank must not lose recall vs the quantized ranking")
+  }
+
   test("hamming top-k: self ranks first at distance 0, k rows per query " +
       "in the (hamming, id) integer order, layout-invariant") {
     import graft.scale.Similarity
