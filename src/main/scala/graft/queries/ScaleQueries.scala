@@ -1560,6 +1560,16 @@ object ScaleQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Multi-probe IVF-SQ8: the recall knob for the int8 index — probe
+    // the 2 nearest cells per query (broadcast-centroid pass), SQ-score
+    // the probed cells' candidates
+    "ann_ivfsq_multiprobe" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfSqMultiProbeTopK(e.filter(col("vec_id") < 5), e,
+          "vec_id", "embedding", "label", k = 10, nProbe = 2)
+        .orderBy("query_id", "rnk")
+    }),
+
     // SQ8 + exact rerank (the IVFADC+R shape for the scalar quantizer):
     // int8 prefilter to k'=30, exact float dot on only those candidates
     "ann_sq_rerank" -> ((s, d) => {
@@ -2468,6 +2478,45 @@ object ScaleQueries {
          |      neighbor_id) AS rnk
          |  FROM q JOIN c ON q.label = c.label
          |  WHERE query_id != neighbor_id)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // the ann_ivf_multiprobe probe CTEs + the SQ asymmetric ranking
+    "ann_ivfsq_multiprobe" ->
+      s"""WITH dim AS (SELECT unnest(range(1,
+         |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+         |cents AS (SELECT label, i AS pos,
+         |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+         |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
+         |  FROM embeddings CROSS JOIN dim GROUP BY 1, 2),
+         |cl AS (SELECT label, list(centroid ORDER BY pos) AS cl
+         |  FROM cents GROUP BY 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 5),
+         |qd AS (SELECT query_id, cc.label AS cell,
+         |  list_sum(list_transform(range(1, len(qe) + 1),
+         |    i -> (CAST(qe[i] AS DOUBLE) - cc.cl[i])
+         |       * (CAST(qe[i] AS DOUBLE) - cc.cl[i]))) AS d
+         |  FROM q, cl cc),
+         |probe AS (SELECT query_id, cell FROM (
+         |  SELECT query_id, cell, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d, cell) AS rn FROM qd)
+         |  WHERE rn <= 2),
+         |c0 AS (SELECT vec_id AS neighbor_id, label AS cell,
+         |  embedding AS ce,
+         |  list_max(list_transform(embedding,
+         |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings),
+         |c AS (SELECT neighbor_id, cell, scale,
+         |  CASE WHEN scale > 0
+         |    THEN list_transform(ce, x -> round(CAST(x AS DOUBLE) / scale))
+         |    ELSE list_transform(ce, x -> 0.0) END AS codes FROM c0)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
+         |  SELECT p.query_id, c.neighbor_id, row_number() OVER (
+         |    PARTITION BY p.query_id
+         |    ORDER BY scale * ${duckDot("qe", "codes")} DESC,
+         |      neighbor_id) AS rnk
+         |  FROM probe p JOIN c ON c.cell = p.cell
+         |  JOIN q ON q.query_id = p.query_id
+         |  WHERE p.query_id != c.neighbor_id)
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     // sq prefilter CTE to rnk<=30, then exact-dot rerank of the survivors

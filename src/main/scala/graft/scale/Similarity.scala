@@ -274,6 +274,47 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"))
   }
 
+  /** Multi-probe IVF-SQ8: the recall knob for the int8 index — each query
+    * scores the candidates of its `nProbe` nearest cells (by squared-L2
+    * to the per-cell decimal centroid, exactly [[ivfMultiProbeTopK]]'s
+    * probe pass) under the asymmetric `scale · dot(query, codes)` kernel.
+    * Probe ranking is a zero-shuffle pass over broadcast centroid
+    * literals; the candidate join shuffles on the cell key with the
+    * probe list exploded on the QUERY side only. */
+  def ivfSqMultiProbeTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, cellCol: String, k: Int,
+      nProbe: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nProbe > 0, "nProbe must be positive")
+    val centArr = centroidStructArray(centroids(corpus, cellCol, vecCol))
+    val scored = transform(centArr, cs => struct(
+      graft.functions.VectorSqL2(col(vecCol), cs.getField("c")).as("d"),
+      cs.getField("label").as("label")))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(slice(array_sort(scored), 1, nProbe)).as("pr"))
+      .select(col("query_id"), col("qvec"),
+        col("pr").getField("label").as("cell"))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        col(cellCol).as("cell"))
+      .withColumn("scale", int8Scale(col("cvec")))
+      .withColumn("codes", int8Quantize(col("cvec"), col("scale")))
+      .select(col("neighbor_id"), col("cell"), col("scale"),
+        transform(col("codes"), _.cast("double")).as("codesd"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    probed.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", col("scale") * dot(col("qvec"), col("codesd")))
+      .withColumn("adc", when(col("adc").isNull, raise_error(concat(
+        lit("ivfSqMultiProbeTopK: null score (null/ragged vector) for "),
+        col("neighbor_id").cast("string")))).otherwise(col("adc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+  }
+
   /** Deterministic random-projection dimensionality reduction: out_j =
     * Σ_i vec_i · w(i,j), with the same integer weight family as
     * [[srpBucket]] (w = (i·(j+1) mod 13) - 6) — no RNG, engine-portable,

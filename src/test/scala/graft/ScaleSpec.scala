@@ -195,6 +195,28 @@ class ScaleSpec extends SparkSpec {
     assert(h.last == brute.size)
   }
 
+  test("multi-probe IVF-SQ8: probing every cell equals the full SQ scan; " +
+      "recall vs the full scan is monotone in nProbe") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val nCells = e.select("label").distinct().count().toInt
+    val full = Similarity.ivfSqMultiProbeTopK(q, e, "vec_id", "embedding",
+        "label", k = 5, nProbe = nCells)
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    val scan = Similarity.sqTopK(q, e, "vec_id", "embedding", 5)
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(full == scan) // all cells probed = the exhaustive int8 scan
+    val trueTop = scan.map(r => (r._1, r._3)).toSet
+    def hits(nProbe: Int): Int =
+      Similarity.ivfSqMultiProbeTopK(q, e, "vec_id", "embedding",
+          "label", k = 5, nProbe = nProbe)
+        .select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().count(trueTop.contains)
+    val h = (1 to nCells).map(hits)
+    assert(h.sliding(2).forall { case Seq(a, b) => a <= b })
+    assert(h.last == scan.size)
+  }
+
   test("KMV overlap: exact Jaccard when k covers the union; statistics " +
       "bounded by k; estimates match the exact counts") {
     import graft.scale.Sketches
