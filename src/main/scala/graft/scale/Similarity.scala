@@ -179,6 +179,23 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"))
   }
 
+  /** The SQ8 code table: (neighbor_id[, cell], scale, codesd) — int8
+    * codes widened to double ONCE PER CORPUS ROW so every consumer's
+    * per-pair kernel is the same fused [[graft.functions.VectorDot]]
+    * loop. Shared by [[sqTopK]] / [[ivfSqTopK]] / [[ivfSqMultiProbeTopK]]
+    * so the quantization recipe cannot drift between the indexes. */
+  private def sqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+      cellCol: Option[String]): DataFrame = {
+    val base = corpus.select(
+      (col(idCol).as("neighbor_id") +: cellCol.map(c => col(c).as("cell")).toSeq) :+
+        col(vecCol).as("cvec"): _*)
+    base
+      .withColumn("scale", int8Scale(col("cvec")))
+      .withColumn("codes", int8Quantize(col("cvec"), col("scale")))
+      .select((col("neighbor_id") +: cellCol.map(_ => col("cell")).toSeq) ++
+        Seq(col("scale"), transform(col("codes"), _.cast("double")).as("codesd")): _*)
+  }
+
   /** Scalar-quantized (SQ8) asymmetric-distance top-k — the FAISS
     * `IndexScalarQuantizer` idea: the CORPUS is stored as int8 codes plus
     * one scale per vector ([[int8Scale]]/[[int8Quantize]] — 4× smaller
@@ -194,12 +211,7 @@ object Similarity {
   def sqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val c = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-      .withColumn("scale", int8Scale(col("cvec")))
-      .withColumn("codes", int8Quantize(col("cvec"), col("scale")))
-      .select(col("neighbor_id"), col("scale"),
-        transform(col("codes"), _.cast("double")).as("codesd"))
+    val c = sqCodes(corpus, idCol, vecCol, cellCol = None)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id").asc)
@@ -252,13 +264,7 @@ object Similarity {
   def ivfSqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, cellCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val c = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-        col(cellCol).as("cell"))
-      .withColumn("scale", int8Scale(col("cvec")))
-      .withColumn("codes", int8Quantize(col("cvec"), col("scale")))
-      .select(col("neighbor_id"), col("cell"), col("scale"),
-        transform(col("codes"), _.cast("double")).as("codesd"))
+    val c = sqCodes(corpus, idCol, vecCol, Some(cellCol))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       col(cellCol).as("cell"))
     val w = Window.partitionBy("query_id")
@@ -295,13 +301,7 @@ object Similarity {
         explode(slice(array_sort(scored), 1, nProbe)).as("pr"))
       .select(col("query_id"), col("qvec"),
         col("pr").getField("label").as("cell"))
-    val c = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-        col(cellCol).as("cell"))
-      .withColumn("scale", int8Scale(col("cvec")))
-      .withColumn("codes", int8Quantize(col("cvec"), col("scale")))
-      .select(col("neighbor_id"), col("cell"), col("scale"),
-        transform(col("codes"), _.cast("double")).as("codesd"))
+    val c = sqCodes(corpus, idCol, vecCol, Some(cellCol))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     probed.join(c, Seq("cell"))

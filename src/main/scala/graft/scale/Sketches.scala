@@ -105,6 +105,11 @@ object Sketches {
       .groupBy(col("grp"), col("cell.row_j").as("row_j"),
         col("cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      // build parameters ride along as constant metadata columns so the
+      // consumers ([[cmsEstimate]], [[cmsMerge]]) can verify they address
+      // the grid with the SAME depth/width it was built with — a mismatch
+      // would otherwise silently read absent cells as count 0
+      .withColumn("d", lit(depth)).withColumn("w", lit(width))
   }
 
   /** Row-j bucket of a token: 60-bit MD5 prefix of "j:token" mod width
@@ -119,11 +124,28 @@ object Sketches {
         .otherwise(tok))), lit(width.toLong))
 
   /** Cell-wise sum of two CMS frames — CMS merge is EXACT (counters are
-    * linear), so `merge(cms(A), cms(B)) == cms(A ⊎ B)` always. */
+    * linear), so `merge(cms(A), cms(B)) == cms(A ⊎ B)` always. Grids
+    * built with different depth/width raise wherever their cells meet
+    * (co-located cells carry the build parameters — summing counters
+    * from incompatible hash grids is meaningless). */
   def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
-    a.select("grp", "row_j", "bucket", "cnt")
-      .unionByName(b.select("grp", "row_j", "bucket", "cnt"))
-      .groupBy("grp", "row_j", "bucket").agg(sum("cnt").as("cnt"))
+    cmsCellSum(a.select("grp", "row_j", "bucket", "cnt", "d", "w")
+      .unionByName(b.select("grp", "row_j", "bucket", "cnt", "d", "w")))
+
+  /** Cell-wise sum of CMS grid rows (shared by [[cmsMerge]] and the
+    * streaming rollup): counters add; the build-parameter metadata must
+    * agree on every co-located cell or the sum raises. */
+  private[graft] def cmsCellSum(rows: DataFrame): DataFrame =
+    rows.groupBy("grp", "row_j", "bucket")
+      .agg(sum("cnt").as("cnt"),
+        min("d").as("_dmin"), max("d").as("_dmax"),
+        min("w").as("_wmin"), max("w").as("_wmax"))
+      .select(col("grp"), col("row_j"), col("bucket"), col("cnt"),
+        when(col("_dmin") =!= col("_dmax") || col("_wmin") =!= col("_wmax"),
+          raise_error(lit(
+            "cms merge: grids built with different depth/width")))
+          .otherwise(col("_dmin")).as("d"),
+        col("_wmin").as("w"))
 
   /** Point-frequency estimates for a probe set of (grp, token) pairs:
     * min over the depth rows of the addressed cells (absent cell = 0).
@@ -142,9 +164,18 @@ object Sketches {
       .select(col("grp"), col("tok"),
         col("cell.row_j").as("row_j"), col("cell.bucket").as("bucket"))
     addressed
-      .join(broadcast(sk.select("grp", "row_j", "bucket", "cnt")),
+      .join(broadcast(sk.select("grp", "row_j", "bucket", "cnt", "d", "w")),
         Seq("grp", "row_j", "bucket"), "left")
-      .na.fill(0L, Seq("cnt"))
+      // any probe that lands on a populated cell cross-checks the grid's
+      // build parameters — addressing a grid with the wrong depth/width
+      // raises instead of silently reading absent cells as 0 (a token the
+      // grid has never seen legitimately estimates 0: all cells absent)
+      .withColumn("cnt", when(col("d").isNotNull &&
+          (col("d") =!= depth || col("w") =!= width),
+        raise_error(concat(lit("cmsEstimate: sketch built with "),
+          col("d").cast("string"), lit("x"), col("w").cast("string"),
+          lit(s", probed with ${depth}x$width"))))
+        .otherwise(coalesce(col("cnt"), lit(0L))))
       .groupBy("grp", "tok").agg(min(col("cnt")).as("est"))
   }
 
@@ -154,9 +185,12 @@ object Sketches {
     * total order. The candidate frame is typically the corpus's distinct
     * tokens (one distinct shuffle); the ranking uses the skew-safe
     * two-phase top-k ([[Sampling.topPerGroup]]) so one hot group never
-    * pins a task. CMS never under-counts, so a true heavy hitter can
-    * never be pushed OUT of the top-n by others' collisions — only
-    * falsely joined by a lighter token that collided upward. */
+    * pins a task. CMS estimates are one-sided (never below the true
+    * count), so every listed estimate upper-bounds nothing and
+    * lower-bounds its token's mass — but the LEADERBOARD itself is not
+    * guaranteed complete: enough collision-inflated light tokens can
+    * outrank a true heavy hitter and displace it from the top-n. Size
+    * `width` (and read est as "at least the true count") accordingly. */
   def cmsHeavyHitters(sk: DataFrame, candidates: DataFrame, groupCol: String,
       tokCol: String, depth: Int, width: Int, n: Int): DataFrame =
     Sampling.topPerGroup(

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -18,58 +18,80 @@ import graft.scale.Sketches
   * only that batch's grid (bounded by groups × depth × width regardless
   * of batch size), and the live sketch is the cell-wise sum over the
   * committed batch grids ([[currentSketch]]) — a read-time aggregation of
-  * a bounded frame, exactly the two-level `sk_hll_rollup` shape.
+  * a bounded frame, exactly the two-level `sk_hll_rollup` shape. The same
+  * layout with Spark's mergeable HLL states as the grid gives streaming
+  * DISTINCT counts ([[applyHllBatch]]/[[currentDistinct]]).
   *
   * Idempotent under foreachBatch's at-least-once contract by the same
   * write shape as the other streaming operators: a replayed batch
   * overwrites its own directory whole (never double-appends) and a COMMIT
-  * marker short-circuits replays of fully committed batches.
-  * [[currentSketch]] reads ONLY committed batches, so a crash between the
-  * grid write and the marker never exposes a half-written grid. */
+  * marker short-circuits replays of fully committed batches. The readers
+  * list ONLY committed batch directories — a crash window leaves at worst
+  * a torn, uncommitted `batch=<id>` dir that no reader ever opens (it is
+  * overwritten whole by the replay). Markers carry the grid KIND (`cms` /
+  * `hll`), so one stateRoot can safely host both grid families without a
+  * committed CMS batch masking an HLL replay of the same batch id. */
 object StreamSketch {
 
   case class BatchResult(batchId: Long, received: Long, cells: Long,
       replaySkipped: Boolean)
 
-  private def marker(root: String, batchId: Long) =
-    new Path(root, s"batch_$batchId.done")
+  private def marker(root: String, kind: String, batchId: Long) =
+    new Path(root, s"${kind}_batch_$batchId.done")
 
-  /** Fold one micro-batch of (group, token) occurrences into the grid
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committedBatches(fs: FileSystem, stateRoot: String,
+      kind: String): Seq[Long] =
+    fs.globStatus(new Path(stateRoot, s"${kind}_batch_*.done"))
+      .toSeq.map(_.getPath.getName
+        .stripPrefix(s"${kind}_batch_").stripSuffix(".done").toLong)
+
+  /** The shared per-batch commit skeleton: replay short-circuit on the
+    * marker, whole-directory overwrite of this batch's grid, marker
+    * written LAST. `grid` must be bounded (a sketch, never raw rows). */
+  private def commitGrid(spark: SparkSession, grid: => DataFrame,
+      received: => Long, batchId: Long, kind: String, gridRoot: String,
+      stateRoot: String): BatchResult = {
+    val fs = fsOf(spark, stateRoot)
+    if (fs.exists(marker(stateRoot, kind, batchId)))
+      return BatchResult(batchId, 0, 0, replaySkipped = true)
+    grid.write.mode("overwrite").parquet(s"$gridRoot/batch=$batchId")
+    val cells = spark.read.parquet(s"$gridRoot/batch=$batchId").count()
+    fs.create(marker(stateRoot, kind, batchId), true).close()
+    BatchResult(batchId, received, cells, replaySkipped = false)
+  }
+
+  /** Read ONLY the committed batch directories (never the crash window's
+    * torn leftovers), failing loudly when nothing has committed yet: an
+    * empty sketch answers "0" for every probe, which silently reads as
+    * "token never seen". */
+  private def committedGrids(spark: SparkSession, gridRoot: String,
+      stateRoot: String, kind: String): DataFrame = {
+    val committed = committedBatches(fsOf(spark, stateRoot), stateRoot, kind)
+    require(committed.nonEmpty,
+      s"no committed $kind batch grids under $gridRoot (markers in $stateRoot)")
+    spark.read.parquet(committed.map(id => s"$gridRoot/batch=$id"): _*)
+  }
+
+  /** Fold one micro-batch of (group, token) occurrences into the CMS grid
     * store (the foreachBatch body; directly callable for batch pipelines
     * and tests). Markers live under `stateRoot`, NOT `gridRoot` — the
     * grid root must stay a pure partitioned parquet layout. */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       groupCol: String, tokCol: String, gridRoot: String, stateRoot: String,
-      depth: Int, width: Int): BatchResult = {
-    val fs = new Path(stateRoot)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker(stateRoot, batchId)))
-      return BatchResult(batchId, 0, 0, replaySkipped = true)
-    val received = batch.count()
-    val grid = Sketches.cms(batch, groupCol, tokCol, depth, width)
-    grid.write.mode("overwrite").parquet(s"$gridRoot/batch=$batchId")
-    val cells = spark.read.parquet(s"$gridRoot/batch=$batchId").count()
-    fs.create(marker(stateRoot, batchId), true).close()
-    BatchResult(batchId, received, cells, replaySkipped = false)
-  }
+      depth: Int, width: Int): BatchResult =
+    commitGrid(spark,
+      Sketches.cms(batch, groupCol, tokCol, depth, width),
+      batch.count(), batchId, "cms", gridRoot, stateRoot)
 
-  /** The live sketch: cell-wise sum over every COMMITTED batch grid.
-    * Uncommitted directories (a crash between grid write and marker) are
-    * excluded — the replay will overwrite them whole before committing.
-    * Fails loudly when nothing has committed yet: an empty sketch answers
-    * "0" for every probe, which silently reads as "token never seen". */
+  /** The live CMS sketch: cell-wise sum over every COMMITTED batch grid
+    * ([[Sketches.cmsCellSum]] — raises if batches were somehow written
+    * with different depth/width, instead of summing incompatible grids). */
   def currentSketch(spark: SparkSession, gridRoot: String,
-      stateRoot: String): DataFrame = {
-    val fs = new Path(stateRoot)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = fs.globStatus(new Path(stateRoot, "batch_*.done"))
-      .map(_.getPath.getName.stripPrefix("batch_").stripSuffix(".done").toLong)
-    require(committed.nonEmpty,
-      s"no committed batch grids under $gridRoot (markers in $stateRoot)")
-    spark.read.parquet(gridRoot)
-      .filter(col("batch").isin(committed.toSeq: _*))
-      .groupBy("grp", "row_j", "bucket").agg(sum("cnt").as("cnt"))
-  }
+      stateRoot: String): DataFrame =
+    Sketches.cmsCellSum(committedGrids(spark, gridRoot, stateRoot, "cms"))
 
   /** Streaming distinct-count maintenance — the same per-batch-grid +
     * commit-marker shape with Spark's mergeable HLL states as the grid:
@@ -79,37 +101,20 @@ object StreamSketch {
     * pattern kept fresh by a stream, history never re-scanned. */
   def applyHllBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       groupCol: String, valueCol: String, gridRoot: String,
-      stateRoot: String, lgK: Int = 12): BatchResult = {
-    val fs = new Path(stateRoot)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker(stateRoot, batchId)))
-      return BatchResult(batchId, 0, 0, replaySkipped = true)
-    val received = batch.count()
-    val grid = batch.groupBy(col(groupCol).as("grp"))
-      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sk"))
-    grid.write.mode("overwrite").parquet(s"$gridRoot/batch=$batchId")
-    val cells = spark.read.parquet(s"$gridRoot/batch=$batchId").count()
-    fs.create(marker(stateRoot, batchId), true).close()
-    BatchResult(batchId, received, cells, replaySkipped = false)
-  }
+      stateRoot: String, lgK: Int = 12): BatchResult =
+    commitGrid(spark,
+      batch.groupBy(col(groupCol).as("grp"))
+        .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sk")),
+      batch.count(), batchId, "hll", gridRoot, stateRoot)
 
   /** Live distinct estimate per group: union the committed batch HLL
     * states and estimate — constant-size state per (group, batch), exact
-    * mergeability by the sketch algebra. Fails loudly with no committed
-    * batches, like [[currentSketch]]. */
+    * mergeability by the sketch algebra. */
   def currentDistinct(spark: SparkSession, gridRoot: String,
-      stateRoot: String): DataFrame = {
-    val fs = new Path(stateRoot)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = fs.globStatus(new Path(stateRoot, "batch_*.done"))
-      .map(_.getPath.getName.stripPrefix("batch_").stripSuffix(".done").toLong)
-    require(committed.nonEmpty,
-      s"no committed batch grids under $gridRoot (markers in $stateRoot)")
-    spark.read.parquet(gridRoot)
-      .filter(col("batch").isin(committed.toSeq: _*))
+      stateRoot: String): DataFrame =
+    committedGrids(spark, gridRoot, stateRoot, "hll")
       .groupBy("grp")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
-  }
 
   /** Drain a parquet-directory stream through the sketch (AvailableNow —
     * the scheduled-poll form; `tokens` maps a raw batch to (group, token)

@@ -273,12 +273,12 @@ object CmsProps extends Properties("CountMinSketch") {
         Gen.choose(0, 100)) { (rows, d, w, cutPct) =>
       val df = rows.toDF("g", "tok")
       val whole = Sketches.cms(df, "g", "tok", d, w)
-        .as[(String, Int, Long, Long)].collect().toSet
+        .select("grp", "row_j", "bucket", "cnt").as[(String, Int, Long, Long)].collect().toSet
       val side = pmod(hash(col("g"), col("tok")), lit(100)) < cutPct
       val merged = Sketches.cmsMerge(
           Sketches.cms(df.filter(side), "g", "tok", d, w),
           Sketches.cms(df.filter(!side), "g", "tok", d, w))
-        .as[(String, Int, Long, Long)].collect().toSet
+        .select("grp", "row_j", "bucket", "cnt").as[(String, Int, Long, Long)].collect().toSet
       merged == whole
     }
 

@@ -250,7 +250,7 @@ class ScaleSpec extends SparkSpec {
     val df = occ.toDF("g", "tok")
     val sk = Sketches.cms(df, "g", "tok", depth = 4, width = 64)
     // grid size: per group at most depth×width cells, row_j ∈ [0, 4)
-    val cells = sk.as[(String, Int, Long, Long)].collect()
+    val cells = sk.select("grp", "row_j", "bucket", "cnt").as[(String, Int, Long, Long)].collect()
     assert(cells.forall { case (_, j, b, c) =>
       j >= 0 && j < 4 && b >= 0 && b < 64 && c > 0 })
     assert(cells.count(_._1 == "C") == 4) // one token → one bucket per row
@@ -295,6 +295,21 @@ class ScaleSpec extends SparkSpec {
         "id", "v", k = 1).collect()
     }
     assert(e4.getMessage.contains("null score"))
+    // probing a grid with different build parameters raises instead of
+    // silently reading absent cells as count 0 (the never-under-count
+    // guarantee would be violated without a sound)
+    val okTok = Seq(("A", "x"), ("A", "y")).toDF("g", "tok")
+    val sk = Sketches.cms(okTok, "g", "tok", depth = 2, width = 8)
+    val e5 = intercept[Exception] {
+      Sketches.cmsEstimate(sk, okTok, "g", "tok", depth = 4, width = 8)
+        .collect()
+    }
+    assert(e5.getMessage.contains("cmsEstimate: sketch built with 2x8"))
+    val e6 = intercept[Exception] {
+      Sketches.cmsMerge(sk,
+        Sketches.cms(okTok, "g", "tok", depth = 2, width = 16)).collect()
+    }
+    assert(e6.getMessage.contains("different depth/width"))
   }
 
   test("AMS F2: r counters per group; a single-token group estimates " +

@@ -32,9 +32,9 @@ class StreamSketchSpec extends SparkSpec {
     assert(!r1.replaySkipped && r1.received == 80)
 
     val live = StreamSketch.currentSketch(spark, grid, state)
-      .as[(String, Int, Long, Long)].collect().toSet
+      .select("grp", "row_j", "bucket", "cnt").as[(String, Int, Long, Long)].collect().toSet
     val whole = Sketches.cms(df, "g", "tok", 3, 32)
-      .as[(String, Int, Long, Long)].collect().toSet
+      .select("grp", "row_j", "bucket", "cnt").as[(String, Int, Long, Long)].collect().toSet
     assert(live == whole)
 
     // at-least-once replay: marker short-circuits, grid unchanged
@@ -42,7 +42,7 @@ class StreamSketchSpec extends SparkSpec {
       grid, state, depth = 3, width = 32)
     assert(r2.replaySkipped)
     val after = StreamSketch.currentSketch(spark, grid, state)
-      .as[(String, Int, Long, Long)].collect().toSet
+      .select("grp", "row_j", "bucket", "cnt").as[(String, Int, Long, Long)].collect().toSet
     assert(after == whole)
   }
 
@@ -59,9 +59,9 @@ class StreamSketchSpec extends SparkSpec {
     Sketches.cms(b1, "g", "tok", 3, 32)
       .write.mode("overwrite").parquet(s"$grid/batch=1")
     val partial = StreamSketch.currentSketch(spark, grid, state)
-      .as[(String, Int, Long, Long)].collect().toSet
+      .select("grp", "row_j", "bucket", "cnt").as[(String, Int, Long, Long)].collect().toSet
     val only0 = Sketches.cms(b0, "g", "tok", 3, 32)
-      .as[(String, Int, Long, Long)].collect().toSet
+      .select("grp", "row_j", "bucket", "cnt").as[(String, Int, Long, Long)].collect().toSet
     assert(partial == only0, "uncommitted grid leaked into the live sketch")
 
     // replay completes the batch; the rollup now equals the whole corpus
@@ -69,9 +69,9 @@ class StreamSketchSpec extends SparkSpec {
       grid, state, 3, 32)
     assert(!r.replaySkipped)
     val healed = StreamSketch.currentSketch(spark, grid, state)
+      .select("grp", "row_j", "bucket", "cnt").as[(String, Int, Long, Long)].collect().toSet
+    val whole = Sketches.cms(df, "g", "tok", 3, 32).select("grp", "row_j", "bucket", "cnt")
       .as[(String, Int, Long, Long)].collect().toSet
-    val whole = Sketches.cms(df, "g", "tok", 3, 32).as[(String, Int, Long, Long)]
-      .collect().toSet
     assert(healed == whole)
   }
 
@@ -87,17 +87,17 @@ class StreamSketchSpec extends SparkSpec {
     StreamSketch.runAvailableNow(spark, src, toks, "g", "tok",
       grid, state, ckpt, depth = 3, width = 32)
     val after1 = StreamSketch.currentSketch(spark, grid, state)
-      .as[(String, Int, Long, Long)].collect().toSet
+      .select("grp", "row_j", "bucket", "cnt").as[(String, Int, Long, Long)].collect().toSet
     assert(after1 == Sketches.cms(df.filter(col("i") < 100), "g", "tok", 3, 32)
-      .as[(String, Int, Long, Long)].collect().toSet)
+      .select("grp", "row_j", "bucket", "cnt").as[(String, Int, Long, Long)].collect().toSet)
     // new files arrive; the resumed stream folds ONLY them
     df.filter(col("i") >= 100).write.mode("append").parquet(src)
     StreamSketch.runAvailableNow(spark, src, toks, "g", "tok",
       grid, state, ckpt, depth = 3, width = 32)
     val after2 = StreamSketch.currentSketch(spark, grid, state)
-      .as[(String, Int, Long, Long)].collect().toSet
+      .select("grp", "row_j", "bucket", "cnt").as[(String, Int, Long, Long)].collect().toSet
     assert(after2 == Sketches.cms(df, "g", "tok", 3, 32)
-      .as[(String, Int, Long, Long)].collect().toSet)
+      .select("grp", "row_j", "bucket", "cnt").as[(String, Int, Long, Long)].collect().toSet)
   }
 
   test("streaming HLL: batch states union to a within-10% estimate; an " +
@@ -137,6 +137,6 @@ class StreamSketchSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException] {
       StreamSketch.currentSketch(spark, grid, state)
     }
-    assert(ex.getMessage.contains("no committed batch grids"))
+    assert(ex.getMessage.contains("no committed cms batch grids"))
   }
 }
