@@ -251,6 +251,31 @@ object ScaleQueries {
         .orderBy("source", "row_j", "bucket")
     }),
 
+    // Streaming AMS maintenance: per-batch signed-counter vectors summed
+    // at read time must equal the full-corpus vector (linear counters —
+    // the st_cms_update contract for the F2/repetition-mass monitor)
+    "st_ams_update" -> ((s, d) => {
+      val grid = java.nio.file.Files.createTempDirectory("graft_sam_g").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_sam_s").toString
+      val dd = docs(s, d)
+      def tokOf(df: DataFrame) = df.select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      graft.streaming.StreamSketch.applyAmsBatch(s,
+        tokOf(dd.filter(col("doc_id") < 250)), 0L, "source", "tok",
+        grid, state, r = 8)
+      graft.streaming.StreamSketch.applyAmsBatch(s,
+        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
+        grid, state, r = 8)
+      val replay = graft.streaming.StreamSketch.applyAmsBatch(s,
+        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
+        grid, state, r = 8)
+      require(replay.replaySkipped, "committed batch replay was not skipped")
+      graft.streaming.StreamSketch.currentAms(s, grid, state)
+        .select(col("grp").as("source"),
+          col("est_i").cast("long").as("est_i"), col("z"))
+        .orderBy("source", "est_i")
+    }),
+
     // Streaming HLL distinct-count maintenance: per-batch mergeable
     // sketch states union to the live estimate (the sk_hll_rollup
     // two-level pattern kept fresh by a stream); gate = exact per-group
@@ -2950,6 +2975,18 @@ object ScaleQueries {
          |  SELECT source, tok, est, row_number() OVER (
          |    PARTITION BY source ORDER BY est DESC, tok) AS rk FROM est)
          |WHERE rk <= 10 ORDER BY source, rank""".stripMargin,
+
+    // streamed AMS vectors summed == the full-corpus signed counters
+    "st_ams_update" ->
+      s"""WITH tok AS (SELECT source, unnest($duckToksAll) AS tok
+         |  FROM documents),
+         |ri AS (SELECT CAST(range AS BIGINT) AS est_i FROM range(0, 8)),
+         |sg AS (SELECT source, est_i,
+         |    CAST(('0x' || substr(md5(CAST(est_i AS VARCHAR) || ':' ||
+         |      tok), 1, 15)) AS BIGINT) % 2 * 2 - 1 AS s
+         |  FROM tok CROSS JOIN ri)
+         |SELECT source, est_i, CAST(sum(s) AS BIGINT) AS z
+         |FROM sg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // streamed HLL states unioned must estimate within 10% of exact
     "st_hll_update" ->

@@ -116,6 +116,25 @@ object StreamSketch {
       .groupBy("grp")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
 
+  /** Streaming AMS F2 maintenance — signed counters are linear exactly
+    * like CMS cells, so the same per-batch-grid + commit-marker shape
+    * keeps a running repetition-mass (self-join-size) monitor: each batch
+    * reduces to r int64 counters per group and the live vector is the
+    * counter-wise sum over committed batches ([[currentAms]]). */
+  def applyAmsBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      groupCol: String, tokCol: String, gridRoot: String,
+      stateRoot: String, r: Int): BatchResult =
+    commitGrid(spark,
+      Sketches.amsSketch(batch, groupCol, tokCol, r),
+      batch.count(), batchId, "ams", gridRoot, stateRoot)
+
+  /** The live AMS vector: counter-wise sum over committed batch vectors
+    * (feed to [[Sketches.amsF2Estimate]] for the F2 estimate). */
+  def currentAms(spark: SparkSession, gridRoot: String,
+      stateRoot: String): DataFrame =
+    committedGrids(spark, gridRoot, stateRoot, "ams")
+      .groupBy("grp", "est_i").agg(sum("z").as("z"))
+
   /** Drain a parquet-directory stream through the sketch (AvailableNow —
     * the scheduled-poll form; `tokens` maps a raw batch to (group, token)
     * occurrence rows, e.g. an explode over a tokenizer). */

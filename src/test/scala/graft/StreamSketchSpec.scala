@@ -131,6 +131,32 @@ class StreamSketchSpec extends SparkSpec {
     assert(r2.replaySkipped)
   }
 
+  test("streaming AMS: batch vectors sum to the batch-at-once vector; " +
+      "kind-scoped markers keep CMS/AMS/HLL replays independent") {
+    val grid = tmp("graft_sam_grid")
+    val amsGrid = tmp("graft_sam_grid_b")
+    val state = tmp("graft_sam_state") // ONE stateRoot for both kinds
+    val df = occ.toDF("i", "g", "tok")
+    val b0 = df.filter(col("i") < 100)
+    val b1 = df.filter(col("i") >= 100)
+    // commit CMS batch 0 against the shared stateRoot first: its marker
+    // must NOT mask the AMS batch 0 that follows
+    StreamSketch.applyBatch(spark, b0, 0L, "g", "tok", grid, state, 3, 32)
+    val a0 = StreamSketch.applyAmsBatch(spark, b0, 0L, "g", "tok",
+      amsGrid, state, r = 4)
+    assert(!a0.replaySkipped, "CMS marker masked the AMS batch")
+    val a1 = StreamSketch.applyAmsBatch(spark, b1, 1L, "g", "tok",
+      amsGrid, state, r = 4)
+    assert(!a1.replaySkipped)
+    val live = StreamSketch.currentAms(spark, amsGrid, state)
+      .as[(String, Int, Long)].collect().toSet
+    val whole = Sketches.amsSketch(df, "g", "tok", 4)
+      .as[(String, Int, Long)].collect().toSet
+    assert(live == whole)
+    assert(StreamSketch.applyAmsBatch(spark, b1, 1L, "g", "tok",
+      amsGrid, state, r = 4).replaySkipped)
+  }
+
   test("currentSketch with no committed batches fails loudly") {
     val grid = tmp("graft_scm_grid3")
     val state = tmp("graft_scm_state3")
