@@ -293,6 +293,33 @@ object CmsProps extends Properties("CountMinSketch") {
     }
 }
 
+object SqProps extends Properties("Sq8Quantizer") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+  import graft.scale.Similarity
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.choose(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100.0f, 100.0f)))
+
+  property("codes stay in [-127, 127] and reconstruct within scale/2 " +
+      "per element (the round guarantee)") =
+    forAll(Gen.nonEmptyListOf(vecGen)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+        .withColumn("scale", Similarity.int8Scale(col("v")))
+        .withColumn("q", Similarity.int8Quantize(col("v"), col("scale")))
+      df.select("v", "scale", "q")
+        .as[(Seq[Float], Double, Seq[Int])].collect()
+        .forall { case (v, s, q) =>
+          q.forall(c => c >= -127 && c <= 127) &&
+            (s == 0.0 || v.zip(q).forall { case (x, c) =>
+              math.abs(c * s - x.toDouble) <= s / 2 + 1e-12 })
+        }
+    }
+}
+
 object AmsProps extends Properties("AmsSketch") {
   private lazy val spark = SparkSpec.session
   import spark.implicits._
