@@ -31,17 +31,23 @@ object Pq {
     * entry of every PQ path: a short vector would otherwise yield null
     * subspace distances, and the null-first struct ordering in `array_min`
     * would silently assign it code 1 in [[encode]] (and null-skipping
-    * sums would drop its error in [[quantizationError]]). */
+    * sums would drop its error in [[quantizationError]]). A NULL vector
+    * is guarded explicitly: `size(NULL)` is null, so a bare `=!=` test
+    * would three-value-logic its way into the otherwise branch and pass
+    * the null through — the exact silent path the guard exists to close. */
   def subvectors(df: DataFrame, idCol: String, vecCol: String, m: Int,
       dims: Int): DataFrame = {
     require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
     val sub = dims / m
     // checked vector lands in its own column so the size-guard CASE is
     // evaluated once, not duplicated into each of the m slice() references
-    val vec = when(size(col(vecCol)) =!= dims, raise_error(concat(
-      lit(s"subvectors: expected $dims dims, got "),
-      size(col(vecCol)).cast("string"), lit(" for "),
-      col(idCol).cast("string")))).otherwise(col(vecCol))
+    val vec = when(col(vecCol).isNull || size(col(vecCol)) =!= dims,
+      raise_error(concat(
+        lit(s"subvectors: expected $dims dims, got "),
+        coalesce(size(col(vecCol)).cast("string"), lit("null")),
+        lit(" for "),
+        coalesce(col(idCol).cast("string"), lit("null")))))
+      .otherwise(col(vecCol))
     val subArr = array((0 until m).map { j =>
       struct(lit(j).as("subspace"),
         slice(col("__vec"), j * sub + 1, sub).as("subvec"))
@@ -274,6 +280,25 @@ object Pq {
         Seq("neighbor_id"))
       .join(broadcast(qvec), Seq("query_id"))
       .withColumn("__n_fetched", count(lit(1)).over(wq))
+    // total-miss guard: the count-compare below rides ON fetched rows, so
+    // it cannot fire when ALL of a query's k' candidates are missing from
+    // the corpus — that query would silently vanish from the output. A
+    // bounded anti-join (distinct candidate query_ids vs distinct fetched
+    // query_ids, both ≤ q rows) is unioned in as a normally-zero-row
+    // branch whose projection raises the moment a vanished query exists.
+    // The raise lives in the PROJECTION, not a filter: a deterministic
+    // filter predicate gets pushed below the anti-join and would fire on
+    // every candidate unconditionally. The branch re-references the
+    // candidate plan; its heavy exchange is canonical-identical to the
+    // main path's and reuses it, so the corpus is not scanned twice.
+    val vanished = cand.select("query_id").distinct()
+      .join(broadcast(fetched.select("query_id").distinct()),
+        Seq("query_id"), "left_anti")
+      .select(col("query_id"), lit(0).as("rnk"),
+        col("query_id").as("neighbor_id"),
+        raise_error(concat(
+          lit("adcRerankTopK: no corpus vector for ANY candidate of query "),
+          col("query_id").cast("string"))).cast("long").as("d2_nano"))
     fetched
       .withColumn("d2_nano",
         when(col("__n_fetched") =!= col("__n_cand"), raise_error(concat(
@@ -289,6 +314,7 @@ object Pq {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "neighbor_id", "d2_nano")
+      .unionByName(vanished)
   }
 
   /** Exact squared-L2 top-k (broadcast queries, one corpus scan) — the

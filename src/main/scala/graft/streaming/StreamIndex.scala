@@ -84,7 +84,17 @@ object StreamIndex {
     * (each code row carries its `cb_version`, so readers score each
     * segment against its own codebook — the standard versioned-index
     * deployment shape). 0 (the default) freezes the bootstrap codebook
-    * forever, preserving the prior contract. */
+    * forever, preserving the prior contract.
+    *
+    * Retention: when retraining is armed, EVERY published codebook version
+    * is live forever (historical code segments reference theirs by
+    * `cb_version`), so `keepVersions` is ignored and nothing is ever
+    * pruned — otherwise the keep-window would silently delete a codebook
+    * some segment still scores against. The codebook is k·D rows per
+    * version; retaining all versions is metadata-sized. `keepVersions`
+    * applies only to the frozen (retrainFactorPct == 0) deployment, where
+    * a replayed bootstrap republishes an identical frame and only the
+    * newest version is ever read. */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, codesPath: String, stateRoot: String,
       m: Int = 4, k: Int = 4, iters: Int = 2,
@@ -101,6 +111,10 @@ object StreamIndex {
     val cached = batch.cache()
     val received = cached.count()
 
+    // armed retraining makes every codebook version permanently live (code
+    // segments reference theirs by cb_version) — never prune one
+    val cbKeep = if (retrainFactorPct > 0) Int.MaxValue else keepVersions
+
     def trainAndPublish(): (DataFrame, Int) = {
       // cache the k·D-row codebook: its 2-round Lloyd's lineage would
       // otherwise re-execute for each of the three consumers below (the
@@ -108,7 +122,7 @@ object StreamIndex {
       // write)
       val trainedCb = Pq.codebook(cached, idCol, vecCol, m, k, iters).cache()
       val trained = withBaseline(trainedCb, cached, idCol, vecCol)
-      val v = StateStore.saveVersion(spark, trained, cbRoot, keepVersions)
+      val v = StateStore.saveVersion(spark, trained, cbRoot, cbKeep)
       trainedCb.unpersist()
       (StateStore.loadVersion(spark, cbRoot, v), v)
     }

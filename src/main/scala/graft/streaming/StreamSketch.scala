@@ -28,9 +28,12 @@ import graft.scale.Sketches
   * marker short-circuits replays of fully committed batches. The readers
   * list ONLY committed batch directories — a crash window leaves at worst
   * a torn, uncommitted `batch=<id>` dir that no reader ever opens (it is
-  * overwritten whole by the replay). Markers carry the grid KIND (`cms` /
-  * `hll`), so one stateRoot can safely host both grid families without a
-  * committed CMS batch masking an HLL replay of the same batch id. */
+  * overwritten whole by the replay). BOTH the markers and the grid
+  * directories are kind-scoped (`<kind>_batch_N.done` under stateRoot,
+  * `$gridRoot/<kind>/batch=N` under gridRoot), so one stateRoot AND one
+  * gridRoot can safely host every grid family: a committed CMS batch can
+  * neither mask an HLL replay of the same batch id nor have its grid
+  * overwritten by one. */
 object StreamSketch {
 
   case class BatchResult(batchId: Long, received: Long, cells: Long,
@@ -57,8 +60,8 @@ object StreamSketch {
     val fs = fsOf(spark, stateRoot)
     if (fs.exists(marker(stateRoot, kind, batchId)))
       return BatchResult(batchId, 0, 0, replaySkipped = true)
-    grid.write.mode("overwrite").parquet(s"$gridRoot/batch=$batchId")
-    val cells = spark.read.parquet(s"$gridRoot/batch=$batchId").count()
+    grid.write.mode("overwrite").parquet(s"$gridRoot/$kind/batch=$batchId")
+    val cells = spark.read.parquet(s"$gridRoot/$kind/batch=$batchId").count()
     fs.create(marker(stateRoot, kind, batchId), true).close()
     BatchResult(batchId, received, cells, replaySkipped = false)
   }
@@ -72,7 +75,7 @@ object StreamSketch {
     val committed = committedBatches(fsOf(spark, stateRoot), stateRoot, kind)
     require(committed.nonEmpty,
       s"no committed $kind batch grids under $gridRoot (markers in $stateRoot)")
-    spark.read.parquet(committed.map(id => s"$gridRoot/batch=$id"): _*)
+    spark.read.parquet(committed.map(id => s"$gridRoot/$kind/batch=$id"): _*)
   }
 
   /** Fold one micro-batch of (group, token) occurrences into the CMS grid

@@ -190,6 +190,48 @@ class PqSpec extends SparkSpec {
     assert(ex.getMessage.contains("divide"))
   }
 
+  test("adcRerankTopK: a query whose ENTIRE candidate set is missing " +
+      "from the corpus fails loudly instead of vanishing from the output") {
+    // cell-restrict query 0's candidates to its own IVF cell, then hole
+    // out every corpus vector of that cell: zero fetched rows survive to
+    // carry the per-row count guard, so only the coverage anti-join can
+    // catch the vanished query
+    val withCell = emb.withColumn("cell", col("label"))
+    val codesC = codes.join(
+      emb.select(col("vec_id"), col("label").as("cell")), Seq("vec_id"))
+    val q = withCell.orderBy(col("vec_id").asc).limit(1)
+    val qCell = q.select("cell").head.getAs[Number](0).longValue
+    val holed = withCell.filter(col("cell") =!= qCell)
+    val ex = intercept[Exception] {
+      Pq.adcRerankTopK(q, holed, codesC, cb, "vec_id", "embedding",
+        k = 2, kPrime = 3, cellCol = Some("cell")).collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(c => Option(c.getMessage).getOrElse(""))
+          .getOrElse("")
+    assert(msg(ex).contains("ANY candidate"), msg(ex))
+  }
+
+  test("subvectors/encode: a NULL vector fails loudly, never code 1") {
+    val withNull = Seq(
+      (1L, Some(Seq.fill(8)(1.0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Pq.subvectors(withNull, "vec_id", "embedding", m = 2, dims = 8)
+        .collect()
+    }
+    assert(ex.getMessage.contains("expected 8 dims") &&
+      ex.getMessage.contains("null"))
+    val uniform = withNull.filter(col("vec_id") === 1)
+    val rcb = Pq.codebook(uniform, "vec_id", "embedding", m = 2, k = 1,
+      iters = 1)
+    val ex2 = intercept[Exception] {
+      Pq.encode(withNull, rcb, "vec_id", "embedding").collect()
+    }
+    assert(ex2.getMessage.contains("expected 8 dims"))
+  }
+
   test("subvectors/encode: a ragged vector fails loudly, never code 1") {
     val ragged = Seq(
       (1L, Seq.fill(8)(1.0f)), (2L, Seq.fill(6)(1.0f))) // row 2 is short

@@ -134,6 +134,41 @@ class StreamIndexSpec extends SparkSpec {
       .as[(Long, Int, Long, Int)].collect().toSet == after)
   }
 
+  test("armed retraining never prunes a historical codebook version, even " +
+      "with keepVersions=1 — every code segment stays scoreable") {
+    val codes = tmp("graft_si_codes_keep")
+    val state = tmp("graft_si_state_keep")
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    StreamIndex.applyBatch(spark, e.filter(col("vec_id") < 30), 0L,
+      "vec_id", "embedding", codes, state, keepVersions = 1,
+      retrainFactorPct = 150)
+    def scaled(lo: Int, hi: Int, f: Float) =
+      e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(f)).as("embedding"))
+    val r1 = StreamIndex.applyBatch(spark, scaled(30, 60, 2.0f), 1L,
+      "vec_id", "embedding", codes, state, keepVersions = 1,
+      retrainFactorPct = 150)
+    assert(r1.retrained && r1.cbVersion == 2)
+    // v1 survived the keep-window: batch 0's segment stays scoreable
+    assert(StateStore.versions(spark, s"$state/codebook") == Seq(1, 2))
+    assert(StateStore.loadVersion(spark, s"$state/codebook", 1).count() > 0)
+    // a second drift publishes v3; still nothing pruned
+    val r2 = StreamIndex.applyBatch(spark, scaled(60, 90, 4.0f), 2L,
+      "vec_id", "embedding", codes, state, keepVersions = 1,
+      retrainFactorPct = 150)
+    assert(r2.retrained && r2.cbVersion == 3)
+    assert(StateStore.versions(spark, s"$state/codebook") == Seq(1, 2, 3))
+    // every live segment can still load its own codebook
+    val versionsUsed = spark.read.parquet(codes)
+      .select("cb_version").distinct().as[Int].collect().toSet
+    assert(versionsUsed == Set(1, 2, 3))
+    versionsUsed.foreach { v =>
+      assert(StateStore.loadVersion(spark, s"$state/codebook", v).count() > 0)
+    }
+  }
+
   test("AvailableNow stream drains vector files into the index; a second " +
       "drain encodes only the new arrivals against the same codebook") {
     val src = tmp("graft_si_src")

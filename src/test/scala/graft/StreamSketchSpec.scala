@@ -57,7 +57,7 @@ class StreamSketchSpec extends SparkSpec {
 
     // simulate the crash window: batch 1's grid lands but no marker
     Sketches.cms(b1, "g", "tok", 3, 32)
-      .write.mode("overwrite").parquet(s"$grid/batch=1")
+      .write.mode("overwrite").parquet(s"$grid/cms/batch=1")
     val partial = StreamSketch.currentSketch(spark, grid, state)
       .select("grp", "row_j", "bucket", "cnt").as[(String, Int, Long, Long)].collect().toSet
     val only0 = Sketches.cms(b0, "g", "tok", 3, 32)
@@ -112,7 +112,7 @@ class StreamSketchSpec extends SparkSpec {
     // crash window: batch 1's grid lands, no marker → invisible
     b1.groupBy(col("g").as("grp"))
       .agg(hll_sketch_agg(col("v"), 12).as("sk"))
-      .write.mode("overwrite").parquet(s"$grid/batch=1")
+      .write.mode("overwrite").parquet(s"$grid/hll/batch=1")
     val partial = StreamSketch.currentDistinct(spark, grid, state)
       .as[(String, Long)].collect().toMap
     partial.foreach { case (_, est) =>
@@ -132,29 +132,38 @@ class StreamSketchSpec extends SparkSpec {
   }
 
   test("streaming AMS: batch vectors sum to the batch-at-once vector; " +
-      "kind-scoped markers keep CMS/AMS/HLL replays independent") {
-    val grid = tmp("graft_sam_grid")
-    val amsGrid = tmp("graft_sam_grid_b")
+      "kind-scoped markers AND grids keep CMS/AMS/HLL batches independent " +
+      "on ONE shared stateRoot + gridRoot") {
+    val grid = tmp("graft_sam_grid") // ONE gridRoot for both kinds
     val state = tmp("graft_sam_state") // ONE stateRoot for both kinds
     val df = occ.toDF("i", "g", "tok")
     val b0 = df.filter(col("i") < 100)
     val b1 = df.filter(col("i") >= 100)
-    // commit CMS batch 0 against the shared stateRoot first: its marker
-    // must NOT mask the AMS batch 0 that follows
+    // commit CMS batch 0 against the shared roots first: its marker must
+    // NOT mask the AMS batch 0 that follows, and the AMS batch 0 grid
+    // must NOT overwrite the committed CMS batch 0 grid of the same id
     StreamSketch.applyBatch(spark, b0, 0L, "g", "tok", grid, state, 3, 32)
     val a0 = StreamSketch.applyAmsBatch(spark, b0, 0L, "g", "tok",
-      amsGrid, state, r = 4)
+      grid, state, r = 4)
     assert(!a0.replaySkipped, "CMS marker masked the AMS batch")
     val a1 = StreamSketch.applyAmsBatch(spark, b1, 1L, "g", "tok",
-      amsGrid, state, r = 4)
+      grid, state, r = 4)
     assert(!a1.replaySkipped)
-    val live = StreamSketch.currentAms(spark, amsGrid, state)
+    val live = StreamSketch.currentAms(spark, grid, state)
       .as[(String, Int, Long)].collect().toSet
     val whole = Sketches.amsSketch(df, "g", "tok", 4)
       .as[(String, Int, Long)].collect().toSet
     assert(live == whole)
     assert(StreamSketch.applyAmsBatch(spark, b1, 1L, "g", "tok",
-      amsGrid, state, r = 4).replaySkipped)
+      grid, state, r = 4).replaySkipped)
+    // the CMS grid survived the same-id AMS write on the shared gridRoot
+    val cmsLive = StreamSketch.currentSketch(spark, grid, state)
+      .select("grp", "row_j", "bucket", "cnt")
+      .as[(String, Int, Long, Long)].collect().toSet
+    val cmsB0 = Sketches.cms(b0, "g", "tok", 3, 32)
+      .select("grp", "row_j", "bucket", "cnt")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(cmsLive == cmsB0, "AMS batch grid clobbered the CMS batch grid")
   }
 
   test("currentSketch with no committed batches fails loudly") {

@@ -77,7 +77,39 @@ lint = subprocess.run(
 lit = subprocess.run(
     [sys.executable, os.path.join(os.path.dirname(__file__), "lit_check.py"),
      SF, OUT])
+# V_FULL freshness gate (round-7 verdict item #5): the committed
+# full-registry sf0.1 sweep artifact must cover the CURRENT registry — a
+# query landing after the snapshot would otherwise leave a stale "full"
+# sweep claiming complete coverage. Set GRAFT_WIP=1 to iterate mid-round;
+# the round-close ritual regenerates V_FULL and then runs this unset.
+vfull_ok = True
+if os.environ.get("GRAFT_WIP") != "1":
+    import re
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    vf = glob.glob(os.path.join(root, "V_FULL_r*.json"))
+    if not vf:
+        print("V_FULL MISSING: no V_FULL_r*.json at repo root")
+        vfull_ok = False
+    else:
+        latest = max(vf, key=lambda p: int(
+            re.search(r"r(\d+)", os.path.basename(p)).group(1)))
+        meta = json.load(open(latest))
+        # n_queries = registry-only count; n_total may also fold in the
+        # lit_check re-derivations (the r07 artifact shape)
+        n_q = meta.get("n_queries", meta.get("n_total"))
+        if n_q != len(oracle):
+            print(f"V_FULL STALE: {os.path.basename(latest)} "
+                  f"n_queries={n_q} != registry {len(oracle)}")
+            vfull_ok = False
+        elif meta.get("n_pass") != meta.get("n_total") or meta.get("failed"):
+            print(f"V_FULL NOT GREEN: {os.path.basename(latest)}: {meta}")
+            vfull_ok = False
+        else:
+            print(f"V_FULL fresh: {os.path.basename(latest)} covers all "
+                  f"{n_q} registered queries")
+
 # exit nonzero on ANY failure — value mismatches foremost, lint/lits after
 # — so wrappers can gate on the return code
-if ok != len(results) or lint.returncode != 0 or lit.returncode != 0:
+if ok != len(results) or lint.returncode != 0 or lit.returncode != 0 \
+        or not vfull_ok:
     sys.exit(1)
