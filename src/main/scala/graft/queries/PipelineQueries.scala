@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.scale.{Dedup, Multimodal, Pq, Sampling, Similarity, Temporal, TextAnalysis}
+import ScaleShared._
+
+/** Pipeline + multimodal + layout family: curation chain, provenance,
+  * pre-training mix, payload plumbing, Z-order layout, as-of/range joins.
+  *
+  * Mechanically split out of the former single-file ScaleQueries registry;
+  * each family owns its queries AND their DuckDB oracle SQL. */
+object PipelineQueries {
+
+  val queries: Map[String, QF] = Map(
+    // Multimodal frame sampling: every stride-th payload byte (the
+    // video-frame-subsample plumbing shape, codec-free)
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"), 4)
+        .select(col("id"), posexplode(col("frame_bytes")))
+        .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("byte"))
+        .orderBy("id", "pos")),
+
+    // Multimodal resize: byte-axis nearest-neighbor to 16 bytes; digest +
+    // tracked size prove the payload→payload reconstruction
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resizePayload(
+        Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"), 16)
+        .select(col("id"), col("meta.n_bytes").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("id")),
+
+    // Multimodal: binary payload + metadata features (no codec needed)
+    "mm_payload_features" -> ((s, d) =>
+      Multimodal.payloadFeatures(
+        Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"))
+        .orderBy("id")),
+
+    // Multimodal: batched stub decode (mapPartitions plumbing)
+    "mm_decode_stub" -> ((s, d) =>
+      Multimodal.decodePayloads(
+        Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"))
+        .select("id", "width", "height")
+        .orderBy("id")),
+
+    // Multimodal chunk-hash near-dup: payload pairs sharing ≥80% of the
+    // smaller side's 64-byte chunk fingerprints (boilerplate chunks with
+    // doc-freq > 50 dropped before pairing) — the dup'd corpus pairs every
+    // original with its byte-identical copy
+    "mm_chunk_dedup" -> ((s, d) =>
+      Multimodal.chunkDedupPairs(
+          Multimodal.asMultimodal(
+            docsWithDups(s, d).withColumn("src", lit("mixed")),
+            "doc_id", "text", "src"),
+          chunkBytes = 64, minFracBp = 8000, maxDocFreq = 50)
+        .select(col("a"), col("b"), col("shared").cast("long").as("shared"),
+          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+        .orderBy("a", "b")),
+
+    // The composed curation pipeline: quality gate → lang id → exact dedup →
+    // LSH fuzzy dedup w/ component representatives → per-language stats
+    "pipeline_curation" -> ((s, d) =>
+      graft.scale.CurationPipeline.stats(
+        graft.scale.CurationPipeline.curate(docsWithDups(s, d), "doc_id", "text"))),
+
+    // The full pre-training data PLAN in one chain: curate (quality gate →
+    // lang id → exact dedup → LSH fuzzy dedup) → token counts → per-
+    // language repeat/epoch planning under a token budget → integer mix
+    // summary. Every stage is oracle-verified on its own; this entry
+    // verifies the composition end-to-end (the report a data team reads
+    // before launching a run: how much of each language, repeated how
+    // often, serving how many tokens)
+    "pipeline_pretrain_mix" -> ((s, d) => {
+      val kept = graft.scale.CurationPipeline.curate(
+        docsWithDups(s, d), "doc_id", "text")
+      val withTok = kept.withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+      Sampling.repeatEpochs(withTok, "predicted_lang", "doc_id", "n_tokens",
+          budgetTokens = 60000L, weightsBp = Map("en" -> 4000),
+          defaultBp = 1000)
+        .groupBy("predicted_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("corpus_tokens"),
+          sum(col("n_tokens") * col("epochs")).as("served_tokens"),
+          max("epochs").as("max_epochs"),
+          sum(when(col("epochs") === 0L, 1L).otherwise(0L)).as("n_pruned"))
+        .orderBy("predicted_lang")
+    }),
+
+    // Per-document curation provenance: why each input doc was dropped
+    // (quality_fail / exact_dup / near_dup) or kept
+    "pipeline_provenance" -> ((s, d) =>
+      graft.scale.CurationPipeline
+        .curateTrace(docsWithDups(s, d), "doc_id", "text")._2
+        .orderBy("doc_id")),
+
+    // Z-order layout clustering: per-row Morton code over quantile-bucket
+    // ranks of (l_orderkey, l_partkey) — the multi-column file-skipping
+    // layout (OPTIMIZE ZORDER). The sketch cuts are registered for the
+    // oracle (engine-specific, same contract as samp_length_decile); the
+    // rank CASE and the bit interleave are recomputed in SQL as pure
+    // integer arithmetic
+    "layout_zorder" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val (cutsA, cutsB, out) = graft.scale.Layout.zOrderValue(
+        li, "l_orderkey", "l_partkey", bits = zorderBits)
+      OracleLits.put("zorder_ra",
+        OracleLits.sqlCase("l_orderkey", cutsA.toSeq, base = 0))
+      OracleLits.put("zorder_rb",
+        OracleLits.sqlCase("l_partkey", cutsB.toSeq, base = 0))
+      out.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("zv")).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // As-of join: each click → most recent purchase at-or-before, per user
+    // (union + carry-forward window — one shuffle, no inequality join)
+    "join_asof" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
+          col("value").as("p_value"))
+      Temporal.asOfJoin(clicks, purchases, "user_id", "ts",
+        Seq("p_event_id", "p_value"))
+        .select("event_id", "p_event_id", "p_value")
+        .orderBy("event_id")
+    }),
+
+    // Range join: clicks inside each purchase's 12-hour follow-up window,
+    // per user (time-bin explode + equi-join — no interval nested loop)
+    "join_range" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val intervals = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("int_id"), col("user_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 12 HOURS")).as("end_ts"))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("probe_id"), col("user_id"), col("ts"))
+      Temporal.rangeJoin(intervals, probes, "user_id",
+        "start_ts", "end_ts", "ts", binMicros = 12L * 3600 * 1000000)
+        .select("int_id", "probe_id")
+        .orderBy("int_id", "probe_id")
+    }),
+  )
+
+  // a def, not a val: registry-aware entries read OracleLits fragments
+  // that the query functions register as they run (Verify dumps oracle
+  // SQL AFTER running every query)
+  def oracles: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id AS id, text,
+        |  greatest(CAST(floor(length(text) / 4) AS INT), 1) AS n
+        |  FROM documents)
+        |SELECT id, CAST(i AS BIGINT) AS pos,
+        |  ascii(substr(text, (i - 1) * 4 + 1, 1)) AS byte
+        |FROM f, LATERAL (SELECT unnest(range(1, n + 1)) AS i) t
+        |ORDER BY id, pos""".stripMargin,
+
+    // ascii corpus ⇒ substr-by-char == substr-by-byte (same contract as
+    // mm_frame_sample's oracle)
+    "mm_resize" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN length(text) > 0 THEN 16 ELSE 0 END AS n_bytes,
+        |  md5(CASE WHEN length(text) > 0 THEN array_to_string(
+        |    list_transform(range(1, 17), i -> substr(text,
+        |      CAST(floor((i - 1) * length(text) / 16.0) AS INT) + 1, 1)),
+        |    '') ELSE '' END) AS payload_md5
+        |FROM documents ORDER BY id""".stripMargin,
+
+    "mm_payload_features" ->
+      """SELECT doc_id AS id, 'text' AS modality, source,
+        |CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_hash
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // chunk boundaries are BYTE offsets on the Spark side; the oracle
+    // chunks the VARCHAR by char position — identical for this corpus
+    // (ASCII-only, asserted by the n_chars/strlen parity other mm oracles
+    // rely on); md5(varchar) hashes the substring's UTF-8 bytes in both
+    "mm_chunk_dedup" ->
+      """WITH m AS (SELECT doc_id AS id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+        |ch AS (SELECT id, list_distinct(list_transform(
+        |    range(1, CAST(ceil(strlen(text) / 64.0) AS INT) + 1),
+        |    i -> md5(substring(text, CAST((i - 1) * 64 + 1 AS INT), 64)))) AS hs
+        |  FROM m WHERE strlen(text) > 0),
+        |f AS (SELECT id, unnest(hs) AS h FROM ch),
+        |nc AS (SELECT id, len(hs) AS n FROM ch),
+        |rare AS (SELECT h FROM f GROUP BY h HAVING count(*) <= 50),
+        |fk AS (SELECT f.id, f.h FROM f JOIN rare USING (h)),
+        |p AS (SELECT x.id AS a, y.id AS b, count(*) AS shared
+        |  FROM fk x JOIN fk y USING (h) WHERE x.id < y.id GROUP BY 1, 2)
+        |SELECT p.a, p.b, CAST(p.shared AS BIGINT) AS shared,
+        |  CAST(x.n AS BIGINT) AS na, CAST(y.n AS BIGINT) AS nb
+        |FROM p JOIN nc x ON p.a = x.id JOIN nc y ON p.b = y.id
+        |WHERE p.shared * 10000 >= least(x.n, y.n) * 8000
+        |ORDER BY a, b""".stripMargin,
+
+    "mm_decode_stub" ->
+      """WITH b AS (SELECT doc_id AS id, strlen(text) AS n,
+        |  list_sum(list_transform(range(1, strlen(text) + 1),
+        |    i -> ascii(substr(text, i, 1)))) AS bsum
+        |  FROM documents)
+        |SELECT id, CAST(n % 640 + 1 AS INT) AS width,
+        |  CAST(bsum % 480 + 1 AS INT) AS height
+        |FROM b ORDER BY id""".stripMargin,
+
+    // bucket ranks from the registered sketch cuts; the Morton interleave
+    // is integer arithmetic (bit i of rank → weight 4^i, b-side doubled)
+    // — exact on any engine. Fallback (query never ran): ntile ranks,
+    // which approximate the sketch buckets (rows/schema-grade only).
+    "layout_zorder" -> {
+      // spread derives from the SAME zorderBits the query uses: bit i of
+      // the rank lands at weight 4^i (b-side doubled) — a bits bump can
+      // not silently truncate the oracle's interleave
+      def spread(x: String): String =
+        (0 until zorderBits).map { i =>
+          val div = 1 << i
+          s"((($x) // $div) % 2) * ${1L << (2 * i)}"
+        }.mkString(" + ")
+      val nb = 1 << zorderBits
+      val (ra, rb) = (OracleLits.get("zorder_ra"), OracleLits.get("zorder_rb")) match {
+        case (Some(a), Some(b)) => (a, b)
+        case _ => (s"ntile($nb) OVER (ORDER BY l_orderkey) - 1",
+          s"ntile($nb) OVER (ORDER BY l_partkey) - 1")
+      }
+      s"""WITH r AS (SELECT l_orderkey, l_linenumber, l_partkey,
+         |  $ra AS ra, $rb AS rb FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, l_partkey,
+         |  CAST(${spread("ra")} + 2 * (${spread("rb")}) AS BIGINT) AS zv
+         |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+    "pipeline_curation" ->
+      s"""$curationChainCtes
+         |SELECT predicted_lang, count(*) AS n_docs FROM ex
+         |WHERE doc_id NOT IN (SELECT id FROM dup)
+         |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin,
+
+    // survivors (ex minus dup) joined back to feat's token counts, then
+    // the repeat-epochs arithmetic (int64 div/%) grouped by language
+    "pipeline_pretrain_mix" ->
+      s"""$curationChainCtes,
+         |kept AS (SELECT ex.doc_id, ex.predicted_lang, f.n_tokens
+         |  FROM ex JOIN feat f ON f.doc_id = ex.doc_id
+         |  WHERE ex.doc_id NOT IN (SELECT id FROM dup)),
+         |tot AS (SELECT predicted_lang, sum(n_tokens) AS t
+         |  FROM kept GROUP BY 1),
+         |pl AS (SELECT predicted_lang, t,
+         |  CASE WHEN t > 0 THEN ((60000 * (CASE predicted_lang
+         |    WHEN 'en' THEN 4000 ELSE 1000 END)) // 10000) // t
+         |    ELSE 0 END AS fe,
+         |  CASE WHEN t > 0 THEN ((60000 * (CASE predicted_lang
+         |    WHEN 'en' THEN 4000 ELSE 1000 END)) // 10000) % t
+         |    ELSE 0 END AS rem FROM tot),
+         |cum AS (SELECT k.doc_id, k.predicted_lang, k.n_tokens,
+         |  sum(k.n_tokens) OVER (PARTITION BY k.predicted_lang ORDER BY
+         |    CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 10000, k.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM kept k),
+         |ep AS (SELECT cum.predicted_lang, cum.n_tokens,
+         |  pl.fe + (CASE WHEN cum.c - cum.n_tokens < pl.rem
+         |    THEN 1 ELSE 0 END) AS epochs
+         |  FROM cum JOIN pl USING (predicted_lang))
+         |SELECT predicted_lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+         |  CAST(sum(n_tokens * epochs) AS BIGINT) AS served_tokens,
+         |  CAST(max(epochs) AS BIGINT) AS max_epochs,
+         |  CAST(sum(CASE WHEN epochs = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pruned
+         |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every input doc labeled with the stage that dropped it
+    "pipeline_provenance" ->
+      s"""$curationChainCtes
+         |SELECT u0.doc_id, CASE
+         |  WHEN qf.doc_id IS NULL THEN 'quality_fail'
+         |  WHEN ex.doc_id IS NULL THEN 'exact_dup'
+         |  WHEN dup.id IS NOT NULL THEN 'near_dup'
+         |  ELSE 'kept' END AS stage
+         |FROM u0
+         |LEFT JOIN qf ON u0.doc_id = qf.doc_id
+         |LEFT JOIN ex ON u0.doc_id = ex.doc_id
+         |LEFT JOIN dup ON u0.doc_id = dup.id
+         |ORDER BY u0.doc_id""".stripMargin,
+
+    // Not DuckDB's ASOF JOIN: on equal-ts purchases ASOF picks an arbitrary
+    // row, while Temporal.asOfJoin deterministically picks the greatest
+    // payload struct — the window below mirrors that tie-break exactly.
+    "join_asof" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, p_event_id, p_value FROM (
+        |  SELECT l.event_id, r.p_event_id, r.p_value, row_number() OVER (
+        |    PARTITION BY l.event_id
+        |    ORDER BY r.ts DESC, r.p_event_id DESC, r.p_value DESC) AS rn
+        |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "join_range" ->
+      """WITH i AS (SELECT event_id AS int_id, user_id, ts AS start_ts,
+        |  ts + INTERVAL 12 HOUR AS end_ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |p AS (SELECT event_id AS probe_id, user_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT int_id, probe_id FROM i JOIN p ON i.user_id = p.user_id
+        |  AND p.ts >= i.start_ts AND p.ts <= i.end_ts
+        |ORDER BY int_id, probe_id""".stripMargin,
+  )
+}

@@ -1,0 +1,411 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.scale.{Dedup, Multimodal, Pq, Sampling, Similarity, Temporal, TextAnalysis}
+import ScaleShared._
+
+/** Sampling family: deterministic/stratified/weighted/temperature
+  * sampling, splits, token budgets, sequence packing, DSIR, epoch plans.
+  *
+  * Mechanically split out of the former single-file ScaleQueries registry;
+  * each family owns its queries AND their DuckDB oracle SQL. */
+object SamplingQueries {
+
+  val queries: Map[String, QF] = Map(
+    // Deterministic id-hash sampling (~25%): reproducible across runs,
+    // engines, and partitionings — no RNG
+    "samp_hash" -> ((s, d) =>
+      Sampling.deterministicSample(docs(s, d), "doc_id", 0.25)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Stratified quota sample: ≤20 docs per language, id-hash order
+    "samp_stratified" -> ((s, d) =>
+      Sampling.stratifiedQuota(docs(s, d), "lang", "doc_id", 20)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Cluster-balanced sampling (topic balancing over the embedding space
+    // — the DataComp-style curation knob): k-means cells, then an equal
+    // per-cluster quota under the deterministic id-hash order — dominant
+    // topics downsampled, rare topics kept in full. Composes the semdedup
+    // assignment (1 Lloyd's round) with the skew-safe salted quota window
+    "samp_cluster_balance" -> ((s, d) => {
+      val e = emb(s, d)
+      val assigned = Similarity.assignToNearest(e,
+        Similarity.kmeansFit(e, "vec_id", "embedding", k = 4, iters = 1),
+        "vec_id", "embedding")
+      Sampling.stratifiedQuota(
+          assigned.select(col("vec_id"), col("assigned").as("cluster")),
+          "cluster", "vec_id", 60)
+        .select("vec_id", "cluster").orderBy("vec_id")
+    }),
+
+    // Weighted deterministic sample: inclusion probability ∝ token count
+    // (20 bp per token ⇒ a 500-token doc is always kept) — integer-exact,
+    // engine-portable, zero shuffles
+    "samp_weighted" -> ((s, d) =>
+      Sampling.weightedSample(docs(s, d), "doc_id",
+        size(TextAnalysis.tokens(col("text"))), 20)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Language-temperature resample (α = 0.3): common languages
+    // downsampled toward p^α, rarest kept in full — deterministic id-hash
+    // selection against driver-computed per-language basis points
+    "samp_temperature" -> ((s, d) =>
+      Sampling.temperatureSample(docs(s, d), "lang", "doc_id",
+        alphaBp = 3000)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Data-constrained repeat planning (Muennighoff '23): per-source token
+    // targets from a mixture, sources smaller than their target repeated —
+    // full epochs by integer division + a hash-ordered partial prefix for
+    // the remainder; pure-int64 plan (div/%, no float division)
+    "samp_repeat_epochs" -> ((s, d) =>
+      Sampling.repeatEpochs(
+        docs(s, d).withColumn("n_tokens",
+          size(TextAnalysis.tokens(col("text"))).cast("long")),
+        "source", "doc_id", "n_tokens", budgetTokens = 50000L,
+        weightsBp = Map("src0" -> 2000, "src1" -> 1000), defaultBp = 350)
+        .select("doc_id", "source", "n_tokens", "epochs")
+        .orderBy("doc_id")),
+
+    // Repeat plan → epoch instances → fixed-context packing: the two
+    // int64 machines composed (instance id = doc_id·1000 + epoch, a
+    // deterministic dense order key); spans stay integer-exact end-to-end
+    "samp_pack_epochs" -> ((s, d) => {
+      val dd = docs(s, d).withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+      val planned = Sampling.repeatEpochs(dd, "source", "doc_id",
+        "n_tokens", budgetTokens = 50000L,
+        weightsBp = Map("src0" -> 2000, "src1" -> 1000), defaultBp = 350)
+      val inst = planned.filter(col("epochs") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+        .select((col("doc_id") * 1000 + col("epoch")).as("inst_id"),
+          col("n_tokens"))
+      Sampling.packSequences(inst, "inst_id", "n_tokens", 512L)
+        .orderBy("inst_id", "seq_id")
+    }),
+
+    // DSIR importance weights: how target-like (here: English-distributed)
+    // each doc's hashed-token profile is — bucket-ratio model built in one
+    // bounded agg, scoring zero-shuffle (Sampling.importanceWeights); the
+    // 256 quantized log-ratios are registered for the oracle (OracleLits)
+    "dsir_weights" -> ((s, d) => {
+      val dd = docs(s, d)
+      val ratios = Sampling.importanceRatios(dd, "text", col("lang") === "en")
+      registerDsirRatios(ratios)
+      // gate surface is the int64 micro weight (weight × 10⁶ exactly) —
+      // pattern-1 cross-engine contract; `importanceWeights` keeps the
+      // decimal view for library callers
+      Sampling.importanceWeightsMicroFromRatios(dd, "text", ratios)
+        .select("doc_id", "weight_micro").orderBy("doc_id")
+    }),
+
+    // DSIR selection: the 50 most target-like docs under the deterministic
+    // (weight desc, id) total order — TakeOrderedAndProject, no global
+    // sort; the ORDER itself is integer-exact (micro weights)
+    "dsir_select" -> ((s, d) => {
+      val dd = docs(s, d)
+      val ratios = Sampling.importanceRatios(dd, "text", col("lang") === "en")
+      registerDsirRatios(ratios)
+      Sampling.importanceWeightsMicroFromRatios(dd, "text", ratios)
+        .orderBy(col("weight_micro").desc, col("doc_id").asc).limit(50)
+        .select("doc_id", "weight_micro")
+    }),
+
+    // Sharded dataset export: the holdout split written as a
+    // split-partitioned parquet layout and read back — per-split counts
+    // prove the partitioned write path end-to-end. The export lands in a
+    // per-session FIXED dir (overwritten), so repeated invocations
+    // (Prof/Bench/Verify) cap at one copy instead of leaking temp dirs
+    "samp_split_export" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_split_" +
+        s.sparkContext.applicationId
+      Sampling.holdoutSplit(docs(s, d), "doc_id", valBp = 1000, testBp = 1000)
+        .write.mode("overwrite").partitionBy("split").parquet(out)
+      s.read.parquet(out)
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .select(col("split").cast("string").as("split"), col("n_docs"))
+        .orderBy("split")
+    }),
+
+    // Deterministic 80/10/10 train/val/test split (leakage-stable: a row's
+    // split never changes as the corpus grows)
+    "samp_split" -> ((s, d) =>
+      Sampling.holdoutSplit(docs(s, d), "doc_id", valBp = 1000, testBp = 1000)
+        .select("doc_id", "split").orderBy("doc_id")),
+
+    // Dedup-aware split: duplicate clusters (LSH pairs -> components)
+    // land in one split atomically — no train/test near-dup leakage
+    "samp_leakage_split" -> ((s, d) => {
+      val dd = docsWithDups(s, d)
+      Sampling.leakageSafeSplit(dd, "doc_id", ccLabels(s, d),
+        valBp = 1000, testBp = 1000)
+        .select("doc_id", "component", "split").orderBy("doc_id")
+    }),
+
+    // Curriculum bucketing: length deciles via the scale path — a
+    // fixed-size quantile sketch + zero-shuffle comparison against its
+    // broadcast cut-points (exact `ntile` would funnel the WHOLE corpus
+    // through one task: a global-order window does not partition). The
+    // sketch cuts are registered for the oracle (OracleLits — a KLL/GK
+    // sketch is engine-specific, so the oracle takes them as given and
+    // recomputes the data-sized assignment). Legacy exact-ntile form kept
+    // behind spark.graft.lengthDecile.ntile=true
+    "samp_length_decile" -> ((s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      if (s.conf.getOption("spark.graft.lengthDecile.ntile").contains("true")) {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_tokens"), col("doc_id"))
+        base.withColumn("decile", ntile(10).over(w).cast("long"))
+          .orderBy("doc_id")
+      } else {
+        val cuts = Sampling.quantileCuts(base, "n_tokens", 10)
+        OracleLits.put("len_decile_cuts",
+          OracleLits.sqlCase("n_tokens", cuts.toSeq, base = 1))
+        Sampling.bucketsFromCuts(base, "n_tokens", cuts)
+          .withColumnRenamed("bucket", "decile")
+          .orderBy("doc_id")
+      }
+    }),
+
+    // Dataset mixing: per-source keep rates (src0 in full, src1 at 50%,
+    // everything else at 20%) in one zero-shuffle pass
+    "samp_mixture" -> ((s, d) =>
+      Sampling.mixtureSample(docs(s, d), "source", "doc_id",
+        Map("src0" -> 10000, "src1" -> 5000), defaultBp = 2000)
+        .select("doc_id", "source").orderBy("doc_id")),
+
+    // Per-domain quality cap: keep each source's 10 LONGEST docs (the
+    // "best N per domain" crawl cap) via the skew-safe two-phase window —
+    // no single task ever sorts a whole hot domain
+    "samp_source_cap" -> ((s, d) =>
+      Sampling.topPerGroup(
+          docs(s, d).select("doc_id", "source", "n_chars"),
+          "source", col("doc_id"), cap = 10,
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("source"), col("rank").cast("long").as("rank"))
+        .orderBy("doc_id")),
+
+    // Balanced eval-set construction by composition: the deterministic
+    // val split, stratified to ≤10 docs per language — splits, quotas and
+    // dedup share one id-hash family so the set is reproducible end-to-end
+    "samp_eval_set" -> ((s, d) =>
+      Sampling.stratifiedQuota(
+        Sampling.holdoutSplit(docs(s, d), "doc_id", valBp = 3000, testBp = 0)
+          .filter(col("split") === "val"),
+        "lang", "doc_id", quota = 10)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Token-budget shard packing: cut the doc_id-ordered corpus into
+    // ~1000-token training shards (running-sum window)
+    "pack_token_budget" -> ((s, d) =>
+      Sampling.packByTokenBudget(
+        docs(s, d).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", 1000L)
+        .select("doc_id", "n_tokens", "shard_id").orderBy("doc_id")),
+
+    // GPT-style sequence packing: the concatenated token stream cut into
+    // fixed 512-token context windows, one row per (doc, window-overlap)
+    // with the doc's span inside the window — two-level prefix sum, no
+    // global-order window (PlanSpec pins the bucket-partitioned spec)
+    "pack_sequences" -> ((s, d) =>
+      Sampling.packSequences(
+        docs(s, d).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", 512L)
+        .orderBy("doc_id", "seq_id")),
+  )
+
+  // a def, not a val: registry-aware entries read OracleLits fragments
+  // that the query functions register as they run (Verify dumps oracle
+  // SQL AFTER running every query)
+  def oracles: Map[String, String] = Map(
+    "samp_leakage_split" -> leakageSplitSql,
+
+    "samp_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |  AS BIGINT) % 10000 < 2500
+        |ORDER BY doc_id""".stripMargin,
+
+    "samp_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        |t AS (SELECT sum(c) AS n FROM c),
+        |r AS (SELECT lang, CAST(pow(c * 1.0 / n,
+        |    (3000 - 10000) / 10000.0) AS DECIMAL(18,6)) AS r6 FROM c, t),
+        |m AS (SELECT max(r6) AS mx FROM r),
+        |k AS (SELECT lang, CAST(round(10000.0 * CAST(r6 AS DOUBLE)
+        |    / CAST(mx AS DOUBLE)) AS BIGINT) AS keep_bp FROM r, m)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN k USING (lang)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 10000 < k.keep_bp
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "dsir_weights" ->
+      s"""$dsirCte
+         |SELECT d.doc_id, CAST(coalesce(s.w, 0) AS BIGINT) AS weight_micro
+         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "dsir_select" ->
+      s"""$dsirCte
+         |SELECT d.doc_id, CAST(coalesce(s.w, 0) AS BIGINT) AS weight_micro
+         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |ORDER BY weight_micro DESC, d.doc_id LIMIT 50""".stripMargin,
+
+    // int64 throughout: sum() over BIGINT is HUGEINT in DuckDB — `//` and
+    // `%` stay exact on it; the final cast narrows the compared surface
+    "samp_repeat_epochs" ->
+      s"""WITH $repeatEpochsCtes
+         |SELECT doc_id, source, n_tokens, epochs FROM epr
+         |ORDER BY doc_id""".stripMargin,
+
+    // repeat plan → one row per epoch instance → the pack cumsum over the
+    // instance order (the pack_sequences oracle shape on instance ids)
+    "samp_pack_epochs" ->
+      s"""WITH $repeatEpochsCtes,
+         |inst AS (SELECT doc_id * 1000 + e AS inst_id, n_tokens
+         |  FROM (SELECT doc_id, n_tokens,
+         |    unnest(range(1, epochs + 1)) AS e
+         |    FROM epr WHERE epochs > 0)),
+         |pc AS (SELECT inst_id, n_tokens, sum(n_tokens) OVER (
+         |  ORDER BY inst_id ROWS UNBOUNDED PRECEDING) AS cum FROM inst),
+         |ps AS (SELECT inst_id, CAST(cum - n_tokens AS BIGINT) AS st,
+         |    CAST(cum AS BIGINT) AS en
+         |  FROM pc WHERE n_tokens > 0),
+         |pe AS (SELECT inst_id, st, en,
+         |  unnest(range(st // 512, ((en - 1) // 512) + 1)) AS seq_id
+         |  FROM ps)
+         |SELECT inst_id, seq_id,
+         |  CAST(greatest(st, seq_id * 512) - seq_id * 512 AS BIGINT)
+         |    AS start_in_seq,
+         |  CAST(least(en, (seq_id + 1) * 512) - greatest(st, seq_id * 512)
+         |    AS BIGINT) AS n_in_seq
+         |FROM pe ORDER BY inst_id, seq_id""".stripMargin,
+
+    "samp_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 10000, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "samp_weighted" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 10000
+        |  < least(10000, 20 * len(list_filter(
+        |      string_split_regex(trim(text), '\s+'), t -> t != '')))
+        |ORDER BY doc_id""".stripMargin,
+
+    "samp_split_export" ->
+      """SELECT CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test'
+        |    ELSE 'train' END AS split, count(*) AS n_docs
+        |FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |  AS BIGINT) % 10000 AS b FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "samp_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test'
+        |    ELSE 'train' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 10000 AS b FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // bucket assignment against the engine's registered sketch cut-points
+    // (fallback: the legacy exact-ntile form, matching the flag-gated path)
+    "samp_length_decile" -> {
+      val body = OracleLits.get("len_decile_cuts") match {
+        case Some(cases) =>
+          s"CAST($cases AS BIGINT) AS decile"
+        case None =>
+          "CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS decile"
+      }
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |    x -> x != '')) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT doc_id, n_tokens, $body
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "samp_mixture" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 10000
+        |  < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+        |      ELSE 2000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "samp_source_cap" ->
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "samp_eval_set" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 10000, doc_id) AS rn
+        |  FROM documents
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 10000 < 3000)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "pack_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t != '')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 1000) AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the oracle's global-order running sum is the SPEC of the engine's
+    // two-level prefix sum: identical offsets, pure integer spans
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t != '')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |s AS (SELECT doc_id, CAST(cum - n_tokens AS BIGINT) AS st,
+        |    CAST(cum AS BIGINT) AS en
+        |  FROM c WHERE n_tokens > 0),
+        |e AS (SELECT doc_id, st, en,
+        |  unnest(range(st // 512, ((en - 1) // 512) + 1)) AS seq_id FROM s)
+        |SELECT doc_id, seq_id,
+        |  CAST(greatest(st, seq_id * 512) - seq_id * 512 AS BIGINT)
+        |    AS start_in_seq,
+        |  CAST(least(en, (seq_id + 1) * 512) - greatest(st, seq_id * 512)
+        |    AS BIGINT) AS n_in_seq
+        |FROM e ORDER BY doc_id, seq_id""".stripMargin,
+
+    // a2 = assignment by the 1-round centroids (c1), matching kmeansFit(1)
+    // + assignToNearest; the quota window replicates stratifiedQuota's
+    // deterministic (id-hash, id) order
+    "samp_cluster_balance" ->
+      s"""WITH $kmeansCtes,
+         |asg AS (SELECT vec_id, label AS cluster FROM a2),
+         |sel AS (SELECT vec_id, cluster, row_number() OVER (
+         |  PARTITION BY cluster ORDER BY
+         |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 10000, vec_id) AS rn FROM asg)
+         |SELECT vec_id, cluster FROM sel WHERE rn <= 60
+         |ORDER BY vec_id""".stripMargin,
+  )
+}

@@ -1,3957 +1,35 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
-import graft.Tables
-import graft.scale.{Dedup, Multimodal, Pq, Sampling, Similarity, Temporal, TextAnalysis}
-
-/** LLM-training-data-pipeline queries: dedup (exact / MinHash-LSH / SimHash /
-  * n-gram Jaccard / embedding cosine), ANN similarity search, text analysis,
-  * multimodal plumbing. Each paired with a DuckDB oracle where the
-  * computation is SQL-expressible; the MinHash/SimHash oracles replicate the
-  * cross-engine-stable MD5-derived hash family. */
+/** LLM-training-data-pipeline query registry: the union of the
+  * per-family modules (dedup / ANN+embedding / sketches / streaming /
+  * text / sampling / pipeline). Each family file owns its queries AND
+  * their DuckDB oracle SQL; this object is the stable aggregation
+  * point consumed by [[graft.SparkEntry]]. */
 object ScaleQueries {
-  type QF = (SparkSession, String) => DataFrame
+  type QF = ScaleShared.QF
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
-
-  /** Shared by the tx_blocklist query and its oracle (single source of
-    * truth for the screened terms). */
-  private val blocklistTerms = Seq("slow", "legacy", "broken")
-
-  /** documents ∪ (shifted-id copy) — a corpus with known exact duplicates. */
-  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select("doc_id", "text")
-    d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
+  private def disjointUnion[V](maps: Seq[Map[String, V]]): Map[String, V] = {
+    val union = maps.reduce(_ ++ _)
+    // a duplicate name across family modules would silently shadow one
+    // implementation with another — fail at first touch instead
+    require(union.size == maps.map(_.size).sum,
+      "duplicate query name across scale-query family modules")
+    union
   }
 
-  /** Build (once per session × sf-dir) the persisted "yesterday" state the
-    * incremental-CC query consumes: the corpus minhash signatures and its
-    * star-forest labels, written as parquet under a session-fixed dir.
-    * This is the operator's deployed shape — incremental clustering reads
-    * yesterday's PERSISTED labels; it never re-clusters history. Returns
-    * the state dir. Bench calls this in its untimed warmup so the timed
-    * entry measures only the incremental path. */
-  /** Session × sf-dir keyed scratch dir for memoized state, built at most
-    * once (the `_DONE` marker): `build` runs only on first request, and
-    * the dir is reaped on JVM exit. Full-path digest, not String.hashCode:
-    * two sf dirs colliding on a 32-bit hash in one application would
-    * silently reuse the WRONG state. */
-  private def sessionStateDir(s: SparkSession, dir: String, prefix: String)(
-      build: String => Unit): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    val base = s"${System.getProperty("java.io.tmpdir")}/$prefix" +
-      s"${s.sparkContext.applicationId}_$key"
-    val done = new java.io.File(s"$base/_DONE")
-    if (!done.exists()) {
-      build(base)
-      done.createNewFile()
-      // the dir is session-keyed, so no other JVM reuses it — reap it on
-      // exit rather than accumulating one state copy per harness run
-      // (only a crashed JVM leaves one behind)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(base)))
-    }
-    base
-  }
+  val queries: Map[String, QF] = disjointUnion(Seq(
+    DedupQueries.queries, AnnQueries.queries, SketchQueries.queries,
+    StreamScaleQueries.queries, TextQueries.queries, SamplingQueries.queries, PipelineQueries.queries))
+
+  def oracles: Map[String, String] = disjointUnion(Seq(
+    DedupQueries.oracles, AnnQueries.oracles, SketchQueries.oracles,
+    StreamScaleQueries.oracles, TextQueries.oracles, SamplingQueries.oracles, PipelineQueries.oracles))
 
   def ensureIncrCcState(s: SparkSession, dir: String): String =
-    sessionStateDir(s, dir, "graft_ccstate_") { base =>
-      val dd = docs(s, dir).select("doc_id", "text")
-      // the state frame feeds BOTH the labeling and the persisted copy —
-      // cache it so the shingle+signature lineage runs once
-      val state = Dedup.minhashState(dd, "doc_id", "text", 16, 3).cache()
-      state.write.mode("overwrite").parquet(s"$base/minhash")
-      Dedup.connectedComponents(
-          Dedup.minhashCandidatesFromState(state, 16, 4, 0.9))
-        .write.mode("overwrite").parquet(s"$base/labels")
-      state.unpersist()
-    }
+    ScaleShared.ensureIncrCcState(s, dir)
 
-  /** Memoized duplicate-cluster labels over [[docsWithDups]]: FOUR queries
-    * (dedup_components, dedup_cluster_stats, dedup_best_survivor,
-    * samp_leakage_split) consume the same LSH→connected-components
-    * labeling, and in a deployed pipeline the labels are computed once and
-    * reused by every downstream stage — so the session materializes them
-    * once per sf dir (parquet-backed, the [[ensureIncrCcState]] pattern)
-    * instead of paying the CC loop four times. Each query's ORACLE still
-    * re-derives the components independently, so the memoization is
-    * perf-only, never a correctness shortcut. */
-  def ccLabels(s: SparkSession, dir: String): DataFrame = {
-    val base = sessionStateDir(s, dir, "graft_cclabels_") { b =>
-      Dedup.connectedComponents(
-          Dedup.minhashCandidates(docsWithDups(s, dir), "doc_id", "text",
-            k = 16, bands = 4, jaccardThreshold = 0.9))
-        .write.mode("overwrite").parquet(s"$b/labels")
-    }
-    s.read.parquet(s"$base/labels")
-  }
-
-  private def deleteTree(path: String): Unit = {
-    val f = new java.io.File(path)
-    // listFiles() is null for an unreadable/raced dir — never NPE inside
-    // a shutdown hook
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty)
-        .foreach(c => deleteTree(c.getPath))
-    f.delete(): Unit
-  }
-
-  /** Bits per dimension for the layout_zorder gate query — ONE constant
-    * shared by the Spark query and the oracle's generated interleave. */
-  private val zorderBits = 4
-
-  /** Register the DSIR bucket log-ratio table for the oracle (shared by
-    * dsir_weights and dsir_select — same model, same constants). The
-    * ratios ship as exact MICRO-UNIT integers (6-decimal value × 10⁶) so
-    * the oracle's whole scoring path is int64 arithmetic — no decimal
-    * literal for any SQL engine build to parse differently. */
-  private def registerDsirRatios(ratios: IndexedSeq[BigDecimal]): Unit =
-    OracleLits.put("dsir_ratios",
-      ratios.zipWithIndex.map { case (r, i) =>
-        s"($i, ${r.setScale(6).bigDecimal.movePointRight(6).longValueExact})"
-      }.mkString("(VALUES ", ", ", ") AS t(b, lrm)"))
-
-  val queries: Map[String, QF] = Map(
-    // Exact dedup: hash-partitioned groupBy on content fingerprint
-    "dedup_exact" -> ((s, d) =>
-      Dedup.exact(docsWithDups(s, d), "doc_id", "text").orderBy("keep_id")),
-
-    // Exact-dedup survivors (ranking-window formulation, min id wins)
-    "dedup_survivors" -> ((s, d) =>
-      Dedup.exactSurvivors(docsWithDups(s, d), "doc_id", "text")
-        .select("doc_id").orderBy("doc_id")),
-
-    // SRP-LSH bucket ids (deterministic hyperplanes from dim index)
-    "sim_srp_bucket" -> ((s, d) =>
-      emb(s, d).select(col("vec_id"),
-        Similarity.srpBucket(col("embedding"), 8).as("bucket"))
-        .orderBy("vec_id")),
-
-    // Token counting: whitespace + subword (BPE-ish regex) tokenizers
-    "tx_token_count" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
-        size(TextAnalysis.subwordTokens(col("text"))).cast("long")
-          .as("n_subword_tokens"))
-        .orderBy("doc_id")),
-
-    // MinHash signatures (k=16, MD5-derived affine permutations)
-    "dedup_minhash_sig" -> ((s, d) =>
-      docs(s, d)
-        .withColumn("tk", array_distinct(TextAnalysis.tokens(lower(col("text")))))
-        .withColumn("hashed", Dedup.hashedElems(col("tk")))
-        .select(col("doc_id"),
-          concat_ws("-", transform(Dedup.minhashFromHashes(col("hashed"), 16),
-            x => x.cast("string"))).as("sig"))
-        .orderBy("doc_id")),
-
-    // Banded-LSH candidate pairs + exact-Jaccard verification
-    "dedup_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashCandidates(docsWithDups(s, d), "doc_id", "text",
-        k = 16, bands = 4, jaccardThreshold = 0.9)
-        .orderBy("id_a", "id_b")),
-
-    // Multimodal frame sampling: every stride-th payload byte (the
-    // video-frame-subsample plumbing shape, codec-free)
-    "mm_frame_sample" -> ((s, d) =>
-      Multimodal.frameSample(
-        Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"), 4)
-        .select(col("id"), posexplode(col("frame_bytes")))
-        .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
-          col("col").as("byte"))
-        .orderBy("id", "pos")),
-
-    // Multimodal resize: byte-axis nearest-neighbor to 16 bytes; digest +
-    // tracked size prove the payload→payload reconstruction
-    "mm_resize" -> ((s, d) =>
-      Multimodal.resizePayload(
-        Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"), 16)
-        .select(col("id"), col("meta.n_bytes").as("n_bytes"),
-          md5(col("payload")).as("payload_md5"))
-        .orderBy("id")),
-
-    // Segment-level dedup (C4-style boilerplate removal): duplicate docs'
-    // segments all dedup away; each doc reassembles from survivors
-    "dedup_segments" -> ((s, d) =>
-      Dedup.segmentDedup(docsWithDups(s, d), "doc_id", "text", 10)
-        .orderBy("doc_id")),
-
-    // Incremental exact dedup: a new batch dedups against persisted
-    // fingerprint state — history is never re-scanned (state: docs < 250;
-    // batch: the rest plus a full duplicate copy of the corpus)
-    "dedup_incr_exact" -> ((s, d) => {
-      val dd = docs(s, d).select("doc_id", "text")
-      val state = Dedup.exactState(
-        dd.filter(col("doc_id") < 250), "doc_id", "text")
-      val batch = docsWithDups(s, d).filter(col("doc_id") >= 250)
-      Dedup.exactIncremental(state, batch, "doc_id", "text")._1
-        .select("doc_id").orderBy("doc_id")
-    }),
-
-    // Incremental fuzzy dedup: the batch's signatures band-join the stored
-    // corpus state; only pairs with a batch endpoint emit
-    "dedup_incr_minhash" -> ((s, d) => {
-      val dd = docs(s, d).select("doc_id", "text")
-      val state = Dedup.minhashState(dd, "doc_id", "text", 16, 3)
-      val batch = dd.withColumn("doc_id", col("doc_id") + 10000)
-      Dedup.minhashIncremental(state, batch, "doc_id", "text",
-        k = 16, bands = 4, jaccardThreshold = 0.9, shingleN = 3)._1
-        .orderBy("id_a", "id_b")
-    }),
-
-    // Streaming corpus dedup driven as two batches (history priority = id
-    // order here, so the folded result equals global exact survivors —
-    // the composition property PropertySpec proves; threshold > 1 disables
-    // the fuzzy drop so the oracle stays exact-only, while the near path
-    // is oracle-covered by dedup_incr_minhash and spec-covered end-to-end)
-    "st_stream_dedup" -> ((s, d) => {
-      val corpus = java.nio.file.Files.createTempDirectory("graft_sdq_c").toString
-      val state = java.nio.file.Files.createTempDirectory("graft_sdq_s").toString
-      val dd = docs(s, d).select("doc_id", "text")
-      graft.streaming.StreamDedup.applyBatch(s,
-        dd.filter(col("doc_id") < 250), 0L, "doc_id", "text",
-        corpus, state, jaccardThreshold = 1.1)
-      graft.streaming.StreamDedup.applyBatch(s,
-        docsWithDups(s, d).filter(col("doc_id") >= 250), 1L, "doc_id", "text",
-        corpus, state, jaccardThreshold = 1.1)
-      s.read.parquet(corpus).select("doc_id").orderBy("doc_id")
-    }),
-
-    // Streaming CMS maintenance: two micro-batches fold into per-batch
-    // grids (linear counters — no read-modify-write state), a replayed
-    // batch short-circuits on its commit marker, and the live sketch is
-    // the cell-wise sum over committed grids — which must equal the
-    // full-corpus grid the oracle recomputes
-    "st_cms_update" -> ((s, d) => {
-      val grid = java.nio.file.Files.createTempDirectory("graft_scm_g").toString
-      val state = java.nio.file.Files.createTempDirectory("graft_scm_s").toString
-      val dd = docs(s, d)
-      def tokOf(df: DataFrame) = df.select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
-      graft.streaming.StreamSketch.applyBatch(s,
-        tokOf(dd.filter(col("doc_id") < 250)), 0L, "source", "tok",
-        grid, state, depth = 4, width = 256)
-      graft.streaming.StreamSketch.applyBatch(s,
-        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
-        grid, state, depth = 4, width = 256)
-      // at-least-once replay of a committed batch must be a no-op
-      val replay = graft.streaming.StreamSketch.applyBatch(s,
-        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
-        grid, state, depth = 4, width = 256)
-      require(replay.replaySkipped, "committed batch replay was not skipped")
-      graft.streaming.StreamSketch.currentSketch(s, grid, state)
-        .select(col("grp").as("source"),
-          col("row_j").cast("long").as("row_j"), col("bucket"), col("cnt"))
-        .orderBy("source", "row_j", "bucket")
-    }),
-
-    // Streaming AMS maintenance: per-batch signed-counter vectors summed
-    // at read time must equal the full-corpus vector (linear counters —
-    // the st_cms_update contract for the F2/repetition-mass monitor)
-    "st_ams_update" -> ((s, d) => {
-      val grid = java.nio.file.Files.createTempDirectory("graft_sam_g").toString
-      val state = java.nio.file.Files.createTempDirectory("graft_sam_s").toString
-      val dd = docs(s, d)
-      def tokOf(df: DataFrame) = df.select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
-      graft.streaming.StreamSketch.applyAmsBatch(s,
-        tokOf(dd.filter(col("doc_id") < 250)), 0L, "source", "tok",
-        grid, state, r = 8)
-      graft.streaming.StreamSketch.applyAmsBatch(s,
-        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
-        grid, state, r = 8)
-      val replay = graft.streaming.StreamSketch.applyAmsBatch(s,
-        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
-        grid, state, r = 8)
-      require(replay.replaySkipped, "committed batch replay was not skipped")
-      graft.streaming.StreamSketch.currentAms(s, grid, state)
-        .select(col("grp").as("source"),
-          col("est_i").cast("long").as("est_i"), col("z"))
-        .orderBy("source", "est_i")
-    }),
-
-    // Streaming HLL distinct-count maintenance: per-batch mergeable
-    // sketch states union to the live estimate (the sk_hll_rollup
-    // two-level pattern kept fresh by a stream); gate = exact per-group
-    // distinct + the within-10% accuracy verdict, both DuckDB-derivable
-    "st_hll_update" -> ((s, d) => {
-      val grid = java.nio.file.Files.createTempDirectory("graft_shl_g").toString
-      val state = java.nio.file.Files.createTempDirectory("graft_shl_s").toString
-      val li = Tables.load(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_orderkey"))
-      graft.streaming.StreamSketch.applyHllBatch(s,
-        li.filter(col("l_orderkey") % 2 === 0), 0L, "l_returnflag",
-        "l_orderkey", grid, state)
-      graft.streaming.StreamSketch.applyHllBatch(s,
-        li.filter(col("l_orderkey") % 2 =!= 0), 1L, "l_returnflag",
-        "l_orderkey", grid, state)
-      val replay = graft.streaming.StreamSketch.applyHllBatch(s,
-        li.filter(col("l_orderkey") % 2 =!= 0), 1L, "l_returnflag",
-        "l_orderkey", grid, state)
-      require(replay.replaySkipped, "committed batch replay was not skipped")
-      val exact = li.groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_orderkey")).as("exact_cnt"))
-      graft.streaming.StreamSketch.currentDistinct(s, grid, state)
-        .withColumnRenamed("grp", "l_returnflag")
-        .join(exact, Seq("l_returnflag"))
-        .select(col("l_returnflag"), col("exact_cnt"),
-          (abs(col("approx") - col("exact_cnt")) <=
-            col("exact_cnt") * 0.1).as("within_10pct"))
-        .orderBy("l_returnflag")
-    }),
-
-    // Streaming index maintenance: bootstrap batch trains + publishes the
-    // codebook (versioned state), the second batch encodes against it
-    // frozen and appends idempotently — the oracle independently retrains
-    // on the bootstrap ids and encodes the whole corpus, proving the
-    // stream's code table equals a from-scratch build
-    "st_index_update" -> ((s, d) => {
-      val codes = java.nio.file.Files.createTempDirectory("graft_si_c").toString
-      val state = java.nio.file.Files.createTempDirectory("graft_si_s").toString
-      val e = emb(s, d).select("vec_id", "embedding")
-      graft.streaming.StreamIndex.applyBatch(s,
-        e.filter(col("vec_id") < 250), 0L, "vec_id", "embedding",
-        codes, state)
-      graft.streaming.StreamIndex.applyBatch(s,
-        e.filter(col("vec_id") >= 250), 1L, "vec_id", "embedding",
-        codes, state)
-      s.read.parquet(codes)
-        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
-          col("code"))
-        .orderBy("vec_id", "subspace")
-    }),
-
-    // Drift-triggered PQ retraining end-to-end: bootstrap trains on the
-    // label-0 region; the second batch is every other cluster SCALED by
-    // exactly 2 (a deterministic distribution-shift proxy — x*2 is exact
-    // in IEEE float AND double, so both engines see bit-identical drifted
-    // vectors), whose err/n is far beyond 1.5x the stored training
-    // baseline — the state machine MUST publish codebook v2 and encode
-    // that batch, and only it, under v2 (history keeps its v1 codes
-    // untouched). The requires make a silent non-trigger fail the gate
-    // loudly instead of shipping v1-encoded rows the oracle would reject
-    "st_index_retrain" -> ((s, d) => {
-      val codes = java.nio.file.Files.createTempDirectory("graft_sr_c").toString
-      val state = java.nio.file.Files.createTempDirectory("graft_sr_s").toString
-      val e = emb(s, d).select("vec_id", "embedding", "label")
-      val r0 = graft.streaming.StreamIndex.applyBatch(s,
-        e.filter(col("label") === 0).select("vec_id", "embedding"),
-        0L, "vec_id", "embedding", codes, state, retrainFactorPct = 150)
-      val r1 = graft.streaming.StreamIndex.applyBatch(s,
-        e.filter(col("label") =!= 0).select(col("vec_id"),
-          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")),
-        1L, "vec_id", "embedding", codes, state, retrainFactorPct = 150)
-      require(r0.bootstrapped && !r0.retrained && r0.cbVersion == 1,
-        s"bootstrap state machine broke: $r0")
-      require(r1.retrained && r1.cbVersion == 2,
-        s"drift batch did not trigger retraining: $r1")
-      s.read.parquet(codes)
-        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
-          col("code"), col("cb_version").cast("long").as("cb_version"))
-        .orderBy("vec_id", "subspace")
-    }),
-
-    // Cross-document repeated-substring detection (Lee et al. '21
-    // analogue): fingerprinted sliding 8-token windows, repeated = seen
-    // in >= 2 distinct docs. Corpus duplicates only the id<250 head, so
-    // duplicated docs report full window coverage and the rest report
-    // only natural overlap
-    "dedup_cross_repeats" -> ((s, d) => {
-      val dd = docs(s, d).select("doc_id", "text")
-      val corpus = dd.unionByName(dd.filter(col("doc_id") < 250)
-        .withColumn("doc_id", col("doc_id") + 10000))
-      Dedup.crossDocRepeats(corpus, "doc_id", "text", 8, 2)
-        .orderBy("doc_id")
-    }),
-
-    // Tokenizer fertility by language: BPE tokens per word, the standard
-    // multilingual tokenizer-quality statistic. Exact integer sums only —
-    // callers divide; the gate stays ratio-free and bit-stable
-    "bpe_fertility" -> ((s, d) => {
-      val m = TextAnalysis.bpeTrain(docs(s, d), "text", 8)
-        .orderBy("rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      TextAnalysis.bpeEncode(docs(s, d), "doc_id", "text", m)
-        .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
-        .groupBy("lang").agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_words")).as("total_words"),
-          sum(col("n_bpe_tokens")).as("total_bpe_tokens"))
-        .orderBy("lang")
-    }),
-
-    // Incremental clustering: yesterday's labeling (as its star forest)
-    // merges with the batch's new pairs — must equal batch-at-once CC.
-    // Yesterday's state (minhash signatures + CC labels) is PERSISTED
-    // parquet, exactly as deployed — the measured path is signature the
-    // batch, band-join it against state, re-contract; not a history
-    // re-clustering (which is what made this query the round-4 bench's
-    // heaviest entry). First invocation in a session builds the state
-    // (Bench builds it in the untimed warmup)
-    "dedup_incr_components" -> ((s, d) => {
-      val stateDir = ensureIncrCcState(s, d)
-      val dd = docs(s, d).select("doc_id", "text")
-      val state = s.read.parquet(s"$stateDir/minhash")
-      val oldLabels = s.read.parquet(s"$stateDir/labels")
-      val batch = dd.withColumn("doc_id", col("doc_id") + 10000)
-      val (newPairs, _) = Dedup.minhashIncremental(state, batch,
-        "doc_id", "text", k = 16, bands = 4, jaccardThreshold = 0.9,
-        shingleN = 3)
-      Dedup.connectedComponentsIncremental(oldLabels, newPairs).orderBy("id")
-    }),
-
-    // Duplicate-group clustering: connected components over the LSH pairs
-    // (memoized session labels — the oracle re-derives CC independently)
-    "dedup_components" -> ((s, d) => ccLabels(s, d).orderBy("id")),
-
-    // Quality-aware dedup survivor: per duplicate cluster keep the BEST
-    // document ((n_chars desc, id) total order — longest content wins, not
-    // min-id), via the skew-safe two-phase topPerGroup window; singletons
-    // survive as their own cluster
-    "dedup_best_survivor" -> ((s, d) => {
-      val dd = docsWithDups(s, d)
-      val labels = ccLabels(s, d)
-      val withComp = dd
-        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
-          "left_outer")
-        .withColumn("component", coalesce(col("component"), col("doc_id")))
-        .select(col("doc_id"), col("component"),
-          length(col("text")).cast("long").as("n_chars"))
-      Sampling.topPerGroup(withComp, "component", col("doc_id"), 1,
-        Seq(col("n_chars").desc, col("doc_id").asc))
-        .select("component", "doc_id", "n_chars")
-        .orderBy("component")
-    }),
-
-    // Dedup report: duplicate-cluster size histogram (how much of the
-    // corpus is duplicated, at what multiplicity) — constant output rows
-    // at any corpus size; singletons counted via the anti-joined remainder
-    "dedup_cluster_stats" -> ((s, d) => {
-      val dd = docsWithDups(s, d)
-      val labels = ccLabels(s, d)
-      val clustered = labels.groupBy("component")
-        .agg(count(lit(1)).as("cluster_size"))
-      val nSingle = dd.join(labels.withColumnRenamed("id", "doc_id"),
-          Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("n_clusters"))
-        .select(lit(1L).as("cluster_size"), col("n_clusters"))
-      clustered.groupBy("cluster_size")
-        .agg(count(lit(1)).as("n_clusters"))
-        .unionByName(nSingle)
-        .groupBy("cluster_size")
-        .agg(sum(col("n_clusters")).as("n_clusters"))
-        .orderBy("cluster_size")
-    }),
-
-    // SimHash (16-bit, MD5-nibble majority votes) — the codegen kernel:
-    // one digest + one vote loop per token inside whole-stage codegen
-    "dedup_simhash" -> ((s, d) =>
-      docs(s, d)
-        .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
-        .orderBy("doc_id")),
-
-    // n-gram (3-word shingle) Jaccard over consecutive-id candidate pairs;
-    // shingle sets materialized once per doc, reused on both join sides
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      val base = docs(s, d)
-        .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
-        .select(col("doc_id"), TextAnalysis.shinglesOf(col("tk"), 3).as("sg"))
-      val a = base.select(col("doc_id").as("id_a"), col("sg").as("sa"))
-      val b = base.select(col("doc_id").as("id_b"), col("sg").as("sb"))
-      a.join(b, col("id_a") + 1 === col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          Dedup.jaccard(col("sa"), col("sb")).as("jaccard3"))
-        .orderBy("id_a")
-    }),
-
-    // Embedding-cosine near-dup pairs, bucketed by cluster label
-    "nd_embedding_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDups(emb(s, d), "vec_id", "embedding", "label", 0.3)
-        .select("bucket", "id_a", "id_b")
-        .orderBy("bucket", "id_a", "id_b")),
-
-    // Fully self-contained semantic near-dup: when no cluster label exists,
-    // SRP-LSH buckets the corpus and the cosine pair join stays per-bucket
-    "nd_srp_neardup" -> ((s, d) => {
-      val e = emb(s, d)
-        .withColumn("srp", Similarity.srpBucket(col("embedding"), 8))
-      Dedup.embeddingNearDups(e, "vec_id", "embedding", "srp", 0.3)
-        .select("bucket", "id_a", "id_b")
-        .orderBy("bucket", "id_a", "id_b")
-    }),
-
-    // Brute-force cosine top-k (ids+rank output; the correctness baseline)
-    "ann_bruteforce_topk" -> ((s, d) => {
-      val e = emb(s, d)
-      Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e,
-        "vec_id", "embedding", 10)
-        .select("query_id", "rnk", "neighbor_id")
-        .orderBy("query_id", "rnk")
-    }),
-
-    // IVF-style ANN: search restricted to the query's coarse cell (label)
-    "ann_ivf_topk" -> ((s, d) => {
-      val e = emb(s, d)
-      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e,
-        "vec_id", "embedding", "label", 10)
-        .select("query_id", "rnk", "neighbor_id")
-        .orderBy("query_id", "rnk")
-    }),
-
-    // Multi-probe IVF: each query scored against its 2 nearest cells (by
-    // squared-L2 to the per-cell centroid) — the standard inverted-file
-    // recall knob; probe ranking is a zero-shuffle broadcast-literal pass
-    "ann_ivf_multiprobe" -> ((s, d) => {
-      val e = emb(s, d)
-      Similarity.ivfMultiProbeTopK(e.filter(col("vec_id") < 5), e,
-        "vec_id", "embedding", "label", k = 10, nProbe = 2)
-        .select("query_id", "rnk", "neighbor_id")
-        .orderBy("query_id", "rnk")
-    }),
-
-    // ANN index QA: recall of the IVF index against brute-force ground
-    // truth per query — the metric that decides whether a cell layout is
-    // usable before committing a 100 TB index build
-    "ann_recall" -> ((s, d) => {
-      val e = emb(s, d)
-      val q = e.filter(col("vec_id") < 5)
-      val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 10)
-        .select(col("query_id"), col("neighbor_id"))
-      val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", "label", 10)
-        .select(col("query_id"), col("neighbor_id"))
-      // (n_hit, k) integer pairs — recall is the caller's one division;
-      // emitting the ratio itself would put a float quantization on the
-      // gate for no information gain (the nb_calibration pattern)
-      bf.join(ivf.withColumn("hit", lit(1L)),
-          Seq("query_id", "neighbor_id"), "left_outer")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("k"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .select(col("query_id"), col("n_hit"), col("k"))
-        .orderBy("query_id")
-    }),
-
-    // Two-stage ANN: 8-dim random-projection prefilter (top-30 candidates)
-    // + exact cosine rerank (top-10) — the dims/projDims cost cut with
-    // tunable recall
-    "ann_rp_topk" -> ((s, d) => {
-      val e = emb(s, d)
-      Similarity.rpTopK(e.filter(col("vec_id") < 5), e,
-        "vec_id", "embedding", k = 10, projDims = 8, candidates = 30)
-        .select("query_id", "rnk", "neighbor_id")
-        .orderBy("query_id", "rnk")
-    }),
-
-    // Quality scoring: token/stopword/punctuation/alpha features
-    "tx_quality_features" -> ((s, d) =>
-      TextAnalysis.qualityFeatures(docs(s, d), "text")
-        .select("doc_id", "n_tokens", "n_stopwords", "stopword_ratio",
-          "mean_token_len", "punct_ratio", "alpha_ratio")
-        .orderBy("doc_id")),
-
-    // Language ID via marker-token election
-    "tx_lang_id" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"), col("lang"),
-        TextAnalysis.langId(col("text")).as("predicted_lang"))
-        .orderBy("doc_id")),
-
-    // Data-driven n-gram language ID: char-trigram profiles trained from
-    // the labeled corpus (top-300 grams per language — Cavnar-Trenkle's
-    // profile size, and the lever that keeps the gram join bounded by the
-    // profiles instead of the corpus vocabulary), docs classified by
-    // count-vector cosine
-    "tx_lang_id_ngram" -> ((s, d) =>
-      TextAnalysis.charNgramLangId(docs(s, d), "doc_id", "text", "lang",
-        profileTopN = 300)
-        .orderBy("doc_id")),
-
-    // Mixed-language detection: per-50-token-chunk language election,
-    // summarized per doc as integer counts + majority lang — n_langs > 1
-    // flags concatenation artifacts / boilerplate sandwiches
-    "tx_lang_mix" -> ((s, d) =>
-      TextAnalysis.langMixture(docs(s, d), "doc_id", "text", chunkSize = 50)
-        .orderBy("doc_id")),
-
-    // Document fingerprinting (normalized-content digest)
-    "tx_fingerprint" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
-
-    // Multimodal: binary payload + metadata features (no codec needed)
-    "mm_payload_features" -> ((s, d) =>
-      Multimodal.payloadFeatures(
-        Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"))
-        .orderBy("id")),
-
-    // Multimodal: batched stub decode (mapPartitions plumbing)
-    "mm_decode_stub" -> ((s, d) =>
-      Multimodal.decodePayloads(
-        Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"))
-        .select("id", "width", "height")
-        .orderBy("id")),
-
-    // Multimodal chunk-hash near-dup: payload pairs sharing ≥80% of the
-    // smaller side's 64-byte chunk fingerprints (boilerplate chunks with
-    // doc-freq > 50 dropped before pairing) — the dup'd corpus pairs every
-    // original with its byte-identical copy
-    "mm_chunk_dedup" -> ((s, d) =>
-      Multimodal.chunkDedupPairs(
-          Multimodal.asMultimodal(
-            docsWithDups(s, d).withColumn("src", lit("mixed")),
-            "doc_id", "text", "src"),
-          chunkBytes = 64, minFracBp = 8000, maxDocFreq = 50)
-        .select(col("a"), col("b"), col("shared").cast("long").as("shared"),
-          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
-        .orderBy("a", "b")),
-
-    // The composed curation pipeline: quality gate → lang id → exact dedup →
-    // LSH fuzzy dedup w/ component representatives → per-language stats
-    "pipeline_curation" -> ((s, d) =>
-      graft.scale.CurationPipeline.stats(
-        graft.scale.CurationPipeline.curate(docsWithDups(s, d), "doc_id", "text"))),
-
-    // The full pre-training data PLAN in one chain: curate (quality gate →
-    // lang id → exact dedup → LSH fuzzy dedup) → token counts → per-
-    // language repeat/epoch planning under a token budget → integer mix
-    // summary. Every stage is oracle-verified on its own; this entry
-    // verifies the composition end-to-end (the report a data team reads
-    // before launching a run: how much of each language, repeated how
-    // often, serving how many tokens)
-    "pipeline_pretrain_mix" -> ((s, d) => {
-      val kept = graft.scale.CurationPipeline.curate(
-        docsWithDups(s, d), "doc_id", "text")
-      val withTok = kept.withColumn("n_tokens",
-        size(TextAnalysis.tokens(col("text"))).cast("long"))
-      Sampling.repeatEpochs(withTok, "predicted_lang", "doc_id", "n_tokens",
-          budgetTokens = 60000L, weightsBp = Map("en" -> 4000),
-          defaultBp = 1000)
-        .groupBy("predicted_lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_tokens").as("corpus_tokens"),
-          sum(col("n_tokens") * col("epochs")).as("served_tokens"),
-          max("epochs").as("max_epochs"),
-          sum(when(col("epochs") === 0L, 1L).otherwise(0L)).as("n_pruned"))
-        .orderBy("predicted_lang")
-    }),
-
-    // Per-document curation provenance: why each input doc was dropped
-    // (quality_fail / exact_dup / near_dup) or kept
-    "pipeline_provenance" -> ((s, d) =>
-      graft.scale.CurationPipeline
-        .curateTrace(docsWithDups(s, d), "doc_id", "text")._2
-        .orderBy("doc_id")),
-
-    // Repetition signals (Gopher-style): duplicate/top n-gram fractions +
-    // max consecutive-token run — all per-row expressions, zero shuffles
-    "tx_repetition" -> ((s, d) =>
-      docs(s, d)
-        .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
-        .withColumn("r2",
-          graft.functions.TextExpressions.ngramRepetition(col("tk"), 2))
-        .select(col("doc_id"),
-          col("r2").getField("dup_frac").as("dup_2gram_frac"),
-          graft.functions.TextExpressions.ngramRepetition(col("tk"), 3)
-            .getField("dup_frac").as("dup_3gram_frac"),
-          col("r2").getField("top_frac").as("top_2gram_frac"),
-          TextAnalysis.maxTokenRun(col("tk")).cast("long").as("max_token_run"),
-          TextAnalysis.symbolRatio(col("text"), col("tk")).as("symbol_ratio"))
-        .orderBy("doc_id")),
-
-    // Context-window chunking: 50-token chunks, 10-token overlap (chunk
-    // text fingerprinted so the result stays narrow)
-    "tx_chunks" -> ((s, d) =>
-      docs(s, d)
-        .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
-        .select(col("doc_id"),
-          posexplode(TextAnalysis.chunkTokens(col("tk"), 50, 10)))
-        .select(col("doc_id"), col("pos").cast("long").as("chunk_index"),
-          size(TextAnalysis.tokens(col("col"))).cast("long").as("n_tokens"),
-          md5(col("col")).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_index")),
-
-    // PII redaction: emails + long digit runs → typed tokens
-    "tx_redact" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
-        TextAnalysis.redactPii(col("text")).as("redacted"))
-        .orderBy("doc_id")),
-
-    // Z-order layout clustering: per-row Morton code over quantile-bucket
-    // ranks of (l_orderkey, l_partkey) — the multi-column file-skipping
-    // layout (OPTIMIZE ZORDER). The sketch cuts are registered for the
-    // oracle (engine-specific, same contract as samp_length_decile); the
-    // rank CASE and the bit interleave are recomputed in SQL as pure
-    // integer arithmetic
-    "layout_zorder" -> ((s, d) => {
-      val li = Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_partkey")
-      val (cutsA, cutsB, out) = graft.scale.Layout.zOrderValue(
-        li, "l_orderkey", "l_partkey", bits = zorderBits)
-      OracleLits.put("zorder_ra",
-        OracleLits.sqlCase("l_orderkey", cutsA.toSeq, base = 0))
-      OracleLits.put("zorder_rb",
-        OracleLits.sqlCase("l_partkey", cutsB.toSeq, base = 0))
-      out.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("zv")).orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    // Deterministic id-hash sampling (~25%): reproducible across runs,
-    // engines, and partitionings — no RNG
-    "samp_hash" -> ((s, d) =>
-      Sampling.deterministicSample(docs(s, d), "doc_id", 0.25)
-        .select("doc_id", "lang").orderBy("doc_id")),
-
-    // Stratified quota sample: ≤20 docs per language, id-hash order
-    "samp_stratified" -> ((s, d) =>
-      Sampling.stratifiedQuota(docs(s, d), "lang", "doc_id", 20)
-        .select("doc_id", "lang").orderBy("doc_id")),
-
-    // Cluster-balanced sampling (topic balancing over the embedding space
-    // — the DataComp-style curation knob): k-means cells, then an equal
-    // per-cluster quota under the deterministic id-hash order — dominant
-    // topics downsampled, rare topics kept in full. Composes the semdedup
-    // assignment (1 Lloyd's round) with the skew-safe salted quota window
-    "samp_cluster_balance" -> ((s, d) => {
-      val e = emb(s, d)
-      val assigned = Similarity.assignToNearest(e,
-        Similarity.kmeansFit(e, "vec_id", "embedding", k = 4, iters = 1),
-        "vec_id", "embedding")
-      Sampling.stratifiedQuota(
-          assigned.select(col("vec_id"), col("assigned").as("cluster")),
-          "cluster", "vec_id", 60)
-        .select("vec_id", "cluster").orderBy("vec_id")
-    }),
-
-    // Weighted deterministic sample: inclusion probability ∝ token count
-    // (20 bp per token ⇒ a 500-token doc is always kept) — integer-exact,
-    // engine-portable, zero shuffles
-    "samp_weighted" -> ((s, d) =>
-      Sampling.weightedSample(docs(s, d), "doc_id",
-        size(TextAnalysis.tokens(col("text"))), 20)
-        .select("doc_id", "lang").orderBy("doc_id")),
-
-    // Cross-source bigram overlap matrix (mirror/syndication detection):
-    // Jaccard of distinct bigram sets per source pair — bounded by
-    // |sources|² after the distinct reduction
-    // (n_common, n_union) integer pairs — Jaccard is the caller's one
-    // division (sourceOverlap still carries it for interactive use); the
-    // gate compares the exact set sizes
-    "corpus_overlap" -> ((s, d) =>
-      TextAnalysis.sourceOverlap(docs(s, d), "source", "text", n = 2)
-        .withColumnsRenamed(Map("grp_a" -> "source_a", "grp_b" -> "source_b"))
-        .select("source_a", "source_b", "n_common", "n_union")
-        .orderBy("source_a", "source_b")),
-
-    // KMV-sketched source overlap (Beyer '07): the SKETCH counterpart of
-    // corpus_overlap — pairwise Jaccard/union sufficient statistics from
-    // bounded bottom-k sketches, never re-touching the corpus; integer
-    // gate (hash values, ranks, match counts), estimates stay library-side
-    "sk_kmv_overlap" -> ((s, d) => {
-      val sk = graft.scale.Sketches.kmv(docs(s, d), "source",
-        col("text"), 64)
-      graft.scale.Sketches.kmvOverlap(sk, 64)
-        .withColumnsRenamed(Map("grp_a" -> "source_a", "grp_b" -> "source_b"))
-        .select("source_a", "source_b", "kth_min", "n_kmin", "n_common")
-        .orderBy("source_a", "source_b")
-    }),
-
-    // KMV mergeability gate: per-batch sketches merged must equal the
-    // full-corpus sketch exactly (the k smallest of a union are among
-    // each side's k smallest) — the two-level rollup contract that lets
-    // per-day sketches union to global without re-scanning
-    "sk_kmv_incr" -> ((s, d) => {
-      val dd = docs(s, d)
-      val skA = graft.scale.Sketches.kmv(
-        dd.filter(col("doc_id") < 250), "source", col("text"), 64)
-      val skB = graft.scale.Sketches.kmv(
-        dd.filter(col("doc_id") >= 250), "source", col("text"), 64)
-      graft.scale.Sketches.kmvMerge(skA, skB, 64)
-        .select(col("grp").as("source"), col("h"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("source", "rank")
-    }),
-
-    // Count-Min sketch (Cormode-Muthukrishnan '05) point-frequency
-    // estimates: the corpus is scanned ONCE into a bounded 4×256-cell
-    // grid per source; the probe tokens then join the BROADCAST sketch —
-    // the 100 TB frequency-probe shape (no re-scan per query). The
-    // MD5-derived bucket hash is engine-portable, so the oracle
-    // recomputes the identical grid and the estimates gate as exact int64
-    "sk_cms_counts" -> ((s, d) => {
-      val dd = docs(s, d)
-      val tok = dd.select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
-      val sk = graft.scale.Sketches.cms(tok, "source", "tok",
-        depth = 4, width = 256)
-      val probes = dd.filter(col("doc_id") < 50).select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
-      graft.scale.Sketches.cmsEstimate(sk, probes, "source", "tok",
-        depth = 4, width = 256)
-        .select(col("grp").as("source"), col("tok"), col("est"))
-        .orderBy("source", "tok")
-    }),
-
-    // CMS mergeability gate: counters are linear, so per-batch sketches
-    // cell-wise-summed must equal the full-corpus sketch EXACTLY — the
-    // rollup contract that lets per-day grids sum to global without
-    // re-scanning (oracle is the full-corpus grid)
-    "sk_cms_incr" -> ((s, d) => {
-      val dd = docs(s, d)
-      def tokOf(df: DataFrame) = df.select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
-      val skA = graft.scale.Sketches.cms(
-        tokOf(dd.filter(col("doc_id") < 250)), "source", "tok", 4, 256)
-      val skB = graft.scale.Sketches.cms(
-        tokOf(dd.filter(col("doc_id") >= 250)), "source", "tok", 4, 256)
-      graft.scale.Sketches.cmsMerge(skA, skB)
-        .select(col("grp").as("source"),
-          col("row_j").cast("long").as("row_j"), col("bucket"), col("cnt"))
-        .orderBy("source", "row_j", "bucket")
-    }),
-
-    // AMS F2 sketch (Alon-Matias-Szegedy '96): r=8 signed counters per
-    // source whose squared mean estimates the SELF-JOIN SIZE (repetition
-    // mass) — the frequency moment CMS point counts and KMV/HLL distinct
-    // counts don't give; the whole per-group state is 8 int64 counters
-    // and the gate is the exact counter vector
-    "sk_ams_f2" -> ((s, d) => {
-      val tok = docs(s, d).select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
-      graft.scale.Sketches.amsSketch(tok, "source", "tok", r = 8)
-        .select(col("grp").as("source"),
-          col("est_i").cast("long").as("est_i"), col("z"))
-        .orderBy("source", "est_i")
-    }),
-
-    // AMS mergeability gate: signed counters are linear — per-batch Z
-    // vectors summed must equal the full-corpus vector exactly
-    "sk_ams_incr" -> ((s, d) => {
-      val dd = docs(s, d)
-      def tokOf(df: DataFrame) = df.select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
-      graft.scale.Sketches.amsMerge(
-          graft.scale.Sketches.amsSketch(
-            tokOf(dd.filter(col("doc_id") < 250)), "source", "tok", 8),
-          graft.scale.Sketches.amsSketch(
-            tokOf(dd.filter(col("doc_id") >= 250)), "source", "tok", 8))
-        .select(col("grp").as("source"),
-          col("est_i").cast("long").as("est_i"), col("z"))
-        .orderBy("source", "est_i")
-    }),
-
-    // CMS heavy hitters: every distinct token estimated against the
-    // broadcast grid, top-10 per source by (est desc, tok asc) via the
-    // skew-safe two-phase top-k — the candidate-set pattern that turns a
-    // CMS into a frequency leaderboard without exact per-token counts
-    "sk_cms_topk" -> ((s, d) => {
-      val dd = docs(s, d)
-      val tok = dd.select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
-      val sk = graft.scale.Sketches.cms(tok, "source", "tok",
-        depth = 4, width = 256)
-      graft.scale.Sketches.cmsHeavyHitters(sk, tok, "source", "tok",
-        depth = 4, width = 256, n = 10)
-        .select(col("grp").as("source"),
-          col("rank").cast("long").as("rank"), col("tok"), col("est"))
-        .orderBy("source", "rank")
-    }),
-
-    // NB quality model (fastText/CCNet-style "looks curated?" filter):
-    // the top-512-vocabulary per-class counts — the model's SUFFICIENT
-    // STATISTICS, pure int64 on the gate (likelihoods derive via
-    // nbFromCounts; emitting the ln here put a libm quantization on the
-    // gate for no information gain)
-    "nb_quality_model" -> ((s, d) =>
-      TextAnalysis.nbTopCounts(
-        TextAnalysis.nbCounts(docs(s, d), "text",
-          col("source").isin("src0", "src1", "src2")), vocab = 512)
-        .orderBy("token")),
-
-    // NB quality scores: prior log-odds + per-token log-likelihood-ratio
-    // sum, carried end-to-end in exact MICRO-UNIT int64 (the 6-decimal
-    // model × 10⁶); predicted=1 for curated-looking docs (an integer
-    // comparison). The micro model constants are registered for the
-    // oracle (OracleLits) as plain integers — no ln, no decimal literal,
-    // no non-integer type anywhere on the compared surface
-    "nb_quality_score" -> ((s, d) => {
-      val dd = docs(s, d)
-      val pos = col("source").isin("src0", "src1", "src2")
-      // train ONCE: the collected model registers the oracle literals AND
-      // feeds scoring back as a local relation (nbScoreMicroWith) —
-      // scoring never re-runs the training aggregation
-      val modelPlan = TextAnalysis.nbTrain(dd, "text", pos, vocab = 512)
-      val model = modelPlan.collect()
-      val priorPlan = dd
-        .agg(sum(when(pos, 1L).otherwise(0L)).as("np"),
-          sum(when(pos, 0L).otherwise(1L)).as("nn"))
-        .select(log((col("np") + 1.0) / (col("nn") + 1.0))
-          .cast("decimal(18,6)").as("__prior"))
-      val priorRows = priorPlan.collect()
-      def micro(bd: java.math.BigDecimal): Long =
-        bd.setScale(6).movePointRight(6).longValueExact
-      // empty corpus → null prior aggregate; score 0 keeps the query
-      // total (empty output) instead of an NPE in the micro conversion
-      val priorMicroV =
-        if (priorRows(0).isNullAt(0)) 0L else micro(priorRows(0).getDecimal(0))
-      val modelMicro = model.map(r =>
-        (r.getString(0), micro(r.getDecimal(1)), micro(r.getDecimal(2))))
-      if (model.nonEmpty) {
-        OracleLits.put("nb_model",
-          modelMicro.map { case (t, lp, ln) =>
-            s"(${OracleLits.sqlStr(t)}, $lp, $ln)"
-          }.mkString("(VALUES ", ", ",
-            ") AS t(token, lpos_micro, lneg_micro)"))
-        OracleLits.put("nb_prior", priorMicroV.toString)
-      }
-      import s.implicits._
-      val localModel = modelMicro.toSeq
-        .toDF("token", "lpos_micro", "lneg_micro")
-      val localPrior = Seq(priorMicroV).toDF("__prior_micro")
-      TextAnalysis.nbScoreMicroWith(dd, "doc_id", "text",
-        localModel, localPrior)
-        .orderBy("doc_id")
-    }),
-
-    // Incremental NB training: per-batch counts merged into state, then
-    // the vocabulary restriction — must equal retraining on the full
-    // corpus (the oracle IS the full-corpus counts, proving
-    // merge∘restrict = retrain); integer output, no gate quantization
-    "nb_incr_model" -> ((s, d) => {
-      val dd = docs(s, d)
-      val pos = col("source").isin("src0", "src1", "src2")
-      val state = TextAnalysis.nbCounts(dd.filter(col("doc_id") < 250),
-        "text", pos)
-      val batch = TextAnalysis.nbCounts(dd.filter(col("doc_id") >= 250),
-        "text", pos)
-      TextAnalysis.nbTopCounts(TextAnalysis.nbMergeCounts(state, batch),
-        vocab = 512).orderBy("token")
-    }),
-
-    // NB calibration: reliability diagram over fixed probability bins —
-    // mean predicted (sum_pred_micro/10⁶/n_docs) vs actual (n_pos/n_docs)
-    // per bin is the calibration gap; division-free pure-int64 output
-    "nb_calibration" -> ((s, d) =>
-      TextAnalysis.nbCalibration(docs(s, d), "doc_id", "text",
-        col("source").isin("src0", "src1", "src2"), vocab = 512, bins = 10)
-        .orderBy("bin")),
-
-    // Language-temperature resample (α = 0.3): common languages
-    // downsampled toward p^α, rarest kept in full — deterministic id-hash
-    // selection against driver-computed per-language basis points
-    "samp_temperature" -> ((s, d) =>
-      Sampling.temperatureSample(docs(s, d), "lang", "doc_id",
-        alphaBp = 3000)
-        .select("doc_id", "lang").orderBy("doc_id")),
-
-    // Data-constrained repeat planning (Muennighoff '23): per-source token
-    // targets from a mixture, sources smaller than their target repeated —
-    // full epochs by integer division + a hash-ordered partial prefix for
-    // the remainder; pure-int64 plan (div/%, no float division)
-    "samp_repeat_epochs" -> ((s, d) =>
-      Sampling.repeatEpochs(
-        docs(s, d).withColumn("n_tokens",
-          size(TextAnalysis.tokens(col("text"))).cast("long")),
-        "source", "doc_id", "n_tokens", budgetTokens = 50000L,
-        weightsBp = Map("src0" -> 2000, "src1" -> 1000), defaultBp = 350)
-        .select("doc_id", "source", "n_tokens", "epochs")
-        .orderBy("doc_id")),
-
-    // Repeat plan → epoch instances → fixed-context packing: the two
-    // int64 machines composed (instance id = doc_id·1000 + epoch, a
-    // deterministic dense order key); spans stay integer-exact end-to-end
-    "samp_pack_epochs" -> ((s, d) => {
-      val dd = docs(s, d).withColumn("n_tokens",
-        size(TextAnalysis.tokens(col("text"))).cast("long"))
-      val planned = Sampling.repeatEpochs(dd, "source", "doc_id",
-        "n_tokens", budgetTokens = 50000L,
-        weightsBp = Map("src0" -> 2000, "src1" -> 1000), defaultBp = 350)
-      val inst = planned.filter(col("epochs") > 0)
-        .select(col("doc_id"), col("n_tokens"),
-          explode(sequence(lit(1L), col("epochs"))).as("epoch"))
-        .select((col("doc_id") * 1000 + col("epoch")).as("inst_id"),
-          col("n_tokens"))
-      Sampling.packSequences(inst, "inst_id", "n_tokens", 512L)
-        .orderBy("inst_id", "seq_id")
-    }),
-
-    // Inverted-index posting lists: top-50 terms by document frequency
-    // with capped (first-20) containing-doc lists — skew-safe per-term cap
-    "tx_postings" -> ((s, d) =>
-      TextAnalysis.postings(docs(s, d), "doc_id", "text",
-        topTerms = 50, cap = 20)
-        .orderBy(col("df").desc, col("token"))),
-
-    // Incremental index maintenance: per-batch postings states merged,
-    // then finalized — the oracle is the full-corpus index, proving
-    // finalize(merge(batches)) == retrain exactly
-    "tx_postings_incr" -> ((s, d) => {
-      val dd = docs(s, d)
-      val a = TextAnalysis.postingsState(
-        dd.filter(col("doc_id") < 250), "doc_id", "text")
-      val b = TextAnalysis.postingsState(
-        dd.filter(col("doc_id") >= 250), "doc_id", "text")
-      TextAnalysis.postingsTop(TextAnalysis.postingsMerge(a, b),
-          topTerms = 50)
-        .orderBy(col("df").desc, col("token"))
-    }),
-
-    // BM25 retrieval: top-20 docs for a literal query (one term absent
-    // from the corpus — it must contribute nothing); broadcast term
-    // stats, zero-shuffle scoring scan. Gate surface is bm25Nano's int64
-    // nano score (floor-truncated per-term contributions — no decimal
-    // cast, no round-half tie) ordered by the integer total order
-    "tx_bm25" -> ((s, d) => {
-      val dd = docs(s, d)
-      val q = "spark window join quantum"
-      // register the per-term idf as INTEGER nano values (floor(idf·10⁹)
-      // of the same Catalyst log the query evaluates) — the oracle
-      // reconstructs idf by one deterministic IEEE division, so no float
-      // literal needs parsing anywhere in the gate chain
-      val (_, _, terms) = TextAnalysis.bm25TermStats(dd, "text", q)
-      if (terms.nonEmpty) OracleLits.put("bm25_qd",
-        terms.map { case (t, df, idf) =>
-          s"(${OracleLits.sqlStr(t)}, CAST($df AS BIGINT), " +
-            s"CAST(${math.floor(idf * 1e9).toLong} AS BIGINT))"
-        }.mkString("(VALUES ", ", ", ") AS t(qt, df, idf9)"))
-      TextAnalysis.bm25Nano(dd, "doc_id", "text", q, k = 20)
-    }),
-
-    // DSIR importance weights: how target-like (here: English-distributed)
-    // each doc's hashed-token profile is — bucket-ratio model built in one
-    // bounded agg, scoring zero-shuffle (Sampling.importanceWeights); the
-    // 256 quantized log-ratios are registered for the oracle (OracleLits)
-    "dsir_weights" -> ((s, d) => {
-      val dd = docs(s, d)
-      val ratios = Sampling.importanceRatios(dd, "text", col("lang") === "en")
-      registerDsirRatios(ratios)
-      // gate surface is the int64 micro weight (weight × 10⁶ exactly) —
-      // pattern-1 cross-engine contract; `importanceWeights` keeps the
-      // decimal view for library callers
-      Sampling.importanceWeightsMicroFromRatios(dd, "text", ratios)
-        .select("doc_id", "weight_micro").orderBy("doc_id")
-    }),
-
-    // DSIR selection: the 50 most target-like docs under the deterministic
-    // (weight desc, id) total order — TakeOrderedAndProject, no global
-    // sort; the ORDER itself is integer-exact (micro weights)
-    "dsir_select" -> ((s, d) => {
-      val dd = docs(s, d)
-      val ratios = Sampling.importanceRatios(dd, "text", col("lang") === "en")
-      registerDsirRatios(ratios)
-      Sampling.importanceWeightsMicroFromRatios(dd, "text", ratios)
-        .orderBy(col("weight_micro").desc, col("doc_id").asc).limit(50)
-        .select("doc_id", "weight_micro")
-    }),
-
-    // Corpus length histogram in log2 buckets (the dataset-report shape:
-    // constant output rows at any corpus size, one agg). The bucket is
-    // length(bin(n+1))-1 — integer-exact floor(log2), immune to the
-    // float-log boundary drift a double log2 would risk at powers of two
-    "tx_len_hist" -> ((s, d) =>
-      docs(s, d)
-        .select((length(bin(size(TextAnalysis.tokens(col("text")))
-          .cast("long") + 1)) - 1).cast("long").as("log2_tokens"))
-        .groupBy("log2_tokens").agg(count(lit(1)).as("n_docs"))
-        .orderBy("log2_tokens")),
-
-    // Sharded dataset export: the holdout split written as a
-    // split-partitioned parquet layout and read back — per-split counts
-    // prove the partitioned write path end-to-end. The export lands in a
-    // per-session FIXED dir (overwritten), so repeated invocations
-    // (Prof/Bench/Verify) cap at one copy instead of leaking temp dirs
-    "samp_split_export" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_split_" +
-        s.sparkContext.applicationId
-      Sampling.holdoutSplit(docs(s, d), "doc_id", valBp = 1000, testBp = 1000)
-        .write.mode("overwrite").partitionBy("split").parquet(out)
-      s.read.parquet(out)
-        .groupBy("split").agg(count(lit(1)).as("n_docs"))
-        .select(col("split").cast("string").as("split"), col("n_docs"))
-        .orderBy("split")
-    }),
-
-    // Deterministic 80/10/10 train/val/test split (leakage-stable: a row's
-    // split never changes as the corpus grows)
-    "samp_split" -> ((s, d) =>
-      Sampling.holdoutSplit(docs(s, d), "doc_id", valBp = 1000, testBp = 1000)
-        .select("doc_id", "split").orderBy("doc_id")),
-
-    // Dedup-aware split: duplicate clusters (LSH pairs -> components)
-    // land in one split atomically — no train/test near-dup leakage
-    "samp_leakage_split" -> ((s, d) => {
-      val dd = docsWithDups(s, d)
-      Sampling.leakageSafeSplit(dd, "doc_id", ccLabels(s, d),
-        valBp = 1000, testBp = 1000)
-        .select("doc_id", "component", "split").orderBy("doc_id")
-    }),
-
-    // Curriculum bucketing: length deciles via the scale path — a
-    // fixed-size quantile sketch + zero-shuffle comparison against its
-    // broadcast cut-points (exact `ntile` would funnel the WHOLE corpus
-    // through one task: a global-order window does not partition). The
-    // sketch cuts are registered for the oracle (OracleLits — a KLL/GK
-    // sketch is engine-specific, so the oracle takes them as given and
-    // recomputes the data-sized assignment). Legacy exact-ntile form kept
-    // behind spark.graft.lengthDecile.ntile=true
-    "samp_length_decile" -> ((s, d) => {
-      val base = docs(s, d)
-        .select(col("doc_id"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-      if (s.conf.getOption("spark.graft.lengthDecile.ntile").contains("true")) {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("n_tokens"), col("doc_id"))
-        base.withColumn("decile", ntile(10).over(w).cast("long"))
-          .orderBy("doc_id")
-      } else {
-        val cuts = Sampling.quantileCuts(base, "n_tokens", 10)
-        OracleLits.put("len_decile_cuts",
-          OracleLits.sqlCase("n_tokens", cuts.toSeq, base = 1))
-        Sampling.bucketsFromCuts(base, "n_tokens", cuts)
-          .withColumnRenamed("bucket", "decile")
-          .orderBy("doc_id")
-      }
-    }),
-
-    // Dataset mixing: per-source keep rates (src0 in full, src1 at 50%,
-    // everything else at 20%) in one zero-shuffle pass
-    "samp_mixture" -> ((s, d) =>
-      Sampling.mixtureSample(docs(s, d), "source", "doc_id",
-        Map("src0" -> 10000, "src1" -> 5000), defaultBp = 2000)
-        .select("doc_id", "source").orderBy("doc_id")),
-
-    // Per-domain quality cap: keep each source's 10 LONGEST docs (the
-    // "best N per domain" crawl cap) via the skew-safe two-phase window —
-    // no single task ever sorts a whole hot domain
-    "samp_source_cap" -> ((s, d) =>
-      Sampling.topPerGroup(
-          docs(s, d).select("doc_id", "source", "n_chars"),
-          "source", col("doc_id"), cap = 10,
-          Seq(col("n_chars").desc, col("doc_id").asc))
-        .select(col("doc_id"), col("source"), col("rank").cast("long").as("rank"))
-        .orderBy("doc_id")),
-
-    // PMI collocations: top-20 bigrams beating the independence
-    // expectation (min count 5) — the phrase-detection statistic; gate
-    // surface is the int64 micro PMI ranked by the integer total order
-    "tx_collocations" -> ((s, d) =>
-      TextAnalysis.collocationsMicro(docs(s, d), "text", minCount = 5, k = 20)),
-
-    // Balanced eval-set construction by composition: the deterministic
-    // val split, stratified to ≤10 docs per language — splits, quotas and
-    // dedup share one id-hash family so the set is reproducible end-to-end
-    "samp_eval_set" -> ((s, d) =>
-      Sampling.stratifiedQuota(
-        Sampling.holdoutSplit(docs(s, d), "doc_id", valBp = 3000, testBp = 0)
-          .filter(col("split") === "val"),
-        "lang", "doc_id", quota = 10)
-        .select("doc_id", "lang").orderBy("doc_id")),
-
-    // Corpus-level 2-gram heavy hitters (top-20 by count, lexicographic
-    // tie-break): the corpus-statistics counterpart of the per-doc
-    // repetition signals
-    "tx_top_ngrams" -> ((s, d) =>
-      TextAnalysis.topNgrams(docs(s, d), "text", 2, 20)
-        .orderBy(col("cnt").desc, col("ngram").asc)),
-
-    // Character-entropy quality signal (perplexity proxy): bits of the
-    // per-doc char distribution, in int64 micro units on the gate
-    "tx_char_entropy" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
-        TextAnalysis.charEntropyMicro(col("text")).as("entropy_micro"))
-        .orderBy("doc_id")),
-
-    // Corpus drift monitoring between the first and second half of the
-    // corpus (crawl-over-crawl shape): top-20 drifting tokens by the
-    // integer cross-product statistic |c_a·n_b − c_b·n_a| (= n_a·n_b·|p−q|
-    // — ranks exactly as total variation, with zero floating point on the
-    // gate; tokenDriftTerms keeps the JS-divergence view for callers).
-    // The gate emits drift_x as int64: bounded at sf0.01; the library op
-    // carries DECIMAL(38,0) for 100 TB counts
-    "tx_drift" -> ((s, d) => {
-      val dd = docs(s, d)
-      TextAnalysis.tokenDriftCounts(
-        dd.filter(col("doc_id") < 250), dd.filter(col("doc_id") >= 250), "text")
-        .orderBy(col("drift_x").desc, col("token").asc)
-        .limit(20)
-        .select(col("token"), col("c_a"), col("c_b"),
-          col("drift_x").cast("long").as("drift_x"))
-    }),
-
-    // Corpus-LM perplexity quality filter (CCNet-style): bigram LM trained
-    // on the corpus; the gate carries the division-free per-doc (Σ −logp,
-    // n) sufficient statistics in int64 micro units — mean bits derivable
-    // (lmCrossEntropy keeps the interactive view)
-    "tx_lm_perplexity" -> ((s, d) => {
-      val dd = docs(s, d)
-      TextAnalysis.lmCrossEntropyStats(dd, "doc_id", "text",
-        TextAnalysis.bigramLm(dd, "text"))
-        .orderBy("doc_id")
-    }),
-
-    // Benchmark decontamination: the corpus' top-3 2-grams stand in for an
-    // eval-set n-gram list (bounded, collected once); docs overlapping it
-    // are dropped with a per-row zero-shuffle filter
-    "tx_decontaminate" -> ((s, d) => {
-      val evalGrams = TextAnalysis.topNgrams(docs(s, d), "text", 2, 3)
-        .select("ngram").collect().map(_.getString(0)).toSeq
-      TextAnalysis.decontaminate(docs(s, d), "doc_id", "text", evalGrams, 2)
-        .select("doc_id", "lang").orderBy("doc_id")
-    }),
-
-    // Blocklist screening: occurrence count of listed terms per doc and the
-    // keep verdict at a 5% hit-ratio budget (integer-exact: 20·hits ≤ toks)
-    "tx_blocklist" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
-        TextAnalysis.blocklistHits(col("text"), blocklistTerms)
-          .cast("long").as("n_hits"))
-        .withColumn("keep", col("n_hits") * 20 <= col("n_tokens"))
-        .orderBy("doc_id")),
-
-    // BPE training statistic: adjacent-symbol pair frequencies over the
-    // char-split vocabulary (top-20; the round-0 merge candidates)
-    "bpe_pair_freqs" -> ((s, d) =>
-      TextAnalysis.pairCounts(
-        TextAnalysis.wordFreqs(docs(s, d), "text")
-          .select(TextAnalysis.charSymbols(col("w")).as("sym"), col("freq")),
-        "sym", "freq")
-        .orderBy(col("freq").desc, col("a").asc, col("b").asc)
-        .limit(20)),
-
-    // BPE tokenizer training, 8 merge rounds (vocabulary-bounded loop).
-    // Oracled by a statically-unrolled 8-round DuckDB mirror (bpeMergesSql);
-    // the golden merge sequence is additionally pinned by ScaleSpec
-    "bpe_merges" -> ((s, d) =>
-      TextAnalysis.bpeTrain(docs(s, d), "text", 8).orderBy("rank")),
-
-    // BPE tokenizer APPLICATION: train 8 merges, then encode the corpus
-    // with them — merge application runs on the distinct-word vocabulary
-    // (never corpus-sized data); per-doc output carries an order-exact
-    // MD5 of the full symbol stream so the oracle checks the actual
-    // encoding, not just counts
-    "bpe_encode" -> ((s, d) => {
-      val m = TextAnalysis.bpeTrain(docs(s, d), "text", 8)
-        .orderBy("rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      TextAnalysis.bpeEncode(docs(s, d), "doc_id", "text", m)
-        .orderBy("doc_id")
-    }),
-
-    // Tokenizer QA: the trained BPE must be LOSSLESS — concatenating each
-    // word's subwords reconstructs the word, for every vocabulary word
-    "bpe_roundtrip" -> ((s, d) => {
-      val m = TextAnalysis.bpeTrain(docs(s, d), "text", 8)
-        .orderBy("rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      TextAnalysis.bpeEncodeWords(docs(s, d), "text", m)
-        .agg(count(lit(1)).as("n_words"),
-          sum(when(replace(col("enc"), lit(" "), lit("")) === col("w"), 0L)
-            .otherwise(1L)).as("n_mismatched"))
-    }),
-
-    // Token-budget shard packing: cut the doc_id-ordered corpus into
-    // ~1000-token training shards (running-sum window)
-    "pack_token_budget" -> ((s, d) =>
-      Sampling.packByTokenBudget(
-        docs(s, d).select(col("doc_id"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
-        "doc_id", "n_tokens", 1000L)
-        .select("doc_id", "n_tokens", "shard_id").orderBy("doc_id")),
-
-    // GPT-style sequence packing: the concatenated token stream cut into
-    // fixed 512-token context windows, one row per (doc, window-overlap)
-    // with the doc's span inside the window — two-level prefix sum, no
-    // global-order window (PlanSpec pins the bucket-partitioned spec)
-    "pack_sequences" -> ((s, d) =>
-      Sampling.packSequences(
-        docs(s, d).select(col("doc_id"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
-        "doc_id", "n_tokens", 512L)
-        .orderBy("doc_id", "seq_id")),
-
-    // Per-label embedding centroids (distributed k-means M-step)
-    "emb_centroids" -> ((s, d) =>
-      Similarity.centroids(emb(s, d), "label", "embedding")
-        .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))
-        .orderBy("label", "pos")),
-
-    // Nearest-centroid assignment (k-means E-step; centroids broadcast)
-    "emb_kmeans_assign" -> ((s, d) => {
-      val e = emb(s, d)
-      Similarity.assignToNearest(e,
-        Similarity.centroids(e, "label", "embedding"), "vec_id", "embedding")
-        .select("vec_id", "assigned").orderBy("vec_id")
-    }),
-
-    // Embedding QA: robust norm-fence outlier flags (Tukey fences at 3×IQR
-    // on exact percentiles) — catches zero/corrupt/unnormalized vectors
-    // before they poison similarity search. Exact percentile state grows
-    // with distinct (rounded) norms — fine at oracle scale; at 100 TB swap
-    // in percentile_approx (constant-size GK sketch, the sk_approx_quantile
-    // pattern) since fences don't need exactness
-    "emb_outliers" -> ((s, d) => {
-      val e = emb(s, d)
-        .select(col("vec_id"),
-          round(Similarity.norm(col("embedding")), 6).as("norm"))
-      val q = e.agg(expr("percentile(norm, 0.25)").as("q1"),
-        expr("percentile(norm, 0.75)").as("q3"))
-      e.crossJoin(broadcast(q))
-        .select(col("vec_id"), col("norm"),
-          (col("norm") < col("q1") - (col("q3") - col("q1")) * 3 ||
-            col("norm") > col("q3") + (col("q3") - col("q1")) * 3)
-            .as("is_outlier"))
-        .orderBy("vec_id")
-    }),
-
-    // Embedding-space drift between snapshots: per-dimension |Δ| of the
-    // decimal-exact global centroids of two corpus halves (the vector-side
-    // counterpart of tx_drift — catches encoder or population shift)
-    "emb_drift" -> ((s, d) => {
-      val e = emb(s, d).withColumn("all", lit(1))
-      def cent(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-        Similarity.centroids(e.filter(f(col("vec_id"))), "all", "embedding")
-      cent(_ < 250).withColumnRenamed("centroid", "c_a")
-        .join(cent(_ >= 250).withColumnRenamed("centroid", "c_b"),
-          Seq("label", "pos"))
-        .select(col("pos").cast("long").as("pos"),
-          round(abs(col("c_a") - col("c_b")), 4).as("abs_shift"))
-        .orderBy("pos")
-    }),
-
-    // Incremental vector indexing (the IVF-index-update shape): centroids
-    // trained on history, a new batch of vectors assigned to them without
-    // touching historical assignments
-    "emb_incr_assign" -> ((s, d) => {
-      val e = emb(s, d)
-      Similarity.assignToNearest(e.filter(col("vec_id") >= 250),
-        Similarity.centroids(e.filter(col("vec_id") < 250),
-          "label", "embedding"),
-        "vec_id", "embedding")
-        .select("vec_id", "assigned").orderBy("vec_id")
-    }),
-
-    // Full k-means training loop: deterministic min-id seeding, 2 Lloyd's
-    // rounds (E-step broadcasts centroid literals, M-step decimal-mean)
-    "emb_kmeans_fit" -> ((s, d) =>
-      Similarity.kmeansFit(emb(s, d), "vec_id", "embedding", k = 4, iters = 2)
-        .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))
-        .orderBy("label", "pos")),
-
-    // SemDeDup: k-means cluster the embedding space (1 Lloyd's round,
-    // so the assignment matches the fit oracle's a2), then drop
-    // within-cluster cosine near-dups — min-id survivor, per-cluster
-    // pair join (never global all-pairs)
-    "emb_semdedup" -> ((s, d) => {
-      val e = emb(s, d)
-      val cents = Similarity.kmeansFit(e, "vec_id", "embedding",
-        k = 4, iters = 1)
-      Dedup.semDedup(e, cents, "vec_id", "embedding", 0.3)
-        .orderBy("vec_id")
-    }),
-
-    // Symmetric int8 quantization (scale materialized, then per-element)
-    // Top principal direction by 3-round power iteration (embedding-QA
-    // spectral probe) — deterministic seed, per-round decimal
-    // quantization. The gate verifies the final round's DISTRIBUTED
-    // matrix-vector sums (exact decimals, no division/sqrt anywhere on
-    // the compared surface); the iterated 6-decimal vector feeding that
-    // round is registered for the oracle (OracleLits), and the
-    // normalized loading view stays on powerIterationTop for callers
-    "emb_pca_top" -> ((s, d) => {
-      val (vPrev, sums) =
-        Similarity.powerIterationState(emb(s, d), "embedding", iters = 3)
-      // the 6-decimal iterated vector ships as INTEGER micro values; the
-      // oracle reconstructs each element by one IEEE division (micro/10⁶),
-      // which is bit-identical to the engine's plan literal (both are the
-      // double nearest the same rational) — no decimal literal to parse
-      OracleLits.put("pca_vprev",
-        vPrev.map(x => math.round(x * 1e6).toString).mkString("[", ", ", "]"))
-      // gate column is pure int64 (guarded narrowing of the exact decimal
-      // sum — raises instead of wrapping if a corpus ever outgrows it)
-      sums.select(col("pos"),
-          Similarity.toInt64OrError(col("s"), "emb_pca_top mv_sum_nano")
-            .as("mv_sum_nano"))
-        .orderBy("pos")
-    }),
-
-    // Whitening stats: per-dimension n/Σx/Σx² sufficient statistics in
-    // exact decimal arithmetic (stuck/biased-dim QA — componentStats
-    // derives mean/std for interactive use; the gate compares the
-    // division-free sums, the nb_calibration pattern)
-    "emb_component_stats" -> ((s, d) =>
-      Similarity.componentSums(emb(s, d), "embedding").orderBy("pos")),
-
-    "emb_quantize" -> ((s, d) =>
-      emb(s, d)
-        .withColumn("scale", Similarity.int8Scale(col("embedding")))
-        .select(col("vec_id"), col("scale"),
-          posexplode(Similarity.int8Quantize(col("embedding"), col("scale"))))
-        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
-          col("col").as("q"), col("scale"))
-        .orderBy("vec_id", "pos")),
-
-    // Deterministic random-projection dim reduction (64 → 8 dims)
-    "emb_project" -> ((s, d) =>
-      emb(s, d)
-        .select(col("vec_id"),
-          posexplode(Similarity.randomProject(col("embedding"), 8)))
-        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
-          round(col("col"), 6).as("v"))
-        .orderBy("vec_id", "pos")),
-
-    // Product-quantization codebook (Jégou '11): 4 subspaces × 4 centroids,
-    // 2 Lloyd's rounds each — all subspaces trained together in one scan
-    // per round (subspace is a grouping key, not a loop)
-    "emb_pq_codebook" -> ((s, d) =>
-      Pq.codebook(emb(s, d), "vec_id", "embedding", m = 4, k = 4, iters = 2)
-        .select(col("subspace").cast("long").as("subspace"), col("label"),
-          col("pos").cast("long").as("pos"), col("centroid"))
-        .orderBy("subspace", "label", "pos")),
-
-    // PQ encode: each vector compressed to 4 integer codes (m·8 bits vs
-    // D·32 — the representation an exhaustive ADC scan reads at 100 TB)
-    "emb_pq_encode" -> ((s, d) => {
-      val e = emb(s, d)
-      // k·D rows; cached because encode reads it twice (dims + literal)
-      Pq.encode(e,
-          Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2)
-            .cache(),
-          "vec_id", "embedding")
-        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
-          col("code"))
-        .orderBy("vec_id", "subspace")
-    }),
-
-    // PQ ADC top-k: compressed-domain search — per-query int64 nano LUT
-    // (broadcast) + one integer-sum aggregation over the code table; the
-    // raw vectors never rejoin the candidate scan
-    "ann_pq_topk" -> ((s, d) => {
-      val e = emb(s, d)
-      // the tiny codebook is read 4× (encode + ADC, dims + literals each)
-      val cb = Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2)
-        .cache()
-      Pq.adcTopK(e.filter(col("vec_id") < 5),
-          Pq.encode(e, cb, "vec_id", "embedding"), cb,
-          "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("rnk"), col("neighbor_id"),
-          col("dist_nano"))
-        .orderBy("query_id", "rnk")
-    }),
-
-    // Incremental index append: a NEW batch of vectors encoded against the
-    // frozen codebook trained on history ALONE — codes for existing
-    // vectors are never recomputed; the oracle independently retrains on
-    // the same history and encodes the same batch, proving the frozen-
-    // codebook deployment shape end-to-end
-    "emb_pq_incr_encode" -> ((s, d) => {
-      val e = emb(s, d)
-      // codebook trained on history only, batch encoded against it
-      Pq.encode(e.filter(col("vec_id") >= 250),
-          Pq.codebook(e.filter(col("vec_id") < 250), "vec_id", "embedding",
-            m = 4, k = 4, iters = 2).cache(),
-          "vec_id", "embedding")
-        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
-          col("code"))
-        .orderBy("vec_id", "subspace")
-    }),
-
-    // IVFADC (Jégou '11 §V — the FAISS-style 100 TB layout): coarse IVF
-    // cell restriction composed with compressed-domain ADC scoring — the
-    // join key grows to (cell, subspace, code), so candidates outside the
-    // query's cell are pruned before any distance arithmetic
-    "ann_ivfpq_topk" -> ((s, d) => {
-      val e = emb(s, d)
-      val cb = Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2)
-        .cache()
-      val codes = Pq.encode(e, cb, "vec_id", "embedding")
-        .join(e.select(col("vec_id"), col("label").as("cell")), Seq("vec_id"))
-      Pq.adcTopK(e.filter(col("vec_id") < 5).withColumn("cell", col("label")),
-          codes, cb, "vec_id", "embedding", k = 10, cellCol = Some("cell"))
-        .select(col("query_id"), col("rnk"), col("neighbor_id"),
-          col("dist_nano"))
-        .orderBy("query_id", "rnk")
-    }),
-
-    // Binary-quantized ANN: 48-bit sign signatures (one fused codegen
-    // loop), candidates scored by pure integer Hamming distance — the
-    // 1-bit extreme of the quantized-index spectrum (8 bytes/vector, one
-    // xor+popcount per candidate, no float kernel in the scan)
-    "ann_hamming_topk" -> ((s, d) =>
-      Similarity.hammingTopK(
-          emb(s, d).filter(col("vec_id") < 5), emb(s, d),
-          "vec_id", "embedding", bits = 48, k = 10)
-        .orderBy("query_id", "rnk")),
-
-    // Multi-index Hamming search (Norouzi '12): 4 bands of 12 signature
-    // bits, candidates = rows sharing >= 1 exact band (pigeonhole: exact
-    // for neighbors < 4 bits apart), one band-key shuffle — never the
-    // all-pairs loop. The scale path of ann_hamming_topk
-    "ann_hamming_band" -> ((s, d) =>
-      Similarity.hammingBandTopK(
-          emb(s, d).filter(col("vec_id") < 5), emb(s, d),
-          "vec_id", "embedding", bits = 48, bands = 4, k = 10)
-        .orderBy("query_id", "rnk")),
-
-    // Two-stage binary search: Hamming top-30 prefilter, exact-cosine
-    // re-rank of only those survivors (the IVFADC+R shape at the 1-bit
-    // extreme — Hamming's tie mass resolved by exact distances, not ids)
-    "ann_hamming_rerank" -> ((s, d) =>
-      Similarity.hammingRerankTopK(
-          emb(s, d).filter(col("vec_id") < 5), emb(s, d),
-          "vec_id", "embedding", bits = 48, k = 10, candidates = 30)
-        .select("query_id", "rnk", "neighbor_id")
-        .orderBy("query_id", "rnk")),
-
-    // IVFADC+R (Jégou '11 §VI): cell-restricted ADC retrieves k'=30
-    // candidates in the compressed domain, then ONLY those q·k' rows are
-    // re-scored exactly against their raw vectors (broadcast candidate
-    // fetch — never a full corpus rejoin) and the top 10 under the exact
-    // (d2, id) order are kept — the standard recall-recovery tail of the
-    // compressed search stack
-    "ann_ivfpq_rerank" -> ((s, d) => {
-      val e = emb(s, d)
-      val cb = Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2)
-        .cache()
-      val codes = Pq.encode(e, cb, "vec_id", "embedding")
-        .join(e.select(col("vec_id"), col("label").as("cell")), Seq("vec_id"))
-      Pq.adcRerankTopK(
-          e.filter(col("vec_id") < 5).withColumn("cell", col("label")),
-          e, codes, cb, "vec_id", "embedding", k = 10, kPrime = 30,
-          cellCol = Some("cell"))
-        .select(col("query_id"), col("rnk"), col("neighbor_id"),
-          col("d2_nano"))
-        .orderBy("query_id", "rnk")
-    }),
-
-    // PQ index QA: per-subspace quantization error (expected ADC
-    // distortion) — the retrain-trigger metric; int64 nano sums only
-    "emb_pq_error" -> ((s, d) => {
-      val e = emb(s, d)
-      Pq.quantizationError(e,
-          Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2)
-            .cache(),
-          "vec_id", "embedding")
-        .select(col("subspace").cast("long").as("subspace"), col("n"),
-          col("err_nano_sum"))
-        .orderBy("subspace")
-    }),
-
-    // PQ index QA: ADC recall against exact brute-force ground truth —
-    // integer (n_hit, k) pairs, the ann_recall pattern (quantization-loss
-    // QA before committing a compressed 100 TB index)
-    "ann_pq_recall" -> ((s, d) => {
-      val e = emb(s, d)
-      val q = e.filter(col("vec_id") < 5)
-      val cb = Pq.codebook(e, "vec_id", "embedding", m = 4, k = 4, iters = 2)
-        .cache()
-      val bf = Pq.bruteForceL2TopK(q, e, "vec_id", "embedding", 10)
-        .select(col("query_id"), col("neighbor_id"))
-      val pq = Pq.adcTopK(q, Pq.encode(e, cb, "vec_id", "embedding"), cb,
-          "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("neighbor_id"))
-      bf.join(pq.withColumn("hit", lit(1L)),
-          Seq("query_id", "neighbor_id"), "left_outer")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("k"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .select(col("query_id"), col("n_hit"), col("k"))
-        .orderBy("query_id")
-    }),
-
-    // Scalar-quantized (SQ8) asymmetric-distance ANN: corpus stored as
-    // int8 codes + per-vector scale (4× smaller), query stays float —
-    // the middle of the quantized-index spectrum (int8 → PQ → signs);
-    // int-only gate, the bit-portable scale/round/fold makes the DuckDB
-    // ranking identical
-    "ann_sq_topk" -> ((s, d) => {
-      val e = emb(s, d)
-      Similarity.sqTopK(e.filter(col("vec_id") < 5), e, "vec_id",
-          "embedding", k = 10)
-        .orderBy("query_id", "rnk")
-    }),
-
-    // IVF-SQ8: cell-restricted scalar-quantized search — the scale path
-    // for ann_sq_topk, exactly as IVFADC is for plain ADC (keyed
-    // candidate join, compressed representation computed pre-join)
-    "ann_ivfsq_topk" -> ((s, d) => {
-      val e = emb(s, d)
-      Similarity.ivfSqTopK(e.filter(col("vec_id") < 5), e, "vec_id",
-          "embedding", "label", k = 10)
-        .orderBy("query_id", "rnk")
-    }),
-
-    // Multi-probe IVF-SQ8: the recall knob for the int8 index — probe
-    // the 2 nearest cells per query (broadcast-centroid pass), SQ-score
-    // the probed cells' candidates
-    "ann_ivfsq_multiprobe" -> ((s, d) => {
-      val e = emb(s, d)
-      Similarity.ivfSqMultiProbeTopK(e.filter(col("vec_id") < 5), e,
-          "vec_id", "embedding", "label", k = 10, nProbe = 2)
-        .orderBy("query_id", "rnk")
-    }),
-
-    // SQ8 + exact rerank (the IVFADC+R shape for the scalar quantizer):
-    // int8 prefilter to k'=30, exact float dot on only those candidates
-    "ann_sq_rerank" -> ((s, d) => {
-      val e = emb(s, d)
-      Similarity.sqRerankTopK(e.filter(col("vec_id") < 5), e, "vec_id",
-          "embedding", k = 10, kPrime = 30)
-        .orderBy("query_id", "rnk")
-    }),
-
-    // SQ index QA: recall of the int8 asymmetric ranking against the
-    // exact inner-product ground truth — integer (n_hit, k) pairs, the
-    // ann_recall pattern
-    "ann_sq_recall" -> ((s, d) => {
-      val e = emb(s, d)
-      val q = e.filter(col("vec_id") < 5)
-      val exact = Similarity.dotTopK(q, e, "vec_id", "embedding", 10)
-        .select(col("query_id"), col("neighbor_id"))
-      val sq = Similarity.sqTopK(q, e, "vec_id", "embedding", 10)
-        .select(col("query_id"), col("neighbor_id"))
-      exact.join(sq.withColumn("hit", lit(1L)),
-          Seq("query_id", "neighbor_id"), "left_outer")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("k"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .select(col("query_id"), col("n_hit"), col("k"))
-        .orderBy("query_id")
-    }),
-
-    // As-of join: each click → most recent purchase at-or-before, per user
-    // (union + carry-forward window — one shuffle, no inequality join)
-    "join_asof" -> ((s, d) => {
-      val ev = Tables.load(s, d, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
-          col("value").as("p_value"))
-      Temporal.asOfJoin(clicks, purchases, "user_id", "ts",
-        Seq("p_event_id", "p_value"))
-        .select("event_id", "p_event_id", "p_value")
-        .orderBy("event_id")
-    }),
-
-    // Range join: clicks inside each purchase's 12-hour follow-up window,
-    // per user (time-bin explode + equi-join — no interval nested loop)
-    "join_range" -> ((s, d) => {
-      val ev = Tables.load(s, d, "events")
-      val intervals = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("int_id"), col("user_id"),
-          col("ts").as("start_ts"),
-          (col("ts") + expr("INTERVAL 12 HOURS")).as("end_ts"))
-      val probes = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("probe_id"), col("user_id"), col("ts"))
-      Temporal.rangeJoin(intervals, probes, "user_id",
-        "start_ts", "end_ts", "ts", binMicros = 12L * 3600 * 1000000)
-        .select("int_id", "probe_id")
-        .orderBy("int_id", "probe_id")
-    })
-  )
-
-  // --- DuckDB mirrors of the MD5-derived hash family --------------------
-  // the list_filter mirrors Spark tokens()' phantom-empty-token guard —
-  // string_split_regex('', ...) yields [''] where split+array_remove yields []
-  private val duckToks =
-    "list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != ''))"
-  private val duckToksAll =
-    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
-
-  /** Repeat/epoch-plan CTEs mirroring `Sampling.repeatEpochs` on the
-    * documents table (budget 50000, src0=2000bp, src1=1000bp, default
-    * 350bp): int64 div/% targets + the per-source hash-ordered partial
-    * prefix. Ends with `epr` (doc_id, source, n_tokens, epochs). Shared
-    * by samp_repeat_epochs and the samp_pack_epochs composition. */
-  private lazy val repeatEpochsCtes: String =
-    s"""tok AS (SELECT doc_id, source,
-       |  CAST(len($duckToksAll) AS BIGINT) AS n_tokens FROM documents),
-       |tot AS (SELECT source, sum(n_tokens) AS t FROM tok GROUP BY 1),
-       |rpl AS (SELECT source, t,
-       |  CASE WHEN t > 0 THEN ((50000 * (CASE source WHEN 'src0' THEN 2000
-       |    WHEN 'src1' THEN 1000 ELSE 350 END)) // 10000) // t
-       |    ELSE 0 END AS fe,
-       |  CASE WHEN t > 0 THEN ((50000 * (CASE source WHEN 'src0' THEN 2000
-       |    WHEN 'src1' THEN 1000 ELSE 350 END)) // 10000) % t
-       |    ELSE 0 END AS rem FROM tot),
-       |rcum AS (SELECT doc_id, source, n_tokens,
-       |  sum(n_tokens) OVER (PARTITION BY source ORDER BY
-       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-       |      AS BIGINT) % 10000, doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
-       |  FROM tok),
-       |epr AS (SELECT rcum.doc_id, rcum.source, rcum.n_tokens,
-       |  CAST(rpl.fe + (CASE WHEN rcum.c - rcum.n_tokens < rpl.rem
-       |    THEN 1 ELSE 0 END) AS BIGINT) AS epochs
-       |  FROM rcum JOIN rpl USING (source))""".stripMargin
-
-  /** Full-corpus inverted-index SQL (tx_postings), shared verbatim by
-    * tx_postings_incr whose merge-of-batches must equal it exactly. */
-  private val duckPostingsSql =
-    s"""WITH tok AS (SELECT doc_id, unnest($duckToksAll) AS token
-       |  FROM documents),
-       |td AS (SELECT token, doc_id, count(*) AS n_occ FROM tok
-       |  GROUP BY 1, 2),
-       |st AS (SELECT token, count(*) AS df,
-       |    CAST(sum(n_occ) AS BIGINT) AS cf FROM td GROUP BY 1),
-       |top AS (SELECT * FROM st ORDER BY df DESC, token LIMIT 50),
-       |td2 AS (SELECT token, doc_id, row_number() OVER (
-       |    PARTITION BY token ORDER BY doc_id) AS rn FROM td),
-       |p AS (SELECT token, string_agg(CAST(doc_id AS VARCHAR), ','
-       |    ORDER BY doc_id) AS postings FROM td2 WHERE rn <= 20
-       |  GROUP BY 1)
-       |SELECT t.token, t.df, t.cf, p.postings
-       |FROM top t JOIN p USING (token)
-       |ORDER BY t.df DESC, t.token""".stripMargin
-
-  /** DSIR scoring CTE: when the engine has registered its 256 quantized
-    * bucket log-ratios (OracleLits `dsir_ratios`), the oracle scores
-    * against that literal table — the data-sized tokenize/bucket/sum is
-    * still fully recomputed; only the `ln` constants are shipped.
-    * Fallback: re-derive the model in SQL as before. */
-  private def dsirCte: String = {
-    // the registered ratio table carries int64 MICRO log-ratios (lrm) —
-    // the whole oracle scoring path below is integer arithmetic. The
-    // fallback (query never ran) re-derives them via ln + round(·10⁶),
-    // which matches the engine's HALF_UP quantization modulo 1 libm ulp —
-    // rows/schema-grade only, exactly like the other fallbacks.
-    val ratioCte = OracleLits.get("dsir_ratios") match {
-      case Some(r) => s"r AS (SELECT * FROM $r)"
-      case None =>
-        """c AS (SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
-          |    sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr FROM bk GROUP BY 1),
-          |n AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM c),
-          |r AS (SELECT b, CAST(round(
-          |    ln(((ct + 1.0) / (nt + 256)) / ((cr + 1.0) / (nr + 256)))
-          |      * 1000000.0) AS BIGINT) AS lrm FROM c, n)""".stripMargin
-    }
-    s"""WITH lab AS (SELECT doc_id, (lang = 'en') AS is_t,
-       |    $duckToksAll AS tk FROM documents),
-       |tok AS (SELECT doc_id, is_t, unnest(tk) AS t FROM lab),
-       |bk AS (SELECT doc_id, is_t,
-       |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS b
-       |  FROM tok),
-       |$ratioCte,
-       |s AS (SELECT bk.doc_id, sum(lrm) AS w FROM bk JOIN r USING (b)
-       |  GROUP BY 1)""".stripMargin
-  }
-
-  /** NB quality-model CTE (mirror of `TextAnalysis.nbTrain`/`nbScore` with
-    * positive = src0-2, vocab 512): per-class token counts, top-512 vocab
-    * under the (count desc, token) total order, add-1 log likelihoods
-    * quantized at DECIMAL(18,6) — arithmetic shape `(c+1.0)/(n+512)` kept
-    * identical to the Scala side. */
-  private val nbModelCte =
-    s"""WITH lab AS (SELECT doc_id,
-       |    (source IN ('src0', 'src1', 'src2')) AS pos,
-       |    $duckToksAll AS tk FROM documents),
-       |tok AS (SELECT doc_id, pos, unnest(tk) AS token FROM lab),
-       |c AS (SELECT token, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
-       |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
-       |  FROM tok GROUP BY 1),
-       |top AS (SELECT * FROM c
-       |  ORDER BY (c_pos + c_neg) DESC, token LIMIT 512),
-       |n AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg FROM top),
-       |m AS (SELECT token,
-       |    CAST(ln((c_pos + 1.0) / (n_pos + 512)) AS DECIMAL(18,6))
-       |      AS logp_pos,
-       |    CAST(ln((c_neg + 1.0) / (n_neg + 512)) AS DECIMAL(18,6))
-       |      AS logp_neg FROM top, n)""".stripMargin
-
-  /** Integer-counts model dump (mirror of `TextAnalysis.nbTopCounts ∘
-    * nbCounts`): the top-512 vocabulary with raw per-class counts — the
-    * gate-facing NB model surface (no log finalize, so nothing to
-    * canonicalize). */
-  private val nbCountsSql =
-    s"""WITH lab AS (SELECT doc_id,
-       |    (source IN ('src0', 'src1', 'src2')) AS pos,
-       |    $duckToksAll AS tk FROM documents),
-       |tok AS (SELECT doc_id, pos, unnest(tk) AS token FROM lab),
-       |c AS (SELECT token, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
-       |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
-       |  FROM tok GROUP BY 1),
-       |top AS (SELECT * FROM c
-       |  ORDER BY (c_pos + c_neg) DESC, token LIMIT 512)
-       |SELECT token, CAST(c_pos AS BIGINT) AS c_pos,
-       |  CAST(c_neg AS BIGINT) AS c_neg
-       |FROM top ORDER BY token""".stripMargin
-
-  /** Per-language marker-score column defs and the election CASE, over a
-    * token-list SQL alias — shared by the lang-id and pipeline oracles. */
-  private def duckLangScore(tkAlias: String): (String, String) = {
-    val markers = graft.scale.TextAnalysis.langMarkers
-    val scoreDefs = markers.map { case (lang, ms) =>
-      val inList = ms.map(m => s"'$m'").mkString(",")
-      s"CAST(len(list_filter($tkAlias, w -> w IN ($inList))) AS BIGINT) AS s_$lang"
-    }.mkString(", ")
-    val mx = "greatest(" + markers.map(m => s"s_${m._1}").mkString(", ") + ")"
-    val cases = markers.map { case (lang, _) =>
-      s"WHEN s_$lang = $mx AND $mx > 0 THEN '$lang'"
-    }.mkString(" ")
-    (scoreDefs, s"CASE $cases ELSE 'und' END")
-  }
-
-  /** minhash_i as DuckDB SQL over a token-list expression. */
-  private def duckMinhash(i: Int, toks: String): String = {
-    val a = 2L * i + 1
-    val b = 7919L * i + 1
-    s"list_min(list_transform($toks, t -> " +
-      s"(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) * $a + $b) % 2147483647))"
-  }
-
-  private def duckSimhashTerm(j: Int): String =
-    s"(CASE WHEN 2 * len(list_filter(toks, t -> substr(md5(t), ${j + 1}, 1) IN " +
-      s"('8','9','a','b','c','d','e','f'))) - len(toks) > 0 " +
-      s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-
-  /** 3-word shingle list in DuckDB. */
-  private val duckShingles3 =
-    "list_distinct(list_transform(range(1, CASE WHEN len(tk) >= 3 " +
-      "THEN len(tk) - 2 ELSE 0 END + 1), i -> " +
-      "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
-
-  /** Shared CTE chain producing the LSH candidate `pairs` (id_a, id_b,
-    * jaccard ≥ 0.9) over documents ∪ shifted-dup copy — mirrors
-    * [[Dedup.minhashCandidates]] with k=16, bands=4, 3-word shingles. */
-  private lazy val minhashPairsCtes: String = minhashPairsCtesOver(
-    """u AS (SELECT doc_id AS id, text FROM documents
-      |  UNION ALL SELECT doc_id + 10000, text FROM documents)""".stripMargin)
-
-  /** Same CTE chain over an arbitrary corpus: `corpusCtes` is a CTE-list
-    * fragment whose last CTE is `u(id, text)`. */
-  private def minhashPairsCtesOver(corpusCtes: String): String = {
-    def bandHash(b: Int): String = {
-      val parts = (b * 4 until b * 4 + 4).map(i => s"CAST(s$i AS VARCHAR)")
-        .mkString(" || '-' || ")
-      s"md5($parts)"
-    }
-    val sigCols = (0 until 16).map(i =>
-      s"${duckMinhash(i, "tk")} AS s$i").mkString(", ")
-    val bandSelects = (0 until 4).map(b =>
-      s"SELECT id, tk, $b AS band, ${bandHash(b)} AS bh FROM sig")
-      .mkString(" UNION ALL ")
-    s"""WITH $corpusCtes,
-       |t0 AS (SELECT id, $duckToksAll AS tk FROM u),
-       |tok AS (SELECT id, $duckShingles3 AS tk FROM t0),
-       |sig AS (SELECT id, tk, $sigCols FROM tok),
-       |band AS ($bandSelects),
-       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
-       |    AND a.id < b.id),
-       |scored AS (SELECT id_a, id_b,
-       |  CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) /
-       |    len(list_distinct(list_concat(ta.tk, tb.tk))) AS jaccard
-       |  FROM cand JOIN tok ta ON cand.id_a = ta.id
-       |            JOIN tok tb ON cand.id_b = tb.id),
-       |pairs AS (SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.9)""".stripMargin
-  }
-
-  /** The full curation chain as CTEs — quality gate (`qf`), exact-dedup
-    * survivors (`ex`), LSH pairs, component walk, near-dup drops (`dup`) —
-    * shared by the pipeline stats and provenance oracles. */
-  private lazy val curationChainCtes: String = {
-    val (scoreDefs, langCase) = duckLangScore("lowtk")
-    val corpus =
-      s"""u0 AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
-         |feat AS (SELECT doc_id, text,
-         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-         |    t -> t != '')) AS BIGINT) AS n_tokens,
-         |  CAST(length(text) AS BIGINT) AS nc,
-         |  CAST(length(text) -
-         |    length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS na,
-         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-         |    t -> t != '') AS lowtk
-         |  FROM u0),
-         |sc AS (SELECT doc_id, text, n_tokens, nc, na, $scoreDefs FROM feat),
-         |qf AS (SELECT doc_id, text, $langCase AS predicted_lang
-         |  FROM sc WHERE n_tokens >= 10
-         |    AND (CASE WHEN nc > 0 THEN CAST(na AS DOUBLE) / nc
-         |         ELSE 0.0 END) >= 0.5),
-         |ex AS (SELECT doc_id, text, predicted_lang FROM (
-         |  SELECT qf.*, row_number() OVER (
-         |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-         |    ORDER BY doc_id) AS rn FROM qf) WHERE rn = 1),
-         |u AS (SELECT doc_id AS id, text FROM ex)""".stripMargin
-    s"""WITH RECURSIVE ${minhashPairsCtesOver(corpus).stripPrefix("WITH ")},
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION SELECT id_b, id_a FROM pairs),
-       |nodes AS (SELECT DISTINCT src AS id FROM edges),
-       |walk AS (
-       |  SELECT id, id AS comp FROM nodes
-       |  UNION
-       |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON w.id = e.src),
-       |compx AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
-       |dup AS (SELECT id FROM compx WHERE id != component)""".stripMargin
-  }
-
-  /** Min-label reachability CTEs over the LSH pair graph — shared by the
-    * component oracles and the leakage-safe split oracle. */
-  private lazy val componentsWalkCtes: String =
-    s"""${minhashPairsCtes.stripPrefix("WITH ")},
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION SELECT id_b, id_a FROM pairs),
-       |nodes AS (SELECT DISTINCT src AS id FROM edges),
-       |walk AS (
-       |  SELECT id, id AS comp FROM nodes
-       |  UNION
-       |  SELECT e.dst AS id, w.comp FROM walk w JOIN edges e ON w.id = e.src)""".stripMargin
-
-  /** Min-label reachability over the LSH pair graph (recursive CTE) —
-    * the oracle for both the batch and the incremental component queries. */
-  private lazy val componentsWalkSql: String =
-    s"""WITH RECURSIVE $componentsWalkCtes
-       |SELECT id, min(comp) AS component FROM walk GROUP BY id
-       |ORDER BY id""".stripMargin
-
-  /** Leakage-safe split oracle: components from the walk, singletons fall
-    * back to their own id, split bucket = the samp_split hash of the
-    * COMPONENT (so one cluster shares one split). */
-  private lazy val leakageSplitSql: String =
-    s"""WITH RECURSIVE $componentsWalkCtes,
-       |compx2 AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
-       |j AS (SELECT u.id AS doc_id,
-       |    coalesce(c.component, u.id) AS component
-       |  FROM u LEFT JOIN compx2 c ON u.id = c.id)
-       |SELECT doc_id, component,
-       |  CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test'
-       |    ELSE 'train' END AS split
-       |FROM (SELECT doc_id, component,
-       |  CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))
-       |    AS BIGINT) % 10000 AS b FROM j)
-       |ORDER BY doc_id""".stripMargin
-
-  /** DuckDB mirror of [[TextAnalysis.bpeTrain]] (8 merge rounds, statically
-    * unrolled -- the round count is fixed, so no recursion is needed). Each
-    * word's symbol sequence is kept as a string of chr(1)+sym+chr(2) cells;
-    * a round picks the (freq DESC, a, b) argmax pair from the adjacent-pair
-    * counts and applies it with `replace(s, cell(a)+cell(b), cell(ab))` --
-    * SQL replace is left-to-right non-overlapping, which is exactly
-    * bpeTrain's greedy fold (the "aaa" -> (aa, a) case included; a merged
-    * cell can never re-match because its delimiter boundary differs). The
-    * control-char delimiters cannot collide with token content (tokens are
-    * whitespace-split corpus text) and prevent cross-symbol false matches
-    * (cells of "xa","b" never match the pattern for "a","b"). */
-  /** Shared 8-round BPE training CTE chain: word freqs (wf), delimited
-    * initial symbols (v0), and per-round pair counts / argmax / merged
-    * vocabulary (p_k / b_k / v_k). Used by both the merge-table oracle
-    * (bpeMergesSql) and the encoding oracle (bpeEncodeSql). */
-  private lazy val bpeCommonCtes: String = {
-    val d1 = "chr(1)"
-    val d2 = "chr(2)"
-    // delimited string -> adjacent-pair counts (argmax candidate table)
-    def pairCte(k: Int): String =
-      s"""p$k AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(list_transform(range(1, len(sy)),
-         |      i -> struct_pack(a := sy[i], b := sy[i + 1]))) AS pr, freq
-         |    FROM (SELECT string_split(substr(s, 2, length(s) - 2),
-         |      $d2 || $d1) AS sy, freq FROM v${k - 1}) WHERE len(sy) > 1)
-         |  GROUP BY 1, 2),
-         |b$k AS (SELECT a, b, freq FROM p$k
-         |  ORDER BY freq DESC, a, b LIMIT 1),
-         |v$k AS (SELECT CASE WHEN bb.a IS NULL THEN s
-         |  ELSE replace(s, $d1 || bb.a || $d2 || $d1 || bb.b || $d2,
-         |    $d1 || bb.a || bb.b || $d2) END AS s, v${k - 1}.freq AS freq
-         |  FROM v${k - 1} LEFT JOIN b$k bb ON TRUE)""".stripMargin
-    val rounds = (1 to 8).map(pairCte).mkString(",\n")
-    s"""wf AS (SELECT w, count(*) AS freq FROM (
-       |    SELECT unnest($duckToksAll) AS w FROM documents) GROUP BY w),
-       |v0 AS (SELECT array_to_string(list_transform(range(1, length(w) + 1),
-       |    i -> $d1 || substr(w, i, 1) || $d2), '') AS s, freq FROM wf),
-       |$rounds""".stripMargin
-  }
-
-  private lazy val bpeMergesSql: String = {
-    val finalRows = (1 to 8).map(k =>
-      s"""SELECT CAST($k AS INT) AS rank, a AS "left", b AS "right",
-         |  freq AS pair_freq FROM b$k""".stripMargin).mkString("\nUNION ALL\n")
-    s"""WITH $bpeCommonCtes
-       |SELECT * FROM (
-       |$finalRows
-       |) ORDER BY rank""".stripMargin
-  }
-
-  /** DuckDB mirror of [[TextAnalysis.bpeEncode]] over the 8 trained merges:
-    * each distinct word's delimited symbol string (e0) is folded through
-    * the 8 merge replaces in rank order (e1..e8, each a 1-row CROSS JOIN
-    * on that round's argmax b_k — identical left-to-right non-overlapping
-    * `replace` semantics as the Spark side), then per-doc token positions
-    * join the encoded vocabulary and aggregate to counts plus the
-    * position-ordered MD5 of the symbol stream. Empty documents come back
-    * via the LEFT JOIN with zero counts and md5(''). */
-  /** Encode-chain CTEs shared by the bpe_encode and bpe_fertility oracles:
-    * the trained-merge folds over the word vocabulary (e0..e8), the
-    * encoded-word table (wenc), positioned corpus tokens (dt) and the
-    * per-doc aggregate (agg). */
-  private lazy val bpeEncodeCtes: String = {
-    val d1 = "chr(1)"
-    val d2 = "chr(2)"
-    // LEFT JOIN ON TRUE, not CROSS JOIN: an exhausted vocabulary makes a
-    // late-round b_k EMPTY, and an empty cross join would annihilate the
-    // whole word table instead of skipping the merge
-    val encRounds = (1 to 8).map { k =>
-      s"""e$k AS (SELECT w, CASE WHEN bb.a IS NULL THEN s
-         |  ELSE replace(s, $d1 || bb.a || $d2 || $d1 || bb.b || $d2,
-         |    $d1 || bb.a || bb.b || $d2) END AS s
-         |  FROM e${k - 1} LEFT JOIN b$k bb ON TRUE)""".stripMargin
-    }.mkString(",\n")
-    s"""$bpeCommonCtes,
-       |e0 AS (SELECT w, array_to_string(list_transform(range(1, length(w) + 1),
-       |    i -> $d1 || substr(w, i, 1) || $d2), '') AS s FROM wf),
-       |$encRounds,
-       |wenc AS (SELECT w, string_split(substr(s, 2, length(s) - 2),
-       |  $d2 || $d1) AS sy FROM e8),
-       |dt AS (SELECT doc_id, i AS pos, tk[i] AS w
-       |  FROM (SELECT doc_id, $duckToksAll AS tk FROM documents),
-       |  LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) t),
-       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-       |  CAST(sum(len(sy)) AS BIGINT) AS n_bpe_tokens,
-       |  md5(string_agg(array_to_string(sy, ' '), ' ' ORDER BY pos)) AS enc_md5
-       |  FROM dt JOIN wenc USING (w) GROUP BY doc_id)""".stripMargin
-  }
-
-  private lazy val bpeEncodeSql: String =
-    s"""WITH $bpeEncodeCtes
-       |SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
-       |  CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
-       |  coalesce(a.enc_md5, md5('')) AS enc_md5
-       |FROM documents d LEFT JOIN agg a USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
-
-  private lazy val bpeFertilitySql: String =
-    s"""WITH $bpeEncodeCtes
-       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(coalesce(a.n_words, 0)) AS BIGINT) AS total_words,
-       |  CAST(sum(coalesce(a.n_bpe_tokens, 0)) AS BIGINT) AS total_bpe_tokens
-       |FROM documents d LEFT JOIN agg a USING (doc_id)
-       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
-
-  /** SRP-LSH bucket id mirroring Similarity.srpBucket(embedding, 8). */
-  private def duckSrpTerms: String =
-    (0 until 8).map { j =>
-      s"(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), i -> " +
-        s"CAST(embedding[i] AS DOUBLE) * ((i - 1) * ${j + 1} % 13 - 6))) > 0 " +
-        s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }.mkString("(", " + ", ")")
-
-  /** Shared 2-round k-means CTE chain mirroring Similarity.kmeansFit
-    * (k = 4, min-id seeds rounded to 4 decimals; E-step argmin ties break
-    * to the smallest label; M-step decimal-exact mean): c0→a1→c1→a2→c2.
-    * emb_kmeans_fit selects the 2-round centroids (c2); emb_semdedup uses
-    * the a2 assignment (the E-step over the 1-round centroids c1). */
-  private lazy val kmeansCtes: String =
-    """dim AS (SELECT unnest(range(1,
-      |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
-      |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS label,
-      |  embedding FROM (SELECT vec_id, embedding FROM embeddings
-      |    ORDER BY vec_id LIMIT 4)),
-      |c0 AS (SELECT label, i AS pos,
-      |  round(CAST(embedding[i] AS DOUBLE), 4) AS centroid
-      |  FROM seeds CROSS JOIN dim),
-      |d1 AS (SELECT e.vec_id, c.label,
-      |  sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid) *
-      |      (CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid)) AS d2
-      |  FROM embeddings e CROSS JOIN c0 c GROUP BY e.vec_id, c.label),
-      |a1 AS (SELECT vec_id, label FROM (
-      |  SELECT vec_id, label, row_number() OVER (
-      |    PARTITION BY vec_id ORDER BY d2, label) AS rn FROM d1)
-      |  WHERE rn = 1),
-      |c1 AS (SELECT a.label, i AS pos,
-      |  round(CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)
-      |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
-      |  FROM embeddings e JOIN a1 a USING (vec_id) CROSS JOIN dim
-      |  GROUP BY a.label, i),
-      |d2s AS (SELECT e.vec_id, c.label,
-      |  sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid) *
-      |      (CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid)) AS d2
-      |  FROM embeddings e CROSS JOIN c1 c GROUP BY e.vec_id, c.label),
-      |a2 AS (SELECT vec_id, label FROM (
-      |  SELECT vec_id, label, row_number() OVER (
-      |    PARTITION BY vec_id ORDER BY d2, label) AS rn FROM d2s)
-      |  WHERE rn = 1),
-      |c2 AS (SELECT a.label, i AS pos,
-      |  round(CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)
-      |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
-      |  FROM embeddings e JOIN a2 a USING (vec_id) CROSS JOIN dim
-      |  GROUP BY a.label, i)""".stripMargin
-
-  /** Product-quantization CTEs mirroring `Pq.codebook` (m = 4 subspaces,
-    * k = 4, 2 Lloyd's rounds): per-subspace slices cast to DOUBLE, min-id
-    * seeds rounded at 4 decimals, per-round decimal-exact means, argmin
-    * tie-break to the smallest label. Distances are in-order list folds
-    * (`list_sum ∘ list_transform` — matching Spark's `aggregate` fold
-    * element order bit-for-bit). Ends with `c2` (final codebook rows) and
-    * `cl2` (per-(subspace,label) centroid lists for encode/ADC). */
-  private lazy val pqCtes: String = pqCtesTrainedOn("embeddings")
-
-  /** PQ CTEs with the codebook trained on `trainSrc` (a table or
-    * sub-select) while `sv` still spans the full corpus — the frozen-
-    * codebook incremental-encode shape. */
-  /** Train-source-independent PQ CTEs: subspace split of every vector. */
-  private lazy val pqSharedCtes: String =
-    """pp AS (SELECT CAST((SELECT max(len(embedding)) FROM embeddings)
-      |  AS INTEGER) // 4 AS sub),
-      |sdim AS (SELECT unnest(range(1,
-      |  (SELECT sub FROM pp) + 1)) AS i),
-      |subs AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS s),
-      |sv AS (SELECT e.vec_id, s.s AS subspace,
-      |  list_transform(list_slice(e.embedding,
-      |    s.s * pp.sub + 1, (s.s + 1) * pp.sub),
-      |    x -> CAST(x AS DOUBLE)) AS subvec
-      |  FROM embeddings e CROSS JOIN subs s CROSS JOIN pp)""".stripMargin
-
-  /** Codebook-training CTEs (2 Lloyd's rounds, min-id seeds) over the
-    * vectors of `trainSrc`, every CTE name suffixed with `sfx` so TWO
-    * codebooks can coexist in one oracle (the retrain state machine);
-    * the final codebook is `cl2$sfx`. `base` is the subvector CTE to
-    * read (default the raw `sv`; the retrain oracle trains its second
-    * codebook on a drift-shifted variant). */
-  private def pqTrainCtes(trainSrc: String, sfx: String,
-      base: String = "sv"): String = {
-    def dist(v: String, c: String): String =
-      s"list_sum(list_transform(range(1, len($v) + 1), " +
-        s"i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
-    def assignAndMean(r: Int): String =
-      s"""cl${r - 1}$sfx AS (SELECT subspace, label,
-         |  list(centroid ORDER BY pos) AS cl
-         |  FROM c${r - 1}$sfx GROUP BY 1, 2),
-         |d$r$sfx AS (SELECT v.vec_id, v.subspace, c.label,
-         |  ${dist("v.subvec", "c.cl")} AS d2
-         |  FROM svt$sfx v JOIN cl${r - 1}$sfx c ON c.subspace = v.subspace),
-         |a$r$sfx AS (SELECT vec_id, subspace, label FROM (
-         |  SELECT vec_id, subspace, label, row_number() OVER (
-         |    PARTITION BY vec_id, subspace ORDER BY d2, label) AS rn
-         |  FROM d$r$sfx) WHERE rn = 1),
-         |c$r$sfx AS (SELECT v.subspace, a.label, sd.i AS pos,
-         |  round(CAST(sum(CAST(v.subvec[sd.i] AS DECIMAL(27,9)))
-         |    AS DOUBLE) / count(*), 4) AS centroid
-         |  FROM svt$sfx v JOIN a$r$sfx a
-         |    ON a.vec_id = v.vec_id AND a.subspace = v.subspace
-         |  CROSS JOIN sdim sd GROUP BY 1, 2, 3)""".stripMargin
-    s"""svt$sfx AS (SELECT sv.* FROM $base sv
-       |  JOIN $trainSrc t ON t.vec_id = sv.vec_id),
-       |seeds$sfx AS (SELECT row_number() OVER (ORDER BY vec_id) AS label,
-       |  vec_id
-       |  FROM (SELECT tt.vec_id FROM $trainSrc tt
-       |    ORDER BY tt.vec_id LIMIT 4)),
-       |c0$sfx AS (SELECT v.subspace, sd0.label, sdim.i AS pos,
-       |  round(v.subvec[sdim.i], 4) AS centroid
-       |  FROM svt$sfx v JOIN seeds$sfx sd0 USING (vec_id) CROSS JOIN sdim),
-       |${assignAndMean(1)},
-       |${assignAndMean(2)},
-       |cl2$sfx AS (SELECT subspace, label, list(centroid ORDER BY pos)
-       |  AS cl FROM c2$sfx GROUP BY 1, 2)""".stripMargin
-  }
-
-  private def pqCtesTrainedOn(trainSrc: String): String =
-    s"""$pqSharedCtes,
-       |${pqTrainCtes(trainSrc, "")}""".stripMargin
-
-  /** Encode CTE: one more E-step against the final codebook (`cl2`). */
-  private lazy val pqEncodeCte: String =
-    """enc AS (SELECT vec_id, subspace, label AS code FROM (
-      |  SELECT v.vec_id, v.subspace, c.label, row_number() OVER (
-      |    PARTITION BY v.vec_id, v.subspace ORDER BY
-      |      list_sum(list_transform(range(1, len(v.subvec) + 1),
-      |        i -> (v.subvec[i] - c.cl[i]) * (v.subvec[i] - c.cl[i]))),
-      |      c.label) AS rn
-      |  FROM sv v JOIN cl2 c ON c.subspace = v.subspace) WHERE rn = 1)""".stripMargin
-
-  /** ADC CTEs: per-query int64 nano LUT + integer-sum candidate scores. */
-  private lazy val pqAdcCtes: String =
-    s"""$pqEncodeCte,
-       |lut AS (SELECT v.vec_id AS query_id, v.subspace, c.label AS code,
-       |  CAST(floor(list_sum(list_transform(range(1, len(v.subvec) + 1),
-       |    i -> (v.subvec[i] - c.cl[i]) * (v.subvec[i] - c.cl[i])))
-       |    * 1000000000.0) AS BIGINT) AS d_nano
-       |  FROM sv v JOIN cl2 c ON c.subspace = v.subspace
-       |  WHERE v.vec_id < 5),
-       |adc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
-       |  CAST(sum(l.d_nano) AS BIGINT) AS dist_nano
-       |  FROM enc e JOIN lut l
-       |    ON l.subspace = e.subspace AND l.code = e.code
-       |  GROUP BY 1, 2),
-       |adck AS (SELECT query_id, rnk, neighbor_id, dist_nano FROM (
-       |  SELECT query_id, neighbor_id, dist_nano, row_number() OVER (
-       |    PARTITION BY query_id ORDER BY dist_nano, neighbor_id) AS rnk
-       |  FROM adc) WHERE rnk <= 10)""".stripMargin
-
-  /** Power-iteration CTEs mirroring `Similarity.powerIterationTop` (3
-    * rounds, seed e₁): per-row dot as an in-order list fold (matching the
-    * Spark-side `aggregate` fold), per-dim sums of DECIMAL(27,9)-quantized
-    * contributions, per-round round(…, 6) of the normalized vector — the
-    * same quantize-then-exact-sum discipline as the k-means CTEs. */
-  private lazy val pcaCtes: String = {
-    def round(k: Int): String =
-      s"""s$k AS (SELECT i AS pos, sum(CAST(floor((d$k.dot *
-         |    CAST(d$k.embedding[i] AS DOUBLE)) * 1000000000.0)
-         |    AS DECIMAL(20,0))) AS s
-         |  FROM d$k CROSS JOIN dim GROUP BY i),
-         |n$k AS (SELECT sqrt(sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
-         |  AS nrm FROM s$k),
-         |v$k AS (SELECT pos, round(CAST(s AS DOUBLE) / nrm, 6) AS v
-         |  FROM s$k, n$k),
-         |vl$k AS (SELECT list(v ORDER BY pos) AS vl FROM v$k)""".stripMargin
-    def dotOf(k: Int): String =
-      s"""d$k AS (SELECT vec_id, embedding,
-         |  list_sum(list_transform(range(1, len(embedding) + 1),
-         |    i -> CAST(embedding[i] AS DOUBLE) * vl[i])) AS dot
-         |  FROM e, vl${k - 1})""".stripMargin
-    s"""dim AS (SELECT unnest(range(1,
-       |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
-       |e AS (SELECT vec_id, embedding FROM embeddings),
-       |d1 AS (SELECT vec_id, embedding,
-       |  CAST(embedding[1] AS DOUBLE) AS dot FROM e),
-       |${round(1)},
-       |${dotOf(2)},
-       |${round(2)},
-       |${dotOf(3)},
-       |${round(3)}""".stripMargin
-  }
-
-  /** Elementwise double dot product mirroring Similarity.dot. */
-  private def duckDot(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, len($a) + 1), i -> " +
-      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-
-  private def duckCosine(a: String, b: String): String = {
-    val na = s"sqrt(${duckDot(a, a)})"
-    val nb = s"sqrt(${duckDot(b, b)})"
-    s"(CASE WHEN $na * $nb > 0 THEN ${duckDot(a, b)} / ($na * $nb) ELSE 0.0 END)"
-  }
-
-  // a def, not a val: the registry-aware entries below read OracleLits
-  // fragments that the corresponding query functions register as they run
-  // (Verify dumps oracle SQL AFTER running every query), falling back to
-  // recompute-in-SQL forms when a fragment is absent
-  def oracles: Map[String, String] = Map(
-    "dedup_exact" ->
-      """WITH u AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 10000, text FROM documents)
-        |SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-        |  min(doc_id) AS keep_id, count(*) AS dup_cnt
-        |FROM u GROUP BY 1 ORDER BY keep_id""".stripMargin,
-
-    "mm_frame_sample" ->
-      """WITH f AS (SELECT doc_id AS id, text,
-        |  greatest(CAST(floor(length(text) / 4) AS INT), 1) AS n
-        |  FROM documents)
-        |SELECT id, CAST(i AS BIGINT) AS pos,
-        |  ascii(substr(text, (i - 1) * 4 + 1, 1)) AS byte
-        |FROM f, LATERAL (SELECT unnest(range(1, n + 1)) AS i) t
-        |ORDER BY id, pos""".stripMargin,
-
-    // ascii corpus ⇒ substr-by-char == substr-by-byte (same contract as
-    // mm_frame_sample's oracle)
-    "mm_resize" ->
-      """SELECT doc_id AS id,
-        |  CASE WHEN length(text) > 0 THEN 16 ELSE 0 END AS n_bytes,
-        |  md5(CASE WHEN length(text) > 0 THEN array_to_string(
-        |    list_transform(range(1, 17), i -> substr(text,
-        |      CAST(floor((i - 1) * length(text) / 16.0) AS INT) + 1, 1)),
-        |    '') ELSE '' END) AS payload_md5
-        |FROM documents ORDER BY id""".stripMargin,
-
-    "dedup_segments" ->
-      s"""WITH u AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
-         |tok AS (SELECT doc_id, $duckToksAll AS tk FROM u),
-         |seg AS (SELECT doc_id, pos, array_to_string(
-         |    list_slice(tk, (pos - 1) * 10 + 1, (pos - 1) * 10 + 10), ' ') AS seg
-         |  FROM tok, LATERAL (SELECT unnest(range(1,
-         |    CAST(ceil(len(tk) / 10.0) AS INT) + 1)) AS pos) p
-         |  WHERE len(tk) > 0),
-         |keep AS (SELECT doc_id, pos, seg FROM (
-         |  SELECT doc_id, pos, seg, row_number() OVER (
-         |    PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM seg)
-         |  WHERE rn = 1)
-         |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
-         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "dedup_survivors" ->
-      """WITH u AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 10000, text FROM documents)
-        |SELECT doc_id FROM (
-        |  SELECT doc_id, row_number() OVER (
-        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-        |    ORDER BY doc_id) AS rn FROM u)
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    "sim_srp_bucket" -> {
-      s"""SELECT vec_id, $duckSrpTerms AS bucket FROM embeddings
-         |ORDER BY vec_id""".stripMargin
-    },
-
-    "nd_srp_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $duckSrpTerms AS bucket
-         |  FROM embeddings)
-         |SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b
-         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3
-         |ORDER BY a.bucket, id_a, id_b""".stripMargin,
-
-    "tx_lang_id_ngram" ->
-      """WITH g AS (SELECT doc_id, lang,
-        |    unnest(list_transform(range(1,
-        |      greatest(length(lower(text)) - 2, 0) + 1),
-        |      i -> substr(lower(text), i, 3))) AS g FROM documents),
-        |dv AS (SELECT doc_id, g, count(*) AS dc FROM g GROUP BY 1, 2),
-        |lv0 AS (SELECT lang, g, count(*) AS lc FROM g GROUP BY 1, 2),
-        |lv AS (SELECT lang, g, lc FROM (
-        |  SELECT lang, g, lc, row_number() OVER (
-        |    PARTITION BY lang ORDER BY lc DESC, g) AS prn FROM lv0)
-        |  WHERE prn <= 300),
-        |dn AS (SELECT doc_id, sqrt(sum(dc * dc)) AS dn FROM dv GROUP BY 1),
-        |lnorm AS (SELECT lang, sqrt(sum(lc * lc)) AS ln FROM lv GROUP BY 1),
-        |dt AS (SELECT dv.doc_id, lv.lang, sum(dc * lc) AS dot
-        |  FROM dv JOIN lv USING (g) GROUP BY 1, 2),
-        |s AS (SELECT doc_id, lang, round(dot / (dn * ln), 6) AS cos
-        |  FROM dt JOIN dn USING (doc_id) JOIN lnorm USING (lang))
-        |SELECT doc_id, lang AS predicted_lang FROM (
-        |  SELECT doc_id, lang, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY cos DESC, lang) AS rn FROM s)
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    "tx_token_count" ->
-      """SELECT doc_id,
-        |CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |  t -> t != '')) AS BIGINT) AS n_tokens,
-        |CAST(len(list_filter(string_split_regex(trim(regexp_replace(lower(text),
-        |  '([a-z]+|[0-9]+|[^a-z0-9\s])', ' \1 ', 'g')), '\s+'),
-        |  t -> t != '')) AS BIGINT) AS n_subword_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "dedup_minhash_sig" -> {
-      val sigExprs = (0 until 16).map(i =>
-        s"CAST(${duckMinhash(i, "tk")} AS VARCHAR)").mkString(" || '-' || ")
-      s"""WITH tok AS (SELECT doc_id, $duckToks AS tk FROM documents)
-         |SELECT doc_id, $sigExprs AS sig FROM tok ORDER BY doc_id""".stripMargin
-    },
-
-    "dedup_minhash_pairs" ->
-      (minhashPairsCtes +
-        "\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"),
-
-    // two exact-only stream batches in id order fold to the global
-    // survivor set (same SQL shape as dedup_survivors)
-    "st_stream_dedup" ->
-      """WITH u AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 10000, text FROM documents)
-        |SELECT doc_id FROM (
-        |  SELECT doc_id, row_number() OVER (
-        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-        |    ORDER BY doc_id) AS rn FROM u)
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    "dedup_incr_exact" ->
-      """WITH state AS (SELECT DISTINCT
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |  FROM documents WHERE doc_id < 250),
-        |u AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
-        |  UNION ALL SELECT doc_id + 10000, text FROM documents),
-        |f AS (SELECT doc_id,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |  FROM u),
-        |fresh AS (SELECT doc_id, fp FROM f
-        |  WHERE fp NOT IN (SELECT fp FROM state))
-        |SELECT doc_id FROM (SELECT doc_id, row_number() OVER (
-        |  PARTITION BY fp ORDER BY doc_id) AS rn FROM fresh)
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    // same banded-LSH chain as dedup_minhash_pairs over the full corpus,
-    // restricted to pairs with a batch-side (shifted-id) endpoint
-    "dedup_incr_minhash" ->
-      (minhashPairsCtes +
-        """
-          |SELECT id_a, id_b, jaccard FROM pairs
-          |WHERE id_a >= 10000 OR id_b >= 10000
-          |ORDER BY id_a, id_b""".stripMargin),
-
-    "dedup_components" -> componentsWalkSql,
-
-    "dedup_cluster_stats" ->
-      s"""WITH RECURSIVE $componentsWalkCtes,
-         |compx2 AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
-         |cl AS (SELECT component, count(*) AS cluster_size FROM compx2
-         |  GROUP BY 1),
-         |hist AS (SELECT cluster_size, count(*) AS n_clusters FROM cl
-         |  GROUP BY 1
-         |  UNION ALL
-         |  SELECT 1 AS cluster_size, count(*) AS n_clusters FROM u
-         |  WHERE u.id NOT IN (SELECT id FROM compx2))
-         |SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
-         |FROM hist GROUP BY 1 ORDER BY cluster_size""".stripMargin,
-
-    "dedup_best_survivor" ->
-      s"""WITH RECURSIVE $componentsWalkCtes,
-         |compx2 AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
-         |j AS (SELECT u.id AS doc_id, coalesce(c.component, u.id) AS component,
-         |    CAST(length(u.text) AS BIGINT) AS n_chars
-         |  FROM u LEFT JOIN compx2 c ON u.id = c.id)
-         |SELECT component, doc_id, n_chars FROM (
-         |  SELECT component, doc_id, n_chars, row_number() OVER (
-         |    PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
-         |  FROM j)
-         |WHERE rn = 1 ORDER BY component""".stripMargin,
-
-    "samp_leakage_split" -> leakageSplitSql,
-
-    // the incremental merge must land on the batch-at-once labeling, so
-    // the oracle IS the full-run components query
-    "dedup_incr_components" -> componentsWalkSql,
-
-    "dedup_simhash" -> {
-      val terms = (0 until 16).map(duckSimhashTerm).mkString(" + ")
-      s"""WITH tok AS (SELECT doc_id, $duckToksAll AS toks FROM documents)
-         |SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM tok
-         |ORDER BY doc_id""".stripMargin
-    },
-
-    "dedup_ngram_jaccard" ->
-      s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
-         |sh AS (SELECT doc_id, $duckShingles3 AS sg FROM tok)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CASE WHEN len(list_distinct(list_concat(a.sg, b.sg))) > 0 THEN
-         |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(a.sg, b.sg))) ELSE 0.0 END AS jaccard3
-         |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
-         |ORDER BY id_a""".stripMargin,
-
-    "nd_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings)
-         |SELECT a.label AS bucket, a.vec_id AS id_a, b.vec_id AS id_b
-         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3
-         |ORDER BY bucket, id_a, id_b""".stripMargin,
-
-    "ann_bruteforce_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-         |  FROM embeddings WHERE vec_id < 5),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id, row_number() OVER (
-         |    PARTITION BY query_id
-         |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
-         |  FROM q, c WHERE query_id != neighbor_id)
-         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-
-    "ann_recall" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label
-         |  FROM embeddings WHERE vec_id < 5),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label
-         |  FROM embeddings),
-         |bf AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id, row_number() OVER (
-         |    PARTITION BY query_id
-         |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
-         |  FROM q, c WHERE query_id != neighbor_id)
-         |  WHERE rnk <= 10),
-         |iv AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id, row_number() OVER (
-         |    PARTITION BY query_id
-         |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
-         |  FROM q JOIN c ON q.label = c.label
-         |  WHERE query_id != neighbor_id)
-         |  WHERE rnk <= 10)
-         |SELECT bf.query_id,
-         |  CAST(count(iv.neighbor_id) AS BIGINT) AS n_hit,
-         |  CAST(count(*) AS BIGINT) AS k
-         |FROM bf LEFT JOIN iv USING (query_id, neighbor_id)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // the oracle re-quantizes the corpus (emb_quantize recipe) and ranks
-    // by the same scale·dot(query, codes) asymmetric score
-    "ann_sq_topk" ->
-      s"""WITH c0 AS (SELECT vec_id AS neighbor_id, embedding AS ce,
-         |  list_max(list_transform(embedding,
-         |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings),
-         |c AS (SELECT neighbor_id, scale,
-         |  CASE WHEN scale > 0
-         |    THEN list_transform(ce, x -> round(CAST(x AS DOUBLE) / scale))
-         |    ELSE list_transform(ce, x -> 0.0) END AS codes FROM c0),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe
-         |  FROM embeddings WHERE vec_id < 5)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id, row_number() OVER (
-         |    PARTITION BY query_id
-         |    ORDER BY scale * ${duckDot("qe", "codes")} DESC,
-         |      neighbor_id) AS rnk
-         |  FROM q, c WHERE query_id != neighbor_id)
-         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-
-    // cell-restricted variant: same asymmetric ranking, candidates
-    // limited to the query's label cell
-    "ann_ivfsq_topk" ->
-      s"""WITH c0 AS (SELECT vec_id AS neighbor_id, label, embedding AS ce,
-         |  list_max(list_transform(embedding,
-         |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings),
-         |c AS (SELECT neighbor_id, label, scale,
-         |  CASE WHEN scale > 0
-         |    THEN list_transform(ce, x -> round(CAST(x AS DOUBLE) / scale))
-         |    ELSE list_transform(ce, x -> 0.0) END AS codes FROM c0),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe, label
-         |  FROM embeddings WHERE vec_id < 5)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id, row_number() OVER (
-         |    PARTITION BY query_id
-         |    ORDER BY scale * ${duckDot("qe", "codes")} DESC,
-         |      neighbor_id) AS rnk
-         |  FROM q JOIN c ON q.label = c.label
-         |  WHERE query_id != neighbor_id)
-         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-
-    // the ann_ivf_multiprobe probe CTEs + the SQ asymmetric ranking
-    "ann_ivfsq_multiprobe" ->
-      s"""WITH dim AS (SELECT unnest(range(1,
-         |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
-         |cents AS (SELECT label, i AS pos,
-         |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
-         |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
-         |  FROM embeddings CROSS JOIN dim GROUP BY 1, 2),
-         |cl AS (SELECT label, list(centroid ORDER BY pos) AS cl
-         |  FROM cents GROUP BY 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-         |  WHERE vec_id < 5),
-         |qd AS (SELECT query_id, cc.label AS cell,
-         |  list_sum(list_transform(range(1, len(qe) + 1),
-         |    i -> (CAST(qe[i] AS DOUBLE) - cc.cl[i])
-         |       * (CAST(qe[i] AS DOUBLE) - cc.cl[i]))) AS d
-         |  FROM q, cl cc),
-         |probe AS (SELECT query_id, cell FROM (
-         |  SELECT query_id, cell, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY d, cell) AS rn FROM qd)
-         |  WHERE rn <= 2),
-         |c0 AS (SELECT vec_id AS neighbor_id, label AS cell,
-         |  embedding AS ce,
-         |  list_max(list_transform(embedding,
-         |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings),
-         |c AS (SELECT neighbor_id, cell, scale,
-         |  CASE WHEN scale > 0
-         |    THEN list_transform(ce, x -> round(CAST(x AS DOUBLE) / scale))
-         |    ELSE list_transform(ce, x -> 0.0) END AS codes FROM c0)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
-         |  SELECT p.query_id, c.neighbor_id, row_number() OVER (
-         |    PARTITION BY p.query_id
-         |    ORDER BY scale * ${duckDot("qe", "codes")} DESC,
-         |      neighbor_id) AS rnk
-         |  FROM probe p JOIN c ON c.cell = p.cell
-         |  JOIN q ON q.query_id = p.query_id
-         |  WHERE p.query_id != c.neighbor_id)
-         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-
-    // sq prefilter CTE to rnk<=30, then exact-dot rerank of the survivors
-    "ann_sq_rerank" ->
-      s"""WITH c0 AS (SELECT vec_id AS neighbor_id, embedding AS ce,
-         |  list_max(list_transform(embedding,
-         |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings),
-         |c AS (SELECT neighbor_id, ce, scale,
-         |  CASE WHEN scale > 0
-         |    THEN list_transform(ce, x -> round(CAST(x AS DOUBLE) / scale))
-         |    ELSE list_transform(ce, x -> 0.0) END AS codes FROM c0),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe
-         |  FROM embeddings WHERE vec_id < 5),
-         |cand AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id, row_number() OVER (
-         |    PARTITION BY query_id
-         |    ORDER BY scale * ${duckDot("qe", "codes")} DESC,
-         |      neighbor_id) AS rnk
-         |  FROM q, c WHERE query_id != neighbor_id) WHERE rnk <= 30)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
-         |  SELECT cand.query_id, cand.neighbor_id, row_number() OVER (
-         |    PARTITION BY cand.query_id
-         |    ORDER BY ${duckDot("qe", "ce")} DESC, cand.neighbor_id) AS rnk
-         |  FROM cand JOIN c ON c.neighbor_id = cand.neighbor_id
-         |  JOIN q ON q.query_id = cand.query_id)
-         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-
-    "ann_sq_recall" ->
-      s"""WITH c0 AS (SELECT vec_id AS neighbor_id, embedding AS ce,
-         |  list_max(list_transform(embedding,
-         |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings),
-         |c AS (SELECT neighbor_id, ce, scale,
-         |  CASE WHEN scale > 0
-         |    THEN list_transform(ce, x -> round(CAST(x AS DOUBLE) / scale))
-         |    ELSE list_transform(ce, x -> 0.0) END AS codes FROM c0),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe
-         |  FROM embeddings WHERE vec_id < 5),
-         |exact AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id, row_number() OVER (
-         |    PARTITION BY query_id
-         |    ORDER BY ${duckDot("qe", "ce")} DESC, neighbor_id) AS rnk
-         |  FROM q, c WHERE query_id != neighbor_id) WHERE rnk <= 10),
-         |sq AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id, row_number() OVER (
-         |    PARTITION BY query_id
-         |    ORDER BY scale * ${duckDot("qe", "codes")} DESC,
-         |      neighbor_id) AS rnk
-         |  FROM q, c WHERE query_id != neighbor_id) WHERE rnk <= 10)
-         |SELECT exact.query_id,
-         |  CAST(count(sq.neighbor_id) AS BIGINT) AS n_hit,
-         |  CAST(count(*) AS BIGINT) AS k
-         |FROM exact LEFT JOIN sq USING (query_id, neighbor_id)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "ann_ivf_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label
-         |  FROM embeddings WHERE vec_id < 5),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label
-         |  FROM embeddings)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id, row_number() OVER (
-         |    PARTITION BY query_id
-         |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
-         |  FROM q JOIN c ON q.label = c.label
-         |  WHERE query_id != neighbor_id)
-         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-
-    // per-cell decimal-mean centroids (the Similarity.centroids recipe),
-    // probe = 2 nearest cells by in-order sqL2 fold, then the ivf cosine
-    // ranking over the probed cells' union
-    "ann_ivf_multiprobe" ->
-      s"""WITH dim AS (SELECT unnest(range(1,
-         |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
-         |cents AS (SELECT label, i AS pos,
-         |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
-         |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
-         |  FROM embeddings CROSS JOIN dim GROUP BY 1, 2),
-         |cl AS (SELECT label, list(centroid ORDER BY pos) AS cl
-         |  FROM cents GROUP BY 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-         |  WHERE vec_id < 5),
-         |qd AS (SELECT query_id, cc.label AS cell,
-         |  list_sum(list_transform(range(1, len(qe) + 1),
-         |    i -> (CAST(qe[i] AS DOUBLE) - cc.cl[i])
-         |       * (CAST(qe[i] AS DOUBLE) - cc.cl[i]))) AS d
-         |  FROM q, cl cc),
-         |probe AS (SELECT query_id, cell FROM (
-         |  SELECT query_id, cell, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY d, cell) AS rn FROM qd)
-         |  WHERE rn <= 2),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS cell
-         |  FROM embeddings)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
-         |  SELECT p.query_id, c.neighbor_id, row_number() OVER (
-         |    PARTITION BY p.query_id
-         |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
-         |  FROM probe p JOIN c ON c.cell = p.cell
-         |  JOIN q ON q.query_id = p.query_id
-         |  WHERE p.query_id != c.neighbor_id)
-         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-
-    "ann_rp_topk" -> {
-      def proj(e: String): String =
-        s"list_transform(range(1, 9), j -> list_sum(list_transform(" +
-          s"range(1, len($e) + 1), i -> CAST($e[i] AS DOUBLE) * ((i - 1) * j % 13 - 6))))"
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
-         |    ${proj("embedding")} AS qpv
-         |  FROM embeddings WHERE vec_id < 5),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce,
-         |    ${proj("embedding")} AS cpv
-         |  FROM embeddings),
-         |cand AS (SELECT query_id, neighbor_id, qe, ce, row_number() OVER (
-         |    PARTITION BY query_id
-         |    ORDER BY round(${duckCosine("qpv", "cpv")}, 6) DESC, neighbor_id
-         |  ) AS prnk
-         |  FROM q, c WHERE query_id != neighbor_id)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id, row_number() OVER (
-         |    PARTITION BY query_id
-         |    ORDER BY round(${duckCosine("qe", "ce")}, 6) DESC, neighbor_id) AS rnk
-         |  FROM cand WHERE prnk <= 30)
-         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-    },
-
-    "tx_quality_features" ->
-      """WITH f AS (SELECT doc_id, text,
-        |  list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS tk,
-        |  CAST(length(text) AS BIGINT) AS nc FROM documents),
-        |g AS (SELECT doc_id, nc,
-        |  CAST(len(tk) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_filter(tk, w -> w IN
-        |    ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stopwords,
-        |  CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g'))
-        |    AS BIGINT) AS n_punct,
-        |  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
-        |    AS BIGINT) AS n_alpha
-        |  FROM f)
-        |SELECT doc_id, n_tokens, n_stopwords,
-        |  CASE WHEN n_tokens > 0
-        |    THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-        |    ELSE 0.0 END AS stopword_ratio,
-        |  CASE WHEN n_tokens > 0
-        |    THEN CAST(nc - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-        |    ELSE 0.0 END AS mean_token_len,
-        |  CASE WHEN nc > 0 THEN CAST(n_punct AS DOUBLE) / CAST(nc AS DOUBLE)
-        |    ELSE 0.0 END AS punct_ratio,
-        |  CASE WHEN nc > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(nc AS DOUBLE)
-        |    ELSE 0.0 END AS alpha_ratio
-        |FROM g ORDER BY doc_id""".stripMargin,
-
-    "tx_lang_id" -> {
-      val (scoreDefs, langCase) = duckLangScore("tk")
-      s"""WITH tok AS (SELECT doc_id, lang,
-         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS tk FROM documents),
-         |sc AS (SELECT doc_id, lang, $scoreDefs FROM tok)
-         |SELECT doc_id, lang, $langCase AS predicted_lang
-         |FROM sc ORDER BY doc_id""".stripMargin
-    },
-
-    "tx_fingerprint" ->
-      """SELECT doc_id,
-        |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // per-chunk marker election over non-overlapping 50-token slices,
-    // rolled up to integer mix statistics (mirror of langMixture)
-    "tx_lang_mix" -> {
-      val (scoreDefs, electCase) = duckLangScore("ctk")
-      s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
-         |x AS (SELECT doc_id, tk, unnest(range(0,
-         |  CASE WHEN len(tk) = 0 THEN 0
-         |    ELSE greatest(CAST(ceil(len(tk) / 50.0) AS BIGINT), 1)
-         |  END)) AS ci FROM tok),
-         |ch AS (SELECT doc_id, tk[(ci*50+1):(ci*50+50)] AS ctk FROM x),
-         |sc AS (SELECT doc_id, $scoreDefs FROM ch),
-         |el AS (SELECT doc_id, $electCase AS lang FROM sc),
-         |pl AS (SELECT doc_id, lang, count(*) AS c FROM el GROUP BY 1, 2),
-         |rn AS (SELECT doc_id, lang, c, row_number() OVER (
-         |  PARTITION BY doc_id ORDER BY c DESC, lang) AS rn FROM pl)
-         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
-         |  CAST(count(*) AS BIGINT) AS n_langs,
-         |  max(CASE WHEN rn = 1 THEN lang END) AS majority_lang,
-         |  CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS n_majority
-         |FROM rn GROUP BY 1 ORDER BY doc_id""".stripMargin
-    },
-
-    "mm_payload_features" ->
-      """SELECT doc_id AS id, 'text' AS modality, source,
-        |CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_hash
-        |FROM documents ORDER BY id""".stripMargin,
-
-    // chunk boundaries are BYTE offsets on the Spark side; the oracle
-    // chunks the VARCHAR by char position — identical for this corpus
-    // (ASCII-only, asserted by the n_chars/strlen parity other mm oracles
-    // rely on); md5(varchar) hashes the substring's UTF-8 bytes in both
-    "mm_chunk_dedup" ->
-      """WITH m AS (SELECT doc_id AS id, text FROM documents
-        |  UNION ALL SELECT doc_id + 10000, text FROM documents),
-        |ch AS (SELECT id, list_distinct(list_transform(
-        |    range(1, CAST(ceil(strlen(text) / 64.0) AS INT) + 1),
-        |    i -> md5(substring(text, CAST((i - 1) * 64 + 1 AS INT), 64)))) AS hs
-        |  FROM m WHERE strlen(text) > 0),
-        |f AS (SELECT id, unnest(hs) AS h FROM ch),
-        |nc AS (SELECT id, len(hs) AS n FROM ch),
-        |rare AS (SELECT h FROM f GROUP BY h HAVING count(*) <= 50),
-        |fk AS (SELECT f.id, f.h FROM f JOIN rare USING (h)),
-        |p AS (SELECT x.id AS a, y.id AS b, count(*) AS shared
-        |  FROM fk x JOIN fk y USING (h) WHERE x.id < y.id GROUP BY 1, 2)
-        |SELECT p.a, p.b, CAST(p.shared AS BIGINT) AS shared,
-        |  CAST(x.n AS BIGINT) AS na, CAST(y.n AS BIGINT) AS nb
-        |FROM p JOIN nc x ON p.a = x.id JOIN nc y ON p.b = y.id
-        |WHERE p.shared * 10000 >= least(x.n, y.n) * 8000
-        |ORDER BY a, b""".stripMargin,
-
-    "mm_decode_stub" ->
-      """WITH b AS (SELECT doc_id AS id, strlen(text) AS n,
-        |  list_sum(list_transform(range(1, strlen(text) + 1),
-        |    i -> ascii(substr(text, i, 1)))) AS bsum
-        |  FROM documents)
-        |SELECT id, CAST(n % 640 + 1 AS INT) AS width,
-        |  CAST(bsum % 480 + 1 AS INT) AS height
-        |FROM b ORDER BY id""".stripMargin,
-
-    "tx_chunks" ->
-      s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
-         |x AS (SELECT doc_id, tk, unnest(range(0,
-         |  CASE WHEN len(tk) = 0 THEN 0
-         |    ELSE greatest(CAST(ceil((len(tk) - 10) / 40.0) AS BIGINT), 1)
-         |  END)) AS chunk_index FROM tok)
-         |SELECT doc_id, chunk_index,
-         |  len(tk[(chunk_index*40+1):(chunk_index*40+50)]) AS n_tokens,
-         |  md5(array_to_string(tk[(chunk_index*40+1):(chunk_index*40+50)],
-         |    ' ')) AS chunk_md5
-         |FROM x ORDER BY doc_id, chunk_index""".stripMargin,
-
-    // integer cross-product drift: |c_a·n_b − c_b·n_a| — no floating
-    // point anywhere (see the query's comment)
-    "tx_drift" ->
-      s"""WITH ta AS (SELECT unnest($duckToksAll) AS token
-         |  FROM documents WHERE doc_id < 250),
-         |tb AS (SELECT unnest($duckToksAll) AS token
-         |  FROM documents WHERE doc_id >= 250),
-         |ca AS (SELECT token, count(*) AS c_a FROM ta GROUP BY 1),
-         |cb AS (SELECT token, count(*) AS c_b FROM tb GROUP BY 1),
-         |na AS (SELECT sum(c_a) AS n_a FROM ca),
-         |nb AS (SELECT sum(c_b) AS n_b FROM cb),
-         |j AS (SELECT coalesce(ca.token, cb.token) AS token,
-         |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
-         |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token)
-         |SELECT token, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
-         |  CAST(abs(c_a * n_b - c_b * n_a) AS BIGINT) AS drift_x
-         |FROM j CROSS JOIN na CROSS JOIN nb
-         |ORDER BY drift_x DESC, token ASC LIMIT 20""".stripMargin,
-
-    "tx_lm_perplexity" ->
-      s"""WITH t AS (SELECT doc_id, $duckToksAll AS l FROM documents),
-         |v AS (SELECT count(DISTINCT tk) AS v FROM
-         |  (SELECT unnest(l) AS tk FROM t)),
-         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
-         |  i -> l[i] || ' ' || l[i+1])) AS bigram FROM t),
-         |c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY 1),
-         |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1
-         |  FROM c12 GROUP BY 1),
-         |lm AS (SELECT bigram,
-         |  CAST(ln((c12 + 1.0) / (c1 + v)) / ln(2.0) AS DECIMAL(18,6)) AS logp
-         |  FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
-         |  CROSS JOIN v)
-         |SELECT doc_id,
-         |  CAST(-sum(logp) * 1000000 AS BIGINT) AS neg_logp_sum_micro,
-         |  count(*) AS n_bigrams
-         |FROM bg JOIN lm USING (bigram)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "tx_repetition" -> {
-      def grams(n: Int): String = {
-        val parts = (0 until n).map(k => s"tk[i+$k]").mkString(" || ' ' || ")
-        s"list_transform(range(1, CASE WHEN len(tk) >= $n " +
-          s"THEN len(tk) - ${n - 1} ELSE 0 END + 1), i -> $parts)"
-      }
-      val maxRun =
-        """CASE WHEN len(tk) = 0 THEN 0 ELSE CAST((list_reduce(
-          |  list_transform(tk, t -> struct_pack(best := 1, cur := 1, prev := t)),
-          |  (a, b) -> struct_pack(
-          |    best := greatest(a.best,
-          |      CASE WHEN b.prev = a.prev THEN a.cur + 1 ELSE 1 END),
-          |    cur := CASE WHEN b.prev = a.prev THEN a.cur + 1 ELSE 1 END,
-          |    prev := b.prev))).best AS BIGINT) END""".stripMargin
-      s"""WITH tok AS (SELECT doc_id, text, $duckToksAll AS tk FROM documents),
-         |g AS (SELECT doc_id, text, tk,
-         |  ${grams(2)} AS g2, ${grams(3)} AS g3 FROM tok)
-         |SELECT doc_id,
-         |  CASE WHEN len(g2) > 0 THEN 1.0 -
-         |    CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
-         |    ELSE 0.0 END AS dup_2gram_frac,
-         |  CASE WHEN len(g3) > 0 THEN 1.0 -
-         |    CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
-         |    ELSE 0.0 END AS dup_3gram_frac,
-         |  CASE WHEN len(g2) > 0 THEN
-         |    CAST(list_max(list_transform(list_distinct(g2),
-         |      d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE) / len(g2)
-         |    ELSE 0.0 END AS top_2gram_frac,
-         |  $maxRun AS max_token_run,
-         |  CASE WHEN len(tk) > 0 THEN
-         |    CAST((length(text) - length(replace(text, '#', ''))) +
-         |      (length(text) - length(replace(text, '...', ''))) / 3
-         |      AS DOUBLE) / len(tk)
-         |    ELSE 0.0 END AS symbol_ratio
-         |FROM g ORDER BY doc_id""".stripMargin
-    },
-
-    "tx_redact" ->
-      """SELECT doc_id,
-        |  regexp_replace(
-        |    regexp_replace(text,
-        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+', '<EMAIL>', 'g'),
-        |    '[+]?[0-9][0-9 ()+.-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "samp_hash" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |  AS BIGINT) % 10000 < 2500
-        |ORDER BY doc_id""".stripMargin,
-
-    // merge == retrain: the oracle IS the full-corpus bottom-64 per source
-    "sk_kmv_incr" ->
-      """WITH hv AS (SELECT DISTINCT source AS grp,
-        |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
-        |  FROM documents)
-        |SELECT grp AS source, h, CAST(rk AS BIGINT) AS rank
-        |FROM (SELECT grp, h, row_number() OVER (
-        |  PARTITION BY grp ORDER BY h) AS rk FROM hv)
-        |WHERE rk <= 64 ORDER BY source, rank""".stripMargin,
-
-    // bottom-64 of the MD5-prefix hash per source; union k-min per pair
-    // with side_ct = 2 marking values present in BOTH sketches
-    "sk_kmv_overlap" ->
-      """WITH hv AS (SELECT DISTINCT source AS grp,
-        |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
-        |  FROM documents),
-        |sk AS (SELECT grp, h FROM (SELECT grp, h, row_number() OVER (
-        |    PARTITION BY grp ORDER BY h) AS rk FROM hv) WHERE rk <= 64),
-        |gs AS (SELECT DISTINCT grp FROM sk),
-        |pr AS (SELECT a.grp AS grp_a, b.grp AS grp_b
-        |  FROM gs a JOIN gs b ON a.grp < b.grp),
-        |m AS (SELECT pr.grp_a, pr.grp_b, s.h, count(*) AS side_ct
-        |  FROM pr JOIN sk s ON s.grp = pr.grp_a OR s.grp = pr.grp_b
-        |  GROUP BY 1, 2, 3),
-        |u AS (SELECT grp_a, grp_b, h, side_ct, row_number() OVER (
-        |  PARTITION BY grp_a, grp_b ORDER BY h) AS rk FROM m)
-        |SELECT grp_a AS source_a, grp_b AS source_b,
-        |  CAST(max(h) AS BIGINT) AS kth_min,
-        |  count(*) AS n_kmin,
-        |  CAST(sum(CASE WHEN side_ct = 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_common
-        |FROM u WHERE rk <= 64 GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-
-    // the oracle recomputes the identical 4x256 CMS grid (60-bit MD5
-    // prefix of "j:token" mod width) and probes it the same way
-    "sk_cms_counts" ->
-      s"""WITH tok AS (SELECT source, doc_id, unnest($duckToksAll) AS tok
-         |  FROM documents),
-         |rj AS (SELECT CAST(range AS BIGINT) AS row_j FROM range(0, 4)),
-         |cells AS (SELECT source, rj.row_j,
-         |    CAST(('0x' || substr(md5(CAST(rj.row_j AS VARCHAR) || ':' ||
-         |      tok), 1, 15)) AS BIGINT) % 256 AS bucket
-         |  FROM tok CROSS JOIN rj),
-         |sk AS (SELECT source, row_j, bucket, count(*) AS cnt
-         |  FROM cells GROUP BY 1, 2, 3),
-         |probe AS (SELECT DISTINCT source, tok FROM tok WHERE doc_id < 50),
-         |pc AS (SELECT p.source, p.tok, rj.row_j,
-         |    CAST(('0x' || substr(md5(CAST(rj.row_j AS VARCHAR) || ':' ||
-         |      p.tok), 1, 15)) AS BIGINT) % 256 AS bucket
-         |  FROM probe p CROSS JOIN rj)
-         |SELECT pc.source, pc.tok,
-         |  CAST(min(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
-         |FROM pc LEFT JOIN sk ON sk.source = pc.source
-         |  AND sk.row_j = pc.row_j AND sk.bucket = pc.bucket
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // the oracle recomputes the identical signed-counter vector (sign =
-    // parity of the 60-bit MD5 prefix of "i:token", mapped to ±1)
-    "sk_ams_f2" ->
-      s"""WITH tok AS (SELECT source, unnest($duckToksAll) AS tok
-         |  FROM documents),
-         |ri AS (SELECT CAST(range AS BIGINT) AS est_i FROM range(0, 8)),
-         |sg AS (SELECT source, est_i,
-         |    CAST(('0x' || substr(md5(CAST(est_i AS VARCHAR) || ':' ||
-         |      tok), 1, 15)) AS BIGINT) % 2 * 2 - 1 AS s
-         |  FROM tok CROSS JOIN ri)
-         |SELECT source, est_i, CAST(sum(s) AS BIGINT) AS z
-         |FROM sg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // merge == retrain for linear signed counters: the oracle IS the
-    // full-corpus counter vector
-    "sk_ams_incr" ->
-      s"""WITH tok AS (SELECT source, unnest($duckToksAll) AS tok
-         |  FROM documents),
-         |ri AS (SELECT CAST(range AS BIGINT) AS est_i FROM range(0, 8)),
-         |sg AS (SELECT source, est_i,
-         |    CAST(('0x' || substr(md5(CAST(est_i AS VARCHAR) || ':' ||
-         |      tok), 1, 15)) AS BIGINT) % 2 * 2 - 1 AS s
-         |  FROM tok CROSS JOIN ri)
-         |SELECT source, est_i, CAST(sum(s) AS BIGINT) AS z
-         |FROM sg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // top-10 per source by (CMS estimate desc, token asc) over every
-    // distinct candidate token
-    "sk_cms_topk" ->
-      s"""WITH tok AS (SELECT source, unnest($duckToksAll) AS tok
-         |  FROM documents),
-         |rj AS (SELECT CAST(range AS BIGINT) AS row_j FROM range(0, 4)),
-         |cells AS (SELECT source, rj.row_j,
-         |    CAST(('0x' || substr(md5(CAST(rj.row_j AS VARCHAR) || ':' ||
-         |      tok), 1, 15)) AS BIGINT) % 256 AS bucket
-         |  FROM tok CROSS JOIN rj),
-         |sk AS (SELECT source, row_j, bucket, count(*) AS cnt
-         |  FROM cells GROUP BY 1, 2, 3),
-         |probe AS (SELECT DISTINCT source, tok FROM tok),
-         |pc AS (SELECT p.source, p.tok, rj.row_j,
-         |    CAST(('0x' || substr(md5(CAST(rj.row_j AS VARCHAR) || ':' ||
-         |      p.tok), 1, 15)) AS BIGINT) % 256 AS bucket
-         |  FROM probe p CROSS JOIN rj),
-         |est AS (SELECT pc.source, pc.tok,
-         |    CAST(min(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
-         |  FROM pc LEFT JOIN sk ON sk.source = pc.source
-         |    AND sk.row_j = pc.row_j AND sk.bucket = pc.bucket
-         |  GROUP BY 1, 2)
-         |SELECT source, CAST(rk AS BIGINT) AS rank, tok, est FROM (
-         |  SELECT source, tok, est, row_number() OVER (
-         |    PARTITION BY source ORDER BY est DESC, tok) AS rk FROM est)
-         |WHERE rk <= 10 ORDER BY source, rank""".stripMargin,
-
-    // streamed AMS vectors summed == the full-corpus signed counters
-    "st_ams_update" ->
-      s"""WITH tok AS (SELECT source, unnest($duckToksAll) AS tok
-         |  FROM documents),
-         |ri AS (SELECT CAST(range AS BIGINT) AS est_i FROM range(0, 8)),
-         |sg AS (SELECT source, est_i,
-         |    CAST(('0x' || substr(md5(CAST(est_i AS VARCHAR) || ':' ||
-         |      tok), 1, 15)) AS BIGINT) % 2 * 2 - 1 AS s
-         |  FROM tok CROSS JOIN ri)
-         |SELECT source, est_i, CAST(sum(s) AS BIGINT) AS z
-         |FROM sg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // streamed HLL states unioned must estimate within 10% of exact
-    "st_hll_update" ->
-      """SELECT l_returnflag,
-        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_cnt,
-        |  TRUE AS within_10pct
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // streamed grids cell-wise-summed == the full-corpus grid
-    "st_cms_update" ->
-      s"""WITH tok AS (SELECT source, unnest($duckToksAll) AS tok
-         |  FROM documents),
-         |rj AS (SELECT CAST(range AS BIGINT) AS row_j FROM range(0, 4)),
-         |cells AS (SELECT source, rj.row_j,
-         |    CAST(('0x' || substr(md5(CAST(rj.row_j AS VARCHAR) || ':' ||
-         |      tok), 1, 15)) AS BIGINT) % 256 AS bucket
-         |  FROM tok CROSS JOIN rj)
-         |SELECT source, row_j, CAST(bucket AS BIGINT) AS bucket,
-         |  count(*) AS cnt
-         |FROM cells GROUP BY 1, 2, 3
-         |ORDER BY 1, 2, 3""".stripMargin,
-
-    // merge == retrain for linear counters: the oracle IS the
-    // full-corpus grid
-    "sk_cms_incr" ->
-      s"""WITH tok AS (SELECT source, unnest($duckToksAll) AS tok
-         |  FROM documents),
-         |rj AS (SELECT CAST(range AS BIGINT) AS row_j FROM range(0, 4)),
-         |cells AS (SELECT source, rj.row_j,
-         |    CAST(('0x' || substr(md5(CAST(rj.row_j AS VARCHAR) || ':' ||
-         |      tok), 1, 15)) AS BIGINT) % 256 AS bucket
-         |  FROM tok CROSS JOIN rj)
-         |SELECT source, row_j, CAST(bucket AS BIGINT) AS bucket,
-         |  count(*) AS cnt
-         |FROM cells GROUP BY 1, 2, 3
-         |ORDER BY 1, 2, 3""".stripMargin,
-
-    "corpus_overlap" ->
-      s"""WITH tok AS (SELECT source AS grp, $duckToksAll AS tk
-         |  FROM documents),
-         |g0 AS (SELECT grp, unnest(list_transform(
-         |    range(1, CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END + 1),
-         |    i -> tk[i] || ' ' || tk[i + 1])) AS gram FROM tok),
-         |g AS (SELECT DISTINCT grp, gram FROM g0),
-         |sz AS (SELECT grp, count(*) AS sz FROM g GROUP BY 1),
-         |iv AS (SELECT a.grp AS sa, b.grp AS sb, count(*) AS n_common
-         |  FROM g a JOIN g b ON a.gram = b.gram AND a.grp < b.grp
-         |  GROUP BY 1, 2)
-         |SELECT iv.sa AS source_a, iv.sb AS source_b,
-         |  CAST(iv.n_common AS BIGINT) AS n_common,
-         |  CAST(za.sz + zb.sz - iv.n_common AS BIGINT) AS n_union
-         |FROM iv JOIN sz za ON za.grp = iv.sa JOIN sz zb ON zb.grp = iv.sb
-         |ORDER BY source_a, source_b""".stripMargin,
-
-    // the model's sufficient statistics — pure integer counts, fully
-    // recomputed by the oracle (no ln anywhere on the gate)
-    "nb_quality_model" -> nbCountsSql,
-
-    // incremental train == full retrain: the oracle is the SAME
-    // full-corpus counts the batch query restricts against
-    "nb_incr_model" -> nbCountsSql,
-
-    // the per-token micro log constants (int64) and the micro prior come
-    // from the registered model literals when present (the engine's
-    // quantized values × 10⁶ — no libm ln, no decimal literal in the
-    // oracle); the data-sized tokenize/join/sum remains recomputed in SQL
-    // as PURE INTEGER arithmetic. Fallback: derive the model in SQL with
-    // ln + round(·10⁶) — rows/schema-grade only, like all fallbacks.
-    "nb_quality_score" -> {
-      // one scoring tail; the branches differ only in where mq/pr come from
-      val scoreTail =
-        """dl AS (SELECT tok.doc_id,
-          |    sum(mq.lpos_micro - mq.lneg_micro) AS delta
-          |  FROM tok JOIN mq USING (token) GROUP BY 1),
-          |sc AS (SELECT d.doc_id,
-          |    CAST(coalesce(dl.delta, 0) + pr.prior_micro AS BIGINT)
-          |      AS score_micro
-          |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
-          |  CROSS JOIN pr)
-          |SELECT doc_id, score_micro,
-          |  CAST(CASE WHEN score_micro > 0 THEN 1 ELSE 0 END AS BIGINT)
-          |    AS predicted
-          |FROM sc ORDER BY doc_id""".stripMargin
-      (OracleLits.get("nb_model"), OracleLits.get("nb_prior")) match {
-        case (Some(m), Some(p)) =>
-          s"""WITH tok AS (SELECT doc_id, unnest($duckToksAll) AS token
-             |  FROM documents),
-             |mq AS (SELECT * FROM $m),
-             |pr AS (SELECT CAST($p AS BIGINT) AS prior_micro),
-             |$scoreTail""".stripMargin
-        case _ =>
-          // decimal(18,6) × 10⁶ is integer-valued; the cast is exact
-          s"""$nbModelCte,
-             |mq AS (SELECT token,
-             |    CAST(logp_pos * 1000000 AS BIGINT) AS lpos_micro,
-             |    CAST(logp_neg * 1000000 AS BIGINT) AS lneg_micro FROM m),
-             |pr AS (SELECT CAST(round(ln(
-             |    (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0) /
-             |    (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0)) * 1000000.0)
-             |  AS BIGINT) AS prior_micro FROM lab),
-             |$scoreTail""".stripMargin
-      }
-    },
-
-    "nb_calibration" ->
-      s"""$nbModelCte,
-         |pr AS (SELECT CAST(ln(
-         |    (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0) /
-         |    (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0))
-         |  AS DECIMAL(18,6)) AS prior FROM lab),
-         |dl AS (SELECT tok.doc_id, sum(m.logp_pos - m.logp_neg) AS delta
-         |  FROM tok JOIN m USING (token) GROUP BY 1),
-         |sc AS (SELECT d.doc_id,
-         |    CAST(coalesce(dl.delta, 0) + pr.prior AS DECIMAL(18,6)) AS score,
-         |    (d.source IN ('src0', 'src1', 'src2')) AS pos
-         |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
-         |  CROSS JOIN pr),
-         |p AS (SELECT pos, CAST(1.0 / (1.0 + exp(-CAST(score AS DOUBLE)))
-         |    AS DECIMAL(18,6)) AS p6 FROM sc)
-         |SELECT least(CAST(floor(p6 * 10) AS BIGINT), 9) AS bin,
-         |  count(*) AS n_docs,
-         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         |  CAST(sum(CAST(p6 * 1000000 AS BIGINT)) AS BIGINT) AS sum_pred_micro
-         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "samp_temperature" ->
-      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
-        |t AS (SELECT sum(c) AS n FROM c),
-        |r AS (SELECT lang, CAST(pow(c * 1.0 / n,
-        |    (3000 - 10000) / 10000.0) AS DECIMAL(18,6)) AS r6 FROM c, t),
-        |m AS (SELECT max(r6) AS mx FROM r),
-        |k AS (SELECT lang, CAST(round(10000.0 * CAST(r6 AS DOUBLE)
-        |    / CAST(mx AS DOUBLE)) AS BIGINT) AS keep_bp FROM r, m)
-        |SELECT d.doc_id, d.lang FROM documents d JOIN k USING (lang)
-        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
-        |    AS BIGINT) % 10000 < k.keep_bp
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "tx_postings" -> duckPostingsSql,
-
-    // merge == retrain: the incremental index must equal the full-corpus
-    // index, so the oracle IS the full-corpus formulation
-    "tx_postings_incr" -> duckPostingsSql,
-
-    // per-term idf from the registered literals when present (the exact
-    // doubles the engine's Catalyst log produced — the oracle performs
-    // only IEEE ×/÷ on them, which is deterministic across engines);
-    // tf/dl/N/Σdl remain recomputed. The gate surface is the int64 NANO
-    // score: floor(contrib·10⁹) per (doc, term) — floor of a shared
-    // double has no round-half tie for engine builds to disagree on —
-    // summed and ordered as pure integers. Fallback: re-derive the ln.
-    "tx_bm25" -> {
-      // idf is reconstructed from the INTEGER nano literal by one IEEE
-      // division — identical bits on any engine, no float literal parse
-      val scoreTail =
-        s"""sc AS (SELECT t.doc_id, d.qt, d.df,
-           |    (CAST(d.idf9 AS DOUBLE) / CAST(1000000000 AS DOUBLE)) AS idf,
-           |    len(list_filter(t.tk, x -> x = d.qt)) AS tf, len(t.tk) AS dl
-           |  FROM tok t JOIN qd d ON list_contains(t.tk, d.qt)),
-           |c AS (SELECT doc_id,
-           |    CAST(floor((idf
-           |      * (tf * CAST(2.5 AS DOUBLE))
-           |      / (tf + CAST(1.5 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-           |        + CAST(0.75 AS DOUBLE) * ((dl * st.n) / st.sumdl))))
-           |      * 1000000000.0) AS BIGINT) AS contrib
-           |  FROM sc, st)
-           |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_nano
-           |FROM c GROUP BY 1 ORDER BY score_nano DESC, doc_id LIMIT 20""".stripMargin
-      OracleLits.get("bm25_qd") match {
-        case Some(qd) =>
-          s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
-             |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tok),
-             |qd AS (SELECT * FROM $qd),
-             |$scoreTail""".stripMargin
-        case None =>
-          s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
-             |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tok),
-             |qd AS (SELECT qt, count(*) AS df,
-             |    CAST(floor(ln(CAST(1.0 AS DOUBLE)
-             |      + ((SELECT n FROM st) - count(*) + CAST(0.5 AS DOUBLE))
-             |        / (count(*) + CAST(0.5 AS DOUBLE)))
-             |      * 1000000000.0) AS BIGINT) AS idf9 FROM
-             |    (SELECT unnest(['spark', 'window', 'join', 'quantum']) AS qt) q
-             |  JOIN tok ON list_contains(tk, qt) GROUP BY 1),
-             |$scoreTail""".stripMargin
-      }
-    },
-
-    // bucket ranks from the registered sketch cuts; the Morton interleave
-    // is integer arithmetic (bit i of rank → weight 4^i, b-side doubled)
-    // — exact on any engine. Fallback (query never ran): ntile ranks,
-    // which approximate the sketch buckets (rows/schema-grade only).
-    "layout_zorder" -> {
-      // spread derives from the SAME zorderBits the query uses: bit i of
-      // the rank lands at weight 4^i (b-side doubled) — a bits bump can
-      // not silently truncate the oracle's interleave
-      def spread(x: String): String =
-        (0 until zorderBits).map { i =>
-          val div = 1 << i
-          s"((($x) // $div) % 2) * ${1L << (2 * i)}"
-        }.mkString(" + ")
-      val nb = 1 << zorderBits
-      val (ra, rb) = (OracleLits.get("zorder_ra"), OracleLits.get("zorder_rb")) match {
-        case (Some(a), Some(b)) => (a, b)
-        case _ => (s"ntile($nb) OVER (ORDER BY l_orderkey) - 1",
-          s"ntile($nb) OVER (ORDER BY l_partkey) - 1")
-      }
-      s"""WITH r AS (SELECT l_orderkey, l_linenumber, l_partkey,
-         |  $ra AS ra, $rb AS rb FROM lineitem)
-         |SELECT l_orderkey, l_linenumber, l_partkey,
-         |  CAST(${spread("ra")} + 2 * (${spread("rb")}) AS BIGINT) AS zv
-         |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin
-    },
-
-    "dsir_weights" ->
-      s"""$dsirCte
-         |SELECT d.doc_id, CAST(coalesce(s.w, 0) AS BIGINT) AS weight_micro
-         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
-
-    "dsir_select" ->
-      s"""$dsirCte
-         |SELECT d.doc_id, CAST(coalesce(s.w, 0) AS BIGINT) AS weight_micro
-         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
-         |ORDER BY weight_micro DESC, d.doc_id LIMIT 50""".stripMargin,
-
-    // int64 throughout: sum() over BIGINT is HUGEINT in DuckDB — `//` and
-    // `%` stay exact on it; the final cast narrows the compared surface
-    "samp_repeat_epochs" ->
-      s"""WITH $repeatEpochsCtes
-         |SELECT doc_id, source, n_tokens, epochs FROM epr
-         |ORDER BY doc_id""".stripMargin,
-
-    // repeat plan → one row per epoch instance → the pack cumsum over the
-    // instance order (the pack_sequences oracle shape on instance ids)
-    "samp_pack_epochs" ->
-      s"""WITH $repeatEpochsCtes,
-         |inst AS (SELECT doc_id * 1000 + e AS inst_id, n_tokens
-         |  FROM (SELECT doc_id, n_tokens,
-         |    unnest(range(1, epochs + 1)) AS e
-         |    FROM epr WHERE epochs > 0)),
-         |pc AS (SELECT inst_id, n_tokens, sum(n_tokens) OVER (
-         |  ORDER BY inst_id ROWS UNBOUNDED PRECEDING) AS cum FROM inst),
-         |ps AS (SELECT inst_id, CAST(cum - n_tokens AS BIGINT) AS st,
-         |    CAST(cum AS BIGINT) AS en
-         |  FROM pc WHERE n_tokens > 0),
-         |pe AS (SELECT inst_id, st, en,
-         |  unnest(range(st // 512, ((en - 1) // 512) + 1)) AS seq_id
-         |  FROM ps)
-         |SELECT inst_id, seq_id,
-         |  CAST(greatest(st, seq_id * 512) - seq_id * 512 AS BIGINT)
-         |    AS start_in_seq,
-         |  CAST(least(en, (seq_id + 1) * 512) - greatest(st, seq_id * 512)
-         |    AS BIGINT) AS n_in_seq
-         |FROM pe ORDER BY inst_id, seq_id""".stripMargin,
-
-    "samp_stratified" ->
-      """SELECT doc_id, lang FROM (
-        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |      AS BIGINT) % 10000, doc_id) AS rn
-        |  FROM documents)
-        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
-
-    "samp_weighted" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |    AS BIGINT) % 10000
-        |  < least(10000, 20 * len(list_filter(
-        |      string_split_regex(trim(text), '\s+'), t -> t != '')))
-        |ORDER BY doc_id""".stripMargin,
-
-    "tx_len_hist" ->
-      """SELECT CAST(length(bin(len(list_filter(
-        |    string_split_regex(trim(text), '\s+'), t -> t != '')) + 1)) - 1
-        |    AS BIGINT) AS log2_tokens,
-        |  count(*) AS n_docs
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "samp_split_export" ->
-      """SELECT CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test'
-        |    ELSE 'train' END AS split, count(*) AS n_docs
-        |FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |  AS BIGINT) % 10000 AS b FROM documents)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "samp_split" ->
-      """SELECT doc_id,
-        |  CASE WHEN b < 1000 THEN 'val' WHEN b < 2000 THEN 'test'
-        |    ELSE 'train' END AS split
-        |FROM (SELECT doc_id,
-        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |    AS BIGINT) % 10000 AS b FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-
-    // bucket assignment against the engine's registered sketch cut-points
-    // (fallback: the legacy exact-ntile form, matching the flag-gated path)
-    "samp_length_decile" -> {
-      val body = OracleLits.get("len_decile_cuts") match {
-        case Some(cases) =>
-          s"CAST($cases AS BIGINT) AS decile"
-        case None =>
-          "CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS decile"
-      }
-      s"""WITH t AS (SELECT doc_id,
-         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-         |    x -> x != '')) AS BIGINT) AS n_tokens FROM documents)
-         |SELECT doc_id, n_tokens, $body
-         |FROM t ORDER BY doc_id""".stripMargin
-    },
-
-    "samp_mixture" ->
-      """SELECT doc_id, source FROM documents
-        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |    AS BIGINT) % 10000
-        |  < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
-        |      ELSE 2000 END
-        |ORDER BY doc_id""".stripMargin,
-
-    "samp_source_cap" ->
-      """SELECT doc_id, source, CAST(rn AS BIGINT) AS rank FROM (
-        |  SELECT doc_id, source, row_number() OVER (
-        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
-        |  FROM documents)
-        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
-
-    "tx_collocations" ->
-      s"""WITH tok AS (SELECT $duckToksAll AS tk FROM documents),
-         |uni AS (SELECT w, count(*) AS c_w FROM
-         |  (SELECT unnest(tk) AS w FROM tok) GROUP BY w),
-         |ntok AS (SELECT sum(c_w) AS n_tok FROM uni),
-         |bi AS (SELECT bigram, count(*) AS c_ab FROM
-         |  (SELECT unnest(list_transform(range(1, len(tk)),
-         |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram FROM tok)
-         |  GROUP BY bigram HAVING count(*) >= 5),
-         |nbi AS (SELECT sum(CASE WHEN len(tk) > 1 THEN len(tk) - 1
-         |  ELSE 0 END) AS n_bi FROM tok)
-         |SELECT bigram, c_ab,
-         |  CAST(floor((ln((CAST(c_ab AS DOUBLE) / n_bi) /
-         |    ((CAST(u1.c_w AS DOUBLE) / n_tok) *
-         |     (CAST(u2.c_w AS DOUBLE) / n_tok))) / ln(2.0)) * 1000000.0)
-         |    AS BIGINT) AS pmi_micro
-         |FROM bi
-         |JOIN uni u1 ON split_part(bigram, ' ', 1) = u1.w
-         |JOIN uni u2 ON split_part(bigram, ' ', 2) = u2.w
-         |CROSS JOIN ntok CROSS JOIN nbi
-         |ORDER BY pmi_micro DESC, bigram ASC LIMIT 20""".stripMargin,
-
-    "samp_eval_set" ->
-      """SELECT doc_id, lang FROM (
-        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |      AS BIGINT) % 10000, doc_id) AS rn
-        |  FROM documents
-        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |    AS BIGINT) % 10000 < 3000)
-        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
-
-    "tx_top_ngrams" ->
-      s"""WITH tok AS (SELECT $duckToksAll AS tk FROM documents),
-         |g AS (SELECT unnest(list_transform(
-         |    range(1, CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END + 1),
-         |    i -> tk[i] || ' ' || tk[i + 1])) AS ngram FROM tok)
-         |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
-         |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
-
-    "tx_char_entropy" ->
-      """WITH c AS (SELECT doc_id, length(text) AS n,
-        |    unnest(list_transform(range(1, length(text) + 1),
-        |      i -> substr(text, i, 1))) AS ch FROM documents),
-        |h AS (SELECT doc_id, n, ch, count(*) AS cnt FROM c GROUP BY 1, 2, 3)
-        |SELECT doc_id,
-        |  CAST(floor(-sum((cnt * 1.0 / n) * log2(cnt * 1.0 / n)) * 1000000.0)
-        |    AS BIGINT) AS entropy_micro
-        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "tx_blocklist" -> {
-      val terms = blocklistTerms.map(t => s"'$t'").mkString("[", ", ", "]")
-      s"""WITH t AS (SELECT doc_id,
-         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-         |      x -> x != '')) AS BIGINT) AS n_tokens,
-         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-         |      x -> x != '' AND list_contains($terms, x))) AS BIGINT) AS n_hits
-         |  FROM documents)
-         |SELECT doc_id, n_tokens, n_hits, n_hits * 20 <= n_tokens AS keep
-         |FROM t ORDER BY doc_id""".stripMargin
-    },
-
-    "tx_decontaminate" ->
-      s"""WITH tok AS (SELECT doc_id, lang, $duckToksAll AS tk FROM documents),
-         |g AS (SELECT doc_id, lang, list_transform(
-         |    range(1, CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END + 1),
-         |    i -> tk[i] || ' ' || tk[i + 1]) AS grams FROM tok),
-         |freq AS (SELECT unnest(grams) AS ngram FROM g),
-         |top3 AS (SELECT ngram FROM (SELECT ngram, count(*) AS cnt FROM freq
-         |  GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 3)),
-         |evl AS (SELECT list(ngram) AS ev FROM top3)
-         |SELECT doc_id, lang FROM g CROSS JOIN evl
-         |WHERE NOT list_has_any(list_distinct(grams), ev)
-         |ORDER BY doc_id""".stripMargin,
-
-    "bpe_pair_freqs" ->
-      s"""WITH wf AS (SELECT w, count(*) AS freq FROM (
-         |    SELECT unnest($duckToksAll) AS w FROM documents) GROUP BY w),
-         |sym AS (SELECT list_transform(range(1, length(w) + 1),
-         |    i -> substr(w, i, 1)) AS s, freq FROM wf),
-         |p AS (SELECT unnest(list_transform(range(1, len(s)),
-         |    i -> struct_pack(a := s[i], b := s[i + 1]))) AS pr, freq FROM sym)
-         |SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS freq FROM p
-         |GROUP BY 1, 2 ORDER BY freq DESC, a, b LIMIT 20""".stripMargin,
-
-    "bpe_merges" -> bpeMergesSql,
-
-    "bpe_encode" -> bpeEncodeSql,
-
-    "bpe_roundtrip" ->
-      s"""WITH $bpeEncodeCtes
-         |SELECT CAST(count(*) AS BIGINT) AS n_words,
-         |  CAST(sum(CASE WHEN array_to_string(sy, '') = w THEN 0 ELSE 1 END)
-         |    AS BIGINT) AS n_mismatched
-         |FROM wenc""".stripMargin,
-
-    "bpe_fertility" -> bpeFertilitySql,
-
-    // sliding windows: tk[i:i+7] is the 1-based inclusive 8-token slice;
-    // range(1, len-6) is empty when the doc has < 8 tokens (DuckDB range
-    // with stop <= start yields no rows), so short docs fall to the LEFT
-    // JOIN's zero counts exactly like the Spark kernel's empty n-gram array
-    "dedup_cross_repeats" ->
-      s"""WITH u AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 10000, text FROM documents
-         |  WHERE doc_id < 250),
-         |tk AS (SELECT doc_id, $duckToksAll AS tk FROM u),
-         |wins AS (SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS fp
-         |  FROM tk, LATERAL (SELECT unnest(range(1, len(tk) - 6)) AS i) t),
-         |rep AS (SELECT fp FROM wins GROUP BY fp
-         |  HAVING count(DISTINCT doc_id) >= 2),
-         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
-         |  FROM wins GROUP BY doc_id),
-         |flg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_repeated
-         |  FROM wins WHERE fp IN (SELECT fp FROM rep) GROUP BY doc_id)
-         |SELECT u.doc_id,
-         |  CAST(coalesce(tot.n_windows, 0) AS BIGINT) AS n_windows,
-         |  CAST(coalesce(flg.n_repeated, 0) AS BIGINT) AS n_repeated
-         |FROM u LEFT JOIN tot USING (doc_id) LEFT JOIN flg USING (doc_id)
-         |ORDER BY u.doc_id""".stripMargin,
-
-    "pack_token_budget" ->
-      """WITH t AS (SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |    t -> t != '')) AS BIGINT) AS n_tokens FROM documents),
-        |c AS (SELECT doc_id, n_tokens,
-        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM t)
-        |SELECT doc_id, n_tokens,
-        |  CAST(floor((cum - n_tokens) / 1000) AS BIGINT) AS shard_id
-        |FROM c ORDER BY doc_id""".stripMargin,
-
-    // the oracle's global-order running sum is the SPEC of the engine's
-    // two-level prefix sum: identical offsets, pure integer spans
-    "pack_sequences" ->
-      """WITH t AS (SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |    t -> t != '')) AS BIGINT) AS n_tokens FROM documents),
-        |c AS (SELECT doc_id, n_tokens,
-        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM t),
-        |s AS (SELECT doc_id, CAST(cum - n_tokens AS BIGINT) AS st,
-        |    CAST(cum AS BIGINT) AS en
-        |  FROM c WHERE n_tokens > 0),
-        |e AS (SELECT doc_id, st, en,
-        |  unnest(range(st // 512, ((en - 1) // 512) + 1)) AS seq_id FROM s)
-        |SELECT doc_id, seq_id,
-        |  CAST(greatest(st, seq_id * 512) - seq_id * 512 AS BIGINT)
-        |    AS start_in_seq,
-        |  CAST(least(en, (seq_id + 1) * 512) - greatest(st, seq_id * 512)
-        |    AS BIGINT) AS n_in_seq
-        |FROM e ORDER BY doc_id, seq_id""".stripMargin,
-
-    "emb_centroids" ->
-      """SELECT label, i AS pos,
-        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
-        |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
-        |FROM embeddings CROSS JOIN (SELECT unnest(range(1,
-        |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i) d
-        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
-
-    "emb_kmeans_assign" ->
-      """WITH dim AS (SELECT unnest(range(1,
-        |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
-        |c AS (SELECT label, i AS pos,
-        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
-        |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
-        |  FROM embeddings CROSS JOIN dim GROUP BY label, i),
-        |d2 AS (SELECT e.vec_id, c.label,
-        |  sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid) *
-        |      (CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid)) AS d2
-        |  FROM embeddings e CROSS JOIN c GROUP BY e.vec_id, c.label)
-        |SELECT vec_id, assigned FROM (
-        |  SELECT vec_id, label AS assigned,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
-        |  FROM d2)
-        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
-
-    "emb_outliers" ->
-      s"""WITH n AS (SELECT vec_id,
-         |  round(sqrt(${duckDot("embedding", "embedding")}), 6) AS norm
-         |  FROM embeddings),
-         |q AS (SELECT quantile_cont(norm, 0.25) AS q1,
-         |  quantile_cont(norm, 0.75) AS q3 FROM n)
-         |SELECT vec_id, norm,
-         |  (norm < q1 - (q3 - q1) * 3 OR norm > q3 + (q3 - q1) * 3)
-         |    AS is_outlier
-         |FROM n CROSS JOIN q ORDER BY vec_id""".stripMargin,
-
-    "emb_drift" ->
-      """WITH dim AS (SELECT unnest(range(1,
-        |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
-        |ca AS (SELECT i AS pos,
-        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
-        |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS c_a
-        |  FROM embeddings CROSS JOIN dim WHERE vec_id < 250 GROUP BY i),
-        |cb AS (SELECT i AS pos,
-        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
-        |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS c_b
-        |  FROM embeddings CROSS JOIN dim WHERE vec_id >= 250 GROUP BY i)
-        |SELECT pos, round(abs(c_a - c_b), 4) AS abs_shift
-        |FROM ca JOIN cb USING (pos) ORDER BY pos""".stripMargin,
-
-    "emb_incr_assign" ->
-      """WITH dim AS (SELECT unnest(range(1,
-        |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
-        |c AS (SELECT label, i AS pos,
-        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
-        |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
-        |  FROM embeddings CROSS JOIN dim WHERE vec_id < 250
-        |  GROUP BY label, i),
-        |d2 AS (SELECT e.vec_id, c.label,
-        |  sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid) *
-        |      (CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid)) AS d2
-        |  FROM embeddings e CROSS JOIN c WHERE e.vec_id >= 250
-        |  GROUP BY e.vec_id, c.label)
-        |SELECT vec_id, assigned FROM (
-        |  SELECT vec_id, label AS assigned,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
-        |  FROM d2)
-        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
-
-    "emb_kmeans_fit" ->
-      s"""WITH $kmeansCtes
-         |SELECT label, pos, centroid FROM c2 ORDER BY label, pos""".stripMargin,
-
-    "emb_pq_codebook" ->
-      s"""WITH $pqCtes
-         |SELECT CAST(subspace AS BIGINT) AS subspace, label,
-         |  CAST(pos AS BIGINT) AS pos, centroid
-         |FROM c2 ORDER BY subspace, label, pos""".stripMargin,
-
-    "emb_pq_encode" ->
-      s"""WITH $pqCtes,
-         |$pqEncodeCte
-         |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code
-         |FROM enc ORDER BY vec_id, subspace""".stripMargin,
-
-    "ann_pq_topk" ->
-      s"""WITH $pqCtes,
-         |$pqAdcCtes
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, dist_nano
-         |FROM adck ORDER BY query_id, rnk""".stripMargin,
-
-    // the stream's batches (bootstrap <250 trains; ≥250 encodes frozen)
-    // must together equal a from-scratch encode under the same codebook
-    "st_index_update" -> {
-      val hist = "(SELECT vec_id FROM embeddings WHERE vec_id < 250)"
-      s"""WITH ${pqCtesTrainedOn(hist)},
-         |$pqEncodeCte
-         |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code
-         |FROM enc ORDER BY vec_id, subspace""".stripMargin
-    },
-
-    // the retrain state machine's code table: batch 0 (label-0 region)
-    // encoded under codebook A trained on itself (cb_version 1); the
-    // drift batch (all other labels) under codebook B trained on ITSELF
-    // (cb_version 2) — the oracle re-derives BOTH codebooks and their
-    // per-batch assignments; the engine-side requires guarantee the
-    // trigger actually fired, so an un-triggered run can never
-    // accidentally match
-    "st_index_retrain" -> {
-      val a = "(SELECT vec_id FROM embeddings WHERE label = 0)"
-      val b = "(SELECT vec_id FROM embeddings WHERE label <> 0)"
-      def encUnder(src: String, base: String, sfx: String,
-          ver: Int): String =
-        s"""SELECT vec_id, subspace, label AS code, $ver AS v FROM (
-           |  SELECT v.vec_id, v.subspace, c.label, row_number() OVER (
-           |    PARTITION BY v.vec_id, v.subspace ORDER BY
-           |      list_sum(list_transform(range(1, len(v.subvec) + 1),
-           |        i -> (v.subvec[i] - c.cl[i]) * (v.subvec[i] - c.cl[i]))),
-           |      c.label) AS rn
-           |  FROM $base v JOIN $src t ON t.vec_id = v.vec_id
-           |  JOIN cl2$sfx c ON c.subspace = v.subspace) WHERE rn = 1"""
-          .stripMargin
-      s"""WITH $pqSharedCtes,
-         |sv2 AS (SELECT vec_id, subspace,
-         |  list_transform(subvec, x -> x * 2.0) AS subvec FROM sv),
-         |${pqTrainCtes(a, "_a")},
-         |${pqTrainCtes(b, "_b", base = "sv2")}
-         |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code,
-         |  CAST(v AS BIGINT) AS cb_version
-         |FROM (${encUnder(a, "sv", "_a", 1)}
-         |  UNION ALL ${encUnder(b, "sv2", "_b", 2)})
-         |ORDER BY vec_id, subspace""".stripMargin
-    },
-
-    // codebook CTEs trained on the id<250 history; enc spans the corpus
-    // and the gate restricts to the appended batch
-    "emb_pq_incr_encode" -> {
-      val hist = "(SELECT vec_id FROM embeddings WHERE vec_id < 250)"
-      s"""WITH ${pqCtesTrainedOn(hist)},
-         |$pqEncodeCte
-         |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code
-         |FROM enc WHERE vec_id >= 250 ORDER BY vec_id, subspace""".stripMargin
-    },
-
-    "emb_pq_error" ->
-      s"""WITH $pqCtes,
-         |qe AS (SELECT v.vec_id, v.subspace,
-         |  min(list_sum(list_transform(range(1, len(v.subvec) + 1),
-         |    i -> (v.subvec[i] - c.cl[i]) * (v.subvec[i] - c.cl[i])))) AS d
-         |  FROM sv v JOIN cl2 c ON c.subspace = v.subspace
-         |  GROUP BY 1, 2)
-         |SELECT CAST(subspace AS BIGINT) AS subspace,
-         |  count(*) AS n,
-         |  CAST(sum(CAST(floor(d * 1000000000.0) AS BIGINT)) AS BIGINT)
-         |    AS err_nano_sum
-         |FROM qe GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "ann_ivfpq_topk" ->
-      s"""WITH $pqCtes,
-         |$pqEncodeCte,
-         |lutc AS (SELECT v.vec_id AS query_id, el.label AS cell,
-         |  v.subspace, c.label AS code,
-         |  CAST(floor(list_sum(list_transform(range(1, len(v.subvec) + 1),
-         |    i -> (v.subvec[i] - c.cl[i]) * (v.subvec[i] - c.cl[i])))
-         |    * 1000000000.0) AS BIGINT) AS d_nano
-         |  FROM sv v JOIN cl2 c ON c.subspace = v.subspace
-         |  JOIN embeddings el ON el.vec_id = v.vec_id
-         |  WHERE v.vec_id < 5),
-         |encc AS (SELECT e.vec_id, e.subspace, e.code, el.label AS cell
-         |  FROM enc e JOIN embeddings el ON el.vec_id = e.vec_id),
-         |adc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
-         |  CAST(sum(l.d_nano) AS BIGINT) AS dist_nano
-         |  FROM encc e JOIN lutc l ON l.subspace = e.subspace
-         |    AND l.code = e.code AND l.cell = e.cell
-         |  GROUP BY 1, 2)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, dist_nano
-         |FROM (SELECT query_id, neighbor_id, dist_nano, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY dist_nano, neighbor_id) AS rnk
-         |  FROM adc) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-
-    // banded candidates (>= 1 shared 12-bit substring of the 48-bit
-    // signature), then exact integer Hamming ranking over candidates only
-    "ann_hamming_band" ->
-      """WITH sig AS (SELECT vec_id,
-        |  CAST(list_sum(list_transform(range(0, 48), j ->
-        |    CASE WHEN list_sum(list_transform(
-        |        range(1, len(embedding) + 1),
-        |        i -> CAST(embedding[i] AS DOUBLE) *
-        |          (((i - 1) * (2*j + 1) + 3*j) % 127 - 63))) > 0
-        |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sg
-        |  FROM embeddings),
-        |bb AS (SELECT vec_id, sg, b,
-        |    ((sg >> (b * 12)) & 4095) AS bv
-        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
-        |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.sg AS qsg,
-        |    c.vec_id AS neighbor_id, c.sg AS csg
-        |  FROM bb c JOIN bb q ON q.b = c.b AND q.bv = c.bv
-        |  WHERE q.vec_id < 5)
-        |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, hamming
-        |FROM (SELECT query_id, neighbor_id,
-        |    CAST(bit_count(xor(qsg, csg)) AS BIGINT) AS hamming,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY bit_count(xor(qsg, csg)), neighbor_id) AS rnk
-        |  FROM cand) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-
-    // Hamming top-30 via the 48-plane signatures, then exact-cosine
-    // re-rank of only the survivors (round(cos, 6) desc, id — the
-    // ann_rp_topk contract; the double never reaches the gate)
-    "ann_hamming_rerank" ->
-      s"""WITH sig AS (SELECT vec_id, embedding,
-         |  CAST(list_sum(list_transform(range(0, 48), j ->
-         |    CASE WHEN list_sum(list_transform(
-         |        range(1, len(embedding) + 1),
-         |        i -> CAST(embedding[i] AS DOUBLE) *
-         |          (((i - 1) * (2*j + 1) + 3*j) % 127 - 63))) > 0
-         |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sg
-         |  FROM embeddings),
-         |cand AS (SELECT query_id, neighbor_id, qe, ce FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    q.embedding AS qe, c.embedding AS ce, row_number() OVER (
-         |      PARTITION BY q.vec_id
-         |      ORDER BY bit_count(xor(q.sg, c.sg)), c.vec_id) AS prnk
-         |  FROM sig c CROSS JOIN sig q WHERE q.vec_id < 5)
-         |  WHERE prnk <= 30)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id, row_number() OVER (
-         |    PARTITION BY query_id
-         |    ORDER BY round(${duckCosine("qe", "ce")}, 6) DESC,
-         |      neighbor_id) AS rnk
-         |  FROM cand)
-         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-
-    // 48-plane sign signature per vector (projection = in-order fold of
-    // elem × integer weight w(i,j) = ((i·(2j+1)+3j) mod 127) − 63, i
-    // 0-based), then integer Hamming ranking — everything after the fold
-    // is int64
-    "ann_hamming_topk" ->
-      """WITH sig AS (SELECT vec_id,
-        |  CAST(list_sum(list_transform(range(0, 48), j ->
-        |    CASE WHEN list_sum(list_transform(
-        |        range(1, len(embedding) + 1),
-        |        i -> CAST(embedding[i] AS DOUBLE) *
-        |          (((i - 1) * (2*j + 1) + 3*j) % 127 - 63))) > 0
-        |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sg
-        |  FROM embeddings),
-        |hd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  CAST(bit_count(xor(q.sg, c.sg)) AS BIGINT) AS hamming
-        |  FROM sig c CROSS JOIN sig q WHERE q.vec_id < 5)
-        |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, hamming
-        |FROM (SELECT query_id, neighbor_id, hamming, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rnk
-        |  FROM hd) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-
-    // IVFADC top-30 candidates (the ann_ivfpq_topk CTEs with rnk <= 30),
-    // then exact in-order-fold squared-L2 over ONLY those candidates'
-    // full vectors, re-ranked to the top 10 — composing the two existing
-    // oracle formulations exactly as the engine composes the operators
-    "ann_ivfpq_rerank" ->
-      s"""WITH $pqCtes,
-         |$pqEncodeCte,
-         |lutc AS (SELECT v.vec_id AS query_id, el.label AS cell,
-         |  v.subspace, c.label AS code,
-         |  CAST(floor(list_sum(list_transform(range(1, len(v.subvec) + 1),
-         |    i -> (v.subvec[i] - c.cl[i]) * (v.subvec[i] - c.cl[i])))
-         |    * 1000000000.0) AS BIGINT) AS d_nano
-         |  FROM sv v JOIN cl2 c ON c.subspace = v.subspace
-         |  JOIN embeddings el ON el.vec_id = v.vec_id
-         |  WHERE v.vec_id < 5),
-         |encc AS (SELECT e.vec_id, e.subspace, e.code, el.label AS cell
-         |  FROM enc e JOIN embeddings el ON el.vec_id = e.vec_id),
-         |adc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
-         |  CAST(sum(l.d_nano) AS BIGINT) AS dist_nano
-         |  FROM encc e JOIN lutc l ON l.subspace = e.subspace
-         |    AND l.code = e.code AND l.cell = e.cell
-         |  GROUP BY 1, 2),
-         |cand AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY dist_nano, neighbor_id) AS rnk
-         |  FROM adc) WHERE rnk <= 30),
-         |fv AS (SELECT vec_id, list_transform(range(1, len(embedding) + 1),
-         |  i -> CAST(embedding[i] AS DOUBLE)) AS v FROM embeddings),
-         |rr AS (SELECT cand.query_id, cand.neighbor_id,
-         |  CAST(floor(list_sum(list_transform(range(1, len(f.v) + 1),
-         |    i -> (q.v[i] - f.v[i]) * (q.v[i] - f.v[i])))
-         |    * 1000000000.0) AS BIGINT) AS d2_nano
-         |  FROM cand JOIN fv f ON f.vec_id = cand.neighbor_id
-         |  JOIN fv q ON q.vec_id = cand.query_id)
-         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, d2_nano
-         |FROM (SELECT query_id, neighbor_id, d2_nano, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY d2_nano, neighbor_id) AS rnk
-         |  FROM rr) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-
-    // ground truth is exact squared-L2 over the full vectors (same metric
-    // and same self-inclusive candidate convention as the ADC scan)
-    "ann_pq_recall" ->
-      s"""WITH $pqCtes,
-         |$pqAdcCtes,
-         |fv AS (SELECT vec_id, list_transform(range(1, len(embedding) + 1),
-         |  i -> CAST(embedding[i] AS DOUBLE)) AS v FROM embeddings),
-         |qf AS (SELECT vec_id AS query_id, v AS qv FROM fv
-         |  WHERE vec_id < 5),
-         |bf AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT q.query_id, f.vec_id AS neighbor_id, row_number() OVER (
-         |    PARTITION BY q.query_id ORDER BY
-         |      list_sum(list_transform(range(1, len(f.v) + 1),
-         |        i -> (q.qv[i] - f.v[i]) * (q.qv[i] - f.v[i]))),
-         |      f.vec_id) AS rnk
-         |  FROM fv f CROSS JOIN qf q) WHERE rnk <= 10)
-         |SELECT bf.query_id,
-         |  CAST(count(adck.neighbor_id) AS BIGINT) AS n_hit,
-         |  CAST(count(*) AS BIGINT) AS k
-         |FROM bf LEFT JOIN adck USING (query_id, neighbor_id)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // a2 = assignment by the 1-round centroids (c1), matching kmeansFit(1)
-    // + assignToNearest; the quota window replicates stratifiedQuota's
-    // deterministic (id-hash, id) order
-    "samp_cluster_balance" ->
-      s"""WITH $kmeansCtes,
-         |asg AS (SELECT vec_id, label AS cluster FROM a2),
-         |sel AS (SELECT vec_id, cluster, row_number() OVER (
-         |  PARTITION BY cluster ORDER BY
-         |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
-         |      AS BIGINT) % 10000, vec_id) AS rn FROM asg)
-         |SELECT vec_id, cluster FROM sel WHERE rn <= 60
-         |ORDER BY vec_id""".stripMargin,
-
-    // a2 is the assignment by the 1-round centroids (c1) — exactly what
-    // the Spark side's kmeansFit(iters = 1) + assignToNearest produces
-    "emb_semdedup" ->
-      s"""WITH $kmeansCtes,
-         |av AS (SELECT e.vec_id, a.label AS cluster, e.embedding
-         |  FROM embeddings e JOIN a2 a USING (vec_id)),
-         |drp AS (SELECT DISTINCT b.vec_id FROM av a JOIN av b
-         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |  WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3)
-         |SELECT av.vec_id, av.cluster, (d.vec_id IS NULL) AS kept
-         |FROM av LEFT JOIN drp d USING (vec_id)
-         |ORDER BY av.vec_id""".stripMargin,
-
-    // division-free sufficient statistics in integer micro-units: each
-    // element quantized by floor(x·10⁶) (IEEE multiply + floor — no
-    // round-half tie for engines to disagree on; a fractional
-    // double→decimal cast DID flip one element at sf0.1), squared and
-    // summed — every compared column is pure int64
-    "emb_component_stats" ->
-      """WITH dim AS (SELECT unnest(range(1,
-        |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
-        |pe AS (SELECT i AS pos,
-        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
-        |      AS DECIMAL(19,0)) AS xq
-        |  FROM embeddings CROSS JOIN dim)
-        |SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
-        |  CAST(sum(xq) AS BIGINT) AS s_micro,
-        |  CAST(sum(xq * xq) AS BIGINT) AS sq_micro
-        |FROM pe GROUP BY pos ORDER BY pos""".stripMargin,
-
-    // the final power-iteration round's distributed matrix-vector sums,
-    // recomputed from the registered 6-decimal vector literal (OracleLits
-    // `pca_vprev`) — no sqrt/division on the gate. Fallback: the full
-    // 3-round SQL iteration as before (emitting the same sums shape).
-    "emb_pca_top" -> {
-      // pcaCtes already defines `dim`; the literal path defines its own
-      val vprev = OracleLits.get("pca_vprev") match {
-        case Some(vl) =>
-          s"""vp AS (SELECT list_transform($vl,
-             |  m -> CAST(m AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS vl),
-             |dim AS (SELECT unnest(range(1,
-             |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i)"""
-            .stripMargin
-        case None => s"${pcaCtes},\nvp AS (SELECT vl FROM vl2)"
-      }
-      s"""WITH $vprev,
-         |d AS (SELECT vec_id, embedding,
-         |  list_sum(list_transform(range(1, len(embedding) + 1),
-         |    i -> CAST(embedding[i] AS DOUBLE) * vl[i])) AS dot
-         |  FROM embeddings, vp)
-         |SELECT CAST(i AS BIGINT) AS pos,
-         |  CAST(sum(CAST(floor((d.dot * CAST(d.embedding[i] AS DOUBLE))
-         |      * 1000000000.0) AS BIGINT)) AS BIGINT)
-         |    AS mv_sum_nano
-         |FROM d CROSS JOIN dim GROUP BY i ORDER BY pos""".stripMargin
-    },
-
-    "emb_quantize" ->
-      """WITH s AS (SELECT vec_id, embedding,
-        |  list_max(list_transform(embedding,
-        |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings)
-        |SELECT vec_id, i AS pos,
-        |  CASE WHEN scale > 0
-        |    THEN CAST(round(CAST(embedding[i] AS DOUBLE) / scale) AS INT)
-        |    ELSE 0 END AS q,
-        |  scale
-        |FROM s CROSS JOIN (SELECT unnest(range(1,
-        |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i) d
-        |ORDER BY vec_id, pos""".stripMargin,
-
-    "emb_project" -> {
-      val dims = (1 to 8).map { j =>
-        s"round(list_sum(list_transform(range(1, len(embedding) + 1), i -> " +
-          s"CAST(embedding[i] AS DOUBLE) * ((i - 1) * $j % 13 - 6))), 6) AS p$j"
-      }.mkString(", ")
-      val unpivot = (1 to 8).map(j =>
-        s"SELECT vec_id, $j AS pos, p$j AS v FROM p").mkString(" UNION ALL ")
-      s"""WITH p AS (SELECT vec_id, $dims FROM embeddings)
-         |SELECT vec_id, CAST(pos AS BIGINT) AS pos, v FROM ($unpivot)
-         |ORDER BY vec_id, pos""".stripMargin
-    },
-
-    "pipeline_curation" ->
-      s"""$curationChainCtes
-         |SELECT predicted_lang, count(*) AS n_docs FROM ex
-         |WHERE doc_id NOT IN (SELECT id FROM dup)
-         |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin,
-
-    // survivors (ex minus dup) joined back to feat's token counts, then
-    // the repeat-epochs arithmetic (int64 div/%) grouped by language
-    "pipeline_pretrain_mix" ->
-      s"""$curationChainCtes,
-         |kept AS (SELECT ex.doc_id, ex.predicted_lang, f.n_tokens
-         |  FROM ex JOIN feat f ON f.doc_id = ex.doc_id
-         |  WHERE ex.doc_id NOT IN (SELECT id FROM dup)),
-         |tot AS (SELECT predicted_lang, sum(n_tokens) AS t
-         |  FROM kept GROUP BY 1),
-         |pl AS (SELECT predicted_lang, t,
-         |  CASE WHEN t > 0 THEN ((60000 * (CASE predicted_lang
-         |    WHEN 'en' THEN 4000 ELSE 1000 END)) // 10000) // t
-         |    ELSE 0 END AS fe,
-         |  CASE WHEN t > 0 THEN ((60000 * (CASE predicted_lang
-         |    WHEN 'en' THEN 4000 ELSE 1000 END)) // 10000) % t
-         |    ELSE 0 END AS rem FROM tot),
-         |cum AS (SELECT k.doc_id, k.predicted_lang, k.n_tokens,
-         |  sum(k.n_tokens) OVER (PARTITION BY k.predicted_lang ORDER BY
-         |    CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
-         |      AS BIGINT) % 10000, k.doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
-         |  FROM kept k),
-         |ep AS (SELECT cum.predicted_lang, cum.n_tokens,
-         |  pl.fe + (CASE WHEN cum.c - cum.n_tokens < pl.rem
-         |    THEN 1 ELSE 0 END) AS epochs
-         |  FROM cum JOIN pl USING (predicted_lang))
-         |SELECT predicted_lang, count(*) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
-         |  CAST(sum(n_tokens * epochs) AS BIGINT) AS served_tokens,
-         |  CAST(max(epochs) AS BIGINT) AS max_epochs,
-         |  CAST(sum(CASE WHEN epochs = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_pruned
-         |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // every input doc labeled with the stage that dropped it
-    "pipeline_provenance" ->
-      s"""$curationChainCtes
-         |SELECT u0.doc_id, CASE
-         |  WHEN qf.doc_id IS NULL THEN 'quality_fail'
-         |  WHEN ex.doc_id IS NULL THEN 'exact_dup'
-         |  WHEN dup.id IS NOT NULL THEN 'near_dup'
-         |  ELSE 'kept' END AS stage
-         |FROM u0
-         |LEFT JOIN qf ON u0.doc_id = qf.doc_id
-         |LEFT JOIN ex ON u0.doc_id = ex.doc_id
-         |LEFT JOIN dup ON u0.doc_id = dup.id
-         |ORDER BY u0.doc_id""".stripMargin,
-
-    // Not DuckDB's ASOF JOIN: on equal-ts purchases ASOF picks an arbitrary
-    // row, while Temporal.asOfJoin deterministically picks the greatest
-    // payload struct — the window below mirrors that tie-break exactly.
-    "join_asof" ->
-      """WITH l AS (SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'click'),
-        |r AS (SELECT user_id, ts, event_id AS p_event_id, value AS p_value
-        |  FROM events WHERE event_type = 'purchase')
-        |SELECT event_id, p_event_id, p_value FROM (
-        |  SELECT l.event_id, r.p_event_id, r.p_value, row_number() OVER (
-        |    PARTITION BY l.event_id
-        |    ORDER BY r.ts DESC, r.p_event_id DESC, r.p_value DESC) AS rn
-        |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
-
-    "join_range" ->
-      """WITH i AS (SELECT event_id AS int_id, user_id, ts AS start_ts,
-        |  ts + INTERVAL 12 HOUR AS end_ts FROM events
-        |  WHERE event_type = 'purchase'),
-        |p AS (SELECT event_id AS probe_id, user_id, ts FROM events
-        |  WHERE event_type = 'click')
-        |SELECT int_id, probe_id FROM i JOIN p ON i.user_id = p.user_id
-        |  AND p.ts >= i.start_ts AND p.ts <= i.end_ts
-        |ORDER BY int_id, probe_id""".stripMargin
-  )
+  def ccLabels(s: SparkSession, dir: String): DataFrame =
+    ScaleShared.ccLabels(s, dir)
 }

@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.scale.{Dedup, Multimodal, Pq, Sampling, Similarity, Temporal, TextAnalysis}
+import ScaleShared._
+
+/** Streaming maintenance family: micro-batch dedup, CMS/HLL/AMS
+  * sketch upkeep, PQ index append + drift-triggered retrain — each the
+  * committed-batch / commit-marker shape with a full-corpus oracle.
+  *
+  * Mechanically split out of the former single-file ScaleQueries registry;
+  * each family owns its queries AND their DuckDB oracle SQL. */
+object StreamScaleQueries {
+
+  val queries: Map[String, QF] = Map(
+    // Streaming corpus dedup driven as two batches (history priority = id
+    // order here, so the folded result equals global exact survivors —
+    // the composition property PropertySpec proves; threshold > 1 disables
+    // the fuzzy drop so the oracle stays exact-only, while the near path
+    // is oracle-covered by dedup_incr_minhash and spec-covered end-to-end)
+    "st_stream_dedup" -> ((s, d) => {
+      val corpus = java.nio.file.Files.createTempDirectory("graft_sdq_c").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_sdq_s").toString
+      val dd = docs(s, d).select("doc_id", "text")
+      graft.streaming.StreamDedup.applyBatch(s,
+        dd.filter(col("doc_id") < 250), 0L, "doc_id", "text",
+        corpus, state, jaccardThreshold = 1.1)
+      graft.streaming.StreamDedup.applyBatch(s,
+        docsWithDups(s, d).filter(col("doc_id") >= 250), 1L, "doc_id", "text",
+        corpus, state, jaccardThreshold = 1.1)
+      s.read.parquet(corpus).select("doc_id").orderBy("doc_id")
+    }),
+
+    // Streaming CMS maintenance: two micro-batches fold into per-batch
+    // grids (linear counters — no read-modify-write state), a replayed
+    // batch short-circuits on its commit marker, and the live sketch is
+    // the cell-wise sum over committed grids — which must equal the
+    // full-corpus grid the oracle recomputes
+    "st_cms_update" -> ((s, d) => {
+      val grid = java.nio.file.Files.createTempDirectory("graft_scm_g").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_scm_s").toString
+      val dd = docs(s, d)
+      def tokOf(df: DataFrame) = df.select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      graft.streaming.StreamSketch.applyBatch(s,
+        tokOf(dd.filter(col("doc_id") < 250)), 0L, "source", "tok",
+        grid, state, depth = 4, width = 256)
+      graft.streaming.StreamSketch.applyBatch(s,
+        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
+        grid, state, depth = 4, width = 256)
+      // at-least-once replay of a committed batch must be a no-op
+      val replay = graft.streaming.StreamSketch.applyBatch(s,
+        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
+        grid, state, depth = 4, width = 256)
+      require(replay.replaySkipped, "committed batch replay was not skipped")
+      graft.streaming.StreamSketch.currentSketch(s, grid, state)
+        .select(col("grp").as("source"),
+          col("row_j").cast("long").as("row_j"), col("bucket"), col("cnt"))
+        .orderBy("source", "row_j", "bucket")
+    }),
+
+    // Streaming AMS maintenance: per-batch signed-counter vectors summed
+    // at read time must equal the full-corpus vector (linear counters —
+    // the st_cms_update contract for the F2/repetition-mass monitor)
+    "st_ams_update" -> ((s, d) => {
+      val grid = java.nio.file.Files.createTempDirectory("graft_sam_g").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_sam_s").toString
+      val dd = docs(s, d)
+      def tokOf(df: DataFrame) = df.select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      graft.streaming.StreamSketch.applyAmsBatch(s,
+        tokOf(dd.filter(col("doc_id") < 250)), 0L, "source", "tok",
+        grid, state, r = 8)
+      graft.streaming.StreamSketch.applyAmsBatch(s,
+        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
+        grid, state, r = 8)
+      val replay = graft.streaming.StreamSketch.applyAmsBatch(s,
+        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
+        grid, state, r = 8)
+      require(replay.replaySkipped, "committed batch replay was not skipped")
+      graft.streaming.StreamSketch.currentAms(s, grid, state)
+        .select(col("grp").as("source"),
+          col("est_i").cast("long").as("est_i"), col("z"))
+        .orderBy("source", "est_i")
+    }),
+
+    // Streaming HLL distinct-count maintenance: per-batch mergeable
+    // sketch states union to the live estimate (the sk_hll_rollup
+    // two-level pattern kept fresh by a stream); gate = exact per-group
+    // distinct + the within-10% accuracy verdict, both DuckDB-derivable
+    "st_hll_update" -> ((s, d) => {
+      val grid = java.nio.file.Files.createTempDirectory("graft_shl_g").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_shl_s").toString
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"))
+      graft.streaming.StreamSketch.applyHllBatch(s,
+        li.filter(col("l_orderkey") % 2 === 0), 0L, "l_returnflag",
+        "l_orderkey", grid, state)
+      graft.streaming.StreamSketch.applyHllBatch(s,
+        li.filter(col("l_orderkey") % 2 =!= 0), 1L, "l_returnflag",
+        "l_orderkey", grid, state)
+      val replay = graft.streaming.StreamSketch.applyHllBatch(s,
+        li.filter(col("l_orderkey") % 2 =!= 0), 1L, "l_returnflag",
+        "l_orderkey", grid, state)
+      require(replay.replaySkipped, "committed batch replay was not skipped")
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_cnt"))
+      graft.streaming.StreamSketch.currentDistinct(s, grid, state)
+        .withColumnRenamed("grp", "l_returnflag")
+        .join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_cnt"),
+          (abs(col("approx") - col("exact_cnt")) <=
+            col("exact_cnt") * 0.1).as("within_10pct"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Streaming index maintenance: bootstrap batch trains + publishes the
+    // codebook (versioned state), the second batch encodes against it
+    // frozen and appends idempotently — the oracle independently retrains
+    // on the bootstrap ids and encodes the whole corpus, proving the
+    // stream's code table equals a from-scratch build
+    "st_index_update" -> ((s, d) => {
+      val codes = java.nio.file.Files.createTempDirectory("graft_si_c").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_si_s").toString
+      val e = emb(s, d).select("vec_id", "embedding")
+      graft.streaming.StreamIndex.applyBatch(s,
+        e.filter(col("vec_id") < 250), 0L, "vec_id", "embedding",
+        codes, state)
+      graft.streaming.StreamIndex.applyBatch(s,
+        e.filter(col("vec_id") >= 250), 1L, "vec_id", "embedding",
+        codes, state)
+      s.read.parquet(codes)
+        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+          col("code"))
+        .orderBy("vec_id", "subspace")
+    }),
+
+    // Drift-triggered PQ retraining end-to-end: bootstrap trains on the
+    // label-0 region; the second batch is every other cluster SCALED by
+    // exactly 2 (a deterministic distribution-shift proxy — x*2 is exact
+    // in IEEE float AND double, so both engines see bit-identical drifted
+    // vectors), whose err/n is far beyond 1.5x the stored training
+    // baseline — the state machine MUST publish codebook v2 and encode
+    // that batch, and only it, under v2 (history keeps its v1 codes
+    // untouched). The requires make a silent non-trigger fail the gate
+    // loudly instead of shipping v1-encoded rows the oracle would reject
+    "st_index_retrain" -> ((s, d) => {
+      val codes = java.nio.file.Files.createTempDirectory("graft_sr_c").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_sr_s").toString
+      val e = emb(s, d).select("vec_id", "embedding", "label")
+      val r0 = graft.streaming.StreamIndex.applyBatch(s,
+        e.filter(col("label") === 0).select("vec_id", "embedding"),
+        0L, "vec_id", "embedding", codes, state, retrainFactorPct = 150)
+      val r1 = graft.streaming.StreamIndex.applyBatch(s,
+        e.filter(col("label") =!= 0).select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")),
+        1L, "vec_id", "embedding", codes, state, retrainFactorPct = 150)
+      require(r0.bootstrapped && !r0.retrained && r0.cbVersion == 1,
+        s"bootstrap state machine broke: $r0")
+      require(r1.retrained && r1.cbVersion == 2,
+        s"drift batch did not trigger retraining: $r1")
+      s.read.parquet(codes)
+        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+          col("code"), col("cb_version").cast("long").as("cb_version"))
+        .orderBy("vec_id", "subspace")
+    }),
+  )
+
+  // a def, not a val: registry-aware entries read OracleLits fragments
+  // that the query functions register as they run (Verify dumps oracle
+  // SQL AFTER running every query)
+  def oracles: Map[String, String] = Map(
+    // two exact-only stream batches in id order fold to the global
+    // survivor set (same SQL shape as dedup_survivors)
+    "st_stream_dedup" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn FROM u)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // streamed AMS vectors summed == the full-corpus signed counters
+    "st_ams_update" ->
+      s"""WITH tok AS (SELECT source, unnest($duckToksAll) AS tok
+         |  FROM documents),
+         |ri AS (SELECT CAST(range AS BIGINT) AS est_i FROM range(0, 8)),
+         |sg AS (SELECT source, est_i,
+         |    CAST(('0x' || substr(md5(CAST(est_i AS VARCHAR) || ':' ||
+         |      tok), 1, 15)) AS BIGINT) % 2 * 2 - 1 AS s
+         |  FROM tok CROSS JOIN ri)
+         |SELECT source, est_i, CAST(sum(s) AS BIGINT) AS z
+         |FROM sg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // streamed HLL states unioned must estimate within 10% of exact
+    "st_hll_update" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_cnt,
+        |  TRUE AS within_10pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // streamed grids cell-wise-summed == the full-corpus grid
+    "st_cms_update" ->
+      s"""WITH tok AS (SELECT source, unnest($duckToksAll) AS tok
+         |  FROM documents),
+         |rj AS (SELECT CAST(range AS BIGINT) AS row_j FROM range(0, 4)),
+         |cells AS (SELECT source, rj.row_j,
+         |    CAST(('0x' || substr(md5(CAST(rj.row_j AS VARCHAR) || ':' ||
+         |      tok), 1, 15)) AS BIGINT) % 256 AS bucket
+         |  FROM tok CROSS JOIN rj)
+         |SELECT source, row_j, CAST(bucket AS BIGINT) AS bucket,
+         |  count(*) AS cnt
+         |FROM cells GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // the stream's batches (bootstrap <250 trains; ≥250 encodes frozen)
+    // must together equal a from-scratch encode under the same codebook
+    "st_index_update" -> {
+      val hist = "(SELECT vec_id FROM embeddings WHERE vec_id < 250)"
+      s"""WITH ${pqCtesTrainedOn(hist)},
+         |$pqEncodeCte
+         |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code
+         |FROM enc ORDER BY vec_id, subspace""".stripMargin
+    },
+
+    // the retrain state machine's code table: batch 0 (label-0 region)
+    // encoded under codebook A trained on itself (cb_version 1); the
+    // drift batch (all other labels) under codebook B trained on ITSELF
+    // (cb_version 2) — the oracle re-derives BOTH codebooks and their
+    // per-batch assignments; the engine-side requires guarantee the
+    // trigger actually fired, so an un-triggered run can never
+    // accidentally match
+    "st_index_retrain" -> {
+      val a = "(SELECT vec_id FROM embeddings WHERE label = 0)"
+      val b = "(SELECT vec_id FROM embeddings WHERE label <> 0)"
+      def encUnder(src: String, base: String, sfx: String,
+          ver: Int): String =
+        s"""SELECT vec_id, subspace, label AS code, $ver AS v FROM (
+           |  SELECT v.vec_id, v.subspace, c.label, row_number() OVER (
+           |    PARTITION BY v.vec_id, v.subspace ORDER BY
+           |      list_sum(list_transform(range(1, len(v.subvec) + 1),
+           |        i -> (v.subvec[i] - c.cl[i]) * (v.subvec[i] - c.cl[i]))),
+           |      c.label) AS rn
+           |  FROM $base v JOIN $src t ON t.vec_id = v.vec_id
+           |  JOIN cl2$sfx c ON c.subspace = v.subspace) WHERE rn = 1"""
+          .stripMargin
+      s"""WITH $pqSharedCtes,
+         |sv2 AS (SELECT vec_id, subspace,
+         |  list_transform(subvec, x -> x * 2.0) AS subvec FROM sv),
+         |${pqTrainCtes(a, "_a")},
+         |${pqTrainCtes(b, "_b", base = "sv2")}
+         |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code,
+         |  CAST(v AS BIGINT) AS cb_version
+         |FROM (${encUnder(a, "sv", "_a", 1)}
+         |  UNION ALL ${encUnder(b, "sv2", "_b", 2)})
+         |ORDER BY vec_id, subspace""".stripMargin
+    },
+  )
+}

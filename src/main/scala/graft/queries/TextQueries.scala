@@ -1,0 +1,762 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.scale.{Dedup, Multimodal, Pq, Sampling, Similarity, Temporal, TextAnalysis}
+import ScaleShared._
+
+/** Text-analysis family: quality features, language ID, repetition,
+  * entropy, perplexity, redaction, decontamination, BPE train/encode,
+  * postings/BM25, NB classifier — over the documents table.
+  *
+  * Mechanically split out of the former single-file ScaleQueries registry;
+  * each family owns its queries AND their DuckDB oracle SQL. */
+object TextQueries {
+
+  val queries: Map[String, QF] = Map(
+    // Token counting: whitespace + subword (BPE-ish regex) tokenizers
+    "tx_token_count" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        size(TextAnalysis.subwordTokens(col("text"))).cast("long")
+          .as("n_subword_tokens"))
+        .orderBy("doc_id")),
+
+    // Tokenizer fertility by language: BPE tokens per word, the standard
+    // multilingual tokenizer-quality statistic. Exact integer sums only —
+    // callers divide; the gate stays ratio-free and bit-stable
+    "bpe_fertility" -> ((s, d) => {
+      val m = TextAnalysis.bpeTrain(docs(s, d), "text", 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs(s, d), "doc_id", "text", m)
+        .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_bpe_tokens")).as("total_bpe_tokens"))
+        .orderBy("lang")
+    }),
+
+    // Quality scoring: token/stopword/punctuation/alpha features
+    "tx_quality_features" -> ((s, d) =>
+      TextAnalysis.qualityFeatures(docs(s, d), "text")
+        .select("doc_id", "n_tokens", "n_stopwords", "stopword_ratio",
+          "mean_token_len", "punct_ratio", "alpha_ratio")
+        .orderBy("doc_id")),
+
+    // Language ID via marker-token election
+    "tx_lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")),
+
+    // Data-driven n-gram language ID: char-trigram profiles trained from
+    // the labeled corpus (top-300 grams per language — Cavnar-Trenkle's
+    // profile size, and the lever that keeps the gram join bounded by the
+    // profiles instead of the corpus vocabulary), docs classified by
+    // count-vector cosine
+    "tx_lang_id_ngram" -> ((s, d) =>
+      TextAnalysis.charNgramLangId(docs(s, d), "doc_id", "text", "lang",
+        profileTopN = 300)
+        .orderBy("doc_id")),
+
+    // Mixed-language detection: per-50-token-chunk language election,
+    // summarized per doc as integer counts + majority lang — n_langs > 1
+    // flags concatenation artifacts / boilerplate sandwiches
+    "tx_lang_mix" -> ((s, d) =>
+      TextAnalysis.langMixture(docs(s, d), "doc_id", "text", chunkSize = 50)
+        .orderBy("doc_id")),
+
+    // Document fingerprinting (normalized-content digest)
+    "tx_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+
+    // Repetition signals (Gopher-style): duplicate/top n-gram fractions +
+    // max consecutive-token run — all per-row expressions, zero shuffles
+    "tx_repetition" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
+        .withColumn("r2",
+          graft.functions.TextExpressions.ngramRepetition(col("tk"), 2))
+        .select(col("doc_id"),
+          col("r2").getField("dup_frac").as("dup_2gram_frac"),
+          graft.functions.TextExpressions.ngramRepetition(col("tk"), 3)
+            .getField("dup_frac").as("dup_3gram_frac"),
+          col("r2").getField("top_frac").as("top_2gram_frac"),
+          TextAnalysis.maxTokenRun(col("tk")).cast("long").as("max_token_run"),
+          TextAnalysis.symbolRatio(col("text"), col("tk")).as("symbol_ratio"))
+        .orderBy("doc_id")),
+
+    // Context-window chunking: 50-token chunks, 10-token overlap (chunk
+    // text fingerprinted so the result stays narrow)
+    "tx_chunks" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunkTokens(col("tk"), 50, 10)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_index"),
+          size(TextAnalysis.tokens(col("col"))).cast("long").as("n_tokens"),
+          md5(col("col")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_index")),
+
+    // PII redaction: emails + long digit runs → typed tokens
+    "tx_redact" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")),
+
+    // NB quality model (fastText/CCNet-style "looks curated?" filter):
+    // the top-512-vocabulary per-class counts — the model's SUFFICIENT
+    // STATISTICS, pure int64 on the gate (likelihoods derive via
+    // nbFromCounts; emitting the ln here put a libm quantization on the
+    // gate for no information gain)
+    "nb_quality_model" -> ((s, d) =>
+      TextAnalysis.nbTopCounts(
+        TextAnalysis.nbCounts(docs(s, d), "text",
+          col("source").isin("src0", "src1", "src2")), vocab = 512)
+        .orderBy("token")),
+
+    // NB quality scores: prior log-odds + per-token log-likelihood-ratio
+    // sum, carried end-to-end in exact MICRO-UNIT int64 (the 6-decimal
+    // model × 10⁶); predicted=1 for curated-looking docs (an integer
+    // comparison). The micro model constants are registered for the
+    // oracle (OracleLits) as plain integers — no ln, no decimal literal,
+    // no non-integer type anywhere on the compared surface
+    "nb_quality_score" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pos = col("source").isin("src0", "src1", "src2")
+      // train ONCE: the collected model registers the oracle literals AND
+      // feeds scoring back as a local relation (nbScoreMicroWith) —
+      // scoring never re-runs the training aggregation
+      val modelPlan = TextAnalysis.nbTrain(dd, "text", pos, vocab = 512)
+      val model = modelPlan.collect()
+      val priorPlan = dd
+        .agg(sum(when(pos, 1L).otherwise(0L)).as("np"),
+          sum(when(pos, 0L).otherwise(1L)).as("nn"))
+        .select(log((col("np") + 1.0) / (col("nn") + 1.0))
+          .cast("decimal(18,6)").as("__prior"))
+      val priorRows = priorPlan.collect()
+      def micro(bd: java.math.BigDecimal): Long =
+        bd.setScale(6).movePointRight(6).longValueExact
+      // empty corpus → null prior aggregate; score 0 keeps the query
+      // total (empty output) instead of an NPE in the micro conversion
+      val priorMicroV =
+        if (priorRows(0).isNullAt(0)) 0L else micro(priorRows(0).getDecimal(0))
+      val modelMicro = model.map(r =>
+        (r.getString(0), micro(r.getDecimal(1)), micro(r.getDecimal(2))))
+      if (model.nonEmpty) {
+        OracleLits.put("nb_model",
+          modelMicro.map { case (t, lp, ln) =>
+            s"(${OracleLits.sqlStr(t)}, $lp, $ln)"
+          }.mkString("(VALUES ", ", ",
+            ") AS t(token, lpos_micro, lneg_micro)"))
+        OracleLits.put("nb_prior", priorMicroV.toString)
+      }
+      import s.implicits._
+      val localModel = modelMicro.toSeq
+        .toDF("token", "lpos_micro", "lneg_micro")
+      val localPrior = Seq(priorMicroV).toDF("__prior_micro")
+      TextAnalysis.nbScoreMicroWith(dd, "doc_id", "text",
+        localModel, localPrior)
+        .orderBy("doc_id")
+    }),
+
+    // Incremental NB training: per-batch counts merged into state, then
+    // the vocabulary restriction — must equal retraining on the full
+    // corpus (the oracle IS the full-corpus counts, proving
+    // merge∘restrict = retrain); integer output, no gate quantization
+    "nb_incr_model" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pos = col("source").isin("src0", "src1", "src2")
+      val state = TextAnalysis.nbCounts(dd.filter(col("doc_id") < 250),
+        "text", pos)
+      val batch = TextAnalysis.nbCounts(dd.filter(col("doc_id") >= 250),
+        "text", pos)
+      TextAnalysis.nbTopCounts(TextAnalysis.nbMergeCounts(state, batch),
+        vocab = 512).orderBy("token")
+    }),
+
+    // NB calibration: reliability diagram over fixed probability bins —
+    // mean predicted (sum_pred_micro/10⁶/n_docs) vs actual (n_pos/n_docs)
+    // per bin is the calibration gap; division-free pure-int64 output
+    "nb_calibration" -> ((s, d) =>
+      TextAnalysis.nbCalibration(docs(s, d), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2"), vocab = 512, bins = 10)
+        .orderBy("bin")),
+
+    // Inverted-index posting lists: top-50 terms by document frequency
+    // with capped (first-20) containing-doc lists — skew-safe per-term cap
+    "tx_postings" -> ((s, d) =>
+      TextAnalysis.postings(docs(s, d), "doc_id", "text",
+        topTerms = 50, cap = 20)
+        .orderBy(col("df").desc, col("token"))),
+
+    // Incremental index maintenance: per-batch postings states merged,
+    // then finalized — the oracle is the full-corpus index, proving
+    // finalize(merge(batches)) == retrain exactly
+    "tx_postings_incr" -> ((s, d) => {
+      val dd = docs(s, d)
+      val a = TextAnalysis.postingsState(
+        dd.filter(col("doc_id") < 250), "doc_id", "text")
+      val b = TextAnalysis.postingsState(
+        dd.filter(col("doc_id") >= 250), "doc_id", "text")
+      TextAnalysis.postingsTop(TextAnalysis.postingsMerge(a, b),
+          topTerms = 50)
+        .orderBy(col("df").desc, col("token"))
+    }),
+
+    // BM25 retrieval: top-20 docs for a literal query (one term absent
+    // from the corpus — it must contribute nothing); broadcast term
+    // stats, zero-shuffle scoring scan. Gate surface is bm25Nano's int64
+    // nano score (floor-truncated per-term contributions — no decimal
+    // cast, no round-half tie) ordered by the integer total order
+    "tx_bm25" -> ((s, d) => {
+      val dd = docs(s, d)
+      val q = "spark window join quantum"
+      // register the per-term idf as INTEGER nano values (floor(idf·10⁹)
+      // of the same Catalyst log the query evaluates) — the oracle
+      // reconstructs idf by one deterministic IEEE division, so no float
+      // literal needs parsing anywhere in the gate chain
+      val (_, _, terms) = TextAnalysis.bm25TermStats(dd, "text", q)
+      if (terms.nonEmpty) OracleLits.put("bm25_qd",
+        terms.map { case (t, df, idf) =>
+          s"(${OracleLits.sqlStr(t)}, CAST($df AS BIGINT), " +
+            s"CAST(${math.floor(idf * 1e9).toLong} AS BIGINT))"
+        }.mkString("(VALUES ", ", ", ") AS t(qt, df, idf9)"))
+      TextAnalysis.bm25Nano(dd, "doc_id", "text", q, k = 20)
+    }),
+
+    // Corpus length histogram in log2 buckets (the dataset-report shape:
+    // constant output rows at any corpus size, one agg). The bucket is
+    // length(bin(n+1))-1 — integer-exact floor(log2), immune to the
+    // float-log boundary drift a double log2 would risk at powers of two
+    "tx_len_hist" -> ((s, d) =>
+      docs(s, d)
+        .select((length(bin(size(TextAnalysis.tokens(col("text")))
+          .cast("long") + 1)) - 1).cast("long").as("log2_tokens"))
+        .groupBy("log2_tokens").agg(count(lit(1)).as("n_docs"))
+        .orderBy("log2_tokens")),
+
+    // PMI collocations: top-20 bigrams beating the independence
+    // expectation (min count 5) — the phrase-detection statistic; gate
+    // surface is the int64 micro PMI ranked by the integer total order
+    "tx_collocations" -> ((s, d) =>
+      TextAnalysis.collocationsMicro(docs(s, d), "text", minCount = 5, k = 20)),
+
+    // Corpus-level 2-gram heavy hitters (top-20 by count, lexicographic
+    // tie-break): the corpus-statistics counterpart of the per-doc
+    // repetition signals
+    "tx_top_ngrams" -> ((s, d) =>
+      TextAnalysis.topNgrams(docs(s, d), "text", 2, 20)
+        .orderBy(col("cnt").desc, col("ngram").asc)),
+
+    // Character-entropy quality signal (perplexity proxy): bits of the
+    // per-doc char distribution, in int64 micro units on the gate
+    "tx_char_entropy" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.charEntropyMicro(col("text")).as("entropy_micro"))
+        .orderBy("doc_id")),
+
+    // Corpus drift monitoring between the first and second half of the
+    // corpus (crawl-over-crawl shape): top-20 drifting tokens by the
+    // integer cross-product statistic |c_a·n_b − c_b·n_a| (= n_a·n_b·|p−q|
+    // — ranks exactly as total variation, with zero floating point on the
+    // gate; tokenDriftTerms keeps the JS-divergence view for callers).
+    // The gate emits drift_x as int64: bounded at sf0.01; the library op
+    // carries DECIMAL(38,0) for 100 TB counts
+    "tx_drift" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextAnalysis.tokenDriftCounts(
+        dd.filter(col("doc_id") < 250), dd.filter(col("doc_id") >= 250), "text")
+        .orderBy(col("drift_x").desc, col("token").asc)
+        .limit(20)
+        .select(col("token"), col("c_a"), col("c_b"),
+          col("drift_x").cast("long").as("drift_x"))
+    }),
+
+    // Corpus-LM perplexity quality filter (CCNet-style): bigram LM trained
+    // on the corpus; the gate carries the division-free per-doc (Σ −logp,
+    // n) sufficient statistics in int64 micro units — mean bits derivable
+    // (lmCrossEntropy keeps the interactive view)
+    "tx_lm_perplexity" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextAnalysis.lmCrossEntropyStats(dd, "doc_id", "text",
+        TextAnalysis.bigramLm(dd, "text"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: the corpus' top-3 2-grams stand in for an
+    // eval-set n-gram list (bounded, collected once); docs overlapping it
+    // are dropped with a per-row zero-shuffle filter
+    "tx_decontaminate" -> ((s, d) => {
+      val evalGrams = TextAnalysis.topNgrams(docs(s, d), "text", 2, 3)
+        .select("ngram").collect().map(_.getString(0)).toSeq
+      TextAnalysis.decontaminate(docs(s, d), "doc_id", "text", evalGrams, 2)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // Blocklist screening: occurrence count of listed terms per doc and the
+    // keep verdict at a 5% hit-ratio budget (integer-exact: 20·hits ≤ toks)
+    "tx_blocklist" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextAnalysis.blocklistHits(col("text"), blocklistTerms)
+          .cast("long").as("n_hits"))
+        .withColumn("keep", col("n_hits") * 20 <= col("n_tokens"))
+        .orderBy("doc_id")),
+
+    // BPE training statistic: adjacent-symbol pair frequencies over the
+    // char-split vocabulary (top-20; the round-0 merge candidates)
+    "bpe_pair_freqs" -> ((s, d) =>
+      TextAnalysis.pairCounts(
+        TextAnalysis.wordFreqs(docs(s, d), "text")
+          .select(TextAnalysis.charSymbols(col("w")).as("sym"), col("freq")),
+        "sym", "freq")
+        .orderBy(col("freq").desc, col("a").asc, col("b").asc)
+        .limit(20)),
+
+    // BPE tokenizer training, 8 merge rounds (vocabulary-bounded loop).
+    // Oracled by a statically-unrolled 8-round DuckDB mirror (bpeMergesSql);
+    // the golden merge sequence is additionally pinned by ScaleSpec
+    "bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeTrain(docs(s, d), "text", 8).orderBy("rank")),
+
+    // BPE tokenizer APPLICATION: train 8 merges, then encode the corpus
+    // with them — merge application runs on the distinct-word vocabulary
+    // (never corpus-sized data); per-doc output carries an order-exact
+    // MD5 of the full symbol stream so the oracle checks the actual
+    // encoding, not just counts
+    "bpe_encode" -> ((s, d) => {
+      val m = TextAnalysis.bpeTrain(docs(s, d), "text", 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs(s, d), "doc_id", "text", m)
+        .orderBy("doc_id")
+    }),
+
+    // Tokenizer QA: the trained BPE must be LOSSLESS — concatenating each
+    // word's subwords reconstructs the word, for every vocabulary word
+    "bpe_roundtrip" -> ((s, d) => {
+      val m = TextAnalysis.bpeTrain(docs(s, d), "text", 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncodeWords(docs(s, d), "text", m)
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(replace(col("enc"), lit(" "), lit("")) === col("w"), 0L)
+            .otherwise(1L)).as("n_mismatched"))
+    }),
+  )
+
+  // a def, not a val: registry-aware entries read OracleLits fragments
+  // that the query functions register as they run (Verify dumps oracle
+  // SQL AFTER running every query)
+  def oracles: Map[String, String] = Map(
+    "tx_lang_id_ngram" ->
+      """WITH g AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1,
+        |      greatest(length(lower(text)) - 2, 0) + 1),
+        |      i -> substr(lower(text), i, 3))) AS g FROM documents),
+        |dv AS (SELECT doc_id, g, count(*) AS dc FROM g GROUP BY 1, 2),
+        |lv0 AS (SELECT lang, g, count(*) AS lc FROM g GROUP BY 1, 2),
+        |lv AS (SELECT lang, g, lc FROM (
+        |  SELECT lang, g, lc, row_number() OVER (
+        |    PARTITION BY lang ORDER BY lc DESC, g) AS prn FROM lv0)
+        |  WHERE prn <= 300),
+        |dn AS (SELECT doc_id, sqrt(sum(dc * dc)) AS dn FROM dv GROUP BY 1),
+        |lnorm AS (SELECT lang, sqrt(sum(lc * lc)) AS ln FROM lv GROUP BY 1),
+        |dt AS (SELECT dv.doc_id, lv.lang, sum(dc * lc) AS dot
+        |  FROM dv JOIN lv USING (g) GROUP BY 1, 2),
+        |s AS (SELECT doc_id, lang, round(dot / (dn * ln), 6) AS cos
+        |  FROM dt JOIN dn USING (doc_id) JOIN lnorm USING (lang))
+        |SELECT doc_id, lang AS predicted_lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY cos DESC, lang) AS rn FROM s)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "tx_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |  t -> t != '')) AS BIGINT) AS n_tokens,
+        |CAST(len(list_filter(string_split_regex(trim(regexp_replace(lower(text),
+        |  '([a-z]+|[0-9]+|[^a-z0-9\s])', ' \1 ', 'g')), '\s+'),
+        |  t -> t != '')) AS BIGINT) AS n_subword_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_quality_features" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS tk,
+        |  CAST(length(text) AS BIGINT) AS nc FROM documents),
+        |g AS (SELECT doc_id, nc,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(tk, w -> w IN
+        |    ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stopwords,
+        |  CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g'))
+        |    AS BIGINT) AS n_punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+        |    AS BIGINT) AS n_alpha
+        |  FROM f)
+        |SELECT doc_id, n_tokens, n_stopwords,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    ELSE 0.0 END AS stopword_ratio,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(nc - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    ELSE 0.0 END AS mean_token_len,
+        |  CASE WHEN nc > 0 THEN CAST(n_punct AS DOUBLE) / CAST(nc AS DOUBLE)
+        |    ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN nc > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(nc AS DOUBLE)
+        |    ELSE 0.0 END AS alpha_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "tx_lang_id" -> {
+      val (scoreDefs, langCase) = duckLangScore("tk")
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS tk FROM documents),
+         |sc AS (SELECT doc_id, lang, $scoreDefs FROM tok)
+         |SELECT doc_id, lang, $langCase AS predicted_lang
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "tx_fingerprint" ->
+      """SELECT doc_id,
+        |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-chunk marker election over non-overlapping 50-token slices,
+    // rolled up to integer mix statistics (mirror of langMixture)
+    "tx_lang_mix" -> {
+      val (scoreDefs, electCase) = duckLangScore("ctk")
+      s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
+         |x AS (SELECT doc_id, tk, unnest(range(0,
+         |  CASE WHEN len(tk) = 0 THEN 0
+         |    ELSE greatest(CAST(ceil(len(tk) / 50.0) AS BIGINT), 1)
+         |  END)) AS ci FROM tok),
+         |ch AS (SELECT doc_id, tk[(ci*50+1):(ci*50+50)] AS ctk FROM x),
+         |sc AS (SELECT doc_id, $scoreDefs FROM ch),
+         |el AS (SELECT doc_id, $electCase AS lang FROM sc),
+         |pl AS (SELECT doc_id, lang, count(*) AS c FROM el GROUP BY 1, 2),
+         |rn AS (SELECT doc_id, lang, c, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY c DESC, lang) AS rn FROM pl)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+         |  CAST(count(*) AS BIGINT) AS n_langs,
+         |  max(CASE WHEN rn = 1 THEN lang END) AS majority_lang,
+         |  CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS n_majority
+         |FROM rn GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    "tx_chunks" ->
+      s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
+         |x AS (SELECT doc_id, tk, unnest(range(0,
+         |  CASE WHEN len(tk) = 0 THEN 0
+         |    ELSE greatest(CAST(ceil((len(tk) - 10) / 40.0) AS BIGINT), 1)
+         |  END)) AS chunk_index FROM tok)
+         |SELECT doc_id, chunk_index,
+         |  len(tk[(chunk_index*40+1):(chunk_index*40+50)]) AS n_tokens,
+         |  md5(array_to_string(tk[(chunk_index*40+1):(chunk_index*40+50)],
+         |    ' ')) AS chunk_md5
+         |FROM x ORDER BY doc_id, chunk_index""".stripMargin,
+
+    // integer cross-product drift: |c_a·n_b − c_b·n_a| — no floating
+    // point anywhere (see the query's comment)
+    "tx_drift" ->
+      s"""WITH ta AS (SELECT unnest($duckToksAll) AS token
+         |  FROM documents WHERE doc_id < 250),
+         |tb AS (SELECT unnest($duckToksAll) AS token
+         |  FROM documents WHERE doc_id >= 250),
+         |ca AS (SELECT token, count(*) AS c_a FROM ta GROUP BY 1),
+         |cb AS (SELECT token, count(*) AS c_b FROM tb GROUP BY 1),
+         |na AS (SELECT sum(c_a) AS n_a FROM ca),
+         |nb AS (SELECT sum(c_b) AS n_b FROM cb),
+         |j AS (SELECT coalesce(ca.token, cb.token) AS token,
+         |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+         |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token)
+         |SELECT token, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+         |  CAST(abs(c_a * n_b - c_b * n_a) AS BIGINT) AS drift_x
+         |FROM j CROSS JOIN na CROSS JOIN nb
+         |ORDER BY drift_x DESC, token ASC LIMIT 20""".stripMargin,
+
+    "tx_lm_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, $duckToksAll AS l FROM documents),
+         |v AS (SELECT count(DISTINCT tk) AS v FROM
+         |  (SELECT unnest(l) AS tk FROM t)),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+         |  i -> l[i] || ' ' || l[i+1])) AS bigram FROM t),
+         |c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY 1),
+         |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1
+         |  FROM c12 GROUP BY 1),
+         |lm AS (SELECT bigram,
+         |  CAST(ln((c12 + 1.0) / (c1 + v)) / ln(2.0) AS DECIMAL(18,6)) AS logp
+         |  FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
+         |  CROSS JOIN v)
+         |SELECT doc_id,
+         |  CAST(-sum(logp) * 1000000 AS BIGINT) AS neg_logp_sum_micro,
+         |  count(*) AS n_bigrams
+         |FROM bg JOIN lm USING (bigram)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tx_repetition" -> {
+      def grams(n: Int): String = {
+        val parts = (0 until n).map(k => s"tk[i+$k]").mkString(" || ' ' || ")
+        s"list_transform(range(1, CASE WHEN len(tk) >= $n " +
+          s"THEN len(tk) - ${n - 1} ELSE 0 END + 1), i -> $parts)"
+      }
+      val maxRun =
+        """CASE WHEN len(tk) = 0 THEN 0 ELSE CAST((list_reduce(
+          |  list_transform(tk, t -> struct_pack(best := 1, cur := 1, prev := t)),
+          |  (a, b) -> struct_pack(
+          |    best := greatest(a.best,
+          |      CASE WHEN b.prev = a.prev THEN a.cur + 1 ELSE 1 END),
+          |    cur := CASE WHEN b.prev = a.prev THEN a.cur + 1 ELSE 1 END,
+          |    prev := b.prev))).best AS BIGINT) END""".stripMargin
+      s"""WITH tok AS (SELECT doc_id, text, $duckToksAll AS tk FROM documents),
+         |g AS (SELECT doc_id, text, tk,
+         |  ${grams(2)} AS g2, ${grams(3)} AS g3 FROM tok)
+         |SELECT doc_id,
+         |  CASE WHEN len(g2) > 0 THEN 1.0 -
+         |    CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+         |    ELSE 0.0 END AS dup_2gram_frac,
+         |  CASE WHEN len(g3) > 0 THEN 1.0 -
+         |    CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+         |    ELSE 0.0 END AS dup_3gram_frac,
+         |  CASE WHEN len(g2) > 0 THEN
+         |    CAST(list_max(list_transform(list_distinct(g2),
+         |      d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE) / len(g2)
+         |    ELSE 0.0 END AS top_2gram_frac,
+         |  $maxRun AS max_token_run,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    CAST((length(text) - length(replace(text, '#', ''))) +
+         |      (length(text) - length(replace(text, '...', ''))) / 3
+         |      AS DOUBLE) / len(tk)
+         |    ELSE 0.0 END AS symbol_ratio
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "tx_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+', '<EMAIL>', 'g'),
+        |    '[+]?[0-9][0-9 ()+.-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the model's sufficient statistics — pure integer counts, fully
+    // recomputed by the oracle (no ln anywhere on the gate)
+    "nb_quality_model" -> nbCountsSql,
+
+    // incremental train == full retrain: the oracle is the SAME
+    // full-corpus counts the batch query restricts against
+    "nb_incr_model" -> nbCountsSql,
+
+    // the per-token micro log constants (int64) and the micro prior come
+    // from the registered model literals when present (the engine's
+    // quantized values × 10⁶ — no libm ln, no decimal literal in the
+    // oracle); the data-sized tokenize/join/sum remains recomputed in SQL
+    // as PURE INTEGER arithmetic. Fallback: derive the model in SQL with
+    // ln + round(·10⁶) — rows/schema-grade only, like all fallbacks.
+    "nb_quality_score" -> {
+      // one scoring tail; the branches differ only in where mq/pr come from
+      val scoreTail =
+        """dl AS (SELECT tok.doc_id,
+          |    sum(mq.lpos_micro - mq.lneg_micro) AS delta
+          |  FROM tok JOIN mq USING (token) GROUP BY 1),
+          |sc AS (SELECT d.doc_id,
+          |    CAST(coalesce(dl.delta, 0) + pr.prior_micro AS BIGINT)
+          |      AS score_micro
+          |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+          |  CROSS JOIN pr)
+          |SELECT doc_id, score_micro,
+          |  CAST(CASE WHEN score_micro > 0 THEN 1 ELSE 0 END AS BIGINT)
+          |    AS predicted
+          |FROM sc ORDER BY doc_id""".stripMargin
+      (OracleLits.get("nb_model"), OracleLits.get("nb_prior")) match {
+        case (Some(m), Some(p)) =>
+          s"""WITH tok AS (SELECT doc_id, unnest($duckToksAll) AS token
+             |  FROM documents),
+             |mq AS (SELECT * FROM $m),
+             |pr AS (SELECT CAST($p AS BIGINT) AS prior_micro),
+             |$scoreTail""".stripMargin
+        case _ =>
+          // decimal(18,6) × 10⁶ is integer-valued; the cast is exact
+          s"""$nbModelCte,
+             |mq AS (SELECT token,
+             |    CAST(logp_pos * 1000000 AS BIGINT) AS lpos_micro,
+             |    CAST(logp_neg * 1000000 AS BIGINT) AS lneg_micro FROM m),
+             |pr AS (SELECT CAST(round(ln(
+             |    (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0) /
+             |    (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0)) * 1000000.0)
+             |  AS BIGINT) AS prior_micro FROM lab),
+             |$scoreTail""".stripMargin
+      }
+    },
+
+    "nb_calibration" ->
+      s"""$nbModelCte,
+         |pr AS (SELECT CAST(ln(
+         |    (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0) /
+         |    (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0))
+         |  AS DECIMAL(18,6)) AS prior FROM lab),
+         |dl AS (SELECT tok.doc_id, sum(m.logp_pos - m.logp_neg) AS delta
+         |  FROM tok JOIN m USING (token) GROUP BY 1),
+         |sc AS (SELECT d.doc_id,
+         |    CAST(coalesce(dl.delta, 0) + pr.prior AS DECIMAL(18,6)) AS score,
+         |    (d.source IN ('src0', 'src1', 'src2')) AS pos
+         |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+         |  CROSS JOIN pr),
+         |p AS (SELECT pos, CAST(1.0 / (1.0 + exp(-CAST(score AS DOUBLE)))
+         |    AS DECIMAL(18,6)) AS p6 FROM sc)
+         |SELECT least(CAST(floor(p6 * 10) AS BIGINT), 9) AS bin,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(sum(CAST(p6 * 1000000 AS BIGINT)) AS BIGINT) AS sum_pred_micro
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tx_postings" -> duckPostingsSql,
+
+    // merge == retrain: the incremental index must equal the full-corpus
+    // index, so the oracle IS the full-corpus formulation
+    "tx_postings_incr" -> duckPostingsSql,
+
+    // per-term idf from the registered literals when present (the exact
+    // doubles the engine's Catalyst log produced — the oracle performs
+    // only IEEE ×/÷ on them, which is deterministic across engines);
+    // tf/dl/N/Σdl remain recomputed. The gate surface is the int64 NANO
+    // score: floor(contrib·10⁹) per (doc, term) — floor of a shared
+    // double has no round-half tie for engine builds to disagree on —
+    // summed and ordered as pure integers. Fallback: re-derive the ln.
+    "tx_bm25" -> {
+      // idf is reconstructed from the INTEGER nano literal by one IEEE
+      // division — identical bits on any engine, no float literal parse
+      val scoreTail =
+        s"""sc AS (SELECT t.doc_id, d.qt, d.df,
+           |    (CAST(d.idf9 AS DOUBLE) / CAST(1000000000 AS DOUBLE)) AS idf,
+           |    len(list_filter(t.tk, x -> x = d.qt)) AS tf, len(t.tk) AS dl
+           |  FROM tok t JOIN qd d ON list_contains(t.tk, d.qt)),
+           |c AS (SELECT doc_id,
+           |    CAST(floor((idf
+           |      * (tf * CAST(2.5 AS DOUBLE))
+           |      / (tf + CAST(1.5 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+           |        + CAST(0.75 AS DOUBLE) * ((dl * st.n) / st.sumdl))))
+           |      * 1000000000.0) AS BIGINT) AS contrib
+           |  FROM sc, st)
+           |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_nano
+           |FROM c GROUP BY 1 ORDER BY score_nano DESC, doc_id LIMIT 20""".stripMargin
+      OracleLits.get("bm25_qd") match {
+        case Some(qd) =>
+          s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
+             |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tok),
+             |qd AS (SELECT * FROM $qd),
+             |$scoreTail""".stripMargin
+        case None =>
+          s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
+             |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tok),
+             |qd AS (SELECT qt, count(*) AS df,
+             |    CAST(floor(ln(CAST(1.0 AS DOUBLE)
+             |      + ((SELECT n FROM st) - count(*) + CAST(0.5 AS DOUBLE))
+             |        / (count(*) + CAST(0.5 AS DOUBLE)))
+             |      * 1000000000.0) AS BIGINT) AS idf9 FROM
+             |    (SELECT unnest(['spark', 'window', 'join', 'quantum']) AS qt) q
+             |  JOIN tok ON list_contains(tk, qt) GROUP BY 1),
+             |$scoreTail""".stripMargin
+      }
+    },
+
+    "tx_len_hist" ->
+      """SELECT CAST(length(bin(len(list_filter(
+        |    string_split_regex(trim(text), '\s+'), t -> t != '')) + 1)) - 1
+        |    AS BIGINT) AS log2_tokens,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tx_collocations" ->
+      s"""WITH tok AS (SELECT $duckToksAll AS tk FROM documents),
+         |uni AS (SELECT w, count(*) AS c_w FROM
+         |  (SELECT unnest(tk) AS w FROM tok) GROUP BY w),
+         |ntok AS (SELECT sum(c_w) AS n_tok FROM uni),
+         |bi AS (SELECT bigram, count(*) AS c_ab FROM
+         |  (SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram FROM tok)
+         |  GROUP BY bigram HAVING count(*) >= 5),
+         |nbi AS (SELECT sum(CASE WHEN len(tk) > 1 THEN len(tk) - 1
+         |  ELSE 0 END) AS n_bi FROM tok)
+         |SELECT bigram, c_ab,
+         |  CAST(floor((ln((CAST(c_ab AS DOUBLE) / n_bi) /
+         |    ((CAST(u1.c_w AS DOUBLE) / n_tok) *
+         |     (CAST(u2.c_w AS DOUBLE) / n_tok))) / ln(2.0)) * 1000000.0)
+         |    AS BIGINT) AS pmi_micro
+         |FROM bi
+         |JOIN uni u1 ON split_part(bigram, ' ', 1) = u1.w
+         |JOIN uni u2 ON split_part(bigram, ' ', 2) = u2.w
+         |CROSS JOIN ntok CROSS JOIN nbi
+         |ORDER BY pmi_micro DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "tx_top_ngrams" ->
+      s"""WITH tok AS (SELECT $duckToksAll AS tk FROM documents),
+         |g AS (SELECT unnest(list_transform(
+         |    range(1, CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END + 1),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS ngram FROM tok)
+         |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
+         |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    "tx_char_entropy" ->
+      """WITH c AS (SELECT doc_id, length(text) AS n,
+        |    unnest(list_transform(range(1, length(text) + 1),
+        |      i -> substr(text, i, 1))) AS ch FROM documents),
+        |h AS (SELECT doc_id, n, ch, count(*) AS cnt FROM c GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |  CAST(floor(-sum((cnt * 1.0 / n) * log2(cnt * 1.0 / n)) * 1000000.0)
+        |    AS BIGINT) AS entropy_micro
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tx_blocklist" -> {
+      val terms = blocklistTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      x -> x != '')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      x -> x != '' AND list_contains($terms, x))) AS BIGINT) AS n_hits
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_hits, n_hits * 20 <= n_tokens AS keep
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "tx_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $duckToksAll AS tk FROM documents),
+         |g AS (SELECT doc_id, lang, list_transform(
+         |    range(1, CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END + 1),
+         |    i -> tk[i] || ' ' || tk[i + 1]) AS grams FROM tok),
+         |freq AS (SELECT unnest(grams) AS ngram FROM g),
+         |top3 AS (SELECT ngram FROM (SELECT ngram, count(*) AS cnt FROM freq
+         |  GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 3)),
+         |evl AS (SELECT list(ngram) AS ev FROM top3)
+         |SELECT doc_id, lang FROM g CROSS JOIN evl
+         |WHERE NOT list_has_any(list_distinct(grams), ev)
+         |ORDER BY doc_id""".stripMargin,
+
+    "bpe_pair_freqs" ->
+      s"""WITH wf AS (SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest($duckToksAll) AS w FROM documents) GROUP BY w),
+         |sym AS (SELECT list_transform(range(1, length(w) + 1),
+         |    i -> substr(w, i, 1)) AS s, freq FROM wf),
+         |p AS (SELECT unnest(list_transform(range(1, len(s)),
+         |    i -> struct_pack(a := s[i], b := s[i + 1]))) AS pr, freq FROM sym)
+         |SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS freq FROM p
+         |GROUP BY 1, 2 ORDER BY freq DESC, a, b LIMIT 20""".stripMargin,
+
+    "bpe_merges" -> bpeMergesSql,
+
+    "bpe_encode" -> bpeEncodeSql,
+
+    "bpe_roundtrip" ->
+      s"""WITH $bpeEncodeCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(CASE WHEN array_to_string(sy, '') = w THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_mismatched
+         |FROM wenc""".stripMargin,
+
+    "bpe_fertility" -> bpeFertilitySql,
+  )
+}
