@@ -253,6 +253,26 @@ object AnnQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // OPQ-P (Ge '13): variance-balancing dimension permutation ahead of
+    // the subspace split, then the UNCHANGED PQ stack on the permuted
+    // vectors — the oracle re-derives the identical permutation from the
+    // integer componentSums surface (no shipped constants) and runs the
+    // same codebook/encode/ADC CTEs over the permuted corpus
+    "ann_opq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val perm = graft.scale.Opq.permutation(e, "embedding", 4)
+      val pe = e.select(col("vec_id"),
+        graft.scale.Opq.permute(col("embedding"), perm).as("embedding"))
+      val cb = Pq.codebook(pe, "vec_id", "embedding", m = 4, k = 4,
+        iters = 2).cache()
+      Pq.adcTopK(pe.filter(col("vec_id") < 5),
+          Pq.encode(pe, cb, "vec_id", "embedding"), cb,
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("dist_nano"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Incremental index append: a NEW batch of vectors encoded against the
     // frozen codebook trained on history ALONE — codes for existing
     // vectors are never recomputed; the oracle independently retrains on
@@ -767,6 +787,17 @@ object AnnQueries {
 
     "ann_pq_topk" ->
       s"""WITH $pqCtes,
+         |$pqAdcCtes
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, dist_nano
+         |FROM adck ORDER BY query_id, rnk""".stripMargin,
+
+    // the OPQ permutation re-derived in SQL (integer variance keys +
+    // serpentine deal), then the standard PQ train/encode/ADC CTEs over
+    // the permuted corpus
+    "ann_opq_topk" ->
+      s"""WITH $opqPermCtes,
+         |${pqSharedCtesOver("pemb")},
+         |${pqTrainCtes("embeddings", "")},
          |$pqAdcCtes
          |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, dist_nano
          |FROM adck ORDER BY query_id, rnk""".stripMargin,

@@ -27,8 +27,8 @@ object DedupQueries {
 
     // MinHash signatures (k=16, MD5-derived affine permutations)
     "dedup_minhash_sig" -> ((s, d) =>
-      docs(s, d)
-        .withColumn("tk", array_distinct(TextAnalysis.tokens(lower(col("text")))))
+      tokenizedDocs(s, d)
+        .withColumn("tk", array_distinct(col("tk")))
         .withColumn("hashed", Dedup.hashedElems(col("tk")))
         .select(col("doc_id"),
           concat_ws("-", transform(Dedup.minhashFromHashes(col("hashed"), 16),
@@ -80,6 +80,21 @@ object DedupQueries {
       val corpus = dd.unionByName(dd.filter(col("doc_id") < 250)
         .withColumn("doc_id", col("doc_id") + 10000))
       Dedup.crossDocRepeats(corpus, "doc_id", "text", 8, 2)
+        .orderBy("doc_id")
+    }),
+
+    // Exact-substring span REWRITING (the removal half of Lee '21):
+    // repeated 8-token windows are excised from every occurrence except
+    // the corpus-wide first, overlapping flagged spans merged by interval
+    // union, documents reassembled from the uncovered tokens (a fully
+    // covered doc drops). The oracle replays the whole pipeline —
+    // windows, first-occurrence ranking, gaps-and-islands union,
+    // reassembly — over the same MD5 window family
+    "dedup_span_rewrite" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text")
+      val corpus = dd.unionByName(dd.filter(col("doc_id") < 250)
+        .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.spanRewrite(corpus, "doc_id", "text", 8, 2)
         .orderBy("doc_id")
     }),
 
@@ -156,8 +171,7 @@ object DedupQueries {
     // n-gram (3-word shingle) Jaccard over consecutive-id candidate pairs;
     // shingle sets materialized once per doc, reused on both join sides
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val base = docs(s, d)
-        .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
+      val base = tokenizedDocs(s, d)
         .select(col("doc_id"), TextAnalysis.shinglesOf(col("tk"), 3).as("sg"))
       val a = base.select(col("doc_id").as("id_a"), col("sg").as("sa"))
       val b = base.select(col("doc_id").as("id_b"), col("sg").as("sb"))
@@ -340,5 +354,41 @@ object DedupQueries {
          |  CAST(coalesce(flg.n_repeated, 0) AS BIGINT) AS n_repeated
          |FROM u LEFT JOIN tot USING (doc_id) LEFT JOIN flg USING (doc_id)
          |ORDER BY u.doc_id""".stripMargin,
+
+    // the full span-rewrite replay: same window/MD5 family as
+    // dedup_cross_repeats, then first-occurrence ranking per fingerprint
+    // (rn = 1 survives), gaps-and-islands interval union per doc, and
+    // token reassembly from the uncovered positions
+    "dedup_span_rewrite" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents
+         |  WHERE doc_id < 250),
+         |tk AS (SELECT doc_id, $duckToksAll AS tk FROM u),
+         |wins AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    md5(array_to_string(tk[i:i+7], ' ')) AS fp
+         |  FROM tk, LATERAL (SELECT unnest(range(1, len(tk) - 6)) AS i) t),
+         |rep AS (SELECT fp FROM wins GROUP BY fp
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |occ AS (SELECT doc_id, pos, row_number() OVER (
+         |    PARTITION BY fp ORDER BY doc_id, pos) AS rn
+         |  FROM wins WHERE fp IN (SELECT fp FROM rep)),
+         |flag AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM occ
+         |  WHERE rn > 1),
+         |pm AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
+         |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |  AS prevmax FROM flag),
+         |isl AS (SELECT doc_id, s, e, sum(CASE WHEN prevmax IS NULL OR
+         |    prevmax < s THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+         |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  AS g FROM pm),
+         |spans AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM isl
+         |  GROUP BY doc_id, g),
+         |toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, tk[i] AS tok
+         |  FROM tk, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) t),
+         |kept AS (SELECT t.doc_id, t.idx, t.tok FROM toks t
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |    WHERE sp.doc_id = t.doc_id AND t.idx >= sp.s AND t.idx < sp.e))
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -61,6 +61,22 @@ object PipelineQueries {
           col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
         .orderBy("a", "b")),
 
+    // Perceptual-hash near-dup: dHash over the canonical byte grid, then
+    // banded Hamming pairing (one (band,value)-keyed shuffle, never
+    // all-pairs). The corpus is each payload PLUS a re-encoded
+    // (resize-to-128) copy at id+10000 — the exact-byte chunk dedup above
+    // cannot pair those; the perceptual hash does. Oracle re-derives the
+    // signatures from the same byte grid and replays the banding
+    "mm_phash_neardup" -> ((s, d) => {
+      val mm = Multimodal.asMultimodal(
+        docs(s, d).withColumn("src", lit("mixed")), "doc_id", "text", "src")
+      val re = Multimodal.resizePayload(mm, 128)
+        .select((col("id") + 10000).as("id"), col("payload"), col("meta"))
+      Multimodal.phashNearDup(mm.unionByName(re), bits = 60, bands = 6,
+          maxHamming = 5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // The composed curation pipeline: quality gate → lang id → exact dedup →
     // LSH fuzzy dedup w/ component representatives → per-language stats
     "pipeline_curation" -> ((s, d) =>
@@ -200,6 +216,38 @@ object PipelineQueries {
         |FROM p JOIN nc x ON p.a = x.id JOIN nc y ON p.b = y.id
         |WHERE p.shared * 10000 >= least(x.n, y.n) * 8000
         |ORDER BY a, b""".stripMargin,
+
+    // dHash signatures re-derived from the byte grid (original payloads
+    // plus the resize-to-128 re-encode at id+10000 — the same resample
+    // index math as the mm_resize oracle), then the 6-band × 10-bit
+    // Hamming banding replayed in SQL
+    "mm_phash_neardup" ->
+      s"""WITH b0 AS (SELECT doc_id AS id,
+         |    list_transform(range(1, strlen(text) + 1), j ->
+         |      CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)) AS by,
+         |    CAST(strlen(text) AS BIGINT) AS n
+         |  FROM documents),
+         |b1 AS (SELECT doc_id + 10000 AS id,
+         |    CASE WHEN strlen(text) > 0 THEN
+         |      list_transform(range(1, 129), j ->
+         |        CAST(ascii(substr(text,
+         |          CAST(((j - 1) * strlen(text)) // 128 AS INT) + 1, 1))
+         |          AS BIGINT))
+         |      ELSE CAST([] AS BIGINT[]) END AS by,
+         |    CASE WHEN strlen(text) > 0 THEN CAST(128 AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS n
+         |  FROM documents),
+         |ub AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
+         |${duckDHash60Ctes("ub")},
+         |bb AS (SELECT id, ph, b, (ph >> (b * 10)) & 1023 AS bv
+         |  FROM sig, (SELECT CAST(unnest(range(0, 6)) AS INT) AS b)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, a.ph AS pa,
+         |    c.id AS id_b, c.ph AS pb
+         |  FROM bb a JOIN bb c ON a.b = c.b AND a.bv = c.bv
+         |  WHERE a.id < c.id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= 5
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "mm_decode_stub" ->
       """WITH b AS (SELECT doc_id AS id, strlen(text) AS n,

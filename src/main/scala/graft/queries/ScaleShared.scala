@@ -92,6 +92,24 @@ object ScaleShared {
     s.read.parquet(s"$base/labels")
   }
 
+  /** Session-memoized tokenized documents: (doc_id, source, lang, tk)
+    * with `tk = TextAnalysis.tokens(lower(text))`, parquet-backed per
+    * sf dir (the [[ccLabels]] pattern). A dozen text/sketch-family
+    * queries tokenize the same corpus; a deployed pipeline tokenizes
+    * ONCE and every downstream stage reuses the columnar token arrays —
+    * the memo mirrors that. Perf-only: every consumer's ORACLE still
+    * re-tokenizes from the raw table in SQL, so correctness never rides
+    * the memo. */
+  def tokenizedDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = sessionStateDir(s, dir, "graft_tokdocs_") { b =>
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          graft.scale.TextAnalysis.tokens(lower(col("text"))).as("tk"))
+        .write.mode("overwrite").parquet(s"$b/tk")
+    }
+    s.read.parquet(s"$base/tk")
+  }
+
   private[queries] def deleteTree(path: String): Unit = {
     val f = new java.io.File(path)
     // listFiles() is null for an unreadable/raced dir — never NPE inside
@@ -557,18 +575,51 @@ object ScaleShared {
   /** PQ CTEs with the codebook trained on `trainSrc` (a table or
     * sub-select) while `sv` still spans the full corpus — the frozen-
     * codebook incremental-encode shape. */
-  /** Train-source-independent PQ CTEs: subspace split of every vector. */
+  /** Train-source-independent PQ CTEs: subspace split of every vector of
+    * corpus CTE/table `src` ((vec_id, embedding) rows; dims still sized
+    * off the base embeddings table — a permuted corpus keeps them). */
+  private[queries] def pqSharedCtesOver(src: String): String =
+    s"""pp AS (SELECT CAST((SELECT max(len(embedding)) FROM embeddings)
+       |  AS INTEGER) // 4 AS sub),
+       |sdim AS (SELECT unnest(range(1,
+       |  (SELECT sub FROM pp) + 1)) AS i),
+       |subs AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS s),
+       |sv AS (SELECT e.vec_id, s.s AS subspace,
+       |  list_transform(list_slice(e.embedding,
+       |    s.s * pp.sub + 1, (s.s + 1) * pp.sub),
+       |    x -> CAST(x AS DOUBLE)) AS subvec
+       |  FROM $src e CROSS JOIN subs s CROSS JOIN pp)""".stripMargin
+
   private[queries] lazy val pqSharedCtes: String =
-    """pp AS (SELECT CAST((SELECT max(len(embedding)) FROM embeddings)
-      |  AS INTEGER) // 4 AS sub),
-      |sdim AS (SELECT unnest(range(1,
-      |  (SELECT sub FROM pp) + 1)) AS i),
-      |subs AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS s),
-      |sv AS (SELECT e.vec_id, s.s AS subspace,
-      |  list_transform(list_slice(e.embedding,
-      |    s.s * pp.sub + 1, (s.s + 1) * pp.sub),
-      |    x -> CAST(x AS DOUBLE)) AS subvec
-      |  FROM embeddings e CROSS JOIN subs s CROSS JOIN pp)""".stripMargin
+    pqSharedCtesOver("embeddings")
+
+  /** OPQ-P permutation + permuted-corpus CTEs mirroring
+    * [[graft.scale.Opq.permutation]] (m = 4): per-dim integer variance
+    * keys from the componentSums micro-quantization (n·Σxq² − (Σxq)²,
+    * xq = floor(x·10⁶) — HUGEINT-exact), serpentine deal of the
+    * descending-key ranking into 4 subspaces, dims subspace-major within
+    * ascending original position. Ends with `pemb` (vec_id, embedding)
+    * — feed to [[pqSharedCtesOver]]("pemb"). */
+  private[queries] lazy val opqPermCtes: String =
+    """odim AS (SELECT unnest(range(1,
+      |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+      |ocs AS (SELECT i AS pos, count(*) AS n,
+      |  sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000.0)
+      |    AS HUGEINT)) AS s,
+      |  sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000.0)
+      |      AS HUGEINT) *
+      |    CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000.0)
+      |      AS HUGEINT)) AS sq
+      |  FROM embeddings e CROSS JOIN odim GROUP BY 1),
+      |okey AS (SELECT pos, CAST(n AS HUGEINT) * sq - s * s AS k FROM ocs),
+      |ork AS (SELECT pos, row_number() OVER (ORDER BY k DESC, pos) - 1 AS r
+      |  FROM okey),
+      |operm AS (SELECT pos AS op, row_number() OVER (ORDER BY
+      |    CASE WHEN (r // 4) % 2 = 0 THEN r % 4 ELSE 3 - (r % 4) END, pos)
+      |  AS np FROM ork),
+      |pemb AS (SELECT e.vec_id,
+      |  list(CAST(e.embedding[p.op] AS DOUBLE) ORDER BY p.np) AS embedding
+      |  FROM embeddings e CROSS JOIN operm p GROUP BY e.vec_id)""".stripMargin
 
   /** Codebook-training CTEs (2 Lloyd's rounds, min-id seeds) over the
     * vectors of `trainSrc`, every CTE name suffixed with `sfx` so TWO
@@ -678,6 +729,82 @@ object ScaleShared {
        |${dotOf(3)},
        |${round(3)}""".stripMargin
   }
+
+  /** dHash CTEs mirroring [[graft.scale.Multimodal.dHash]] (60 bits) over
+    * a source CTE exposing (id, by BIGINT[], n): 61 block sums/counts by
+    * integer division, gradient sign by integer cross-multiplication, bit
+    * weights as precomputed power-of-two literals. Ends with `sig`
+    * (id, ph). An empty payload naturally hashes to 0 (all blocks empty,
+    * every comparison false) — the Spark kernel's n = 0 branch. */
+  private[queries] def duckDHash60Ctes(srcCte: String): String = {
+    val terms = (0 until 60).map { i =>
+      s"(CASE WHEN bs[${i + 1}] * bc[${i + 2}] < bs[${i + 2}] * bc[${i + 1}]" +
+        s" THEN CAST(${1L << (59 - i)} AS BIGINT) ELSE 0 END)"
+    }.grouped(3).map(_.mkString(" + ")).mkString(" +\n  ")
+    s"""blk AS (SELECT id,
+       |  list_transform(range(0, 61), i -> coalesce(list_sum(list_slice(by,
+       |    CAST((i * n) // 61 AS INT) + 1,
+       |    CAST(((i + 1) * n) // 61 AS INT))), 0)) AS bs,
+       |  list_transform(range(0, 61), i ->
+       |    ((i + 1) * n) // 61 - (i * n) // 61) AS bc
+       |  FROM $srcCte),
+       |sig AS (SELECT id, CAST($terms AS BIGINT) AS ph FROM blk)""".stripMargin
+  }
+
+  /** One greedy longest-prefix segmentation pass in SQL, mirroring
+    * [[graft.scale.Unigram.segmentWords]]: `rounds` unrolled steps, each
+    * picking the longest vocabulary piece (ties to the lexicographically
+    * smallest) prefixing the remainder. Reads the word table `uwf`
+    * (w, freq) and vocabulary CTE `vocabCte` (piece); emits
+    * `${pfx}g$rounds` (w, freq, rem, segs). Words ≤ `rounds` chars fully
+    * consume (every single char is in the vocab). */
+  private[queries] def unigramSegCtes(vocabCte: String, pfx: String,
+      rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""${pfx}p$k AS (SELECT w, freq, rem, segs,
+         |  (SELECT v.piece FROM $vocabCte v
+         |    WHERE length(v.piece) <= length(rem)
+         |      AND substr(rem, 1, length(v.piece)) = v.piece
+         |    ORDER BY length(v.piece) DESC, v.piece LIMIT 1) AS p
+         |  FROM ${pfx}g${k - 1}),
+         |${pfx}g$k AS (SELECT w, freq,
+         |  CASE WHEN p IS NULL THEN rem
+         |    ELSE substr(rem, length(p) + 1) END AS rem,
+         |  CASE WHEN p IS NULL THEN segs ELSE list_append(segs, p) END AS segs
+         |  FROM ${pfx}p$k)""".stripMargin
+    }.mkString(",\n")
+    s"""${pfx}g0 AS (SELECT w, freq, w AS rem,
+       |  CAST([] AS VARCHAR[]) AS segs FROM uwf),
+       |$steps""".stripMargin
+  }
+
+  /** Unigram-LM vocabulary CTEs mirroring [[graft.scale.Unigram.train]]
+    * (maxPieceLen = 6, seed 24 multi-char pieces, keep 12, 8 greedy
+    * rounds): word freqs → substring scores → seed vocab → seed
+    * segmentation (`sg8`) → usage re-estimation (`uus`) → pruned vocab
+    * (`uvf`) → final segmentation (`fg8`). */
+  private[queries] lazy val unigramCommonCtes: String =
+    s"""uwf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |  SELECT unnest($duckToksAll) AS w FROM documents) GROUP BY w),
+       |upc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS score FROM (
+       |  SELECT substr(w, CAST(st AS INT), CAST(l AS INT)) AS piece, freq
+       |  FROM uwf,
+       |    LATERAL (SELECT unnest(range(1, length(w) + 1)) AS st) a,
+       |    LATERAL (SELECT unnest(range(1, 7)) AS l) b
+       |  WHERE st + l - 1 <= length(w)) GROUP BY piece),
+       |uch AS (SELECT piece, score FROM upc WHERE length(piece) = 1),
+       |usd AS (SELECT piece FROM uch
+       |  UNION ALL
+       |  SELECT piece FROM (SELECT piece FROM upc WHERE length(piece) >= 2
+       |    ORDER BY score DESC, piece LIMIT 24)),
+       |${unigramSegCtes("usd", "s", 8)},
+       |uus AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS uscore FROM (
+       |  SELECT unnest(segs) AS piece, freq FROM sg8) GROUP BY piece),
+       |uvf AS (SELECT piece FROM uch
+       |  UNION ALL
+       |  SELECT piece FROM (SELECT piece FROM uus WHERE length(piece) >= 2
+       |    ORDER BY uscore DESC, piece LIMIT 12)),
+       |${unigramSegCtes("uvf", "f", 8)}""".stripMargin
 
   /** Elementwise double dot product mirroring Similarity.dot. */
   private[queries] def duckDot(a: String, b: String): String =

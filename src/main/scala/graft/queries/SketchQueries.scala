@@ -14,6 +14,12 @@ import ScaleShared._
   * each family owns its queries AND their DuckDB oracle SQL. */
 object SketchQueries {
 
+  /** (doc_id, source, tok) occurrence rows off the session-memoized
+    * tokenized-docs frame (perf-only; oracles re-tokenize in SQL). */
+  private def tokOcc(s: SparkSession, d: String): DataFrame =
+    tokenizedDocs(s, d).select(col("doc_id"), col("source"),
+      explode(col("tk")).as("tok"))
+
   val queries: Map[String, QF] = Map(
     // Cross-source bigram overlap matrix (mirror/syndication detection):
     // Jaccard of distinct bigram sets per source pair — bounded by
@@ -63,13 +69,11 @@ object SketchQueries {
     // MD5-derived bucket hash is engine-portable, so the oracle
     // recomputes the identical grid and the estimates gate as exact int64
     "sk_cms_counts" -> ((s, d) => {
-      val dd = docs(s, d)
-      val tok = dd.select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val occ = tokOcc(s, d)
+      val tok = occ.select("source", "tok")
       val sk = graft.scale.Sketches.cms(tok, "source", "tok",
         depth = 4, width = 256)
-      val probes = dd.filter(col("doc_id") < 50).select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val probes = occ.filter(col("doc_id") < 50).select("source", "tok")
       graft.scale.Sketches.cmsEstimate(sk, probes, "source", "tok",
         depth = 4, width = 256)
         .select(col("grp").as("source"), col("tok"), col("est"))
@@ -81,13 +85,13 @@ object SketchQueries {
     // rollup contract that lets per-day grids sum to global without
     // re-scanning (oracle is the full-corpus grid)
     "sk_cms_incr" -> ((s, d) => {
-      val dd = docs(s, d)
-      def tokOf(df: DataFrame) = df.select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val occ = tokOcc(s, d)
       val skA = graft.scale.Sketches.cms(
-        tokOf(dd.filter(col("doc_id") < 250)), "source", "tok", 4, 256)
+        occ.filter(col("doc_id") < 250).select("source", "tok"),
+        "source", "tok", 4, 256)
       val skB = graft.scale.Sketches.cms(
-        tokOf(dd.filter(col("doc_id") >= 250)), "source", "tok", 4, 256)
+        occ.filter(col("doc_id") >= 250).select("source", "tok"),
+        "source", "tok", 4, 256)
       graft.scale.Sketches.cmsMerge(skA, skB)
         .select(col("grp").as("source"),
           col("row_j").cast("long").as("row_j"), col("bucket"), col("cnt"))
@@ -100,8 +104,7 @@ object SketchQueries {
     // counts don't give; the whole per-group state is 8 int64 counters
     // and the gate is the exact counter vector
     "sk_ams_f2" -> ((s, d) => {
-      val tok = docs(s, d).select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val tok = tokOcc(s, d).select("source", "tok")
       graft.scale.Sketches.amsSketch(tok, "source", "tok", r = 8)
         .select(col("grp").as("source"),
           col("est_i").cast("long").as("est_i"), col("z"))
@@ -111,14 +114,14 @@ object SketchQueries {
     // AMS mergeability gate: signed counters are linear — per-batch Z
     // vectors summed must equal the full-corpus vector exactly
     "sk_ams_incr" -> ((s, d) => {
-      val dd = docs(s, d)
-      def tokOf(df: DataFrame) = df.select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val occ = tokOcc(s, d)
       graft.scale.Sketches.amsMerge(
           graft.scale.Sketches.amsSketch(
-            tokOf(dd.filter(col("doc_id") < 250)), "source", "tok", 8),
+            occ.filter(col("doc_id") < 250).select("source", "tok"),
+            "source", "tok", 8),
           graft.scale.Sketches.amsSketch(
-            tokOf(dd.filter(col("doc_id") >= 250)), "source", "tok", 8))
+            occ.filter(col("doc_id") >= 250).select("source", "tok"),
+            "source", "tok", 8))
         .select(col("grp").as("source"),
           col("est_i").cast("long").as("est_i"), col("z"))
         .orderBy("source", "est_i")
@@ -129,9 +132,7 @@ object SketchQueries {
     // skew-safe two-phase top-k — the candidate-set pattern that turns a
     // CMS into a frequency leaderboard without exact per-token counts
     "sk_cms_topk" -> ((s, d) => {
-      val dd = docs(s, d)
-      val tok = dd.select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val tok = tokOcc(s, d).select("source", "tok")
       val sk = graft.scale.Sketches.cms(tok, "source", "tok",
         depth = 4, width = 256)
       graft.scale.Sketches.cmsHeavyHitters(sk, tok, "source", "tok",

@@ -42,18 +42,21 @@ object StreamScaleQueries {
     "st_cms_update" -> ((s, d) => {
       val grid = java.nio.file.Files.createTempDirectory("graft_scm_g").toString
       val state = java.nio.file.Files.createTempDirectory("graft_scm_s").toString
-      val dd = docs(s, d)
-      def tokOf(df: DataFrame) = df.select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      // occurrence rows off the session-memoized tokenized-docs frame
+      // (perf-only; the oracle re-tokenizes from the raw table)
+      val occ = tokenizedDocs(s, d).select(col("doc_id"), col("source"),
+        explode(col("tk")).as("tok"))
+      def tokOf(pred: org.apache.spark.sql.Column) =
+        occ.filter(pred).select("source", "tok")
       graft.streaming.StreamSketch.applyBatch(s,
-        tokOf(dd.filter(col("doc_id") < 250)), 0L, "source", "tok",
+        tokOf(col("doc_id") < 250), 0L, "source", "tok",
         grid, state, depth = 4, width = 256)
       graft.streaming.StreamSketch.applyBatch(s,
-        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
+        tokOf(col("doc_id") >= 250), 1L, "source", "tok",
         grid, state, depth = 4, width = 256)
       // at-least-once replay of a committed batch must be a no-op
       val replay = graft.streaming.StreamSketch.applyBatch(s,
-        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
+        tokOf(col("doc_id") >= 250), 1L, "source", "tok",
         grid, state, depth = 4, width = 256)
       require(replay.replaySkipped, "committed batch replay was not skipped")
       graft.streaming.StreamSketch.currentSketch(s, grid, state)
@@ -68,17 +71,20 @@ object StreamScaleQueries {
     "st_ams_update" -> ((s, d) => {
       val grid = java.nio.file.Files.createTempDirectory("graft_sam_g").toString
       val state = java.nio.file.Files.createTempDirectory("graft_sam_s").toString
-      val dd = docs(s, d)
-      def tokOf(df: DataFrame) = df.select(col("source"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      // occurrence rows off the session-memoized tokenized-docs frame
+      // (perf-only; the oracle re-tokenizes from the raw table)
+      val occ = tokenizedDocs(s, d).select(col("doc_id"), col("source"),
+        explode(col("tk")).as("tok"))
+      def tokOf(pred: org.apache.spark.sql.Column) =
+        occ.filter(pred).select("source", "tok")
       graft.streaming.StreamSketch.applyAmsBatch(s,
-        tokOf(dd.filter(col("doc_id") < 250)), 0L, "source", "tok",
+        tokOf(col("doc_id") < 250), 0L, "source", "tok",
         grid, state, r = 8)
       graft.streaming.StreamSketch.applyAmsBatch(s,
-        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
+        tokOf(col("doc_id") >= 250), 1L, "source", "tok",
         grid, state, r = 8)
       val replay = graft.streaming.StreamSketch.applyAmsBatch(s,
-        tokOf(dd.filter(col("doc_id") >= 250)), 1L, "source", "tok",
+        tokOf(col("doc_id") >= 250), 1L, "source", "tok",
         grid, state, r = 8)
       require(replay.replaySkipped, "committed batch replay was not skipped")
       graft.streaming.StreamSketch.currentAms(s, grid, state)
@@ -166,6 +172,32 @@ object StreamScaleQueries {
         .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
           col("code"), col("cb_version").cast("long").as("cb_version"))
         .orderBy("vec_id", "subspace")
+    }),
+
+    // Streaming KMV maintenance (completing the CMS/HLL/AMS streaming
+    // trio): per-batch bottom-64 grids, kind-scoped commit markers, and
+    // the read-time bottom-k rollup must equal the batch-at-once sketch
+    // of the whole corpus (bottom-k mergeability is exact — the k
+    // smallest of a union are among each side's k smallest)
+    "st_kmv_update" -> ((s, d) => {
+      val grid = java.nio.file.Files.createTempDirectory("graft_skv_g").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_skv_s").toString
+      val dd = docs(s, d)
+      graft.streaming.StreamSketch.applyKmvBatch(s,
+        dd.filter(col("doc_id") < 250), 0L, "source", "text",
+        grid, state, k = 64)
+      graft.streaming.StreamSketch.applyKmvBatch(s,
+        dd.filter(col("doc_id") >= 250), 1L, "source", "text",
+        grid, state, k = 64)
+      // at-least-once replay of a committed batch must be a no-op
+      val replay = graft.streaming.StreamSketch.applyKmvBatch(s,
+        dd.filter(col("doc_id") >= 250), 1L, "source", "text",
+        grid, state, k = 64)
+      require(replay.replaySkipped, "committed batch replay was not skipped")
+      graft.streaming.StreamSketch.currentKmv(s, grid, state, 64)
+        .select(col("grp").as("source"), col("h"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("source", "rank")
     }),
   )
 
@@ -259,5 +291,17 @@ object StreamScaleQueries {
          |  UNION ALL ${encUnder(b, "sv2", "_b", 2)})
          |ORDER BY vec_id, subspace""".stripMargin
     },
+
+    // the streamed bottom-k rollup == the batch-at-once full-corpus
+    // sketch (the sk_kmv_incr oracle — bottom-64 of the 60-bit MD5-prefix
+    // hash per source)
+    "st_kmv_update" ->
+      """WITH hv AS (SELECT DISTINCT source AS grp,
+        |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT grp AS source, h, CAST(rk AS BIGINT) AS rank
+        |FROM (SELECT grp, h, row_number() OVER (
+        |  PARTITION BY grp ORDER BY h) AS rk FROM hv)
+        |WHERE rk <= 64 ORDER BY source, rank""".stripMargin,
   )
 }

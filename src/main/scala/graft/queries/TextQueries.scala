@@ -94,8 +94,7 @@ object TextQueries {
     // Context-window chunking: 50-token chunks, 10-token overlap (chunk
     // text fingerprinted so the result stays narrow)
     "tx_chunks" -> ((s, d) =>
-      docs(s, d)
-        .withColumn("tk", TextAnalysis.tokens(lower(col("text"))))
+      tokenizedDocs(s, d)
         .select(col("doc_id"),
           posexplode(TextAnalysis.chunkTokens(col("tk"), 50, 10)))
         .select(col("doc_id"), col("pos").cast("long").as("chunk_index"),
@@ -349,6 +348,22 @@ object TextQueries {
           sum(when(replace(col("enc"), lit(" "), lit("")) === col("w"), 0L)
             .otherwise(1L)).as("n_mismatched"))
     }),
+
+    // Unigram-LM (SentencePiece-style) tokenizer, the second subword
+    // family beside BPE: substring-scored seed vocab, greedy
+    // longest-prefix segmentation, usage re-estimation, prune, final
+    // segmentation — encode surface is the bpe_encode gate shape. The
+    // oracle replays the whole train+encode pipeline in SQL (two unrolled
+    // 8-round segmentation passes)
+    "tok_unigram_vocab" -> ((s, d) =>
+      graft.scale.Unigram.train(docs(s, d), "text", maxPieceLen = 6,
+          seedMulti = 24, keepMulti = 12, maxRounds = 8)
+        .orderBy("piece")),
+
+    "tok_unigram_encode" -> ((s, d) =>
+      graft.scale.Unigram.trainEncode(docs(s, d), "doc_id", "text",
+          maxPieceLen = 6, seedMulti = 24, keepMulti = 12, maxRounds = 8)
+        .orderBy("doc_id")),
   )
 
   // a def, not a val: registry-aware entries read OracleLits fragments
@@ -758,5 +773,37 @@ object TextQueries {
          |FROM wenc""".stripMargin,
 
     "bpe_fertility" -> bpeFertilitySql,
+
+    // final unigram vocabulary: every corpus character (usage 0 when the
+    // seed segmentation never used it) plus the 12 highest-usage
+    // multi-char pieces, total order (usage desc | piece)
+    "tok_unigram_vocab" ->
+      s"""WITH $unigramCommonCtes
+         |SELECT piece, CAST(pu AS BIGINT) AS usage FROM (
+         |  SELECT c.piece, coalesce(u.uscore, 0) AS pu
+         |  FROM uch c LEFT JOIN uus u USING (piece)
+         |  UNION ALL
+         |  SELECT piece, uscore AS pu FROM (
+         |    SELECT piece, uscore FROM uus WHERE length(piece) >= 2
+         |    ORDER BY uscore DESC, piece LIMIT 12))
+         |ORDER BY piece""".stripMargin,
+
+    "tok_unigram_encode" ->
+      s"""WITH $unigramCommonCtes,
+         |wenc AS (SELECT w, array_to_string(segs, ' ') AS enc,
+         |  CAST(len(segs) AS BIGINT) AS np FROM fg8),
+         |dt AS (SELECT doc_id, i AS pos, tk[i] AS w
+         |  FROM (SELECT doc_id, $duckToksAll AS tk FROM documents),
+         |  LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) t),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(np) AS BIGINT) AS n_pieces,
+         |  md5(string_agg(enc, ' ' ORDER BY pos)) AS enc_md5
+         |  FROM dt JOIN wenc USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |  coalesce(a.enc_md5, md5('')) AS enc_md5
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -487,6 +487,70 @@ object Dedup {
         coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
   }
 
+  /** Exact-substring SPAN REWRITING — the removal half of Lee et al. '21
+    * (arXiv:2107.06499 §4; [[crossDocRepeats]] is the detection half).
+    * Every length-`windowTokens` sliding token window repeated in ≥
+    * `minDocs` DISTINCT documents is excised from every occurrence EXCEPT
+    * the corpus-wide first in (doc, pos) order (the deterministic
+    * analogue of the paper's keep-one convention); a document's flagged —
+    * possibly overlapping — token spans are merged by interval union
+    * (gaps-and-islands running max; touching spans coalesce) and the
+    * document is reassembled from its uncovered tokens. A fully-covered
+    * document drops out, like [[segmentDedup]]'s all-boilerplate case.
+    *
+    * Scale shape: the window explode + MD5 hash-agg of crossDocRepeats,
+    * one first-occurrence window on the fingerprint, one gaps-and-islands
+    * window per doc over the FLAGGED occurrences only (≪ token count),
+    * and a doc-keyed anti join of tokens against the merged spans — no
+    * pairwise doc comparison, no suffix array, no driver-side state. */
+  def spanRewrite(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, minDocs: Int): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2 (1 would flag everything)")
+    // materialized: the token array feeds both the window explode and the
+    // final reassembly scan
+    val base = graft.io.Materialize(df
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__tk")))
+    val wins = graft.io.Materialize(base
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.ngramsAll(col("__tk"), windowTokens))
+          .as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos"), md5(col("win")).as("fp")))
+    val repeated = wins.groupBy("fp")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("fp")
+    // all-but-first occurrence of each repeated window → a flagged span
+    val flagged = wins.join(repeated, Seq("fp"), "left_semi")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + windowTokens).cast("long").as("e"))
+    // interval union per doc: a span starts a new island iff it begins
+    // past the running max end of everything before it
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
+    val spans = flagged
+      .withColumn("pm", max(col("e")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ng",
+        when(col("pm").isNull || col("pm") < col("s"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("ng")).over(wDoc))
+      .groupBy("doc_id", "grp").agg(min("s").as("s"), max("e").as("e"))
+      .select(col("doc_id").as("sp_doc"), col("s"), col("e"))
+    val tokens = base
+      .select(col("doc_id"), posexplode(col("__tk")).as(Seq("idx", "tok")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("tok"))
+    tokens.join(spans,
+        tokens("doc_id") === spans("sp_doc") &&
+          col("idx") >= col("s") && col("idx") < col("e"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("tok")))),
+        x => x.getField("tok")), " ").as(textCol))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic deduplication
     * — k-means cluster the embedding space, then drop within-cluster
     * near-duplicates by cosine. A point is dropped iff some SAME-CLUSTER

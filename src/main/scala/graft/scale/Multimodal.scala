@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -152,6 +152,72 @@ object Multimodal {
       .filter(col("shared") * 10000 >= least(col("na"), col("nb")) * minFracBp)
       .select("a", "b", "shared", "na", "nb")
   }
+
+  /** dHash-style PERCEPTUAL signature over the payload's canonical byte
+    * grid: the payload is average-pooled into `bits`+1 equal byte blocks
+    * (the codec-free analogue of dHash's grayscale resize) and bit i is
+    * the sign of the gradient between blocks i and i+1. Robust to
+    * re-encoding that preserves the coarse byte profile — in particular a
+    * [[resizePayload]] re-encode keeps block means approximately equal,
+    * so original and re-encoded payloads land within a small Hamming
+    * radius, where [[chunkFingerprints]]-based dedup (exact bytes) sees
+    * nothing. Block means are compared by INTEGER cross-multiplication
+    * (sum_i·cnt_j vs sum_j·cnt_i) — no division, no float, so any engine
+    * derives the identical signature (block index math is exact:
+    * i·n ≤ 61·2³¹ ≪ 2⁵³). Empty payloads hash to 0 (they pair only with
+    * each other, at distance 0). `bits` ≤ 60 keeps the signature clear of
+    * the int64 sign bit, the [[Similarity.srpSignature]] convention.
+    *
+    * A real deployment computes this inside [[decodePayloads]]' batched
+    * codec loop over decoded pixels; the byte-grid stand-in exercises the
+    * identical downstream banding/pairing machinery. */
+  def dHash(mm: DataFrame, payloadCol: String, outCol: String,
+      bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"bits out of [1, 60]: $bits")
+    val g = bits + 1
+    val n = octet_length(col(payloadCol)).cast("long")
+    // STAGED withColumns, not one inlined expression: the signature terms
+    // reference the block array 2·bits times and each block references
+    // the byte array — inlined, codegen/interpretation would re-evaluate
+    // the O(n) byte transform per reference (the z-order 6× lesson;
+    // CollapseProject keeps multi-referenced non-cheap aliases staged)
+    val withBytes = mm.withColumn("__dh_by",
+      transform(sequence(lit(1L), greatest(n, lit(1L))), j =>
+        conv(hex(substring(col(payloadCol), j.cast("int"), lit(1))), 16, 10)
+          .cast("long")))
+    // block i (0-based, g blocks): bytes [floor(i·n/g), floor((i+1)·n/g))
+    val withBlocks = withBytes.withColumn("__dh_blk",
+      transform(sequence(lit(0), lit(bits)), i => {
+        val si = floor(i.cast("long") * n / lit(g)).cast("long")
+        val ei = floor((i.cast("long") + 1) * n / lit(g)).cast("long")
+        struct(
+          aggregate(slice(col("__dh_by"), (si + 1).cast("int"),
+            (ei - si).cast("int")), lit(0L), (a, x) => a + x).as("s"),
+          (ei - si).as("c"))
+      }))
+    val sig = (0 until bits).map { i =>
+      val a = element_at(col("__dh_blk"), i + 1)
+      val b = element_at(col("__dh_blk"), i + 2)
+      when(a.getField("s") * b.getField("c") <
+          b.getField("s") * a.getField("c"),
+        lit(1L << (bits - 1 - i))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withBlocks
+      .withColumn(outCol, when(n > 0, sig).otherwise(lit(0L)))
+      .drop("__dh_by", "__dh_blk")
+  }
+
+  /** Perceptual-hash near-duplicate pairs over the payload column: dHash
+    * each payload, then banded Hamming pairing via
+    * [[Similarity.hammingBandPairs]] — one (band, value)-keyed shuffle,
+    * never an all-pairs join; pigeonhole-exact within Hamming distance
+    * < `bands`. Catches re-encoded (e.g. resized) media that byte-exact
+    * [[chunkDedupPairs]] misses. Returns (id_a, id_b, hamming). */
+  def phashNearDup(mm: DataFrame, bits: Int, bands: Int,
+      maxHamming: Int): DataFrame =
+    graft.scale.Similarity.hammingBandPairs(
+      dHash(mm.select(col("id"), col("payload")), "payload", "phash", bits),
+      "id", "phash", bits, bands, maxHamming)
 
   /** Frame-sample stand-in: take every `stride`-th byte of the payload as a
     * "frame key" array (substring on binary + hex decode — byte-safe for

@@ -473,6 +473,52 @@ object Similarity {
         col("hamming").cast("long").as("hamming"))
   }
 
+  /** Banded Hamming near-duplicate PAIRS over a PRECOMPUTED integer
+    * signature column (the self-join sibling of [[hammingBandTopK]], for
+    * signatures that do not come from vectors — e.g. [[graft.scale
+    * .Multimodal.dHash]] perceptual hashes): the `bits`-bit signature
+    * splits into `bands` disjoint substrings, ids sharing ≥ 1 exact band
+    * become candidates, and only candidates pay the xor+popcount; pairs
+    * with Hamming distance ≤ `maxHamming` emit. By pigeonhole the result
+    * is EXACT for `maxHamming < bands` (any pair within that radius must
+    * agree on some band) and approximate beyond.
+    *
+    * 100 TB shape: one shuffle on the (band, value) key, bucket-bounded
+    * candidate pairs, never an all-pairs join — the
+    * [[graft.scale.Dedup.minhashCandidates]] geometry over signature
+    * substrings. A null signature fails loudly (it would otherwise
+    * silently pair with nothing). Returns (id_a, id_b, hamming),
+    * id_a < id_b. */
+  def hammingBandPairs(df: DataFrame, idCol: String, sigCol: String,
+      bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(bands >= 1 && bits % bands == 0,
+      s"bands=$bands must divide bits=$bits")
+    require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sig = when(col(sigCol).isNull, raise_error(concat(
+      lit("hammingBandPairs: null signature for "),
+      col(idCol).cast("string")))).otherwise(col(sigCol))
+    val banded = df
+      .select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), col("sig"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("bv"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded.select(col("band"), col("bv"), col("id").as("id_a"),
+        col("sig").as("sig_a"))
+      .join(banded.select(col("band"), col("bv"), col("id").as("id_b"),
+        col("sig").as("sig_b")), Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Two-stage binary search (the IVFADC+R shape at the 1-bit extreme):
     * [[hammingTopK]] retrieves `candidates ≥ k` survivors from the
     * sign-signature scan, then ONLY those q·candidates rows are re-scored

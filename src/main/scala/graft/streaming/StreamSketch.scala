@@ -138,6 +138,33 @@ object StreamSketch {
     committedGrids(spark, gridRoot, stateRoot, "ams")
       .groupBy("grp", "est_i").agg(sum("z").as("z"))
 
+  /** Streaming KMV (bottom-k) maintenance — completing the streaming
+    * sketch family (CMS/HLL/AMS): bottom-k states are not linear like CMS
+    * cells but ARE idempotently mergeable (the k smallest of a union are
+    * always among each side's k smallest — [[Sketches.kmvMerge]]'s
+    * exactness contract), so the same per-batch-grid + commit-marker
+    * shape holds: each batch reduces to ≤ k hashes per group and the
+    * live sketch is the bottom-k over all committed batch grids
+    * ([[currentKmv]]) — equal to the batch-at-once sketch of the union. */
+  def applyKmvBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      groupCol: String, valueCol: String, gridRoot: String,
+      stateRoot: String, k: Int): BatchResult =
+    commitGrid(spark,
+      Sketches.kmv(batch, groupCol, col(valueCol), k),
+      batch.count(), batchId, "kmv", gridRoot, stateRoot)
+
+  /** The live KMV sketch: per group, the k smallest distinct hashes over
+    * every committed batch grid — (grp, h, rank), the [[Sketches.kmv]]
+    * surface. All work on the bounded grid frames. */
+  def currentKmv(spark: SparkSession, gridRoot: String, stateRoot: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = committedGrids(spark, gridRoot, stateRoot, "kmv")
+      .select("grp", "h").distinct()
+    graft.scale.Sampling.topPerGroup(u, "grp", col("h"), k,
+      Seq(col("h").asc))
+  }
+
   /** Drain a parquet-directory stream through the sketch (AvailableNow —
     * the scheduled-poll form; `tokens` maps a raw batch to (group, token)
     * occurrence rows, e.g. an explode over a tokenizer). */

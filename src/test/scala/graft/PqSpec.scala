@@ -183,6 +183,101 @@ class PqSpec extends SparkSpec {
     assert(e2 <= e1 + e1 / 100, s"SSE grew: iters=1 $e1 -> iters=2 $e2")
   }
 
+  test("OPQ-P: valid layout-invariant permutation; on the near-isotropic " +
+      "fixture (no variance skew to balance) error and recall stay at " +
+      "parity with plain PQ") {
+    val perm = graft.scale.Opq.permutation(emb, "embedding", 4)
+    val dims = emb.select(max(size(col("embedding")))).head.getInt(0)
+    assert(perm.sorted == (1 to dims))
+    assert(graft.scale.Opq.permutation(emb.repartition(7), "embedding", 4)
+      == perm, "permutation not layout-invariant")
+    val pe = emb.select(col("vec_id"),
+      graft.scale.Opq.permute(col("embedding"), perm).as("embedding"))
+    val ocb = Pq.codebook(pe, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+    def totalErr(df: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame): Long =
+      Pq.quantizationError(df, c, "vec_id", "embedding")
+        .agg(sum("err_nano_sum")).head.getLong(0)
+    // the fixture's per-dim variances are near-uniform, so the
+    // permutation has nothing to balance: OPQ must not HURT (parity
+    // within 0.5% — Lloyd's local optima wobble), and the skewed-layout
+    // test below carries the improvement claim
+    val (plainErr, opqErr) = (totalErr(emb, cb), totalErr(pe, ocb))
+    assert(opqErr <= plainErr + plainErr / 200,
+      s"OPQ quantization error $opqErr not within 0.5% of plain $plainErr")
+    // recall vs exact L2 ground truth — permutation preserves L2, so the
+    // unpermuted brute force is the shared reference
+    val q = emb.filter(col("vec_id") < 5)
+    val bf = Pq.bruteForceL2TopK(q, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      bf.join(df.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+    val rPlain = recall(Pq.adcTopK(q, codes, cb, "vec_id", "embedding", 10))
+    val ocodes = Pq.encode(pe, ocb, "vec_id", "embedding")
+    val rOpq = recall(Pq.adcTopK(pe.filter(col("vec_id") < 5), ocodes, ocb,
+      "vec_id", "embedding", 10))
+    assert(rOpq >= rPlain - 2,
+      s"OPQ recall $rOpq not at parity with plain PQ recall $rPlain")
+  }
+
+  test("OPQ-P: on a variance-skewed (PCA-ordered) layout the serpentine " +
+      "permutation balances subspace variance AND beats contiguous PQ on " +
+      "quantization error and recall") {
+    // independent-ish dims 1..8 (distinct multiplicative lattices, so no
+    // cross-dim correlation to hide behind) with sharply decaying
+    // variance — the contiguous split gives subspace 0 nearly all the
+    // variance; this is the layout OPQ exists for (PCA-rotated or
+    // block-structured encoders). Perfectly CORRELATED dims would be the
+    // anti-case: contiguous pairs then lie on a rank-1 manifold that k
+    // centroids quantize jointly for free.
+    val mult = Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
+    val skewed = (0L until 64L).map { i =>
+      (i, (0 until 8).map(dd =>
+        (((i * mult(dd) + 3 * dd) % 13).toFloat - 6f) * (1 << (7 - dd)) / 16f))
+    }.toDF("vec_id", "embedding")
+    val perm = graft.scale.Opq.permutation(skewed, "embedding", 4)
+    // key mass per contiguous block of the PERMUTED layout
+    val keys = graft.scale.Similarity.componentSums(skewed, "embedding")
+      .select("pos", "n", "s_micro", "sq_micro").collect()
+      .map(r => r.getLong(0).toInt ->
+        (BigInt(r.getLong(1)) * r.getLong(3) -
+          BigInt(r.getLong(2)) * r.getLong(2))).toMap
+    def blockMass(ps: Seq[Int]): BigInt = ps.map(keys).sum
+    val permuted = perm.grouped(2).map(blockMass).toSeq
+    val contiguous = (1 to 8).grouped(2).map(g => blockMass(g)).toSeq
+    assert(permuted.max < contiguous.max,
+      s"serpentine did not reduce the max subspace variance: " +
+        s"$permuted vs $contiguous")
+    // end to end: train both PQ stacks, compare total quantization error
+    // and recall vs the exact ground truth
+    val pe = skewed.select(col("vec_id"),
+      graft.scale.Opq.permute(col("embedding"), perm).as("embedding"))
+    val pcb = Pq.codebook(skewed, "vec_id", "embedding", 4, 4, 2)
+    val ocb = Pq.codebook(pe, "vec_id", "embedding", 4, 4, 2)
+    def totalErr(df: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame): Long =
+      Pq.quantizationError(df, c, "vec_id", "embedding")
+        .agg(sum("err_nano_sum")).head.getLong(0)
+    val (plainErr, opqErr) = (totalErr(skewed, pcb), totalErr(pe, ocb))
+    assert(opqErr <= plainErr,
+      s"OPQ error $opqErr > plain $plainErr on the skewed layout")
+    val q = skewed.filter(col("vec_id") < 5)
+    val bf = Pq.bruteForceL2TopK(q, skewed, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      bf.join(df.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+    val rPlain = recall(Pq.adcTopK(q,
+      Pq.encode(skewed, pcb, "vec_id", "embedding"), pcb,
+      "vec_id", "embedding", 10))
+    val rOpq = recall(Pq.adcTopK(pe.filter(col("vec_id") < 5),
+      Pq.encode(pe, ocb, "vec_id", "embedding"), ocb,
+      "vec_id", "embedding", 10))
+    assert(rOpq >= rPlain,
+      s"OPQ recall $rOpq < plain recall $rPlain on the skewed layout")
+  }
+
   test("subvectors: m must divide the dimension") {
     val ex = intercept[IllegalArgumentException] {
       Pq.subvectors(emb, "vec_id", "embedding", m = 7, dims = 64)

@@ -931,4 +931,77 @@ class ScaleSpec extends SparkSpec {
       .orderBy("pos").collect()
     assert(v.length == 2) // ragged row contributes nothing, no crash
   }
+
+  test("span rewrite: repeated window excised from all-but-first " +
+      "occurrence; solo text untouched; a fully-shared doc drops") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val df = Seq(
+      (1L, s"intro one two $shared tail one"),
+      (2L, s"$shared different continuation here"),
+      (3L, "totally unrelated solo text stays put"),
+      (4L, s"pre $shared iota $shared post"),
+      (5L, shared) // nothing but the repeated span -> drops entirely
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanRewrite(df, "doc_id", "text", 8, 2)
+      .as[(Long, String)].collect().toMap
+    // global first occurrence is doc 1 (smallest (doc, pos)) — untouched
+    assert(out(1L) == s"intro one two $shared tail one")
+    assert(out(2L) == "different continuation here")
+    assert(out(3L) == "totally unrelated solo text stays put")
+    // both of doc 4's occurrences are non-first — both spans excised
+    assert(out(4L) == "pre iota post")
+    assert(!out.contains(5L), "fully-covered doc should drop")
+  }
+
+  test("span rewrite: overlapping flagged windows coalesce into one span") {
+    // a 9-token shared passage flags TWO overlapping 8-token windows in
+    // the second doc; the interval union must excise all 9 tokens, not
+    // leave a 1-token sliver between the windows
+    val shared9 = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val df = Seq(
+      (1L, s"first start $shared9 stop one"),
+      (2L, s"second snippet $shared9 closing two")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanRewrite(df, "doc_id", "text", 8, 2)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == s"first start $shared9 stop one")
+    assert(out(2L) == "second snippet closing two", out(2L))
+  }
+
+  test("perceptual hash: a resize re-encode of a SIGNAL-shaped payload " +
+      "pairs with its original at small Hamming distance, where exact " +
+      "chunk dedup sees nothing; the pair join is banded, never a " +
+      "cartesian") {
+    // smooth synthetic byte signals (the image/audio shape the perceptual
+    // hash assumes — block gradients are stable under resampling there;
+    // on white-noise-like payloads, e.g. bag-of-words text bytes, dHash
+    // distances are uninformative by design)
+    val raw = (0 until 200).map { i =>
+      val n = 300 + (i * 7) % 200
+      val f = 1 + (i % 5)
+      val ph = (i * 0.37) % 6.28
+      (i.toLong, Array.tabulate(n)(j =>
+        (128 + 100 * math.sin(2 * math.Pi * f * j / n + ph)).toByte))
+    }.toDF("id", "payload")
+    val mm = raw.select(col("id"), col("payload"),
+      struct(lit("image").as("modality"), lit("synthetic").as("source"),
+        octet_length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+    val re = Multimodal.resizePayload(mm, 128)
+      .select((col("id") + 10000).as("id"), col("payload"), col("meta"))
+    val pairs = Multimodal.phashNearDup(mm.unionByName(re), bits = 60,
+      bands = 6, maxHamming = 5)
+    val pairSet = pairs.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val ids = mm.select("id").as[Long].collect()
+    val hit = ids.count(id => pairSet.contains((id, id + 10000)))
+    assert(hit == ids.length,
+      s"only $hit/${ids.length} originals paired with their re-encode")
+    // exact chunk dedup cannot pair original with re-encode (byte-level
+    // resample changes every chunk hash)
+    val chunk = Multimodal.chunkDedupPairs(mm.unionByName(re), 64, 8000, 50)
+      .filter(col("b") === col("a") + 10000).count()
+    assert(chunk == 0L, "chunk dedup unexpectedly paired re-encodes")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }

@@ -166,6 +166,37 @@ class StreamSketchSpec extends SparkSpec {
     assert(cmsLive == cmsB0, "AMS batch grid clobbered the CMS batch grid")
   }
 
+  test("streaming KMV: batch bottom-k grids roll up to the batch-at-once " +
+      "sketch; a crashed batch is invisible; replay is a no-op") {
+    val grid = tmp("graft_skv_grid")
+    val state = tmp("graft_skv_state")
+    val df = occ.toDF("i", "g", "tok")
+    val b0 = df.filter(col("i") < 100)
+    val b1 = df.filter(col("i") >= 100)
+    val r0 = StreamSketch.applyKmvBatch(spark, b0, 0L, "g", "tok",
+      grid, state, k = 5)
+    assert(!r0.replaySkipped && r0.received == 100)
+    // crash window: batch 1's grid lands without a marker → invisible
+    Sketches.kmv(b1, "g", col("tok"), 5)
+      .write.mode("overwrite").parquet(s"$grid/kmv/batch=1")
+    val partial = StreamSketch.currentKmv(spark, grid, state, 5)
+      .select("grp", "h", "rank").as[(String, Long, Int)].collect().toSet
+    val only0 = Sketches.kmv(b0, "g", col("tok"), 5)
+      .select("grp", "h", "rank").as[(String, Long, Int)].collect().toSet
+    assert(partial == only0, "uncommitted KMV grid leaked into the rollup")
+    // replay completes the batch; rollup == batch-at-once whole-corpus kmv
+    val r1 = StreamSketch.applyKmvBatch(spark, b1, 1L, "g", "tok",
+      grid, state, k = 5)
+    assert(!r1.replaySkipped)
+    val live = StreamSketch.currentKmv(spark, grid, state, 5)
+      .select("grp", "h", "rank").as[(String, Long, Int)].collect().toSet
+    val whole = Sketches.kmv(df, "g", col("tok"), 5)
+      .select("grp", "h", "rank").as[(String, Long, Int)].collect().toSet
+    assert(live == whole)
+    assert(StreamSketch.applyKmvBatch(spark, b1, 1L, "g", "tok",
+      grid, state, k = 5).replaySkipped)
+  }
+
   test("currentSketch with no committed batches fails loudly") {
     val grid = tmp("graft_scm_grid3")
     val state = tmp("graft_scm_state3")
