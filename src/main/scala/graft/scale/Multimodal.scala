@@ -171,40 +171,50 @@ object Multimodal {
     * A real deployment computes this inside [[decodePayloads]]' batched
     * codec loop over decoded pixels; the byte-grid stand-in exercises the
     * identical downstream banding/pairing machinery. */
-  def dHash(mm: DataFrame, payloadCol: String, outCol: String,
-      bits: Int = 60): DataFrame = {
+  def dHash(mm: DataFrame, idCol: String, payloadCol: String,
+      outCol: String, bits: Int = 60): DataFrame = {
     require(bits >= 1 && bits <= 60, s"bits out of [1, 60]: $bits")
     val g = bits + 1
-    val n = octet_length(col(payloadCol)).cast("long")
-    // STAGED withColumns, not one inlined expression: the signature terms
-    // reference the block array 2·bits times and each block references
-    // the byte array — inlined, codegen/interpretation would re-evaluate
-    // the O(n) byte transform per reference (the z-order 6× lesson;
-    // CollapseProject keeps multi-referenced non-cheap aliases staged)
-    val withBytes = mm.withColumn("__dh_by",
-      transform(sequence(lit(1L), greatest(n, lit(1L))), j =>
-        conv(hex(substring(col(payloadCol), j.cast("int"), lit(1))), 16, 10)
-          .cast("long")))
-    // block i (0-based, g blocks): bytes [floor(i·n/g), floor((i+1)·n/g))
-    val withBlocks = withBytes.withColumn("__dh_blk",
-      transform(sequence(lit(0), lit(bits)), i => {
-        val si = floor(i.cast("long") * n / lit(g)).cast("long")
-        val ei = floor((i.cast("long") + 1) * n / lit(g)).cast("long")
-        struct(
-          aggregate(slice(col("__dh_by"), (si + 1).cast("int"),
-            (ei - si).cast("int")), lit(0L), (a, x) => a + x).as("s"),
-          (ei - si).as("c"))
-      }))
+    // Shuffle-based block sums — one row PER BYTE, two hash aggregations
+    // — instead of per-row array lambdas: both an inlined expression AND
+    // a staged-withColumn form re-evaluate the O(n) byte transform once
+    // per block (CollapseProject collapses a once-referenced alias into
+    // the consuming transform lambda, and lambda bodies re-evaluate per
+    // element — the round-2 lesson; the first cut here cost 123 s at
+    // sf0.1, this shape costs ~2 s). The explode factor is bytes/payload
+    // — the same scale shape as every tokenizer/n-gram operator.
+    val pl = mm.select(col(idCol).as("__dh_id"),
+      col(payloadCol).as("__dh_pl"))
+    val nCol = octet_length(col("__dh_pl")).cast("long")
+    // byte j (1-based) belongs to block floor((j·g − 1)/n) — the exact
+    // inverse of the oracle's [floor(b·n/g), floor((b+1)·n/g)) windows
+    val occ = pl
+      .select(col("__dh_id"), col("__dh_pl"), nCol.as("__dh_n"),
+        explode(sequence(lit(1L), greatest(nCol, lit(1L)))).as("__dh_j"))
+      .filter(col("__dh_n") > 0)
+      .select(col("__dh_id"),
+        floor((col("__dh_j") * g - 1) / col("__dh_n")).cast("int")
+          .as("__dh_b"),
+        conv(hex(substring(col("__dh_pl"), col("__dh_j").cast("int"),
+          lit(1))), 16, 10).cast("long").as("__dh_v"))
+    val blocks = occ.groupBy("__dh_id", "__dh_b")
+      .agg(sum(col("__dh_v")).as("s"), count(lit(1)).as("c"))
+    val packed = blocks.groupBy("__dh_id")
+      .agg(map_from_arrays(collect_list(col("__dh_b")),
+        collect_list(struct(col("s"), col("c")))).as("__dh_m"))
+    val zero = struct(lit(0L).as("s"), lit(0L).as("c"))
     val sig = (0 until bits).map { i =>
-      val a = element_at(col("__dh_blk"), i + 1)
-      val b = element_at(col("__dh_blk"), i + 2)
+      val a = coalesce(element_at(col("__dh_m"), lit(i)), zero)
+      val b = coalesce(element_at(col("__dh_m"), lit(i + 1)), zero)
       when(a.getField("s") * b.getField("c") <
           b.getField("s") * a.getField("c"),
         lit(1L << (bits - 1 - i))).otherwise(lit(0L))
     }.reduce(_ + _)
-    withBlocks
-      .withColumn(outCol, when(n > 0, sig).otherwise(lit(0L)))
-      .drop("__dh_by", "__dh_blk")
+    val sigs = packed.select(col("__dh_id"), sig.as(outCol))
+    // empty payloads emit no byte rows → left-join null → signature 0
+    mm.join(sigs, mm(idCol) === sigs("__dh_id"), "left")
+      .drop("__dh_id")
+      .withColumn(outCol, coalesce(col(outCol), lit(0L)))
   }
 
   /** Perceptual-hash near-duplicate pairs over the payload column: dHash
@@ -216,7 +226,11 @@ object Multimodal {
   def phashNearDup(mm: DataFrame, bits: Int, bands: Int,
       maxHamming: Int): DataFrame =
     graft.scale.Similarity.hammingBandPairs(
-      dHash(mm.select(col("id"), col("payload")), "payload", "phash", bits),
+      // materialized: the banded self-join reads the signature frame on
+      // BOTH sides — without this the byte-explode aggregation runs twice
+      graft.io.Materialize(
+        dHash(mm.select(col("id"), col("payload")), "id", "payload",
+          "phash", bits).select("id", "phash")),
       "id", "phash", bits, bands, maxHamming)
 
   /** Frame-sample stand-in: take every `stride`-th byte of the payload as a

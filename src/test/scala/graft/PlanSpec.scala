@@ -355,4 +355,30 @@ class PlanSpec extends SparkSpec {
         assert(!p.contains("Scan ExistingRDD"), s"$q collected:\n$p")
       }
   }
+
+  test("span rewrite: window-keyed shuffles and a doc-keyed anti join — " +
+      "no pairwise document stage, no cartesian") {
+    val p = graft.queries.ScaleQueries.queries("dedup_span_rewrite")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("OPQ top-k keeps the ann_pq_topk plan shape: broadcast LUT join, " +
+      "top-k pruned before the per-query exchange") {
+    val p = graft.queries.ScaleQueries.queries("ann_opq_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("unigram encode: no cartesian or nested-loop stage anywhere in " +
+      "the train+encode pipeline") {
+    val p = graft.queries.ScaleQueries.queries("tok_unigram_encode")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
