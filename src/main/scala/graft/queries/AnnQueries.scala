@@ -73,6 +73,53 @@ object AnnQueries {
         .orderBy("query_id")
     }),
 
+    // MRR index QA beside recall: per query, the rank of the FIRST true
+    // neighbor the IVF index surfaces (ground truth = exact cosine
+    // top-10, self excluded — the ann_recall reference). rr is shipped
+    // as floor(10⁶/rank) — exact integer both engines; a query whose
+    // index list contains no true neighbor reports rank 0 / rr 0
+    "ann_mrr" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", "label", 10)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"))
+      val firstHit = ivf.join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(min(col("rnk")).as("first_hit_rank"))
+      q.select(col("vec_id").as("query_id"))
+        .join(firstHit, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          coalesce(col("first_hit_rank"), lit(0)).cast("long")
+            .as("first_hit_rank"),
+          coalesce(floor(lit(1000000.0) / col("first_hit_rank")), lit(0.0))
+            .cast("long").as("rr_micro"))
+        .orderBy("query_id")
+    }),
+
+    // Matryoshka-style truncation QA: recall@10 of brute-force search
+    // over PREFIX dims (16/32/64) vs the full-dimension ground truth —
+    // the embedding-dimension cost/recall curve a pipeline consults
+    // before storing truncated vectors (Kusupati '22's evaluation shape)
+    "ann_matryoshka_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val full = Pq.bruteForceL2TopK(
+          e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      Seq(16, 32, 64).map { dd =>
+        val te = e.select(col("vec_id"),
+          slice(col("embedding"), 1, dd).as("embedding"))
+        val bfT = Pq.bruteForceL2TopK(te.filter(col("vec_id") < 5), te,
+            "vec_id", "embedding", 10)
+          .select(col("query_id"), col("neighbor_id"))
+        full.join(bfT.withColumn("hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left_outer")
+          .groupBy("query_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(lit(dd.toLong).as("dims"), col("query_id"), col("n_hit"))
+      }.reduce(_.unionByName(_)).orderBy("dims", "query_id")
+    }),
+
     // Two-stage ANN: 8-dim random-projection prefilter (top-30 candidates)
     // + exact cosine rerank (top-10) — the dims/projDims cost cut with
     // tunable recall
@@ -497,6 +544,62 @@ object AnnQueries {
          |  CAST(count(*) AS BIGINT) AS k
          |FROM bf LEFT JOIN iv USING (query_id, neighbor_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the ann_recall CTEs plus first-hit rank; rr = 10^6 // rank exactly
+    "ann_mrr" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label
+         |  FROM embeddings),
+         |bf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
+         |  FROM q, c WHERE query_id != neighbor_id)
+         |  WHERE rnk <= 10),
+         |iv AS (SELECT query_id, neighbor_id, rnk FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
+         |  FROM q JOIN c ON q.label = c.label
+         |  WHERE query_id != neighbor_id)
+         |  WHERE rnk <= 10),
+         |fh AS (SELECT iv.query_id, min(iv.rnk) AS fr
+         |  FROM iv JOIN bf USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT q.query_id,
+         |  CAST(coalesce(fh.fr, 0) AS BIGINT) AS first_hit_rank,
+         |  CAST(coalesce(1000000 // fh.fr, 0) AS BIGINT) AS rr_micro
+         |FROM q LEFT JOIN fh USING (query_id) ORDER BY query_id""".stripMargin,
+
+    // prefix-dim brute force vs full-dim ground truth, same in-order
+    // squared-L2 fold family as the PQ oracles
+    "ann_matryoshka_recall" -> {
+      def bfCte(name: String, dd: Int): String =
+        s"""$name AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |      list_sum(list_transform(range(1, $dd + 1), i ->
+           |        (CAST(q.embedding[i] AS DOUBLE) -
+           |          CAST(c.embedding[i] AS DOUBLE)) *
+           |        (CAST(q.embedding[i] AS DOUBLE) -
+           |          CAST(c.embedding[i] AS DOUBLE)))),
+           |      c.vec_id) AS rnk
+           |  FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 5)
+           |  WHERE rnk <= 10)""".stripMargin
+      def block(dd: Int): String =
+        s"""SELECT CAST($dd AS BIGINT) AS dims, f.query_id,
+           |  CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0
+           |    END) AS BIGINT) AS n_hit
+           |FROM bf_full f LEFT JOIN bf_$dd t USING (query_id, neighbor_id)
+           |GROUP BY 2""".stripMargin
+      s"""WITH ${bfCte("bf_full", 64)},
+         |${bfCte("bf_16", 16)},
+         |${bfCte("bf_32", 32)},
+         |${bfCte("bf_64", 64)}
+         |SELECT dims, query_id, n_hit FROM (
+         |${block(16)} UNION ALL ${block(32)} UNION ALL ${block(64)})
+         |ORDER BY dims, query_id""".stripMargin
+    },
 
     // the oracle re-quantizes the corpus (emb_quantize recipe) and ranks
     // by the same scale·dot(query, codes) asymmetric score

@@ -199,6 +199,27 @@ object StreamScaleQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("source", "rank")
     }),
+
+    // Streaming corpus-quality monitor: per-batch integer quality
+    // numerators (docs/tokens/chars/stopwords per source) summed at read
+    // time must equal the full-corpus aggregates — linear counters, the
+    // st_cms_update contract for the curation drift signal
+    "st_quality_update" -> ((s, d) => {
+      val grid = java.nio.file.Files.createTempDirectory("graft_sq_g").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_sq_s").toString
+      val dd = docs(s, d)
+      graft.streaming.StreamSketch.applyQualityBatch(s,
+        dd.filter(col("doc_id") < 250), 0L, "source", "text", grid, state)
+      graft.streaming.StreamSketch.applyQualityBatch(s,
+        dd.filter(col("doc_id") >= 250), 1L, "source", "text", grid, state)
+      val replay = graft.streaming.StreamSketch.applyQualityBatch(s,
+        dd.filter(col("doc_id") >= 250), 1L, "source", "text", grid, state)
+      require(replay.replaySkipped, "committed batch replay was not skipped")
+      graft.streaming.StreamSketch.currentQuality(s, grid, state)
+        .select(col("grp").as("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("n_stopwords"))
+        .orderBy("source")
+    }),
   )
 
   // a def, not a val: registry-aware entries read OracleLits fragments
@@ -303,5 +324,20 @@ object StreamScaleQueries {
         |FROM (SELECT grp, h, row_number() OVER (
         |  PARTITION BY grp ORDER BY h) AS rk FROM hv)
         |WHERE rk <= 64 ORDER BY source, rank""".stripMargin,
+
+    // streamed quality counters summed == full-corpus aggregates (the
+    // tx_quality_features numerators, grouped by source)
+    "st_quality_update" ->
+      """WITH f AS (SELECT source,
+        |  list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')
+        |    AS tk,
+        |  CAST(length(text) AS BIGINT) AS nc FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(list_filter(tk, w -> w IN
+        |    ('the','a','of','and','in','to','is')))) AS BIGINT)
+        |    AS n_stopwords
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

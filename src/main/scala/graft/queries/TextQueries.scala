@@ -63,6 +63,16 @@ object TextQueries {
         profileTopN = 300)
         .orderBy("doc_id")),
 
+    // Language-ID confusion matrix: labeled vs predicted lang counts —
+    // the classifier-evaluation surface (precision/recall per language
+    // derive by the caller's divisions; the gate ships integer counts)
+    "tx_lang_confusion" -> ((s, d) =>
+      docs(s, d).select(col("lang"),
+          TextAnalysis.langId(col("text")).as("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted_lang")),
+
     // Mixed-language detection: per-50-token-chunk language election,
     // summarized per doc as integer counts + majority lang — n_langs > 1
     // flags concatenation artifacts / boilerplate sandwiches
@@ -434,6 +444,17 @@ object TextQueries {
          |sc AS (SELECT doc_id, lang, $scoreDefs FROM tok)
          |SELECT doc_id, lang, $langCase AS predicted_lang
          |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    // the tx_lang_id prediction aggregated into the confusion matrix
+    "tx_lang_confusion" -> {
+      val (scoreDefs, langCase) = duckLangScore("tk")
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS tk FROM documents),
+         |sc AS (SELECT doc_id, lang, $scoreDefs FROM tok),
+         |p AS (SELECT lang, $langCase AS predicted_lang FROM sc)
+         |SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     "tx_fingerprint" ->

@@ -138,6 +138,44 @@ object StreamSketch {
     committedGrids(spark, gridRoot, stateRoot, "ams")
       .groupBy("grp", "est_i").agg(sum("z").as("z"))
 
+  /** Streaming corpus-quality monitor: per-batch per-group integer
+    * sufficient statistics over a text column — docs, tokens, chars,
+    * stopword hits (the [[graft.scale.TextAnalysis.qualityFeatures]]
+    * numerators). Linear counters exactly like CMS cells, so the same
+    * per-batch-grid + commit-marker shape applies and the live monitor
+    * is the counter-wise sum over committed batches ([[currentQuality]])
+    * — the drift signal a curation pipeline watches (mean doc length or
+    * stopword rate shifting between crawls) without re-scanning history;
+    * ratios are the reader's one division. */
+  def applyQualityBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, groupCol: String, textCol: String, gridRoot: String,
+      stateRoot: String): BatchResult =
+    commitGrid(spark, qualityGrid(batch, groupCol, textCol),
+      batch.count(), batchId, "qual", gridRoot, stateRoot)
+
+  private def qualityGrid(batch: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    batch
+      .select(col(groupCol).as("grp"),
+        graft.scale.TextAnalysis.tokens(col(textCol)).as("__tk"),
+        length(col(textCol)).cast("long").as("__nc"))
+      .select(col("grp"), col("__nc"),
+        size(col("__tk")).cast("long").as("__nt"),
+        size(filter(col("__tk"), w => w.isin(
+          graft.scale.TextAnalysis.stopwords.map(x => x: Any): _*)))
+          .cast("long").as("__ns"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
+        sum(col("__nc")).as("n_chars"), sum(col("__ns")).as("n_stopwords"))
+
+  /** The live quality monitor: counter-wise sum over committed batches. */
+  def currentQuality(spark: SparkSession, gridRoot: String,
+      stateRoot: String): DataFrame =
+    committedGrids(spark, gridRoot, stateRoot, "qual")
+      .groupBy("grp")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"), sum("n_stopwords").as("n_stopwords"))
+
   /** Streaming KMV (bottom-k) maintenance — completing the streaming
     * sketch family (CMS/HLL/AMS): bottom-k states are not linear like CMS
     * cells but ARE idempotently mergeable (the k smallest of a union are

@@ -197,6 +197,44 @@ class StreamSketchSpec extends SparkSpec {
       grid, state, k = 5).replaySkipped)
   }
 
+  test("streaming quality monitor: batch counters sum to the " +
+      "batch-at-once aggregates; an uncommitted batch is invisible; " +
+      "replay is a no-op") {
+    val grid = tmp("graft_sql_grid")
+    val state = tmp("graft_sql_state")
+    val df = Seq(
+      (0L, "A", "the quick fox"), (1L, "A", "a lazy dog sits"),
+      (2L, "B", "of and in to"), (3L, "B", "words without stops here"),
+      (4L, "A", "is the end"))
+      .toDF("i", "g", "text")
+    val b0 = df.filter(col("i") < 3)
+    val b1 = df.filter(col("i") >= 3)
+    val r0 = StreamSketch.applyQualityBatch(spark, b0, 0L, "g", "text",
+      grid, state)
+    assert(!r0.replaySkipped && r0.received == 3)
+    // only batch 0 committed so far — the monitor reflects exactly it
+    // (the shared commitGrid crash-window exclusion is pinned by the
+    // CMS/HLL/KMV tests above)
+    val partial = StreamSketch.currentQuality(spark, grid, state)
+      .select("grp", "n_docs").as[(String, Long)].collect().toMap
+    assert(partial == Map("A" -> 2L, "B" -> 1L))
+    val r1 = StreamSketch.applyQualityBatch(spark, b1, 1L, "g", "text",
+      grid, state)
+    assert(!r1.replaySkipped)
+    val live = StreamSketch.currentQuality(spark, grid, state)
+      .select("grp", "n_docs", "n_tokens", "n_chars", "n_stopwords")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // batch-at-once: A = docs 0,1,4; B = docs 2,3
+    val whole = Set(
+      ("A", 3L, 10L, ("the quick fox".length + "a lazy dog sits".length +
+        "is the end".length).toLong, 4L),
+      ("B", 2L, 8L, ("of and in to".length +
+        "words without stops here".length).toLong, 4L))
+    assert(live == whole, live)
+    assert(StreamSketch.applyQualityBatch(spark, b1, 1L, "g", "text",
+      grid, state).replaySkipped)
+  }
+
   test("currentSketch with no committed batches fails loudly") {
     val grid = tmp("graft_scm_grid3")
     val state = tmp("graft_scm_state3")
