@@ -21,6 +21,20 @@ object SamplingQueries {
       Sampling.deterministicSample(docs(s, d), "doc_id", 0.25)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // Deterministic per-epoch shuffle keys (the training-dataloader order
+    // primitive): epoch e's order is the sort by the 60-bit MD5 prefix of
+    // "e:doc_id" — reproducible per epoch, decorrelated across epochs,
+    // and at scale the permutation IS the engine's distributed range sort
+    // on the key (no single-task global window anywhere)
+    "samp_epoch_shuffle" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id")
+      (0 until 3).map { e =>
+        dd.select(lit(e.toLong).as("epoch"), col("doc_id"),
+          Dedup.tokenHash60(concat(lit(s"$e:"),
+            col("doc_id").cast("string"))).as("skey"))
+      }.reduce(_.unionByName(_)).orderBy("epoch", "skey", "doc_id")
+    }),
+
     // Stratified quota sample: ≤20 docs per language, id-hash order
     "samp_stratified" -> ((s, d) =>
       Sampling.stratifiedQuota(docs(s, d), "lang", "doc_id", 20)
@@ -234,6 +248,13 @@ object SamplingQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |  AS BIGINT) % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+
+    "samp_epoch_shuffle" ->
+      """SELECT CAST(e AS BIGINT) AS epoch, doc_id,
+        |  CAST(('0x' || substr(md5(CAST(e AS VARCHAR) || ':' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+        |FROM documents, (SELECT unnest(range(0, 3)) AS e)
+        |ORDER BY epoch, skey, doc_id""".stripMargin,
 
     "samp_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),

@@ -63,6 +63,28 @@ object TextQueries {
         profileTopN = 300)
         .orderBy("doc_id")),
 
+    // Vocabulary-coverage / OOV-rate QA: per doc, how many tokens fall
+    // outside the top-20 corpus vocabulary (total order (count desc,
+    // token)) — the tokenizer/vocab sizing signal; integer counts only,
+    // and the corpus pays one memoized token explode + one broadcast
+    // anti-join against the bounded vocabulary
+    "tx_oov_rate" -> ((s, d) => {
+      val toks = tokenizedDocs(s, d)
+        .select(col("doc_id"), explode(col("tk")).as("w"))
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(20).select("w")
+      val oov = toks.join(vocab, Seq("w"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+      val tot = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      docs(s, d).select("doc_id")
+        .join(tot, Seq("doc_id"), "left_outer")
+        .join(oov, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+        .orderBy("doc_id")
+    }),
+
     // Language-ID confusion matrix: labeled vs predicted lang counts —
     // the classifier-evaluation surface (precision/recall per language
     // derive by the caller's divisions; the gate ships integer counts)
@@ -445,6 +467,21 @@ object TextQueries {
          |SELECT doc_id, lang, $langCase AS predicted_lang
          |FROM sc ORDER BY doc_id""".stripMargin
     },
+
+    "tx_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToksAll) AS w
+         |  FROM documents),
+         |vf AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+         |vocab AS (SELECT w FROM vf ORDER BY c DESC, w LIMIT 20),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov
+         |  FROM tok LEFT JOIN vocab v USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the tx_lang_id prediction aggregated into the confusion matrix
     "tx_lang_confusion" -> {

@@ -1,0 +1,79 @@
+#!/bin/bash
+# Round-close ritual (see memory + .claude/skills/verify): full Verify +
+# check at sf0.01, full-registry sweep at sf0.1 -> V_FULL_r{N}, 17-query
+# incremental sweep at sf0.1 -> V_INCR_r{N}, Bench at sf0.1 ->
+# BENCH_FULL.json + bench_history copy + bench_delta, full sbt test.
+# Usage: tools/round_close.sh <round> (e.g. 8)
+set -u
+R=$(printf "%02d" "$1")
+cd "$(dirname "$0")/.."
+
+echo "=== [1/6] Verify + check @ sf0.01"
+SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_001" --error >/dev/null 2>&1 \
+  || { echo "VERIFY sf0.01 FAILED"; exit 1; }
+GRAFT_WIP=1 python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_001 > /tmp/check_001.log 2>&1
+C1=$?
+tail -4 /tmp/check_001.log
+[ $C1 -ne 0 ] && { echo "CHECK sf0.01 FAILED"; exit 1; }
+
+echo "=== [2/6] Full-registry sweep @ sf0.1"
+SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/verify_01" --error >/dev/null 2>&1 \
+  || { echo "VERIFY sf0.1 FAILED"; exit 1; }
+GRAFT_WIP=1 python3 tools/check.py /root/testdata/sf0.1 /tmp/verify_01 > /tmp/check_01.log 2>&1
+C2=$?
+tail -4 /tmp/check_01.log
+NQ=$(grep -oE '^[0-9]+/[0-9]+ queries match' /tmp/check_01.log | head -1)
+python3 - "$R" "$C2" <<'EOF'
+import json, re, sys
+r, rc = sys.argv[1], int(sys.argv[2])
+log = open('/tmp/check_01.log').read()
+m = re.search(r'(\d+)/(\d+) queries match', log)
+npass, ntot = int(m.group(1)), int(m.group(2))
+lit = re.search(r'lit check: (\d+)/(\d+)', log)
+lp, lt = (int(lit.group(1)), int(lit.group(2))) if lit else (0, 0)
+failed = re.findall(r'^FAIL (\S+)', log, re.M)
+out = {"round": int(r), "sweep": "full_registry", "sf": "0.1",
+       "n_pass": npass + lp, "n_total": ntot + lt, "n_queries": ntot,
+       "lit_families": lt, "failed": failed}
+open(f'V_FULL_r{r}.json', 'w').write(json.dumps(out) + "\n")
+print("V_FULL:", out)
+EOF
+[ $C2 -ne 0 ] && { echo "CHECK sf0.1 FAILED"; exit 1; }
+
+echo "=== [3/6] Incremental-family sweep @ sf0.1"
+SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.VerifySubset /root/testdata/sf0.1 /tmp/v_incr dedup_incr_exact dedup_incr_minhash dedup_incr_components nb_incr_model tx_postings_incr emb_incr_assign ev_anomaly_incr st_stream_dedup emb_pq_incr_encode sk_kmv_incr st_index_retrain sk_cms_incr st_cms_update sk_ams_incr st_ams_update st_hll_update st_kmv_update" --error >/dev/null 2>&1 \
+  || { echo "V_INCR sweep FAILED"; exit 1; }
+GRAFT_WIP=1 python3 tools/check.py /root/testdata/sf0.1 /tmp/v_incr > /tmp/check_incr.log 2>&1
+C3=$?
+tail -3 /tmp/check_incr.log
+python3 - "$R" <<'EOF'
+import json, re, sys
+r = sys.argv[1]
+log = open('/tmp/check_incr.log').read()
+m = re.search(r'(\d+)/(\d+) queries match', log)
+failed = re.findall(r'^FAIL (\S+)', log, re.M)
+out = {"round": int(r), "sweep": "incremental_family", "sf": "0.1",
+       "n_pass": int(m.group(1)), "n_total": int(m.group(2)),
+       "failed": failed}
+open(f'V_INCR_r{r}.json', 'w').write(json.dumps(out) + "\n")
+print("V_INCR:", out)
+EOF
+[ $C3 -ne 0 ] && { echo "CHECK incr FAILED"; exit 1; }
+
+echo "=== [4/6] Bench @ sf0.1"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" --error 2>/dev/null | tail -1
+cp BENCH_FULL.json "bench_history/BENCH_FULL_r${R#0}_final.json" 2>/dev/null \
+  || cp BENCH_FULL.json "bench_history/BENCH_FULL_r${R}_final.json"
+
+echo "=== [5/6] bench_delta vs r07 final"
+python3 tools/bench_delta.py BENCH_FULL.json bench_history/BENCH_FULL_r07_final.json | tail -12
+
+echo "=== [6/6] full sbt test"
+sbt -batch test --error > /tmp/sbt_test_close.log 2>&1
+T=$?
+echo "SBT_TEST_EXIT=$T"
+[ $T -ne 0 ] && tail -20 /tmp/sbt_test_close.log
+
+echo "=== final check.py (V_FULL gate armed)"
+python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_001 2>&1 | tail -3
+echo "ROUND_CLOSE_DONE rc=$?"
