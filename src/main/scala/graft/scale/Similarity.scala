@@ -486,7 +486,12 @@ object Similarity {
     * 100 TB shape: one shuffle on the (band, value) key, bucket-bounded
     * candidate pairs, never an all-pairs join — the
     * [[graft.scale.Dedup.minhashCandidates]] geometry over signature
-    * substrings. A null signature fails loudly (it would otherwise
+    * substrings, including its skew caveat: a band value shared by k
+    * rows emits k² candidates, so at deployment scale hot (band, value)
+    * buckets get the same cap-or-salt guard documented there (a
+    * that-common band carries no identity signal — low-entropy payloads
+    * concentrate band values exactly like boilerplate chunks concentrate
+    * chunk hashes). A null signature fails loudly (it would otherwise
     * silently pair with nothing). Returns (id_a, id_b, hamming),
     * id_a < id_b. */
   def hammingBandPairs(df: DataFrame, idCol: String, sigCol: String,

@@ -62,11 +62,11 @@ EOF
 
 echo "=== [4/6] Bench @ sf0.1"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" --error 2>/dev/null | tail -1
-cp BENCH_FULL.json "bench_history/BENCH_FULL_r${R#0}_final.json" 2>/dev/null \
-  || cp BENCH_FULL.json "bench_history/BENCH_FULL_r${R}_final.json"
+cp BENCH_FULL.json "bench_history/BENCH_FULL_r${R}_final.json"
 
-echo "=== [5/6] bench_delta vs r07 final"
-python3 tools/bench_delta.py BENCH_FULL.json bench_history/BENCH_FULL_r07_final.json | tail -12
+echo "=== [5/6] bench_delta vs prior final"
+PRIOR=$(ls bench_history/BENCH_FULL_r*_final.json | grep -v "r${R}_final" | sort | tail -1)
+python3 tools/bench_delta.py BENCH_FULL.json "$PRIOR" | tail -12
 
 echo "=== [6/6] full sbt test"
 sbt -batch test --error > /tmp/sbt_test_close.log 2>&1
