@@ -220,6 +220,31 @@ object StreamScaleQueries {
           col("n_chars"), col("n_stopwords"))
         .orderBy("source")
     }),
+
+    // Streaming repeated-window detection: batch 0 lands the corpus,
+    // batch 1 lands the duplicated head (+10000) — every repeat pair
+    // STRADDLES the batch boundary, so only the cross-batch fingerprint
+    // store can flag them; the live detector must equal batch-at-once
+    // crossDocRepeats on the union (the dedup_cross_repeats oracle,
+    // verbatim)
+    "st_crossdoc_update" -> ((s, d) => {
+      val store = java.nio.file.Files.createTempDirectory("graft_sr_w").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_sr_s").toString
+      val dd = docs(s, d).select("doc_id", "text")
+      graft.streaming.StreamRepeats.applyBatch(s, dd, 0L,
+        "doc_id", "text", store, state, windowTokens = 8)
+      val dup = dd.filter(col("doc_id") < 250)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      graft.streaming.StreamRepeats.applyBatch(s, dup, 1L,
+        "doc_id", "text", store, state, windowTokens = 8)
+      // at-least-once replay of a committed batch must be a no-op
+      val replay = graft.streaming.StreamRepeats.applyBatch(s, dup, 1L,
+        "doc_id", "text", store, state, windowTokens = 8)
+      require(replay.replaySkipped, "committed batch replay was not skipped")
+      graft.streaming.StreamRepeats.currentRepeats(s, store, state,
+          minDocs = 2)
+        .orderBy("doc_id")
+    }),
   )
 
   // a def, not a val: registry-aware entries read OracleLits fragments
@@ -339,5 +364,27 @@ object StreamScaleQueries {
         |    ('the','a','of','and','in','to','is')))) AS BIGINT)
         |    AS n_stopwords
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // batch-at-once crossDocRepeats over the union corpus — the
+    // dedup_cross_repeats oracle's exact shape (the streamed store must
+    // reproduce it although every repeat pair straddles the batches)
+    "st_crossdoc_update" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents
+         |  WHERE doc_id < 250),
+         |tk AS (SELECT doc_id, $duckToksAll AS tk FROM u),
+         |wins AS (SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS fp
+         |  FROM tk, LATERAL (SELECT unnest(range(1, len(tk) - 6)) AS i) t),
+         |rep AS (SELECT fp FROM wins GROUP BY fp
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+         |  FROM wins GROUP BY doc_id),
+         |flg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_repeated
+         |  FROM wins WHERE fp IN (SELECT fp FROM rep) GROUP BY doc_id)
+         |SELECT u.doc_id,
+         |  CAST(coalesce(tot.n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(flg.n_repeated, 0) AS BIGINT) AS n_repeated
+         |FROM u LEFT JOIN tot USING (doc_id) LEFT JOIN flg USING (doc_id)
+         |ORDER BY u.doc_id""".stripMargin,
   )
 }

@@ -460,6 +460,23 @@ object Dedup {
     * n-gram operator here), a hash agg on the fixed-width fingerprint, and
     * a fingerprint semi-join back — all shuffle-bounded by the window key;
     * no pairwise document comparison anywhere. */
+  /** Sliding-window MD5 fingerprints: (doc_id, pos, fp) with `pos` the
+    * 0-based token index of the window start — the shared kernel of the
+    * exact-substring family ([[crossDocRepeats]] detection,
+    * [[spanRewrite]] removal, [[graft.streaming.StreamRepeats]]'
+    * persisted per-batch store). One tokenize + one window explode
+    * (factor = tokens/doc) + one MD5 per window; no shuffle. */
+  def windowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.ngramsAll(col("__tk"), windowTokens))
+          .as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos"), md5(col("win")).as("fp"))
+  }
+
   def crossDocRepeats(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int, minDocs: Int): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be >= 1")
@@ -467,12 +484,9 @@ object Dedup {
     // materialized: three consumers below (repeat counting, per-doc totals,
     // the flagged semi-join's probe side) would otherwise each re-run the
     // corpus-wide tokenize + window explode + MD5
-    val wins = graft.io.Materialize(df
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
-      .select(col("doc_id"),
-        explode(TextAnalysis.ngramsAll(col("__tk"), windowTokens)).as("win"))
-      .select(col("doc_id"), md5(col("win")).as("fp")))
+    val wins = graft.io.Materialize(
+      windowFingerprints(df, idCol, textCol, windowTokens)
+        .select("doc_id", "fp"))
     val repeated = wins.groupBy("fp")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs).select("fp")
@@ -508,7 +522,9 @@ object Dedup {
     require(windowTokens >= 1, "windowTokens must be >= 1")
     require(minDocs >= 2, "minDocs must be >= 2 (1 would flag everything)")
     // materialized: the token array feeds both the window explode and the
-    // final reassembly scan
+    // final reassembly scan. The window construction is
+    // [[windowFingerprints]] inlined over the already-materialized token
+    // arrays (calling it would re-tokenize).
     val base = graft.io.Materialize(df
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__tk")))
