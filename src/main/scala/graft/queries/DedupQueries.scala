@@ -360,34 +360,7 @@ object DedupQueries {
     // (rn = 1 survives), gaps-and-islands interval union per doc, and
     // token reassembly from the uncovered positions
     "dedup_span_rewrite" ->
-      s"""WITH u AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 10000, text FROM documents
-         |  WHERE doc_id < 250),
-         |tk AS (SELECT doc_id, $duckToksAll AS tk FROM u),
-         |wins AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         |    md5(array_to_string(tk[i:i+7], ' ')) AS fp
-         |  FROM tk, LATERAL (SELECT unnest(range(1, len(tk) - 6)) AS i) t),
-         |rep AS (SELECT fp FROM wins GROUP BY fp
-         |  HAVING count(DISTINCT doc_id) >= 2),
-         |occ AS (SELECT doc_id, pos, row_number() OVER (
-         |    PARTITION BY fp ORDER BY doc_id, pos) AS rn
-         |  FROM wins WHERE fp IN (SELECT fp FROM rep)),
-         |flag AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM occ
-         |  WHERE rn > 1),
-         |pm AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
-         |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |  AS prevmax FROM flag),
-         |isl AS (SELECT doc_id, s, e, sum(CASE WHEN prevmax IS NULL OR
-         |    prevmax < s THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
-         |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |  AS g FROM pm),
-         |spans AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM isl
-         |  GROUP BY doc_id, g),
-         |toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, tk[i] AS tok
-         |  FROM tk, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) t),
-         |kept AS (SELECT t.doc_id, t.idx, t.tok FROM toks t
-         |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
-         |    WHERE sp.doc_id = t.doc_id AND t.idx >= sp.s AND t.idx < sp.e))
+      s"""WITH $spanRewriteCtes
          |SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text
          |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )

@@ -77,6 +77,31 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Span-rewrite corpus report: per source, documents and tokens
+    // before/after exact-substring span removal — the operational "how
+    // much boilerplate did Lee '21 dedup excise, and did any doc vanish"
+    // summary a curation run reads before committing the rewrite
+    "pipeline_span_stats" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "source", "text")
+      val corpus = dd.unionByName(dd.filter(col("doc_id") < 250)
+        .withColumn("doc_id", col("doc_id") + 10000))
+      val rewritten = Dedup.spanRewrite(corpus, "doc_id", "text", 8, 2)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(lower(col("text")))).cast("long")
+            .as("nt_out"))
+        .withColumn("__kept", lit(1L))
+      corpus.select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(lower(col("text")))).cast("long")
+            .as("nt_in"))
+        .join(rewritten, Seq("doc_id"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs_in"),
+          sum(coalesce(col("__kept"), lit(0L))).as("docs_out"),
+          sum(col("nt_in")).as("tokens_in"),
+          sum(coalesce(col("nt_out"), lit(0L))).as("tokens_out"))
+        .orderBy("source")
+    }),
+
     // The composed curation pipeline: quality gate → lang id → exact dedup →
     // LSH fuzzy dedup w/ component representatives → per-language stats
     "pipeline_curation" -> ((s, d) =>
@@ -283,6 +308,22 @@ object PipelineQueries {
          |  CAST(${spread("ra")} + 2 * (${spread("rb")}) AS BIGINT) AS zv
          |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+
+    // the shared span-rewrite CTE stack aggregated per source; tokens_out
+    // counts the surviving-token frame directly (the rewritten text
+    // rejoins single-spaced lowercase tokens, so its token count IS the
+    // kept-row count)
+    "pipeline_span_stats" ->
+      s"""WITH $spanRewriteCtes,
+         |ko AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM kept GROUP BY 1)
+         |SELECT u.source, CAST(count(*) AS BIGINT) AS docs_in,
+         |  CAST(sum(CASE WHEN ko.n IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS docs_out,
+         |  CAST(sum(len(tk.tk)) AS BIGINT) AS tokens_in,
+         |  CAST(sum(coalesce(ko.n, 0)) AS BIGINT) AS tokens_out
+         |FROM u JOIN tk USING (doc_id) LEFT JOIN ko USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "pipeline_curation" ->
       s"""$curationChainCtes

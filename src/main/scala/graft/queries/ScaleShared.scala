@@ -806,6 +806,44 @@ object ScaleShared {
        |    ORDER BY uscore DESC, piece LIMIT 12)),
        |${unigramSegCtes("uvf", "f", 8)}""".stripMargin
 
+  /** Span-rewrite CTE stack over the gate fixture corpus (documents ∪
+    * head duplicated at +10000; 8-token windows; minDocs = 2), mirroring
+    * [[graft.scale.Dedup.spanRewrite]]: window fingerprints,
+    * first-occurrence ranking, gaps-and-islands interval union, and the
+    * surviving-token frame `kept` (doc_id, idx, tok). `u` carries
+    * (doc_id, source, text); `tk` the token lists. Shared by the
+    * dedup_span_rewrite reassembly oracle and the pipeline_span_stats
+    * aggregate oracle. */
+  private[queries] lazy val spanRewriteCtes: String =
+    s"""u AS (SELECT doc_id, source, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000, source, text FROM documents
+       |  WHERE doc_id < 250),
+       |tk AS (SELECT doc_id, $duckToksAll AS tk FROM u),
+       |wins AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    md5(array_to_string(tk[i:i+7], ' ')) AS fp
+       |  FROM tk, LATERAL (SELECT unnest(range(1, len(tk) - 6)) AS i) t),
+       |rep AS (SELECT fp FROM wins GROUP BY fp
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |occ AS (SELECT doc_id, pos, row_number() OVER (
+       |    PARTITION BY fp ORDER BY doc_id, pos) AS rn
+       |  FROM wins WHERE fp IN (SELECT fp FROM rep)),
+       |flag AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM occ
+       |  WHERE rn > 1),
+       |pm AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
+       |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |  AS prevmax FROM flag),
+       |isl AS (SELECT doc_id, s, e, sum(CASE WHEN prevmax IS NULL OR
+       |    prevmax < s THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+       |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |  AS g FROM pm),
+       |spans AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM isl
+       |  GROUP BY doc_id, g),
+       |toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, tk[i] AS tok
+       |  FROM tk, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) t),
+       |kept AS (SELECT t.doc_id, t.idx, t.tok FROM toks t
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+       |    WHERE sp.doc_id = t.doc_id AND t.idx >= sp.s AND t.idx < sp.e))""".stripMargin
+
   /** Elementwise double dot product mirroring Similarity.dot. */
   private[queries] def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> " +
