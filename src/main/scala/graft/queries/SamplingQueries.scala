@@ -217,7 +217,8 @@ object SamplingQueries {
         .select("doc_id", "lang").orderBy("doc_id")),
 
     // Token-budget shard packing: cut the doc_id-ordered corpus into
-    // ~1000-token training shards (running-sum window)
+    // ~1000-token training shards — two-level prefix sum, no global-order
+    // window (PlanSpec pins the bucket-partitioned spec)
     "pack_token_budget" -> ((s, d) =>
       Sampling.packByTokenBudget(
         docs(s, d).select(col("doc_id"),

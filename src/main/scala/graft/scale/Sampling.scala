@@ -152,24 +152,61 @@ object Sampling {
 
   /** Token-budget shard assignment: documents are laid out in `orderCol`
     * order and cut into shards of ~`budgetTokens` tokens — shard_id =
-    * floor(tokens-before-this-doc / budget), the standard streaming packing
-    * rule (a doc straddling a boundary goes to the shard its first token
-    * falls in).
+    * first-token-offset div budget, the standard streaming packing rule (a
+    * doc straddling a boundary goes to the shard its first token falls in).
     *
-    * The running sum is a single window over the global order — fine for
-    * building ordered training shards where a total order is the point. For
-    * unordered 100 TB packing, run it per partition key (pass a composite
-    * `orderCol` and partition the window) so no global sort is needed. */
+    * 100 TB shape: the global running offset is the same TWO-LEVEL prefix
+    * sum as [[packSequences]] — order-preserving bucket assignment against
+    * broadcast sketch cuts (zero-shuffle, the [[quantileCuts]] family),
+    * per-bucket subtotals (one tiny agg; collect ≤ `buckets` rows, the
+    * bounded-model pattern), then a bucket-PARTITIONED cumulative window
+    * plus a literal per-bucket base offset. No global-order single-task
+    * window ever forms (PlanSpec pins every window spec to carry the
+    * bucket key). Shard assignment is invariant to where the cuts land —
+    * ANY order-consistent bucketing yields the same global offsets — and
+    * the arithmetic is pure int64 (`div`, never a float division).
+    *
+    * `orderCol` must be non-null (it defines the stream order); negative
+    * token counts fail loudly rather than corrupt downstream offsets. */
   def packByTokenBudget(df: DataFrame, orderCol: String, tokenCountCol: String,
-      budgetTokens: Long): DataFrame = {
+      budgetTokens: Long, buckets: Int = 64): DataFrame = {
     require(budgetTokens > 0, "budget must be positive")
-    val cumC = Cols.fresh("__cum", df.columns)
-    val w = Window.orderBy(col(orderCol))
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    require(!df.columns.contains("bucket"),
+      "packByTokenBudget adds a scratch 'bucket' column; rename the input's")
+    val taken = df.columns :+ "bucket"
+    val cumC = Cols.fresh("__cum", taken)
+    val offC = Cols.fresh("__off", taken)
+    val stC = Cols.fresh("__st", taken)
+    // fail-loud contract shared with packSequences: a negative count would
+    // silently shift every later doc's shard assignment
+    val dfChecked = df.withColumn(tokenCountCol,
+      when(col(tokenCountCol) < 0, raise_error(concat(
+        lit("packByTokenBudget: negative token count "),
+        col(tokenCountCol).cast("string"), lit(" at "),
+        col(orderCol).cast("string")))).otherwise(col(tokenCountCol)))
+    val withB = bucketsFromCuts(dfChecked, orderCol,
+      quantileCuts(df, orderCol, buckets))
+    // per-bucket token subtotals → prefix offsets (collect ≤ buckets rows)
+    val subs = withB.groupBy(col("bucket"))
+      .agg(sum(col(tokenCountCol)).as("__s")).collect()
+      .map { r =>
+        require(!r.isNullAt(0), s"packByTokenBudget: null $orderCol")
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }.sortBy(_._1)
+    val offs = subs.map(_._1).zip(subs.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val offExpr = offs.foldLeft(lit(0L)) { case (e, (b, o)) =>
+      when(col("bucket") === b, lit(o)).otherwise(e)
+    }
+    val w = Window.partitionBy(col("bucket")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn(cumC, sum(col(tokenCountCol)).over(w))
-      .withColumn("shard_id",
-        ((col(cumC) - col(tokenCountCol)) / budgetTokens).cast("long"))
-      .drop(cumC)
+    withB
+      .withColumn(cumC, sum(col(tokenCountCol)).over(w))
+      .withColumn(offC, offExpr)
+      .withColumn(stC, col(offC) + col(cumC) - col(tokenCountCol))
+      // shard via exact integer division (long `div`, never a double)
+      .withColumn("shard_id", expr(s"$stC div ${budgetTokens}L"))
+      .drop(cumC, offC, stC, "bucket")
   }
 
   /** Data-constrained repeat/epoch planning (Muennighoff et al., "Scaling

@@ -112,6 +112,19 @@ class PlanSpec extends SparkSpec {
       assert(s.contains("bucket#"), s"unpartitioned window: $s\n$p"))
   }
 
+  test("token-budget packing windows are bucket-partitioned — never one task") {
+    // packByTokenBudget shares packSequences' two-level prefix sum; the
+    // regressed form (a global-order running sum) would serialize the
+    // whole corpus through a single task when building training shards
+    val p = graft.queries.ScaleQueries.queries("pack_token_budget")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach(s =>
+      assert(s.contains("bucket#"), s"unpartitioned window: $s\n$p"))
+  }
+
   test("semdedup pair join is keyed on the cluster — no cartesian product") {
     val p = graft.queries.ScaleQueries.queries("emb_semdedup")(spark, sfDir)
       .queryExecution.executedPlan.toString

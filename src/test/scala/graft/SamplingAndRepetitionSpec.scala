@@ -119,6 +119,22 @@ class SamplingAndRepetitionSpec extends SparkSpec {
       .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
     // cumulative before each doc: 0, 400, 800, 1200, 1300
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+    // assignment is invariant to the bucket count (two-level prefix sum
+    // reconstructs the same global offsets wherever the cuts land)
+    val two = Sampling.packByTokenBudget(df, "doc_id", "n_tokens", 1000L,
+      buckets = 2)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    assert(two == out)
+  }
+
+  test("token-budget packing: negative token counts fail loudly") {
+    val df = Seq((1L, 400L), (2L, -1L)).toDF("doc_id", "n_tokens")
+    val e = intercept[Exception](
+      Sampling.packByTokenBudget(df, "doc_id", "n_tokens", 1000L)
+        .collect())
+    assert(e.getMessage.contains("negative token count")
+      || e.getCause != null
+        && e.getCause.getMessage.contains("negative token count"), e)
   }
 
   test("sequence packing: exact window spans, boundary straddles, empties") {
