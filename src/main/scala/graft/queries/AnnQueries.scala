@@ -354,6 +354,32 @@ object AnnQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // IVFADC with RESIDUAL encoding (Jégou '11 §IV eq. 14 — the paper's
+    // actual construction): every vector is replaced by x − centroid(cell)
+    // before PQ training/encoding, and the query LUT is built from the
+    // query's own-cell residual — within a cell the substitution is exact
+    // (‖q−(c+r)‖² = ‖(q−c)−r‖²), and residual energy ≪ raw energy gives
+    // the codebook its recall edge at the same m·8-bit budget. Cell
+    // centroids are the decimal-exact per-label means (broadcast join +
+    // zero-shuffle zip_with; the corpus never shuffles on a float)
+    "ann_ivfpq_residual_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = Similarity.centroids(
+        e.select(col("label"), col("embedding")), "label", "embedding")
+      val re = Pq.residualize(
+        e.select(col("vec_id"), col("label").as("cell"), col("embedding")),
+        cents, "cell", "embedding")
+      val cb = Pq.codebook(re, "vec_id", "embedding", m = 4, k = 4, iters = 2)
+        .cache()
+      val codes = Pq.encode(re, cb, "vec_id", "embedding")
+        .join(e.select(col("vec_id"), col("label").as("cell")), Seq("vec_id"))
+      Pq.adcTopK(re.filter(col("vec_id") < 5),
+          codes, cb, "vec_id", "embedding", k = 10, cellCol = Some("cell"))
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("dist_nano"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Binary-quantized ANN: 48-bit sign signatures (one fused codegen
     // loop), candidates scored by pure integer Hamming distance — the
     // 1-bit extreme of the quantized-index spectrum (8 bytes/vector, one
@@ -930,6 +956,47 @@ object AnnQueries {
 
     "ann_ivfpq_topk" ->
       s"""WITH $pqCtes,
+         |$pqEncodeCte,
+         |lutc AS (SELECT v.vec_id AS query_id, el.label AS cell,
+         |  v.subspace, c.label AS code,
+         |  CAST(floor(list_sum(list_transform(range(1, len(v.subvec) + 1),
+         |    i -> (v.subvec[i] - c.cl[i]) * (v.subvec[i] - c.cl[i])))
+         |    * 1000000000.0) AS BIGINT) AS d_nano
+         |  FROM sv v JOIN cl2 c ON c.subspace = v.subspace
+         |  JOIN embeddings el ON el.vec_id = v.vec_id
+         |  WHERE v.vec_id < 5),
+         |encc AS (SELECT e.vec_id, e.subspace, e.code, el.label AS cell
+         |  FROM enc e JOIN embeddings el ON el.vec_id = e.vec_id),
+         |adc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+         |  CAST(sum(l.d_nano) AS BIGINT) AS dist_nano
+         |  FROM encc e JOIN lutc l ON l.subspace = e.subspace
+         |    AND l.code = e.code AND l.cell = e.cell
+         |  GROUP BY 1, 2)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, dist_nano
+         |FROM (SELECT query_id, neighbor_id, dist_nano, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist_nano, neighbor_id) AS rnk
+         |  FROM adc) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // residual IVFADC: per-cell decimal-exact mean centroids (the kmeans
+    // M-step convention), residual corpus remb = x − centroid(cell), then
+    // the UNCHANGED PQ train/encode/ADC CTE stack over the residuals with
+    // the cell on the join key — the oracle re-derives everything, no
+    // shipped constants
+    "ann_ivfpq_residual_topk" ->
+      s"""WITH rdim AS (SELECT unnest(range(1,
+         |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+         |rcc AS (SELECT e.label, i AS pos,
+         |  round(CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)
+         |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
+         |  FROM embeddings e CROSS JOIN rdim GROUP BY 1, 2),
+         |rcl AS (SELECT label, list(centroid ORDER BY pos) AS cl
+         |  FROM rcc GROUP BY 1),
+         |remb AS (SELECT e.vec_id,
+         |  list_transform(range(1, len(e.embedding) + 1),
+         |    i -> CAST(e.embedding[i] AS DOUBLE) - c.cl[i]) AS embedding
+         |  FROM embeddings e JOIN rcl c ON c.label = e.label),
+         |${pqSharedCtesOver("remb")},
+         |${pqTrainCtes("embeddings", "")},
          |$pqEncodeCte,
          |lutc AS (SELECT v.vec_id AS query_id, el.label AS cell,
          |  v.subspace, c.label AS code,

@@ -152,6 +152,48 @@ object Pq {
     cents
   }
 
+  /** IVF residual vectors (Jégou '11 §IV, eq. 14): replace each vector by
+    * `x − centroid(cell(x))` before product quantization. Residual energy
+    * is far smaller than raw energy once the coarse quantizer has
+    * explained the cell structure, so at an identical code budget
+    * (m·8 bits) the PQ codebook spends its centroids on the fine
+    * structure — the recall lever that separates IVFADC from "IVF next to
+    * ADC". Within a query's own cell the ordering is EXACT under the
+    * substitution: ‖q − (c + r_x)‖² = ‖(q − c) − r_x‖², so searching
+    * residual queries against residual codes loses nothing.
+    *
+    * `cents` is a (label, pos, centroid) frame keyed by the cell label
+    * (the [[Similarity.centroids]] shape — bounded at cells·dims rows by
+    * contract, so it broadcasts). 100 TB shape: one broadcast hash join
+    * on the cell label + a zero-shuffle `zip_with` projection — the
+    * corpus never shuffles. A row whose cell has no centroid (index /
+    * centroid-table desync) or whose vector length differs from its
+    * centroid fails LOUDLY: a silent inner-join drop would excise the row
+    * from the index, and zip_with's null-padding would poison distances
+    * downstream. Output: `df` with `vecCol` replaced by the residual
+    * (elements cast to double — the PQ entry type). */
+  def residualize(df: DataFrame, cents: DataFrame, cellCol: String,
+      vecCol: String): DataFrame = {
+    val carrC = Cols.fresh("__carr", df.columns)
+    val carr = cents
+      .groupBy(col("label").as(cellCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+        .as("__cs"))
+      .select(col(cellCol),
+        transform(col("__cs"), _.getField("centroid")).as(carrC))
+    df.join(broadcast(carr), Seq(cellCol), "left")
+      .withColumn(vecCol,
+        when(col(carrC).isNull, raise_error(concat(
+          lit("residualize: no centroid for cell "),
+          coalesce(col(cellCol).cast("string"), lit("null")))))
+        .when(size(col(vecCol)) =!= size(col(carrC)), raise_error(concat(
+          lit("residualize: vector/centroid dims differ for cell "),
+          col(cellCol).cast("string"))))
+        .otherwise(zip_with(col(vecCol), col(carrC),
+          (a, b) => a.cast("double") - b)))
+      .drop(carrC)
+  }
+
   /** Encode every vector as m integer codes: (id, subspace, code) — the
     * compressed index representation (m·8 bits/vector at k ≤ 256). One
     * zero-shuffle scan against the broadcast codebook literal. */

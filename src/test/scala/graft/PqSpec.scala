@@ -278,6 +278,70 @@ class PqSpec extends SparkSpec {
       s"OPQ recall $rOpq < plain recall $rPlain on the skewed layout")
   }
 
+  test("residual IVFADC (Jégou §IV): residuals subtract the exact cell " +
+      "mean; on a cell-offset fixture residual encoding beats raw IVFADC " +
+      "on quantization error and matches-or-beats it on recall") {
+    // 4 cells with large per-dim mean offsets (inter-cell distance >> any
+    // within-cell spread) + small lattice noise: raw PQ's k=4 centroids
+    // get spent re-learning the 4 cell means, leaving the within-cell
+    // structure unquantized — exactly the layout residual encoding (§IV
+    // eq. 14) exists for
+    val mult = Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
+    val clustered = (0L until 64L).map { i =>
+      val cell = i % 4
+      (i, cell, (0 until 8).map { dd =>
+        (cell * 200 + dd * 16).toFloat +
+          (((i * mult(dd) + 3 * dd) % 13).toFloat - 6f) / 2f
+      })
+    }.toDF("vec_id", "cell", "embedding")
+    val cents = graft.scale.Similarity.centroids(
+      clustered.select(col("cell").as("label"), col("embedding")),
+      "label", "embedding")
+    val re = Pq.residualize(clustered, cents, "cell", "embedding")
+    // the residual is exactly x − centroid(cell) (same doubles both ways)
+    val cmap = cents.as[(Long, Int, Double)].collect()
+      .groupBy(_._1).map { case (l, g) =>
+        l -> g.sortBy(_._2).map(_._3) }
+    val raw0 = clustered.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head
+    val res0 = re.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Double]].head
+    assert(res0 == raw0.zip(cmap(0L)).map { case (x, c) => x.toDouble - c })
+    // unknown cell fails loudly instead of dropping the row
+    val ex = intercept[Exception] {
+      Pq.residualize(clustered.withColumn("cell", col("cell") + 100),
+        cents, "cell", "embedding").collect()
+    }
+    assert(ex.getMessage.contains("no centroid") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("no centroid"))
+    // end to end at identical m/k: raw-vector IVFADC vs residual IVFADC
+    val cbRaw = Pq.codebook(clustered, "vec_id", "embedding", 4, 4, 2)
+    val cbRes = Pq.codebook(re, "vec_id", "embedding", 4, 4, 2)
+    def totalErr(df: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame): Long =
+      Pq.quantizationError(df, c, "vec_id", "embedding")
+        .agg(sum("err_nano_sum")).head.getLong(0)
+    val (rawErr, resErr) = (totalErr(clustered, cbRaw), totalErr(re, cbRes))
+    assert(resErr < rawErr,
+      s"residual quantization error $resErr !< raw $rawErr")
+    val cellOf = clustered.select("vec_id", "cell")
+    val codesRaw = Pq.encode(clustered, cbRaw, "vec_id", "embedding")
+      .join(cellOf, Seq("vec_id"))
+    val codesRes = Pq.encode(re, cbRes, "vec_id", "embedding")
+      .join(cellOf, Seq("vec_id"))
+    val bf = Pq.bruteForceL2TopK(clustered.filter(col("vec_id") < 5),
+        clustered, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      bf.join(df.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+    val rRaw = recall(Pq.adcTopK(clustered.filter(col("vec_id") < 5),
+      codesRaw, cbRaw, "vec_id", "embedding", 10, cellCol = Some("cell")))
+    val rRes = recall(Pq.adcTopK(re.filter(col("vec_id") < 5),
+      codesRes, cbRes, "vec_id", "embedding", 10, cellCol = Some("cell")))
+    assert(rRes >= rRaw, s"residual recall $rRes < raw recall $rRaw")
+  }
+
   test("subvectors: m must divide the dimension") {
     val ex = intercept[IllegalArgumentException] {
       Pq.subvectors(emb, "vec_id", "embedding", m = 7, dims = 64)
