@@ -31,7 +31,10 @@ object StreamScaleQueries {
       graft.streaming.StreamDedup.applyBatch(s,
         docsWithDups(s, d).filter(col("doc_id") >= 250), 1L, "doc_id", "text",
         corpus, state, jaccardThreshold = 1.1)
-      s.read.parquet(corpus).select("doc_id").orderBy("doc_id")
+      // the manifest-aware reader (identical rows; required once a
+      // compaction has mixed base=/batch= dirs under the corpus root)
+      graft.streaming.StreamDedup.currentCorpus(s, corpus, state)
+        .select("doc_id").orderBy("doc_id")
     }),
 
     // Streaming CMS maintenance: two micro-batches fold into per-batch

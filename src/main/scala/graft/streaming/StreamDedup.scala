@@ -52,10 +52,56 @@ object StreamDedup {
   case class BatchResult(batchId: Long, received: Long, exactDropped: Long,
       nearDropped: Long, appended: Long, replaySkipped: Boolean)
 
+  private val MarkerPrefix = "batch"
+
   private def marker(root: String, batchId: Long) =
-    new Path(root, s"batch_$batchId.done")
+    new Path(root, s"${MarkerPrefix}_$batchId.done")
   private def intent(root: String, batchId: Long) =
-    new Path(root, s"batch_$batchId.intent")
+    new Path(root, s"${MarkerPrefix}_$batchId.intent")
+
+  /** The clean corpus over every committed batch: compaction base (if one
+    * is committed) + unfolded per-batch directories. Readers must come
+    * through here rather than scanning `corpusPath` wholesale — after a
+    * [[compact]] the store holds `base=<gen>` next to `batch=<id>`
+    * directories, which partition discovery would reject. */
+  def currentCorpus(spark: SparkSession, corpusPath: String,
+      stateRoot: String): DataFrame = {
+    val fs = new Path(stateRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (baseGen, tail) = StoreCompaction.view(fs, stateRoot, MarkerPrefix)
+    val paths = StoreCompaction.readPaths(corpusPath, baseGen, tail)
+    require(paths.nonEmpty,
+      s"no committed corpus batches under $corpusPath (markers in $stateRoot)")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Fold the committed per-batch corpus directories (plus any prior
+    * base) into one `base=<gen>` and retire the folded inputs — the
+    * bounded-fan-in maintenance step ([[StoreCompaction]]; single-writer,
+    * run between batches). The versioned fp/sig state is untouched (it is
+    * already bounded by `keepVersions`); intents of folded batches are
+    * dead and swept here. Corpus reads are identical before and after
+    * (StreamingDedupSpec). */
+  def compact(spark: SparkSession, corpusPath: String,
+      stateRoot: String): StoreCompaction.CompactResult = {
+    val fs = new Path(stateRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val r = StoreCompaction.compact(spark, stateRoot, MarkerPrefix,
+      Seq(corpusPath))
+    if (!r.skipped) {
+      val re = "^batch_(\\d+)\\.intent$".r
+      fs.globStatus(new Path(stateRoot, "batch_*.intent")).toSeq
+        .map(_.getPath).foreach { p =>
+          p.getName match {
+            case re(id)
+              if StoreCompaction.isCommitted(fs, stateRoot, MarkerPrefix,
+                id.toLong) => fs.delete(p, false)
+            case _ => ()
+          }
+        }
+    }
+    r
+  }
 
   /** Dedup one micro-batch (the foreachBatch body; directly callable for
     * batch pipelines and tests). */
@@ -66,7 +112,8 @@ object StreamDedup {
     require(keepVersions >= 2, "keepVersions >= 2 (replay needs the pinned version)")
     val fs = new Path(stateRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker(stateRoot, batchId)))
+    // marker OR compaction manifest: folded batches lose their marker
+    if (StoreCompaction.isCommitted(fs, stateRoot, MarkerPrefix, batchId))
       return BatchResult(batchId, 0, 0, 0, 0, replaySkipped = true)
     val fpRoot = s"$stateRoot/fp"
     val sigRoot = s"$stateRoot/sig"

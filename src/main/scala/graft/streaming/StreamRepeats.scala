@@ -26,23 +26,23 @@ import graft.scale.Dedup
   * it. Unlike the sketch grids, the store is CORPUS-SIZED state (one row
   * per window occurrence) — the same class as [[StreamDedup]]'s corpus
   * store, not a bounded sketch; at 100 TB it is a partitioned table the
-  * repeated-set aggregation shuffles by the fixed-width fingerprint key. */
+  * repeated-set aggregation shuffles by the fixed-width fingerprint key.
+  * Read fan-in is kept bounded by [[compact]] ([[StoreCompaction]]): the
+  * committed per-batch directories fold into one `base=<gen>` store, the
+  * manifest keeps replay a no-op after folded markers retire, and readers
+  * union base + unfolded tail. */
 object StreamRepeats {
 
   case class BatchResult(batchId: Long, received: Long, windows: Long,
       replaySkipped: Boolean)
 
+  private val MarkerPrefix = "rep_batch"
+
   private def marker(root: String, batchId: Long) =
-    new Path(root, s"rep_batch_$batchId.done")
+    new Path(root, s"${MarkerPrefix}_$batchId.done")
 
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def committedBatches(fs: FileSystem,
-      stateRoot: String): Seq[Long] =
-    fs.globStatus(new Path(stateRoot, "rep_batch_*.done"))
-      .toSeq.map(_.getPath.getName
-        .stripPrefix("rep_batch_").stripSuffix(".done").toLong)
 
   /** Land one micro-batch's window store (the foreachBatch body; directly
     * callable for batch pipelines and tests). */
@@ -50,26 +50,45 @@ object StreamRepeats {
       idCol: String, textCol: String, storeRoot: String, stateRoot: String,
       windowTokens: Int): BatchResult = {
     val fs = fsOf(spark, stateRoot)
-    if (fs.exists(marker(stateRoot, batchId)))
+    // marker OR compaction manifest: folded batches lose their marker
+    if (StoreCompaction.isCommitted(fs, stateRoot, MarkerPrefix, batchId))
       return BatchResult(batchId, 0, 0, replaySkipped = true)
-    val received = batch.count()
-    Dedup.windowFingerprints(batch, idCol, textCol, windowTokens)
-      .select("doc_id", "fp")
-      .write.mode("overwrite").parquet(s"$storeRoot/wins/batch=$batchId")
-    batch.select(col(idCol).as("doc_id"))
-      .write.mode("overwrite").parquet(s"$storeRoot/docs/batch=$batchId")
-    val windows =
-      spark.read.parquet(s"$storeRoot/wins/batch=$batchId").count()
-    fs.create(marker(stateRoot, batchId), true).close()
-    BatchResult(batchId, received, windows, replaySkipped = false)
+    // the batch frame is executed three times (count, window write, roster
+    // write); in foreachBatch each run re-reads the source, and the wins
+    // store and docs roster must agree even if the source is not
+    // deterministic between executions — cache for the batch's lifetime
+    batch.cache()
+    try {
+      val received = batch.count()
+      Dedup.windowFingerprints(batch, idCol, textCol, windowTokens)
+        .select("doc_id", "fp")
+        .write.mode("overwrite").parquet(s"$storeRoot/wins/batch=$batchId")
+      batch.select(col(idCol).as("doc_id"))
+        .write.mode("overwrite").parquet(s"$storeRoot/docs/batch=$batchId")
+      val windows =
+        spark.read.parquet(s"$storeRoot/wins/batch=$batchId").count()
+      fs.create(marker(stateRoot, batchId), true).close()
+      BatchResult(batchId, received, windows, replaySkipped = false)
+    } finally batch.unpersist()
   }
+
+  /** Fold every committed batch directory (wins + roster, plus any prior
+    * base) into one `base=<gen>` per sub-store and retire the folded
+    * inputs — run between batches (single-writer), e.g. every K batches.
+    * Detector output is identical before and after (StreamRepeatsSpec). */
+  def compact(spark: SparkSession, storeRoot: String,
+      stateRoot: String): StoreCompaction.CompactResult =
+    StoreCompaction.compact(spark, stateRoot, MarkerPrefix,
+      Seq(s"$storeRoot/wins", s"$storeRoot/docs"))
 
   private def committed(spark: SparkSession, storeRoot: String,
       stateRoot: String, sub: String): DataFrame = {
-    val ids = committedBatches(fsOf(spark, stateRoot), stateRoot)
-    require(ids.nonEmpty,
+    val (baseGen, tail) =
+      StoreCompaction.view(fsOf(spark, stateRoot), stateRoot, MarkerPrefix)
+    val paths = StoreCompaction.readPaths(s"$storeRoot/$sub", baseGen, tail)
+    require(paths.nonEmpty,
       s"no committed window batches under $storeRoot (markers in $stateRoot)")
-    spark.read.parquet(ids.map(id => s"$storeRoot/$sub/batch=$id"): _*)
+    spark.read.parquet(paths: _*)
   }
 
   /** The live detector: per document, total and repeated window counts

@@ -57,6 +57,44 @@ class StreamDedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
   }
 
+  test("compaction: corpus identical across the fold, folded replay " +
+      "stays a no-op, dedup-vs-history still works against the base") {
+    val corpus = tmp("graft_sd_corpus_c")
+    val state = tmp("graft_sd_state_c")
+    def clean() = StreamDedup.currentCorpus(spark, corpus, state)
+      .select("doc_id").as[Long].collect().toSet
+    val b1 = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    StreamDedup.applyBatch(spark, b1, 0L, "doc_id", "text", corpus, state,
+      jaccardThreshold = 0.5)
+    val before = clean()
+    val c1 = StreamDedup.compact(spark, corpus, state)
+    assert(!c1.skipped && c1.gen == 1 && c1.foldedNow == 1)
+    assert(clean() == before, "corpus changed across compaction")
+    // folded batch replay answers from the manifest, not the gone marker
+    assert(StreamDedup.applyBatch(spark, b1, 0L, "doc_id", "text",
+      corpus, state, jaccardThreshold = 0.5).replaySkipped,
+      "folded batch replayed")
+    assert(StreamDedup.compact(spark, corpus, state).skipped)
+    // a post-compaction batch still dedups against pre-compaction history
+    // (3 = exact dup of folded history, 5 = new)
+    val b2 = Seq((3L, d1), (5L, d3)).toDF("doc_id", "text")
+    val r2 = StreamDedup.applyBatch(spark, b2, 1L, "doc_id", "text",
+      corpus, state, jaccardThreshold = 0.5)
+    assert(r2.exactDropped == 1 && r2.appended == 1)
+    assert(clean() == Set(1L, 2L, 5L))
+    // second fold: base + tail; retired inputs, dead intents swept
+    val c2 = StreamDedup.compact(spark, corpus, state)
+    assert(!c2.skipped && c2.gen == 2 && c2.foldedTotal == 2)
+    assert(clean() == Set(1L, 2L, 5L))
+    assert(!new java.io.File(s"$corpus/batch=0").exists
+      && !new java.io.File(s"$corpus/batch=1").exists
+      && !new java.io.File(s"$corpus/base=1").exists,
+      "folded inputs not retired")
+    assert(!new java.io.File(s"$state/batch_0.intent").exists
+      && !new java.io.File(s"$state/batch_1.intent").exists,
+      "dead intents not swept")
+  }
+
   test("near-dup drops are insensitive to batch grouping (chain a~b~c)") {
     // a, b, c: 3-shingle J(a,b)=7/8, J(b,c)=8/10, J(a,c)=7/10 — at 0.75
     // only adjacent pairs match, so the dropped b's signature must block c

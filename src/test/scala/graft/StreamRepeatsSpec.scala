@@ -76,6 +76,43 @@ class StreamRepeatsSpec extends SparkSpec {
     assert(live == whole)
   }
 
+  test("compaction: detector output identical across the fold; replay of " +
+      "a folded batch stays a no-op; base + new tail fold again") {
+    val store = tmp("graft_srp_w4")
+    val state = tmp("graft_srp_s4")
+    val b0 = corpus.filter(col("doc_id") < 10)
+    val b1 = corpus.filter(col("doc_id") >= 10)
+    def live() = StreamRepeats.currentRepeats(spark, store, state, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    StreamRepeats.applyBatch(spark, b0, 0L, "doc_id", "text", store, state, 8)
+    val before = live()
+    val c1 = StreamRepeats.compact(spark, store, state)
+    assert(!c1.skipped && c1.gen == 1 && c1.foldedNow == 1)
+    assert(live() == before, "detector changed across compaction")
+    // the folded batch's marker is retired; the manifest keeps replay a
+    // no-op across the compaction boundary
+    assert(StreamRepeats.applyBatch(spark, b0, 0L, "doc_id", "text",
+      store, state, 8).replaySkipped, "folded batch replayed")
+    // nothing unfolded → no-op
+    assert(StreamRepeats.compact(spark, store, state).skipped)
+    // a new batch lands beside the base; the detector spans both
+    StreamRepeats.applyBatch(spark, b1, 1L, "doc_id", "text", store, state, 8)
+    val whole = Dedup.crossDocRepeats(corpus, "doc_id", "text", 8, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(live() == whole)
+    // second compaction folds base + tail; per-batch dirs retire
+    val c2 = StreamRepeats.compact(spark, store, state)
+    assert(!c2.skipped && c2.gen == 2 && c2.foldedNow == 1
+      && c2.foldedTotal == 2)
+    assert(live() == whole, "detector changed across second compaction")
+    assert(StreamRepeats.applyBatch(spark, b1, 1L, "doc_id", "text",
+      store, state, 8).replaySkipped)
+    assert(!new java.io.File(s"$store/wins/batch=0").exists
+      && !new java.io.File(s"$store/wins/batch=1").exists
+      && !new java.io.File(s"$store/wins/base=1").exists,
+      "folded inputs not retired")
+  }
+
   test("AvailableNow stream drains doc files into the store; a second " +
       "drain lands only the new arrivals") {
     val src = tmp("graft_srp_src")
