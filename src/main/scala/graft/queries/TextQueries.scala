@@ -134,10 +134,19 @@ object TextQueries {
           md5(col("col")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_index")),
 
-    // PII redaction: emails + long digit runs → typed tokens
+    // PII redaction: email / IPv6 / IPv4 / SSN / card / phone families →
+    // typed tokens, applied in the order-sensitive piiPatterns chain
     "tx_redact" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")),
+
+    // Per-family PII redaction counters — the operational governance
+    // report of a curation run (how much PII, of what kind, per doc);
+    // counts are staged exactly like the redaction so each hit is
+    // attributed to one family. Pure int64 counters on the gate
+    "tx_redact_stats" -> ((s, d) =>
+      TextAnalysis.redactPiiStats(docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
     // NB quality model (fastText/CCNet-style "looks curated?" filter):
@@ -608,13 +617,36 @@ object TextQueries {
          |FROM g ORDER BY doc_id""".stripMargin
     },
 
-    "tx_redact" ->
-      """SELECT doc_id,
-        |  regexp_replace(
-        |    regexp_replace(text,
-        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+', '<EMAIL>', 'g'),
-        |    '[+]?[0-9][0-9 ()+.-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the staged family chain re-derived from the engine's own pattern
+    // table (one source of truth; patterns are dialect-portable by
+    // contract so the same strings run under RE2)
+    "tx_redact" -> {
+      val chained = TextAnalysis.piiPatterns.foldLeft("text") {
+        case (e, (_, tok, pat)) => s"regexp_replace($e,\n    '$pat', '$tok', 'g')"
+      }
+      s"""SELECT doc_id,
+         |  $chained AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // per-family counters: each stage counts its matches on the text as
+    // it looks when that family runs, then applies the replace — the
+    // exact redactPiiStats staging
+    "tx_redact_stats" -> {
+      val stages = TextAnalysis.piiPatterns.zipWithIndex.map {
+        case ((name, tok, pat), i) =>
+          s"""s${i + 1} AS (SELECT
+             |  * REPLACE (regexp_replace(t, '$pat', '$tok', 'g') AS t),
+             |  CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT)
+             |    AS n_$name
+             |  FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      val names = TextAnalysis.piiPatterns.map(p => s"n_${p._1}").mkString(", ")
+      s"""WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+         |$stages
+         |SELECT doc_id, $names, t AS redacted
+         |FROM s${TextAnalysis.piiPatterns.size} ORDER BY doc_id""".stripMargin
+    },
 
     // the model's sufficient statistics — pure integer counts, fully
     // recomputed by the oracle (no ln anywhere on the gate)

@@ -477,13 +477,54 @@ object TextAnalysis {
         coalesce(col("enc_md5"), md5(lit(""))).as("enc_md5"))
   }
 
-  /** PII redaction: emails and long digit runs replaced with typed tokens.
-    * Patterns kept regex-dialect-portable (character classes only) so the
-    * same expressions run in any engine. */
-  def redactPii(text: Column): Column = {
-    val email = regexp_replace(text,
-      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+", "<EMAIL>")
-    regexp_replace(email, "[+]?[0-9][0-9 ()+.-]{7,}[0-9]", "<PHONE>")
+  /** The PII families, IN REDACTION ORDER — order is load-bearing:
+    * email first (its digits must not feed the number families), IPv6
+    * before IPv4 (mixed-notation addresses contain a dotted quad), IPv4 /
+    * SSN / card all before the greedy phone pattern (which would swallow
+    * a dotted quad, a 123-45-6789 SSN, or a 16-digit card as one "long
+    * digit run"). SSN (9 digits) and card (13+ digits) cannot overlap.
+    * Patterns kept regex-dialect-portable (character classes + bounded
+    * repetition only — no shorthand classes, lookarounds, backreferences)
+    * so the same strings run under Java regex and RE2/DuckDB. IPv6 covers
+    * the uncompressed ≥4-group forms; `::`-compressed addresses are out
+    * of scope (a portable pattern for them collides with time ranges). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "<EMAIL>", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+"),
+    ("ipv6", "<IPV6>", "[0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4}){3,7}"),
+    ("ipv4", "<IPV4>", "([0-9]{1,3}[.]){3}[0-9]{1,3}"),
+    ("ssn", "<SSN>", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    ("card", "<CARD>", "[0-9]([ -]?[0-9]){12,18}"),
+    ("phone", "<PHONE>", "[+]?[0-9][0-9 ()+.-]{7,}[0-9]"))
+
+  /** PII redaction: every [[piiPatterns]] family replaced with its typed
+    * token, applied in family order. Zero-shuffle per-row projection. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, tok, pat)) =>
+      regexp_replace(c, pat, tok)
+    }
+
+  /** Per-family redaction counters — the operational report a curation
+    * run needs next to the redacted text (how much PII, of what kind,
+    * per document). Each family's matches are counted on the text AS IT
+    * LOOKS WHEN THAT FAMILY RUNS (the staged [[redactPii]] order), so a
+    * string is attributed to exactly one family and Σcounts = tokens
+    * inserted. Every stage lands in its own column (multi-referenced —
+    * count + next stage — so CollapseProject keeps it un-inlined and each
+    * regex runs once per row); output is (id, n_<family>… int64,
+    * redacted), a zero-shuffle scan. */
+  def redactPiiStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stageC = Cols.fresh("__stage", df.columns)
+    var cur = df.select(col(idCol), col(textCol).as(stageC))
+    piiPatterns.foreach { case (name, tok, pat) =>
+      cur = cur
+        .withColumn(s"n_$name",
+          size(regexp_extract_all(col(stageC), lit(pat), lit(0)))
+            .cast("long"))
+        .withColumn(stageC, regexp_replace(col(stageC), pat, tok))
+    }
+    cur.select(col(idCol) +:
+      piiPatterns.map(p => col(s"n_${p._1}")) :+
+      col(stageC).as("redacted"): _*)
   }
 
   /** Per-(doc, term) TF-IDF over the lowercased whitespace tokenizer:

@@ -317,6 +317,39 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(out(1) == "no pii here")
   }
 
+  test("pii families: IPv4/IPv6/SSN/card redact as their own tokens " +
+      "(never swallowed by the greedy phone pattern), and the staged " +
+      "counters attribute each hit to exactly one family") {
+    val df = Seq(
+      (1L, "ssn 123-45-6789 and card 4111 1111 1111 1111 ok"),
+      (2L, "from 192.168.10.254 to 2001:0db8:85a3:0000:0000:8a2e:0370:7334"),
+      (3L, "dashed card 5500-0000-0000-0004 plain 4012888888881881 end"),
+      (4L, "call +1 (555) 867-5309 about a@b.io"),
+      (5L, "meeting 12:30 to 1:45 scores 3-2 and 10.5 stay untouched")
+    ).toDF("id", "text")
+    val out = df.orderBy("id")
+      .select(TextAnalysis.redactPii(col("text")).as("t"))
+      .as[String].collect()
+    assert(out(0) == "ssn <SSN> and card <CARD> ok")
+    assert(out(1) == "from <IPV4> to <IPV6>")
+    assert(out(2) == "dashed card <CARD> plain <CARD> end")
+    assert(out(3) == "call <PHONE> about <EMAIL>")
+    assert(out(4) == "meeting 12:30 to 1:45 scores 3-2 and 10.5 stay untouched")
+    val stats = TextAnalysis.redactPiiStats(df, "id", "text")
+      .orderBy("id")
+      .select("n_email", "n_ipv6", "n_ipv4", "n_ssn", "n_card", "n_phone")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(stats(0) == ((0L, 0L, 0L, 1L, 1L, 0L)))
+    assert(stats(1) == ((0L, 1L, 1L, 0L, 0L, 0L)))
+    assert(stats(2) == ((0L, 0L, 0L, 0L, 2L, 0L)))
+    assert(stats(3) == ((1L, 0L, 0L, 0L, 0L, 1L)))
+    assert(stats(4) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    // the redacted column of the stats frame equals redactPii's output
+    val red = TextAnalysis.redactPiiStats(df, "id", "text")
+      .orderBy("id").select("redacted").as[String].collect()
+    assert(red.toSeq == out.toSeq)
+  }
+
   test("int8 quantization: dequantize error bounded by scale/2, zero vec safe") {
     val vecs = Seq(
       (1L, Seq(1.0f, -0.5f, 0.25f, 0.127f)),
