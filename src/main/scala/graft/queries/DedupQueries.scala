@@ -98,6 +98,19 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Multi-length span rewriting (the maximal-span form of Lee '21
+    // removal): detection at 5/8/13-token windows, each length keeping
+    // its own corpus-wide first occurrence, flagged intervals united by
+    // the same gaps-and-islands merge before excision — long boilerplate
+    // is removed at its own granularity while short repeats still catch
+    "dedup_span_multi" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text")
+      val corpus = dd.unionByName(dd.filter(col("doc_id") < 250)
+        .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.spanRewriteMulti(corpus, "doc_id", "text", Seq(5, 8, 13), 2)
+        .orderBy("doc_id")
+    }),
+
     // Incremental clustering: yesterday's labeling (as its star forest)
     // merges with the batch's new pairs — must equal batch-at-once CC.
     // Yesterday's state (minhash signatures + CC labels) is PERSISTED
@@ -361,6 +374,13 @@ object DedupQueries {
     // token reassembly from the uncovered positions
     "dedup_span_rewrite" ->
       s"""WITH $spanRewriteCtes
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the length-union replay: one wins/occ/flag family per window
+    // length, united flags through the shared islands/reassembly tail
+    "dedup_span_multi" ->
+      s"""WITH ${spanRewriteCtesFor(Seq(5, 8, 13))}
          |SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text
          |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )

@@ -110,6 +110,21 @@ object ScaleShared {
     s.read.parquet(s"$base/tk")
   }
 
+  /** Session-memoized unigram trained-and-encoded per-doc frame (the
+    * tok_unigram_encode surface at the gate fixture's constants), shared
+    * by tok_unigram_encode and tok_unigram_fertility so the iterative
+    * train + greedy-segmentation pipeline runs once per session — the
+    * [[tokenizedDocs]] memo pattern. Perf-only: every consumer's ORACLE
+    * still replays the full train+encode CTE stack from the raw table. */
+  def unigramEncoded(s: SparkSession, dir: String): DataFrame = {
+    val base = sessionStateDir(s, dir, "graft_uniencode_") { b =>
+      graft.scale.Unigram.trainEncode(docs(s, dir), "doc_id", "text",
+          maxPieceLen = 6, seedMulti = 24, keepMulti = 12, maxRounds = 8)
+        .write.mode("overwrite").parquet(s"$b/enc")
+    }
+    s.read.parquet(s"$base/enc")
+  }
+
   private[queries] def deleteTree(path: String): Unit = {
     val f = new java.io.File(path)
     // listFiles() is null for an unreadable/raced dir — never NPE inside
@@ -815,20 +830,34 @@ object ScaleShared {
     * dedup_span_rewrite reassembly oracle and the pipeline_span_stats
     * aggregate oracle. */
   private[queries] lazy val spanRewriteCtes: String =
+    spanRewriteCtesFor(Seq(8))
+
+  /** The same stack at SEVERAL window lengths (the multi-length maximal
+    * form): one wins/rep/occ/flag family per length (first-occurrence
+    * keep-one per (length, fingerprint)), flagged intervals unioned
+    * before the shared gaps-and-islands merge. */
+  private[queries] def spanRewriteCtesFor(lengths: Seq[Int]): String = {
+    val perLen = lengths.map { w =>
+      val hi = if (w >= 2) s"len(tk) - ${w - 2}" else s"len(tk) + ${2 - w}"
+      s"""wins$w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    md5(array_to_string(tk[i:i+${w - 1}], ' ')) AS fp
+         |  FROM tk, LATERAL (SELECT unnest(range(1, $hi)) AS i) t),
+         |rep$w AS (SELECT fp FROM wins$w GROUP BY fp
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |occ$w AS (SELECT doc_id, pos, row_number() OVER (
+         |    PARTITION BY fp ORDER BY doc_id, pos) AS rn
+         |  FROM wins$w WHERE fp IN (SELECT fp FROM rep$w)),
+         |flag$w AS (SELECT doc_id, pos AS s, pos + $w AS e FROM occ$w
+         |  WHERE rn > 1)""".stripMargin
+    }.mkString(",\n")
+    val flagUnion = lengths.map(w => s"SELECT * FROM flag$w")
+      .mkString("\n  UNION ALL ")
     s"""u AS (SELECT doc_id, source, text FROM documents
        |  UNION ALL SELECT doc_id + 10000, source, text FROM documents
        |  WHERE doc_id < 250),
        |tk AS (SELECT doc_id, $duckToksAll AS tk FROM u),
-       |wins AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-       |    md5(array_to_string(tk[i:i+7], ' ')) AS fp
-       |  FROM tk, LATERAL (SELECT unnest(range(1, len(tk) - 6)) AS i) t),
-       |rep AS (SELECT fp FROM wins GROUP BY fp
-       |  HAVING count(DISTINCT doc_id) >= 2),
-       |occ AS (SELECT doc_id, pos, row_number() OVER (
-       |    PARTITION BY fp ORDER BY doc_id, pos) AS rn
-       |  FROM wins WHERE fp IN (SELECT fp FROM rep)),
-       |flag AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM occ
-       |  WHERE rn > 1),
+       |$perLen,
+       |flag AS ($flagUnion),
        |pm AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
        |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
        |  AS prevmax FROM flag),
@@ -843,6 +872,7 @@ object ScaleShared {
        |kept AS (SELECT t.doc_id, t.idx, t.tok FROM toks t
        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
        |    WHERE sp.doc_id = t.doc_id AND t.idx >= sp.s AND t.idx < sp.e))""".stripMargin
+  }
 
   /** Elementwise double dot product mirroring Similarity.dot. */
   private[queries] def duckDot(a: String, b: String): String =

@@ -518,31 +518,58 @@ object Dedup {
     * and a doc-keyed anti join of tokens against the merged spans — no
     * pairwise doc comparison, no suffix array, no driver-side state. */
   def spanRewrite(df: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int, minDocs: Int): DataFrame = {
-    require(windowTokens >= 1, "windowTokens must be >= 1")
+      windowTokens: Int, minDocs: Int): DataFrame =
+    spanRewriteMulti(df, idCol, textCol, Seq(windowTokens), minDocs)
+
+  /** Multi-length span rewriting — the MAXIMAL-span form of Lee '21
+    * removal: a single window length w can only excise repeats of exactly
+    * ≥ w tokens and fragments a long repeat into keep-one decisions at
+    * one granularity; running the detection at SEVERAL lengths and
+    * uniting the flagged intervals removes long verbatim boilerplate at
+    * its own length while still catching short repeats. Each length
+    * family keeps its own corpus-wide first occurrence (the
+    * [[spanRewrite]] keep-one convention, per (length, fingerprint));
+    * the interval union then coalesces everything flagged for a doc —
+    * overlap across lengths is handled by the same gaps-and-islands
+    * merge that already handles overlap within one length.
+    *
+    * Scale shape: per length, the window explode + MD5 hash-agg +
+    * first-occurrence window of [[spanRewrite]] (all shuffle-keyed by the
+    * fingerprint); lengths is a small constant (cost = Σ_w one corpus
+    * scan over the SHARED materialized token frame — never re-tokenized);
+    * one gaps-and-islands window per doc over flagged occurrences only;
+    * one doc-keyed anti join. No pairwise doc stage, no suffix array. */
+  def spanRewriteMulti(df: DataFrame, idCol: String, textCol: String,
+      windowLengths: Seq[Int], minDocs: Int): DataFrame = {
+    require(windowLengths.nonEmpty, "need at least one window length")
+    require(windowLengths.forall(_ >= 1), "window lengths must be >= 1")
+    require(windowLengths.distinct.size == windowLengths.size,
+      s"duplicate window lengths: $windowLengths")
     require(minDocs >= 2, "minDocs must be >= 2 (1 would flag everything)")
-    // materialized: the token array feeds both the window explode and the
-    // final reassembly scan. The window construction is
+    // materialized: the token array feeds every length's window explode
+    // and the final reassembly scan. The window construction is
     // [[windowFingerprints]] inlined over the already-materialized token
     // arrays (calling it would re-tokenize).
     val base = graft.io.Materialize(df
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__tk")))
-    val wins = graft.io.Materialize(base
-      .select(col("doc_id"),
-        posexplode(TextAnalysis.ngramsAll(col("__tk"), windowTokens))
-          .as(Seq("pos", "win")))
-      .select(col("doc_id"), col("pos"), md5(col("win")).as("fp")))
-    val repeated = wins.groupBy("fp")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs).select("fp")
-    // all-but-first occurrence of each repeated window → a flagged span
-    val flagged = wins.join(repeated, Seq("fp"), "left_semi")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("fp").orderBy(col("doc_id"), col("pos"))))
-      .filter(col("rn") > 1)
-      .select(col("doc_id"), col("pos").cast("long").as("s"),
-        (col("pos") + windowTokens).cast("long").as("e"))
+    // all-but-first occurrence of each repeated window, per length family
+    val flagged = windowLengths.map { w =>
+      val wins = graft.io.Materialize(base
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.ngramsAll(col("__tk"), w))
+            .as(Seq("pos", "win")))
+        .select(col("doc_id"), col("pos"), md5(col("win")).as("fp")))
+      val repeated = wins.groupBy("fp")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= minDocs).select("fp")
+      wins.join(repeated, Seq("fp"), "left_semi")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy(col("doc_id"), col("pos"))))
+        .filter(col("rn") > 1)
+        .select(col("doc_id"), col("pos").cast("long").as("s"),
+          (col("pos") + w).cast("long").as("e"))
+    }.reduce(_ unionByName _)
     // interval union per doc: a span starts a new island iff it begins
     // past the running max end of everything before it
     val wDoc = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))

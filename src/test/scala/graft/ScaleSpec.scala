@@ -968,6 +968,40 @@ class ScaleSpec extends SparkSpec {
     assert(out(2L) == "second snippet closing two", out(2L))
   }
 
+  test("multi-length span rewrite: a short repeat below the long window " +
+      "is caught by the short family, a long repeat excises whole, and " +
+      "single-length behavior is the Seq(w) special case") {
+    val short5 = "alpha beta gamma delta epsilon" // 5 tokens: < 8 window
+    val long13 = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen"
+    val df = Seq(
+      (1L, s"intro $short5 and then $long13 tail"),
+      (2L, s"second copy $short5 closing words"),
+      (3L, s"third carries $long13 ending here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanRewriteMulti(df, "doc_id", "text", Seq(5, 8, 13), 2)
+      .as[(Long, String)].collect().toMap
+    // doc 1 holds the first occurrence of both repeats — untouched
+    assert(out(1L) == s"intro $short5 and then $long13 tail")
+    // the 5-token family catches what an 8-token-only pass would miss
+    assert(out(2L) == "second copy closing words", out(2L))
+    // the 13-token repeat is excised in one piece (8-windows inside it
+    // flag overlapping spans; the union covers all 13 tokens)
+    assert(out(3L) == "third carries ending here", out(3L))
+    // an 8-only single-length pass indeed misses the 5-token repeat
+    val single = Dedup.spanRewrite(df, "doc_id", "text", 8, 2)
+      .as[(Long, String)].collect().toMap
+    assert(single(2L) == s"second copy $short5 closing words")
+    // Seq(w) degenerates to the single-length operator exactly
+    val viaMulti = Dedup.spanRewriteMulti(df, "doc_id", "text", Seq(8), 2)
+      .as[(Long, String)].collect().toMap
+    assert(viaMulti == single)
+    intercept[IllegalArgumentException](
+      Dedup.spanRewriteMulti(df, "doc_id", "text", Seq(8, 8), 2))
+    intercept[IllegalArgumentException](
+      Dedup.spanRewriteMulti(df, "doc_id", "text", Seq.empty, 2))
+  }
+
   test("perceptual hash: a resize re-encode of a SIGNAL-shaped payload " +
       "pairs with its original at small Hamming distance, where exact " +
       "chunk dedup sees nothing; the pair join is banded, never a " +
