@@ -402,9 +402,19 @@ object TextQueries {
         .orderBy("piece")),
 
     "tok_unigram_encode" -> ((s, d) =>
-      graft.scale.Unigram.trainEncode(docs(s, d), "doc_id", "text",
-          maxPieceLen = 6, seedMulti = 24, keepMulti = 12, maxRounds = 8)
-        .orderBy("doc_id")),
+      unigramEncoded(s, d).orderBy("doc_id")),
+
+    // Unigram tokenizer fertility by language — the bpe_fertility QA
+    // statistic for the unigram family (pieces per word, as exact integer
+    // sums; callers divide), off the session-memoized encode frame
+    "tok_unigram_fertility" -> ((s, d) =>
+      unigramEncoded(s, d)
+        .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_pieces")).as("total_pieces"))
+        .orderBy("lang")),
   )
 
   // a def, not a val: registry-aware entries read OracleLits fragments
@@ -895,5 +905,22 @@ object TextQueries {
          |  coalesce(a.enc_md5, md5('')) AS enc_md5
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // the tok_unigram_encode chain aggregated per language — the
+    // bpe_fertility shape over the unigram piece counts, integer sums
+    "tok_unigram_fertility" ->
+      s"""WITH $unigramCommonCtes,
+         |wenc AS (SELECT w, CAST(len(segs) AS BIGINT) AS np FROM fg8),
+         |dt AS (SELECT doc_id, tk[i] AS w
+         |  FROM (SELECT doc_id, $duckToksAll AS tk FROM documents),
+         |  LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) t),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(np) AS BIGINT) AS n_pieces
+         |  FROM dt JOIN wenc USING (w) GROUP BY doc_id)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(coalesce(a.n_words, 0)) AS BIGINT) AS total_words,
+         |  CAST(sum(coalesce(a.n_pieces, 0)) AS BIGINT) AS total_pieces
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
   )
 }
