@@ -120,6 +120,18 @@ object AnnQueries {
       }.reduce(_.unionByName(_)).orderBy("dims", "query_id")
     }),
 
+    // Matryoshka two-stage search (the recall curve above, shipped as an
+    // operator): 16-dim PREFIX squared-L2 prefilter keeps 30 candidates
+    // per query, then ONLY those rows re-score with the exact full-dim
+    // squared-L2 (broadcast candidate fetch — the IVFADC+R shape) for the
+    // final top-10; d2_nano keeps the gate pure int64
+    "ann_matryoshka_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.matryoshkaTopK(e.filter(col("vec_id") < 5), e,
+          "vec_id", "embedding", prefixDims = 16, k = 10, candidates = 30)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Two-stage ANN: 8-dim random-projection prefilter (top-30 candidates)
     // + exact cosine rerank (top-10) — the dims/projDims cost cut with
     // tunable recall
@@ -625,6 +637,36 @@ object AnnQueries {
          |SELECT dims, query_id, n_hit FROM (
          |${block(16)} UNION ALL ${block(32)} UNION ALL ${block(64)})
          |ORDER BY dims, query_id""".stripMargin
+    },
+
+    // prefix-dim prefilter (top-30 by the in-order squared-L2 fold over
+    // the first 16 dims), exact full-dim rerank of only the survivors,
+    // int64 nano distances on the gate
+    "ann_matryoshka_topk" -> {
+      def fold(dims: String): String =
+        s"""list_sum(list_transform(range(1, $dims), i ->
+           |      (CAST(q.embedding[i] AS DOUBLE) -
+           |        CAST(c.embedding[i] AS DOUBLE)) *
+           |      (CAST(q.embedding[i] AS DOUBLE) -
+           |        CAST(c.embedding[i] AS DOUBLE))))""".stripMargin
+      s"""WITH cand AS (SELECT query_id, neighbor_id, qe, ce FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    q.embedding AS qe, c.embedding AS ce,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${fold("17")},
+         |      c.vec_id) AS prnk
+         |  FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 5)
+         |  WHERE prnk <= 30),
+         |ex AS (SELECT query_id, neighbor_id,
+         |  CAST(floor(list_sum(list_transform(range(1, len(qe) + 1), i ->
+         |    (CAST(qe[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)) *
+         |    (CAST(qe[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))))
+         |    * 1000000000.0) AS BIGINT) AS d2_nano
+         |  FROM cand)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, d2_nano
+         |FROM (SELECT query_id, neighbor_id, d2_nano, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d2_nano, neighbor_id) AS rnk
+         |  FROM ex) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
     },
 
     // the oracle re-quantizes the corpus (emb_quantize recipe) and ranks

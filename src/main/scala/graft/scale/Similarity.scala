@@ -254,6 +254,53 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"))
   }
 
+  /** Matryoshka two-stage search (Kusupati '22, arXiv:2205.13147 — MRL
+    * embeddings carry their information front-loaded, so a PREFIX of the
+    * dimensions is itself a usable embedding): stage 1 ranks the corpus
+    * by squared-L2 over only the first `prefixDims` dimensions (a
+    * dims/prefixDims cost cut on the scan — at 100 TB this is the stage
+    * that reads the short stored prefix), keeping `candidates` ≥ k per
+    * query; stage 2 re-scores ONLY those q·candidates rows with the exact
+    * full-dimension squared-L2 (broadcast candidate fetch into one corpus
+    * scan — the [[sqRerankTopK]] / IVFADC+R shape) and keeps the k
+    * nearest under the deterministic (d2, id) order. The recall lever the
+    * `ann_matryoshka_recall` curve quantifies, shipped as an operator.
+    * Returns (query_id, rnk, neighbor_id, d2_nano) — `floor(d2·10⁹)`
+    * int64, the pure-integer gate surface. */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, prefixDims: Int, k: Int, candidates: Int): DataFrame = {
+    require(prefixDims > 0, s"prefixDims must be positive: $prefixDims")
+    require(k > 0, s"k must be positive: $k")
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val qp = queries.select(col(idCol).as("query_id"),
+      slice(col(vecCol), 1, prefixDims).as("qp"))
+    val cp = corpus.select(col(idCol).as("neighbor_id"),
+      slice(col(vecCol), 1, prefixDims).as("cp"))
+    val wPre = Window.partitionBy("query_id")
+      .orderBy(col("pd2").asc, col("neighbor_id").asc)
+    val cand = cp.crossJoin(broadcast(qp))
+      .withColumn("pd2", graft.functions.VectorSqL2(col("qp"), col("cp")))
+      .withColumn("prnk", row_number().over(wPre))
+      .filter(col("prnk") <= candidates)
+      .select("query_id", "neighbor_id")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2_nano").asc, col("neighbor_id").asc)
+    c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("d2_nano",
+        floor(graft.functions.VectorSqL2(col("qvec"), col("cvec")) * 1e9)
+          .cast("long"))
+      .withColumn("d2_nano", when(col("d2_nano").isNull, raise_error(concat(
+        lit("matryoshkaTopK: null exact distance (null/ragged vector) " +
+          "for neighbor "), col("neighbor_id").cast("string"))))
+        .otherwise(col("d2_nano")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "d2_nano")
+  }
+
   /** IVF-SQ8: cell-restricted scalar-quantized search — the scale path
     * for [[sqTopK]], exactly as IVFADC is for ADC. Candidates are
     * restricted to the query's cell (a KEYED join — broadcast at test SF,

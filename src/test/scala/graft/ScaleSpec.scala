@@ -968,6 +968,41 @@ class ScaleSpec extends SparkSpec {
     assert(out(2L) == "second snippet closing two", out(2L))
   }
 
+  test("matryoshka two-stage: the exact full-dim rerank matches-or-beats " +
+      "prefix-only search on recall, output ordered by exact (d2, id), " +
+      "and the candidate fetch broadcasts") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val bf = graft.scale.Pq.bruteForceL2TopK(q, e, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      bf.join(df.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+    val two = Similarity.matryoshkaTopK(q, e, "vec_id", "embedding",
+      prefixDims = 16, k = 10, candidates = 30)
+    // prefix-only = the same operator with no rerank headroom (cand = k)
+    val prefixOnly = Similarity.matryoshkaTopK(q, e, "vec_id", "embedding",
+      prefixDims = 16, k = 10, candidates = 10)
+    assert(recall(two) >= recall(prefixOnly),
+      s"rerank recall ${recall(two)} < prefix-only ${recall(prefixOnly)}")
+    val rows = two.as[(Long, Int, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (qid, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 10))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 < b._4 || (a._4 == b._4 && a._3 < b._3))
+      }
+      // self-match (d2 = 0) ranks first: queries come from the corpus
+      assert(sorted.head._3 == qid && sorted.head._4 == 0L,
+        s"query $qid: self-match not rank 1")
+    }
+    val plan = two.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    intercept[IllegalArgumentException](Similarity.matryoshkaTopK(
+      q, e, "vec_id", "embedding", 16, k = 10, candidates = 5))
+  }
+
   test("multi-length span rewrite: a short repeat below the long window " +
       "is caught by the short family, a long repeat excises whole, and " +
       "single-length behavior is the Seq(w) special case") {
