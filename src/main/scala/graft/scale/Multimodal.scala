@@ -203,11 +203,19 @@ object Multimodal {
       .agg(map_from_arrays(collect_list(col("__dh_b")),
         collect_list(struct(col("s"), col("c")))).as("__dh_m"))
     val zero = struct(lit(0L).as("s"), lit(0L).as("c"))
+    // the cross-multiplication runs in DECIMAL: in int64, s ≈ 255·n/g
+    // times c ≈ n/g overflows for small `bits` on large payloads (e.g.
+    // bits = 1 at ~400 MB), silently flipping signature bits. Bounds:
+    // s ≤ 255·2³¹, c ≤ 2³¹ → product ≤ ~1.2·10²¹ (22 digits), exact in
+    // decimal(38,0); the 60-bit oracle instantiation never overflows
+    // int64 (n/61 would need to exceed 1.9·10⁸), so the DuckDB BIGINT
+    // product stays equal — and DuckDB errors loudly on overflow anyway.
+    def dec(c: Column): Column = c.cast("decimal(20,0)")
     val sig = (0 until bits).map { i =>
       val a = coalesce(element_at(col("__dh_m"), lit(i)), zero)
       val b = coalesce(element_at(col("__dh_m"), lit(i + 1)), zero)
-      when(a.getField("s") * b.getField("c") <
-          b.getField("s") * a.getField("c"),
+      when(dec(a.getField("s")) * dec(b.getField("c")) <
+          dec(b.getField("s")) * dec(a.getField("c")),
         lit(1L << (bits - 1 - i))).otherwise(lit(0L))
     }.reduce(_ + _)
     val sigs = packed.select(col("__dh_id"), sig.as(outCol))

@@ -33,7 +33,11 @@ import graft.scale.Sketches
   * `$gridRoot/<kind>/batch=N` under gridRoot), so one stateRoot AND one
   * gridRoot can safely host every grid family: a committed CMS batch can
   * neither mask an HLL replay of the same batch id nor have its grid
-  * overwritten by one. */
+  * overwritten by one. Stores committed under the pre-kind-scope layout
+  * (`$gridRoot/batch=N`) stay readable: a committed batch missing its
+  * kind-scoped directory falls back to the legacy path (see
+  * [[gridPath]]) instead of failing a reader whose markers suppress the
+  * healing replay. */
 object StreamSketch {
 
   case class BatchResult(batchId: Long, received: Long, cells: Long,
@@ -66,6 +70,27 @@ object StreamSketch {
     BatchResult(batchId, received, cells, replaySkipped = false)
   }
 
+  /** Resolve a committed batch's grid directory. Grids moved from the
+    * pre-r8 `$gridRoot/batch=N` layout to the kind-scoped
+    * `$gridRoot/<kind>/batch=N` (so one gridRoot hosts every family) —
+    * a LAYOUT BREAK for stores committed under the old scheme: their
+    * markers survive, so replay short-circuits and would never re-land
+    * the grid at the new path. A committed batch whose kind-scoped dir
+    * is absent therefore falls back to the legacy path (sound because a
+    * legacy store by construction hosted a single kind — that is what
+    * the scoping fixed — and the marker's kind prefix says which); if
+    * neither exists the canonical path is returned so the reader fails
+    * loudly there. New batches always land kind-scoped. */
+  private def gridPath(fs: FileSystem, gridRoot: String, kind: String,
+      batchId: Long): String = {
+    val scoped = s"$gridRoot/$kind/batch=$batchId"
+    if (fs.exists(new Path(scoped))) scoped
+    else {
+      val legacy = s"$gridRoot/batch=$batchId"
+      if (fs.exists(new Path(legacy))) legacy else scoped
+    }
+  }
+
   /** Read ONLY the committed batch directories (never the crash window's
     * torn leftovers), failing loudly when nothing has committed yet: an
     * empty sketch answers "0" for every probe, which silently reads as
@@ -75,7 +100,9 @@ object StreamSketch {
     val committed = committedBatches(fsOf(spark, stateRoot), stateRoot, kind)
     require(committed.nonEmpty,
       s"no committed $kind batch grids under $gridRoot (markers in $stateRoot)")
-    spark.read.parquet(committed.map(id => s"$gridRoot/$kind/batch=$id"): _*)
+    val fs = fsOf(spark, gridRoot)
+    spark.read.parquet(
+      committed.map(id => gridPath(fs, gridRoot, kind, id)): _*)
   }
 
   /** Fold one micro-batch of (group, token) occurrences into the CMS grid

@@ -235,6 +235,45 @@ class StreamSketchSpec extends SparkSpec {
       grid, state).replaySkipped)
   }
 
+  test("a store committed under the pre-kind-scope layout stays " +
+      "readable: legacy batch=N grids fall back, new batches land " +
+      "kind-scoped, and the rollup spans both") {
+    val grid = tmp("graft_scm_legacy_g")
+    val state = tmp("graft_scm_legacy_s")
+    val df = occ.toDF("i", "g", "tok")
+    val b0 = df.filter(col("i") < 100)
+    val b1 = df.filter(col("i") >= 100)
+    // simulate an old store: grid at the legacy $gridRoot/batch=0 path
+    // with its (kind-scoped) commit marker already present — replay is
+    // suppressed, so only the read-path fallback can reach the grid
+    Sketches.cms(b0, "g", "tok", 3, 32)
+      .write.mode("overwrite").parquet(s"$grid/batch=0")
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(state, "cms_batch_0.done"), true)
+      .close()
+    assert(StreamSketch.applyBatch(spark, b0, 0L, "g", "tok",
+      grid, state, 3, 32).replaySkipped, "legacy marker did not suppress")
+    // the legacy grid is read back
+    val legacyOnly = StreamSketch.currentSketch(spark, grid, state)
+      .select("grp", "row_j", "bucket", "cnt")
+      .as[(String, Int, Long, Long)].collect().toSet
+    val b0Whole = Sketches.cms(b0, "g", "tok", 3, 32)
+      .select("grp", "row_j", "bucket", "cnt")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(legacyOnly == b0Whole, "legacy-layout grid unreadable")
+    // a new batch lands kind-scoped; the rollup spans both layouts
+    StreamSketch.applyBatch(spark, b1, 1L, "g", "tok", grid, state, 3, 32)
+    assert(new java.io.File(s"$grid/cms/batch=1").exists)
+    val live = StreamSketch.currentSketch(spark, grid, state)
+      .select("grp", "row_j", "bucket", "cnt")
+      .as[(String, Int, Long, Long)].collect().toSet
+    val whole = Sketches.cms(df, "g", "tok", 3, 32)
+      .select("grp", "row_j", "bucket", "cnt")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(live == whole, "mixed-layout rollup wrong")
+  }
+
   test("currentSketch with no committed batches fails loudly") {
     val grid = tmp("graft_scm_grid3")
     val state = tmp("graft_scm_state3")
