@@ -329,6 +329,32 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style perplexity bucketing (Wenzek '20 §4.3): per-language
+    // head/middle/tail terciles of the per-doc LM cross entropy. The
+    // tercile key is pure int64 (the overflow-safe split of
+    // floor(neg_logp·10⁶ / n) — never neg·10⁶ first, which a 1M-token doc
+    // would overflow), and the per-language ntile runs through the
+    // skew-safe two-level prefix-sum rank (Sampling.groupedNtile) — no
+    // single-language global-order window ever forms
+    "tx_ppl_buckets" -> ((s, d) => {
+      val dd = docs(s, d)
+      val keyed = TextAnalysis.lmCrossEntropyStats(dd, "doc_id", "text",
+        TextAnalysis.bigramLm(dd, "text"))
+        .join(dd.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("ce_pico",
+          expr("(neg_logp_sum_micro div n_bigrams) * 1000000L" +
+            " + ((neg_logp_sum_micro % n_bigrams) * 1000000L)" +
+            " div n_bigrams"))
+        .select("doc_id", "lang", "ce_pico")
+      Sampling.groupedNtile(keyed, "lang", "ce_pico", "doc_id", 3)
+        .withColumn("tercile", col("ntile"))
+        .withColumn("ppl_bucket",
+          when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle").otherwise("tail"))
+        .select("doc_id", "lang", "ce_pico", "tercile", "ppl_bucket")
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: the corpus' top-3 2-grams stand in for an
     // eval-set n-gram list (bounded, collected once); docs overlapping it
     // are dropped with a per-row zero-shuffle filter
@@ -420,6 +446,28 @@ object TextQueries {
   // a def, not a val: registry-aware entries read OracleLits fragments
   // that the query functions register as they run (Verify dumps oracle
   // SQL AFTER running every query)
+  // Shared bigram-LM CTE stack (train on the corpus, logp quantized to
+  // DECIMAL(18,6) AT THE LM so per-doc sums are exact decimals — the
+  // round-4 contract). Ends with `stats`(doc_id, neg_logp_sum_micro,
+  // n_bigrams); used by tx_lm_perplexity and tx_ppl_buckets.
+  private def lmStatsCtes: String =
+    s"""t AS (SELECT doc_id, $duckToksAll AS l FROM documents),
+       |v AS (SELECT count(DISTINCT tk) AS v FROM
+       |  (SELECT unnest(l) AS tk FROM t)),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+       |  i -> l[i] || ' ' || l[i+1])) AS bigram FROM t),
+       |c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY 1),
+       |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1
+       |  FROM c12 GROUP BY 1),
+       |lm AS (SELECT bigram,
+       |  CAST(ln((c12 + 1.0) / (c1 + v)) / ln(2.0) AS DECIMAL(18,6)) AS logp
+       |  FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
+       |  CROSS JOIN v),
+       |stats AS (SELECT doc_id,
+       |  CAST(-sum(logp) * 1000000 AS BIGINT) AS neg_logp_sum_micro,
+       |  count(*) AS n_bigrams
+       |FROM bg JOIN lm USING (bigram) GROUP BY 1)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "tx_lang_id_ngram" ->
       """WITH g AS (SELECT doc_id, lang,
@@ -572,23 +620,27 @@ object TextQueries {
          |ORDER BY drift_x DESC, token ASC LIMIT 20""".stripMargin,
 
     "tx_lm_perplexity" ->
-      s"""WITH t AS (SELECT doc_id, $duckToksAll AS l FROM documents),
-         |v AS (SELECT count(DISTINCT tk) AS v FROM
-         |  (SELECT unnest(l) AS tk FROM t)),
-         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
-         |  i -> l[i] || ' ' || l[i+1])) AS bigram FROM t),
-         |c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY 1),
-         |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1
-         |  FROM c12 GROUP BY 1),
-         |lm AS (SELECT bigram,
-         |  CAST(ln((c12 + 1.0) / (c1 + v)) / ln(2.0) AS DECIMAL(18,6)) AS logp
-         |  FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
-         |  CROSS JOIN v)
-         |SELECT doc_id,
-         |  CAST(-sum(logp) * 1000000 AS BIGINT) AS neg_logp_sum_micro,
-         |  count(*) AS n_bigrams
-         |FROM bg JOIN lm USING (bigram)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $lmStatsCtes
+         |SELECT doc_id, neg_logp_sum_micro, n_bigrams
+         |FROM stats ORDER BY doc_id""".stripMargin,
+
+    // per-doc cross-entropy key derived from the shared stats by EXACT
+    // integer arithmetic (the overflow-safe split of floor(neg·10⁶ / n));
+    // tercile = plain SQL ntile, which the engine reproduces skew-safely
+    "tx_ppl_buckets" ->
+      s"""WITH $lmStatsCtes,
+         |k AS (SELECT doc_id, CAST(
+         |    (neg_logp_sum_micro // n_bigrams) * 1000000
+         |    + ((neg_logp_sum_micro % n_bigrams) * 1000000) // n_bigrams
+         |  AS BIGINT) AS ce_pico FROM stats),
+         |b AS (SELECT d.doc_id, d.lang, k.ce_pico,
+         |    CAST(ntile(3) OVER (PARTITION BY d.lang
+         |      ORDER BY k.ce_pico, d.doc_id) AS BIGINT) AS tercile
+         |  FROM k JOIN documents d USING (doc_id))
+         |SELECT doc_id, lang, ce_pico, tercile,
+         |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS ppl_bucket
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "tx_repetition" -> {
       def grams(n: Int): String = {

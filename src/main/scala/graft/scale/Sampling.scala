@@ -450,6 +450,98 @@ object Sampling {
       valueCol, (1 until n).map(_.toDouble / n).toArray, 1.0 / accuracy)
   }
 
+  /** Skew-safe EXACT grouped ntile: assigns each row the same bucket
+    * `ntile(k) OVER (PARTITION BY groupCol ORDER BY orderCol, tieCol)`
+    * would, without ever forming a per-group global-order window (at
+    * 100 TB a dominant group — one language, one source — would pin that
+    * window to a single task). Two-level prefix-sum ranking, the
+    * [[packSequences]] shape:
+    *
+    *  1. rows bucket by GLOBAL [[quantileCuts]] on `orderCol` — any
+    *     order-consistent bucketing yields the same final ranks, so the
+    *     sketch's approximation never reaches the output;
+    *  2. per-(group, bucket) counts collect to the driver (bounded by
+    *     `maxGroups × buckets`, enforced loudly) and become per-group
+    *     running base offsets plus per-group totals, broadcast back;
+    *  3. rank = base offset + `row_number` over the (group, bucket)
+    *     window — every window partition carries the bucket key;
+    *  4. the SQL-standard ntile formula maps (rank, n) to the bucket in
+    *     pure int64: the first `n % k` buckets take `n div k + 1` rows.
+    *
+    * `orderCol` must be non-null (it defines the order; a null would fall
+    * out of every cut bucket) and (`orderCol`, `tieCol`) must be a total
+    * order within each group — equal `orderCol` values always share a cut
+    * bucket, so the within-bucket window sees every tie group whole. */
+  def groupedNtile(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, k: Int, buckets: Int = 64,
+      maxGroups: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    require(!df.columns.contains("bucket"),
+      "groupedNtile adds a scratch 'bucket' column; rename the input's")
+    require(!df.columns.contains("ntile"),
+      "groupedNtile adds an 'ntile' column; rename the input's")
+    val taken = df.columns ++ Seq("bucket", "ntile")
+    val gC = Cols.fresh("__g", taken)
+    val rnC = Cols.fresh("__rn", taken)
+    val offC = Cols.fresh("__off", taken)
+    val nC = Cols.fresh("__n", taken)
+    val rkC = Cols.fresh("__rk", taken)
+    val withB = bucketsFromCuts(df, orderCol,
+      quantileCuts(df, orderCol, buckets))
+    // per-(group, bucket) counts: the bound is CONTRACTUAL (languages,
+    // sources) — cap what reaches the driver BEFORE collecting, so a
+    // high-cardinality misuse errors instead of OOMing the collect
+    val subs = withB
+      .groupBy(col(groupCol).cast("string").as(gC), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+      .limit(maxGroups * buckets + 1).collect()
+      .map { r =>
+        require(!r.isNullAt(0), s"groupedNtile: null $groupCol")
+        require(!r.isNullAt(1), s"groupedNtile: null $orderCol")
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      }
+    require(subs.length <= maxGroups * buckets,
+      s"groupedNtile saw > $maxGroups groups × $buckets cut buckets; it " +
+        "is for low-cardinality group columns — raise maxGroups only if " +
+        "the driver can hold that offset table")
+    // per-group running offsets + totals (tiny, driver-side, broadcast)
+    val offRows = subs.groupBy(_._1).toSeq.flatMap { case (g, entries) =>
+      val sorted = entries.sortBy(_._2)
+      val prefix = sorted.map(_._3).scanLeft(0L)(_ + _)
+      val total = prefix.last
+      sorted.zip(prefix).map { case ((_, b, _), off) => (g, b, off, total) }
+    }
+    if (offRows.isEmpty) {
+      return df.withColumn("ntile", lit(null).cast("long")).filter(lit(false))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = broadcast(offRows.toDF(gC, "bucket", offC, nC))
+    val w = Window.partitionBy(col(groupCol), col("bucket"))
+      .orderBy(col(orderCol), col(tieCol))
+    val q = expr(s"$nC div ${k}L")           // base bucket size
+    val rem = expr(s"$nC % ${k}L")           // buckets that take one extra
+    withB
+      .withColumn(rnC, row_number().over(w).cast("long"))
+      .join(offsets,
+        withB(groupCol).cast("string") === offsets(gC)
+          && withB("bucket") === offsets("bucket"))
+      .drop(offsets(gC)).drop(offsets("bucket"))
+      .withColumn(rkC, col(offC) + col(rnC))
+      // SQL ntile: rank r in 1..n → first rem buckets hold q+1 rows each;
+      // greatest(q, 1) keeps the (unreachable when q = 0) else branch from
+      // dividing by zero under codegen's non-ANSI null result
+      .withColumn("ntile",
+        when(col(rkC) <= rem * (q + 1L),
+          expr(s"($rkC - 1L) div ($nC div ${k}L + 1L) + 1L"))
+          .otherwise(rem + expr(
+            s"($rkC - 1L - ($nC % ${k}L) * ($nC div ${k}L + 1L)) div " +
+              s"greatest($nC div ${k}L, 1L) + 1L"))
+          .cast("long"))
+      .drop("bucket", rnC, offC, nC, rkC)
+  }
+
   /** GPT-style sequence packing (document-concatenation batch
     * construction): the corpus token stream, concatenated in `orderCol`
     * order, is cut into fixed `seqLen` context windows; each document

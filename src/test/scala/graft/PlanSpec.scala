@@ -125,6 +125,21 @@ class PlanSpec extends SparkSpec {
       assert(s.contains("bucket#"), s"unpartitioned window: $s\n$p"))
   }
 
+  test("perplexity-bucket ntile windows are bucket-partitioned — never " +
+      "one task per language") {
+    // groupedNtile's two-level prefix-sum rank must keep every window spec
+    // partitioned on the cut-bucket key; a plain per-language ntile window
+    // would funnel a dominant language through a single task, and the
+    // offsets table must enter as a broadcast join, never a shuffle
+    val p = graft.queries.ScaleQueries.queries("tx_ppl_buckets")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach(s =>
+      assert(s.contains("bucket#"), s"unpartitioned window: $s\n$p"))
+  }
+
   test("semdedup pair join is keyed on the cluster — no cartesian product") {
     val p = graft.queries.ScaleQueries.queries("emb_semdedup")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -718,4 +718,34 @@ class SamplingAndRepetitionSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(out(1L) == 0.0 && out(2L) == 1.0 && out(3L) == 2.0 && out(4L) == 0.0)
   }
+
+  test("groupedNtile == SQL ntile on skewed groups, ties, and n < k") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed: group a holds 900 rows with heavy key ties, b 40, c 2 (< k)
+    val rows = (1L to 900L).map(i => ("a", i % 7, i)) ++
+      (1L to 40L).map(i => ("b", i % 3, i)) ++ Seq(("c", 0L, 1L), ("c", 0L, 2L))
+    val df = rows.toDF("g", "key", "id")
+    for (k <- Seq(3, 4, 10)) {
+      val got = Sampling.groupedNtile(df, "g", "key", "id", k, buckets = 8)
+        .select("g", "id", "ntile").as[(String, Long, Long)].collect()
+        .map { case (g, id, nt) => (g, id) -> nt }.toMap
+      val want = df.withColumn("ntile", ntile(k).over(
+        Window.partitionBy($"g").orderBy($"key", $"id")).cast("long"))
+        .select("g", "id", "ntile").as[(String, Long, Long)].collect()
+        .map { case (g, id, nt) => (g, id) -> nt }.toMap
+      assert(got == want, s"k=$k")
+    }
+    // the ntile column is a complete 1..k cover on the big group
+    val nt3 = Sampling.groupedNtile(df, "g", "key", "id", 3, buckets = 8)
+    assert(nt3.filter($"g" === "a").select("ntile").distinct()
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // group smaller than k: buckets are 1..n, one row each (SQL semantics)
+    assert(nt3.filter($"g" === "c").select("ntile").as[Long].collect()
+      .toSet == Set(1L, 2L))
+    // misuse guards
+    intercept[IllegalArgumentException](
+      Sampling.groupedNtile(df, "g", "key", "id", 0))
+    intercept[IllegalArgumentException](Sampling.groupedNtile(
+      df.withColumnRenamed("key", "ntile"), "g", "ntile", "id", 3))
+  }
 }
