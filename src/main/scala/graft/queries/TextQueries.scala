@@ -107,6 +107,14 @@ object TextQueries {
       docs(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
 
+    // Winnowing fingerprint selection (Schleimer '03, k=3 w=4): window-min
+    // k-gram hashes with the rightmost-tie rule — the density-guaranteed
+    // local fingerprints whole-doc MD5 cannot provide (any shared run of
+    // >= w+k-1 tokens shares a fingerprint)
+    "tx_winnow" -> ((s, d) =>
+      TextAnalysis.winnowFingerprints(docs(s, d), "doc_id", "text", 3, 4)
+        .orderBy("doc_id", "fp_pos", "fp_hash")),
+
     // Repetition signals (Gopher-style): duplicate/top n-gram fractions +
     // max consecutive-token run — all per-row expressions, zero shuffles
     "tx_repetition" -> ((s, d) =>
@@ -565,6 +573,27 @@ object TextQueries {
       """SELECT doc_id,
         |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // window-min selection replicated with DuckDB's own struct-min window
+    // (both engines order (gh, -pos) lexicographically → rightmost tie);
+    // valid starts = 1..max(G-w+1, 1), the < w-gram degenerate window
+    "tx_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
+         |g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |  i -> struct_pack(pos := i, gh :=
+         |    CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' ||
+         |      tk[i+2]), 1, 8)) AS BIGINT)))) AS s FROM t),
+         |g AS (SELECT doc_id, s.pos AS pos, s.gh AS gh FROM g0),
+         |sel AS (SELECT doc_id, pos,
+         |    min(struct_pack(gh := gh, negpos := -pos)) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         |    count(*) OVER (PARTITION BY doc_id) AS gcnt
+         |  FROM g)
+         |SELECT DISTINCT doc_id, CAST(-(m.negpos) AS BIGINT) AS fp_pos,
+         |  CAST(m.gh AS BIGINT) AS fp_hash
+         |FROM sel WHERE pos <= greatest(gcnt - 3, 1)
+         |ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
 
     // per-chunk marker election over non-overlapping 50-token slices,
     // rolled up to integer mix statistics (mirror of langMixture)

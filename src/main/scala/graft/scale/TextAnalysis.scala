@@ -128,6 +128,49 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD '03): hash every token `k`-gram, slide a window of `w`
+    * consecutive gram hashes, and in each window select the minimum hash —
+    * RIGHTMOST position on ties (the paper's rule; encoded as the
+    * lexicographic `min` of `(hash, −pos)`). Guarantees the paper proves:
+    * any shared token run of ≥ `w + k − 1` tokens yields a shared
+    * fingerprint (coverage), and consecutive selected positions are ≤ `w`
+    * apart (density ~ 2/(w+1)) — the bounded-size local alternative to
+    * [[fingerprint]]'s whole-document digest for partial-overlap detection.
+    *
+    * A document with fewer than `w` grams degenerates to one window over
+    * all its grams (so every ≥ k-token doc still fingerprints). Output:
+    * one row per distinct selected `(doc_id, fp_pos, fp_hash)` — int64
+    * gate surface via the engine-portable md5-prefix hash family
+    * ([[Dedup.tokenHash]]).
+    *
+    * 100 TB shape: gram hashing is ROWS (posexplode + codegen hash —
+    * never a per-element lambda re-evaluating the tokenizer), and both
+    * window passes partition on `doc_id` with the same spec (one shuffle,
+    * partitions bounded by document length, never corpus-order). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(w >= 1, s"w must be >= 1: $w")
+    val grams = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(ngramsAll(tokens(lower(col(textCol))), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        Dedup.tokenHash(col("col")).as("gh"))
+    val wSel = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val wCnt = Window.partitionBy("doc_id")
+    grams
+      .withColumn("__sel",
+        min(struct(col("gh"), (-col("pos")).as("negpos"))).over(wSel))
+      .withColumn("__g", count(lit(1)).over(wCnt))
+      // valid window starts only; < w grams → the single pos-1 window
+      .filter(col("pos") <= greatest(col("__g") - (w - 1), lit(1L)))
+      .select(col("doc_id"), (-col("__sel.negpos")).as("fp_pos"),
+        col("__sel.gh").as("fp_hash"))
+      .distinct()
+  }
+
   /** Word n-gram shingles (distinct) over a precomputed token-array column.
     * Callers should materialize the token array into its own column first
     * (one `split` per row); embedding the tokenizer inside this expression

@@ -719,6 +719,46 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(out(1L) == 0.0 && out(2L) == 1.0 && out(3L) == 2.0 && out(4L) == 0.0)
   }
 
+  test("winnowing: density ≤ w, coverage of shared runs ≥ w+k−1, " +
+      "degenerate short docs still fingerprint") {
+    val k = 3; val w = 4
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val df = Seq(
+      (1L, s"one two three $shared four five six seven eight nine"),
+      (2L, s"uno dos tres cuatro $shared cinco seis siete ocho"),
+      (3L, "tiny doc here"),            // exactly k tokens → 1 gram
+      (4L, "ab")                        // < k tokens → no grams
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df, "doc_id", "text", k, w)
+      .as[(Long, Long, Long)].collect()
+    // density guarantee: consecutive selected positions ≤ w apart, and the
+    // first selection is within the first window
+    for (id <- Seq(1L, 2L)) {
+      val ps = fps.filter(_._1 == id).map(_._2).distinct.sorted
+      assert(ps.head <= w, s"doc $id first selection at ${ps.head}")
+      ps.sliding(2).foreach { case Array(a, b) =>
+        assert(b - a <= w, s"doc $id gap $a->$b")
+      case _ => }
+    }
+    // coverage: an 8-token shared run (≥ w+k−1 = 6) must yield a shared
+    // fingerprint HASH between the two docs
+    val h1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty, "shared run produced no shared fingerprint")
+    // a doc with fewer grams than w still emits exactly its min gram
+    assert(fps.count(_._1 == 3L) == 1)
+    // a doc with no grams emits nothing
+    assert(!fps.exists(_._1 == 4L))
+    // rightmost tie rule: all-equal tokens → all gram hashes equal → the
+    // one selected position per window is the window's LAST gram
+    val ties = Seq((9L, Array.fill(10)("rep").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tsel = TextAnalysis.winnowFingerprints(ties, "doc_id", "text", k, w)
+      .as[(Long, Long, Long)].collect().map(_._2).sorted
+    // 8 grams, valid starts 1..5, window at start p selects pos p+w−1
+    assert(tsel.toSeq == Seq(4L, 5L, 6L, 7L, 8L))
+  }
+
   test("groupedNtile == SQL ntile on skewed groups, ties, and n < k") {
     import org.apache.spark.sql.expressions.Window
     // skewed: group a holds 900 rows with heavy key ties, b 40, c 2 (< k)
