@@ -236,6 +236,56 @@ object TextQueries {
         col("source").isin("src0", "src1", "src2"), vocab = 512, bins = 10)
         .orderBy("bin")),
 
+    // Logistic-regression quality classifier: distill the integer quality
+    // rubric (length >= 45 tokens AND stopword density >= 5%) into a
+    // 5-weight linear scorer — the cheap deployable filter of
+    // fastText/CCNet lineage. Training is 20 rounds of full-batch GD with
+    // DECIMAL(18,9)-quantized per-row gradient contributions (exact
+    // decimal sums — partition-order-stable weights); the weights are
+    // registered for the oracle and independently re-derived from the
+    // fixtures by tools/lit_check.py
+    "lr_quality_model" -> ((s, d) => {
+      val w = TextAnalysis.lrTrain(docs(s, d), "text", lrLabel)
+      val nanos = w.map(_.movePointRight(9).longValueExact)
+      OracleLits.put("lr_weights", nanos.mkString(","))
+      import s.implicits._
+      TextAnalysis.lrFeatureNames.zip(nanos).toDF("feature", "weight_nano")
+        .orderBy("feature")
+    }),
+
+    // LR scores from the registered nano weights: both engines rebuild the
+    // double by ONE IEEE division and evaluate the identical fixed-order
+    // dot product over identically-derived features — floor(margin·10⁹)
+    // int64 on the gate, integer keep verdict; per-row, zero shuffles
+    "lr_quality_score" -> ((s, d) => {
+      val dd = docs(s, d)
+      val w = TextAnalysis.lrTrain(dd, "text", lrLabel)
+      val nanos = w.map(_.movePointRight(9).longValueExact)
+      OracleLits.put("lr_weights", nanos.mkString(","))
+      TextAnalysis.lrScoreNano(dd, "doc_id", "text", nanos)
+        .orderBy("doc_id")
+    }),
+
+    // Distillation QA: the student/teacher confusion matrix as one
+    // pure-int64 row (how faithfully the linear scorer reproduces the
+    // rubric it was trained on)
+    "lr_quality_eval" -> ((s, d) => {
+      val dd = docs(s, d)
+      val w = TextAnalysis.lrTrain(dd, "text", lrLabel)
+      val nanos = w.map(_.movePointRight(9).longValueExact)
+      OracleLits.put("lr_weights", nanos.mkString(","))
+      val labels = TextAnalysis.qualityFeatures(dd, "text")
+        .select(col("doc_id"), lrLabel.as("y"))
+      TextAnalysis.lrScoreNano(dd, "doc_id", "text", nanos)
+        .join(labels, "doc_id")
+        .agg(
+          sum(when(col("predicted") && col("y"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("predicted") && !col("y"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("predicted") && col("y"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("predicted") && !col("y"), 1L).otherwise(0L))
+            .as("tn"))
+    }),
+
     // Inverted-index posting lists: top-50 terms by document frequency
     // with capped (first-20) containing-doc lists — skew-safe per-term cap
     "tx_postings" -> ((s, d) =>
@@ -454,6 +504,60 @@ object TextQueries {
   // a def, not a val: registry-aware entries read OracleLits fragments
   // that the query functions register as they run (Verify dumps oracle
   // SQL AFTER running every query)
+  // Integer quality-feature sufficient statistics (the tx_quality_features
+  // g CTE), shared with the LR quality-classifier oracles. Ends with
+  // `g`(doc_id, nc, n_tokens, n_stopwords, n_punct, n_alpha).
+  private def qfStatsCtes: String =
+    """f AS (SELECT doc_id, text,
+      |  list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS tk,
+      |  CAST(length(text) AS BIGINT) AS nc FROM documents),
+      |g AS (SELECT doc_id, nc,
+      |  CAST(len(tk) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(tk, w -> w IN
+      |    ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stopwords,
+      |  CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g'))
+      |    AS BIGINT) AS n_punct,
+      |  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+      |    AS BIGINT) AS n_alpha
+      |  FROM f)""".stripMargin
+
+  // The LR teacher rubric (evaluated on the qualityFeatures stat columns):
+  // "curated-looking" = at least 45 tokens AND stopword density >= 5%.
+  // Pure integer predicate — engine- and oracle-portable verbatim.
+  private def lrLabel =
+    col("n_tokens") >= 45L && col("n_stopwords") * 20L >= col("n_tokens")
+
+  // The engine-trained LR weights (int64 nano), parsed from the registered
+  // csv fragment; all-zero fallback when the query has not run in this JVM
+  // (the fallback scores everything 0 — loudly wrong, never silently right)
+  private def lrWeightNanos: Seq[Long] =
+    OracleLits.get("lr_weights")
+      .map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq.fill(5)(0L))
+
+  // Feature map + margin over the qfStats `g` CTE, shared by the LR score
+  // and eval oracles: each feature is a cast + fixed-order IEEE division
+  // mirroring TextAnalysis.lrFeatures verbatim; the weights rebuild their
+  // doubles by ONE IEEE division from the registered nano literals
+  private def lrScoreCtes: String = {
+    val w = lrWeightNanos
+    def wd(j: Int) = s"(CAST(${w(j)} AS DOUBLE) / 1000000000.0)"
+    s"""x AS (SELECT doc_id,
+       |    CAST(least(n_tokens, 400) AS DOUBLE) / 50.0 AS x1,
+       |    CASE WHEN n_tokens > 0 THEN
+       |      (20.0 * CAST(n_stopwords AS DOUBLE)) / CAST(n_tokens AS DOUBLE)
+       |      ELSE 0.0 END AS x2,
+       |    CASE WHEN n_tokens > 0 THEN
+       |      (CAST(nc - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |        / 10.0
+       |      ELSE 0.0 END AS x3,
+       |    CASE WHEN nc > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(nc AS DOUBLE)
+       |      ELSE 0.0 END AS x4
+       |  FROM g),
+       |m AS (SELECT doc_id, ${wd(0)} + ${wd(1)} * x1 + ${wd(2)} * x2
+       |    + ${wd(3)} * x3 + ${wd(4)} * x4 AS margin FROM x)""".stripMargin
+  }
+
   // Shared bigram-LM CTE stack (train on the corpus, logp quantized to
   // DECIMAL(18,6) AT THE LM so per-doc sums are exact decimals — the
   // round-4 contract). Ends with `stats`(doc_id, neg_logp_sum_micro,
@@ -509,18 +613,7 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "tx_quality_features" ->
-      """WITH f AS (SELECT doc_id, text,
-        |  list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS tk,
-        |  CAST(length(text) AS BIGINT) AS nc FROM documents),
-        |g AS (SELECT doc_id, nc,
-        |  CAST(len(tk) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_filter(tk, w -> w IN
-        |    ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stopwords,
-        |  CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g'))
-        |    AS BIGINT) AS n_punct,
-        |  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
-        |    AS BIGINT) AS n_alpha
-        |  FROM f)
+      s"""WITH $qfStatsCtes
         |SELECT doc_id, n_tokens, n_stopwords,
         |  CASE WHEN n_tokens > 0
         |    THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
@@ -809,6 +902,45 @@ object TextQueries {
          |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
          |  CAST(sum(CAST(p6 * 1000000 AS BIGINT)) AS BIGINT) AS sum_pred_micro
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the weights ARE the engine's registered constants (lit_check
+    // re-derives the GD trajectory from the fixtures independently)
+    "lr_quality_model" -> {
+      val vals = TextAnalysis.lrFeatureNames.zip(lrWeightNanos)
+        .map { case (f, n) => s"(${OracleLits.sqlStr(f)}, $n)" }
+        .mkString(", ")
+      s"""SELECT feature, CAST(weight_nano AS BIGINT) AS weight_nano
+         |FROM (VALUES $vals) AS t(feature, weight_nano)
+         |ORDER BY feature""".stripMargin
+    },
+
+    // margin re-derived from the nano literals by one IEEE division and
+    // the identical left-associated dot product over identically-derived
+    // features; the compared surface is floor(margin·10⁹) int64
+    "lr_quality_score" ->
+      s"""WITH $qfStatsCtes,
+         |$lrScoreCtes
+         |SELECT doc_id,
+         |  CAST(floor(margin * 1000000000.0) AS BIGINT) AS margin_nano,
+         |  (CAST(floor(margin * 1000000000.0) AS BIGINT) > 0) AS predicted
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "lr_quality_eval" ->
+      s"""WITH $qfStatsCtes,
+         |$lrScoreCtes,
+         |p AS (SELECT m.doc_id,
+         |    (CAST(floor(m.margin * 1000000000.0) AS BIGINT) > 0) AS pred,
+         |    (g.n_tokens >= 45 AND g.n_stopwords * 20 >= g.n_tokens) AS y
+         |  FROM m JOIN g USING (doc_id))
+         |SELECT
+         |  CAST(sum(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS fp,
+         |  CAST(sum(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS fn,
+         |  CAST(sum(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tn
+         |FROM p""".stripMargin,
 
     "tx_postings" -> duckPostingsSql,
 

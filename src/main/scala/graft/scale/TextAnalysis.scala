@@ -1085,6 +1085,109 @@ object TextAnalysis {
         sum((col("__p") * 1000000).cast("long")).as("sum_pred_micro"))
   }
 
+  /** The logistic-regression quality model's feature columns, derived from
+    * [[qualityFeatures]]' INTEGER sufficient statistics by fixed-order
+    * IEEE arithmetic (int→double casts + one division each — identical
+    * bits on any engine; the formulas are mirrored verbatim in the DuckDB
+    * oracle). Order defines the weight vector: intercept, capped length,
+    * stopword ratio, punctuation ratio, alpha ratio. */
+  val lrFeatureNames: Seq[String] =
+    Seq("intercept", "x1_len", "x2_stop", "x3_tlen", "x4_alpha")
+
+  /** Adds `x1..x4` to a [[qualityFeatures]] output frame, derived from its
+    * INTEGER sufficient statistics by fixed-order IEEE arithmetic (each a
+    * cast + one or two divisions — identical bits on any engine; mirrored
+    * verbatim in the DuckDB oracle). Scaled so the corpus spread is O(1)
+    * around the decision region — plain GD stalls when the boundary lives
+    * in a 0.05-wide feature sliver. */
+  def lrFeatures(stats: DataFrame): DataFrame =
+    stats
+      .withColumn("x1",
+        least(col("n_tokens"), lit(400L)).cast("double") / lit(50.0))
+      .withColumn("x2",
+        when(col("n_tokens") > 0,
+          (lit(20.0) * col("n_stopwords").cast("double"))
+            / col("n_tokens").cast("double")).otherwise(lit(0.0)))
+      .withColumn("x3", col("mean_token_len") / lit(10.0))
+      .withColumn("x4", col("alpha_ratio"))
+
+  /** Distributed logistic-regression quality classifier (the supervised
+    * "looks curated?" filter of fastText/CCNet lineage, trained as full
+    * -batch gradient descent): `iters` rounds, each ONE corpus aggregation
+    * producing the gradient `Σ (σ(w·x) − y)·x` with every per-row
+    * contribution quantized to DECIMAL(18,9) BEFORE the sum — the sums are
+    * exact decimals, so training is partition-order-stable and
+    * retry-deterministic (a float sum would give different weights on
+    * every run). The weight update runs driver-side in `BigDecimal`
+    * (scale 9, HALF_UP): `w ← w − η·G/n` — bounded state (5 numbers), and
+    * the whole trajectory is reproducible by an external implementation
+    * (tools/lit_check.py re-derives it from the fixtures).
+    *
+    * `isPositive` is evaluated against the [[qualityFeatures]] output
+    * frame, so labels may reference the integer stat columns (the
+    * distillation shape: a multi-signal heuristic rubric is the teacher,
+    * the 5-weight linear scorer the deployable student).
+    *
+    * 100 TB shape: `iters` scans with map-side partial aggregation to a
+    * 5-column decimal row; the feature frame is cached across iterations.
+    * Returns the scale-9 weights in [[lrFeatureNames]] order. */
+  def lrTrain(df: DataFrame, textCol: String, isPositive: Column,
+      iters: Int = 20, eta: java.math.BigDecimal =
+        new java.math.BigDecimal("0.5")): Seq[java.math.BigDecimal] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    require(iters >= 1 && iters <= 1000, s"iters out of range: $iters")
+    val feats = lrFeatures(qualityFeatures(df, textCol))
+      .select(when(isPositive, lit(1.0)).otherwise(lit(0.0)).as("y"),
+        col("x1"), col("x2"), col("x3"), col("x4"))
+      .cache()
+    try {
+      val n = feats.count()
+      if (n == 0) return Seq.fill(5)(JBD.ZERO.setScale(9))
+      val nBD = new JBD(n)
+      var w = Array.fill(5)(JBD.ZERO.setScale(9))
+      for (_ <- 0 until iters) {
+        // margin in fixed left-associated order — the oracle-mirrored
+        // IEEE evaluation sequence
+        val margin = lit(w(0).doubleValue) +
+          lit(w(1).doubleValue) * col("x1") +
+          lit(w(2).doubleValue) * col("x2") +
+          lit(w(3).doubleValue) * col("x3") +
+          lit(w(4).doubleValue) * col("x4")
+        val g = (lit(1.0) / (lit(1.0) + exp(-margin))) - col("y")
+        val grads = feats.agg(
+          sum(g.cast("decimal(18,9)")).as("g0"),
+          sum((g * col("x1")).cast("decimal(18,9)")).as("g1"),
+          sum((g * col("x2")).cast("decimal(18,9)")).as("g2"),
+          sum((g * col("x3")).cast("decimal(18,9)")).as("g3"),
+          sum((g * col("x4")).cast("decimal(18,9)")).as("g4")).collect()(0)
+        w = w.zipWithIndex.map { case (wj, j) =>
+          val gj = grads.getDecimal(j)
+          wj.subtract(eta.multiply(gj).divide(nBD, 9, RoundingMode.HALF_UP))
+            .setScale(9, RoundingMode.HALF_UP)
+        }
+      }
+      w.toSeq
+    } finally feats.unpersist()
+  }
+
+  /** Score every document under an [[lrTrain]] weight vector, given as
+    * int64 NANO units (scale-9 weights × 10⁹ — the engine-portable
+    * integer form; both engines reconstruct the double by one IEEE
+    * division). Gate surface: `margin_nano = floor(margin·10⁹)` int64 and
+    * the integer keep verdict — per-row, zero shuffles. */
+  def lrScoreNano(df: DataFrame, idCol: String, textCol: String,
+      weightsNano: Seq[Long]): DataFrame = {
+    require(weightsNano.size == 5, s"need 5 weights: $weightsNano")
+    val wd = weightsNano.map(nano => nano.toDouble / 1.0e9)
+    val margin = lit(wd(0)) + lit(wd(1)) * col("x1") +
+      lit(wd(2)) * col("x2") + lit(wd(3)) * col("x3") +
+      lit(wd(4)) * col("x4")
+    lrFeatures(qualityFeatures(df, textCol))
+      .withColumn("margin_nano", floor(margin * lit(1.0e9)).cast("long"))
+      .select(col(idCol), col("margin_nano"),
+        (col("margin_nano") > 0L).as("predicted"))
+  }
+
   /** Capped inverted-index posting lists — the retrieval-side artifact of a
     * training-data pipeline (BM25 retrieval, contamination lookup, corpus
     * search all start here): for the `topTerms` highest-document-frequency

@@ -719,6 +719,38 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(out(1L) == 0.0 && out(2L) == 1.0 && out(3L) == 2.0 && out(4L) == 0.0)
   }
 
+  test("lrTrain: deterministic weights, separable corpus separates, " +
+      "empty corpus yields zeros, score gate is consistent") {
+    val long = Array.fill(60)("the quick fox").mkString(" ")
+    val short = "tiny and the of to"
+    val df = (1L to 30L).map(i =>
+      (i, if (i % 2 == 0) long else short)).toDF("doc_id", "text")
+    val label = col("n_tokens") >= 45L
+    val w1 = TextAnalysis.lrTrain(df, "text", label)
+    val w2 = TextAnalysis.lrTrain(df, "text", label)
+    // bit-identical across runs: exact decimal gradient sums + BigDecimal
+    // updates — THE property a float-sum trainer cannot give
+    assert(w1 == w2)
+    assert(w1.forall(_.scale == 9))
+    val nanos = w1.map(_.movePointRight(9).longValueExact)
+    val scored = TextAnalysis.lrScoreNano(df, "doc_id", "text", nanos)
+      .select("doc_id", "margin_nano", "predicted")
+      .as[(Long, Long, Boolean)].collect()
+    // a linearly separable teacher is reproduced exactly
+    scored.foreach { case (id, m, pred) =>
+      assert(pred == (id % 2 == 0), s"doc $id margin $m")
+      assert(pred == (m > 0))
+    }
+    // empty corpus: zero weights, no NPE
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.lrTrain(empty, "text", label)
+      .forall(_.signum == 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.lrTrain(df, "text", label, iters = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.lrScoreNano(df, "doc_id", "text", Seq(1L, 2L)))
+  }
+
   test("winnowing: density ≤ w, coverage of shared runs ≥ w+k−1, " +
       "degenerate short docs still fingerprint") {
     val k = 3; val w = 4

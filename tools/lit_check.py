@@ -247,6 +247,66 @@ def check_zorder(colname):
     return chk
 
 
+def check_lr_weights(frag, errs):
+    """Re-run the engine's 20-round decimal-quantized batch GD from the
+    fixtures. All arithmetic is replicated exactly (shortest-repr HALF_UP
+    quantization of per-row contributions; integer half-up division for
+    the weight step) except libm exp, which may differ by 1 ulp per row —
+    each flip moves a gradient sum by 1 nano and a weight step by <= 1
+    nano, so the tolerance is iters x a small flip budget, far below any
+    real defect (wrong feature, label, eta, or iteration count)."""
+    nanos = [int(x) for x in frag.split(",")]
+    if len(nanos) != 5:
+        errs.append(f"expected 5 weights, parsed {len(nanos)}")
+        return
+    rows = con.sql(
+        r"""WITH f AS (SELECT doc_id, text,
+          list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS tk,
+          CAST(length(text) AS BIGINT) AS nc FROM documents)
+        SELECT CAST(len(tk) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(tk, w -> w IN
+            ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stop,
+          nc,
+          CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+            AS BIGINT) AS n_alpha
+        FROM f""").fetchall()
+    feats = []
+    for nt, nst, nc, na in rows:
+        y = 1.0 if (nt >= 45 and 20 * nst >= nt) else 0.0  # the rubric
+        x1 = min(nt, 400) / 50.0
+        x2 = ((20.0 * nst) / nt) if nt > 0 else 0.0
+        x3 = (((nc - (nt - 1)) / nt) / 10.0) if nt > 0 else 0.0
+        x4 = (na / nc) if nc > 0 else 0.0
+        feats.append((y, x1, x2, x3, x4))
+    n = len(feats)
+    if n == 0:
+        if any(nanos):
+            errs.append("empty corpus but nonzero weights")
+        return
+
+    def div_half_up(num, den):  # round(num/den), halves away from zero
+        s = -1 if (num < 0) != (den < 0) else 1
+        num, den = abs(num), abs(den)
+        return s * ((2 * num + den) // (2 * den))
+
+    Q = Decimal("0.000000001")
+    w = [0] * 5  # integer nano units
+    for _ in range(20):
+        wd = [v / 1e9 for v in w]
+        G = [0] * 5  # gradient sums in nano units (exact)
+        for y, x1, x2, x3, x4 in feats:
+            m = wd[0] + wd[1] * x1 + wd[2] * x2 + wd[3] * x3 + wd[4] * x4
+            g = 1.0 / (1.0 + math.exp(-m)) - y
+            for j, xj in enumerate((1.0, x1, x2, x3, x4)):
+                G[j] += int(Decimal(repr(g * xj)).quantize(
+                    Q, rounding=ROUND_HALF_UP).scaleb(9))
+        # w <- w - eta*G/n with eta=0.5: step_nano = round_half_up(G/(2n))
+        w = [w[j] - div_half_up(G[j], 2 * n) for j in range(5)]
+    for j, (e, r) in enumerate(zip(nanos, w)):
+        if abs(e - r) > 1000:  # 1e-6 — the libm-flip budget
+            errs.append(f"w[{j}]: engine={e} recomputed={r}")
+
+
 CHECKERS = {
     "dsir_ratios": check_dsir,
     "nb_model": check_nb_model,
@@ -254,6 +314,7 @@ CHECKERS = {
     "bm25_qd": check_bm25,
     "pca_vprev": check_pca,
     "len_decile_cuts": check_len_deciles,
+    "lr_weights": check_lr_weights,
     "zorder_ra": check_zorder("l_orderkey"),
     "zorder_rb": check_zorder("l_partkey"),
 }
