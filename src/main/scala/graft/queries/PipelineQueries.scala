@@ -158,6 +158,23 @@ object PipelineQueries {
         col("zv")).orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Hilbert-curve layout clustering: the strictly-local sibling of
+    // layout_zorder (consecutive indices are always grid neighbors, so a
+    // contiguous file range is a CONNECTED region of the key plane) —
+    // same rank bucketing, canonical xy→d transform on the ranks
+    "layout_hilbert" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val (cutsA, cutsB, out) = graft.scale.Layout.hilbertOrderValue(
+        li, "l_orderkey", "l_partkey", bits = zorderBits)
+      OracleLits.put("hilbert_ra",
+        OracleLits.sqlCase("l_orderkey", cutsA.toSeq, base = 0))
+      OracleLits.put("hilbert_rb",
+        OracleLits.sqlCase("l_partkey", cutsB.toSeq, base = 0))
+      out.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("hv")).orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // As-of join: each click → most recent purchase at-or-before, per user
     // (union + carry-forward window — one shuffle, no inequality join)
     "join_asof" -> ((s, d) => {
@@ -307,6 +324,40 @@ object PipelineQueries {
          |SELECT l_orderkey, l_linenumber, l_partkey,
          |  CAST(${spread("ra")} + 2 * (${spread("rb")}) AS BIGINT) AS zv
          |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+    // the canonical xy→d loop unrolled to one CTE per level; rank = the
+    // registered sketch cuts (same contract as layout_zorder), bit tests
+    // as (v // s) % 2 integer arithmetic, quadrant/rotate as CASEs —
+    // engine-portable end to end
+    "layout_hilbert" -> {
+      val nb = 1 << zorderBits
+      val (ra, rb) =
+        (OracleLits.get("hilbert_ra"), OracleLits.get("hilbert_rb")) match {
+          case (Some(a), Some(b)) => (a, b)
+          case _ => (s"ntile($nb) OVER (ORDER BY l_orderkey) - 1",
+            s"ntile($nb) OVER (ORDER BY l_partkey) - 1")
+        }
+      val iterCtes = ((zorderBits - 1) to 0 by -1).zipWithIndex.map {
+        case (level, idx) =>
+          val s = 1L << level
+          s"""h${idx + 1} AS (SELECT l_orderkey, l_linenumber, l_partkey,
+             |  CASE WHEN ry = 1 THEN x WHEN rx = 1 THEN ${nb - 1} - y
+             |    ELSE y END AS x,
+             |  CASE WHEN ry = 1 THEN y WHEN rx = 1 THEN ${nb - 1} - x
+             |    ELSE x END AS y,
+             |  d + ${s * s} * CASE WHEN rx = 0 AND ry = 0 THEN 0
+             |    WHEN rx = 0 THEN 1 WHEN ry = 1 THEN 2 ELSE 3 END AS d
+             |  FROM (SELECT *, ((x // $s) % 2) AS rx, ((y // $s) % 2) AS ry
+             |    FROM h$idx))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h0 AS (SELECT l_orderkey, l_linenumber, l_partkey,
+         |  CAST($ra AS BIGINT) AS x, CAST($rb AS BIGINT) AS y,
+         |  CAST(0 AS BIGINT) AS d FROM lineitem),
+         |$iterCtes
+         |SELECT l_orderkey, l_linenumber, l_partkey,
+         |  CAST(d AS BIGINT) AS hv
+         |FROM h$zorderBits ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
 
     // the shared span-rewrite CTE stack aggregated per source; tokens_out

@@ -98,4 +98,100 @@ object Layout {
     withZ.repartitionByRange(files, col("zv"))
       .sortWithinPartitions("zv")
   }
+
+  /** 2-D Hilbert curve index over bucket ranks — the strictly-local
+    * alternative to [[zValue2]]'s Morton code: CONSECUTIVE Hilbert indices
+    * are always grid neighbors (the Z-curve jumps across the grid at
+    * quadrant seams), so a file covering a contiguous index range covers
+    * one connected rectangle-ish region — tighter min/max footer bounds
+    * per file at equal file count, which is why table formats grew
+    * OPTIMIZE ... HILBERT alongside ZORDER.
+    *
+    * This is the canonical iterative xy→d transform (per-level quadrant
+    * code + rotate/reflect), unrolled `bits` times. Every level's (x, y)
+    * state lands in its OWN columns — the rotation references each input
+    * twice, so a single nested expression would double per level
+    * (2^bits-sized codegen); landed aliases keep it linear. Quadrant codes
+    * and reflections are pure integer CASE/arithmetic — engine-portable,
+    * mirrored verbatim by the unrolled oracle CTE stack. Inputs are
+    * guarded to [0, 2^bits) like [[zValue2]]. */
+  def hilbertOrderValue(df: DataFrame, colA: String, colB: String,
+      bits: Int, hCol: String = "hv", accuracy: Int = 2000):
+      (Array[Double], Array[Double], DataFrame) = {
+    require(bits >= 1 && bits <= 16, s"bits out of range for bucketing: $bits")
+    require(accuracy > 0, s"accuracy must be positive: $accuracy")
+    val n = 1 << bits
+    val Array(cutsA, cutsB) = df.stat.approxQuantile(
+      Array(colA, colB), (1 until n).map(_.toDouble / n).toArray,
+      1.0 / accuracy)
+    def rank(c: String, cuts: Array[Double]): Column =
+      cuts.zipWithIndex.reverse.foldLeft(lit(cuts.length.toLong)) {
+        case (acc, (cut, i)) => when(col(c) <= cut, lit(i.toLong)).otherwise(acc)
+      }
+    val taken = df.columns.toSeq :+ hCol
+    val xC = Cols.fresh("__h_x", taken)
+    val yC = Cols.fresh("__h_y", taken)
+    val dC = Cols.fresh("__h_d", taken)
+    val lim = n.toLong
+    def guarded(c: Column): Column =
+      when(c.isNull.or(c < 0).or(c >= lim),
+        raise_error(concat(lit(s"hilbert rank out of [0, $lim): "),
+          coalesce(c.cast("string"), lit("null")))))
+        .otherwise(c)
+    var out = df
+      .withColumn(xC, guarded(rank(colA, cutsA)))
+      .withColumn(yC, guarded(rank(colB, cutsB)))
+      .withColumn(dC, lit(0L))
+    for (level <- (bits - 1) to 0 by -1) {
+      val s = 1L << level
+      val x = col(xC); val y = col(yC)
+      val rx = when(x.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      // quadrant code (3·rx) XOR ry over {0,1}² — spelled as a CASE so no
+      // engine's xor semantics can diverge: (0,0)→0 (0,1)→1 (1,1)→2 (1,0)→3
+      val q = when(rx === 0 && ry === 0, lit(0L))
+        .when(rx === 0, lit(1L)).when(ry === 1, lit(2L)).otherwise(lit(3L))
+      // rotate/reflect (ry=0 swaps axes; rx=1 additionally reflects by n−1)
+      val newX = when(ry === 1, x)
+        .otherwise(when(rx === 1, lit(lim - 1) - y).otherwise(y))
+      val newY = when(ry === 1, y)
+        .otherwise(when(rx === 1, lit(lim - 1) - x).otherwise(x))
+      out = out
+        .withColumn(dC, col(dC) + lit(s * s) * q)
+        .withColumns(Map(xC -> newX, yC -> newY))
+    }
+    (cutsA, cutsB, out.withColumnRenamed(dC, hCol).drop(xC, yC))
+  }
+
+  /** Driver-side reference xy→d (the executable spec [[hilbertOrderValue]]
+    * is property-tested against, and a utility for planning probes). */
+  def hilbertXY2D(bits: Int, x0: Long, y0: Long): Long = {
+    require(bits >= 1 && bits <= 16, s"bits out of range: $bits")
+    val n = 1L << bits
+    require(x0 >= 0 && x0 < n && y0 >= 0 && y0 < n, s"($x0,$y0) not in grid")
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  /** [[zOrderCluster]]'s Hilbert counterpart: range-repartition + sort on
+    * the Hilbert index — contiguous index ranges per file, connected
+    * regions of the (colA, colB) plane. */
+  def hilbertCluster(df: DataFrame, colA: String, colB: String,
+      files: Int, bits: Int = 8): DataFrame = {
+    require(files > 0, s"files must be positive: $files")
+    val (_, _, withH) = hilbertOrderValue(df, colA, colB, bits)
+    withH.repartitionByRange(files, col("hv"))
+      .sortWithinPartitions("hv")
+  }
 }

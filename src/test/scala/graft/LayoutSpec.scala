@@ -87,4 +87,65 @@ class LayoutSpec extends SparkSpec {
     val maxZ = out.agg(max($"zv")).head().getLong(0)
     assert(maxZ < (1L << 6), s"zv out of 6-bit range: $maxZ")
   }
+
+  test("hilbert: bijection on the full grid, engine == reference, and the " +
+      "adjacency property the z-curve lacks") {
+    val bits = 4; val n = 1 << bits
+    // run the distributed transform on raw grid coordinates by cutting at
+    // every integer (cuts k=1..n-1 make rank(v) == v on 0..n-1 inputs)
+    val grid = (for (x <- 0L until n; y <- 0L until n) yield (x, y))
+      .toDF("x", "y")
+    val (_, _, withH) = Layout.hilbertOrderValue(grid
+      .withColumn("x", $"x".cast("double"))
+      .withColumn("y", $"y".cast("double")), "x", "y", bits,
+      accuracy = 1000000)
+    val got = withH.select($"x".cast("long"), $"y".cast("long"), $"hv")
+      .as[(Long, Long, Long)].collect()
+      .map { case (x, y, h) => (x, y) -> h }.toMap
+    // engine == driver-side canonical reference, pointwise...
+    // (rank(v)==v only if the sketch cut exactly at integers; verify via
+    // the reference on the RANKS the engine actually used — simpler: the
+    // reference property suite below uses hilbertXY2D directly)
+    val ref = (for (x <- 0L until n; y <- 0L until n)
+      yield (x, y) -> Layout.hilbertXY2D(bits, x, y)).toMap
+    // bijection + range for the engine output regardless of rank mapping
+    assert(got.values.toSet.size == n * n)
+    assert(got.values.forall(h => h >= 0 && h < n.toLong * n))
+    // reference itself is the canonical curve: bijective and every
+    // consecutive pair of indices is a GRID NEIGHBOR (|dx|+|dy| == 1) —
+    // the locality guarantee Morton order does not have
+    assert(ref.values.toSet.size == n * n)
+    val byD = ref.toSeq.map { case ((x, y), h) => h -> (x, y) }
+      .sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step ($x1,$y1)->($x2,$y2)")
+    case _ => }
+    // morton violates adjacency somewhere on the same grid
+    val mByD = (for (x <- 0L until n; y <- 0L until n)
+      yield mortonRef(x, y, bits) -> (x, y)).sortBy(_._1).map(_._2)
+    assert(mByD.sliding(2).exists { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    case _ => false })
+    // engine == reference pointwise when ranks are the identity: with
+    // integer-valued inputs and a max-accuracy sketch the cuts land on
+    // 0..n-2, so rank(v) == v exactly
+    got.foreach { case ((x, y), h) =>
+      assert(h == ref((x, y)), s"engine ($x,$y)=$h ref=${ref((x, y))}")
+    }
+  }
+
+  test("hilbert rejects out-of-range ranks loudly and clusters per file") {
+    // hilbertCluster: every file spans a bounded region of BOTH columns
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val hYspan = Layout.hilbertCluster(grid, "x", "y", 16, bits = 6)
+      .withColumn("part", spark_partition_id())
+      .groupBy("part").agg((max($"y") - min($"y") + 1).as("wy"))
+      .agg(max($"wy")).head().getLong(0)
+    assert(hYspan <= 24L, s"hilbert layout must bound y per file: $hYspan")
+    intercept[IllegalArgumentException](Layout.hilbertXY2D(4, 16L, 0L))
+    intercept[IllegalArgumentException](
+      Layout.hilbertOrderValue(grid, "x", "y", bits = 0))
+  }
 }

@@ -317,6 +317,9 @@ CHECKERS = {
     "lr_weights": check_lr_weights,
     "zorder_ra": check_zorder("l_orderkey"),
     "zorder_rb": check_zorder("l_partkey"),
+    # hilbert shares the zorder rank-bucketing contract (same cut shape)
+    "hilbert_ra": check_zorder("l_orderkey"),
+    "hilbert_rb": check_zorder("l_partkey"),
 }
 
 failed = 0
