@@ -175,6 +175,35 @@ object PipelineQueries {
         col("hv")).orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Target-file-size write planner: per partition value, measured
+    // payload bytes → ceil-div file count (the small-file/giant-file
+    // fix, decided from bytes, not partition cardinality); bounded agg,
+    // pure int64
+    "layout_file_plan" -> ((s, d) =>
+      graft.scale.Layout.filePlan(docs(s, d), "source",
+        length(col("text")).cast("long"), targetBytes = 3000L)
+        .select(col("source"), col("n_rows").cast("long").as("n_rows"),
+          col("total_bytes").cast("long").as("total_bytes"),
+          col("n_files").cast("long").as("n_files"))
+        .orderBy("source")),
+
+    // The plan applied: deterministic id-hash file slots (broadcast plan
+    // join, zero extra shuffles) — per-(partition, slot) row/byte loads,
+    // the balance a writer actually gets
+    "layout_file_slots" -> ((s, d) => {
+      val dd = docs(s, d)
+      val plan = graft.scale.Layout.filePlan(dd, "source",
+        length(col("text")).cast("long"), targetBytes = 3000L)
+      graft.scale.Layout.applyFilePlan(dd, "doc_id", "source", plan)
+        .groupBy("source", "file_slot")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length(col("text")).cast("long")).as("bytes"))
+        .select(col("source"), col("file_slot").cast("long").as("file_slot"),
+          col("n_rows").cast("long").as("n_rows"),
+          col("bytes").cast("long").as("bytes"))
+        .orderBy("source", "file_slot")
+    }),
+
     // As-of join: each click → most recent purchase at-or-before, per user
     // (union + carry-forward window — one shuffle, no inequality join)
     "join_asof" -> ((s, d) => {
@@ -359,6 +388,26 @@ object PipelineQueries {
          |  CAST(d AS BIGINT) AS hv
          |FROM h$zorderBits ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+
+    "layout_file_plan" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+        |  CAST(greatest(1, (sum(length(text)) + 2999) // 3000) AS BIGINT)
+        |    AS n_files
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "layout_file_slots" ->
+      """WITH p AS (SELECT source,
+        |    greatest(1, (sum(length(text)) + 2999) // 3000) AS n_files
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT d.source,
+        |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % p.n_files AS file_slot,
+        |    length(d.text) AS b
+        |  FROM documents d JOIN p USING (source))
+        |SELECT source, CAST(file_slot AS BIGINT) AS file_slot,
+        |  CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(b) AS BIGINT) AS bytes
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the shared span-rewrite CTE stack aggregated per source; tokens_out
     // counts the surviving-token frame directly (the rewritten text

