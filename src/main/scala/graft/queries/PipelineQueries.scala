@@ -204,6 +204,23 @@ object PipelineQueries {
         .orderBy("source", "file_slot")
     }),
 
+    // SCD type-2 dimension build: the per-user event-type change stream
+    // compressed into versioned validity intervals (change-only versions,
+    // [from, to) edges from the next change, open current row) — history
+    // with point-in-time reconstructability; micros int64 on the gate
+    "scd2_intervals" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      Temporal.scd2(ev, "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("version"),
+          col("event_type").as("state"),
+          unix_micros(col("effective_from")).as("from_micros"),
+          unix_micros(col("effective_to")).as("to_micros"),
+          col("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
     // As-of join: each click → most recent purchase at-or-before, per user
     // (union + carry-forward window — one shuffle, no inequality join)
     "join_asof" -> ((s, d) => {
@@ -354,6 +371,24 @@ object PipelineQueries {
          |  CAST(${spread("ra")} + 2 * (${spread("rb")}) AS BIGINT) AS zv
          |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+
+    "scd2_intervals" ->
+      """WITH c AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, ts, event_id, event_type FROM c
+        |  WHERE prev IS NULL OR prev != event_type),
+        |v AS (SELECT user_id, event_type AS state, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS version,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_ts
+        |  FROM ch)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, state,
+        |  epoch_us(ts) AS from_micros, epoch_us(to_ts) AS to_micros,
+        |  (to_ts IS NULL) AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
 
     // the canonical xy→d loop unrolled to one CTE per level; rank = the
     // registered sketch cuts (same contract as layout_zorder), bit tests

@@ -93,4 +93,39 @@ object Temporal {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop(binC)
   }
+
+  /** Slowly-changing-dimension type 2: compress a keyed change stream into
+    * versioned validity intervals. A new version opens only when the
+    * tracked attribute actually CHANGES (consecutive duplicates collapse —
+    * the SCD2 change-only contract); each version carries
+    * `[effective_from, effective_to)` where `effective_to` is the NEXT
+    * change's timestamp (null on the open current version) and
+    * `is_current` marks the live row. The warehouse-dimension shape the
+    * reference's one-shot snapshot sync cannot represent — history with
+    * point-in-time reconstructability (join on `from <= ts < to`).
+    *
+    * Order within a key is `(tsCol, tieCol)` — a total order, so collapse
+    * and interval edges are deterministic under ties. Two window passes
+    * over ONE `keyCol` shuffle (lag-collapse, then lead-interval);
+    * partitions are bounded by a single entity's change count, never
+    * corpus-order. */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, attrCol: String): DataFrame = {
+    val taken = changes.columns.toSeq ++
+      Seq("version", "effective_from", "effective_to", "is_current")
+    val prevC = Cols.fresh("__prev", taken)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val changed = changes
+      .withColumn(prevC, lag(col(attrCol), 1).over(w))
+      // first row per key (null prev) always opens version 1; equal
+      // consecutive attrs collapse into the earlier version
+      .filter(col(prevC).isNull || col(prevC) =!= col(attrCol))
+      .drop(prevC)
+    val wv = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    changed
+      .withColumn("version", row_number().over(wv).cast("long"))
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(wv))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
 }

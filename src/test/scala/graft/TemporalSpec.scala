@@ -70,4 +70,50 @@ class TemporalSpec extends SparkSpec {
     // pair uniqueness even though i1 was exploded into two bins
     assert(out.distinct.size == out.size)
   }
+
+  test("scd2: change-only versions, chained [from,to) intervals, one " +
+      "current row per key, point-in-time reconstruction") {
+    val changes = Seq(
+      // user 1: A A B B A  -> versions A@1, B@3, A@5
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 3L, "B"), (1L, 4L, "B"),
+      (1L, 5L, "A"),
+      // user 2: single state -> one open version
+      (2L, 1L, "X"),
+      // user 3: tie timestamps break on the tie column (id 7 then 8)
+      (3L, 1L, "P"), (3L, 1L, "Q")
+    ).zipWithIndex.map { case ((u, t, a), i) => (u, t, i.toLong + 1, a) }
+      .toDF("k", "tsec", "id", "attr")
+      .select($"k", timestamp_seconds($"tsec").as("ts"), $"id", $"attr")
+    val out = Temporal.scd2(changes, "k", "ts", "id", "attr")
+      .select($"k", $"version", $"attr",
+        unix_seconds($"effective_from").as("from_s"),
+        unix_seconds($"effective_to").as("to_s"), $"is_current")
+      .as[(Long, Long, String, Long, Option[Long], Boolean)]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(out(1L).map(v => (v._2, v._3, v._4, v._5)) ==
+      Seq((1L, "A", 1L, Some(3L)), (2L, "B", 3L, Some(5L)),
+        (3L, "A", 5L, None)))
+    assert(out(2L) == Seq((2L, 1L, "X", 1L, None, true)))
+    // tie order: id 7 (P) precedes id 8 (Q) at the same ts → P closes AT
+    // the same instant Q opens (zero-width version, still recorded)
+    assert(out(3L).map(v => (v._3, v._4, v._5)) ==
+      Seq(("P", 1L, Some(1L)), ("Q", 1L, None)))
+    // invariants over all keys: versions contiguous from 1, intervals
+    // chain exactly, exactly one open+current row per key, no two
+    // consecutive versions share the attribute
+    out.foreach { case (k, vs) =>
+      assert(vs.map(_._2) == (1L to vs.size).toSeq, s"key $k versions")
+      vs.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._5.contains(b._4), s"key $k interval chain")
+          assert(a._3 != b._3, s"key $k consecutive duplicate attr")
+        case _ =>
+      }
+      assert(vs.count(_._6) == 1 && vs.last._6 && vs.last._5.isEmpty)
+    }
+    // point-in-time: state at t=4 for user 1 is the version with
+    // from <= 4 < to → B
+    val at4 = out(1L).filter(v => v._4 <= 4L && v._5.forall(_ > 4L))
+    assert(at4.map(_._3) == Seq("B"))
+  }
 }
