@@ -286,6 +286,36 @@ object TextQueries {
             .as("tn"))
     }),
 
+    // Per-domain quality prior: the rubric pass rate aggregated to each
+    // source in exact basis points — domain reputation as a bounded side
+    // table (the URL/domain-level filtering signal of Gopher/RefinedWeb)
+    "tx_source_prior" -> ((s, d) =>
+      TextAnalysis.domainPrior(
+        TextAnalysis.qualityFeatures(docs(s, d), "text"), "source", lrLabel)
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("n_pass").cast("long").as("n_pass"),
+          col("pass_bp").cast("long").as("pass_bp"))
+        .orderBy("source")),
+
+    // Domain-prior rescue: a doc survives on its own rubric pass, or —
+    // when borderline (>= 40 tokens) — on its domain's reputation
+    // (pass_bp >= 5000). Prior rides back as a broadcast join; verdicts
+    // and reasons are pure integer/string logic
+    "tx_prior_keep" -> ((s, d) => {
+      val stats = TextAnalysis.qualityFeatures(docs(s, d), "text")
+      val prior = broadcast(TextAnalysis.domainPrior(stats, "source",
+        lrLabel).select(col("source"), col("pass_bp")))
+      stats.join(prior, "source")
+        .withColumn("reason",
+          when(lrLabel, "doc_pass")
+            .when(col("pass_bp") >= 5000L && col("n_tokens") >= 40L,
+              "domain_rescue")
+            .otherwise("drop"))
+        .select(col("doc_id"), col("source"),
+          (col("reason") =!= "drop").as("keep"), col("reason"))
+        .orderBy("doc_id")
+    }),
+
     // Inverted-index posting lists: top-50 terms by document frequency
     // with capped (first-20) containing-doc lists — skew-safe per-term cap
     "tx_postings" -> ((s, d) =>
@@ -941,6 +971,35 @@ object TextQueries {
          |  CAST(sum(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END)
          |    AS BIGINT) AS tn
          |FROM p""".stripMargin,
+
+    "tx_source_prior" ->
+      s"""WITH $qfStatsCtes,
+         |lab AS (SELECT g.doc_id, d.source,
+         |    (g.n_tokens >= 45 AND g.n_stopwords * 20 >= g.n_tokens) AS pass
+         |  FROM g JOIN documents d USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST((10000 * sum(CASE WHEN pass THEN 1 ELSE 0 END)) // count(*)
+         |    AS BIGINT) AS pass_bp
+         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tx_prior_keep" ->
+      s"""WITH $qfStatsCtes,
+         |lab AS (SELECT g.doc_id, d.source, g.n_tokens,
+         |    (g.n_tokens >= 45 AND g.n_stopwords * 20 >= g.n_tokens) AS pass
+         |  FROM g JOIN documents d USING (doc_id)),
+         |pr AS (SELECT source,
+         |    (10000 * sum(CASE WHEN pass THEN 1 ELSE 0 END)) // count(*)
+         |      AS pass_bp
+         |  FROM lab GROUP BY 1),
+         |r AS (SELECT lab.doc_id, lab.source,
+         |    CASE WHEN pass THEN 'doc_pass'
+         |      WHEN pr.pass_bp >= 5000 AND lab.n_tokens >= 40
+         |        THEN 'domain_rescue'
+         |      ELSE 'drop' END AS reason
+         |  FROM lab JOIN pr USING (source))
+         |SELECT doc_id, source, (reason != 'drop') AS keep, reason
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "tx_postings" -> duckPostingsSql,
 

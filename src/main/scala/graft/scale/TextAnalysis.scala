@@ -1188,6 +1188,22 @@ object TextAnalysis {
         (col("margin_nano") > 0L).as("predicted"))
   }
 
+  /** Per-domain quality prior (the Gopher/RefinedWeb URL-level filtering
+    * shape): aggregate a per-document pass verdict to its source/domain as
+    * an exact basis-point rate — the bounded side table that lets a
+    * curation run treat domain reputation as a signal ("a borderline page
+    * on a 90%-clean domain is probably fine; the same page on a spam farm
+    * is not"). Pure int64: `pass_bp = (10000·n_pass) div n_docs`. One
+    * group-by bounded by domain cardinality; callers broadcast-join it
+    * back (zero extra corpus shuffles). */
+  def domainPrior(df: DataFrame, groupCol: String,
+      isPass: Column): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(isPass, 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("pass_bp",
+        expr("(10000L * n_pass) div n_docs"))
+
   /** Capped inverted-index posting lists — the retrieval-side artifact of a
     * training-data pipeline (BM25 retrieval, contamination lookup, corpus
     * search all start here): for the `topTerms` highest-document-frequency
