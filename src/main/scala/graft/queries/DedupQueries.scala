@@ -41,6 +41,20 @@ object DedupQueries {
         k = 16, bands = 4, jaccardThreshold = 0.9)
         .orderBy("id_a", "id_b")),
 
+    // Fuzzy benchmark decontamination: the corpus' LSH band buckets probe
+    // the (broadcast-sized) eval set's buckets — near-duplicates of eval
+    // docs drop even when exact n-gram screening would miss them; the
+    // survivors are the decontaminated training set
+    "tx_decontaminate_fuzzy" -> ((s, d) => {
+      val corpus = docsWithDups(s, d)
+      val eval = docs(s, d).filter(col("doc_id") < 5)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      Dedup.fuzzyDecontaminate(corpus, "doc_id", "text",
+        eval, "eval_id", "text", k = 16, bands = 4,
+        jaccardThreshold = 0.9)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Segment-level dedup (C4-style boilerplate removal): duplicate docs'
     // segments all dedup away; each doc reassembles from survivors
     "dedup_segments" -> ((s, d) =>
@@ -265,6 +279,20 @@ object DedupQueries {
     "dedup_minhash_pairs" ->
       (minhashPairsCtes +
         "\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"),
+
+    // the same signature/band/verify chain over corpus ∪ offset eval set;
+    // contaminated = corpus ids paired (at the 0.9 gate) with an eval id
+    "tx_decontaminate_fuzzy" ->
+      (minhashPairsCtesOver(
+        """u AS (SELECT doc_id AS id, text FROM documents
+          |  UNION ALL SELECT doc_id + 10000, text FROM documents
+          |  UNION ALL SELECT doc_id + 50000, text FROM documents
+          |    WHERE doc_id < 5)""".stripMargin) +
+        """
+          |SELECT id AS doc_id FROM u
+          |WHERE id < 50000 AND id NOT IN
+          |  (SELECT id_a FROM pairs WHERE id_b >= 50000)
+          |ORDER BY doc_id""".stripMargin),
 
     "dedup_incr_exact" ->
       """WITH state AS (SELECT DISTINCT

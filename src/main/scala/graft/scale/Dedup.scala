@@ -180,17 +180,28 @@ object Dedup {
     * `(id, shingle_set, sig, is_new)`: bucket each signature band, self-join
     * within buckets, drop pairs with no new endpoint, verify with exact
     * Jaccard. Bucket sizes, not n², bound the join. */
+  /** Banded-LSH bucket keys from a [[minhashState]]-shaped frame: one row
+    * per (id, band) with `band_hash` = md5 over the band's signature slice
+    * — the exact banding [[candidatesFrom]] always used, extracted so
+    * cross-corpus joins (fuzzy decontamination) share it bit-for-bit.
+    * `carry` names extra columns to keep on the banded rows. */
+  private def bandFrame(sig: DataFrame, k: Int, bands: Int,
+      carry: Seq[String]): DataFrame = {
+    val rows = k / bands
+    sig.select((col("id") +: carry.map(col)) :+
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        md5(concat_ws("-", transform(
+          slice(col("sig"), b * rows + 1, lit(rows)),
+          x => x.cast("string")))))): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
   private def candidatesFrom(sig: DataFrame, k: Int, bands: Int,
       jaccardThreshold: Double): DataFrame = {
-    val rows = k / bands
     val sets = sig.select(col("id"), col("shingle_set"))
     // bands carry only (id, band, hash, is_new): the heavy shingle arrays
     // do NOT ride through the candidate join
-    val banded = sig.select(col("id"), col("is_new"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        md5(concat_ws("-", transform(
-          slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val banded = bandFrame(sig, k, bands, Seq("is_new"))
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"),
       col("is_new").as("new_a"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"),
@@ -208,6 +219,48 @@ object Dedup {
         jaccard(col("set_a"), col("set_b")).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
   }
+
+  /** Fuzzy benchmark decontamination matches (GPT-3 appx-C lineage, the
+    * NEAR-duplicate step exact n-gram screening misses — light paraphrase,
+    * whitespace/punctuation drift, partial copies): every (corpus doc,
+    * eval doc) pair whose shingle-set Jaccard clears `jaccardThreshold`,
+    * found by joining the corpus' LSH band buckets against the EVAL SET's
+    * (same [[bandFrame]] banding bit-for-bit).
+    *
+    * 100 TB shape: the eval side is benchmark-sized by contract, so its
+    * banded keys and shingle sets ride as broadcasts — the corpus pays one
+    * signature pass and a broadcast-join probe, never a corpus×corpus
+    * band shuffle; verification touches only candidate rows. */
+  def fuzzyContaminations(corpus: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalIdCol: String, evalTextCol: String,
+      k: Int = 16, bands: Int = 4, jaccardThreshold: Double = 0.9,
+      shingleN: Int = 3): DataFrame = {
+    val c = minhashState(corpus, idCol, textCol, k, shingleN)
+    val e = minhashState(evalDocs, evalIdCol, evalTextCol, k, shingleN)
+    val cand = bandFrame(c, k, bands, Nil)
+      .join(broadcast(bandFrame(e, k, bands, Nil)
+        .withColumnRenamed("id", "eval_id")), Seq("band", "band_hash"))
+      .select(col("id"), col("eval_id")).distinct()
+    cand
+      .join(c.select(col("id"), col("shingle_set").as("__set_c")), "id")
+      .join(broadcast(e.select(col("id").as("eval_id"),
+        col("shingle_set").as("__set_e"))), "eval_id")
+      .select(col("id"), col("eval_id"),
+        jaccard(col("__set_c"), col("__set_e")).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** The corpus with every [[fuzzyContaminations]] hit removed — the
+    * decontaminated training set (anti-join on the bounded hit set). */
+  def fuzzyDecontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalIdCol: String, evalTextCol: String,
+      k: Int = 16, bands: Int = 4, jaccardThreshold: Double = 0.9,
+      shingleN: Int = 3): DataFrame =
+    corpus.join(
+      fuzzyContaminations(corpus, idCol, textCol, evalDocs, evalIdCol,
+        evalTextCol, k, bands, jaccardThreshold, shingleN)
+        .select(col("id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {

@@ -43,6 +43,38 @@ class ScaleSpec extends SparkSpec {
     assert(all.forall(_ >= 0.5))
   }
 
+  test("fuzzy decontamination drops near-copies of eval docs that exact " +
+      "n-gram screening keeps; clean docs survive") {
+    // eval doc: one benchmark prompt. corpus doc 11 is an exact copy,
+    // doc 12 a light paraphrase (one token changed — shingle Jaccard
+    // under 1 but over the 0.5 gate), doc 13 unrelated.
+    val evalDocs = Seq((100L,
+      "what is the capital city of france paris is the capital of france"))
+      .toDF("eval_id", "text")
+    val corpus = Seq(
+      (11L, "what is the capital city of france paris is the capital of france"),
+      (12L, "what is the capital city of france paris is the capital of spain"),
+      (13L, "completely unrelated training document about fox behavior")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.fuzzyDecontaminate(corpus, "doc_id", "text",
+      evalDocs, "eval_id", "text", k = 16, bands = 4,
+      jaccardThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(13L), s"kept $kept")
+    // the matches frame reports both hits with their verified Jaccard
+    val hits = Dedup.fuzzyContaminations(corpus, "doc_id", "text",
+      evalDocs, "eval_id", "text", 16, 4, 0.5)
+      .select($"id", $"eval_id", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(_._1).toSet == Set(11L, 12L))
+    assert(hits.forall(h => h._2 == 100L && h._3 >= 0.5))
+    assert(hits.find(_._1 == 11L).get._3 == 1.0)
+    // exact unigram screening at n=3 grams would ALSO catch doc 12 here,
+    // but at a strict full-fingerprint level doc 12 differs — the fuzzy
+    // path's value is the verified sub-1.0 match: assert it is sub-1.0
+    assert(hits.find(_._1 == 12L).get._3 < 1.0)
+  }
+
   test("incremental exact dedup: state blocks history, replay is idempotent") {
     val state = Dedup.exactState(corpus.filter($"doc_id" <= 2), "doc_id", "text")
     val batch = corpus.filter($"doc_id" >= 3)
