@@ -31,6 +31,31 @@ object AnnQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Hard-negative mining (contrastive-training data op): per query, the
+    // 10 most-similar corpus vectors with a DIFFERENT label — the closest
+    // impostors; label filter below the scoring so mismatches never pay
+    // the dot product
+    "ann_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.hardNegatives(e.filter(col("vec_id") < 5), e,
+        "vec_id", "embedding", "label", 10)
+        .select("query_id", "rnk", "neighbor_id", "neighbor_label")
+        .orderBy("query_id", "rnk")
+    }),
+
+    // kNN label-agreement probe (embedding-quality QA): majority label of
+    // each query's 10 nearest neighbors vs its own, aggregated per label
+    // as pure integer counts
+    "ann_knn_label_acc" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.knnLabelAgreement(e.filter(col("vec_id") < 50), e,
+        "vec_id", "embedding", "label", 10)
+        .groupBy("own_label")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("agree"), 1L).otherwise(0L)).as("n_agree"))
+        .orderBy("own_label")
+    }),
+
     // IVF-style ANN: search restricted to the query's coarse cell (label)
     "ann_ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
@@ -558,6 +583,42 @@ object AnnQueries {
          |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
          |  FROM q, c WHERE query_id != neighbor_id)
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS cl
+         |  FROM embeddings)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id,
+         |  neighbor_label FROM (
+         |  SELECT query_id, neighbor_id, cl AS neighbor_label,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
+         |  FROM q, c WHERE ql != cl)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_knn_label_acc" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+         |    label AS own_label
+         |  FROM embeddings WHERE vec_id < 50),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS cl
+         |  FROM embeddings),
+         |bf AS (SELECT query_id, neighbor_id, cl FROM (
+         |  SELECT query_id, neighbor_id, cl, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
+         |  FROM q, c WHERE query_id != neighbor_id)
+         |  WHERE rnk <= 10),
+         |votes AS (SELECT query_id, cl, count(*) AS v FROM bf GROUP BY 1, 2),
+         |maj AS (SELECT query_id, cl AS knn_label FROM (
+         |  SELECT query_id, cl, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY v DESC, cl ASC) AS r FROM votes) WHERE r = 1)
+         |SELECT q.own_label AS own_label, CAST(count(*) AS BIGINT)
+         |    AS n_queries,
+         |  CAST(sum(CASE WHEN maj.knn_label = q.own_label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_agree
+         |FROM maj JOIN q USING (query_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label

@@ -60,6 +60,59 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query, the `k` most similar corpus items with a DIFFERENT label — the
+    * closest impostors, which carry the training signal random negatives
+    * lack (in-batch negatives are mostly easy; the hard ones are what move
+    * a retriever). Same scan shape as [[bruteForceTopK]] with the label
+    * inequality pushed BELOW the scoring, so mismatched pairs never pay
+    * the dot product. At 100 TB compose with the IVF route instead:
+    * probe cells ([[ivfTopK]]'s join) and apply the same label filter —
+    * the exact form here is the ground-truth/QA baseline. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      col(labelCol).as("query_label")).withColumn("qn", norm(col("qvec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec"), col(labelCol).as("neighbor_label"))
+      .withColumn("cn", norm(col("cvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_label") =!= col("neighbor_label"))
+      .withColumn("cosine",
+        cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("neighbor_label"), col("cosine"))
+  }
+
+  /** kNN label-agreement probe — the standard embedding-quality QA: each
+    * query's k nearest neighbors (excluding itself) vote with their
+    * labels; `knn_label` is the majority (count desc, label asc — total
+    * order), `agree` whether it matches the query's own label. High
+    * agreement = the space clusters by label; a drop after a pipeline
+    * change is the early-warning signal. Integer/string logic end to end
+    * after the scored top-k. */
+  def knnLabelAgreement(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val top = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("neighbor_label")), "neighbor_id")
+    val votes = top.groupBy("query_id", "neighbor_label")
+      .agg(count(lit(1)).as("__votes"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("__votes").desc, col("neighbor_label").asc)
+    val majority = votes.withColumn("__r", row_number().over(wv))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("neighbor_label").as("knn_label"))
+    majority
+      .join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("own_label")), "query_id")
+      .withColumn("agree", col("knn_label") === col("own_label"))
+  }
+
   /** IVF-style ANN: candidates restricted to the query's coarse cell
     * (`cellCol` — a precomputed cluster/partition label, the inverted-file
     * list). The join shuffles on the cell key; per-cell candidate lists are

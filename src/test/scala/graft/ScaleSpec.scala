@@ -192,6 +192,44 @@ class ScaleSpec extends SparkSpec {
     assert(rows == Seq((1, 1L), (2, 3L)))
   }
 
+  test("hard negatives: no same-label neighbor ever, equals brute force " +
+      "minus the query's own class; kNN probe separates a clean space") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f), 0), (1L, Seq(0.95f, 0.05f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0f), 0),
+      (3L, Seq(0.8f, 0.2f, 0f), 1), // closest impostor to class 0
+      (4L, Seq(0f, 1f, 0f), 1), (5L, Seq(0f, 0.9f, 0.1f), 1),
+      (6L, Seq(0f, 0f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val q = vecs.filter($"vec_id" === 0)
+    val hn = Similarity.hardNegatives(q, vecs, "vec_id", "embedding",
+      "label", 3).select("rnk", "neighbor_id", "neighbor_label")
+      .as[(Int, Long, Int)].collect().toSeq.sortBy(_._1)
+    // never the query's own class, ranks contiguous, hardest first
+    assert(hn.forall(_._3 != 0))
+    assert(hn.map(_._1) == Seq(1, 2, 3))
+    assert(hn.head._2 == 3L) // the near-boundary impostor outranks far ones
+    // equals brute-force top-k restricted to other labels
+    val bfOther = Similarity.bruteForceTopK(q, vecs.filter($"label" =!= 0),
+      "vec_id", "embedding", 3)
+      .select("rnk", "neighbor_id").as[(Int, Long)].collect().toSeq.sorted
+    assert(hn.map(t => (t._1, t._2)).sorted == bfOther)
+    // cleanly clustered points agree; the planted boundary impostor
+    // (vec 3, class 1 sitting inside class 0's cone) is flagged — exactly
+    // the mislabeled/boundary case the probe exists to surface
+    val agree = Similarity.knnLabelAgreement(
+      vecs.filter($"vec_id" <= 5), vecs, "vec_id", "embedding", "label", 2)
+      .select("query_id", "agree").as[(Long, Boolean)].collect().toMap
+    assert(agree.size == 6)
+    assert(agree.collect { case (k, v) if k != 3L => v }.forall(identity))
+    assert(!agree(3L))
+    // majority tie-break: 1 vote each → smallest label wins
+    val one = Similarity.knnLabelAgreement(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", "label", 2)
+      .select("knn_label").as[Int].collect()
+    assert(one.toSeq == Seq(0)) // neighbors 1 (label 0) and 2 (label 0)
+  }
+
   test("IVF top-k restricted to the query's cell equals brute force within the cell") {
     val vecs = Seq(
       (0L, Seq(1f, 0f), 0), (1L, Seq(0.9f, 0.1f), 0), (2L, Seq(0.8f, 0.2f), 0),
