@@ -221,6 +221,27 @@ object PipelineQueries {
         .orderBy("user_id", "version")
     }),
 
+    // Point-in-time enrichment against the SCD2 dimension: each purchase
+    // event picks up the dimension version VALID AT its timestamp (the
+    // feature-store / training-data leak-free lookup) — composed as the
+    // as-of join on version open edges, which equals interval containment
+    "join_scd2_pit" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val dim = Temporal.scd2(
+        ev.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type")),
+        "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("effective_from").as("ts"),
+          col("version").as("dim_version"),
+          col("event_type").as("dim_state"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Temporal.asOfJoin(probes, dim, "user_id", "ts",
+        Seq("dim_version", "dim_state"))
+        .select("event_id", "dim_version", "dim_state")
+        .orderBy("event_id")
+    }),
+
     // As-of join: each click → most recent purchase at-or-before, per user
     // (union + carry-forward window — one shuffle, no inequality join)
     "join_asof" -> ((s, d) => {
@@ -371,6 +392,29 @@ object PipelineQueries {
          |  CAST(${spread("ra")} + 2 * (${spread("rb")}) AS BIGINT) AS zv
          |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+
+    // interval containment (from <= ts < to, open current) over the same
+    // scd2 CTE stack — the as-of composition must equal it exactly
+    "join_scd2_pit" ->
+      """WITH c AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, ts, event_id, event_type FROM c
+        |  WHERE prev IS NULL OR prev != event_type),
+        |v AS (SELECT user_id, event_type AS state, ts AS from_ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS version,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_ts
+        |  FROM ch),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, CAST(v.version AS BIGINT) AS dim_version,
+        |  v.state AS dim_state
+        |FROM p JOIN v ON p.user_id = v.user_id AND v.from_ts <= p.ts
+        |  AND (v.to_ts IS NULL OR p.ts < v.to_ts)
+        |ORDER BY p.event_id""".stripMargin,
 
     "scd2_intervals" ->
       """WITH c AS (SELECT user_id, ts, event_id, event_type,
