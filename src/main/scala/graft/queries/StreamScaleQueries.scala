@@ -230,6 +230,34 @@ object StreamScaleQueries {
     // store can flag them; the live detector must equal batch-at-once
     // crossDocRepeats on the union (the dedup_cross_repeats oracle,
     // verbatim)
+    // Streaming SCD2: three change batches split by event_id mod 3 — each
+    // batch carries timestamps interleaved with the others', so every key
+    // sees out-of-order arrivals; the live dimension must still equal
+    // batch-at-once versioning of the union (the oracle)
+    "st_scd2_update" -> ((s, d) => {
+      val store = java.nio.file.Files.createTempDirectory("graft_s2_w").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_s2_s").toString
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      for (b <- 0 to 2)
+        graft.streaming.StreamScd2.applyBatch(s,
+          ev.filter(pmod(col("event_id"), lit(3)) === b), b.toLong,
+          "user_id", "ts", "event_id", "event_type", store, state)
+      // at-least-once replay of a committed batch must be a no-op
+      val replay = graft.streaming.StreamScd2.applyBatch(s,
+        ev.filter(pmod(col("event_id"), lit(3)) === 1), 1L,
+        "user_id", "ts", "event_id", "event_type", store, state)
+      require(replay.replaySkipped, "committed batch replay was not skipped")
+      graft.streaming.StreamScd2.currentDimension(s, store, state)
+        .select(col("key").as("user_id"), col("version"),
+          col("attr").as("state"),
+          unix_micros(col("effective_from")).as("from_micros"),
+          unix_micros(col("effective_to")).as("to_micros"),
+          col("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
     "st_crossdoc_update" -> ((s, d) => {
       val store = java.nio.file.Files.createTempDirectory("graft_sr_w").toString
       val state = java.nio.file.Files.createTempDirectory("graft_sr_s").toString
@@ -371,6 +399,26 @@ object StreamScaleQueries {
     // batch-at-once crossDocRepeats over the union corpus — the
     // dedup_cross_repeats oracle's exact shape (the streamed store must
     // reproduce it although every repeat pair straddles the batches)
+    // streamed change batches (any split, any order) == batch-at-once
+    // scd2 on the union — the oracle IS the scd2_intervals formulation
+    "st_scd2_update" ->
+      """WITH c AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, ts, event_id, event_type FROM c
+        |  WHERE prev IS NULL OR prev != event_type),
+        |v AS (SELECT user_id, event_type AS state, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS version,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_ts
+        |  FROM ch)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, state,
+        |  epoch_us(ts) AS from_micros, epoch_us(to_ts) AS to_micros,
+        |  (to_ts IS NULL) AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
     "st_crossdoc_update" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 10000, text FROM documents
