@@ -103,6 +103,37 @@ object SamplingQueries {
         .orderBy("inst_id", "seq_id")
     }),
 
+    // Padding-waste report (dynamic-batching QA): per 32-doc batch, the
+    // tokens a pad-to-max collator burns under length-sorted vs arrival
+    // -order batching — the measured case for length bucketing. Both
+    // rankings run through the skew-safe two-level groupedRank (constant
+    // group = the worst skew case: NO global-order window forms)
+    "samp_padding_waste" -> ((s, d) => {
+      val b = 32L
+      val base = docs(s, d)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+        .withColumn("g", lit("all"))
+      def batched(orderCol: String, strategy: String) =
+        Sampling.groupedRank(base, "g", orderCol, "doc_id")
+          .withColumn("batch_id", expr(s"(rank - 1L) div ${b}L"))
+          .groupBy("batch_id")
+          .agg(count(lit(1)).as("n_rows"), max("n_tokens").as("max_tokens"),
+            sum("n_tokens").as("sum_tokens"))
+          .withColumn("padding_tokens",
+            col("max_tokens") * col("n_rows") - col("sum_tokens"))
+          .withColumn("strategy", lit(strategy))
+      batched("n_tokens", "length_sorted")
+        .unionByName(batched("doc_id", "arrival"))
+        .select(col("strategy"), col("batch_id"),
+          col("n_rows").cast("long").as("n_rows"),
+          col("max_tokens").cast("long").as("max_tokens"),
+          col("sum_tokens").cast("long").as("sum_tokens"),
+          col("padding_tokens").cast("long").as("padding_tokens"))
+        .orderBy("strategy", "batch_id")
+    }),
+
     // DSIR importance weights: how target-like (here: English-distributed)
     // each doc's hashed-token profile is — bucket-ratio model built in one
     // bounded agg, scoring zero-shuffle (Sampling.importanceWeights); the
@@ -288,6 +319,31 @@ object SamplingQueries {
       s"""WITH $repeatEpochsCtes
          |SELECT doc_id, source, n_tokens, epochs FROM epr
          |ORDER BY doc_id""".stripMargin,
+
+    // plain windows in the oracle (lowercasing never changes token count)
+    "samp_padding_waste" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len($duckToksAll) AS BIGINT) AS n_tokens FROM documents),
+         |r AS (SELECT doc_id, n_tokens,
+         |    row_number() OVER (ORDER BY n_tokens, doc_id) AS rk_len,
+         |    row_number() OVER (ORDER BY doc_id) AS rk_arr
+         |  FROM t),
+         |ls AS (SELECT 'length_sorted' AS strategy,
+         |    (rk_len - 1) // 32 AS batch_id, count(*) AS n_rows,
+         |    max(n_tokens) AS max_tokens, sum(n_tokens) AS sum_tokens
+         |  FROM r GROUP BY 2),
+         |ar AS (SELECT 'arrival' AS strategy,
+         |    (rk_arr - 1) // 32 AS batch_id, count(*) AS n_rows,
+         |    max(n_tokens) AS max_tokens, sum(n_tokens) AS sum_tokens
+         |  FROM r GROUP BY 2),
+         |u AS (SELECT * FROM ls UNION ALL SELECT * FROM ar)
+         |SELECT strategy, CAST(batch_id AS BIGINT) AS batch_id,
+         |  CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(max_tokens AS BIGINT) AS max_tokens,
+         |  CAST(sum_tokens AS BIGINT) AS sum_tokens,
+         |  CAST(max_tokens * n_rows - sum_tokens AS BIGINT)
+         |    AS padding_tokens
+         |FROM u ORDER BY strategy, batch_id""".stripMargin,
 
     // repeat plan → one row per epoch instance → the pack cumsum over the
     // instance order (the pack_sequences oracle shape on instance ids)

@@ -476,59 +476,16 @@ object Sampling {
       tieCol: String, k: Int, buckets: Int = 64,
       maxGroups: Int = 1000): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    require(buckets >= 2, s"buckets must be >= 2: $buckets")
-    require(!df.columns.contains("bucket"),
-      "groupedNtile adds a scratch 'bucket' column; rename the input's")
     require(!df.columns.contains("ntile"),
       "groupedNtile adds an 'ntile' column; rename the input's")
-    val taken = df.columns ++ Seq("bucket", "ntile")
-    val gC = Cols.fresh("__g", taken)
-    val rnC = Cols.fresh("__rn", taken)
-    val offC = Cols.fresh("__off", taken)
+    val taken = df.columns ++ Seq("rank", "n_in_group", "ntile")
     val nC = Cols.fresh("__n", taken)
     val rkC = Cols.fresh("__rk", taken)
-    val withB = bucketsFromCuts(df, orderCol,
-      quantileCuts(df, orderCol, buckets))
-    // per-(group, bucket) counts: the bound is CONTRACTUAL (languages,
-    // sources) — cap what reaches the driver BEFORE collecting, so a
-    // high-cardinality misuse errors instead of OOMing the collect
-    val subs = withB
-      .groupBy(col(groupCol).cast("string").as(gC), col("bucket"))
-      .agg(count(lit(1)).as("__c"))
-      .limit(maxGroups * buckets + 1).collect()
-      .map { r =>
-        require(!r.isNullAt(0), s"groupedNtile: null $groupCol")
-        require(!r.isNullAt(1), s"groupedNtile: null $orderCol")
-        (r.getString(0), r.getLong(1), r.getLong(2))
-      }
-    require(subs.length <= maxGroups * buckets,
-      s"groupedNtile saw > $maxGroups groups × $buckets cut buckets; it " +
-        "is for low-cardinality group columns — raise maxGroups only if " +
-        "the driver can hold that offset table")
-    // per-group running offsets + totals (tiny, driver-side, broadcast)
-    val offRows = subs.groupBy(_._1).toSeq.flatMap { case (g, entries) =>
-      val sorted = entries.sortBy(_._2)
-      val prefix = sorted.map(_._3).scanLeft(0L)(_ + _)
-      val total = prefix.last
-      sorted.zip(prefix).map { case ((_, b, _), off) => (g, b, off, total) }
-    }
-    if (offRows.isEmpty) {
-      return df.withColumn("ntile", lit(null).cast("long")).filter(lit(false))
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsets = broadcast(offRows.toDF(gC, "bucket", offC, nC))
-    val w = Window.partitionBy(col(groupCol), col("bucket"))
-      .orderBy(col(orderCol), col(tieCol))
+    val ranked = groupedRank(df, groupCol, orderCol, tieCol, buckets,
+      maxGroups, rankCol = rkC, nCol = nC)
     val q = expr(s"$nC div ${k}L")           // base bucket size
     val rem = expr(s"$nC % ${k}L")           // buckets that take one extra
-    withB
-      .withColumn(rnC, row_number().over(w).cast("long"))
-      .join(offsets,
-        withB(groupCol).cast("string") === offsets(gC)
-          && withB("bucket") === offsets("bucket"))
-      .drop(offsets(gC)).drop(offsets("bucket"))
-      .withColumn(rkC, col(offC) + col(rnC))
+    ranked
       // SQL ntile: rank r in 1..n → first rem buckets hold q+1 rows each;
       // greatest(q, 1) keeps the (unreachable when q = 0) else branch from
       // dividing by zero under codegen's non-ANSI null result
@@ -539,7 +496,72 @@ object Sampling {
             s"($rkC - 1L - ($nC % ${k}L) * ($nC div ${k}L + 1L)) div " +
               s"greatest($nC div ${k}L, 1L) + 1L"))
           .cast("long"))
-      .drop("bucket", rnC, offC, nC, rkC)
+      .drop(rkC, nC)
+  }
+
+  /** Skew-safe EXACT grouped rank — the machinery behind [[groupedNtile]],
+    * exposed for consumers that need the `row_number() OVER (PARTITION BY
+    * group ORDER BY order, tie)` value itself (batch construction,
+    * curriculum positions) without a per-group global-order window: rows
+    * bucket by global [[quantileCuts]] (any order-consistent bucketing
+    * yields the same ranks), per-(group, bucket) counts become per-group
+    * base offsets + totals broadcast back, and rank = offset +
+    * bucket-partitioned `row_number`. Adds `rankCol` (1-based, int64) and
+    * `nCol` (the group's row count). */
+  def groupedRank(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, buckets: Int = 64, maxGroups: Int = 1000,
+      rankCol: String = "rank", nCol: String = "n_in_group"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    require(!df.columns.contains("bucket"),
+      "groupedRank adds a scratch 'bucket' column; rename the input's")
+    require(!df.columns.contains(rankCol) && !df.columns.contains(nCol),
+      s"groupedRank adds '$rankCol'/'$nCol'; rename the input's")
+    val taken = df.columns ++ Seq("bucket", rankCol, nCol)
+    val gC = Cols.fresh("__g", taken)
+    val rnC = Cols.fresh("__rn", taken)
+    val offC = Cols.fresh("__off", taken)
+    val withB = bucketsFromCuts(df, orderCol,
+      quantileCuts(df, orderCol, buckets))
+    // per-(group, bucket) counts: the bound is CONTRACTUAL (languages,
+    // sources) — cap what reaches the driver BEFORE collecting, so a
+    // high-cardinality misuse errors instead of OOMing the collect
+    val subs = withB
+      .groupBy(col(groupCol).cast("string").as(gC), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+      .limit(maxGroups * buckets + 1).collect()
+      .map { r =>
+        require(!r.isNullAt(0), s"groupedRank: null $groupCol")
+        require(!r.isNullAt(1), s"groupedRank: null $orderCol")
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      }
+    require(subs.length <= maxGroups * buckets,
+      s"groupedRank saw > $maxGroups groups × $buckets cut buckets; it " +
+        "is for low-cardinality group columns — raise maxGroups only if " +
+        "the driver can hold that offset table")
+    // per-group running offsets + totals (tiny, driver-side, broadcast)
+    val offRows = subs.groupBy(_._1).toSeq.flatMap { case (g, entries) =>
+      val sorted = entries.sortBy(_._2)
+      val prefix = sorted.map(_._3).scanLeft(0L)(_ + _)
+      val total = prefix.last
+      sorted.zip(prefix).map { case ((_, b, _), off) => (g, b, off, total) }
+    }
+    if (offRows.isEmpty) {
+      return df.withColumn(rankCol, lit(null).cast("long"))
+        .withColumn(nCol, lit(null).cast("long")).filter(lit(false))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = broadcast(offRows.toDF(gC, "bucket", offC, nCol))
+    val w = Window.partitionBy(col(groupCol), col("bucket"))
+      .orderBy(col(orderCol), col(tieCol))
+    withB
+      .withColumn(rnC, row_number().over(w).cast("long"))
+      .join(offsets,
+        withB(groupCol).cast("string") === offsets(gC)
+          && withB("bucket") === offsets("bucket"))
+      .drop(offsets(gC)).drop(offsets("bucket"))
+      .withColumn(rankCol, col(offC) + col(rnC))
+      .drop("bucket", rnC, offC)
   }
 
   /** GPT-style sequence packing (document-concatenation batch
