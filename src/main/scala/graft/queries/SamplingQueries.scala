@@ -103,6 +103,28 @@ object SamplingQueries {
         .orderBy("inst_id", "seq_id")
     }),
 
+    // Water-filling mixture allocation: budget split by target weights,
+    // capped at each source's supply, surplus redistributed to the rest at
+    // their relative weights — integer fixed-point plan; the allocation
+    // rides the gate as literals and lit_check re-derives it
+    "samp_waterfill" -> ((s, d) => {
+      val avail = docs(s, d)
+        .groupBy("source")
+        .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .as("avail"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val plan = Sampling.waterfillAllocation(avail,
+        Map("src0" -> 2500, "src1" -> 1500), defaultBp = 300,
+        budgetTokens = 20000L)
+      OracleLits.put("waterfill_alloc",
+        plan.map { case (g, _, w, al) =>
+          s"(${OracleLits.sqlStr(g)}, $w, $al)"
+        }.mkString(", "))
+      import s.implicits._
+      plan.toDF("source", "avail_tokens", "weight_bp", "alloc_tokens")
+        .orderBy("source")
+    }),
+
     // Padding-waste report (dynamic-batching QA): per 32-doc batch, the
     // tokens a pad-to-max collator burns under length-sorted vs arrival
     // -order batching — the measured case for length bucketing. Both
@@ -319,6 +341,23 @@ object SamplingQueries {
       s"""WITH $repeatEpochsCtes
          |SELECT doc_id, source, n_tokens, epochs FROM epr
          |ORDER BY doc_id""".stripMargin,
+
+    // avail re-derived in SQL (a literal-vs-data mismatch fails the join);
+    // the algorithmic alloc column is the registered literal, re-derived
+    // independently by lit_check's python water-filling replica
+    "samp_waterfill" -> {
+      val vals = OracleLits.get("waterfill_alloc")
+        .getOrElse("('__none__', 0, 0)")
+      s"""WITH a AS (SELECT source,
+         |    CAST(sum(len($duckToksAll)) AS BIGINT) AS avail_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT * FROM (VALUES $vals)
+         |  AS t(source, weight_bp, alloc_tokens))
+         |SELECT a.source, a.avail_tokens,
+         |  CAST(w.weight_bp AS BIGINT) AS weight_bp,
+         |  CAST(w.alloc_tokens AS BIGINT) AS alloc_tokens
+         |FROM a JOIN w USING (source) ORDER BY source""".stripMargin
+    },
 
     // plain windows in the oracle (lowercasing never changes token count)
     "samp_padding_waste" ->

@@ -423,6 +423,78 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < rateMap(col(groupCol).cast("string")))
   }
 
+  /** Water-filling token allocation for mixture construction: split
+    * `budgetTokens` across groups proportionally to `weightsBp`, capped by
+    * each group's available tokens, with capped groups' surplus
+    * redistributed among the rest at THEIR relative weights — iterated to
+    * the fixed point (the standard mixture-building step when target
+    * weights exceed what small sources hold; [[repeatEpochs]] is the
+    * sibling that REPEATS scarce sources instead of redistributing).
+    *
+    * Pure integer arithmetic, fully deterministic: proportional targets
+    * are int64 floor division, and the sub-group-count floor remainder is
+    * handed out one token at a time in group-name order to groups with
+    * headroom. Invariants (spec-asserted): Σ alloc = min(budget, Σ avail);
+    * alloc ≤ avail per group; saturated groups get exactly avail.
+    * Driver-side on the bounded per-group table (`avail` must be
+    * group-cardinality-sized — the [[temperatureSample]] contract);
+    * tools/lit_check.py re-derives the allocation independently. */
+  def waterfillAllocation(avail: Seq[(String, Long)],
+      weightsBp: Map[String, Int], defaultBp: Int,
+      budgetTokens: Long): Seq[(String, Long, Long, Long)] = {
+    require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
+    require(defaultBp >= 0, "defaultBp must be >= 0")
+    avail.foreach { case (g, a) =>
+      require(a >= 0, s"negative avail for $g: $a") }
+    val weight: Map[String, Long] = avail.map { case (g, _) =>
+      g -> weightsBp.getOrElse(g, defaultBp).toLong }.toMap
+    weight.foreach { case (g, w) =>
+      require(w >= 0, s"negative weight for $g") }
+    val alloc = scala.collection.mutable.Map[String, Long]()
+    var active = avail.sortBy(_._1) // name order — deterministic
+      .filter { case (g, _) => weight(g) > 0 }
+    // zero-weight (and, below, saturated) groups are fixed at their cap
+    avail.foreach { case (g, a) =>
+      alloc(g) = if (weight(g) == 0) 0L else -1L }
+    var remaining = budgetTokens
+    var progress = true
+    while (progress && active.nonEmpty) {
+      progress = false
+      val sumAvail = active.map(_._2).sum
+      if (sumAvail <= remaining) {
+        // everything left saturates — budget exceeds supply
+        active.foreach { case (g, a) => alloc(g) = a }
+        remaining -= sumAvail
+        active = Nil
+      } else {
+        val sumW = active.map { case (g, _) => weight(g) }.sum
+        val sat = active.filter { case (g, a) =>
+          a <= remaining * weight(g) / sumW }
+        if (sat.nonEmpty) {
+          sat.foreach { case (g, a) => alloc(g) = a; remaining -= a }
+          active = active.filterNot { case (g, _) => sat.exists(_._1 == g) }
+          progress = true
+        } else {
+          // fixed point: floor targets + name-order remainder hand-out
+          val sumWf = active.map { case (g, _) => weight(g) }.sum
+          active.foreach { case (g, _) =>
+            alloc(g) = remaining * weight(g) / sumWf }
+          var r = remaining - active.map { case (g, _) => alloc(g) }.sum
+          var i = 0
+          while (r > 0) {
+            val (g, a) = active(i % active.size)
+            if (alloc(g) < a) { alloc(g) += 1; r -= 1 }
+            i += 1
+          }
+          remaining = 0
+          active = Nil
+        }
+      }
+    }
+    avail.sortBy(_._1).map { case (g, a) =>
+      (g, a, weight(g), alloc(g)) }
+  }
+
   /** Scale-path quantile bucketing: assign each row a bucket 1..n by
     * comparing `valueCol` against percentile_approx cut-points — a single
     * fixed-size-sketch aggregation plus a zero-shuffle per-row comparison

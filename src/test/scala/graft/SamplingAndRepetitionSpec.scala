@@ -719,6 +719,38 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(out(1L) == 0.0 && out(2L) == 1.0 && out(3L) == 2.0 && out(4L) == 0.0)
   }
 
+  test("waterfill: saturation + redistribution invariants, budget edge " +
+      "cases, zero weights") {
+    import graft.scale.Sampling.waterfillAllocation
+    val avail = Seq(("a", 100L), ("b", 1000L), ("c", 1000L))
+    // a's 50% target (600) exceeds its 100 supply → it caps; the surplus
+    // redistributes to b/c at their relative weights (equal halves)
+    val p = waterfillAllocation(avail,
+      Map("a" -> 5000, "b" -> 2500, "c" -> 2500), 0, 1200L)
+      .map(t => t._1 -> t._4).toMap
+    assert(p == Map("a" -> 100L, "b" -> 550L, "c" -> 550L))
+    // Σ alloc = min(budget, Σ avail); per-group alloc ≤ avail — under a
+    // budget that exceeds supply, everything saturates
+    val over = waterfillAllocation(avail,
+      Map("a" -> 5000, "b" -> 2500, "c" -> 2500), 0, 99999L)
+    assert(over.map(_._4).sum == 2100L)
+    assert(over.forall(t => t._4 == avail.toMap.apply(t._1)))
+    // indivisible remainder hands out one token at a time in name order
+    val odd = waterfillAllocation(
+      Seq(("a", 10L), ("b", 10L), ("c", 10L)),
+      Map.empty, 100, 10L).map(t => t._1 -> t._4).toMap
+    assert(odd == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    assert(odd.values.sum == 10L)
+    // zero-weight groups get nothing; zero budget allocates nothing
+    val zw = waterfillAllocation(avail, Map("a" -> 0), 100, 500L)
+      .map(t => t._1 -> t._4).toMap
+    assert(zw("a") == 0L && zw.values.sum == 500L)
+    assert(waterfillAllocation(avail, Map.empty, 100, 0L)
+      .forall(_._4 == 0L))
+    intercept[IllegalArgumentException](
+      waterfillAllocation(Seq(("a", -1L)), Map.empty, 100, 10L))
+  }
+
   test("lrTrain: deterministic weights, separable corpus separates, " +
       "empty corpus yields zeros, score gate is consistent") {
     val long = Array.fill(60)("the quick fox").mkString(" ")

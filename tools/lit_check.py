@@ -307,6 +307,65 @@ def check_lr_weights(frag, errs):
             errs.append(f"w[{j}]: engine={e} recomputed={r}")
 
 
+def check_waterfill(frag, errs):
+    """Independent water-filling replica: avail from the fixtures, the
+    fixed query constants (src0=2500bp, src1=1500bp, default 300bp,
+    budget 20000), pure-integer iteration — must match EXACTLY."""
+    got = re.findall(r"\('([^']*)', (\d+), (\d+)\)", frag)
+    if not got:
+        errs.append("no allocations parsed")
+        return
+    avail = dict(con.sql(
+        f"SELECT source, CAST(sum(len({TOKS})) AS BIGINT) "
+        "FROM documents GROUP BY 1").fetchall())
+    weights = {g: (2500 if g == "src0" else 1500 if g == "src1" else 300)
+               for g in avail}
+    budget = 20000
+    alloc = {g: 0 for g in avail}
+    active = sorted(g for g in avail if weights[g] > 0)
+    remaining = budget
+    progress = True
+    while progress and active:
+        progress = False
+        sum_avail = sum(avail[g] for g in active)
+        if sum_avail <= remaining:
+            for g in active:
+                alloc[g] = avail[g]
+            remaining -= sum_avail
+            active = []
+        else:
+            sum_w = sum(weights[g] for g in active)
+            sat = [g for g in active
+                   if avail[g] <= remaining * weights[g] // sum_w]
+            if sat:
+                for g in sat:
+                    alloc[g] = avail[g]
+                    remaining -= avail[g]
+                active = [g for g in active if g not in sat]
+                progress = True
+            else:
+                sum_wf = sum(weights[g] for g in active)
+                for g in active:
+                    alloc[g] = remaining * weights[g] // sum_wf
+                r = remaining - sum(alloc[g] for g in active)
+                i = 0
+                while r > 0:
+                    g = active[i % len(active)]
+                    if alloc[g] < avail[g]:
+                        alloc[g] += 1
+                        r -= 1
+                    i += 1
+                active = []
+    for g, w, al in got:
+        if g not in avail:
+            errs.append(f"unknown group {g}")
+        elif int(w) != weights[g] or int(al) != alloc[g]:
+            errs.append(f"{g}: engine=({w},{al}) "
+                        f"recomputed=({weights[g]},{alloc[g]})")
+    if len(got) != len(avail):
+        errs.append(f"parsed {len(got)} groups, fixtures have {len(avail)}")
+
+
 CHECKERS = {
     "dsir_ratios": check_dsir,
     "nb_model": check_nb_model,
@@ -315,6 +374,7 @@ CHECKERS = {
     "pca_vprev": check_pca,
     "len_decile_cuts": check_len_deciles,
     "lr_weights": check_lr_weights,
+    "waterfill_alloc": check_waterfill,
     "zorder_ra": check_zorder("l_orderkey"),
     "zorder_rb": check_zorder("l_partkey"),
     # hilbert shares the zorder rank-bucketing contract (same cut shape)
