@@ -47,6 +47,15 @@ object PipelineQueries {
         .select("id", "width", "height")
         .orderBy("id")),
 
+    // Content-defined chunking: boundaries where the running byte hash
+    // masks to zero (avg chunk 2^6 = 64 bytes) — insertion-robust chunk
+    // fingerprints where fixed windows shift forever after an edit
+    "mm_cdc_chunks" -> ((s, d) =>
+      Multimodal.cdcChunks(
+        Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"),
+        maskBits = 6)
+        .orderBy("id", "chunk_idx")),
+
     // Multimodal chunk-hash near-dup: payload pairs sharing ≥80% of the
     // smaller side's 64-byte chunk fingerprints (boilerplate chunks with
     // doc-freq > 50 dropped before pairing) — the dup'd corpus pairs every
@@ -302,6 +311,46 @@ object PipelineQueries {
       """SELECT doc_id AS id, 'text' AS modality, source,
         |CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_hash
         |FROM documents ORDER BY id""".stripMargin,
+
+    // the 16-byte window hash replayed as 16 lag()s over per-byte rows —
+    // deliberately NOT a stateful fold: DuckDB 1.0's list_reduce silently
+    // corrupts list accumulators under vectorized batches (verified
+    // per-row-correct / batch-wrong), so the operator was shaped windowed
+    "mm_cdc_chunks" -> {
+      val horner = (14 to 0 by -1).foldLeft(
+        "lag(v, 15) OVER (PARTITION BY id ORDER BY pos)") { (acc, k) =>
+        s"(($acc) * 33 + lag(v, $k) OVER (PARTITION BY id ORDER BY pos))" +
+          " % 2147483648"
+      }
+      s"""WITH b AS (SELECT doc_id AS id, i AS pos, strlen(text) AS n,
+         |    (ascii(substr(text, CAST(i AS INT), 1)) * 2654435761)
+         |      % 2147483648 AS v
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(range(1, strlen(text) + 1)) AS i) t
+         |  WHERE strlen(text) > 0),
+         |h AS (SELECT id, pos, n, $horner AS h FROM b),
+         |e0 AS (SELECT id, max(n) AS n, coalesce(list_sort(
+         |    list(pos) FILTER (WHERE pos >= 16 AND h % 64 = 0)),
+         |    CAST([] AS BIGINT[])) AS cuts
+         |  FROM h GROUP BY id),
+         |en AS (SELECT id, n,
+         |    CASE WHEN len(cuts) > 0 AND cuts[-1] = n
+         |      THEN cuts ELSE list_append(cuts, n) END AS ends
+         |  FROM e0),
+         |ch AS (SELECT en.id, d.text, unnest(list_transform(
+         |    range(1, len(ends) + 1),
+         |    i -> struct_pack(idx := i - 1,
+         |      s := CASE WHEN i = 1 THEN 1 ELSE ends[CAST(i AS INT) - 1] + 1
+         |        END,
+         |      e := ends[CAST(i AS INT)]))) AS c
+         |  FROM en JOIN documents d ON en.id = d.doc_id)
+         |SELECT id, CAST(c.idx AS BIGINT) AS chunk_idx,
+         |  CAST(c.s AS BIGINT) AS start_pos,
+         |  CAST(c.e - c.s + 1 AS BIGINT) AS chunk_len,
+         |  md5(substr(text, CAST(c.s AS INT), CAST(c.e - c.s + 1 AS INT)))
+         |    AS chunk_hash
+         |FROM ch ORDER BY id, chunk_idx""".stripMargin
+    },
 
     // chunk boundaries are BYTE offsets on the Spark side; the oracle
     // chunks the VARCHAR by char position — identical for this corpus

@@ -1,6 +1,7 @@
 package graft.scale
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -120,6 +121,75 @@ object Multimodal {
       .select(col("id"), (col("i") - 1).cast("long").as("chunk_idx"),
         md5(substring(col("payload"),
           (col("i") - 1) * chunkBytes + 1, lit(chunkBytes))).as("chunk_hash"))
+  }
+
+  /** Content-defined chunking (windowed Rabin fingerprinting, the storage
+    * -dedup boundary rule): a chunk boundary falls at byte position `i`
+    * when the polynomial hash of the trailing 16-byte window masks to
+    * zero — so boundaries move WITH the content: after an insertion,
+    * every boundary more than a window past the edit sits at the same
+    * CONTENT position (shifted, not destroyed), and downstream chunk
+    * hashes re-align, where [[chunkFingerprints]]' fixed windows shift
+    * forever and share nothing after the edit (MultimodalSpec measures
+    * exactly this). Average chunk ≈ 2^`maskBits` bytes; a forced cut
+    * closes the final partial chunk.
+    *
+    * All int64: `h_i = Horner_{k=15..0}(33, mix(b_{i−k})) mod 2³¹` with
+    * `mix(b) = b·2654435761 mod 2³¹` — a FIXED-WIDTH window hash, not a
+    * sequential reset-state recurrence, deliberately: it computes as 16
+    * `lag`s over one per-byte window (the dHash byte-row shape — no
+    * per-element lambda re-evaluating an O(n) transform, and no foldl
+    * the oracle engine would have to replay statefully; DuckDB 1.0's
+    * `list_reduce` silently corrupts list-typed accumulators under
+    * vectorized batches, verified per-row-correct/batch-wrong).
+    * One byte-explode + one id-keyed window + one id agg + a join back
+    * to the payload for chunk hashing. Empty payloads yield no rows. */
+  def cdcChunks(mm: DataFrame, maskBits: Int = 6): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 20,
+      s"maskBits out of [1, 20]: $maskBits")
+    val M = 2147483648L // 2^31
+    val mask = 1L << maskBits
+    val n = octet_length(col("payload")).cast("long")
+    val rows = mm.filter(n > 0)
+      .select(col("id").as("__cdc_id"), col("payload"), n.as("__cdc_n"),
+        explode(sequence(lit(1L), n)).as("__cdc_pos"))
+      .select(col("__cdc_id"), col("__cdc_n"), col("__cdc_pos"),
+        ((conv(hex(substring(col("payload"), col("__cdc_pos").cast("int"),
+          lit(1))), 16, 10).cast("long") * 2654435761L) % M).as("__cdc_v"))
+    val w = Window.partitionBy("__cdc_id").orderBy("__cdc_pos")
+    val h = (15 to 0 by -1).map(k => lag(col("__cdc_v"), k).over(w))
+      .reduce((acc, x) => (acc * 33L + x) % M)
+    val cut = col("__cdc_pos") >= 16L && h % mask === 0L
+    val ends0 = rows
+      .withColumn("__cdc_cut", when(cut, col("__cdc_pos")))
+      .groupBy(col("__cdc_id"))
+      .agg(max(col("__cdc_n")).as("__cdc_n"),
+        sort_array(collect_list(col("__cdc_cut"))).as("__cdc_cuts"))
+    // forced final cut at n (unless a content cut already landed there)
+    val ends = ends0.select(col("__cdc_id"),
+      when(size(col("__cdc_cuts")) > 0
+          && element_at(col("__cdc_cuts"), -1) === col("__cdc_n"),
+        col("__cdc_cuts"))
+        .otherwise(concat(col("__cdc_cuts"), array(col("__cdc_n"))))
+        .as("__cdc_ends"))
+    ends
+      .join(mm.select(col("id"), col("payload")),
+        ends("__cdc_id") === mm("id"))
+      .select(col("id"), col("payload"), col("__cdc_ends"),
+        posexplode(col("__cdc_ends")))
+      // previous end from the ends array itself: `pos` is the 0-based
+      // chunk index and element_at is 1-based, so ends[pos] IS the
+      // previous chunk's end position
+      .withColumn("start_pos",
+        when(col("pos") === 0, lit(1L))
+          .otherwise(element_at(col("__cdc_ends"), col("pos").cast("int"))
+            + 1L))
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+        col("start_pos"),
+        (col("col") - col("start_pos") + 1L).as("chunk_len"),
+        md5(substring(col("payload"), col("start_pos").cast("int"),
+          (col("col") - col("start_pos") + 1L).cast("int")))
+          .as("chunk_hash"))
   }
 
   /** Chunk-overlap near-duplicate candidates: pairs of payloads sharing at

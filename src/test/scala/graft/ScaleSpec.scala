@@ -762,6 +762,51 @@ class ScaleSpec extends SparkSpec {
     assert(tail.length == 2)
   }
 
+  test("CDC chunking: boundaries survive an insertion (chunk hashes " +
+      "re-align downstream) where fixed windows share nothing; chunks " +
+      "tile the payload exactly") {
+    // pseudo-random payload — deterministic, enough byte entropy for the
+    // 1/64 boundary rule to fire regularly (the fixture vocabulary works
+    // too; this isolates the property from corpus choice)
+    val rnd = new scala.util.Random(42)
+    val payload = Array.fill(4096)(('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = payload.substring(0, 10) + "Z" + payload.substring(10)
+    val mm = Multimodal.asMultimodal(
+      Seq((1L, payload, "s"), (2L, edited, "s"))
+        .toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+    val cdc = Multimodal.cdcChunks(mm, maskBits = 6)
+      .select("id", "chunk_idx", "start_pos", "chunk_len", "chunk_hash")
+      .as[(Long, Long, Long, Long, String)].collect()
+    // chunks tile each payload exactly: sorted, contiguous, full cover
+    for ((id, len) <- Seq(1L -> 4096L, 2L -> 4097L)) {
+      val cs = cdc.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 1L)
+      assert(cs.map(c => c._3 + c._4 - 1).last == len)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4, s"gap at $b")
+        case _ =>
+      }
+    }
+    // insertion robustness: most CDC chunk hashes survive the edit...
+    val h1 = cdc.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = cdc.filter(_._1 == 2L).map(_._5).toSet
+    val cdcShared = (h1 & h2).size
+    assert(cdcShared * 10 >= h1.size * 7,
+      s"CDC shared only $cdcShared of ${h1.size}")
+    // ...while fixed 64-byte windows share NO chunk at-or-after the edit
+    // (every window downstream shifts by one byte)
+    val fixed = Multimodal.chunkFingerprints(mm, 64)
+      .as[(Long, Long, String)].collect()
+    val f1 = fixed.filter(_._1 == 1L).map(_._3).toSet
+    val f2 = fixed.filter(_._1 == 2L).map(_._3).toSet
+    assert((f1 & f2).isEmpty, "fixed chunks unexpectedly survived the edit")
+    // empty payloads emit no rows
+    assert(Multimodal.cdcChunks(Multimodal.asMultimodal(
+      Seq((9L, "", "s")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source")).count() == 0)
+    intercept[IllegalArgumentException](Multimodal.cdcChunks(mm, 0))
+  }
+
   test("multimodal: chunk-overlap pairs find near-dups, drop boilerplate") {
     // docs 1/2 share 3 of 4 chunks (75%), 1/3 share all 4 (100%);
     // threshold 80% keeps only (1,3)
