@@ -14,6 +14,41 @@ import ScaleShared._
   * each family owns its queries AND their DuckDB oracle SQL. */
 object PipelineQueries {
 
+  // CDC chunk-boundary CTE stack over a preceding `u(id, text)` CTE: the
+  // 16-byte-window Rabin hash as 16 lag()s per byte row, cut where it
+  // masks to zero (avg 64 B), forced final cut. Ends with
+  // `ch`(id, text, c struct{idx, s, e}) — one row per chunk. Shared by
+  // mm_cdc_chunks and mm_cdc_neardup.
+  private lazy val cdcChunkCtes: String = {
+    val horner = (14 to 0 by -1).foldLeft(
+      "lag(v, 15) OVER (PARTITION BY id ORDER BY pos)") { (acc, k) =>
+      s"(($acc) * 33 + lag(v, $k) OVER (PARTITION BY id ORDER BY pos))" +
+        " % 2147483648"
+    }
+    s"""b AS (SELECT id, i AS pos, strlen(text) AS n,
+       |    (ascii(substr(text, CAST(i AS INT), 1)) * 2654435761)
+       |      % 2147483648 AS v
+       |  FROM u,
+       |    LATERAL (SELECT unnest(range(1, strlen(text) + 1)) AS i) t
+       |  WHERE strlen(text) > 0),
+       |h AS (SELECT id, pos, n, $horner AS h FROM b),
+       |e0 AS (SELECT id, max(n) AS n, coalesce(list_sort(
+       |    list(pos) FILTER (WHERE pos >= 16 AND h % 64 = 0)),
+       |    CAST([] AS BIGINT[])) AS cuts
+       |  FROM h GROUP BY id),
+       |en AS (SELECT id, n,
+       |    CASE WHEN len(cuts) > 0 AND cuts[-1] = n
+       |      THEN cuts ELSE list_append(cuts, n) END AS ends
+       |  FROM e0),
+       |ch AS (SELECT en.id, u.text, unnest(list_transform(
+       |    range(1, len(ends) + 1),
+       |    i -> struct_pack(idx := i - 1,
+       |      s := CASE WHEN i = 1 THEN 1 ELSE ends[CAST(i AS INT) - 1] + 1
+       |        END,
+       |      e := ends[CAST(i AS INT)]))) AS c
+       |  FROM en JOIN u ON en.id = u.id)""".stripMargin
+  }
+
   val queries: Map[String, QF] = Map(
     // Multimodal frame sampling: every stride-th payload byte (the
     // video-frame-subsample plumbing shape, codec-free)
@@ -46,6 +81,27 @@ object PipelineQueries {
         Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"))
         .select("id", "width", "height")
         .orderBy("id")),
+
+    // CDC fingerprints → the shared chunk-overlap pairing: each doc pairs
+    // with its one-char-insertion copy at id+10000 (≥50% of the smaller
+    // side's CDC chunks survive the edit; fixed-window chunks all shift)
+    "mm_cdc_neardup" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val edited = base
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", concat(substring(col("text"), 1, 10),
+          lit("Z"), expr("substring(text, 11, length(text))")))
+      val mm = Multimodal.asMultimodal(
+        base.unionByName(edited).withColumn("src", lit("mixed")),
+        "doc_id", "text", "src")
+      Multimodal.pairsFromFingerprints(
+        Multimodal.cdcChunks(mm, maskBits = 6)
+          .select("id", "chunk_hash"),
+        minFracBp = 5000, maxDocFreq = 50)
+        .select(col("a"), col("b"), col("shared").cast("long").as("shared"),
+          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+        .orderBy("a", "b")
+    }),
 
     // Content-defined chunking: boundaries where the running byte hash
     // masks to zero (avg chunk 2^6 = 64 bytes) — insertion-robust chunk
@@ -316,41 +372,38 @@ object PipelineQueries {
     // deliberately NOT a stateful fold: DuckDB 1.0's list_reduce silently
     // corrupts list accumulators under vectorized batches (verified
     // per-row-correct / batch-wrong), so the operator was shaped windowed
-    "mm_cdc_chunks" -> {
-      val horner = (14 to 0 by -1).foldLeft(
-        "lag(v, 15) OVER (PARTITION BY id ORDER BY pos)") { (acc, k) =>
-        s"(($acc) * 33 + lag(v, $k) OVER (PARTITION BY id ORDER BY pos))" +
-          " % 2147483648"
-      }
-      s"""WITH b AS (SELECT doc_id AS id, i AS pos, strlen(text) AS n,
-         |    (ascii(substr(text, CAST(i AS INT), 1)) * 2654435761)
-         |      % 2147483648 AS v
-         |  FROM documents,
-         |    LATERAL (SELECT unnest(range(1, strlen(text) + 1)) AS i) t
-         |  WHERE strlen(text) > 0),
-         |h AS (SELECT id, pos, n, $horner AS h FROM b),
-         |e0 AS (SELECT id, max(n) AS n, coalesce(list_sort(
-         |    list(pos) FILTER (WHERE pos >= 16 AND h % 64 = 0)),
-         |    CAST([] AS BIGINT[])) AS cuts
-         |  FROM h GROUP BY id),
-         |en AS (SELECT id, n,
-         |    CASE WHEN len(cuts) > 0 AND cuts[-1] = n
-         |      THEN cuts ELSE list_append(cuts, n) END AS ends
-         |  FROM e0),
-         |ch AS (SELECT en.id, d.text, unnest(list_transform(
-         |    range(1, len(ends) + 1),
-         |    i -> struct_pack(idx := i - 1,
-         |      s := CASE WHEN i = 1 THEN 1 ELSE ends[CAST(i AS INT) - 1] + 1
-         |        END,
-         |      e := ends[CAST(i AS INT)]))) AS c
-         |  FROM en JOIN documents d ON en.id = d.doc_id)
+    "mm_cdc_chunks" ->
+      s"""WITH u AS (SELECT doc_id AS id, text FROM documents),
+         |$cdcChunkCtes
          |SELECT id, CAST(c.idx AS BIGINT) AS chunk_idx,
          |  CAST(c.s AS BIGINT) AS start_pos,
          |  CAST(c.e - c.s + 1 AS BIGINT) AS chunk_len,
          |  md5(substr(text, CAST(c.s AS INT), CAST(c.e - c.s + 1 AS INT)))
          |    AS chunk_hash
-         |FROM ch ORDER BY id, chunk_idx""".stripMargin
-    },
+         |FROM ch ORDER BY id, chunk_idx""".stripMargin,
+
+    // CDC fingerprints through the shared overlap machinery: every doc
+    // pairs with its one-char-insertion copy — fixed windows cannot
+    "mm_cdc_neardup" ->
+      s"""WITH u AS (SELECT doc_id AS id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000,
+         |    substr(text, 1, 10) || 'Z' || substr(text, 11)
+         |  FROM documents),
+         |$cdcChunkCtes,
+         |fp AS (SELECT DISTINCT id,
+         |    md5(substr(text, CAST(c.s AS INT), CAST(c.e - c.s + 1 AS INT)))
+         |      AS h
+         |  FROM ch),
+         |nc AS (SELECT id, count(*) AS n FROM fp GROUP BY id),
+         |rare AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 50),
+         |fk AS (SELECT fp.id, fp.h FROM fp JOIN rare USING (h)),
+         |p AS (SELECT x.id AS a, y.id AS b, count(*) AS shared
+         |  FROM fk x JOIN fk y USING (h) WHERE x.id < y.id GROUP BY 1, 2)
+         |SELECT p.a, p.b, CAST(p.shared AS BIGINT) AS shared,
+         |  CAST(x.n AS BIGINT) AS na, CAST(y.n AS BIGINT) AS nb
+         |FROM p JOIN nc x ON p.a = x.id JOIN nc y ON p.b = y.id
+         |WHERE p.shared * 10000 >= least(x.n, y.n) * 5000
+         |ORDER BY a, b""".stripMargin,
 
     // chunk boundaries are BYTE offsets on the Spark side; the oracle
     // chunks the VARCHAR by char position — identical for this corpus

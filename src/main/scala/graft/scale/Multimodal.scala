@@ -202,11 +202,21 @@ object Multimodal {
     * related only through dropped boilerplate do not pair. Integer-exact
     * threshold arithmetic — engine-portable. */
   def chunkDedupPairs(mm: DataFrame, chunkBytes: Int, minFracBp: Int,
+      maxDocFreq: Int): DataFrame =
+    pairsFromFingerprints(chunkFingerprints(mm, chunkBytes),
+      minFracBp, maxDocFreq)
+
+  /** [[chunkDedupPairs]] over ANY (id, chunk_hash) fingerprint frame —
+    * the seam that lets content-defined chunks ([[cdcChunks]]) feed the
+    * same overlap machinery: CDC fingerprints pair INSERTION-edited
+    * near-copies that fixed-window chunks structurally cannot
+    * (their hashes all shift at the edit; ScaleSpec demonstrates). */
+  def pairsFromFingerprints(fingerprints: DataFrame, minFracBp: Int,
       maxDocFreq: Int): DataFrame = {
     require(minFracBp > 0 && minFracBp <= 10000,
       s"minFracBp out of (0, 10000]: $minFracBp")
     require(maxDocFreq > 0, s"maxDocFreq must be positive: $maxDocFreq")
-    val fp = chunkFingerprints(mm, chunkBytes)
+    val fp = fingerprints
       .select(col("id"), col("chunk_hash")).distinct()
     val counts = fp.groupBy("id").agg(count(lit(1)).as("n_chunks"))
     val hot = fp.groupBy("chunk_hash").agg(count(lit(1)).as("df"))
