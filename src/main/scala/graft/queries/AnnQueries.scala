@@ -56,6 +56,15 @@ object AnnQueries {
         .orderBy("own_label")
     }),
 
+    // IVF cell-balance diagnostics: per-cell counts, exact bp share, and
+    // the hot flag (> 2× fair share = the latency-tail / retrain signal)
+    "ann_ivf_stats" -> ((s, d) =>
+      Similarity.ivfCellStats(emb(s, d), "label")
+        .select(col("cell").cast("long").as("cell"),
+          col("n_vecs").cast("long").as("n_vecs"),
+          col("share_bp").cast("long").as("share_bp"), col("hot"))
+        .orderBy("cell")),
+
     // IVF-style ANN: search restricted to the query's coarse cell (label)
     "ann_ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
@@ -583,6 +592,16 @@ object AnnQueries {
          |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
          |  FROM q, c WHERE query_id != neighbor_id)
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_ivf_stats" ->
+      """WITH c AS (SELECT label AS cell, count(*) AS n_vecs
+        |  FROM embeddings GROUP BY 1),
+        |t AS (SELECT sum(n_vecs) AS tt, count(*) AS nc FROM c)
+        |SELECT CAST(cell AS BIGINT) AS cell, CAST(n_vecs AS BIGINT)
+        |    AS n_vecs,
+        |  CAST((10000 * n_vecs) // tt AS BIGINT) AS share_bp,
+        |  (n_vecs * nc > tt * 2) AS hot
+        |FROM c CROSS JOIN t ORDER BY cell""".stripMargin,
 
     "ann_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql

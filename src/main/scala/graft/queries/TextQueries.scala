@@ -385,6 +385,14 @@ object TextQueries {
         TextAnalysis.charEntropyMicro(col("text")).as("entropy_micro"))
         .orderBy("doc_id")),
 
+    // Heaps-law vocabulary-growth curve: docs/tokens/distinct-vocab at 10
+    // exact corpus-prefix checkpoints — the tokenizer/vocab sizing signal;
+    // cumulative answers come from the first-occurrence inequality join,
+    // never a prefix re-scan
+    "tx_heaps" -> ((s, d) =>
+      TextAnalysis.heapsCurve(docs(s, d), "doc_id", "text")
+        .orderBy("checkpoint")),
+
     // Corpus drift monitoring between the first and second half of the
     // corpus (crawl-over-crawl shape): top-20 drifting tokens by the
     // integer cross-product statistic |c_a·n_b − c_b·n_a| (= n_a·n_b·|p−q|
@@ -790,6 +798,25 @@ object TextQueries {
          |  CAST(abs(c_a * n_b - c_b * n_a) AS BIGINT) AS drift_x
          |FROM j CROSS JOIN na CROSS JOIN nb
          |ORDER BY drift_x DESC, token ASC LIMIT 20""".stripMargin,
+
+    "tx_heaps" ->
+      s"""WITH m AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         |ks AS (SELECT DISTINCT (n * i) // 10 AS k
+         |  FROM m, range(1, 11) r(i)),
+         |tok AS (SELECT doc_id, unnest($duckToksAll) AS tok
+         |  FROM documents),
+         |fo AS (SELECT tok, min(doc_id) AS fd FROM tok GROUP BY 1),
+         |vc AS (SELECT k, count(*) AS vocab_size
+         |  FROM ks JOIN fo ON fo.fd < ks.k GROUP BY 1),
+         |dc AS (SELECT doc_id, CAST(len($duckToksAll) AS BIGINT) AS nt
+         |  FROM documents),
+         |ta AS (SELECT k, count(*) AS n_docs, sum(nt) AS total_tokens
+         |  FROM ks JOIN dc ON dc.doc_id < ks.k GROUP BY 1)
+         |SELECT CAST(ta.k AS BIGINT) AS checkpoint,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(total_tokens AS BIGINT) AS total_tokens,
+         |  CAST(vocab_size AS BIGINT) AS vocab_size
+         |FROM ta JOIN vc USING (k) ORDER BY checkpoint""".stripMargin,
 
     "tx_lm_perplexity" ->
       s"""WITH $lmStatsCtes

@@ -113,6 +113,23 @@ object Similarity {
       .withColumn("agree", col("knn_label") === col("own_label"))
   }
 
+  /** IVF cell-balance diagnostics — the operational health check of every
+    * inverted-file index: per cell, its vector count, exact basis-point
+    * share, and a `hot` flag (> 2× the fair share). A hot cell is the
+    * latency tail (every query probing it scans it whole) and the signal
+    * to re-train centroids or split cells; empty/cold cells waste nlist.
+    * One bounded aggregation + a broadcast total — pure int64. */
+  def ivfCellStats(corpus: DataFrame, cellCol: String): DataFrame = {
+    val cells = corpus.groupBy(col(cellCol).as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(sum(col("n_vecs")).as("__t"),
+      count(lit(1)).as("__nc"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        expr("(10000L * n_vecs) div __t").as("share_bp"),
+        (col("n_vecs") * col("__nc") > col("__t") * 2L).as("hot"))
+  }
+
   /** IVF-style ANN: candidates restricted to the query's coarse cell
     * (`cellCol` — a precomputed cluster/partition label, the inverted-file
     * list). The join shuffles on the cell key; per-cell candidate lists are

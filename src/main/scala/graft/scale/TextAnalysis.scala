@@ -1188,6 +1188,49 @@ object TextAnalysis {
         (col("margin_nano") > 0L).as("predicted"))
   }
 
+  /** Heaps-law vocabulary-growth curve: at each of `points` corpus-prefix
+    * checkpoints (by the id order — exact integer cuts of `max(id)+1`),
+    * the prefix's document count, total token count, and DISTINCT
+    * vocabulary size. The tokenizer/vocab sizing signal (V ≈ K·N^β):
+    * a flattening curve says the vocabulary is saturating; a linear one
+    * says the corpus keeps bringing new tokens (noise, boilerplate IDs,
+    * or genuinely fresh domains).
+    *
+    * 100 TB shape: vocabulary reduces to one (token → first-doc) frame
+    * (vocab-bounded) and per-doc token counts to one row per doc; both
+    * cross only the `points`-row checkpoint table. No prefix is ever
+    * re-scanned — cumulative answers come from the inequality join
+    * against first-occurrence ids. */
+  def heapsCurve(df: DataFrame, idCol: String, textCol: String,
+      points: Int = 10): DataFrame = {
+    require(points >= 1 && points <= 1000, s"points out of range: $points")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).as("__doc"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val firstDoc = toks.groupBy("tok").agg(min(col("__doc")).as("fd"))
+    val docCounts = df.select(col(idCol).as("__doc"),
+      size(tokens(lower(col(textCol)))).cast("long").as("nt"))
+    // exact integer checkpoint cuts — both engines derive the identical
+    // values from max(id), no sketch, no literal shipping needed
+    val mxRow = df.agg(max(col(idCol)).cast("long")).collect()(0)
+    if (mxRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("checkpoint", "n_docs", "total_tokens", "vocab_size")
+    val n = mxRow.getLong(0) + 1L
+    val ks = (1 to points).map(i => n * i / points).distinct.toDF("k")
+    val vocabAt = firstDoc.crossJoin(broadcast(ks))
+      .filter(col("fd") < col("k"))
+      .groupBy("k").agg(count(lit(1)).as("vocab_size"))
+    val tokensAt = docCounts.crossJoin(broadcast(ks))
+      .filter(col("__doc") < col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"))
+    tokensAt.join(vocabAt, Seq("k"))
+      .select(col("k").as("checkpoint"), col("n_docs"),
+        col("total_tokens"), col("vocab_size"))
+  }
+
   /** Per-domain quality prior (the Gopher/RefinedWeb URL-level filtering
     * shape): aggregate a per-document pass verdict to its source/domain as
     * an exact basis-point rate — the bounded side table that lets a
