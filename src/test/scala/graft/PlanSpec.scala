@@ -140,6 +140,19 @@ class PlanSpec extends SparkSpec {
       assert(s.contains("bucket#"), s"unpartitioned window: $s\n$p"))
   }
 
+  test("round-9 broadcast pins: fuzzy-decontamination eval probe, " +
+      "file-plan slot join, and domain-prior rescue all broadcast their " +
+      "bounded side") {
+    for (q <- Seq("tx_decontaminate_fuzzy", "layout_file_slots",
+        "tx_prior_keep")) {
+      val p = graft.queries.ScaleQueries.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
   test("semdedup pair join is keyed on the cluster — no cartesian product") {
     val p = graft.queries.ScaleQueries.queries("emb_semdedup")(spark, sfDir)
       .queryExecution.executedPlan.toString
