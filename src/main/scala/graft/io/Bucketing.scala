@@ -25,6 +25,28 @@ object Bucketing {
     * (each left row joins its exact replica partition). Use when a handful
     * of keys dominate and AQE's skew split isn't available (e.g. bucketed
     * inputs). */
+  /** Join-key skew report — the sizing tool BEFORE reaching for
+    * [[saltedJoin]] or AQE skew splits: the `topK` hottest keys with
+    * exact basis-point share and a suggested salt factor
+    * `ceil(share · tasks)` (how many task-sized slices the key needs at
+    * `tasks`-way parallelism; 1 = no salting needed). One hash agg with
+    * map-side partials + a TakeOrdered of `topK` rows — never a global
+    * sort, nothing driver-resident beyond the report. */
+  def skewReport(df: DataFrame, key: String, topK: Int = 10,
+      tasks: Int = 32): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    require(tasks > 0, s"tasks must be positive: $tasks")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(key), col("n_rows"),
+        expr("(10000L * n_rows) div __t").as("share_bp"),
+        expr(s"(n_rows * ${tasks}L + __t - 1L) div __t")
+          .as("suggested_salts"))
+      .orderBy(col("n_rows").desc, col(key).asc)
+      .limit(topK)
+  }
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     val sl = left.withColumn("__salt",

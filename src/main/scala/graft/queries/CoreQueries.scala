@@ -550,6 +550,18 @@ object CoreQueries {
         .orderBy("n_name")
     }),
 
+    // Join-key skew report: the 10 hottest keys, exact bp share, and the
+    // salt factor each needs at 32-way parallelism — the sizing tool
+    // BEFORE salting (the fixture's %25-folded key makes real skew)
+    "a_skew_report" -> ((s, d) =>
+      graft.io.Bucketing.skewReport(
+        t(s, d, "lineitem").select((col("l_orderkey") % 25).as("k")),
+        "k", topK = 10, tasks = 32)
+        .select(col("k").cast("long").as("k"),
+          col("n_rows").cast("long").as("n_rows"),
+          col("share_bp").cast("long").as("share_bp"),
+          col("suggested_salts").cast("long").as("suggested_salts"))),
+
     // -------------------------------------------- headline aggregations
     // A-class/bench: pricing summary (decimal-exact, order-independent sums)
     "q1_pricing_summary" -> ((s, d) => {
@@ -1027,6 +1039,16 @@ object CoreQueries {
         |    AS moving_sum_3
         |FROM orders WHERE o_custkey % 100 = 0
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "a_skew_report" ->
+      """WITH c AS (SELECT l_orderkey % 25 AS k, count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n_rows) AS tt FROM c)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST((10000 * n_rows) // tt AS BIGINT) AS share_bp,
+        |  CAST((n_rows * 32 + tt - 1) // tt AS BIGINT) AS suggested_salts
+        |FROM c CROSS JOIN t
+        |ORDER BY n_rows DESC, k ASC LIMIT 10""".stripMargin,
 
     "join_salted" ->
       """SELECT n_name, count(*) AS cnt,
