@@ -223,6 +223,21 @@ object PipelineQueries {
         col("zv")).orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Range-partition plan: 16 sketch-cut ranges over l_extendedprice with
+    // EXACT per-range rows + bp share — the repartitionByRange sizing
+    // report; cuts registered for the oracle (the zorder cut contract)
+    "layout_range_plan" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem").select("l_extendedprice")
+      val (cuts, plan) = graft.scale.Layout.rangePlan(
+        li, "l_extendedprice", parts = 16)
+      OracleLits.put("range_plan_cuts",
+        OracleLits.sqlCase("l_extendedprice", cuts.toSeq, base = 1))
+      plan.select(col("partition_id"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("share_bp").cast("long").as("share_bp"))
+        .orderBy("partition_id")
+    }),
+
     // Hilbert-curve layout clustering: the strictly-local sibling of
     // layout_zorder (consecutive indices are always grid neighbors, so a
     // contiguous file range is a CONNECTED region of the key plane) —
@@ -517,6 +532,18 @@ object PipelineQueries {
         |FROM p JOIN v ON p.user_id = v.user_id AND v.from_ts <= p.ts
         |  AND (v.to_ts IS NULL OR p.ts < v.to_ts)
         |ORDER BY p.event_id""".stripMargin,
+
+    "layout_range_plan" -> {
+      val body = OracleLits.get("range_plan_cuts")
+        .getOrElse("ntile(16) OVER (ORDER BY l_extendedprice)")
+      s"""WITH b AS (SELECT $body AS partition_id FROM lineitem),
+         |c AS (SELECT partition_id, count(*) AS n_rows FROM b GROUP BY 1),
+         |t AS (SELECT sum(n_rows) AS tt FROM c)
+         |SELECT CAST(partition_id AS BIGINT) AS partition_id,
+         |  CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST((10000 * n_rows) // tt AS BIGINT) AS share_bp
+         |FROM c CROSS JOIN t ORDER BY partition_id""".stripMargin
+    },
 
     "scd2_intervals" ->
       """WITH c AS (SELECT user_id, ts, event_id, event_type,

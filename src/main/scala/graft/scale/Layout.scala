@@ -195,6 +195,31 @@ object Layout {
       .sortWithinPartitions("hv")
   }
 
+  /** Range-partition plan — the `repartitionByRange` sizing tool: `parts`
+    * ranges from one quantile sketch of `keyCol` (cuts = `parts − 1`
+    * broadcast literals), with the EXACT row count and basis-point share
+    * each range would receive — read before writing a range-clustered
+    * table or choosing reducer counts, because sketch-balanced boundaries
+    * can still be row-imbalanced under heavy ties (the report shows it:
+    * a tie-heavy key pins one range, and the fix is a different key or
+    * salting, not more partitions). Returns (cuts, plan frame of
+    * partition_id / n_rows / share_bp). One sketch pass + one count
+    * aggregate bounded by `parts`. */
+  def rangePlan(df: DataFrame, keyCol: String, parts: Int,
+      accuracy: Int = 2000): (Array[Double], DataFrame) = {
+    require(parts >= 2 && parts <= 100000, s"parts out of range: $parts")
+    val cuts = Sampling.quantileCuts(df, keyCol, parts, accuracy)
+    val withB = Sampling.bucketsFromCuts(df, keyCol, cuts)
+    val counts = withB.groupBy(col("bucket").as("partition_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("__t"))
+    val plan = counts.crossJoin(broadcast(tot))
+      .select(col("partition_id").cast("long").as("partition_id"),
+        col("n_rows"),
+        expr("(10000L * n_rows) div __t").as("share_bp"))
+    (cuts, plan)
+  }
+
   /** Target-file-size write plan: for each value of `partCol`, the exact
     * payload size (`sum(sizeCol)`), and the file count that lands output
     * files at ~`targetBytes` — `ceil(bytes / target)`, at least 1. The

@@ -234,16 +234,17 @@ def check_len_deciles(frag, errs):
                "len_decile", errs)
 
 
-def check_zorder(colname):
+def check_zorder(colname, n_buckets=16, table="lineitem", what="zorder"):
     def chk(frag, errs):
         cuts = [float(x) for x in re.findall(
             r"WHEN \w+ <= CAST\('([^']+)' AS DOUBLE\)", frag)]
-        if len(cuts) != 15:  # 2^4 buckets
-            errs.append(f"expected 15 cuts, parsed {len(cuts)}")
+        if len(cuts) != n_buckets - 1:
+            errs.append(f"expected {n_buckets - 1} cuts, parsed {len(cuts)}")
             return
-        check_cuts(cuts, [i / 16 for i in range(1, 16)], 1.0 / 2000,
-                   f"SELECT CAST({colname} AS DOUBLE) AS v FROM lineitem",
-                   f"zorder[{colname}]", errs)
+        check_cuts(cuts, [i / n_buckets for i in range(1, n_buckets)],
+                   1.0 / 2000,
+                   f"SELECT CAST({colname} AS DOUBLE) AS v FROM {table}",
+                   f"{what}[{colname}]", errs)
     return chk
 
 
@@ -380,6 +381,7 @@ CHECKERS = {
     # hilbert shares the zorder rank-bucketing contract (same cut shape)
     "hilbert_ra": check_zorder("l_orderkey"),
     "hilbert_rb": check_zorder("l_partkey"),
+    "range_plan_cuts": check_zorder("l_extendedprice", what="range_plan"),
 }
 
 failed = 0
