@@ -223,6 +223,46 @@ object PipelineQueries {
         col("zv")).orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Round-9 curation capstone: LR quality scorer (+ domain-prior rescue
+    // for borderline docs from clean sources) feeding fuzzy benchmark
+    // decontamination, reduced to the per-source funnel report — the
+    // composed chain, oracle-verified as ONE plan
+    "pipeline_quality_v2" -> ((s, d) => {
+      val dd = docs(s, d)
+      val nanos = TextQueries.lrWeightsMemo(s, d)
+      OracleLits.put("lr_weights", nanos.mkString(","))
+      val stats = TextAnalysis.qualityFeatures(dd, "text")
+      val scored = TextAnalysis.lrScoreNano(dd, "doc_id", "text", nanos)
+        .select(col("doc_id"), col("predicted"))
+      val prior = broadcast(TextAnalysis.domainPrior(stats, "source",
+        TextQueries.lrLabel).select(col("source"), col("pass_bp")))
+      val kept = stats.join(scored, "doc_id").join(prior, "source")
+        .filter(col("predicted") ||
+          (col("pass_bp") >= 5000L && col("n_tokens") >= 40L))
+        .select("doc_id", "source", "text", "n_tokens")
+      val eval = dd.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      val clean = Dedup.fuzzyDecontaminate(kept, "doc_id", "text",
+        eval, "eval_id", "text", k = 16, bands = 4,
+        jaccardThreshold = 0.9)
+      val inAgg = dd.groupBy("source").agg(count(lit(1)).as("docs_in"))
+      val qAgg = kept.groupBy("source")
+        .agg(count(lit(1)).as("docs_quality"))
+      val fAgg = clean.groupBy("source")
+        .agg(count(lit(1)).as("docs_final"),
+          sum(col("n_tokens")).as("tokens_final"))
+      inAgg.join(qAgg, Seq("source"), "left_outer")
+        .join(fAgg, Seq("source"), "left_outer")
+        .select(col("source"), col("docs_in").cast("long").as("docs_in"),
+          coalesce(col("docs_quality"), lit(0L)).cast("long")
+            .as("docs_quality"),
+          coalesce(col("docs_final"), lit(0L)).cast("long")
+            .as("docs_final"),
+          coalesce(col("tokens_final"), lit(0L)).cast("long")
+            .as("tokens_final"))
+        .orderBy("source")
+    }),
+
     // Range-partition plan: 16 sketch-cut ranges over l_extendedprice with
     // EXACT per-range rows + bp share — the repartitionByRange sizing
     // report; cuts registered for the oracle (the zorder cut contract)
@@ -532,6 +572,45 @@ object PipelineQueries {
         |FROM p JOIN v ON p.user_id = v.user_id AND v.from_ts <= p.ts
         |  AND (v.to_ts IS NULL OR p.ts < v.to_ts)
         |ORDER BY p.event_id""".stripMargin,
+
+    // the full chain as ONE statement: shared qf/LR CTEs -> rubric prior
+    // -> quality keep -> corpus ∪ offset eval -> the established minhash
+    // pair chain -> decontaminated funnel per source
+    "pipeline_quality_v2" -> {
+      val corpus =
+        s"""${TextQueries.qfStatsCtes},
+           |${TextQueries.lrScoreCtes},
+           |pr AS (SELECT d.source,
+           |    (10000 * sum(CASE WHEN g.n_tokens >= 45
+           |       AND g.n_stopwords * 20 >= g.n_tokens THEN 1 ELSE 0 END))
+           |      // count(*) AS pass_bp
+           |  FROM g JOIN documents d USING (doc_id) GROUP BY 1),
+           |keepq AS (SELECT g.doc_id, d.source, d.text, g.n_tokens
+           |  FROM g JOIN documents d USING (doc_id) JOIN m USING (doc_id)
+           |    JOIN pr ON d.source = pr.source
+           |  WHERE CAST(floor(m.margin * 1000000000.0) AS BIGINT) > 0
+           |    OR (pr.pass_bp >= 5000 AND g.n_tokens >= 40)),
+           |u AS (SELECT doc_id AS id, text FROM keepq
+           |  UNION ALL SELECT doc_id + 50000, text FROM documents
+           |  WHERE doc_id < 5)""".stripMargin
+      s"""${minhashPairsCtesOver(corpus)},
+         |dropped AS (SELECT DISTINCT id_a AS doc_id FROM pairs
+         |  WHERE id_a < 50000 AND id_b >= 50000),
+         |fin AS (SELECT k.doc_id, k.source, k.n_tokens FROM keepq k
+         |  WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |ia AS (SELECT source, count(*) AS docs_in FROM documents
+         |  GROUP BY 1),
+         |qa AS (SELECT source, count(*) AS docs_quality FROM keepq
+         |  GROUP BY 1),
+         |fa AS (SELECT source, count(*) AS docs_final,
+         |    sum(n_tokens) AS tokens_final FROM fin GROUP BY 1)
+         |SELECT ia.source, CAST(docs_in AS BIGINT) AS docs_in,
+         |  CAST(coalesce(docs_quality, 0) AS BIGINT) AS docs_quality,
+         |  CAST(coalesce(docs_final, 0) AS BIGINT) AS docs_final,
+         |  CAST(coalesce(tokens_final, 0) AS BIGINT) AS tokens_final
+         |FROM ia LEFT JOIN qa USING (source) LEFT JOIN fa USING (source)
+         |ORDER BY ia.source""".stripMargin
+    },
 
     "layout_range_plan" -> {
       val body = OracleLits.get("range_plan_cuts")

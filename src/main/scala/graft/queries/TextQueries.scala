@@ -546,7 +546,7 @@ object TextQueries {
   // Integer quality-feature sufficient statistics (the tx_quality_features
   // g CTE), shared with the LR quality-classifier oracles. Ends with
   // `g`(doc_id, nc, n_tokens, n_stopwords, n_punct, n_alpha).
-  private def qfStatsCtes: String =
+  private[queries] def qfStatsCtes: String =
     """f AS (SELECT doc_id, text,
       |  list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS tk,
       |  CAST(length(text) AS BIGINT) AS nc FROM documents),
@@ -563,7 +563,7 @@ object TextQueries {
   // The LR teacher rubric (evaluated on the qualityFeatures stat columns):
   // "curated-looking" = at least 45 tokens AND stopword density >= 5%.
   // Pure integer predicate — engine- and oracle-portable verbatim.
-  private def lrLabel =
+  private[queries] def lrLabel =
     col("n_tokens") >= 45L && col("n_stopwords") * 20L >= col("n_tokens")
 
   // Session-memoized LR training (the tokenizedDocs memo pattern): the
@@ -572,7 +572,7 @@ object TextQueries {
   // against the artifact. Perf-only: every consumer still registers the
   // weights as oracle literals and tools/lit_check.py re-derives the full
   // GD trajectory from the fixtures.
-  private def lrWeightsMemo(s: SparkSession, dir: String): Seq[Long] = {
+  private[queries] def lrWeightsMemo(s: SparkSession, dir: String): Seq[Long] = {
     val base = sessionStateDir(s, dir, "graft_lrw_") { b =>
       val w = TextAnalysis.lrTrain(docs(s, dir), "text", lrLabel)
       new java.io.File(b).mkdirs()
@@ -597,7 +597,7 @@ object TextQueries {
   // and eval oracles: each feature is a cast + fixed-order IEEE division
   // mirroring TextAnalysis.lrFeatures verbatim; the weights rebuild their
   // doubles by ONE IEEE division from the registered nano literals
-  private def lrScoreCtes: String = {
+  private[queries] def lrScoreCtes: String = {
     val w = lrWeightNanos
     def wd(j: Int) = s"(CAST(${w(j)} AS DOUBLE) / 1000000000.0)"
     s"""x AS (SELECT doc_id,
