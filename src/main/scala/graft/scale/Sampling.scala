@@ -443,13 +443,19 @@ object Sampling {
       weightsBp: Map[String, Int], defaultBp: Int,
       budgetTokens: Long): Seq[(String, Long, Long, Long)] = {
     require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
+    // the proportional target multiplies remaining × weight in int64;
+    // guard the product loudly instead of silently wrapping (a 10¹⁵-token
+    // budget at weight 10⁴ would overflow — rescale weights or budget)
+    require(budgetTokens <= Long.MaxValue / 10001,
+      s"budget too large for bp-weight int64 arithmetic: $budgetTokens")
     require(defaultBp >= 0, "defaultBp must be >= 0")
     avail.foreach { case (g, a) =>
       require(a >= 0, s"negative avail for $g: $a") }
     val weight: Map[String, Long] = avail.map { case (g, _) =>
       g -> weightsBp.getOrElse(g, defaultBp).toLong }.toMap
     weight.foreach { case (g, w) =>
-      require(w >= 0, s"negative weight for $g") }
+      require(w >= 0 && w <= 10000,
+        s"weight out of basis-point range [0, 10000] for $g: $w") }
     val alloc = scala.collection.mutable.Map[String, Long]()
     var active = avail.sortBy(_._1) // name order — deterministic
       .filter { case (g, _) => weight(g) > 0 }

@@ -108,14 +108,22 @@ object Temporal {
     * and interval edges are deterministic under ties. Two window passes
     * over ONE `keyCol` shuffle (lag-collapse, then lead-interval);
     * partitions are bounded by a single entity's change count, never
-    * corpus-order. */
+    * corpus-order. `attrCol` must be non-null: a null attribute would
+    * silently VANISH through the null-propagating collapse predicate
+    * (`prev =!= null` is null → filtered), so it fails loudly instead —
+    * encode "attribute cleared" as an explicit sentinel value. */
   def scd2(changes: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, attrCol: String): DataFrame = {
     val taken = changes.columns.toSeq ++
       Seq("version", "effective_from", "effective_to", "is_current")
     val prevC = Cols.fresh("__prev", taken)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
-    val changed = changes
+    val guarded = changes.withColumn(attrCol,
+      when(col(attrCol).isNull, raise_error(concat(
+        lit("scd2: null attribute at key "),
+        coalesce(col(keyCol).cast("string"), lit("null")))))
+        .otherwise(col(attrCol)))
+    val changed = guarded
       .withColumn(prevC, lag(col(attrCol), 1).over(w))
       // first row per key (null prev) always opens version 1; equal
       // consecutive attrs collapse into the earlier version

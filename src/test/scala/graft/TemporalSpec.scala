@@ -115,5 +115,14 @@ class TemporalSpec extends SparkSpec {
     // from <= 4 < to → B
     val at4 = out(1L).filter(v => v._4 <= 4L && v._5.forall(_ > 4L))
     assert(at4.map(_._3) == Seq("B"))
+    // a null attribute fails loudly instead of silently vanishing
+    // through the null-propagating collapse predicate
+    val withNull = Seq((1L, 1L, 1L, Some("A")), (1L, 2L, 2L, None))
+      .toDF("k", "tsec", "id", "attr")
+      .select($"k", timestamp_seconds($"tsec").as("ts"), $"id", $"attr")
+    val e = intercept[Exception] {
+      Temporal.scd2(withNull, "k", "ts", "id", "attr").collect()
+    }
+    assert(e.getMessage != null)
   }
 }
