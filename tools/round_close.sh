@@ -80,6 +80,15 @@ if [ $QUIET -eq 1 ]; then
   B=$?
   tail -1 "$BLOG"
   [ $B -ne 0 ] && { echo "BENCH FAILED"; exit 1; }
+  # the pre-gate only samples load BEFORE the run — neighbor load rising
+  # mid-run (the round-9 stamp: gate at 0.0x, finish at 2+) still pollutes
+  # the numbers. Record the post-run load so a reader of the log knows
+  # whether the stamp is trustworthy; a quiet re-run stays the remedy.
+  LPOST=$(cut -d' ' -f1 /proc/loadavg)
+  echo "bench post-run 1-min load: $LPOST"
+  python3 -c "import sys; sys.exit(0 if float('$LPOST') < 1.0 else 1)" \
+    || echo "WARNING: BENCH STAMPED UNDER MID-RUN NOISE (post-load $LPOST)" \
+            "— prefer a quiet re-run snapshot for comparisons"
   # stamp only a successful, quiet-host run as the round's snapshot
   cp BENCH_FULL.json "bench_history/BENCH_FULL_r${R}_final.json"
   echo "=== [5/6] bench_delta vs prior final"
