@@ -584,3 +584,82 @@ object CanonProps extends Properties("Canonicalization") {
     }
   }
 }
+
+/** Round-9 operator properties: the skew-safe grouped ntile must equal
+  * Spark's own window ntile on ARBITRARY grouped data (the two-level
+  * prefix-sum rank is only correct if ANY order-consistent bucketing
+  * yields identical ranks — exactly the claim randomness can attack),
+  * and winnowing's density/coverage guarantees must hold on random token
+  * streams, not just the handcrafted fixtures. */
+object GroupedRankProps extends Properties("GroupedRank") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+
+  private val grouped: Gen[List[(String, Long)]] =
+    Gen.choose(1, 60).flatMap { n =>
+      Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        k <- Gen.choose(0L, 9L) // heavy ties on purpose
+      } yield (g, k))
+    }
+
+  property("groupedNtile == window ntile for random groups/ties/k") =
+    forAll(grouped, Gen.choose(1, 7)) { (rows, k) =>
+      val df = rows.zipWithIndex.map { case ((g, key), i) =>
+        (g, key, i.toLong) }.toDF("g", "key", "id")
+      val got = graft.scale.Sampling
+        .groupedNtile(df, "g", "key", "id", k, buckets = 4)
+        .select("g", "id", "ntile").as[(String, Long, Long)]
+        .collect().map(t => (t._1, t._2) -> t._3).toMap
+      val want = df.withColumn("ntile", ntile(k).over(
+        Window.partitionBy(col("g")).orderBy(col("key"), col("id")))
+        .cast("long"))
+        .select("g", "id", "ntile").as[(String, Long, Long)]
+        .collect().map(t => (t._1, t._2) -> t._3).toMap
+      got == want
+    }
+
+  property("groupedRank is a per-group bijection 1..n under ties") =
+    forAll(grouped) { rows =>
+      val df = rows.zipWithIndex.map { case ((g, key), i) =>
+        (g, key, i.toLong) }.toDF("g", "key", "id")
+      val out = graft.scale.Sampling
+        .groupedRank(df, "g", "key", "id", buckets = 4)
+        .select("g", "rank").as[(String, Long)].collect()
+      out.groupBy(_._1).forall { case (_, rs) =>
+        rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq
+      }
+    }
+}
+
+object WinnowProps extends Properties("Winnowing") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val docGen: Gen[List[String]] =
+    Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee")))
+
+  property("density: first pick ≤ w, consecutive picks ≤ w apart; " +
+      "positions valid; deterministic") =
+    forAll(docGen) { toks =>
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val k = 3; val w = 4
+      def run() = graft.scale.TextAnalysis
+        .winnowFingerprints(df, "doc_id", "text", k, w)
+        .select("fp_pos").as[Long].collect().sorted.toSeq
+      val ps = run()
+      val grams = math.max(toks.length - (k - 1), 0)
+      if (grams == 0) ps.isEmpty
+      else {
+        ps.nonEmpty && ps.head <= w && ps.last <= grams &&
+          ps.forall(p => p >= 1) &&
+          ps.sliding(2).forall {
+            case Seq(a, b) => b - a <= w
+            case _ => true
+          } && ps == run()
+      }
+    }
+}
