@@ -84,19 +84,21 @@ object PipelineQueries {
 
     // CDC fingerprints → the shared chunk-overlap pairing: each doc pairs
     // with its one-char-insertion copy at id+10000 (≥50% of the smaller
-    // side's CDC chunks survive the edit; fixed-window chunks all shift)
+    // side's CDC chunks survive the edit; fixed-window chunks all shift).
+    // The base half's fingerprints ride the session memo — only the
+    // edited copy is chunked per run (the maintained-index shape)
     "mm_cdc_neardup" -> ((s, d) => {
       val base = docs(s, d).select(col("doc_id"), col("text"))
       val edited = base
         .withColumn("doc_id", col("doc_id") + 10000)
         .withColumn("text", concat(substring(col("text"), 1, 10),
           lit("Z"), expr("substring(text, 11, length(text))")))
-      val mm = Multimodal.asMultimodal(
-        base.unionByName(edited).withColumn("src", lit("mixed")),
-        "doc_id", "text", "src")
+      val mmEdited = Multimodal.asMultimodal(
+        edited.withColumn("src", lit("mixed")), "doc_id", "text", "src")
       Multimodal.pairsFromFingerprints(
-        Multimodal.cdcChunks(mm, maskBits = 6)
-          .select("id", "chunk_hash"),
+        ScaleShared.cdcBaseFingerprints(s, d).unionByName(
+          Multimodal.cdcChunks(mmEdited, maskBits = 6)
+            .select("id", "chunk_hash")),
         minFracBp = 5000, maxDocFreq = 50)
         .select(col("a"), col("b"), col("shared").cast("long").as("shared"),
           col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
@@ -105,11 +107,13 @@ object PipelineQueries {
 
     // Content-defined chunking: boundaries where the running byte hash
     // masks to zero (avg chunk 2^6 = 64 bytes) — insertion-robust chunk
-    // fingerprints where fixed windows shift forever after an edit
+    // fingerprints where fixed windows shift forever after an edit.
+    // segBytes=128 forces the multi-segment path (payloads run to ~558
+    // bytes) so the gate proves segment-split == unsplit cuts end to end
     "mm_cdc_chunks" -> ((s, d) =>
       Multimodal.cdcChunks(
         Multimodal.asMultimodal(docs(s, d), "doc_id", "text", "source"),
-        maskBits = 6)
+        maskBits = 6, segBytes = 128)
         .orderBy("id", "chunk_idx")),
 
     // Multimodal chunk-hash near-dup: payload pairs sharing ≥80% of the

@@ -110,6 +110,27 @@ object ScaleShared {
     s.read.parquet(s"$base/tk")
   }
 
+  /** Session-memoized CDC chunk fingerprints (id, chunk_hash) of the BASE
+    * documents corpus at the gate constants (maskBits = 6), parquet-backed
+    * per sf dir — the [[tokenizedDocs]] pattern. mm_cdc_neardup pairs the
+    * base corpus against a freshly-edited copy: the base half's chunking
+    * is edit-independent, so the session chunks it once and each run
+    * chunks only the edited copy — the deployed shape, where the corpus
+    * index is maintained and only new/changed payloads are chunked.
+    * Perf-only: the consumer's ORACLE still re-chunks BOTH halves from
+    * the raw table in SQL. */
+  def cdcBaseFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val base = sessionStateDir(s, dir, "graft_cdcfp_") { b =>
+      graft.scale.Multimodal.cdcChunks(
+          graft.scale.Multimodal.asMultimodal(
+            docs(s, dir), "doc_id", "text", "source"),
+          maskBits = 6)
+        .select("id", "chunk_hash")
+        .write.mode("overwrite").parquet(s"$b/fp")
+    }
+    s.read.parquet(s"$base/fp")
+  }
+
   /** Session-memoized unigram trained-and-encoded per-doc frame (the
     * tok_unigram_encode surface at the gate fixture's constants), shared
     * by tok_unigram_encode and tok_unigram_fertility so the iterative

@@ -566,7 +566,8 @@ object Dedup {
     * document drops out, like [[segmentDedup]]'s all-boilerplate case.
     *
     * Scale shape: the window explode + MD5 hash-agg of crossDocRepeats,
-    * one first-occurrence window on the fingerprint, one gaps-and-islands
+    * one first-occurrence hash aggregate on the fingerprint (skew-safe:
+    * partial min(struct) map-side, join-back), one gaps-and-islands
     * window per doc over the FLAGGED occurrences only (≪ token count),
     * and a doc-keyed anti join of tokens against the merged spans — no
     * pairwise doc comparison, no suffix array, no driver-side state. */
@@ -587,8 +588,9 @@ object Dedup {
     * merge that already handles overlap within one length.
     *
     * Scale shape: per length, the window explode + MD5 hash-agg +
-    * first-occurrence window of [[spanRewrite]] (all shuffle-keyed by the
-    * fingerprint); lengths is a small constant (cost = Σ_w one corpus
+    * first-occurrence hash aggregate of [[spanRewrite]] (all
+    * shuffle-keyed by the fingerprint, skew absorbed in the partial
+    * aggregate); lengths is a small constant (cost = Σ_w one corpus
     * scan over the SHARED materialized token frame — never re-tokenized);
     * one gaps-and-islands window per doc over flagged occurrences only;
     * one doc-keyed anti join. No pairwise doc stage, no suffix array. */
@@ -613,13 +615,22 @@ object Dedup {
           posexplode(TextAnalysis.ngramsAll(col("__tk"), w))
             .as(Seq("pos", "win")))
         .select(col("doc_id"), col("pos"), md5(col("win")).as("fp")))
-      val repeated = wins.groupBy("fp")
-        .agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= minDocs).select("fp")
-      wins.join(repeated, Seq("fp"), "left_semi")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("fp").orderBy(col("doc_id"), col("pos"))))
-        .filter(col("rn") > 1)
+      // keep-one via ONE hash aggregate + join-back, not a per-fp sort
+      // window: this operator exists precisely for corpora where some
+      // windows repeat millions of times (boilerplate), and a
+      // row_number() window partitioned by fp would funnel every
+      // occurrence of the hottest fingerprint through a single sorted
+      // task. min(struct(doc_id, pos)) is the same corpus-wide-first
+      // convention but partial-aggregates map-side (absorbing the skew
+      // exactly like crossDocRepeats' counts), and the join-back is an
+      // AQE-splittable keyed join rather than an unsplittable window.
+      val firsts = wins.groupBy("fp")
+        .agg(count_distinct(col("doc_id")).as("nd"),
+          min(struct(col("doc_id"), col("pos"))).as("__first"))
+        .filter(col("nd") >= minDocs)
+        .select("fp", "__first")
+      wins.join(firsts, Seq("fp"))
+        .filter(struct(col("doc_id"), col("pos")) =!= col("__first"))
         .select(col("doc_id"), col("pos").cast("long").as("s"),
           (col("pos") + w).cast("long").as("e"))
     }.reduce(_ unionByName _)

@@ -142,39 +142,79 @@ object Multimodal {
     * the oracle engine would have to replay statefully; DuckDB 1.0's
     * `list_reduce` silently corrupts list-typed accumulators under
     * vectorized batches, verified per-row-correct/batch-wrong).
-    * One byte-explode + one id-keyed window + one id agg + a join back
-    * to the payload for chunk hashing. Empty payloads yield no rows. */
-  def cdcChunks(mm: DataFrame, maskBits: Int = 6): DataFrame = {
+    *
+    * Scale shape: payloads are pre-split into `segBytes` SEGMENTS with a
+    * window−1 (15-byte) overlap, so the per-byte window partitions by
+    * (id, seg) — parallelism scales with total bytes, not #payloads, and
+    * no single task ever materializes a whole payload's byte rows (the
+    * fixed-width window is what makes the overlap trick exact: every
+    * boundary hash reads only the 15 bytes before its position, so a
+    * segment that also READS its predecessor's last 15 bytes — while
+    * OWNING only its own positions — reproduces the unsplit hashes
+    * bit-for-bit; MultimodalSpec proves split == unsplit). One segment
+    * explode + one byte explode + one (id, seg)-keyed window + one
+    * cut-rows-only id agg. Empty payloads yield no rows. A payload whose
+    * cut count exceeds `maxChunks` fails loud with its id — the per-key
+    * cuts array is the one per-id reduction left, and a pathological
+    * mega-payload should name itself, not OOM an executor. */
+  def cdcChunks(mm: DataFrame, maskBits: Int = 6,
+      segBytes: Int = 1 << 20, maxChunks: Int = 1 << 20): DataFrame = {
     require(maskBits >= 1 && maskBits <= 20,
       s"maskBits out of [1, 20]: $maskBits")
+    require(segBytes >= 16, s"segBytes must be >= 16: $segBytes")
+    require(maxChunks >= 1, s"maxChunks must be positive: $maxChunks")
     val M = 2147483648L // 2^31
     val mask = 1L << maskBits
+    val L = segBytes.toLong
     val n = octet_length(col("payload")).cast("long")
-    val rows = mm.filter(n > 0)
-      .select(col("id").as("__cdc_id"), col("payload"), n.as("__cdc_n"),
-        explode(sequence(lit(1L), n)).as("__cdc_pos"))
-      .select(col("__cdc_id"), col("__cdc_n"), col("__cdc_pos"),
+    val base = mm.filter(n > 0)
+      .select(col("id").as("__cdc_id"), col("payload"), n.as("__cdc_n"))
+    // segment seg OWNS positions (seg·L, (seg+1)·L] and additionally
+    // reads the 15 bytes before its first owned position (exact overlap)
+    val rows = base
+      .select(col("__cdc_id"), col("payload"), col("__cdc_n"),
+        explode(sequence(lit(0L),
+          floor((col("__cdc_n") - 1L) / L).cast("long"))).as("__cdc_seg"))
+      .select(col("__cdc_id"), col("__cdc_seg"), col("payload"),
+        explode(sequence(
+          greatest(lit(1L), col("__cdc_seg") * L - 14L),
+          least(col("__cdc_n"), (col("__cdc_seg") + 1L) * L)))
+          .as("__cdc_pos"))
+      .select(col("__cdc_id"), col("__cdc_seg"), col("__cdc_pos"),
         ((conv(hex(substring(col("payload"), col("__cdc_pos").cast("int"),
           lit(1))), 16, 10).cast("long") * 2654435761L) % M).as("__cdc_v"))
-    val w = Window.partitionBy("__cdc_id").orderBy("__cdc_pos")
+    val w = Window.partitionBy("__cdc_id", "__cdc_seg").orderBy("__cdc_pos")
     val h = (15 to 0 by -1).map(k => lag(col("__cdc_v"), k).over(w))
       .reduce((acc, x) => (acc * 33L + x) % M)
-    val cut = col("__cdc_pos") >= 16L && h % mask === 0L
-    val ends0 = rows
+    // overlap rows exist only to feed owned positions' lags: a cut may
+    // fire only at a position the segment owns (h is null inside seg 0's
+    // first 15 positions — fewer than 16 lags — and the pos >= 16 guard
+    // covers the rest)
+    val cut = col("__cdc_pos") > col("__cdc_seg") * L &&
+      col("__cdc_pos") >= 16L && h % mask === 0L
+    val cuts = rows
       .withColumn("__cdc_cut", when(cut, col("__cdc_pos")))
+      .filter(col("__cdc_cut").isNotNull)
       .groupBy(col("__cdc_id"))
-      .agg(max(col("__cdc_n")).as("__cdc_n"),
-        sort_array(collect_list(col("__cdc_cut"))).as("__cdc_cuts"))
-    // forced final cut at n (unless a content cut already landed there)
-    val ends = ends0.select(col("__cdc_id"),
-      when(size(col("__cdc_cuts")) > 0
-          && element_at(col("__cdc_cuts"), -1) === col("__cdc_n"),
-        col("__cdc_cuts"))
-        .otherwise(concat(col("__cdc_cuts"), array(col("__cdc_n"))))
+      .agg(sort_array(collect_list(col("__cdc_cut"))).as("__cdc_cuts"))
+    // forced final cut at n (unless a content cut already landed there);
+    // cut-less payloads re-enter via the left join (one whole-payload chunk)
+    val ends = base
+      .join(cuts, Seq("__cdc_id"), "left_outer")
+      .select(col("__cdc_id").as("id"), col("payload"),
+        when(coalesce(size(col("__cdc_cuts")), lit(0)) > maxChunks,
+          raise_error(concat(
+            lit(s"cdcChunks: payload "), col("__cdc_id").cast("string"),
+            lit(s" produced more than $maxChunks cuts; raise maskBits" +
+              " or maxChunks"))))
+        .when(col("__cdc_cuts").isNotNull
+            && element_at(col("__cdc_cuts"), -1) === col("__cdc_n"),
+          col("__cdc_cuts"))
+        .otherwise(concat(
+          coalesce(col("__cdc_cuts"), array().cast("array<long>")),
+          array(col("__cdc_n"))))
         .as("__cdc_ends"))
     ends
-      .join(mm.select(col("id"), col("payload")),
-        ends("__cdc_id") === mm("id"))
       .select(col("id"), col("payload"), col("__cdc_ends"),
         posexplode(col("__cdc_ends")))
       // previous end from the ends array itself: `pos` is the 0-based

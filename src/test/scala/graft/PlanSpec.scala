@@ -140,6 +140,40 @@ class PlanSpec extends SparkSpec {
       assert(s.contains("bucket#"), s"unpartitioned window: $s\n$p"))
   }
 
+  test("span-rewrite keep-one is a hash aggregate — never an fp-keyed " +
+      "sort window") {
+    // the keep-one stage must be the min(struct) partial aggregate + an
+    // AQE-splittable join-back; the regressed row_number form would funnel
+    // every occurrence of one boilerplate fingerprint (millions of rows in
+    // exactly the corpora this operator targets) through a single task
+    for (q <- Seq("dedup_span_rewrite", "dedup_span_multi")) {
+      val p = graft.queries.ScaleQueries.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val specs = "windowspecdefinition\\(([^)]*)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      specs.foreach { s =>
+        assert(!s.contains("fp#"), s"$q fp-keyed window: $s\n$p")
+        // the surviving windows are the per-doc gaps-and-islands merges
+        assert(s.contains("doc_id#"), s"$q unpartitioned window: $s\n$p")
+      }
+      assert(p.contains("partial_min"),
+        s"$q keep-one lost its partial aggregation:\n$p")
+    }
+  }
+
+  test("CDC byte window partitions by (id, segment) — parallelism scales " +
+      "with total bytes, never capped at payload count") {
+    // the regressed per-id window would hold an entire payload's byte
+    // rows in one task (a 1 GB media payload = 1G rows in one sort)
+    val p = graft.queries.ScaleQueries.queries("mm_cdc_chunks")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach(s =>
+      assert(s.contains("__cdc_seg#"), s"payload-global window: $s\n$p"))
+  }
+
   test("round-9 broadcast pins: fuzzy-decontamination eval probe, " +
       "file-plan slot join, and domain-prior rescue all broadcast their " +
       "bounded side") {

@@ -807,6 +807,34 @@ class ScaleSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.cdcChunks(mm, 0))
   }
 
+  test("CDC chunking: segment-split == unsplit (the 15-byte overlap is " +
+      "exact), and a cut count past maxChunks fails loud with the id") {
+    val rnd = new scala.util.Random(7)
+    val payload = Array.fill(2048)(('a' + rnd.nextInt(26)).toChar).mkString
+    val mm = Multimodal.asMultimodal(
+      Seq((1L, payload, "s"), (2L, "tinypayload", "s"))
+        .toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+    def rows(seg: Int) =
+      Multimodal.cdcChunks(mm, maskBits = 6, segBytes = seg)
+        .select("id", "chunk_idx", "start_pos", "chunk_len", "chunk_hash")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+    val unsplit = rows(1 << 20) // one segment per payload (the old shape)
+    assert(rows(16) == unsplit) // minimum legal segment (128 segments)
+    assert(rows(100) == unsplit) // unaligned segment boundaries
+    assert(rows(2048) == unsplit) // boundary exactly at payload end
+    // fail-loud: a payload whose cut count exceeds maxChunks names itself
+    // instead of OOMing an executor on the per-id cuts array
+    val e = intercept[Exception] {
+      Multimodal.cdcChunks(mm, maskBits = 6, maxChunks = 2).collect()
+    }
+    assert(e.getMessage.contains("cdcChunks: payload 1 produced"),
+      e.getMessage)
+    intercept[IllegalArgumentException](
+      Multimodal.cdcChunks(mm, segBytes = 15))
+    intercept[IllegalArgumentException](
+      Multimodal.cdcChunks(mm, maxChunks = 0))
+  }
+
   test("multimodal: chunk-overlap pairs find near-dups, drop boilerplate") {
     // docs 1/2 share 3 of 4 chunks (75%), 1/3 share all 4 (100%);
     // threshold 80% keeps only (1,3)
