@@ -66,10 +66,17 @@ object Layout {
     val Array(cutsA, cutsB) = df.stat.approxQuantile(
       Array(colA, colB), (1 until n).map(_.toDouble / n).toArray,
       1.0 / accuracy)
-    def rank(c: String, cuts: Array[Double]): Column =
-      cuts.zipWithIndex.reverse.foldLeft(lit(cuts.length.toLong)) {
+    def rank(c: String, cuts: Array[Double]): Column = {
+      val ranked = cuts.zipWithIndex.reverse.foldLeft(lit(cuts.length.toLong)) {
         case (acc, (cut, i)) => when(col(c) <= cut, lit(i.toLong)).otherwise(acc)
       }
+      // guard the RAW column: a NULL input falls through every `<= cut`
+      // test into the top-cell default rank, which zValue2's range guard
+      // accepts — fail loud here instead (the bucketsFromCuts contract)
+      when(col(c).isNull,
+        raise_error(lit(s"zorder: null input in column $c")))
+        .otherwise(ranked)
+    }
     // ranks land in INTERMEDIATE columns first: zValue2 references each
     // input once per interleave bit, and inlining the n-way CASE chain
     // into every bit term multiplies the codegen'd expression 2·bits
@@ -124,10 +131,18 @@ object Layout {
     val Array(cutsA, cutsB) = df.stat.approxQuantile(
       Array(colA, colB), (1 until n).map(_.toDouble / n).toArray,
       1.0 / accuracy)
-    def rank(c: String, cuts: Array[Double]): Column =
-      cuts.zipWithIndex.reverse.foldLeft(lit(cuts.length.toLong)) {
+    def rank(c: String, cuts: Array[Double]): Column = {
+      val ranked = cuts.zipWithIndex.reverse.foldLeft(lit(cuts.length.toLong)) {
         case (acc, (cut, i)) => when(col(c) <= cut, lit(i.toLong)).otherwise(acc)
       }
+      // guard the RAW column: a NULL input falls through every `<= cut`
+      // test into the top-cell default rank, which the derived-rank guard
+      // below accepts — fail loud here instead (the bucketsFromCuts
+      // contract the docstring promises)
+      when(col(c).isNull,
+        raise_error(lit(s"hilbert: null input in column $c")))
+        .otherwise(ranked)
+    }
     val taken = df.columns.toSeq :+ hCol
     val xC = Cols.fresh("__h_x", taken)
     val yC = Cols.fresh("__h_y", taken)

@@ -449,6 +449,13 @@ object Sampling {
     require(budgetTokens <= Long.MaxValue / 10001,
       s"budget too large for bp-weight int64 arithmetic: $budgetTokens")
     require(defaultBp >= 0, "defaultBp must be >= 0")
+    // duplicates would collapse into one alloc/weight map entry (last
+    // write wins) while the output echoed both rows — silently breaking
+    // the Σ alloc = min(budget, Σ avail) invariant
+    require(avail.map(_._1).distinct.size == avail.size,
+      s"duplicate group names in avail: " +
+        avail.groupBy(_._1).collect { case (g, rs) if rs.size > 1 => g }
+          .toSeq.sorted.mkString(", "))
     avail.foreach { case (g, a) =>
       require(a >= 0, s"negative avail for $g: $a") }
     val weight: Map[String, Long] = avail.map { case (g, _) =>

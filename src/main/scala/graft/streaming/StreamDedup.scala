@@ -6,6 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 
 import graft.io.{Materialize, StateStore}
 import graft.scale.{Dedup, TextAnalysis}
@@ -223,18 +224,19 @@ object StreamDedup {
     * (AvailableNow — the scheduled-poll form). */
   def runAvailableNow(spark: SparkSession, sourceDir: String, idCol: String,
       textCol: String, corpusPath: String, stateRoot: String,
-      checkpoint: String, jaccardThreshold: Double = 0.9): Unit = {
-    val schema = spark.read.parquet(sourceDir).schema
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
-    val q = stream.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b.sparkSession, b, id, idCol, textCol, corpusPath,
-          stateRoot, jaccardThreshold): Unit
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+      checkpoint: String, jaccardThreshold: Double = 0.9,
+      schema: Option[StructType] = None): Unit =
+    StreamSource.schemaFor(spark, sourceDir, schema).foreach { sch =>
+      val stream = spark.readStream.schema(sch).parquet(sourceDir)
+      val q = stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          applyBatch(b.sparkSession, b, id, idCol, textCol, corpusPath,
+            stateRoot, jaccardThreshold): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 }

@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 
 import graft.io.StateStore
 import graft.scale.Pq
@@ -171,18 +172,18 @@ object StreamIndex {
     * (AvailableNow — the scheduled-poll form). */
   def runAvailableNow(spark: SparkSession, sourceDir: String, idCol: String,
       vecCol: String, codesPath: String, stateRoot: String,
-      checkpoint: String): Unit = {
-    val schema = spark.read.parquet(sourceDir).schema
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
-    val q = stream.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b.sparkSession, b, id, idCol, vecCol, codesPath,
-          stateRoot): Unit
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+      checkpoint: String, schema: Option[StructType] = None): Unit =
+    StreamSource.schemaFor(spark, sourceDir, schema).foreach { sch =>
+      val stream = spark.readStream.schema(sch).parquet(sourceDir)
+      val q = stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          applyBatch(b.sparkSession, b, id, idCol, vecCol, codesPath,
+            stateRoot): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 }

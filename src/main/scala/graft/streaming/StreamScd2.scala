@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 
 import graft.scale.Temporal
 
@@ -94,21 +95,25 @@ object StreamScd2 {
       "key", "ts", "tie", "attr")
 
   /** Drain a parquet-directory change stream into the dimension store
-    * (AvailableNow — the scheduled-poll form). */
+    * (AvailableNow — the scheduled-poll form). Pass `schema` explicitly
+    * for a deployed scheduled poll; without it the schema is inferred
+    * from the directory's current files, and a poll firing before the
+    * producer's first write is a no-op drain (never a crash). */
   def runAvailableNow(spark: SparkSession, sourceDir: String,
       keyCol: String, tsCol: String, tieCol: String, attrCol: String,
-      storeRoot: String, stateRoot: String, checkpoint: String): Unit = {
-    val schema = spark.read.parquet(sourceDir).schema
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
-    val q = stream.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b.sparkSession, b, id, keyCol, tsCol, tieCol, attrCol,
-          storeRoot, stateRoot): Unit
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+      storeRoot: String, stateRoot: String, checkpoint: String,
+      schema: Option[StructType] = None): Unit =
+    StreamSource.schemaFor(spark, sourceDir, schema).foreach { sch =>
+      val stream = spark.readStream.schema(sch).parquet(sourceDir)
+      val q = stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          applyBatch(b.sparkSession, b, id, keyCol, tsCol, tieCol, attrCol,
+            storeRoot, stateRoot): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 }

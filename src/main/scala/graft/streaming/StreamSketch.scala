@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 
 import graft.scale.Sketches
 
@@ -236,18 +237,18 @@ object StreamSketch {
   def runAvailableNow(spark: SparkSession, sourceDir: String,
       tokens: DataFrame => DataFrame, groupCol: String, tokCol: String,
       gridRoot: String, stateRoot: String, checkpoint: String,
-      depth: Int, width: Int): Unit = {
-    val schema = spark.read.parquet(sourceDir).schema
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
-    val q = stream.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b.sparkSession, tokens(b), id, groupCol, tokCol,
-          gridRoot, stateRoot, depth, width): Unit
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+      depth: Int, width: Int, schema: Option[StructType] = None): Unit =
+    StreamSource.schemaFor(spark, sourceDir, schema).foreach { sch =>
+      val stream = spark.readStream.schema(sch).parquet(sourceDir)
+      val q = stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          applyBatch(b.sparkSession, tokens(b), id, groupCol, tokCol,
+            gridRoot, stateRoot, depth, width): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 
 import graft.io.{Sinks, StateStore}
 import graft.sync.{DocHash, IncrementalSync}
@@ -74,17 +75,18 @@ object StreamSync {
   /** Run the stream until drained (AvailableNow). `sourceDir` is a directory
     * of parquet snapshot files; new files become micro-batches. */
   def runAvailableNow(spark: SparkSession, sourceDir: String,
-      targetPath: String, statePath: String, checkpoint: String): Unit = {
-    val schema = spark.read.parquet(sourceDir).schema
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
-    val q = stream.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch.sparkSession, batch, targetPath, statePath): Unit
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+      targetPath: String, statePath: String, checkpoint: String,
+      schema: Option[StructType] = None): Unit =
+    StreamSource.schemaFor(spark, sourceDir, schema).foreach { sch =>
+      val stream = spark.readStream.schema(sch).parquet(sourceDir)
+      val q = stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          applyBatch(batch.sparkSession, batch, targetPath, statePath): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 }

@@ -193,4 +193,17 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Layout.hilbertOrderValue(grid, "x", "y", bits = 0))
   }
+
+  test("null layout inputs fail loud in zorder AND hilbert ranks — never " +
+      "a silent top-cell placement") {
+    val bad = Seq((Option(1L), 2L), (Option.empty[Long], 3L)).toDF("x", "y")
+    val e1 = intercept[Exception] {
+      Layout.zOrderValue(bad, "x", "y", 4)._3.collect()
+    }
+    assert(e1.getMessage.contains("zorder: null input"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Layout.hilbertOrderValue(bad, "x", "y", 4)._3.collect()
+    }
+    assert(e2.getMessage.contains("hilbert: null input"), e2.getMessage)
+  }
 }

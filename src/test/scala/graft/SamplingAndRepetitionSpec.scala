@@ -749,6 +749,12 @@ class SamplingAndRepetitionSpec extends SparkSpec {
       .forall(_._4 == 0L))
     intercept[IllegalArgumentException](
       waterfillAllocation(Seq(("a", -1L)), Map.empty, 100, 10L))
+    // duplicate group names would collapse in the alloc map while both
+    // rows echoed the same alloc — breaking Σ alloc = min(budget, Σ avail)
+    val dup = intercept[IllegalArgumentException](
+      waterfillAllocation(Seq(("a", 5L), ("b", 3L), ("a", 7L)),
+        Map.empty, 100, 10L))
+    assert(dup.getMessage.contains("duplicate group names"), dup.getMessage)
   }
 
   test("lrTrain: deterministic weights, separable corpus separates, " +

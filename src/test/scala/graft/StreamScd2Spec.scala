@@ -89,4 +89,24 @@ class StreamScd2Spec extends SparkSpec {
     assert(StreamScd2.applyBatch(spark, b1, 1L, "k", "ts", "id", "attr",
       store, state).replaySkipped)
   }
+
+  test("a scheduled poll firing before the producer's first write is a " +
+      "no-op drain, and an explicit schema drains once files appear") {
+    val src = tmp("graft_s2_src")
+    val store = tmp("graft_s2_w3")
+    val state = tmp("graft_s2_s3")
+    val cp = tmp("graft_s2_cp")
+    // absent source dir: no-op, no crash, nothing committed
+    StreamScd2.runAvailableNow(spark, s"$src/never_written", "k", "ts",
+      "id", "attr", store, state, s"$cp/a")
+    // existing-but-empty source dir: same
+    StreamScd2.runAvailableNow(spark, src, "k", "ts", "id", "attr",
+      store, state, s"$cp/b")
+    intercept[IllegalArgumentException](dim(store, state)) // still empty
+    // the deployed shape: schema passed explicitly, files now present
+    changes.write.mode("overwrite").parquet(s"$src/data")
+    StreamScd2.runAvailableNow(spark, s"$src/data", "k", "ts", "id",
+      "attr", store, state, s"$cp/c", schema = Some(changes.schema))
+    assert(dim(store, state) == whole)
+  }
 }
