@@ -64,13 +64,38 @@ object Tables {
     * join shuffles both sides on the order key once and reuses that
     * partitioning for the array build.
     */
+  /** Fail-loud document-nesting guard (SCALE.md "Known costs"): with a cap
+    * configured, a join key whose group would nest more than `cap` child
+    * rows raises with the OFFENDING KEY before the array aggregation ever
+    * buffers it — the guard is a count-only hash aggregate (constant
+    * memory per key, partial-agg friendly) whose raise_error sits inside
+    * the semi-join KEY itself, so column pruning can never elide it. A
+    * pathological mega-document therefore names itself instead of OOMing
+    * the executor holding its collect_list state. None (the default)
+    * keeps the unguarded plan byte-identical. */
+  private def guardFanout(child: DataFrame, key: String, cap: Option[Int],
+      who: String): DataFrame =
+    cap.fold(child) { c =>
+      require(c > 0, s"$who: nesting cap must be positive: $c")
+      val checked = child.groupBy(col(key))
+        .agg(count(lit(1)).as("__n"))
+        .select(when(col("__n") > c, raise_error(concat(
+            lit(s"$who: key "), col(key).cast("string"),
+            lit(" nests "), col("__n").cast("string"),
+            lit(s" child rows (cap $c); raise the cap or split the document"))))
+          .otherwise(col(key)).as(key))
+      child.join(checked, Seq(key), "left_semi")
+    }
+
   /** Second document collection (different shape, exercises profiler/
     * decomposer genericity): one document per customer with a nested
     * `nation` object and an `orders` array sorted by `o_orderkey`. */
-  def customerDocs(spark: SparkSession, sfDir: String): DataFrame = {
+  def customerDocs(spark: SparkSession, sfDir: String,
+      maxNestedPerKey: Option[Int] = None): DataFrame = {
     val customer = load(spark, sfDir, "customer")
     val nation = load(spark, sfDir, "nation")
-    val orders = load(spark, sfDir, "orders")
+    val orders = guardFanout(load(spark, sfDir, "orders"), "o_custkey",
+      maxNestedPerKey, "customerDocs")
     val ords = orders.groupBy(col("o_custkey"))
       .agg(array_sort(collect_list(struct(
         col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))).as("orders"))
@@ -94,10 +119,13 @@ object Tables {
     * orders' lineitems, which a post-construction filter could not avoid
     * (no pushdown reaches through the aggregation side of the join). */
   def orderDocsWhere(spark: SparkSession, sfDir: String,
-      keyPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+      keyPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      maxNestedPerKey: Option[Int] = None): DataFrame = {
     val orders = load(spark, sfDir, "orders").filter(keyPred(col("o_orderkey")))
     val customer = load(spark, sfDir, "customer")
-    val lineitem = load(spark, sfDir, "lineitem").filter(keyPred(col("l_orderkey")))
+    val lineitem = guardFanout(
+      load(spark, sfDir, "lineitem").filter(keyPred(col("l_orderkey"))),
+      "l_orderkey", maxNestedPerKey, "orderDocs")
     val items = lineitem
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_list(struct(

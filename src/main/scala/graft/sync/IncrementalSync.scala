@@ -1,6 +1,6 @@
 package graft.sync
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.{Sinks, StateStore}
@@ -153,11 +153,117 @@ object IncrementalSync {
       .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${table}__v$v"))
   }
 
+  /** Changed-bucket-only sync — the 100 TB write path. The target is a
+    * parquet table laid out as `__bucket=K` partition directories with
+    * K = pmod(hash(cast(_id as string)), buckets) (a pure function of the
+    * key, so a row's bucket never moves), and each sync rewrites ONLY the
+    * buckets containing a new, updated, or deleted id: the merge's target
+    * scan partition-prunes to the changed directories, the merged rows are
+    * staged to a sibling directory partitioned the same way, and each
+    * changed bucket is swapped in by one rename — unchanged buckets' files
+    * are never read, never rewritten, never touched (SyncSpec asserts on
+    * file names + mtimes). Per-sync read AND write cost is therefore
+    * proportional to the churned key set, not the table size. A bucket
+    * whose last row is deleted simply has no staged directory and its old
+    * directory is removed. State shares the layout and the scoping: a
+    * changed bucket's state directory carries every surviving id of that
+    * bucket (carry-forward hashes included); unchanged buckets' state
+    * directories are byte-identical by the carry-forward rule and stay in
+    * place. First sync (absent target/state) bootstraps every bucket
+    * through the same path. [[run]] remains the unbucketed legacy mode
+    * (whole-table [[Sinks.atomicOverwrite]] swap); [[runBucketed]] is the
+    * catalog-table view-flip form for exchange-free diff joins. */
+  def runPartitioned(spark: SparkSession, source: DataFrame,
+      targetPath: String, statePath: String, buckets: Int,
+      hashCol: String = "doc_hash"): SyncResult = {
+    require(buckets >= 1, s"buckets must be positive: $buckets")
+    // bucket from the STRING form of the key: the state table stores _id
+    // as string, so hashing the cast keeps current/state/target rows of
+    // one key in one bucket regardless of the source's id type
+    def bucketOf(c: Column): Column = pmod(hash(c.cast("string")), lit(buckets))
+    val fs = new org.apache.hadoop.fs.Path(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = DocHash.withDocHash(source, hashCol)
+    val state = {
+      val st = StateStore.load(spark, statePath)
+      if (st.columns.contains("__bucket")) st.drop("__bucket") else st
+    }
+    val classified = classify(current, state, hashCol).cache()
+    try {
+      val result = metrics(classified)
+      val changed = classified
+        .filter(col("change_type") =!= ChangeUnchanged)
+        .select(bucketOf(col("_id")).as("__bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted // ≤ buckets rows
+      if (changed.nonEmpty) {
+        val targetExists =
+          fs.exists(new org.apache.hadoop.fs.Path(targetPath))
+        // partition-pruned scan: only the changed buckets' files are read
+        val target0 =
+          if (targetExists)
+            spark.read.parquet(targetPath)
+              .filter(col("__bucket").isin(changed: _*)).drop("__bucket")
+          else source.limit(0).drop(hashCol)
+        // S16 drift, same as [[run]]
+        val srcData = source.select(
+          source.columns.filterNot(_ == hashCol).map(col).toSeq: _*)
+        val target =
+          if (Sinks.missingColumns(srcData.schema, target0.schema).nonEmpty)
+            Sinks.mergeSchemas(target0, srcData.limit(0))
+          else target0
+        val upserts = classified
+          .filter(col("change_type").isin(ChangeNew, ChangeUpdated))
+          .select(source.columns.map(col): _*)
+        val deletes = classified.filter(col("change_type") === ChangeDeleted)
+          .select("_id")
+        val merged = Sinks
+          .delete(Sinks.upsert(target, upserts, "_id"), deletes, "_id")
+          .withColumn("__bucket", bucketOf(col("_id")))
+        stageAndSwapBuckets(spark, merged, targetPath, changed)
+        // scoped state: the changed buckets' full surviving id/hash sets
+        // (unchanged ids sharing a changed bucket ride along — their
+        // carry-forward hash is identical, so the rewrite is value-stable)
+        val nextSt = nextState(classified, hashCol)
+          .select(col("_id").cast("string").as("_id"),
+            col("hash").cast("string").as("hash"))
+          .withColumn("__bucket", bucketOf(col("_id")))
+          .filter(col("__bucket").isin(changed: _*))
+        stageAndSwapBuckets(spark, nextSt, statePath, changed)
+      }
+      result
+    } finally classified.unpersist()
+  }
+
+  /** Write `df` (carrying `__bucket`) to `<path>.__stage__` partitioned by
+    * bucket, then swap each directory in `changed` into place by rename —
+    * a bucket with no staged rows (fully emptied by deletes) has its old
+    * directory removed. The staging write fully materializes before any
+    * target mutation, so the merge plan may read `path`. */
+  private def stageAndSwapBuckets(spark: SparkSession, df: DataFrame,
+      path: String, changed: Seq[Int]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path + ".__stage__")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    df.write.mode("overwrite").partitionBy("__bucket")
+      .parquet(staging.toString)
+    fs.mkdirs(new Path(path))
+    changed.foreach { b =>
+      val src = new Path(staging, s"__bucket=$b")
+      val dst = new Path(path, s"__bucket=$b")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (fs.exists(src)) { fs.rename(src, dst): Unit }
+    }
+    fs.delete(staging, true)
+  }
+
   /** Full sync run against a parquet-backed target table: classify, apply
     * (upsert new+updated, anti-join deletes — S10/S12/S13), persist state
     * (S18). MERGE-semantics application is idempotent, so retries are safe
     * (strictly stronger than the reference's row-at-a-time autocommit,
-    * SURVEY §2.10). */
+    * SURVEY §2.10). The whole-table swap is the unbucketed LEGACY mode —
+    * [[runPartitioned]] is the changed-bucket-only default at scale. */
   def run(spark: SparkSession, source: DataFrame, targetPath: String,
       statePath: String, hashCol: String = "doc_hash"): SyncResult = {
     val current = DocHash.withDocHash(source, hashCol)

@@ -21,6 +21,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(p.describe.contains("0 documents"))
   }
 
+  test("mega-document nesting cap fails loud with the offending key, " +
+      "and a generous cap reproduces the unguarded documents exactly") {
+    // sf0.001 orders nest up to 7 lineitems — cap 3 must trip and NAME a key
+    val e = intercept[Exception] {
+      Tables.orderDocsWhere(spark, sfDir, _ => lit(true),
+        maxNestedPerKey = Some(3)).collect()
+    }
+    assert(e.getMessage.contains("orderDocs: key ") &&
+      e.getMessage.contains("child rows (cap 3)"), e.getMessage)
+    // a cap nothing exceeds is a pure pass-through
+    val guarded = Tables.orderDocsWhere(spark, sfDir, _ => lit(true),
+      maxNestedPerKey = Some(10000))
+      .select($"_id", coalesce(size($"lineitems"), lit(-1)).as("n"))
+      .as[(String, Int)].collect().toSet
+    val plain = Tables.orderDocs(spark, sfDir)
+      .select($"_id", coalesce(size($"lineitems"), lit(-1)).as("n"))
+      .as[(String, Int)].collect().toSet
+    assert(guarded == plain)
+    intercept[IllegalArgumentException](
+      Tables.customerDocs(spark, sfDir, maxNestedPerKey = Some(0)))
+  }
+
   test("decomposer: empty arrays produce no child rows but keep the table") {
     val docs = Seq(("1", Seq.empty[String]), ("2", Seq("x")))
       .toDF("_id", "tags")

@@ -79,4 +79,61 @@ class SyncSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSeq
     assert(again == after)
   }
+
+  test("runPartitioned rewrites ONLY the buckets holding churned ids " +
+      "(file names + mtimes untouched elsewhere); an emptied bucket's " +
+      "directory is removed") {
+    import graft.sync.IncrementalSync.runPartitioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_psync").toString
+    val target = s"$dir/t"
+    val state = s"$dir/s"
+    val nB = 8
+    def mkSrc(rows: Seq[(Long, String)]) = rows.toDF("_id", "payload")
+    def bucketOf(id: Long): Int = Seq(id).toDF("_id")
+      .select(pmod(hash($"_id".cast("string")), lit(nB))).head().getInt(0)
+    def readBack() = spark.read.parquet(target)
+      .select("_id", "payload").as[(Long, String)].collect().toSet
+    // per-bucket file snapshot: (name, length, mtime) per partition dir
+    def snap(): Map[String, Set[(String, Long, Long)]] = {
+      val root = new java.io.File(target)
+      root.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("__bucket=")).map { d =>
+        d.getName -> d.listFiles().filterNot(_.getName.startsWith("."))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      }.toMap
+    }
+    val base = (1L to 64L).map(i => (i, s"v$i"))
+    val r1 = runPartitioned(spark, mkSrc(base), target, state, nB)
+    assert(r1.newDocs == 64 && readBack() == base.toSet)
+    val before = snap()
+    assert(before.keySet == (0 until nB).map(b => s"__bucket=$b").toSet)
+    // sync 2: update exactly one id — only its bucket may be rewritten
+    val hot = 7L
+    val v2 = base.map { case (i, v) => (i, if (i == hot) "CHANGED" else v) }
+    val r2 = runPartitioned(spark, mkSrc(v2), target, state, nB)
+    assert(r2.updated == 1 && r2.newDocs == 0 && r2.deleted == 0 &&
+      r2.unchanged == 63)
+    val after = snap()
+    val hotDir = s"__bucket=${bucketOf(hot)}"
+    for ((d, files) <- before if d != hotDir)
+      assert(after(d) == files, s"untouched bucket rewritten: $d")
+    assert(after(hotDir) != before(hotDir), "changed bucket not rewritten")
+    assert(readBack() == v2.toSet)
+    // sync 3: delete every id of one bucket — its directory disappears;
+    // all other buckets again keep their exact files
+    val victimB = bucketOf(1L)
+    val v3 = v2.filterNot { case (i, _) => bucketOf(i) == victimB }
+    assert(v3.size < v2.size) // the bucket was nonempty
+    val r3 = runPartitioned(spark, mkSrc(v3), target, state, nB)
+    assert(r3.deleted == (v2.size - v3.size) && r3.updated == 0)
+    val gone = snap()
+    assert(!gone.contains(s"__bucket=$victimB"), "emptied bucket dir kept")
+    for ((d, files) <- after if d != s"__bucket=$victimB")
+      assert(gone(d) == files, s"untouched bucket rewritten on delete: $d")
+    assert(readBack() == v3.toSet)
+    // idempotence through the scoped path
+    val r4 = runPartitioned(spark, mkSrc(v3), target, state, nB)
+    assert(r4.totalProcessed == 0 && r4.unchanged == v3.size)
+    assert(snap() == gone && readBack() == v3.toSet)
+  }
 }
