@@ -70,6 +70,15 @@ object Bench {
       SparkEntry.queries("f1_flat_project")(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
     }
+    // host 1-min load, stamped into BENCH_FULL.json before and after the
+    // timed loop: neighbor load rising MID-RUN (invisible to any pre-run
+    // gate) is the established ~1.5× inflation signature, and the embedded
+    // stamp lets round_close — and any later reader — judge whether a
+    // snapshot is trustworthy without hunting for the run's log
+    def loadAvg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    val loadPre = loadAvg()
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate measurements: collect the previous query's garbage (incl.
@@ -97,7 +106,8 @@ object Bench {
     // file (committed per round as BENCH_FULL.json), and stdout carries a
     // compact line — headline total plus the slowest queries, sized to fit
     // the tail window with margin.
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${toJson(results)},"failed":$fails,"sf":"$sfDir"}"""
+    val loadPost = loadAvg()
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"load_pre":$loadPre,"load_post":$loadPost,"queries":${toJson(results)},"failed":$fails,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),

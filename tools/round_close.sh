@@ -64,46 +64,51 @@ print("V_INCR:", out)
 EOF
 [ $C3 -ne 0 ] && { echo "CHECK incr FAILED"; exit 1; }
 
-echo "=== [4/6] Bench @ sf0.1 (quiet-host gate: 1-min load < 0.5)"
-QUIET=0
-for i in $(seq 1 30); do
-  L=$(cut -d' ' -f1 /proc/loadavg)
-  if python3 -c "import sys; sys.exit(0 if float('$L') < 0.5 else 1)"; then
-    QUIET=1; break
-  fi
-  echo "  load $L >= 0.5, waiting ($i/30)..."
-  sleep 60
-done
+echo "=== [4/6] Bench @ sf0.1 (quiet-STAMP gate: pre-load < 0.5 AND embedded post-run load < 1.0)"
+# The round-9 lesson: a pre-run gate alone admits runs whose neighbor
+# load rises mid-run (gate at 0.0x, finish at 2+ — a 1.5× inflated
+# stamp). Bench now embeds load_pre/load_post in BENCH_FULL.json; a run
+# whose post-load breaches 1.0 is archived as a noisy snapshot and the
+# bench RE-RUNS (fresh quiet wait) — only a clean pass is stamped.
 BLOG=/tmp/bench_close.log
-if [ $QUIET -eq 1 ]; then
+STAMPED=0
+for attempt in 1 2 3; do
+  QUIET=0
+  for i in $(seq 1 30); do
+    L=$(cut -d' ' -f1 /proc/loadavg)
+    if python3 -c "import sys; sys.exit(0 if float('$L') < 0.5 else 1)"; then
+      QUIET=1; break
+    fi
+    echo "  load $L >= 0.5, waiting ($i/30)..."
+    sleep 60
+  done
+  [ $QUIET -ne 1 ] && break
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" --error 2>/dev/null > "$BLOG"
   B=$?
   tail -1 "$BLOG"
   [ $B -ne 0 ] && { echo "BENCH FAILED"; exit 1; }
-  # the pre-gate only samples load BEFORE the run — neighbor load rising
-  # mid-run (the round-9 stamp: gate at 0.0x, finish at 2+) still pollutes
-  # the numbers. Record the post-run load so a reader of the log knows
-  # whether the stamp is trustworthy; a quiet re-run stays the remedy.
-  LPOST=$(cut -d' ' -f1 /proc/loadavg)
-  echo "bench post-run 1-min load: $LPOST"
-  python3 -c "import sys; sys.exit(0 if float('$LPOST') < 1.0 else 1)" \
-    || echo "WARNING: BENCH STAMPED UNDER MID-RUN NOISE (post-load $LPOST)" \
-            "— prefer a quiet re-run snapshot for comparisons"
-  # stamp only a successful, quiet-host run as the round's snapshot
+  LPOST=$(python3 -c "import json; d=json.load(open('BENCH_FULL.json')); print(d.get('load_post', -1))")
+  # embedded stamp missing (older Bench binary) -> fall back to shell loadavg
+  LPOST=$(python3 -c "v=float('$LPOST'); print(v if v >= 0 else float(open('/proc/loadavg').read().split()[0]))")
+  echo "bench post-run 1-min load: $LPOST (attempt $attempt)"
+  if python3 -c "import sys; sys.exit(0 if float('$LPOST') < 1.0 else 1)"; then
+    STAMPED=1; break
+  fi
+  echo "  MID-RUN NOISE (post-load $LPOST >= 1.0) — archiving noisy snapshot, re-running"
+  cp BENCH_FULL.json "bench_history/BENCH_FULL_r${R}_noisy${attempt}.json"
+done
+if [ $STAMPED -eq 1 ]; then
+  # stamp only the clean (pre- AND post-quiet) pass as the round snapshot
   cp BENCH_FULL.json "bench_history/BENCH_FULL_r${R}_final.json"
   echo "=== [5/6] bench_delta vs prior final"
   PRIOR=$(ls bench_history/BENCH_FULL_r*_final.json | grep -v "r${R}_final" | sort | tail -1)
   python3 tools/bench_delta.py BENCH_FULL.json "$PRIOR" | tail -12
 else
-  # refuse to stamp a noisy run: bench to scratch, committed snapshot
-  # and bench_history stay untouched; rerun step 4 by hand when quiet
-  echo "HOST NEVER QUIET — bench lands in /tmp/BENCH_FULL_noisy.json, NOT stamped"
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_FULL=/tmp/BENCH_FULL_noisy.json \
-    sbt -batch "runMain graft.Bench" --error 2>/dev/null > "$BLOG"
-  B=$?
-  tail -1 "$BLOG"
-  [ $B -ne 0 ] && { echo "BENCH FAILED"; exit 1; }
-  echo "=== [5/6] bench_delta SKIPPED (noisy run, not stamped)"
+  # refuse to stamp: restore the committed snapshot; the noisy attempts
+  # live in bench_history (and /tmp) for forensics; rerun step 4 by hand
+  echo "NO QUIET STAMP ACHIEVED — BENCH_FULL.json restored from git, NOT stamped"
+  git checkout -- BENCH_FULL.json 2>/dev/null || true
+  echo "=== [5/6] bench_delta SKIPPED (no quiet stamp)"
 fi
 
 echo "=== [6/6] full sbt test"
