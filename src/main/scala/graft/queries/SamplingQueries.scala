@@ -289,6 +289,24 @@ object SamplingQueries {
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", 512L)
         .orderBy("doc_id", "seq_id")),
+
+    // Interleaved curriculum schedule: groupedNtile length bands (the
+    // difficulty proxy; perplexity bands compose identically) + per-band
+    // deterministic shuffle + stride-scheduling interleave — the
+    // dataloader order a banded training run consumes. Every prefix of
+    // the schedule carries each band proportionally (spec-asserted);
+    // pure int64, replayed exactly by the oracle's window arithmetic
+    "samp_curriculum" -> ((s, d) => {
+      val banded = Sampling.groupedNtile(
+          docs(s, d).select(col("doc_id"), col("n_chars"))
+            .withColumn("__g", lit(0L)),
+          "__g", "n_chars", "doc_id", 4)
+        .withColumnRenamed("ntile", "band").drop("__g")
+      Sampling.curriculumInterleave(banded, "doc_id", "band", seed = 7L)
+        .select(col("doc_id"), col("band"), col("band_rank"),
+          col("n_band"), col("ikey"), col("global_pos"))
+        .orderBy("global_pos")
+    }),
   )
 
   // a def, not a val: registry-aware entries read OracleLits fragments
@@ -302,6 +320,33 @@ object SamplingQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |  AS BIGINT) % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+
+    "samp_curriculum" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+        |      AS band
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, band,
+        |    CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS ck
+        |  FROM b),
+        |r AS (
+        |  SELECT doc_id, band,
+        |    CAST(row_number() OVER (PARTITION BY band ORDER BY ck, doc_id)
+        |      AS BIGINT) AS band_rank,
+        |    CAST(count(*) OVER (PARTITION BY band) AS BIGINT) AS n_band
+        |  FROM k),
+        |i AS (
+        |  SELECT doc_id, band, band_rank, n_band,
+        |    ((band_rank * 2 - 1) * 1048576) // n_band AS ikey
+        |  FROM r)
+        |SELECT doc_id, band, band_rank, n_band, ikey,
+        |  CAST(row_number() OVER (ORDER BY ikey, band, band_rank)
+        |    AS BIGINT) AS global_pos
+        |FROM i
+        |ORDER BY global_pos""".stripMargin,
 
     "samp_epoch_shuffle" ->
       """SELECT CAST(e AS BIGINT) AS epoch, doc_id,

@@ -649,6 +649,61 @@ object Sampling {
       .drop("bucket", rnC, offC)
   }
 
+  /** Interleaved curriculum schedule — the DATALOADER-ORDER artifact a
+    * banded training run actually consumes. Input rows carry a band
+    * (typically [[groupedNtile]] buckets over a difficulty signal:
+    * perplexity, quality, length); the output assigns every row a global
+    * training position such that
+    *  - WITHIN a band, order is the deterministic per-seed shuffle (the
+    *    epoch-shuffle primitive: 60-bit MD5 key of "seed:id"), ranked by
+    *    [[groupedRank]] — no per-band global-order window, so a dominant
+    *    band never pins one task;
+    *  - ACROSS bands, rows interleave by STRIDE SCHEDULING: band b's r-th
+    *    element gets `ikey = ((2r−1)·scale) div n_b` — the midpoint
+    *    fraction (2r−1)/(2·n_b) in fixed-point — so every prefix of the
+    *    schedule carries each band in proportion to its size (the
+    *    per-band drift in any prefix window is O(1) elements plus tie
+    *    slack; SamplingAndRepetitionSpec asserts it). Deterministic band
+    *    mixing per step, no RNG.
+    * Adds `band_rank` (1-based within band), `n_band`, `ikey`, and
+    * `global_pos` (1-based over the whole schedule — itself computed by
+    * the single-group [[groupedRank]], so even the total order never
+    * forms a one-task window). All arithmetic is int64 with a loud
+    * overflow guard; any engine replays it exactly. */
+  def curriculumInterleave(df: DataFrame, idCol: String, bandCol: String,
+      seed: Long, scale: Long = 1L << 20, buckets: Int = 64,
+      maxBands: Int = 1000): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    val taken = df.columns ++
+      Seq("band_rank", "n_band", "ikey", "global_pos")
+    val ckC = Cols.fresh("__ck", taken)
+    val tieC = Cols.fresh("__tie", taken)
+    val oneC = Cols.fresh("__one", taken)
+    val ntC = Cols.fresh("__ntot", taken)
+    val keyed = df.withColumn(ckC, graft.scale.Dedup.tokenHash60(
+      concat(lit(s"$seed:"), col(idCol).cast("string"))))
+    val ranked = groupedRank(keyed, bandCol, ckC, idCol, buckets, maxBands,
+      rankCol = "band_rank", nCol = "n_band")
+    // (2r−1)·scale must stay in int64 — name the rank instead of wrapping
+    val lim = Long.MaxValue / scale
+    val withKey = ranked
+      .withColumn("ikey",
+        when(col("band_rank") * 2L - 1L > lim, raise_error(concat(
+          lit("curriculumInterleave: band rank "),
+          col("band_rank").cast("string"),
+          lit(s" overflows int64 at scale $scale — lower scale"))))
+        .otherwise(expr(s"((band_rank * 2L - 1L) * ${scale}L) div n_band")))
+      .drop(ckC)
+    // global position over (ikey, band, band_rank) — a TOTAL order, via
+    // the same two-level prefix-sum rank with one constant group
+    groupedRank(
+        withKey.withColumn(oneC, lit(0L))
+          .withColumn(tieC, struct(col(bandCol), col("band_rank"))),
+        oneC, "ikey", tieC, buckets, maxGroups = 1,
+        rankCol = "global_pos", nCol = ntC)
+      .drop(oneC, tieC, ntC)
+  }
+
   /** GPT-style sequence packing (document-concatenation batch
     * construction): the corpus token stream, concatenated in `orderCol`
     * order, is cut into fixed `seqLen` context windows; each document

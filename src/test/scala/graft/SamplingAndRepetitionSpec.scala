@@ -8,6 +8,52 @@ import graft.scale.{Sampling, Similarity, TextAnalysis}
 class SamplingAndRepetitionSpec extends SparkSpec {
   import spark.implicits._
 
+  test("curriculumInterleave: global positions are a permutation, every " +
+      "prefix window carries each band proportionally, schedules are " +
+      "deterministic per seed and decorrelated across seeds") {
+    // skewed bands (200/100/60/40) — the proportionality claim is trivial
+    // for equal bands, the dominant-band case is the one that matters
+    val df = (1L to 400L).map { i =>
+      (i, if (i <= 200) 1L else if (i <= 300) 2L
+          else if (i <= 360) 3L else 4L)
+    }.toDF("id", "band")
+    def run(seed: Long) =
+      Sampling.curriculumInterleave(df, "id", "band", seed)
+        .select("id", "band", "band_rank", "n_band", "ikey", "global_pos")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._6)
+    val rows = run(3L)
+    val n = rows.length
+    assert(n == 400)
+    assert(rows.map(_._6).toSeq == (1L to n).toSeq) // exact permutation
+    // band_rank is a per-band permutation and n_band is the true size
+    val sizes = rows.groupBy(_._2).map { case (b, rs) => b -> rs.length }
+    assert(sizes == Map(1L -> 200, 2L -> 100, 3L -> 60, 4L -> 40))
+    rows.groupBy(_._2).foreach { case (b, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to sizes(b)).toSeq)
+      assert(rs.forall(_._4 == sizes(b)))
+    }
+    // stride-scheduling invariant: after ANY prefix of m rows, band b has
+    // m·n_b/N ± a constant independent of m (midpoint drift < 1 plus
+    // cross-band tie slack — bounded by the band count)
+    val running = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    rows.zipWithIndex.foreach { case (r, idx) =>
+      running(r._2) += 1
+      val m = idx + 1
+      for ((b, nb) <- sizes) {
+        val drift = math.abs(running(b) - m.toDouble * nb / n)
+        assert(drift <= sizes.size + 1.0,
+          s"band $b drift $drift after $m rows")
+      }
+    }
+    // deterministic: same seed → identical schedule
+    assert(run(3L).toSeq == rows.toSeq)
+    // decorrelated: a different seed permutes within-band order
+    val other = run(4L)
+    assert(other.map(r => r._1 -> r._3).toMap !=
+      rows.map(r => r._1 -> r._3).toMap)
+  }
+
   test("deterministic sample: stable across runs, roughly the asked fraction") {
     val ids = (1L to 2000L).toDF("id")
     val a = Sampling.deterministicSample(ids, "id", 0.25).as[Long].collect().toSet
