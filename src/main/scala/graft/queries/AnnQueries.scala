@@ -88,6 +88,19 @@ object AnnQueries {
     // ANN index QA: recall of the IVF index against brute-force ground
     // truth per query — the metric that decides whether a cell layout is
     // usable before committing a 100 TB index build
+    // Recall-vs-cost frontier: the tuning table for the index stack —
+    // exact baseline, multi-probe IVF at nProbe 1..3, RP two-stage at
+    // candidate budgets 15/30 — each row (method, param, n_hit, k_total,
+    // candidate_rows), all integers; recall and cost-per-query are the
+    // reader's divisions
+    "ann_frontier" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.annFrontier(e.filter(col("vec_id") < 5), e,
+          "vec_id", "embedding", "label", k = 10,
+          nProbes = Seq(1, 2, 3), rpBudgets = Seq(15, 30))
+        .orderBy("method", "param")
+    }),
+
     "ann_recall" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 5)
@@ -638,6 +651,94 @@ object AnnQueries {
          |    AS BIGINT) AS n_agree
          |FROM maj JOIN q USING (query_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // composes the ann_recall / ann_ivf_multiprobe / ann_rp_topk CTE
+    // stacks: one bf truth, per-pair probe-cell rank (a corpus vector
+    // lives in ONE cell, so cell_rn is unique per pair), RP prefilter
+    // rank — then one row per configuration
+    "ann_frontier" -> {
+      def proj(e: String): String =
+        s"list_transform(range(1, 9), j -> list_sum(list_transform(" +
+          s"range(1, len($e) + 1), i -> CAST($e[i] AS DOUBLE) * ((i - 1) * j % 13 - 6))))"
+      def ivfSel(p: Int): String =
+        s"""SELECT 'ivf', $p,
+           |  (SELECT count(*) FROM (SELECT query_id, neighbor_id FROM (
+           |     SELECT query_id, neighbor_id, row_number() OVER (
+           |       PARTITION BY query_id
+           |       ORDER BY ${ScaleShared.duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
+           |     FROM pairs WHERE cell_rn <= $p) WHERE rnk <= 10) iv
+           |   JOIN bf USING (query_id, neighbor_id)),
+           |  (SELECT count(*) FROM bf),
+           |  (SELECT count(*) FROM pairs WHERE cell_rn <= $p)""".stripMargin
+      def rpSel(b: Int): String =
+        s"""SELECT 'rp', $b,
+           |  (SELECT count(*) FROM (SELECT query_id, neighbor_id FROM (
+           |     SELECT query_id, neighbor_id, row_number() OVER (
+           |       PARTITION BY query_id
+           |       ORDER BY round(${ScaleShared.duckCosine("qe", "ce")}, 6) DESC, neighbor_id) AS rnk
+           |     FROM rcand WHERE prnk <= $b) WHERE rnk <= 10) rr
+           |   JOIN bf USING (query_id, neighbor_id)),
+           |  (SELECT count(*) FROM bf),
+           |  (SELECT count(*) FROM rcand WHERE prnk <= $b)""".stripMargin
+      s"""WITH dim AS (SELECT unnest(range(1,
+         |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+         |cents AS (SELECT label, i AS pos,
+         |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+         |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
+         |  FROM embeddings CROSS JOIN dim GROUP BY 1, 2),
+         |cl AS (SELECT label, list(centroid ORDER BY pos) AS cl
+         |  FROM cents GROUP BY 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS cell
+         |  FROM embeddings),
+         |bf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY ${ScaleShared.duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
+         |  FROM q, c WHERE query_id != neighbor_id)
+         |  WHERE rnk <= 10),
+         |qd AS (SELECT query_id, cc.label AS cell,
+         |  list_sum(list_transform(range(1, len(qe) + 1),
+         |    i -> (CAST(qe[i] AS DOUBLE) - cc.cl[i])
+         |       * (CAST(qe[i] AS DOUBLE) - cc.cl[i]))) AS d
+         |  FROM q, cl cc),
+         |pr AS (SELECT query_id, cell, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY d, cell) AS rn FROM qd),
+         |pairs AS (SELECT p.query_id, c.neighbor_id, p.rn AS cell_rn,
+         |    q.qe, c.ce
+         |  FROM pr p JOIN c ON c.cell = p.cell
+         |  JOIN q ON q.query_id = p.query_id
+         |  WHERE p.query_id != c.neighbor_id),
+         |rq AS (SELECT vec_id AS query_id, embedding AS qe,
+         |    ${proj("embedding")} AS qpv
+         |  FROM embeddings WHERE vec_id < 5),
+         |rc AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+         |    ${proj("embedding")} AS cpv
+         |  FROM embeddings),
+         |rcand AS (SELECT query_id, neighbor_id, qe, ce, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY round(${ScaleShared.duckCosine("qpv", "cpv")}, 6) DESC, neighbor_id
+         |  ) AS prnk
+         |  FROM rq, rc WHERE query_id != neighbor_id)
+         |SELECT CAST(method AS VARCHAR) AS method,
+         |  CAST(param AS BIGINT) AS param, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(k_total AS BIGINT) AS k_total,
+         |  CAST(candidate_rows AS BIGINT) AS candidate_rows
+         |FROM (
+         |  SELECT 'bf' AS method, 0 AS param,
+         |    (SELECT count(*) FROM bf) AS n_hit,
+         |    (SELECT count(*) FROM bf) AS k_total,
+         |    (SELECT count(*) FROM q, c WHERE query_id != neighbor_id)
+         |      AS candidate_rows
+         |  UNION ALL ${ivfSel(1)}
+         |  UNION ALL ${ivfSel(2)}
+         |  UNION ALL ${ivfSel(3)}
+         |  UNION ALL ${rpSel(15)}
+         |  UNION ALL ${rpSel(30)}
+         |)
+         |ORDER BY method, param""".stripMargin
+    },
 
     "ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label

@@ -162,6 +162,23 @@ object Similarity {
     * (queries-side blowup only — the corpus side never duplicates). */
   def ivfMultiProbeTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, cellCol: String, k: Int, nProbe: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    multiProbeCandidatePairs(queries, corpus, idCol, vecCol, cellCol, nProbe)
+      .withColumn("cosine",
+        cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** The candidate stage of [[ivfMultiProbeTopK]] — the (query, corpus)
+    * pairs in each query's `nProbe` nearest cells, BEFORE scoring —
+    * factored out so [[annFrontier]] can count a configuration's
+    * candidate cost from the identical frame the search scores. */
+  private[scale] def multiProbeCandidatePairs(queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      nProbe: Int): DataFrame = {
     require(nProbe > 0, "nProbe must be positive")
     val centArr = centroidStructArray(centroids(corpus, cellCol, vecCol))
     val scored = transform(centArr, cs => struct(
@@ -176,15 +193,8 @@ object Similarity {
       .withColumn("qn", norm(col("qvec")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       col(cellCol).as("cell")).withColumn("cn", norm(col("cvec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
     probed.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
   }
 
   /** Sign-random-projection LSH bucket id over `planes` deterministic
@@ -461,6 +471,24 @@ object Similarity {
   def rpTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, projDims: Int, candidates: Int): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rpCandidatePairs(queries, corpus, idCol, vecCol, projDims, candidates)
+      .withColumn("cosine", round(
+        cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")), 6))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** The prefilter stage of [[rpTopK]] — the top-`candidates` pairs per
+    * query under the rounded projected cosine, BEFORE exact re-scoring —
+    * factored out so [[annFrontier]] can count a candidate budget's cost
+    * from the identical frame the rerank scores. */
+  private[scale] def rpCandidatePairs(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, projDims: Int,
+      candidates: Int): DataFrame = {
+    require(candidates > 0, s"candidates must be positive: $candidates")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("qp", randomProject(col("qvec"), projDims))
       .withColumn("qpn", norm(col("qp")))
@@ -471,19 +499,71 @@ object Similarity {
       .withColumn("cn", norm(col("cvec")))
     val wProj = Window.partitionBy("query_id")
       .orderBy(col("proj_cosine").desc, col("neighbor_id").asc)
-    val wExact = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("proj_cosine", round(
         cosineWithNorms(col("qp"), col("cp"), col("qpn"), col("cpn")), 6))
       .withColumn("prnk", row_number().over(wProj))
       .filter(col("prnk") <= candidates)
-      .withColumn("cosine", round(
-        cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")), 6))
-      .withColumn("rnk", row_number().over(wExact))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** ANN recall-vs-cost FRONTIER report — the operational tuning table
+    * for the index stack: one row per (method, param) configuration with
+    * the exact-integer recall numerator/denominator against the
+    * brute-force cosine ground truth and the configuration's candidate
+    * cost (the pairs entering its expensive exact-scoring stage). Recall
+    * and cost-per-query are the caller's divisions — the emitted surface
+    * is pure int64, so any engine replays it exactly.
+    *  - `bf` (param 0): the exact baseline — n_hit = k_total by
+    *    construction; candidate_rows = every scored (query, corpus) pair,
+    *    the cost ceiling the approximate configs are measured against;
+    *  - `ivf` (param = nProbe): [[ivfMultiProbeTopK]] — candidate_rows =
+    *    pairs in the probed cells ([[multiProbeCandidatePairs]], the
+    *    IDENTICAL frame the search scores);
+    *  - `rp` (param = candidate budget k′): [[rpTopK]]'s two-stage search
+    *    — candidate_rows = pairs surviving the projected-space prefilter
+    *    into exact re-scoring ([[rpCandidatePairs]]).
+    * Scale shape: each configuration is one keyed/broadcast search the
+    * library already runs plus two count aggregates; configurations are
+    * a small constant, and every per-config result is a single row. */
+  def annFrontier(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, k: Int, nProbes: Seq[Int],
+      rpBudgets: Seq[Int], rpProjDims: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1),
+      s"nProbes must be positive: $nProbes")
+    require(rpBudgets.nonEmpty && rpBudgets.forall(_ >= k),
+      s"rp budgets must be >= k=$k: $rpBudgets")
+    // materialized: the truth frame anchors every configuration's hit join
+    val truth = graft.io.Materialize(
+      bruteForceTopK(queries, corpus, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id")))
+    def row(method: String, param: Long, res: DataFrame,
+        cand: DataFrame): DataFrame =
+      truth
+        .join(res.select("query_id", "neighbor_id")
+            .withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"),
+          count(lit(1)).as("k_total"))
+        .crossJoin(cand.agg(count(lit(1)).as("candidate_rows")))
+        .select(lit(method).as("method"), lit(param).as("param"),
+          col("n_hit"), col("k_total"), col("candidate_rows"))
+    val bfCand = corpus.select(col(idCol).as("neighbor_id"))
+      .crossJoin(broadcast(queries.select(col(idCol).as("query_id"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val bf = row("bf", 0L, truth, bfCand)
+    val ivf = nProbes.map { p =>
+      row("ivf", p.toLong,
+        ivfMultiProbeTopK(queries, corpus, idCol, vecCol, cellCol, k, p),
+        multiProbeCandidatePairs(queries, corpus, idCol, vecCol, cellCol, p))
+    }
+    val rp = rpBudgets.map { b =>
+      row("rp", b.toLong,
+        rpTopK(queries, corpus, idCol, vecCol, k, rpProjDims, b),
+        rpCandidatePairs(queries, corpus, idCol, vecCol, rpProjDims, b))
+    }
+    (Seq(bf) ++ ivf ++ rp).reduce(_ unionByName _)
   }
 
   /** Sign-quantized (binary) embedding signature: bit j = sign of the

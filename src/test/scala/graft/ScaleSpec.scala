@@ -835,6 +835,32 @@ class ScaleSpec extends SparkSpec {
       Multimodal.cdcChunks(mm, maxChunks = 0))
   }
 
+  test("annFrontier: exact baseline is perfect by construction, IVF " +
+      "recall and cost grow monotonically with nProbe, RP cost equals " +
+      "the candidate budget") {
+    import graft.scale.Similarity
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val f = Similarity.annFrontier(e.filter($"vec_id" < 5), e,
+        "vec_id", "embedding", "label", k = 10,
+        nProbes = Seq(1, 2), rpBudgets = Seq(15))
+      .select("method", "param", "n_hit", "k_total", "candidate_rows")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(f.size == 4)
+    val (bh, bk, bc) = f(("bf", 0L))
+    assert(bh == bk && bk == 50L) // 5 queries × top-10, all hits
+    val (h1, k1, c1) = f(("ivf", 1L))
+    val (h2, k2, c2) = f(("ivf", 2L))
+    assert(k1 == bk && k2 == bk)
+    assert(h1 <= h2 && h2 <= bh, "IVF recall must grow with nProbe")
+    assert(c1 < c2 && c2 < bc, "IVF cost must grow with nProbe, below bf")
+    val (rh, _, rc) = f(("rp", 15L))
+    assert(rc == 5L * 15L && rh <= bh)
+    intercept[IllegalArgumentException](
+      Similarity.annFrontier(e, e, "vec_id", "embedding", "label", 10,
+        Seq(1), Seq(5))) // rp budget below k
+  }
+
   test("multimodal: chunk-overlap pairs find near-dups, drop boilerplate") {
     // docs 1/2 share 3 of 4 chunks (75%), 1/3 share all 4 (100%);
     // threshold 80% keeps only (1,3)
