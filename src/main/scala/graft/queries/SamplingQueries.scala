@@ -290,6 +290,20 @@ object SamplingQueries {
         "doc_id", "n_tokens", 512L)
         .orderBy("doc_id", "seq_id")),
 
+    // Quality-ordered token-budget selection: best-first (n_chars is the
+    // quality proxy here; any score_nano slots into orderCol) until the
+    // 10000-token budget is exactly spent — the fixed-size training-set
+    // cut, no overshoot. Two-level prefix sums, no global-order window
+    "samp_quality_budget" -> ((s, d) =>
+      Sampling.budgetSelect(
+        docs(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+          (-col("n_chars")).as("__ord")),
+        "__ord", "doc_id", "n_tok", budgetTokens = 10000L)
+        .select(col("doc_id"), col("n_tok"), col("cum_tokens"),
+          col("selected"))
+        .orderBy("doc_id")),
+
     // Interleaved curriculum schedule: groupedNtile length bands (the
     // difficulty proxy; perplexity bands compose identically) + per-band
     // deterministic shuffle + stride-scheduling interleave — the
@@ -320,6 +334,17 @@ object SamplingQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |  AS BIGINT) % 10000 < 2500
         |ORDER BY doc_id""".stripMargin,
+
+    "samp_quality_budget" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |    CAST(len($duckToksAll) AS BIGINT) AS n_tok FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |    sum(n_tok) OVER (ORDER BY n_chars DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, n_tok, CAST(cum AS BIGINT) AS cum_tokens,
+         |  cum <= 10000 AS selected
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "samp_curriculum" ->
       """WITH b AS (

@@ -115,6 +115,14 @@ object TextQueries {
       TextAnalysis.winnowFingerprints(docs(s, d), "doc_id", "text", 3, 4)
         .orderBy("doc_id", "fp_pos", "fp_hash")),
 
+    // Per-document sliding token chunks (12-token windows, stride 8 — 4
+    // tokens of overlap): the embedding/RAG chunker; document boundaries
+    // kept, last chunk truncates at the end. Zero shuffle
+    "tx_chunk_windows" -> ((s, d) =>
+      TextAnalysis.chunkWindows(docs(s, d), "doc_id", "text",
+        chunkTokens = 12, strideTokens = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
     // Repetition signals (Gopher-style): duplicate/top n-gram fractions +
     // max consecutive-token run — all per-row expressions, zero shuffles
     "tx_repetition" -> ((s, d) =>
@@ -724,6 +732,19 @@ object TextQueries {
       """SELECT doc_id,
         |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
+         |n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t
+         |  WHERE len(tk) > 0),
+         |ch AS (SELECT doc_id, tk, n, unnest(range(0,
+         |    1 + (greatest(n - 12, 0) + 7) // 8)) AS chunk_idx FROM n)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(chunk_idx * 8 AS BIGINT) AS start_tok,
+         |  CAST(least(12, n - chunk_idx * 8) AS BIGINT) AS n_tok,
+         |  array_to_string(list_slice(tk, CAST(chunk_idx * 8 + 1 AS INT),
+         |    CAST(least(chunk_idx * 8 + 12, n) AS INT)), ' ') AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // window-min selection replicated with DuckDB's own struct-min window
     // (both engines order (gh, -pos) lexicographically → rightmost tie);

@@ -209,6 +209,57 @@ object Sampling {
       .drop(cumC, offC, stC, "bucket")
   }
 
+  /** Quality-ordered token-budget selection — "take the best documents
+    * until the budget is spent", the curation step that turns a scored
+    * corpus into a fixed-size training set. Rows are consumed in
+    * (`orderCol`, `tieCol`) ASCENDING order (pass a negated score for
+    * best-first) and a row is selected iff its INCLUSIVE running token
+    * total stays within `budgetTokens` — no overshoot: the first row
+    * that would cross the line, and everything ranked after it, is left
+    * out. Adds `cum_tokens` (the inclusive running total) and `selected`.
+    *
+    * Same two-level prefix-sum shape as [[packByTokenBudget]] — bucket by
+    * global [[quantileCuts]] on `orderCol`, per-bucket token subtotals
+    * collected (≤ `buckets` rows) into broadcast offsets, within-bucket
+    * running sum — with an EXPLICIT tie column so equal scores stay
+    * deterministic (packByTokenBudget's orderCol is contractually unique;
+    * quality scores are not). No global-order window; pure int64. */
+  def budgetSelect(df: DataFrame, orderCol: String, tieCol: String,
+      tokenCountCol: String, budgetTokens: Long,
+      buckets: Int = 64): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    require(!df.columns.contains("bucket"),
+      "budgetSelect adds a scratch 'bucket' column; rename the input's")
+    require(!df.columns.contains("cum_tokens")
+        && !df.columns.contains("selected"),
+      "budgetSelect adds 'cum_tokens'/'selected'; rename the input's")
+    val dfChecked = df.withColumn(tokenCountCol,
+      when(col(tokenCountCol) < 0, raise_error(concat(
+        lit("budgetSelect: negative token count "),
+        col(tokenCountCol).cast("string"), lit(" at "),
+        col(tieCol).cast("string")))).otherwise(col(tokenCountCol)))
+    val withB = bucketsFromCuts(dfChecked, orderCol,
+      quantileCuts(df, orderCol, buckets))
+    val subs = withB.groupBy(col("bucket"))
+      .agg(sum(col(tokenCountCol)).as("__s")).collect()
+      .map { r =>
+        require(!r.isNullAt(0), s"budgetSelect: null $orderCol")
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }.sortBy(_._1)
+    val offs = subs.map(_._1).zip(subs.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val offExpr = offs.foldLeft(lit(0L)) { case (e, (b, o)) =>
+      when(col("bucket") === b, lit(o)).otherwise(e)
+    }
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .withColumn("cum_tokens", offExpr + sum(col(tokenCountCol)).over(w))
+      .withColumn("selected", col("cum_tokens") <= budgetTokens)
+      .drop("bucket")
+  }
+
   /** Data-constrained repeat/epoch planning (Muennighoff et al., "Scaling
     * Data-Constrained Language Models", NeurIPS 2023): when the target
     * mixture asks a source for more tokens than it has, the source is

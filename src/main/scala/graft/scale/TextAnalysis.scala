@@ -28,6 +28,39 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Per-document sliding token chunks with overlap — the embedding/RAG
+    * pipeline chunker. [[graft.scale.Sampling.packSequences]] is the
+    * corpus-CONCATENATION packer (documents fused into fixed context
+    * windows); this one keeps document boundaries and re-reads
+    * `chunkTokens − strideTokens` tokens of overlap between consecutive
+    * chunks so no retrieval chunk loses cross-boundary context. Chunk i
+    * starts at token `i·strideTokens`; chunks are emitted until one
+    * reaches the document's end (the final chunk truncates there, so
+    * every token is covered exactly and no start position past the end
+    * is generated). Empty documents yield no rows. Zero shuffle: one
+    * tokenize + per-row sequence explode + slice. */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    require(strideTokens >= 1 && strideTokens <= chunkTokens,
+      s"strideTokens must be in [1, chunkTokens]: $strideTokens")
+    df.select(col(idCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("__tk"))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("__tk"), col("__n"),
+        explode(sequence(lit(0L), expr(
+          s"(greatest(__n - ${chunkTokens}L, 0L) + ${strideTokens - 1}L)" +
+            s" div ${strideTokens}L"))).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * strideTokens)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(lit(chunkTokens.toLong), col("__n") - col("start_tok"))
+          .as("n_tok"),
+        array_join(slice(col("__tk"),
+          (col("start_tok") + 1L).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Quality scoring: token count, mean token length, stopword ratio,
     * punctuation ratio, alpha ratio. Heuristics in the spirit of published
     * web-corpus quality filters (C4/Gopher-style length+symbol rules). */

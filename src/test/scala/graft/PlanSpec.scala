@@ -161,6 +161,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("curriculum schedule and budget-select windows are " +
+      "bucket-partitioned — never one task") {
+    // both ride the two-level prefix-sum machinery; a regressed global
+    // window would funnel the whole corpus (or a dominant band) through
+    // a single task
+    for (q <- Seq("samp_curriculum", "samp_quality_budget")) {
+      val p = graft.queries.ScaleQueries.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val specs = "windowspecdefinition\\(([^)]*)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(specs.nonEmpty, p)
+      specs.foreach(s =>
+        assert(s.contains("bucket#"), s"$q unpartitioned window: $s\n$p"))
+    }
+  }
+
   test("CDC byte window partitions by (id, segment) — parallelism scales " +
       "with total bytes, never capped at payload count") {
     // the regressed per-id window would hold an entire payload's byte

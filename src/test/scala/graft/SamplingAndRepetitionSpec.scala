@@ -54,6 +54,71 @@ class SamplingAndRepetitionSpec extends SparkSpec {
       rows.map(r => r._1 -> r._3).toMap)
   }
 
+  test("chunkWindows: full token coverage with exact overlap, boundary " +
+      "and degenerate docs, stride guard") {
+    val df = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 tokens
+      (2L, "a b c"), // shorter than one chunk
+      (3L, ""), // empty → no rows
+      (4L, (1 to 12).map(i => s"t$i").mkString(" ")) // exactly one chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWindows(df, "doc_id", "text", 12, 8)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tok", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(!out.exists(_._1 == 3L))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 3L, "a b c")))
+    assert(out.filter(_._1 == 4L).map(r => (r._2, r._4)).toSeq ==
+      Seq((0L, 12L))) // n == chunk → exactly one full chunk
+    // 20 tokens at chunk 12 / stride 8 → [0,12) and [8,20), overlap 4
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(r => (r._3, r._4)).toSeq == Seq((0L, 12L), (8L, 12L)))
+    val covered = d1.flatMap(r => r._3 until (r._3 + r._4)).toSet
+    assert(covered == (0L until 20L).toSet) // every token in some chunk
+    assert(d1.head._5.startsWith("t1 ") && d1.last._5.endsWith(" t20"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkWindows(df, "doc_id", "text", 8, 9))
+  }
+
+  test("budgetSelect: inclusive running totals never overshoot, the cut " +
+      "is a prefix of the quality order, ties are deterministic, and " +
+      "negative counts fail loud") {
+    // scores with deliberate ties; tokens sized so the budget cuts mid-tie
+    val df = Seq(
+      (1L, 90L, 40L), (2L, 90L, 40L), (3L, 80L, 40L),
+      (4L, 80L, 40L), (5L, 70L, 40L), (6L, 60L, 40L)
+    ).toDF("id", "score", "n_tok").withColumn("__ord", -$"score")
+    val out = Sampling.budgetSelect(df, "__ord", "id", "n_tok", 170L)
+      .select("id", "cum_tokens", "selected")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // order is (score desc, id asc): 1,2,3,4,5,6 → cums 40..240
+    assert(out.map(_._2).toSeq == Seq(40L, 80L, 120L, 160L, 200L, 240L))
+    // budget 170: docs 1-4 fit (160 ≤ 170); doc 5 would cross — left out
+    assert(out.map(_._3).toSeq ==
+      Seq(true, true, true, true, false, false))
+    // selection is a PREFIX of the order: no unselected doc ranks above
+    // a selected one (monotone in cum)
+    val cumOrd = out.sortBy(_._2)
+    assert(cumOrd.map(_._3).toSeq.dropWhile(identity).forall(!_))
+    // window truth on a larger random-ish frame
+    val big = (1L to 500L).map(i =>
+      (i, (i * 37) % 101, 1L + (i * 13) % 50)).toDF("id", "score", "n_tok")
+      .withColumn("__ord", -$"score")
+    val got = Sampling.budgetSelect(big, "__ord", "id", "n_tok", 3000L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    val truth = big.withColumn("cum", sum($"n_tok").over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"__ord", $"id")
+          .rowsBetween(Long.MinValue, 0)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == truth)
+    val bad = Seq((1L, 1L, -5L)).toDF("id", "score", "n_tok")
+      .withColumn("__ord", -$"score")
+    val e = intercept[Exception] {
+      Sampling.budgetSelect(bad, "__ord", "id", "n_tok", 10L).collect()
+    }
+    assert(e.getMessage.contains("negative token count"), e.getMessage)
+  }
+
   test("deterministic sample: stable across runs, roughly the asked fraction") {
     val ids = (1L to 2000L).toDF("id")
     val a = Sampling.deterministicSample(ids, "id", 0.25).as[Long].collect().toSet
