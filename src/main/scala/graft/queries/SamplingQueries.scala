@@ -304,6 +304,28 @@ object SamplingQueries {
           col("selected"))
         .orderBy("doc_id")),
 
+    // Curriculum-ordered shard packing CAPSTONE: the interleaved band
+    // schedule fed straight into token-budget shard cutting — the actual
+    // training-shard artifact a curriculum run reads (shards follow the
+    // schedule order, ~1000 tokens each; packByTokenBudget's unique
+    // orderCol contract is satisfied by the schedule's global_pos)
+    "samp_pack_curriculum" -> ((s, d) => {
+      val banded = Sampling.groupedNtile(
+          docs(s, d).select(col("doc_id"), col("n_chars"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+            .withColumn("__g", lit(0L)),
+          "__g", "n_chars", "doc_id", 4)
+        .withColumnRenamed("ntile", "band").drop("__g")
+      Sampling.packByTokenBudget(
+          Sampling.curriculumInterleave(banded, "doc_id", "band", seed = 7L)
+            .select(col("doc_id"), col("band"), col("global_pos"),
+              col("n_tok")),
+          "global_pos", "n_tok", 1000L)
+        .select(col("doc_id"), col("band"), col("global_pos"),
+          col("n_tok"), col("shard_id"))
+        .orderBy("global_pos")
+    }),
+
     // Interleaved curriculum schedule: groupedNtile length bands (the
     // difficulty proxy; perplexity bands compose identically) + per-band
     // deterministic shuffle + stride-scheduling interleave — the
@@ -322,6 +344,37 @@ object SamplingQueries {
         .orderBy("global_pos")
     }),
   )
+
+  // The curriculum schedule CTE stack (band ntile → seeded shuffle →
+  // stride-scheduling interleave → global position), ending in
+  // `g`(doc_id, band, band_rank, n_band, ikey, global_pos) — shared by
+  // samp_curriculum and the samp_pack_curriculum capstone.
+  private[queries] val curriculumCtes: String =
+    """b AS (
+      |  SELECT doc_id,
+      |    CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+      |      AS band
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, band,
+      |    CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+      |      1, 15)) AS BIGINT) AS ck
+      |  FROM b),
+      |r AS (
+      |  SELECT doc_id, band,
+      |    CAST(row_number() OVER (PARTITION BY band ORDER BY ck, doc_id)
+      |      AS BIGINT) AS band_rank,
+      |    CAST(count(*) OVER (PARTITION BY band) AS BIGINT) AS n_band
+      |  FROM k),
+      |i AS (
+      |  SELECT doc_id, band, band_rank, n_band,
+      |    ((band_rank * 2 - 1) * 1048576) // n_band AS ikey
+      |  FROM r),
+      |g AS (
+      |  SELECT doc_id, band, band_rank, n_band, ikey,
+      |    CAST(row_number() OVER (ORDER BY ikey, band, band_rank)
+      |      AS BIGINT) AS global_pos
+      |  FROM i)""".stripMargin
 
   // a def, not a val: registry-aware entries read OracleLits fragments
   // that the query functions register as they run (Verify dumps oracle
@@ -347,31 +400,21 @@ object SamplingQueries {
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "samp_curriculum" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
-        |      AS band
-        |  FROM documents),
-        |k AS (
-        |  SELECT doc_id, band,
-        |    CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
-        |      1, 15)) AS BIGINT) AS ck
-        |  FROM b),
-        |r AS (
-        |  SELECT doc_id, band,
-        |    CAST(row_number() OVER (PARTITION BY band ORDER BY ck, doc_id)
-        |      AS BIGINT) AS band_rank,
-        |    CAST(count(*) OVER (PARTITION BY band) AS BIGINT) AS n_band
-        |  FROM k),
-        |i AS (
-        |  SELECT doc_id, band, band_rank, n_band,
-        |    ((band_rank * 2 - 1) * 1048576) // n_band AS ikey
-        |  FROM r)
-        |SELECT doc_id, band, band_rank, n_band, ikey,
-        |  CAST(row_number() OVER (ORDER BY ikey, band, band_rank)
-        |    AS BIGINT) AS global_pos
-        |FROM i
-        |ORDER BY global_pos""".stripMargin,
+      s"""WITH $curriculumCtes
+         |SELECT doc_id, band, band_rank, n_band, ikey, global_pos
+         |FROM g ORDER BY global_pos""".stripMargin,
+
+    "samp_pack_curriculum" ->
+      s"""WITH $curriculumCtes,
+         |tok AS (SELECT doc_id,
+         |    CAST(len($duckToksAll) AS BIGINT) AS n_tok FROM documents),
+         |j AS (SELECT g.doc_id, g.band, g.global_pos, tok.n_tok
+         |  FROM g JOIN tok USING (doc_id))
+         |SELECT doc_id, band, global_pos, n_tok,
+         |  (sum(n_tok) OVER (ORDER BY global_pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+         |    // 1000 AS shard_id
+         |FROM j ORDER BY global_pos""".stripMargin,
 
     "samp_epoch_shuffle" ->
       """SELECT CAST(e AS BIGINT) AS epoch, doc_id,
