@@ -310,16 +310,22 @@ object SamplingQueries {
     // schedule order, ~1000 tokens each; packByTokenBudget's unique
     // orderCol contract is satisfied by the schedule's global_pos)
     "samp_pack_curriculum" -> ((s, d) => {
-      val banded = Sampling.groupedNtile(
+      // materialized: the schedule's grouped ranks drive several driver
+      // actions, each of which would otherwise re-run the band ntile
+      val banded = graft.io.Materialize(Sampling.groupedNtile(
           docs(s, d).select(col("doc_id"), col("n_chars"),
             TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
             .withColumn("__g", lit(0L)),
           "__g", "n_chars", "doc_id", 4)
-        .withColumnRenamed("ntile", "band").drop("__g")
+        .withColumnRenamed("ntile", "band").drop("__g"))
+      // materialized: packByTokenBudget drives three actions (cut sketch,
+      // offset collect, final) — each would re-run the schedule's rank
       Sampling.packByTokenBudget(
-          Sampling.curriculumInterleave(banded, "doc_id", "band", seed = 7L)
+          graft.io.Materialize(
+            Sampling.curriculumInterleave(banded, "doc_id", "band",
+              seed = 7L)
             .select(col("doc_id"), col("band"), col("global_pos"),
-              col("n_tok")),
+              col("n_tok"))),
           "global_pos", "n_tok", 1000L)
         .select(col("doc_id"), col("band"), col("global_pos"),
           col("n_tok"), col("shard_id"))
@@ -333,11 +339,13 @@ object SamplingQueries {
     // the schedule carries each band proportionally (spec-asserted);
     // pure int64, replayed exactly by the oracle's window arithmetic
     "samp_curriculum" -> ((s, d) => {
-      val banded = Sampling.groupedNtile(
+      // materialized: the schedule's grouped ranks drive several driver
+      // actions, each of which would otherwise re-run the band ntile
+      val banded = graft.io.Materialize(Sampling.groupedNtile(
           docs(s, d).select(col("doc_id"), col("n_chars"))
             .withColumn("__g", lit(0L)),
           "__g", "n_chars", "doc_id", 4)
-        .withColumnRenamed("ntile", "band").drop("__g")
+        .withColumnRenamed("ntile", "band").drop("__g"))
       Sampling.curriculumInterleave(banded, "doc_id", "band", seed = 7L)
         .select(col("doc_id"), col("band"), col("band_rank"),
           col("n_band"), col("ikey"), col("global_pos"))

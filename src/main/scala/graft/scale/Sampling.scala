@@ -737,14 +737,17 @@ object Sampling {
       rankCol = "band_rank", nCol = "n_band")
     // (2r−1)·scale must stay in int64 — name the rank instead of wrapping
     val lim = Long.MaxValue / scale
-    val withKey = ranked
+    // materialized: the global-position groupedRank below drives THREE
+    // actions over this frame (cut sketch, offset collect, final plan) —
+    // without the cut each would re-run the per-band rank's window+join
+    val withKey = graft.io.Materialize(ranked
       .withColumn("ikey",
         when(col("band_rank") * 2L - 1L > lim, raise_error(concat(
           lit("curriculumInterleave: band rank "),
           col("band_rank").cast("string"),
           lit(s" overflows int64 at scale $scale — lower scale"))))
         .otherwise(expr(s"((band_rank * 2L - 1L) * ${scale}L) div n_band")))
-      .drop(ckC)
+      .drop(ckC))
     // global position over (ikey, band, band_rank) — a TOTAL order, via
     // the same two-level prefix-sum rank with one constant group
     groupedRank(

@@ -161,12 +161,24 @@ object Similarity {
     * [[ivfTopK]], with the probe list exploded to (query, cell) rows
     * (queries-side blowup only — the corpus side never duplicates). */
   def ivfMultiProbeTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, cellCol: String, k: Int, nProbe: Int): DataFrame = {
+      vecCol: String, cellCol: String, k: Int, nProbe: Int): DataFrame =
+    rankCandidatePairs(
+      multiProbeCandidatePairs(queries, corpus, idCol, vecCol, cellCol,
+        nProbe),
+      k, rounded = false)
+
+  /** Exact-cosine rank over a prepared (query, corpus) candidate-pair
+    * frame (`qvec`/`cvec`/`qn`/`cn` present) — the shared scoring tail of
+    * [[ivfMultiProbeTopK]] and [[rpTopK]], also applied by
+    * [[annFrontier]] to its materialized candidate frames. `rounded`
+    * selects rpTopK's 6-decimal engine-portable order. */
+  private def rankCandidatePairs(pairs: DataFrame, k: Int,
+      rounded: Boolean): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    multiProbeCandidatePairs(queries, corpus, idCol, vecCol, cellCol, nProbe)
-      .withColumn("cosine",
-        cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")))
+    val cos = cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn"))
+    pairs
+      .withColumn("cosine", if (rounded) round(cos, 6) else cos)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
@@ -175,12 +187,15 @@ object Similarity {
   /** The candidate stage of [[ivfMultiProbeTopK]] — the (query, corpus)
     * pairs in each query's `nProbe` nearest cells, BEFORE scoring —
     * factored out so [[annFrontier]] can count a configuration's
-    * candidate cost from the identical frame the search scores. */
+    * candidate cost from the identical frame the search scores.
+    * `centsOpt` lets a caller running SEVERAL nProbe configurations
+    * compute (and materialize) the per-cell centroid frame once. */
   private[scale] def multiProbeCandidatePairs(queries: DataFrame,
       corpus: DataFrame, idCol: String, vecCol: String, cellCol: String,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, centsOpt: Option[DataFrame] = None): DataFrame = {
     require(nProbe > 0, "nProbe must be positive")
-    val centArr = centroidStructArray(centroids(corpus, cellCol, vecCol))
+    val centArr = centroidStructArray(
+      centsOpt.getOrElse(centroids(corpus, cellCol, vecCol)))
     val scored = transform(centArr, cs => struct(
       graft.functions.VectorSqL2(col(vecCol), cs.getField("c")).as("d"),
       cs.getField("label").as("label")))
@@ -471,14 +486,9 @@ object Similarity {
   def rpTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, projDims: Int, candidates: Int): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
-    val wExact = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rpCandidatePairs(queries, corpus, idCol, vecCol, projDims, candidates)
-      .withColumn("cosine", round(
-        cosineWithNorms(col("qvec"), col("cvec"), col("qn"), col("cn")), 6))
-      .withColumn("rnk", row_number().over(wExact))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+    rankCandidatePairs(
+      rpCandidatePairs(queries, corpus, idCol, vecCol, projDims, candidates),
+      k, rounded = true)
   }
 
   /** The prefilter stage of [[rpTopK]] — the top-`candidates` pairs per
@@ -553,15 +563,21 @@ object Similarity {
       .crossJoin(broadcast(queries.select(col(idCol).as("query_id"))))
       .filter(col("query_id") =!= col("neighbor_id"))
     val bf = row("bf", 0L, truth, bfCand)
+    // one centroid build for every nProbe configuration, and ONE
+    // materialized candidate frame per configuration feeding both its
+    // search and its cost count (the naive form re-ran the corpus-wide
+    // centroid aggregate and the candidate join twice per config)
+    val cents = graft.io.Materialize(centroids(corpus, cellCol, vecCol))
     val ivf = nProbes.map { p =>
-      row("ivf", p.toLong,
-        ivfMultiProbeTopK(queries, corpus, idCol, vecCol, cellCol, k, p),
-        multiProbeCandidatePairs(queries, corpus, idCol, vecCol, cellCol, p))
+      val cand = graft.io.Materialize(multiProbeCandidatePairs(
+        queries, corpus, idCol, vecCol, cellCol, p, Some(cents)))
+      row("ivf", p.toLong, rankCandidatePairs(cand, k, rounded = false),
+        cand)
     }
     val rp = rpBudgets.map { b =>
-      row("rp", b.toLong,
-        rpTopK(queries, corpus, idCol, vecCol, k, rpProjDims, b),
-        rpCandidatePairs(queries, corpus, idCol, vecCol, rpProjDims, b))
+      val cand = graft.io.Materialize(rpCandidatePairs(
+        queries, corpus, idCol, vecCol, rpProjDims, b))
+      row("rp", b.toLong, rankCandidatePairs(cand, k, rounded = true), cand)
     }
     (Seq(bf) ++ ivf ++ rp).reduce(_ unionByName _)
   }
