@@ -532,18 +532,29 @@ object Similarity {
     *    IDENTICAL frame the search scores);
     *  - `rp` (param = candidate budget k′): [[rpTopK]]'s two-stage search
     *    — candidate_rows = pairs surviving the projected-space prefilter
-    *    into exact re-scoring ([[rpCandidatePairs]]).
+    *    into exact re-scoring ([[rpCandidatePairs]]);
+    *  - `ham` (param = candidate budget k′, when `hamBudgets` nonempty):
+    *    the [[hammingRerankTopK]] shape — `hamBits`-plane sign-signature
+    *    Hamming prefilter keeps k′ per query (self included, the index
+    *    convention — it sits at distance 0), then self is dropped before
+    *    exact re-scoring so the row compares cleanly against the
+    *    self-excluded truth; candidate_rows = the post-self-drop rerank
+    *    set.
     * Scale shape: each configuration is one keyed/broadcast search the
-    * library already runs plus two count aggregates; configurations are
-    * a small constant, and every per-config result is a single row. */
+    * library already runs plus two count aggregates over its ONE
+    * materialized candidate frame; configurations are a small constant,
+    * and every per-config result is a single row. */
   def annFrontier(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, cellCol: String, k: Int, nProbes: Seq[Int],
-      rpBudgets: Seq[Int], rpProjDims: Int = 8): DataFrame = {
+      rpBudgets: Seq[Int], rpProjDims: Int = 8,
+      hamBudgets: Seq[Int] = Seq.empty, hamBits: Int = 48): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(nProbes.nonEmpty && nProbes.forall(_ >= 1),
       s"nProbes must be positive: $nProbes")
     require(rpBudgets.nonEmpty && rpBudgets.forall(_ >= k),
       s"rp budgets must be >= k=$k: $rpBudgets")
+    require(hamBudgets.forall(_ >= k),
+      s"hamming budgets must be >= k=$k: $hamBudgets")
     // materialized: the truth frame anchors every configuration's hit join
     val truth = graft.io.Materialize(
       bruteForceTopK(queries, corpus, idCol, vecCol, k)
@@ -579,7 +590,33 @@ object Similarity {
         queries, corpus, idCol, vecCol, rpProjDims, b))
       row("rp", b.toLong, rankCandidatePairs(cand, k, rounded = true), cand)
     }
-    (Seq(bf) ++ ivf ++ rp).reduce(_ unionByName _)
+    val ham = hamBudgets.map { b =>
+      val cand = graft.io.Materialize(hammingCandidatePairs(
+        queries, corpus, idCol, vecCol, hamBits, b))
+      row("ham", b.toLong, rankCandidatePairs(cand, k, rounded = true),
+        cand)
+    }
+    (Seq(bf) ++ ivf ++ rp ++ ham).reduce(_ unionByName _)
+  }
+
+  /** The candidate stage of the [[hammingRerankTopK]] shape for
+    * [[annFrontier]]: Hamming top-`candidates` per query (self included,
+    * at distance 0) joined back to the raw vectors, with SELF dropped
+    * before exact scoring — the frontier measures every method against
+    * the self-excluded brute-force truth. */
+  private[scale] def hammingCandidatePairs(queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, bits: Int,
+      candidates: Int): DataFrame = {
+    require(candidates >= 1, s"candidates must be positive: $candidates")
+    val cand = hammingTopK(queries, corpus, idCol, vecCol, bits, candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val cvec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec")).withColumn("cn", norm(col("cvec")))
+    val qvec = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec")).withColumn("qn", norm(col("qvec")))
+    cvec.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
   }
 
   /** Sign-quantized (binary) embedding signature: bit j = sign of the

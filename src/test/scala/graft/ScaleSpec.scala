@@ -842,11 +842,11 @@ class ScaleSpec extends SparkSpec {
     val e = Tables.load(spark, sfDir, "embeddings")
     val f = Similarity.annFrontier(e.filter($"vec_id" < 5), e,
         "vec_id", "embedding", "label", k = 10,
-        nProbes = Seq(1, 2), rpBudgets = Seq(15))
+        nProbes = Seq(1, 2), rpBudgets = Seq(15), hamBudgets = Seq(15))
       .select("method", "param", "n_hit", "k_total", "candidate_rows")
       .as[(String, Long, Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
-    assert(f.size == 4)
+    assert(f.size == 5)
     val (bh, bk, bc) = f(("bf", 0L))
     assert(bh == bk && bk == 50L) // 5 queries × top-10, all hits
     val (h1, k1, c1) = f(("ivf", 1L))
@@ -856,6 +856,10 @@ class ScaleSpec extends SparkSpec {
     assert(c1 < c2 && c2 < bc, "IVF cost must grow with nProbe, below bf")
     val (rh, _, rc) = f(("rp", 15L))
     assert(rc == 5L * 15L && rh <= bh)
+    // hamming: self always wins the distance-0 prefilter slot and is
+    // dropped before rerank — cost is exactly nQ·(budget−1)
+    val (hh, _, hc) = f(("ham", 15L))
+    assert(hc == 5L * 14L && hh <= bh)
     intercept[IllegalArgumentException](
       Similarity.annFrontier(e, e, "vec_id", "embedding", "label", 10,
         Seq(1), Seq(5))) // rp budget below k
