@@ -7,6 +7,16 @@ package graft
   * count-pruned projection) is measured. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // host 1-min load, stamped into BENCH_FULL.json: load_pre is read at
+    // ENTRY — before the session and the 32-thread warmup — so it is the
+    // true AMBIENT (neighbor) load; load_post necessarily includes the
+    // bench's own trailing contribution (~2.5 on an otherwise-idle host,
+    // measured round 10 on a 0.07-ambient gate), so round_close compares
+    // it against an own-load ceiling, not against quiet-ambient numbers
+    def loadAvg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    val loadPre = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.io.EngineSession.local(cpus.toInt, "ERROR")
@@ -76,15 +86,6 @@ object Bench {
       SparkEntry.queries("f1_flat_project")(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
     }
-    // host 1-min load, stamped into BENCH_FULL.json before and after the
-    // timed loop: neighbor load rising MID-RUN (invisible to any pre-run
-    // gate) is the established ~1.5× inflation signature, and the embedded
-    // stamp lets round_close — and any later reader — judge whether a
-    // snapshot is trustworthy without hunting for the run's log
-    def loadAvg(): String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
-      catch { case _: Throwable => "-1" }
-    val loadPre = loadAvg()
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate measurements: collect the previous query's garbage (incl.

@@ -67,9 +67,14 @@ EOF
 echo "=== [4/6] Bench @ sf0.1 (quiet-STAMP gate: pre-load < 0.5 AND embedded post-run load < 1.0)"
 # The round-9 lesson: a pre-run gate alone admits runs whose neighbor
 # load rises mid-run (gate at 0.0x, finish at 2+ — a 1.5× inflated
-# stamp). Bench now embeds load_pre/load_post in BENCH_FULL.json; a run
-# whose post-load breaches 1.0 is archived as a noisy snapshot and the
-# bench RE-RUNS (fresh quiet wait) — only a clean pass is stamped.
+# stamp). Bench embeds load_pre (AMBIENT, read at entry before its own
+# 32-thread work) and load_post in BENCH_FULL.json. load_post includes
+# the bench's own trailing contribution — ~2.5 on an otherwise-idle host
+# (round-10 calibration: gate 0.07 → post 2.66 at a total matching the
+# r9 quiet snapshot) — so the mid-run-noise ceiling is 3.0, not the
+# quiet-ambient 1.0 (which the bench's own load makes unachievable).
+# A breaching run is archived as a noisy snapshot and the bench RE-RUNS
+# (fresh quiet wait) — only a clean pass is stamped.
 BLOG=/tmp/bench_close.log
 STAMPED=0
 for attempt in 1 2 3; do
@@ -91,10 +96,10 @@ for attempt in 1 2 3; do
   # embedded stamp missing (older Bench binary) -> fall back to shell loadavg
   LPOST=$(python3 -c "v=float('$LPOST'); print(v if v >= 0 else float(open('/proc/loadavg').read().split()[0]))")
   echo "bench post-run 1-min load: $LPOST (attempt $attempt)"
-  if python3 -c "import sys; sys.exit(0 if float('$LPOST') < 1.0 else 1)"; then
+  if python3 -c "import sys; sys.exit(0 if float('$LPOST') < 3.0 else 1)"; then
     STAMPED=1; break
   fi
-  echo "  MID-RUN NOISE (post-load $LPOST >= 1.0) — archiving noisy snapshot, re-running"
+  echo "  MID-RUN NOISE (post-load $LPOST >= 3.0) — archiving noisy snapshot, re-running"
   cp BENCH_FULL.json "bench_history/BENCH_FULL_r${R}_noisy${attempt}.json"
 done
 if [ $STAMPED -eq 1 ]; then
