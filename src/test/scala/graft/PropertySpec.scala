@@ -634,6 +634,77 @@ object GroupedRankProps extends Properties("GroupedRank") {
     }
 }
 
+/** Round-10 operator properties: the curriculum schedule's grouped ranks
+  * must equal Spark's own window truth on ARBITRARY banded data (same
+  * attack surface as GroupedRankProps — order-consistent bucketing), and
+  * budgetSelect's running totals must equal the global window sum under
+  * arbitrary score ties. */
+object CurriculumProps extends Properties("Curriculum") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+
+  private val banded: Gen[List[Int]] =
+    Gen.choose(1, 50).flatMap(n => Gen.listOfN(n, Gen.choose(1, 4)))
+
+  property("curriculumInterleave == window truth (band_rank, ikey, " +
+      "global_pos) for random bands") =
+    forAll(banded, Gen.choose(0L, 99L)) { (bands, seed) =>
+      val df = bands.zipWithIndex.map { case (b, i) =>
+        (i.toLong, b.toLong) }.toDF("id", "band")
+      val got = graft.scale.Sampling
+        .curriculumInterleave(df, "id", "band", seed, buckets = 4)
+        .select("id", "band_rank", "ikey", "global_pos")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      val ck = graft.scale.Dedup.tokenHash60(
+        concat(lit(s"$seed:"), col("id").cast("string")))
+      val want = df.withColumn("ck", ck)
+        .withColumn("band_rank", row_number().over(
+          Window.partitionBy("band").orderBy(col("ck"), col("id")))
+          .cast("long"))
+        .withColumn("n_band", count(lit(1)).over(
+          Window.partitionBy("band")))
+        .withColumn("ikey", expr(
+          s"((band_rank * 2L - 1L) * ${1L << 20}L) div n_band"))
+        .withColumn("global_pos", row_number().over(
+          Window.orderBy(col("ikey"), col("band"), col("band_rank")))
+          .cast("long"))
+        .select("id", "band_rank", "ikey", "global_pos")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      got == want
+    }
+
+  private val scored: Gen[List[(Long, Long)]] =
+    Gen.choose(1, 50).flatMap(n => Gen.listOfN(n, for {
+      s <- Gen.choose(0L, 9L) // heavy score ties on purpose
+      t <- Gen.choose(0L, 20L)
+    } yield (s, t)))
+
+  property("budgetSelect == global window sum; selected is the exact " +
+      "no-overshoot prefix") =
+    forAll(scored, Gen.choose(1L, 300L)) { (rows, budget) =>
+      val df = rows.zipWithIndex.map { case ((s, t), i) =>
+        (i.toLong, s, t) }.toDF("id", "score", "n_tok")
+        .withColumn("__ord", -col("score"))
+      val got = graft.scale.Sampling
+        .budgetSelect(df, "__ord", "id", "n_tok", budget, buckets = 4)
+        .select("id", "cum_tokens", "selected")
+        .as[(Long, Long, Boolean)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      val want = df.withColumn("cum_tokens", sum(col("n_tok")).over(
+          Window.orderBy(col("__ord"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("id"), col("cum_tokens"),
+          (col("cum_tokens") <= budget).as("selected"))
+        .as[(Long, Long, Boolean)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      got == want
+    }
+}
+
 object WinnowProps extends Properties("Winnowing") {
   private lazy val spark = SparkSpec.session
   import spark.implicits._
