@@ -68,6 +68,11 @@ RESCOPED = {
         "r7->r8: tokenized-docs memo (see sk_cms_counts)"),
     "dedup_ngram_jaccard": (
         "r7->r8: tokenized-docs memo (see sk_cms_counts)"),
+    "mm_cdc_neardup": (
+        "r9->r10: the base corpus' CDC fingerprints ride a session memo "
+        "built in the untimed warmup (the maintained-index shape) - the "
+        "timed entry now chunks only the edited copy; the chunker itself "
+        "also gained the (id, segment) split"),
 }
 
 
