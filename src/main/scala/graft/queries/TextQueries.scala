@@ -123,6 +123,14 @@ object TextQueries {
         chunkTokens = 12, strideTokens = 8)
         .orderBy("doc_id", "chunk_idx")),
 
+    // Chunk-level exact dedup map over the dup'd corpus: embed each
+    // DISTINCT chunk once (the RAG step downstream of the chunker) —
+    // one skew-safe hash aggregate; rep = min (doc, idx) occurrence
+    "tx_chunk_dedup" -> ((s, d) =>
+      graft.scale.Dedup.chunkDedupMap(docsWithDups(s, d), "doc_id", "text",
+        chunkTokens = 12, strideTokens = 8)
+        .orderBy("chunk_hash")),
+
     // Repetition signals (Gopher-style): duplicate/top n-gram fractions +
     // max consecutive-token run — all per-row expressions, zero shuffles
     "tx_repetition" -> ((s, d) =>
@@ -548,6 +556,22 @@ object TextQueries {
         .orderBy("lang")),
   )
 
+  // chunk=12 / stride=8 sliding-window CTEs over a preceding
+  // `u`(doc_id, text) CTE; ends with `cw`(doc_id, chunk_idx, start_tok,
+  // n_tok, chunk_text). Shared by tx_chunk_windows and tx_chunk_dedup.
+  private[queries] lazy val chunkWindowCtes: String =
+    s"""t AS (SELECT doc_id, $duckToksAll AS tk FROM u),
+       |n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t
+       |  WHERE len(tk) > 0),
+       |ch AS (SELECT doc_id, tk, n, unnest(range(0,
+       |    1 + (greatest(n - 12, 0) + 7) // 8)) AS chunk_idx FROM n),
+       |cw AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(chunk_idx * 8 AS BIGINT) AS start_tok,
+       |  CAST(least(12, n - chunk_idx * 8) AS BIGINT) AS n_tok,
+       |  array_to_string(list_slice(tk, CAST(chunk_idx * 8 + 1 AS INT),
+       |    CAST(least(chunk_idx * 8 + 12, n) AS INT)), ' ') AS chunk_text
+       |  FROM ch)""".stripMargin
+
   // a def, not a val: registry-aware entries read OracleLits fragments
   // that the query functions register as they run (Verify dumps oracle
   // SQL AFTER running every query)
@@ -734,17 +758,26 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "tx_chunk_windows" ->
-      s"""WITH t AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
-         |n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t
-         |  WHERE len(tk) > 0),
-         |ch AS (SELECT doc_id, tk, n, unnest(range(0,
-         |    1 + (greatest(n - 12, 0) + 7) // 8)) AS chunk_idx FROM n)
-         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-         |  CAST(chunk_idx * 8 AS BIGINT) AS start_tok,
-         |  CAST(least(12, n - chunk_idx * 8) AS BIGINT) AS n_tok,
-         |  array_to_string(list_slice(tk, CAST(chunk_idx * 8 + 1 AS INT),
-         |    CAST(least(chunk_idx * 8 + 12, n) AS INT)), ' ') AS chunk_text
-         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+      s"""WITH u AS (SELECT doc_id, text FROM documents),
+         |$chunkWindowCtes
+         |SELECT doc_id, chunk_idx, start_tok, n_tok, chunk_text
+         |FROM cw ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // rep decode: doc ids stay far below 2^20, so (doc, idx) min-struct
+    // equals the min of doc·2^20 + idx exactly
+    "tx_chunk_dedup" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+         |$chunkWindowCtes,
+         |h AS (SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_hash
+         |  FROM cw),
+         |m AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_occ,
+         |    min(doc_id * 1048576 + chunk_idx) AS rk
+         |  FROM h GROUP BY 1)
+         |SELECT chunk_hash, n_occ,
+         |  CAST(rk // 1048576 AS BIGINT) AS rep_doc_id,
+         |  CAST(rk % 1048576 AS BIGINT) AS rep_chunk_idx
+         |FROM m ORDER BY chunk_hash""".stripMargin,
 
     // window-min selection replicated with DuckDB's own struct-min window
     // (both engines order (gh, -pos) lexicographically → rightmost tie);

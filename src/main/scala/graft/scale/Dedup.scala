@@ -658,6 +658,29 @@ object Dedup {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** Chunk-level exact dedup map — "embed each distinct chunk once": the
+    * [[TextAnalysis.chunkWindows]] sliding chunks reduced to one row per
+    * DISTINCT chunk content with its occurrence count and canonical
+    * representative (the min (doc_id, chunk_idx) occurrence — the
+    * [[exact]]/[[spanRewriteMulti]] keep-one convention, as the same
+    * skew-safe min(struct) hash aggregate: a boilerplate chunk shared by
+    * millions of documents partial-aggregates map-side). The RAG-pipeline
+    * step downstream of the chunker: shared chunks embed ONCE and fan
+    * back out by `chunk_hash` — on boilerplate-heavy corpora this is the
+    * difference between embedding the corpus and embedding its distinct
+    * content. */
+  def chunkDedupMap(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame =
+    TextAnalysis.chunkWindows(df, idCol, textCol, chunkTokens, strideTokens)
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(col("chunk_text")).as("chunk_hash"))
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("__rep"))
+      .select(col("chunk_hash"), col("n_occ"),
+        col("__rep").getField("doc_id").as("rep_doc_id"),
+        col("__rep").getField("chunk_idx").as("rep_chunk_idx"))
+
   /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic deduplication
     * — k-means cluster the embedding space, then drop within-cluster
     * near-duplicates by cosine. A point is dropped iff some SAME-CLUSTER

@@ -835,6 +835,29 @@ class ScaleSpec extends SparkSpec {
       Multimodal.cdcChunks(mm, maxChunks = 0))
   }
 
+  test("chunkDedupMap: duplicated corpora collapse to distinct chunks " +
+      "with exact occurrence counts and min-(doc, idx) representatives") {
+    import graft.scale.Dedup
+    val df = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" ")),
+      (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val dup = df.unionByName(df.withColumn("doc_id", $"doc_id" + 100))
+    val m = Dedup.chunkDedupMap(dup, "doc_id", "text", 12, 8)
+      .select("chunk_hash", "n_occ", "rep_doc_id", "rep_chunk_idx")
+      .as[(String, Long, Long, Long)].collect()
+    assert(m.length == 3) // doc1 → 2 chunks, doc2 → 1; copies collapse
+    assert(m.forall(_._2 == 2L)) // every chunk occurs in base + copy
+    assert(m.forall(_._3 <= 2L)) // rep is always the base occurrence
+    // verbatim-shared content across DIFFERENT docs collapses too, and
+    // the smallest (doc, idx) wins the representative slot
+    val tri = dup.unionByName(
+      Seq((0L, "alpha beta gamma")).toDF("doc_id", "text"))
+    val m2 = Dedup.chunkDedupMap(tri, "doc_id", "text", 12, 8)
+      .select("chunk_hash", "n_occ", "rep_doc_id", "rep_chunk_idx")
+      .as[(String, Long, Long, Long)].collect()
+    val shared = m2.filter(_._2 == 3L)
+    assert(shared.length == 1 && shared.head._3 == 0L)
+  }
+
   test("annFrontier: exact baseline is perfect by construction, IVF " +
       "recall and cost grow monotonically with nProbe, RP cost equals " +
       "the candidate budget") {
