@@ -22,16 +22,24 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** Survivors after exact dedup (one row per distinct fingerprint, the
-    * minimal id wins — deterministic). Scratch columns avoid the input's
-    * names, so a user column named `fp`/`rn` survives untouched. */
+    * minimal id wins — deterministic; `idCol` must be unique). Scratch
+    * columns avoid the input's names, so a user column named `fp` survives
+    * untouched.
+    *
+    * Keep-one is ONE hash aggregate + join-back, not a per-fp sort window:
+    * an exact-duplicate document repeated millions of times (the corpus
+    * this operator exists for) would funnel every occurrence through a
+    * single sorted task under `row_number() OVER (PARTITION BY fp)`;
+    * `min(id)` partial-aggregates map-side and the join-back is an
+    * AQE-splittable keyed join. */
   def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fpC = Cols.fresh("fp", df.columns)
-    val rnC = Cols.fresh("rn", df.columns)
-    val w = Window.partitionBy(fpC).orderBy(col(idCol).asc)
-    df.withColumn(fpC, TextAnalysis.fingerprint(col(textCol)))
-      .withColumn(rnC, row_number().over(w))
-      .filter(col(rnC) === 1)
-      .drop(fpC, rnC)
+    val keepC = Cols.fresh("keep", df.columns)
+    val withFp = df.withColumn(fpC, TextAnalysis.fingerprint(col(textCol)))
+    val firsts = withFp.groupBy(fpC).agg(min(col(idCol)).as(keepC))
+    withFp.join(firsts, Seq(fpC))
+      .filter(col(idCol) === col(keepC))
+      .drop(fpC, keepC)
   }
 
   /** Incremental exact dedup: survivors of a NEW batch against a persisted
@@ -46,16 +54,19 @@ object Dedup {
   def exactIncremental(state: DataFrame, batch: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
     val fpC = Cols.fresh("fp", batch.columns)
-    val rnC = Cols.fresh("rn", batch.columns)
-    val w = Window.partitionBy(fpC).orderBy(col(idCol).asc)
+    val keepC = Cols.fresh("keep", batch.columns)
     val fresh = batch
       .withColumn(fpC, TextAnalysis.fingerprint(col(textCol)))
       .join(state.select(col("fp").as(fpC)), Seq(fpC), "left_anti")
-      .withColumn(rnC, row_number().over(w))
-      .filter(col(rnC) === 1)
-    val survivors = fresh.drop(fpC, rnC)
+    // within-batch keep-one via min(id) hash aggregate + join-back (the
+    // [[exactSurvivors]] skew-safe shape): a hot duplicate arriving many
+    // times in one batch never pins a single sorted task
+    val firsts = fresh.groupBy(fpC).agg(min(col(idCol)).as(keepC))
+    val kept = fresh.join(firsts, Seq(fpC))
+      .filter(col(idCol) === col(keepC))
+    val survivors = kept.drop(fpC, keepC)
     val nextState = state.unionByName(
-      fresh.select(col(fpC).as("fp"), col(idCol).cast("long").as("keep_id")))
+      kept.select(col(fpC).as("fp"), col(idCol).cast("long").as("keep_id")))
     (survivors, nextState)
   }
 
@@ -459,22 +470,31 @@ object Dedup {
     * boilerplate-removal step): documents split into fixed `segTokens`-token
     * segments, each distinct segment kept only at its FIRST corpus-wide
     * occurrence in (doc, position) order, and documents reassembled from
-    * their surviving segments. Two shuffles — the first-occurrence window on
-    * the segment fingerprint and the reassembly aggregation on the doc id;
-    * no pairwise comparison at any scale. A document whose every segment
-    * was seen before drops out entirely (fully-boilerplate document). */
+    * their surviving segments. No pairwise comparison at any scale, and the
+    * keep-one stage is a `min(struct(doc, pos))` hash aggregate + join-back
+    * rather than a per-fingerprint sort window: the hot fingerprint IS this
+    * operator's raison d'être (a boilerplate segment shared by millions of
+    * documents), and a `row_number() OVER (PARTITION BY fp)` would funnel
+    * every occurrence of it through ONE sorted task — the aggregate
+    * partial-aggregates map-side and the join-back splits under AQE (the
+    * [[spanRewriteMulti]] shape). A document whose every segment was seen
+    * before drops out entirely (fully-boilerplate document). */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int): DataFrame = {
     require(segTokens > 0, "segTokens must be positive")
-    val w = Window.partitionBy("fp").orderBy(col("_doc"), col("pos"))
-    df.select(col(idCol).as("_doc"),
+    // materialized: the exploded segment frame feeds both the keep-one
+    // aggregate and the join-back probe — without the cut each side would
+    // re-tokenize and re-explode the corpus
+    val segs = graft.io.Materialize(df.select(col(idCol).as("_doc"),
         TextAnalysis.tokens(lower(col(textCol))).as("_tk"))
       .select(col("_doc"),
         posexplode(TextAnalysis.chunkTokens(col("_tk"), segTokens, 0)))
       .withColumnRenamed("col", "seg")
-      .withColumn("fp", TextAnalysis.fingerprint(col("seg")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .withColumn("fp", TextAnalysis.fingerprint(col("seg"))))
+    val firsts = segs.groupBy("fp")
+      .agg(min(struct(col("_doc"), col("pos"))).as("__first"))
+    segs.join(firsts, Seq("fp"))
+      .filter(struct(col("_doc"), col("pos")) === col("__first"))
       .groupBy(col("_doc"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("seg")))),

@@ -1,5 +1,6 @@
 package graft.sync
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -181,8 +182,19 @@ object IncrementalSync {
     // as string, so hashing the cast keeps current/state/target rows of
     // one key in one bucket regardless of the source's id type
     def bucketOf(c: Column): Column = pmod(hash(c.cast("string")), lit(buckets))
-    val fs = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = new Path(targetPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery FIRST: a staging dir with a committed manifest holds
+    // the ONLY copy of its buckets' data (local-checkpoint of the swap) —
+    // roll it forward before anything reads either table; discarding it,
+    // as the pre-roll-forward protocol did, was silent permanent loss
+    recoverStaging(fs, targetPath)
+    recoverStaging(fs, statePath)
+    // bucket-count pin: __bucket is a pure function of (id, count), so a
+    // different count would map ids to other buckets — the pruned read
+    // misses their old rows while stale directories keep serving them
+    verifyBucketCount(fs, targetPath, buckets)
+    verifyBucketCount(fs, statePath, buckets)
     val current = DocHash.withDocHash(source, hashCol)
     val state = {
       val st = StateStore.load(spark, statePath)
@@ -196,17 +208,24 @@ object IncrementalSync {
         .select(bucketOf(col("_id")).as("__bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted // ≤ buckets rows
       if (changed.nonEmpty) {
-        val targetExists =
-          fs.exists(new org.apache.hadoop.fs.Path(targetPath))
-        // partition-pruned scan: only the changed buckets' files are read
-        val target0 =
-          if (targetExists)
-            spark.read.parquet(targetPath)
-              .filter(col("__bucket").isin(changed: _*)).drop("__bucket")
-          else source.limit(0).drop(hashCol)
-        // S16 drift, same as [[run]]
         val srcData = source.select(
           source.columns.filterNot(_ == hashCol).map(col).toSeq: _*)
+        val hasData = fs.exists(new Path(targetPath)) &&
+          fs.listStatus(new Path(targetPath))
+            .exists(_.getPath.getName.startsWith("__bucket="))
+        // S16 drift forces a FULL rewrite this sync: rewriting only the
+        // changed buckets would leave a mixed-schema layout where a plain
+        // parquet read (including our own next pruned read) infers the
+        // schema from a sampled file and may silently drop the new columns
+        val drift = hasData && Sinks.missingColumns(srcData.schema,
+          spark.read.parquet(targetPath).schema).nonEmpty
+        val rewrite = if (drift) (0 until buckets).toSeq else changed
+        // partition-pruned scan: only the rewritten buckets' files are read
+        val target0 =
+          if (!hasData) srcData.limit(0)
+          else if (drift) spark.read.parquet(targetPath).drop("__bucket")
+          else spark.read.parquet(targetPath)
+            .filter(col("__bucket").isin(changed: _*)).drop("__bucket")
         val target =
           if (Sinks.missingColumns(srcData.schema, target0.schema).nonEmpty)
             Sinks.mergeSchemas(target0, srcData.limit(0))
@@ -219,41 +238,152 @@ object IncrementalSync {
         val merged = Sinks
           .delete(Sinks.upsert(target, upserts, "_id"), deletes, "_id")
           .withColumn("__bucket", bucketOf(col("_id")))
-        stageAndSwapBuckets(spark, merged, targetPath, changed)
+        stageAndSwapBuckets(spark, merged, targetPath, rewrite)
         // scoped state: the changed buckets' full surviving id/hash sets
         // (unchanged ids sharing a changed bucket ride along — their
-        // carry-forward hash is identical, so the rewrite is value-stable)
+        // carry-forward hash is identical, so the rewrite is value-stable).
+        // State schema never drifts (_id/hash strings), so it stays scoped
+        // to the churned buckets even when the target does a drift rewrite
         val nextSt = nextState(classified, hashCol)
           .select(col("_id").cast("string").as("_id"),
             col("hash").cast("string").as("hash"))
           .withColumn("__bucket", bucketOf(col("_id")))
           .filter(col("__bucket").isin(changed: _*))
         stageAndSwapBuckets(spark, nextSt, statePath, changed)
+        // stamp AFTER the write: the metadata file must never create the
+        // layout directory ahead of the data (an empty-but-present dir
+        // breaks first-sync schema inference and the bootstrap checks)
+        stampBucketCount(fs, targetPath, buckets)
+        stampBucketCount(fs, statePath, buckets)
       }
       result
     } finally classified.unpersist()
   }
 
+  private val StageSuffix = ".__stage__"
+  private val ManifestName = "__swap_manifest__"
+  private val BucketMetaName = "_graft_buckets"
+
+  /** Enforce a stable bucket count per layout: the count is pinned in a
+    * `_graft_buckets` metadata file (underscore-hidden from partition
+    * discovery) stamped by [[stampBucketCount]] when the layout is
+    * written; re-running with a different count fails LOUDLY instead of
+    * silently serving stale rows. A pre-metadata layout is grandfathered
+    * after a shrink check against its existing `__bucket=K` directory
+    * names (a grown count is not derivable from directories alone — the
+    * stamp closes that hole from the first pinned run onward). */
+  private def verifyBucketCount(fs: FileSystem, path: String,
+      buckets: Int): Unit = {
+    val root = new Path(path)
+    val meta = new Path(root, BucketMetaName)
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      require(stored == buckets,
+        s"runPartitioned: $path was laid out with $stored buckets but this " +
+          s"run asked for $buckets — ids would map to different buckets " +
+          "(missed rows + stale duplicates); pass the stored count or " +
+          "rewrite the table")
+    } else if (fs.exists(root)) {
+      val dirs = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("__bucket="))
+        .map(_.stripPrefix("__bucket=").toInt)
+      require(dirs.forall(_ < buckets),
+        s"runPartitioned: $path holds __bucket=${dirs.max} but this run " +
+          s"asked for only $buckets buckets — the layout was written " +
+          "with a larger count")
+    }
+  }
+
+  /** Stamp the layout's bucket count (see [[verifyBucketCount]]); called
+    * only after a write, so the metadata never conjures an empty layout
+    * directory. */
+  private def stampBucketCount(fs: FileSystem, path: String,
+      buckets: Int): Unit = {
+    val out = fs.create(new Path(new Path(path), BucketMetaName), true)
+    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Write `df` (carrying `__bucket`) to `<path>.__stage__` partitioned by
-    * bucket, then swap each directory in `changed` into place by rename —
-    * a bucket with no staged rows (fully emptied by deletes) has its old
-    * directory removed. The staging write fully materializes before any
-    * target mutation, so the merge plan may read `path`. */
+    * bucket, then swap each directory in `changed` into place. The
+    * protocol is crash-safe and rolls FORWARD:
+    *   1. stage the parquet write — no live mutation yet;
+    *   2. commit: write a manifest (the changed buckets + which of them
+    *      staged data) via tmp-file + atomic rename;
+    *   3. per changed bucket: rename the live dir aside
+    *      (`.__old__bucket=K`, dot-hidden from partition discovery),
+    *      rename the staged dir in, drop the aside copy; a changed bucket
+    *      with NO staged rows (fully emptied by deletes) has its live dir
+    *      removed;
+    *   4. remove the staging dir.
+    * A crash before 2 leaves the live layout untouched (the manifest-less
+    * staging orphan is discarded next run); a crash after 2 is finished by
+    * [[recoverStaging]] — at no point is a bucket's only copy somewhere
+    * the next run deletes. Every step-3 action is idempotent under
+    * re-execution. The staging write fully materializes before any target
+    * mutation, so the merge plan may read `path`. */
   private def stageAndSwapBuckets(spark: SparkSession, df: DataFrame,
       path: String, changed: Seq[Int]): Unit = {
-    import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(path + ".__stage__")
+    val staging = new Path(path + StageSuffix)
+    // a leftover here is manifest-less (recoverStaging ran at entry and
+    // consumed or discarded anything else): safe to clear
     if (fs.exists(staging)) fs.delete(staging, true)
     df.write.mode("overwrite").partitionBy("__bucket")
       .parquet(staging.toString)
+    val staged = changed.filter(b =>
+      fs.exists(new Path(staging, s"__bucket=$b")))
+    val tmp = new Path(staging, ManifestName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write((s"changed:${changed.mkString(",")}\n" +
+      s"staged:${staged.mkString(",")}\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new Path(staging, ManifestName)): Unit
+    swapStaged(fs, staging, path, changed, staged.toSet)
+  }
+
+  /** Finish a crashed [[stageAndSwapBuckets]]: a staging dir WITH a
+    * manifest is past the commit point — its data may already be the only
+    * copy of some buckets — so the swap re-executes to completion; without
+    * a manifest the stage never committed and the live layout is intact —
+    * discard the orphan. Must run before anything reads the table. */
+  private[sync] def recoverStaging(fs: FileSystem, path: String): Unit = {
+    val staging = new Path(path + StageSuffix)
+    if (!fs.exists(staging)) return
+    val manifest = new Path(staging, ManifestName)
+    if (!fs.exists(manifest)) { fs.delete(staging, true); return }
+    val in = fs.open(manifest)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    def ids(prefix: String): Seq[Int] = lines.find(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).trim).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Nil)
+    swapStaged(fs, staging, path, ids("changed:"), ids("staged:").toSet)
+  }
+
+  /** Step 3+4 of the swap protocol (see [[stageAndSwapBuckets]]);
+    * idempotent, so [[recoverStaging]] can re-execute it wholesale. */
+  private def swapStaged(fs: FileSystem, staging: Path, path: String,
+      changed: Seq[Int], staged: Set[Int]): Unit = {
     fs.mkdirs(new Path(path))
     changed.foreach { b =>
       val src = new Path(staging, s"__bucket=$b")
       val dst = new Path(path, s"__bucket=$b")
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (fs.exists(src)) { fs.rename(src, dst): Unit }
+      val old = new Path(path, s".__old__bucket=$b")
+      if (staged(b)) {
+        if (fs.exists(src)) {
+          if (fs.exists(dst)) {
+            if (fs.exists(old)) fs.delete(old, true)
+            fs.rename(dst, old): Unit
+          }
+          fs.rename(src, dst): Unit
+        } // else: this bucket was already swapped by a previous attempt
+      } else if (fs.exists(dst)) fs.delete(dst, true) // emptied by deletes
+      if (fs.exists(old)) fs.delete(old, true)
     }
     fs.delete(staging, true)
   }

@@ -161,12 +161,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exact/segment dedup keep-one is a hash aggregate — never an " +
+      "fp-keyed sort window") {
+    // the round-10 span-family fix, extended to its three siblings: a
+    // boilerplate segment (C4 case) or an exact-duplicate document repeated
+    // millions of times is exactly these operators' target corpus, and a
+    // row_number() window partitioned by the fingerprint would funnel every
+    // occurrence of the hottest key through a single sorted task
+    for (q <- Seq("dedup_segments", "dedup_survivors", "dedup_incr_exact")) {
+      val p = graft.queries.ScaleQueries.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val specs = "windowspecdefinition\\(([^)]*)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      specs.foreach(s =>
+        assert(!s.contains("fp#"), s"$q fp-keyed window: $s\n$p"))
+      assert(p.contains("partial_min"),
+        s"$q keep-one lost its partial aggregation:\n$p")
+    }
+  }
+
   test("curriculum schedule and budget-select windows are " +
       "bucket-partitioned — never one task") {
     // both ride the two-level prefix-sum machinery; a regressed global
     // window would funnel the whole corpus (or a dominant band) through
     // a single task
-    for (q <- Seq("samp_curriculum", "samp_quality_budget")) {
+    for (q <- Seq("samp_curriculum", "samp_quality_budget",
+        "samp_pack_curriculum")) {
       val p = graft.queries.ScaleQueries.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       val specs = "windowspecdefinition\\(([^)]*)".r
