@@ -89,8 +89,9 @@ object AnnQueries {
     // truth per query — the metric that decides whether a cell layout is
     // usable before committing a 100 TB index build
     // Recall-vs-cost frontier: the tuning table for the index stack —
-    // exact baseline, multi-probe IVF at nProbe 1..3, RP two-stage and
-    // 48-bit Hamming rerank at candidate budgets 15/30 — each row
+    // exact baseline, multi-probe IVF at nProbe 1..3, RP two-stage, and
+    // the binary-Hamming rerank over its full (bits, budget) grid
+    // (32/48-bit signatures × candidate budgets 15/30) — each row
     // (method, param, n_hit, k_total, candidate_rows), all integers;
     // recall and cost-per-query are the reader's divisions
     "ann_frontier" -> ((s, d) => {
@@ -98,7 +99,7 @@ object AnnQueries {
       Similarity.annFrontier(e.filter(col("vec_id") < 5), e,
           "vec_id", "embedding", "label", k = 10,
           nProbes = Seq(1, 2, 3), rpBudgets = Seq(15, 30),
-          hamBudgets = Seq(15, 30))
+          hamBudgets = Seq(15, 30), hamBitsAxis = Seq(32, 48))
         .orderBy("method", "param")
     }),
 
@@ -681,18 +682,34 @@ object AnnQueries {
            |   JOIN bf USING (query_id, neighbor_id)),
            |  (SELECT count(*) FROM bf),
            |  (SELECT count(*) FROM rcand WHERE prnk <= $b)""".stripMargin
-      def hamSel(b: Int): String =
-        s"""SELECT 'ham', $b,
+      def hamSel(bits: Int, b: Int): String =
+        s"""SELECT 'ham$bits', $b,
            |  (SELECT count(*) FROM (SELECT query_id, neighbor_id FROM (
            |     SELECT query_id, neighbor_id, row_number() OVER (
            |       PARTITION BY query_id
            |       ORDER BY round(${ScaleShared.duckCosine("qe", "ce")}, 6) DESC, neighbor_id) AS rnk
-           |     FROM hcand WHERE prnk <= $b AND query_id != neighbor_id)
+           |     FROM hcand$bits WHERE prnk <= $b AND query_id != neighbor_id)
            |     WHERE rnk <= 10) hh
            |   JOIN bf USING (query_id, neighbor_id)),
            |  (SELECT count(*) FROM bf),
-           |  (SELECT count(*) FROM hcand
+           |  (SELECT count(*) FROM hcand$bits
            |   WHERE prnk <= $b AND query_id != neighbor_id)""".stripMargin
+      def hamCtes(bits: Int): String =
+        s"""sig$bits AS (SELECT vec_id, embedding,
+           |  CAST(list_sum(list_transform(range(0, $bits), j ->
+           |    CASE WHEN list_sum(list_transform(
+           |        range(1, len(embedding) + 1),
+           |        i -> CAST(embedding[i] AS DOUBLE) *
+           |          (((i - 1) * (2*j + 1) + 3*j) % 127 - 63))) > 0
+           |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sg
+           |  FROM embeddings),
+           |hcand$bits AS (
+           |  SELECT hq.vec_id AS query_id, hc.vec_id AS neighbor_id,
+           |    hq.embedding AS qe, hc.embedding AS ce, row_number() OVER (
+           |      PARTITION BY hq.vec_id
+           |      ORDER BY bit_count(xor(hq.sg, hc.sg)), hc.vec_id) AS prnk
+           |  FROM sig$bits hc CROSS JOIN sig$bits hq
+           |  WHERE hq.vec_id < 5)""".stripMargin
       s"""WITH dim AS (SELECT unnest(range(1,
          |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
          |cents AS (SELECT label, i AS pos,
@@ -734,20 +751,8 @@ object AnnQueries {
          |    ORDER BY round(${ScaleShared.duckCosine("qpv", "cpv")}, 6) DESC, neighbor_id
          |  ) AS prnk
          |  FROM rq, rc WHERE query_id != neighbor_id),
-         |sig AS (SELECT vec_id, embedding,
-         |  CAST(list_sum(list_transform(range(0, 48), j ->
-         |    CASE WHEN list_sum(list_transform(
-         |        range(1, len(embedding) + 1),
-         |        i -> CAST(embedding[i] AS DOUBLE) *
-         |          (((i - 1) * (2*j + 1) + 3*j) % 127 - 63))) > 0
-         |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sg
-         |  FROM embeddings),
-         |hcand AS (
-         |  SELECT hq.vec_id AS query_id, hc.vec_id AS neighbor_id,
-         |    hq.embedding AS qe, hc.embedding AS ce, row_number() OVER (
-         |      PARTITION BY hq.vec_id
-         |      ORDER BY bit_count(xor(hq.sg, hc.sg)), hc.vec_id) AS prnk
-         |  FROM sig hc CROSS JOIN sig hq WHERE hq.vec_id < 5)
+         |${hamCtes(32)},
+         |${hamCtes(48)}
          |SELECT CAST(method AS VARCHAR) AS method,
          |  CAST(param AS BIGINT) AS param, CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST(k_total AS BIGINT) AS k_total,
@@ -763,8 +768,10 @@ object AnnQueries {
          |  UNION ALL ${ivfSel(3)}
          |  UNION ALL ${rpSel(15)}
          |  UNION ALL ${rpSel(30)}
-         |  UNION ALL ${hamSel(15)}
-         |  UNION ALL ${hamSel(30)}
+         |  UNION ALL ${hamSel(32, 15)}
+         |  UNION ALL ${hamSel(32, 30)}
+         |  UNION ALL ${hamSel(48, 15)}
+         |  UNION ALL ${hamSel(48, 30)}
          |)
          |ORDER BY method, param""".stripMargin
     },

@@ -351,6 +351,27 @@ object SamplingQueries {
           col("n_band"), col("ikey"), col("global_pos"))
         .orderBy("global_pos")
     }),
+
+    // Curriculum QA report: per (band, prefix-decile) membership counts
+    // (deviation vs the proportional ideal is the reader's one
+    // cross-multiplication) + each band's max interleave gap — the
+    // acceptance table a banded training run consults before trusting the
+    // schedule (the ann_frontier pattern applied to sampling)
+    "samp_curriculum_qa" -> ((s, d) => {
+      val banded = graft.io.Materialize(Sampling.groupedNtile(
+          docs(s, d).select(col("doc_id"), col("n_chars"))
+            .withColumn("__g", lit(0L)),
+          "__g", "n_chars", "doc_id", 4)
+        .withColumnRenamed("ntile", "band").drop("__g"))
+      // materialized: curriculumQa drives a count action plus the gap
+      // join's two sides over the schedule
+      val sched = graft.io.Materialize(
+        Sampling.curriculumInterleave(banded, "doc_id", "band", seed = 7L)
+          .select(col("doc_id"), col("band"), col("band_rank"),
+            col("global_pos")))
+      Sampling.curriculumQa(sched, "band", "global_pos", "band_rank", 10)
+        .orderBy("band", "prefix_id")
+    }),
   )
 
   // The curriculum schedule CTE stack (band ntile → seeded shuffle →
@@ -411,6 +432,31 @@ object SamplingQueries {
       s"""WITH $curriculumCtes
          |SELECT doc_id, band, band_rank, n_band, ikey, global_pos
          |FROM g ORDER BY global_pos""".stripMargin,
+
+    // the QA report replayed over the same schedule CTEs: prefix-decile
+    // membership per band + per-band max gap (lag over the schedule —
+    // fine in the oracle; the engine uses the rank equi-join)
+    "samp_curriculum_qa" ->
+      s"""WITH $curriculumCtes,
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+         |pl AS (SELECT CAST(p AS BIGINT) AS prefix_id,
+         |    CAST((p * nn.n) // 10 AS BIGINT) AS prefix_len
+         |  FROM (SELECT unnest(range(1, 11)) AS p) ps, nn),
+         |gp AS (SELECT band, global_pos,
+         |    global_pos - coalesce(lag(global_pos) OVER (
+         |      PARTITION BY band ORDER BY global_pos), 0) AS gap
+         |  FROM g),
+         |mg AS (SELECT band, CAST(max(gap) AS BIGINT) AS max_gap,
+         |    CAST(count(*) AS BIGINT) AS n_band
+         |  FROM gp GROUP BY 1),
+         |np AS (SELECT g.band, pl.prefix_id, pl.prefix_len,
+         |    CAST(sum(CASE WHEN g.global_pos <= pl.prefix_len
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_in_prefix
+         |  FROM g CROSS JOIN pl GROUP BY 1, 2, 3)
+         |SELECT np.band, np.prefix_id, np.prefix_len, mg.n_band,
+         |  np.n_in_prefix, mg.max_gap
+         |FROM np JOIN mg USING (band)
+         |ORDER BY band, prefix_id""".stripMargin,
 
     "samp_pack_curriculum" ->
       s"""WITH $curriculumCtes,

@@ -131,6 +131,22 @@ object TextQueries {
         chunkTokens = 12, strideTokens = 8)
         .orderBy("chunk_hash")),
 
+    // Incremental chunk-dedup map: the persisted (chunk_hash, n_occ, rep)
+    // state of the id<250 head merges with a batch holding the rest PLUS
+    // a full duplicate copy — history is never re-chunked, and the merged
+    // map must equal the batch-at-once recomputation (same oracle as
+    // tx_chunk_dedup; merge == retrain)
+    "tx_chunk_dedup_incr" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text")
+      val state = graft.scale.Dedup.chunkDedupMap(
+        dd.filter(col("doc_id") < 250), "doc_id", "text", 12, 8)
+      val batch = dd.filter(col("doc_id") >= 250)
+        .unionByName(dd.withColumn("doc_id", col("doc_id") + 10000))
+      graft.scale.Dedup.chunkDedupIncremental(state, batch,
+        "doc_id", "text", 12, 8)
+        .orderBy("chunk_hash")
+    }),
+
     // Repetition signals (Gopher-style): duplicate/top n-gram fractions +
     // max consecutive-token run — all per-row expressions, zero shuffles
     "tx_repetition" -> ((s, d) =>
@@ -766,6 +782,22 @@ object TextQueries {
     // rep decode: doc ids stay far below 2^20, so (doc, idx) min-struct
     // equals the min of doc·2^20 + idx exactly
     "tx_chunk_dedup" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+         |$chunkWindowCtes,
+         |h AS (SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_hash
+         |  FROM cw),
+         |m AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_occ,
+         |    min(doc_id * 1048576 + chunk_idx) AS rk
+         |  FROM h GROUP BY 1)
+         |SELECT chunk_hash, n_occ,
+         |  CAST(rk // 1048576 AS BIGINT) AS rep_doc_id,
+         |  CAST(rk % 1048576 AS BIGINT) AS rep_chunk_idx
+         |FROM m ORDER BY chunk_hash""".stripMargin,
+
+    // merge == retrain: the incremental state+batch merge must land on
+    // the batch-at-once map over the same corpus (docs ∪ docs+10000)
+    "tx_chunk_dedup_incr" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 10000, text FROM documents),
          |$chunkWindowCtes,

@@ -701,6 +701,29 @@ object Dedup {
         col("__rep").getField("doc_id").as("rep_doc_id"),
         col("__rep").getField("chunk_idx").as("rep_chunk_idx"))
 
+  /** Incremental [[chunkDedupMap]]: merge a NEW batch's chunk map into the
+    * persisted `(chunk_hash, n_occ, rep_doc_id, rep_chunk_idx)` state, so
+    * the RAG embed-once map maintains itself per arriving batch without
+    * ever re-chunking history (the [[exactIncremental]] treatment applied
+    * to chunks). Counts add; the representative stays the corpus-wide min
+    * (doc_id, chunk_idx) occurrence — merge == retrain (ScaleSpec
+    * property), so replays and re-orderings of batches land on the same
+    * map. ONE hash aggregate over state ∪ batch-map: shuffle bounded by
+    * the batch's distinct chunks plus a stream of the state partitions,
+    * and the hot boilerplate chunk partial-aggregates map-side exactly
+    * like the batch operator. */
+  def chunkDedupIncremental(state: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, chunkTokens: Int,
+      strideTokens: Int): DataFrame =
+    state.unionByName(
+        chunkDedupMap(batch, idCol, textCol, chunkTokens, strideTokens))
+      .groupBy("chunk_hash")
+      .agg(sum(col("n_occ")).as("n_occ"),
+        min(struct(col("rep_doc_id"), col("rep_chunk_idx"))).as("__rep"))
+      .select(col("chunk_hash"), col("n_occ"),
+        col("__rep").getField("rep_doc_id").as("rep_doc_id"),
+        col("__rep").getField("rep_chunk_idx").as("rep_chunk_idx"))
+
   /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic deduplication
     * — k-means cluster the embedding space, then drop within-cluster
     * near-duplicates by cosine. A point is dropped iff some SAME-CLUSTER

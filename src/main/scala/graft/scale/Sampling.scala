@@ -758,6 +758,61 @@ object Sampling {
       .drop(oneC, tieC, ntC)
   }
 
+  /** Curriculum-schedule QA report — the dataloader-order acceptance table
+    * (the [[graft.scale.Similarity.annFrontier]] pattern applied to
+    * sampling): for a schedule carrying a band, a 1-based global position,
+    * and a 1-based within-band rank (the [[curriculumInterleave]] output),
+    * report per (band, prefix) how many of the band's rows land in each of
+    * `prefixes` equal schedule prefixes — the band-share data whose
+    * deviation vs ideal (`n_in_prefix·N − n_band·prefix_len`, the reader's
+    * one cross-multiplication) certifies every training prefix carries
+    * each band proportionally — plus each band's maximum interleave gap
+    * (the longest wait between two consecutive occurrences, measured from
+    * position 0).
+    *
+    * 100 TB shape: gaps come from an EQUI-JOIN of the schedule to itself
+    * on (band, rank−1) — within a band the stride schedule's positions are
+    * monotone in rank, so rank-adjacent IS position-adjacent and no
+    * per-band global-order window ever forms; prefix counts are one hash
+    * aggregate of `prefixes` conditional sums against literal cut-offs
+    * (N comes from one bounded count action). Output is pure int64:
+    * (band, prefix_id, prefix_len, n_band, n_in_prefix, max_gap). */
+  def curriculumQa(schedule: DataFrame, bandCol: String, posCol: String,
+      rankCol: String, prefixes: Int = 10): DataFrame = {
+    require(prefixes >= 1, s"prefixes must be positive: $prefixes")
+    val taken = schedule.columns ++
+      Seq("band", "prefix_id", "prefix_len", "n_band", "n_in_prefix",
+        "max_gap")
+    val bC = Cols.fresh("__qb", taken)
+    val rC = Cols.fresh("__qr", taken)
+    val pC = Cols.fresh("__qprev", taken)
+    val gC = Cols.fresh("__qgap", taken)
+    val n = schedule.count() // one bounded action; N is a plan literal
+    val cuts = (1 to prefixes).map(p => (p.toLong, p.toLong * n / prefixes))
+    val prevPos = schedule.select(col(bandCol).as(bC),
+      (col(rankCol) + 1L).as(rC), col(posCol).as(pC))
+    val gaps = schedule.join(prevPos,
+        col(bandCol) === col(bC) && col(rankCol) === col(rC), "left_outer")
+      .withColumn(gC, col(posCol) - coalesce(col(pC), lit(0L)))
+    val aggs = Seq(
+      count(lit(1)).as("n_band"),
+      max(col(gC)).cast("long").as("max_gap")) ++
+      cuts.map { case (p, lp) =>
+        sum(when(col(posCol) <= lp, 1L).otherwise(0L)).as(s"__n$p") }
+    val wide = gaps.groupBy(col(bandCol).as("band"))
+      .agg(aggs.head, aggs.tail: _*)
+    wide.select(col("band"), col("n_band"), col("max_gap"),
+        explode(array(cuts.map { case (p, lp) =>
+          struct(lit(p).as("prefix_id"), lit(lp).as("prefix_len"),
+            col(s"__n$p").as("n_in_prefix"))
+        }: _*)).as("__pf"))
+      .select(col("band"),
+        col("__pf").getField("prefix_id").as("prefix_id"),
+        col("__pf").getField("prefix_len").as("prefix_len"),
+        col("n_band"), col("__pf").getField("n_in_prefix").as("n_in_prefix"),
+        col("max_gap"))
+  }
+
   /** GPT-style sequence packing (document-concatenation batch
     * construction): the corpus token stream, concatenated in `orderCol`
     * order, is cut into fixed `seqLen` context windows; each document

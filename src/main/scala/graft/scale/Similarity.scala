@@ -547,7 +547,8 @@ object Similarity {
   def annFrontier(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, cellCol: String, k: Int, nProbes: Seq[Int],
       rpBudgets: Seq[Int], rpProjDims: Int = 8,
-      hamBudgets: Seq[Int] = Seq.empty, hamBits: Int = 48): DataFrame = {
+      hamBudgets: Seq[Int] = Seq.empty,
+      hamBitsAxis: Seq[Int] = Seq(48)): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(nProbes.nonEmpty && nProbes.forall(_ >= 1),
       s"nProbes must be positive: $nProbes")
@@ -555,6 +556,8 @@ object Similarity {
       s"rp budgets must be >= k=$k: $rpBudgets")
     require(hamBudgets.forall(_ >= k),
       s"hamming budgets must be >= k=$k: $hamBudgets")
+    require(hamBitsAxis.nonEmpty && hamBitsAxis.forall(b => b >= 1 && b <= 60),
+      s"hamming bits must be in [1, 60]: $hamBitsAxis")
     // materialized: the truth frame anchors every configuration's hit join
     val truth = graft.io.Materialize(
       bruteForceTopK(queries, corpus, idCol, vecCol, k)
@@ -590,10 +593,14 @@ object Similarity {
         queries, corpus, idCol, vecCol, rpProjDims, b))
       row("rp", b.toLong, rankCandidatePairs(cand, k, rounded = true), cand)
     }
-    val ham = hamBudgets.map { b =>
+    // the binary stack's full (bits, rerank-budget) grid: signature width
+    // trades index bytes/vector against prefilter recall, the budget
+    // trades rerank cost — method "ham<bits>" rows make the whole plane
+    // readable from one report
+    val ham = for (bits <- hamBitsAxis; b <- hamBudgets) yield {
       val cand = graft.io.Materialize(hammingCandidatePairs(
-        queries, corpus, idCol, vecCol, hamBits, b))
-      row("ham", b.toLong, rankCandidatePairs(cand, k, rounded = true),
+        queries, corpus, idCol, vecCol, bits, b))
+      row(s"ham$bits", b.toLong, rankCandidatePairs(cand, k, rounded = true),
         cand)
     }
     (Seq(bf) ++ ivf ++ rp ++ ham).reduce(_ unionByName _)

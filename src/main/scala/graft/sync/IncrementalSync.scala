@@ -209,20 +209,27 @@ object IncrementalSync {
         .distinct().collect().map(_.getInt(0)).toSeq.sorted // ≤ buckets rows
       if (changed.nonEmpty) {
         val srcData = source.select(
-          source.columns.filterNot(_ == hashCol).map(col).toSeq: _*)
-        val hasData = fs.exists(new Path(targetPath)) &&
-          fs.listStatus(new Path(targetPath))
-            .exists(_.getPath.getName.startsWith("__bucket="))
+          source.columns.filterNot(_ == hashCol).map(col): _*)
+        val (tgtBucketed, tgtLegacy) = layoutOf(fs, targetPath)
+        val hasData = tgtBucketed || tgtLegacy.nonEmpty
+        // one-time in-place ADOPTION of a plain parquet table (e.g. a
+        // fullMigration bootstrap): the whole table rewrites into the
+        // __bucket=K layout this sync, and the legacy data files are
+        // removed through the swap manifest (crash-safe — a reader after
+        // recovery never sees legacy + bucketed rows together)
+        val convert = !tgtBucketed && tgtLegacy.nonEmpty
         // S16 drift forces a FULL rewrite this sync: rewriting only the
         // changed buckets would leave a mixed-schema layout where a plain
         // parquet read (including our own next pruned read) infers the
         // schema from a sampled file and may silently drop the new columns
         val drift = hasData && Sinks.missingColumns(srcData.schema,
           spark.read.parquet(targetPath).schema).nonEmpty
-        val rewrite = if (drift) (0 until buckets).toSeq else changed
+        val rewrite =
+          if (drift || convert) (0 until buckets).toSeq else changed
         // partition-pruned scan: only the rewritten buckets' files are read
         val target0 =
           if (!hasData) srcData.limit(0)
+          else if (convert) spark.read.parquet(targetPath)
           else if (drift) spark.read.parquet(targetPath).drop("__bucket")
           else spark.read.parquet(targetPath)
             .filter(col("__bucket").isin(changed: _*)).drop("__bucket")
@@ -238,18 +245,23 @@ object IncrementalSync {
         val merged = Sinks
           .delete(Sinks.upsert(target, upserts, "_id"), deletes, "_id")
           .withColumn("__bucket", bucketOf(col("_id")))
-        stageAndSwapBuckets(spark, merged, targetPath, rewrite)
+        stageAndSwapBuckets(spark, merged, targetPath, rewrite, tgtLegacy)
         // scoped state: the changed buckets' full surviving id/hash sets
         // (unchanged ids sharing a changed bucket ride along — their
         // carry-forward hash is identical, so the rewrite is value-stable).
         // State schema never drifts (_id/hash strings), so it stays scoped
         // to the churned buckets even when the target does a drift rewrite
-        val nextSt = nextState(classified, hashCol)
+        val (stBucketed, stLegacy) = layoutOf(fs, statePath)
+        val stConvert = !stBucketed && stLegacy.nonEmpty
+        val nextSt0 = nextState(classified, hashCol)
           .select(col("_id").cast("string").as("_id"),
             col("hash").cast("string").as("hash"))
           .withColumn("__bucket", bucketOf(col("_id")))
-          .filter(col("__bucket").isin(changed: _*))
-        stageAndSwapBuckets(spark, nextSt, statePath, changed)
+        val nextSt =
+          if (stConvert) nextSt0
+          else nextSt0.filter(col("__bucket").isin(changed: _*))
+        stageAndSwapBuckets(spark, nextSt, statePath,
+          if (stConvert) (0 until buckets).toSeq else changed, stLegacy)
         // stamp AFTER the write: the metadata file must never create the
         // layout directory ahead of the data (an empty-but-present dir
         // breaks first-sync schema inference and the bootstrap checks)
@@ -263,6 +275,23 @@ object IncrementalSync {
   private val StageSuffix = ".__stage__"
   private val ManifestName = "__swap_manifest__"
   private val BucketMetaName = "_graft_buckets"
+
+  /** A layout's shape: does it hold `__bucket=K` partition directories,
+    * and which root-level LEGACY data files (a plain parquet table from a
+    * [[run]]/fullMigration bootstrap) does it carry. Hidden files
+    * (`_SUCCESS`, metadata, dot-files) are neither. */
+  private def layoutOf(fs: FileSystem, path: String): (Boolean, Seq[String]) = {
+    val root = new Path(path)
+    if (!fs.exists(root)) return (false, Seq.empty)
+    val entries = fs.listStatus(root).toSeq
+    val bucketed = entries.exists(
+      _.getPath.getName.startsWith("__bucket="))
+    val legacy = entries.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath.getName)
+    (bucketed, legacy)
+  }
 
   /** Enforce a stable bucket count per layout: the count is pinned in a
     * `_graft_buckets` metadata file (underscore-hidden from partition
@@ -325,7 +354,8 @@ object IncrementalSync {
     * re-execution. The staging write fully materializes before any target
     * mutation, so the merge plan may read `path`. */
   private def stageAndSwapBuckets(spark: SparkSession, df: DataFrame,
-      path: String, changed: Seq[Int]): Unit = {
+      path: String, changed: Seq[Int],
+      legacy: Seq[String] = Seq.empty): Unit = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path + StageSuffix)
@@ -336,13 +366,16 @@ object IncrementalSync {
       .parquet(staging.toString)
     val staged = changed.filter(b =>
       fs.exists(new Path(staging, s"__bucket=$b")))
+    require(legacy.forall(n => !n.contains("/") && !n.contains("\n")),
+      s"legacy entries must be plain root-level file names: $legacy")
     val tmp = new Path(staging, ManifestName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write((s"changed:${changed.mkString(",")}\n" +
-      s"staged:${staged.mkString(",")}\n").getBytes("UTF-8"))
+      s"staged:${staged.mkString(",")}\n" +
+      s"legacy:${legacy.mkString(",")}\n").getBytes("UTF-8"))
     finally out.close()
     fs.rename(tmp, new Path(staging, ManifestName)): Unit
-    swapStaged(fs, staging, path, changed, staged.toSet)
+    swapStaged(fs, staging, path, changed, staged.toSet, legacy)
   }
 
   /** Finish a crashed [[stageAndSwapBuckets]]: a staging dir WITH a
@@ -359,17 +392,28 @@ object IncrementalSync {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    def ids(prefix: String): Seq[Int] = lines.find(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix).trim).filter(_.nonEmpty)
-      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Nil)
-    swapStaged(fs, staging, path, ids("changed:"), ids("staged:").toSet)
+    def field(prefix: String): Option[String] =
+      lines.find(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).trim).filter(_.nonEmpty)
+    def ids(prefix: String): Seq[Int] =
+      field(prefix).map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Nil)
+    swapStaged(fs, staging, path, ids("changed:"), ids("staged:").toSet,
+      field("legacy:").map(_.split(",").toSeq).getOrElse(Nil))
   }
 
   /** Step 3+4 of the swap protocol (see [[stageAndSwapBuckets]]);
     * idempotent, so [[recoverStaging]] can re-execute it wholesale. */
   private def swapStaged(fs: FileSystem, staging: Path, path: String,
-      changed: Seq[Int], staged: Set[Int]): Unit = {
+      changed: Seq[Int], staged: Set[Int],
+      legacy: Seq[String] = Seq.empty): Unit = {
     fs.mkdirs(new Path(path))
+    // legacy plain-table files retire FIRST (inside the manifest's crash
+    // scope): once the bucketed layout lands they would be read as
+    // duplicate rows beside it
+    legacy.foreach { n =>
+      val f = new Path(path, n)
+      if (fs.exists(f)) fs.delete(f, false)
+    }
     changed.foreach { b =>
       val src = new Path(staging, s"__bucket=$b")
       val dst = new Path(path, s"__bucket=$b")

@@ -20,7 +20,13 @@ case class MigrationConfig(
     dialect: Dialect = Dialect.MySQL,
     sampleSize: Int = 100,          // Analyze_scheme.ps1:41
     validationSampleSize: Int = 10, // Migration_Validation.ps1:31
-    fullProfile: Boolean = false)   // profile all docs instead of the sample
+    fullProfile: Boolean = false,   // profile all docs instead of the sample
+    // Some(n): incremental syncs run the changed-bucket-only path
+    // (IncrementalSync.runPartitioned, n id-hash buckets) — per-sync I/O
+    // proportional to the churned key set, the 100 TB default. The first
+    // bucketed sync adopts a plain fullMigration table in place. None
+    // keeps the legacy whole-table swap.
+    syncBuckets: Option[Int] = None)
 
 /** O2/O5 result: per-phase outcome of one collection migration. */
 case class MigrationReport(
@@ -144,8 +150,18 @@ object MigrationWorkflow {
         !f.dataType.isInstanceOf[StructType] &&
           !f.dataType.isInstanceOf[ArrayType]).map(_.name).sorted
       val flat = docs.select(flatCols.map(col): _*)
-      Right(IncrementalSync.run(spark, flat, targetPath,
-        s"${cfg.outDir}/sync_state_${cfg.collection}.parquet"))
+      val statePath = s"${cfg.outDir}/sync_state_${cfg.collection}.parquet"
+      Right(cfg.syncBuckets match {
+        // changed-bucket-only sync (SCALE.md's 100 TB write path): only
+        // the buckets holding churned ids are read or rewritten; the
+        // first bucketed sync converts the fullMigration bootstrap table
+        // to the __bucket=K layout in place
+        case Some(b) =>
+          IncrementalSync.runPartitioned(spark, flat, targetPath,
+            statePath, b)
+        case None =>
+          IncrementalSync.run(spark, flat, targetPath, statePath)
+      })
     }
   }
 

@@ -858,6 +858,29 @@ class ScaleSpec extends SparkSpec {
     assert(shared.length == 1 && shared.head._3 == 0L)
   }
 
+  test("chunkDedupIncremental: merge == retrain, idempotent on replayed " +
+      "content, and the representative never moves forward") {
+    import graft.scale.Dedup
+    val head = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" ")),
+      (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val batch = Seq((3L, "alpha beta gamma"), // replays doc 2's content
+      (4L, (1 to 20).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("chunk_hash", "n_occ", "rep_doc_id", "rep_chunk_idx")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val state = Dedup.chunkDedupMap(head, "doc_id", "text", 12, 8)
+    val merged = asMap(
+      Dedup.chunkDedupIncremental(state, batch, "doc_id", "text", 12, 8))
+    // merge == retrain: same map as chunking head ∪ batch at once
+    val retrain = asMap(
+      Dedup.chunkDedupMap(head.unionByName(batch), "doc_id", "text", 12, 8))
+    assert(merged == retrain)
+    // the replayed chunk counts both occurrences but keeps doc 2's rep
+    val alpha = merged.values.filter(_._1 == 2L)
+    assert(alpha.exists(_._2 == 2L), s"replayed chunk rep moved: $merged")
+  }
+
   test("annFrontier: exact baseline is perfect by construction, IVF " +
       "recall and cost grow monotonically with nProbe, RP cost equals " +
       "the candidate budget") {
@@ -880,8 +903,9 @@ class ScaleSpec extends SparkSpec {
     val (rh, _, rc) = f(("rp", 15L))
     assert(rc == 5L * 15L && rh <= bh)
     // hamming: self always wins the distance-0 prefilter slot and is
-    // dropped before rerank — cost is exactly nQ·(budget−1)
-    val (hh, _, hc) = f(("ham", 15L))
+    // dropped before rerank — cost is exactly nQ·(budget−1); the default
+    // bits axis labels the method with its signature width
+    val (hh, _, hc) = f(("ham48", 15L))
     assert(hc == 5L * 14L && hh <= bh)
     intercept[IllegalArgumentException](
       Similarity.annFrontier(e, e, "vec_id", "embedding", "label", 10,

@@ -51,6 +51,51 @@ class WorkflowSpec extends SparkSpec {
     assert(r.newDocs == 0 && r.deleted == 0)
   }
 
+  test("O3 at scale: syncBuckets=Some(n) routes the PUBLIC incremental " +
+      "API through the changed-bucket path — the bootstrap table adopts " +
+      "the __bucket layout in place, then a one-doc churn rewrites " +
+      "exactly one bucket") {
+    val out = java.nio.file.Files.createTempDirectory("graft_wf4").toString
+    val cfg = MigrationConfig("odocs", out, syncBuckets = Some(8))
+    val docs = (1L to 64L).map(i => (s"d$i", s"v$i")).toDF("_id", "payload")
+    val first = MigrationWorkflow.incrementalMigration(spark, docs, cfg)
+    assert(first.isLeft) // bootstrap: full migration writes a PLAIN table
+    val target = s"$out/odocs.parquet"
+    val root = new java.io.File(target)
+    assert(root.listFiles().exists(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+    // first bucketed sync: adopts the plain table in place (no state yet,
+    // so everything classifies new; the layout conversion is the point)
+    val second = MigrationWorkflow.incrementalMigration(spark, docs, cfg)
+    assert(second.isRight)
+    def snap() = root.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map { d =>
+        d.getName -> d.listFiles().filterNot(_.getName.startsWith("."))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      }.toMap
+    val converted = snap()
+    assert(converted.nonEmpty, "conversion produced no bucket dirs")
+    assert(!root.listFiles().exists(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith(".")),
+      "legacy plain-table files left beside the bucketed layout")
+    def readBack() = spark.read.parquet(target).select("_id", "payload")
+      .as[(String, String)].collect().toSet
+    assert(readBack() == docs.as[(String, String)].collect().toSet)
+    // steady state: no churn → nothing rewritten
+    val third = MigrationWorkflow.incrementalMigration(spark, docs, cfg)
+    assert(third.toOption.get.totalProcessed == 0 && snap() == converted)
+    // one-doc churn through the PUBLIC API: exactly one bucket rewrites
+    val v2 = (1L to 64L).map(i =>
+      (s"d$i", if (i == 7L) "CHANGED" else s"v$i")).toDF("_id", "payload")
+    val fourth = MigrationWorkflow.incrementalMigration(spark, v2, cfg)
+    assert(fourth.toOption.get.updated == 1)
+    val after = snap()
+    val rewritten = converted.keySet.filter(d => after(d) != converted(d))
+    assert(rewritten.size == 1, s"expected one rewritten bucket: $rewritten")
+    assert(readBack() == v2.as[(String, String)].collect().toSet)
+  }
+
   test("O4: schemaOnly emits the model without moving data") {
     val out = java.nio.file.Files.createTempDirectory("graft_wf3").toString
     val docs = Tables.orderDocs(spark, sfDir)
