@@ -230,6 +230,60 @@ object CoverageQueries {
         .toDF("metric", "value").orderBy("metric")
     }),
 
+    // O3 at scale: the changed-bucket sync exercised through the PUBLIC
+    // incremental API (MigrationConfig.syncBuckets): bootstrap falls back
+    // to a full migration (plain table), the first bucketed sync ADOPTS
+    // the __bucket=K layout in place (legacy data files retire inside the
+    // swap manifest's crash scope), steady state rewrites nothing, and a
+    // one-doc churn rewrites exactly ONE bucket directory — the per-sync
+    // I/O ∝ churned-keys contract, observed from the filesystem.
+    "o3_bucketed_sync" -> ((s, d) => {
+      import s.implicits._
+      val out = Files.createTempDirectory("graft_o3b").toString
+      val docs = docsSubset(s, d).cache()
+      val cfg = MigrationConfig("odocs", out, syncBuckets = Some(8))
+      val first = MigrationWorkflow.incrementalMigration(s, docs, cfg)
+      val nTables =
+        first.swap.toOption.map(_.rowCounts.size.toLong).getOrElse(-1L)
+      val second =
+        MigrationWorkflow.incrementalMigration(s, docs, cfg).toOption.get
+      val root = new java.io.File(s"$out/odocs.parquet")
+      def snap(): Map[String, Set[(String, Long, Long)]] = root.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+        .map(b => b.getName ->
+          b.listFiles().filterNot(_.getName.startsWith("."))
+            .map(f => (f.getName, f.length(), f.lastModified())).toSet)
+        .toMap
+      val converted = snap()
+      val legacyLeft = root.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val third =
+        MigrationWorkflow.incrementalMigration(s, docs, cfg).toOption.get
+      val steady = snap()
+      val minId = docs.agg(min(col("_id")).cast("string"))
+        .head().getString(0)
+      val v2 = docs.withColumn("o_orderstatus",
+        when(col("_id").cast("string") === minId, lit("Z"))
+          .otherwise(col("o_orderstatus")))
+      val fourth =
+        MigrationWorkflow.incrementalMigration(s, v2, cfg).toOption.get
+      docs.unpersist()
+      val steadyRewrites =
+        converted.keySet.count(k => steady(k) != converted(k)).toLong
+      val churnRewrites =
+        steady.keySet.count(k => snap()(k) != steady(k)).toLong
+      Seq(
+        ("adopt_new", second.newDocs),
+        ("bootstrap_table_count", nTables),
+        ("bucket_dirs_after_adopt", converted.size.toLong),
+        ("churn_rewritten_buckets", churnRewrites),
+        ("churn_updated", fourth.updated),
+        ("legacy_files_left", legacyLeft.toLong),
+        ("steady_rewritten_buckets", steadyRewrites),
+        ("steady_unchanged", third.unchanged))
+        .toDF("metric", "value").orderBy("metric")
+    }),
+
     // O4: validation-only pass over a freshly migrated collection — the
     // one-row V4 status report (counts match, samples pass, no integrity
     // issues).
@@ -336,6 +390,20 @@ object CoverageQueries {
          |  ('second_new', $subsetCount), ('second_deleted', 0),
          |  ('third_new', 0), ('third_updated', 0),
          |  ('third_unchanged', $subsetCount))
+         |AS t(metric, value) ORDER BY metric""".stripMargin,
+
+    // engine-side filesystem facts (bucket-dir counts, rewrite counts) are
+    // deterministic per dataset; the oracle pins them as literal VALUES
+    "o3_bucketed_sync" ->
+      s"""SELECT * FROM (VALUES
+         |  ('adopt_new', $subsetCount),
+         |  ('bootstrap_table_count', 4),
+         |  ('bucket_dirs_after_adopt', 8),
+         |  ('churn_rewritten_buckets', 1),
+         |  ('churn_updated', 1),
+         |  ('legacy_files_left', 0),
+         |  ('steady_rewritten_buckets', 0),
+         |  ('steady_unchanged', $subsetCount))
          |AS t(metric, value) ORDER BY metric""".stripMargin,
 
     "o4_validation_only" ->

@@ -258,6 +258,29 @@ object StreamScaleQueries {
         .orderBy("user_id", "version")
     }),
 
+    // Streaming chunk-dedup map maintenance: batch 0 lands, COMPACTS into
+    // a pre-merged base, batch 1 (a full duplicate copy) lands on top, a
+    // replay of the committed batch must no-op, and the live merge-on-read
+    // map must equal batch-at-once chunkDedupMap over the union corpus
+    // (same oracle as tx_chunk_dedup)
+    "st_chunk_dedup_update" -> ((s, d) => {
+      val store = java.nio.file.Files.createTempDirectory("graft_cd_w").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_cd_s").toString
+      val dd = docs(s, d).select("doc_id", "text")
+      graft.streaming.StreamChunkDedup.applyBatch(s, dd, 0L,
+        "doc_id", "text", store, state, chunkTokens = 12, strideTokens = 8)
+      val c = graft.streaming.StreamChunkDedup.compact(s, store, state)
+      require(!c.skipped && c.foldedNow == 1, s"compaction surprised: $c")
+      val dup = dd.withColumn("doc_id", col("doc_id") + 10000)
+      graft.streaming.StreamChunkDedup.applyBatch(s, dup, 1L,
+        "doc_id", "text", store, state, chunkTokens = 12, strideTokens = 8)
+      val replay = graft.streaming.StreamChunkDedup.applyBatch(s, dup, 1L,
+        "doc_id", "text", store, state, chunkTokens = 12, strideTokens = 8)
+      require(replay.replaySkipped, "committed batch replay was not skipped")
+      graft.streaming.StreamChunkDedup.currentMap(s, store, state)
+        .orderBy("chunk_hash")
+    }),
+
     "st_crossdoc_update" -> ((s, d) => {
       val store = java.nio.file.Files.createTempDirectory("graft_sr_w").toString
       val state = java.nio.file.Files.createTempDirectory("graft_sr_s").toString
@@ -282,6 +305,22 @@ object StreamScaleQueries {
   // that the query functions register as they run (Verify dumps oracle
   // SQL AFTER running every query)
   def oracles: Map[String, String] = Map(
+    // streamed partial chunk maps (with a compaction in between) merge to
+    // the batch-at-once embed-once map — the tx_chunk_dedup SQL verbatim
+    "st_chunk_dedup_update" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+         |${TextQueries.chunkWindowCtes},
+         |h AS (SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_hash
+         |  FROM cw),
+         |m AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_occ,
+         |    min(doc_id * 1048576 + chunk_idx) AS rk
+         |  FROM h GROUP BY 1)
+         |SELECT chunk_hash, n_occ,
+         |  CAST(rk // 1048576 AS BIGINT) AS rep_doc_id,
+         |  CAST(rk % 1048576 AS BIGINT) AS rep_chunk_idx
+         |FROM m ORDER BY chunk_hash""".stripMargin,
+
     // two exact-only stream batches in id order fold to the global
     // survivor set (same SQL shape as dedup_survivors)
     "st_stream_dedup" ->

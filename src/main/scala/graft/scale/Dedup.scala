@@ -715,9 +715,18 @@ object Dedup {
   def chunkDedupIncremental(state: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, chunkTokens: Int,
       strideTokens: Int): DataFrame =
-    state.unionByName(
-        chunkDedupMap(batch, idCol, textCol, chunkTokens, strideTokens))
-      .groupBy("chunk_hash")
+    mergeChunkMaps(state.unionByName(
+      chunkDedupMap(batch, idCol, textCol, chunkTokens, strideTokens)))
+
+  /** Merge a union of [[chunkDedupMap]] partial maps into one: counts add,
+    * the representative is the min (doc, idx) across all parts. The merge
+    * is associative and commutative, so ANY grouping of a corpus into
+    * partial maps folds to the batch-at-once map — the property both
+    * [[chunkDedupIncremental]] and the streaming merge-on-read store
+    * ([[graft.streaming.StreamChunkDedup]]) stand on. One hash aggregate;
+    * a hot boilerplate chunk partial-aggregates map-side. */
+  def mergeChunkMaps(maps: DataFrame): DataFrame =
+    maps.groupBy("chunk_hash")
       .agg(sum(col("n_occ")).as("n_occ"),
         min(struct(col("rep_doc_id"), col("rep_chunk_idx"))).as("__rep"))
       .select(col("chunk_hash"), col("n_occ"),

@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Committed-batch compaction for the corpus-sized streaming stores
   * ([[StreamRepeats]] window/roster store, [[StreamDedup]] clean-corpus
@@ -109,9 +109,15 @@ object StoreCompaction {
   /** Fold every committed-but-unfolded batch (and the previous base) of
     * each sub-store under one new `base=<gen>`; commit the manifest; then
     * retire the folded directories and markers. No-op (skipped = true)
-    * when nothing is unfolded. */
+    * when nothing is unfolded. `fold` (applied to EACH sub-store's union —
+    * callers with heterogeneous sub-stores leave it None) lets a
+    * mergeable store pre-aggregate its base (e.g.
+    * [[graft.scale.Dedup.mergeChunkMaps]]) so the base holds merged rows,
+    * not concatenated history; it must be a no-op on already-folded input
+    * (idempotent under re-fold), which any associative merge is. */
   def compact(spark: SparkSession, stateRoot: String, prefix: String,
-      subRoots: Seq[String]): CompactResult = {
+      subRoots: Seq[String],
+      fold: Option[DataFrame => DataFrame] = None): CompactResult = {
     require(subRoots.nonEmpty, "compact: no sub-stores given")
     val fs = new Path(stateRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -126,7 +132,8 @@ object StoreCompaction {
     // 1. fold each sub-store into its new base (overwrite heals any
     //    orphan from a previously crashed attempt at this generation)
     subRoots.foreach { root =>
-      spark.read.parquet(readPaths(root, prevGen, tail): _*)
+      val unioned = spark.read.parquet(readPaths(root, prevGen, tail): _*)
+      fold.fold(unioned)(f => f(unioned))
         .write.mode("overwrite").parquet(s"$root/base=$gen")
     }
     // 2. the commit point: manifest via temp-write + atomic rename
