@@ -61,6 +61,21 @@ object DedupQueries {
       Dedup.segmentDedup(docsWithDups(s, d), "doc_id", "text", 10)
         .orderBy("doc_id")),
 
+    // Incremental segment dedup: a new batch (rest of the corpus plus a
+    // full duplicate copy) reassembles against the persisted segment-
+    // fingerprint state of the id<250 head — history is never re-scanned;
+    // output equals batch-at-once segmentDedup over the union corpus
+    // restricted to the batch ids (monotone-id contract)
+    "dedup_incr_segments" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text")
+      val state = Dedup.segmentState(
+        dd.filter(col("doc_id") < 250), "doc_id", "text", 10)
+      val batch = dd.filter(col("doc_id") >= 250)
+        .unionByName(dd.withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.segmentDedupIncremental(state, batch, "doc_id", "text", 10)._1
+        .orderBy("doc_id")
+    }),
+
     // Incremental exact dedup: a new batch dedups against persisted
     // fingerprint state — history is never re-scanned (state: docs < 250;
     // batch: the rest plus a full duplicate copy of the corpus)
@@ -251,6 +266,26 @@ object DedupQueries {
          |  WHERE rn = 1)
          |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
          |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the incremental merge must land on batch-at-once segmentDedup over
+    // the union corpus, restricted to the batch ids — the same CTE stack
+    // as dedup_segments with one final filter
+    "dedup_incr_segments" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+         |tok AS (SELECT doc_id, $duckToksAll AS tk FROM u),
+         |seg AS (SELECT doc_id, pos, array_to_string(
+         |    list_slice(tk, (pos - 1) * 10 + 1, (pos - 1) * 10 + 10), ' ') AS seg
+         |  FROM tok, LATERAL (SELECT unnest(range(1,
+         |    CAST(ceil(len(tk) / 10.0) AS INT) + 1)) AS pos) p
+         |  WHERE len(tk) > 0),
+         |keep AS (SELECT doc_id, pos, seg FROM (
+         |  SELECT doc_id, pos, seg, row_number() OVER (
+         |    PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM seg)
+         |  WHERE rn = 1)
+         |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+         |FROM keep WHERE doc_id >= 250
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_survivors" ->
       """WITH u AS (SELECT doc_id, text FROM documents

@@ -502,6 +502,58 @@ object Dedup {
       .withColumnRenamed("_doc", idCol)
   }
 
+  /** Segment-fingerprint state of a corpus for
+    * [[segmentDedupIncremental]]'s first batch: the distinct fingerprints
+    * of every `segTokens`-token segment seen so far. */
+  def segmentState(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    df.select(col(idCol).as("_doc"),
+        TextAnalysis.tokens(lower(col(textCol))).as("_tk"))
+      .select(posexplode(TextAnalysis.chunkTokens(col("_tk"), segTokens, 0)))
+      .select(TextAnalysis.fingerprint(col("col")).as("fp"))
+      .distinct()
+  }
+
+  /** Incremental [[segmentDedup]] — the C4-style boilerplate remover
+    * maintained over a GROWING corpus: a new batch's documents reassemble
+    * from the segments seen neither in the persisted fingerprint state nor
+    * earlier within the batch ((doc, pos) order), without ever re-scanning
+    * history. Returns (cleaned batch docs, nextState). Equals batch-at-once
+    * [[segmentDedup]] over history ∪ batch restricted to the batch's ids
+    * PROVIDED ids are monotone with arrival (the
+    * [[graft.streaming.StreamDedup]] contract — history outranks the
+    * batch). Same skew-safe keep-one as the batch form: min(struct) hash
+    * aggregate + join-back, never a per-fingerprint sort window; the
+    * anti-join is shuffle-bounded by the batch's segments plus a stream of
+    * the state partitions. A batch doc whose every segment was seen before
+    * drops out entirely. */
+  def segmentDedupIncremental(state: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      segTokens: Int): (DataFrame, DataFrame) = {
+    require(segTokens > 0, "segTokens must be positive")
+    // materialized: the exploded segment frame feeds the anti-join, the
+    // keep-one aggregate, the join-back probe, and the state advance
+    val segs = graft.io.Materialize(batch.select(col(idCol).as("_doc"),
+        TextAnalysis.tokens(lower(col(textCol))).as("_tk"))
+      .select(col("_doc"),
+        posexplode(TextAnalysis.chunkTokens(col("_tk"), segTokens, 0)))
+      .withColumnRenamed("col", "seg")
+      .withColumn("fp", TextAnalysis.fingerprint(col("seg"))))
+    val fresh = segs.join(state.select("fp"), Seq("fp"), "left_anti")
+    val firsts = fresh.groupBy("fp")
+      .agg(min(struct(col("_doc"), col("pos"))).as("__first"))
+    val cleaned = fresh.join(firsts, Seq("fp"))
+      .filter(struct(col("_doc"), col("pos")) === col("__first"))
+      .groupBy(col("_doc"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("seg")))),
+        x => x.getField("seg")), " ").as(textCol))
+      .withColumnRenamed("_doc", idCol)
+    val nextState = state.select("fp").unionByName(firsts.select("fp"))
+    (cleaned, nextState)
+  }
+
   /** Embedding-cosine near-duplicate pairs, bucketed by a coarse key (e.g.
     * a cluster/IVF label) so the pair join is per-bucket, not global. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,

@@ -168,7 +168,8 @@ class PlanSpec extends SparkSpec {
     // millions of times is exactly these operators' target corpus, and a
     // row_number() window partitioned by the fingerprint would funnel every
     // occurrence of the hottest key through a single sorted task
-    for (q <- Seq("dedup_segments", "dedup_survivors", "dedup_incr_exact")) {
+    for (q <- Seq("dedup_segments", "dedup_survivors", "dedup_incr_exact",
+        "dedup_incr_segments")) {
       val p = graft.queries.ScaleQueries.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       val specs = "windowspecdefinition\\(([^)]*)".r

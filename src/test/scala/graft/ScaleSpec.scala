@@ -858,6 +858,40 @@ class ScaleSpec extends SparkSpec {
     assert(shared.length == 1 && shared.head._3 == 0L)
   }
 
+  test("segmentDedupIncremental == batch-at-once segmentDedup restricted " +
+      "to the batch; all-boilerplate batch doc drops; replay yields " +
+      "nothing new") {
+    import graft.scale.Dedup
+    val mk = (id: Long, t: String) => (id, t)
+    val head = Seq(
+      mk(1L, (1 to 10).map(i => s"a$i").mkString(" ")),   // segment A
+      mk(2L, (1 to 10).map(i => s"b$i").mkString(" "))    // segment B
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // doc 11 = segment A (seen in history) + fresh segment C
+      mk(11L, ((1 to 10).map(i => s"a$i") ++
+        (1 to 10).map(i => s"c$i")).mkString(" ")),
+      mk(12L, (1 to 10).map(i => s"b$i").mkString(" ")),  // all-boilerplate
+      mk(13L, (1 to 10).map(i => s"c$i").mkString(" "))   // dup of 11's C
+    ).toDF("doc_id", "text")
+    val state = Dedup.segmentState(head, "doc_id", "text", 10)
+    val (cleaned, next) =
+      Dedup.segmentDedupIncremental(state, batch, "doc_id", "text", 10)
+    val got = cleaned.as[(Long, String)].collect().toMap
+    val whole = Dedup.segmentDedup(head.unionByName(batch),
+        "doc_id", "text", 10)
+      .as[(Long, String)].collect().toMap
+      .filter(_._1 >= 10L)
+    assert(got == whole, s"got=$got whole=$whole")
+    assert(!got.contains(12L), "all-boilerplate doc survived")
+    assert(got(11L) == (1 to 10).map(i => s"c$i").mkString(" "))
+    assert(!got.contains(13L), "within-batch later duplicate survived")
+    // replaying the same batch against the ADVANCED state yields nothing
+    val (replay, _) =
+      Dedup.segmentDedupIncremental(next, batch, "doc_id", "text", 10)
+    assert(replay.isEmpty)
+  }
+
   test("chunkDedupIncremental: merge == retrain, idempotent on replayed " +
       "content, and the representative never moves forward") {
     import graft.scale.Dedup
