@@ -157,6 +157,37 @@ object IncrementalDedupProps extends Properties("IncrementalDedup") {
         surv.select("doc_id").as[Long].collect().toSet
       folded == whole
     }
+
+  property("chunk-map merge over ANY batch split == batch-at-once map") =
+    forAll(corpusGen, Gen.choose(0, 12)) { (docs, cutRaw) =>
+      val cut = cutRaw % docs.size
+      val df = docs.toDF("doc_id", "text")
+      def asMap(d: org.apache.spark.sql.DataFrame) =
+        d.select("chunk_hash", "n_occ", "rep_doc_id", "rep_chunk_idx")
+          .as[(String, Long, Long, Long)].collect().toSet
+      val whole = asMap(
+        graft.scale.Dedup.chunkDedupMap(df, "doc_id", "text", 2, 1))
+      val state = graft.scale.Dedup.chunkDedupMap(
+        df.filter($"doc_id" < cut), "doc_id", "text", 2, 1)
+      val merged = asMap(graft.scale.Dedup.chunkDedupIncremental(
+        state, df.filter($"doc_id" >= cut), "doc_id", "text", 2, 1))
+      merged == whole
+    }
+
+  property("segment-dedup incremental == batch-at-once restricted to the " +
+      "batch ids") =
+    forAll(corpusGen, Gen.choose(0, 12)) { (docs, cutRaw) =>
+      val cut = cutRaw % docs.size
+      val df = docs.toDF("doc_id", "text")
+      val whole = graft.scale.Dedup.segmentDedup(df, "doc_id", "text", 2)
+        .as[(Long, String)].collect().toMap.filter(_._1 >= cut)
+      val state = graft.scale.Dedup.segmentState(
+        df.filter($"doc_id" < cut), "doc_id", "text", 2)
+      val inc = graft.scale.Dedup.segmentDedupIncremental(
+        state, df.filter($"doc_id" >= cut), "doc_id", "text", 2)._1
+        .as[(Long, String)].collect().toMap
+      inc == whole
+    }
 }
 
 object TemperatureProps extends Properties("TemperatureSample") {
