@@ -55,6 +55,14 @@ object DedupQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // LSH tuning frontier: candidate cost + verified yield per band count
+    // over the dup'd corpus — the S-curve deployment table (precision =
+    // verified/candidates, recall reads relatively down the bands axis)
+    "dedup_lsh_frontier" -> ((s, d) =>
+      Dedup.lshFrontier(docsWithDups(s, d), "doc_id", "text", k = 16,
+        bandsAxis = Seq(2, 4, 8), jaccardThreshold = 0.9)
+        .orderBy("bands")),
+
     // Segment-level dedup (C4-style boilerplate removal): duplicate docs'
     // segments all dedup away; each doc reassembles from survivors
     "dedup_segments" -> ((s, d) =>
@@ -314,6 +322,48 @@ object DedupQueries {
     "dedup_minhash_pairs" ->
       (minhashPairsCtes +
         "\nSELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"),
+
+    // the frontier replays the signature chain once and the band/candidate/
+    // verify chain per band count — same minhash/shingle family as
+    // dedup_minhash_pairs, band hash re-sliced per configuration
+    "dedup_lsh_frontier" -> {
+      def cfgCtes(b: Int): String = {
+        val r = 16 / b
+        def bandHash(j: Int): String =
+          (j * r until j * r + r).map(i => s"CAST(s$i AS VARCHAR)")
+            .mkString(" || '-' || ")
+        val bandSelects = (0 until b).map(j =>
+          s"SELECT id, $j AS band, md5(${bandHash(j)}) AS bh FROM sig")
+          .mkString(" UNION ALL ")
+        s"""band$b AS ($bandSelects),
+           |cand$b AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM band$b a JOIN band$b b
+           |  ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+           |ver$b AS (SELECT CAST(count(*) AS BIGINT) AS v
+           |  FROM cand$b c JOIN tok ta ON c.id_a = ta.id
+           |       JOIN tok tb ON c.id_b = tb.id
+           |  WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) /
+           |    len(list_distinct(list_concat(ta.tk, tb.tk))) >= 0.9)""".stripMargin
+      }
+      def row(b: Int): String =
+        s"""SELECT CAST($b AS BIGINT) AS bands,
+           |  CAST(${16 / b} AS BIGINT) AS rows_per_band,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM cand$b)
+           |    AS candidate_pairs,
+           |  (SELECT v FROM ver$b) AS verified_pairs""".stripMargin
+      val sigCols = (0 until 16).map(i =>
+        s"${duckMinhash(i, "tk")} AS s$i").mkString(", ")
+      s"""WITH u AS (SELECT doc_id AS id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+         |t0 AS (SELECT id, $duckToksAll AS tk FROM u),
+         |tok AS (SELECT id, $duckShingles3 AS tk FROM t0),
+         |sig AS (SELECT id, $sigCols FROM tok),
+         |${cfgCtes(2)},
+         |${cfgCtes(4)},
+         |${cfgCtes(8)}
+         |SELECT * FROM (${row(2)} UNION ALL ${row(4)} UNION ALL ${row(8)})
+         |ORDER BY bands""".stripMargin
+    },
 
     // the same signature/band/verify chain over corpus ∪ offset eval set;
     // contaminated = corpus ids paired (at the 0.9 gate) with an eval id

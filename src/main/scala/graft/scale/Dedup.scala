@@ -231,6 +231,53 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
+  /** LSH tuning frontier — the operational (bands, rows) table for the
+    * MinHash stack (the [[Similarity.annFrontier]] pattern applied to
+    * dedup): for each configured band count b (rows = k/b), the DISTINCT
+    * candidate-pair count the banded bucket join produces and how many of
+    * those verify at `jaccardThreshold`. candidate_pairs is the
+    * verification-cost axis, verified_pairs the yield; precision is the
+    * reader's one division, and recall reads RELATIVELY down the table
+    * (at fixed k, more bands admit a superset of candidates). This is the
+    * table that answers "which S-curve do I deploy" before committing a
+    * corpus-wide dedup run.
+    *
+    * 100 TB shape: ONE signature pass shared by every configuration (the
+    * [[minhashState]] frame is materialized); per config one banded
+    * self-join (bucket sizes bound it, never n²) + one verify join over
+    * candidates only, each reduced to two count aggregates. */
+  def lshFrontier(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bandsAxis: Seq[Int] = Seq(2, 4, 8),
+      jaccardThreshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    require(bandsAxis.nonEmpty && bandsAxis.forall(b => b >= 1 && k % b == 0),
+      s"every band count must divide k=$k: $bandsAxis")
+    val sig = minhashState(df, idCol, textCol, k, shingleN)
+    val sets = sig.select(col("id"), col("shingle_set"))
+    bandsAxis.map { b =>
+      val banded = bandFrame(sig, k, b, Nil)
+      val l = banded.select(col("band"), col("band_hash"),
+        col("id").as("id_a"))
+      val r = banded.select(col("band"), col("band_hash"),
+        col("id").as("id_b"))
+      // materialized: the candidate frame feeds both the cost count and
+      // the verification join
+      val cand = graft.io.Materialize(l.join(r, Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct())
+      val verified = cand
+        .join(sets.select(col("id").as("id_a"),
+          col("shingle_set").as("set_a")), "id_a")
+        .join(sets.select(col("id").as("id_b"),
+          col("shingle_set").as("set_b")), "id_b")
+        .filter(jaccard(col("set_a"), col("set_b")) >= jaccardThreshold)
+      cand.agg(count(lit(1)).as("candidate_pairs"))
+        .crossJoin(verified.agg(count(lit(1)).as("verified_pairs")))
+        .select(lit(b.toLong).as("bands"),
+          lit((k / b).toLong).as("rows_per_band"),
+          col("candidate_pairs"), col("verified_pairs"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Fuzzy benchmark decontamination matches (GPT-3 appx-C lineage, the
     * NEAR-duplicate step exact n-gram screening misses — light paraphrase,
     * whitespace/punctuation drift, partial copies): every (corpus doc,

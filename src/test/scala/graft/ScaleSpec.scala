@@ -915,6 +915,30 @@ class ScaleSpec extends SparkSpec {
     assert(alpha.exists(_._2 == 2L), s"replayed chunk rep moved: $merged")
   }
 
+  test("lshFrontier: candidates and verified yield grow monotonically " +
+      "with bands (superset property), verified <= candidates") {
+    import graft.scale.Dedup
+    val dd = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val dup = dd.unionByName(dd.withColumn("doc_id", $"doc_id" + 10000))
+    val f = Dedup.lshFrontier(dup, "doc_id", "text", k = 16,
+        bandsAxis = Seq(2, 4, 8), jaccardThreshold = 0.9)
+      .orderBy("bands")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(f.map(_._1).toSeq == Seq(2L, 4L, 8L))
+    assert(f.forall { case (b, r, _, _) => b * r == 16 })
+    assert(f.forall { case (_, _, c, v) => v <= c })
+    // at fixed k, more bands admit a SUPERSET of candidates, so both
+    // columns are non-decreasing down the table; the dup'd corpus
+    // guarantees a nonzero yield at every config (every doc has an
+    // identical copy — identical signatures collide in every band)
+    assert(f.sliding(2).forall { case Array(x, y) =>
+      x._3 <= y._3 && x._4 <= y._4 })
+    assert(f.head._4 >= dd.count(),
+      "exact copies must verify at every config")
+    intercept[IllegalArgumentException](Dedup.lshFrontier(
+      dup, "doc_id", "text", k = 16, bandsAxis = Seq(3)))
+  }
+
   test("annFrontier: exact baseline is perfect by construction, IVF " +
       "recall and cost grow monotonically with nProbe, RP cost equals " +
       "the candidate budget") {
