@@ -258,6 +258,29 @@ object StreamScaleQueries {
         .orderBy("user_id", "version")
     }),
 
+    // Streaming segment dedup: the id<250 head lands as batch 0, the rest
+    // plus a full duplicate copy as batch 1 (monotone ids), a replay of
+    // the committed batch must no-op, and the union of cleaned batches
+    // must equal batch-at-once segmentDedup over the whole corpus (the
+    // dedup_segments oracle verbatim)
+    "st_segment_dedup_update" -> ((s, d) => {
+      val corpus = java.nio.file.Files.createTempDirectory("graft_sg_c").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_sg_s").toString
+      val dd = docs(s, d).select("doc_id", "text")
+      graft.streaming.StreamSegmentDedup.applyBatch(s,
+        dd.filter(col("doc_id") < 250), 0L, "doc_id", "text",
+        corpus, state, segTokens = 10)
+      val b1 = dd.filter(col("doc_id") >= 250)
+        .unionByName(dd.withColumn("doc_id", col("doc_id") + 10000))
+      graft.streaming.StreamSegmentDedup.applyBatch(s, b1, 1L,
+        "doc_id", "text", corpus, state, segTokens = 10)
+      val replay = graft.streaming.StreamSegmentDedup.applyBatch(s, b1, 1L,
+        "doc_id", "text", corpus, state, segTokens = 10)
+      require(replay.replaySkipped, "committed batch replay was not skipped")
+      graft.streaming.StreamSegmentDedup.currentCorpus(s, corpus, state)
+        .orderBy("doc_id")
+    }),
+
     // Streaming chunk-dedup map maintenance: batch 0 lands, COMPACTS into
     // a pre-merged base, batch 1 (a full duplicate copy) lands on top, a
     // replay of the committed batch must no-op, and the live merge-on-read
@@ -305,6 +328,24 @@ object StreamScaleQueries {
   // that the query functions register as they run (Verify dumps oracle
   // SQL AFTER running every query)
   def oracles: Map[String, String] = Map(
+    // streamed cleaned batches union to batch-at-once segmentDedup over
+    // everything that arrived — the dedup_segments SQL verbatim
+    "st_segment_dedup_update" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+         |tok AS (SELECT doc_id, $duckToksAll AS tk FROM u),
+         |seg AS (SELECT doc_id, pos, array_to_string(
+         |    list_slice(tk, (pos - 1) * 10 + 1, (pos - 1) * 10 + 10), ' ') AS seg
+         |  FROM tok, LATERAL (SELECT unnest(range(1,
+         |    CAST(ceil(len(tk) / 10.0) AS INT) + 1)) AS pos) p
+         |  WHERE len(tk) > 0),
+         |keep AS (SELECT doc_id, pos, seg FROM (
+         |  SELECT doc_id, pos, seg, row_number() OVER (
+         |    PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM seg)
+         |  WHERE rn = 1)
+         |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // streamed partial chunk maps (with a compaction in between) merge to
     // the batch-at-once embed-once map — the tx_chunk_dedup SQL verbatim
     "st_chunk_dedup_update" ->
