@@ -85,6 +85,22 @@ object AnnQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Metadata-filtered ANN (filtered vector search): top-k among ONLY
+    // the corpus vectors passing a metadata predicate (vec_id % 3 = 0, a
+    // license/lang/freshness stand-in), searched through the SHARED
+    // full-corpus IVF index at nProbe=2. The filter prunes the posting
+    // lists BEFORE scoring — never post-filtering an unfiltered top-k,
+    // the classic recall bug where filtered-out neighbors displace the
+    // true filtered ones
+    "ann_filtered_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfFilteredTopK(e.filter(col("vec_id") < 5), e,
+        "vec_id", "embedding", "label", pred = col("vec_id") % 3 === 0,
+        k = 10, nProbe = 2)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk")
+    }),
+
     // ANN index QA: recall of the IVF index against brute-force ground
     // truth per query — the metric that decides whether a cell layout is
     // usable before committing a 100 TB index build
@@ -1056,6 +1072,40 @@ object AnnQueries {
          |  WHERE rn <= 2),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS cell
          |  FROM embeddings)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
+         |  SELECT p.query_id, c.neighbor_id, row_number() OVER (
+         |    PARTITION BY p.query_id
+         |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
+         |  FROM probe p JOIN c ON c.cell = p.cell
+         |  JOIN q ON q.query_id = p.query_id
+         |  WHERE p.query_id != c.neighbor_id)
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // identical probe selection to ann_ivf_multiprobe (centroids over the
+    // FULL corpus — the shared index), with only the posting-list scan
+    // filtered by the metadata predicate
+    "ann_filtered_topk" ->
+      s"""WITH dim AS (SELECT unnest(range(1,
+         |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+         |cents AS (SELECT label, i AS pos,
+         |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+         |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
+         |  FROM embeddings CROSS JOIN dim GROUP BY 1, 2),
+         |cl AS (SELECT label, list(centroid ORDER BY pos) AS cl
+         |  FROM cents GROUP BY 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 5),
+         |qd AS (SELECT query_id, cc.label AS cell,
+         |  list_sum(list_transform(range(1, len(qe) + 1),
+         |    i -> (CAST(qe[i] AS DOUBLE) - cc.cl[i])
+         |       * (CAST(qe[i] AS DOUBLE) - cc.cl[i]))) AS d
+         |  FROM q, cl cc),
+         |probe AS (SELECT query_id, cell FROM (
+         |  SELECT query_id, cell, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d, cell) AS rn FROM qd)
+         |  WHERE rn <= 2),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS cell
+         |  FROM embeddings WHERE vec_id % 3 = 0)
          |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
          |  SELECT p.query_id, c.neighbor_id, row_number() OVER (
          |    PARTITION BY p.query_id

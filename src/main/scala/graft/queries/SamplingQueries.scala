@@ -372,6 +372,31 @@ object SamplingQueries {
       Sampling.curriculumQa(sched, "band", "global_pos", "band_rank", 10)
         .orderBy("band", "prefix_id")
     }),
+
+    // DoReMi-style domain reweighting (Xie '23): each source's next-round
+    // mixture weight is exp(η · excess proxy loss), proxy = the engine's
+    // bigram LM. Everything on the gate is int64 — the per-source
+    // ce/excess are exact integer micro-bits, the ONE exp per source is
+    // registered as an integer nano literal (lit_check re-derives it from
+    // the fixtures), and weight_bp is integer division of those nanos.
+    // The stats frame is materialized so the LM train+score chain runs
+    // once, not once per downstream branch
+    "samp_doremi_weights" -> ((s, d) => {
+      val dd = docs(s, d)
+      val stats = graft.io.Materialize(
+        TextAnalysis.lmCrossEntropyStats(dd, "doc_id", "text",
+          TextAnalysis.bigramLm(dd, "text")))
+      val w = Sampling.doremiWeights(stats, dd, "doc_id", "source")
+      // bounded collect: one row per SOURCE (the lit-registration side
+      // frame, same pattern as dsir/waterfill)
+      val rows = w.select("source", "w_nano").collect()
+      if (rows.nonEmpty) OracleLits.put("doremi_w",
+        rows.sortBy(_.getString(0)).map(r =>
+          s"(${OracleLits.sqlStr(r.getString(0))}, " +
+            s"CAST(${r.getLong(1)} AS BIGINT))")
+          .mkString("(VALUES ", ", ", ") AS t(source, w_nano)"))
+      w.orderBy("source")
+    }),
   )
 
   // The curriculum schedule CTE stack (band ntile → seeded shuffle →
@@ -457,6 +482,36 @@ object SamplingQueries {
          |  np.n_in_prefix, mg.max_gap
          |FROM np JOIN mg USING (band)
          |ORDER BY band, prefix_id""".stripMargin,
+
+    // per-source stats re-derived through the shared bigram-LM CTE stack
+    // (exact integer micro-bits); the ONE transcendental per source comes
+    // back as the registered integer nano literal — a source-set mismatch
+    // between lits and data fails the inner join loudly; weight_bp is
+    // integer division both sides
+    "samp_doremi_weights" -> {
+      val w = OracleLits.get("doremi_w")
+        .getOrElse("(VALUES ('__none__', CAST(0 AS BIGINT))) " +
+          "AS t(source, w_nano)")
+      s"""WITH ${TextQueries.lmStatsCtes},
+         |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(neg_logp_sum_micro) AS BIGINT) AS sn,
+         |    CAST(sum(n_bigrams) AS BIGINT) AS sum_n_bigrams
+         |  FROM stats JOIN documents d USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(sn) AS BIGINT) AS tn,
+         |    CAST(sum(sum_n_bigrams) AS BIGINT) AS tb FROM per),
+         |ww AS (SELECT * FROM $w),
+         |wt AS (SELECT CAST(sum(w_nano) AS BIGINT) AS wtot FROM ww),
+         |x AS (SELECT per.source, per.n_docs, per.sum_n_bigrams,
+         |    CAST(sn // sum_n_bigrams AS BIGINT) AS ce_micro,
+         |    CAST(greatest(sn // sum_n_bigrams - tn // tb, 0) AS BIGINT)
+         |      AS excess_micro,
+         |    ww.w_nano
+         |  FROM per JOIN ww ON per.source = ww.source CROSS JOIN tot)
+         |SELECT source, n_docs, sum_n_bigrams, ce_micro, excess_micro,
+         |  CAST(w_nano AS BIGINT) AS w_nano,
+         |  CAST((10000 * w_nano) // wtot AS BIGINT) AS weight_bp
+         |FROM x CROSS JOIN wt ORDER BY source""".stripMargin
+    },
 
     "samp_pack_curriculum" ->
       s"""WITH $curriculumCtes,

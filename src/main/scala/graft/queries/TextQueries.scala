@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -386,6 +387,38 @@ object TextQueries {
       TextAnalysis.bm25Nano(dd, "doc_id", "text", q, k = 20)
     }),
 
+    // Hybrid retrieval: BM25 lexical top-20 fused with dense-cosine
+    // top-20 by reciprocal-rank fusion (Cormack '09) — the standard RAG
+    // retriever combiner. Both lists are searches the library already
+    // runs (broadcast-stats BM25 scan; brute-force cosine for the single
+    // probe vector); the fused score is pure integer
+    // (Σ 1_000_000 div (60 + rank)), so the gate compares int64 end to
+    // end. The rank window runs over the 20-row top-k frame only —
+    // k-bounded, never corpus-wide. Dense query = doc 0's embedding;
+    // ids are the shared doc/vec key
+    "tx_rrf_fusion" -> ((s, d) => {
+      val dd = docs(s, d)
+      val q = "spark window join quantum"
+      val (_, _, terms) = TextAnalysis.bm25TermStats(dd, "text", q)
+      if (terms.nonEmpty) OracleLits.put("rrf_qd",
+        terms.map { case (t, df, idf) =>
+          s"(${OracleLits.sqlStr(t)}, CAST($df AS BIGINT), " +
+            s"CAST(${math.floor(idf * 1e9).toLong} AS BIGINT))"
+        }.mkString("(VALUES ", ", ", ") AS t(qt, df, idf9)"))
+      val sparse = TextAnalysis.bm25Nano(dd, "doc_id", "text", q, k = 20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("score_nano").desc, col("doc_id"))))
+        .select("doc_id", "rnk")
+      val e = emb(s, d)
+      val dense = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0),
+          e, "vec_id", "embedding", 20)
+        .select(col("neighbor_id").as("doc_id"), col("rnk"))
+      Similarity.rrfFuse(Seq("sparse" -> sparse, "dense" -> dense),
+          "doc_id", "rnk")
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+        .select("doc_id", "sparse_rnk", "dense_rnk", "rrf_micro")
+    }),
+
     // Corpus length histogram in log2 buckets (the dataset-report shape:
     // constant output rows at any corpus size, one agg). The bucket is
     // length(bin(n+1))-1 — integer-exact floor(log2), immune to the
@@ -668,7 +701,7 @@ object TextQueries {
   // DECIMAL(18,6) AT THE LM so per-doc sums are exact decimals — the
   // round-4 contract). Ends with `stats`(doc_id, neg_logp_sum_micro,
   // n_bigrams); used by tx_lm_perplexity and tx_ppl_buckets.
-  private def lmStatsCtes: String =
+  private[queries] def lmStatsCtes: String =
     s"""t AS (SELECT doc_id, $duckToksAll AS l FROM documents),
        |v AS (SELECT count(DISTINCT tk) AS v FROM
        |  (SELECT unnest(l) AS tk FROM t)),
@@ -1182,6 +1215,58 @@ object TextQueries {
              |  JOIN tok ON list_contains(tk, qt) GROUP BY 1),
              |$scoreTail""".stripMargin
       }
+    },
+
+    // hybrid fusion: BM25 ranks re-derived through the identical
+    // score_nano tail (idf from the INTEGER nano literal), dense ranks by
+    // the cosine order the ann oracles use; the fusion itself is integer
+    // division only — no float ever reaches a compared column
+    "tx_rrf_fusion" -> {
+      val qdSql = OracleLits.get("rrf_qd") match {
+        case Some(qd) => s"SELECT * FROM $qd"
+        case None =>
+          s"""SELECT qt, count(*) AS df,
+             |    CAST(floor(ln(CAST(1.0 AS DOUBLE)
+             |      + ((SELECT n FROM st) - count(*) + CAST(0.5 AS DOUBLE))
+             |        / (count(*) + CAST(0.5 AS DOUBLE)))
+             |      * 1000000000.0) AS BIGINT) AS idf9 FROM
+             |    (SELECT unnest(['spark', 'window', 'join', 'quantum']) AS qt) q
+             |  JOIN tok ON list_contains(tk, qt) GROUP BY 1""".stripMargin
+      }
+      s"""WITH tok AS (SELECT doc_id, $duckToksAll AS tk FROM documents),
+         |st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl FROM tok),
+         |qd AS ($qdSql),
+         |sc AS (SELECT t.doc_id, d.qt, d.df,
+         |    (CAST(d.idf9 AS DOUBLE) / CAST(1000000000 AS DOUBLE)) AS idf,
+         |    len(list_filter(t.tk, x -> x = d.qt)) AS tf, len(t.tk) AS dl
+         |  FROM tok t JOIN qd d ON list_contains(t.tk, d.qt)),
+         |co AS (SELECT doc_id,
+         |    CAST(floor((idf
+         |      * (tf * CAST(2.5 AS DOUBLE))
+         |      / (tf + CAST(1.5 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |        + CAST(0.75 AS DOUBLE) * ((dl * st.n) / st.sumdl))))
+         |      * 1000000000.0) AS BIGINT) AS contrib
+         |  FROM sc, st),
+         |bmk AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_nano
+         |  FROM co GROUP BY 1 ORDER BY score_nano DESC, doc_id LIMIT 20),
+         |bm AS (SELECT doc_id, row_number() OVER (
+         |    ORDER BY score_nano DESC, doc_id) AS rs FROM bmk),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |dtop AS (SELECT neighbor_id, rnk AS rd FROM (
+         |  SELECT vec_id AS neighbor_id, row_number() OVER (
+         |    ORDER BY ${ScaleShared.duckCosine("qe", "embedding")} DESC,
+         |      vec_id) AS rnk
+         |  FROM embeddings, qv WHERE vec_id != 0) WHERE rnk <= 20),
+         |f AS (SELECT coalesce(bm.doc_id, dtop.neighbor_id) AS doc_id,
+         |    coalesce(rs, 0) AS sparse_rnk, coalesce(rd, 0) AS dense_rnk,
+         |    coalesce(1000000 // (60 + rs), 0)
+         |      + coalesce(1000000 // (60 + rd), 0) AS rrf_micro
+         |  FROM bm FULL OUTER JOIN dtop ON bm.doc_id = dtop.neighbor_id)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(sparse_rnk AS BIGINT) AS sparse_rnk,
+         |  CAST(dense_rnk AS BIGINT) AS dense_rnk,
+         |  CAST(rrf_micro AS BIGINT) AS rrf_micro
+         |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
     },
 
     "tx_len_hist" ->

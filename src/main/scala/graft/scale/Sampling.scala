@@ -912,4 +912,55 @@ object Sampling {
     val bucket = when(col(valueCol).isNull, lit(null)).otherwise(chain)
     df.withColumn("bucket", bucket.cast("long"))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. '23, arXiv:2305.10429)
+    * with the engine's bigram LM as the proxy model: each source's next-
+    * round mixture weight is an exponentiated function of its EXCESS
+    * proxy loss over the corpus mean, so harder-than-average domains are
+    * upweighted — the feedback-driven sibling of the static
+    * temperature/mixture samplers above.
+    *
+    * `stats` is the per-doc (doc_id, neg_logp_sum_micro, n_bigrams)
+    * frame from TextAnalysis.lmCrossEntropyStats (micro-BITS, decimal-
+    * exact); `docs` supplies the domain column. Per-source cross entropy
+    * `ce_micro = Σ neg_logp_sum_micro div Σ n_bigrams` and
+    * `excess_micro = max(ce − corpus_ce, 0)` are EXACT int64, so the
+    * only float step is ONE exp per source (a bounded set):
+    * `w_nano = floor(exp(η·excess_bits)·10⁹)`, after which
+    * `weight_bp = (10000·w_nano) div Σ w_nano` is integer arithmetic
+    * again — the cross-engine contract quantizes exactly one
+    * transcendental per domain. η arrives as `etaMicro` (η·10⁶).
+    *
+    * 100 TB shape: one hash aggregate on the source key (bounded
+    * groups), two 1-row/bounded totals broadcast back — no window, no
+    * sort, no per-document float anywhere. */
+  def doremiWeights(stats: DataFrame, docs: DataFrame, idCol: String,
+      sourceCol: String, etaMicro: Long = 100000L): DataFrame = {
+    require(etaMicro > 0, s"etaMicro must be positive: $etaMicro")
+    val joined = stats.join(
+      docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source")),
+      "doc_id")
+    val per = joined.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("neg_logp_sum_micro")).as("__sn"),
+        sum(col("n_bigrams")).as("sum_n_bigrams"))
+    val tot = per.agg(sum(col("__sn")).as("__tn"),
+      sum(col("sum_n_bigrams")).as("__tb"))
+    // η as a double by ONE IEEE division, then ONE multiply per source —
+    // the fixed evaluation order the lit checker replays verbatim
+    val etaD = lit(etaMicro).cast("double") / lit(1000000.0)
+    val withCe = per.crossJoin(broadcast(tot))
+      .withColumn("ce_micro", expr("__sn div sum_n_bigrams"))
+      .withColumn("corpus_ce_micro", expr("__tn div __tb"))
+      .withColumn("excess_micro",
+        greatest(col("ce_micro") - col("corpus_ce_micro"), lit(0L)))
+      .withColumn("w_nano",
+        floor(exp((col("excess_micro").cast("double") / lit(1000000.0))
+          * etaD) * lit(1000000000.0)).cast("long"))
+    val wTot = withCe.agg(sum(col("w_nano")).as("__wt"))
+    withCe.crossJoin(broadcast(wTot))
+      .select(col("source"), col("n_docs"), col("sum_n_bigrams"),
+        col("ce_micro"), col("excess_micro"), col("w_nano"),
+        expr("(10000L * w_nano) div __wt").as("weight_bp"))
+  }
 }

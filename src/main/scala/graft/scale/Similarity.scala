@@ -167,6 +167,35 @@ object Similarity {
         nProbe),
       k, rounded = false)
 
+  /** Metadata-filtered ANN (the "filtered vector search" shape: top-k
+    * among only the corpus rows satisfying `pred`, e.g. a language,
+    * license, or freshness predicate riding next to the vectors). The
+    * search runs through the SAME shared IVF cell index as the
+    * unfiltered path — probe ranking uses centroids of the FULL corpus,
+    * so the index is built once and every predicate reuses it; the
+    * filter lands on the corpus side BEFORE the cell join, so a
+    * selective predicate shrinks the shuffled posting lists instead of
+    * being applied after scoring (post-filtering k results from an
+    * unfiltered search is the classic recall bug this operator exists
+    * to avoid — a query whose true filtered neighbors sit outside the
+    * unfiltered top-k would silently lose them). At very low
+    * selectivity the plan degrades gracefully: each probed cell's
+    * filtered posting list is scanned exactly, never the full corpus.
+    * Raising `nProbe` is the recall knob exactly as in
+    * [[ivfMultiProbeTopK]] — filtered search typically runs with a
+    * larger `nProbe` than unfiltered because per-cell candidate counts
+    * shrink by the predicate's selectivity. */
+  def ivfFilteredTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, pred: Column, k: Int,
+      nProbe: Int): DataFrame = {
+    // full-corpus centroids: the shared index; only postings are filtered
+    val cents = centroids(corpus, cellCol, vecCol)
+    rankCandidatePairs(
+      multiProbeCandidatePairs(queries, corpus.filter(pred), idCol, vecCol,
+        cellCol, nProbe, Some(cents)),
+      k, rounded = false)
+  }
+
   /** Exact-cosine rank over a prepared (query, corpus) candidate-pair
     * frame (`qvec`/`cvec`/`qn`/`cn` present) — the shared scoring tail of
     * [[ivfMultiProbeTopK]] and [[rpTopK]], also applied by
@@ -604,6 +633,42 @@ object Similarity {
         cand)
     }
     (Seq(bf) ++ ivf ++ rp ++ ham).reduce(_ unionByName _)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR '09) over
+    * named ranked lists — the standard hybrid-retrieval combiner (e.g.
+    * BM25 lexical top-k fused with dense-cosine top-k for RAG retrieval).
+    * Each input is a bounded top-k frame of (`idCol`, `rankCol`) for ONE
+    * query scope; the caller fuses per query by scoping its lists. The
+    * fused score is kept integer-exact end to end:
+    * `rrf_micro = Σ_lists 1_000_000 div (k0 + rank)` (k0 = 60 per the
+    * paper), so the fusion order is bit-identical on any engine — no
+    * float division ever lands on a compared surface. Output carries one
+    * `<name>_rnk` column per list (0 where the id missed that list) and
+    * `rrf_micro`, descending-fusable by the caller. Scale shape: inputs
+    * are top-k frames (≤ k rows each), so the full-outer join chain is a
+    * few k-row frames — cost lives in producing the lists, never here. */
+  def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
+      rankCol: String, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k0 >= 1, s"k0 must be positive: $k0")
+    val names = lists.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate list names: $names")
+    val renamed = lists.map { case (name, df) =>
+      df.select(col(idCol), col(rankCol).cast("long").as(s"${name}_rnk"))
+    }
+    val joined = renamed.reduce(_.join(_, Seq(idCol), "full_outer"))
+    // score FIRST (null rank → null term → 0 contribution), THEN flatten
+    // the absent-list ranks to 0 for the integer-only output surface —
+    // coalescing before scoring would credit every absent list 1e6/k0
+    val contribs = names.map { n =>
+      coalesce(expr(s"1000000L div (${k0}L + ${n}_rnk)"), lit(0L))
+    }
+    names.foldLeft(joined.withColumn("rrf_micro", contribs.reduce(_ + _))) {
+      (df, n) =>
+        df.withColumn(s"${n}_rnk", coalesce(col(s"${n}_rnk"), lit(0L)))
+    }
   }
 
   /** The candidate stage of the [[hammingRerankTopK]] shape for

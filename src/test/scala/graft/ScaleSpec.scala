@@ -241,6 +241,62 @@ class ScaleSpec extends SparkSpec {
     assert(ivf == Set(1L, 2L)) // cell 0 only; id 3 (identical, other cell) pruned
   }
 
+  test("filtered ANN: all-cells probe equals brute force over the " +
+      "filtered corpus; every neighbor passes the predicate") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val nCells = e.select("label").distinct().count().toInt
+    val pred = col("vec_id") % 3 === 0
+    val filt = Similarity.ivfFilteredTopK(q, e, "vec_id", "embedding",
+        "label", pred, k = 5, nProbe = nCells)
+      .select("query_id", "rnk", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    val brute = Similarity.bruteForceTopK(q, e.filter(pred), "vec_id",
+        "embedding", 5)
+      .select("query_id", "rnk", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(filt == brute) // pre-filter + exhaustive probe = filtered truth
+    assert(filt.nonEmpty && filt.forall(_._3 % 3 == 0))
+  }
+
+  test("RRF fusion: integer scores, absent-list rank = 0, known values; " +
+      "duplicate list names rejected") {
+    val sparse = Seq((1L, 1), (2L, 2)).toDF("id", "rnk")
+    val dense = Seq((2L, 1), (3L, 2)).toDF("id", "rnk")
+    val f = Similarity.rrfFuse(Seq("sparse" -> sparse, "dense" -> dense),
+        "id", "rnk")
+      .select("id", "sparse_rnk", "dense_rnk", "rrf_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // 1_000_000 div 61 = 16393, div 62 = 16129 — exact integer fusion
+    assert(f == Seq((1L, 1L, 0L, 16393L), (2L, 2L, 1L, 16393L + 16129L),
+      (3L, 0L, 2L, 16129L)))
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq("a" -> sparse, "a" -> dense), "id", "rnk")
+    }
+  }
+
+  test("DoReMi reweighting: at-or-below-mean domain keeps w_nano = 1e9 " +
+      "exactly; harder-than-average domain is upweighted") {
+    val dd = Seq(
+      (1L, "aa bb aa bb aa bb aa bb", "easy"),
+      (2L, "aa bb aa bb aa bb", "easy"),
+      (3L, "cc dd ee ff gg hh ii jj", "hard"),
+      (4L, "kk ll mm nn oo pp qq rr", "hard")
+    ).toDF("doc_id", "text", "source")
+    val stats = TextAnalysis.lmCrossEntropyStats(dd, "doc_id", "text",
+      TextAnalysis.bigramLm(dd, "text"))
+    val w = Sampling.doremiWeights(stats, dd, "doc_id", "source").collect()
+    val easy = w.find(_.getString(0) == "easy").get
+    val hard = w.find(_.getString(0) == "hard").get
+    assert(easy.getAs[Long]("excess_micro") == 0L)
+    assert(easy.getAs[Long]("w_nano") == 1000000000L) // exp(0) exactly
+    assert(hard.getAs[Long]("excess_micro") > 0L)
+    assert(hard.getAs[Long]("w_nano") > 1000000000L)
+    assert(hard.getAs[Long]("weight_bp") > easy.getAs[Long]("weight_bp"))
+    val bpSum = w.map(_.getAs[Long]("weight_bp")).sum
+    assert(bpSum <= 10000L && bpSum > 9990L) // floor division undershoot only
+  }
+
   test("multi-probe IVF: probing every cell equals brute force; recall " +
       "vs brute force is monotone in nProbe") {
     val e = Tables.load(spark, sfDir, "embeddings")

@@ -367,8 +367,59 @@ def check_waterfill(frag, errs):
         errs.append(f"parsed {len(got)} groups, fixtures have {len(avail)}")
 
 
+def check_doremi(frag, errs):
+    """DoReMi-lite re-derivation: per-source cross entropy from the same
+    bigram-LM SQL the oracle uses (exact integer micro-bits), excess vs
+    the corpus mean by pure integer arithmetic, then ONE exp per source
+    (eta = 0.1) floor-quantized to nano — 1-ulp tolerant like the other
+    ln/exp families."""
+    pairs = re.findall(r"\('((?:[^']|'')*)', CAST\((\d+) AS BIGINT\)\)",
+                       frag)
+    if not pairs:
+        errs.append("no (source, w_nano) pairs parsed")
+        return
+    rows = con.sql(f"""
+        WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
+        v AS (SELECT count(DISTINCT tk) AS v FROM
+          (SELECT unnest(l) AS tk FROM t)),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+          i -> l[i] || ' ' || l[i+1])) AS bigram FROM t),
+        c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY 1),
+        c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1
+          FROM c12 GROUP BY 1),
+        lm AS (SELECT bigram,
+          CAST(ln((c12 + 1.0) / (c1 + v)) / ln(2.0) AS DECIMAL(18,6))
+            AS logp
+          FROM c12 JOIN c1 ON split_part(c12.bigram, ' ', 1) = c1.w1
+          CROSS JOIN v),
+        stats AS (SELECT doc_id,
+          CAST(-sum(logp) * 1000000 AS BIGINT) AS m, count(*) AS n
+          FROM bg JOIN lm USING (bigram) GROUP BY 1)
+        SELECT d.source, CAST(sum(m) AS BIGINT), CAST(sum(n) AS BIGINT)
+        FROM stats JOIN documents d USING (doc_id) GROUP BY 1""").fetchall()
+    per = {s: (int(m), int(n)) for s, m, n in rows}
+    tn = sum(m for m, n in per.values())
+    tb = sum(n for m, n in per.values())
+    corpus_ce = tn // tb
+    got = {s.replace("''", "'"): int(w) for s, w in pairs}
+    if set(got) != set(per):
+        errs.append(f"source sets differ: lits={sorted(got)} "
+                    f"data={sorted(per)}")
+        return
+    for s, (m, n) in sorted(per.items()):
+        excess = max(m // n - corpus_ce, 0)
+        w = math.exp((excess / 1e6) * (100000 / 1e6))
+        if all(math.floor(x * 1e9) != got[s] for x in ulp_neighbors(w)):
+            errs.append(f"w_nano[{s}]: engine={got[s]} "
+                        f"recomputed={math.floor(w * 1e9)}")
+
+
 CHECKERS = {
     "dsir_ratios": check_dsir,
+    # the RRF query's BM25 side registers the same (qt, df, idf9) triple
+    # shape as tx_bm25 — the checker re-derives df and idf identically
+    "rrf_qd": check_bm25,
+    "doremi_w": check_doremi,
     "nb_model": check_nb_model,
     "nb_prior": check_nb_prior,
     "bm25_qd": check_bm25,
