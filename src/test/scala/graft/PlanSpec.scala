@@ -277,6 +277,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cell"), p)
   }
 
+  test("filtered ANN: same keyed candidate join as multi-probe with the " +
+      "predicate BELOW the cell join — no cartesian, filter on the scan") {
+    val df = graft.queries.ScaleQueries.queries("ann_filtered_topk")(
+      spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("cell"), p)
+    // the metadata predicate sits in the corpus-side Filter directly over
+    // the scan (it prunes the posting lists BEFORE the join/scoring); a
+    // post-filtered plan would score first and carry no such filter
+    assert(p.contains("% 3) = 0"), p)
+    // per-partition rank pruning before the per-query exchange
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("cluster-balance: quota window partitions by (cluster, salt) — " +
       "one hot topic cannot pin a task") {
     val p = graft.queries.ScaleQueries.queries("samp_cluster_balance")(
