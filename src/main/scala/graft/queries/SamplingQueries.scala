@@ -397,6 +397,33 @@ object SamplingQueries {
           .mkString("(VALUES ", ", ", ") AS t(source, w_nano)"))
       w.orderBy("source")
     }),
+
+    // Incremental DoReMi: the per-source loss state (exact int64
+    // partials) folds associatively across batches, so the mixture
+    // controller merges yesterday's state with today's batch and
+    // recomputes weights — merge == retrain bit-exactly under the PINNED
+    // proxy LM (the deployed shape: the proxy model is trained once).
+    // The oracle is batch-at-once over the whole corpus — the equality
+    // IS the correctness claim
+    "samp_doremi_incr" -> ((s, d) => {
+      val dd = docs(s, d)
+      val stats = graft.io.Materialize(
+        TextAnalysis.lmCrossEntropyStats(dd, "doc_id", "text",
+          TextAnalysis.bigramLm(dd, "text")))
+      val state = Sampling.doremiState(
+        stats.filter(col("doc_id") < 250), dd, "doc_id", "source")
+      val batch = Sampling.doremiState(
+        stats.filter(col("doc_id") >= 250), dd, "doc_id", "source")
+      val w = Sampling.doremiWeightsFromState(
+        Sampling.doremiMerge(state, batch))
+      val rows = w.select("source", "w_nano").collect()
+      if (rows.nonEmpty) OracleLits.put("doremi_incr_w",
+        rows.sortBy(_.getString(0)).map(r =>
+          s"(${OracleLits.sqlStr(r.getString(0))}, " +
+            s"CAST(${r.getLong(1)} AS BIGINT))")
+          .mkString("(VALUES ", ", ", ") AS t(source, w_nano)"))
+      w.orderBy("source")
+    }),
   )
 
   // The curriculum schedule CTE stack (band ntile → seeded shuffle →
@@ -490,6 +517,34 @@ object SamplingQueries {
     // integer division both sides
     "samp_doremi_weights" -> {
       val w = OracleLits.get("doremi_w")
+        .getOrElse("(VALUES ('__none__', CAST(0 AS BIGINT))) " +
+          "AS t(source, w_nano)")
+      s"""WITH ${TextQueries.lmStatsCtes},
+         |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(neg_logp_sum_micro) AS BIGINT) AS sn,
+         |    CAST(sum(n_bigrams) AS BIGINT) AS sum_n_bigrams
+         |  FROM stats JOIN documents d USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(sn) AS BIGINT) AS tn,
+         |    CAST(sum(sum_n_bigrams) AS BIGINT) AS tb FROM per),
+         |ww AS (SELECT * FROM $w),
+         |wt AS (SELECT CAST(sum(w_nano) AS BIGINT) AS wtot FROM ww),
+         |x AS (SELECT per.source, per.n_docs, per.sum_n_bigrams,
+         |    CAST(sn // sum_n_bigrams AS BIGINT) AS ce_micro,
+         |    CAST(greatest(sn // sum_n_bigrams - tn // tb, 0) AS BIGINT)
+         |      AS excess_micro,
+         |    ww.w_nano
+         |  FROM per JOIN ww ON per.source = ww.source CROSS JOIN tot)
+         |SELECT source, n_docs, sum_n_bigrams, ce_micro, excess_micro,
+         |  CAST(w_nano AS BIGINT) AS w_nano,
+         |  CAST((10000 * w_nano) // wtot AS BIGINT) AS weight_bp
+         |FROM x CROSS JOIN wt ORDER BY source""".stripMargin
+    },
+
+    // batch-at-once over the whole corpus: the merged-state weights must
+    // equal a full retrain — identical CTEs to samp_doremi_weights, only
+    // the lit key differs (the engine registered it from the MERGED path)
+    "samp_doremi_incr" -> {
+      val w = OracleLits.get("doremi_incr_w")
         .getOrElse("(VALUES ('__none__', CAST(0 AS BIGINT))) " +
           "AS t(source, w_nano)")
       s"""WITH ${TextQueries.lmStatsCtes},

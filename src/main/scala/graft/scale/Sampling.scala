@@ -935,15 +935,44 @@ object Sampling {
     * groups), two 1-row/bounded totals broadcast back — no window, no
     * sort, no per-document float anywhere. */
   def doremiWeights(stats: DataFrame, docs: DataFrame, idCol: String,
-      sourceCol: String, etaMicro: Long = 100000L): DataFrame = {
-    require(etaMicro > 0, s"etaMicro must be positive: $etaMicro")
-    val joined = stats.join(
-      docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source")),
-      "doc_id")
-    val per = joined.groupBy("source")
+      sourceCol: String, etaMicro: Long = 100000L): DataFrame =
+    doremiWeightsFromState(doremiState(stats, docs, idCol, sourceCol),
+      etaMicro)
+
+  /** The per-source LM-loss state behind [[doremiWeights]]: one row per
+    * source with the EXACT int64 partials (n_docs, Σ neg_logp_sum_micro,
+    * Σ n_bigrams). The state is ASSOCIATIVE — [[doremiMerge]] of two
+    * states equals the state of the concatenated corpora — so a deployed
+    * mixture controller maintains it incrementally per batch and
+    * recomputes weights from the merged state (merge == retrain,
+    * bit-exactly). Validity contract: the per-doc stats must come from a
+    * PINNED proxy LM (the deployed shape — the proxy model is trained
+    * once, then batches stream through it); re-training the LM per batch
+    * would change history's scores, which is retraining, not merging. */
+  def doremiState(stats: DataFrame, docs: DataFrame, idCol: String,
+      sourceCol: String): DataFrame =
+    stats.join(
+        docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source")),
+        "doc_id")
+      .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("neg_logp_sum_micro")).as("__sn"),
         sum(col("n_bigrams")).as("sum_n_bigrams"))
+
+  /** Fold two per-source states: integer sums add per source (a source
+    * absent from one side passes through). Associative and commutative —
+    * the merge==retrain property every `*_incr` operator here carries. */
+  def doremiMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("source")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("__sn")).as("__sn"),
+        sum(col("sum_n_bigrams")).as("sum_n_bigrams"))
+
+  /** The weight tail of [[doremiWeights]] over a prepared state frame. */
+  def doremiWeightsFromState(per: DataFrame,
+      etaMicro: Long = 100000L): DataFrame = {
+    require(etaMicro > 0, s"etaMicro must be positive: $etaMicro")
     val tot = per.agg(sum(col("__sn")).as("__tn"),
       sum(col("sum_n_bigrams")).as("__tb"))
     // η as a double by ONE IEEE division, then ONE multiply per source —

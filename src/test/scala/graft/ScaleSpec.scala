@@ -297,6 +297,31 @@ class ScaleSpec extends SparkSpec {
     assert(bpSum <= 10000L && bpSum > 9990L) // floor division undershoot only
   }
 
+  test("incremental DoReMi: merged per-source state equals batch-at-once " +
+      "retrain under a pinned proxy LM; batch-only source passes through") {
+    val dd = Seq(
+      (1L, "aa bb aa bb aa bb aa bb", "easy"),
+      (2L, "aa bb aa bb aa bb", "easy"),
+      (3L, "cc dd ee ff gg hh ii jj", "hard"),
+      (4L, "kk ll mm nn oo pp qq rr", "hard"),
+      (5L, "ss tt uu vv ww xx yy zz", "late") // only in the second batch
+    ).toDF("doc_id", "text", "source")
+    // PINNED proxy LM: trained once on the full corpus, batches stream
+    // through it (re-training per batch would be retraining, not merging)
+    val stats = TextAnalysis.lmCrossEntropyStats(dd, "doc_id", "text",
+      TextAnalysis.bigramLm(dd, "text"))
+    val merged = Sampling.doremiWeightsFromState(Sampling.doremiMerge(
+      Sampling.doremiState(stats.filter($"doc_id" <= 2), dd, "doc_id",
+        "source"),
+      Sampling.doremiState(stats.filter($"doc_id" > 2), dd, "doc_id",
+        "source")))
+    val full = Sampling.doremiWeights(stats, dd, "doc_id", "source")
+    val m = merged.orderBy("source").collect().map(_.toSeq).toSeq
+    val f = full.orderBy("source").collect().map(_.toSeq).toSeq
+    assert(m == f) // merge == retrain, bit-exactly
+    assert(m.exists(_.head == "late"))
+  }
+
   test("multi-probe IVF: probing every cell equals brute force; recall " +
       "vs brute force is monotone in nProbe") {
     val e = Tables.load(spark, sfDir, "embeddings")

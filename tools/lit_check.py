@@ -420,6 +420,9 @@ CHECKERS = {
     # shape as tx_bm25 — the checker re-derives df and idf identically
     "rrf_qd": check_bm25,
     "doremi_w": check_doremi,
+    # the incremental path's merged-state weights must equal a full
+    # retrain — same re-derivation over the whole fixture corpus
+    "doremi_incr_w": check_doremi,
     "nb_model": check_nb_model,
     "nb_prior": check_nb_prior,
     "bm25_qd": check_bm25,
