@@ -207,6 +207,40 @@ object StreamScaleQueries {
     // numerators (docs/tokens/chars/stopwords per source) summed at read
     // time must equal the full-corpus aggregates — linear counters, the
     // st_cms_update contract for the curation drift signal
+    // Streaming DoReMi: two loss batches (split mid-corpus) land their
+    // per-source partial grids under commit markers, a committed-batch
+    // replay must short-circuit, and the live controller's weights must
+    // equal batch-at-once doremiWeights over the whole corpus. The
+    // per-doc stats come from ONE pinned proxy LM (merge == retrain
+    // requires the frozen model; the full-corpus LM here plays that role)
+    "st_doremi_update" -> ((s, d) => {
+      val grid = java.nio.file.Files.createTempDirectory("graft_dm_g").toString
+      val state = java.nio.file.Files.createTempDirectory("graft_dm_s").toString
+      val dd = docs(s, d)
+      val stats = graft.io.Materialize(
+        TextAnalysis.lmCrossEntropyStats(dd, "doc_id", "text",
+          TextAnalysis.bigramLm(dd, "text")))
+      def land(pred: org.apache.spark.sql.Column, id: Long) = {
+        val b = stats.filter(pred)
+        graft.streaming.StreamSketch.applyDoremiBatch(s,
+          Sampling.doremiState(b, dd, "doc_id", "source"), b.count(), id,
+          grid, state)
+      }
+      land(col("doc_id") < 250, 0L)
+      land(col("doc_id") >= 250, 1L)
+      val replay = land(col("doc_id") >= 250, 1L)
+      require(replay.replaySkipped, "committed batch replay was not skipped")
+      val w = graft.streaming.StreamSketch.currentDoremiWeights(s, grid,
+        state)
+      val rows = w.select("source", "w_nano").collect()
+      if (rows.nonEmpty) OracleLits.put("doremi_st_w",
+        rows.sortBy(_.getString(0)).map(r =>
+          s"(${OracleLits.sqlStr(r.getString(0))}, " +
+            s"CAST(${r.getLong(1)} AS BIGINT))")
+          .mkString("(VALUES ", ", ", ") AS t(source, w_nano)"))
+      w.orderBy("source")
+    }),
+
     "st_quality_update" -> ((s, d) => {
       val grid = java.nio.file.Files.createTempDirectory("graft_sq_g").toString
       val state = java.nio.file.Files.createTempDirectory("graft_sq_s").toString
@@ -463,6 +497,33 @@ object StreamScaleQueries {
 
     // streamed quality counters summed == full-corpus aggregates (the
     // tx_quality_features numerators, grouped by source)
+    // live streamed controller == batch-at-once DoReMi over the union —
+    // identical CTEs to samp_doremi_weights, lit key from the STREAMED path
+    "st_doremi_update" -> {
+      val w = OracleLits.get("doremi_st_w")
+        .getOrElse("(VALUES ('__none__', CAST(0 AS BIGINT))) " +
+          "AS t(source, w_nano)")
+      s"""WITH ${TextQueries.lmStatsCtes},
+         |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(neg_logp_sum_micro) AS BIGINT) AS sn,
+         |    CAST(sum(n_bigrams) AS BIGINT) AS sum_n_bigrams
+         |  FROM stats JOIN documents d USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(sn) AS BIGINT) AS tn,
+         |    CAST(sum(sum_n_bigrams) AS BIGINT) AS tb FROM per),
+         |ww AS (SELECT * FROM $w),
+         |wt AS (SELECT CAST(sum(w_nano) AS BIGINT) AS wtot FROM ww),
+         |x AS (SELECT per.source, per.n_docs, per.sum_n_bigrams,
+         |    CAST(sn // sum_n_bigrams AS BIGINT) AS ce_micro,
+         |    CAST(greatest(sn // sum_n_bigrams - tn // tb, 0) AS BIGINT)
+         |      AS excess_micro,
+         |    ww.w_nano
+         |  FROM per JOIN ww ON per.source = ww.source CROSS JOIN tot)
+         |SELECT source, n_docs, sum_n_bigrams, ce_micro, excess_micro,
+         |  CAST(w_nano AS BIGINT) AS w_nano,
+         |  CAST((10000 * w_nano) // wtot AS BIGINT) AS weight_bp
+         |FROM x CROSS JOIN wt ORDER BY source""".stripMargin
+    },
+
     "st_quality_update" ->
       """WITH f AS (SELECT source,
         |  list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')

@@ -204,6 +204,35 @@ object StreamSketch {
       .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
         sum("n_chars").as("n_chars"), sum("n_stopwords").as("n_stopwords"))
 
+  /** Streaming DoReMi mixture-controller maintenance: each batch reduces
+    * to its per-source loss partials — exact int64 counters, a LINEAR
+    * grid exactly like the quality monitor's, so the same
+    * per-batch-grid + commit-marker shape gives at-least-once replay
+    * safety for free. The batch frame must arrive SCORED by the PINNED
+    * proxy LM (`Sampling.doremiState`'s merge==retrain contract:
+    * columns source, n_docs, __sn, sum_n_bigrams via
+    * `doremiState(lmCrossEntropyStats(batch, …frozen lm…), …)`);
+    * re-training the proxy per batch would change history's scores,
+    * which is a retrain, not a merge. */
+  def applyDoremiBatch(spark: SparkSession, stateGrid: DataFrame,
+      received: Long, batchId: Long, gridRoot: String,
+      stateRoot: String): BatchResult =
+    commitGrid(spark, stateGrid, received, batchId, "doremi", gridRoot,
+      stateRoot)
+
+  /** The live mixture controller: fold every committed batch's partials
+    * per source (integer sums — [[graft.scale.Sampling.doremiMerge]]'s
+    * associativity) and apply the weight tail. Equal to batch-at-once
+    * [[graft.scale.Sampling.doremiWeights]] over the union corpus. */
+  def currentDoremiWeights(spark: SparkSession, gridRoot: String,
+      stateRoot: String, etaMicro: Long = 100000L): DataFrame =
+    graft.scale.Sampling.doremiWeightsFromState(
+      committedGrids(spark, gridRoot, stateRoot, "doremi")
+        .groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("__sn").as("__sn"),
+          sum("sum_n_bigrams").as("sum_n_bigrams")),
+      etaMicro)
+
   /** Streaming KMV (bottom-k) maintenance — completing the streaming
     * sketch family (CMS/HLL/AMS): bottom-k states are not linear like CMS
     * cells but ARE idempotently mergeable (the k smallest of a union are

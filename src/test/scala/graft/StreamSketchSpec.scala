@@ -235,6 +235,36 @@ class StreamSketchSpec extends SparkSpec {
       grid, state).replaySkipped)
   }
 
+  test("streaming DoReMi controller: committed loss batches fold to the " +
+      "batch-at-once weights under the pinned proxy LM; replay no-op") {
+    import graft.scale.{Sampling, TextAnalysis}
+    val grid = tmp("graft_sdm_grid")
+    val state = tmp("graft_sdm_state")
+    val dd = Seq(
+      (1L, "aa bb aa bb aa bb aa bb", "easy"),
+      (2L, "aa bb aa bb aa bb", "easy"),
+      (3L, "cc dd ee ff gg hh ii jj", "hard"),
+      (4L, "kk ll mm nn oo pp qq rr", "hard")
+    ).toDF("doc_id", "text", "source")
+    // ONE pinned proxy LM; both batches stream through it
+    val stats = TextAnalysis.lmCrossEntropyStats(dd, "doc_id", "text",
+      TextAnalysis.bigramLm(dd, "text"))
+    def land(pred: org.apache.spark.sql.Column, id: Long) = {
+      val b = stats.filter(pred)
+      StreamSketch.applyDoremiBatch(spark,
+        Sampling.doremiState(b, dd, "doc_id", "source"), b.count(), id,
+        grid, state)
+    }
+    assert(!land($"doc_id" <= 2, 0L).replaySkipped)
+    assert(!land($"doc_id" > 2, 1L).replaySkipped)
+    assert(land($"doc_id" > 2, 1L).replaySkipped) // committed → no-op
+    val live = StreamSketch.currentDoremiWeights(spark, grid, state)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    val whole = Sampling.doremiWeights(stats, dd, "doc_id", "source")
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(live == whole) // streamed fold == batch-at-once retrain
+  }
+
   test("a store committed under the pre-kind-scope layout stays " +
       "readable: legacy batch=N grids fall back, new batches land " +
       "kind-scoped, and the rollup spans both") {

@@ -423,6 +423,7 @@ CHECKERS = {
     # the incremental path's merged-state weights must equal a full
     # retrain — same re-derivation over the whole fixture corpus
     "doremi_incr_w": check_doremi,
+    "doremi_st_w": check_doremi,
     "nb_model": check_nb_model,
     "nb_prior": check_nb_prior,
     "bm25_qd": check_bm25,
