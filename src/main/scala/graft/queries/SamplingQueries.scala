@@ -424,6 +424,42 @@ object SamplingQueries {
           .mkString("(VALUES ", ", ", ") AS t(source, w_nano)"))
       w.orderBy("source")
     }),
+
+    // The closed mixture-control loop: DoReMi weights from the measured
+    // proxy loss feed the water-filling allocator — measure → reweight →
+    // allocate, the artifact the next training round's sampler reads.
+    // Everything after the per-source exp is exact integer arithmetic
+    // (weight_bp division, the integer water-fill), and lit_check replays
+    // the WHOLE chain: w_nano re-derived (ulp-tolerant), then bp division
+    // and the water-fill replica run exactly from the registered ints
+    "samp_doremi_plan" -> ((s, d) => {
+      val dd = docs(s, d)
+      val stats = graft.io.Materialize(
+        TextAnalysis.lmCrossEntropyStats(dd, "doc_id", "text",
+          TextAnalysis.bigramLm(dd, "text")))
+      val w = Sampling.doremiWeights(stats, dd, "doc_id", "source")
+        .select("source", "w_nano", "weight_bp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val avail = dd.groupBy("source")
+        .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .as("avail"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // a source with no scored bigrams has no weight row → bp 0 (never
+      // allocated); present sources carry their DoReMi share
+      val plan = Sampling.waterfillAllocation(avail,
+        w.map(t => t._1 -> t._3.toInt).toMap, defaultBp = 0,
+        budgetTokens = 20000L)
+      OracleLits.put("doremi_plan",
+        plan.map { case (g, _, wbp, al) =>
+          val wn = w.find(_._1 == g).map(_._2).getOrElse(0L)
+          s"(${OracleLits.sqlStr(g)}, CAST($wn AS BIGINT), $wbp, $al)"
+        }.mkString("(VALUES ", ", ",
+          ") AS t(source, w_nano, weight_bp, alloc_tokens)"))
+      import s.implicits._
+      plan.toDF("source", "avail_tokens", "weight_bp", "alloc_tokens")
+        .orderBy("source")
+    }),
   )
 
   // The curriculum schedule CTE stack (band ntile → seeded shuffle →
@@ -566,6 +602,24 @@ object SamplingQueries {
          |  CAST(w_nano AS BIGINT) AS w_nano,
          |  CAST((10000 * w_nano) // wtot AS BIGINT) AS weight_bp
          |FROM x CROSS JOIN wt ORDER BY source""".stripMargin
+    },
+
+    // avail re-derived in SQL; the weight/alloc columns are the
+    // registered plan literals, independently replayed end-to-end by
+    // lit_check's doremi_plan checker (w_nano ulp-checked, bp division
+    // and water-fill exact from the registered ints)
+    "samp_doremi_plan" -> {
+      val vals = OracleLits.get("doremi_plan")
+        .getOrElse("(VALUES ('__none__', CAST(0 AS BIGINT), 0, 0)) " +
+          "AS t(source, w_nano, weight_bp, alloc_tokens)")
+      s"""WITH a AS (SELECT source,
+         |    CAST(sum(len($duckToksAll)) AS BIGINT) AS avail_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT * FROM $vals)
+         |SELECT a.source, a.avail_tokens,
+         |  CAST(w.weight_bp AS BIGINT) AS weight_bp,
+         |  CAST(w.alloc_tokens AS BIGINT) AS alloc_tokens
+         |FROM a JOIN w USING (source) ORDER BY source""".stripMargin
     },
 
     "samp_pack_curriculum" ->

@@ -308,20 +308,10 @@ def check_lr_weights(frag, errs):
             errs.append(f"w[{j}]: engine={e} recomputed={r}")
 
 
-def check_waterfill(frag, errs):
-    """Independent water-filling replica: avail from the fixtures, the
-    fixed query constants (src0=2500bp, src1=1500bp, default 300bp,
-    budget 20000), pure-integer iteration — must match EXACTLY."""
-    got = re.findall(r"\('([^']*)', (\d+), (\d+)\)", frag)
-    if not got:
-        errs.append("no allocations parsed")
-        return
-    avail = dict(con.sql(
-        f"SELECT source, CAST(sum(len({TOKS})) AS BIGINT) "
-        "FROM documents GROUP BY 1").fetchall())
-    weights = {g: (2500 if g == "src0" else 1500 if g == "src1" else 300)
-               for g in avail}
-    budget = 20000
+def waterfill_replica(avail, weights, budget):
+    """Pure-integer water-filling replica of Sampling.waterfillAllocation
+    (name-order determinism, saturation rounds, floor targets + remainder
+    hand-out) — shared by the static and DoReMi-driven plan checkers."""
     alloc = {g: 0 for g in avail}
     active = sorted(g for g in avail if weights[g] > 0)
     remaining = budget
@@ -357,6 +347,23 @@ def check_waterfill(frag, errs):
                         r -= 1
                     i += 1
                 active = []
+    return alloc
+
+
+def check_waterfill(frag, errs):
+    """Independent water-filling replica: avail from the fixtures, the
+    fixed query constants (src0=2500bp, src1=1500bp, default 300bp,
+    budget 20000), pure-integer iteration — must match EXACTLY."""
+    got = re.findall(r"\('([^']*)', (\d+), (\d+)\)", frag)
+    if not got:
+        errs.append("no allocations parsed")
+        return
+    avail = dict(con.sql(
+        f"SELECT source, CAST(sum(len({TOKS})) AS BIGINT) "
+        "FROM documents GROUP BY 1").fetchall())
+    weights = {g: (2500 if g == "src0" else 1500 if g == "src1" else 300)
+               for g in avail}
+    alloc = waterfill_replica(avail, weights, 20000)
     for g, w, al in got:
         if g not in avail:
             errs.append(f"unknown group {g}")
@@ -367,17 +374,10 @@ def check_waterfill(frag, errs):
         errs.append(f"parsed {len(got)} groups, fixtures have {len(avail)}")
 
 
-def check_doremi(frag, errs):
-    """DoReMi-lite re-derivation: per-source cross entropy from the same
-    bigram-LM SQL the oracle uses (exact integer micro-bits), excess vs
-    the corpus mean by pure integer arithmetic, then ONE exp per source
-    (eta = 0.1) floor-quantized to nano — 1-ulp tolerant like the other
-    ln/exp families."""
-    pairs = re.findall(r"\('((?:[^']|'')*)', CAST\((\d+) AS BIGINT\)\)",
-                       frag)
-    if not pairs:
-        errs.append("no (source, w_nano) pairs parsed")
-        return
+def doremi_per_source():
+    """Per-source (Σ neg_logp_sum_micro, Σ n_bigrams) via the same
+    bigram-LM SQL the oracles use — the exact-integer base of every
+    doremi_* checker."""
     rows = con.sql(f"""
         WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
         v AS (SELECT count(DISTINCT tk) AS v FROM
@@ -397,21 +397,85 @@ def check_doremi(frag, errs):
           FROM bg JOIN lm USING (bigram) GROUP BY 1)
         SELECT d.source, CAST(sum(m) AS BIGINT), CAST(sum(n) AS BIGINT)
         FROM stats JOIN documents d USING (doc_id) GROUP BY 1""").fetchall()
-    per = {s: (int(m), int(n)) for s, m, n in rows}
+    return {s: (int(m), int(n)) for s, m, n in rows}
+
+
+def doremi_w_expected(per):
+    """source -> candidate w_nano set (exp is 1-ulp tolerant)."""
     tn = sum(m for m, n in per.values())
     tb = sum(n for m, n in per.values())
     corpus_ce = tn // tb
+    out = {}
+    for s, (m, n) in per.items():
+        excess = max(m // n - corpus_ce, 0)
+        w = math.exp((excess / 1e6) * (100000 / 1e6))
+        out[s] = {math.floor(x * 1e9) for x in ulp_neighbors(w)}
+    return out
+
+
+def check_doremi(frag, errs):
+    """DoReMi-lite re-derivation: per-source cross entropy from the same
+    bigram-LM SQL the oracle uses (exact integer micro-bits), excess vs
+    the corpus mean by pure integer arithmetic, then ONE exp per source
+    (eta = 0.1) floor-quantized to nano — 1-ulp tolerant like the other
+    ln/exp families."""
+    pairs = re.findall(r"\('((?:[^']|'')*)', CAST\((\d+) AS BIGINT\)\)",
+                       frag)
+    if not pairs:
+        errs.append("no (source, w_nano) pairs parsed")
+        return
+    per = doremi_per_source()
     got = {s.replace("''", "'"): int(w) for s, w in pairs}
     if set(got) != set(per):
         errs.append(f"source sets differ: lits={sorted(got)} "
                     f"data={sorted(per)}")
         return
-    for s, (m, n) in sorted(per.items()):
-        excess = max(m // n - corpus_ce, 0)
-        w = math.exp((excess / 1e6) * (100000 / 1e6))
-        if all(math.floor(x * 1e9) != got[s] for x in ulp_neighbors(w)):
+    expected = doremi_w_expected(per)
+    for s in sorted(per):
+        if got[s] not in expected[s]:
             errs.append(f"w_nano[{s}]: engine={got[s]} "
-                        f"recomputed={math.floor(w * 1e9)}")
+                        f"recomputed={sorted(expected[s])}")
+
+
+def check_doremi_plan(frag, errs):
+    """The closed loop replayed end-to-end: w_nano re-derived from the
+    fixtures (ulp-tolerant, the ONLY float step), then weight_bp by exact
+    integer division of the REGISTERED nanos and the water-fill replica
+    from the registered bps — everything after the exp must match
+    EXACTLY."""
+    quads = re.findall(
+        r"\('((?:[^']|'')*)', CAST\((\d+) AS BIGINT\), (\d+), (\d+)\)",
+        frag)
+    if not quads:
+        errs.append("no (source, w_nano, weight_bp, alloc) rows parsed")
+        return
+    got = {s.replace("''", "'"): (int(w), int(bp), int(al))
+           for s, w, bp, al in quads}
+    per = doremi_per_source()
+    expected = doremi_w_expected(per)
+    avail = dict(con.sql(
+        f"SELECT source, CAST(sum(len({TOKS})) AS BIGINT) "
+        "FROM documents GROUP BY 1").fetchall())
+    if set(got) != set(avail):
+        errs.append(f"source sets differ: lits={sorted(got)} "
+                    f"avail={sorted(avail)}")
+        return
+    for s, (w, bp, al) in sorted(got.items()):
+        exp_w = expected.get(s, {0})  # no scored bigrams → weight 0
+        if w not in exp_w:
+            errs.append(f"w_nano[{s}]: engine={w} "
+                        f"recomputed={sorted(exp_w)}")
+    # downstream of the exp: exact integer replay from the REGISTERED ints
+    wt = sum(w for w, _, _ in got.values())
+    for s, (w, bp, al) in sorted(got.items()):
+        exp_bp = (10000 * w) // wt if wt > 0 else 0
+        if bp != exp_bp:
+            errs.append(f"weight_bp[{s}]: engine={bp} recomputed={exp_bp}")
+    weights = {g: got[g][1] for g in avail}
+    alloc = waterfill_replica(avail, weights, 20000)
+    for s, (w, bp, al) in sorted(got.items()):
+        if al != alloc[s]:
+            errs.append(f"alloc[{s}]: engine={al} recomputed={alloc[s]}")
 
 
 CHECKERS = {
@@ -424,6 +488,7 @@ CHECKERS = {
     # retrain — same re-derivation over the whole fixture corpus
     "doremi_incr_w": check_doremi,
     "doremi_st_w": check_doremi,
+    "doremi_plan": check_doremi_plan,
     "nb_model": check_nb_model,
     "nb_prior": check_nb_prior,
     "bm25_qd": check_bm25,
