@@ -207,43 +207,36 @@ object TextQueries {
     // comparison). The micro model constants are registered for the
     // oracle (OracleLits) as plain integers — no ln, no decimal literal,
     // no non-integer type anywhere on the compared surface
-    "nb_quality_score" -> ((s, d) => {
+    "nb_quality_score" -> ((s, d) => nbScored(s, d).orderBy("doc_id")),
+
+    // Committee quality gate: the LR and NB scorers' OPPOSING views are
+    // combined by rank (reciprocal-rank fusion, the same integer combiner
+    // as tx_rrf_fusion) rather than by score — rank fusion is immune to
+    // the two models' incomparable score scales, the reason ensembled
+    // data filters (FineWeb-Edu-style committees) fuse on ranks. Both
+    // corpus-wide rankings run through the skew-safe two-level
+    // groupedRank (constant group = the worst-skew case: no global-order
+    // window forms); the fusion join is id-keyed; the final top-50 is a
+    // TakeOrderedAndProject under the exact (rrf desc, id) total order
+    "tx_quality_ensemble" -> ((s, d) => {
       val dd = docs(s, d)
-      val pos = col("source").isin("src0", "src1", "src2")
-      // train ONCE: the collected model registers the oracle literals AND
-      // feeds scoring back as a local relation (nbScoreMicroWith) —
-      // scoring never re-runs the training aggregation
-      val modelPlan = TextAnalysis.nbTrain(dd, "text", pos, vocab = 512)
-      val model = modelPlan.collect()
-      val priorPlan = dd
-        .agg(sum(when(pos, 1L).otherwise(0L)).as("np"),
-          sum(when(pos, 0L).otherwise(1L)).as("nn"))
-        .select(log((col("np") + 1.0) / (col("nn") + 1.0))
-          .cast("decimal(18,6)").as("__prior"))
-      val priorRows = priorPlan.collect()
-      def micro(bd: java.math.BigDecimal): Long =
-        bd.setScale(6).movePointRight(6).longValueExact
-      // empty corpus → null prior aggregate; score 0 keeps the query
-      // total (empty output) instead of an NPE in the micro conversion
-      val priorMicroV =
-        if (priorRows(0).isNullAt(0)) 0L else micro(priorRows(0).getDecimal(0))
-      val modelMicro = model.map(r =>
-        (r.getString(0), micro(r.getDecimal(1)), micro(r.getDecimal(2))))
-      if (model.nonEmpty) {
-        OracleLits.put("nb_model",
-          modelMicro.map { case (t, lp, ln) =>
-            s"(${OracleLits.sqlStr(t)}, $lp, $ln)"
-          }.mkString("(VALUES ", ", ",
-            ") AS t(token, lpos_micro, lneg_micro)"))
-        OracleLits.put("nb_prior", priorMicroV.toString)
-      }
-      import s.implicits._
-      val localModel = modelMicro.toSeq
-        .toDF("token", "lpos_micro", "lneg_micro")
-      val localPrior = Seq(priorMicroV).toDF("__prior_micro")
-      TextAnalysis.nbScoreMicroWith(dd, "doc_id", "text",
-        localModel, localPrior)
-        .orderBy("doc_id")
+      val nanos = lrWeightsMemo(s, d)
+      OracleLits.put("lr_weights", nanos.mkString(","))
+      val lr = TextAnalysis.lrScoreNano(dd, "doc_id", "text", nanos)
+        .select(col("doc_id"), col("margin_nano"))
+      val nb = nbScored(s, d).select(col("doc_id"), col("score_micro"))
+      def ranked(df: DataFrame, scoreCol: String, as: String) =
+        Sampling.groupedRank(
+          df.withColumn("__g", lit(0L))
+            .withColumn("__neg", -col(scoreCol)),
+          "__g", "__neg", "doc_id")
+          .select(col("doc_id"), col("rank").as(as))
+      ranked(lr, "margin_nano", "lr_rank")
+        .join(ranked(nb, "score_micro", "nb_rank"), "doc_id")
+        .withColumn("rrf_micro", expr(
+          "1000000L div (60L + lr_rank) + 1000000L div (60L + nb_rank)"))
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(50)
+        .select("doc_id", "lr_rank", "nb_rank", "rrf_micro")
     }),
 
     // Incremental NB training: per-batch counts merged into state, then
@@ -653,6 +646,44 @@ object TextQueries {
   // against the artifact. Perf-only: every consumer still registers the
   // weights as oracle literals and tools/lit_check.py re-derives the full
   // GD trajectory from the fixtures.
+  // Shared NB scorer build (nb_quality_score + the ensemble): trains
+  // ONCE — the collected model registers the oracle literals AND feeds
+  // scoring back as a local relation (nbScoreMicroWith), so scoring
+  // never re-runs the training aggregation
+  private def nbScored(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val pos = col("source").isin("src0", "src1", "src2")
+    val model = TextAnalysis.nbTrain(dd, "text", pos, vocab = 512).collect()
+    val priorRows = dd
+      .agg(sum(when(pos, 1L).otherwise(0L)).as("np"),
+        sum(when(pos, 0L).otherwise(1L)).as("nn"))
+      .select(log((col("np") + 1.0) / (col("nn") + 1.0))
+        .cast("decimal(18,6)").as("__prior"))
+      .collect()
+    def micro(bd: java.math.BigDecimal): Long =
+      bd.setScale(6).movePointRight(6).longValueExact
+    // empty corpus → null prior aggregate; score 0 keeps the query
+    // total (empty output) instead of an NPE in the micro conversion
+    val priorMicroV =
+      if (priorRows(0).isNullAt(0)) 0L else micro(priorRows(0).getDecimal(0))
+    val modelMicro = model.map(r =>
+      (r.getString(0), micro(r.getDecimal(1)), micro(r.getDecimal(2))))
+    if (model.nonEmpty) {
+      OracleLits.put("nb_model",
+        modelMicro.map { case (t, lp, ln) =>
+          s"(${OracleLits.sqlStr(t)}, $lp, $ln)"
+        }.mkString("(VALUES ", ", ",
+          ") AS t(token, lpos_micro, lneg_micro)"))
+      OracleLits.put("nb_prior", priorMicroV.toString)
+    }
+    import s.implicits._
+    val localModel = modelMicro.toSeq
+      .toDF("token", "lpos_micro", "lneg_micro")
+    val localPrior = Seq(priorMicroV).toDF("__prior_micro")
+    TextAnalysis.nbScoreMicroWith(dd, "doc_id", "text",
+      localModel, localPrior)
+  }
+
   private[queries] def lrWeightsMemo(s: SparkSession, dir: String): Seq[Long] = {
     val base = sessionStateDir(s, dir, "graft_lrw_") { b =>
       val w = TextAnalysis.lrTrain(docs(s, dir), "text", lrLabel)
@@ -1120,6 +1151,50 @@ object TextQueries {
          |  CAST(floor(margin * 1000000000.0) AS BIGINT) AS margin_nano,
          |  (CAST(floor(margin * 1000000000.0) AS BIGINT) > 0) AS predicted
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // both scorers replayed through their existing CTE stacks, ranks by
+    // the identical (score desc, id) total order, fusion pure integer;
+    // the degenerate no-lits fallback only fires when the query never ran
+    "tx_quality_ensemble" -> {
+      val nbSrc =
+        (OracleLits.get("nb_model"), OracleLits.get("nb_prior")) match {
+          case (Some(mm), Some(p)) =>
+            s"""mq AS (SELECT * FROM $mm),
+               |pr AS (SELECT CAST($p AS BIGINT) AS prior_micro)""".stripMargin
+          case _ =>
+            """mq AS (SELECT '' AS token, 0 AS lpos_micro,
+              |    0 AS lneg_micro WHERE false),
+              |pr AS (SELECT CAST(0 AS BIGINT) AS prior_micro)""".stripMargin
+        }
+      s"""WITH $qfStatsCtes,
+         |$lrScoreCtes,
+         |tok AS (SELECT doc_id, unnest($duckToksAll) AS token
+         |  FROM documents),
+         |$nbSrc,
+         |lrn AS (SELECT doc_id,
+         |    CAST(floor(margin * 1000000000.0) AS BIGINT) AS margin_nano
+         |  FROM m),
+         |dl AS (SELECT tok.doc_id,
+         |    sum(mq.lpos_micro - mq.lneg_micro) AS delta
+         |  FROM tok JOIN mq USING (token) GROUP BY 1),
+         |scn AS (SELECT d.doc_id,
+         |    CAST(coalesce(dl.delta, 0) + pr.prior_micro AS BIGINT)
+         |      AS score_micro
+         |  FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+         |  CROSS JOIN pr),
+         |lrr AS (SELECT doc_id, row_number() OVER (
+         |    ORDER BY margin_nano DESC, doc_id) AS lr_rank FROM lrn),
+         |nbr AS (SELECT doc_id, row_number() OVER (
+         |    ORDER BY score_micro DESC, doc_id) AS nb_rank FROM scn),
+         |fz AS (SELECT doc_id, lr_rank, nb_rank,
+         |    1000000 // (60 + lr_rank) + 1000000 // (60 + nb_rank)
+         |      AS rrf_micro
+         |  FROM lrr JOIN nbr USING (doc_id))
+         |SELECT doc_id, CAST(lr_rank AS BIGINT) AS lr_rank,
+         |  CAST(nb_rank AS BIGINT) AS nb_rank,
+         |  CAST(rrf_micro AS BIGINT) AS rrf_micro
+         |FROM fz ORDER BY rrf_micro DESC, doc_id LIMIT 50""".stripMargin
+    },
 
     "lr_quality_eval" ->
       s"""WITH $qfStatsCtes,

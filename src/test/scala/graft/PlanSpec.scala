@@ -140,6 +140,23 @@ class PlanSpec extends SparkSpec {
       assert(s.contains("bucket#"), s"unpartitioned window: $s\n$p"))
   }
 
+  test("quality-ensemble corpus rankings are bucket-partitioned — " +
+      "rank fusion never forms a global-order window") {
+    // both scorer rankings go through groupedRank's two-level prefix sum;
+    // a plain corpus-wide row_number would move every row through ONE
+    // task, and the final top-50 must be TakeOrderedAndProject, not a
+    // global sort
+    val df = graft.queries.ScaleQueries.queries("tx_quality_ensemble")(
+      spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach(s =>
+      assert(s.contains("bucket#"), s"unpartitioned window: $s\n$p"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("span-rewrite keep-one is a hash aggregate — never an fp-keyed " +
       "sort window") {
     // the keep-one stage must be the min(struct) partial aggregate + an
