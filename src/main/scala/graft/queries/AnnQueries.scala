@@ -119,6 +119,18 @@ object AnnQueries {
         .orderBy("method", "param")
     }),
 
+    // The filtered-search tuning table: recall of ivfFilteredTopK per
+    // nProbe against the FILTERED brute-force truth — answers how much
+    // nProbe must grow to recover recall when the predicate thins the
+    // posting lists (the operational question filtered search raises)
+    "ann_filtered_frontier" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.filteredFrontier(e.filter(col("vec_id") < 5), e,
+          "vec_id", "embedding", "label", pred = col("vec_id") % 3 === 0,
+          k = 10, nProbes = Seq(1, 2, 3))
+        .orderBy("method", "param")
+    }),
+
     "ann_recall" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 5)
@@ -1114,6 +1126,67 @@ object AnnQueries {
          |  JOIN q ON q.query_id = p.query_id
          |  WHERE p.query_id != c.neighbor_id)
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // same CTE skeleton as the main frontier, with the corpus scan
+    // filtered and the truth taken over the FILTERED corpus
+    "ann_filtered_frontier" -> {
+      def ivfSel(p: Int): String =
+        s"""SELECT 'ivfF', $p,
+           |  (SELECT count(*) FROM (SELECT query_id, neighbor_id FROM (
+           |     SELECT query_id, neighbor_id, row_number() OVER (
+           |       PARTITION BY query_id
+           |       ORDER BY ${duckCosine("qe", "ce")} DESC,
+           |         neighbor_id) AS rnk
+           |     FROM pairs WHERE cell_rn <= $p) WHERE rnk <= 10) iv
+           |   JOIN bf USING (query_id, neighbor_id)),
+           |  (SELECT count(*) FROM bf),
+           |  (SELECT count(*) FROM pairs WHERE cell_rn <= $p)""".stripMargin
+      s"""WITH dim AS (SELECT unnest(range(1,
+         |  (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+         |cents AS (SELECT label, i AS pos,
+         |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+         |    AS DECIMAL(27,9))) AS DOUBLE) / count(*), 4) AS centroid
+         |  FROM embeddings CROSS JOIN dim GROUP BY 1, 2),
+         |cl AS (SELECT label, list(centroid ORDER BY pos) AS cl
+         |  FROM cents GROUP BY 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS cell
+         |  FROM embeddings WHERE vec_id % 3 = 0),
+         |bf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY ${duckCosine("qe", "ce")} DESC, neighbor_id) AS rnk
+         |  FROM q, c WHERE query_id != neighbor_id)
+         |  WHERE rnk <= 10),
+         |qd AS (SELECT query_id, cc.label AS cell,
+         |  list_sum(list_transform(range(1, len(qe) + 1),
+         |    i -> (CAST(qe[i] AS DOUBLE) - cc.cl[i])
+         |       * (CAST(qe[i] AS DOUBLE) - cc.cl[i]))) AS d
+         |  FROM q, cl cc),
+         |pr AS (SELECT query_id, cell, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY d, cell) AS rn FROM qd),
+         |pairs AS (SELECT p.query_id, c.neighbor_id, p.rn AS cell_rn,
+         |    q.qe, c.ce
+         |  FROM pr p JOIN c ON c.cell = p.cell
+         |  JOIN q ON q.query_id = p.query_id
+         |  WHERE p.query_id != c.neighbor_id)
+         |SELECT CAST(method AS VARCHAR) AS method,
+         |  CAST(param AS BIGINT) AS param, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(k_total AS BIGINT) AS k_total,
+         |  CAST(candidate_rows AS BIGINT) AS candidate_rows
+         |FROM (
+         |  SELECT 'bfF' AS method, 0 AS param,
+         |    (SELECT count(*) FROM bf) AS n_hit,
+         |    (SELECT count(*) FROM bf) AS k_total,
+         |    (SELECT count(*) FROM q, c WHERE query_id != neighbor_id)
+         |      AS candidate_rows
+         |  UNION ALL ${ivfSel(1)}
+         |  UNION ALL ${ivfSel(2)}
+         |  UNION ALL ${ivfSel(3)})
+         |  t(method, param, n_hit, k_total, candidate_rows)
+         |ORDER BY method, param""".stripMargin
+    },
 
     "ann_rp_topk" -> {
       def proj(e: String): String =

@@ -635,6 +635,52 @@ object Similarity {
     (Seq(bf) ++ ivf ++ rp ++ ham).reduce(_ unionByName _)
   }
 
+  /** The filtered-search companion of [[annFrontier]]: recall-vs-cost of
+    * [[ivfFilteredTopK]] per nProbe, measured against the FILTERED
+    * brute-force truth (the truth a filtered search must hit — comparing
+    * against unfiltered truth would grade the predicate, not the index).
+    * This is the table that answers the operational question filtered
+    * search raises: how much must nProbe grow to recover recall when the
+    * predicate thins each cell's posting list. Rows
+    * (method, param, n_hit, k_total, candidate_rows) — all integers,
+    * same surface as [[annFrontier]]; `bfF` is the filtered-exhaustive
+    * baseline row. One centroid build (the shared full-corpus index) and
+    * ONE materialized candidate frame per configuration feed both the
+    * search and its cost count. */
+  def filteredFrontier(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, pred: Column, k: Int,
+      nProbes: Seq[Int]): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1),
+      s"nProbes must be positive: $nProbes")
+    val fCorpus = corpus.filter(pred)
+    val truth = graft.io.Materialize(
+      bruteForceTopK(queries, fCorpus, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id")))
+    def row(method: String, param: Long, res: DataFrame,
+        cand: DataFrame): DataFrame =
+      truth
+        .join(res.select("query_id", "neighbor_id")
+            .withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"),
+          count(lit(1)).as("k_total"))
+        .crossJoin(cand.agg(count(lit(1)).as("candidate_rows")))
+        .select(lit(method).as("method"), lit(param).as("param"),
+          col("n_hit"), col("k_total"), col("candidate_rows"))
+    val bfCand = fCorpus.select(col(idCol).as("neighbor_id"))
+      .crossJoin(broadcast(queries.select(col(idCol).as("query_id"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val cents = graft.io.Materialize(centroids(corpus, cellCol, vecCol))
+    val ivfF = nProbes.map { p =>
+      val cand = graft.io.Materialize(multiProbeCandidatePairs(
+        queries, fCorpus, idCol, vecCol, cellCol, p, Some(cents)))
+      row("ivfF", p.toLong, rankCandidatePairs(cand, k, rounded = false),
+        cand)
+    }
+    (Seq(row("bfF", 0L, truth, bfCand)) ++ ivfF).reduce(_ unionByName _)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR '09) over
     * named ranked lists — the standard hybrid-retrieval combiner (e.g.
     * BM25 lexical top-k fused with dense-cosine top-k for RAG retrieval).

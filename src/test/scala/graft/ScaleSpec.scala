@@ -259,6 +259,23 @@ class ScaleSpec extends SparkSpec {
     assert(filt.nonEmpty && filt.forall(_._3 % 3 == 0))
   }
 
+  test("filtered frontier: bfF baseline perfect, recall and candidate " +
+      "cost monotone in nProbe, all bounded by the exhaustive row") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val fr = Similarity.filteredFrontier(q, e, "vec_id", "embedding",
+        "label", col("vec_id") % 3 === 0, k = 5, nProbes = Seq(1, 2, 3))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val bf = fr.find(_._1 == "bfF").get
+    assert(bf._3 == bf._4) // exhaustive baseline hits all of its truth
+    val ivf = fr.filter(_._1 == "ivfF").sortBy(_._2)
+    assert(ivf.map(_._2).toSeq == Seq(1L, 2L, 3L))
+    assert(ivf.map(_._3).toSeq == ivf.map(_._3).sorted.toSeq) // recall ↑
+    assert(ivf.map(_._5).toSeq == ivf.map(_._5).sorted.toSeq) // cost ↑
+    assert(ivf.forall(r => r._3 <= r._4 && r._5 <= bf._5))
+  }
+
   test("RRF fusion: integer scores, absent-list rank = 0, known values; " +
       "duplicate list names rejected") {
     val sparse = Seq((1L, 1), (2L, 2)).toDF("id", "rnk")
