@@ -765,3 +765,101 @@ object WinnowProps extends Properties("Winnowing") {
       }
     }
 }
+
+object DoremiProps extends Properties("DoremiWeights") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+  import graft.scale.{Sampling, TextAnalysis}
+
+  // each case trains a bigram LM + two state folds — bound the case count
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  // multi-word docs over a tiny pool (bigrams always exist), 2-3 sources
+  private val corpusGen: Gen[List[(Long, String, String)]] =
+    Gen.choose(3, 10).flatMap { n =>
+      Gen.listOfN(n, for {
+        len <- Gen.choose(2, 6)
+        ws <- Gen.listOfN(len, Gen.oneOf("red", "blue", "green", "fish"))
+        src <- Gen.oneOf("s0", "s1", "s2")
+      } yield (ws.mkString(" "), src))
+        .map(_.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) })
+    }
+
+  property("merge == retrain on a random split under the pinned LM") =
+    forAll(corpusGen, Gen.choose(0, 10)) { (rows, cut) =>
+      val dd = rows.toDF("doc_id", "text", "source")
+      // PINNED proxy LM: trained once on the full corpus
+      val stats = TextAnalysis.lmCrossEntropyStats(dd, "doc_id", "text",
+        TextAnalysis.bigramLm(dd, "text"))
+      val merged = Sampling.doremiWeightsFromState(Sampling.doremiMerge(
+        Sampling.doremiState(stats.filter($"doc_id" < cut), dd,
+          "doc_id", "source"),
+        Sampling.doremiState(stats.filter($"doc_id" >= cut), dd,
+          "doc_id", "source")))
+        .orderBy("source").collect().map(_.toSeq).toSeq
+      val full = Sampling.doremiWeights(stats, dd, "doc_id", "source")
+        .orderBy("source").collect().map(_.toSeq).toSeq
+      merged == full
+    }
+
+  property("some source sits at the mean (w_nano = 1e9 exactly); " +
+      "weight_bp non-decreasing in ce_micro; bp sum ≤ 10000") =
+    forAll(corpusGen) { rows =>
+      val dd = rows.toDF("doc_id", "text", "source")
+      val w = Sampling.doremiWeights(
+        TextAnalysis.lmCrossEntropyStats(dd, "doc_id", "text",
+          TextAnalysis.bigramLm(dd, "text")), dd, "doc_id", "source")
+        .select("source", "ce_micro", "excess_micro", "w_nano", "weight_bp")
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      if (w.isEmpty) true // degenerate: no doc produced a scored bigram
+      else {
+        // the min-ce source is at or below the weighted mean -> excess 0
+        val atMean = w.exists(r => r._2 == 0L && r._3 == 1000000000L)
+        val sorted = w.sortBy(_._1)
+        val monotone = sorted.map(_._4).toSeq.sliding(2).forall {
+          case Seq(x, y) => x <= y
+          case _ => true
+        }
+        atMean && monotone && w.map(_._4).sum <= 10000L &&
+          w.forall(_._3 >= 1000000000L)
+      }
+    }
+}
+
+object RrfProps extends Properties("RrfFusion") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+  import graft.scale.Similarity
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(20)
+
+  // a ranked list = a random subset of ids 0..9 ranked 1..n
+  private val listGen: Gen[List[(Long, Int)]] =
+    Gen.someOf(0L to 9L).map(ids =>
+      ids.toList.zipWithIndex.map { case (id, i) => (id, i + 1) })
+
+  property("fused score equals the plain-Scala reference sum; absent " +
+      "ranks are 0; fusion is commutative in list order") =
+    forAll(listGen, listGen) { (la, lb) =>
+      val a = la.toDF("id", "rnk")
+      val b = lb.toDF("id", "rnk")
+      val ab = Similarity.rrfFuse(Seq("a" -> a, "b" -> b), "id", "rnk")
+        .select("id", "a_rnk", "b_rnk", "rrf_micro")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val ma = la.toMap; val mb = lb.toMap
+      def term(r: Option[Int]) = r.map(x => 1000000L / (60L + x))
+        .getOrElse(0L)
+      val ref = (ma.keySet ++ mb.keySet).toSeq.sorted.map(id =>
+        (id, ma.getOrElse(id, 0).toLong, mb.getOrElse(id, 0).toLong,
+          term(ma.get(id)) + term(mb.get(id))))
+      val ba = Similarity.rrfFuse(Seq("b" -> b, "a" -> a), "id", "rnk")
+        .select("id", "a_rnk", "b_rnk", "rrf_micro")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      ab == ref && ba == ref
+    }
+}
