@@ -396,12 +396,64 @@ object PipelineQueries {
         .select("int_id", "probe_id")
         .orderBy("int_id", "probe_id")
     }),
+
+    // Dataset card: the datasheet a shipped corpus leads with — size,
+    // token/char volume, source/lang breadth, exact-duplicate mass, and
+    // the max-document outlier — as ONE aggregation pass over a narrow
+    // projected frame (the three COUNT DISTINCTs ride Spark's standard
+    // Expand; the frame is ~4 columns, so the 3x expand is still
+    // scan-bound), unpivoted to (metric, value) rows via stack. All
+    // integers; ratios (dup share, mean length) are the reader's division
+    "pipeline_dataset_card" -> ((s, d) => {
+      val agg = docs(s, d)
+        .select(col("source"), col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("__nt"),
+          length(col("text")).cast("long").as("__nc"),
+          TextAnalysis.fingerprint(col("text")).as("__fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("n_tokens"),
+          sum(col("__nc")).as("n_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("__fp")).as("n_fp"),
+          max(col("__nt")).as("max_doc_tokens"))
+      agg.select(expr(
+        "stack(7, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+          "'n_chars', n_chars, 'n_sources', n_sources, " +
+          "'n_langs', n_langs, 'exact_dup_docs', n_docs - n_fp, " +
+          "'max_doc_tokens', max_doc_tokens) AS (metric, value)"))
+        .select(col("metric"), col("value").cast("long").as("value"))
+        .orderBy("metric")
+    }),
   )
 
   // a def, not a val: registry-aware entries read OracleLits fragments
   // that the query functions register as they run (Verify dumps oracle
   // SQL AFTER running every query)
   def oracles: Map[String, String] = Map(
+    "pipeline_dataset_card" ->
+      s"""WITH b AS (SELECT source, lang,
+         |    CAST(len($duckToksAll) AS BIGINT) AS nt,
+         |    CAST(length(text) AS BIGINT) AS nc,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(nc) AS BIGINT) AS n_chars,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,
+         |    CAST(max(nt) AS BIGINT) AS max_doc_tokens FROM b)
+         |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS value FROM a
+         |  UNION ALL SELECT 'n_tokens', n_tokens FROM a
+         |  UNION ALL SELECT 'n_chars', n_chars FROM a
+         |  UNION ALL SELECT 'n_sources', n_sources FROM a
+         |  UNION ALL SELECT 'n_langs', n_langs FROM a
+         |  UNION ALL SELECT 'exact_dup_docs', n_docs - n_fp FROM a
+         |  UNION ALL SELECT 'max_doc_tokens', max_doc_tokens FROM a)
+         |ORDER BY metric""".stripMargin,
+
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id AS id, text,
         |  greatest(CAST(floor(length(text) / 4) AS INT), 1) AS n
