@@ -308,7 +308,14 @@ object SamplingQueries {
     // schedule fed straight into token-budget shard cutting — the actual
     // training-shard artifact a curriculum run reads (shards follow the
     // schedule order, ~1000 tokens each; packByTokenBudget's unique
-    // orderCol contract is satisfied by the schedule's global_pos)
+    // orderCol contract is satisfied by the schedule's global_pos).
+    // INSTRUMENTED (round-12 verdict lead item — driver-red hash twice
+    // with every local re-run green): shard_id is re-derived in-query
+    // through an independent bare-window formulation and any disagreement
+    // raise_errors with the position and both values, so an engine-side
+    // divergence next driver run surfaces as a LOUD err, not a silent
+    // hash delta; samp_pack_curriculum_parts exposes every intermediate
+    // stage for the complementary oracle-side localization
     "samp_pack_curriculum" -> ((s, d) => {
       // materialized: the schedule's grouped ranks drive several driver
       // actions, each of which would otherwise re-run the band ntile
@@ -320,15 +327,46 @@ object SamplingQueries {
         .withColumnRenamed("ntile", "band").drop("__g"))
       // materialized: packByTokenBudget drives three actions (cut sketch,
       // offset collect, final) — each would re-run the schedule's rank
-      Sampling.packByTokenBudget(
+      val packed = Sampling.packByTokenBudget(
           graft.io.Materialize(
             Sampling.curriculumInterleave(banded, "doc_id", "band",
               seed = 7L)
             .select(col("doc_id"), col("band"), col("global_pos"),
               col("n_tok"))),
           "global_pos", "n_tok", 1000L)
+      Sampling.shardSelfCheck(packed, "global_pos", "n_tok", 1000L)
         .select(col("doc_id"), col("band"), col("global_pos"),
           col("n_tok"), col("shard_id"))
+        .orderBy("global_pos")
+    }),
+
+    // Stage-diagnostic decomposition of the capstone (round-12 verdict
+    // item 1a): the SAME schedule machinery with every intermediate
+    // surface exposed — band, within-band shuffle rank, band size, stride
+    // key, global position, token count, and the exclusive running total
+    // `st` that shard_id divides. When the driver next compares, the
+    // red/green pattern across capstone vs parts pinpoints WHICH stage
+    // diverges (schedule vs token join vs prefix sum vs division); a red
+    // capstone with green parts and no raise_error localizes the
+    // divergence to the harness replay itself
+    "samp_pack_curriculum_parts" -> ((s, d) => {
+      val banded = graft.io.Materialize(Sampling.groupedNtile(
+          docs(s, d).select(col("doc_id"), col("n_chars"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+            .withColumn("__g", lit(0L)),
+          "__g", "n_chars", "doc_id", 4)
+        .withColumnRenamed("ntile", "band").drop("__g"))
+      Sampling.packByTokenBudget(
+          graft.io.Materialize(
+            Sampling.curriculumInterleave(banded, "doc_id", "band",
+              seed = 7L)
+            .select(col("doc_id"), col("band"), col("band_rank"),
+              col("n_band"), col("ikey"), col("global_pos"),
+              col("n_tok"))),
+          "global_pos", "n_tok", 1000L, keepTotalCol = Some("st"))
+        .select(col("doc_id"), col("band"), col("band_rank"),
+          col("n_band"), col("ikey"), col("global_pos"), col("n_tok"),
+          col("st"), col("shard_id"))
         .orderBy("global_pos")
     }),
 
@@ -633,6 +671,26 @@ object SamplingQueries {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
          |    // 1000 AS shard_id
          |FROM j ORDER BY global_pos""".stripMargin,
+
+    // identical CTE stack with every intermediate exposed, including the
+    // exclusive running total `st` shard_id divides — the oracle-side
+    // stage localizer for the capstone's driver-only hash divergence
+    "samp_pack_curriculum_parts" ->
+      s"""WITH $curriculumCtes,
+         |tok AS (SELECT doc_id,
+         |    CAST(len($duckToksAll) AS BIGINT) AS n_tok FROM documents),
+         |j AS (SELECT g.doc_id, g.band, g.band_rank, g.n_band, g.ikey,
+         |    g.global_pos, tok.n_tok
+         |  FROM g JOIN tok USING (doc_id)),
+         |st AS (SELECT doc_id, band, band_rank, n_band, ikey, global_pos,
+         |    n_tok,
+         |    (sum(n_tok) OVER (ORDER BY global_pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+         |      AS st
+         |  FROM j)
+         |SELECT doc_id, band, band_rank, n_band, ikey, global_pos, n_tok,
+         |  st, st // 1000 AS shard_id
+         |FROM st ORDER BY global_pos""".stripMargin,
 
     "samp_epoch_shuffle" ->
       """SELECT CAST(e AS BIGINT) AS epoch, doc_id,

@@ -167,13 +167,22 @@ object Sampling {
     * the arithmetic is pure int64 (`div`, never a float division).
     *
     * `orderCol` must be non-null (it defines the stream order); negative
-    * token counts fail loudly rather than corrupt downstream offsets. */
+    * token counts fail loudly rather than corrupt downstream offsets.
+    *
+    * `keepTotalCol` (diagnostic): when set, the EXCLUSIVE running token
+    * total that shard_id divides (`st`, the value `shard_id = st div
+    * budget` is computed from) is retained under the given name — the
+    * stage-localizing surface for cross-engine hash triage (a diverging
+    * shard_id is then attributable to the prefix sum vs the division). */
   def packByTokenBudget(df: DataFrame, orderCol: String, tokenCountCol: String,
-      budgetTokens: Long, buckets: Int = 64): DataFrame = {
+      budgetTokens: Long, buckets: Int = 64,
+      keepTotalCol: Option[String] = None): DataFrame = {
     require(budgetTokens > 0, "budget must be positive")
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
     require(!df.columns.contains("bucket"),
       "packByTokenBudget adds a scratch 'bucket' column; rename the input's")
+    keepTotalCol.foreach(n => require(!df.columns.contains(n) && n != "bucket",
+      s"keepTotalCol '$n' collides with an input column"))
     val taken = df.columns :+ "bucket"
     val cumC = Cols.fresh("__cum", taken)
     val offC = Cols.fresh("__off", taken)
@@ -200,13 +209,54 @@ object Sampling {
     }
     val w = Window.partitionBy(col("bucket")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withB
+    val packed = withB
       .withColumn(cumC, sum(col(tokenCountCol)).over(w))
       .withColumn(offC, offExpr)
       .withColumn(stC, col(offC) + col(cumC) - col(tokenCountCol))
       // shard via exact integer division (long `div`, never a double)
       .withColumn("shard_id", expr(s"$stC div ${budgetTokens}L"))
-      .drop(cumC, offC, stC, "bucket")
+      .drop(cumC, offC, "bucket")
+    keepTotalCol match {
+      case Some(n) => packed.withColumnRenamed(stC, n)
+      case None => packed.drop(stC)
+    }
+  }
+
+  /** DIAGNOSTIC tripwire for [[packByTokenBudget]]: recompute `shardCol`
+    * through an INDEPENDENT formulation — a bare global-order running-sum
+    * window over `orderCol`, the textbook single-task definition the
+    * two-level prefix sum is proven equivalent to — and `raise_error` on
+    * the first row where the two disagree. Turns any silent engine-side
+    * divergence (a lost checkpoint block, a nondeterministic recompute, a
+    * miscut bucket) into a LOUD per-row error naming the position and both
+    * values, instead of a downstream hash mismatch nobody can localize.
+    *
+    * Deliberately NOT a scale operator: the bare window funnels the frame
+    * through one task, which is exactly why production packing uses the
+    * two-level sum. Attach this only to bounded gate/triage frames. */
+  def shardSelfCheck(packed: DataFrame, orderCol: String,
+      tokenCountCol: String, budgetTokens: Long,
+      shardCol: String = "shard_id"): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    require(packed.columns.contains(shardCol),
+      s"shardSelfCheck: no '$shardCol' column to check")
+    val taken = packed.columns
+    val stC = Cols.fresh("__chk_st", taken)
+    val chkC = Cols.fresh("__chk_shard", taken)
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed
+      .withColumn(stC, sum(col(tokenCountCol)).over(w) - col(tokenCountCol))
+      .withColumn(chkC, expr(s"$stC div ${budgetTokens}L"))
+      .withColumn(shardCol,
+        when(col(shardCol) === col(chkC), col(shardCol))
+          .otherwise(raise_error(concat(
+            lit("packByTokenBudget self-check diverged at "),
+            lit(s"$orderCol="), col(orderCol).cast("string"),
+            lit(": two-level="), col(shardCol).cast("string"),
+            lit(" global-window="), col(chkC).cast("string"),
+            lit(" running_total="), col(stC).cast("string")))))
+      .drop(stC, chkC)
   }
 
   /** Quality-ordered token-budget selection — "take the best documents

@@ -202,16 +202,28 @@ class PlanSpec extends SparkSpec {
       "bucket-partitioned — never one task") {
     // both ride the two-level prefix-sum machinery; a regressed global
     // window would funnel the whole corpus (or a dominant band) through
-    // a single task
+    // a single task. The capstone (and its parts twin) additionally
+    // carries EXACTLY ONE deliberately-global window: the round-12
+    // shardSelfCheck diagnostic (a bare ORDER BY global_pos running sum
+    // that raise_errors on divergence from the two-level sum) — pinned
+    // here so a second unbucketed window can never sneak in behind it
     for (q <- Seq("samp_curriculum", "samp_quality_budget",
-        "samp_pack_curriculum")) {
+        "samp_pack_curriculum", "samp_pack_curriculum_parts")) {
       val p = graft.queries.ScaleQueries.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       val specs = "windowspecdefinition\\(([^)]*)".r
         .findAllMatchIn(p).map(_.group(1)).toSeq
       assert(specs.nonEmpty, p)
-      specs.foreach(s =>
-        assert(s.contains("bucket#"), s"$q unpartitioned window: $s\n$p"))
+      val global = specs.filterNot(_.contains("bucket#"))
+      if (q == "samp_pack_curriculum") {
+        assert(global.size == 1 &&
+            global.head.contains("global_pos#"),
+          s"$q must carry exactly the one global_pos self-check window; " +
+            s"got ${global.mkString("; ")}\n$p")
+      } else
+        assert(global.isEmpty, s"$q unpartitioned window: $global\n$p")
+      assert(specs.exists(_.contains("bucket#")),
+        s"$q lost its bucket-partitioned prefix-sum windows\n$p")
     }
   }
 

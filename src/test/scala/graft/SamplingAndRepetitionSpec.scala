@@ -238,6 +238,36 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(two == out)
   }
 
+  test("token-budget packing: keepTotalCol exposes the exclusive running " +
+      "total shard_id divides, and shardSelfCheck verifies/raises") {
+    val df = Seq((1L, 400L), (2L, 400L), (3L, 400L), (4L, 100L), (5L, 900L))
+      .toDF("doc_id", "n_tokens")
+    val out = Sampling.packByTokenBudget(df, "doc_id", "n_tokens", 1000L,
+        keepTotalCol = Some("st"))
+      .select("doc_id", "st", "shard_id").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 0L, 0L), (2L, 400L, 0L), (3L, 800L, 0L),
+      (4L, 1200L, 1L), (5L, 1300L, 1L)))
+    intercept[IllegalArgumentException](Sampling.packByTokenBudget(
+      df.withColumn("st", lit(0L)), "doc_id", "n_tokens", 1000L,
+      keepTotalCol = Some("st")))
+    // self-check: agreement passes the rows through unchanged...
+    val packed = Sampling.packByTokenBudget(df, "doc_id", "n_tokens", 1000L)
+    val checked = Sampling.shardSelfCheck(packed, "doc_id", "n_tokens", 1000L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    assert(checked == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+    // ...and a tampered shard assignment raises loudly, naming the row
+    val tampered = packed.withColumn("shard_id",
+      when(col("doc_id") === 4L, lit(9L)).otherwise(col("shard_id")))
+    val e = intercept[Exception](
+      Sampling.shardSelfCheck(tampered, "doc_id", "n_tokens", 1000L)
+        .collect())
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("self-check diverged") && msg.contains("doc_id=4"),
+      e)
+  }
+
   test("token-budget packing: negative token counts fail loudly") {
     val df = Seq((1L, 400L), (2L, -1L)).toDF("doc_id", "n_tokens")
     val e = intercept[Exception](
