@@ -428,11 +428,15 @@ object SamplingQueries {
       // bounded collect: one row per SOURCE (the lit-registration side
       // frame, same pattern as dsir/waterfill)
       val rows = w.select("source", "w_nano").collect()
+      // eta_micro rides beside each weight so lit_check replays the
+      // engine's ACTUAL η instead of hardcoding it (round-11 ADVICE)
       if (rows.nonEmpty) OracleLits.put("doremi_w",
         rows.sortBy(_.getString(0)).map(r =>
           s"(${OracleLits.sqlStr(r.getString(0))}, " +
-            s"CAST(${r.getLong(1)} AS BIGINT))")
-          .mkString("(VALUES ", ", ", ") AS t(source, w_nano)"))
+            s"CAST(${r.getLong(1)} AS BIGINT), " +
+            s"${Sampling.DefaultEtaMicro})")
+          .mkString("(VALUES ", ", ",
+            ") AS t(source, w_nano, eta_micro)"))
       w.orderBy("source")
     }),
 
@@ -458,8 +462,10 @@ object SamplingQueries {
       if (rows.nonEmpty) OracleLits.put("doremi_incr_w",
         rows.sortBy(_.getString(0)).map(r =>
           s"(${OracleLits.sqlStr(r.getString(0))}, " +
-            s"CAST(${r.getLong(1)} AS BIGINT))")
-          .mkString("(VALUES ", ", ", ") AS t(source, w_nano)"))
+            s"CAST(${r.getLong(1)} AS BIGINT), " +
+            s"${Sampling.DefaultEtaMicro})")
+          .mkString("(VALUES ", ", ",
+            ") AS t(source, w_nano, eta_micro)"))
       w.orderBy("source")
     }),
 
@@ -491,9 +497,10 @@ object SamplingQueries {
       OracleLits.put("doremi_plan",
         plan.map { case (g, _, wbp, al) =>
           val wn = w.find(_._1 == g).map(_._2).getOrElse(0L)
-          s"(${OracleLits.sqlStr(g)}, CAST($wn AS BIGINT), $wbp, $al)"
+          s"(${OracleLits.sqlStr(g)}, CAST($wn AS BIGINT), $wbp, $al, " +
+            s"${Sampling.DefaultEtaMicro})"
         }.mkString("(VALUES ", ", ",
-          ") AS t(source, w_nano, weight_bp, alloc_tokens)"))
+          ") AS t(source, w_nano, weight_bp, alloc_tokens, eta_micro)"))
       import s.implicits._
       plan.toDF("source", "avail_tokens", "weight_bp", "alloc_tokens")
         .orderBy("source")
@@ -591,8 +598,8 @@ object SamplingQueries {
     // integer division both sides
     "samp_doremi_weights" -> {
       val w = OracleLits.get("doremi_w")
-        .getOrElse("(VALUES ('__none__', CAST(0 AS BIGINT))) " +
-          "AS t(source, w_nano)")
+        .getOrElse("(VALUES ('__none__', CAST(0 AS BIGINT), 100000)) " +
+          "AS t(source, w_nano, eta_micro)")
       s"""WITH ${TextQueries.lmStatsCtes},
          |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(neg_logp_sum_micro) AS BIGINT) AS sn,
@@ -619,8 +626,8 @@ object SamplingQueries {
     // the lit key differs (the engine registered it from the MERGED path)
     "samp_doremi_incr" -> {
       val w = OracleLits.get("doremi_incr_w")
-        .getOrElse("(VALUES ('__none__', CAST(0 AS BIGINT))) " +
-          "AS t(source, w_nano)")
+        .getOrElse("(VALUES ('__none__', CAST(0 AS BIGINT), 100000)) " +
+          "AS t(source, w_nano, eta_micro)")
       s"""WITH ${TextQueries.lmStatsCtes},
          |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(neg_logp_sum_micro) AS BIGINT) AS sn,
@@ -648,8 +655,9 @@ object SamplingQueries {
     // and water-fill exact from the registered ints)
     "samp_doremi_plan" -> {
       val vals = OracleLits.get("doremi_plan")
-        .getOrElse("(VALUES ('__none__', CAST(0 AS BIGINT), 0, 0)) " +
-          "AS t(source, w_nano, weight_bp, alloc_tokens)")
+        .getOrElse("(VALUES ('__none__', CAST(0 AS BIGINT), 0, 0, " +
+          "100000)) AS t(source, w_nano, weight_bp, alloc_tokens, " +
+          "eta_micro)")
       s"""WITH a AS (SELECT source,
          |    CAST(sum(len($duckToksAll)) AS BIGINT) AS avail_tokens
          |  FROM documents GROUP BY 1),

@@ -236,8 +236,10 @@ object StreamScaleQueries {
       if (rows.nonEmpty) OracleLits.put("doremi_st_w",
         rows.sortBy(_.getString(0)).map(r =>
           s"(${OracleLits.sqlStr(r.getString(0))}, " +
-            s"CAST(${r.getLong(1)} AS BIGINT))")
-          .mkString("(VALUES ", ", ", ") AS t(source, w_nano)"))
+            s"CAST(${r.getLong(1)} AS BIGINT), " +
+            s"${graft.scale.Sampling.DefaultEtaMicro})")
+          .mkString("(VALUES ", ", ",
+            ") AS t(source, w_nano, eta_micro)"))
       w.orderBy("source")
     }),
 
@@ -501,8 +503,8 @@ object StreamScaleQueries {
     // identical CTEs to samp_doremi_weights, lit key from the STREAMED path
     "st_doremi_update" -> {
       val w = OracleLits.get("doremi_st_w")
-        .getOrElse("(VALUES ('__none__', CAST(0 AS BIGINT))) " +
-          "AS t(source, w_nano)")
+        .getOrElse("(VALUES ('__none__', CAST(0 AS BIGINT), 100000)) " +
+          "AS t(source, w_nano, eta_micro)")
       s"""WITH ${TextQueries.lmStatsCtes},
          |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(neg_logp_sum_micro) AS BIGINT) AS sn,

@@ -985,7 +985,7 @@ object Sampling {
     * groups), two 1-row/bounded totals broadcast back — no window, no
     * sort, no per-document float anywhere. */
   def doremiWeights(stats: DataFrame, docs: DataFrame, idCol: String,
-      sourceCol: String, etaMicro: Long = 100000L): DataFrame =
+      sourceCol: String, etaMicro: Long = DefaultEtaMicro): DataFrame =
     doremiWeightsFromState(doremiState(stats, docs, idCol, sourceCol),
       etaMicro)
 
@@ -1019,22 +1019,41 @@ object Sampling {
         sum(col("__sn")).as("__sn"),
         sum(col("sum_n_bigrams")).as("sum_n_bigrams"))
 
+  /** Default η·10⁶ for the DoReMi family — referenced by the gate
+    * queries when registering `eta_micro` beside the weight lits, so
+    * tools/lit_check.py replays the engine's ACTUAL η instead of
+    * hardcoding one (round-11 ADVICE). */
+  val DefaultEtaMicro: Long = 100000L
+
+  /** Exponent ceiling for [[doremiWeightsFromState]]'s one exp: with
+    * x = η·excess_bits capped at 13, w_nano = floor(eˣ·10⁹) ≤ ~4.43e14
+    * and the downstream `10000L * w_nano` stays far inside int64
+    * (overflow began at x ≳ 13.7, where exp→Infinity floors to
+    * Long.MaxValue under non-ANSI eval and the bp division returned
+    * garbage — round-11 ADVICE). 13 excess BITS of proxy loss is already
+    * an absurd domain gap; the clamp only changes pathological inputs. */
+  val DoremiMaxExponentPico: Long = 13000000000000L
+
   /** The weight tail of [[doremiWeights]] over a prepared state frame. */
   def doremiWeightsFromState(per: DataFrame,
-      etaMicro: Long = 100000L): DataFrame = {
+      etaMicro: Long = DefaultEtaMicro): DataFrame = {
     require(etaMicro > 0, s"etaMicro must be positive: $etaMicro")
     val tot = per.agg(sum(col("__sn")).as("__tn"),
       sum(col("sum_n_bigrams")).as("__tb"))
     // η as a double by ONE IEEE division, then ONE multiply per source —
     // the fixed evaluation order the lit checker replays verbatim
     val etaD = lit(etaMicro).cast("double") / lit(1000000.0)
+    // integer clamp BEFORE the float step (exact, mirrored by the
+    // checker): excess_micro · etaMicro ≤ 13e12 ⇔ exponent ≤ 13
+    val excessCapMicro = DoremiMaxExponentPico / etaMicro
     val withCe = per.crossJoin(broadcast(tot))
       .withColumn("ce_micro", expr("__sn div sum_n_bigrams"))
       .withColumn("corpus_ce_micro", expr("__tn div __tb"))
       .withColumn("excess_micro",
         greatest(col("ce_micro") - col("corpus_ce_micro"), lit(0L)))
       .withColumn("w_nano",
-        floor(exp((col("excess_micro").cast("double") / lit(1000000.0))
+        floor(exp((least(col("excess_micro"), lit(excessCapMicro))
+          .cast("double") / lit(1000000.0))
           * etaD) * lit(1000000000.0)).cast("long"))
     val wTot = withCe.agg(sum(col("w_nano")).as("__wt"))
     withCe.crossJoin(broadcast(wTot))

@@ -691,7 +691,10 @@ object Similarity {
     * paper), so the fusion order is bit-identical on any engine — no
     * float division ever lands on a compared surface. Output carries one
     * `<name>_rnk` column per list (0 where the id missed that list) and
-    * `rrf_micro`, descending-fusable by the caller. Scale shape: inputs
+    * `rrf_micro`, descending-fusable by the caller. PRECONDITION: input
+    * ranks are 1-based (standard top-k rank); a rank < 1 raise_errors
+    * per-row, since 0 is this operator's "missed the list" marker. List
+    * names must be plain SQL identifiers. Scale shape: inputs
     * are top-k frames (≤ k rows each), so the full-outer join chain is a
     * few k-row frames — cost lives in producing the lists, never here. */
   def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
@@ -701,8 +704,24 @@ object Similarity {
     val names = lists.map(_._1)
     require(names.distinct.size == names.size,
       s"duplicate list names: $names")
+    // list names become column names AND splice into the scoring expr —
+    // anything but a plain SQL identifier would fail analysis or, worse,
+    // silently change the expression (round-11 ADVICE)
+    names.foreach(n => require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"rrfFuse list name must be a plain identifier " +
+        s"[A-Za-z_][A-Za-z0-9_]*: '$n'"))
     val renamed = lists.map { case (name, df) =>
-      df.select(col(idCol), col(rankCol).cast("long").as(s"${name}_rnk"))
+      // ranks are contractually 1-BASED: a 0-based rank 0 would both
+      // score 1e6 div k0 and be indistinguishable from the 0 this
+      // operator emits for "id missed that list" (round-11 ADVICE) —
+      // fail per-row instead of silently mis-scoring
+      df.select(col(idCol),
+        when(col(rankCol) < 1, raise_error(concat(
+            lit(s"rrfFuse: list '$name' carries rank "),
+            col(rankCol).cast("string"),
+            lit(s" at $idCol="), col(idCol).cast("string"),
+            lit(" — ranks must be 1-based (0 is reserved for 'missed')"))))
+          .otherwise(col(rankCol)).cast("long").as(s"${name}_rnk"))
     }
     val joined = renamed.reduce(_.join(_, Seq(idCol), "full_outer"))
     // score FIRST (null rank → null term → 0 contribution), THEN flatten

@@ -225,7 +225,8 @@ object StreamSketch {
     * associativity) and apply the weight tail. Equal to batch-at-once
     * [[graft.scale.Sampling.doremiWeights]] over the union corpus. */
   def currentDoremiWeights(spark: SparkSession, gridRoot: String,
-      stateRoot: String, etaMicro: Long = 100000L): DataFrame =
+      stateRoot: String,
+      etaMicro: Long = graft.scale.Sampling.DefaultEtaMicro): DataFrame =
     graft.scale.Sampling.doremiWeightsFromState(
       committedGrids(spark, gridRoot, stateRoot, "doremi")
         .groupBy("source")

@@ -62,17 +62,39 @@ object Menu {
       loadDocs = n => docsFor(spark, sfDir, n))
       .foreach(r => println(s"status=${r.status} tables=${r.rowCounts}"))
 
-  private def sync(spark: SparkSession, sfDir: String, outDir: String,
-      names: Seq[String]): Unit =
-    names.foreach { n =>
-      MigrationWorkflow.incrementalMigration(spark,
-        docsFor(spark, sfDir, n), MigrationConfig(n, outDir)) match {
+  /** Sync requires a UNIQUE `_id`: IncrementalSync keys state/classify/
+    * upsert/delete on it, so a duplicate-keyed collection (e.g. lineitem,
+    * whose adopted leading l_orderkey repeats per line) would
+    * cross-multiply the classify join and drop or duplicate rows on
+    * apply. Non-unique collections are skipped LOUDLY here instead
+    * (migration is unaffected — its main-table write is a full
+    * overwrite, not id-keyed). Returns true when the sync ran. */
+  private[graft] def syncOne(spark: SparkSession, sfDir: String,
+      outDir: String, n: String): Boolean = {
+    val docs = docsFor(spark, sfDir, n)
+    val dups = docs.groupBy("_id")
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+      .limit(1).count() // early-out: one witness row decides
+    if (dups > 0) {
+      println(s"$n: SKIPPED — adopted _id is not unique; incremental " +
+        "sync would corrupt an id-keyed merge (pick a collection with " +
+        "a unique key, or migrate instead)")
+      false
+    } else {
+      MigrationWorkflow.incrementalMigration(spark, docs,
+          MigrationConfig(n, outDir)) match {
         case Left(r) => println(s"$n: fell back to full: ${r.rowCounts}")
         case Right(r) => println(s"$n: new=${r.newDocs} " +
           s"updated=${r.updated} deleted=${r.deleted} " +
           s"unchanged=${r.unchanged}")
       }
+      true
     }
+  }
+
+  private def sync(spark: SparkSession, sfDir: String, outDir: String,
+      names: Seq[String]): Unit =
+    names.foreach(n => syncOne(spark, sfDir, outDir, n): Unit)
 
   /** Returns false to exit the loop. `choice` may carry an argument after
     * a space (e.g. "3 odocs", "4 odocs,nation"). Exposed for testing. */

@@ -1000,6 +1000,26 @@ class SamplingAndRepetitionSpec extends SparkSpec {
       df.withColumnRenamed("key", "ntile"), "g", "ntile", "id", 3))
   }
 
+  test("doremi weights: pathological excess clamps at exponent 13 instead " +
+      "of overflowing int64") {
+    // source 'hard' carries an absurd 1e12-micro-bit cross entropy —
+    // unclamped, exp(~0.1 * 5e5 bits) is Infinity, floor()→Long.MaxValue
+    // under non-ANSI eval and 10000L*w_nano wraps to garbage bp
+    val per = Seq(
+      ("hard", 10L, 1000000000000000L, 1000L),
+      ("easy", 10L, 1000L, 1000L))
+      .toDF("source", "n_docs", "__sn", "sum_n_bigrams")
+    val w = Sampling.doremiWeightsFromState(per)
+      .select("source", "w_nano", "weight_bp")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    val capped = math.floor(math.exp(13.0) * 1e9).toLong
+    assert(w("hard")._1 == capped, w)             // clamped, not MaxValue
+    assert(w.values.forall { case (wn, bp) =>
+      wn >= 0 && bp >= 0 && bp <= 10000 }, w)     // no wrapped division
+    assert(w.values.map(_._2).sum <= 10000L, w)
+  }
+
   test("samp_pack_curriculum is run-to-run deterministic within a session " +
       "— cold, and again after heavy memo-building work") {
     // round-10 driver recorded a hash_match:false for this capstone that

@@ -400,15 +400,19 @@ def doremi_per_source():
     return {s: (int(m), int(n)) for s, m, n in rows}
 
 
-def doremi_w_expected(per):
-    """source -> candidate w_nano set (exp is 1-ulp tolerant)."""
+def doremi_w_expected(per, eta_micro):
+    """source -> candidate w_nano set (exp is 1-ulp tolerant). eta comes
+    from the registered lit rows, not a hardcode; the exponent clamp
+    (excess_micro capped where eta*excess = 13, Sampling's
+    DoremiMaxExponentPico) mirrors the engine's int64-overflow guard."""
     tn = sum(m for m, n in per.values())
     tb = sum(n for m, n in per.values())
     corpus_ce = tn // tb
+    cap = 13_000_000_000_000 // eta_micro
     out = {}
     for s, (m, n) in per.items():
-        excess = max(m // n - corpus_ce, 0)
-        w = math.exp((excess / 1e6) * (100000 / 1e6))
+        excess = min(max(m // n - corpus_ce, 0), cap)
+        w = math.exp((excess / 1e6) * (eta_micro / 1e6))
         out[s] = {math.floor(x * 1e9) for x in ulp_neighbors(w)}
     return out
 
@@ -419,18 +423,22 @@ def check_doremi(frag, errs):
     the corpus mean by pure integer arithmetic, then ONE exp per source
     (eta = 0.1) floor-quantized to nano — 1-ulp tolerant like the other
     ln/exp families."""
-    pairs = re.findall(r"\('((?:[^']|'')*)', CAST\((\d+) AS BIGINT\)\)",
-                       frag)
-    if not pairs:
-        errs.append("no (source, w_nano) pairs parsed")
+    rows = re.findall(
+        r"\('((?:[^']|'')*)', CAST\((\d+) AS BIGINT\), (\d+)\)", frag)
+    if not rows:
+        errs.append("no (source, w_nano, eta_micro) rows parsed")
+        return
+    etas = {int(e) for _, _, e in rows}
+    if len(etas) != 1:
+        errs.append(f"mixed eta_micro across rows: {sorted(etas)}")
         return
     per = doremi_per_source()
-    got = {s.replace("''", "'"): int(w) for s, w in pairs}
+    got = {s.replace("''", "'"): int(w) for s, w, _ in rows}
     if set(got) != set(per):
         errs.append(f"source sets differ: lits={sorted(got)} "
                     f"data={sorted(per)}")
         return
-    expected = doremi_w_expected(per)
+    expected = doremi_w_expected(per, etas.pop())
     for s in sorted(per):
         if got[s] not in expected[s]:
             errs.append(f"w_nano[{s}]: engine={got[s]} "
@@ -444,15 +452,20 @@ def check_doremi_plan(frag, errs):
     from the registered bps — everything after the exp must match
     EXACTLY."""
     quads = re.findall(
-        r"\('((?:[^']|'')*)', CAST\((\d+) AS BIGINT\), (\d+), (\d+)\)",
+        r"\('((?:[^']|'')*)', CAST\((\d+) AS BIGINT\), (\d+), (\d+), "
+        r"(\d+)\)",
         frag)
     if not quads:
-        errs.append("no (source, w_nano, weight_bp, alloc) rows parsed")
+        errs.append("no (source, w_nano, weight_bp, alloc, eta) rows parsed")
+        return
+    etas = {int(e) for _, _, _, _, e in quads}
+    if len(etas) != 1:
+        errs.append(f"mixed eta_micro across rows: {sorted(etas)}")
         return
     got = {s.replace("''", "'"): (int(w), int(bp), int(al))
-           for s, w, bp, al in quads}
+           for s, w, bp, al, _ in quads}
     per = doremi_per_source()
-    expected = doremi_w_expected(per)
+    expected = doremi_w_expected(per, etas.pop())
     avail = dict(con.sql(
         f"SELECT source, CAST(sum(len({TOKS})) AS BIGINT) "
         "FROM documents GROUP BY 1").fetchall())
