@@ -185,4 +185,75 @@ object RelationalModel {
 
     main +: (nestedTables ++ arrayTables)
   }
+
+  /** Static-schema model compiler — the SYNC-side twin of [[compile]]:
+    * derives the same table layout (names, kinds, source paths, fk wiring,
+    * column order) from a document DataFrame's StructType alone. Plan-time
+    * metadata, no profiling scan — the decompose-aware incremental sync
+    * re-decomposes changed documents without re-analyzing the source,
+    * preserving the reference's no-per-sync-profile property (its sync
+    * reads the target column list instead, Sync.ps1:411) while extending
+    * it to the child tables [[compile]]-driven migration populates (Q3
+    * fixed). Differences from [[compile]], both irrelevant to the data
+    * path: nullability comes from the schema writer, and maxLen is
+    * unknown (both only affect rendered DDL, which sync never emits).
+    * Array element types come from the static element type rather than a
+    * sampled election. */
+  def fromSchema(schema: org.apache.spark.sql.types.StructType,
+      collection: String): Seq[TableSpec] = {
+    import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+    def scalar(f: StructField): Boolean =
+      !f.dataType.isInstanceOf[StructType] &&
+        !f.dataType.isInstanceOf[ArrayType]
+    def colSpec(name: String, f: StructField): ColumnSpec =
+      ColumnSpec(name, InferredType.of(f.dataType), f.nullable,
+        isId = name == "_id")
+    // every (dotted-path, field) reachable OUTSIDE array elements — the
+    // same domain compile()'s nestedRoots/arrayRoots classify over
+    def walk(prefix: String, st: StructType): Seq[(String, StructField)] =
+      st.fields.toSeq.flatMap { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        (p, f) +: (f.dataType match {
+          case s: StructType => walk(p, s)
+          case _ => Seq.empty
+        })
+      }
+    val all = walk("", schema)
+    val fk = Some(s"${collection}__id")
+    val mainCols = schema.fields.toSeq.filter(scalar).sortBy(_.name)
+    val main = TableSpec(collection, TableKind.Main, "",
+      mainCols.map(f => colSpec(f.name, f)),
+      primaryKey = if (mainCols.exists(_.name == "_id")) Some("_id") else None,
+      fkColumn = None, parentTable = None)
+    val nestedTables = all
+      .collect { case (p, f) if f.dataType.isInstanceOf[StructType] =>
+        (p, f.dataType.asInstanceOf[StructType]) }
+      .sortBy(_._1).map { case (p, st) =>
+        TableSpec(childTableName(collection, p), TableKind.Nested, p,
+          st.fields.toSeq.filter(scalar).sortBy(_.name)
+            .map(f => colSpec(f.name, f)),
+          primaryKey = None, fkColumn = fk, parentTable = Some(collection))
+      }
+    val arrayTables = all
+      .collect { case (p, f) if f.dataType.isInstanceOf[ArrayType] =>
+        (p, f.dataType.asInstanceOf[ArrayType]) }
+      .sortBy(_._1).map { case (p, at) =>
+        at.elementType match {
+          case st: StructType =>
+            TableSpec(childTableName(collection, p),
+              TableKind.ArrayOfObjects, p,
+              st.fields.toSeq.filter(scalar).sortBy(_.name)
+                .map(f => colSpec(f.name, f)),
+              primaryKey = None, fkColumn = fk,
+              parentTable = Some(collection))
+          case et =>
+            TableSpec(childTableName(collection, p),
+              TableKind.ArrayOfPrimitives, p,
+              Seq(ColumnSpec("value", InferredType.of(et), nullable = true)),
+              primaryKey = None, fkColumn = fk,
+              parentTable = Some(collection))
+        }
+      }
+    main +: (nestedTables ++ arrayTables)
+  }
 }

@@ -24,6 +24,23 @@ case class SyncResult(
   * sort-merge, and at 100 TB both sides shuffle once on `_id` and stream —
   * nothing ever collects to the driver.
   */
+/** One child table to keep in LOCKSTEP with the main-table sync (the
+  * decompose-aware extension, round-11 verdict item 2): the reference's
+  * sync is main-table-only (Sync.ps1:543-718) but this engine fixed quirk
+  * Q3 and populates child tables at full migration — without this, every
+  * sync left them silently stale (an updated document's array edit never
+  * landed; a deleted document stranded orphaned child rows).
+  *
+  * `rows(parentIds)` re-decomposes the CURRENT documents restricted to the
+  * given parent ids into this child's rows (a [[graft.decompose.Decomposer]]
+  * extractor behind a semi-join); `fkColumn` is the parent-id column the
+  * child is keyed on. The sync applies each child as delete-then-insert
+  * scoped to the changed parent ids — the child-table form of MERGE, and in
+  * the partitioned mode the child shares the parent's id-hash bucketing, so
+  * the changed-bucket-only I/O contract carries over unchanged. */
+case class ChildSync(targetPath: String, fkColumn: String,
+    rows: DataFrame => DataFrame)
+
 object IncrementalSync {
   val ChangeNew = "new"
   val ChangeUpdated = "updated"
@@ -65,6 +82,103 @@ object IncrementalSync {
     classified.filter(col("change_type") =!= ChangeDeleted)
       .select(col("_id"), col(hashCol).as("hash"))
 
+  /** A source already carrying `hashCol` is trusted verbatim — the caller
+    * chose the canon (e.g. [[DocHash.fullDocHash]] over the full document,
+    * so array/nested edits are visible to a decompose-aware sync with
+    * [[ChildSync]] children); otherwise the reference's flat-field canon
+    * applies. Switching canons against existing state self-heals: every
+    * doc classifies `updated` exactly once, then converges. */
+  private def currentWithHash(source: DataFrame, hashCol: String): DataFrame =
+    if (source.columns.contains(hashCol)) source
+    else DocHash.withDocHash(source, hashCol)
+
+  /** Apply one sync's change set to the child tables (whole-table-swap
+    * form, the [[run]] mode): every changed parent's child rows (updated,
+    * AND deleted — orphan cleanup) are dropped, the re-decomposed rows of
+    * new/updated parents inserted; untouched parents' rows pass through
+    * the same single anti-join. A child table missing on disk bootstraps
+    * from ALL surviving parent ids. Runs AFTER the main-table write, so a
+    * reader always sees main-table changes no later than child changes
+    * (the FK direction that never fabricates orphans: a child row's
+    * parent is already live). */
+  private def applyChildren(spark: SparkSession, classified: DataFrame,
+      children: Seq[ChildSync]): Unit = {
+    if (children.isEmpty) return
+    val changedIds = classified
+      .filter(col("change_type") =!= ChangeUnchanged).select("_id")
+    val upsertIds = classified
+      .filter(col("change_type").isin(ChangeNew, ChangeUpdated)).select("_id")
+    val allIds = classified
+      .filter(col("change_type") =!= ChangeDeleted).select("_id")
+    children.foreach { ch =>
+      val fs = new Path(ch.targetPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val exists = fs.exists(new Path(ch.targetPath))
+      val newRows = ch.rows(if (exists) upsertIds else allIds)
+      val merged =
+        if (!exists) newRows
+        else {
+          val kept = spark.read.parquet(ch.targetPath)
+            .join(changedIds.withColumnRenamed("_id", ch.fkColumn),
+              Seq(ch.fkColumn), "left_anti")
+          // S16 drift in either direction re-aligns both sides onto the
+          // superset schema before the union
+          if (Sinks.missingColumns(newRows.schema, kept.schema).nonEmpty ||
+              Sinks.missingColumns(kept.schema, newRows.schema).nonEmpty)
+            Sinks.mergeSchemas(kept, newRows)
+          else kept.unionByName(newRows)
+        }
+      Sinks.atomicOverwrite(spark, merged, ch.targetPath)
+    }
+  }
+
+  /** [[applyChildren]] in the changed-bucket-only layout (the
+    * [[runPartitioned]] mode): the child shares the PARENT-id hash
+    * bucketing (`__bucket = pmod(hash(fk), buckets)`, and fk IS the parent
+    * id), so the buckets churned by the main sync are exactly the buckets
+    * holding every affected child row — the pruned read, the staged
+    * rename-aside swap, and the crash protocol all carry over verbatim.
+    * A plain child table (fullMigration bootstrap) adopts the bucketed
+    * layout on its first sync, like the main table. */
+  private def applyChildPartitioned(spark: SparkSession, ch: ChildSync,
+      classified: DataFrame, changedBuckets: Seq[Int], buckets: Int,
+      bucketOf: Column => Column): Unit = {
+    val fs = new Path(ch.targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val changedIds = classified
+      .filter(col("change_type") =!= ChangeUnchanged).select("_id")
+    val upsertIds = classified
+      .filter(col("change_type").isin(ChangeNew, ChangeUpdated)).select("_id")
+    val allIds = classified
+      .filter(col("change_type") =!= ChangeDeleted).select("_id")
+    val (bucketed, legacy) = layoutOf(fs, ch.targetPath)
+    val hasData = bucketed || legacy.nonEmpty
+    val convert = !bucketed && legacy.nonEmpty
+    val newRows = ch.rows(if (hasData) upsertIds else allIds)
+    val drift = hasData && Sinks.missingColumns(newRows.schema,
+      spark.read.parquet(ch.targetPath).schema).nonEmpty
+    val rewrite =
+      if (drift || convert || !hasData) (0 until buckets).toSeq
+      else changedBuckets
+    val target0 =
+      if (!hasData) newRows.limit(0)
+      else if (convert) spark.read.parquet(ch.targetPath)
+      else if (drift) spark.read.parquet(ch.targetPath).drop("__bucket")
+      else spark.read.parquet(ch.targetPath)
+        .filter(col("__bucket").isin(changedBuckets: _*)).drop("__bucket")
+    val kept = target0.join(changedIds.withColumnRenamed("_id", ch.fkColumn),
+      Seq(ch.fkColumn), "left_anti")
+    val merged =
+      if (Sinks.missingColumns(newRows.schema, kept.schema).nonEmpty ||
+          Sinks.missingColumns(kept.schema, newRows.schema).nonEmpty)
+        Sinks.mergeSchemas(kept, newRows)
+      else kept.unionByName(newRows)
+    stageAndSwapBuckets(spark,
+      merged.withColumn("__bucket", bucketOf(col(ch.fkColumn))),
+      ch.targetPath, rewrite, legacy)
+    stampBucketCount(fs, ch.targetPath, buckets)
+  }
+
   /** [[run]] against BUCKETED catalog tables — the 100 TB shape promised in
     * SCALE.md: `targetTable` and `stateTable` are parquet tables
     * bucketed+sorted on `_id` with the same bucket count, so the J1 diff
@@ -91,7 +205,7 @@ object IncrementalSync {
       stateTable: String, buckets: Int,
       hashCol: String = "doc_hash"): SyncResult = {
     import graft.io.Bucketing
-    val current = DocHash.withDocHash(source, hashCol)
+    val current = currentWithHash(source, hashCol)
     val state =
       if (spark.catalog.tableExists(stateTable)) spark.table(stateTable)
       else StateStore.emptyState(spark)
@@ -176,7 +290,8 @@ object IncrementalSync {
     * catalog-table view-flip form for exchange-free diff joins. */
   def runPartitioned(spark: SparkSession, source: DataFrame,
       targetPath: String, statePath: String, buckets: Int,
-      hashCol: String = "doc_hash"): SyncResult = {
+      hashCol: String = "doc_hash",
+      children: Seq[ChildSync] = Seq.empty): SyncResult = {
     require(buckets >= 1, s"buckets must be positive: $buckets")
     // bucket from the STRING form of the key: the state table stores _id
     // as string, so hashing the cast keeps current/state/target rows of
@@ -190,12 +305,18 @@ object IncrementalSync {
     // as the pre-roll-forward protocol did, was silent permanent loss
     recoverStaging(fs, targetPath)
     recoverStaging(fs, statePath)
+    children.foreach { ch =>
+      val cfs = new Path(ch.targetPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverStaging(cfs, ch.targetPath)
+      verifyBucketCount(cfs, ch.targetPath, buckets)
+    }
     // bucket-count pin: __bucket is a pure function of (id, count), so a
     // different count would map ids to other buckets — the pruned read
     // misses their old rows while stale directories keep serving them
     verifyBucketCount(fs, targetPath, buckets)
     verifyBucketCount(fs, statePath, buckets)
-    val current = DocHash.withDocHash(source, hashCol)
+    val current = currentWithHash(source, hashCol)
     val state = {
       val st = StateStore.load(spark, statePath)
       if (st.columns.contains("__bucket")) st.drop("__bucket") else st
@@ -267,6 +388,11 @@ object IncrementalSync {
         // breaks first-sync schema inference and the bootstrap checks)
         stampBucketCount(fs, targetPath, buckets)
         stampBucketCount(fs, statePath, buckets)
+        // child tables ride the SAME changed-bucket set (fk = parent id,
+        // same hash), after the main write (FK direction: parent first)
+        children.foreach(ch =>
+          applyChildPartitioned(spark, ch, classified, changed, buckets,
+            bucketOf))
       }
       result
     } finally classified.unpersist()
@@ -439,8 +565,9 @@ object IncrementalSync {
     * SURVEY §2.10). The whole-table swap is the unbucketed LEGACY mode —
     * [[runPartitioned]] is the changed-bucket-only default at scale. */
   def run(spark: SparkSession, source: DataFrame, targetPath: String,
-      statePath: String, hashCol: String = "doc_hash"): SyncResult = {
-    val current = DocHash.withDocHash(source, hashCol)
+      statePath: String, hashCol: String = "doc_hash",
+      children: Seq[ChildSync] = Seq.empty): SyncResult = {
+    val current = currentWithHash(source, hashCol)
     val state = StateStore.load(spark, statePath)
     val classified = classify(current, state, hashCol).cache()
     try {
@@ -462,6 +589,7 @@ object IncrementalSync {
         .select("_id")
       val merged = Sinks.delete(Sinks.upsert(target, upserts, "_id"), deletes, "_id")
       Sinks.atomicOverwrite(spark, merged, targetPath)
+      applyChildren(spark, classified, children)
       StateStore.save(spark, nextState(classified, hashCol), statePath)
       result
     } finally classified.unpersist()

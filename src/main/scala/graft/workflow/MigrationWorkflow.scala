@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.decompose.Decomposer
 import graft.io.Sinks
-import graft.model.{RelationalModel, TableSpec}
+import graft.model.{RelationalModel, TableKind, TableSpec}
 import graft.profile.{SchemaProfile, SchemaProfiler}
 import graft.sync.IncrementalSync
 import graft.types.Dialect
@@ -26,7 +26,13 @@ case class MigrationConfig(
     // proportional to the churned key set, the 100 TB default. The first
     // bucketed sync adopts a plain fullMigration table in place. None
     // keeps the legacy whole-table swap.
-    syncBuckets: Option[Int] = None)
+    syncBuckets: Option[Int] = None,
+    // decompose-aware sync (round-11 verdict item 2): changed documents'
+    // CHILD tables (nested objects, arrays) merge in lockstep with the
+    // main table, and change detection hashes the FULL document so
+    // subtree-only edits are visible (Q5-fixed canon). false restores
+    // the reference's main-table-only sync + flat-field hash ABI.
+    syncChildTables: Boolean = true)
 
 /** O2/O5 result: per-phase outcome of one collection migration. */
 case class MigrationReport(
@@ -144,12 +150,35 @@ object MigrationWorkflow {
       // target's column list (SHOW COLUMNS, Sync.ps1:411) and flat-projects
       // documents. For a schema'd DataFrame the flat column set is static
       // schema metadata (identical to the profiled main-table spec: every
-      // scalar top-level field, sorted), so no per-sync profile pass runs.
+      // scalar top-level field, sorted), so no per-sync profile pass runs —
+      // and the CHILD tables' specs are equally static schema metadata
+      // (RelationalModel.fromSchema), so decompose-aware sync keeps the
+      // zero-profile property.
       import org.apache.spark.sql.types.{ArrayType, StructType}
       val flatCols = docs.schema.fields.toSeq.filter(f =>
         !f.dataType.isInstanceOf[StructType] &&
           !f.dataType.isInstanceOf[ArrayType]).map(_.name).sorted
-      val flat = docs.select(flatCols.map(col): _*)
+      val children =
+        if (!cfg.syncChildTables) Seq.empty
+        else RelationalModel.fromSchema(docs.schema, cfg.collection)
+          .filter(_.kind != TableKind.Main).map { spec =>
+            graft.sync.ChildSync(s"${cfg.outDir}/${spec.name}.parquet",
+              spec.fkColumn.get,
+              // re-decompose ONLY the requested parents: the semi-join
+              // restricts the document scan before the extractor runs,
+              // so child I/O is proportional to the churn, not the corpus
+              ids => Decomposer.decompose(
+                docs.join(ids.select("_id"), Seq("_id"), "left_semi"),
+                Seq(spec))(spec.name))
+          }
+      // change detection must SEE subtree edits when child tables sync:
+      // hash the FULL document (DocHash.fullDocHash, the Q5-fixed canon)
+      // and pass it through — IncrementalSync trusts a pre-hashed source.
+      // With child sync off, the reference's flat-only canon is preserved.
+      val flat =
+        if (children.isEmpty) docs.select(flatCols.map(col): _*)
+        else graft.sync.DocHash.fullDocHash(docs, "doc_hash")
+          .select((flatCols :+ "doc_hash").map(col): _*)
       val statePath = s"${cfg.outDir}/sync_state_${cfg.collection}.parquet"
       Right(cfg.syncBuckets match {
         // changed-bucket-only sync (SCALE.md's 100 TB write path): only
@@ -158,20 +187,37 @@ object MigrationWorkflow {
         // to the __bucket=K layout in place
         case Some(b) =>
           IncrementalSync.runPartitioned(spark, flat, targetPath,
-            statePath, b)
+            statePath, b, children = children)
         case None =>
-          IncrementalSync.run(spark, flat, targetPath, statePath)
+          IncrementalSync.run(spark, flat, targetPath, statePath,
+            children = children)
       })
     }
   }
 
   /** O4: validation-only pass (Invoke-ValidationOnly,
-    * MasterWorkflow.ps1:335-366). */
+    * MasterWorkflow.ps1:335-366). Child tables present on disk are
+    * cross-checked for referential integrity (Validator.fkIntegrity), so
+    * a stale child table — the failure a main-only sync used to leave
+    * silently — fails the status roll-up. */
   def validationOnly(spark: SparkSession, docs: DataFrame,
       cfg: MigrationConfig, compareFields: Seq[String]): DataFrame = {
-    val target = spark.read.parquet(s"${cfg.outDir}/${cfg.collection}.parquet")
+    // a bucketed layout surfaces its __bucket partition column on read —
+    // storage detail, not document content; drop it from validation
+    def readTable(p: String): DataFrame = {
+      val df = spark.read.parquet(p)
+      if (df.columns.contains("__bucket")) df.drop("__bucket") else df
+    }
+    val target = readTable(s"${cfg.outDir}/${cfg.collection}.parquet")
+    val fs = new Path(cfg.outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val children = RelationalModel.fromSchema(docs.schema, cfg.collection)
+      .filter(_.kind != TableKind.Main)
+      .map(spec => (s"${cfg.outDir}/${spec.name}.parquet", spec))
+      .filter { case (p, _) => fs.exists(new Path(p)) }
+      .map { case (p, spec) => (readTable(p), spec.fkColumn.get) }
     Validator.statusReport(docs.select(target.columns.map(col).toSeq: _*),
-      target, "_id", compareFields, cfg.validationSampleSize)
+      target, "_id", compareFields, cfg.validationSampleSize, children)
   }
 
   /** O4: schema-only pass (Invoke-SchemaOnly, MasterWorkflow.ps1:368-401). */

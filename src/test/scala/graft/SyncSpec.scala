@@ -137,6 +137,99 @@ class SyncSpec extends SparkSpec {
     assert(snap() == gone && readBack() == v3.toSet)
   }
 
+  test("decompose-aware sync (legacy mode): an array-only edit lands in " +
+      "the child table, a delete leaves no orphans, children bootstrap " +
+      "when missing") {
+    import graft.workflow.{MigrationConfig, MigrationWorkflow}
+    val out = java.nio.file.Files.createTempDirectory("graft_csync").toString
+    val docs = Tables.orderDocsWhere(spark, sfDir, k => k % 100 === 0)
+    val cfg = MigrationConfig("odocs", out)
+    MigrationWorkflow.incrementalMigration(spark, docs, cfg) // full bootstrap
+    MigrationWorkflow.incrementalMigration(spark, docs, cfg) // all-new
+    val ids = docs.select($"_id".cast("long")).as[Long].collect().sorted
+    val (minId, maxId) = (ids.head.toString, ids.last.toString)
+    val liBefore = spark.read.parquet(s"$out/odocs_lineitems.parquet")
+      .filter($"odocs__id" === minId).count()
+    assert(liBefore >= 1)
+    val v2 = docs.filter($"_id" =!= maxId)
+      .withColumn("lineitems",
+        when($"_id" === minId, slice($"lineitems", 1, 1))
+          .otherwise($"lineitems"))
+    val r = MigrationWorkflow.incrementalMigration(spark, v2, cfg)
+      .toOption.get
+    // the array-only edit is VISIBLE (full-doc canon) and applied
+    assert(r.updated == 1 && r.deleted == 1)
+    val li = spark.read.parquet(s"$out/odocs_lineitems.parquet")
+    assert(li.filter($"odocs__id" === minId).count() == 1)
+    assert(li.filter($"odocs__id" === maxId).count() == 0)
+    val main = spark.read.parquet(s"$out/odocs.parquet")
+    assert(li.join(main.select($"_id".as("odocs__id")),
+      Seq("odocs__id"), "left_anti").count() == 0)
+    // child table missing on disk → next sync bootstraps it in full
+    val tagsPath = new java.io.File(s"$out/odocs_tags.parquet")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(tagsPath)
+    assert(!tagsPath.exists())
+    MigrationWorkflow.incrementalMigration(spark, v2, cfg) // all-unchanged
+    assert(spark.read.parquet(s"$out/odocs_tags.parquet").count() ==
+      2 * (ids.length - 1))
+  }
+
+  test("decompose-aware sync (bucketed mode): children share the parent's " +
+      "changed-bucket pruning — untouched child buckets byte-identical") {
+    import graft.workflow.{MigrationConfig, MigrationWorkflow}
+    val out = java.nio.file.Files.createTempDirectory("graft_cbsync").toString
+    val docs = Tables.orderDocsWhere(spark, sfDir, k => k % 100 === 0)
+    val nB = 4
+    val cfg = MigrationConfig("odocs", out, syncBuckets = Some(nB))
+    MigrationWorkflow.incrementalMigration(spark, docs, cfg) // full bootstrap
+    MigrationWorkflow.incrementalMigration(spark, docs, cfg) // adopt layout
+    MigrationWorkflow.incrementalMigration(spark, docs, cfg) // steady
+    def snap(table: String): Map[String, Set[(String, Long, Long)]] = {
+      val root = new java.io.File(s"$out/$table.parquet")
+      root.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("__bucket=")).map { d =>
+        d.getName -> d.listFiles().filterNot(_.getName.startsWith("."))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      }.toMap
+    }
+    val before = snap("odocs_lineitems")
+    assert(before.nonEmpty, "child table was not adopted into buckets")
+    assert(new java.io.File(s"$out/odocs_lineitems.parquet/_graft_buckets")
+      .exists(), "child bucket count not stamped")
+    val minId = docs.agg(min($"_id".cast("long"))).head().getLong(0).toString
+    val hotBucket = Seq(minId).toDF("_id")
+      .select(pmod(hash($"_id".cast("string")), lit(nB))).head().getInt(0)
+    val v2 = docs.withColumn("lineitems",
+      when($"_id" === minId, slice($"lineitems", 1, 1))
+        .otherwise($"lineitems"))
+    val r = MigrationWorkflow.incrementalMigration(spark, v2, cfg)
+      .toOption.get
+    assert(r.updated == 1, r)
+    val after = snap("odocs_lineitems")
+    for ((d, files) <- before if d != s"__bucket=$hotBucket")
+      assert(after(d) == files, s"untouched child bucket rewritten: $d")
+    assert(after(s"__bucket=$hotBucket") != before(s"__bucket=$hotBucket"),
+      "churned child bucket not rewritten")
+    val li = spark.read.parquet(s"$out/odocs_lineitems.parquet")
+    assert(li.filter($"odocs__id" === minId).count() == 1)
+  }
+
+  test("fromSchema derives the same model layout as the profiled compile") {
+    import graft.model.RelationalModel
+    val docs = Tables.orderDocsWhere(spark, sfDir, k => k % 100 === 0)
+    val profiled = RelationalModel.compile(
+      graft.profile.SchemaProfiler.collectProfile(docs), "odocs")
+    val static = RelationalModel.fromSchema(docs.schema, "odocs")
+    def shape(m: Seq[graft.model.TableSpec]) =
+      m.map(t => (t.name, t.kind.toString, t.sourcePath, t.fkColumn,
+        t.parentTable, t.columns.map(_.name))).sortBy(_._1)
+    assert(shape(static) == shape(profiled))
+  }
+
   test("runPartitioned crash recovery: a committed staging dir rolls " +
       "FORWARD on the next run; a manifest-less orphan is discarded; " +
       "a changed bucket count fails loudly") {

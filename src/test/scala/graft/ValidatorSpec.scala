@@ -81,6 +81,48 @@ class ValidatorSpec extends SparkSpec {
     assert(rep.getAs[String]("status") == "PASSED")
   }
 
+  test("V3 FK suite: orphans, missing children, array_index gaps — each " +
+      "caught by exactly one check; clean tables report all-zero") {
+    val parent = Seq("1", "2", "3").toDF("_id")
+    val clean = Seq(
+      ("1", 0L, "a"), ("1", 1L, "b"), ("2", 0L, "c"))
+      .toDF("fk", "array_index", "v")
+    val expected = Seq("1", "2").toDF("_id") // 3 never had children
+    def run(child: org.apache.spark.sql.DataFrame) =
+      Validator.fkIntegrity(parent, child, "_id", "fk", Some(expected))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run(clean) == Map("orphaned_child_rows" -> 0L,
+      "missing_children" -> 0L, "array_index_gaps" -> 0L))
+    // ghost fk → orphan; drop id 2's rows → missing; shift id 1 → gap
+    val bad = Seq(
+      ("1", 1L, "a"), ("1", 2L, "b"), ("9", 0L, "ghost"))
+      .toDF("fk", "array_index", "v")
+    assert(run(bad) == Map("orphaned_child_rows" -> 1L,
+      "missing_children" -> 1L, "array_index_gaps" -> 1L))
+    // no array_index column (nested-object child) → gap check is 0
+    val nested = Seq(("1", "x")).toDF("fk", "v")
+    assert(run(nested)("array_index_gaps") == 0L)
+    // no expectation frame → missing_children is 0 by construction
+    val noExp = Validator.fkIntegrity(parent, bad, "_id", "fk")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(noExp("missing_children") == 0L)
+  }
+
+  test("V4: statusReport fails on a stale child table (orphaned rows " +
+      "count as integrity issues)") {
+    val df = (1 to 20).map(i => (i.toString, s"n$i")).toDF("_id", "name")
+    val staleChild = Seq(("99", 0L, "orphan")).toDF("fk", "array_index", "v")
+    val rep = Validator.statusReport(df, df, "_id", Seq("name"),
+      children = Seq((staleChild, "fk"))).head()
+    assert(rep.getAs[Long]("integrity_issues") == 1L)
+    assert(rep.getAs[String]("status") != "PASSED")
+    // and a consistent child keeps the report PASSED
+    val okChild = df.select($"_id".as("fk"), lit(0L).as("array_index"))
+    val ok = Validator.statusReport(df, df, "_id", Seq("name"),
+      children = Seq((okChild, "fk"))).head()
+    assert(ok.getAs[String]("status") == "PASSED")
+  }
+
   test("V4: source smaller than sampleSize reports no phantom passes") {
     // 3 rows, all mismatching, sampleSize 10 — must be FAILED, not PARTIAL
     val src = Seq(("1", "a"), ("2", "b"), ("3", "c")).toDF("_id", "name")
