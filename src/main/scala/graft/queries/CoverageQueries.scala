@@ -330,6 +330,49 @@ object CoverageQueries {
         .toDF("metric", "value").orderBy("metric")
     }),
 
+    // §2.10 + round-11 verdict item 5: the streaming MERGE path keeps
+    // child tables in lockstep too (capability parity with the batch
+    // workflow's decompose-aware sync). Bootstrap split across two
+    // micro-batches, then an array-only churn of one doc in a third;
+    // the stream's no-delete rule holds — every earlier doc's children
+    // survive, so orphans stay zero by the FK direction, not by luck
+    "st_sync_children_update" -> ((s, d) => {
+      import s.implicits._
+      val out = Files.createTempDirectory("graft_stc").toString
+      val target = s"$out/odocs.parquet"
+      val state = s"$out/sync_state_odocs.parquet"
+      val docs = docsSubset(s, d).cache()
+      val mk: DataFrame => Seq[graft.sync.ChildSync] =
+        cur => graft.sync.ChildSync.forSchema(cur, "odocs", out)
+      val b0 = docs.filter(col("_id").cast("long") % 20 === 0)
+      val b1 = docs.filter(col("_id").cast("long") % 20 =!= 0)
+      graft.streaming.StreamSync.applyBatch(s, b0, target, state,
+        childrenFor = Some(mk))
+      graft.streaming.StreamSync.applyBatch(s, b1, target, state,
+        childrenFor = Some(mk))
+      val minId = docs.agg(min(col("_id").cast("long"))).head()
+        .getLong(0).toString
+      val v2 = docs.filter(col("_id") === minId)
+        .withColumn("lineitems", slice(col("lineitems"), 1, 1))
+      val r = graft.streaming.StreamSync.applyBatch(s, v2, target, state,
+        childrenFor = Some(mk))
+      docs.unpersist()
+      val main = s.read.parquet(target)
+      val li = s.read.parquet(s"$out/odocs_lineitems.parquet")
+      val tg = s.read.parquet(s"$out/odocs_tags.parquet")
+      val orphans = li.join(main.select(col("_id").as("odocs__id")),
+        Seq("odocs__id"), "left_anti").count()
+      Seq(
+        ("b2_updated", r.updated),
+        ("lineitem_rows", li.count()),
+        ("main_rows", main.count()),
+        ("orphaned_lineitems", orphans),
+        ("tags_rows", tg.count()),
+        ("updated_doc_lineitems",
+          li.filter(col("odocs__id") === minId).count()))
+        .toDF("metric", "value").orderBy("metric")
+    }),
+
     // V3 extension (round-11 verdict item 3): cross-table FK integrity —
     // clean counts on a fresh migration, then three injected corruptions
     // (a parent stripped of its child rows, a ghost-fk orphan row, a
@@ -506,6 +549,21 @@ object CoverageQueries {
          |  ('orphaned_lineitems', 0),
          |  ('tags_rows', 2 * ($subsetCount - 1)),
          |  ('updated', 1),
+         |  ('updated_doc_lineitems', 1))
+         |AS t(metric, value) ORDER BY metric""".stripMargin
+    },
+
+    // stream rule: nothing deletes, so totals cover the whole subset;
+    // only the churned doc's lineitems shrink to the sliced single row
+    "st_sync_children_update" -> {
+      val minK = "(SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 10 = 0)"
+      s"""SELECT * FROM (VALUES
+         |  ('b2_updated', 1),
+         |  ('lineitem_rows', (SELECT count(*) FROM lineitem
+         |     WHERE l_orderkey % 10 = 0 AND l_orderkey <> $minK) + 1),
+         |  ('main_rows', $subsetCount),
+         |  ('orphaned_lineitems', 0),
+         |  ('tags_rows', 2 * $subsetCount),
          |  ('updated_doc_lineitems', 1))
          |AS t(metric, value) ORDER BY metric""".stripMargin
     },

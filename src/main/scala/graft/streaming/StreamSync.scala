@@ -26,9 +26,20 @@ object StreamSync {
     * sequence number); without it the tie-break falls back to the hash —
     * deterministic but with NO temporal meaning, so a backlogged batch can
     * apply an older version. Prefer feeding one snapshot per batch or
-    * providing `versionCol`. */
+    * providing `versionCol`.
+    *
+    * `childrenFor` (decompose-aware streaming, the batch workflow's
+    * ChildSync surface): given the DEDUPED current batch (newest version
+    * per id), returns the child tables to merge in lockstep —
+    * [[graft.sync.ChildSync.forSchema]] is the standard factory. When set,
+    * the content hash covers the FULL document (arrays/nested included)
+    * so subtree-only edits classify as updated; stream semantics carry
+    * over to children: absent-from-batch ≠ deleted, so child rows are
+    * replaced only for parents present in the batch. */
   def applyBatch(spark: SparkSession, batch: DataFrame, targetPath: String,
-      statePath: String, versionCol: Option[String] = None): graft.sync.SyncResult = {
+      statePath: String, versionCol: Option[String] = None,
+      childrenFor: Option[DataFrame => Seq[graft.sync.ChildSync]] = None)
+      : graft.sync.SyncResult = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number}
     val order = versionCol match {
@@ -38,7 +49,11 @@ object StreamSync {
     val w = Window.partitionBy("_id").orderBy(order: _*)
     // the version column orders rows but is NOT part of the content hash —
     // a fresh export stamp must not mark unchanged docs as updated
-    val current = DocHash.withDocHash(batch, exclude = versionCol.toSet)
+    val hashed =
+      if (childrenFor.isDefined)
+        DocHash.fullDocHash(batch, exclude = versionCol.toSet)
+      else DocHash.withDocHash(batch, exclude = versionCol.toSet)
+    val current = hashed
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val state = StateStore.load(spark, statePath)
@@ -60,6 +75,15 @@ object StreamSync {
           spark.read.parquet(targetPath)
         else batch.limit(0)
       Sinks.atomicOverwrite(spark, Sinks.upsert(target, upserts, "_id"), targetPath)
+      // child tables merge AFTER the main write (FK direction: parent
+      // first); the stream's no-delete rule holds — only parents present
+      // in this batch have their child rows replaced
+      childrenFor.foreach { mk =>
+        IncrementalSync.applyChildren(spark,
+          classified.filter(col("change_type") =!=
+            IncrementalSync.ChangeDeleted), mk(current),
+          hasChanges = result.newDocs + result.updated > 0)
+      }
       // carry previous hashes forward for ids not present in this batch
       // (anti-join against CURRENT ids — classified also holds state-only rows)
       val currentIds = classified
@@ -76,14 +100,17 @@ object StreamSync {
     * of parquet snapshot files; new files become micro-batches. */
   def runAvailableNow(spark: SparkSession, sourceDir: String,
       targetPath: String, statePath: String, checkpoint: String,
-      schema: Option[StructType] = None): Unit =
+      schema: Option[StructType] = None,
+      childrenFor: Option[DataFrame => Seq[graft.sync.ChildSync]] = None)
+      : Unit =
     StreamSource.schemaFor(spark, sourceDir, schema).foreach { sch =>
       val stream = spark.readStream.schema(sch).parquet(sourceDir)
       val q = stream.writeStream
         .outputMode("update")
         .option("checkpointLocation", checkpoint)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          applyBatch(batch.sparkSession, batch, targetPath, statePath): Unit
+          applyBatch(batch.sparkSession, batch, targetPath, statePath,
+            childrenFor = childrenFor): Unit
         }
         .trigger(Trigger.AvailableNow())
         .start()

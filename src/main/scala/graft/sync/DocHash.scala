@@ -52,8 +52,10 @@ object DocHash {
     * subtrees are visible to sync. Not state-compatible with the reference's
     * flat-only canon; choose per deployment (`--hash-flat-only` semantics,
     * SURVEY §4.3 Q5). */
-  def fullDocHash(df: DataFrame, hashCol: String = "doc_hash"): DataFrame = {
-    val cols = df.columns.filterNot(_ == hashCol).sorted.toSeq
+  def fullDocHash(df: DataFrame, hashCol: String = "doc_hash",
+      exclude: Set[String] = Set.empty): DataFrame = {
+    val cols = df.columns.filterNot(c => c == hashCol || exclude(c))
+      .sorted.toSeq
     val canon = struct(cols.map { c =>
       val f = df.schema(c)
       val v = f.dataType.typeName match {

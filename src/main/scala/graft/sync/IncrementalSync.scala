@@ -41,6 +41,26 @@ case class SyncResult(
 case class ChildSync(targetPath: String, fkColumn: String,
     rows: DataFrame => DataFrame)
 
+object ChildSync {
+  /** The decompose-aware child set for a document frame, derived from its
+    * STATIC schema (RelationalModel.fromSchema — no profiling scan): one
+    * [[ChildSync]] per child table under `outDir`, each re-decomposing
+    * only the requested parent ids (semi-join pushed below the extractor,
+    * so child I/O is proportional to the churn). Shared by the batch
+    * workflow (MigrationWorkflow.incrementalMigration) and the streaming
+    * MERGE path (StreamSync) so the two sync surfaces stay
+    * capability-equal. */
+  def forSchema(docs: DataFrame, collection: String,
+      outDir: String): Seq[ChildSync] =
+    graft.model.RelationalModel.fromSchema(docs.schema, collection)
+      .filter(_.kind != graft.model.TableKind.Main).map { spec =>
+        ChildSync(s"$outDir/${spec.name}.parquet", spec.fkColumn.get,
+          ids => graft.decompose.Decomposer.decompose(
+            docs.join(ids.select("_id"), Seq("_id"), "left_semi"),
+            Seq(spec))(spec.name))
+      }
+}
+
 object IncrementalSync {
   val ChangeNew = "new"
   val ChangeUpdated = "updated"
@@ -101,8 +121,9 @@ object IncrementalSync {
     * reader always sees main-table changes no later than child changes
     * (the FK direction that never fabricates orphans: a child row's
     * parent is already live). */
-  private def applyChildren(spark: SparkSession, classified: DataFrame,
-      children: Seq[ChildSync]): Unit = {
+  private[graft] def applyChildren(spark: SparkSession,
+      classified: DataFrame, children: Seq[ChildSync],
+      hasChanges: Boolean = true): Unit = {
     if (children.isEmpty) return
     val changedIds = classified
       .filter(col("change_type") =!= ChangeUnchanged).select("_id")
@@ -114,21 +135,26 @@ object IncrementalSync {
       val fs = new Path(ch.targetPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val exists = fs.exists(new Path(ch.targetPath))
-      val newRows = ch.rows(if (exists) upsertIds else allIds)
-      val merged =
-        if (!exists) newRows
-        else {
-          val kept = spark.read.parquet(ch.targetPath)
-            .join(changedIds.withColumnRenamed("_id", ch.fkColumn),
-              Seq(ch.fkColumn), "left_anti")
-          // S16 drift in either direction re-aligns both sides onto the
-          // superset schema before the union
-          if (Sinks.missingColumns(newRows.schema, kept.schema).nonEmpty ||
-              Sinks.missingColumns(kept.schema, newRows.schema).nonEmpty)
-            Sinks.mergeSchemas(kept, newRows)
-          else kept.unionByName(newRows)
-        }
-      Sinks.atomicOverwrite(spark, merged, ch.targetPath)
+      // a no-change sync leaves existing child tables byte-untouched
+      // (same contract as the main table's changed-bucket scoping); a
+      // MISSING child still bootstraps so a pre-child-sync layout heals
+      if (!exists || hasChanges) {
+        val newRows = ch.rows(if (exists) upsertIds else allIds)
+        val merged =
+          if (!exists) newRows
+          else {
+            val kept = spark.read.parquet(ch.targetPath)
+              .join(changedIds.withColumnRenamed("_id", ch.fkColumn),
+                Seq(ch.fkColumn), "left_anti")
+            // S16 drift in either direction re-aligns both sides onto the
+            // superset schema before the union
+            if (Sinks.missingColumns(newRows.schema, kept.schema).nonEmpty ||
+                Sinks.missingColumns(kept.schema, newRows.schema).nonEmpty)
+              Sinks.mergeSchemas(kept, newRows)
+            else kept.unionByName(newRows)
+          }
+        Sinks.atomicOverwrite(spark, merged, ch.targetPath)
+      }
     }
   }
 
@@ -589,7 +615,8 @@ object IncrementalSync {
         .select("_id")
       val merged = Sinks.delete(Sinks.upsert(target, upserts, "_id"), deletes, "_id")
       Sinks.atomicOverwrite(spark, merged, targetPath)
-      applyChildren(spark, classified, children)
+      applyChildren(spark, classified, children,
+        hasChanges = result.totalProcessed > 0)
       StateStore.save(spark, nextState(classified, hashCol), statePath)
       result
     } finally classified.unpersist()

@@ -160,17 +160,7 @@ object MigrationWorkflow {
           !f.dataType.isInstanceOf[ArrayType]).map(_.name).sorted
       val children =
         if (!cfg.syncChildTables) Seq.empty
-        else RelationalModel.fromSchema(docs.schema, cfg.collection)
-          .filter(_.kind != TableKind.Main).map { spec =>
-            graft.sync.ChildSync(s"${cfg.outDir}/${spec.name}.parquet",
-              spec.fkColumn.get,
-              // re-decompose ONLY the requested parents: the semi-join
-              // restricts the document scan before the extractor runs,
-              // so child I/O is proportional to the churn, not the corpus
-              ids => Decomposer.decompose(
-                docs.join(ids.select("_id"), Seq("_id"), "left_semi"),
-                Seq(spec))(spec.name))
-          }
+        else graft.sync.ChildSync.forSchema(docs, cfg.collection, cfg.outDir)
       // change detection must SEE subtree edits when child tables sync:
       // hash the FULL document (DocHash.fullDocHash, the Q5-fixed canon)
       // and pass it through — IncrementalSync trusts a pre-hashed source.

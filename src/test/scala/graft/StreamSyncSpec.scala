@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.streaming.StreamSync
 
 /** §2.10: foreachBatch MERGE sync — snapshots arriving as stream files are
@@ -57,5 +59,44 @@ class StreamSyncSpec extends SparkSpec {
     val replayed = spark.read.parquet(target).orderBy("_id")
       .as[(String, String, Long)].collect().toSet
     assert(replayed.map(_._1) == Set("1", "2", "3"))
+  }
+
+  test("decompose-aware streaming: child tables merge per batch; an " +
+      "unchanged batch leaves them byte-untouched; array churn lands") {
+    import graft.sync.ChildSync
+    val out = java.nio.file.Files.createTempDirectory("graft_ssc").toString
+    val target = s"$out/odocs.parquet"
+    val state = s"$out/sync_state_odocs.parquet"
+    val docs = Tables.orderDocsWhere(spark, sfDir, k => k % 100 === 0)
+    val mk: org.apache.spark.sql.DataFrame => Seq[ChildSync] =
+      cur => ChildSync.forSchema(cur, "odocs", out)
+    val r0 = StreamSync.applyBatch(spark, docs, target, state,
+      childrenFor = Some(mk))
+    assert(r0.newDocs > 0)
+    def liSnap(): Set[(String, Long, Long)] =
+      new java.io.File(s"$out/odocs_lineitems.parquet").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val before = liSnap()
+    assert(before.nonEmpty)
+    // unchanged batch: no child rewrite at all (file-level no-op)
+    val r1 = StreamSync.applyBatch(spark, docs, target, state,
+      childrenFor = Some(mk))
+    assert(r1.unchanged > 0 && r1.updated == 0 && r1.newDocs == 0)
+    assert(liSnap() == before, "unchanged batch rewrote a child table")
+    // array-only churn of one doc: visible (full-doc canon) and applied
+    val minId = docs.agg(min($"_id".cast("long"))).head().getLong(0).toString
+    val v2 = docs.filter($"_id" === minId)
+      .withColumn("lineitems", slice($"lineitems", 1, 1))
+    val r2 = StreamSync.applyBatch(spark, v2, target, state,
+      childrenFor = Some(mk))
+    assert(r2.updated == 1, r2)
+    val li = spark.read.parquet(s"$out/odocs_lineitems.parquet")
+    assert(li.filter($"odocs__id" === minId).count() == 1)
+    // stream rule: absent docs were NOT deleted — their children survive
+    assert(spark.read.parquet(target).count() == docs.count())
+    assert(li.join(spark.read.parquet(target).select($"_id".as("odocs__id")),
+      Seq("odocs__id"), "left_anti").count() == 0)
   }
 }
