@@ -411,6 +411,62 @@ object CoverageQueries {
         .orderBy("check_name")
     }),
 
+    // Round-11 verdict item 6: change-feed-driven sync must produce a
+    // BIT-EQUAL table and state to the snapshot-diff path applying the
+    // same churn — two identically-bootstrapped bucketed targets, one
+    // synced from the full v2 snapshot, one from just the (1 upsert,
+    // 1 delete) feed; equality observed row-wise in both directions
+    "o3_sync_changefeed" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{ArrayType, StructType}
+      val out = Files.createTempDirectory("graft_o3f").toString
+      val docs = docsSubset(s, d).cache()
+      val flatCols = docs.schema.fields.toSeq.filter(f =>
+        !f.dataType.isInstanceOf[StructType] &&
+          !f.dataType.isInstanceOf[ArrayType]).map(_.name).sorted
+      val flat = docs.select(flatCols.map(col): _*).cache()
+      val minId = docs.agg(min(col("_id").cast("long"))).head()
+        .getLong(0).toString
+      val maxId = docs.agg(max(col("_id").cast("long"))).head()
+        .getLong(0).toString
+      docs.unpersist()
+      val nB = 8
+      val v2 = flat.filter(col("_id") =!= maxId)
+        .withColumn("o_orderstatus",
+          when(col("_id") === minId, lit("Z"))
+            .otherwise(col("o_orderstatus")))
+      // snapshot-diff path
+      graft.sync.IncrementalSync.runPartitioned(s, flat,
+        s"$out/a.parquet", s"$out/a_state.parquet", nB)
+      val rA = graft.sync.IncrementalSync.runPartitioned(s, v2,
+        s"$out/a.parquet", s"$out/a_state.parquet", nB)
+      // feed path: same bootstrap, then ONLY the churn rows
+      graft.sync.IncrementalSync.runPartitioned(s, flat,
+        s"$out/b.parquet", s"$out/b_state.parquet", nB)
+      val rB = graft.sync.IncrementalSync.runFromChangeFeed(s,
+        upserts = v2.filter(col("_id") === minId),
+        deletes = flat.filter(col("_id") === maxId).select("_id"),
+        s"$out/b.parquet", s"$out/b_state.parquet", nB)
+      flat.unpersist()
+      def read(p: String) = s.read.parquet(p).drop("__bucket")
+      val (ta, tb) = (read(s"$out/a.parquet"), read(s"$out/b.parquet"))
+      val (sa, sb) =
+        (read(s"$out/a_state.parquet"), read(s"$out/b_state.parquet"))
+      val diffRows = ta.exceptAll(tb).count() + tb.exceptAll(ta).count()
+      val diffState = sa.exceptAll(sb).count() + sb.exceptAll(sa).count()
+      Seq(
+        ("diff_rows", diffRows),
+        ("diff_state_rows", diffState),
+        ("feed_deleted", rB.deleted),
+        ("feed_new", rB.newDocs),
+        ("feed_updated", rB.updated),
+        ("snap_deleted", rA.deleted),
+        ("snap_unchanged", rA.unchanged),
+        ("snap_updated", rA.updated),
+        ("target_rows", tb.count()))
+        .toDF("metric", "value").orderBy("metric")
+    }),
+
     // O4: validation-only pass over a freshly migrated collection — the
     // one-row V4 status report (counts match, samples pass, no integrity
     // issues).
@@ -552,6 +608,19 @@ object CoverageQueries {
          |  ('updated_doc_lineitems', 1))
          |AS t(metric, value) ORDER BY metric""".stripMargin
     },
+
+    "o3_sync_changefeed" ->
+      s"""SELECT * FROM (VALUES
+         |  ('diff_rows', 0),
+         |  ('diff_state_rows', 0),
+         |  ('feed_deleted', 1),
+         |  ('feed_new', 0),
+         |  ('feed_updated', 1),
+         |  ('snap_deleted', 1),
+         |  ('snap_unchanged', $subsetCount - 2),
+         |  ('snap_updated', 1),
+         |  ('target_rows', $subsetCount - 1))
+         |AS t(metric, value) ORDER BY metric""".stripMargin,
 
     // stream rule: nothing deletes, so totals cover the whole subset;
     // only the churned doc's lineitems shrink to the sliced single row

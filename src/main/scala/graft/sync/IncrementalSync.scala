@@ -424,6 +424,138 @@ object IncrementalSync {
     } finally classified.unpersist()
   }
 
+  /** Change-feed-driven sync (round-11 verdict item 6): when the caller
+    * ALREADY has a CDC feed — `upserts` (full current rows of new/updated
+    * docs) and `deletes` (ids) — the full-snapshot-vs-full-state diff join
+    * that [[runPartitioned]] pays every sync is pure waste: at 100 TB with
+    * 0.1% churn that J1 join dominates even though the write path is
+    * bucket-pruned. This variant classifies the FEED against the
+    * bucket-pruned state (reads only the feed ids' state buckets — cost ∝
+    * churn on both the read and write side) and reuses the identical
+    * changed-bucket apply: same staging/rename-aside swap, same crash
+    * roll-forward, same bucket-count pin, same child-table lockstep. The
+    * result is bit-equal to running the snapshot diff over a snapshot that
+    * embodies the same churn (gate `o3_sync_changefeed` proves it);
+    * snapshot-diff remains the default and the oracle mode — a feed that
+    * under-reports churn cannot be detected here by construction, which
+    * is exactly the caller's CDC contract.
+    *
+    * An id on BOTH sides of one feed batch has no defined order — fail
+    * loud. An id deleted but unknown to state is ignored (idempotent
+    * replay of a delete). An upsert row whose hash equals its state hash
+    * counts `unchanged` and rewrites nothing. */
+  def runFromChangeFeed(spark: SparkSession, upserts: DataFrame,
+      deletes: DataFrame, targetPath: String, statePath: String,
+      buckets: Int, hashCol: String = "doc_hash",
+      children: Seq[ChildSync] = Seq.empty): SyncResult = {
+    require(buckets >= 1, s"buckets must be positive: $buckets")
+    def bucketOf(c: Column): Column = pmod(hash(c.cast("string")), lit(buckets))
+    val fs = new Path(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStaging(fs, targetPath)
+    recoverStaging(fs, statePath)
+    children.foreach { ch =>
+      val cfs = new Path(ch.targetPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverStaging(cfs, ch.targetPath)
+      verifyBucketCount(cfs, ch.targetPath, buckets)
+    }
+    verifyBucketCount(fs, targetPath, buckets)
+    verifyBucketCount(fs, statePath, buckets)
+    val current = currentWithHash(upserts, hashCol)
+    require(current.join(deletes.select("_id"), Seq("_id"), "left_semi")
+        .limit(1).count() == 0,
+      "runFromChangeFeed: an _id appears in both upserts and deletes — " +
+        "order within one feed batch is undefined; split the batch")
+    // the feed's bucket footprint (bounded collect ≤ buckets rows) prunes
+    // the STATE read — the step that replaces the full-corpus diff join
+    val feedBuckets = current.select(bucketOf(col("_id")).as("__b"))
+      .unionByName(deletes.select(bucketOf(col("_id")).as("__b")))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (feedBuckets.isEmpty) return SyncResult(0, 0, 0, 0, 0)
+    val state0 = StateStore.load(spark, statePath)
+    val state =
+      if (state0.columns.contains("__bucket"))
+        state0.filter(col("__bucket").isin(feedBuckets: _*)).drop("__bucket")
+      else state0
+    val st = state.select(col("_id").as("__sid"), col("hash").as("__shash"))
+    val upC = current.join(st, current("_id") === col("__sid"), "left_outer")
+      .withColumn("change_type",
+        when(col("__sid").isNull, ChangeNew)
+          .when(col(hashCol) =!= col("__shash"), ChangeUpdated)
+          .otherwise(ChangeUnchanged))
+      .drop("__sid", "__shash").cache()
+    val delIds = deletes.select("_id")
+      .join(state.select("_id"), Seq("_id"), "left_semi").cache()
+    try {
+      val upCounts = upC.groupBy("change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val result = SyncResult(
+        upCounts.getOrElse(ChangeNew, 0L),
+        upCounts.getOrElse(ChangeUpdated, 0L),
+        delIds.count(),
+        upCounts.getOrElse(ChangeUnchanged, 0L), 0L)
+      if (result.totalProcessed > 0) {
+        val changed = upC
+          .filter(col("change_type").isin(ChangeNew, ChangeUpdated))
+          .select("_id").unionByName(delIds)
+          .select(bucketOf(col("_id")).as("__bucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        val srcData = upserts.select(
+          upserts.columns.filterNot(_ == hashCol).map(col): _*)
+        val (tgtBucketed, tgtLegacy) = layoutOf(fs, targetPath)
+        val hasData = tgtBucketed || tgtLegacy.nonEmpty
+        val convert = !tgtBucketed && tgtLegacy.nonEmpty
+        val drift = hasData && Sinks.missingColumns(srcData.schema,
+          spark.read.parquet(targetPath).schema).nonEmpty
+        val rewrite =
+          if (drift || convert) (0 until buckets).toSeq else changed
+        val target0 =
+          if (!hasData) srcData.limit(0)
+          else if (convert) spark.read.parquet(targetPath)
+          else if (drift) spark.read.parquet(targetPath).drop("__bucket")
+          else spark.read.parquet(targetPath)
+            .filter(col("__bucket").isin(changed: _*)).drop("__bucket")
+        val target =
+          if (Sinks.missingColumns(srcData.schema, target0.schema).nonEmpty)
+            Sinks.mergeSchemas(target0, srcData.limit(0))
+          else target0
+        val ups = upC
+          .filter(col("change_type").isin(ChangeNew, ChangeUpdated))
+          .select(upserts.columns.map(col): _*)
+        val merged = Sinks
+          .delete(Sinks.upsert(target, ups, "_id"), delIds, "_id")
+          .withColumn("__bucket", bucketOf(col("_id")))
+        stageAndSwapBuckets(spark, merged, targetPath, rewrite, tgtLegacy)
+        // state rewrite scoped to the changed buckets: their prior rows
+        // minus every feed id, plus every upsert's fresh (id, hash) —
+        // unchanged feed docs re-enter with their identical carried hash
+        val (stB, stLegacy) = layoutOf(fs, statePath)
+        val stConvert = !stB && stLegacy.nonEmpty
+        val nextSt0 = state
+          .join(current.select("_id").unionByName(deletes.select("_id")),
+            Seq("_id"), "left_anti")
+          .unionByName(upC.select(col("_id"), col(hashCol).as("hash")))
+          .select(col("_id").cast("string").as("_id"),
+            col("hash").cast("string").as("hash"))
+          .withColumn("__bucket", bucketOf(col("_id")))
+        val nextSt =
+          if (stConvert) nextSt0
+          else nextSt0.filter(col("__bucket").isin(changed: _*))
+        stageAndSwapBuckets(spark, nextSt, statePath,
+          if (stConvert) (0 until buckets).toSeq else changed, stLegacy)
+        stampBucketCount(fs, targetPath, buckets)
+        stampBucketCount(fs, statePath, buckets)
+        val classifiedLike = upC.select(col("_id"), col("change_type"))
+          .unionByName(delIds.withColumn("change_type", lit(ChangeDeleted)))
+        children.foreach(ch =>
+          applyChildPartitioned(spark, ch, classifiedLike, changed, buckets,
+            bucketOf))
+      }
+      result
+    } finally { upC.unpersist(); delIds.unpersist(): Unit }
+  }
+
   private val StageSuffix = ".__stage__"
   private val ManifestName = "__swap_manifest__"
   private val BucketMetaName = "_graft_buckets"
