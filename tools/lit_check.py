@@ -421,8 +421,8 @@ def check_doremi(frag, errs):
     """DoReMi-lite re-derivation: per-source cross entropy from the same
     bigram-LM SQL the oracle uses (exact integer micro-bits), excess vs
     the corpus mean by pure integer arithmetic, then ONE exp per source
-    (eta = 0.1) floor-quantized to nano — 1-ulp tolerant like the other
-    ln/exp families."""
+    (eta read from the registered eta_micro column) floor-quantized to
+    nano — 1-ulp tolerant like the other ln/exp families."""
     rows = re.findall(
         r"\('((?:[^']|'')*)', CAST\((\d+) AS BIGINT\), (\d+)\)", frag)
     if not rows:
