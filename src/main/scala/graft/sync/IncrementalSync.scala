@@ -67,6 +67,26 @@ object IncrementalSync {
   val ChangeDeleted = "deleted"
   val ChangeUnchanged = "unchanged"
 
+  /** Run one independent action per child table CONCURRENTLY (child
+    * tables never share files or state, so their reads/writes commute):
+    * Spark's scheduler interleaves the per-table jobs and fills the cores
+    * a sequential loop would leave idle — the same pattern as
+    * fullMigration's parallel table writes. */
+  private def forEachChildConcurrently(children: Seq[ChildSync])(
+      body: ChildSync => Unit): Unit = {
+    if (children.isEmpty) return
+    if (children.size == 1) { body(children.head); return }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(children.size, 4))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try Await.result(
+      Future.sequence(children.map(ch => Future(body(ch)))), Duration.Inf)
+    finally pool.shutdown()
+  }
+
   /** Classify `current` (must carry `_id` and `hashCol`) against `state`
     * (`_id`, `hash`): full-outer join + hash compare (Sync.ps1:113-168).
     * Returns current columns (null for deleted rows) + `change_type`.
@@ -131,7 +151,7 @@ object IncrementalSync {
       .filter(col("change_type").isin(ChangeNew, ChangeUpdated)).select("_id")
     val allIds = classified
       .filter(col("change_type") =!= ChangeDeleted).select("_id")
-    children.foreach { ch =>
+    forEachChildConcurrently(children) { ch =>
       val fs = new Path(ch.targetPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val exists = fs.exists(new Path(ch.targetPath))
@@ -415,8 +435,9 @@ object IncrementalSync {
         stampBucketCount(fs, targetPath, buckets)
         stampBucketCount(fs, statePath, buckets)
         // child tables ride the SAME changed-bucket set (fk = parent id,
-        // same hash), after the main write (FK direction: parent first)
-        children.foreach(ch =>
+        // same hash), after the main write (FK direction: parent first);
+        // independent tables, so they apply concurrently
+        forEachChildConcurrently(children)(ch =>
           applyChildPartitioned(spark, ch, classified, changed, buckets,
             bucketOf))
       }
@@ -548,7 +569,7 @@ object IncrementalSync {
         stampBucketCount(fs, statePath, buckets)
         val classifiedLike = upC.select(col("_id"), col("change_type"))
           .unionByName(delIds.withColumn("change_type", lit(ChangeDeleted)))
-        children.foreach(ch =>
+        forEachChildConcurrently(children)(ch =>
           applyChildPartitioned(spark, ch, classifiedLike, changed, buckets,
             bucketOf))
       }
