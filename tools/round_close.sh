@@ -75,6 +75,12 @@ echo "=== [4/6] Bench @ sf0.1 (quiet-STAMP gate: pre-load < 0.5 AND embedded pos
 # quiet-ambient 1.0 (which the bench's own load makes unachievable).
 # A breaching run is archived as a noisy snapshot and the bench RE-RUNS
 # (fresh quiet wait) — only a clean pass is stamped.
+# Round-12 recalibration: the 271-query workload's own trailing load is
+# higher (the new sync-orchestration gates spawn many short driver-side
+# jobs late in the alphabet): two runs entering at ambient 0.26 and 2.64
+# agreed within 0.5% on the total (344.6 vs 343.0 s) while posting
+# 4.0-4.4 — self-load, not neighbor noise. Ceiling moved 3.0 -> 4.5;
+# the PRE-run < 0.5 gate remains the ambient-quiet arbiter.
 BLOG=/tmp/bench_close.log
 STAMPED=0
 for attempt in 1 2 3; do
@@ -96,10 +102,10 @@ for attempt in 1 2 3; do
   # embedded stamp missing (older Bench binary) -> fall back to shell loadavg
   LPOST=$(python3 -c "v=float('$LPOST'); print(v if v >= 0 else float(open('/proc/loadavg').read().split()[0]))")
   echo "bench post-run 1-min load: $LPOST (attempt $attempt)"
-  if python3 -c "import sys; sys.exit(0 if float('$LPOST') < 3.0 else 1)"; then
+  if python3 -c "import sys; sys.exit(0 if float('$LPOST') < 4.5 else 1)"; then
     STAMPED=1; break
   fi
-  echo "  MID-RUN NOISE (post-load $LPOST >= 3.0) — archiving noisy snapshot, re-running"
+  echo "  MID-RUN NOISE (post-load $LPOST >= 4.5) — archiving noisy snapshot, re-running"
   cp BENCH_FULL.json "bench_history/BENCH_FULL_r${R}_noisy${attempt}.json"
 done
 if [ $STAMPED -eq 1 ]; then
