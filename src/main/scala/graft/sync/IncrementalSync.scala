@@ -483,6 +483,18 @@ object IncrementalSync {
     }
     verifyBucketCount(fs, targetPath, buckets)
     verifyBucketCount(fs, statePath, buckets)
+    // a feed never sees the full corpus, so it CANNOT bootstrap a child
+    // table (the snapshot modes bootstrap from all surviving ids) — a
+    // missing child here would silently materialize holding only the
+    // churned docs; fail loud instead
+    children.foreach { ch =>
+      val cfs = new Path(ch.targetPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(cfs.exists(new Path(ch.targetPath)),
+        s"runFromChangeFeed: child table ${ch.targetPath} does not exist — " +
+          "feed-driven sync cannot bootstrap children; run a snapshot " +
+          "sync (or full migration) first")
+    }
     val current = currentWithHash(upserts, hashCol)
     require(current.join(deletes.select("_id"), Seq("_id"), "left_semi")
         .limit(1).count() == 0,

@@ -273,14 +273,54 @@ class SyncSpec extends SparkSpec {
 
   test("fromSchema derives the same model layout as the profiled compile") {
     import graft.model.RelationalModel
-    val docs = Tables.orderDocsWhere(spark, sfDir, k => k % 100 === 0)
-    val profiled = RelationalModel.compile(
-      graft.profile.SchemaProfiler.collectProfile(docs), "odocs")
-    val static = RelationalModel.fromSchema(docs.schema, "odocs")
     def shape(m: Seq[graft.model.TableSpec]) =
       m.map(t => (t.name, t.kind.toString, t.sourcePath, t.fkColumn,
         t.parentTable, t.columns.map(_.name))).sortBy(_._1)
-    assert(shape(static) == shape(profiled))
+    for ((docs, coll) <- Seq(
+        (Tables.orderDocsWhere(spark, sfDir, k => k % 100 === 0), "odocs"),
+        // second document shape (nested nation + array-of-OBJECTS orders,
+        // no primitive array): the genericity check
+        (Tables.customerDocs(spark, sfDir), "cdocs"))) {
+      val profiled = RelationalModel.compile(
+        graft.profile.SchemaProfiler.collectProfile(docs), coll)
+      val static = RelationalModel.fromSchema(docs.schema, coll)
+      assert(shape(static) == shape(profiled), coll)
+    }
+  }
+
+  test("decompose-aware sync generalizes to the customer-document shape " +
+      "(array-of-objects churn lands; feed mode refuses to bootstrap " +
+      "children)") {
+    import graft.workflow.{MigrationConfig, MigrationWorkflow}
+    val out = java.nio.file.Files.createTempDirectory("graft_ccsync").toString
+    val docs = Tables.customerDocs(spark, sfDir)
+      .filter($"_id".cast("long") % 10 === 0)
+    val cfg = MigrationConfig("cdocs", out)
+    MigrationWorkflow.incrementalMigration(spark, docs, cfg) // full bootstrap
+    MigrationWorkflow.incrementalMigration(spark, docs, cfg) // all-new
+    val minId = docs.agg(min($"_id".cast("long"))).head().getLong(0).toString
+    val before = spark.read.parquet(s"$out/cdocs_orders.parquet")
+      .filter($"cdocs__id" === minId).count()
+    assert(before >= 1)
+    val v2 = docs.withColumn("orders",
+      when($"_id" === minId, slice($"orders", 1, 1)).otherwise($"orders"))
+    val r = MigrationWorkflow.incrementalMigration(spark, v2, cfg)
+      .toOption.get
+    assert(r.updated == 1, r)
+    assert(spark.read.parquet(s"$out/cdocs_orders.parquet")
+      .filter($"cdocs__id" === minId).count() == 1)
+    // feed mode: a missing child table is a loud error, never a silent
+    // churn-only bootstrap
+    val miss = graft.sync.ChildSync(s"$out/cdocs_nope.parquet", "cdocs__id",
+      ids => v2.join(ids.select("_id"), Seq("_id"), "left_semi")
+        .select($"_id".as("cdocs__id"), $"c_name"))
+    val e = intercept[IllegalArgumentException](
+      graft.sync.IncrementalSync.runFromChangeFeed(spark,
+        upserts = v2.filter($"_id" === minId).select("_id", "c_name",
+          "c_acctbal", "c_mktsegment"),
+        deletes = v2.limit(0).select("_id"),
+        s"$out/feed_t", s"$out/feed_s", 4, children = Seq(miss)))
+    assert(e.getMessage.contains("cannot bootstrap children"), e)
   }
 
   test("runPartitioned crash recovery: a committed staging dir rolls " +
