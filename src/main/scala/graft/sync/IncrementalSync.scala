@@ -246,6 +246,13 @@ object IncrementalSync {
     * the table must be dropped before the view can be created (a
     * reader-visible gap only on that initial conversion). A missing state
     * table means first sync (all new).
+    *
+    * This catalog-table mode is deliberately MAIN-TABLE-ONLY: [[ChildSync]]
+    * children target path-addressed parquet layouts (the decompose-aware
+    * surface lives on [[run]]/[[runPartitioned]]/[[runFromChangeFeed]]); a
+    * catalog deployment that wants child tables runs the partitioned mode,
+    * whose one-directory-per-table view is also what the workflow API
+    * publishes.
     */
   def runBucketed(spark: SparkSession, source: DataFrame, targetTable: String,
       stateTable: String, buckets: Int,
