@@ -61,6 +61,36 @@ class StreamSyncSpec extends SparkSpec {
     assert(replayed.map(_._1) == Set("1", "2", "3"))
   }
 
+  test("runAvailableNow threads childrenFor through foreachBatch — child " +
+      "tables maintained across real micro-batches") {
+    import graft.sync.ChildSync
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssr").toString
+    val src = s"$dir/src"
+    val target = s"$dir/odocs.parquet"
+    val state = s"$dir/sync_state_odocs.parquet"
+    // snapshot rows with an array column (decomposes to one child table)
+    Seq(("1", "a", Seq(10L, 11L)), ("2", "b", Seq(20L)))
+      .toDF("_id", "name", "vals")
+      .coalesce(1).write.mode("append").parquet(src)
+    val mk: org.apache.spark.sql.DataFrame => Seq[ChildSync] =
+      cur => ChildSync.forSchema(cur, "odocs", dir)
+    StreamSync.runAvailableNow(spark, src, target, state, s"$dir/cp",
+      childrenFor = Some(mk))
+    val childPath = s"$dir/odocs_vals.parquet"
+    assert(spark.read.parquet(childPath).count() == 3)
+    // second file: doc 1's array shrinks (array-only edit), doc 3 arrives
+    Seq(("1", "a", Seq(10L)), ("3", "c", Seq(30L, 31L, 32L)))
+      .toDF("_id", "name", "vals")
+      .coalesce(1).write.mode("append").parquet(src)
+    StreamSync.runAvailableNow(spark, src, target, state, s"$dir/cp",
+      childrenFor = Some(mk))
+    val child = spark.read.parquet(childPath)
+    assert(child.filter($"odocs__id" === "1").count() == 1) // edit landed
+    assert(child.filter($"odocs__id" === "2").count() == 1) // survived
+    assert(child.filter($"odocs__id" === "3").count() == 3)
+    assert(spark.read.parquet(target).count() == 3)
+  }
+
   test("decompose-aware streaming: child tables merge per batch; an " +
       "unchanged batch leaves them byte-untouched; array churn lands") {
     import graft.sync.ChildSync
