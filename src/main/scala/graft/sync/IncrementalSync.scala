@@ -447,6 +447,18 @@ object IncrementalSync {
         forEachChildConcurrently(children)(ch =>
           applyChildPartitioned(spark, ch, classified, changed, buckets,
             bucketOf))
+      } else {
+        // no churn, but a MISSING child table still bootstraps from all
+        // surviving ids (heals a pre-child-sync layout) — the same
+        // contract the whole-table mode's applyChildren keeps
+        val missing = children.filter { ch =>
+          val cfs = new Path(ch.targetPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          !cfs.exists(new Path(ch.targetPath))
+        }
+        forEachChildConcurrently(missing)(ch =>
+          applyChildPartitioned(spark, ch, classified, Seq.empty, buckets,
+            bucketOf))
       }
       result
     } finally classified.unpersist()

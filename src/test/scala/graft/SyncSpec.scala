@@ -216,6 +216,22 @@ class SyncSpec extends SparkSpec {
       "churned child bucket not rewritten")
     val li = spark.read.parquet(s"$out/odocs_lineitems.parquet")
     assert(li.filter($"odocs__id" === minId).count() == 1)
+    // a MISSING child heals on a no-change sync, adopting the bucketed
+    // layout (same contract as the whole-table mode's applyChildren)
+    val tagsDir = new java.io.File(s"$out/odocs_tags.parquet")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(tagsDir)
+    assert(!tagsDir.exists())
+    val r2 = MigrationWorkflow.incrementalMigration(spark, v2, cfg)
+      .toOption.get
+    assert(r2.totalProcessed == 0, r2)
+    assert(tagsDir.listFiles().exists(_.getName.startsWith("__bucket=")),
+      "healed child table did not adopt the bucketed layout")
+    assert(spark.read.parquet(s"$out/odocs_tags.parquet").count() ==
+      2 * docs.count())
   }
 
   test("runFromChangeFeed: matches snapshot-diff semantics, rewrites only " +
