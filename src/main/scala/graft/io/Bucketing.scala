@@ -49,8 +49,20 @@ object Bucketing {
 
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
+    // the left salt MUST be deterministic in row CONTENT: a
+    // nondeterministic expression (rand, monotonically_increasing_id)
+    // inside a shuffle key is the SPARK-23207 correctness class — under a
+    // fetch-failure stage retry the recomputed map task assigns DIFFERENT
+    // salts than the lost attempt, and reducers that don't re-run lose or
+    // duplicate rows. Hashing every (hashable) column spreads a hot key's
+    // distinct payloads across the salt space and replays identically on
+    // retry; exact duplicate rows co-locating is the acceptable residue.
+    val hashable = left.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name))
+    val saltSrc = if (hashable.nonEmpty) hashable.toSeq else Seq(col(key))
     val sl = left.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salt)))
+      pmod(hash(saltSrc: _*), lit(salt)))
     val sr = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     sl.join(sr, Seq(key, "__salt"), joinType).drop("__salt")

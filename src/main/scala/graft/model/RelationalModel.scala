@@ -158,8 +158,14 @@ object RelationalModel {
       val elemTypes = profile(root).arrayElementTypes
       val objectElems = elemTypes.getOrElse("object", 0L) > 0
       if (objectElems) {
+        // direct SCALAR element fields only — the same filter nestedTables
+        // applies and [[fromSchema]] mirrors; without it the two model
+        // compilers diverge on object/array-typed element fields and every
+        // decompose-aware sync of such a table takes the schema-drift
+        // full-rewrite path with the extra column nulled out
         val children = paths.filter(_.startsWith(root + "[]."))
           .filter(p => !p.substring(root.length + 3).contains("."))
+          .filter(p => !Set("object", "array")(profile(p).electedType))
         TableSpec(
           name = childTableName(collection, root), kind = TableKind.ArrayOfObjects,
           sourcePath = root,

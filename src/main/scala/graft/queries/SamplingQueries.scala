@@ -309,13 +309,12 @@ object SamplingQueries {
     // training-shard artifact a curriculum run reads (shards follow the
     // schedule order, ~1000 tokens each; packByTokenBudget's unique
     // orderCol contract is satisfied by the schedule's global_pos).
-    // INSTRUMENTED (round-12 verdict lead item — driver-red hash twice
-    // with every local re-run green): shard_id is re-derived in-query
-    // through an independent bare-window formulation and any disagreement
-    // raise_errors with the position and both values, so an engine-side
-    // divergence next driver run surfaces as a LOUD err, not a silent
-    // hash delta; samp_pack_curriculum_parts exposes every intermediate
-    // stage for the complementary oracle-side localization
+    // De-instrumented round 13: the three-round driver-only hash red was
+    // root-caused to the ORACLE's uncast HUGEINT window sum (now CAST AS
+    // BIGINT), so the round-12 shardSelfCheck bare-window diagnostic is
+    // gone — the plan is back to zero global-order windows (PlanSpec
+    // pins the census). samp_pack_curriculum_parts stays as the
+    // permanent stage gate exposing every intermediate.
     "samp_pack_curriculum" -> ((s, d) => {
       // materialized: the schedule's grouped ranks drive several driver
       // actions, each of which would otherwise re-run the band ntile
@@ -334,7 +333,7 @@ object SamplingQueries {
             .select(col("doc_id"), col("band"), col("global_pos"),
               col("n_tok"))),
           "global_pos", "n_tok", 1000L)
-      Sampling.shardSelfCheck(packed, "global_pos", "n_tok", 1000L)
+      packed
         .select(col("doc_id"), col("band"), col("global_pos"),
           col("n_tok"), col("shard_id"))
         .orderBy("global_pos")
@@ -675,9 +674,9 @@ object SamplingQueries {
          |j AS (SELECT g.doc_id, g.band, g.global_pos, tok.n_tok
          |  FROM g JOIN tok USING (doc_id))
          |SELECT doc_id, band, global_pos, n_tok,
-         |  (sum(n_tok) OVER (ORDER BY global_pos
+         |  CAST((sum(n_tok) OVER (ORDER BY global_pos
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
-         |    // 1000 AS shard_id
+         |    // 1000 AS BIGINT) AS shard_id
          |FROM j ORDER BY global_pos""".stripMargin,
 
     // identical CTE stack with every intermediate exposed, including the
@@ -692,12 +691,12 @@ object SamplingQueries {
          |  FROM g JOIN tok USING (doc_id)),
          |st AS (SELECT doc_id, band, band_rank, n_band, ikey, global_pos,
          |    n_tok,
-         |    (sum(n_tok) OVER (ORDER BY global_pos
+         |    CAST((sum(n_tok) OVER (ORDER BY global_pos
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
-         |      AS st
+         |      AS BIGINT) AS st
          |  FROM j)
          |SELECT doc_id, band, band_rank, n_band, ikey, global_pos, n_tok,
-         |  st, st // 1000 AS shard_id
+         |  st, CAST(st // 1000 AS BIGINT) AS shard_id
          |FROM st ORDER BY global_pos""".stripMargin,
 
     "samp_epoch_shuffle" ->

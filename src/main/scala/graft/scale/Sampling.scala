@@ -181,8 +181,9 @@ object Sampling {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
     require(!df.columns.contains("bucket"),
       "packByTokenBudget adds a scratch 'bucket' column; rename the input's")
-    keepTotalCol.foreach(n => require(!df.columns.contains(n) && n != "bucket",
-      s"keepTotalCol '$n' collides with an input column"))
+    keepTotalCol.foreach(n => require(!df.columns.contains(n) &&
+        n != "bucket" && n != "shard_id",
+      s"keepTotalCol '$n' collides with an input or generated column"))
     val taken = df.columns :+ "bucket"
     val cumC = Cols.fresh("__cum", taken)
     val offC = Cols.fresh("__off", taken)

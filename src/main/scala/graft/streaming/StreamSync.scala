@@ -70,9 +70,10 @@ object StreamSync {
         .select(batch.columns.map(col): _*)
       val fs = new org.apache.hadoop.fs.Path(targetPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val targetExisted =
+        fs.exists(new org.apache.hadoop.fs.Path(targetPath))
       val target =
-        if (fs.exists(new org.apache.hadoop.fs.Path(targetPath)))
-          spark.read.parquet(targetPath)
+        if (targetExisted) spark.read.parquet(targetPath)
         else batch.limit(0)
       Sinks.atomicOverwrite(spark, Sinks.upsert(target, upserts, "_id"), targetPath)
       // child tables merge AFTER the main write (FK direction: parent
@@ -85,8 +86,25 @@ object StreamSync {
       childrenFor.foreach { mk =>
         val present = classified.filter(col("change_type") =!=
           IncrementalSync.ChangeDeleted)
-        IncrementalSync.applyChildren(spark, present,
-          mk(present.drop("change_type")),
+        val children = mk(present.drop("change_type"))
+        // applyChildren's missing-table bootstrap uses "all surviving
+        // parent ids" — in a stream that is only THIS batch's ids
+        // (state-only docs are excluded by the no-delete rule). Enabling
+        // childrenFor after the target already holds docs from earlier
+        // batches would therefore materialize a child table missing every
+        // parent never re-sent — silent missing_children corruption.
+        // Fail loud instead: a batch cannot re-decompose absent parents.
+        children.foreach { ch =>
+          val cfs = new org.apache.hadoop.fs.Path(ch.targetPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          require(!targetExisted ||
+              cfs.exists(new org.apache.hadoop.fs.Path(ch.targetPath)),
+            s"StreamSync: child table ${ch.targetPath} does not exist but " +
+              s"the main target $targetPath already holds documents — a " +
+              "micro-batch cannot bootstrap children for parents it never " +
+              "saw; run a snapshot sync (or full migration) first")
+        }
+        IncrementalSync.applyChildren(spark, present, children,
           hasChanges = result.newDocs + result.updated > 0)
       }
       // carry previous hashes forward for ids not present in this batch

@@ -514,6 +514,14 @@ object IncrementalSync {
           "feed-driven sync cannot bootstrap children; run a snapshot " +
           "sync (or full migration) first")
     }
+    // the same silent-bootstrap hazard applies to the MAIN table: a feed
+    // only carries churn, so a first-ever feed sync would materialize a
+    // target/state holding only the feed's docs (and deletes of docs the
+    // empty state never saw would be dropped as "unknown"). Fail loud.
+    require(fs.exists(new Path(targetPath)) && fs.exists(new Path(statePath)),
+      s"runFromChangeFeed: target ($targetPath) or sync state ($statePath) " +
+        "does not exist — a change feed cannot bootstrap a corpus; run a " +
+        "snapshot sync (or full migration) first")
     val current = currentWithHash(upserts, hashCol)
     require(current.join(deletes.select("_id"), Seq("_id"), "left_semi")
         .limit(1).count() == 0,

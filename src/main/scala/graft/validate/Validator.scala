@@ -104,8 +104,13 @@ object Validator {
           lit(0L).as("issue_count"))
       else child.groupBy(col(fkCol))
         .agg(count(lit(1)).as("__n"), min("array_index").as("__mn"),
-          max("array_index").as("__mx"))
-        .filter(col("__mn") =!= 0 || col("__mx") =!= col("__n") - 1)
+          max("array_index").as("__mx"),
+          countDistinct(col("array_index")).as("__nd"))
+        // min=0, max=n-1, distinct=n together imply exactly 0..n-1; the
+        // distinct term catches duplicate-index-plus-gap ([0,0,2]) shapes
+        // that min/max alone let through
+        .filter(col("__mn") =!= 0 || col("__mx") =!= col("__n") - 1 ||
+          col("__nd") =!= col("__n"))
         .agg(coalesce(count(lit(1)), lit(0L)).as("issue_count"))
         .select(lit("array_index_gaps").as("check_name"), col("issue_count"))
     orphans.unionByName(missing).unionByName(gaps)

@@ -200,13 +200,12 @@ class PlanSpec extends SparkSpec {
 
   test("curriculum schedule and budget-select windows are " +
       "bucket-partitioned — never one task") {
-    // both ride the two-level prefix-sum machinery; a regressed global
-    // window would funnel the whole corpus (or a dominant band) through
-    // a single task. The capstone (and its parts twin) additionally
-    // carries EXACTLY ONE deliberately-global window: the round-12
-    // shardSelfCheck diagnostic (a bare ORDER BY global_pos running sum
-    // that raise_errors on divergence from the two-level sum) — pinned
-    // here so a second unbucketed window can never sneak in behind it
+    // all four ride the two-level prefix-sum machinery; a regressed
+    // global window would funnel the whole corpus (or a dominant band)
+    // through a single task. Round 13 restored the census to ZERO
+    // global-order windows: the round-12 shardSelfCheck bare-window
+    // diagnostic was removed from the capstone once the driver red was
+    // root-caused to the oracle's uncast HUGEINT (not the engine)
     for (q <- Seq("samp_curriculum", "samp_quality_budget",
         "samp_pack_curriculum", "samp_pack_curriculum_parts")) {
       val p = graft.queries.ScaleQueries.queries(q)(spark, sfDir)
@@ -215,13 +214,7 @@ class PlanSpec extends SparkSpec {
         .findAllMatchIn(p).map(_.group(1)).toSeq
       assert(specs.nonEmpty, p)
       val global = specs.filterNot(_.contains("bucket#"))
-      if (q == "samp_pack_curriculum") {
-        assert(global.size == 1 &&
-            global.head.contains("global_pos#"),
-          s"$q must carry exactly the one global_pos self-check window; " +
-            s"got ${global.mkString("; ")}\n$p")
-      } else
-        assert(global.isEmpty, s"$q unpartitioned window: $global\n$p")
+      assert(global.isEmpty, s"$q unpartitioned window: $global\n$p")
       assert(specs.exists(_.contains("bucket#")),
         s"$q lost its bucket-partitioned prefix-sum windows\n$p")
     }
@@ -537,5 +530,30 @@ class PlanSpec extends SparkSpec {
       spark, sfDir).queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("no nondeterministic expression feeds a shuffle key — the " +
+      "SPARK-23207 retry-correctness census") {
+    // a rand()/monotonically_increasing_id() inside an exchange's
+    // partitioning expressions means a fetch-failure stage retry can
+    // assign rows to DIFFERENT reducers than the lost attempt — rows lost
+    // or duplicated with no error. saltedJoin is the one operator that
+    // ever salted a shuffle key; census the shuffle-bearing gates most
+    // likely to regress plus the salted join itself.
+    val nondet = Seq("monotonically_increasing_id", "rand(", "randn(",
+      "uuid()", "shuffle(")
+    for (q <- Seq("join_salted", "samp_pack_curriculum", "dedup_survivors",
+        "tx_postings")) {
+      val p = CoreQueries.queries.get(q)
+        .orElse(graft.queries.ScaleQueries.queries.get(q))
+        .map(_(spark, sfDir).queryExecution.executedPlan.toString).get
+      val keys = "hashpartitioning\\(([^)]*)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq ++
+        "rangepartitioning\\(([^)]*)".r
+          .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(keys.nonEmpty, s"$q: expected at least one exchange\n$p")
+      for (k <- keys; bad <- nondet)
+        assert(!k.contains(bad), s"$q shuffle key carries $bad: $k\n$p")
+    }
   }
 }
