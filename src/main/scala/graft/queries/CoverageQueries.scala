@@ -316,7 +316,16 @@ object CoverageQueries {
       val cu = s.read.parquet(s"$out/odocs_customer.parquet")
       val orphans = li.join(main.select(col("_id").as("odocs__id")),
         Seq("odocs__id"), "left_anti").count()
-      Seq(
+      // round-13: the SyncResult now carries per-child apply tallies
+      // (inserted = re-decomposed rows of upserted parents; deleted =
+      // prior rows of changed parents incl. orphan cleanup) — compared
+      // here against the churn's ground truth
+      val childMetrics = r.children.toSeq.sortBy(_._1).flatMap {
+        case (name, c) => Seq(
+          (s"child_${name}_deleted", c.deleted),
+          (s"child_${name}_inserted", c.inserted))
+      }
+      (Seq(
         ("customer_rows", cu.count()),
         ("deleted", r.deleted),
         ("deleted_doc_child_rows",
@@ -326,7 +335,7 @@ object CoverageQueries {
         ("tags_rows", tg.count()),
         ("updated", r.updated),
         ("updated_doc_lineitems",
-          li.filter(col("odocs__id") === minId).count()))
+          li.filter(col("odocs__id") === minId).count())) ++ childMetrics)
         .toDF("metric", "value").orderBy("metric")
     }),
 
@@ -370,6 +379,81 @@ object CoverageQueries {
         ("tags_rows", tg.count()),
         ("updated_doc_lineitems",
           li.filter(col("odocs__id") === minId).count()))
+        .toDF("metric", "value").orderBy("metric")
+    }),
+
+    // §2.10 + round-12 verdict item 5: CDC-shaped STREAMING sync — the
+    // micro-batches are change feeds (rows tagged upsert/delete by _op),
+    // applied through runFromChangeFeed's bucket-pruned fast path, so a
+    // Mongo change-stream-shaped source maps 1:1 and deletes LAND (the
+    // one semantic the snapshot-stream mode cannot express). The gate
+    // proves triple equality on the same churn: streamed feed == batch
+    // runFromChangeFeed == full snapshot diff, on both the target AND the
+    // carried sync state.
+    "st_sync_feed_update" -> ((s, d) => {
+      import s.implicits._
+      val out = Files.createTempDirectory("graft_stf").toString
+      val docs = docsSubset(s, d).cache()
+      val nB = 8
+      // three identical bootstraps: (a) streamed feed, (b) batch feed,
+      // (c) snapshot diff
+      for (m <- Seq("a", "b", "c"))
+        graft.sync.IncrementalSync.runPartitioned(s, docs,
+          s"$out/t_$m", s"$out/s_$m", nB)
+      val minId = docs.agg(min(col("_id").cast("long"))).head()
+        .getLong(0).toString
+      val maxId = docs.agg(max(col("_id").cast("long"))).head()
+        .getLong(0).toString
+      val upd = docs.filter(col("_id") === minId)
+        .withColumn("o_orderpriority", lit("9-FEED"))
+      val newDoc = docs.filter(col("_id") === maxId)
+        .withColumn("_id", concat(col("_id"), lit("_re")))
+      val noDeletes = docs.limit(0).select("_id")
+      // feed batch 1: the update; feed batch 2: an insert + a delete
+      val feedDir = s"$out/feed"
+      val cp = s"$out/cp"
+      upd.withColumn("_op", lit("upsert"))
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      graft.streaming.StreamSync.runFeedAvailableNow(s, feedDir,
+        s"$out/t_a", s"$out/s_a", cp, nB)
+      newDoc.withColumn("_op", lit("upsert"))
+        .unionByName(docs.filter(col("_id") === maxId)
+          .withColumn("_op", lit("delete")))
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      graft.streaming.StreamSync.runFeedAvailableNow(s, feedDir,
+        s"$out/t_a", s"$out/s_a", cp, nB)
+      // batch-feed twin: the same two feed batches, applied directly
+      graft.sync.IncrementalSync.runFromChangeFeed(s, upd, noDeletes,
+        s"$out/t_b", s"$out/s_b", nB)
+      graft.sync.IncrementalSync.runFromChangeFeed(s, newDoc,
+        docs.filter(col("_id") === maxId).select("_id"),
+        s"$out/t_b", s"$out/s_b", nB)
+      // snapshot twin: one snapshot embodying the same churn
+      val snap = docs.filter(col("_id") =!= maxId)
+        .withColumn("o_orderpriority",
+          when(col("_id") === minId, lit("9-FEED"))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(newDoc)
+      graft.sync.IncrementalSync.runPartitioned(s, snap,
+        s"$out/t_c", s"$out/s_c", nB)
+      docs.unpersist()
+      def tbl(m: String) = s.read.parquet(s"$out/t_$m").drop("__bucket")
+      def st(m: String) = s.read.parquet(s"$out/s_$m").drop("__bucket")
+      def sdiff(x: DataFrame, y: DataFrame): Long =
+        x.exceptAll(y).count() + y.exceptAll(x).count()
+      val (a, b, c) = (tbl("a"), tbl("b"), tbl("c"))
+      Seq(
+        ("a_rows", a.count()),
+        ("ab_diff", sdiff(a, b)),
+        ("ac_diff", sdiff(a, c)),
+        ("b_rows", b.count()),
+        ("c_rows", c.count()),
+        ("del_gone", a.filter(col("_id") === maxId).count()),
+        ("new_present", a.filter(col("_id") === s"${maxId}_re").count()),
+        ("state_ab_diff", sdiff(st("a"), st("b"))),
+        ("state_ac_diff", sdiff(st("a"), st("c"))),
+        ("upd_live", a.filter(col("_id") === minId &&
+          col("o_orderpriority") === "9-FEED").count()))
         .toDF("metric", "value").orderBy("metric")
     }),
 
@@ -502,9 +586,21 @@ object CoverageQueries {
       val txt = readText(s, s"$out/sync_report_odocs.txt")
       def grab(k: String): Long =
         s"$k:\\s+(\\d+)".r.findFirstMatchIn(txt).get.group(1).toLong
-      Seq(("report_new", grab("new")), ("report_updated", grab("updated")),
+      // round-13: the artifact carries per-child apply tallies — parse
+      // them back out (this scenario's final pass is all-unchanged, so
+      // every child table is left byte-untouched with zero tallies)
+      def grabChild(name: String, field: String): Long =
+        s"child $name: inserted=(\\d+) deleted=(\\d+)".r
+          .findFirstMatchIn(txt)
+          .map(m => (if (field == "inserted") m.group(1) else m.group(2)).toLong)
+          .get
+      val childMetrics = Seq("odocs_customer", "odocs_lineitems", "odocs_tags")
+        .flatMap(n => Seq(
+          (s"report_child_${n}_deleted", grabChild(n, "deleted")),
+          (s"report_child_${n}_inserted", grabChild(n, "inserted"))))
+      (Seq(("report_new", grab("new")), ("report_updated", grab("updated")),
         ("report_deleted", grab("deleted")),
-        ("report_unchanged", grab("unchanged")))
+        ("report_unchanged", grab("unchanged"))) ++ childMetrics)
         .toDF("metric", "value").orderBy("metric")
     })
   )
@@ -596,6 +692,13 @@ object CoverageQueries {
       val minK = "(SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 10 = 0)"
       val maxK = "(SELECT max(o_orderkey) FROM orders WHERE o_orderkey % 10 = 0)"
       s"""SELECT * FROM (VALUES
+         |  ('child_odocs_customer_deleted', 2),
+         |  ('child_odocs_customer_inserted', 1),
+         |  ('child_odocs_lineitems_deleted', (SELECT count(*) FROM lineitem
+         |     WHERE l_orderkey = $minK OR l_orderkey = $maxK)),
+         |  ('child_odocs_lineitems_inserted', 1),
+         |  ('child_odocs_tags_deleted', 4),
+         |  ('child_odocs_tags_inserted', 2),
          |  ('customer_rows', $subsetCount - 1),
          |  ('deleted', 1),
          |  ('deleted_doc_child_rows', 0),
@@ -608,6 +711,22 @@ object CoverageQueries {
          |  ('updated_doc_lineitems', 1))
          |AS t(metric, value) ORDER BY metric""".stripMargin
     },
+
+    // streamed feed == batch feed == snapshot diff; one delete lands, one
+    // insert lands, one scalar update lands; net row count unchanged
+    "st_sync_feed_update" ->
+      s"""SELECT * FROM (VALUES
+         |  ('a_rows', $subsetCount),
+         |  ('ab_diff', 0),
+         |  ('ac_diff', 0),
+         |  ('b_rows', $subsetCount),
+         |  ('c_rows', $subsetCount),
+         |  ('del_gone', 0),
+         |  ('new_present', 1),
+         |  ('state_ab_diff', 0),
+         |  ('state_ac_diff', 0),
+         |  ('upd_live', 1))
+         |AS t(metric, value) ORDER BY metric""".stripMargin,
 
     "o3_sync_changefeed" ->
       s"""SELECT * FROM (VALUES
@@ -655,6 +774,12 @@ object CoverageQueries {
 
     "o6_scheduled_sync" ->
       s"""SELECT * FROM (VALUES
+         |  ('report_child_odocs_customer_deleted', 0),
+         |  ('report_child_odocs_customer_inserted', 0),
+         |  ('report_child_odocs_lineitems_deleted', 0),
+         |  ('report_child_odocs_lineitems_inserted', 0),
+         |  ('report_child_odocs_tags_deleted', 0),
+         |  ('report_child_odocs_tags_inserted', 0),
          |  ('report_deleted', 0), ('report_new', 0), ('report_updated', 0),
          |  ('report_unchanged', $subsetCount))
          |AS t(metric, value) ORDER BY metric""".stripMargin

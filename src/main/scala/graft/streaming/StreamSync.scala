@@ -83,7 +83,7 @@ object StreamSync {
       // deduped current), so each child write reuses the cached
       // hash+window work instead of replaying it per action — measured
       // ~2x on the st_sync_children_update gate
-      childrenFor.foreach { mk =>
+      val childCounts = childrenFor.map { mk =>
         val present = classified.filter(col("change_type") =!=
           IncrementalSync.ChangeDeleted)
         val children = mk(present.drop("change_type"))
@@ -106,7 +106,7 @@ object StreamSync {
         }
         IncrementalSync.applyChildren(spark, present, children,
           hasChanges = result.newDocs + result.updated > 0)
-      }
+      }.getOrElse(Map.empty[String, graft.sync.ChildCounts])
       // carry previous hashes forward for ids not present in this batch
       // (anti-join against CURRENT ids — classified also holds state-only rows)
       val currentIds = classified
@@ -115,7 +115,7 @@ object StreamSync {
       val next = IncrementalSync.nextState(classified)
         .unionByName(state.join(currentIds, Seq("_id"), "left_anti"))
       StateStore.save(spark, next, statePath)
-      result
+      result.copy(children = childCounts)
     } finally classified.unpersist()
   }
 
@@ -134,6 +134,60 @@ object StreamSync {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           applyBatch(batch.sparkSession, batch, targetPath, statePath,
             childrenFor = childrenFor): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+  /** CDC-shaped micro-batch (round-12 verdict item 5): the batch is a
+    * CHANGE FEED, not a snapshot — each row is tagged by `opCol` as
+    * `upsert` (a full current document) or `delete` (only `_id` is
+    * meaningful) — and applies through
+    * [[IncrementalSync.runFromChangeFeed]]'s bucket-pruned fast path. A
+    * Mongo change-stream-shaped source therefore maps 1:1, and DELETES
+    * LAND — the one semantic the snapshot-stream [[applyBatch]] cannot
+    * express (its absent-from-batch ≠ deleted rule). All feed-mode guards
+    * carry over: the target/state and every child table must already
+    * exist (a feed cannot bootstrap a corpus), an id on both sides of one
+    * batch fails loud, an unknown op tag fails loud. */
+  def applyFeedBatch(spark: SparkSession, batch: DataFrame,
+      targetPath: String, statePath: String, buckets: Int,
+      opCol: String = "_op",
+      childrenFor: Option[DataFrame => Seq[graft.sync.ChildSync]] = None)
+      : graft.sync.SyncResult = {
+    import org.apache.spark.sql.functions.col
+    require(batch.columns.contains(opCol),
+      s"applyFeedBatch: feed batch has no '$opCol' op column")
+    require(batch.filter(!col(opCol).isin("upsert", "delete"))
+        .limit(1).isEmpty,
+      s"applyFeedBatch: '$opCol' carries a tag other than upsert/delete")
+    val upserts = batch.filter(col(opCol) === "upsert").drop(opCol)
+    val deletes = batch.filter(col(opCol) === "delete").select("_id")
+    val children = childrenFor.map(_(upserts)).getOrElse(Seq.empty)
+    IncrementalSync.runFromChangeFeed(spark, upserts, deletes,
+      targetPath, statePath, buckets, children = children)
+  }
+
+  /** [[applyFeedBatch]] as a drained stream (AvailableNow): `sourceDir`
+    * holds parquet change-feed files (document columns + the `opCol`
+    * tag); new files become micro-batches. The streaming twin of the
+    * reference's polling sync (Sync.ps1:774-809) for sources that emit a
+    * change stream instead of snapshots. */
+  def runFeedAvailableNow(spark: SparkSession, sourceDir: String,
+      targetPath: String, statePath: String, checkpoint: String,
+      buckets: Int, schema: Option[StructType] = None,
+      opCol: String = "_op",
+      childrenFor: Option[DataFrame => Seq[graft.sync.ChildSync]] = None)
+      : Unit =
+    StreamSource.schemaFor(spark, sourceDir, schema).foreach { sch =>
+      val stream = spark.readStream.schema(sch).parquet(sourceDir)
+      val q = stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          applyFeedBatch(batch.sparkSession, batch, targetPath, statePath,
+            buckets, opCol, childrenFor): Unit
         }
         .trigger(Trigger.AvailableNow())
         .start()

@@ -6,9 +6,19 @@ import org.apache.spark.sql.functions._
 
 import graft.io.{Sinks, StateStore}
 
-/** Per-run sync metrics (A9; reference tallies at Sync.ps1:44-55, 265-271). */
+/** Per-child-table apply tallies — the reference reports per-table insert
+  * counts (Data_Migration.ps1:163-186; MasterWorkflow.ps1:141-163), so a
+  * child-heavy churn must be visible in sync reports, not just the
+  * main-table classify counts. `inserted` = re-decomposed rows written for
+  * new/updated parents; `deleted` = prior child rows dropped (changed
+  * parents' old rows, including deleted parents' orphan cleanup). */
+case class ChildCounts(inserted: Long, deleted: Long)
+
+/** Per-run sync metrics (A9; reference tallies at Sync.ps1:44-55, 265-271).
+  * `children` maps each synced child table name to its apply tallies. */
 case class SyncResult(
-    newDocs: Long, updated: Long, deleted: Long, unchanged: Long, errors: Long) {
+    newDocs: Long, updated: Long, deleted: Long, unchanged: Long,
+    errors: Long, children: Map[String, ChildCounts] = Map.empty) {
   def totalProcessed: Long = newDocs + updated + deleted
 }
 
@@ -71,11 +81,12 @@ object IncrementalSync {
     * tables never share files or state, so their reads/writes commute):
     * Spark's scheduler interleaves the per-table jobs and fills the cores
     * a sequential loop would leave idle — the same pattern as
-    * fullMigration's parallel table writes. */
-  private def forEachChildConcurrently(children: Seq[ChildSync])(
-      body: ChildSync => Unit): Unit = {
-    if (children.isEmpty) return
-    if (children.size == 1) { body(children.head); return }
+    * fullMigration's parallel table writes. Returns the per-child results
+    * in input order. */
+  private def mapChildrenConcurrently[T](children: Seq[ChildSync])(
+      body: ChildSync => T): Seq[T] = {
+    if (children.isEmpty) return Seq.empty
+    if (children.size == 1) return Seq(body(children.head))
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -86,6 +97,11 @@ object IncrementalSync {
       Future.sequence(children.map(ch => Future(body(ch)))), Duration.Inf)
     finally pool.shutdown()
   }
+
+  /** The report-facing name of a child table: its path's basename minus
+    * the parquet extension (the name [[ChildSync.forSchema]] lays out). */
+  private[graft] def childNameOf(path: String): String =
+    new Path(path).getName.stripSuffix(".parquet")
 
   /** Classify `current` (must carry `_id` and `hashCol`) against `state`
     * (`_id`, `hash`): full-outer join + hash compare (Sync.ps1:113-168).
@@ -143,15 +159,15 @@ object IncrementalSync {
     * parent is already live). */
   private[graft] def applyChildren(spark: SparkSession,
       classified: DataFrame, children: Seq[ChildSync],
-      hasChanges: Boolean = true): Unit = {
-    if (children.isEmpty) return
+      hasChanges: Boolean = true): Map[String, ChildCounts] = {
+    if (children.isEmpty) return Map.empty
     val changedIds = classified
       .filter(col("change_type") =!= ChangeUnchanged).select("_id")
     val upsertIds = classified
       .filter(col("change_type").isin(ChangeNew, ChangeUpdated)).select("_id")
     val allIds = classified
       .filter(col("change_type") =!= ChangeDeleted).select("_id")
-    forEachChildConcurrently(children) { ch =>
+    mapChildrenConcurrently(children) { ch =>
       val fs = new Path(ch.targetPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val exists = fs.exists(new Path(ch.targetPath))
@@ -159,23 +175,36 @@ object IncrementalSync {
       // (same contract as the main table's changed-bucket scoping); a
       // MISSING child still bootstraps so a pre-child-sync layout heals
       if (!exists || hasChanges) {
-        val newRows = ch.rows(if (exists) upsertIds else allIds)
-        val merged =
-          if (!exists) newRows
-          else {
-            val kept = spark.read.parquet(ch.targetPath)
+        // cached: the tally count and the merge write both consume the
+        // re-decomposed rows; both frames are churn-sized
+        val newRows = ch.rows(if (exists) upsertIds else allIds).cache()
+        try {
+          val inserted = newRows.count()
+          // prior rows about to be dropped (changed parents' old child
+          // rows, incl. deleted parents' orphans) — churn-proportional
+          val removed =
+            if (!exists) 0L
+            else spark.read.parquet(ch.targetPath)
               .join(changedIds.withColumnRenamed("_id", ch.fkColumn),
-                Seq(ch.fkColumn), "left_anti")
-            // S16 drift in either direction re-aligns both sides onto the
-            // superset schema before the union
-            if (Sinks.missingColumns(newRows.schema, kept.schema).nonEmpty ||
-                Sinks.missingColumns(kept.schema, newRows.schema).nonEmpty)
-              Sinks.mergeSchemas(kept, newRows)
-            else kept.unionByName(newRows)
-          }
-        Sinks.atomicOverwrite(spark, merged, ch.targetPath)
-      }
-    }
+                Seq(ch.fkColumn), "left_semi").count()
+          val merged =
+            if (!exists) newRows
+            else {
+              val kept = spark.read.parquet(ch.targetPath)
+                .join(changedIds.withColumnRenamed("_id", ch.fkColumn),
+                  Seq(ch.fkColumn), "left_anti")
+              // S16 drift in either direction re-aligns both sides onto the
+              // superset schema before the union
+              if (Sinks.missingColumns(newRows.schema, kept.schema).nonEmpty ||
+                  Sinks.missingColumns(kept.schema, newRows.schema).nonEmpty)
+                Sinks.mergeSchemas(kept, newRows)
+              else kept.unionByName(newRows)
+            }
+          Sinks.atomicOverwrite(spark, merged, ch.targetPath)
+          childNameOf(ch.targetPath) -> ChildCounts(inserted, removed)
+        } finally newRows.unpersist()
+      } else childNameOf(ch.targetPath) -> ChildCounts(0L, 0L)
+    }.toMap
   }
 
   /** [[applyChildren]] in the changed-bucket-only layout (the
@@ -188,7 +217,7 @@ object IncrementalSync {
     * layout on its first sync, like the main table. */
   private def applyChildPartitioned(spark: SparkSession, ch: ChildSync,
       classified: DataFrame, changedBuckets: Seq[Int], buckets: Int,
-      bucketOf: Column => Column): Unit = {
+      bucketOf: Column => Column): (String, ChildCounts) = {
     val fs = new Path(ch.targetPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val changedIds = classified
@@ -200,29 +229,41 @@ object IncrementalSync {
     val (bucketed, legacy) = layoutOf(fs, ch.targetPath)
     val hasData = bucketed || legacy.nonEmpty
     val convert = !bucketed && legacy.nonEmpty
-    val newRows = ch.rows(if (hasData) upsertIds else allIds)
-    val drift = hasData && Sinks.missingColumns(newRows.schema,
-      spark.read.parquet(ch.targetPath).schema).nonEmpty
-    val rewrite =
-      if (drift || convert || !hasData) (0 until buckets).toSeq
-      else changedBuckets
-    val target0 =
-      if (!hasData) newRows.limit(0)
-      else if (convert) spark.read.parquet(ch.targetPath)
-      else if (drift) spark.read.parquet(ch.targetPath).drop("__bucket")
-      else spark.read.parquet(ch.targetPath)
-        .filter(col("__bucket").isin(changedBuckets: _*)).drop("__bucket")
-    val kept = target0.join(changedIds.withColumnRenamed("_id", ch.fkColumn),
-      Seq(ch.fkColumn), "left_anti")
-    val merged =
-      if (Sinks.missingColumns(newRows.schema, kept.schema).nonEmpty ||
-          Sinks.missingColumns(kept.schema, newRows.schema).nonEmpty)
-        Sinks.mergeSchemas(kept, newRows)
-      else kept.unionByName(newRows)
-    stageAndSwapBuckets(spark,
-      merged.withColumn("__bucket", bucketOf(col(ch.fkColumn))),
-      ch.targetPath, rewrite, legacy)
-    stampBucketCount(fs, ch.targetPath, buckets)
+    // cached: the tally count and the merge write both consume the
+    // re-decomposed rows; churn-sized by the semi-join pushdown
+    val newRows = ch.rows(if (hasData) upsertIds else allIds).cache()
+    try {
+      val inserted = newRows.count()
+      val drift = hasData && Sinks.missingColumns(newRows.schema,
+        spark.read.parquet(ch.targetPath).schema).nonEmpty
+      val rewrite =
+        if (drift || convert || !hasData) (0 until buckets).toSeq
+        else changedBuckets
+      val target0 =
+        if (!hasData) newRows.limit(0)
+        else if (convert) spark.read.parquet(ch.targetPath)
+        else if (drift) spark.read.parquet(ch.targetPath).drop("__bucket")
+        else spark.read.parquet(ch.targetPath)
+          .filter(col("__bucket").isin(changedBuckets: _*)).drop("__bucket")
+      // prior rows about to be dropped — the read is bucket-pruned, so the
+      // tally costs churn, not table size
+      val removed =
+        if (!hasData) 0L
+        else target0.join(changedIds.withColumnRenamed("_id", ch.fkColumn),
+          Seq(ch.fkColumn), "left_semi").count()
+      val kept = target0.join(changedIds.withColumnRenamed("_id", ch.fkColumn),
+        Seq(ch.fkColumn), "left_anti")
+      val merged =
+        if (Sinks.missingColumns(newRows.schema, kept.schema).nonEmpty ||
+            Sinks.missingColumns(kept.schema, newRows.schema).nonEmpty)
+          Sinks.mergeSchemas(kept, newRows)
+        else kept.unionByName(newRows)
+      stageAndSwapBuckets(spark,
+        merged.withColumn("__bucket", bucketOf(col(ch.fkColumn))),
+        ch.targetPath, rewrite, legacy)
+      stampBucketCount(fs, ch.targetPath, buckets)
+      childNameOf(ch.targetPath) -> ChildCounts(inserted, removed)
+    } finally newRows.unpersist()
   }
 
   /** [[run]] against BUCKETED catalog tables — the 100 TB shape promised in
@@ -444,9 +485,10 @@ object IncrementalSync {
         // child tables ride the SAME changed-bucket set (fk = parent id,
         // same hash), after the main write (FK direction: parent first);
         // independent tables, so they apply concurrently
-        forEachChildConcurrently(children)(ch =>
+        val childCounts = mapChildrenConcurrently(children)(ch =>
           applyChildPartitioned(spark, ch, classified, changed, buckets,
-            bucketOf))
+            bucketOf)).toMap
+        result.copy(children = childCounts)
       } else {
         // no churn, but a MISSING child table still bootstraps from all
         // surviving ids (heals a pre-child-sync layout) — the same
@@ -456,11 +498,11 @@ object IncrementalSync {
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           !cfs.exists(new Path(ch.targetPath))
         }
-        forEachChildConcurrently(missing)(ch =>
+        val childCounts = mapChildrenConcurrently(missing)(ch =>
           applyChildPartitioned(spark, ch, classified, Seq.empty, buckets,
-            bucketOf))
+            bucketOf)).toMap
+        result.copy(children = childCounts)
       }
-      result
     } finally classified.unpersist()
   }
 
@@ -608,11 +650,11 @@ object IncrementalSync {
         stampBucketCount(fs, statePath, buckets)
         val classifiedLike = upC.select(col("_id"), col("change_type"))
           .unionByName(delIds.withColumn("change_type", lit(ChangeDeleted)))
-        forEachChildConcurrently(children)(ch =>
+        val childCounts = mapChildrenConcurrently(children)(ch =>
           applyChildPartitioned(spark, ch, classifiedLike, changed, buckets,
-            bucketOf))
-      }
-      result
+            bucketOf)).toMap
+        result.copy(children = childCounts)
+      } else result
     } finally { upC.unpersist(); delIds.unpersist(): Unit }
   }
 
@@ -807,10 +849,10 @@ object IncrementalSync {
         .select("_id")
       val merged = Sinks.delete(Sinks.upsert(target, upserts, "_id"), deletes, "_id")
       Sinks.atomicOverwrite(spark, merged, targetPath)
-      applyChildren(spark, classified, children,
+      val childCounts = applyChildren(spark, classified, children,
         hasChanges = result.totalProcessed > 0)
       StateStore.save(spark, nextState(classified, hashCol), statePath)
-      result
+      result.copy(children = childCounts)
     } finally classified.unpersist()
   }
 }

@@ -159,6 +159,15 @@ object ReportRenderer {
   /** Text sync report (shape of Sync.ps1:720-772). */
   def syncReport(spark: SparkSession, path: String, collection: String,
       result: SyncResult): Unit = {
+    // per-child tallies (reference reports per-table insert counts,
+    // Data_Migration.ps1:163-186) — a child-heavy churn is visible in the
+    // artifact, not just the main-table classify counts
+    val childLines = result.children.toSeq.sortBy(_._1)
+      .map { case (name, c) =>
+        s"child $name: inserted=${c.inserted} deleted=${c.deleted}"
+      }
+    val childBlock =
+      if (childLines.isEmpty) "" else childLines.mkString("", "\n", "\n")
     val txt =
       s"""Incremental sync report — $collection
          |=====================================
@@ -168,7 +177,7 @@ object ReportRenderer {
          |unchanged: ${result.unchanged}
          |errors:    ${result.errors}
          |processed: ${result.totalProcessed}
-         |""".stripMargin
+         |""".stripMargin + childBlock
     write(spark, path, txt)
   }
 

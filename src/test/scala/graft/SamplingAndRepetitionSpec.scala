@@ -251,6 +251,10 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.packByTokenBudget(
       df.withColumn("st", lit(0L)), "doc_id", "n_tokens", 1000L,
       keepTotalCol = Some("st")))
+    // keepTotalCol colliding with the GENERATED shard_id column would
+    // yield a frame with two shard_id columns (round-13 advice item)
+    intercept[IllegalArgumentException](Sampling.packByTokenBudget(
+      df, "doc_id", "n_tokens", 1000L, keepTotalCol = Some("shard_id")))
     // self-check: agreement passes the rows through unchanged...
     val packed = Sampling.packByTokenBudget(df, "doc_id", "n_tokens", 1000L)
     val checked = Sampling.shardSelfCheck(packed, "doc_id", "n_tokens", 1000L)

@@ -91,6 +91,95 @@ class StreamSyncSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 3)
   }
 
+  test("enabling childrenFor mid-stream fails loud: a micro-batch cannot " +
+      "bootstrap children for parents it never saw") {
+    import graft.sync.ChildSync
+    val dir = java.nio.file.Files.createTempDirectory("graft_scg").toString
+    val target = s"$dir/odocs.parquet"
+    val state = s"$dir/sync_state_odocs.parquet"
+    // batch 1 WITHOUT childrenFor: target holds docs, no child tables
+    StreamSync.applyBatch(spark,
+      Seq(("1", "a", Seq(10L))).toDF("_id", "name", "vals"), target, state)
+    // batch 2 enables childrenFor: the child table is missing but the
+    // target already holds doc 1 (never re-sent) — bootstrap-from-batch
+    // would silently drop doc 1's children forever
+    val mk: org.apache.spark.sql.DataFrame => Seq[ChildSync] =
+      cur => ChildSync.forSchema(cur, "odocs", dir)
+    val e = intercept[IllegalArgumentException](StreamSync.applyBatch(spark,
+      Seq(("2", "b", Seq(20L))).toDF("_id", "name", "vals"), target, state,
+      childrenFor = Some(mk)))
+    assert(e.getMessage.contains("snapshot sync"), e.getMessage)
+    // a FIRST-ever batch (no target yet) bootstraps children fine
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_scg2").toString
+    val mk2: org.apache.spark.sql.DataFrame => Seq[ChildSync] =
+      cur => ChildSync.forSchema(cur, "odocs", dir2)
+    val r = StreamSync.applyBatch(spark,
+      Seq(("1", "a", Seq(10L, 11L))).toDF("_id", "name", "vals"),
+      s"$dir2/odocs.parquet", s"$dir2/sync_state_odocs.parquet",
+      childrenFor = Some(mk2))
+    assert(r.newDocs == 1)
+    assert(r.children.get("odocs_vals").contains(
+      graft.sync.ChildCounts(2L, 0L)), r.children)
+  }
+
+  test("feed-mode streaming: deletes land, op tags validate, and the " +
+      "result carries the feed tallies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfd").toString
+    val (target, state) = (s"$dir/t", s"$dir/s")
+    val nB = 4
+    graft.sync.IncrementalSync.runPartitioned(spark,
+      (1L to 20L).map(i => (i.toString, s"v$i")).toDF("_id", "payload"),
+      target, state, nB)
+    // upsert doc 3 + delete doc 7 in one feed batch
+    val feed = Seq(("3", "CHANGED", "upsert"), ("7", "v7", "delete"))
+      .toDF("_id", "payload", "_op")
+    val r = StreamSync.applyFeedBatch(spark, feed, target, state, nB)
+    assert(r.updated == 1 && r.deleted == 1 && r.newDocs == 0, r)
+    val after = spark.read.parquet(target).select("_id", "payload")
+      .as[(String, String)].collect().toMap
+    assert(after("3") == "CHANGED" && !after.contains("7") &&
+      after.size == 19)
+    // unknown op tag fails loud
+    val bad = Seq(("9", "x", "replace")).toDF("_id", "payload", "_op")
+    intercept[IllegalArgumentException](
+      StreamSync.applyFeedBatch(spark, bad, target, state, nB))
+    // a feed cannot bootstrap: missing target/state fails loud
+    intercept[IllegalArgumentException](StreamSync.applyFeedBatch(spark,
+      feed, s"$dir/nope_t", s"$dir/nope_s", nB))
+  }
+
+  test("feed-mode streaming with children: child churn lands through the " +
+      "bucket-pruned path and the tallies ride the result") {
+    import graft.sync.ChildSync
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfc").toString
+    val (target, state) = (s"$dir/odocs.parquet", s"$dir/s")
+    val nB = 4
+    val docs = Seq(
+      ("1", "a", Seq(10L, 11L)), ("2", "b", Seq(20L)), ("3", "c", Seq(30L)))
+      .toDF("_id", "name", "vals")
+    val mk: org.apache.spark.sql.DataFrame => Seq[ChildSync] =
+      cur => ChildSync.forSchema(cur, "odocs", dir)
+    // bootstrap main+children via a snapshot sync (feed cannot bootstrap);
+    // full-doc hash canon so the array edit below classifies updated
+    graft.sync.IncrementalSync.runPartitioned(spark,
+      graft.sync.DocHash.fullDocHash(docs), target, state, nB,
+      children = mk(docs))
+    assert(spark.read.parquet(s"$dir/odocs_vals.parquet").count() == 4)
+    // feed: doc 1's array shrinks (subtree edit), doc 3 deleted
+    val feed = Seq(("1", "a", Seq(10L), "upsert"), ("3", "c", Seq(30L), "delete"))
+      .toDF("_id", "name", "vals", "_op")
+    val r = StreamSync.applyFeedBatch(spark,
+      graft.sync.DocHash.fullDocHash(feed, exclude = Set("_op")),
+      target, state, nB, childrenFor = Some(mk))
+    assert(r.updated == 1 && r.deleted == 1, r)
+    val child = spark.read.parquet(s"$dir/odocs_vals.parquet")
+    assert(child.filter($"odocs__id" === "1").count() == 1)
+    assert(child.filter($"odocs__id" === "3").count() == 0) // orphan cleanup
+    assert(child.filter($"odocs__id" === "2").count() == 1) // untouched
+    assert(r.children.get("odocs_vals").contains(
+      graft.sync.ChildCounts(1L, 3L)), r.children)
+  }
+
   test("decompose-aware streaming: child tables merge per batch; an " +
       "unchanged batch leaves them byte-untouched; array churn lands") {
     import graft.sync.ChildSync

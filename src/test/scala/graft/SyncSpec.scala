@@ -285,6 +285,14 @@ class SyncSpec extends SparkSpec {
     intercept[IllegalArgumentException](runFromChangeFeed(spark,
       upserts = Seq((7L, "x")).toDF("_id", "payload"),
       deletes = Seq(7L).toDF("_id"), target, state, nB))
+    // a feed cannot BOOTSTRAP the main table either: a first-ever feed
+    // sync would materialize a target/state holding only the feed's docs
+    // and silently drop deletes of docs the empty state never saw
+    val e = intercept[IllegalArgumentException](runFromChangeFeed(spark,
+      upserts = Seq((1L, "x")).toDF("_id", "payload"),
+      deletes = Seq.empty[Long].toDF("_id"),
+      s"$dir/fresh_t", s"$dir/fresh_s", nB))
+    assert(e.getMessage.contains("snapshot sync"), e.getMessage)
   }
 
   test("fromSchema derives the same model layout as the profiled compile") {
@@ -292,11 +300,23 @@ class SyncSpec extends SparkSpec {
     def shape(m: Seq[graft.model.TableSpec]) =
       m.map(t => (t.name, t.kind.toString, t.sourcePath, t.fkColumn,
         t.parentTable, t.columns.map(_.name))).sortBy(_._1)
+    // third shape: array elements carrying NON-scalar fields (a struct and
+    // a nested array) — round-13 advice item: compile must apply the same
+    // scalar filter as fromSchema or the two layouts diverge and every
+    // sync of the child takes the schema-drift full-rewrite path
+    val tricky = spark.range(3).select(
+      col("id").cast("string").as("_id"),
+      array(struct(col("id").as("qty"),
+        struct(col("id").as("inner_a"), (col("id") * 2).as("inner_b"))
+          .as("meta"),
+        array(col("id")).as("subarr"))).as("items"),
+      lit("n").as("name"))
     for ((docs, coll) <- Seq(
         (Tables.orderDocsWhere(spark, sfDir, k => k % 100 === 0), "odocs"),
         // second document shape (nested nation + array-of-OBJECTS orders,
         // no primitive array): the genericity check
-        (Tables.customerDocs(spark, sfDir), "cdocs"))) {
+        (Tables.customerDocs(spark, sfDir), "cdocs"),
+        (tricky, "tdocs"))) {
       val profiled = RelationalModel.compile(
         graft.profile.SchemaProfiler.collectProfile(docs), coll)
       val static = RelationalModel.fromSchema(docs.schema, coll)

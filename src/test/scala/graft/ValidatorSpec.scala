@@ -106,6 +106,12 @@ class ValidatorSpec extends SparkSpec {
     val noExp = Validator.fkIntegrity(parent, bad, "_id", "fk")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(noExp("missing_children") == 0L)
+    // duplicate-index-plus-gap ([0,0,2]): min=0 and max=n-1 both hold,
+    // only the distinct-count term catches it (round-13 advice item)
+    val dupGap = Seq(
+      ("1", 0L, "a"), ("1", 0L, "b"), ("1", 2L, "c"))
+      .toDF("fk", "array_index", "v")
+    assert(run(dupGap)("array_index_gaps") == 1L, run(dupGap))
   }
 
   test("V4: statusReport fails on a stale child table (orphaned rows " +

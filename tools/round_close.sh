@@ -45,7 +45,7 @@ EOF
 [ $C2 -ne 0 ] && { echo "CHECK sf0.1 FAILED"; exit 1; }
 
 echo "=== [3/6] Incremental-family sweep @ sf0.1"
-SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.VerifySubset /root/testdata/sf0.1 /tmp/v_incr dedup_incr_exact dedup_incr_minhash dedup_incr_components nb_incr_model tx_postings_incr emb_incr_assign ev_anomaly_incr st_stream_dedup emb_pq_incr_encode sk_kmv_incr st_index_retrain sk_cms_incr st_cms_update sk_ams_incr st_ams_update st_hll_update st_kmv_update st_quality_update st_crossdoc_update st_scd2_update tx_chunk_dedup_incr st_chunk_dedup_update dedup_incr_segments st_segment_dedup_update samp_doremi_incr st_doremi_update st_sync_children_update" --error >/dev/null 2>&1 \
+SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.VerifySubset /root/testdata/sf0.1 /tmp/v_incr dedup_incr_exact dedup_incr_minhash dedup_incr_components nb_incr_model tx_postings_incr emb_incr_assign ev_anomaly_incr st_stream_dedup emb_pq_incr_encode sk_kmv_incr st_index_retrain sk_cms_incr st_cms_update sk_ams_incr st_ams_update st_hll_update st_kmv_update st_quality_update st_crossdoc_update st_scd2_update tx_chunk_dedup_incr st_chunk_dedup_update dedup_incr_segments st_segment_dedup_update samp_doremi_incr st_doremi_update st_sync_children_update st_sync_feed_update" --error >/dev/null 2>&1 \
   || { echo "V_INCR sweep FAILED"; exit 1; }
 GRAFT_WIP=1 python3 tools/check.py /root/testdata/sf0.1 /tmp/v_incr > /tmp/check_incr.log 2>&1
 C3=$?
