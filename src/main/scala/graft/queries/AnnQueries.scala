@@ -1230,7 +1230,7 @@ object AnnQueries {
         |  sum((CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid) *
         |      (CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid)) AS d2
         |  FROM embeddings e CROSS JOIN c GROUP BY e.vec_id, c.label)
-        |SELECT vec_id, assigned FROM (
+        |SELECT vec_id, CAST(assigned AS BIGINT) AS assigned FROM (
         |  SELECT vec_id, label AS assigned,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
         |  FROM d2)
@@ -1274,7 +1274,7 @@ object AnnQueries {
         |      (CAST(e.embedding[c.pos] AS DOUBLE) - c.centroid)) AS d2
         |  FROM embeddings e CROSS JOIN c WHERE e.vec_id >= 250
         |  GROUP BY e.vec_id, c.label)
-        |SELECT vec_id, assigned FROM (
+        |SELECT vec_id, CAST(assigned AS BIGINT) AS assigned FROM (
         |  SELECT vec_id, label AS assigned,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
         |  FROM d2)

@@ -622,11 +622,13 @@ object CoverageQueries {
 
     "p4_profile_summary" ->
       """SELECT least(100, (SELECT count(*) FROM orders)) AS total_docs,
-        |  17 AS n_paths, 1 AS n_nested, 2 AS n_array""".stripMargin,
+        |  CAST(17 AS BIGINT) AS n_paths, CAST(1 AS BIGINT) AS n_nested,
+        |  CAST(2 AS BIGINT) AS n_array""".stripMargin,
 
     "s14_create_table" ->
       """SELECT 'graft_s14_region' AS table_name, TRUE AS created,
-        |  (SELECT count(*) FROM region) AS row_count, 2 AS n_columns""".stripMargin,
+        |  (SELECT count(*) FROM region) AS row_count,
+        |  CAST(2 AS BIGINT) AS n_columns""".stripMargin,
 
     "s15_drop_table" ->
       """SELECT * FROM (VALUES ('after_create', TRUE), ('after_drop', FALSE))
@@ -639,7 +641,8 @@ object CoverageQueries {
 
     "s19_config" ->
       """SELECT 'testdb' AS mongo_db, 'users' AS mongo_collection,
-        |  3306 AS mysql_port, 100 AS batch_size, TRUE AS no_sqlserver""".stripMargin,
+        |  CAST(3306 AS BIGINT) AS mysql_port,
+        |  CAST(100 AS BIGINT) AS batch_size, TRUE AS no_sqlserver""".stripMargin,
 
     "x3_json_parse" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus
@@ -759,7 +762,9 @@ object CoverageQueries {
     // each injected corruption is caught by exactly one FK check; a fresh
     // migration is clean across all three
     "v3_fk_integrity" ->
-      """SELECT * FROM (VALUES
+      """SELECT check_name, CAST(clean_count AS BIGINT) AS clean_count,
+        |  CAST(corrupted_count AS BIGINT) AS corrupted_count
+        |FROM (VALUES
         |  ('array_index_gaps', 0, 1),
         |  ('missing_children', 0, 1),
         |  ('orphaned_child_rows', 0, 1))
@@ -768,8 +773,10 @@ object CoverageQueries {
 
     "o4_validation_only" ->
       s"""SELECT $subsetCount AS source_cnt, $subsetCount AS target_cnt,
-         |  0 AS diff, TRUE AS counts_match, 0 AS samples_failed,
-         |  0 AS integrity_issues, 10 AS samples_passed,
+         |  CAST(0 AS BIGINT) AS diff, TRUE AS counts_match,
+         |  CAST(0 AS BIGINT) AS samples_failed,
+         |  CAST(0 AS BIGINT) AS integrity_issues,
+         |  CAST(10 AS BIGINT) AS samples_passed,
          |  'PASSED' AS status""".stripMargin,
 
     "o6_scheduled_sync" ->

@@ -495,7 +495,8 @@ object PipelineQueries {
     // mm_frame_sample's oracle)
     "mm_resize" ->
       """SELECT doc_id AS id,
-        |  CASE WHEN length(text) > 0 THEN 16 ELSE 0 END AS n_bytes,
+        |  CAST(CASE WHEN length(text) > 0 THEN 16 ELSE 0 END
+        |    AS BIGINT) AS n_bytes,
         |  md5(CASE WHEN length(text) > 0 THEN array_to_string(
         |    list_transform(range(1, 17), i -> substr(text,
         |      CAST(floor((i - 1) * length(text) / 16.0) AS INT) + 1, 1)),

@@ -47,28 +47,14 @@ WARN_GRANDFATHERED = {}
 # HUGEINT red: DuckDB window sum(BIGINT) -> int128). The probe below
 # DESCRIBEs every oracle (plan-time only, nothing executes) against its
 # Spark dump's parquet schema and FAILS any type mismatch that is not
-# explicitly grandfathered here. These eight queries' INTEGER-vs-BIGINT
-# columns have been driver-green since their birth rounds (the driver
-# canon widens INTEGER losslessly; it is specifically HUGEINT that
-# diverged) — grandfathered, but NEW gates must be exact-typed: cast the
-# oracle to BIGINT instead of extending this list.
-TYPE_GRANDFATHER = {
-    ("emb_incr_assign", "assigned"): ("BIGINT", "INTEGER"),
-    ("emb_kmeans_assign", "assigned"): ("BIGINT", "INTEGER"),
-    ("mm_resize", "n_bytes"): ("BIGINT", "INTEGER"),
-    ("o4_validation_only", "diff"): ("BIGINT", "INTEGER"),
-    ("o4_validation_only", "samples_failed"): ("BIGINT", "INTEGER"),
-    ("o4_validation_only", "integrity_issues"): ("BIGINT", "INTEGER"),
-    ("o4_validation_only", "samples_passed"): ("BIGINT", "INTEGER"),
-    ("p4_profile_summary", "n_paths"): ("BIGINT", "INTEGER"),
-    ("p4_profile_summary", "n_nested"): ("BIGINT", "INTEGER"),
-    ("p4_profile_summary", "n_array"): ("BIGINT", "INTEGER"),
-    ("s14_create_table", "n_columns"): ("BIGINT", "INTEGER"),
-    ("s19_config", "mysql_port"): ("BIGINT", "INTEGER"),
-    ("s19_config", "batch_size"): ("BIGINT", "INTEGER"),
-    ("v3_fk_integrity", "clean_count"): ("BIGINT", "INTEGER"),
-    ("v3_fk_integrity", "corrupted_count"): ("BIGINT", "INTEGER"),
-}
+# explicitly grandfathered here as an exact
+# (query, column) -> (spark_type, duck_type) tuple. EMPTY as of round 13:
+# the eight historical INTEGER-vs-BIGINT oracles (driver-green — the
+# canon widens INTEGER losslessly; it was specifically HUGEINT that
+# diverged) were all CAST to BIGINT instead of grandfathered, so every
+# registry oracle now duck-types exactly as its Spark dump. Keep it empty:
+# CAST the oracle, don't extend this list.
+TYPE_GRANDFATHER = {}
 
 # transcendental / precision-hazard functions (word-boundary match).
 # sqrt is deliberately absent: IEEE-754 REQUIRES sqrt to be correctly
