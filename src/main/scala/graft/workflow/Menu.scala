@@ -84,9 +84,14 @@ object Menu {
       MigrationWorkflow.incrementalMigration(spark, docs,
           MigrationConfig(n, outDir)) match {
         case Left(r) => println(s"$n: fell back to full: ${r.rowCounts}")
-        case Right(r) => println(s"$n: new=${r.newDocs} " +
-          s"updated=${r.updated} deleted=${r.deleted} " +
-          s"unchanged=${r.unchanged}")
+        case Right(r) =>
+          // per-table tallies, like the reference's migration summary
+          // (Data_Migration.ps1:163-186)
+          val kids = r.children.toSeq.sortBy(_._1).map { case (c, k) =>
+            s" $c(+${k.inserted}/-${k.deleted})" }.mkString
+          println(s"$n: new=${r.newDocs} " +
+            s"updated=${r.updated} deleted=${r.deleted} " +
+            s"unchanged=${r.unchanged}$kids")
       }
       true
     }

@@ -34,8 +34,10 @@ object ScheduledSync {
     }
     ReportRenderer.syncReport(spark, s"$outDir/sync_report_$collection.txt",
       collection, result)
+    val kids = result.children.toSeq.sortBy(_._1).map { case (c, k) =>
+      s" $c(+${k.inserted}/-${k.deleted})" }.mkString
     println(s"[scheduled-sync] new=${result.newDocs} updated=${result.updated} " +
-      s"deleted=${result.deleted} unchanged=${result.unchanged}")
+      s"deleted=${result.deleted} unchanged=${result.unchanged}$kids")
     spark.stop()
   }
 }
