@@ -395,11 +395,19 @@ object CoverageQueries {
       val out = Files.createTempDirectory("graft_stf").toString
       val docs = docsSubset(s, d).cache()
       val nB = 8
-      // three identical bootstraps: (a) streamed feed, (b) batch feed,
-      // (c) snapshot diff
-      for (m <- Seq("a", "b", "c"))
-        graft.sync.IncrementalSync.runPartitioned(s, docs,
-          s"$out/t_$m", s"$out/s_$m", nB)
+      // one bootstrap, cloned byte-for-byte to the three compared paths:
+      // (a) streamed feed, (b) batch feed, (c) snapshot diff — the sync
+      // output is deterministic, so a filesystem copy IS a re-run, minus
+      // two full sync passes of gate time
+      graft.sync.IncrementalSync.runPartitioned(s, docs,
+        s"$out/t_a", s"$out/s_a", nB)
+      val hfs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val hconf = s.sparkContext.hadoopConfiguration
+      for (m <- Seq("b", "c"); p <- Seq("t", "s"))
+        org.apache.hadoop.fs.FileUtil.copy(hfs,
+          new org.apache.hadoop.fs.Path(s"$out/${p}_a"), hfs,
+          new org.apache.hadoop.fs.Path(s"$out/${p}_$m"), false, hconf)
       val minId = docs.agg(min(col("_id").cast("long"))).head()
         .getLong(0).toString
       val maxId = docs.agg(max(col("_id").cast("long"))).head()

@@ -1,7 +1,7 @@
 package graft.sync
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.{Sinks, StateStore}
@@ -175,37 +175,44 @@ object IncrementalSync {
       // (same contract as the main table's changed-bucket scoping); a
       // MISSING child still bootstraps so a pre-child-sync layout heals
       if (!exists || hasChanges) {
-        // cached: the tally count and the merge write both consume the
-        // re-decomposed rows; both frames are churn-sized
-        val newRows = ch.rows(if (exists) upsertIds else allIds).cache()
-        try {
-          val inserted = newRows.count()
-          // prior rows about to be dropped (changed parents' old child
-          // rows, incl. deleted parents' orphans) — churn-proportional
-          val removed =
-            if (!exists) 0L
-            else spark.read.parquet(ch.targetPath)
+        // tallies ride the write job as observed metrics (CollectMetrics)
+        // — zero extra Spark jobs vs the untallied merge: inserted counts
+        // the re-decomposed rows as they stream into the union; removed =
+        // prior − kept, both observed on the prior-table scan the merge
+        // already performs
+        val insObs = Observation()
+        val newRowsRaw = ch.rows(if (exists) upsertIds else allIds)
+        val newRows = newRowsRaw.observe(insObs, count(lit(1)).as("n"))
+        val (merged, removed) =
+          if (!exists) (newRows, () => 0L)
+          else {
+            val priorObs = Observation()
+            val keptObs = Observation()
+            val kept = spark.read.parquet(ch.targetPath)
+              .observe(priorObs, count(lit(1)).as("n"))
               .join(changedIds.withColumnRenamed("_id", ch.fkColumn),
-                Seq(ch.fkColumn), "left_semi").count()
-          val merged =
-            if (!exists) newRows
-            else {
-              val kept = spark.read.parquet(ch.targetPath)
-                .join(changedIds.withColumnRenamed("_id", ch.fkColumn),
-                  Seq(ch.fkColumn), "left_anti")
-              // S16 drift in either direction re-aligns both sides onto the
-              // superset schema before the union
+                Seq(ch.fkColumn), "left_anti")
+              .observe(keptObs, count(lit(1)).as("n"))
+            // S16 drift in either direction re-aligns both sides onto the
+            // superset schema before the union
+            val m =
               if (Sinks.missingColumns(newRows.schema, kept.schema).nonEmpty ||
                   Sinks.missingColumns(kept.schema, newRows.schema).nonEmpty)
                 Sinks.mergeSchemas(kept, newRows)
               else kept.unionByName(newRows)
-            }
-          Sinks.atomicOverwrite(spark, merged, ch.targetPath)
-          childNameOf(ch.targetPath) -> ChildCounts(inserted, removed)
-        } finally newRows.unpersist()
+            (m, () => obsN(priorObs) - obsN(keptObs))
+          }
+        Sinks.atomicOverwrite(spark, merged, ch.targetPath)
+        childNameOf(ch.targetPath) -> ChildCounts(obsN(insObs), removed())
       } else childNameOf(ch.targetPath) -> ChildCounts(0L, 0L)
     }.toMap
   }
+
+  /** The observed row count of a completed write (the metrics are
+    * available as soon as the single write action finishes). */
+  private def obsN(o: Observation): Long =
+    o.get("n") match { case l: java.lang.Long => l.longValue; case x =>
+      throw new IllegalStateException(s"unexpected observed count: $x") }
 
   /** [[applyChildren]] in the changed-bucket-only layout (the
     * [[runPartitioned]] mode): the child shares the PARENT-id hash
@@ -229,41 +236,43 @@ object IncrementalSync {
     val (bucketed, legacy) = layoutOf(fs, ch.targetPath)
     val hasData = bucketed || legacy.nonEmpty
     val convert = !bucketed && legacy.nonEmpty
-    // cached: the tally count and the merge write both consume the
-    // re-decomposed rows; churn-sized by the semi-join pushdown
-    val newRows = ch.rows(if (hasData) upsertIds else allIds).cache()
-    try {
-      val inserted = newRows.count()
-      val drift = hasData && Sinks.missingColumns(newRows.schema,
-        spark.read.parquet(ch.targetPath).schema).nonEmpty
-      val rewrite =
-        if (drift || convert || !hasData) (0 until buckets).toSeq
-        else changedBuckets
-      val target0 =
-        if (!hasData) newRows.limit(0)
-        else if (convert) spark.read.parquet(ch.targetPath)
-        else if (drift) spark.read.parquet(ch.targetPath).drop("__bucket")
-        else spark.read.parquet(ch.targetPath)
-          .filter(col("__bucket").isin(changedBuckets: _*)).drop("__bucket")
-      // prior rows about to be dropped — the read is bucket-pruned, so the
-      // tally costs churn, not table size
-      val removed =
-        if (!hasData) 0L
-        else target0.join(changedIds.withColumnRenamed("_id", ch.fkColumn),
-          Seq(ch.fkColumn), "left_semi").count()
-      val kept = target0.join(changedIds.withColumnRenamed("_id", ch.fkColumn),
-        Seq(ch.fkColumn), "left_anti")
-      val merged =
-        if (Sinks.missingColumns(newRows.schema, kept.schema).nonEmpty ||
-            Sinks.missingColumns(kept.schema, newRows.schema).nonEmpty)
-          Sinks.mergeSchemas(kept, newRows)
-        else kept.unionByName(newRows)
-      stageAndSwapBuckets(spark,
-        merged.withColumn("__bucket", bucketOf(col(ch.fkColumn))),
-        ch.targetPath, rewrite, legacy)
-      stampBucketCount(fs, ch.targetPath, buckets)
-      childNameOf(ch.targetPath) -> ChildCounts(inserted, removed)
-    } finally newRows.unpersist()
+    // tallies ride the single staged write as observed metrics
+    // (CollectMetrics) — zero extra Spark jobs, and the prior-rows side
+    // is the bucket-pruned scan the merge already performs
+    val insObs = Observation()
+    val priorObs = Observation()
+    val keptObs = Observation()
+    val newRowsRaw = ch.rows(if (hasData) upsertIds else allIds)
+    val newRows = newRowsRaw.observe(insObs, count(lit(1)).as("n"))
+    val drift = hasData && Sinks.missingColumns(newRowsRaw.schema,
+      spark.read.parquet(ch.targetPath).schema).nonEmpty
+    val rewrite =
+      if (drift || convert || !hasData) (0 until buckets).toSeq
+      else changedBuckets
+    val target0 =
+      if (!hasData) newRowsRaw.limit(0)
+      else if (convert) spark.read.parquet(ch.targetPath)
+      else if (drift) spark.read.parquet(ch.targetPath).drop("__bucket")
+      else spark.read.parquet(ch.targetPath)
+        .filter(col("__bucket").isin(changedBuckets: _*)).drop("__bucket")
+    val kept0 =
+      if (hasData) target0.observe(priorObs, count(lit(1)).as("n"))
+      else target0
+    val kept1 = kept0.join(changedIds.withColumnRenamed("_id", ch.fkColumn),
+      Seq(ch.fkColumn), "left_anti")
+    val kept = if (hasData) kept1.observe(keptObs, count(lit(1)).as("n"))
+      else kept1
+    val merged =
+      if (Sinks.missingColumns(newRows.schema, kept.schema).nonEmpty ||
+          Sinks.missingColumns(kept.schema, newRows.schema).nonEmpty)
+        Sinks.mergeSchemas(kept, newRows)
+      else kept.unionByName(newRows)
+    stageAndSwapBuckets(spark,
+      merged.withColumn("__bucket", bucketOf(col(ch.fkColumn))),
+      ch.targetPath, rewrite, legacy)
+    stampBucketCount(fs, ch.targetPath, buckets)
+    val removed = if (hasData) obsN(priorObs) - obsN(keptObs) else 0L
+    childNameOf(ch.targetPath) -> ChildCounts(obsN(insObs), removed)
   }
 
   /** [[run]] against BUCKETED catalog tables — the 100 TB shape promised in
