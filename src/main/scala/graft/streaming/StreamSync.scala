@@ -173,7 +173,16 @@ object StreamSync {
     * holds parquet change-feed files (document columns + the `opCol`
     * tag); new files become micro-batches. The streaming twin of the
     * reference's polling sync (Sync.ps1:774-809) for sources that emit a
-    * change stream instead of snapshots. */
+    * change stream instead of snapshots.
+    *
+    * Replay semantics: with the SAME checkpoint, at-least-once redelivery
+    * is idempotent (an upsert whose hash matches state counts unchanged;
+    * a delete of an unknown id is a no-op). A FRESH checkpoint re-reads
+    * every feed file as ONE batch, which erases the order between
+    * original batches — if that merged batch holds an upsert AND a delete
+    * of the same id, the engine fails LOUDLY (before touching the target)
+    * rather than guessing; a disaster replayer must re-partition the feed
+    * into order-consistent batches. */
   def runFeedAvailableNow(spark: SparkSession, sourceDir: String,
       targetPath: String, statePath: String, checkpoint: String,
       buckets: Int, schema: Option[StructType] = None,

@@ -148,6 +148,44 @@ class StreamSyncSpec extends SparkSpec {
       feed, s"$dir/nope_t", s"$dir/nope_s", nB))
   }
 
+  test("feed-mode streaming: checkpoint replay is idempotent; a fresh-" +
+      "checkpoint disaster replay that merges an upsert and a later " +
+      "delete of the SAME id fails loud instead of guessing an order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfr").toString
+    val (target, state) = (s"$dir/t", s"$dir/s")
+    val nB = 4
+    graft.sync.IncrementalSync.runPartitioned(spark,
+      (1L to 12L).map(i => (i.toString, s"v$i")).toDF("_id", "payload"),
+      target, state, nB)
+    val feedDir = s"$dir/feed"
+    // feed file 1: update doc 3; feed file 2: delete doc 3
+    Seq(("3", "CHANGED", "upsert")).toDF("_id", "payload", "_op")
+      .coalesce(1).write.mode("append").parquet(feedDir)
+    graft.streaming.StreamSync.runFeedAvailableNow(spark, feedDir,
+      target, state, s"$dir/cp", nB)
+    Seq(("3", "CHANGED", "delete")).toDF("_id", "payload", "_op")
+      .coalesce(1).write.mode("append").parquet(feedDir)
+    graft.streaming.StreamSync.runFeedAvailableNow(spark, feedDir,
+      target, state, s"$dir/cp", nB)
+    assert(spark.read.parquet(target).filter($"_id" === "3").count() == 0)
+    // same checkpoint, no new files: no-op
+    graft.streaming.StreamSync.runFeedAvailableNow(spark, feedDir,
+      target, state, s"$dir/cp", nB)
+    assert(spark.read.parquet(target).count() == 11)
+    // a FRESH checkpoint re-reads all feed files as ONE batch, merging
+    // the upsert and the delete of doc 3 — order across original batches
+    // is lost, so the two-sided-id guard must fail LOUDLY (a replayer
+    // must re-partition the feed, not let the engine guess)
+    val e = intercept[Exception](
+      graft.streaming.StreamSync.runFeedAvailableNow(spark, feedDir,
+        target, state, s"$dir/cp_fresh", nB))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e).contains("both upserts and deletes"), e)
+    // the failed replay left the target untouched
+    assert(spark.read.parquet(target).count() == 11)
+  }
+
   test("feed-mode streaming with children: child churn lands through the " +
       "bucket-pruned path and the tallies ride the result") {
     import graft.sync.ChildSync
