@@ -447,21 +447,44 @@ object CoverageQueries {
       docs.unpersist()
       def tbl(m: String) = s.read.parquet(s"$out/t_$m").drop("__bucket")
       def st(m: String) = s.read.parquet(s"$out/s_$m").drop("__bucket")
-      def sdiff(x: DataFrame, y: DataFrame): Long =
-        x.exceptAll(y).count() + y.exceptAll(x).count()
-      val (a, b, c) = (tbl("a"), tbl("b"), tbl("c"))
+      // triple multiset compare in ONE job per surface: tag each clone,
+      // hash full rows to a signature, pivot per-signature counts, and
+      // aggregate the symmetric differences (sum |cntX−cntY| == the
+      // two-way exceptAll count) — 2 jobs instead of 8 exceptAll actions
+      def sig(df: DataFrame, tag: String): DataFrame = df.select(
+        md5(to_json(struct(df.columns.sorted.map(col): _*))).as("h"),
+        lit(tag).as("t"))
+      def tripleDiff(fa: DataFrame, fb: DataFrame, fc: DataFrame) = {
+        val counts = sig(fa, "a").unionByName(sig(fb, "b"))
+          .unionByName(sig(fc, "c"))
+          .groupBy("h").pivot("t", Seq("a", "b", "c")).count().na.fill(0L)
+        counts.agg(
+          sum(abs(col("a") - col("b"))).as("ab"),
+          sum(abs(col("a") - col("c"))).as("ac"),
+          sum(col("a")).as("na"), sum(col("b")).as("nb"),
+          sum(col("c")).as("nc")).head()
+      }
+      val t3 = tripleDiff(tbl("a"), tbl("b"), tbl("c"))
+      val s3 = tripleDiff(st("a"), st("b"), st("c"))
+      // the three point assertions on the streamed clone, one agg job
+      val pt = tbl("a").agg(
+        sum(when(col("_id") === maxId, 1L).otherwise(0L)).as("del_gone"),
+        sum(when(col("_id") === s"${maxId}_re", 1L).otherwise(0L))
+          .as("new_present"),
+        sum(when(col("_id") === minId &&
+          col("o_orderpriority") === "9-FEED", 1L).otherwise(0L))
+          .as("upd_live")).head()
       Seq(
-        ("a_rows", a.count()),
-        ("ab_diff", sdiff(a, b)),
-        ("ac_diff", sdiff(a, c)),
-        ("b_rows", b.count()),
-        ("c_rows", c.count()),
-        ("del_gone", a.filter(col("_id") === maxId).count()),
-        ("new_present", a.filter(col("_id") === s"${maxId}_re").count()),
-        ("state_ab_diff", sdiff(st("a"), st("b"))),
-        ("state_ac_diff", sdiff(st("a"), st("c"))),
-        ("upd_live", a.filter(col("_id") === minId &&
-          col("o_orderpriority") === "9-FEED").count()))
+        ("a_rows", t3.getLong(2)),
+        ("ab_diff", t3.getLong(0)),
+        ("ac_diff", t3.getLong(1)),
+        ("b_rows", t3.getLong(3)),
+        ("c_rows", t3.getLong(4)),
+        ("del_gone", pt.getLong(0)),
+        ("new_present", pt.getLong(1)),
+        ("state_ab_diff", s3.getLong(0)),
+        ("state_ac_diff", s3.getLong(1)),
+        ("upd_live", pt.getLong(2)))
         .toDF("metric", "value").orderBy("metric")
     }),
 
