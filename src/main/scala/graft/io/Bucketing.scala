@@ -57,8 +57,17 @@ object Bucketing {
     // duplicate rows. Hashing every (hashable) column spreads a hot key's
     // distinct payloads across the salt space and replays identically on
     // retry; exact duplicate rows co-locating is the acceptable residue.
+    // hash() rejects MapType at ANY nesting depth — filter recursively,
+    // not just top-level map columns
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
     val hashable = left.schema.fields
-      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .filterNot(f => hasMap(f.dataType))
       .map(f => col(f.name))
     val saltSrc = if (hashable.nonEmpty) hashable.toSeq else Seq(col(key))
     val sl = left.withColumn("__salt",

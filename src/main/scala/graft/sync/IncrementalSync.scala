@@ -578,6 +578,14 @@ object IncrementalSync {
         .limit(1).count() == 0,
       "runFromChangeFeed: an _id appears in both upserts and deletes — " +
         "order within one feed batch is undefined; split the batch")
+    // same ambiguity INSIDE the upsert side: two upserts of one id in one
+    // batch have no defined order, and applying both would duplicate the
+    // row in an id-keyed target — fail loud, like the two-sided guard
+    require(current.groupBy("_id").count().filter(col("count") > 1)
+        .limit(1).count() == 0,
+      "runFromChangeFeed: an _id appears more than once in upserts — " +
+        "order within one feed batch is undefined; keep the newest " +
+        "version per id (or split the batch)")
     // the feed's bucket footprint (bounded collect ≤ buckets rows) prunes
     // the STATE read — the step that replaces the full-corpus diff join
     val feedBuckets = current.select(bucketOf(col("_id")).as("__b"))

@@ -43,6 +43,19 @@ class BucketingSpec extends SparkSpec {
       .select("k", "v", "name")
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the content-derived salt must skip unhashable columns at ANY depth
+    // (hash() rejects MapType nested inside arrays/structs too)
+    val withMap = skewed.withColumn("m",
+      map(lit("a"), col("v")).cast("map<string,int>"))
+      .withColumn("am", array(map(lit("b"), col("v"))))
+    val saltedMap = Bucketing.saltedJoin(withMap, dim, "k", 8)
+      .select("k", "v", "name")
+    assert(saltedMap.count() == plain.count())
+    assert(saltedMap.exceptAll(plain).isEmpty)
+    // no nondeterministic fallback snuck back in
+    val p = Bucketing.saltedJoin(withMap, dim, "k", 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("monotonically_increasing_id"), p)
   }
 
   test("view-flip retention keeps the LIVE version, reaps crashed orphans") {

@@ -293,6 +293,12 @@ class SyncSpec extends SparkSpec {
       deletes = Seq.empty[Long].toDF("_id"),
       s"$dir/fresh_t", s"$dir/fresh_s", nB))
     assert(e.getMessage.contains("snapshot sync"), e.getMessage)
+    // two upserts of one id in one batch have no defined order either —
+    // applying both would duplicate the row in the id-keyed target
+    val e2 = intercept[IllegalArgumentException](runFromChangeFeed(spark,
+      upserts = Seq((8L, "x"), (8L, "y")).toDF("_id", "payload"),
+      deletes = Seq.empty[Long].toDF("_id"), target, state, nB))
+    assert(e2.getMessage.contains("more than once"), e2.getMessage)
   }
 
   test("fromSchema derives the same model layout as the profiled compile") {
