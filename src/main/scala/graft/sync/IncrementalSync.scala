@@ -507,10 +507,14 @@ object IncrementalSync {
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           !cfs.exists(new Path(ch.targetPath))
         }
-        val childCounts = mapChildrenConcurrently(missing)(ch =>
+        val healed = mapChildrenConcurrently(missing)(ch =>
           applyChildPartitioned(spark, ch, classified, Seq.empty, buckets,
             bucketOf)).toMap
-        result.copy(children = childCounts)
+        // untouched children still report a (0, 0) entry so the tallies
+        // map covers every synced child in every mode
+        val untouched = children.map(ch => childNameOf(ch.targetPath))
+          .filterNot(healed.contains).map(_ -> ChildCounts(0L, 0L)).toMap
+        result.copy(children = untouched ++ healed)
       }
     } finally classified.unpersist()
   }
@@ -591,7 +595,9 @@ object IncrementalSync {
     val feedBuckets = current.select(bucketOf(col("_id")).as("__b"))
       .unionByName(deletes.select(bucketOf(col("_id")).as("__b")))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    if (feedBuckets.isEmpty) return SyncResult(0, 0, 0, 0, 0)
+    if (feedBuckets.isEmpty) return SyncResult(0, 0, 0, 0, 0,
+      children.map(ch => childNameOf(ch.targetPath) -> ChildCounts(0L, 0L))
+        .toMap)
     val state0 = StateStore.load(spark, statePath)
     val state =
       if (state0.columns.contains("__bucket"))
@@ -671,7 +677,8 @@ object IncrementalSync {
           applyChildPartitioned(spark, ch, classifiedLike, changed, buckets,
             bucketOf)).toMap
         result.copy(children = childCounts)
-      } else result
+      } else result.copy(children = children.map(ch =>
+        childNameOf(ch.targetPath) -> ChildCounts(0L, 0L)).toMap)
     } finally { upC.unpersist(); delIds.unpersist(): Unit }
   }
 
