@@ -87,7 +87,17 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     }
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the TIMED loop to the
+    // named queries while keeping the full registry warmup above, so an
+    // isolation re-probe of a drifted query runs under the exact protocol
+    // the full bench loop uses (warmup state, memos, gc boundary, noop
+    // sink) — Prof's steady numbers run 1.3-1.5x above bench-loop numbers
+    // and are not directly comparable to BENCH_FULL entries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = timed.map { case (name, fn) =>
       // isolate measurements: collect the previous query's garbage (incl.
       // ContextCleaner-driven block cleanup) OUTSIDE the timed window, so
       // one query's allocation debt doesn't land in the next query's time
