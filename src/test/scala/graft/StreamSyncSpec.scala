@@ -109,6 +109,14 @@ class StreamSyncSpec extends SparkSpec {
       Seq(("2", "b", Seq(20L))).toDF("_id", "name", "vals"), target, state,
       childrenFor = Some(mk)))
     assert(e.getMessage.contains("snapshot sync"), e.getMessage)
+    // the abort is CLEAN: the guard fires BEFORE the main-table write, so
+    // the guarded batch's upserts never landed and the state never moved
+    // (previously the target held doc 2 with the state unadvanced —
+    // idempotent under replay, but a half-applied abort)
+    assert(spark.read.parquet(target).select("_id").as[String]
+      .collect().toSet == Set("1"), "guarded batch mutated the target")
+    assert(spark.read.parquet(state).count() == 1,
+      "guarded batch advanced the state")
     // a FIRST-ever batch (no target yet) bootstraps children fine
     val dir2 = java.nio.file.Files.createTempDirectory("graft_scg2").toString
     val mk2: org.apache.spark.sql.DataFrame => Seq[ChildSync] =
@@ -143,6 +151,18 @@ class StreamSyncSpec extends SparkSpec {
     val bad = Seq(("9", "x", "replace")).toDF("_id", "payload", "_op")
     intercept[IllegalArgumentException](
       StreamSync.applyFeedBatch(spark, bad, target, state, nB))
+    // a NULL op tag must hit the SAME loud guard: `!isin(...)` is NULL
+    // (not true) for null tags, so without the explicit isNull arm the
+    // row passes the guard and is then excluded from both the upsert and
+    // delete filters — silent row loss
+    val nullTag = Seq(("9", "x", "upsert"), ("10", "y", null))
+      .toDF("_id", "payload", "_op")
+    val eNull = intercept[IllegalArgumentException](
+      StreamSync.applyFeedBatch(spark, nullTag, target, state, nB))
+    assert(eNull.getMessage.contains("NULL"), eNull.getMessage)
+    // and the guarded batch touched nothing (doc 9's upsert never landed)
+    assert(spark.read.parquet(target).filter($"_id" === "9")
+      .select("payload").as[String].head() == "v9")
     // a feed cannot bootstrap: missing target/state fails loud
     intercept[IllegalArgumentException](StreamSync.applyFeedBatch(spark,
       feed, s"$dir/nope_t", s"$dir/nope_s", nB))

@@ -96,6 +96,45 @@ class WorkflowSpec extends SparkSpec {
     assert(readBack() == v2.as[(String, String)].collect().toSet)
   }
 
+  test("O1 concurrency: collections migrate on a bounded pool into one " +
+      "shared outDir without racing — reports in input order, artifacts " +
+      "keyed by collection, duplicates rejected loud") {
+    val out = java.nio.file.Files.createTempDirectory("graft_wfc").toString
+    // four differently-sized collections sharing ONE outDir: every
+    // artifact path is collection-keyed, so the concurrent runs commute
+    val names = Seq("alpha", "beta", "gamma", "delta")
+    val sizes = Map("alpha" -> 40L, "beta" -> 10L, "gamma" -> 25L,
+      "delta" -> 5L)
+    def docsFor(n: String) = (1L to sizes(n))
+      .map(i => (s"${n}_$i", s"payload_$i", Seq(i, i + 1)))
+      .toDF("_id", "name", "vals")
+    val reports = MigrationWorkflow.run(spark, out /* unused: explicit */,
+      collections = names,
+      cfgFor = n => MigrationConfig(n, out),
+      loadDocs = docsFor)
+    // input order preserved despite concurrent completion order
+    assert(reports.map(_.collection) == names)
+    names.foreach { n =>
+      val r = reports(names.indexOf(n))
+      assert(r.status == "PASSED", s"$n: $r")
+      assert(r.rowCounts(n) == sizes(n), s"$n row count")
+      // per-collection artifacts landed, keyed by name
+      assert(spark.read.parquet(s"$out/$n.parquet").count() == sizes(n))
+      assert(spark.read.parquet(s"$out/${n}_vals.parquet").count() ==
+        2 * sizes(n))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/${n}_schema_mysql.sql")), n)
+      // no cross-contamination: every _id carries its own collection prefix
+      assert(spark.read.parquet(s"$out/$n.parquet")
+        .filter(!col("_id").startsWith(s"${n}_")).count() == 0, n)
+    }
+    // duplicate collection names would race on their artifact paths
+    val e = intercept[IllegalArgumentException](MigrationWorkflow.run(
+      spark, out, Seq("alpha", "alpha"),
+      n => MigrationConfig(n, out), docsFor))
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
   test("O4: schemaOnly emits the model without moving data") {
     val out = java.nio.file.Files.createTempDirectory("graft_wf3").toString
     val docs = Tables.orderDocs(spark, sfDir)

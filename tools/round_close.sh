@@ -36,9 +36,15 @@ npass, ntot = int(m.group(1)), int(m.group(2))
 lit = re.search(r'lit check: (\d+)/(\d+)', log)
 lp, lt = (int(lit.group(1)), int(lit.group(2))) if lit else (0, 0)
 failed = re.findall(r'^FAIL (\S+)', log, re.M)
+import subprocess
+sha = subprocess.run(['git', 'rev-parse', 'HEAD'], capture_output=True,
+                     text=True).stdout.strip()
+dirty = bool(subprocess.run(['git', 'status', '--porcelain'],
+                            capture_output=True, text=True).stdout.strip())
 out = {"round": int(r), "sweep": "full_registry", "sf": "0.1",
        "n_pass": npass + lp, "n_total": ntot + lt, "n_queries": ntot,
-       "lit_families": lt, "failed": failed}
+       "lit_families": lt, "failed": failed,
+       "commit": sha, "tree_dirty_at_stamp": dirty}
 open(f'V_FULL_r{r}.json', 'w').write(json.dumps(out) + "\n")
 print("V_FULL:", out)
 EOF
@@ -56,9 +62,14 @@ r = sys.argv[1]
 log = open('/tmp/check_incr.log').read()
 m = re.search(r'(\d+)/(\d+) queries match', log)
 failed = re.findall(r'^FAIL (\S+)', log, re.M)
+import subprocess
+sha = subprocess.run(['git', 'rev-parse', 'HEAD'], capture_output=True,
+                     text=True).stdout.strip()
+dirty = bool(subprocess.run(['git', 'status', '--porcelain'],
+                            capture_output=True, text=True).stdout.strip())
 out = {"round": int(r), "sweep": "incremental_family", "sf": "0.1",
        "n_pass": int(m.group(1)), "n_total": int(m.group(2)),
-       "failed": failed}
+       "failed": failed, "commit": sha, "tree_dirty_at_stamp": dirty}
 open(f'V_INCR_r{r}.json', 'w').write(json.dumps(out) + "\n")
 print("V_INCR:", out)
 EOF
@@ -109,6 +120,19 @@ for attempt in 1 2 3; do
   cp BENCH_FULL.json "bench_history/BENCH_FULL_r${R}_noisy${attempt}.json"
 done
 if [ $STAMPED -eq 1 ]; then
+  # record WHICH code the stamp measured (round-13 hygiene finding: two
+  # post-close commits were unswept by the close stamps — the SHA makes
+  # that drift detectable, tools/stamp_guard.py enforces it)
+  python3 - <<'PYEOF'
+import json, subprocess
+d = json.load(open('BENCH_FULL.json'))
+d['commit'] = subprocess.run(['git', 'rev-parse', 'HEAD'],
+    capture_output=True, text=True).stdout.strip()
+d['tree_dirty_at_stamp'] = bool(subprocess.run(
+    ['git', 'status', '--porcelain'], capture_output=True,
+    text=True).stdout.strip())
+open('BENCH_FULL.json', 'w').write(json.dumps(d) + "\n")
+PYEOF
   # stamp only the clean (pre- AND post-quiet) pass as the round snapshot
   cp BENCH_FULL.json "bench_history/BENCH_FULL_r${R}_final.json"
   echo "=== [5/6] bench_delta vs prior final"
@@ -132,5 +156,7 @@ echo "=== final check.py (V_FULL gate armed)"
 python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_001 > /tmp/check_final.log 2>&1
 F=$?
 tail -3 /tmp/check_final.log
+echo "=== stamp guard: any commit AFTER this point must re-sweep (tools/stamp_guard.py)"
+python3 tools/stamp_guard.py || true
 echo "ROUND_CLOSE_DONE rc=$F"
 exit $F
