@@ -66,9 +66,13 @@ for q in sorted(qa):
     if q in churn:
         reading = ("flat-ish (churn-proportional path)" if r < 3
                    else "NOT flat - investigate")
+    elif r <= 2:
+        reading = "flat/sublinear"
+    elif r < mult * 1.3:
+        reading = ("~linear (verify output growth if well above "
+                   "%dx)" % mult)
     else:
-        reading = ("~linear or better" if r < mult * 1.3
-                   else "SUPERLINEAR - investigate")
+        reading = "SUPERLINEAR - investigate"
     lines.append("| %s | %.2f | %.2f | %.2fx | %s |" % (q, ta, tb, r, reading))
 lines += ["",
           "Churn-family gates (changefeed/feed-drift/feed-stream) hold "
