@@ -125,6 +125,33 @@ object SamplingQueries {
         .orderBy("source")
     }),
 
+    // UniMax language sampling (Chung '23): uniform budget spread with a
+    // hard per-language epoch cap — water-filling under equal weights on
+    // avail×maxEpochs supplies. Budget 400k vs these fixtures exercises
+    // BOTH fixed-point branches across the sweep SFs: at sf0.01 the budget
+    // exceeds total supply (every language saturates at maxEpochs), at
+    // sf0.1 two saturation rounds run before the uniform fill settles.
+    // The allocation rides the gate as literals; the oracle re-derives
+    // avail and the cap/epoch arithmetic in SQL, lit_check replays the
+    // water-fill itself
+    "samp_unimax" -> ((s, d) => {
+      val avail = docs(s, d)
+        .groupBy("lang")
+        .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .as("avail"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val plan = Sampling.unimaxAllocation(avail, maxEpochs = 2,
+        budgetTokens = 400000L)
+      OracleLits.put("unimax_alloc",
+        plan.map { case (g, _, _, al, _) =>
+          s"(${OracleLits.sqlStr(g)}, $al)"
+        }.mkString(", "))
+      import s.implicits._
+      plan.toDF("lang", "avail_tokens", "cap_tokens", "alloc_tokens",
+          "epochs_micro")
+        .orderBy("lang")
+    }),
+
     // Padding-waste report (dynamic-batching QA): per 32-doc batch, the
     // tokens a pad-to-max collator burns under length-sorted vs arrival
     // -order batching — the measured case for length bucketing. Both
@@ -753,6 +780,26 @@ object SamplingQueries {
          |  CAST(w.weight_bp AS BIGINT) AS weight_bp,
          |  CAST(w.alloc_tokens AS BIGINT) AS alloc_tokens
          |FROM a JOIN w USING (source) ORDER BY source""".stripMargin
+    },
+
+    // avail, the epoch cap, and the implied micro-epochs all re-derive in
+    // SQL; only the water-fill allocation itself rides as literals (its
+    // integer iteration is lit_check's python replica, shared with
+    // samp_waterfill / samp_doremi_plan)
+    "samp_unimax" -> {
+      val vals = OracleLits.get("unimax_alloc")
+        .getOrElse("('__none__', 0)")
+      s"""WITH a AS (SELECT lang,
+         |    CAST(sum(len($duckToksAll)) AS BIGINT) AS avail_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT * FROM (VALUES $vals) AS t(lang, alloc_tokens))
+         |SELECT a.lang, a.avail_tokens,
+         |  CAST(a.avail_tokens * 2 AS BIGINT) AS cap_tokens,
+         |  CAST(w.alloc_tokens AS BIGINT) AS alloc_tokens,
+         |  CAST(CASE WHEN a.avail_tokens = 0 THEN 0
+         |    ELSE (CAST(w.alloc_tokens AS BIGINT) * 1000000)
+         |      // a.avail_tokens END AS BIGINT) AS epochs_micro
+         |FROM a JOIN w USING (lang) ORDER BY lang""".stripMargin
     },
 
     // plain windows in the oracle (lowercasing never changes token count)

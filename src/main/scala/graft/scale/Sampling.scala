@@ -610,6 +610,42 @@ object Sampling {
       (g, a, weight(g), alloc(g)) }
   }
 
+  /** UniMax language-sampling allocation (Chung et al. '23,
+    * arXiv:2304.09151): spread the token budget as UNIFORMLY as possible
+    * across languages, capping every language at `maxEpochs` passes over
+    * its own corpus — the published fix for temperature sampling's twin
+    * failure modes (head languages dominating the mixture at high
+    * temperature, tail languages over-repeated into memorization at low).
+    * The optimum is exactly the water-filling fixed point under EQUAL
+    * weights with per-group supply `avail × maxEpochs`, so this reuses the
+    * spec-tested integer [[waterfillAllocation]] core unchanged (its
+    * saturation rounds realize UniMax's "remove budget-exhausted
+    * languages, re-spread the remainder" loop); everything stays exact
+    * int64 — the only division is the reported epochs, floored to
+    * micro-units. Rows: (group, avail, cap, alloc, epochs_micro), name
+    * order. Scale shape: the input is one bounded per-language aggregate
+    * (language cardinality is tiny next to the corpus), the plan itself is
+    * driver arithmetic — same contract as the waterfill and DoReMi plans. */
+  def unimaxAllocation(avail: Seq[(String, Long)], maxEpochs: Int,
+      budgetTokens: Long): Seq[(String, Long, Long, Long, Long)] = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1: $maxEpochs")
+    // epochs_micro multiplies alloc by 1e6; alloc <= budget, so one guard
+    // bounds both the cap product and the reporting product
+    require(budgetTokens <= Long.MaxValue / 1000000L,
+      s"budget too large for micro-epoch int64 reporting: $budgetTokens")
+    avail.foreach { case (g, a) =>
+      require(a >= 0 && a <= Long.MaxValue / maxEpochs,
+        s"avail out of int64 cap range for $g: $a") }
+    val capped = avail.map { case (g, a) => (g, a * maxEpochs) }
+    val byName = avail.toMap
+    waterfillAllocation(capped, Map.empty, defaultBp = 100,
+        budgetTokens = budgetTokens)
+      .map { case (g, cap, _, alloc) =>
+        val a = byName(g)
+        (g, a, cap, alloc, if (a == 0L) 0L else alloc * 1000000L / a)
+      }
+  }
+
   /** Scale-path quantile bucketing: assign each row a bucket 1..n by
     * comparing `valueCol` against percentile_approx cut-points — a single
     * fixed-size-sketch aggregation plus a zero-shuffle per-row comparison

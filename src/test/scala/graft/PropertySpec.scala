@@ -983,3 +983,126 @@ object FeedReplayProps extends Properties("FeedReplay") {
     }
   }
 }
+
+/** Round-14 churn-scoped schema drift, generalized beyond the
+  * `o3_sync_feed_drift` gate's single scenario: a CDC feed whose batches
+  * introduce a NEW column at a random point (and mix upserts carrying it,
+  * upserts without it, deletes, and unknown-id deletes in random order)
+  * must leave a target whose schema-pinned read equals the in-order op
+  * fold exactly — pre-drift files surface the column as null — while
+  * every batch rewrites ONLY buckets its own ids hash to (the 100 TB
+  * contract: write cost ∝ churn even under drift). Runs the REAL feed
+  * path against a cloned bucketed bootstrap per case. */
+object FeedDriftProps extends Properties("FeedDrift") {
+  private lazy val spark = SparkSpec.session
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.scalacheck.Prop.propBoolean
+  import spark.implicits._
+  import graft.sync.IncrementalSync
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(60)
+
+  private case class Op(id: Long, del: Boolean, payload: String,
+      extra: Option[String])
+
+  private val nBase = 6L
+  private val nB = 4 // several buckets, so un-churned ones stay pre-drift
+
+  private lazy val template: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fdp0").toString
+    IncrementalSync.runPartitioned(spark,
+      (1L to nBase).map(i => (i, s"base$i")).toDF("_id", "payload"),
+      s"$dir/t", s"$dir/s", nB)
+    dir
+  }
+
+  private def clone_(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fdp").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (p <- Seq("t", "s"))
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$template/$p"), fs,
+        new org.apache.hadoop.fs.Path(s"$dir/$p"), false, conf)
+    dir
+  }
+
+  // batches of per-id-distinct ops (unambiguous by construction): ids
+  // beyond nBase exercise inserts and unknown-id deletes
+  private val batchesGen: Gen[List[List[Op]]] = for {
+    k <- Gen.choose(1, 3)
+    bs <- Gen.listOfN(k, for {
+      ids <- Gen.someOf(1L to nBase + 2)
+      ops <- Gen.sequence[List[Op], Op](ids.toList.map(id => for {
+        del <- Gen.frequency(1 -> true, 3 -> false)
+        p <- Gen.choose(0, 99).map(v => s"p$v")
+        ex <- Gen.option(Gen.choose(0, 9).map(v => s"x$v"))
+      } yield Op(id, del, p, ex)))
+    } yield ops)
+  } yield bs
+
+  // one Spark job for the whole (tiny) id domain — the engine's own
+  // bucket expression, evaluated once and memoized
+  private lazy val bucketOf: Map[Long, Int] =
+    (1L to nBase + 2).map(_.toString).toDF("_id")
+      .select(col("_id"), org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("_id")), lit(nB)).as("b"))
+      .collect().map(r => r.getString(0).toLong -> r.getInt(1)).toMap
+
+  private def census(dir: String): Map[String, Set[(String, Long, Long)]] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    fs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("__bucket=")).map { d0 =>
+      d0.getPath.getName -> fs.listStatus(d0.getPath).filter(_.isFile)
+        .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+        .toSet
+    }.toMap
+  }
+
+  property("random drift feeds: schema-pinned read == in-order fold; " +
+      "every batch rewrites only its own ids' buckets") =
+    forAll(batchesGen) { batches =>
+      val dir = clone_()
+      val (t, st) = (s"$dir/t", s"$dir/s")
+      var scoped = true
+      batches.foreach { b =>
+        val ups = b.filterNot(_.del)
+        val carries = ups.exists(_.extra.isDefined)
+        val upDf =
+          if (carries)
+            ups.map(o => (o.id, o.payload, o.extra.orNull))
+              .toDF("_id", "payload", "extra")
+          else ups.map(o => (o.id, o.payload)).toDF("_id", "payload")
+        val delDf = b.filter(_.del).map(_.id).toDF("_id")
+        val before = census(t)
+        IncrementalSync.runFromChangeFeed(spark, upDf, delDf, t, st, nB)
+        val after = census(t)
+        val rewritten = (before.keySet ++ after.keySet)
+          .filter(k => before.get(k) != after.get(k))
+        val churn = b.map(o => s"__bucket=${bucketOf(o.id)}").toSet
+        scoped &&= rewritten.subsetOf(churn)
+      }
+      val expected = batches.flatten.foldLeft(
+          (1L to nBase).map(i => i -> (s"base$i", Option.empty[String]))
+            .toMap) { (m, o) =>
+        if (o.del) m - o.id else m + (o.id -> (o.payload, o.extra))
+      }
+      val ta = IncrementalSync.readTarget(spark, t).drop("__bucket")
+      val got =
+        if (ta.columns.contains("extra"))
+          ta.select("_id", "payload", "extra").as[(Long, String, Option[String])]
+            .collect().map(r => r._1 -> (r._2, r._3)).toMap
+        else ta.select("_id", "payload").as[(Long, String)]
+          .collect().map(r => r._1 -> (r._2, Option.empty[String])).toMap
+      val stateN = spark.read.parquet(st).count()
+      (got == expected) :| s"read != fold: got=$got expected=$expected" &&
+        scoped :| "a batch rewrote a bucket outside its own ids' churn" &&
+        (stateN == expected.size.toLong) :|
+          s"state rows $stateN != ${expected.size}"
+    }
+}

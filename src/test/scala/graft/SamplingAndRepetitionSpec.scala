@@ -902,6 +902,44 @@ class SamplingAndRepetitionSpec extends SparkSpec {
     assert(dup.getMessage.contains("duplicate group names"), dup.getMessage)
   }
 
+  test("unimax: uniform fill, epoch-cap saturation cascade, budget>supply, " +
+      "epoch reporting, maxEpochs=1 == uniform waterfill, guards") {
+    import graft.scale.Sampling.{unimaxAllocation, waterfillAllocation}
+    val avail = Seq(("en", 1000L), ("fr", 300L), ("zh", 50L))
+    // plentiful languages split the budget uniformly; zh hits its 2-epoch
+    // cap (100 < 600/3=200) and its surplus re-spreads to en/fr equally
+    val p = unimaxAllocation(avail, maxEpochs = 2, budgetTokens = 600L)
+    assert(p.map(t => t._1 -> t._4).toMap ==
+      Map("en" -> 250L, "fr" -> 250L, "zh" -> 100L))
+    // caps echo avail×epochs; epochs_micro = alloc·1e6 / avail floored —
+    // the capped language reports exactly maxEpochs
+    assert(p.map(t => t._1 -> t._3).toMap ==
+      Map("en" -> 2000L, "fr" -> 600L, "zh" -> 100L))
+    assert(p.map(t => t._1 -> t._5).toMap ==
+      Map("en" -> 250000L, "fr" -> 833333L, "zh" -> 2000000L))
+    // cascading saturation: fr's cap (600) also binds once zh's surplus
+    // lifts the uniform share above it
+    val casc = unimaxAllocation(avail, maxEpochs = 2, budgetTokens = 2000L)
+      .map(t => t._1 -> t._4).toMap
+    assert(casc == Map("en" -> 1300L, "fr" -> 600L, "zh" -> 100L))
+    // budget beyond total supply: every language saturates at its cap,
+    // Σ alloc = Σ cap (the sf0.01 branch of the samp_unimax gate)
+    val over = unimaxAllocation(avail, maxEpochs = 2, budgetTokens = 99999L)
+    assert(over.forall(t => t._4 == t._3) && over.map(_._4).sum == 2700L)
+    // maxEpochs=1 degenerates to a uniform-weight waterfill of raw avail
+    assert(unimaxAllocation(avail, 1, 700L).map(t => (t._1, t._4)) ==
+      waterfillAllocation(avail, Map.empty, 100, 700L)
+        .map(t => (t._1, t._4)))
+    // zero-avail language allocates nothing and reports zero epochs
+    val z = unimaxAllocation(Seq(("a", 0L), ("b", 10L)), 3, 5L)
+    assert(z.head == (("a", 0L, 0L, 0L, 0L)) && z(1)._4 == 5L)
+    intercept[IllegalArgumentException](unimaxAllocation(avail, 0, 10L))
+    intercept[IllegalArgumentException](
+      unimaxAllocation(Seq(("a", Long.MaxValue / 2)), 3, 10L))
+    intercept[IllegalArgumentException](
+      unimaxAllocation(avail, 2, Long.MaxValue / 1000L))
+  }
+
   test("lrTrain: deterministic weights, separable corpus separates, " +
       "empty corpus yields zeros, score gate is consistent") {
     val long = Array.fill(60)("the quick fox").mkString(" ")

@@ -374,6 +374,28 @@ def check_waterfill(frag, errs):
         errs.append(f"parsed {len(got)} groups, fixtures have {len(avail)}")
 
 
+def check_unimax(frag, errs):
+    """UniMax (Chung '23) replica: per-language avail from the fixtures,
+    supplies capped at avail*2 epochs, EQUAL weights, budget 400000 — the
+    same pure-integer water-filling iteration, must match EXACTLY."""
+    got = re.findall(r"\('([^']*)', (\d+)\)", frag)
+    if not got:
+        errs.append("no allocations parsed")
+        return
+    avail = dict(con.sql(
+        f"SELECT lang, CAST(sum(len({TOKS})) AS BIGINT) "
+        "FROM documents GROUP BY 1").fetchall())
+    capped = {g: a * 2 for g, a in avail.items()}
+    alloc = waterfill_replica(capped, {g: 100 for g in capped}, 400000)
+    for g, al in got:
+        if g not in avail:
+            errs.append(f"unknown lang {g}")
+        elif int(al) != alloc[g]:
+            errs.append(f"{g}: engine={al} recomputed={alloc[g]}")
+    if len(got) != len(avail):
+        errs.append(f"parsed {len(got)} langs, fixtures have {len(avail)}")
+
+
 def doremi_per_source():
     """Per-source (Σ neg_logp_sum_micro, Σ n_bigrams) via the same
     bigram-LM SQL the oracles use — the exact-integer base of every
@@ -509,6 +531,7 @@ CHECKERS = {
     "len_decile_cuts": check_len_deciles,
     "lr_weights": check_lr_weights,
     "waterfill_alloc": check_waterfill,
+    "unimax_alloc": check_unimax,
     "zorder_ra": check_zorder("l_orderkey"),
     "zorder_rb": check_zorder("l_partkey"),
     # hilbert shares the zorder rank-bucketing contract (same cut shape)
