@@ -41,6 +41,14 @@ object EngineSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // let AQE size the partitioning of CACHED plans too (off by default
+      // only for partitioning-reuse compatibility): the sync/workflow
+      // operators cache the document frame across phases, and without this
+      // the cache pins the static shuffle.partitions count — every
+      // downstream job then pays that task count regardless of data size,
+      // at any scale (guide §2.2: let AQE coalesce; results unaffected)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
       .config("spark.sql.session.timeZone", "UTC")

@@ -73,7 +73,9 @@ object Sinks {
     val tmp = new Path(path + ".__tmp__")
     val dst = new Path(path)
     val bak = new Path(path + ".__old__")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    Label(spark.sparkContext, s"write:${dst.getName}") {
+      df.write.mode("overwrite").parquet(tmp.toString)
+    }
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(dst)) fs.rename(dst, bak)
     fs.rename(tmp, dst)

@@ -241,12 +241,10 @@ object SchemaProfiler {
       case _ if sampleSize > 0 => df.limit(sampleSize)
       case _ => df
     }
-    // collectProfile runs several actions (count, histogram, sample values,
-    // max lengths); the sample is ≤ sampleSize rows but its PLAN may be
-    // arbitrarily expensive — persist the bounded frame so the source is
-    // computed once, not once per action.
-    val cached = sample.persist()
-    try collectProfile(cached) finally cached.unpersist(false)
+    // collectProfile is ONE aggregation action now — no persist needed:
+    // the sample plan runs exactly once either way, and skipping the cache
+    // write/unpersist saves a round trip per profile call.
+    collectProfile(sample)
   }
 
   /** Schema-only profile: when a collection is EMPTY the data-driven
@@ -279,14 +277,49 @@ object SchemaProfiler {
   }
 
   /** Collects the (small) per-path summary. Sample values: ≤3, truncated to
-    * 47 chars + "..." (Analyze_scheme.ps1:216-226, X4). */
+    * 47 chars + "..." (Analyze_scheme.ps1:216-226, X4).
+    *
+    * ONE aggregation action (guide §1.2 step 1 — fewer passes): the total
+    * count, the (path, type) histogram counters, the per-path max lengths
+    * and the ≤3 sample values are all aggregates over the same frame, so
+    * they ride a single `agg` (one scan, one job) instead of the former
+    * four actions (count + histogram + samples + max-lens — four scans of
+    * the sample plan, four scheduling round trips per profile call, and a
+    * persist/unpersist pair to make that affordable). */
   def collectProfile(sample: DataFrame): SchemaProfile = {
-    val total = sample.count()
+    val histE = sample.schema.fields.toSeq.flatMap(f =>
+      histExprs(col(f.name), f.dataType, f.name, lit(true)))
+    val sPaths = scalarPaths(sample.schema, "")
+    val nH = histE.size
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__total") +:
+        (histE.zipWithIndex.map { case ((_, _, e), i) =>
+          coalesce(e, lit(0L)).as(s"__h$i")
+        } ++
+        sPaths.zipWithIndex.map { case ((_, c), i) =>
+          max(length(c.cast("string"))).as(s"__m$i")
+        } ++
+        sPaths.zipWithIndex.map { case ((_, c), i) =>
+          val s = c.cast("string")
+          val tr = when(length(s) > 50, concat(substring(s, 1, 47),
+            lit("..."))).otherwise(s)
+          slice(collect_list(tr), 1, 3).as(s"__s$i")
+        })
+    val row = sample.agg(aggs.head, aggs.tail: _*).collect().head
+    val total = row.getLong(0)
     if (total == 0) return fromSchema(sample.schema)
-    val hist = profileDF(sample).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val samples = collectSampleValues(sample)
-    val maxLens = collectMaxLens(sample)
+    val hist = histE.zipWithIndex.flatMap { case ((p, t, _), i) =>
+      val c = row.getLong(1 + i)
+      if (c > 0) Some((p, t, c)) else None
+    }.toArray
+    val maxLens = sPaths.zipWithIndex.flatMap { case ((p, _), i) =>
+      val idx = 1 + nH + i
+      if (row.isNullAt(idx)) None
+      else Some(p -> row.getAs[Number](idx).longValue())
+    }.toMap
+    val samples = sPaths.zipWithIndex.map { case ((p, _), i) =>
+      p -> row.getSeq[String](1 + nH + sPaths.size + i).toSeq
+    }.toMap
     // bare `path[]` entries are the element-type histogram of `path`;
     // `path[].child` entries are real fields (reference path grammar,
     // Analyze_scheme.ps1:203-207) and stay in the field list.
@@ -322,39 +355,4 @@ object SchemaProfiler {
       case _ => Nil
     }
 
-  /** True per-path max stringified length over the sample — drives VARCHAR
-    * sizing (A4/X5) from UNtruncated values. One aggregation row. */
-  private def collectMaxLens(sample: DataFrame): Map[String, Long] = {
-    val paths = scalarPaths(sample.schema, "")
-    if (paths.isEmpty) return Map.empty
-    val aggs = paths.map { case (p, c) =>
-      max(length(c.cast("string"))).as(p)
-    }
-    val row = sample.agg(aggs.head, aggs.tail: _*).collect().head
-    paths.zipWithIndex.flatMap { case ((p, _), i) =>
-      if (row.isNullAt(i)) None else Some(p -> row.getAs[Number](i).longValue())
-    }.toMap
-  }
-
-  /** ≤3 sample values per scalar top-level-reachable path, truncated like the
-    * reference (substring(0,47)+"...", Analyze_scheme.ps1:218-221). */
-  private def collectSampleValues(sample: DataFrame): Map[String, Seq[String]] = {
-    val paths = scalarPaths(sample.schema, "")
-    if (paths.isEmpty) return Map.empty
-    val truncated = paths.map { case (p, c) =>
-      val s = c.cast("string")
-      (when(length(s) > 50, concat(substring(s, 1, 47), lit("...")))
-        .otherwise(s)).as(p)
-    }
-    val agg = sample.select(truncated: _*).agg(
-      paths.map { case (p, _) =>
-        slice(collect_list(col(s"`$p`")), 1, 3).as(p)
-      }.head, paths.tail.map { case (p, _) =>
-        slice(collect_list(col(s"`$p`")), 1, 3).as(p)
-      }: _*)
-    val row = agg.collect().head
-    paths.zipWithIndex.map { case ((p, _), i) =>
-      p -> row.getSeq[String](i).toSeq
-    }.toMap
-  }
 }

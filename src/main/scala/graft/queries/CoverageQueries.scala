@@ -297,10 +297,10 @@ object CoverageQueries {
       val cfg = MigrationConfig("odocs", out)
       MigrationWorkflow.incrementalMigration(s, docs, cfg) // full bootstrap
       MigrationWorkflow.incrementalMigration(s, docs, cfg) // all-new, state
-      val minId = docs.agg(min(col("_id").cast("long"))).head()
-        .getLong(0).toString
-      val maxId = docs.agg(max(col("_id").cast("long"))).head()
-        .getLong(0).toString
+      // min and max in ONE aggregation job (they always rode two)
+      val ids = docs.agg(min(col("_id").cast("long")),
+        max(col("_id").cast("long"))).head()
+      val (minId, maxId) = (ids.getLong(0).toString, ids.getLong(1).toString)
       // churn: minId's lineitems sliced to ONE element (array-only edit),
       // maxId deleted outright
       val v2 = docs.filter(col("_id") =!= maxId)
@@ -408,10 +408,10 @@ object CoverageQueries {
         org.apache.hadoop.fs.FileUtil.copy(hfs,
           new org.apache.hadoop.fs.Path(s"$out/${p}_a"), hfs,
           new org.apache.hadoop.fs.Path(s"$out/${p}_$m"), false, hconf)
-      val minId = docs.agg(min(col("_id").cast("long"))).head()
-        .getLong(0).toString
-      val maxId = docs.agg(max(col("_id").cast("long"))).head()
-        .getLong(0).toString
+      // min and max in ONE aggregation job (they always rode two)
+      val ids = docs.agg(min(col("_id").cast("long")),
+        max(col("_id").cast("long"))).head()
+      val (minId, maxId) = (ids.getLong(0).toString, ids.getLong(1).toString)
       val upd = docs.filter(col("_id") === minId)
         .withColumn("o_orderpriority", lit("9-FEED"))
       val newDoc = docs.filter(col("_id") === maxId)
@@ -584,10 +584,10 @@ object CoverageQueries {
       val main = s.read.parquet(s"$out/odocs.parquet")
       val li = s.read.parquet(s"$out/odocs_lineitems.parquet")
       val expected = docs.filter(size(col("lineitems")) > 0).select("_id")
-      val minId = docs.agg(min(col("_id").cast("long"))).head()
-        .getLong(0).toString
-      val maxId = docs.agg(max(col("_id").cast("long"))).head()
-        .getLong(0).toString
+      // min and max in ONE aggregation job (they always rode two)
+      val ids = docs.agg(min(col("_id").cast("long")),
+        max(col("_id").cast("long"))).head()
+      val (minId, maxId) = (ids.getLong(0).toString, ids.getLong(1).toString)
       def counts(name: String, child: org.apache.spark.sql.DataFrame) =
         Validator.fkIntegrity(main, child, "_id", "odocs__id",
             Some(expected))
@@ -624,10 +624,10 @@ object CoverageQueries {
         !f.dataType.isInstanceOf[StructType] &&
           !f.dataType.isInstanceOf[ArrayType]).map(_.name).sorted
       val flat = docs.select(flatCols.map(col): _*).cache()
-      val minId = docs.agg(min(col("_id").cast("long"))).head()
-        .getLong(0).toString
-      val maxId = docs.agg(max(col("_id").cast("long"))).head()
-        .getLong(0).toString
+      // min and max in ONE aggregation job (they always rode two)
+      val ids = docs.agg(min(col("_id").cast("long")),
+        max(col("_id").cast("long"))).head()
+      val (minId, maxId) = (ids.getLong(0).toString, ids.getLong(1).toString)
       docs.unpersist()
       val nB = 8
       val v2 = flat.filter(col("_id") =!= maxId)

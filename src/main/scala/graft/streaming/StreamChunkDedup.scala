@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
@@ -55,10 +56,15 @@ object StreamChunkDedup {
     batch.cache()
     try {
       val received = batch.count()
+      val nObs = org.apache.spark.sql.Observation()
       Dedup.chunkDedupMap(batch, idCol, textCol, chunkTokens, strideTokens)
+        .observe(nObs, count(lit(1)).as("n"))
         .write.mode("overwrite")
         .parquet(s"$storeRoot/chunks/batch=$batchId")
-      val n = spark.read.parquet(s"$storeRoot/chunks/batch=$batchId").count()
+      val n = nObs.get("n") match {
+        case l: java.lang.Long => l.longValue
+        case x => throw new IllegalStateException(s"unexpected count: $x")
+      }
       fs.create(marker(stateRoot, batchId), true).close()
       BatchResult(batchId, received, n, replaySkipped = false)
     } finally batch.unpersist()

@@ -195,9 +195,16 @@ object StreamDedup {
         .otherwise(col("id_b")).as(idCol)).distinct()
     val kept = exactSurv.join(drops, Seq(idCol), "left_anti")
 
-    // idempotent corpus append: one directory per batch, overwritten whole
-    kept.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
-    val appended = spark.read.parquet(s"$corpusPath/batch=$batchId").count()
+    // idempotent corpus append: one directory per batch, overwritten
+    // whole; the appended count rides the write as an observed metric
+    // (previously a re-read + count job per batch)
+    val appObs = org.apache.spark.sql.Observation()
+    kept.observe(appObs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+    val appended = appObs.get("n") match {
+      case l: java.lang.Long => l.longValue
+      case x => throw new IllegalStateException(s"unexpected count: $x")
+    }
 
     // publish advanced state. nextFp is rebuilt from the MATERIALIZED
     // survivors (fingerprints are one digest per row) instead of the

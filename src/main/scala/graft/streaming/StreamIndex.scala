@@ -151,15 +151,20 @@ object StreamIndex {
 
     // idempotent appends: one directory per batch, overwritten whole;
     // each segment records the codebook version that encoded it
+    val encObs = org.apache.spark.sql.Observation()
     Pq.encode(cached, cbCached, idCol, vecCol)
       .withColumn("cb_version", lit(version))
+      .observe(encObs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$codesPath/batch=$batchId")
     Pq.quantizationError(cached, cbCached, idCol, vecCol)
       .withColumn("batch_id", lit(batchId))
       .withColumn("cb_version", lit(version))
       .withColumn("retrained", lit(retrain))
       .write.mode("overwrite").parquet(s"$stateRoot/err/batch=$batchId")
-    val encoded = spark.read.parquet(s"$codesPath/batch=$batchId").count()
+    val encoded = encObs.get("n") match {
+      case l: java.lang.Long => l.longValue
+      case x => throw new IllegalStateException(s"unexpected count: $x")
+    }
 
     fs.create(marker(stateRoot, batchId), true).close()
     cbCached.unpersist()

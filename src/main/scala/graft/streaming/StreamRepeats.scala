@@ -61,13 +61,17 @@ object StreamRepeats {
     batch.cache()
     try {
       val received = batch.count()
+      val winObs = org.apache.spark.sql.Observation()
       Dedup.windowFingerprints(batch, idCol, textCol, windowTokens)
         .select("doc_id", "fp")
+        .observe(winObs, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$storeRoot/wins/batch=$batchId")
       batch.select(col(idCol).as("doc_id"))
         .write.mode("overwrite").parquet(s"$storeRoot/docs/batch=$batchId")
-      val windows =
-        spark.read.parquet(s"$storeRoot/wins/batch=$batchId").count()
+      val windows = winObs.get("n") match {
+        case l: java.lang.Long => l.longValue
+        case x => throw new IllegalStateException(s"unexpected count: $x")
+      }
       fs.create(marker(stateRoot, batchId), true).close()
       BatchResult(batchId, received, windows, replaySkipped = false)
     } finally batch.unpersist()

@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
@@ -100,8 +101,13 @@ object StreamSegmentDedup {
         state, batch, idCol, textCol, segTokens)
       // idempotent corpus append: one directory per batch, overwritten
       // whole; a replay from the pinned version rewrites the same bytes
-      cleaned.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
-      val kept = spark.read.parquet(s"$corpusPath/batch=$batchId").count()
+      val keptObs = org.apache.spark.sql.Observation()
+      cleaned.observe(keptObs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+      val kept = keptObs.get("n") match {
+        case l: java.lang.Long => l.longValue
+        case x => throw new IllegalStateException(s"unexpected count: $x")
+      }
       StateStore.saveVersion(spark, nextState, fpRoot, keepVersions)
       fs.create(marker(stateRoot, batchId), true).close()
       BatchResult(batchId, received, kept, replaySkipped = false)

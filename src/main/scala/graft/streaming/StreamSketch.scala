@@ -56,19 +56,42 @@ object StreamSketch {
       .toSeq.map(_.getPath.getName
         .stripPrefix(s"${kind}_batch_").stripSuffix(".done").toLong)
 
+  private def obsN(o: org.apache.spark.sql.Observation): Long =
+    o.get("n") match { case l: java.lang.Long => l.longValue; case x =>
+      throw new IllegalStateException(s"unexpected observed count: $x") }
+
   /** The shared per-batch commit skeleton: replay short-circuit on the
     * marker, whole-directory overwrite of this batch's grid, marker
-    * written LAST. `grid` must be bounded (a sketch, never raw rows). */
+    * written LAST. `grid` must be bounded (a sketch, never raw rows).
+    * The grid-row count rides the write as an observed metric
+    * (CollectMetrics) — previously a re-read + count job per batch. */
   private def commitGrid(spark: SparkSession, grid: => DataFrame,
       received: => Long, batchId: Long, kind: String, gridRoot: String,
       stateRoot: String): BatchResult = {
     val fs = fsOf(spark, stateRoot)
     if (fs.exists(marker(stateRoot, kind, batchId)))
       return BatchResult(batchId, 0, 0, replaySkipped = true)
-    grid.write.mode("overwrite").parquet(s"$gridRoot/$kind/batch=$batchId")
-    val cells = spark.read.parquet(s"$gridRoot/$kind/batch=$batchId").count()
+    val cellObs = org.apache.spark.sql.Observation()
+    grid.observe(cellObs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$gridRoot/$kind/batch=$batchId")
     fs.create(marker(stateRoot, kind, batchId), true).close()
-    BatchResult(batchId, received, cells, replaySkipped = false)
+    BatchResult(batchId, received, obsN(cellObs), replaySkipped = false)
+  }
+
+  /** [[commitGrid]] with the RECEIVED count also riding the grid-write job
+    * as an observed metric on the batch side (previously a full extra
+    * pass of the batch — for token-occurrence batches that second pass
+    * re-ran the tokenize/explode lineage just to count it). */
+  private def commitGridCounting(spark: SparkSession, batch: DataFrame,
+      mkGrid: DataFrame => DataFrame, batchId: Long, kind: String,
+      gridRoot: String, stateRoot: String): BatchResult = {
+    val fs = fsOf(spark, stateRoot)
+    if (fs.exists(marker(stateRoot, kind, batchId)))
+      return BatchResult(batchId, 0, 0, replaySkipped = true)
+    val recObs = org.apache.spark.sql.Observation()
+    commitGrid(spark,
+      mkGrid(batch.observe(recObs, count(lit(1)).as("n"))),
+      obsN(recObs), batchId, kind, gridRoot, stateRoot)
   }
 
   /** Resolve a committed batch's grid directory. Grids moved from the
@@ -113,9 +136,9 @@ object StreamSketch {
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       groupCol: String, tokCol: String, gridRoot: String, stateRoot: String,
       depth: Int, width: Int): BatchResult =
-    commitGrid(spark,
-      Sketches.cms(batch, groupCol, tokCol, depth, width),
-      batch.count(), batchId, "cms", gridRoot, stateRoot)
+    commitGridCounting(spark, batch,
+      b => Sketches.cms(b, groupCol, tokCol, depth, width),
+      batchId, "cms", gridRoot, stateRoot)
 
   /** The live CMS sketch: cell-wise sum over every COMMITTED batch grid
     * ([[Sketches.cmsCellSum]] — raises if batches were somehow written
@@ -133,10 +156,10 @@ object StreamSketch {
   def applyHllBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       groupCol: String, valueCol: String, gridRoot: String,
       stateRoot: String, lgK: Int = 12): BatchResult =
-    commitGrid(spark,
-      batch.groupBy(col(groupCol).as("grp"))
+    commitGridCounting(spark, batch,
+      b => b.groupBy(col(groupCol).as("grp"))
         .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sk")),
-      batch.count(), batchId, "hll", gridRoot, stateRoot)
+      batchId, "hll", gridRoot, stateRoot)
 
   /** Live distinct estimate per group: union the committed batch HLL
     * states and estimate — constant-size state per (group, batch), exact
@@ -155,9 +178,9 @@ object StreamSketch {
   def applyAmsBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       groupCol: String, tokCol: String, gridRoot: String,
       stateRoot: String, r: Int): BatchResult =
-    commitGrid(spark,
-      Sketches.amsSketch(batch, groupCol, tokCol, r),
-      batch.count(), batchId, "ams", gridRoot, stateRoot)
+    commitGridCounting(spark, batch,
+      b => Sketches.amsSketch(b, groupCol, tokCol, r),
+      batchId, "ams", gridRoot, stateRoot)
 
   /** The live AMS vector: counter-wise sum over committed batch vectors
     * (feed to [[Sketches.amsF2Estimate]] for the F2 estimate). */
@@ -178,8 +201,9 @@ object StreamSketch {
   def applyQualityBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, groupCol: String, textCol: String, gridRoot: String,
       stateRoot: String): BatchResult =
-    commitGrid(spark, qualityGrid(batch, groupCol, textCol),
-      batch.count(), batchId, "qual", gridRoot, stateRoot)
+    commitGridCounting(spark, batch,
+      b => qualityGrid(b, groupCol, textCol),
+      batchId, "qual", gridRoot, stateRoot)
 
   private def qualityGrid(batch: DataFrame, groupCol: String,
       textCol: String): DataFrame =
@@ -245,9 +269,9 @@ object StreamSketch {
   def applyKmvBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       groupCol: String, valueCol: String, gridRoot: String,
       stateRoot: String, k: Int): BatchResult =
-    commitGrid(spark,
-      Sketches.kmv(batch, groupCol, col(valueCol), k),
-      batch.count(), batchId, "kmv", gridRoot, stateRoot)
+    commitGridCounting(spark, batch,
+      b => Sketches.kmv(b, groupCol, col(valueCol), k),
+      batchId, "kmv", gridRoot, stateRoot)
 
   /** The live KMV sketch: per group, the k smallest distinct hashes over
     * every committed batch grid — (grp, h, rank), the [[Sketches.kmv]]

@@ -113,8 +113,10 @@ object IncrementalSync {
 
   /** A9: change-type tallies from a classified diff. */
   def metrics(classified: DataFrame): SyncResult = {
-    val counts = classified.groupBy("change_type").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = graft.io.Label(classified.sparkSession.sparkContext,
+        "sync:classify-metrics") {
+      classified.groupBy("change_type").count().collect()
+    }.map(r => r.getString(0) -> r.getLong(1)).toMap
     SyncResult(
       counts.getOrElse(ChangeNew, 0L), counts.getOrElse(ChangeUpdated, 0L),
       counts.getOrElse(ChangeDeleted, 0L), counts.getOrElse(ChangeUnchanged, 0L), 0L)
@@ -212,6 +214,15 @@ object IncrementalSync {
     * A plain child table (fullMigration bootstrap) adopts the bucketed
     * layout on its first sync, like the main table. */
   private def applyChildPartitioned(spark: SparkSession, ch: ChildSync,
+      classified: DataFrame, changedBuckets: Seq[Int], buckets: Int,
+      bucketOf: Column => Column): (String, ChildCounts) =
+    graft.io.Label(spark.sparkContext,
+        s"sync:child ${childNameOf(ch.targetPath)}") {
+      applyChildPartitioned0(spark, ch, classified, changedBuckets, buckets,
+        bucketOf)
+    }
+
+  private def applyChildPartitioned0(spark: SparkSession, ch: ChildSync,
       classified: DataFrame, changedBuckets: Seq[Int], buckets: Int,
       bucketOf: Column => Column): (String, ChildCounts) = {
     val fs = new Path(ch.targetPath)
@@ -424,10 +435,13 @@ object IncrementalSync {
     val classified = classify(current, state, hashCol).cache()
     try {
       val result = metrics(classified)
-      val changed = classified
-        .filter(col("change_type") =!= ChangeUnchanged)
-        .select(bucketOf(col("_id")).as("__bucket"))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted // ≤ buckets rows
+      val changed = graft.io.Label(spark.sparkContext,
+          "sync:changed-buckets") {
+        classified
+          .filter(col("change_type") =!= ChangeUnchanged)
+          .select(bucketOf(col("_id")).as("__bucket"))
+          .distinct().collect()
+      }.map(_.getInt(0)).toSeq.sorted // ≤ buckets rows
       if (changed.nonEmpty) {
         val srcData = source.select(
           source.columns.filterNot(_ == hashCol).map(col): _*)
@@ -584,14 +598,17 @@ object IncrementalSync {
     // an id on both sides of one batch, or twice on the upsert side, has
     // no defined order — fail loud rather than guess. Union the two id
     // streams with side tags and detect either ambiguity in one pass.
-    val ambiguous = current.select(col("_id"),
-        lit(1L).as("__up"), lit(0L).as("__del"))
-      .unionByName(deletes.select(col("_id"),
-        lit(0L).as("__up"), lit(1L).as("__del")))
-      .groupBy("_id")
-      .agg(sum("__up").as("__up"), sum("__del").as("__del"))
-      .filter(col("__up") > 1 || (col("__up") > 0 && col("__del") > 0))
-      .limit(1).collect()
+    val ambiguous = graft.io.Label(spark.sparkContext,
+        "feed:ambiguity-guard") {
+      current.select(col("_id"),
+          lit(1L).as("__up"), lit(0L).as("__del"))
+        .unionByName(deletes.select(col("_id"),
+          lit(0L).as("__up"), lit(1L).as("__del")))
+        .groupBy("_id")
+        .agg(sum("__up").as("__up"), sum("__del").as("__del"))
+        .filter(col("__up") > 1 || (col("__up") > 0 && col("__del") > 0))
+        .limit(1).collect()
+    }
     ambiguous.headOption.foreach { r =>
       val bothSides = r.getLong(1) > 0 && r.getLong(2) > 0
       val what =
@@ -604,9 +621,12 @@ object IncrementalSync {
     }
     // the feed's bucket footprint (bounded collect ≤ buckets rows) prunes
     // the STATE read — the step that replaces the full-corpus diff join
-    val feedBuckets = current.select(bucketOf(col("_id")).as("__b"))
-      .unionByName(deletes.select(bucketOf(col("_id")).as("__b")))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val feedBuckets = graft.io.Label(spark.sparkContext,
+        "feed:bucket-footprint") {
+      current.select(bucketOf(col("_id")).as("__b"))
+        .unionByName(deletes.select(bucketOf(col("_id")).as("__b")))
+        .distinct().collect()
+    }.map(_.getInt(0)).toSeq.sorted
     if (feedBuckets.isEmpty) return SyncResult(0, 0, 0, 0, 0,
       children.map(ch => childNameOf(ch.targetPath) -> ChildCounts(0L, 0L))
         .toMap)
@@ -852,8 +872,11 @@ object IncrementalSync {
     // a leftover here is manifest-less (recoverStaging ran at entry and
     // consumed or discarded anything else): safe to clear
     if (fs.exists(staging)) fs.delete(staging, true)
-    df.write.mode("overwrite").partitionBy("__bucket")
-      .parquet(staging.toString)
+    graft.io.Label(spark.sparkContext,
+        s"sync:stage-write ${new Path(path).getName}") {
+      df.write.mode("overwrite").partitionBy("__bucket")
+        .parquet(staging.toString)
+    }
     val staged = changed.filter(b =>
       fs.exists(new Path(staging, s"__bucket=$b")))
     require(legacy.forall(n => !n.contains("/") && !n.contains("\n")),

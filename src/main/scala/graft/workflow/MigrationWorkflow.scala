@@ -77,9 +77,10 @@ object MigrationWorkflow {
     // Caching would materialize every column once up front — measured
     // slower here and strictly worse at 100 TB.
     // [1/4] schema analysis (MasterWorkflow.ps1:248)
-    val prof =
+    val prof = graft.io.Label(spark.sparkContext, "migrate:profile") {
       if (cfg.fullProfile) SchemaProfiler.collectProfile(docs)
       else SchemaProfiler.profile(docs, cfg.sampleSize)
+    }
     // [2/4] relational model + DDL artifact (:255-259)
     val model = RelationalModel.compile(prof, cfg.collection)
     writeDdlArtifact(spark, model, cfg)
@@ -90,15 +91,28 @@ object MigrationWorkflow {
     // the cores a single sequential job would leave idle.
     val tables = Decomposer.decompose(docs, model)
     graft.io.Concurrency.mapBounded(tables.toSeq) { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"${cfg.outDir}/$name.parquet")
+      graft.io.Label(spark.sparkContext, s"migrate:write $name") {
+        df.write.mode("overwrite").parquet(s"${cfg.outDir}/$name.parquet")
+      }
     }: Unit
-    // [4/4] validation (:272)
-    val counts = tables.keys.toSeq.sorted.map { name =>
-      name -> spark.read.parquet(s"${cfg.outDir}/$name.parquet").count()
-    }.toMap
-    val main = spark.read.parquet(s"${cfg.outDir}/${cfg.collection}.parquet")
-    val recon = Validator.countReconciliation(docs, main).collect().head
-    val status = if (recon.getAs[Boolean]("counts_match")) "PASSED" else "FAILED"
+    // [4/4] validation (:272) — the per-table row counts as ONE union job
+    // of count-pruned parquet scans (footer metadata; the countReport
+    // shape) instead of one count action per table, and the V1
+    // reconciliation reuses the just-counted main table: only the source
+    // side needs its own count job (guide §1.2 — don't re-scan for a
+    // number already in hand; semantics identical to countReconciliation).
+    val counts = graft.io.Label(spark.sparkContext, "migrate:counts") {
+      tables.keys.toSeq.sorted.map { name =>
+        spark.read.parquet(s"${cfg.outDir}/$name.parquet")
+          .agg(count(lit(1)).as("row_count"))
+          .select(lit(name).as("table_name"), col("row_count"))
+      }.reduce(_ unionByName _).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val srcCnt = graft.io.Label(spark.sparkContext, "migrate:recon") {
+      docs.count()
+    }
+    val status = if (srcCnt == counts(cfg.collection)) "PASSED" else "FAILED"
     MigrationReport(cfg.collection, prof, model, counts, status)
   }
 
