@@ -34,7 +34,8 @@ object JobProf {
         jobs.synchronized {
           val site = Option(e.properties).flatMap(p =>
             Option(p.getProperty("spark.job.description"))
-              .orElse(Option(p.getProperty("callSite.short")))).getOrElse("")
+              .orElse(Option(p.getProperty("callSite.short"))))
+            .getOrElse("").linesIterator.take(1).mkString
           val r = JobRec(e.jobId, e.time, site = site,
             stages = e.stageIds.size)
           e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)

@@ -276,7 +276,7 @@ object IncrementalSync {
     if (hasData) stampSchema(fs, ch.targetPath, merged.schema)
     stageAndSwapBuckets(spark,
       merged.withColumn("__bucket", bucketOf(col(ch.fkColumn))),
-      ch.targetPath, rewrite, legacy)
+      ch.targetPath, rewrite, legacy, clusterWrite = convert || !hasData)
     stampBucketCount(fs, ch.targetPath, buckets)
     stampSchema(fs, ch.targetPath, merged.schema)
     val removed = if (hasData) obsN(priorObs) - obsN(keptObs) else 0L
@@ -483,7 +483,8 @@ object IncrementalSync {
           .delete(Sinks.upsert(target, upserts, "_id"), deletes, "_id")
           .withColumn("__bucket", bucketOf(col("_id")))
         if (hasData) stampSchema(fs, targetPath, merged.schema)
-        stageAndSwapBuckets(spark, merged, targetPath, rewrite, tgtLegacy)
+        stageAndSwapBuckets(spark, merged, targetPath, rewrite, tgtLegacy,
+          clusterWrite = convert || !hasData)
         // scoped state: the changed buckets' full surviving id/hash sets
         // (unchanged ids sharing a changed bucket ride along — their
         // carry-forward hash is identical, so the rewrite is value-stable).
@@ -499,7 +500,8 @@ object IncrementalSync {
           if (stConvert) nextSt0
           else nextSt0.filter(col("__bucket").isin(changed: _*))
         stageAndSwapBuckets(spark, nextSt, statePath,
-          if (stConvert) (0 until buckets).toSeq else changed, stLegacy)
+          if (stConvert) (0 until buckets).toSeq else changed, stLegacy,
+          clusterWrite = stConvert || !hasData)
         // stamp AFTER the write: the metadata file must never create the
         // layout directory ahead of the data (an empty-but-present dir
         // breaks first-sync schema inference and the bootstrap checks)
@@ -688,7 +690,8 @@ object IncrementalSync {
           .delete(Sinks.upsert(target, ups, "_id"), delIds, "_id")
           .withColumn("__bucket", bucketOf(col("_id")))
         if (hasData) stampSchema(fs, targetPath, merged.schema)
-        stageAndSwapBuckets(spark, merged, targetPath, rewrite, tgtLegacy)
+        stageAndSwapBuckets(spark, merged, targetPath, rewrite, tgtLegacy,
+          clusterWrite = convert)
         // state rewrite scoped to the changed buckets: their prior rows
         // minus every feed id, plus every upsert's fresh (id, hash) —
         // unchanged feed docs re-enter with their identical carried hash
@@ -705,7 +708,8 @@ object IncrementalSync {
           if (stConvert) nextSt0
           else nextSt0.filter(col("__bucket").isin(changed: _*))
         stageAndSwapBuckets(spark, nextSt, statePath,
-          if (stConvert) (0 until buckets).toSeq else changed, stLegacy)
+          if (stConvert) (0 until buckets).toSeq else changed, stLegacy,
+          clusterWrite = stConvert)
         stampBucketCount(fs, targetPath, buckets)
         stampBucketCount(fs, statePath, buckets)
         val classifiedLike = upC.select(col("_id"), col("change_type"))
@@ -865,7 +869,8 @@ object IncrementalSync {
     * mutation, so the merge plan may read `path`. */
   private def stageAndSwapBuckets(spark: SparkSession, df: DataFrame,
       path: String, changed: Seq[Int],
-      legacy: Seq[String] = Seq.empty): Unit = {
+      legacy: Seq[String] = Seq.empty,
+      clusterWrite: Boolean = false): Unit = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path + StageSuffix)
@@ -874,7 +879,21 @@ object IncrementalSync {
     if (fs.exists(staging)) fs.delete(staging, true)
     graft.io.Label(spark.sparkContext,
         s"sync:stage-write ${new Path(path).getName}") {
-      df.write.mode("overwrite").partitionBy("__bucket")
+      // FULL-layout rewrites (bootstrap / legacy adoption — clusterWrite)
+      // cluster by __bucket before the partitioned write (guide §6): the
+      // corpus-sized write then runs with bucket-count parallelism and
+      // emits ONE file per bucket — without it the upstream stage's
+      // partition count decides both (post-AQE a corpus-sized merge can
+      // coalesce to very few partitions, serializing the parquet encode
+      // of every bucket on one task, measured 970 ms vs ~150 ms at sf0.1
+      // bootstrap), and a bucket is by construction a file-sized unit, so
+      // one reducer per bucket is the intended write granularity.
+      // CHURN-scoped rewrites skip the exchange: they write a handful of
+      // buckets' rows through whatever parallelism the merge already has,
+      // and an extra per-write shuffle stage costs more than it saves
+      // (measured +1-3 s per sync harness when applied unconditionally).
+      val w = if (clusterWrite) df.repartition(col("__bucket")) else df
+      w.write.mode("overwrite").partitionBy("__bucket")
         .parquet(staging.toString)
     }
     val staged = changed.filter(b =>
