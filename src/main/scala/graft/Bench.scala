@@ -54,6 +54,18 @@ object Bench {
       // throwaway write
       val wtmp = java.nio.file.Files.createTempDirectory("graft_warm").toString
       Tables.load(spark, sfDir, "nation").write.mode("overwrite").parquet(wtmp)
+      // Measurement-hygiene fix (r15, documented in OPTIMIZATION_r15.md):
+      // the registry pass above left every warmup query's .cache() frame
+      // REGISTERED in the session CacheManager — sf0.001 data the timed
+      // run can never reuse, but every timed query's analysis compares
+      // its plan subtrees against all of those entries (measured:
+      // ann_ivfpq_rerank 5.6 s in isolation vs 16.8 s in-bench before
+      // this line). Drop them. The TIMED-dir warm state (doc-family
+      // shared cache via f1_flat_project, parquet-backed memos) is built
+      // AFTER this line, so the documented measurement boundary is
+      // unchanged; timing methodology (same queries, same SF, noop sink,
+      // gc isolation) is untouched.
+      spark.catalog.clearCache()
       // timed-dir scans: touch every table once (bounded rows) so the
       // TIMED dataset's parquet footers/dictionaries are initialized —
       // the registry pass above only touched the warmup fixture's files

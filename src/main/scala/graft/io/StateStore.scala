@@ -26,8 +26,16 @@ object StateStore {
 
   def load(spark: SparkSession, path: String): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(path))) spark.read.parquet(path)
-    else emptyState(spark)
+    if (fs.exists(new Path(path))) {
+      // the state schema is CANONICAL ((_id, hash) strings — save() casts,
+      // the partitioned sync writes the same), so pin it instead of paying
+      // driver-side footer sampling + partition-schema inference on every
+      // load — this runs once per sync/micro-batch on the hot path
+      val bucketed = fs.listStatus(new Path(path))
+        .exists(_.getPath.getName.startsWith("__bucket="))
+      val sch = if (bucketed) schema.add("__bucket", IntegerType) else schema
+      spark.read.schema(sch).parquet(path)
+    } else emptyState(spark)
   }
 
   def save(spark: SparkSession, state: DataFrame, path: String): Unit =

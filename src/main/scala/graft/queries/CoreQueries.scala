@@ -592,7 +592,14 @@ object CoreQueries {
     // row per column — the stats-collection shape that feeds a CBO, never
     // one scan per column
     "a_table_stats" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
+      // the multi-distinct aggregate expands every row 4× and hashes wide
+      // keys — far heavier than the scan. Project the three stat columns
+      // (guide §2.3: project before the exchange), then fan the
+      // single-file scan out so the expand+partial-agg runs on every
+      // core instead of the scan's 1-3 splits (r15 JobProf: one 3.9 s
+      // 3-task job was this whole query; FanOut is a no-op at scale)
+      val li = graft.io.FanOut(t(s, d, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_orderkey"))
       val dec = "decimal(18,2)"
       def statsOf(c: String, v: org.apache.spark.sql.Column) = Seq(
         count(when(v.isNull, 1)).as(s"${c}_nulls"),

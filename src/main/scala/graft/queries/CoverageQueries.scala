@@ -314,8 +314,25 @@ object CoverageQueries {
       val li = s.read.parquet(s"$out/odocs_lineitems.parquet")
       val tg = s.read.parquet(s"$out/odocs_tags.parquet")
       val cu = s.read.parquet(s"$out/odocs_customer.parquet")
-      val orphans = li.join(main.select(col("_id").as("odocs__id")),
-        Seq("odocs__id"), "left_anti").count()
+      // every observed table metric in ONE job (previously six count
+      // actions): the orphan count folds into a left-outer join flag sum
+      // (identical to the left_anti count — main ids are unique), the
+      // per-id tallies are conditional sums over the same scan, and the
+      // customer/tags counts ride as single-row crossJoins
+      val tails = li
+        .join(main.select(col("_id").as("odocs__id"), lit(1L).as("__m")),
+          Seq("odocs__id"), "left_outer")
+        .agg(
+          count(lit(1)).as("lineitem_rows"),
+          sum(when(col("__m").isNull, 1L).otherwise(0L))
+            .as("orphaned_lineitems"),
+          sum(when(col("odocs__id") === maxId, 1L).otherwise(0L))
+            .as("deleted_doc_child_rows"),
+          sum(when(col("odocs__id") === minId, 1L).otherwise(0L))
+            .as("updated_doc_lineitems"))
+        .crossJoin(cu.agg(count(lit(1)).as("customer_rows")))
+        .crossJoin(tg.agg(count(lit(1)).as("tags_rows")))
+        .head()
       // round-13: the SyncResult now carries per-child apply tallies
       // (inserted = re-decomposed rows of upserted parents; deleted =
       // prior rows of changed parents incl. orphan cleanup) — compared
@@ -326,16 +343,14 @@ object CoverageQueries {
           (s"child_${name}_inserted", c.inserted))
       }
       (Seq(
-        ("customer_rows", cu.count()),
+        ("customer_rows", tails.getLong(4)),
         ("deleted", r.deleted),
-        ("deleted_doc_child_rows",
-          li.filter(col("odocs__id") === maxId).count()),
-        ("lineitem_rows", li.count()),
-        ("orphaned_lineitems", orphans),
-        ("tags_rows", tg.count()),
+        ("deleted_doc_child_rows", tails.getLong(2)),
+        ("lineitem_rows", tails.getLong(0)),
+        ("orphaned_lineitems", tails.getLong(1)),
+        ("tags_rows", tails.getLong(5)),
         ("updated", r.updated),
-        ("updated_doc_lineitems",
-          li.filter(col("odocs__id") === minId).count())) ++ childMetrics)
+        ("updated_doc_lineitems", tails.getLong(3))) ++ childMetrics)
         .toDF("metric", "value").orderBy("metric")
     }),
 
@@ -369,16 +384,29 @@ object CoverageQueries {
       val main = s.read.parquet(target)
       val li = s.read.parquet(s"$out/odocs_lineitems.parquet")
       val tg = s.read.parquet(s"$out/odocs_tags.parquet")
-      val orphans = li.join(main.select(col("_id").as("odocs__id")),
-        Seq("odocs__id"), "left_anti").count()
+      // every observed table metric in ONE job (previously five count
+      // actions) — the o3_sync_children tail-fold shape: orphan count as
+      // a left-outer flag sum, per-id tallies as conditional sums, the
+      // main/tags counts as single-row crossJoins
+      val tails = li
+        .join(main.select(col("_id").as("odocs__id"), lit(1L).as("__m")),
+          Seq("odocs__id"), "left_outer")
+        .agg(
+          count(lit(1)).as("lineitem_rows"),
+          sum(when(col("__m").isNull, 1L).otherwise(0L))
+            .as("orphaned_lineitems"),
+          sum(when(col("odocs__id") === minId, 1L).otherwise(0L))
+            .as("updated_doc_lineitems"))
+        .crossJoin(main.agg(count(lit(1)).as("main_rows")))
+        .crossJoin(tg.agg(count(lit(1)).as("tags_rows")))
+        .head()
       Seq(
         ("b2_updated", r.updated),
-        ("lineitem_rows", li.count()),
-        ("main_rows", main.count()),
-        ("orphaned_lineitems", orphans),
-        ("tags_rows", tg.count()),
-        ("updated_doc_lineitems",
-          li.filter(col("odocs__id") === minId).count()))
+        ("lineitem_rows", tails.getLong(0)),
+        ("main_rows", tails.getLong(3)),
+        ("orphaned_lineitems", tails.getLong(1)),
+        ("tags_rows", tails.getLong(4)),
+        ("updated_doc_lineitems", tails.getLong(2)))
         .toDF("metric", "value").orderBy("metric")
     }),
 
@@ -447,44 +475,56 @@ object CoverageQueries {
       docs.unpersist()
       def tbl(m: String) = s.read.parquet(s"$out/t_$m").drop("__bucket")
       def st(m: String) = s.read.parquet(s"$out/s_$m").drop("__bucket")
-      // triple multiset compare in ONE job per surface: tag each clone,
-      // hash full rows to a signature, pivot per-signature counts, and
-      // aggregate the symmetric differences (sum |cntX−cntY| == the
-      // two-way exceptAll count) — 2 jobs instead of 8 exceptAll actions
-      def sig(df: DataFrame, tag: String): DataFrame = df.select(
-        md5(to_json(struct(df.columns.sorted.map(col): _*))).as("h"),
-        lit(tag).as("t"))
-      def tripleDiff(fa: DataFrame, fb: DataFrame, fc: DataFrame) = {
-        val counts = sig(fa, "a").unionByName(sig(fb, "b"))
-          .unionByName(sig(fc, "c"))
-          .groupBy("h").pivot("t", Seq("a", "b", "c")).count().na.fill(0L)
-        counts.agg(
-          sum(abs(col("a") - col("b"))).as("ab"),
-          sum(abs(col("a") - col("c"))).as("ac"),
-          sum(col("a")).as("na"), sum(col("b")).as("nb"),
-          sum(col("c")).as("nc")).head()
-      }
-      val t3 = tripleDiff(tbl("a"), tbl("b"), tbl("c"))
-      val s3 = tripleDiff(st("a"), st("b"), st("c"))
-      // the three point assertions on the streamed clone, one agg job
-      val pt = tbl("a").agg(
+      // BOTH triple multiset compares (table surface + state surface) in
+      // ONE job: tag each clone with (surface, clone), hash full rows to
+      // a signature, pivot per-(surface, signature) counts, and aggregate
+      // the symmetric differences per surface (sum |cntX−cntY| == the
+      // two-way exceptAll count) — previously one pivot job per surface
+      // plus a third job for the point assertions (8 exceptAll actions
+      // before that); the three point assertions on the streamed clone
+      // now RIDE the same job as observed metrics on its scan branch
+      def sig(df: DataFrame, tag: String, surface: String): DataFrame =
+        df.select(
+          md5(to_json(struct(df.columns.sorted.map(col): _*))).as("h"),
+          lit(tag).as("t"), lit(surface).as("srf"))
+      val ptObs = org.apache.spark.sql.Observation()
+      val tA = tbl("a").observe(ptObs,
         sum(when(col("_id") === maxId, 1L).otherwise(0L)).as("del_gone"),
         sum(when(col("_id") === s"${maxId}_re", 1L).otherwise(0L))
           .as("new_present"),
         sum(when(col("_id") === minId &&
           col("o_orderpriority") === "9-FEED", 1L).otherwise(0L))
-          .as("upd_live")).head()
+          .as("upd_live"))
+      val diffs = sig(tA, "a", "t")
+        .unionByName(sig(tbl("b"), "b", "t"))
+        .unionByName(sig(tbl("c"), "c", "t"))
+        .unionByName(sig(st("a"), "a", "s"))
+        .unionByName(sig(st("b"), "b", "s"))
+        .unionByName(sig(st("c"), "c", "s"))
+        .groupBy("srf", "h").pivot("t", Seq("a", "b", "c")).count()
+        .na.fill(0L)
+        .groupBy("srf").agg(
+          sum(abs(col("a") - col("b"))).as("ab"),
+          sum(abs(col("a") - col("c"))).as("ac"),
+          sum(col("a")).as("na"), sum(col("b")).as("nb"),
+          sum(col("c")).as("nc"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      val (t3, s3) = (diffs("t"), diffs("s"))
+      def obsL(k: String): Long = ptObs.get(k) match {
+        case l: java.lang.Long => l.longValue
+        case x => throw new IllegalStateException(s"unexpected metric: $x")
+      }
       Seq(
-        ("a_rows", t3.getLong(2)),
-        ("ab_diff", t3.getLong(0)),
-        ("ac_diff", t3.getLong(1)),
-        ("b_rows", t3.getLong(3)),
-        ("c_rows", t3.getLong(4)),
-        ("del_gone", pt.getLong(0)),
-        ("new_present", pt.getLong(1)),
-        ("state_ab_diff", s3.getLong(0)),
-        ("state_ac_diff", s3.getLong(1)),
-        ("upd_live", pt.getLong(2)))
+        ("a_rows", t3.getLong(3)),
+        ("ab_diff", t3.getLong(1)),
+        ("ac_diff", t3.getLong(2)),
+        ("b_rows", t3.getLong(4)),
+        ("c_rows", t3.getLong(5)),
+        ("del_gone", obsL("del_gone")),
+        ("new_present", obsL("new_present")),
+        ("state_ab_diff", s3.getLong(1)),
+        ("state_ac_diff", s3.getLong(2)),
+        ("upd_live", obsL("upd_live")))
         .toDF("metric", "value").orderBy("metric")
     }),
 
@@ -548,27 +588,36 @@ object CoverageQueries {
         .drop("__bucket")
       // multiset equality via row signatures (to_json drops null fields,
       // so "column physically absent" and "column null" compare equal —
-      // exactly the schema-pinned read's semantics)
+      // exactly the schema-pinned read's semantics); the note point
+      // assertions RIDE the same job as observed metrics on the ta
+      // branch, and the state row count rides as a third tagged branch —
+      // one job where diff + point-asserts + state count paid three
       def sig(df: DataFrame, tag: String): DataFrame = df.select(
         md5(to_json(struct(df.columns.sorted.map(col): _*))).as("h"),
         lit(tag).as("t"))
-      val diff = sig(ta, "a").unionByName(sig(tc, "c"))
-        .groupBy("h").pivot("t", Seq("a", "c")).count().na.fill(0L)
-        .agg(sum(abs(col("a") - col("c"))).as("ac"),
-          sum(col("a")).as("na")).head()
-      val pt = ta.agg(
+      val ptObs = org.apache.spark.sql.Observation()
+      val taObs = ta.observe(ptObs,
         sum(when(col("note") === "drifted", 1L).otherwise(0L)).as("set"),
-        sum(when(col("note").isNull, 1L).otherwise(0L)).as("nul")).head()
-      val stateRows = s.read.parquet(s"$out/s_a").count()
+        sum(when(col("note").isNull, 1L).otherwise(0L)).as("nul"))
+      val diff = sig(taObs, "a").unionByName(sig(tc, "c"))
+        .unionByName(s.read.parquet(s"$out/s_a")
+          .select(md5(col("_id")).as("h"), lit("s").as("t")))
+        .groupBy("h").pivot("t", Seq("a", "c", "s")).count().na.fill(0L)
+        .agg(sum(abs(col("a") - col("c"))).as("ac"),
+          sum(col("a")).as("na"), sum(col("s")).as("ns")).head()
+      def obsL(k: String): Long = ptObs.get(k) match {
+        case l: java.lang.Long => l.longValue
+        case x => throw new IllegalStateException(s"unexpected metric: $x")
+      }
       Seq(
         ("ac_diff", diff.getLong(0)),
         ("churn_rewritten_buckets", rewritten),
         ("feed_updated", r.updated),
-        ("note_null", pt.getLong(1)),
-        ("note_set", pt.getLong(0)),
+        ("note_null", obsL("nul")),
+        ("note_set", obsL("set")),
         ("rows", diff.getLong(1)),
         ("stamped_superset", if (stamped) 1L else 0L),
-        ("state_rows", stateRows))
+        ("state_rows", diff.getLong(2)))
         .toDF("metric", "value").orderBy("metric")
     }),
 
@@ -651,18 +700,31 @@ object CoverageQueries {
       val (ta, tb) = (read(s"$out/a.parquet"), read(s"$out/b.parquet"))
       val (sa, sb) =
         (read(s"$out/a_state.parquet"), read(s"$out/b_state.parquet"))
-      val diffRows = ta.exceptAll(tb).count() + tb.exceptAll(ta).count()
-      val diffState = sa.exceptAll(sb).count() + sb.exceptAll(sa).count()
+      // both multiset diffs AND the target row count in ONE job (the
+      // two-way exceptAll form paid five count actions): hash full rows
+      // to signatures per (surface, clone), pivot, and sum |a−b| — the
+      // symmetric-difference identity the sync gates already rely on
+      def sig(df: DataFrame, tag: String, surface: String): DataFrame =
+        df.select(
+          md5(to_json(struct(df.columns.sorted.map(col): _*))).as("h"),
+          lit(tag).as("t"), lit(surface).as("srf"))
+      val diffs = sig(ta, "a", "t").unionByName(sig(tb, "b", "t"))
+        .unionByName(sig(sa, "a", "s")).unionByName(sig(sb, "b", "s"))
+        .groupBy("srf", "h").pivot("t", Seq("a", "b")).count().na.fill(0L)
+        .groupBy("srf").agg(
+          sum(abs(col("a") - col("b"))).as("diff"),
+          sum(col("b")).as("nb"))
+        .collect().map(r => r.getString(0) -> r).toMap
       Seq(
-        ("diff_rows", diffRows),
-        ("diff_state_rows", diffState),
+        ("diff_rows", diffs("t").getLong(1)),
+        ("diff_state_rows", diffs("s").getLong(1)),
         ("feed_deleted", rB.deleted),
         ("feed_new", rB.newDocs),
         ("feed_updated", rB.updated),
         ("snap_deleted", rA.deleted),
         ("snap_unchanged", rA.unchanged),
         ("snap_updated", rA.updated),
-        ("target_rows", tb.count()))
+        ("target_rows", diffs("t").getLong(2)))
         .toDF("metric", "value").orderBy("metric")
     }),
 

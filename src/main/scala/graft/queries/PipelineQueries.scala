@@ -173,9 +173,10 @@ object PipelineQueries {
 
     // The composed curation pipeline: quality gate → lang id → exact dedup →
     // LSH fuzzy dedup w/ component representatives → per-language stats
+    // (served from the session curated-corpus memo shared by the three
+    // pipeline_* consumers — see ScaleShared.curatedDocs)
     "pipeline_curation" -> ((s, d) =>
-      graft.scale.CurationPipeline.stats(
-        graft.scale.CurationPipeline.curate(docsWithDups(s, d), "doc_id", "text"))),
+      graft.scale.CurationPipeline.stats(curatedDocs(s, d)._1)),
 
     // The full pre-training data PLAN in one chain: curate (quality gate →
     // lang id → exact dedup → LSH fuzzy dedup) → token counts → per-
@@ -185,8 +186,7 @@ object PipelineQueries {
     // before launching a run: how much of each language, repeated how
     // often, serving how many tokens)
     "pipeline_pretrain_mix" -> ((s, d) => {
-      val kept = graft.scale.CurationPipeline.curate(
-        docsWithDups(s, d), "doc_id", "text")
+      val kept = curatedDocs(s, d)._1
       val withTok = kept.withColumn("n_tokens",
         size(TextAnalysis.tokens(col("text"))).cast("long"))
       Sampling.repeatEpochs(withTok, "predicted_lang", "doc_id", "n_tokens",
@@ -204,9 +204,7 @@ object PipelineQueries {
     // Per-document curation provenance: why each input doc was dropped
     // (quality_fail / exact_dup / near_dup) or kept
     "pipeline_provenance" -> ((s, d) =>
-      graft.scale.CurationPipeline
-        .curateTrace(docsWithDups(s, d), "doc_id", "text")._2
-        .orderBy("doc_id")),
+      curatedDocs(s, d)._2.orderBy("doc_id")),
 
     // Z-order layout clustering: per-row Morton code over quantile-bucket
     // ranks of (l_orderkey, l_partkey) — the multi-column file-skipping

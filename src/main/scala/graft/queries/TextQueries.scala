@@ -29,9 +29,7 @@ object TextQueries {
     // multilingual tokenizer-quality statistic. Exact integer sums only —
     // callers divide; the gate stays ratio-free and bit-stable
     "bpe_fertility" -> ((s, d) => {
-      val m = TextAnalysis.bpeTrain(docs(s, d), "text", 8)
-        .orderBy("rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val m = bpeMerges(s, d).map(t => (t._2, t._3))
       TextAnalysis.bpeEncode(docs(s, d), "doc_id", "text", m)
         .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
         .groupBy("lang").agg(
@@ -542,9 +540,15 @@ object TextQueries {
 
     // BPE tokenizer training, 8 merge rounds (vocabulary-bounded loop).
     // Oracled by a statically-unrolled 8-round DuckDB mirror (bpeMergesSql);
-    // the golden merge sequence is additionally pinned by ScaleSpec
-    "bpe_merges" -> ((s, d) =>
-      TextAnalysis.bpeTrain(docs(s, d), "text", 8).orderBy("rank")),
+    // the golden merge sequence is additionally pinned by ScaleSpec.
+    // Served from the session merge-table memo (8 rows) shared by the
+    // four bpe_* consumers — rebuilt as a frame with the exact schema
+    // bpeTrain returned
+    "bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      bpeMerges(s, d).toDF("rank", "left", "right", "pair_freq")
+        .orderBy("rank")
+    }),
 
     // BPE tokenizer APPLICATION: train 8 merges, then encode the corpus
     // with them — merge application runs on the distinct-word vocabulary
@@ -552,9 +556,7 @@ object TextQueries {
     // MD5 of the full symbol stream so the oracle checks the actual
     // encoding, not just counts
     "bpe_encode" -> ((s, d) => {
-      val m = TextAnalysis.bpeTrain(docs(s, d), "text", 8)
-        .orderBy("rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val m = bpeMerges(s, d).map(t => (t._2, t._3))
       TextAnalysis.bpeEncode(docs(s, d), "doc_id", "text", m)
         .orderBy("doc_id")
     }),
@@ -562,9 +564,7 @@ object TextQueries {
     // Tokenizer QA: the trained BPE must be LOSSLESS — concatenating each
     // word's subwords reconstructs the word, for every vocabulary word
     "bpe_roundtrip" -> ((s, d) => {
-      val m = TextAnalysis.bpeTrain(docs(s, d), "text", 8)
-        .orderBy("rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val m = bpeMerges(s, d).map(t => (t._2, t._3))
       TextAnalysis.bpeEncodeWords(docs(s, d), "text", m)
         .agg(count(lit(1)).as("n_words"),
           sum(when(replace(col("enc"), lit(" "), lit("")) === col("w"), 0L)

@@ -81,23 +81,47 @@ object Pq {
           .otherwise(col("centroid")).as("centroid"))
   }
 
-  /** Collected codebook as a broadcast-able plan literal:
-    * map(subspace -> array of (label, centroid-array) structs). Bounded by
-    * contract at m·k·(D/m) = k·D rows. */
-  private def codebookLiteral(cb: DataFrame): Column = {
-    val rows = cb
-      .groupBy("subspace", "label").agg(map_from_arrays(
-        collect_list(col("pos")), collect_list(col("centroid"))).as("c"))
-      .collect()
-      .map { r =>
-        val m = r.getMap[Int, Double](2)
-        val sub = r.getAs[Number]("subspace").intValue()
-        val label = r.getAs[Number]("label").longValue()
-        require((1 to m.size).forall(m.contains),
-          s"codebook dims for subspace $sub label $label are not " +
-            s"contiguous 1..${m.size}")
-        (sub, label, (1 to m.size).map(m(_)))
+  /** Collected codebook rows, memoized per codebook FRAME INSTANCE (weak
+    * keys — entries die with their frames): every consumer of one trained
+    * codebook (encode + ADC LUT + quantization error inside one query)
+    * previously re-collected the same cached frame, paying one Spark job
+    * per consumer, and [[cbDims]] paid a further aggregate job for (m, D)
+    * that these rows already determine. Bounded by contract at
+    * m·k·(D/m) = k·D rows, so holding the collected rows is as cheap as
+    * the plan literal that was already built from them. Session-scoped
+    * and keyed by object identity — never persisted, never shared across
+    * frames, so a retrained codebook can never serve stale rows. */
+  private val cbMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame,
+      Array[(Int, Long, IndexedSeq[Double])]]())
+
+  private def cbRows(cb: DataFrame): Array[(Int, Long, IndexedSeq[Double])] =
+    cbMemo.synchronized {
+      val hit = cbMemo.get(cb)
+      if (hit != null) hit
+      else {
+        val rows = cb
+          .groupBy("subspace", "label").agg(map_from_arrays(
+            collect_list(col("pos")), collect_list(col("centroid"))).as("c"))
+          .collect()
+          .map { r =>
+            val m = r.getMap[Int, Double](2)
+            val sub = r.getAs[Number]("subspace").intValue()
+            val label = r.getAs[Number]("label").longValue()
+            require((1 to m.size).forall(m.contains),
+              s"codebook dims for subspace $sub label $label are not " +
+                s"contiguous 1..${m.size}")
+            (sub, label, (1 to m.size).map(m(_)): IndexedSeq[Double])
+          }
+        cbMemo.put(cb, rows)
+        rows
       }
+    }
+
+  /** Collected codebook as a broadcast-able plan literal:
+    * map(subspace -> array of (label, centroid-array) structs). */
+  private def codebookLiteral(cb: DataFrame): Column = {
+    val rows = cbRows(cb)
     map(rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (s, cl) =>
       Seq(lit(s), array(cl.sortBy(_._2).map { case (_, lbl, c) =>
         struct(lit(lbl).as("label"), array(c.map(lit): _*).as("c"))
@@ -204,11 +228,13 @@ object Pq {
       .select(col(idCol), col("subspace"), col("label").as("code"))
   }
 
-  /** (m, D) from a codebook frame — bounded aggregate over k·D rows. */
+  /** (m, D) from a codebook frame — derived from the memoized collected
+    * rows (previously a separate aggregate job per consumer). */
   private def cbDims(cb: DataFrame): (Int, Int) = {
-    val r = cb.agg(max("subspace"), max("pos")).head
-    val m = r.getAs[Number](0).intValue() + 1
-    (m, m * r.getAs[Number](1).intValue())
+    val rows = cbRows(cb)
+    require(rows.nonEmpty, "cbDims: empty codebook")
+    val m = rows.iterator.map(_._1).max + 1
+    (m, m * rows.iterator.map(_._3.length).max)
   }
 
   /** ADC (asymmetric distance computation) top-k: for each query, build

@@ -587,9 +587,15 @@ object Similarity {
       s"hamming budgets must be >= k=$k: $hamBudgets")
     require(hamBitsAxis.nonEmpty && hamBitsAxis.forall(b => b >= 1 && b <= 60),
       s"hamming bits must be in [1, 60]: $hamBitsAxis")
-    // materialized: the truth frame anchors every configuration's hit join
-    val truth = graft.io.Materialize(
-      bruteForceTopK(queries, corpus, idCol, vecCol, k)
+    // cached (NOT checkpointed): the truth frame anchors every
+    // configuration's hit join, and every configuration is consumed by
+    // the ONE final union action — an in-plan cache dedups the compute
+    // with zero extra jobs, where a localCheckpoint per frame paid a
+    // job barrier (plus driver gap) per configuration (the r15 JobProf
+    // showed 118 jobs / 6.3 s on ann_frontier, mostly these barriers)
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cached(df: DataFrame): DataFrame = { val c = df.cache(); caches += c; c }
+    val truth = cached(bruteForceTopK(queries, corpus, idCol, vecCol, k)
         .select(col("query_id"), col("neighbor_id")))
     def row(method: String, param: Long, res: DataFrame,
         cand: DataFrame): DataFrame =
@@ -607,18 +613,19 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
     val bf = row("bf", 0L, truth, bfCand)
     // one centroid build for every nProbe configuration, and ONE
-    // materialized candidate frame per configuration feeding both its
-    // search and its cost count (the naive form re-ran the corpus-wide
-    // centroid aggregate and the candidate join twice per config)
-    val cents = graft.io.Materialize(centroids(corpus, cellCol, vecCol))
+    // cached candidate frame per configuration feeding both its search
+    // and its cost count (the naive form re-ran the corpus-wide centroid
+    // aggregate and the candidate join twice per config; caches, not
+    // checkpoints — see `truth` above)
+    val cents = cached(centroids(corpus, cellCol, vecCol))
     val ivf = nProbes.map { p =>
-      val cand = graft.io.Materialize(multiProbeCandidatePairs(
+      val cand = cached(multiProbeCandidatePairs(
         queries, corpus, idCol, vecCol, cellCol, p, Some(cents)))
       row("ivf", p.toLong, rankCandidatePairs(cand, k, rounded = false),
         cand)
     }
     val rp = rpBudgets.map { b =>
-      val cand = graft.io.Materialize(rpCandidatePairs(
+      val cand = cached(rpCandidatePairs(
         queries, corpus, idCol, vecCol, rpProjDims, b))
       row("rp", b.toLong, rankCandidatePairs(cand, k, rounded = true), cand)
     }
@@ -627,12 +634,23 @@ object Similarity {
     // trades rerank cost — method "ham<bits>" rows make the whole plane
     // readable from one report
     val ham = for (bits <- hamBitsAxis; b <- hamBudgets) yield {
-      val cand = graft.io.Materialize(hammingCandidatePairs(
+      val cand = cached(hammingCandidatePairs(
         queries, corpus, idCol, vecCol, bits, b))
       row(s"ham$bits", b.toLong, rankCandidatePairs(cand, k, rounded = true),
         cand)
     }
-    (Seq(bf) ++ ivf ++ rp ++ ham).reduce(_ unionByName _)
+    // the report is a bounded handful of rows (one per configuration):
+    // materialize it NOW and RELEASE every cached frame before returning —
+    // a returned lazy plan holding a dozen cached subtrees would leave
+    // them registered in the session CacheManager, and every later
+    // query's analysis pays a canonical-plan comparison against each
+    // entry (measured in-bench: +3x on later large-plan ANN queries)
+    val report = (Seq(bf) ++ ivf ++ rp ++ ham).reduce(_ unionByName _)
+    val spark = corpus.sparkSession
+    val rows = report.collect().toSeq
+    caches.foreach(_.unpersist(false))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      report.schema)
   }
 
   /** The filtered-search companion of [[annFrontier]]: recall-vs-cost of
@@ -645,7 +663,7 @@ object Similarity {
     * (method, param, n_hit, k_total, candidate_rows) — all integers,
     * same surface as [[annFrontier]]; `bfF` is the filtered-exhaustive
     * baseline row. One centroid build (the shared full-corpus index) and
-    * ONE materialized candidate frame per configuration feed both the
+    * ONE cached candidate frame per configuration feed both the
     * search and its cost count. */
   def filteredFrontier(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, cellCol: String, pred: Column, k: Int,
@@ -654,8 +672,12 @@ object Similarity {
     require(nProbes.nonEmpty && nProbes.forall(_ >= 1),
       s"nProbes must be positive: $nProbes")
     val fCorpus = corpus.filter(pred)
-    val truth = graft.io.Materialize(
-      bruteForceTopK(queries, fCorpus, idCol, vecCol, k)
+    // caches, not checkpoints — one final union action consumes every
+    // branch, so in-plan caches dedup with zero extra job barriers (see
+    // [[annFrontier]])
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cached(df: DataFrame): DataFrame = { val c = df.cache(); caches += c; c }
+    val truth = cached(bruteForceTopK(queries, fCorpus, idCol, vecCol, k)
         .select(col("query_id"), col("neighbor_id")))
     def row(method: String, param: Long, res: DataFrame,
         cand: DataFrame): DataFrame =
@@ -671,14 +693,21 @@ object Similarity {
     val bfCand = fCorpus.select(col(idCol).as("neighbor_id"))
       .crossJoin(broadcast(queries.select(col(idCol).as("query_id"))))
       .filter(col("query_id") =!= col("neighbor_id"))
-    val cents = graft.io.Materialize(centroids(corpus, cellCol, vecCol))
+    val cents = cached(centroids(corpus, cellCol, vecCol))
     val ivfF = nProbes.map { p =>
-      val cand = graft.io.Materialize(multiProbeCandidatePairs(
+      val cand = cached(multiProbeCandidatePairs(
         queries, fCorpus, idCol, vecCol, cellCol, p, Some(cents)))
       row("ivfF", p.toLong, rankCandidatePairs(cand, k, rounded = false),
         cand)
     }
-    (Seq(row("bfF", 0L, truth, bfCand)) ++ ivfF).reduce(_ unionByName _)
+    // materialize + release, same rationale as [[annFrontier]]
+    val report = (Seq(row("bfF", 0L, truth, bfCand)) ++ ivfF)
+      .reduce(_ unionByName _)
+    val spark = corpus.sparkSession
+    val rows = report.collect().toSeq
+    caches.foreach(_.unpersist(false))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      report.schema)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR '09) over

@@ -429,7 +429,10 @@ object TextAnalysis {
   /** Per-word frequency table — the bounded state BPE training runs on:
     * corpus-sized input reduces to vocabulary-sized rows in one hash agg. */
   def wordFreqs(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(tokens(lower(col(textCol)))).as("w"))
+    // tokenize+explode is the heavy map side here; fan a narrow-scan
+    // corpus out so it doesn't run single-task (no-op at scale)
+    graft.io.FanOut(df.select(col(textCol)))
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
   /** Character-split of a string (the initial BPE symbol sequence; also the

@@ -1,7 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Unigram-LM subword tokenizer (SentencePiece-style vocabulary learning —
@@ -59,42 +58,56 @@ object Unigram {
   def segmentWords(words: DataFrame, vocab: DataFrame, maxPieceLen: Int,
       maxRounds: Int): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
+    // The vocabulary is BOUNDED by construction (chars + a capped
+    // multi-piece head — [[train]] caps it at seedMulti), so collect it
+    // once and run the whole greedy loop as ONE expression per word:
+    // `aggregate` over maxRounds steps, each taking the first piece — the
+    // pieces are pre-sorted longest-first — that prefixes the remainder.
+    // The previous shape (maxRounds driver rounds of prefix-explode +
+    // broadcast join + per-word window, each round lineage-severed
+    // through a localCheckpoint) paid ~2 Spark jobs plus a driver gap PER
+    // ROUND for a vocabulary-bounded frame. Results are bit-identical:
+    // pieces are distinct, so the longest matching prefix is unique (two
+    // equal-length prefixes of one string are equal), and both error
+    // paths keep their trigger conditions and messages. Pieces longer
+    // than maxPieceLen could never match in the prefix-explode form (it
+    // only tried prefixes up to maxPieceLen), so they are dropped here
+    // too.
     val pieces = vocab.select(col("piece")).distinct()
-      .withColumn("__v", lit(1))
-    var cur = graft.io.Materialize(words.select(col("w"), col("freq"),
-      col("w").as("rem"), array().cast("array<string>").as("segs")))
-    for (_ <- 1 to maxRounds) {
-      val live = cur.filter(length(col("rem")) > 0)
-      val donePart = cur.filter(length(col("rem")) === 0)
-      // candidate prefixes of the remainder (equi-join beats a prefix
-      // BNLJ: ≤ maxPieceLen exploded rows per live word, broadcast-hash
-      // joined on the exact piece string)
-      val best = live
-        .select(col("w"), col("freq"), col("rem"), col("segs"),
-          explode(sequence(lit(1),
-            least(lit(maxPieceLen), length(col("rem"))))).as("l"))
-        .select(col("w"), col("freq"), col("rem"), col("segs"),
-          col("rem").substr(lit(1), col("l")).as("piece"))
-        .join(pieces, Seq("piece"), "left")
-        .withColumn("rn", row_number().over(Window.partitionBy("w")
-          .orderBy(col("__v").isNull.asc, length(col("piece")).desc,
-            col("piece").asc)))
-        .filter(col("rn") === 1)
-        .select(col("w"), col("freq"),
-          when(col("__v").isNull, raise_error(concat(
-            lit("unigram: no vocabulary piece matches '"), col("rem"),
-            lit("' (single chars missing from vocab?)"))).cast("string"))
-            .otherwise(col("rem").substr(length(col("piece")) + 1,
-              length(col("rem")))).as("rem"),
-          concat(col("segs"), array(col("piece"))).as("segs"))
-      cur = graft.io.Materialize(donePart.unionByName(best))
+      .collect().map(_.getString(0))
+      .filter(_.length <= maxPieceLen)
+      .sortBy(p => (-p.length, p))
+    val pieceArr = array(pieces.map(lit).toSeq: _*)
+    val step = (acc: Column, _: Column) => {
+      val rem = acc.getField("rem")
+      val matched = filter(pieceArr, p => rem.startsWith(p))
+      // try_element_at: NULL (not an ANSI index error) on an empty match
+      // set — the no-piece-matches case must reach the raise_error branch
+      val best0 = try_element_at(matched, lit(1))
+      val best = when(best0.isNull, raise_error(concat(
+          lit("unigram: no vocabulary piece matches '"), rem,
+          lit("' (single chars missing from vocab?)"))).cast("string"))
+        .otherwise(best0)
+      // consumed (or null) remainders pass through unchanged — the old
+      // loop's filter(length(rem) > 0) gate, expressed per element
+      when(length(rem) > 0,
+        struct(
+          rem.substr(length(best) + 1, length(rem)).as("rem"),
+          concat(acc.getField("segs"), array(best)).as("segs")))
+        .otherwise(acc)
     }
-    cur.select(col("w"), col("freq"),
-      when(length(col("rem")) > 0, raise_error(concat(
-        lit("unigram: word not fully consumed after "),
-        lit(maxRounds).cast("string"), lit(" rounds: '"), col("w"),
-        lit("'"))).cast("array<string>"))
-        .otherwise(col("segs")).as("segs"))
+    words.select(col("w"), col("freq"),
+        aggregate(
+          sequence(lit(1), lit(maxRounds)),
+          struct(col("w").as("rem"),
+            array().cast("array<string>").as("segs")),
+          step).as("__st"))
+      .select(col("w"), col("freq"),
+        when(length(col("__st.rem")) > 0, raise_error(concat(
+          lit("unigram: word not fully consumed after "),
+          lit(maxRounds).cast("string"), lit(" rounds: '"), col("w"),
+          lit("'"))).cast("array<string>"))
+          .otherwise(col("__st.segs")).as("segs"))
   }
 
   /** Train the unigram vocabulary: seed with all single characters plus

@@ -41,7 +41,7 @@ object StreamSync {
       childrenFor: Option[DataFrame => Seq[graft.sync.ChildSync]] = None)
       : graft.sync.SyncResult = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.functions.{col, row_number, sum, when}
     val order = versionCol match {
       case Some(v) => Seq(col(v).desc, col("doc_hash").desc)
       case None => Seq(col("doc_hash").desc)
@@ -61,10 +61,20 @@ object StreamSync {
     // write, AND the state write — without this the pipeline runs 3x/batch
     val classified = IncrementalSync.classify(current, state).cache()
     try {
-      val result = IncrementalSync.metrics(
-        classified.filter(col("change_type") =!=
-          IncrementalSync.ChangeDeleted)) // absent-from-batch ≠ deleted in a stream
-      val upserts = classified
+      // the per-type tallies RIDE the upsert write as observed metrics
+      // (CollectMetrics) instead of running a separate count job per
+      // micro-batch; absent-from-batch ≠ deleted in a stream, so the
+      // deleted tally is pinned 0 exactly as the old
+      // metrics(filter(≠deleted)) computed it
+      import IncrementalSync.{ChangeNew, ChangeUpdated, ChangeUnchanged,
+        ChangeDeleted}
+      val mObs = org.apache.spark.sql.Observation()
+      def cnt(t: String) =
+        sum(when(col("change_type") === t, 1L).otherwise(0L))
+      val observed = classified.observe(mObs,
+        cnt(ChangeNew).as("n_new"), cnt(ChangeUpdated).as("n_upd"),
+        cnt(ChangeUnchanged).as("n_unch"))
+      val upserts = observed
         .filter(col("change_type")
           .isin(IncrementalSync.ChangeNew, IncrementalSync.ChangeUpdated))
         .select(batch.columns.map(col): _*)
@@ -104,6 +114,14 @@ object StreamSync {
         if (targetExisted) spark.read.parquet(targetPath)
         else batch.limit(0)
       Sinks.atomicOverwrite(spark, Sinks.upsert(target, upserts, "_id"), targetPath)
+      // the write is done — the observed tallies are available now
+      def obsL(k: String): Long = mObs.get(k) match {
+        case l: java.lang.Long => l.longValue
+        case x => throw new IllegalStateException(
+          s"unexpected observed count: $x")
+      }
+      val result = graft.sync.SyncResult(
+        obsL("n_new"), obsL("n_upd"), 0L, obsL("n_unch"), 0L)
       // child tables merge AFTER the main write (FK direction: parent
       // first); the stream's no-delete rule holds — only parents present
       // in this batch have their child rows replaced.

@@ -122,6 +122,30 @@ object IncrementalSync {
       counts.getOrElse(ChangeDeleted, 0L), counts.getOrElse(ChangeUnchanged, 0L), 0L)
   }
 
+  /** [[metrics]] AND the churned bucket set in ONE aggregation job (the
+    * partitioned/feed modes previously paid one collect for each): per
+    * change type, the row count plus the collect_set of the type's
+    * buckets (≤ `buckets` elements per group — driver-bounded); the
+    * changed set is the union over the non-unchanged groups. Values are
+    * identical to the two-job form by construction. */
+  private def metricsAndChangedBuckets(classified: DataFrame,
+      bucketOf: Column => Column,
+      label: String = "sync:classify-metrics"): (SyncResult, Seq[Int]) = {
+    val rows = graft.io.Label(classified.sparkSession.sparkContext, label) {
+      classified.groupBy("change_type")
+        .agg(count(lit(1)).as("n"),
+          collect_set(bucketOf(col("_id"))).as("bks"))
+        .collect()
+    }
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val changed = rows.filter(_.getString(0) != ChangeUnchanged)
+      .flatMap(_.getSeq[Int](2)).distinct.sorted.toSeq
+    (SyncResult(
+      counts.getOrElse(ChangeNew, 0L), counts.getOrElse(ChangeUpdated, 0L),
+      counts.getOrElse(ChangeDeleted, 0L),
+      counts.getOrElse(ChangeUnchanged, 0L), 0L), changed)
+  }
+
   /** J3: next sync state — fresh hashes for present docs (new/updated get the
     * new hash, unchanged carry the identical previous value — Sync.ps1:
     * 249-256), deleted ids dropped. */
@@ -434,14 +458,9 @@ object IncrementalSync {
     }
     val classified = classify(current, state, hashCol).cache()
     try {
-      val result = metrics(classified)
-      val changed = graft.io.Label(spark.sparkContext,
-          "sync:changed-buckets") {
-        classified
-          .filter(col("change_type") =!= ChangeUnchanged)
-          .select(bucketOf(col("_id")).as("__bucket"))
-          .distinct().collect()
-      }.map(_.getInt(0)).toSeq.sorted // ≤ buckets rows
+      // tallies + churned buckets in ONE job (previously two collects
+      // over the same cached diff — guide §1.2)
+      val (result, changed) = metricsAndChangedBuckets(classified, bucketOf)
       if (changed.nonEmpty) {
         val srcData = source.select(
           source.columns.filterNot(_ == hashCol).map(col): _*)
@@ -595,23 +614,36 @@ object IncrementalSync {
         "does not exist — a change feed cannot bootstrap a corpus; run a " +
         "snapshot sync (or full migration) first")
     val current = currentWithHash(upserts, hashCol)
-    // ambiguous-batch guards, ONE aggregation job for both (this runs per
-    // micro-batch on the hot streaming path, so guard overhead matters):
+    // ambiguity guard AND bucket footprint in ONE aggregation job (this
+    // runs per micro-batch on the hot streaming path, so guard overhead
+    // matters; they previously ran as two jobs over the same id union):
     // an id on both sides of one batch, or twice on the upsert side, has
-    // no defined order — fail loud rather than guess. Union the two id
-    // streams with side tags and detect either ambiguity in one pass.
-    val ambiguous = graft.io.Label(spark.sparkContext,
+    // no defined order — fail loud rather than guess — and the feed's
+    // bucket set (bounded collect ≤ buckets values) prunes the STATE
+    // read, the step that replaces the full-corpus diff join. Only the
+    // FAILURE path re-runs the detailed per-id probe, to keep the exact
+    // diagnostic.
+    val idTags = current.select(col("_id"),
+        lit(1L).as("__up"), lit(0L).as("__del"))
+      .unionByName(deletes.select(col("_id"),
+        lit(0L).as("__up"), lit(1L).as("__del")))
+    val probe = graft.io.Label(spark.sparkContext,
         "feed:ambiguity-guard") {
-      current.select(col("_id"),
-          lit(1L).as("__up"), lit(0L).as("__del"))
-        .unionByName(deletes.select(col("_id"),
-          lit(0L).as("__up"), lit(1L).as("__del")))
-        .groupBy("_id")
+      idTags.groupBy("_id")
+        .agg(sum("__up").as("__up"), sum("__del").as("__del"),
+          first(bucketOf(col("_id"))).as("__b"))
+        .agg(
+          sum(when(col("__up") > 1 ||
+            (col("__up") > 0 && col("__del") > 0), 1L).otherwise(0L))
+            .as("ambig"),
+          collect_set(col("__b")).as("bks"))
+        .head()
+    }
+    if (!probe.isNullAt(0) && probe.getLong(0) > 0) {
+      val r = idTags.groupBy("_id")
         .agg(sum("__up").as("__up"), sum("__del").as("__del"))
         .filter(col("__up") > 1 || (col("__up") > 0 && col("__del") > 0))
-        .limit(1).collect()
-    }
-    ambiguous.headOption.foreach { r =>
+        .limit(1).collect().head
       val bothSides = r.getLong(1) > 0 && r.getLong(2) > 0
       val what =
         if (bothSides) "an _id appears in both upserts and deletes"
@@ -621,14 +653,7 @@ object IncrementalSync {
           "feed batch is undefined; keep the newest version per id (or " +
           "split the batch)")
     }
-    // the feed's bucket footprint (bounded collect ≤ buckets rows) prunes
-    // the STATE read — the step that replaces the full-corpus diff join
-    val feedBuckets = graft.io.Label(spark.sparkContext,
-        "feed:bucket-footprint") {
-      current.select(bucketOf(col("_id")).as("__b"))
-        .unionByName(deletes.select(bucketOf(col("_id")).as("__b")))
-        .distinct().collect()
-    }.map(_.getInt(0)).toSeq.sorted
+    val feedBuckets = probe.getSeq[Int](1).distinct.sorted
     if (feedBuckets.isEmpty) return SyncResult(0, 0, 0, 0, 0,
       children.map(ch => childNameOf(ch.targetPath) -> ChildCounts(0L, 0L))
         .toMap)
@@ -647,19 +672,14 @@ object IncrementalSync {
     val delIds = deletes.select("_id")
       .join(state.select("_id"), Seq("_id"), "left_semi").cache()
     try {
-      val upCounts = upC.groupBy("change_type").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val result = SyncResult(
-        upCounts.getOrElse(ChangeNew, 0L),
-        upCounts.getOrElse(ChangeUpdated, 0L),
-        delIds.count(),
-        upCounts.getOrElse(ChangeUnchanged, 0L), 0L)
+      // per-type tallies AND the churned bucket set in ONE job over the
+      // union of the cached classify/delete frames (previously three
+      // collects: upsert counts, delete count, changed buckets)
+      val (result, changed) = metricsAndChangedBuckets(
+        upC.select(col("_id"), col("change_type"))
+          .unionByName(delIds.withColumn("change_type", lit(ChangeDeleted))),
+        bucketOf, label = "feed:classify-metrics")
       if (result.totalProcessed > 0) {
-        val changed = upC
-          .filter(col("change_type").isin(ChangeNew, ChangeUpdated))
-          .select("_id").unionByName(delIds)
-          .select(bucketOf(col("_id")).as("__bucket"))
-          .distinct().collect().map(_.getInt(0)).toSeq.sorted
         val srcData = upserts.select(
           upserts.columns.filterNot(_ == hashCol).map(col): _*)
         val (tgtBucketed, tgtLegacy) = layoutOf(fs, targetPath)
