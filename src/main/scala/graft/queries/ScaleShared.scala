@@ -16,12 +16,13 @@ object ScaleShared {
 
   private[queries] def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-  // the embeddings corpus feeds distance/codebook kernels whose per-row
-  // work dwarfs the scan; a single-file corpus would otherwise pin every
-  // ANN stage to one task (FanOut is a no-op once the table has ≥ cores
-  // splits — the 100 TB shape)
+  // NOTE r15: FanOut is applied inside the heavy corpus-side similarity
+  // kernels (bruteForce / RP / Hamming candidate generation), NOT here —
+  // fanning the shared loader out taxed the iterative codebook/k-means
+  // paths (tiny per-row work, driver-round collects) with 32-task
+  // overhead per round, measured as a broad emb_* tail regression
   private[queries] def emb(s: SparkSession, dir: String): DataFrame =
-    graft.io.FanOut(Tables.load(s, dir, "embeddings"))
+    Tables.load(s, dir, "embeddings")
 
   /** Shared by the tx_blocklist query and its oracle (single source of
     * truth for the screened terms). */

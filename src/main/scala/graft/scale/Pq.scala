@@ -392,7 +392,10 @@ object Pq {
   def bruteForceL2TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    // fan the corpus out before the per-pair exact scoring (no-op at
+    // scale — see graft.io.FanOut)
+    val c = graft.io.FanOut(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("d2").asc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))

@@ -47,7 +47,11 @@ object Similarity {
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("qn", norm(col("qvec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    // fan the corpus out before the per-pair scoring (the heavy stage —
+    // |queries| cosines per corpus row); no-op once the corpus scan has
+    // >= cores splits, i.e. at scale
+    val c = graft.io.FanOut(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")))
       .withColumn("cn", norm(col("cvec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -73,8 +77,8 @@ object Similarity {
       vecCol: String, labelCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       col(labelCol).as("query_label")).withColumn("qn", norm(col("qvec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cvec"), col(labelCol).as("neighbor_label"))
+    val c = graft.io.FanOut(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec"), col(labelCol).as("neighbor_label")))
       .withColumn("cn", norm(col("cvec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -532,7 +536,8 @@ object Similarity {
       .withColumn("qp", randomProject(col("qvec"), projDims))
       .withColumn("qpn", norm(col("qp")))
       .withColumn("qn", norm(col("qvec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val c = graft.io.FanOut(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")))
       .withColumn("cp", randomProject(col("cvec"), projDims))
       .withColumn("cpn", norm(col("cp")))
       .withColumn("cn", norm(col("cvec")))
@@ -823,8 +828,10 @@ object Similarity {
     }
     val q = queries.select(col(idCol).as("query_id"),
       sigOrError(col(idCol), col(vecCol)).as("qsig"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      sigOrError(col(idCol), col(vecCol)).as("csig"))
+    val c = graft.io.FanOut(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol)))
+      .select(col("neighbor_id"),
+        sigOrError(col("neighbor_id"), col(vecCol)).as("csig"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("hamming").asc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
